@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader/catalog for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Reads are cached per (session, dir, name) so the many entries in
+  * `SparkEntry.queries` share one `DataFrame` (one parquet FileIndex) per
+  * table instead of re-listing files. At 100 TB each of these would be a
+  * catalog table (or a path with partition columns); everything downstream
+  * only sees a `DataFrame`, so swapping `spark.read.parquet(path)` for
+  * `spark.table(name)` is the only change needed on a real cluster.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects outright; read nanos as epoch-nano longs instead and convert
+      // with [[tsNanos]] where a real timestamp is needed.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
+
+  /** events.ts (epoch-nanos long under nanosAsLong) → TimestampType (µs). */
+  def tsNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+
+  /** Register all tables as temp views for the `spark.sql` passthrough
+    * surface (the reference's SQL API, SURVEY §0 item 2). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

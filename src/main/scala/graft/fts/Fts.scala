@@ -1,0 +1,102 @@
+package graft.fts
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Full-text search surface (SURVEY §2.2 P4/§2.1 S6/§2.6 F1).
+  *
+  * The reference maintains an inverted index `FTS.<t>.<f>.<token>.<row>`
+  * built by lowercase-comma-strip-space-split at insert time
+  * (/root/reference/server.py:732-739) and evaluates `field ~ 'a | b & c'`
+  * by fetching per-token posting lists and folding them left-to-right with
+  * set union/intersection (client.py:683-738).
+  *
+  * Spark-first restatement: the posting list is a derived `tokens`
+  * Array[String] column computed at ingest; a match query compiles to a
+  * boolean `Column` tree over `array_contains`, which Catalyst pushes into
+  * the scan and whole-stage-codegens. No index structure, no materialized
+  * posting lists — at 100 TB the tokenized column lives in the same parquet
+  * and the filter is evaluated scan-side with zero shuffles.
+  *
+  * Divergence from the reference (documented per SURVEY §7.4): we give `&`
+  * higher precedence than `|` (standard boolean precedence) instead of the
+  * reference's left-to-right fold, and we support parentheses. Bare
+  * space-separated tokens AND together (the reference's default mode,
+  * client.py:700-707).
+  */
+object Fts {
+
+  /** Ingest-time tokenizer — must stay in lockstep with the reference's
+    * `value.replace(",", "").split(" ")` + lowercase (server.py:733). */
+  def tokens(c: Column): Column = split(regexp_replace(lower(c), ",", ""), " ")
+
+  /** DuckDB-equivalent of [[tokens]] for oracle SQL. */
+  def tokensOracleSql(colName: String): String =
+    s"string_split(replace(lower($colName), ',', ''), ' ')"
+
+  // ---- tiny recursive-descent parser: OR > AND > atom, parens allowed ----
+  sealed trait Node
+  final case class Tok(t: String) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+
+  def parse(query: String): Node = {
+    val toks = query.replace("(", " ( ").replace(")", " ) ")
+      .trim.split("\\s+").filter(_.nonEmpty).toList
+    val (node, rest) = parseOr(toks)
+    require(rest.isEmpty, s"trailing tokens in FTS query: $rest")
+    node
+  }
+
+  private def parseOr(in: List[String]): (Node, List[String]) = {
+    var (left, rest) = parseAnd(in)
+    while (rest.headOption.contains("|")) {
+      val (r, rs) = parseAnd(rest.tail)
+      left = Or(left, r); rest = rs
+    }
+    (left, rest)
+  }
+
+  private def parseAnd(in: List[String]): (Node, List[String]) = {
+    var (left, rest) = parseAtom(in)
+    // explicit `&` or the reference's implicit AND between adjacent tokens
+    var continue = true
+    while (continue) rest match {
+      case "&" :: tail =>
+        val (r, rs) = parseAtom(tail); left = And(left, r); rest = rs
+      case t :: _ if t != "|" && t != ")" =>
+        val (r, rs) = parseAtom(rest); left = And(left, r); rest = rs
+      case _ => continue = false
+    }
+    (left, rest)
+  }
+
+  private def parseAtom(in: List[String]): (Node, List[String]) = in match {
+    case "(" :: tail =>
+      val (n, rest) = parseOr(tail)
+      require(rest.headOption.contains(")"), "unbalanced ( in FTS query")
+      (n, rest.tail)
+    case t :: tail => (Tok(t.toLowerCase), tail)
+    case Nil => throw new IllegalArgumentException("empty FTS query")
+  }
+
+  /** Compile an FTS query string to a boolean Column over a tokens column. */
+  def matches(tokensCol: Column, query: String): Column = {
+    def go(n: Node): Column = n match {
+      case Tok(t) => array_contains(tokensCol, t)
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+    }
+    go(parse(query))
+  }
+
+  /** Same compilation targeted at DuckDB SQL, for oracle strings. */
+  def matchesOracleSql(tokensExpr: String, query: String): String = {
+    def go(n: Node): String = n match {
+      case Tok(t) => s"list_contains($tokensExpr, '$t')"
+      case And(l, r) => s"(${go(l)} AND ${go(r)})"
+      case Or(l, r) => s"(${go(l)} OR ${go(r)})"
+    }
+    go(parse(query))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.fts.Fts
+
+/** Full-text-search t2 coverage (SURVEY §2.2 P4/P6, §2.1 S6, §2.6 F1) over
+  * the documents table. The `~` predicate of the reference
+  * (`select * from items where items.search ~ 'blah | nonsense'`,
+  * /root/reference/example.py:296-306) becomes a compiled boolean Column
+  * over an ingest-time tokens column — both sides of the oracle are
+  * generated from the SAME parsed query tree (see [[Fts]]).
+  */
+object FtsSuite extends Suite {
+
+  private val tokensOracle = Fts.tokensOracleSql("text")
+
+  private def ftsQ(query: String): Q = Q(
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+        .withColumn("tokens", Fts.tokens(col("text")))
+      docs.filter(Fts.matches(col("tokens"), query)).select("doc_id", "source")
+    },
+    Some(s"""SELECT doc_id, source FROM documents
+            |WHERE ${Fts.matchesOracleSql(tokensOracle, query)}""".stripMargin))
+
+  def defs: Map[String, Q] = Map(
+    // default-AND of adjacent tokens (reference client.py:700-707)
+    "fts_and" -> ftsQ("spark join"),
+    // explicit OR (reference server.py:1124-1128)
+    "fts_or" -> ftsQ("window | stream"),
+    // mixed precedence + parens (documented divergence: & binds tighter)
+    "fts_expr" -> ftsQ("spark & (window | stream) & data"),
+    // posting-list AND-fold with 3 terms (reference client.py:730-738)
+    "fts_and3" -> ftsQ("fast & slow & big")
+  )
+}

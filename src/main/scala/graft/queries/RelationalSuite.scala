@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational surface: scans, projections, filters, inner/semi/anti joins,
+  * group-by aggregation, distinct, sort/limit, set ops, and DML-as-dataflow
+  * (INSERT/UPDATE/DELETE semantics re-expressed over immutable DataFrames).
+  *
+  * Covers SURVEY §2.2 P1/P3/P5 (projection, equality predicates, AND
+  * chaining), §2.3 J1-J4 (the reference's only join is inner-equi —
+  * /root/reference/client.py:384-427 — we add semi/anti as capability
+  * growth), §2.4 A1 (GROUP BY + count, the reference's intended-but-dead
+  * branch at server.py:897-920, implemented correctly), §2.5 sorts/set-ops,
+  * §2.10 M1/M2 DML.
+  *
+  * Scale notes per query are inline. Aggregates over doubles are rounded to
+  * 2 decimals in BOTH engines so float summation order can't flip the
+  * oracle hash.
+  */
+object RelationalSuite extends Suite {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.t(s, d, n)
+
+  def defs: Map[String, Q] = Map(
+
+    // Flagship: TPC-H Q1-style full-scan aggregation. Map-side partial agg +
+    // 6-group final — no skew possible, scan-bound at any scale; filter and
+    // the 7-column projection push to parquet.
+    "q1_agg" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 2) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P1+P3+P5: projection + conjunctive equality/range predicates. Both
+    // filters and the 3-column ReadSchema reach the parquet scan.
+    "q_filter_project" -> Q(
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice > 150000""".stripMargin)),
+
+    // J1/J2: 3-way inner join + aggregation (TPC-H Q3 shape). customer is a
+    // dim → explicit broadcast kills one shuffle; orders⋈lineitem shuffles
+    // on orderkey, which is also the grouping key → single exchange reused.
+    "q_join3_revenue" -> Q(
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, d, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate""".stripMargin)),
+
+    // J2/J4: 6-table multi-way join (TPC-H Q5 shape). All four dims
+    // broadcast; the only shuffle is lineitem⋈orders + final 25-group agg.
+    // This is the plan shape that survives 100 TB: one big-table shuffle.
+    "q_join5_nation_revenue" -> Q(
+      (s, d) => {
+        val nat = t(s, d, "nation"); val reg = t(s, d, "region")
+        val sup = t(s, d, "supplier"); val cust = t(s, d, "customer")
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // J3 as a real semi-join (the reference evaluates WHERE as a semi-join of
+    // index rowids, client.py:672-738): customers with a >200k order.
+    "q_semi_join" -> Q(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 200000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin)),
+
+    // Anti-join (capability beyond the reference's inner-only §2.3 table).
+    "q_anti_join" -> Q(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
+
+    // A1: the reference's one aggregation — GROUP BY + count
+    // (server.py:897-920, implemented correctly here).
+    "q_groupby_count" -> Q(
+      (s, d) => t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey")),
+
+    // Distinct = shuffle-dedup; partial-distinct map-side first.
+    "q_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // Top-k: TakeOrderedAndProject — O(k) per partition, no full sort at
+    // scale. Unique tie-break on o_orderkey keeps both engines deterministic.
+    "q_topk" -> Q(
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // §2.5 set ops (the reference's FTS OR-union / AND-intersection of rowid
+    // sets, server.py:1124-1128, client.py:730-738, generalized).
+    "q_set_union" -> Q(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k"))).distinct(),
+      Some("SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier")),
+    "q_set_intersect" -> Q(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT DISTINCT c_nationkey AS k FROM customer
+             |INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier""".stripMargin)),
+    "q_set_except" -> Q(
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT DISTINCT n_nationkey AS k FROM nation
+             |EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier""".stripMargin)),
+
+    // M1 INSERT: append-as-union (at scale: an append to a partitioned
+    // table — never a rewrite).
+    "q_insert" -> Q(
+      (s, d) => t(s, d, "region").select("r_regionkey", "r_name")
+        .unionByName(s.range(1).select(
+          lit(99).cast("int").as("r_regionkey"), lit("NEWREGION").as("r_name"))),
+      Some("""SELECT r_regionkey, r_name FROM region
+             |UNION ALL SELECT 99 AS r_regionkey, 'NEWREGION' AS r_name""".stripMargin)),
+
+    // M2 UPDATE … SET … WHERE as copy-on-write projection
+    // (reference client.py:483-546). At 100 TB: rewrite only affected
+    // partitions; the transform itself is this same `when` projection.
+    "q_update" -> Q(
+      (s, d) => t(s, d, "orders").withColumn("o_orderpriority",
+          when(col("o_orderstatus") === "F", lit("0-DONE"))
+            .otherwise(col("o_orderpriority")))
+        .select("o_orderkey", "o_orderpriority"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN '0-DONE' ELSE o_orderpriority END
+             |    AS o_orderpriority
+             |FROM orders""".stripMargin)),
+
+    // S3 DELETE as anti-filter (reference client.py:204-212).
+    "q_delete" -> Q(
+      (s, d) => t(s, d, "orders").filter(!(col("o_orderstatus") === "F"))
+        .select("o_orderkey", "o_orderstatus"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus <> 'F'""".stripMargin))
+  )
+}
