@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private val suites: Seq[Suite] = Seq(
-    RelationalSuite, KvSuite, FtsSuite)
+    RelationalSuite, KvSuite, FtsSuite, TimeSuite, DocSuite, GraphSuite)
 
   private lazy val all: Map[String, Q] =
     suites.foldLeft(Map.empty[String, Q]) { (acc, s) =>

@@ -1,0 +1,74 @@
+package graft.doc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document store (SURVEY §2.1 S9/S10, §2.2 P2, §2.6 F3/F4).
+  *
+  * The reference shreds JSON documents into flattened keyvalues plus a
+  * per-cluster path registry (/root/reference/server.py:196-331) and
+  * re-hydrates them on read (client.py:66-143). On Spark none of that
+  * machinery is needed: documents are native nested rows
+  * (StructType/ArrayType), hydration is `to_json`, shredding is
+  * `spark.read.json` schema inference. What we keep from the reference is
+  * its *addressing syntax* — `people.~hobbies[]~name`
+  * (README.md:123-145) — translated here into explode/getField chains.
+  */
+object DocStore {
+
+  /** Save path (S9): raw JSON strings → nested rows, schema inferred —
+    * the Spark-native equivalent of the reference's shredder. */
+  def fromJson(spark: SparkSession, idAndJson: DataFrame): DataFrame = {
+    import spark.implicits._
+    val jsons = idAndJson.select(col("json")).as[String]
+    val schema = spark.read.json(jsons).schema
+    idAndJson.withColumn("doc", from_json(col("json"), schema)).drop("json")
+  }
+
+  /** Read path (S10): hydrate a nested doc column back to a JSON string. */
+  def hydrate(docs: DataFrame, docCol: String = "doc"): DataFrame =
+    docs.withColumn("json", to_json(col(docCol)))
+
+  private final case class Seg(name: String, isArray: Boolean)
+
+  private def parse(path: String): Seq[Seg] =
+    path.split("~").filter(_.nonEmpty).toSeq.map { s =>
+      if (s.endsWith("[]")) Seg(s.dropRight(2), isArray = true)
+      else Seg(s, isArray = false)
+    }
+
+  /** P2 doc-path projection: `select(docs, "doc", "~orders[]~o_orderkey")`
+    * emits one row per addressed leaf (array segments explode). Returns the
+    * input columns (minus the doc) plus the leaf as `as`. */
+  def selectPath(docs: DataFrame, docCol: String, path: String, as: String): DataFrame = {
+    val keep = docs.columns.filter(_ != docCol).toSeq
+    var df = docs
+    var cur: Column = col(docCol)
+    var fresh = 0
+    parse(path).foreach { seg =>
+      if (seg.isArray) {
+        fresh += 1
+        val tmp = s"__seg$fresh"
+        df = df.withColumn(tmp, explode(cur.getField(seg.name)))
+        cur = col(tmp)
+      } else cur = cur.getField(seg.name)
+    }
+    df.select(keep.map(col) :+ cur.as(as): _*)
+  }
+
+  /** Doc-path existence predicate: `pathExists(docs, "doc",
+    * "~orders[]~o_totalprice", _ > 300000)` — true if ANY addressed leaf
+    * matches. Uses higher-order `exists` (codegen'd) instead of
+    * explode+distinct, so the filter stays scan-side. Supports one array
+    * segment (the reference's own examples never nest arrays). */
+  def pathMatches(docCol: Column, path: String, pred: Column => Column): Column = {
+    val segs = parse(path)
+    val arrIdx = segs.indexWhere(_.isArray)
+    require(arrIdx >= 0, s"pathMatches expects an array segment in $path")
+    val pre = segs.take(arrIdx + 1).foldLeft(Option.empty[Column]) {
+      case (acc, seg) => Some(acc.fold(docCol.getField(seg.name))(_.getField(seg.name)))
+    }.get
+    val post = segs.drop(arrIdx + 1)
+    exists(pre, e => pred(post.foldLeft(e)((c, s) => c.getField(s.name))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed property graph + Cypher-subset executor (SURVEY §2.8 G1-G7).
+  *
+  * The reference keeps the WHOLE graph on one node as dense numpy adjacency
+  * matrices per relationship (/root/reference/client.py:757-816) and
+  * evaluates MATCH by repeated matrix-vector products
+  * (client.py:1088-1186). That caps the graph at one machine's RAM and
+  * makes expansion O(V²). Here the graph is two DataFrames —
+  * vertices(name, label) and edges(src, dst, rel) — partitioned like any
+  * other table, and a MATCH compiles to a chain of equi-joins on edge
+  * endpoints: hop = one shuffle (or broadcast when the frontier is small),
+  * shared pattern variables = join conditions between triple outputs. This
+  * is the GraphFrames `find` evaluation strategy, expressed directly.
+  *
+  * Node identity = `name` (the reference merges on the attribute map, and
+  * its own corpus always carries a unique 'name' attribute —
+  * example.py:241-261).
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+
+  /** G1/G2 MERGE: upsert the nodes and edges of one chain. Idempotent —
+    * re-merging an existing node/edge is a no-op (dropDuplicates on
+    * identity). */
+  def merge(stmt: Cypher.Merge): PropertyGraph = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val ns = stmt.chain.nodes.map(n =>
+      (n.attrs.getOrElse("name",
+        throw new IllegalArgumentException("MERGE node needs a 'name' attribute")),
+        n.label.getOrElse("")))
+    val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
+      (ns(k)._1, ns(k + 1)._1, r)
+    }
+    PropertyGraph(
+      vertices.unionByName(ns.toDF("name", "label")).dropDuplicates("name"),
+      edges.unionByName(es.toDF("src", "dst", "rel")).dropDuplicates("src", "dst", "rel"))
+  }
+
+  def merge(cypher: String): PropertyGraph = Cypher.parse(cypher) match {
+    case m: Cypher.Merge => merge(m)
+    case _ => throw new IllegalArgumentException(s"not a MERGE: $cypher")
+  }
+
+  /** G3 node scan by label/attributes → single-column frame of node names. */
+  private def nodesFor(pat: Cypher.NodePat, as: String): Option[DataFrame] = {
+    if (pat.label.isEmpty && pat.attrs.isEmpty) return None
+    var v = vertices
+    pat.label.foreach(l => v = v.filter(col("label") === l))
+    pat.attrs.get("name").foreach(n => v = v.filter(col("name") === n))
+    Some(v.select(col("name").as(as)))
+  }
+
+  /** G4/G5/G6 MATCH: compile comma-separated triple chains into a join tree
+    * and project the RETURN variables (bound node names). */
+  def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
+    case Cypher.Match(chains, returns) =>
+      var anon = 0
+      def varOf(p: Cypher.NodePat): String =
+        p.variable.getOrElse { anon += 1; s"__anon$anon" }
+
+      var acc: Option[DataFrame] = None
+      def bind(df: DataFrame): Unit = acc = Some(acc match {
+        case None => df
+        case Some(prev) =>
+          val shared = prev.columns.intersect(df.columns).toSeq
+          // shared variables become join keys (reference client.py:978-1037's
+          // variable-merge, as a plain equi-join); disjoint chains cross.
+          if (shared.nonEmpty) prev.join(df, shared) else prev.crossJoin(df)
+      })
+
+      chains.foreach { ch =>
+        val vars = ch.nodes.map(varOf)
+        if (ch.rels.isEmpty) {
+          // single-node chain: label/attr scan
+          val v = vars.head
+          bind(nodesFor(ch.nodes.head, v).getOrElse(vertices.select(col("name").as(v))))
+        } else ch.rels.zipWithIndex.foreach { case (rel, k) =>
+          val (sv, dv) = (vars(k), vars(k + 1))
+          var hop = edges.filter(col("rel") === rel)
+            .select(col("src").as(sv), col("dst").as(dv))
+          // endpoint label/attr constraints: broadcast semi-joins against the
+          // (small) filtered vertex set — stays a map-side filter at scale.
+          nodesFor(ch.nodes(k), sv).foreach(n => hop = hop.join(broadcast(n), sv))
+          nodesFor(ch.nodes(k + 1), dv).foreach(n => hop = hop.join(broadcast(n), dv))
+          bind(hop)
+        }
+      }
+      acc.get.select(returns.map(col): _*).distinct()
+    case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
+  }
+}
+
+object PropertyGraph {
+  def empty(spark: SparkSession): PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph(
+      Seq.empty[(String, String)].toDF("name", "label"),
+      Seq.empty[(String, String, String)].toDF("src", "dst", "rel"))
+  }
+
+  /** Build the t2 graph from the TPC-H-ish tables: Customer-IN->Nation,
+    * Nation-IN->Region, Supplier-LOCATED->Nation. */
+  def fromTpch(customer: DataFrame, nation: DataFrame, region: DataFrame,
+               supplier: DataFrame): PropertyGraph = {
+    val v =
+      customer.select(concat(lit("customer:"), col("c_custkey")).as("name"),
+        lit("Customer").as("label"))
+      .unionByName(nation.select(concat(lit("nation:"), col("n_name")).as("name"),
+        lit("Nation").as("label")))
+      .unionByName(region.select(concat(lit("region:"), col("r_name")).as("name"),
+        lit("Region").as("label")))
+      .unionByName(supplier.select(concat(lit("supplier:"), col("s_suppkey")).as("name"),
+        lit("Supplier").as("label")))
+    val natByKey = nation.select(col("n_nationkey"), concat(lit("nation:"), col("n_name")).as("nname"))
+    val e =
+      customer.join(natByKey, col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("customer:"), col("c_custkey")).as("src"),
+          col("nname").as("dst"), lit("IN").as("rel"))
+      .unionByName(
+        nation.join(region, col("n_regionkey") === col("r_regionkey"))
+          .select(concat(lit("nation:"), col("n_name")).as("src"),
+            concat(lit("region:"), col("r_name")).as("dst"), lit("IN").as("rel")))
+      .unionByName(
+        supplier.join(natByKey, col("s_nationkey") === col("n_nationkey"))
+          .select(concat(lit("supplier:"), col("s_suppkey")).as("src"),
+            col("nname").as("dst"), lit("LOCATED").as("rel")))
+    PropertyGraph(v, e)
+  }
+}

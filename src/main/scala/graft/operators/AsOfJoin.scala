@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row `(key, t)`, attach the latest right row
+  * with the same key and `rightTime <= t`.
+  *
+  * The reference has no such operator (SURVEY §2.3 "not present"); it's
+  * driver-mandated capability growth for time-series workloads. Implemented
+  * the scale-safe way: instead of a range-condition join (which Spark plans
+  * as a per-key cross join — quadratic in events-per-key), we UNION the two
+  * sides, make ONE shuffle on the key, and run a single window pass carrying
+  * the last-seen right payload forward. Wall-clock is O(n log n) in
+  * partition size, state is one row, and skewed keys still sort locally
+  * instead of exploding.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      build side (its payload gets attached)
+    * @param leftKey    join key column name on `left`
+    * @param rightKey   join key column name on `right`
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payload    columns of `right` to carry (renamed as given)
+    * @return left columns + payload columns (null where no prior right row)
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           payload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .withColumn("__payload",
+        lit(null).cast(right.select(payload.keys.toSeq.map(col): _*).schema
+          .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _)))
+    val r = right
+      .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__isLeft"),
+        struct(payload.keys.toSeq.map(col): _*).as("__payload"))): _*)
+    val unioned = l.select(
+      (leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__payload"))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal __t → `<=` semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__match",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    carried.filter(col("__isLeft") === 1)
+      .select(leftCols.map(col) ++
+        payload.map { case (src, dst) => col(s"__match.$src").as(dst) }.toSeq: _*)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.doc.DocStore
+
+/** Document surface t2 coverage (SURVEY §2.1 S9/S10, §2.2 P2, §2.6 F3).
+  * Nested docs are synthesized from orders-per-customer (the testdata has no
+  * nested table), then addressed with the reference's `~path[]~leaf`
+  * syntax; oracles are the equivalent flat joins — which is exactly the
+  * point: doc addressing IS a join/explode under Spark.
+  */
+object DocSuite extends Suite {
+
+  /** customer docs: {name, orders: [{o_orderkey, o_totalprice}]} */
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val byCust = Tables.t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(struct(col("o_orderkey"), col("o_totalprice"))).as("orders"))
+    Tables.t(s, d, "customer")
+      .join(byCust, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("cust_id"),
+        struct(col("c_name").as("name"), col("orders")).as("doc"))
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // P2: `select customer.~orders[]~o_orderkey from customer` — one row per
+    // addressed array leaf.
+    "doc_path_project" -> Q(
+      (s, d) => DocStore.selectPath(docs(s, d), "doc", "~orders[]~o_orderkey", "o_orderkey"),
+      Some("""SELECT c_custkey AS cust_id, o_orderkey
+             |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
+
+    // doc-path predicate: docs where ANY order exceeds 300k — evaluated
+    // scan-side via higher-order `exists`, no explode+shuffle.
+    "doc_path_filter" -> Q(
+      (s, d) => docs(s, d)
+        .filter(DocStore.pathMatches(col("doc"), "~orders[]~o_totalprice", _ > 300000.0))
+        .select("cust_id"),
+      Some("""SELECT DISTINCT o_custkey AS cust_id FROM orders
+             |WHERE o_totalprice > 300000""".stripMargin)),
+
+    // scalar leaf projection through the struct (non-array path segment).
+    "doc_scalar_leaf" -> Q(
+      (s, d) => DocStore.selectPath(docs(s, d), "doc", "~name", "name"),
+      Some("""SELECT c_custkey AS cust_id, c_name AS name
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // F3: JSON leaf extraction from a raw JSON string column.
+    "json_extract" -> Q(
+      (s, d) => Tables.t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+             |FROM events""".stripMargin))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+import graft.graph.PropertyGraph
+
+/** Cypher/graph t2 coverage (SURVEY §2.8). The graph is built from the
+  * TPC-H-ish tables (customer-IN->nation-IN->region, supplier-LOCATED->
+  * nation) so every MATCH has a flat-SQL oracle: pattern matching over a
+  * property graph IS a join query under Spark. RETURN emits bound node
+  * names with set semantics (DISTINCT in the oracle).
+  */
+object GraphSuite extends Suite {
+
+  private def g(s: SparkSession, d: String): PropertyGraph =
+    PropertyGraph.fromTpch(
+      Tables.t(s, d, "customer"), Tables.t(s, d, "nation"),
+      Tables.t(s, d, "region"), Tables.t(s, d, "supplier"))
+
+  def defs: Map[String, Q] = Map(
+
+    // G4: single-hop expansion with label filters.
+    "cypher_1hop" -> Q(
+      (s, d) => g(s, d).query(
+        "match (sup:Supplier)-[:LOCATED]->(n:Nation) return sup, n"),
+      Some("""SELECT DISTINCT 'supplier:' || CAST(s_suppkey AS VARCHAR) AS sup,
+             |  'nation:' || n_name AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // G5: 2-hop chain — (c)-[:IN]->(n)-[:IN]->(r).
+    "cypher_2hop" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation)-[:IN]->(r:Region) return c, n, r"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'nation:' || n_name AS n, 'region:' || r_name AS r
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // G5: conjunctive comma-separated chains with a shared variable `n`
+    // (the reference's variable-merge, client.py:978-1037, as an equi-join).
+    "cypher_conjunctive" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation), (sup:Supplier)-[:LOCATED]->(n:Nation) return c, sup, n"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'supplier:' || CAST(s_suppkey AS VARCHAR) AS sup,
+             |  'nation:' || n_name AS n
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // G3: attribute-map node lookup + expansion.
+    "cypher_attr_lookup" -> Q(
+      (s, d) => g(s, d).query(
+        "match (n:Nation {name: 'nation:NATION_3'})-[:IN]->(r:Region) return n, r"),
+      Some("""SELECT DISTINCT 'nation:' || n_name AS n, 'region:' || r_name AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE n_name = 'NATION_3'""".stripMargin)),
+
+    // G1/G2 MERGE round-trip: merge the 5 regions (idempotently — one is
+    // merged twice) into an empty graph, then MATCH them back.
+    "cypher_merge_match" -> Q(
+      (s, d) => {
+        val names = Tables.t(s, d, "region").select("r_name")
+          .collect().map(_.getString(0)).sorted // 5-row dim: driver-side ok
+        val g0 = PropertyGraph.empty(s)
+        val g1 = names.foldLeft(g0)((g, n) =>
+          g.merge(s"merge (r:Region {'name': '$n'})"))
+        val g2 = g1.merge(s"merge (r:Region {'name': '${names.head}'})") // no-op
+        g2.query("match (r:Region) return r")
+      },
+      Some("SELECT DISTINCT r_name AS r FROM region"))
+  )
+}
