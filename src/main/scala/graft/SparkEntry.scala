@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val suites: Seq[Suite] = Seq(
-    RelationalSuite, KvSuite, FtsSuite, TimeSuite, DocSuite, GraphSuite)
+    RelationalSuite, KvSuite, FtsSuite, TimeSuite, DocSuite, GraphSuite,
+    LlmSuite)
 
   private lazy val all: Map[String, Q] =
     suites.foldLeft(Map.empty[String, Q]) { (acc, s) =>

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2.12).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact; broadcast the (small) query set and
+  *    scan the corpus once — the right baseline at any corpus size when the
+  *    query set is small.
+  *  - random-hyperplane LSH buckets: the scale path — bucket id is a
+  *    scan-side expression, so candidate generation is a bucket equi-join;
+  *    recall tunes with plane count / multi-probe.
+  *
+  * All arithmetic in double (embeddings are float32 on disk) with a single
+  * left-fold summation order so results are reproducible across runs and
+  * comparable to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** dot(a, b) as a left-fold over zip_with products (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. Cosine is rounded before
+    * ranking (ties broken by neighbor id) so ranking is stable under float
+    * noise. queries is expected to be small → broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .join(q, col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
+    * splitmix64-style integer mix folded to [-1, 1). No RNG state, so every
+    * executor computes identical planes. */
+  private def coeff(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane LSH bucket id: one bit per plane = sign of the dot
+    * product with a deterministic plane. Pure expression → computed during
+    * the scan; the bucket column can also be written at ingest and used as a
+    * partition key for ANN at rest. */
+  def lshBucket(vec: Column, dims: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val planeVec = array((0 until dims).map(d => lit(coeff(p, d))): _*)
+      when(dot(vec, planeVec) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k via LSH buckets: candidates = corpus rows in the query's
+    * bucket (equi-join on bucket id), ranked by exact cosine. Trades recall
+    * for touching ~corpus/2^planes rows per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              planes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      lshBucket(col(vecCol), dims, planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      lshBucket(col(vecCol), dims, planes).as("bucket")))
+    bucketed.join(q, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
+    * Norms are precomputed once; the pair space is pruned by a coarse LSH
+    * bucket equality when `bucketPlanes > 0` (planted near-dups land in the
+    * same bucket with prob ≈ 1 - planes·angle/π). */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       bucketPlanes: Int = 0, dims: Int = 64): DataFrame = {
+    val base = corpus.select(col(idCol), col(vecCol),
+      (if (bucketPlanes > 0) lshBucket(col(vecCol), dims, bucketPlanes) else lit(0L)).as("bucket"))
+    val l = base.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+    val r = base.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 5))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

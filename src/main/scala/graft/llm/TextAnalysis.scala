@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.12;
+  * driver-mandated north-star capability). All pure column expressions —
+  * codegen'd, scan-side, zero shuffles, so they stream over 100 TB at
+  * whatever rate the scan sustains.
+  *
+  * Each operator is written twice from one definition: a Spark Column and a
+  * DuckDB oracle SQL string, kept adjacent so t2 can hash-match them.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens (plain split — FTS tokenization lives in graft.fts). */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensSql(c: String) = s"string_split($c, ' ')"
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCountSql(c: String) = s"len(${tokensSql(c)})"
+
+  /** BPE-ish subword count estimate: whitespace tokens + ~1 token per 4
+    * chars of long words (the standard chars/4 heuristic, integer math so
+    * both engines agree exactly). */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + greatest(lit(1L),
+        floor((length(w) + lit(3)) / lit(4)).cast("long")))
+  def bpeTokenEstimateSql(c: String) =
+    s"list_sum(list_transform(${tokensSql(c)}, w -> greatest(1, (length(w) + 3) // 4)))"
+
+  // ---- language ID: stopword-dictionary hit counting with deterministic
+  // argmax (tie order en > fr > de). Dictionaries are tiny on purpose — the
+  // capability is the n-gram-heuristic *shape*, swap dictionaries for real
+  // corpora.
+  private val dicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+  private def hitsSql(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = dicts.map { case (lang, ws) => lang -> hits(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.init.foldRight(lit(scores.last._1)) { case ((lang, s), els) =>
+      when(s === best, lit(lang)).otherwise(els)
+    }
+  }
+  def langIdSql(c: String): String = {
+    val toksExpr = tokensSql(s"lower($c)")
+    val scores = dicts.map { case (lang, ws) => lang -> hitsSql(toksExpr, ws) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.init.map { case (lang, s) =>
+      s"WHEN $s = $best THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE '${scores.last._1}' END)"
+  }
+
+  /** Quality score in [0,1]: integer-ratio components only (token count,
+    * mean word length band, stopword ratio) so Spark and DuckDB compute
+    * bit-identical doubles; rounded to 4 anyway. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val stop = hits(toks, dicts.head._2).cast("double")
+    val lenScore = least(lit(1.0), n / lit(64.0))
+    val stopScore = least(lit(1.0), (stop / n) * lit(4.0))
+    round((lenScore + stopScore) / lit(2.0), 4)
+  }
+  def qualityScoreSql(c: String): String = {
+    val toksExpr = tokensSql(s"lower($c)")
+    val stopExpr = hitsSql(toksExpr, dicts.head._2)
+    s"""round((least(1.0, len($toksExpr) / 64.0)
+       | + least(1.0, ($stopExpr::DOUBLE / len($toksExpr)) * 4.0)) / 2.0, 4)""".stripMargin
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators (SURVEY §2.12, driver north-star):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding),
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * The synthetic corpus has no real near-duplicates (max pairwise jaccard
+  * ≈ 0.03), so near-dup queries PLANT them: each doc is augmented with a
+  * copy (id + 10000) missing its first token — jaccard ≈ 0.94 against the
+  * original. Both engines reproduce the same augmentation, so the oracle is
+  * the exact pairwise answer and LSH recall is part of what t2 checks.
+  */
+object LlmSuite extends Suite {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "embeddings")
+
+  /** docs ∪ near-dup copies (first token dropped, id + 10000). */
+  private def augmented(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  private val augmentedSql =
+    """aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB-side exact pairwise jaccard over distinct 3-gram shingles of the
+    * augmented corpus — the shared oracle for minhash-LSH and posting-join
+    * implementations (both must produce the exact answer). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $augmentedSql,
+       |t AS (SELECT doc_id,
+       |        string_split(replace(lower(text), ',', ''), ' ') AS toks
+       |      FROM aug),
+       |s AS (SELECT doc_id,
+       |        list_distinct(list_transform(range(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |      FROM t),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |        len(list_intersect(x.sh, y.sh)) AS inter,
+       |        len(x.sh) AS na, len(y.sh) AS nb
+       |      FROM s x JOIN s y ON x.doc_id < y.doc_id)
+       |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+       |FROM p
+       |WHERE inter::DOUBLE / (na + nb - inter) >= $threshold""".stripMargin
+
+  /** DuckDB-side cosine over the float embeddings (cast to double, same
+    * left-to-right summation as Similarity.dot). */
+  private val cosineNormsCte =
+    """n AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding,
+      |          x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |      FROM embeddings)""".stripMargin
+  private def cosExpr(xv: String, yv: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  i -> $xv.embedding[i]::DOUBLE * $yv.embedding[i]::DOUBLE))
+       |  / ($xv.nrm * $yv.nrm)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+
+    // ---------- text analysis ----------
+    "text_token_count" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS n_tokens,
+              |  ${TextAnalysis.bpeTokenEstimateSql("text")} AS n_bpe
+              |FROM documents""".stripMargin)),
+
+    "text_langid" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_guess
+              |FROM documents""".stripMargin)),
+
+    "text_quality" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
+              |FROM documents""".stripMargin)),
+
+    // ---------- dedup ----------
+    "dedup_exact" -> Q(
+      (s, d) => Dedup.exact(docs(s, d), "text", "doc_id"),
+      Some("""SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    "dedup_exact_hash" -> Q(
+      (s, d) => Dedup.exactByHash(docs(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash+LSH with exact-jaccard verification — must equal the exact
+    // pairwise oracle (recall of the 64×2 banding at j≥0.6 is ≈ 1-1e-60).
+    "dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLsh(augmented(s, d), "text", "doc_id", 0.6),
+      Some(jaccardOracle(0.6))),
+
+    // Exact posting-list-join jaccard — same answer, different plan shape.
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(augmented(s, d), "text", "doc_id", 0.6),
+      Some(jaccardOracle(0.6))),
+
+    // SimHash banding (xxhash-based signature — not oracle-expressible;
+    // planted pairs asserted in ScalaTest).
+    "dedup_simhash" -> Q(
+      (s, d) => Dedup.simhashPairs(augmented(s, d), "text", "doc_id", maxDist = 3),
+      None),
+
+    // ---------- embeddings ----------
+    "embed_near_dup" -> Q(
+      (s, d) => Similarity.embeddingNearDup(emb(s, d), 0.4),
+      Some(s"""WITH $cosineNormsCte,
+              |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+              |        ${cosExpr("x", "y")} AS c
+              |      FROM n x JOIN n y ON x.vec_id < y.vec_id)
+              |SELECT a, b, round(c, 5) AS cos FROM p WHERE round(c, 5) >= 0.4""".stripMargin)),
+
+    "ann_topk" -> Q(
+      (s, d) => Similarity.bruteForceTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),
+      Some(s"""WITH $cosineNormsCte,
+              |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+              |        round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM n q JOIN n x ON q.vec_id <> x.vec_id
+              |      WHERE q.vec_id < 5),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    // LSH-bucketed ANN — scale path; recall vs brute force asserted in
+    // ScalaTest, rows-only here.
+    "ann_lsh" -> Q(
+      (s, d) => Similarity.lshTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3, dims = 64, planes = 4),
+      None),
+
+    // ---------- multimodal ----------
+    "mm_decode" -> Q(
+      (s, d) => Multimodal.decodeStub(
+        Multimodal.ingestAsMedia(docs(s, d), "doc_id", "text", "source"))
+        .select("media_id", "byte_len", "first_byte"),
+      Some("""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+             |  ascii(substr(text, 1, 1)) AS first_byte
+             |FROM documents""".stripMargin)),
+
+    "mm_frame_sample" -> Q(
+      (s, d) => Multimodal.frameSample(
+        Multimodal.ingestAsMedia(docs(s, d), "doc_id", "text", "source"), stride = 4)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames")),
+      Some("""SELECT doc_id AS media_id,
+             |  ((strlen(text) - 1) // 64) + 1 AS n_frames
+             |FROM documents""".stripMargin))
+  )
+}
