@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{GraftCatalog, Tables}
+import graft.sql.HashQL
+
+/** The reference's SQL dialect end-to-end (SURVEY §3.1): dialect strings →
+  * HashQL parse → DataFrame plans, oracle-checked against ANSI SQL.
+  * The insert/update/create-join queries replay the exact scenario of
+  * /root/reference/example.py:73-238 (people/items/products/reviews) with
+  * literal-VALUES oracles — the reference's own smoke outputs, asserted.
+  */
+object HashqlSuite extends Suite {
+
+  private def tpchCat(s: SparkSession, d: String): GraftCatalog = {
+    val cat = new GraftCatalog(s)
+    Tables.names.foreach(n => cat.register(n, Tables.t(s, d, n)))
+    cat
+  }
+
+  private def run(s: SparkSession, d: String, sql: String): DataFrame =
+    HashQL.execute(tpchCat(s, d), sql).get
+
+  /** example.py:86-132 replay: 4 people inserted, Sam's age updated. */
+  private def peopleCat(s: SparkSession): GraftCatalog = {
+    val cat = new GraftCatalog(s)
+    Seq("insert into people (people_name, age) values ('Ted', 29)",
+      "insert into people (people_name, age) values ('Fred', 45)",
+      "insert into people (people_name, age) values ('Simon', 29)",
+      "insert into people (people_name, age) values ('Sam', 29)")
+      .foreach(HashQL.execute(cat, _))
+    cat
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    "hashql_select_filter" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_mktsegment = 'BUILDING' and customer.c_nationkey = 3"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3""".stripMargin)),
+
+    "hashql_join" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, customer.c_name from orders " +
+          "inner join customer on orders.o_custkey = customer.c_custkey " +
+          "where customer.c_mktsegment = 'BUILDING'"),
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    "hashql_groupby_count" -> Q(
+      (s, d) => run(s, d,
+        "select count(*) from customer group by customer.c_mktsegment"),
+      Some("SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment")),
+
+    "hashql_fts" -> Q(
+      (s, d) => run(s, d,
+        "select documents.doc_id from documents where documents.text ~ 'spark & join'"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE list_contains(string_split(replace(lower(text), ',', ''), ' '), 'spark')
+             |  AND list_contains(string_split(replace(lower(text), ',', ''), ' '), 'join')""".stripMargin)),
+
+    // example.py:118-124: select * from people where people.age = 29
+    "hashql_insert_select" -> Q(
+      (s, d) => HashQL.execute(peopleCat(s),
+        "select * from people where people.age = 29").get,
+      Some("""SELECT * FROM (VALUES (1, 'Ted', 29), (3, 'Simon', 29), (4, 'Sam', 29))
+             |  AS t(id, people_name, age)""".stripMargin)),
+
+    // example.py:126-149: update Sam to 31, re-select age = 29
+    "hashql_update_select" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat,
+          "update people set people.age = 31 where people.people_name = 'Sam'")
+        HashQL.execute(cat, "select * from people where people.age = 29").get
+      },
+      Some("SELECT * FROM (VALUES (1, 'Ted', 29), (3, 'Simon', 29)) AS t(id, people_name, age)")),
+
+    // example.py:151-238: items/products/people 3-way join through the
+    // dialect (the reference's richest SELECT).
+    "hashql_join3" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        Seq(("Cat", 3L), ("Spanner", 3L), ("Tree", 3L), ("Spanner", 2L))
+          .foreach { case (n, p) =>
+            HashQL.execute(cat, s"insert into items (search, people) values ('$n', $p)") }
+        Seq(("Spanner", 300L), ("Tree", 1000L), ("Spanner", 450L), ("Spanner", 600L))
+          .foreach { case (n, pr) =>
+            HashQL.execute(cat, s"insert into products (name, price) values ('$n', $pr)") }
+        HashQL.execute(cat,
+          "select products.price, people.people_name, items.search from items " +
+            "inner join people on items.people = people.id " +
+            "inner join products on items.search = products.name").get
+      },
+      // oracle = the same nested-loop over the literal rows
+      Some("""WITH people AS (SELECT * FROM (VALUES (1, 'Ted'), (2, 'Fred'), (3, 'Simon'), (4, 'Sam'))
+             |    AS p(id, people_name)),
+             |items AS (SELECT * FROM (VALUES ('Cat', 3), ('Spanner', 3), ('Tree', 3), ('Spanner', 2))
+             |    AS i(search, people)),
+             |products AS (SELECT * FROM (VALUES ('Spanner', 300), ('Tree', 1000), ('Spanner', 450), ('Spanner', 600))
+             |    AS pr(name, price))
+             |SELECT price, people_name, search FROM items
+             |JOIN people ON items.people = people.id
+             |JOIN products ON items.search = products.name""".stripMargin)),
+
+    // M3/J5: create join registered, expanded as a view, queried.
+    "hashql_create_join_view" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val reg = new HashQL.JoinRegistry
+        HashQL.execute(cat,
+          "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+            "inner join region on nation.n_regionkey = region.r_regionkey",
+          Some(reg))
+        HashQL.joinView(cat, reg.get("default").get)
+          .select("c_custkey", "n_name", "r_name")
+      },
+      Some("""SELECT c_custkey, n_name, r_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin))
+  )
+}

@@ -1,0 +1,236 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.GraftCatalog
+import graft.fts.Fts
+
+/** Frontend for the reference's SQL dialect (SURVEY §3.1; parser at
+  * /root/reference/server.py:333-573, executor server.py:575-1133 +
+  * client.py:286-738), re-expressed as a thin translator to DataFrame
+  * plans — parse → Column/join tree → Catalyst. The reference's scatter/
+  * gather/repair machinery (server.py:922-1064) has no equivalent here
+  * because a single `.join` already shuffles correctly.
+  *
+  * Dialect:
+  * {{{
+  *   insert into t (f, g) values ('s', 2)
+  *   update t set t.f = v where t.g = w [and …]
+  *   select t.a, u.b | * | count(*) from t
+  *     [inner join u on t.x = u.y]*
+  *     [where t.f = v | t.f ~ 'tok1 & tok2 | tok3' [and …]]
+  *     [group by t.f]
+  *   create join inner join a on a.x = b.y [inner join …]*
+  * }}}
+  * Numeric literals coerce to Long (reference server.py:477-478); rows
+  * missing a projected field are skipped (server.py:1054-1060) —
+  * reproduced via na.drop on the projected columns.
+  */
+object HashQL {
+
+  final case class ColRef(table: String, column: String)
+  sealed trait SelectItem
+  case object Star extends SelectItem
+  final case class Field(ref: ColRef) extends SelectItem
+  case object CountStar extends SelectItem
+
+  sealed trait Pred
+  final case class Eq(ref: ColRef, value: Any) extends Pred
+  final case class FtsMatch(ref: ColRef, query: String) extends Pred
+
+  sealed trait Stmt
+  final case class Insert(table: String, fields: Seq[String], values: Seq[Any]) extends Stmt
+  final case class Update(table: String, set: (ColRef, Any), wheres: Seq[Pred]) extends Stmt
+  final case class Select(items: Seq[SelectItem], table: String,
+                          joins: Seq[(String, ColRef, ColRef)], wheres: Seq[Pred],
+                          groupBy: Option[ColRef]) extends Stmt
+  final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
+
+  // ---------------- lexer/parser ----------------
+
+  private def coerce(tok: String): Any =
+    if (tok.matches("[0-9]+")) tok.toLong else tok
+
+  def parse(sql: String): Stmt = new P(sql).stmt()
+
+  private final class P(s: String) {
+    private val toks: Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '\'') {
+          val j = s.indexOf('\'', i + 1)
+          require(j > 0, s"unterminated string in: $s")
+          out += s.substring(i, j + 1); i = j + 1
+        } else if ("(),=*~".contains(c)) { out += c.toString; i += 1 }
+        else {
+          val start = i
+          while (i < s.length && !s(i).isWhitespace && !"(),=*~'".contains(s(i))) i += 1
+          out += s.substring(start, i)
+        }
+      }
+      out.toArray
+    }
+    private var p = 0
+    private def peek: String = if (p < toks.length) toks(p) else ""
+    private def next(): String = { val t = peek; p += 1; t }
+    private def kw(k: String): Unit =
+      require(next().equalsIgnoreCase(k), s"expected $k near ${toks.drop(p - 1).take(4).mkString(" ")}")
+    private def is(k: String): Boolean = peek.equalsIgnoreCase(k)
+
+    private def colRef(): ColRef = {
+      val t = next()
+      val i = t.indexOf('.')
+      require(i > 0, s"expected table.column, got $t")
+      ColRef(t.substring(0, i), t.substring(i + 1))
+    }
+    private def literal(): Any = {
+      val t = next()
+      if (t.startsWith("'")) t.substring(1, t.length - 1) else coerce(t)
+    }
+
+    def stmt(): Stmt = next().toLowerCase match {
+      case "insert" => kw("into"); insertRest()
+      case "update" => updateRest()
+      case "select" => selectRest()
+      case "create" => kw("join"); createJoinRest()
+      case other => throw new IllegalArgumentException(s"unsupported statement: $other")
+    }
+
+    private def insertRest(): Insert = {
+      val table = next()
+      kw("(")
+      val fields = scala.collection.mutable.ArrayBuffer(next())
+      while (is(",")) { next(); fields += next() }
+      kw(")"); kw("values"); kw("(")
+      val values = scala.collection.mutable.ArrayBuffer(literal())
+      while (is(",")) { next(); values += literal() }
+      kw(")")
+      Insert(table, fields.toSeq, values.toSeq)
+    }
+
+    private def updateRest(): Update = {
+      val table = next()
+      kw("set")
+      val ref = colRef(); kw("="); val v = literal()
+      val wheres = if (is("where")) { next(); preds() } else Nil
+      Update(table, (ref, v), wheres)
+    }
+
+    private def preds(): Seq[Pred] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pred]
+      var more = true
+      while (more) {
+        val ref = colRef()
+        out += (next() match {
+          case "=" => Eq(ref, literal())
+          case "~" => FtsMatch(ref, literal().toString)
+          case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
+        })
+        if (is("and")) next() else more = false
+      }
+      out.toSeq
+    }
+
+    private def selectRest(): Select = {
+      val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
+      var more = true
+      while (more) {
+        if (is("*")) { next(); items += Star }
+        else if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); items += CountStar }
+        else items += Field(colRef())
+        if (is(",")) next() else more = false
+      }
+      kw("from")
+      val table = next()
+      val joins = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
+      while (is("inner")) { next(); kw("join"); val t = next(); kw("on")
+        val l = colRef(); kw("="); val r = colRef(); joins += ((t, l, r)) }
+      val wheres = if (is("where")) { next(); preds() } else Nil
+      val groupBy = if (is("group")) { next(); kw("by"); Some(colRef()) } else None
+      Select(items.toSeq, table, joins.toSeq, wheres, groupBy)
+    }
+
+    private def createJoinRest(): CreateJoin = {
+      val clauses = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
+      while (is("inner")) { next(); kw("join"); val t = next(); kw("on")
+        val l = colRef(); kw("="); val r = colRef(); clauses += ((t, l, r)) }
+      CreateJoin(clauses.toSeq)
+    }
+  }
+
+  // ---------------- executor ----------------
+
+  /** Materialized-join registry (M3/J5): `create join` statements land here;
+    * `view` recomputes lazily (Spark's lazy evaluation makes every view
+    * consistent with current table state — the reference's insert-time
+    * maintenance is an optimization our streaming module provides
+    * separately, see graft.streaming.Streams.maintainJoin). */
+  final class JoinRegistry {
+    private var views = Map.empty[String, CreateJoin]
+    def put(name: String, cj: CreateJoin): Unit = views += name -> cj
+    def get(name: String): Option[CreateJoin] = views.get(name)
+    def names: Seq[String] = views.keys.toSeq.sorted
+  }
+
+  private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
+    case Eq(ref, v: Long) => col(ref.column).cast("long") === lit(v)
+    case Eq(ref, v) => col(ref.column) === lit(v)
+    case FtsMatch(ref, q) => Fts.matches(Fts.tokens(col(ref.column)), q)
+  }
+
+  /** Execute a dialect statement. DDL/DML mutate the catalog and return
+    * None; SELECT returns the result frame. */
+  def execute(cat: GraftCatalog, sql: String,
+              registry: Option[JoinRegistry] = None): Option[DataFrame] =
+    parse(sql) match {
+      case Insert(t, fs, vs) =>
+        cat.insert(t, fs.zip(vs)); None
+      case Update(t, (ref, v), wheres) =>
+        val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
+        cat.update(t, ref.column, v, cond); None
+      case cj: CreateJoin =>
+        registry.getOrElse(throw new IllegalStateException(
+          "create join needs a JoinRegistry")).put("default", cj); None
+      case Select(items, table, joins, wheres, groupBy) =>
+        var df = cat.table(table)
+        joins.foreach { case (t, l, r) =>
+          // the clause's table is the fresh side; the other ref is already
+          // in the accumulated left-deep join (reference client.py:472-480)
+          val tdf = cat.table(t)
+          val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+          df = df.join(tdf, df(known.column) === tdf(fresh.column))
+        }
+        wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
+        val out = groupBy match {
+          case Some(g) =>
+            df.groupBy(col(g.column)).agg(count(lit(1)).as("cnt"))
+          case None =>
+            val cols = items.flatMap {
+              case Star => df.columns.toSeq
+              case Field(ref) => Seq(ref.column)
+              case CountStar => Seq.empty
+            }
+            if (items.contains(CountStar) && items.size == 1)
+              df.agg(count(lit(1)).as("cnt"))
+            // missing-field skip semantics (server.py:1054-1060)
+            else df.select(cols.map(col): _*).na.drop("any", cols)
+        }
+        Some(out)
+    }
+
+  /** Expand a registered `create join` into its DataFrame view. */
+  def joinView(cat: GraftCatalog, cj: CreateJoin): DataFrame = {
+    // base table = the referenced table that is not the first clause's own
+    val (t0, l0, r0) = cj.clauses.head
+    var df = cat.table(if (l0.table == t0) r0.table else l0.table)
+    cj.clauses.foreach { case (t, l, r) =>
+      val tdf = cat.table(t)
+      val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+      df = df.join(tdf, df(known.column) === tdf(fresh.column))
+    }
+    df
+  }
+}
