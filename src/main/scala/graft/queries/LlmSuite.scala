@@ -89,6 +89,18 @@ object LlmSuite extends Suite {
       Some(s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
               |FROM documents""".stripMargin)),
 
+    // custom codegen'd Catalyst expression (graft.functions.RollingHash)
+    "text_fingerprint" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+             |FROM documents""".stripMargin)),
+
     // ---------- dedup ----------
     "dedup_exact" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "text", "doc_id"),

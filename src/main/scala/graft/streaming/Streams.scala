@@ -45,7 +45,7 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[(Int, Long, Long), SessionOut](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+        GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[(Int, Long, Long)]) =>
           val evs = it.toSeq.sortBy(_.ts_millis)
           var (n, s0, e0) = state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.graph.{Cypher, PropertyGraph}
+
+/** Parser golden-IR tests ported from /root/reference/cypher_test.py:3-45,
+  * plus the 4-triple MATCH of example.py:273 over the example.py:241-261
+  * MERGE corpus — the reference's only end-to-end graph scenario. */
+class CypherSpec extends SparkSpec {
+
+  test("golden IR: match with label + attribute map (cypher_test.py:3-22)") {
+    val q = "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) return actor"
+    val Cypher.Match(chains, returns) = Cypher.parse(q): @unchecked
+    assert(returns == Seq("actor"))
+    assert(chains.size == 1)
+    val ch = chains.head
+    assert(ch.rels == Seq("ACTED_IN"))
+    assert(ch.nodes(0) == Cypher.NodePat(Some("actor"), None, Map.empty))
+    assert(ch.nodes(1) == Cypher.NodePat(Some("wallstreet"), Some("Movie"),
+      Map("title" -> "Wall Street")))
+  }
+
+  test("golden IR: keywords case-insensitive (cypher_test.py:25-45)") {
+    val q = "MATCH (actor)-[:ACTED_IN]->(w:Movie {title: 'Wall Street'}) RETURN actor"
+    val Cypher.Match(_, returns) = Cypher.parse(q): @unchecked
+    assert(returns == Seq("actor"))
+  }
+
+  test("merge parses quoted attribute keys (example.py:242 style)") {
+    val Cypher.Merge(ch) = Cypher.parse(
+      "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(tasya:Person {'name': 'Tasya'})"): @unchecked
+    assert(ch.rels == Seq("FRIEND"))
+    assert(ch.nodes(0).attrs("name") == "Samuel")
+  }
+
+  test("example.py four-triple MATCH over the MERGE corpus") {
+    val merges = Seq(
+      "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(o:Person {'name': 'Tasya'})",
+      "merge (p:Person {'name': 'Tasya'})-[:FRIEND]->(o:Person {'name': 'Samuel'})",
+      "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(o:Person {'name': 'Simon'})",
+      "merge (p:Person {'name': 'Simon'})-[:FRIEND]->(o:Person {'name': 'Samuel'})",
+      "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(o:Person {'name': 'John'})",
+      "merge (p:Person {'name': 'Simon'})-[:FRIEND]->(o:Person {'name': 'Sally'})",
+      "merge (p:Person {'name': 'Sally'})-[:FRIEND]->(o:Person {'name': 'Simon'})",
+      "merge (p:Person {'name': 'Tasya'})-[:FRIEND]->(o:Person {'name': 'Margaret'})",
+      "merge (p:Person {'name': 'Margaret'})-[:FRIEND]->(o:Person {'name': 'Tasya'})",
+      "merge (p:Person {'name': 'Samuel'})-[:LIKES]->(o:Post {'name': 'Ideas'})",
+      "merge (p:Person {'name': 'Tasya'})-[:POSTED]->(o:Post {'name': 'Ideas'})",
+      "merge (p:Person {'name': 'Tasya'})-[:POSTED]->(o:Post {'name': 'Lamentations'})",
+      "merge (p:Person {'name': 'Tasya'})-[:POSTED]->(o:Post {'name': 'Love'})",
+      "merge (p:Person {'name': 'Tasya'})-[:POSTED]->(o:Post {'name': 'Thoughts'})",
+      "merge (p:Person {'name': 'Samuel'})-[:LIKES]->(o:Post {'name': 'Thoughts'})",
+      "merge (p:Person {'name': 'Tasya'})-[:LIKES]->(o:Food {'name': 'Pocky'})",
+      "merge (p:Post {'name': 'Ideas'})-[:REFERS]->(o:Person {'name': 'Margaret'})",
+      "merge (p:Post {'name': 'Thoughts'})-[:REFERS]->(o:Person {'name': 'John'})")
+    val g = merges.foldLeft(PropertyGraph.empty(spark))(_.merge(_))
+    // re-merge is a no-op
+    val g2 = g.merge(merges.head)
+    assert(g2.vertices.count() == g.vertices.count())
+
+    val rows = g2.query(
+      "match (start:Person)-[:FRIEND]->(end:Person), (start)-[:LIKES]->(post:Post), " +
+        "(end)-[:POSTED]->(post:Post), (post:Post)-[:REFERS]->(person:Person) " +
+        "return start, end, post, person")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    // Samuel LIKES Ideas & Thoughts; Tasya POSTED both; both REFER someone;
+    // Samuel-FRIEND->Tasya closes the pattern.
+    assert(rows == Set(
+      ("Samuel", "Tasya", "Ideas", "Margaret"),
+      ("Samuel", "Tasya", "Thoughts", "John")))
+  }
+}

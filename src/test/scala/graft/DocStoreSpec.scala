@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.doc.DocStore
+
+/** S9/S10 round-trip + doc-path semantics on the reference's own document
+  * fixture (FIXTURES.md §A3 / example.py:308-344). */
+class DocStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samJson =
+    """{"name": "Sam Squire", "age": 32, "hobbies": [{"name": "God"}, {"name": "databases"}, {"name": "computers"}]}"""
+
+  private lazy val people = DocStore.fromJson(spark,
+    Seq((1L, samJson)).toDF("doc_id", "json"))
+
+  test("shred infers the nested schema") {
+    val doc = people.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(doc.fieldNames.toSet == Set("name", "age", "hobbies"))
+  }
+
+  test("hydrate round-trips the document (example.py:317-320)") {
+    val json = DocStore.hydrate(people).select("json").as[String].head()
+    val reparsed = DocStore.fromJson(spark, Seq((1L, json)).toDF("doc_id", "json"))
+    assert(reparsed.select(col("doc.name"), col("doc.age")).as[(String, Long)].head()
+      == (("Sam Squire", 32L)))
+    assert(reparsed.select(size(col("doc.hobbies"))).as[Int].head() == 3)
+  }
+
+  test("doc-path projection: people.~hobbies[]~name (example.py:335-344)") {
+    val got = DocStore.selectPath(people, "doc", "~hobbies[]~name", "hobby")
+      .select("hobby").as[String].collect().toSeq
+    assert(got == Seq("God", "databases", "computers"))
+  }
+
+  test("doc-path filter: where people.~hobbies[]~name = 'God' (example.py:324-333)") {
+    assert(people.filter(
+      DocStore.pathMatches(col("doc"), "~hobbies[]~name", _ === "God")).count() == 1)
+    assert(people.filter(
+      DocStore.pathMatches(col("doc"), "~hobbies[]~name", _ === "absent")).count() == 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.GraftCatalog
+import graft.sql.HashQL
+
+/** Dialect semantics: dynamic schema, id synthesis, int coercion,
+  * missing-field row skip, FTS predicate — FIXTURES.md §A2 scenario. */
+class HashQLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insert synthesizes ids and unions schemas dynamically") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a) values ('x')")
+    HashQL.execute(cat, "insert into t (a, b) values ('y', 2)")
+    val rows = cat.table("t").orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(cat.table("t").columns.toSet == Set("id", "a", "b"))
+    assert(rows(0).getAs[Any]("b") == null) // schema union, missing ⇒ null
+  }
+
+  test("missing projected field skips the row (server.py:1054-1060)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a) values ('x')")
+    HashQL.execute(cat, "insert into t (a, b) values ('y', 2)")
+    val got = HashQL.execute(cat, "select t.a, t.b from t").get.collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("y"))
+  }
+
+  test("numeric literals coerce to long in predicates") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into p (name, age) values ('Ted', 29)")
+    HashQL.execute(cat, "insert into p (name, age) values ('Fred', 45)")
+    val got = HashQL.execute(cat, "select p.name from p where p.age = 29").get
+    assert(got.as[String].collect().toSeq == Seq("Ted"))
+  }
+
+  test("FTS '~' with OR over inserted rows (example.py:296-306)") {
+    val cat = new GraftCatalog(spark)
+    Seq("Cat", "Spanner", "blah sentence").foreach(v =>
+      HashQL.execute(cat, s"insert into items (search, people) values ('$v', 3)"))
+    val got = HashQL.execute(cat,
+      "select items.search from items where items.search ~ 'blah | nonsense | notthere' and items.people = 3").get
+    assert(got.as[String].collect().toSeq == Seq("blah sentence"))
+  }
+
+  test("update rewrites matching rows only (example.py:126-149)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")
+    HashQL.execute(cat, "insert into p (name, age) values ('Ted', 29)")
+    HashQL.execute(cat, "update p set p.age = 31 where p.name = 'Sam'")
+    val ages = cat.table("p").orderBy("id").select("age").as[Long].collect().toSeq
+    assert(ages == Seq(31L, 29L))
+  }
+}

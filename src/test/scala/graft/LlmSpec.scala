@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** Properties the oracles can't express: SimHash recall on planted
+  * near-dups, LSH-ANN recall vs brute force, multimodal decode features. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.t(spark, sf, "documents")
+  private lazy val emb = Tables.t(spark, sf, "embeddings")
+
+  private lazy val augmented = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  test("simhash finds most planted near-dup pairs at hamming<=3") {
+    val pairs = Dedup.simhashPairs(augmented, "text", "doc_id", maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 500L).map(i => (i, i + 10000)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    // one-token-removal flips a handful of signature bits; hamming<=3
+    // catches most but not all planted pairs (measured ~0.74)
+    assert(recall > 0.6, s"simhash recall $recall")
+  }
+
+  test("minhash-LSH finds every planted pair at j>=0.6") {
+    val pairs = Dedup.minhashLsh(augmented, "text", "doc_id", 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 500L).map(i => (i, i + 10000)).toSet
+    // docs long enough that dropping one token keeps jaccard >= 0.6
+    assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs).take(5)}")
+  }
+
+  test("LSH-ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, 5, dims = 64, planes = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // theory: random 64-d neighbors sit at ~60-70 deg; P[same half-space]
+    // ~= 0.63 per plane => ~0.4 expected at 2 planes (vs ~0.25 corpus probed)
+    assert(recall > 0.2, s"lsh recall $recall")
+  }
+
+  test("decode stub emits 4 features per media row, deterministic") {
+    val media = Multimodal.ingestAsMedia(docs.limit(10), "doc_id", "text", "source")
+    val f1 = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.forall(_.getAs[Seq[Double]]("feature").size == 4))
+    // byte_len matches the declared metadata
+    val declared = media.select("media_id", "meta.declared_bytes")
+      .as[(Long, Long)].collect().toMap
+    f1.foreach(r => assert(r.getAs[Long]("byte_len") == declared(r.getAs[Long]("media_id"))))
+  }
+
+  test("frame sampling covers all bytes at stride 1") {
+    val media = Multimodal.ingestAsMedia(docs.limit(5), "doc_id", "text", "source")
+    val frames = Multimodal.frameSample(media, stride = 1)
+    val reassembled = frames.groupBy("media_id")
+      .agg(sum(octet_length(col("frame_bytes"))).as("n"))
+      .join(media, "media_id")
+      .filter(col("n") =!= octet_length(col("content")))
+    assert(reassembled.count() == 0)
+  }
+}

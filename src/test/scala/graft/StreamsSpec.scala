@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured-Streaming behaviors driven synchronously with MemoryStream
+  * (batch parquet would drive the identical plans in production). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedCounts(df, "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "cnt", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("maintainJoin appends each micro-batch joined with the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("mv_out").toString
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("c_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("cust_id", "amount")
+    val q = Streams.maintainJoin(stream, dim,
+      stream("cust_id") === dim("c_id"), out, ckpt)
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      mem.addData((1L, 30.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).select("amount", "tier")
+        .as[(Double, String)].collect().toSet
+      assert(got == Set((10.0, "gold"), (20.0, "silver"), (30.0, "gold")))
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by gap") {
+    import graft.streaming.Streams.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Streams.sessionize(mem.toDS(), gapMillis = 60000)
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(SessionEvent(7, 1000), SessionEvent(7, 2000), SessionEvent(7, 3000))
+      q.processAllAvailable()
+      val row = spark.table("sess_out")
+        .orderBy(col("n_events").desc).limit(1)
+        .select("user_id", "n_events").as[(Long, Int)].head()
+      assert(row == ((7L, 3)))
+    } finally q.stop()
+  }
+}
