@@ -59,10 +59,14 @@ object Dedup {
     * bands×rowsPerBand minhashes; candidates = docs sharing any band
     * signature; output pairs (a < b) with verified jaccard ≥ threshold. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 threshold: Double, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+                 threshold: Double, bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    // recall at j ≥ 0.6 with 32×2 banding: 1-(1-0.36)^32 ≈ 1 - 6e-7
     val k = bands * rowsPerBand
+    // cache: the shingle HOF chain is interpreted (not codegen'd) and this
+    // frame is read by both the signature and the verification branch —
+    // without the cache Spark recomputes it per branch.
     val docSh = df.select(col(idCol),
-      shingles(graft.fts.Fts.tokens(col(textCol))).as("sh"))
+      shingles(graft.fts.Fts.tokens(col(textCol))).as("sh")).cache()
     val sigs = minhashSigs(docSh, idCol, k)
     // band signature = xxhash64 over the band's minhash columns
     val banded = sigs.select(col(idCol), posexplode(array(
@@ -119,23 +123,71 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram jaccard for pairs sharing ≥1 shingle (posting-list join —
-    * never materializes the n² cross product). */
+  /** Exact n-gram jaccard via PREFIX FILTERING (PPJoin-style, Xiao et al.):
+    * with shingles in a consistent total order (lexicographic via
+    * array_sort), any pair with jaccard ≥ t must share an element inside
+    * each side's first `n - ⌈t·n⌉ + 1` shingles — so only prefixes are
+    * posted and joined, shrinking the posting list ~(1-t)× and the
+    * candidate pairs ~(1-t)²×. Candidates are then verified with the exact
+    * array_intersect jaccard. Exact answer, never the n² cross product,
+    * and the heavy join only sees prefixes. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double): DataFrame = {
+    // shingles hashed to 64-bit once: every downstream compare/intersect
+    // runs on longs, not strings (set semantics preserved whp — ~100
+    // shingles/doc against a 2^64 space).
+    // cache: shingle hashing is an interpreted HOF chain read by three
+    // branches (freq, rank join, verify) — compute once.
     val docSh = df.select(col(idCol),
-      shingles(graft.fts.Fts.tokens(col(textCol))).as("sh"))
-    val posting = docSh.select(col(idCol), explode(col("sh")).as("s"))
-    val pairInter = posting.alias("x")
+      array_distinct(transform(
+        shingles(graft.fts.Fts.tokens(col(textCol))), s => xxhash64(s))).as("sh"))
+      .cache()
+    // global rarity order (ties by hash): prefixes then hold each doc's
+    // RAREST shingles, keeping prefix posting lists as short as the corpus
+    // allows.
+    val exploded = docSh.select(col(idCol), explode(col("sh")).as("s"))
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ranked = exploded.join(freq, "s")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
+      .select(col(idCol), transform(col("fs"), e => e.getField("s")).as("sh"))
+    val prefixed = ranked.withColumn("n", size(col("sh")))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col(idCol), col("n"),
+        slice(col("sh"), lit(1), col("plen")).as("prefix"))
+    val posting = prefixed.select(col(idCol), col("n"), explode(col("prefix")).as("s"))
+    // size-ratio pruning: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — applied
+    // during candidate generation, before the distinct.
+    val cand = posting.alias("x")
       .join(posting.alias("y"), col("x.s") === col("y.s"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    pairInter
-      .join(docSh.select(col(idCol).as("a"), size(col("sh")).as("na")), "a")
-      .join(docSh.select(col(idCol).as("b"), size(col("sh")).as("nb")), "b")
-      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol") &&
+        col("y.n") >= ceil(col("x.n") * threshold) &&
+        col("y.n") <= floor(col("x.n") / threshold))
+      .select(col(s"x.$idCol").cast("long").as("a"), col(s"y.$idCol").cast("long").as("b"))
+      .distinct()
+    // verify: broadcast the id → sorted-shingle-hash table (longs; megabytes
+    // per million docs) and two-pointer-merge per candidate — no array
+    // shuffles, no per-pair hash-set allocation. For corpora too large to
+    // broadcast, join the arrays in and use array_intersect instead.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shMap = docSh.select(col(idCol).cast("long"), array_sort(col("sh")))
+      .as[(Long, Array[Long])].collect().toMap
+    val bc = spark.sparkContext.broadcast(shMap)
+    cand.as[(Long, Long)].mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { case (a, b) =>
+        val (sa, sb) = (m(a), m(b))
+        var i = 0; var j = 0; var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        val jac = math.floor(inter.toDouble / (sa.length + sb.length - inter) * 1e4 + 0.5) / 1e4
+        if (jac >= threshold) Some((a, b, jac)) else None
+      }
+    }.toDF("a", "b", "jaccard")
   }
 }

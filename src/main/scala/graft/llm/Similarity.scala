@@ -85,19 +85,51 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
-    * Norms are precomputed once; the pair space is pruned by a coarse LSH
-    * bucket equality when `bucketPlanes > 0` (planted near-dups land in the
-    * same bucket with prob ≈ 1 - planes·angle/π). */
+    *
+    * All-pairs similarity is a matrix product, and per-pair Column HOFs
+    * interpret (never codegen) — 40× slower than primitive loops. So this
+    * broadcasts the corpus as primitive double arrays and streams partitions
+    * against it: each task does tight `while` loops over doubles, emitting
+    * only passing pairs. Arithmetic is the same ascending-index left fold as
+    * [[dot]]/the DuckDB oracle, so results hash-match.
+    *
+    * Scale: broadcast side must fit in executor memory (embeddings are a
+    * dimension-sized table here). For corpora beyond that, block first with
+    * [[lshBucket]] equality and run this within buckets. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
-                       idCol: String = "vec_id", vecCol: String = "embedding",
-                       bucketPlanes: Int = 0, dims: Int = 64): DataFrame = {
-    val base = corpus.select(col(idCol), col(vecCol),
-      (if (bucketPlanes > 0) lshBucket(col(vecCol), dims, bucketPlanes) else lit(0L)).as("bucket"))
-    val l = base.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
-    val r = base.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 5))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("cos"))
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val all = ds.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2.map(_.toDouble))
+    val norms = vecs.map(normOf)
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    ds.mapPartitions { it =>
+      val (bIds, bVecs, bNorms) = bc.value
+      it.flatMap { case (aId, aVecF) =>
+        val aVec = aVecF.map(_.toDouble)
+        val aNorm = normOf(aVec)
+        Iterator.range(0, bIds.length)
+          .filter(j => bIds(j) > aId)
+          .flatMap { j =>
+            val c = round5(dotOf(aVec, bVecs(j)) / (aNorm * bNorms(j)))
+            if (c >= threshold) Some((aId, bIds(j), c)) else None
+          }
+      }
+    }.toDF("a", "b", "cos")
   }
+
+  /** ascending-index fold, identical to [[dot]]'s evaluation order. */
+  private def dotOf(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def normOf(a: Array[Double]): Double = math.sqrt(dotOf(a, a))
+  /** HALF_UP at 5 decimals (matches Spark round / DuckDB round for the
+    * positive values a threshold can pass). */
+  private def round5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
 }

@@ -23,6 +23,16 @@ object RelationalSuite extends Suite {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.t(s, d, n)
 
+  /** Cent-exact money aggregation: per-term round to integer cents (both
+    * engines see identical double bits, so identical cents), sum as BIGINT
+    * (exact, order-independent), divide once at the end. Plain
+    * round(sum(double), 2) flips on .005 boundaries between engines —
+    * observed 2/1297 rows off by one cent at sf0.01. */
+  private[queries] def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100, 0).cast("long")
+  private[queries] def money(sumCents: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sumCents / 100.0
+
   def defs: Map[String, Q] = Map(
 
     // Flagship: TPC-H Q1-style full-scan aggregation. Map-side partial agg +
@@ -34,16 +44,16 @@ object RelationalSuite extends Suite {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("sum_charge"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
              |  round(avg(l_quantity), 2) AS avg_qty,
              |  count(*) AS count_order
              |FROM lineitem
@@ -71,10 +81,10 @@ object RelationalSuite extends Suite {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
       },
       Some("""SELECT l_orderkey, o_orderdate,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -97,10 +107,10 @@ object RelationalSuite extends Suite {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
       },
       Some("""SELECT r_name, n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey

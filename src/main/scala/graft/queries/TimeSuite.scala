@@ -39,15 +39,15 @@ object TimeSuite extends Suite {
     // rounded so float accumulation can't drift the hash.
     "win_running_sum" -> Q(
       (s, d) => Tables.t(s, d, "orders")
-        .withColumn("running", round(sum(col("o_totalprice")).over(
+        .withColumn("running", sum(round(col("o_totalprice") * 100, 0).cast("long")).over(
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
         .select("o_custkey", "o_orderkey", "running"),
       Some("""SELECT o_custkey, o_orderkey,
-             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running
              |FROM orders""".stripMargin)),
 
     // lag — previous event type per user.
@@ -65,9 +65,11 @@ object TimeSuite extends Suite {
     "time_window_agg" -> Q(
       (s, d) => events(s, d)
         .groupBy(date_trunc("hour", col("ts_utc")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value")),
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value")),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-             |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+             |  count(*) AS cnt,
+             |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Spark's window() operator (epoch-aligned 6h tumbling windows), the
