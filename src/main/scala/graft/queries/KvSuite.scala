@@ -29,6 +29,11 @@ object KvSuite extends Suite {
         .queryBegins("user-x", "test"),
       Some("SELECT 'user-x' AS pk, 'test#0000000001' AS sk, 'v1' AS value")),
 
+    // S7 full-node dump (reference GET /dump, client.py:214-216).
+    "kv_dump" -> Q(
+      (s, d) => kv(s, d).dump(),
+      Some(withKv("SELECT pk, sk, value FROM kv"))),
+
     // D1 query_begins: pk exact + sk prefix, ascending.
     "kv_d1_begins" -> Q(
       (s, d) => kv(s, d).queryBegins("user-0013", "click"),

@@ -147,6 +147,46 @@ object RelationalSuite extends Suite {
         .agg(count(lit(1)).as("cnt")),
       Some("SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey")),
 
+    // distinct aggregation (expand + two-phase agg under the hood).
+    "q_count_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // grouping sets via ROLLUP (subtotal rows carry NULL group keys in both
+    // engines).
+    "q_rollup" -> Q(
+      (s, d) => t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // HLL sketch (approx_count_distinct) — estimator values are
+    // implementation-specific, so rows-only here; accuracy asserted in
+    // RelationalSpec against the exact count.
+    "q_approx_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
+    // ANSI SQL passthrough surface: the engine registers every table as a
+    // temp view and accepts full Spark SQL — the reference's SQL API grown
+    // to a complete dialect.
+    "q_sql_passthrough" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n_name, count(*) AS cnt
+                |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                |GROUP BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, count(*) AS cnt
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
     // Distinct = shuffle-dedup; partial-distinct map-side first.
     "q_distinct" -> Q(
       (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
