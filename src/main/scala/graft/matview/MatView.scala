@@ -1,0 +1,105 @@
+package graft.matview
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Materialized-view routing (SURVEY §2.3 J5 / §2.10 M3 / §4 "candidate for
+  * a custom Rule").
+  *
+  * The reference maintains `create join` results at INSERT time so that
+  * later SELECTs read pre-joined rows (/root/reference/server.py:806-894,
+  * README.md:29-64). The Spark-first equivalent splits that into:
+  *
+  *  1. materialize: write the join once (batch) or incrementally
+  *     (graft.streaming.Streams.maintainJoin) to parquet;
+  *  2. route: a Catalyst optimizer `Rule` that replaces any inner join
+  *     matching a registered view with a scan of the materialized parquet —
+  *     every SELECT over that join then skips the join, which is exactly
+  *     the read-path benefit the reference buys with insert-time
+  *     maintenance.
+  *
+  * The rule runs with `spark.experimental.extraOptimizations`, i.e. AFTER
+  * column pruning/pushdown have reshaped the query, so matching is
+  * structural rather than plan-identity: a Join qualifies when (a) its
+  * leaf relations are the view's leaf relations and (b) its inner
+  * equi-condition involves the same column-name pairs. The substitute scan
+  * is wrapped in a by-name Project aliased to the join's original
+  * expression ids, so pruned queries and parents keep resolving.
+  * Limitation (by construction of CREATE JOIN views): column names across
+  * the joined tables must be distinct — true for every view the HashQL
+  * surface can register.
+  */
+object MatView {
+
+  private final case class Key(leaves: Set[String], cond: Set[(String, String)])
+  private final case class Entry(name: String, key: Key, replacement: LogicalPlan)
+
+  private val registries =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[Entry]]()
+
+  private def registry(spark: SparkSession): scala.collection.mutable.ListBuffer[Entry] =
+    registries.synchronized {
+      var r = registries.get(spark)
+      if (r == null) { r = scala.collection.mutable.ListBuffer.empty; registries.put(spark, r) }
+      r
+    }
+
+  /** Leaf-relation fingerprint: canonicalized leaf nodes cover file paths /
+    * relation identity without tracking exprIds. */
+  private def leafKey(plan: LogicalPlan): Set[String] =
+    plan.collectLeaves().map(_.canonicalized.toString).toSet
+
+  private def condKey(j: Join): Set[(String, String)] =
+    j.condition.toSeq.flatMap(_.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (a.name <= b.name) (a.name, b.name) else (b.name, a.name)
+    }).toSet
+
+  private def keyOf(j: Join): Key = Key(leafKey(j), condKey(j))
+
+  private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val entries = registry(spark)
+      if (entries.isEmpty) plan
+      else plan.transformUp {
+        case j: Join if j.joinType == Inner && j.condition.isDefined =>
+          entries.find(e => e.key == keyOf(j)) match {
+            case Some(e) =>
+              val byName = e.replacement.output.map(a => a.name -> a).toMap
+              // every column the (possibly pruned) join still outputs must
+              // exist in the materialized view; otherwise leave untouched
+              if (j.output.forall(o => byName.contains(o.name)))
+                Project(j.output.map(o =>
+                  Alias(byName(o.name), o.name)(exprId = o.exprId)), e.replacement)
+              else j
+            case None => j
+          }
+      }
+    }
+  }
+
+  /** Materialize `view` (an inner equi-join) to `path` and install the
+    * routing rule: from now on any query in this session joining the same
+    * relations on the same keys reads the parquet instead. Call again to
+    * refresh after base-table changes. */
+  def materialize(spark: SparkSession, name: String, view: DataFrame, path: String): Unit = {
+    val analyzed = view.queryExecution.optimizedPlan
+    val joinKey = analyzed.collectFirst { case j: Join => keyOf(j) }.getOrElse(
+      throw new IllegalArgumentException("materialize expects a join view"))
+    view.write.mode("overwrite").parquet(path)
+    val replacement = spark.read.parquet(path).queryExecution.analyzed
+    val reg = registry(spark)
+    reg.filterInPlace(_.name != name)
+    reg += Entry(name, joinKey, replacement)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[Rewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new Rewrite(spark)
+  }
+
+  /** Drop a view's routing (the parquet stays on disk). */
+  def drop(spark: SparkSession, name: String): Unit =
+    registry(spark).filterInPlace(_.name != name)
+}

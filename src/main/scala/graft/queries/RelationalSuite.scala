@@ -165,6 +165,16 @@ object RelationalSuite extends Suite {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // exact percentiles (linear interpolation — quantile_cont semantics).
+    "q_percentile" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // HLL sketch (approx_count_distinct) — estimator values are
     // implementation-specific, so rows-only here; accuracy asserted in
     // RelationalSpec against the exact count.

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.matview.MatView
+
+class MatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def custNation = Tables.t(spark, sf, "customer")
+    .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+
+  test("routing rule replaces the join with the materialized scan") {
+    val out = java.nio.file.Files.createTempDirectory("mv").toString
+    MatView.materialize(spark, "cust_nation", custNation, out)
+    try {
+      // the same join, built independently — must route to the parquet
+      val q = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains(out.split("/").last), s"no matview scan in:\n$physical")
+      assert(!physical.contains("Join"), s"join not eliminated:\n$physical")
+
+      // and the answer is still right
+      val expected = Tables.t(spark, sf, "customer")
+        .join(Tables.t(spark, sf, "nation"),
+          col("c_nationkey") === col("n_nationkey"), "inner")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // (expected computed through the same route; compare against a raw
+      // recount over parquet-free plans by dropping the view first)
+      MatView.drop(spark, "cust_nation")
+      val raw = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(expected == raw)
+    } finally MatView.drop(spark, "cust_nation")
+  }
+
+  test("unrelated queries are untouched") {
+    val out = java.nio.file.Files.createTempDirectory("mv2").toString
+    MatView.materialize(spark, "cust_nation2", custNation, out)
+    try {
+      val other = Tables.t(spark, sf, "supplier")
+        .join(Tables.t(spark, sf, "nation"), col("s_nationkey") === col("n_nationkey"))
+      val physical = other.queryExecution.executedPlan.toString
+      assert(!physical.contains(out.split("/").last))
+    } finally MatView.drop(spark, "cust_nation2")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.SkewJoin
+
+/** Scale-posture mechanics: salted skew joins preserve semantics, and
+  * bucketed tables co-locate joins (no shuffle exchange in the plan). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join ≡ plain join on a skewed key distribution") {
+    // skew: 80% of left rows share one key
+    val left = (1 to 5000).map(i => (if (i % 5 != 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val right = (1L to 1000L).map(k => (k, s"dim$k")).toDF("rk", "attr")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().toSet
+    val salted = SkewJoin.saltedJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.t(spark, sf, "orders")
+    val lineitem = Tables.t(spark, sf, "lineitem")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    try {
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located: the join itself needs no Exchange (only the final
+      // 3-group aggregation exchanges)
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side shuffled:\n$plan")
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side shuffled:\n$plan")
+      // and it still answers correctly
+      val viaBuckets = j.as[(String, Long)].collect().toMap
+      val direct = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

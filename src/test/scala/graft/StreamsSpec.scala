@@ -51,6 +51,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming runs the same windowed plan as batch") {
+    val dir = Files.createTempDirectory("ev_stream").toString
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(graft.core.Tables.tsNanos(col("ts")).as("ts"),
+        col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val agg = graft.streaming.Streams.windowedCounts(stream, "ts", "6 hours", "1 day")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("file_win").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").agg(sum("cnt")).as[Long].head()
+      assert(streamed == ev.count())
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap") {
     import graft.streaming.Streams.SessionEvent
     implicit val sqlCtx = spark.sqlContext
