@@ -65,5 +65,5 @@ object RollingHash {
   /** Register for SQL use: `SELECT rolling_hash(text) FROM …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "builtin")
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
 }

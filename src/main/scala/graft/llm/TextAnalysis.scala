@@ -62,6 +62,27 @@ object TextAnalysis {
     s"(CASE $cases ELSE '${scores.last._1}' END)"
   }
 
+  /** Per-document top term by TF-IDF (raw tf × ln(N/df)). Classic IR
+    * weighting as pure dataflow: one explode + two aggregations + a
+    * window — each a single shuffle with map-side combine, so the whole
+    * thing is 3 passes regardless of corpus size. Scores are rounded
+    * BEFORE ranking (ties → term asc) so ulp differences in ln() can't
+    * reorder engines. */
+  def tfidfTop(df: org.apache.spark.sql.DataFrame, textCol: String,
+               idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("score"))
+  }
+
   /** Quality score in [0,1]: integer-ratio components only (token count,
     * mean word length band, stopword ratio) so Spark and DuckDB compute
     * bit-identical doubles; rounded to 4 anyway. */

@@ -89,6 +89,22 @@ object LlmSuite extends Suite {
       Some(s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
               |FROM documents""".stripMargin)),
 
+    "text_tfidf_top" -> Q(
+      (s, d) => TextAnalysis.tfidfTop(docs(s, d), "text", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, term,
+             |         round(tf * ln(n.n::DOUBLE / df.df), 4) AS score
+             |       FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score,
+             |        row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY score DESC, term) AS rn
+             |      FROM sc)
+             |SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1""".stripMargin)),
+
     // custom codegen'd Catalyst expression (graft.functions.RollingHash)
     "text_fingerprint" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"),

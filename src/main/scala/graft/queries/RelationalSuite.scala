@@ -197,6 +197,31 @@ object RelationalSuite extends Suite {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
+    // correlated scalar subquery — Catalyst decorrelates into an aggregate
+    // + join; the reference has no subqueries at all.
+    "q_correlated_subquery" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer
+                |WHERE c_acctbal > (SELECT avg(o_totalprice) * 0.02 FROM orders
+                |                   WHERE o_custkey = c_custkey)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_acctbal > (SELECT avg(o_totalprice) * 0.02 FROM orders
+             |                   WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // IN-subquery (rewritten to a semi-join).
+    "q_in_subquery" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT s_suppkey, s_name FROM supplier
+                |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                |                      WHERE n_regionkey = 2)""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+             |                      WHERE n_regionkey = 2)""".stripMargin)),
+
     // Distinct = shuffle-dedup; partial-distinct map-side first.
     "q_distinct" -> Q(
       (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),

@@ -36,6 +36,13 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("rolling_hash registers as a SQL function (codegen + interpreted agree)") {
+    graft.functions.RollingHash.register(spark)
+    val h = spark.sql("SELECT rolling_hash('hello world') AS h").as[Long].head()
+    // reference value independently computed by the DuckDB list_reduce fold
+    assert(h == 285884129L)
+  }
+
   test("every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
