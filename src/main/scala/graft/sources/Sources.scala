@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.1 sinks note: the reference emits only
+  * HTTP/JSON responses and CSV-ish text lines — server.py:105-111,
+  * client.py:214-216). Spark-first: parquet is the system-of-record format
+  * (columnar, pushdown, splittable); JSONL and CSV are interchange formats.
+  * These helpers pin the options that make round-trips loss-free.
+  */
+object Sources {
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSONL (one JSON object per line) — the reference's response shape as a
+    * distributed sink. Timestamps kept ISO-8601 so re-ingest is lossless. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  /** CSV with header; explicit schema on read (never inferSchema in
+    * production — one pass saved, types exact). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").csv(path)
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").csv(path)
+
+  /** S7-style dump: rows as JSON strings (the reference's /dump payload). */
+  def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
+}
