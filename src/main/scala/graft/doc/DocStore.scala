@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
 object DocStore {
 
   /** Save path (S9): raw JSON strings → nested rows, schema inferred —
-    * the Spark-native equivalent of the reference's shredder. */
-  def fromJson(spark: SparkSession, idAndJson: DataFrame): DataFrame = {
+    * the Spark-native equivalent of the reference's shredder. Pass
+    * `docSchema` to parse against a collection's established schema (the
+    * reference keeps a per-collection path registry, server.py:289-331;
+    * here that registry IS the collection's StructType). */
+  def fromJson(spark: SparkSession, idAndJson: DataFrame,
+               docSchema: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
     import spark.implicits._
-    val jsons = idAndJson.select(col("json")).as[String]
-    val schema = spark.read.json(jsons).schema
+    val schema = docSchema.getOrElse {
+      spark.read.json(idAndJson.select(col("json")).as[String]).schema
+    }
     idAndJson.withColumn("doc", from_json(col("json"), schema)).drop("json")
   }
 

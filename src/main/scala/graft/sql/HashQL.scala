@@ -64,10 +64,12 @@ object HashQL {
           val j = s.indexOf('\'', i + 1)
           require(j > 0, s"unterminated string in: $s")
           out += s.substring(i, j + 1); i = j + 1
-        } else if ("(),=*~".contains(c)) { out += c.toString; i += 1 }
+        } else if ("(),=*".contains(c)) { out += c.toString; i += 1 }
         else {
+          // '~' inside an identifier is a doc-path (people.~hobbies[]~name);
+          // a standalone '~' token is the FTS operator
           val start = i
-          while (i < s.length && !s(i).isWhitespace && !"(),=*~'".contains(s(i))) i += 1
+          while (i < s.length && !s(i).isWhitespace && !"(),=*'".contains(s(i))) i += 1
           out += s.substring(start, i)
         }
       }
@@ -176,6 +178,11 @@ object HashQL {
   }
 
   private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
+    // doc-path predicate: `people.~hobbies[]~name = 'God'` — ANY addressed
+    // leaf matches (reference README.md:123-145); doc tables carry their
+    // nested document in a `doc` column (see graft.HashDb.saveDocument)
+    case Eq(ref, v) if ref.column.startsWith("~") =>
+      graft.doc.DocStore.pathMatches(col("doc"), ref.column, _ === lit(v))
     case Eq(ref, v: Long) => col(ref.column).cast("long") === lit(v)
     case Eq(ref, v) => col(ref.column) === lit(v)
     case FtsMatch(ref, q) => Fts.matches(Fts.tokens(col(ref.column)), q)
@@ -208,15 +215,26 @@ object HashQL {
           case Some(g) =>
             df.groupBy(col(g.column)).agg(count(lit(1)).as("cnt"))
           case None =>
-            val cols = items.flatMap {
-              case Star => df.columns.toSeq
-              case Field(ref) => Seq(ref.column)
-              case CountStar => Seq.empty
+            val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
+            if (docPaths.nonEmpty) {
+              // doc-path projection (one per statement, as in the reference
+              // examples): one output row per addressed leaf
+              require(docPaths.size == 1, "one doc-path per select supported")
+              val path = docPaths.head.column
+              val alias = path.split("~").last.stripSuffix("[]")
+              // the dialect projects only the addressed field (example.py:335)
+              graft.doc.DocStore.selectPath(df, "doc", path, alias).select(alias)
+            } else {
+              val cols = items.flatMap {
+                case Star => df.columns.toSeq
+                case Field(ref) => Seq(ref.column)
+                case CountStar => Seq.empty
+              }
+              if (items.contains(CountStar) && items.size == 1)
+                df.agg(count(lit(1)).as("cnt"))
+              // missing-field skip semantics (server.py:1054-1060)
+              else df.select(cols.map(col): _*).na.drop("any", cols)
             }
-            if (items.contains(CountStar) && items.size == 1)
-              df.agg(count(lit(1)).as("cnt"))
-            // missing-field skip semantics (server.py:1054-1060)
-            else df.select(cols.map(col): _*).na.drop("any", cols)
         }
         Some(out)
     }
