@@ -31,12 +31,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val ns = stmt.chain.nodes.map(n =>
       (n.attrs.getOrElse("name",
         throw new IllegalArgumentException("MERGE node needs a 'name' attribute")),
-        n.label.getOrElse("")))
+        n.label.getOrElse(""), n.attrs))
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
       (ns(k)._1, ns(k + 1)._1, r)
     }
     PropertyGraph(
-      vertices.unionByName(ns.toDF("name", "label")).dropDuplicates("name"),
+      vertices.unionByName(ns.toDF("name", "label", "attrs")).dropDuplicates("name"),
       edges.unionByName(es.toDF("src", "dst", "rel")).dropDuplicates("src", "dst", "rel"))
   }
 
@@ -45,12 +45,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     case _ => throw new IllegalArgumentException(s"not a MERGE: $cypher")
   }
 
-  /** G3 node scan by label/attributes → single-column frame of node names. */
+  /** G3 node scan by label/attributes → single-column frame of node names.
+    * All attributes in the pattern's map must match (the reference's
+    * multi-attribute set intersection, client.py:841-860). */
   private def nodesFor(pat: Cypher.NodePat, as: String): Option[DataFrame] = {
     if (pat.label.isEmpty && pat.attrs.isEmpty) return None
     var v = vertices
     pat.label.foreach(l => v = v.filter(col("label") === l))
-    pat.attrs.get("name").foreach(n => v = v.filter(col("name") === n))
+    pat.attrs.foreach { case (k, value) =>
+      if (k == "name") v = v.filter(col("name") === value)
+      else v = v.filter(col("attrs").getItem(k) === value)
+    }
     Some(v.select(col("name").as(as)))
   }
 
@@ -98,7 +103,7 @@ object PropertyGraph {
   def empty(spark: SparkSession): PropertyGraph = {
     import spark.implicits._
     PropertyGraph(
-      Seq.empty[(String, String)].toDF("name", "label"),
+      Seq.empty[(String, String, Map[String, String])].toDF("name", "label", "attrs"),
       Seq.empty[(String, String, String)].toDF("src", "dst", "rel"))
   }
 
@@ -106,15 +111,16 @@ object PropertyGraph {
     * Nation-IN->Region, Supplier-LOCATED->Nation. */
   def fromTpch(customer: DataFrame, nation: DataFrame, region: DataFrame,
                supplier: DataFrame): PropertyGraph = {
+    val noAttrs = map().cast("map<string,string>").as("attrs")
     val v =
       customer.select(concat(lit("customer:"), col("c_custkey")).as("name"),
-        lit("Customer").as("label"))
+        lit("Customer").as("label"), noAttrs)
       .unionByName(nation.select(concat(lit("nation:"), col("n_name")).as("name"),
-        lit("Nation").as("label")))
+        lit("Nation").as("label"), noAttrs))
       .unionByName(region.select(concat(lit("region:"), col("r_name")).as("name"),
-        lit("Region").as("label")))
+        lit("Region").as("label"), noAttrs))
       .unionByName(supplier.select(concat(lit("supplier:"), col("s_suppkey")).as("name"),
-        lit("Supplier").as("label")))
+        lit("Supplier").as("label"), noAttrs))
     val natByKey = nation.select(col("n_nationkey"), concat(lit("nation:"), col("n_name")).as("nname"))
     val e =
       customer.join(natByKey, col("c_nationkey") === col("n_nationkey"))

@@ -33,6 +33,9 @@ object HashQL {
   case object Star extends SelectItem
   final case class Field(ref: ColRef) extends SelectItem
   case object CountStar extends SelectItem
+  /** sum/avg/min/max(t.f) — dialect growth beyond the reference's count
+    * (the generic `ident(args)` parse at server.py:433-445 invites it). */
+  final case class AggCall(fn: String, ref: ColRef) extends SelectItem
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
@@ -142,6 +145,10 @@ object HashQL {
       while (more) {
         if (is("*")) { next(); items += Star }
         else if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); items += CountStar }
+        else if (Seq("sum", "avg", "min", "max").exists(is)) {
+          val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
+          items += AggCall(fn, r)
+        }
         else items += Field(colRef())
         if (is(",")) next() else more = false
       }
@@ -211,9 +218,19 @@ object HashQL {
           df = df.join(tdf, df(known.column) === tdf(fresh.column))
         }
         wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
+        def aggColumns: Seq[Column] = {
+          val aggs = items.collect {
+            case CountStar => count(lit(1)).as("cnt")
+            case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
+            case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
+            case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
+            case AggCall("max", r) => max(col(r.column)).as(s"max_${r.column}")
+          }
+          if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
+        }
         val out = groupBy match {
           case Some(g) =>
-            df.groupBy(col(g.column)).agg(count(lit(1)).as("cnt"))
+            df.groupBy(col(g.column)).agg(aggColumns.head, aggColumns.tail: _*)
           case None =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
@@ -228,10 +245,11 @@ object HashQL {
               val cols = items.flatMap {
                 case Star => df.columns.toSeq
                 case Field(ref) => Seq(ref.column)
-                case CountStar => Seq.empty
+                case CountStar | _: AggCall => Seq.empty
               }
-              if (items.contains(CountStar) && items.size == 1)
-                df.agg(count(lit(1)).as("cnt"))
+              if (items.nonEmpty && items.forall(i =>
+                  i == CountStar || i.isInstanceOf[AggCall]))
+                df.agg(aggColumns.head, aggColumns.tail: _*)
               // missing-field skip semantics (server.py:1054-1060)
               else df.select(cols.map(col): _*).na.drop("any", cols)
             }

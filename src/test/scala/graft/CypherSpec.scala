@@ -32,6 +32,19 @@ class CypherSpec extends SparkSpec {
     assert(ch.nodes(0).attrs("name") == "Samuel")
   }
 
+  test("MATCH filters on non-name attributes (cypher_test.py pattern)") {
+    val g = PropertyGraph.empty(spark)
+      .merge("merge (a:Person {'name': 'Oliver', 'role': 'actor'})-[:ACTED_IN]->(m:Movie {'name': 'Wall Street', 'title': 'Wall Street'})")
+      .merge("merge (a:Person {'name': 'Marty', 'role': 'director'})-[:DIRECTED]->(m:Movie {'name': 'Wall Street'})")
+    val actors = g.query(
+      "match (actor:Person {role: 'actor'})-[:ACTED_IN]->(m:Movie {title: 'Wall Street'}) return actor")
+      .collect().map(_.getString(0)).toSeq
+    assert(actors == Seq("Oliver"))
+    assert(g.query(
+      "match (actor:Person {role: 'producer'})-[:ACTED_IN]->(m:Movie) return actor")
+      .count() == 0)
+  }
+
   test("example.py four-triple MATCH over the MERGE corpus") {
     val merges = Seq(
       "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(o:Person {'name': 'Tasya'})",

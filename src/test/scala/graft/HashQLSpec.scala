@@ -43,6 +43,19 @@ class HashQLSpec extends SparkSpec {
     assert(got.as[String].collect().toSeq == Seq("blah sentence"))
   }
 
+  test("dialect aggregates: sum/avg/min/max with and without group by") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10), ("a", 20), ("b", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into m (grp, v) values ('$g', $v)") }
+    val grouped = HashQL.execute(cat,
+      "select sum(m.v), max(m.v) from m group by m.grp").get
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(grouped.toSeq == Seq(("a", 30L, 20L), ("b", 5L, 5L)))
+    val global = HashQL.execute(cat, "select min(m.v) from m").get
+      .collect().head.getLong(0)
+    assert(global == 5L)
+  }
+
   test("update rewrites matching rows only (example.py:126-149)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")

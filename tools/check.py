@@ -14,20 +14,11 @@ import duckdb
 
 
 def canon(rows, cols):
-    """column-name-sorted, row-sorted, float-tolerant canonical form"""
+    """column-name-sorted, row-sorted, EXACT canonical form (no float
+    tolerance — all engine/oracle pairs are bitwise-identical by design:
+    cent-exact money sums, round-before-rank similarity scores)"""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
 
 def main(sf_dir, out_dir):
