@@ -122,6 +122,83 @@ object Similarity {
     }.toDF("a", "b", "cos")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer → corpus rows
+    * assigned to their nearest centroid's list → a query probes only its
+    * `nprobe` nearest lists. The classic FAISS-style recall/cost dial:
+    * cost ≈ nprobe/nlist of the corpus per query, recall → 1 as nprobe →
+    * nlist.
+    *
+    * Training runs Lloyd's iterations on the driver over the collected
+    * corpus — embeddings are a dimension-sized table here; at 100 TB you
+    * train on a sample (k-means needs only a sketch of the distribution)
+    * and the assignment below is already distributed (broadcast centroids +
+    * one scan). Deterministic: centroids init from the first `nlist`
+    * vectors by id, fixed iteration count, ties to the lower list id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val all = ds.collect().sortBy(_._1)
+    val vecs = all.map(_._2.map(_.toDouble))
+
+    // Lloyd's algorithm, deterministic
+    var centroids = vecs.take(nlist).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](vecs.head.length))
+      val counts = new Array[Int](nlist)
+      vecs.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    // distributed assignment: one scan, broadcast centroids
+    val bucketed = ds.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
+    }.toDF("nid", "nvec", "list")
+
+    // each query probes its nprobe nearest lists
+    val qRows = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
+    val probes = qRows.flatMap { case (qid, vf) =>
+      val v = vf.map(_.toDouble)
+      bcCentroids.value.indices
+        .sortBy(c => (-dotOf(v, bcCentroids.value(c)) /
+          (normOf(v) * math.max(normOf(bcCentroids.value(c)), 1e-12)), c))
+        .take(nprobe).map(list => (qid, vf, list))
+    }.toSeq
+    val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
+
+    bucketed.join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** argmin over centroids by cosine (ties → lower index). */
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    val nv = normOf(v)
+    var c = 0
+    while (c < centroids.length) {
+      val s = dotOf(v, centroids(c)) / (nv * math.max(normOf(centroids(c)), 1e-12))
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** ascending-index fold, identical to [[dot]]'s evaluation order. */
   private def dotOf(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

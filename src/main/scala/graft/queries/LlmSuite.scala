@@ -175,6 +175,13 @@ object LlmSuite extends Suite {
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3, dims = 64, planes = 4),
       None),
 
+    // IVF ANN (k-means coarse quantizer + nprobe lists) — the other scale
+    // path; recall asserted in ScalaTest, rows-only here.
+    "ann_ivf" -> Q(
+      (s, d) => Similarity.ivfTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),
+      None),
+
     // ---------- multimodal ----------
     "mm_decode" -> Q(
       (s, d) => Multimodal.decodeStub(

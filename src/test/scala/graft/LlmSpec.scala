@@ -48,6 +48,19 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.2, s"lsh recall $recall")
   }
 
+  test("IVF-ANN recall beats LSH at similar probe cost") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // nprobe/nlist = 4/16 → ~25% of corpus probed per query
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // IVF probes the lists nearest the query (not a fixed hash cell), so
+    // recall should clear the LSH ~0.4 at the same probed fraction
+    assert(recall > 0.45, s"ivf recall $recall")
+  }
+
   test("decode stub emits 4 features per media row, deterministic") {
     val media = Multimodal.ingestAsMedia(docs.limit(10), "doc_id", "text", "source")
     val f1 = Multimodal.decodeStub(media).orderBy("media_id").collect()
