@@ -67,4 +67,14 @@ final class GraftCatalog(val spark: SparkSession) {
   /** S3 DELETE as anti-filter. */
   def delete(name: String, where: org.apache.spark.sql.Column): Unit =
     tables += name -> table(name).filter(!where)
+
+  /** Checkpoint a table's accumulated plan (row-at-a-time inserts build a
+    * union per row; updates stack projections) to parquet and re-register
+    * the scan — plan depth returns to 1, results unchanged. The analog of
+    * log compaction for the copy-on-write surfaces; at scale run it on a
+    * cadence (or via Streams ingest, which lands in parquet directly). */
+  def compact(name: String, path: String): Unit = {
+    table(name).write.mode("overwrite").parquet(path)
+    tables += name -> spark.read.parquet(path)
+  }
 }

@@ -59,6 +59,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     Some(v.select(col("name").as(as)))
   }
 
+  /** Checkpoint the accumulated MERGE plan (each merge stacks a
+    * union+dropDuplicates) to parquet and re-read — plan depth back to 1.
+    * Run after bulk statement streams; semantics unchanged. */
+  def compact(dir: String): PropertyGraph = {
+    val spark = vertices.sparkSession
+    vertices.write.mode("overwrite").parquet(s"$dir/vertices")
+    edges.write.mode("overwrite").parquet(s"$dir/edges")
+    PropertyGraph(spark.read.parquet(s"$dir/vertices"),
+      spark.read.parquet(s"$dir/edges"))
+  }
+
   /** G4/G5/G6 MATCH: compile comma-separated triple chains into a join tree
     * and project the RETURN variables (bound node names). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {

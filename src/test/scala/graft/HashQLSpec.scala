@@ -56,6 +56,18 @@ class HashQLSpec extends SparkSpec {
     assert(global == 5L)
   }
 
+  test("compact checkpoints the accumulated plan without changing results") {
+    val cat = new GraftCatalog(spark)
+    (1 to 20).foreach(i => HashQL.execute(cat, s"insert into c (v) values ($i)"))
+    val before = cat.table("c").orderBy("id").collect().map(_.toSeq).toSeq
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    cat.compact("c", out)
+    val after = cat.table("c").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // post-compaction plan is a plain scan (no unions left)
+    assert(!cat.table("c").queryExecution.optimizedPlan.toString.contains("Union"))
+  }
+
   test("update rewrites matching rows only (example.py:126-149)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")
