@@ -175,6 +175,35 @@ object RelationalSuite extends Suite {
              |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // full grouping-set lattice via CUBE.
+    "q_cube" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // HAVING — post-aggregation filter.
+    "q_having" -> Q(
+      (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15),
+      Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+             |GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin)),
+
+    // conditional aggregation (pivot-style counts in one pass).
+    "q_conditional_agg" -> Q(
+      (s, d) => t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      Some("""SELECT o_orderpriority,
+             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // HLL sketch (approx_count_distinct) — estimator values are
     // implementation-specific, so rows-only here; accuracy asserted in
     // RelationalSpec against the exact count.
