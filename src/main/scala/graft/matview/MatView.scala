@@ -47,10 +47,26 @@ object MatView {
       r
     }
 
-  /** Leaf-relation fingerprint: canonicalized leaf nodes cover file paths /
-    * relation identity without tracking exprIds. */
-  private def leafKey(plan: LogicalPlan): Set[String] =
-    plan.collectLeaves().map(_.canonicalized.toString).toSet
+  /** A join side qualifies only if it is a bare relation under pruning-
+    * inserted Projects and optimizer-inserted IsNotNull(joinkey) filters —
+    * any USER filter (or other operator) means the query's join is NOT the
+    * registered view (e.g. a filtered variant), and substituting would
+    * silently drop it. */
+  private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+  private def sideKey(plan: LogicalPlan): Option[String] = plan match {
+    case Project(_, child) => sideKey(child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if conjuncts(f.condition).forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>
+      sideKey(f.child)
+    case leaf if leaf.children.isEmpty => Some(leaf.canonicalized.toString)
+    case _ => None
+  }
 
   private def condKey(j: Join): Set[(String, String)] =
     j.condition.toSeq.flatMap(_.collect {
@@ -58,7 +74,9 @@ object MatView {
         if (a.name <= b.name) (a.name, b.name) else (b.name, a.name)
     }).toSet
 
-  private def keyOf(j: Join): Key = Key(leafKey(j), condKey(j))
+  private def keyOf(j: Join): Option[Key] =
+    for (l <- sideKey(j.left); r <- sideKey(j.right))
+      yield Key(Set(l, r), condKey(j))
 
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -66,7 +84,7 @@ object MatView {
       if (entries.isEmpty) plan
       else plan.transformUp {
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
-          entries.find(e => e.key == keyOf(j)) match {
+          entries.find(e => keyOf(j).contains(e.key)) match {
             case Some(e) =>
               val byName = e.replacement.output.map(a => a.name -> a).toMap
               // every column the (possibly pruned) join still outputs must
@@ -87,8 +105,9 @@ object MatView {
     * refresh after base-table changes. */
   def materialize(spark: SparkSession, name: String, view: DataFrame, path: String): Unit = {
     val analyzed = view.queryExecution.optimizedPlan
-    val joinKey = analyzed.collectFirst { case j: Join => keyOf(j) }.getOrElse(
-      throw new IllegalArgumentException("materialize expects a join view"))
+    val joinKey = analyzed.collectFirst { case j: Join => keyOf(j) }.flatten.getOrElse(
+      throw new IllegalArgumentException(
+        "materialize expects a 2-way inner equi-join of plain relations"))
     view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
     val reg = registry(spark)

@@ -35,6 +35,23 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cust_nation")
   }
 
+  test("filtered variants of the view are NOT rewritten (filter must survive)") {
+    val out = java.nio.file.Files.createTempDirectory("mv3").toString
+    MatView.materialize(spark, "cust_nation3", custNation, out)
+    try {
+      val filtered = Tables.t(spark, sf, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      val physical = filtered.queryExecution.executedPlan.toString
+      assert(!physical.contains(out.split("/").last),
+        s"filtered query wrongly routed to matview:\n$physical")
+      // and the count reflects the filter, not the full view
+      val expected = Tables.t(spark, sf, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").count()
+      assert(filtered.count() == expected)
+    } finally MatView.drop(spark, "cust_nation3")
+  }
+
   test("unrelated queries are untouched") {
     val out = java.nio.file.Files.createTempDirectory("mv2").toString
     MatView.materialize(spark, "cust_nation2", custNation, out)
