@@ -25,6 +25,11 @@ import graft.fts.Fts
   * Numeric literals coerce to Long (reference server.py:477-478); rows
   * missing a projected field are skipped (server.py:1054-1060) —
   * reproduced via na.drop on the projected columns.
+  *
+  * Known limitation (shared with the reference, whose merged row dicts
+  * also collide on `id` — client.py:420): joined tables each carry a
+  * synthesized `id`, so projecting `id` from a multi-table SELECT is
+  * ambiguous; project table-specific fields instead.
   */
 object HashQL {
 

@@ -58,6 +58,25 @@ object Streams {
       }
   }
 
+  /** S1 continuous KV ingest (the reference's POST /set write path,
+    * server.py:80-103): a stream of (pk, sk, value) rows lands in the
+    * pk-bucketed layout incrementally — each micro-batch is hash-bucketed
+    * on pk and appended, so the at-rest layout keeps the partition-pruning
+    * property of KvStore.writeOptimized without rewriting history. The
+    * reference's synchronous index maintenance becomes "derived columns
+    * computed in the select before this sink" (e.g. FTS tokens). */
+  def ingestKv(kvStream: DataFrame, outPath: String, checkpoint: String,
+               buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    kvStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.repartition(buckets, col("pk"))
+          .sortWithinPartitions("pk", "sk")
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** J5 materialized-join maintenance: stream ⋈ dimension, appended
     * per micro-batch to a parquet-backed view. The delta-only join is the
     * insert-time reverse probe of the reference (server.py:806-894) —

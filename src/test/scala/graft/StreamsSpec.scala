@@ -68,6 +68,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous KV ingest lands queryable batches in the bucketed layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("kv_ingest").toString
+    val ckpt = Files.createTempDirectory("kv_ingest_ckpt").toString
+    val mem = MemoryStream[(String, String, String)]
+    val stream = mem.toDF().toDF("pk", "sk", "value")
+    val q = graft.streaming.Streams.ingestKv(stream, out, ckpt, buckets = 4)
+    try {
+      mem.addData(("u1", "a#1", "v1"), ("u2", "b#1", "v2"))
+      q.processAllAvailable()
+      mem.addData(("u1", "a#2", "v3"))
+      q.processAllAvailable()
+      val store = graft.kv.KvStore(spark.read.parquet(out))
+      assert(store.queryBegins("u1", "a#").select("value")
+        .as[String].collect().toSeq == Seq("v1", "v3"))
+      assert(store.get("u2", "b#1").count() == 1)
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap") {
     import graft.streaming.Streams.SessionEvent
     implicit val sqlCtx = spark.sqlContext
