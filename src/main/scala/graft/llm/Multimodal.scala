@@ -71,6 +71,29 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** "Resize" for fake images: deterministic byte-space downsampling to
+    * `targetBytes` (every ⌈len/target⌉-th byte). STUB for a real resampler
+    * — a production version swaps the loop body for the codec call; the
+    * partition-wise plumbing, schema, and determinism contract are what
+    * downstream stages depend on. */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("orig_bytes", LongType)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val stride = math.max(1, math.ceil(bytes.length.toDouble / targetBytes).toInt)
+        val out = bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+        Row(id, out, bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** "Frame sampling" for fake video: every `stride`-th 16-byte chunk,
     * emitted one row per frame — the explode shape a real frame sampler
     * has. Pure column expressions, no UDF. */

@@ -73,6 +73,19 @@ class LlmSpec extends SparkSpec {
     f1.foreach(r => assert(r.getAs[Long]("byte_len") == declared(r.getAs[Long]("media_id"))))
   }
 
+  test("resize stub bounds output size and stays deterministic") {
+    val media = Multimodal.ingestAsMedia(docs.limit(10), "doc_id", "text", "source")
+    val resized = Multimodal.resizeStub(media, targetBytes = 64).collect()
+    resized.foreach { r =>
+      val out = r.getAs[Array[Byte]]("content")
+      assert(out.length <= 128, s"resize overshoot: ${out.length}")
+      assert(out.nonEmpty)
+    }
+    val again = Multimodal.resizeStub(media, targetBytes = 64).collect()
+    assert(resized.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+  }
+
   test("frame sampling covers all bytes at stride 1") {
     val media = Multimodal.ingestAsMedia(docs.limit(5), "doc_id", "text", "source")
     val frames = Multimodal.frameSample(media, stride = 1)
