@@ -175,6 +175,41 @@ object RelationalSuite extends Suite {
              |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // scalar string functions (SURVEY §2.6: absent in the reference; full
+    // functions library here) — upper/substr/concat/length/replace.
+    "q_string_funcs" -> Q(
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), "A", "@").as("type_sub")),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+             |  substr(p_type, 1, 3) AS type3,
+             |  concat(p_brand, '/', p_type) AS brand_type,
+             |  length(p_name) AS name_len,
+             |  replace(p_type, 'A', '@') AS type_sub
+             |FROM part""".stripMargin)),
+
+    // scalar date/time functions — extract parts, date arithmetic, diff.
+    "q_date_funcs" -> Q(
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS y,
+             |  CAST(month(o_orderdate) AS INTEGER) AS m,
+             |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+             |    AS days_to_2002
+             |FROM orders""".stripMargin)),
+
     // full grouping-set lattice via CUBE.
     "q_cube" -> Q(
       (s, d) => t(s, d, "lineitem")
