@@ -89,17 +89,30 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc: explode token hashes, per-bit signed vote. */
+  /** 64-bit SimHash per doc: explode token hashes, per-bit majority vote.
+    *
+    * The per-bit set-counts are aggregated PACKED — 8 longs each holding
+    * eight 8-bit counters (`packed_j = Σ_b ((h>>(8j+b))&1) << 8b`) — so the
+    * aggregation evaluates 8 sum expressions instead of 64. Sound while
+    * every per-doc token count stays < 256 per counter (documents here are
+    * ~50-100 tokens; for longer docs widen to 16-bit counters / 16 longs).
+    * bit_i is set when setCount_i > n/2 (strict majority — identical to the
+    * signed-vote formulation `sum(±1) > 0`). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(graft.fts.Fts.tokens(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+    val packedSums = (0 until 8).map { j =>
+      sum((0 until 8).map { b =>
+        shiftleft(shiftright(col("h"), 8 * j + b).bitwiseAND(lit(1L)), 8 * b)
+      }.reduce(_ + _)).as(s"p$j")
     }
-    toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    toks.groupBy(col(idCol))
+      .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
       .select(col(idCol), (0 until 64).map { i =>
-        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        val (j, b) = (i / 8, i % 8)
+        val setCount = shiftright(col(s"p$j"), 8 * b).bitwiseAND(lit(0xffL))
+        when(setCount * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
