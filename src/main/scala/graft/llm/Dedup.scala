@@ -81,12 +81,25 @@ object Dedup {
     val withSets = cand
       .join(docSh.select(col(idCol).as("a"), col("sh").as("shA")), "a")
       .join(docSh.select(col(idCol).as("b"), col("sh").as("shB")), "b")
-    withSets
+    val out = withSets
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    materializeThenRelease(out, docSh)
+  }
+
+  /** Cache lifetime helper: eagerly materialize `out` (pairs — tiny next to
+    * the corpus), then release the big cached intermediate so repeated
+    * operator invocations in one JVM don't accumulate storage blocks. The
+    * returned frame stays cached; callers running further actions read it
+    * back instead of recomputing the released lineage. */
+  private def materializeThenRelease(out: DataFrame, intermediate: DataFrame): DataFrame = {
+    val cached = out.cache()
+    cached.count()
+    intermediate.unpersist()
+    cached
   }
 
   /** 64-bit SimHash per doc: explode token hashes, per-bit majority vote.
@@ -188,7 +201,7 @@ object Dedup {
     val shMap = docSh.select(col(idCol).cast("long"), array_sort(col("sh")))
       .as[(Long, Array[Long])].collect().toMap
     val bc = spark.sparkContext.broadcast(shMap)
-    cand.as[(Long, Long)].mapPartitions { it =>
+    val out = cand.as[(Long, Long)].mapPartitions { it =>
       val m = bc.value
       it.flatMap { case (a, b) =>
         val (sa, sb) = (m(a), m(b))
@@ -202,5 +215,6 @@ object Dedup {
         if (jac >= threshold) Some((a, b, jac)) else None
       }
     }.toDF("a", "b", "jaccard")
+    materializeThenRelease(out, docSh)
   }
 }

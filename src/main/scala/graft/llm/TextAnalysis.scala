@@ -27,8 +27,10 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + greatest(lit(1L),
         floor((length(w) + lit(3)) / lit(4)).cast("long")))
+  // CAST: DuckDB list_sum over ints is HUGEINT, which the driver's Arrow
+  // fetch path renders as a float — BIGINT keeps it integral.
   def bpeTokenEstimateSql(c: String) =
-    s"list_sum(list_transform(${tokensSql(c)}, w -> greatest(1, (length(w) + 3) // 4)))"
+    s"CAST(list_sum(list_transform(${tokensSql(c)}, w -> greatest(1, (length(w) + 3) // 4))) AS BIGINT)"
 
   // ---- language ID: stopword-dictionary hit counting with deterministic
   // argmax (tie order en > fr > de). Dictionaries are tiny on purpose — the

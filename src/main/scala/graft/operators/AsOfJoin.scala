@@ -45,9 +45,14 @@ object AsOfJoin {
     val unioned = l.select(
       (leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__payload"))): _*)
       .unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at equal __t → `<=` semantics
+    // right rows sort before left rows at equal __t → `<=` semantics.
+    // __payload is the final tie-breaker: when several right rows share
+    // (key, t), last() deterministically attaches the greatest payload
+    // struct (field-wise ordering) instead of whichever row the shuffle
+    // happened to deliver last. Left rows all carry null payloads, so the
+    // extra key never reorders them.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .orderBy(col("__t").asc, col("__isLeft").asc, col("__payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match",
       last(col("__payload"), ignoreNulls = true).over(w))

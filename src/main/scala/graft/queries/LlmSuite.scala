@@ -52,7 +52,7 @@ object LlmSuite extends Suite {
        |      FROM s x JOIN s y ON x.doc_id < y.doc_id)
        |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
        |FROM p
-       |WHERE inter::DOUBLE / (na + nb - inter) >= $threshold""".stripMargin
+       |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $threshold""".stripMargin
 
   /** DuckDB-side cosine over the float embeddings (cast to double, same
     * left-to-right summation as Similarity.dot). */

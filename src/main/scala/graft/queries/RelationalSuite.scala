@@ -233,10 +233,12 @@ object RelationalSuite extends Suite {
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      // CAST: DuckDB sum(INTEGER) is HUGEINT, which the driver's Arrow
+      // fetch path renders as a float — BIGINT keeps it integral.
       Some("""SELECT o_orderpriority,
-             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
     // HLL sketch (approx_count_distinct) — estimator values are

@@ -37,24 +37,51 @@ object Streams {
   final case class SessionOut(user_id: Long, n_events: Int,
                               start_millis: Long, end_millis: Long)
 
-  /** Gap-based sessionization via mapGroupsWithState — the custom-state
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
     * shape (KeyValueGroupedDataset) the reference has no analog for.
-    * State per key is one (count, start, end) triple; timeout closes idle
-    * sessions. */
+    *
+    * State per key is one open (count, start, end) triple. A session is
+    * EMITTED when it closes: either a new event lands more than `gapMillis`
+    * after the session's end (gap rollover), or the event-time watermark
+    * passes end + gap (EventTimeTimeout) — at which point the key's state is
+    * removed, so state size is bounded by the number of keys *active within
+    * one gap of the watermark*, not total key cardinality. */
   def sessionize(events: Dataset[SessionEvent], gapMillis: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[(Int, Long, Long), SessionOut](
-        GroupStateTimeout.NoTimeout) {
+    events
+      .withColumn("__ts", timestamp_millis(col("ts_millis")))
+      .withWatermark("__ts", s"$gapMillis milliseconds")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state: GroupState[(Int, Long, Long)]) =>
-          val evs = it.toSeq.sortBy(_.ts_millis)
-          var (n, s0, e0) = state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
-          evs.foreach { e =>
-            if (n > 0 && e.ts_millis - e0 > gapMillis) { n = 0; s0 = Long.MaxValue; e0 = Long.MinValue }
-            n += 1; s0 = math.min(s0, e.ts_millis); e0 = math.max(e0, e.ts_millis)
+          if (state.hasTimedOut) {
+            val (n, s0, e0) = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, n, s0, e0))
+          } else {
+            val closed = Seq.newBuilder[SessionOut]
+            var st = state.getOption
+            it.toSeq.sortBy(_.ts_millis).foreach { e =>
+              st = st match {
+                case Some((n, s0, e0)) if e.ts_millis - e0 > gapMillis =>
+                  closed += SessionOut(uid, n, s0, e0)
+                  Some((1, e.ts_millis, e.ts_millis))
+                case Some((n, s0, e0)) =>
+                  Some((n + 1, math.min(s0, e.ts_millis), math.max(e0, e.ts_millis)))
+                case None =>
+                  Some((1, e.ts_millis, e.ts_millis))
+              }
+            }
+            st.foreach { case s @ (_, _, end) =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(end + gapMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          state.update((n, s0, e0))
-          SessionOut(uid, n, s0, e0)
       }
   }
 

@@ -87,20 +87,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize groups events by gap") {
+  test("sessionize emits closed sessions on gap rollover and watermark timeout") {
     import graft.streaming.Streams.SessionEvent
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
     val sessions = Streams.sessionize(mem.toDS(), gapMillis = 60000)
-    val q = sessions.writeStream.outputMode("update")
+    val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     try {
+      // one session for user 7 (3 events within the gap)
       mem.addData(SessionEvent(7, 1000), SessionEvent(7, 2000), SessionEvent(7, 3000))
       q.processAllAvailable()
-      val row = spark.table("sess_out")
-        .orderBy(col("n_events").desc).limit(1)
-        .select("user_id", "n_events").as[(Long, Int)].head()
-      assert(row == ((7L, 3)))
+      // user 8 far in the future advances the watermark past 3000 + gap…
+      mem.addData(SessionEvent(8, 500000))
+      q.processAllAvailable()
+      // …and the next batch fires user 7's event-time timeout.
+      mem.addData(SessionEvent(8, 501000))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .select("user_id", "n_events", "start_millis", "end_millis")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(closed.contains((7L, 3, 1000L, 3000L)))
+      // user 8's session is still open (within one gap of the watermark)
+      assert(!closed.exists(_._1 == 8L))
+
+      // gap rollover within a single key emits the prior session immediately
+      mem.addData(SessionEvent(8, 700000))
+      q.processAllAvailable()
+      val afterRollover = spark.table("sess_out")
+        .select("user_id", "n_events", "start_millis", "end_millis")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(afterRollover.contains((8L, 2, 500000L, 501000L)))
     } finally q.stop()
   }
 }

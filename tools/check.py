@@ -39,6 +39,16 @@ def main(sf_dir, out_dir):
             continue
         try:
             exp_rel = con.sql(oracle[name])
+            # The driver fetches through Arrow, where HUGEINT/DECIMAL become
+            # float/decimal128 and hash-mismatch integer Spark columns even
+            # though fetchall() would hide it. Fail loudly here instead.
+            bad_types = [(c, str(t)) for c, t in zip(exp_rel.columns, exp_rel.types)
+                         if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits Arrow-lossy types {bad_types} "
+                      f"— CAST to BIGINT/DOUBLE in the oracle SQL")
+                n_bad += 1
+                continue
             exp = canon(exp_rel.fetchall(), [c.lower() for c in exp_rel.columns])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
