@@ -32,6 +32,10 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
     val results = names.map { name =>
+      // drop caches a warmup run registered: Spark's cache manager matches
+      // by logical plan, so a timed query would otherwise silently read the
+      // warmup's materialized blocks instead of doing its own work.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }

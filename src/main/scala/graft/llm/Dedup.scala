@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   *  - ngram:   exact jaccard over shingle sets for pairs sharing a shingle
   *             (posting-list join) — exact but pruned by co-occurrence.
   *
-  * All hashing is Spark's xxhash64 — deterministic, codegen'd, seedable.
+  * Per-document signatures (shingle hashes, minhash bands, simhash) are
+  * computed by the codegen'd kernels in [[graft.functions.TextKernels]] —
+  * scan-side, zero shuffles, inside WholeStageCodegen. All hashing is
+  * xxhash64 (seed 42), bit-identical to Spark's `xxhash64` column function.
   */
 object Dedup {
+  import graft.functions.TextKernels.{minhash_band_hashes, shingle_hashes, simhash_64}
 
-  /** 3-word shingles of an FTS-style token array, as a distinct array. */
+  /** 3-word shingles of an FTS-style token array, as a distinct array
+    * (Column-HOF formulation — kept as the executable spec that the
+    * [[graft.functions.TextKernels.shingleHashes]] kernel mirrors). */
   def shingles(tokens: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(tokens) - n, lit(0))),
@@ -40,44 +46,26 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature matrix: k minhashes per doc, via one explode +
-    * k partial-min aggregations (single shuffle, map-side combine). */
-  private def minhashSigs(docShingles: DataFrame, idCol: String, k: Int): DataFrame = {
-    val p = 2147483647L // 2^31-1, Mersenne prime
-    // deterministic per-i affine hash params (splitmix-style mixing)
-    def a(i: Int): Long = math.abs((i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L) % (p - 1)) + 1
-    def b(i: Int): Long = math.abs((i * 0xD6E8FEB86659FD93L + 0x2545F4914F6CDD1DL) % p)
-    val exploded = docShingles
-      .select(col(idCol), explode(col("sh")).as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(p)))
-    exploded.groupBy(col(idCol))
-      .agg(min(pmod(col("h") * a(0) + b(0), lit(p))).as("m0"),
-        (1 until k).map(i => min(pmod(col("h") * a(i) + b(i), lit(p))).as(s"m$i")): _*)
-  }
-
   /** MinHash+LSH near-dup pairs with exact-jaccard verification.
     * bands×rowsPerBand minhashes; candidates = docs sharing any band
-    * signature; output pairs (a < b) with verified jaccard ≥ threshold. */
+    * signature; output pairs (a < b) with verified jaccard ≥ threshold.
+    *
+    * Signatures and band hashes come out of one codegen'd scan-side kernel
+    * — the first shuffle anything sees is the (band, bandHash) self-join,
+    * whose keys are 16 bytes/doc/band regardless of document size. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  threshold: Double, bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     // recall at j ≥ 0.6 with 32×2 banding: 1-(1-0.36)^32 ≈ 1 - 6e-7
-    val k = bands * rowsPerBand
-    // cache: the shingle HOF chain is interpreted (not codegen'd) and this
-    // frame is read by both the signature and the verification branch —
-    // without the cache Spark recomputes it per branch.
-    val docSh = df.select(col(idCol),
-      shingles(graft.fts.Fts.tokens(col(textCol))).as("sh")).cache()
-    val sigs = minhashSigs(docSh, idCol, k)
-    // band signature = xxhash64 over the band's minhash columns
-    val banded = sigs.select(col(idCol), posexplode(array(
-      (0 until bands).map(bi => xxhash64(
-        (bi * rowsPerBand until (bi + 1) * rowsPerBand).map(i => col(s"m$i")): _*)): _*
-    )).as(Seq("band", "bandHash")))
+    // cache: read by the banding branch and twice by verification.
+    val docSh = df.select(col(idCol), shingle_hashes(col(textCol)).as("sh")).cache()
+    val banded = docSh.select(col(idCol),
+      posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
+        .as(Seq("band", "bandHash")))
     val l = banded.select(col(idCol).as("a"), col("band"), col("bandHash"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bandHash"))
     val cand = l.join(r, Seq("band", "bandHash")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify candidates with exact jaccard over the shingle sets
+    // verify candidates with exact jaccard over the shingle-hash sets
     val withSets = cand
       .join(docSh.select(col(idCol).as("a"), col("sh").as("shA")), "a")
       .join(docSh.select(col(idCol).as("b"), col("sh").as("shB")), "b")
@@ -102,32 +90,12 @@ object Dedup {
     cached
   }
 
-  /** 64-bit SimHash per doc: explode token hashes, per-bit majority vote.
-    *
-    * The per-bit set-counts are aggregated PACKED — 8 longs each holding
-    * eight 8-bit counters (`packed_j = Σ_b ((h>>(8j+b))&1) << 8b`) — so the
-    * aggregation evaluates 8 sum expressions instead of 64. Sound while
-    * every per-doc token count stays < 256 per counter (documents here are
-    * ~50-100 tokens; for longer docs widen to 16-bit counters / 16 longs).
-    * bit_i is set when setCount_i > n/2 (strict majority — identical to the
-    * signed-vote formulation `sum(±1) > 0`). */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(graft.fts.Fts.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val packedSums = (0 until 8).map { j =>
-      sum((0 until 8).map { b =>
-        shiftleft(shiftright(col("h"), 8 * j + b).bitwiseAND(lit(1L)), 8 * b)
-      }.reduce(_ + _)).as(s"p$j")
-    }
-    toks.groupBy(col(idCol))
-      .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col(idCol), (0 until 64).map { i =>
-        val (j, b) = (i / 8, i % 8)
-        val setCount = shiftright(col(s"p$j"), 8 * b).bitwiseAND(lit(0xffL))
-        when(setCount * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  /** 64-bit SimHash per doc: per-token xxhash64, per-bit strict majority
+    * vote — one codegen'd kernel ([[graft.functions.SimHash64]]) evaluated
+    * scan-side. No explode, no groupBy: the round-1 formulation bought a
+    * full shuffle (and an 8-bit counter cap) for a per-row computation. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), simhash_64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: hamming(simhash) ≤ maxDist. Pigeonhole banding
     * into maxDist+1 chunks bounds candidate generation to equal-chunk
@@ -162,12 +130,8 @@ object Dedup {
     // shingles hashed to 64-bit once: every downstream compare/intersect
     // runs on longs, not strings (set semantics preserved whp — ~100
     // shingles/doc against a 2^64 space).
-    // cache: shingle hashing is an interpreted HOF chain read by three
-    // branches (freq, rank join, verify) — compute once.
-    val docSh = df.select(col(idCol),
-      array_distinct(transform(
-        shingles(graft.fts.Fts.tokens(col(textCol))), s => xxhash64(s))).as("sh"))
-      .cache()
+    // cache: read by three branches (freq, rank join, verify) — compute once.
+    val docSh = df.select(col(idCol), shingle_hashes(col(textCol)).as("sh")).cache()
     // global rarity order (ties by hash): prefixes then hold each doc's
     // RAREST shingles, keeping prefix posting lists as short as the corpus
     // allows.
@@ -198,7 +162,8 @@ object Dedup {
     // broadcast, join the arrays in and use array_intersect instead.
     val spark = df.sparkSession
     import spark.implicits._
-    val shMap = docSh.select(col(idCol).cast("long"), array_sort(col("sh")))
+    // kernel output is already sorted — two-pointer merge needs no re-sort
+    val shMap = docSh.select(col(idCol).cast("long"), col("sh"))
       .as[(Long, Array[Long])].collect().toMap
     val bc = spark.sparkContext.broadcast(shMap)
     val out = cand.as[(Long, Long)].mapPartitions { it =>

@@ -26,8 +26,7 @@ object ProfileNgram {
     aug.cache().count()
 
     val docSh = aug.select(col("doc_id"),
-      array_distinct(transform(
-        Dedup.shingles(graft.fts.Fts.tokens(col("text"))), s => xxhash64(s))).as("sh"))
+      graft.functions.TextKernels.shingle_hashes(col("text")).as("sh"))
     time("shingle+hash")(docSh.count())
     time("shingle+hash again")(docSh.count())
 
