@@ -27,10 +27,19 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     })
 
-  /** events.ts (epoch-nanos long under nanosAsLong) → TimestampType (µs). */
-  def tsNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+  /** events.ts (epoch-nanos long under nanosAsLong) → TimestampType (µs).
+    *
+    * The division must be EXACT: epoch-nanos (~1.7e18) exceed double's
+    * 53-bit mantissa, so `(c / 1000).cast("long")` — a double division —
+    * carries ±128 ns of representation noise and lands a µs off either way.
+    * Subtract the sub-µs remainder (floor semantics, matching ns→µs
+    * truncation) and divide as decimal, which Spark evaluates exactly.
+    * Latent until a query emitted raw µs timestamps. */
+  def tsNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    timestamp_micros(
+      ((c - pmod(c, lit(1000L))).cast("decimal(20,0)") / lit(1000L)).cast("long"))
+  }
 
   /** Register all tables as temp views for the `spark.sql` passthrough
     * surface (the reference's SQL API, SURVEY §0 item 2). */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Window functions, event-time bucketing, and the as-of join — SURVEY §2.5
   * (the reference has no window functions; its only sort is the KV sk sort)
@@ -83,6 +83,53 @@ object TimeSuite extends Suite {
              |    AS w_start,
              |  count(*) AS cnt
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // session windows (gap-based) — Spark's session_window merges events
+    // whose gap to the session end is < 6h; end = last event + gap. The
+    // oracle reconstructs identical sessions via the lag/cumsum idiom.
+    // This is the batch twin of Streams.sessionize (same semantics,
+    // flatMapGroupsWithState holds the open session incrementally).
+    "time_session_agg" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts_utc"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n_events")),
+      Some("""WITH m AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL 6 HOUR
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(ts) AS s_start,
+             |  max(ts) + INTERVAL 6 HOUR AS s_end, count(*) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    // interval join without an equi-key (operators.RangeJoin): purchases
+    // within 10 minutes after each click, bucketized so Spark plans a
+    // shuffled equi-join on the bucket id instead of a nested-loop join.
+    "q_interval_join" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts_utc"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("ts_utc").as("p_ts"))
+        RangeJoin.intervalJoin(clicks, purchases, "ts_utc", "p_ts",
+            beforeUs = 0L, afterUs = 10L * 60 * 1000 * 1000)
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n_purch"))
+      },
+      Some("""SELECT c.event_id, count(*) AS n_purch
+             |FROM events c JOIN events p
+             |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+             |GROUP BY c.event_id""".stripMargin)),
 
     // As-of join: latest order at-or-before each event, per user/customer.
     "asof_join" -> Q(

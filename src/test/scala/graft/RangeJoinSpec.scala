@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketized interval join vs a brute-force range filter — boundary
+  * inclusivity and bucket-crossing pairs must match exactly. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("interval join matches brute force, both window edges inclusive") {
+    // window = [-5s, +10s]; bucket width 15s — pairs straddle buckets
+    val left = Seq((1L, ts(10000)), (2L, ts(29999)), (3L, ts(45000)))
+      .toDF("lid", "lt")
+    val right = Seq((10L, ts(5000)), (11L, ts(20000)), (12L, ts(20001)),
+      (13L, ts(39999)), (14L, ts(40000)), (15L, ts(55000)), (16L, ts(4999)))
+      .toDF("rid", "rt")
+    val got = RangeJoin.intervalJoin(left, right, "lt", "rt",
+        beforeUs = 5000000L, afterUs = 10000000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val exp = left.as[(Long, Timestamp)].collect().flatMap { case (lid, lt) =>
+      right.as[(Long, Timestamp)].collect().collect {
+        case (rid, rt) if rt.getTime >= lt.getTime - 5000 &&
+          rt.getTime <= lt.getTime + 10000 => (lid, rid)
+      }
+    }.toSet
+    assert(got == exp)
+    // sanity on the fixture: edges actually exercised
+    assert(exp.contains((1L, 10L)) && !exp.contains((1L, 16L)))
+    // 39999 ≤ 29999+10000 is the inclusive upper edge; 40000 is 1ms outside
+    assert(exp.contains((2L, 13L)) && !exp.contains((2L, 14L)))
+  }
+
+  test("each qualifying pair appears exactly once (no bucket double-count)") {
+    val left = (0L until 50L).map(i => (i, ts(i * 1000))).toDF("lid", "lt")
+    val right = (0L until 50L).map(i => (i + 100, ts(i * 1000 + 500))).toDF("rid", "rt")
+    val joined = RangeJoin.intervalJoin(left, right, "lt", "rt",
+      beforeUs = 3000000L, afterUs = 3000000L)
+    val n = joined.count()
+    val distinctN = joined.select("lid", "rid").distinct().count()
+    assert(n == distinctN, s"pairs duplicated: $n vs $distinctN")
+  }
+
+  test("plan is a shuffled equi-join on the bucket, not a nested loop") {
+    val left = Seq((1L, ts(1000))).toDF("lid", "lt")
+    val right = Seq((2L, ts(2000))).toDF("rid", "rt")
+    val plan = RangeJoin.intervalJoin(left, right, "lt", "rt", 1000000L, 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
