@@ -72,17 +72,24 @@ object TextAnalysis {
     * reorder engines. */
   def tfidfTop(df: org.apache.spark.sql.DataFrame, textCol: String,
                idCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("df")), 4))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("term").as("top_term"), col("score"))
+    // top-1 per doc as a hash aggregation (partial agg map-side) instead of
+    // a window row_number — no per-doc repartition+sort. Ordering key is
+    // (score desc, term asc), encoded as a struct-min: scores are 4-decimal
+    // rounded, so ×-10000 as long is an exact integer (no -0.0 or
+    // truncation hazards a negated double would have).
+    scored.groupBy(col(idCol))
+      .agg(min(struct(
+        round(col("score") * lit(-10000), 0).cast("long").as("ns"),
+        col("term").as("t"))).as("m"))
+      .select(col(idCol), col("m.t").as("top_term"),
+        // + 0.0 normalizes the -0.0 that ns=0 (score exactly 0) would yield
+        (col("m.ns").cast("double") / lit(-10000.0) + lit(0.0)).as("score"))
   }
 
   /** Quality score in [0,1]: integer-ratio components only (token count,
