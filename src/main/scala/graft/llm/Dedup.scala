@@ -78,6 +78,49 @@ object Dedup {
     materializeThenRelease(out, docSh)
   }
 
+  /** Near-dup pairs → connected components: every document joined (directly
+    * or transitively) by a pair lands in one cluster, labeled by the
+    * cluster's minimum doc id (`rep`). The pipeline's final step: `rep` is
+    * the document to KEEP; every other member is the dedup drop-list.
+    *
+    * Iterative min-label propagation: labels start as self; each round every
+    * node takes the min label in its neighborhood; converges in
+    * O(component diameter) rounds — near-dup graphs are overwhelmingly tiny
+    * star/chain components, so 2-4 rounds in practice. Each round is one
+    * shuffle (join + groupBy on node id); `localCheckpoint` truncates the
+    * growing lineage so round N doesn't replay rounds 1..N-1. For
+    * adversarially long chains at 100 TB scale, swap the propagation loop
+    * for the alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same per-round
+    * shuffle shape, provably O(log n) rounds.
+    *
+    * @param pairs near-dup pairs (two long id columns, e.g. minhashLsh
+    *              output); direction/duplication-insensitive
+    * @return (doc_id, rep) — one row per distinct id in `pairs`
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // symmetric edge set incl. self-loops, so isolated-after-dedup nodes and
+    // single-direction input both work
+    val edges = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .unionByName(e.select(col("u"), col("u").as("v")))
+      .unionByName(e.select(col("v").as("u"), col("v"))).distinct()
+      .localCheckpoint()
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("rep"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "u")
+        .filter(col("rep") =!= col("prev")).isEmpty
+      labels = next
+    }
+    labels.select(col("u").as("doc_id"), col("rep"))
+  }
+
   /** Cache lifetime helper: eagerly materialize `out` (pairs — tiny next to
     * the corpus), then release the big cached intermediate so repeated
     * operator invocations in one JVM don't accumulate storage blocks. The

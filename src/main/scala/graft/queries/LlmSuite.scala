@@ -34,11 +34,11 @@ object LlmSuite extends Suite {
       |  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
       |  FROM documents)""".stripMargin
 
-  /** DuckDB-side exact pairwise jaccard over distinct 3-gram shingles of the
-    * augmented corpus — the shared oracle for minhash-LSH and posting-join
-    * implementations (both must produce the exact answer). */
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH $augmentedSql,
+  /** Shared CTE chain ending in `jp(a, b, jaccard)` — exact pairwise
+    * jaccard ≥ threshold over distinct 3-gram shingles of the augmented
+    * corpus (a < b). */
+  private def jaccardPairsCtes(threshold: Double): String =
+    s"""$augmentedSql,
        |t AS (SELECT doc_id,
        |        string_split(replace(lower(text), ',', ''), ' ') AS toks
        |      FROM aug),
@@ -49,10 +49,32 @@ object LlmSuite extends Suite {
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
        |        len(list_intersect(x.sh, y.sh)) AS inter,
        |        len(x.sh) AS na, len(y.sh) AS nb
-       |      FROM s x JOIN s y ON x.doc_id < y.doc_id)
-       |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
-       |FROM p
-       |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $threshold""".stripMargin
+       |      FROM s x JOIN s y ON x.doc_id < y.doc_id),
+       |jp AS (SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+       |       FROM p
+       |       WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $threshold)""".stripMargin
+
+  /** DuckDB-side exact pairwise jaccard — the shared oracle for minhash-LSH
+    * and posting-join implementations (both must produce the exact answer). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH ${jaccardPairsCtes(threshold)}
+       |SELECT a, b, jaccard FROM jp""".stripMargin
+
+  /** Connected components over the exact jaccard pairs: transitive closure
+    * via recursive CTE (components are tiny — planted pairs/chains), then
+    * min reachable id per node. The Spark side's min-label propagation must
+    * land on identical representatives. */
+  private def clustersOracle(threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardPairsCtes(threshold)},
+       |edges AS (SELECT a AS u, b AS v FROM jp
+       |  UNION SELECT b, a FROM jp
+       |  UNION SELECT a, a FROM jp
+       |  UNION SELECT b, b FROM jp),
+       |reach(u, w) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u)
+       |SELECT u AS doc_id, min(w) AS rep FROM reach GROUP BY u""".stripMargin
 
   /** DuckDB-side cosine over the float embeddings (cast to double, same
     * left-to-right summation as Similarity.dot). */
@@ -139,6 +161,13 @@ object LlmSuite extends Suite {
     "dedup_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardPairs(augmented(s, d), "text", "doc_id", 0.6),
       Some(jaccardOracle(0.6))),
+
+    // pairs → dedup groups: connected components labeled by min member id
+    // (the keep-representative). Oracle = recursive-CTE transitive closure.
+    "dedup_clusters" -> Q(
+      (s, d) => Dedup.clusters(
+        Dedup.minhashLsh(augmented(s, d), "text", "doc_id", 0.6)),
+      Some(clustersOracle(0.6))),
 
     // SimHash banding (xxhash-based signature — not oracle-expressible;
     // planted pairs asserted in ScalaTest).

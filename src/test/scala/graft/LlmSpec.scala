@@ -36,6 +36,16 @@ class LlmSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs).take(5)}")
   }
 
+  test("clusters: chains and stars collapse to min-id components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4, mixed order
+      (10L, 11L), (10L, 12L), (10L, 13L),         // star around 10
+      (20L, 21L))                                 // plain pair
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("LSH-ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
