@@ -1,0 +1,34 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pass (SURVEY §2.12 composition): the
+  * individual operators — quality scoring, language ID, near-dup detection,
+  * cluster representatives — wired the way a pretraining pipeline actually
+  * runs them.
+  *
+  * Order matters for cost: the scan-side filters (quality, langid — pure
+  * codegen'd column expressions) run FIRST so the shuffling stages (minhash
+  * banding, clustering) only see surviving documents. At 100 TB the filter
+  * pass is scan-bound and typically drops a large fraction of the corpus
+  * before anything is shuffled.
+  */
+object Pipeline {
+
+  /** @return the rows of `df` that survive: quality ≥ minQuality, language
+    *         == lang, and are their near-dup cluster's representative
+    *         (minimum id) — i.e. the kept corpus. */
+  def cleanCorpus(df: DataFrame, textCol: String, idCol: String,
+                  minQuality: Double, lang: String,
+                  jaccardThreshold: Double): DataFrame = {
+    val kept = df.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)) === lang)
+    val pairs = Dedup.minhashLsh(kept, textCol, idCol, jaccardThreshold)
+    val drops = Dedup.clusters(pairs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as(idCol))
+    kept.join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -35,13 +35,15 @@ object LlmSuite extends Suite {
       |  FROM documents)""".stripMargin
 
   /** Shared CTE chain ending in `jp(a, b, jaccard)` — exact pairwise
-    * jaccard ≥ threshold over distinct 3-gram shingles of the augmented
-    * corpus (a < b). */
-  private def jaccardPairsCtes(threshold: Double): String =
-    s"""$augmentedSql,
+    * jaccard ≥ threshold over distinct 3-gram shingles of `src` (a < b).
+    * `extra` lets a caller splice additional CTEs (e.g. a filtered corpus)
+    * between `aug` and the shingle chain. */
+  private def jaccardPairsCtes(threshold: Double, src: String = "aug",
+                               extra: String = ""): String =
+    s"""$augmentedSql,$extra
        |t AS (SELECT doc_id,
        |        string_split(replace(lower(text), ',', ''), ' ') AS toks
-       |      FROM aug),
+       |      FROM $src),
        |s AS (SELECT doc_id,
        |        list_distinct(list_transform(range(1, len(toks) - 1),
        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -87,6 +89,28 @@ object LlmSuite extends Suite {
     s"""list_sum(list_transform(range(1, 65),
        |  i -> $xv.embedding[i]::DOUBLE * $yv.embedding[i]::DOUBLE))
        |  / ($xv.nrm * $yv.nrm)""".stripMargin
+
+  /** clean_corpus oracle: quality+lang filter (fil), exact jaccard pairs
+    * over fil, closure, drop non-representatives. */
+  private def cleanCorpusOracle(minQuality: Double, lang: String,
+                                threshold: Double): String = {
+    val filCte =
+      s"""
+         |fil AS (SELECT doc_id, text FROM aug
+         |        WHERE ${TextAnalysis.qualityScoreSql("text")} >= $minQuality
+         |          AND ${TextAnalysis.langIdSql("text")} = '$lang'),""".stripMargin
+    s"""WITH RECURSIVE ${jaccardPairsCtes(threshold, src = "fil", extra = filCte)},
+       |edges AS (SELECT a AS u, b AS v FROM jp
+       |  UNION SELECT b, a FROM jp
+       |  UNION SELECT a, a FROM jp
+       |  UNION SELECT b, b FROM jp),
+       |reach(u, w) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u),
+       |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
+       |SELECT doc_id FROM fil WHERE doc_id NOT IN (SELECT u FROM drops)""".stripMargin
+  }
 
   def defs: Map[String, Q] = Map(
 
@@ -168,6 +192,15 @@ object LlmSuite extends Suite {
       (s, d) => Dedup.clusters(
         Dedup.minhashLsh(augmented(s, d), "text", "doc_id", 0.6)),
       Some(clustersOracle(0.6))),
+
+    // the full cleaning pass wired end-to-end: scan-side quality+langid
+    // filters, then near-dup clustering over the survivors, keep reps only.
+    "clean_corpus" -> Q(
+      (s, d) => graft.llm.Pipeline.cleanCorpus(
+        augmented(s, d), "text", "doc_id",
+        minQuality = 0.45, lang = "en", jaccardThreshold = 0.6)
+        .select("doc_id"),
+      Some(cleanCorpusOracle(0.45, "en", 0.6))),
 
     // SimHash banding (xxhash-based signature — not oracle-expressible;
     // planted pairs asserted in ScalaTest).

@@ -85,6 +85,20 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time twin of Dedup.exactByHash:
+    * keeps the first row per key (e.g. a content hash computed upstream in
+    * the select) and drops later duplicates. dropDuplicatesWithinWatermark
+    * bounds the dedup state to the watermark horizon, so state is
+    * O(distinct keys per horizon), not O(all keys ever) — the property that
+    * makes ingest-dedup runnable forever at 100 TB/day. Exactness holds for
+    * duplicates arriving within the horizon; cross-horizon dups need the
+    * batch pass (Dedup.exactByHash) downstream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** S1 continuous KV ingest (the reference's POST /set write path,
     * server.py:80-103): a stream of (pk, sk, value) rows lands in the
     * pk-bucketed layout incrementally — each micro-batch is hash-bucketed

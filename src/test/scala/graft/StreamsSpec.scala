@@ -87,6 +87,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-horizon duplicate keys, keeps first occurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val in = mem.toDF().toDF("content_hash", "ts_millis", "payload")
+      .withColumn("ts", timestamp_millis(col("ts_millis")))
+    val out = Streams.dedupStream(in, Seq("content_hash"), "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(("h1", 1000L, 1.0), ("h1", 2000L, 2.0), ("h2", 3000L, 3.0))
+      q.processAllAvailable()
+      mem.addData(("h1", 4000L, 4.0), ("h3", 5000L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("content_hash", "payload").as[(String, Double)].collect().toSet
+      assert(rows == Set(("h1", 1.0), ("h2", 3.0), ("h3", 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap rollover and watermark timeout") {
     import graft.streaming.Streams.SessionEvent
     implicit val sqlCtx = spark.sqlContext
