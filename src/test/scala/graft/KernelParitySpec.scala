@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+import graft.llm.Dedup
+
+/** The codegen kernels in TextKernels claim bit-exact parity with the
+  * Column-HOF formulations they replaced — proven here on real testdata
+  * (plus the planted near-dup copies, which exercise shared shingles). */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  test("shingle_hashes == sorted distinct xxhash64 of HOF shingles") {
+    val hof = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        Dedup.shingles(graft.fts.Fts.tokens(col("text"))),
+        s => xxhash64(s)))).as("sh"))
+    val kernel = docs.select(col("doc_id"),
+      TextKernels.shingle_hashes(col("text")).as("sh"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
+  test("simhash_64 == explode+groupBy majority-vote formulation") {
+    val toks = docs.select(col("doc_id"),
+      explode(graft.fts.Fts.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
+    val hof = toks.groupBy(col("doc_id"))
+      .agg(votes.head, (votes.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("doc_id"), (0 until 64).map { i =>
+        when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("simhash"))
+    val kernel = docs.select(col("doc_id"),
+      TextKernels.simhash_64(col("text")).as("simhash"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
+  test("minhash_band_hashes == affine-min + xxhash64-chain formulation") {
+    val bands = 4
+    val rpb = 2
+    val p = TextKernels.P
+    val sh = docs.limit(50).select(col("doc_id"),
+      TextKernels.shingle_hashes(col("text")).as("sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(col("s"), lit(p)))
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(
+        min(pmod(col("h") * TextKernels.hashA(0) + TextKernels.hashB(0), lit(p))).as("m0"),
+        (1 until bands * rpb).map(i =>
+          min(pmod(col("h") * TextKernels.hashA(i) + TextKernels.hashB(i), lit(p))).as(s"m$i")): _*)
+    val hof = sigs.select(col("doc_id"), array(
+      (0 until bands).map(bi => xxhash64(
+        (bi * rpb until (bi + 1) * rpb).map(i => col(s"m$i")): _*)): _*).as("bh"))
+    val kernel = sh.select(col("doc_id"),
+      TextKernels.minhash_band_hashes(col("sh"), bands, rpb).as("bh"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+}
