@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as a left-fold over zip_with products (deterministic order). */
+  /** dot(a, b) as a left-fold over zip_with products (deterministic order).
+    * HOF formulation kept as the executable spec; the hot paths use the
+    * codegen'd [[graft.functions.VectorKernels.cosine_sim]], which runs the
+    * identical ascending-index fold in one fused loop. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -37,7 +40,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
     val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .join(q, col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
@@ -77,7 +80,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       lshBucket(col(vecCol), dims, planes).as("bucket")))
     bucketed.join(q, Seq("bucket")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
       .filter(col("rn") <= k)
@@ -179,7 +182,7 @@ object Similarity {
     val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
 
     bucketed.join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 5))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
       .filter(col("rn") <= k)

@@ -44,6 +44,19 @@ class KernelParitySpec extends SparkSpec {
     assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
   }
 
+  test("cosine_sim == HOF dot/norm formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.limit(30).select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.limit(30).select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+    val hof = pairs.select(col("a"), col("b"),
+      graft.llm.Similarity.cosine(col("va"), col("vb")).as("cos"))
+    val kernel = pairs.select(col("a"), col("b"),
+      graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")).as("cos"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
   test("minhash_band_hashes == affine-min + xxhash64-chain formulation") {
     val bands = 4
     val rpb = 2
