@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   /** G1/G2 MERGE: upsert the nodes and edges of one chain. Idempotent —
-    * re-merging an existing node/edge is a no-op (dropDuplicates on
-    * identity). */
+    * re-merging an existing node/edge is a no-op, and deterministically so:
+    * new rows are anti-joined against existing identities before the union,
+    * so the EXISTING row always wins (dropDuplicates would keep whichever
+    * duplicate an arbitrary partition order surfaced first — nondeterminism
+    * if a name re-merges with different label/attrs, which is exactly the
+    * reference's match-by-attributes no-op case, client.py:876-889). */
   def merge(stmt: Cypher.Merge): PropertyGraph = {
     val spark = vertices.sparkSession
     import spark.implicits._
@@ -35,9 +39,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
       (ns(k)._1, ns(k + 1)._1, r)
     }
-    PropertyGraph(
-      vertices.unionByName(ns.toDF("name", "label", "attrs")).dropDuplicates("name"),
-      edges.unionByName(es.toDF("src", "dst", "rel")).dropDuplicates("src", "dst", "rel"))
+    val newV = ns.toDF("name", "label", "attrs").dropDuplicates("name")
+      .join(vertices.select("name"), Seq("name"), "left_anti")
+    val newE = es.toDF("src", "dst", "rel").dropDuplicates("src", "dst", "rel")
+      .join(edges.select("src", "dst", "rel"), Seq("src", "dst", "rel"), "left_anti")
+    PropertyGraph(vertices.unionByName(newV), edges.unionByName(newE))
   }
 
   def merge(cypher: String): PropertyGraph = Cypher.parse(cypher) match {
