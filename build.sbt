@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one SparkSession in one forked JVM; running them as
+// parallel threads stacks concurrent Spark jobs' memory peaks (observed
+// OOM in the last suite to run). Spark parallelizes within a job anyway.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked process's stdout through VERBATIM (no "[info] " logger
 // prefix) so Bench's single JSON result line stays machine-parseable.

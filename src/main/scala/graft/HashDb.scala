@@ -70,10 +70,22 @@ final class HashDb(val spark: SparkSession) {
       .select("json").collect().headOption.map(_.getString(0))
 
   // ---------------- graph surface (POST /cypher) ------------------------
-  /** MERGE mutates the graph and returns None; MATCH returns bindings. */
+  private var mergesSinceCheckpoint = 0
+
+  /** MERGE mutates the graph and returns None; MATCH returns bindings.
+    * Every merge deepens the graph's logical plan by one join/union layer,
+    * so unbounded statement streams periodically truncate lineage
+    * (localCheckpoint) to keep analysis cost flat. */
   def cypher(statement: String): Option[DataFrame] =
     Cypher.parse(statement) match {
-      case m: Cypher.Merge => graph = graph.merge(m); None
+      case m: Cypher.Merge =>
+        graph = graph.merge(m)
+        mergesSinceCheckpoint += 1
+        if (mergesSinceCheckpoint >= 32) {
+          graph = graph.checkpointLocal()
+          mergesSinceCheckpoint = 0
+        }
+        None
       case _: Cypher.Match => Some(graph.query(statement))
     }
   def graphState: PropertyGraph = graph

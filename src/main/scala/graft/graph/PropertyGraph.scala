@@ -24,11 +24,19 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   /** G1/G2 MERGE: upsert the nodes and edges of one chain. Idempotent —
     * re-merging an existing node/edge is a no-op, and deterministically so:
-    * new rows are anti-joined against existing identities before the union,
-    * so the EXISTING row always wins (dropDuplicates would keep whichever
-    * duplicate an arbitrary partition order surfaced first — nondeterminism
-    * if a name re-merges with different label/attrs, which is exactly the
-    * reference's match-by-attributes no-op case, client.py:876-889). */
+    * nodes go through a full-outer join whose coalesce always prefers the
+    * EXISTING row (the reference's match-by-attributes no-op case,
+    * client.py:876-889); edges union+dropDuplicates on the FULL row, which
+    * is deterministic because duplicate edge rows are identical.
+    *
+    * Plan-growth discipline: each merge references the previous
+    * vertices/edges plan exactly ONCE, so a stream of k statements builds a
+    * depth-k plan (an anti-join + union formulation would reference the
+    * previous plan twice and go exponential — 19 example.py merges is
+    * 2^19 plan nodes, observed as an analyzer OOM). Relies on the
+    * invariant that label/attrs are never null in `vertices` (insert paths
+    * default label to "" and attrs to the pattern map). For bulk statement
+    * streams, [[compact]] resets depth to 1. */
   def merge(stmt: Cypher.Merge): PropertyGraph = {
     val spark = vertices.sparkSession
     import spark.implicits._
@@ -39,11 +47,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
       (ns(k)._1, ns(k + 1)._1, r)
     }
-    val newV = ns.toDF("name", "label", "attrs").dropDuplicates("name")
-      .join(vertices.select("name"), Seq("name"), "left_anti")
-    val newE = es.toDF("src", "dst", "rel").dropDuplicates("src", "dst", "rel")
-      .join(edges.select("src", "dst", "rel"), Seq("src", "dst", "rel"), "left_anti")
-    PropertyGraph(vertices.unionByName(newV), edges.unionByName(newE))
+    // within-statement duplicates resolved driver-side, first occurrence
+    // wins (deterministic — ns/es are in statement order)
+    val newV = ns.distinctBy(_._1).toDF("name", "label", "attrs")
+    val newE = es.distinct.toDF("src", "dst", "rel")
+    val v2 = vertices.alias("o").join(newV.alias("n"), Seq("name"), "full_outer")
+      .select(col("name"),
+        coalesce(col("o.label"), col("n.label")).as("label"),
+        coalesce(col("o.attrs"), col("n.attrs")).as("attrs"))
+    val e2 = edges.unionByName(newE).dropDuplicates("src", "dst", "rel")
+    PropertyGraph(v2, e2)
   }
 
   def merge(cypher: String): PropertyGraph = Cypher.parse(cypher) match {
@@ -64,6 +77,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     }
     Some(v.select(col("name").as(as)))
   }
+
+  /** Truncate the accumulated MERGE lineage in-memory (localCheckpoint) —
+    * plan depth back to 1 without parquet IO. For statement streams where
+    * durability doesn't matter (session-local graphs); use [[compact]] to
+    * land the state on disk. */
+  def checkpointLocal(): PropertyGraph =
+    PropertyGraph(vertices.localCheckpoint(), edges.localCheckpoint())
 
   /** Checkpoint the accumulated MERGE plan (each merge stacks a
     * union+dropDuplicates) to parquet and re-read — plan depth back to 1.

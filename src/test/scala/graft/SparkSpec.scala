@@ -1,12 +1,27 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session for all suites (one JVM-wide SparkSession). */
-trait SparkSpec extends AnyFunSuite {
+/** Shared session for all suites (one JVM-wide SparkSession).
+  *
+  * Each suite's afterAll drops every cached/persisted block (operator-level
+  * caches like Dedup's pair outputs, localCheckpoint blocks from
+  * Dedup.clusters) so storage memory doesn't accumulate across the 15
+  * suites sharing this JVM.
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  override protected def afterAll(): Unit = {
+    try {
+      val s = SparkSpec.session
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    } finally super.afterAll()
+  }
 }
 
 object SparkSpec {
