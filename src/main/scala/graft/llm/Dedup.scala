@@ -169,7 +169,18 @@ object Dedup {
     * array_intersect jaccard. Exact answer, never the n² cross product,
     * and the heavy join only sees prefixes. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    ngramJaccardPairs(df, textCol, idCol, threshold, broadcastVerifyMaxDocs = 2000000L)
+
+  /** @param broadcastVerifyMaxDocs corpora at or below this row count verify
+    *        candidates against a broadcast id→shingle-hash map (two-pointer
+    *        merges, no shuffle); larger corpora switch to the distributed
+    *        verify — join the shingle arrays onto the candidate pairs and
+    *        intersect per row. Same rounding, same output, different
+    *        physical plan. ~2M docs × ~100 shingles × 8B ≈ 1.6 GB broadcast,
+    *        the practical executor-memory ceiling. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, broadcastVerifyMaxDocs: Long): DataFrame = {
     // shingles hashed to 64-bit once: every downstream compare/intersect
     // runs on longs, not strings (set semantics preserved whp — ~100
     // shingles/doc against a 2^64 space).
@@ -199,30 +210,44 @@ object Dedup {
         col("y.n") <= floor(col("x.n") / threshold))
       .select(col(s"x.$idCol").cast("long").as("a"), col(s"y.$idCol").cast("long").as("b"))
       .distinct()
-    // verify: broadcast the id → sorted-shingle-hash table (longs; megabytes
-    // per million docs) and two-pointer-merge per candidate — no array
-    // shuffles, no per-pair hash-set allocation. For corpora too large to
-    // broadcast, join the arrays in and use array_intersect instead.
+    // verify: small corpora broadcast the id → sorted-shingle-hash table
+    // (longs; megabytes per million docs) and two-pointer-merge per
+    // candidate — no array shuffles, no per-pair hash-set allocation.
+    // Beyond the broadcast ceiling, join the shingle arrays onto the
+    // candidate pairs (two hash joins keyed by doc id — candidates are a
+    // small fraction of the corpus after prefix + size-ratio pruning) and
+    // intersect per row. Both paths round HALF_UP at 4 decimals.
     val spark = df.sparkSession
     import spark.implicits._
-    // kernel output is already sorted — two-pointer merge needs no re-sort
-    val shMap = docSh.select(col(idCol).cast("long"), col("sh"))
-      .as[(Long, Array[Long])].collect().toMap
-    val bc = spark.sparkContext.broadcast(shMap)
-    val out = cand.as[(Long, Long)].mapPartitions { it =>
-      val m = bc.value
-      it.flatMap { case (a, b) =>
-        val (sa, sb) = (m(a), m(b))
-        var i = 0; var j = 0; var inter = 0
-        while (i < sa.length && j < sb.length) {
-          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-          else if (sa(i) < sb(j)) i += 1
-          else j += 1
+    val out = if (docSh.count() <= broadcastVerifyMaxDocs) {
+      // kernel output is already sorted — two-pointer merge needs no re-sort
+      val shMap = docSh.select(col(idCol).cast("long"), col("sh"))
+        .as[(Long, Array[Long])].collect().toMap
+      val bc = spark.sparkContext.broadcast(shMap)
+      cand.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (a, b) =>
+          val (sa, sb) = (m(a), m(b))
+          var i = 0; var j = 0; var inter = 0
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+          }
+          val jac = math.floor(inter.toDouble / (sa.length + sb.length - inter) * 1e4 + 0.5) / 1e4
+          if (jac >= threshold) Some((a, b, jac)) else None
         }
-        val jac = math.floor(inter.toDouble / (sa.length + sb.length - inter) * 1e4 + 0.5) / 1e4
-        if (jac >= threshold) Some((a, b, jac)) else None
-      }
-    }.toDF("a", "b", "jaccard")
+      }.toDF("a", "b", "jaccard")
+    } else {
+      cand
+        .join(docSh.select(col(idCol).cast("long").as("a"), col("sh").as("shA")), "a")
+        .join(docSh.select(col(idCol).cast("long").as("b"), col("sh").as("shB")), "b")
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("shA")) + size(col("shB")) - col("inter")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard"))
+    }
     materializeThenRelease(out, docSh)
   }
 }
