@@ -50,6 +50,9 @@ object Dedup {
     * bands×rowsPerBand minhashes; candidates = docs sharing any band
     * signature; output pairs (a < b) with verified jaccard ≥ threshold.
     *
+    * Returns an EAGER, CACHED frame (see materializeThenRelease) —
+    * `.unpersist()` it when done if you call this repeatedly in one session.
+    *
     * Signatures and band hashes come out of one codegen'd scan-side kernel
     * — the first shuffle anything sees is the (band, bandHash) self-join,
     * whose keys are 16 bytes/doc/band regardless of document size. */
@@ -125,7 +128,15 @@ object Dedup {
     * the corpus), then release the big cached intermediate so repeated
     * operator invocations in one JVM don't accumulate storage blocks. The
     * returned frame stays cached; callers running further actions read it
-    * back instead of recomputing the released lineage. */
+    * back instead of recomputing the released lineage.
+    *
+    * CONTRACT (also stated on the public entry points): the returned frame
+    * is eager (a job has already run) and CACHED — callers that invoke the
+    * operator repeatedly in a long-lived session should `.unpersist()` the
+    * result when done with it, or storage blocks accumulate. Pairs frames
+    * are tiny next to the corpus, so the default is acceptable for
+    * interactive use; pipelines release explicitly (see
+    * [[graft.llm.Pipeline.cleanCorpus]]). */
   private def materializeThenRelease(out: DataFrame, intermediate: DataFrame): DataFrame = {
     val cached = out.cache()
     cached.count()
@@ -167,7 +178,11 @@ object Dedup {
     * posted and joined, shrinking the posting list ~(1-t)× and the
     * candidate pairs ~(1-t)²×. Candidates are then verified with the exact
     * array_intersect jaccard. Exact answer, never the n² cross product,
-    * and the heavy join only sees prefixes. */
+    * and the heavy join only sees prefixes.
+    *
+    * Returns an EAGER, CACHED frame (see materializeThenRelease) —
+    * `.unpersist()` it when done if you call this repeatedly in one
+    * session. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double): DataFrame =
     ngramJaccardPairs(df, textCol, idCol, threshold, broadcastVerifyMaxDocs = 2000000L)
@@ -234,7 +249,12 @@ object Dedup {
             else if (sa(i) < sb(j)) i += 1
             else j += 1
           }
-          val jac = math.floor(inter.toDouble / (sa.length + sb.length - inter) * 1e4 + 0.5) / 1e4
+          // literally Spark round(_, 4)'s computation (BigDecimal.valueOf →
+          // HALF_UP), so this branch and the distributed branch agree at
+          // every representation boundary — same output, different plan.
+          val jac = java.math.BigDecimal.valueOf(
+            inter.toDouble / (sa.length + sb.length - inter))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
           if (jac >= threshold) Some((a, b, jac)) else None
         }
       }.toDF("a", "b", "jaccard")

@@ -89,40 +89,94 @@ object Similarity {
 
   /** Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     *
-    * All-pairs similarity is a matrix product, and per-pair Column HOFs
-    * interpret (never codegen) — 40× slower than primitive loops. So this
-    * broadcasts the corpus as primitive double arrays and streams partitions
-    * against it: each task does tight `while` loops over doubles, emitting
-    * only passing pairs. Arithmetic is the same ascending-index left fold as
-    * [[dot]]/the DuckDB oracle, so results hash-match.
+    * Two physical paths, chosen by corpus size (the same two-path pattern as
+    * [[Dedup.ngramJaccardPairs]]):
     *
-    * Scale: broadcast side must fit in executor memory (embeddings are a
-    * dimension-sized table here). For corpora beyond that, block first with
-    * [[lshBucket]] equality and run this within buckets. */
+    *  - at or below `broadcastMaxRows` (default 2M — ~1 GB of doubles at
+    *    dim 64, the practical executor-memory ceiling): EXACT all-pairs.
+    *    Per-pair Column HOFs interpret (never codegen) — 40× slower than
+    *    primitive loops — so the corpus is broadcast as primitive double
+    *    arrays and partitions stream against it with tight `while` loops.
+    *  - above the ceiling: banded random-hyperplane LSH blocking — per doc,
+    *    `bands` bucket ids of `planesPerBand` sign bits each, computed in
+    *    one distributed pass; candidates = pairs sharing any (band, bucket),
+    *    an equi-join on small keys; candidates are verified with the exact
+    *    codegen'd cosine kernel. Nothing corpus-sized ever reaches the
+    *    driver. Recall for a pair at angle θ is 1-(1-p^r)^b with
+    *    p = 1-θ/π — ≈0.996 at cosine 0.8 for the 32×8 default; tune bands
+    *    up (cost: shuffle volume) for lower thresholds.
+    *
+    * Both paths round cosine HALF_UP at 5 decimals (identical
+    * implementation) before thresholding, so the pairs the blocked path
+    * finds carry bit-identical scores to the exact path. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDup(corpus, threshold, idCol, vecCol,
+      broadcastMaxRows = 2000000L, bands = 32, planesPerBand = 8)
+
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+                       idCol: String, vecCol: String, broadcastMaxRows: Long,
+                       bands: Int, planesPerBand: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    val all = ds.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val vecs = all.map(_._2.map(_.toDouble))
-    val norms = vecs.map(normOf)
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    ds.mapPartitions { it =>
-      val (bIds, bVecs, bNorms) = bc.value
-      it.flatMap { case (aId, aVecF) =>
-        val aVec = aVecF.map(_.toDouble)
-        val aNorm = normOf(aVec)
-        Iterator.range(0, bIds.length)
-          .filter(j => bIds(j) > aId)
-          .flatMap { j =>
-            val c = round5(dotOf(aVec, bVecs(j)) / (aNorm * bNorms(j)))
-            if (c >= threshold) Some((aId, bIds(j), c)) else None
+    if (ds.count() <= broadcastMaxRows) {
+      val all = ds.collect().sortBy(_._1)
+      val ids = all.map(_._1)
+      val vecs = all.map(_._2.map(_.toDouble))
+      val norms = vecs.map(normOf)
+      val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+      ds.mapPartitions { it =>
+        val (bIds, bVecs, bNorms) = bc.value
+        it.flatMap { case (aId, aVecF) =>
+          val aVec = aVecF.map(_.toDouble)
+          val aNorm = normOf(aVec)
+          Iterator.range(0, bIds.length)
+            .filter(j => bIds(j) > aId)
+            .flatMap { j =>
+              val c = round5(dotOf(aVec, bVecs(j)) / (aNorm * bNorms(j)))
+              if (c >= threshold) Some((aId, bIds(j), c)) else None
+            }
+        }
+      }.toDF("a", "b", "cos")
+    } else {
+      // banded LSH blocking. Band buckets are computed with primitive loops
+      // in one scan (one plane-matrix dot per band×plane), not Column HOFs.
+      val nPlanes = bands * planesPerBand
+      val banded = ds.mapPartitions { it =>
+        var planes: Array[Array[Double]] = null // built lazily from row dims
+        it.flatMap { case (id, vecF) =>
+          if (planes == null)
+            planes = Array.tabulate(nPlanes, vecF.length)((p, d) => coeff(p, d))
+          val v = vecF.map(_.toDouble)
+          Iterator.range(0, bands).map { band =>
+            var bucket = 0L
+            var p = 0
+            while (p < planesPerBand) {
+              if (dotOf(v, planes(band * planesPerBand + p)) >= 0)
+                bucket |= 1L << p
+              p += 1
+            }
+            (id, band, bucket)
           }
-      }
-    }.toDF("a", "b", "cos")
+        }
+      }.toDF("id", "band", "bucket")
+      val l = banded.select(col("id").as("a"), col("band"), col("bucket"))
+      val r = banded.select(col("id").as("b"), col("band"), col("bucket"))
+      val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      // exact verify: join the vectors onto the candidates (hash joins keyed
+      // by id — candidates are a small fraction of n² after blocking) and
+      // run the codegen'd cosine kernel. round() == round5 by construction.
+      val vecsDf = ds.toDF("vid", "vec")
+      cand
+        .join(vecsDf.select(col("vid").as("a"), col("vec").as("va")), "a")
+        .join(vecsDf.select(col("vid").as("b"), col("vec").as("vb")), "b")
+        .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")), 5))
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"), col("cos"))
+    }
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer → corpus rows
@@ -131,20 +185,30 @@ object Similarity {
     * cost ≈ nprobe/nlist of the corpus per query, recall → 1 as nprobe →
     * nlist.
     *
-    * Training runs Lloyd's iterations on the driver over the collected
-    * corpus — embeddings are a dimension-sized table here; at 100 TB you
-    * train on a sample (k-means needs only a sketch of the distribution)
-    * and the assignment below is already distributed (broadcast centroids +
-    * one scan). Deterministic: centroids init from the first `nlist`
-    * vectors by id, fixed iteration count, ties to the lower list id. */
+    * Training runs Lloyd's iterations on the driver over a SAMPLE of the
+    * corpus, capped at `maxTrainRows` — k-means needs only a sketch of the
+    * distribution, and the sample is drawn by id hash (xxhash64 mod), so it
+    * is deterministic regardless of partitioning and never materializes the
+    * corpus on the driver. The assignment pass is distributed (broadcast
+    * centroids + one scan). Deterministic: centroids init from the first
+    * `nlist` sampled vectors by id, fixed iteration count, ties to the
+    * lower list id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxTrainRows: Long = 1L << 18): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    val all = ds.collect().sortBy(_._1)
+    // deterministic hash-mod sample for training: expected size ≈
+    // maxTrainRows (collect is bounded; corpora at or below the cap train
+    // on every row, so small-corpus results are unchanged).
+    val total = ds.count()
+    val mod = math.max(1L, total / maxTrainRows)
+    val train = if (mod == 1L) ds
+      else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+    val all = train.collect().sortBy(_._1)
     val vecs = all.map(_._2.map(_.toDouble))
 
     // Lloyd's algorithm, deterministic
@@ -209,7 +273,10 @@ object Similarity {
     s
   }
   private def normOf(a: Array[Double]): Double = math.sqrt(dotOf(a, a))
-  /** HALF_UP at 5 decimals (matches Spark round / DuckDB round for the
-    * positive values a threshold can pass). */
-  private def round5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
+  /** HALF_UP at 5 decimals — literally the computation Spark's `round(_, 5)`
+    * performs on doubles (BigDecimal.valueOf → setScale HALF_UP), so the
+    * primitive-loop paths and the Column-round paths agree at every
+    * representation boundary. */
+  private def round5(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
 }

@@ -32,11 +32,17 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadSchema = right.select(payload.keys.toSeq.map(col): _*).schema
+    // tie-break only on ORDERABLE payload fields: a MapType (or other
+    // unorderable) payload column must still be carried, but including it in
+    // the ordering struct would fail analysis at orderBy.
+    val tieCols = payloadSchema.fields.toSeq
+      .filter(f => orderable(f.dataType)).map(f => f.name)
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(1))
       .withColumn("__payload",
-        lit(null).cast(right.select(payload.keys.toSeq.map(col): _*).schema
+        lit(null).cast(payloadSchema
           .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _)))
     val r = right
       .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
@@ -46,18 +52,32 @@ object AsOfJoin {
       (leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__payload"))): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal __t → `<=` semantics.
-    // __payload is the final tie-breaker: when several right rows share
-    // (key, t), last() deterministically attaches the greatest payload
-    // struct (field-wise ordering) instead of whichever row the shuffle
-    // happened to deliver last. Left rows all carry null payloads, so the
-    // extra key never reorders them.
+    // The orderable payload fields are the final tie-breaker: when several
+    // right rows share (key, t), last() deterministically attaches the
+    // greatest such tuple instead of whichever row the shuffle happened to
+    // deliver last. Left rows all carry null payloads, so the extra key
+    // never reorders them. (If NO payload field is orderable, equal-(key,t)
+    // right rows have no deterministic winner — matching the pre-tie-break
+    // behavior for that corner.)
+    val tieKeys =
+      if (tieCols.isEmpty) Nil
+      else Seq(struct(tieCols.map(c => col(s"__payload.$c")): _*).asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__isLeft").asc, col("__payload").asc)
+      .orderBy((Seq(col("__t").asc, col("__isLeft").asc) ++ tieKeys): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match",
       last(col("__payload"), ignoreNulls = true).over(w))
     carried.filter(col("__isLeft") === 1)
       .select(leftCols.map(col) ++
         payload.map { case (src, dst) => col(s"__match.$src").as(dst) }.toSeq: _*)
+  }
+
+  /** Can this type appear in an ORDER BY? (Mirrors Catalyst's orderability:
+    * maps are not orderable; structs/arrays are iff their parts are.) */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+    case _ => true
   }
 }

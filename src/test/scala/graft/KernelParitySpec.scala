@@ -57,6 +57,52 @@ class KernelParitySpec extends SparkSpec {
     assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
   }
 
+  test("cosine_sim keeps double inputs double (no float downcast)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pairs = emb.limit(20).select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+    // HOF formulation on the double arrays is the spec; the kernel must
+    // match it bit-for-bit, which a float downcast would break (~7
+    // significant digits).
+    val hof = pairs.select(col("a"), col("b"),
+      graft.llm.Similarity.cosine(col("va"), col("vb")).as("cos"))
+    val kernel = pairs.select(col("a"), col("b"),
+      graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")).as("cos"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    // and perturbations below float precision must change the score
+    val bumped = pairs.limit(1).select(
+      graft.functions.VectorKernels.cosine_sim(
+        transform(col("va"), x => x + lit(1e-12)), col("vb")).as("c1"),
+      graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")).as("c0"))
+      .head()
+    assert(bumped.getDouble(0) != bumped.getDouble(1),
+      "sub-float-precision perturbation was lost — inputs were downcast")
+  }
+
+  test("cosine_sim returns null on length mismatch (HOF semantics)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(graft.functions.VectorKernels.cosine_sim(col("a"), col("b"))).head()
+    assert(out.isNullAt(0))
+  }
+
+  test("scala-side HALF_UP rounding == Spark round() at boundaries") {
+    // the primitive-loop verify paths (Similarity.round5, Dedup's broadcast
+    // branch) claim to mirror Spark round()'s BigDecimal computation; check
+    // on representation-boundary values where floor(x*1e4+0.5)/1e4 differs.
+    val vals = Seq(0.12345, 0.123455, 0.5729250000000001, 0.06155, 2.675,
+      0.286785, 0.0001, 0.99995, 0.444445, 1.0 / 3.0, 2.0 / 3.0, 0.57295) ++
+      (1 to 500).map(i => i.toDouble / 7919.0)
+    val df = vals.toDF("x")
+    val viaSpark = df.select(round(col("x"), 4)).collect().map(_.getDouble(0))
+    val viaMirror = vals.map(x => java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    viaSpark.zip(viaMirror).zip(vals).foreach { case ((s, m), x) =>
+      assert(s == m, s"round mismatch at $x: spark=$s mirror=$m")
+    }
+  }
+
   test("minhash_band_hashes == affine-min + xxhash64-chain formulation") {
     val bands = 4
     val rpb = 2

@@ -71,6 +71,38 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.45, s"ivf recall $recall")
   }
 
+  test("LSH-blocked embeddingNearDup: exact-scored subset with usable recall") {
+    val exact = Similarity.embeddingNearDup(emb, 0.4)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // force the distributed blocked path (ceiling 0): candidates come from
+    // banded LSH, scores from the codegen kernel — every found pair must
+    // carry the exact path's score bit-for-bit.
+    val blocked = Similarity.embeddingNearDup(emb, 0.4, "vec_id", "embedding",
+      broadcastMaxRows = 0L, bands = 32, planesPerBand = 8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(blocked.keySet.subsetOf(exact.keySet),
+      s"blocked path invented pairs: ${blocked.keySet.diff(exact.keySet).take(5)}")
+    blocked.foreach { case (pair, c) =>
+      assert(exact(pair) == c, s"score drift at $pair: ${exact(pair)} vs $c") }
+    // 32 bands × 8 planes at cosine ~0.4-0.6 → theory ≈ 0.6+; this corpus
+    // measured ~0.8. Anything above half is a working blocker.
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall > 0.5, s"blocked recall $recall (${blocked.size}/${exact.size})")
+  }
+
+  test("IVF trained on a hash-mod sample still beats the recall bar") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // maxTrainRows below the corpus size → mod > 1 → Lloyd's sees only the
+    // deterministic hash-mod sample; assignment stays corpus-wide.
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4,
+      iters = 5, idCol = "vec_id", vecCol = "embedding", maxTrainRows = 128)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall > 0.4, s"sampled-training ivf recall $recall")
+  }
+
   test("decode stub emits 4 features per media row, deterministic") {
     val media = Multimodal.ingestAsMedia(docs.limit(10), "doc_id", "text", "source")
     val f1 = Multimodal.decodeStub(media).orderBy("media_id").collect()
