@@ -1,27 +1,40 @@
 package graft.graph
 
 /** Cypher-subset AST + parser (SURVEY §2.8; reference parser at
-  * /root/reference/cypher.py:3-278, golden shapes in cypher_test.py).
+  * /root/reference/cypher.py:3-278, golden shapes in cypher_test.py; edge
+  * direction bookkeeping at /root/reference/client.py:805-816, RETURN of
+  * node attribute values at client.py:1201-1219).
   *
   * Grammar (case-insensitive keywords, as the reference):
   * {{{
-  *   stmt    := MATCH chains RETURN var (, var)*   |  MERGE chains
+  *   stmt    := MATCH chains RETURN ret (, ret)*   |  MERGE chains
   *   chains  := chain (, chain)*
-  *   chain   := node (-[:REL]-> node)*
+  *   chain   := node (edge node)*
+  *   edge    := -[:REL]->  |  <-[:REL]-  |  -[:REL]-      // out / in / both
   *   node    := ( [var] [:Label] [{k: 'v', ...}] )   // keys may be quoted
+  *   ret     := var [. attr]                          // n  |  n.name
   * }}}
   * The IR mirrors the reference's `parser.graph` element list (node dicts +
   * relationship dicts) regrouped into chains.
   */
 object Cypher {
 
+  sealed trait Dir
+  case object Out extends Dir   // (a)-[:R]->(b)
+  case object In extends Dir    // (a)<-[:R]-(b)
+  case object Both extends Dir  // (a)-[:R]-(b)
+
   final case class NodePat(variable: Option[String], label: Option[String],
                            attrs: Map[String, String])
-  final case class Chain(nodes: Seq[NodePat], rels: Seq[String]) {
+  final case class Rel(typ: String, dir: Dir)
+  final case class Chain(nodes: Seq[NodePat], rels: Seq[Rel]) {
     require(nodes.length == rels.length + 1, "malformed chain")
   }
+  /** RETURN item: the bound node (attr = None) or one of its attribute
+    * values (attr = Some; "name" addresses the node identity itself). */
+  final case class Ret(variable: String, attr: Option[String])
   sealed trait Stmt
-  final case class Match(chains: Seq[Chain], returns: Seq[String]) extends Stmt
+  final case class Match(chains: Seq[Chain], returns: Seq[Ret]) extends Stmt
   final case class Merge(chain: Chain) extends Stmt
 
   def parse(input: String): Stmt = new P(input).stmt()
@@ -52,11 +65,16 @@ object Cypher {
       case "match" =>
         val cs = chains()
         require(keyword() == "return", "expected RETURN")
-        val vars = scala.collection.mutable.ArrayBuffer(ident())
-        while (tryEat(',')) vars += ident()
-        Match(cs, vars.toSeq)
+        val rets = scala.collection.mutable.ArrayBuffer(ret())
+        while (tryEat(',')) rets += ret()
+        Match(cs, rets.toSeq)
       case "merge" => Merge(chains().head)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
+    }
+
+    private def ret(): Ret = {
+      val v = ident()
+      if (tryEat('.')) Ret(v, Some(ident())) else Ret(v, None)
     }
 
     private def chains(): Seq[Chain] = {
@@ -73,9 +91,14 @@ object Cypher {
 
     private def chain(): Chain = {
       val nodes = scala.collection.mutable.ArrayBuffer(node())
-      val rels = scala.collection.mutable.ArrayBuffer.empty[String]
-      while ({ ws(); peek == '-' }) {
-        eat('-'); eat('['); eat(':'); rels += ident(); eat(']'); eat('-'); eat('>')
+      val rels = scala.collection.mutable.ArrayBuffer.empty[Rel]
+      while ({ ws(); peek == '-' || peek == '<' }) {
+        val reversed = tryEat('<')
+        eat('-'); eat('['); eat(':'); val typ = ident(); eat(']'); eat('-')
+        val forward = tryEat('>')
+        require(!(reversed && forward), s"edge cannot be both <- and -> in: $s")
+        rels += Rel(typ,
+          if (reversed) In else if (forward) Out else Both)
         nodes += node()
       }
       Chain(nodes.toSeq, rels.toSeq)

@@ -45,7 +45,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         throw new IllegalArgumentException("MERGE node needs a 'name' attribute")),
         n.label.getOrElse(""), n.attrs))
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
-      (ns(k)._1, ns(k + 1)._1, r)
+      r.dir match {
+        case Cypher.Out => (ns(k)._1, ns(k + 1)._1, r.typ)
+        case Cypher.In => (ns(k + 1)._1, ns(k)._1, r.typ)
+        case Cypher.Both => throw new IllegalArgumentException(
+          "MERGE requires a directed edge (-[:R]-> or <-[:R]-)")
+      }
     }
     // within-statement duplicates resolved driver-side, first occurrence
     // wins (deterministic — ns/es are in statement order)
@@ -97,7 +102,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** G4/G5/G6 MATCH: compile comma-separated triple chains into a join tree
-    * and project the RETURN variables (bound node names). */
+    * and project the RETURN items — bound node names, or attribute values
+    * (`return n.name`-style, reference client.py:1201-1219, whose RETURN
+    * yields whole node dicts; here each addressed attribute is one output
+    * column named `var_attr`).
+    *
+    * Edge direction (reference client.py:805-816): `-[:R]->` reads the edge
+    * list as (src=left, dst=right), `<-[:R]-` flips it, and `-[:R]-` matches
+    * either orientation (a union of both before the join — final RETURN
+    * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
     case Cypher.Match(chains, returns) =>
       var anon = 0
@@ -122,8 +135,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           bind(nodesFor(ch.nodes.head, v).getOrElse(vertices.select(col("name").as(v))))
         } else ch.rels.zipWithIndex.foreach { case (rel, k) =>
           val (sv, dv) = (vars(k), vars(k + 1))
-          var hop = edges.filter(col("rel") === rel)
-            .select(col("src").as(sv), col("dst").as(dv))
+          val typed = edges.filter(col("rel") === rel.typ)
+          var hop = rel.dir match {
+            case Cypher.Out => typed.select(col("src").as(sv), col("dst").as(dv))
+            case Cypher.In => typed.select(col("dst").as(sv), col("src").as(dv))
+            case Cypher.Both =>
+              typed.select(col("src").as(sv), col("dst").as(dv))
+                .unionByName(typed.select(col("dst").as(sv), col("src").as(dv)))
+          }
           // endpoint label/attr constraints: broadcast semi-joins against the
           // (small) filtered vertex set — stays a map-side filter at scale.
           nodesFor(ch.nodes(k), sv).foreach(n => hop = hop.join(broadcast(n), sv))
@@ -131,7 +150,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           bind(hop)
         }
       }
-      acc.get.select(returns.map(col): _*).distinct()
+
+      var out = acc.get
+      // attribute RETURNs need the vertex row back: join attrs on per-var
+      // name once per distinct variable addressed with `.attr`.
+      val attrVars = returns.collect {
+        case Cypher.Ret(v, Some(a)) if a != "name" => v
+      }.distinct
+      attrVars.foreach { v =>
+        out = out.join(
+          vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")), v)
+      }
+      val cols = returns.map {
+        case Cypher.Ret(v, None) => col(v)
+        case Cypher.Ret(v, Some("name")) => col(v).as(s"${v}_name")
+        case Cypher.Ret(v, Some(a)) => col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
+      }
+      out.select(cols: _*).distinct()
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
   }
 }
@@ -145,19 +180,25 @@ object PropertyGraph {
   }
 
   /** Build the t2 graph from the TPC-H-ish tables: Customer-IN->Nation,
-    * Nation-IN->Region, Supplier-LOCATED->Nation. */
+    * Nation-IN->Region, Supplier-LOCATED->Nation. Each node carries its
+    * natural attributes (the reference's node dicts hold the full attribute
+    * map and RETURN can address them — client.py:1201-1219). */
   def fromTpch(customer: DataFrame, nation: DataFrame, region: DataFrame,
                supplier: DataFrame): PropertyGraph = {
-    val noAttrs = map().cast("map<string,string>").as("attrs")
     val v =
       customer.select(concat(lit("customer:"), col("c_custkey")).as("name"),
-        lit("Customer").as("label"), noAttrs)
+        lit("Customer").as("label"),
+        map(lit("c_name"), col("c_name"),
+          lit("c_mktsegment"), col("c_mktsegment")).as("attrs"))
       .unionByName(nation.select(concat(lit("nation:"), col("n_name")).as("name"),
-        lit("Nation").as("label"), noAttrs))
+        lit("Nation").as("label"),
+        map(lit("n_name"), col("n_name")).as("attrs")))
       .unionByName(region.select(concat(lit("region:"), col("r_name")).as("name"),
-        lit("Region").as("label"), noAttrs))
+        lit("Region").as("label"),
+        map(lit("r_name"), col("r_name")).as("attrs")))
       .unionByName(supplier.select(concat(lit("supplier:"), col("s_suppkey")).as("name"),
-        lit("Supplier").as("label"), noAttrs))
+        lit("Supplier").as("label"),
+        map(lit("s_name"), col("s_name")).as("attrs")))
     val natByKey = nation.select(col("n_nationkey"), concat(lit("nation:"), col("n_name")).as("nname"))
     val e =
       customer.join(natByKey, col("c_nationkey") === col("n_nationkey"))

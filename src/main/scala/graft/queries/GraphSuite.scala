@@ -57,6 +57,46 @@ object GraphSuite extends Suite {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |WHERE n_name = 'NATION_3'""".stripMargin)),
 
+    // G4 reverse edge: <-[:IN]- reads customer-IN->nation right-to-left
+    // (reference direction bookkeeping, client.py:805-816).
+    "cypher_reverse" -> Q(
+      (s, d) => g(s, d).query(
+        "match (n:Nation)<-[:IN]-(c:Customer) return c, n"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'nation:' || n_name AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // G4 undirected edge: -[:IN]- matches either orientation, so an
+    // unconstrained neighbor of a Nation is a Customer (incoming IN) or a
+    // Region (outgoing IN).
+    "cypher_undirected" -> Q(
+      (s, d) => g(s, d).query(
+        "match (n:Nation)-[:IN]-(x) return n, x"),
+      Some("""SELECT DISTINCT 'nation:' || n_name AS n, 'region:' || r_name AS x
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |UNION
+             |SELECT DISTINCT 'nation:' || n_name AS n,
+             |  'customer:' || CAST(c_custkey AS VARCHAR) AS x
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // G6 attribute RETURN: project attr values off the bound nodes
+    // (client.py:1201-1219 returns node dicts; here n.n_name → column
+    // n_n_name), mixed with a plain node return.
+    "cypher_return_attr" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) return c.c_mktsegment, n.n_name"),
+      Some("""SELECT DISTINCT c_mktsegment AS c_c_mktsegment, n_name AS n_n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // G3 attribute-map filter on a non-name attribute + attr projection.
+    "cypher_attr_filter" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer {c_mktsegment: 'BUILDING'})-[:IN]->(n:Nation) return c, n.n_name"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  n_name AS n_n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
     // G1/G2 MERGE round-trip: merge the 5 regions (idempotently — one is
     // merged twice) into an empty graph, then MATCH them back.
     "cypher_merge_match" -> Q(

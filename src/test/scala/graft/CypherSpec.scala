@@ -10,10 +10,10 @@ class CypherSpec extends SparkSpec {
   test("golden IR: match with label + attribute map (cypher_test.py:3-22)") {
     val q = "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) return actor"
     val Cypher.Match(chains, returns) = Cypher.parse(q): @unchecked
-    assert(returns == Seq("actor"))
+    assert(returns == Seq(Cypher.Ret("actor", None)))
     assert(chains.size == 1)
     val ch = chains.head
-    assert(ch.rels == Seq("ACTED_IN"))
+    assert(ch.rels == Seq(Cypher.Rel("ACTED_IN", Cypher.Out)))
     assert(ch.nodes(0) == Cypher.NodePat(Some("actor"), None, Map.empty))
     assert(ch.nodes(1) == Cypher.NodePat(Some("wallstreet"), Some("Movie"),
       Map("title" -> "Wall Street")))
@@ -22,13 +22,46 @@ class CypherSpec extends SparkSpec {
   test("golden IR: keywords case-insensitive (cypher_test.py:25-45)") {
     val q = "MATCH (actor)-[:ACTED_IN]->(w:Movie {title: 'Wall Street'}) RETURN actor"
     val Cypher.Match(_, returns) = Cypher.parse(q): @unchecked
-    assert(returns == Seq("actor"))
+    assert(returns == Seq(Cypher.Ret("actor", None)))
+  }
+
+  test("golden IR: edge directions and attribute RETURN items") {
+    val Cypher.Match(chains, returns) = Cypher.parse(
+      "match (n:Nation)<-[:IN]-(c:Customer)-[:KNOWS]-(o) return c, n.n_name, o.name"): @unchecked
+    assert(chains.head.rels == Seq(
+      Cypher.Rel("IN", Cypher.In), Cypher.Rel("KNOWS", Cypher.Both)))
+    assert(returns == Seq(Cypher.Ret("c", None),
+      Cypher.Ret("n", Some("n_name")), Cypher.Ret("o", Some("name"))))
+    // a malformed <-...-> edge is rejected
+    intercept[IllegalArgumentException] {
+      Cypher.parse("match (a)<-[:R]->(b) return a")
+    }
+  }
+
+  test("reverse and undirected MATCH agree with the forward formulation") {
+    val g = PropertyGraph.empty(spark)
+      .merge("merge (a:Person {'name': 'Sam'})-[:FRIEND]->(b:Person {'name': 'Tasya'})")
+      .merge("merge (a:Person {'name': 'Simon'})-[:FRIEND]->(b:Person {'name': 'Sam'})")
+    // <- flips: who does Sam point at / who points at Sam
+    val outOf = g.query("match (p:Person {name: 'Sam'})-[:FRIEND]->(q) return q")
+      .collect().map(_.getString(0)).toSet
+    val into = g.query("match (p:Person {name: 'Sam'})<-[:FRIEND]-(q) return q")
+      .collect().map(_.getString(0)).toSet
+    assert(outOf == Set("Tasya") && into == Set("Simon"))
+    // undirected = both orientations
+    val any = g.query("match (p:Person {name: 'Sam'})-[:FRIEND]-(q) return q")
+      .collect().map(_.getString(0)).toSet
+    assert(any == Set("Tasya", "Simon"))
+    // attribute RETURN projects the attr value under var_attr
+    val attrs = g.query("match (p:Person {name: 'Sam'})-[:FRIEND]->(q) return q.name")
+    assert(attrs.columns.toSeq == Seq("q_name"))
+    assert(attrs.collect().map(_.getString(0)).toSet == Set("Tasya"))
   }
 
   test("merge parses quoted attribute keys (example.py:242 style)") {
     val Cypher.Merge(ch) = Cypher.parse(
       "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(tasya:Person {'name': 'Tasya'})"): @unchecked
-    assert(ch.rels == Seq("FRIEND"))
+    assert(ch.rels == Seq(Cypher.Rel("FRIEND", Cypher.Out)))
     assert(ch.nodes(0).attrs("name") == "Samuel")
   }
 
