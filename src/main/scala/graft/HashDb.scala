@@ -40,10 +40,19 @@ final class HashDb(val spark: SparkSession) {
   def sql(statement: String): Option[DataFrame] =
     HashQL.execute(catalog, statement, Some(joins))
 
-  /** Expand a registered `create join` into its (lazily consistent) view. */
-  def joinView(name: String = "default"): DataFrame =
+  /** Expand a registered `create join` into its (lazily consistent) view.
+    * Views are named by their table set (sorted, '+'-joined — see
+    * JoinRegistry); pass either that canonical name or any table subset via
+    * [[joinViewFor]]. */
+  def joinView(name: String): DataFrame =
     HashQL.joinView(catalog, joins.get(name).getOrElse(
       throw new IllegalArgumentException(s"no create join registered: $name")))
+
+  /** Expand the registered view covering exactly `tables`. */
+  def joinViewFor(tables: Set[String]): DataFrame =
+    HashQL.joinView(catalog, joins.forTables(tables).getOrElse(
+      throw new IllegalArgumentException(
+        s"no create join registered over: ${tables.toSeq.sorted.mkString(", ")}")))
 
   // ---------------- document surface (POST /save, GET /documents) ------
   /** Save a JSON document (S9): nested row in table `collection`

@@ -58,15 +58,25 @@ object MatView {
       conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
   }
-  private def sideKey(plan: LogicalPlan): Option[String] = plan match {
-    case Project(_, child) => sideKey(child)
-    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if conjuncts(f.condition).forall(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>
-      sideKey(f.child)
-    case leaf if leaf.children.isEmpty => Some(leaf.canonicalized.toString)
-    case _ => None
-  }
+  /** Flatten an inner-equi-join TREE (n-way, any shape — the reference's own
+    * `create join` smoke is 3-way, example.py:151-238) into its leaf
+    * relations plus the union of all equi-condition column-name pairs.
+    * Returns None if anything other than a bare relation (modulo
+    * pruning-Projects / IsNotNull-Filters) or a plain inner equi-join
+    * appears — a user filter means the query is NOT the registered view. */
+  private def flatten(plan: LogicalPlan): Option[(Set[String], Set[(String, String)])] =
+    plan match {
+      case Project(_, child) => flatten(child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if conjuncts(f.condition).forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>
+        flatten(f.child)
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for ((ll, lc) <- flatten(j.left); (rl, rc) <- flatten(j.right))
+          yield (ll ++ rl, lc ++ rc ++ condKey(j))
+      case leaf if leaf.children.isEmpty => Some((Set(leaf.canonicalized.toString), Set.empty))
+      case _ => None
+    }
 
   private def condKey(j: Join): Set[(String, String)] =
     j.condition.toSeq.flatMap(_.collect {
@@ -75,8 +85,7 @@ object MatView {
     }).toSet
 
   private def keyOf(j: Join): Option[Key] =
-    for (l <- sideKey(j.left); r <- sideKey(j.right))
-      yield Key(Set(l, r), condKey(j))
+    flatten(j).map { case (leaves, conds) => Key(leaves, conds) }
 
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -99,15 +108,18 @@ object MatView {
     }
   }
 
-  /** Materialize `view` (an inner equi-join) to `path` and install the
-    * routing rule: from now on any query in this session joining the same
-    * relations on the same keys reads the parquet instead. Call again to
-    * refresh after base-table changes. */
+  /** Materialize `view` (an inner equi-join chain — 2-way or n-way, any
+    * tree shape) to `path` and install the routing rule: from now on any
+    * query in this session joining the same relations on the same keys
+    * reads the parquet instead. Call again to refresh after base-table
+    * changes. */
   def materialize(spark: SparkSession, name: String, view: DataFrame, path: String): Unit = {
     val analyzed = view.queryExecution.optimizedPlan
+    // collectFirst visits pre-order, so the first Join is the topmost —
+    // keyOf flattens the whole chain under it.
     val joinKey = analyzed.collectFirst { case j: Join => keyOf(j) }.flatten.getOrElse(
       throw new IllegalArgumentException(
-        "materialize expects a 2-way inner equi-join of plain relations"))
+        "materialize expects an inner equi-join (chain) of plain relations"))
     view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
     val reg = registry(spark)

@@ -48,6 +48,19 @@ object DocSuite extends Suite {
              |FROM customer
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // P1+P2 mixed: a plain field projected ALONGSIDE a doc path through the
+    // HashQL dialect — the scalar repeats per exploded leaf (round-2 gap:
+    // doc paths could only be projected alone).
+    "hashql_doc_mixed" -> Q(
+      (s, d) => {
+        val cat = new graft.core.GraftCatalog(s)
+        cat.register("customer_docs", docs(s, d))
+        graft.sql.HashQL.execute(cat,
+          "select customer_docs.cust_id, customer_docs.~orders[]~o_orderkey from customer_docs").get
+      },
+      Some("""SELECT c_custkey AS cust_id, o_orderkey
+             |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
+
     // F3: JSON leaf extraction from a raw JSON string column.
     "json_extract" -> Q(
       (s, d) => Tables.t(s, d, "events")

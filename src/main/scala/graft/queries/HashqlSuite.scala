@@ -106,6 +106,35 @@ object HashqlSuite extends Suite {
              |JOIN people ON items.people = people.id
              |JOIN products ON items.search = products.name""".stripMargin)),
 
+    // J5 n-way routing: the reference's own create-join shape (3-way,
+    // example.py:151-238) materialized once, then an independently-built
+    // identical join routes to the parquet — the result below is computed
+    // THROUGH the routed plan (written + view dropped before returning, so
+    // no registry state leaks into other queries in this session).
+    "matview_route3" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val customer = Tables.t(s, d, "customer")
+        val nation = Tables.t(s, d, "nation")
+        val region = Tables.t(s, d, "region")
+        val view = customer
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mv3").toString
+        graft.matview.MatView.materialize(s, "route3_tmp", view, s"$tmp/view")
+        val q = customer
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name"), col("r_name"))
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res) // optimized while routing is live
+        graft.matview.MatView.drop(s, "route3_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT c_custkey, n_name, r_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // M3/J5: create join registered, expanded as a view, queried.
     "hashql_create_join_view" -> Q(
       (s, d) => {
@@ -115,7 +144,7 @@ object HashqlSuite extends Suite {
           "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
             "inner join region on nation.n_regionkey = region.r_regionkey",
           Some(reg))
-        HashQL.joinView(cat, reg.get("default").get)
+        HashQL.joinView(cat, reg.forTables(Set("customer", "nation", "region")).get)
           .select("c_custkey", "n_name", "r_name")
       },
       Some("""SELECT c_custkey, n_name, r_name FROM customer

@@ -181,11 +181,34 @@ object HashQL {
     * `view` recomputes lazily (Spark's lazy evaluation makes every view
     * consistent with current table state — the reference's insert-time
     * maintenance is an optimization our streaming module provides
-    * separately, see graft.streaming.Streams.maintainJoin). */
+    * separately, see graft.streaming.Streams.maintainJoin).
+    *
+    * Entries are keyed by the SET of tables the clauses touch (canonical
+    * name = sorted tables joined with '+'), mirroring the reference's
+    * per-table-pair registration (server.py:674-696) — create joins over
+    * different table sets coexist; re-creating a join over the same table
+    * set versions it (latest wins), never silently clobbering an unrelated
+    * view. */
   final class JoinRegistry {
     private var views = Map.empty[String, CreateJoin]
-    def put(name: String, cj: CreateJoin): Unit = views += name -> cj
+
+    /** All tables a create-join's clauses mention. */
+    def tablesOf(cj: CreateJoin): Set[String] =
+      cj.clauses.flatMap { case (t, l, r) => Seq(t, l.table, r.table) }.toSet
+
+    /** Canonical registry name for a clause set. */
+    def nameOf(cj: CreateJoin): String = tablesOf(cj).toSeq.sorted.mkString("+")
+
+    /** Register; returns the canonical name. Same table set ⇒ replaces
+      * (versioning — the refreshed definition wins). */
+    def put(cj: CreateJoin): String = {
+      val n = nameOf(cj)
+      views += n -> cj
+      n
+    }
     def get(name: String): Option[CreateJoin] = views.get(name)
+    def forTables(tables: Set[String]): Option[CreateJoin] =
+      views.get(tables.toSeq.sorted.mkString("+"))
     def names: Seq[String] = views.keys.toSeq.sorted
   }
 
@@ -212,7 +235,7 @@ object HashQL {
         cat.update(t, ref.column, v, cond); None
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
-          "create join needs a JoinRegistry")).put("default", cj); None
+          "create join needs a JoinRegistry")).put(cj); None
       case Select(items, table, joins, wheres, groupBy) =>
         var df = cat.table(table)
         joins.foreach { case (t, l, r) =>
@@ -239,13 +262,25 @@ object HashQL {
           case None =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
-              // doc-path projection (one per statement, as in the reference
-              // examples): one output row per addressed leaf
+              // doc-path projection (one array path per statement): one
+              // output row per addressed leaf. Plain fields may be projected
+              // ALONGSIDE the path (reference README.md:134-145 style mixed
+              // row dicts) — they repeat per exploded leaf.
               require(docPaths.size == 1, "one doc-path per select supported")
               val path = docPaths.head.column
               val alias = path.split("~").last.stripSuffix("[]")
-              // the dialect projects only the addressed field (example.py:335)
-              graft.doc.DocStore.selectPath(df, "doc", path, alias).select(alias)
+              val exploded = graft.doc.DocStore.selectPath(df, "doc", path, alias)
+              val outCols = items.collect {
+                case Field(r) if r.column.startsWith("~") => alias
+                case Field(r) => r.column
+              }
+              val scalarCols = outCols.filter(_ != alias)
+              val projected = exploded.select(outCols.map(col): _*)
+              // missing-field skip applies to the scalar fields, as in the
+              // plain branch (server.py:1054-1060); null doc leaves are kept
+              // (unchanged single-path semantics).
+              if (scalarCols.isEmpty) projected
+              else projected.na.drop("any", scalarCols)
             } else {
               val cols = items.flatMap {
                 case Star => df.columns.toSeq

@@ -62,8 +62,10 @@ class ExampleSpec extends SparkSpec {
       (1000L, "Simon", "Tree"),
       (300L, "Fred", "Spanner"), (450L, "Fred", "Spanner"), (600L, "Fred", "Spanner")))
 
-    // the registered CREATE JOIN expands to a consistent view
-    assert(db.joinView().count() > 0)
+    // the registered CREATE JOIN expands to a consistent view, addressed
+    // by its table set (or equivalently the canonical '+' name)
+    assert(db.joinViewFor(Set("items", "people", "products", "reviews")).count() > 0)
+    assert(db.joinView("items+people+products+reviews").count() > 0)
   }
 
   test("FTS scenario: '~' with OR + AND chain (example.py:284-306)") {

@@ -68,6 +68,44 @@ class HashQLSpec extends SparkSpec {
     assert(!cat.table("c").queryExecution.optimizedPlan.toString.contains("Union"))
   }
 
+  test("create joins over different table sets coexist; same set versions") {
+    val cat = new GraftCatalog(spark)
+    Seq("insert into items (search, people) values ('Cat', 1)",
+      "insert into people (people_name) values ('Ted')",
+      "insert into products (name, price) values ('Cat', 3)")
+      .foreach(HashQL.execute(cat, _))
+    val reg = new HashQL.JoinRegistry
+    HashQL.execute(cat,
+      "create join inner join people on items.people = people.id", Some(reg))
+    // a second create join over a DIFFERENT table set must NOT clobber the
+    // first (round-2 defect: both landed in one "default" slot)
+    HashQL.execute(cat,
+      "create join inner join products on items.search = products.name", Some(reg))
+    assert(reg.names == Seq("items+people", "items+products"))
+    assert(reg.forTables(Set("items", "people")).isDefined)
+    assert(reg.forTables(Set("people", "items")).isDefined) // order-free
+    val v1 = HashQL.joinView(cat, reg.forTables(Set("items", "people")).get)
+    assert(v1.columns.contains("people_name") && !v1.columns.contains("price"))
+    // re-creating over the SAME table set replaces that entry only
+    HashQL.execute(cat,
+      "create join inner join people on items.people = people.id", Some(reg))
+    assert(reg.names == Seq("items+people", "items+products"))
+  }
+
+  test("mixed doc-path + scalar projection explodes leaves, repeats scalars") {
+    val db = new HashDb(spark)
+    db.saveDocument("people", 1,
+      """{"name": "Sam", "hobbies": [{"name": "God"}, {"name": "Chess"}]}""")
+    db.saveDocument("people", 2, """{"name": "Ted", "hobbies": [{"name": "Go"}]}""")
+    val got = db.sql("select people.id, people.~hobbies[]~name from people").get
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((1L, "God"), (1L, "Chess"), (2L, "Go")))
+    // path-only projection unchanged
+    val only = db.sql("select people.~hobbies[]~name from people").get
+    assert(only.columns.toSeq == Seq("name") && only.count() == 3)
+  }
+
   test("update rewrites matching rows only (example.py:126-149)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")

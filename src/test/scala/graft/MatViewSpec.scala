@@ -35,6 +35,49 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cust_nation")
   }
 
+  test("3-way view routes the whole chain: zero Join nodes survive") {
+    val custNationRegion = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val out = java.nio.file.Files.createTempDirectory("mv4").toString
+    MatView.materialize(spark, "cnr", custNationRegion, out)
+    try {
+      val q = Tables.t(spark, sf, "customer")
+        .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("cnt"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains(out.split("/").last), s"no matview scan in:\n$physical")
+      assert(!physical.contains("Join"), s"join not eliminated:\n$physical")
+      val routed = q.as[(String, Long)].collect().toMap
+      MatView.drop(spark, "cnr")
+      val raw = Tables.t(spark, sf, "customer")
+        .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(routed == raw)
+    } finally MatView.drop(spark, "cnr")
+  }
+
+  test("a 4-way query containing the 3-way view routes the subtree only") {
+    val custNationRegion = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val out = java.nio.file.Files.createTempDirectory("mv5").toString
+    MatView.materialize(spark, "cnr5", custNationRegion, out)
+    try {
+      val q = Tables.t(spark, sf, "customer")
+        .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.t(spark, sf, "orders"), col("o_custkey") === col("c_custkey"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains(out.split("/").last),
+        s"3-way subtree not routed inside the 4-way query:\n$physical")
+      // exactly the view⋈orders join remains
+      val expected = Tables.t(spark, sf, "orders").count()
+      assert(q.count() == expected)
+    } finally MatView.drop(spark, "cnr5")
+  }
+
   test("filtered variants of the view are NOT rewritten (filter must survive)") {
     val out = java.nio.file.Files.createTempDirectory("mv3").toString
     MatView.materialize(spark, "cust_nation3", custNation, out)
