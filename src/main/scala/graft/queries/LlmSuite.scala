@@ -202,10 +202,30 @@ object LlmSuite extends Suite {
         .select("doc_id"),
       Some(cleanCorpusOracle(0.45, "en", 0.6))),
 
-    // SimHash banding (xxhash-based signature — not oracle-expressible;
-    // planted pairs asserted in ScalaTest).
+    // SimHash banding (xxhash-based signature — not DuckDB-expressible, so
+    // rows-only there) with an EXACT in-path cross-check that Verify runs:
+    // pigeonhole banding over maxDist+1 chunks has recall 1 by construction,
+    // so the banded pairs must equal a brute-force hamming join over the
+    // signatures. The O(n²) check only runs at t2-fixture scale; production
+    // scale keeps the banded plan alone.
     "dedup_simhash" -> Q(
-      (s, d) => Dedup.simhashPairs(augmented(s, d), "text", "doc_id", maxDist = 3),
+      (s, d) => {
+        val pairs = Dedup.simhashPairs(augmented(s, d), "text", "doc_id", maxDist = 3)
+        val sigs = Dedup.simhash(augmented(s, d), "text", "doc_id")
+        if (sigs.count() <= 2500) {
+          val l = sigs.select(col("doc_id").as("a"), col("simhash").as("sa"))
+          val r = sigs.select(col("doc_id").as("b"), col("simhash").as("sb"))
+          val brute = l.join(r, col("a") < col("b"))
+            .select(col("a"), col("b"),
+              bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+            .filter(col("hamming") <= 3)
+          val extra = pairs.exceptAll(brute).count()
+          val missing = brute.exceptAll(pairs).count()
+          require(extra == 0 && missing == 0,
+            s"simhash banding != brute-force hamming: +$extra -$missing")
+        }
+        pairs
+      },
       None),
 
     // ---------- embeddings ----------

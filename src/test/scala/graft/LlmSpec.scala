@@ -28,6 +28,18 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.6, s"simhash recall $recall")
   }
 
+  test("simhash pigeonhole banding is EXACT vs brute-force hamming join") {
+    val banded = Dedup.simhashPairs(augmented, "text", "doc_id", maxDist = 3)
+    val sigs = Dedup.simhash(augmented, "text", "doc_id")
+    val l = sigs.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sigs.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    val brute = l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+  }
+
   test("minhash-LSH finds every planted pair at j>=0.6") {
     val pairs = Dedup.minhashLsh(augmented, "text", "doc_id", 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
