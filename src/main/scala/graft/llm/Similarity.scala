@@ -50,8 +50,9 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
     * splitmix64-style integer mix folded to [-1, 1). No RNG state, so every
-    * executor computes identical planes. */
-  private def coeff(plane: Int, d: Int): Double = {
+    * executor computes identical planes — and an oracle can inline the very
+    * same values as SQL literals (graft-private for that purpose). */
+  private[graft] def coeff(plane: Int, d: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

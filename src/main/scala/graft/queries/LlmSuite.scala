@@ -90,6 +90,19 @@ object LlmSuite extends Suite {
        |  i -> $xv.embedding[i]::DOUBLE * $yv.embedding[i]::DOUBLE))
        |  / ($xv.nrm * $yv.nrm)""".stripMargin
 
+  /** DuckDB twin of Similarity.lshBucket: each plane's coefficients are the
+    * SAME deterministic doubles the Spark expression uses, inlined as a list
+    * literal (Double.toString round-trips exactly), and the dot is the same
+    * ascending-index left fold as cosExpr — so bucket ids agree bit-for-bit
+    * and the approximate operator is exactly reproducible. */
+  private def lshBucketSql(dims: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val coeffs = (0 until dims).map(d => Similarity.coeff(p, d).toString).mkString(", ")
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         |  i -> embedding[i]::DOUBLE * ([$coeffs])[i])) >= 0
+         |  THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString("\n + ")
+
   /** clean_corpus oracle: quality+lang filter (fil), exact jaccard pairs
     * over fil, closure, drop non-representatives. */
   private def cleanCorpusOracle(minQuality: Double, lang: String,
@@ -251,11 +264,26 @@ object LlmSuite extends Suite {
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
     // LSH-bucketed ANN — scale path; recall vs brute force asserted in
-    // ScalaTest, rows-only here.
+    // ScalaTest. The bucket planes are DETERMINISTIC (splitmix-mixed
+    // coefficients), so the oracle inlines the exact same plane values as
+    // list literals and reproduces the bucket equi-join bit-for-bit —
+    // a fully hash-checked approximate operator.
     "ann_lsh" -> Q(
       (s, d) => Similarity.lshTopK(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3, dims = 64, planes = 4),
-      None),
+      Some(s"""WITH $cosineNormsCte,
+              |b AS (SELECT vec_id, embedding, nrm,
+              |        ${lshBucketSql(dims = 64, planes = 4)} AS bucket
+              |      FROM n),
+              |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+              |        round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM b q JOIN b x
+              |        ON q.bucket = x.bucket AND q.vec_id <> x.vec_id
+              |      WHERE q.vec_id < 5),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
     // IVF ANN (k-means coarse quantizer + nprobe lists) — the other scale
     // path; recall asserted in ScalaTest, rows-only here.
