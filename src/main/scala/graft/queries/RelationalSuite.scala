@@ -242,11 +242,28 @@ object RelationalSuite extends Suite {
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
     // HLL sketch (approx_count_distinct) — estimator values are
-    // implementation-specific, so rows-only here; accuracy asserted in
-    // RelationalSpec against the exact count.
+    // implementation-specific, so rows-only for DuckDB; but the estimate is
+    // error-bounded IN-PATH (Verify runs it): every group must land within
+    // 3× the default 5% rsd of the exact distinct count. The exact-count
+    // cross-shuffle only runs at t2-fixture scale (like dedup_simhash's
+    // brute-force check) — the production plan is the sketch alone.
     "q_approx_distinct" -> Q(
-      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        if (li.count() <= 100000L) {
+          val offBound = approx.join(
+            li.groupBy(col("l_returnflag"))
+              .agg(countDistinct(col("l_partkey")).as("exact_parts")),
+            "l_returnflag")
+            .filter(abs(col("approx_parts") - col("exact_parts")) >
+              col("exact_parts") * 0.15)
+            .count()
+          require(offBound == 0, s"HLL estimate off by >15% in $offBound groups")
+        }
+        approx
+      },
       None),
 
     // ANSI SQL passthrough surface: the engine registers every table as a

@@ -21,6 +21,19 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("blocked embeddingNearDup plans equi-joins only — no cartesian, no corpus on the driver") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val blocked = graft.llm.Similarity.embeddingNearDup(
+      emb, 0.4, "vec_id", "embedding",
+      broadcastMaxRows = 0L, bands = 8, planesPerBand = 8)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fallback leaked into the blocked path:\n$plan")
+    // candidate generation + verify are hash/sort-merge equi-joins
+    assert(plan.contains("Join"), s"no join in blocked plan:\n$plan")
+    blocked.count() // and it executes
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.t(spark, sf, "orders")
     val lineitem = Tables.t(spark, sf, "lineitem")
