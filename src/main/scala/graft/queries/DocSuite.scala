@@ -61,6 +61,21 @@ object DocSuite extends Suite {
       Some("""SELECT c_custkey AS cust_id, o_orderkey
              |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
 
+    // S9 save-path shred through the oracle: raw JSON strings → inferred
+    // nested rows (DocStore.fromJson) → leaf projected back out. DuckDB
+    // recomputes the leaf from the raw string, so the whole shred/read
+    // cycle is hash-checked (previously ScalaTest-only).
+    "doc_shred_project" -> Q(
+      (s, d) => {
+        val raw = Tables.t(s, d, "events")
+          .select(col("event_id").as("id"), col("props").as("json"))
+        DocStore.fromJson(s, raw)
+          .select(col("id").as("event_id"), col("doc.k").cast("long").as("k"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+             |FROM events""".stripMargin)),
+
     // F3: JSON leaf extraction from a raw JSON string column.
     "json_extract" -> Q(
       (s, d) => Tables.t(s, d, "events")

@@ -76,6 +76,23 @@ object KvSuite extends Suite {
           |WHERE pk = 'user-0005' AND sk LIKE 'view%' AND sk > 'view#0000002000'
           |ORDER BY sk""".stripMargin))),
 
+    // S8 bootstrap re-shard: write the pk-hash-bucketed / (pk,sk)-sorted
+    // layout (the reference's consistent-hash ring at rest), read it back,
+    // and answer a D3 range query from the re-sharded copy — same oracle as
+    // kv_d3_between, so the layout provably preserves query semantics.
+    "kv_optimized_between" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_kvopt").toString
+        kv(s, d).writeOptimized(tmp, buckets = 32)
+        KvStore(s.read.parquet(tmp)).queryBetween("user-0020",
+          "click#0000000000", "click#0000005000")
+      },
+      Some(withKv(
+        """SELECT pk, sk, value FROM kv
+          |WHERE pk = 'user-0020'
+          |  AND sk BETWEEN 'click#0000000000' AND 'click#0000005000'
+          |ORDER BY sk""".stripMargin))),
+
     // D5 query_before_than: pk exact + sk prefix + sk < bound.
     "kv_d5_before_than" -> Q(
       (s, d) => kv(s, d).queryBeforeThan("user-0005", "view", "view#0000005000"),
