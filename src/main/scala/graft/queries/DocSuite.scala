@@ -76,6 +76,19 @@ object DocSuite extends Suite {
              |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
              |FROM events""".stripMargin)),
 
+    // S10 read-path hydrate through the oracle: shredded rows back to JSON
+    // strings (to_json's compact form, rebuilt character-exactly in SQL).
+    "doc_hydrate" -> Q(
+      (s, d) => {
+        val raw = Tables.t(s, d, "events")
+          .select(col("event_id").as("id"), col("props").as("json"))
+        DocStore.hydrate(DocStore.fromJson(s, raw))
+          .select(col("id").as("event_id"), col("json"))
+      },
+      Some("""SELECT event_id,
+             |  '{"k":' || regexp_extract(props, '"k": ([0-9]+)', 1) || '}' AS json
+             |FROM events""".stripMargin)),
+
     // F3: JSON leaf extraction from a raw JSON string column.
     "json_extract" -> Q(
       (s, d) => Tables.t(s, d, "events")
