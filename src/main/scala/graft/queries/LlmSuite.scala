@@ -224,8 +224,9 @@ object LlmSuite extends Suite {
     "dedup_simhash" -> Q(
       (s, d) => {
         val pairs = Dedup.simhashPairs(augmented(s, d), "text", "doc_id", maxDist = 3)
-        val sigs = Dedup.simhash(augmented(s, d), "text", "doc_id")
-        if (sigs.count() <= 2500) {
+        // size gate counts the BASE frame (no signature kernel in the plan)
+        if (augmented(s, d).count() <= 2500) {
+          val sigs = Dedup.simhash(augmented(s, d), "text", "doc_id")
           val l = sigs.select(col("doc_id").as("a"), col("simhash").as("sa"))
           val r = sigs.select(col("doc_id").as("b"), col("simhash").as("sb"))
           val brute = l.join(r, col("a") < col("b"))
