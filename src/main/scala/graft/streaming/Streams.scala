@@ -125,12 +125,22 @@ object Streams {
     * dimension is small. */
   def maintainJoin(stream: DataFrame, dim: DataFrame, joinExpr: org.apache.spark.sql.Column,
                    outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainJoinN(stream, Seq(dim -> joinExpr), outPath, checkpoint)
+
+  /** n-way twin of [[maintainJoin]] for chained CREATE JOIN views (the
+    * reference's own create-join is 3-way): each micro-batch's delta folds
+    * through every dimension join and appends — the at-rest view is the
+    * same left-deep chain `MatView` routes to at read time. */
+  def maintainJoinN(stream: DataFrame,
+                    dims: Seq[(DataFrame, org.apache.spark.sql.Column)],
+                    outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.join(broadcast(dim), joinExpr)
-          .write.mode("append").parquet(outPath)
+        dims.foldLeft(batch) { case (acc, (dim, expr)) =>
+          acc.join(broadcast(dim), expr)
+        }.write.mode("append").parquet(outPath)
       }
       .start()
 }

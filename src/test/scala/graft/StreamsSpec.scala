@@ -51,6 +51,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainJoinN folds a micro-batch through a 3-way dimension chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("mv3_out").toString
+    val ckpt = Files.createTempDirectory("mv3_ckpt").toString
+    val cust = Seq((1L, 10L), (2L, 20L)).toDF("c_id", "n_id")
+    val nat = Seq((10L, "FR"), (20L, "DE")).toDF("nk", "n_name")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("cust_id", "amount")
+    val q = Streams.maintainJoinN(stream,
+      Seq(cust -> (stream("cust_id") === cust("c_id")),
+        nat -> (cust("n_id") === nat("nk"))), out, ckpt)
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      mem.addData((2L, 30.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).select("amount", "n_name")
+        .as[(Double, String)].collect().toSet
+      assert(got == Set((10.0, "FR"), (20.0, "DE"), (30.0, "DE")))
+    } finally q.stop()
+  }
+
   test("file-source streaming runs the same windowed plan as batch") {
     val dir = Files.createTempDirectory("ev_stream").toString
     val ev = graft.core.Tables.t(spark, sf, "events")
