@@ -60,6 +60,62 @@ object VectorKernels {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Banded random-hyperplane bucket id in one fused loop (codegen'd twin
+    * of the `Similarity.lshBucket` HOF spec — same splitmix coefficients,
+    * same ascending-index dot fold, bit-identical buckets). */
+  def lshBucket(v: ArrayData, planes: Int, offset: Int, isFloat: Boolean): Long = {
+    val arr = if (isFloat) null else v.toDoubleArray()
+    val arrF = if (isFloat) v.toFloatArray() else null
+    val n = if (isFloat) arrF.length else arr.length
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) arrF(d).toDouble else arr(d)
+        dot += x * graft.llm.Similarity.coeff(offset + p, d)
+        d += 1
+      }
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  def lsh_bucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    GraftBridge.column(LshBucket(GraftBridge.expression(vec), planes, offset))
+}
+
+/** array<float|double> → long banded LSH bucket id. */
+case class LshBucket(child: Expression, planes: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects array<float> or array<double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], planes, offset, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.lshBucket($v, $planes, $offset, $elemIsFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }
 
 /** (array<float|double>, array<float|double>) → double cosine similarity;

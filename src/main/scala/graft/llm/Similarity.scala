@@ -61,9 +61,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: one bit per plane = sign of the dot
-    * product with a deterministic plane. Pure expression → computed during
-    * the scan; the bucket column can also be written at ingest and used as a
-    * partition key for ANN at rest. */
+    * product with a deterministic plane. HOF formulation kept as the
+    * executable spec; hot paths use the codegen'd
+    * [[graft.functions.VectorKernels.lsh_bucket]], which runs the identical
+    * fold in one fused loop (KernelParitySpec proves bucket equality). Pure
+    * expression → computed during the scan; the bucket column can also be
+    * written at ingest and used as a partition key for ANN at rest. */
   def lshBucket(vec: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
       val planeVec = array((0 until dims).map(d => lit(coeff(p, d))): _*)
@@ -76,10 +79,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
               planes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val bucket = graft.functions.VectorKernels.lsh_bucket(col(vecCol), planes)
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      lshBucket(col(vecCol), dims, planes).as("bucket"))
+      bucket.as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      lshBucket(col(vecCol), dims, planes).as("bucket")))
+      bucket.as("bucket")))
     bucketed.join(q, Seq("bucket")).filter(col("qid") =!= col("nid"))
       .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
       .withColumn("rn", row_number().over(

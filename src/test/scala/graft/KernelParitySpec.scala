@@ -87,6 +87,22 @@ class KernelParitySpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("lsh_bucket kernel == HOF lshBucket formulation (float and double)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val hof = emb.select(col("vec_id"),
+      graft.llm.Similarity.lshBucket(col("embedding"), dims = 64, planes = 8).as("b"))
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.VectorKernels.lsh_bucket(col("embedding"), planes = 8).as("b"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    val dbl = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val hofD = dbl.select(col("vec_id"),
+      graft.llm.Similarity.lshBucket(col("embedding"), dims = 64, planes = 8).as("b"))
+    val kernelD = dbl.select(col("vec_id"),
+      graft.functions.VectorKernels.lsh_bucket(col("embedding"), planes = 8).as("b"))
+    assert(kernelD.exceptAll(hofD).isEmpty && hofD.exceptAll(kernelD).isEmpty)
+  }
+
   test("scala-side HALF_UP rounding == Spark round() at boundaries") {
     // the primitive-loop verify paths (Similarity.round5, Dedup's broadcast
     // branch) claim to mirror Spark round()'s BigDecimal computation; check
