@@ -238,7 +238,9 @@ object Similarity {
       it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
     }.toDF("nid", "nvec", "list")
 
-    // each query probes its nprobe nearest lists
+    // each query probes its nprobe nearest lists. Collecting the QUERY set
+    // is the broadcast contract shared with bruteForceTopK — queries are a
+    // request batch (≪ corpus), never corpus-sized.
     val qRows = queries.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
     val probes = qRows.flatMap { case (qid, vf) =>
