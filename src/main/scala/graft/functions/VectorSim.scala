@@ -3,32 +3,53 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
-/** Cosine similarity over embedding arrays as a codegen'd kernel.
+/** Vector kernels as codegen'd Catalyst expressions.
   *
-  * The Column-HOF formulation (`aggregate(zip_with(...))` for dot and the
-  * two norms) interprets per element per pair — three lambda folds that
-  * never enter whole-stage codegen. This expression runs one fused loop
-  * over the arrays inside WSCG. Arithmetic is the same ascending-index
+  * The Column-HOF formulations (`aggregate(zip_with(...))` folds) interpret
+  * per element per row and never enter whole-stage codegen; these run fused
+  * primitive loops inside WSCG. Arithmetic is the same ascending-index
   * double left-fold as `Similarity.dot` and the DuckDB oracle, so scores
-  * are bit-identical for float inputs — and double inputs stay double
-  * (no silent float downcast; each element type gets its own extraction,
-  * all accumulation is double either way).
+  * are bit-identical for float inputs — and every element type is widened
+  * EXACTLY (float fused as before; double stays double; int/long widen to
+  * double losslessly — never the silent float downcast of round 2).
   *
   * Mismatched array lengths return NULL, preserving the semantics of the
-  * zip_with/aggregate HOF this kernel replaced.
+  * zip_with/aggregate HOF the cosine kernel replaced.
   */
 object VectorKernels {
 
-  /** single fused pass: dot, |a|², |b|² → cosine. `aFloat`/`bFloat` are
+  // element-type codes baked into generated code: 0=float 1=double 2=int 3=long
+  private[functions] def codeOf(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case _ => -1
+  }
+
+  def asDoubles(a: ArrayData, code: Int): Array[Double] = code match {
+    case 1 => a.toDoubleArray()
+    case 2 =>
+      val v = a.toIntArray(); val out = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { out(i) = v(i).toDouble; i += 1 }; out
+    case 3 =>
+      val v = a.toLongArray(); val out = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { out(i) = v(i).toDouble; i += 1 }; out
+    case _ =>
+      val v = a.toFloatArray(); val out = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { out(i) = v(i).toDouble; i += 1 }; out
+  }
+
+  /** single fused pass: dot, |a|², |b|² → cosine. `aCode`/`bCode` are
     * codegen-time constants (the JIT folds the branch away). */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  def cosine(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
-    if (aFloat && bFloat) {
+    if (aCode == 0 && bCode == 0) {
       val av = a.toFloatArray()
       val bv = b.toFloatArray()
       var i = 0
@@ -38,8 +59,8 @@ object VectorKernels {
         i += 1
       }
     } else {
-      val av = if (aFloat) floatsToDoubles(a.toFloatArray()) else a.toDoubleArray()
-      val bv = if (bFloat) floatsToDoubles(b.toFloatArray()) else b.toDoubleArray()
+      val av = asDoubles(a, aCode)
+      val bv = asDoubles(b, bCode)
       var i = 0
       while (i < av.length) {
         val x = av(i); val y = bv(i)
@@ -50,100 +71,67 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def floatsToDoubles(a: Array[Float]): Array[Double] = {
-    val out = new Array[Double](a.length)
-    var i = 0
-    while (i < a.length) { out(i) = a(i).toDouble; i += 1 }
-    out
-  }
-
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** memoized plane matrices keyed by (offset, planes, dims) — the splitmix
+    * mixing is pure, so each matrix is computed once per executor JVM
+    * instead of 3 integer mixes per element per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  private def planesFor(offset: Int, planes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((offset, planes, dims), { key =>
+      val (off, p, d) = key
+      Array.tabulate(p, d)((pi, di) => graft.llm.Similarity.coeff(off + pi, di))
+    })
+
   /** Banded random-hyperplane bucket id in one fused loop (codegen'd twin
     * of the `Similarity.lshBucket` HOF spec — same splitmix coefficients,
-    * same ascending-index dot fold, bit-identical buckets). */
-  def lshBucket(v: ArrayData, planes: Int, offset: Int, isFloat: Boolean): Long = {
-    val arr = if (isFloat) null else v.toDoubleArray()
-    val arrF = if (isFloat) v.toFloatArray() else null
-    val n = if (isFloat) arrF.length else arr.length
+    * same ascending-index dot fold, bit-identical buckets when `dims` ==
+    * vector length). `dims` <= 0 means the full vector; a positive `dims`
+    * buckets on that coordinate prefix (requires dims <= vector length). */
+  def lshBucket(v: ArrayData, planes: Int, offset: Int, dims: Int, code: Int): Long = {
+    val arr = asDoubles(v, code)
+    val n = if (dims <= 0) arr.length else math.min(dims, arr.length)
+    val mat = planesFor(offset, planes, n)
     var bucket = 0L
     var p = 0
     while (p < planes) {
+      val plane = mat(p)
       var dot = 0.0
       var d = 0
-      while (d < n) {
-        val x = if (isFloat) arrF(d).toDouble else arr(d)
-        dot += x * graft.llm.Similarity.coeff(offset + p, d)
-        d += 1
-      }
+      while (d < n) { dot += arr(d) * plane(d); d += 1 }
       if (dot >= 0) bucket |= 1L << p
       p += 1
     }
     bucket
   }
 
-  def lsh_bucket(vec: Column, planes: Int, offset: Int = 0): Column =
-    GraftBridge.column(LshBucket(GraftBridge.expression(vec), planes, offset))
+  def lsh_bucket(vec: Column, planes: Int, offset: Int = 0, dims: Int = 0): Column =
+    GraftBridge.column(LshBucket(GraftBridge.expression(vec), planes, offset, dims))
 }
 
-/** array<float|double> → long banded LSH bucket id. */
-case class LshBucket(child: Expression, planes: Int, offset: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  import org.apache.spark.sql.types.LongType
-  override def dataType: DataType = LongType
-  override def prettyName: String = "lsh_bucket"
-
-  private def elemIsFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"lsh_bucket expects array<float> or array<double>, got ${other.sql}")
-  }
-
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], planes, offset, elemIsFloat)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VectorKernels.lshBucket($v, $planes, $offset, $elemIsFloat)")
-
-  override protected def withNewChildInternal(newChild: Expression): LshBucket =
-    copy(child = newChild)
-}
-
-/** (array<float|double>, array<float|double>) → double cosine similarity;
+/** (array<float|double|int|long>, same) → double cosine similarity;
   * NULL on length mismatch. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorKernels.codeOf
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(lt, _), ArrayType(rt, _))
-        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (codeOf(left.dataType) >= 0 && codeOf(right.dataType) >= 0)
       TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float> or array<double> inputs, got " +
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double|int|long> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
-  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
     if (av.numElements() != bv.numElements()) null
-    else VectorKernels.cosine(av, bv, elemIsFloat(left), elemIsFloat(right))
+    else VectorKernels.cosine(av, bv, codeOf(left.dataType), codeOf(right.dataType))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -153,11 +141,35 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.VectorKernels.cosine(
-         |    $a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});
+         |    $a, $b, ${codeOf(left.dataType)}, ${codeOf(right.dataType)});
          |}
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** array<float|double|int|long> → long banded LSH bucket id. */
+case class LshBucket(child: Expression, planes: Int, offset: Int, dims: Int)
+    extends UnaryExpression {
+  import VectorKernels.codeOf
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (codeOf(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects array<float|double|int|long>, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], planes, offset, dims,
+      codeOf(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.lshBucket($v, $planes, $offset, $dims, ${codeOf(child.dataType)})")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }

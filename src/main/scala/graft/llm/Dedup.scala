@@ -260,12 +260,15 @@ object Dedup {
             else if (sa(i) < sb(j)) i += 1
             else j += 1
           }
-          // literally Spark round(_, 4)'s computation (BigDecimal.valueOf →
-          // HALF_UP), so this branch and the distributed branch agree at
-          // every representation boundary — same output, different plan.
-          val jac = java.math.BigDecimal.valueOf(
-            inter.toDouble / (sa.length + sb.length - inter))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          // literally Spark round(_, 4)'s computation (NaN/Inf pass-through,
+          // BigDecimal.valueOf → HALF_UP), so this branch and the
+          // distributed branch agree at every representation boundary —
+          // same output, different plan. Two empty-shingle docs give 0/0 =
+          // NaN, which must fail the threshold, not throw.
+          val raw = inter.toDouble / (sa.length + sb.length - inter)
+          val jac = if (raw.isNaN || raw.isInfinite) raw
+            else java.math.BigDecimal.valueOf(raw)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
           if (jac >= threshold) Some((a, b, jac)) else None
         }
       }.toDF("a", "b", "jaccard")

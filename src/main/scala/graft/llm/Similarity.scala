@@ -79,7 +79,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
               planes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val bucket = graft.functions.VectorKernels.lsh_bucket(col(vecCol), planes)
+    val bucket = graft.functions.VectorKernels.lsh_bucket(col(vecCol), planes, dims = dims)
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       bucket.as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -113,7 +113,13 @@ object Similarity {
     *
     * Both paths round cosine HALF_UP at 5 decimals (identical
     * implementation) before thresholding, so the pairs the blocked path
-    * finds carry bit-identical scores to the exact path. */
+    * finds carry bit-identical scores to the exact path.
+    *
+    * Returns an EAGER, CACHED pairs frame (tiny next to the corpus): the
+    * corpus projection is cached for the duration of the call — it feeds
+    * the size probe plus 2-4 downstream scans — then released once the
+    * pairs are materialized. `.unpersist()` the result when done if you
+    * call this repeatedly in one session. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddingNearDup(corpus, threshold, idCol, vecCol,
@@ -125,8 +131,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
-      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    if (ds.count() <= broadcastMaxRows) {
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].cache()
+    val out = if (ds.count() <= broadcastMaxRows) {
       val all = ds.collect().sortBy(_._1)
       val ids = all.map(_._1)
       val vecs = all.map(_._2.map(_.toDouble))
@@ -179,9 +185,18 @@ object Similarity {
         .join(vecsDf.select(col("vid").as("a"), col("vec").as("va")), "a")
         .join(vecsDf.select(col("vid").as("b"), col("vec").as("vb")), "b")
         .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")), 5))
-        .filter(col("cos") >= threshold)
+        // Spark SQL orders NaN ABOVE every number (NaN >= t is true), while
+        // the broadcast path's Scala >= drops NaN — zero-norm vectors have
+        // undefined cosine, so both paths must drop them explicitly.
+        .filter(!isnan(col("cos")) && col("cos") >= threshold)
         .select(col("a"), col("b"), col("cos"))
     }
+    // materialize the (tiny) pairs, then release the corpus-projection
+    // cache — same lifetime discipline as Dedup.materializeThenRelease.
+    val result = out.cache()
+    result.count()
+    ds.unpersist()
+    result
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer → corpus rows
@@ -206,11 +221,12 @@ object Similarity {
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    // deterministic hash-mod sample for training: expected size ≈
-    // maxTrainRows (collect is bounded; corpora at or below the cap train
-    // on every row, so small-corpus results are unchanged).
+    // deterministic hash-mod sample for training: ceil division keeps the
+    // EXPECTED sample size at or below maxTrainRows (corpora at or below
+    // the cap train on every row, so small-corpus results are unchanged).
+    require(maxTrainRows > 0, "maxTrainRows must be positive")
     val total = ds.count()
-    val mod = math.max(1L, total / maxTrainRows)
+    val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
     val train = if (mod == 1L) ds
       else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
     val all = train.collect().sortBy(_._1)
@@ -281,9 +297,12 @@ object Similarity {
   }
   private def normOf(a: Array[Double]): Double = math.sqrt(dotOf(a, a))
   /** HALF_UP at 5 decimals — literally the computation Spark's `round(_, 5)`
-    * performs on doubles (BigDecimal.valueOf → setScale HALF_UP), so the
-    * primitive-loop paths and the Column-round paths agree at every
-    * representation boundary. */
+    * performs on doubles (NaN/Infinity passed through, then
+    * BigDecimal.valueOf → setScale HALF_UP), so the primitive-loop paths
+    * and the Column-round paths agree at every representation boundary —
+    * including the NaN a zero-norm embedding produces, which must fail the
+    * threshold filter, not throw. */
   private def round5(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
 }

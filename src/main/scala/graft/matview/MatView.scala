@@ -63,10 +63,16 @@ object MatView {
     * relations plus the union of all equi-condition column-name pairs.
     * Returns None if anything other than a bare relation (modulo
     * pruning-Projects / IsNotNull-Filters) or a plain inner equi-join
-    * appears — a user filter means the query is NOT the registered view. */
+    * appears — a user filter means the query is NOT the registered view,
+    * and so does a Project that COMPUTES anything (only attribute-list
+    * Projects, the shape column pruning inserts, are transparent —
+    * substituting through e.g. `upper(n_name).as("n_name")` would silently
+    * drop the computation). */
   private def flatten(plan: LogicalPlan): Option[(Set[String], Set[(String, String)])] =
     plan match {
-      case Project(_, child) => flatten(child)
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if conjuncts(f.condition).forall(
             _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>

@@ -270,10 +270,14 @@ object HashQL {
               val path = docPaths.head.column
               val alias = path.split("~").last.stripSuffix("[]")
               val exploded = graft.doc.DocStore.selectPath(df, "doc", path, alias)
-              val outCols = items.collect {
-                case Field(r) if r.column.startsWith("~") => alias
-                case Field(r) => r.column
-              }
+              val outCols = items.flatMap {
+                case Field(r) if r.column.startsWith("~") => Seq(alias)
+                case Field(r) => Seq(r.column)
+                // `select *, t.~path from t`: star expands to every plain
+                // column (the doc struct itself is consumed by the path)
+                case Star => df.columns.toSeq.filter(_ != "doc")
+                case CountStar | _: AggCall => Seq.empty
+              }.distinct
               val scalarCols = outCols.filter(_ != alias)
               val projected = exploded.select(outCols.map(col): _*)
               // missing-field skip applies to the scalar fields, as in the

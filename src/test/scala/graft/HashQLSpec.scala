@@ -104,6 +104,9 @@ class HashQLSpec extends SparkSpec {
     // path-only projection unchanged
     val only = db.sql("select people.~hobbies[]~name from people").get
     assert(only.columns.toSeq == Seq("name") && only.count() == 3)
+    // star + doc path: star expands to the plain columns (id), not dropped
+    val star = db.sql("select *, people.~hobbies[]~name from people").get
+    assert(star.columns.toSeq == Seq("id", "name") && star.count() == 3)
   }
 
   test("update rewrites matching rows only (example.py:126-149)") {

@@ -103,6 +103,25 @@ class KernelParitySpec extends SparkSpec {
     assert(kernelD.exceptAll(hofD).isEmpty && hofD.exceptAll(kernelD).isEmpty)
   }
 
+  test("lsh_bucket honors a dims prefix; int/long arrays widen losslessly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // prefix bucketing == HOF over the sliced vector
+    val hofPrefix = emb.select(col("vec_id"),
+      graft.llm.Similarity.lshBucket(
+        slice(col("embedding"), 1, 32), dims = 32, planes = 6).as("b"))
+    val kernelPrefix = emb.select(col("vec_id"),
+      graft.functions.VectorKernels.lsh_bucket(col("embedding"), planes = 6, dims = 32).as("b"))
+    assert(kernelPrefix.exceptAll(hofPrefix).isEmpty && hofPrefix.exceptAll(kernelPrefix).isEmpty)
+    // int arrays widen to double exactly — same cosine as the double cast
+    val ints = Seq((1L, Array(3, -1, 4, 1), Array(2, 7, 1, 8))).toDF("id", "a", "b")
+    val viaInt = ints.select(
+      graft.functions.VectorKernels.cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    val viaDouble = ints.select(graft.functions.VectorKernels.cosine_sim(
+      col("a").cast("array<double>"), col("b").cast("array<double>"))).head().getDouble(0)
+    assert(viaInt == viaDouble)
+  }
+
   test("scala-side HALF_UP rounding == Spark round() at boundaries") {
     // the primitive-loop verify paths (Similarity.round5, Dedup's broadcast
     // branch) claim to mirror Spark round()'s BigDecimal computation; check

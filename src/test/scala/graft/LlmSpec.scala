@@ -102,6 +102,22 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.5, s"blocked recall $recall (${blocked.size}/${exact.size})")
   }
 
+  test("zero-norm embeddings yield NaN cosine that is dropped, not thrown") {
+    val zeroed = Seq(
+      (1L, Array.fill(4)(0.0f)), (2L, Array.fill(4)(0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // broadcast path: the 0/0 pairs must fail the threshold silently
+    val exact = Similarity.embeddingNearDup(zeroed, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == Set((3L, 4L, 1.0)))
+    // blocked path: Spark round() has the same NaN pass-through
+    val blocked = Similarity.embeddingNearDup(zeroed, 0.5, "vec_id", "embedding",
+      broadcastMaxRows = 0L, bands = 4, planesPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked.subsetOf(exact))
+  }
+
   test("IVF trained on a hash-mod sample still beats the recall bar") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)

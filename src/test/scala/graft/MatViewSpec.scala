@@ -95,6 +95,30 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cust_nation3")
   }
 
+  test("a computed projection between the joins blocks the rewrite") {
+    val custNationRegion = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val out = java.nio.file.Files.createTempDirectory("mv6").toString
+    MatView.materialize(spark, "cnr6", custNationRegion, out)
+    try {
+      // upper() aliased back to n_name: the flattened key would match and
+      // every output name exists in the view — only the computed-Project
+      // guard keeps this from being silently routed (and upper() dropped)
+      val q = Tables.t(spark, sf, "customer")
+        .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_regionkey"),
+          upper(col("n_name")).as("n_name"))
+        .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(!physical.contains(out.split("/").last),
+        s"computed projection wrongly routed to matview:\n$physical")
+      // and upper() survived
+      val names = q.select("n_name").distinct()
+        .as[String].collect()
+      assert(names.nonEmpty && names.forall(n => n == n.toUpperCase))
+    } finally MatView.drop(spark, "cnr6")
+  }
+
   test("unrelated queries are untouched") {
     val out = java.nio.file.Files.createTempDirectory("mv2").toString
     MatView.materialize(spark, "cust_nation2", custNation, out)
