@@ -4,14 +4,28 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RangeJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Bucketized interval join vs a brute-force range filter — boundary
-  * inclusivity and bucket-crossing pairs must match exactly. */
+  * inclusivity and bucket-crossing pairs must match exactly. Plus as-of
+  * join payload-type corners. */
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(ms: Long) = new Timestamp(ms)
+
+  test("as-of join carries an unorderable MapType payload (tie-break skips it)") {
+    val left = Seq(("k1", 100L), ("k1", 200L)).toDF("k", "t")
+    val right = Seq(("k1", 50L, Map("a" -> 1)), ("k1", 150L, Map("b" -> 2)))
+      .toDF("rk", "rt", "m")
+    // pre-fix this failed analysis: the tie-break struct included the map
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      payload = Map("m" -> "m_out"))
+      .orderBy("t").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Map[String, Int]]("m_out") == Map("a" -> 1))
+    assert(out(1).getAs[Map[String, Int]]("m_out") == Map("b" -> 2))
+  }
 
   test("interval join matches brute force, both window edges inclusive") {
     // window = [-5s, +10s]; bucket width 15s — pairs straddle buckets
