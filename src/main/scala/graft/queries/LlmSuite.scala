@@ -287,11 +287,45 @@ object LlmSuite extends Suite {
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
     // IVF ANN (k-means coarse quantizer + nprobe lists) — the other scale
-    // path; recall asserted in ScalaTest, rows-only here.
+    // path; recall asserted in ScalaTest, rows-only here (trained centroids
+    // aren't SQL-expressible; the MACHINERY is hash-checked by ann_ivf_flat).
     "ann_ivf" -> Q(
       (s, d) => Similarity.ivfTopK(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),
       None),
+
+    // IVF with iters=0: centroids are literally the first nlist vectors by
+    // id, so DuckDB reproduces the ENTIRE pipeline — nearest-centroid
+    // assignment (ties to the lower centroid), nprobe probing, exact-cosine
+    // ranking — and the full IVF machinery is hash-checked. Only Lloyd's
+    // refinement (ann_ivf) stays rows-only.
+    "ann_ivf_flat" -> Q(
+      (s, d) => Similarity.ivfTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3,
+        nlist = 16, nprobe = 4, iters = 0),
+      Some(s"""WITH $cosineNormsCte,
+              |c AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |      ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c) WHERE arn = 1),
+              |probes AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, c.cid,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosExpr("q", "c")} DESC, c.cid) AS prn
+              |    FROM n q, c WHERE q.vec_id < 5) WHERE prn <= 4),
+              |p AS (SELECT pr.qid, a.nid, round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM probes pr
+              |      JOIN asg a ON a.cid = pr.cid
+              |      JOIN n q ON q.vec_id = pr.qid
+              |      JOIN n x ON x.vec_id = a.nid
+              |      WHERE a.nid <> pr.qid),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
     // ---------- multimodal ----------
     "mm_decode" -> Q(
