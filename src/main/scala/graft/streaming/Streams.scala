@@ -127,6 +127,91 @@ object Streams {
                    outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     maintainJoinN(stream, Seq(dim -> joinExpr), outPath, checkpoint)
 
+  /** Streaming NEAR-dup ingest — the MinHash-LSH twin of [[dedupStream]]
+    * (which is exact-hash only): each micro-batch is first deduplicated
+    * within itself (minhashLsh + cluster representatives), then checked
+    * against the accumulated signature STORE of everything already
+    * admitted; survivors are appended to `outPath` and their signatures to
+    * the store.
+    *
+    * State lives in two parquet stores, not executor memory:
+    *  - `store/bands`: (doc_id, band, bandHash) — the LSH index; candidate
+    *    generation is an equi-join on (band, bandHash), so each batch
+    *    touches only colliding store rows, never the whole history.
+    *  - `store/shingles`: (doc_id, sh) — shingle-hash sets for exact
+    *    jaccard verification of candidates.
+    * Store size grows with the admitted corpus (like any dedup index) but
+    * per-batch work is O(batch × collisions). At rest the band store can be
+    * partitioned by band for pruning.
+    *
+    * Admission policy: a document is rejected iff a verified jaccard ≥
+    * threshold pair links it to an already-admitted doc (or to the batch's
+    * own representative). Cross-batch recall equals the banding's recall,
+    * same as the batch operator. */
+  def nearDupIngest(docs: DataFrame, textCol: String, idCol: String,
+                    threshold: Double, outPath: String, storePath: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextKernels.{minhash_band_hashes, shingle_hashes}
+    import graft.llm.Dedup
+    val bands = 32; val rowsPerBand = 2 // same recall curve as Dedup.minhashLsh
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // 1. within-batch dedup: keep each near-dup cluster's representative
+        val pairs = Dedup.minhashLsh(batch, textCol, idCol, threshold)
+        val nonReps = Dedup.clusters(pairs)
+          .filter(col("doc_id") =!= col("rep")).select(col("doc_id").as(idCol))
+        pairs.unpersist()
+        val kept = batch.join(nonReps, Seq(idCol), "left_anti")
+        val sh = kept.select(col(idCol), col(textCol),
+          shingle_hashes(col(textCol)).as("sh")).cache()
+        sh.count()
+        // 2. candidates vs the admitted store: band equi-join, then exact
+        //    jaccard verification against stored shingle sets
+        val dropIds = if (exists(spark, s"$storePath/bands")) {
+          val banded = sh.select(col(idCol),
+            posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
+              .as(Seq("band", "bandHash")))
+          val storeBands = spark.read.parquet(s"$storePath/bands")
+          val cand = banded.join(storeBands
+              .select(col("doc_id").as("old_id"), col("band"), col("bandHash")),
+              Seq("band", "bandHash"))
+            .select(col(idCol), col("old_id")).distinct()
+          val storeSh = spark.read.parquet(s"$storePath/shingles")
+          cand
+            .join(sh.select(col(idCol), col("sh").as("shNew")), idCol)
+            .join(storeSh.select(col("doc_id").as("old_id"), col("sh").as("shOld")), "old_id")
+            .withColumn("inter", size(array_intersect(col("shNew"), col("shOld"))).cast("double"))
+            .withColumn("jaccard", round(col("inter") /
+              (size(col("shNew")) + size(col("shOld")) - col("inter")), 4))
+            .filter(col("jaccard") >= threshold)
+            .select(col(idCol)).distinct()
+        } else kept.limit(0).select(col(idCol))
+        val admitted = sh.join(dropIds, Seq(idCol), "left_anti").cache()
+        admitted.count()
+        // 3. append survivors + their signatures
+        admitted.select(col(idCol), col(textCol))
+          .write.mode("append").parquet(outPath)
+        admitted.select(col(idCol).as("doc_id"),
+            posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
+              .as(Seq("band", "bandHash")))
+          .write.mode("append").parquet(s"$storePath/bands")
+        admitted.select(col(idCol).as("doc_id"), col("sh"))
+          .write.mode("append").parquet(s"$storePath/shingles")
+        admitted.unpersist()
+        sh.unpersist()
+        () // foreachBatch wants Unit; unpersist returns the frame
+      }
+      .start()
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** n-way twin of [[maintainJoin]] for chained CREATE JOIN views (the
     * reference's own create-join is 3-way): each micro-batch's delta folds
     * through every dimension join and appends — the at-rest view is the

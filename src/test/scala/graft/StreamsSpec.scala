@@ -73,6 +73,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest admits novel docs, rejects near-dups within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("nd_out").toString
+    val store = Files.createTempDirectory("nd_store").toString
+    val ckpt = Files.createTempDirectory("nd_ckpt").toString
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different words describing an unrelated subject matter with no overlap at all here"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupIngest(docs, "text", "doc_id", 0.6, out, store, ckpt)
+    try {
+      // batch 1: a + an in-batch near-dup of a (first word dropped) + b
+      mem.addData((1L, a), (2L, a.substring(a.indexOf(' ') + 1)), (3L, b))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after1 == Set(1L, 3L), s"batch-1 admissions: $after1")
+      // batch 2: a cross-batch near-dup of a + one novel doc
+      mem.addData((4L, a.substring(a.indexOf(' ') + 1)),
+        (5L, "yet another entirely fresh document about completely new things worth keeping around forever"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after2 == Set(1L, 3L, 5L), s"batch-2 admissions: $after2")
+    } finally q.stop()
+  }
+
   test("file-source streaming runs the same windowed plan as batch") {
     val dir = Files.createTempDirectory("ev_stream").toString
     val ev = graft.core.Tables.t(spark, sf, "events")
