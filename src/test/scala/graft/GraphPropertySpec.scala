@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.graph.PropertyGraph
+
+/** Direction semantics as algebraic properties on random graphs:
+  * reverse ≡ flipped forward, undirected ≡ forward ∪ reverse, and MERGE
+  * idempotence under re-merge — raw ScalaCheck generators with
+  * deterministic seeds (the KvPropertySpec pattern). */
+class GraphPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def sample[T](g: Gen[T], seed: Long): T = g.pureApply(params, Seed(seed))
+
+  private val names = Vector("a", "b", "c", "d", "e", "f")
+  private val edgesGen = Gen.listOfN(12, for {
+    s <- Gen.oneOf(names); d <- Gen.oneOf(names)
+  } yield (s, d))
+
+  private def graphOf(edges: Seq[(String, String)]): PropertyGraph = {
+    val v = names.map(n => (n, "N", Map.empty[String, String]))
+      .toDF("name", "label", "attrs")
+    val e = edges.distinct.map { case (s, d) => (s, d, "R") }.toDF("src", "dst", "rel")
+    PropertyGraph(v, e)
+  }
+
+  test("reverse ≡ flipped forward; undirected ≡ forward ∪ reverse") {
+    (1 to 6).foreach { seed =>
+      val edges = sample(edgesGen, seed).distinct
+      val g = graphOf(edges)
+      val fwd = g.query("match (x)-[:R]->(y) return x, y")
+        .as[(String, String)].collect().toSet
+      val rev = g.query("match (x)<-[:R]-(y) return x, y")
+        .as[(String, String)].collect().toSet
+      val undir = g.query("match (x)-[:R]-(y) return x, y")
+        .as[(String, String)].collect().toSet
+      assert(fwd == edges.toSet, s"seed=$seed forward mismatch")
+      assert(rev == edges.map(_.swap).toSet, s"seed=$seed reverse != flipped forward")
+      assert(undir == fwd.union(rev), s"seed=$seed undirected != fwd ∪ rev")
+    }
+  }
+
+  test("2-hop chain ≡ relational composition") {
+    (1 to 4).foreach { seed =>
+      val edges = sample(edgesGen, seed + 50).distinct
+      val g = graphOf(edges)
+      val got = g.query("match (x)-[:R]->(y)-[:R]->(z) return x, y, z")
+        .as[(String, String, String)].collect().toSet
+      val exp = (for {
+        (x, y) <- edges; (y2, z) <- edges if y2 == y
+      } yield (x, y, z)).toSet
+      assert(got == exp, s"seed=$seed 2-hop != composition")
+    }
+  }
+
+  test("MERGE is idempotent: re-merging a random statement stream is a no-op") {
+    (1 to 3).foreach { seed =>
+      val edges = sample(edgesGen, seed + 900).distinct
+      val stmts = edges.map { case (s, d) =>
+        s"merge (p:N {'name': '$s'})-[:R]->(q:N {'name': '$d'})"
+      }
+      val g1 = stmts.foldLeft(PropertyGraph.empty(spark))(_.merge(_))
+      val g2 = stmts.foldLeft(g1)(_.merge(_)) // replay everything
+      assert(g2.vertices.count() == g1.vertices.count(), s"seed=$seed vertices grew")
+      assert(g2.edges.count() == g1.edges.count(), s"seed=$seed edges grew")
+      val m1 = g1.query("match (x)-[:R]->(y) return x, y")
+        .as[(String, String)].collect().toSet
+      val m2 = g2.query("match (x)-[:R]->(y) return x, y")
+        .as[(String, String)].collect().toSet
+      assert(m1 == m2 && m1 == edges.toSet, s"seed=$seed match drifted")
+    }
+  }
+}
