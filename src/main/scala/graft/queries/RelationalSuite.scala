@@ -175,6 +175,29 @@ object RelationalSuite extends Suite {
              |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // sketch percentiles (approx_percentile) — estimator values are
+    // implementation-specific, so rows-only for DuckDB; the estimate is
+    // error-bounded IN-PATH at t2-fixture scale: each group's p50 must
+    // land within 5% of the exact median.
+    "q_approx_percentile" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"))
+        if (li.count() <= 100000L) {
+          val offBound = approx.join(
+            li.groupBy(col("l_returnflag"))
+              .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50")),
+            "l_returnflag")
+            .filter(abs(col("p50_price") - col("exact_p50")) >
+              col("exact_p50") * 0.05)
+            .count()
+          require(offBound == 0, s"approx p50 off by >5% in $offBound groups")
+        }
+        approx
+      },
+      None),
+
     // scalar string functions (SURVEY §2.6: absent in the reference; full
     // functions library here) — upper/substr/concat/length/replace.
     "q_string_funcs" -> Q(
