@@ -111,25 +111,34 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("rep"))
       .localCheckpoint()
-    // convergence witness: per-node labels only ever DECREASE under
-    // min-propagation, so the label sum is strictly monotone until fixpoint
-    // — one cheap agg over the just-checkpointed frame per round instead of
-    // a join against the previous labels (saves a shuffle per round).
-    // decimal(38,0) keeps the sum exact at any node-count × id-range this
-    // engine can hold (a long sum could wrap at ~1e10 nodes × 1e12 ids).
+    // convergence witness, numeric ids: per-node labels only ever DECREASE
+    // under min-propagation, so the label sum is strictly monotone until
+    // fixpoint — one cheap agg over the just-checkpointed frame per round
+    // instead of a join against the previous labels (saves a shuffle per
+    // round). decimal(38,0) keeps the sum exact at any node-count ×
+    // id-range this engine can hold (a long sum could wrap at ~1e10 nodes
+    // × 1e12 ids). Non-numeric ids (e.g. string doc ids) have no monotone
+    // sum — they fall back to the join-based changed-row check.
+    val numericIds = labels.schema("rep").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     while (!converged) {
       val next = edges
         .join(labels.withColumnRenamed("u", "v"), "v")
         .groupBy(col("u")).agg(min(col("rep")).as("rep"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = next.join(labels.withColumnRenamed("rep", "prev"), "u")
+          .filter(col("rep") =!= col("prev")).isEmpty
+      }
       labels = next
     }
     labels.select(col("u").as("doc_id"), col("rep"))

@@ -135,14 +135,20 @@ object Streams {
     * the store.
     *
     * State lives in two parquet stores, not executor memory:
-    *  - `store/bands`: (doc_id, band, bandHash) — the LSH index; candidate
-    *    generation is an equi-join on (band, bandHash), so each batch
-    *    touches only colliding store rows, never the whole history.
+    *  - `store/bands`: (doc_id, bandHash) partitioned by band — the LSH
+    *    index; candidate generation is an equi-join on (band, bandHash).
     *  - `store/shingles`: (doc_id, sh) — shingle-hash sets for exact
     *    jaccard verification of candidates.
-    * Store size grows with the admitted corpus (like any dedup index) but
-    * per-batch work is O(batch × collisions). At rest the band store can be
-    * partitioned by band for pruning.
+    * The per-batch JOIN OUTPUT is O(batch × collisions), but each batch
+    * SCANS the whole store (it grows with the admitted corpus, like any
+    * dedup index) — large deployments should compact the per-batch
+    * directories periodically and can bucket the band store by bandHash so
+    * the candidate join co-locates.
+    *
+    * Replay-idempotent: every write lands in a `batch=<id>` directory with
+    * overwrite semantics, so a crashed-and-replayed micro-batch rewrites
+    * exactly the same directories instead of appending duplicates — and
+    * readers see the stores as partitioned tables.
     *
     * Admission policy: a document is rejected iff a verified jaccard ≥
     * threshold pair links it to an already-admitted doc (or to the batch's
@@ -153,14 +159,17 @@ object Streams {
                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextKernels.{minhash_band_hashes, shingle_hashes}
     import graft.llm.Dedup
-    val bands = 32; val rowsPerBand = 2 // same recall curve as Dedup.minhashLsh
+    val bands = 32; val rowsPerBand = 2
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // 1. within-batch dedup: keep each near-dup cluster's representative
-        val pairs = Dedup.minhashLsh(batch, textCol, idCol, threshold)
+        //    (bands/rowsPerBand passed explicitly so the within-batch and
+        //    cross-batch recall curves cannot drift apart)
+        val pairs = Dedup.minhashLsh(batch, textCol, idCol, threshold,
+          bands, rowsPerBand)
         val nonReps = Dedup.clusters(pairs)
           .filter(col("doc_id") =!= col("rep")).select(col("doc_id").as(idCol))
         pairs.unpersist()
@@ -168,12 +177,14 @@ object Streams {
         val sh = kept.select(col(idCol), col(textCol),
           shingle_hashes(col(textCol)).as("sh")).cache()
         sh.count()
+        // banding computed ONCE — reused by candidate generation and the
+        // store append
+        val banded = sh.select(col(idCol),
+          posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
+            .as(Seq("band", "bandHash")))
         // 2. candidates vs the admitted store: band equi-join, then exact
         //    jaccard verification against stored shingle sets
         val dropIds = if (exists(spark, s"$storePath/bands")) {
-          val banded = sh.select(col(idCol),
-            posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
-              .as(Seq("band", "bandHash")))
           val storeBands = spark.read.parquet(s"$storePath/bands")
           val cand = banded.join(storeBands
               .select(col("doc_id").as("old_id"), col("band"), col("bandHash")),
@@ -191,15 +202,17 @@ object Streams {
         } else kept.limit(0).select(col(idCol))
         val admitted = sh.join(dropIds, Seq(idCol), "left_anti").cache()
         admitted.count()
-        // 3. append survivors + their signatures
+        // 3. write survivors + their signatures into per-batch directories
+        //    (overwrite → an at-least-once replay of this batch is a no-op
+        //    rewrite, never a duplicate append)
         admitted.select(col(idCol), col(textCol))
-          .write.mode("append").parquet(outPath)
-        admitted.select(col(idCol).as("doc_id"),
-            posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
-              .as(Seq("band", "bandHash")))
-          .write.mode("append").parquet(s"$storePath/bands")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        banded.join(admitted.select(col(idCol)), Seq(idCol))
+          .select(col(idCol).as("doc_id"), col("band"), col("bandHash"))
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$storePath/bands/batch=$batchId")
         admitted.select(col(idCol).as("doc_id"), col("sh"))
-          .write.mode("append").parquet(s"$storePath/shingles")
+          .write.mode("overwrite").parquet(s"$storePath/shingles/batch=$batchId")
         admitted.unpersist()
         sh.unpersist()
         () // foreachBatch wants Unit; unpersist returns the frame

@@ -58,6 +58,16 @@ class LlmSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters handles non-numeric ids via the join-based witness") {
+    // string ids have no monotone label sum; a 3-hop chain forces multiple
+    // propagation rounds, which the fallback convergence check must survive
+    val pairs = Seq(("d-b", "d-a"), ("d-b", "d-c"), ("d-c", "d-d"))
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(got == Map("d-a" -> "d-a", "d-b" -> "d-a",
+      "d-c" -> "d-a", "d-d" -> "d-a"))
+  }
+
   test("LSH-ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
