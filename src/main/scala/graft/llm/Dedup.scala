@@ -101,8 +101,20 @@ object Dedup {
     *              output); direction/duplication-insensitive
     * @return (doc_id, rep) — one row per distinct id in `pairs`
     */
-  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
+    clusters(pairs, aCol, bCol, broadcastMaxPairs = 10000000L)
+
+  /** @param broadcastMaxPairs pair sets at or below this row count run
+    *        union-find on the driver (pairs are the operator's OUTPUT —
+    *        orders of magnitude smaller than the corpus — and 10M edges ≈
+    *        hundreds of MB, the same bounded-driver pattern as
+    *        [[ngramJaccardPairs]]'s verify table); larger sets use the
+    *        distributed min-label propagation loop. Same representatives,
+    *        different physical plan. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               broadcastMaxPairs: Long): DataFrame = {
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    if (e.count() <= broadcastMaxPairs) return clustersDriver(e)
     // symmetric edge set incl. self-loops, so isolated-after-dedup nodes and
     // single-direction input both work
     val edges = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -142,6 +154,42 @@ object Dedup {
       labels = next
     }
     labels.select(col("u").as("doc_id"), col("rep"))
+  }
+
+  /** Bounded-size path: classic union-find with path compression, roots
+    * kept at the component MINIMUM (via the id type's natural Comparable
+    * order — the same ordering Spark's `min()` uses for longs and strings),
+    * so representatives are identical to the propagation loop's. */
+  private def clustersDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("u").dataType
+    val edges = e.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        if (lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val rows = parent.keys.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("rep", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Cache lifetime helper: eagerly materialize `out` (pairs — tiny next to

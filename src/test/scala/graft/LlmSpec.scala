@@ -48,14 +48,20 @@ class LlmSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs).take(5)}")
   }
 
-  test("clusters: chains and stars collapse to min-id components") {
+  test("clusters: chains and stars collapse to min-id components (both paths)") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4, mixed order
       (10L, 11L), (10L, 12L), (10L, 13L),         // star around 10
       (20L, 21L))                                 // plain pair
       .toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default: bounded driver union-find
     val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got == expected)
+    // forced distributed min-label propagation — identical representatives
+    val dist = Dedup.clusters(pairs, "a", "b", broadcastMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("clusters handles non-numeric ids via the join-based witness") {
