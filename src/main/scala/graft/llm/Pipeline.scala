@@ -35,4 +35,21 @@ object Pipeline {
     pairs.unpersist()
     kept.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid
+    * filters run on each micro-batch BEFORE any shuffling (same cost
+    * ordering as the batch pass), then survivors flow through
+    * [[graft.streaming.Streams.nearDupIngest]]'s store-backed near-dup
+    * admission. Output = the continuously-growing cleaned corpus at
+    * `outPath`. */
+  def cleanCorpusStream(docs: DataFrame, textCol: String, idCol: String,
+                        minQuality: Double, lang: String, jaccardThreshold: Double,
+                        outPath: String, storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val filtered = docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)) === lang)
+    graft.streaming.Streams.nearDupIngest(filtered, textCol, idCol,
+      jaccardThreshold, outPath, storePath, checkpoint)
+  }
 }

@@ -100,6 +100,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanCorpusStream filters scan-side then near-dup-admits the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("cc_out").toString
+    val store = Files.createTempDirectory("cc_store").toString
+    val ckpt = Files.createTempDirectory("cc_ckpt").toString
+    // stopword-rich and ~60 tokens so qualityScore clears 0.45 both for the
+    // doc and for its first-token-dropped near-dup copy
+    val good = "report of the committee is a summary of the work and the goals " +
+      "of the team to guide planning and review of progress in the field and " +
+      "to support the growth of the community in every region and to keep the " +
+      "record of the effort in one place for the future and the present"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.llm.Pipeline.cleanCorpusStream(docs, "text", "doc_id",
+      minQuality = 0.45, lang = "en", jaccardThreshold = 0.6,
+      out, store, ckpt)
+    try {
+      mem.addData(
+        (1L, good),
+        (2L, "zzz qqq xxx"),                               // fails quality/langid
+        (3L, good.substring(good.indexOf(' ') + 1)))       // near-dup of 1
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(admitted == Set(1L), s"admitted: $admitted")
+    } finally q.stop()
+  }
+
   test("file-source streaming runs the same windowed plan as batch") {
     val dir = Files.createTempDirectory("ev_stream").toString
     val ev = graft.core.Tables.t(spark, sf, "events")
