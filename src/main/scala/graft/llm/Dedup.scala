@@ -285,7 +285,11 @@ object Dedup {
         slice(col("sh"), lit(1), col("plen")).as("prefix"))
     val posting = prefixed.select(col(idCol), col("n"), explode(col("prefix")).as("s"))
     // size-ratio pruning: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — applied
-    // during candidate generation, before the distinct.
+    // during candidate generation, before the distinct. (PPJoin's
+    // positional filter was measured here and pruned ~nothing: the rarity
+    // ordering puts each candidate's shared rare token at EARLY prefix
+    // positions, exactly where the positional bound passes — so it only
+    // added per-row filter cost.)
     val cand = posting.alias("x")
       .join(posting.alias("y"), col("x.s") === col("y.s"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol") &&
