@@ -2,26 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.RollingHash
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, LshBucket, RollingHash, VectorKernels}
 
 /** SparkSessionExtensions entry point: builds a session with the engine's
   * custom pieces pre-registered —
   * {{{
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   * }}}
-  * Registers the `rolling_hash` SQL function (graft.functions.RollingHash).
-  * The materialized-view routing rule installs per-view at
-  * `MatView.materialize` time via experimental.extraOptimizations (it needs
-  * runtime registry state, not a static rule), and is therefore not listed
-  * here.
+  * Registers the custom codegen SQL functions: `rolling_hash`,
+  * `cosine_sim`, `lsh_bucket`. The materialized-view routing rule installs
+  * per-view at `MatView.materialize` time via
+  * experimental.extraOptimizations (it needs runtime registry state, not a
+  * static rule), and is therefore not listed here.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (exprs: Seq[Expression]) => VectorKernels.sqlLshBucket(exprs)))
   }
 }

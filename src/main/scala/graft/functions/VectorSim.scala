@@ -110,6 +110,30 @@ object VectorKernels {
 
   def lsh_bucket(vec: Column, planes: Int, offset: Int = 0, dims: Int = 0): Column =
     GraftBridge.column(LshBucket(GraftBridge.expression(vec), planes, offset, dims))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects an integer literal, got $other")
+  }
+
+  /** SQL-arg builder shared by [[register]] and GraftExtensions:
+    * `lsh_bucket(vec, planes[, offset[, dims]])` with literal int knobs. */
+  def sqlLshBucket(exprs: Seq[Expression]): LshBucket =
+    LshBucket(exprs(0),
+      litInt(exprs(1), "lsh_bucket"),
+      if (exprs.length > 2) litInt(exprs(2), "lsh_bucket") else 0,
+      if (exprs.length > 3) litInt(exprs(3), "lsh_bucket") else 0)
+
+  /** Register for SQL use: `SELECT cosine_sim(a, b)`,
+    * `SELECT lsh_bucket(vec, planes[, offset[, dims]])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", exprs => sqlLshBucket(exprs), "scala_udf")
+  }
 }
 
 /** (array<float|double|int|long>, same) → double cosine similarity;

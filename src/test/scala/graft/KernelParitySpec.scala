@@ -138,6 +138,22 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim and lsh_bucket are callable from SQL") {
+    graft.functions.VectorKernels.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT vec_id, lsh_bucket(embedding, 8) AS b,
+        |  round(cosine_sim(embedding, embedding), 9) AS self_cos
+        |FROM emb_sql""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) == 1.0))
+    val viaColumn = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorKernels.lsh_bucket(col("embedding"), planes = 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(viaColumn(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("minhash_band_hashes == affine-min + xxhash64-chain formulation") {
     val bands = 4
     val rpb = 2
