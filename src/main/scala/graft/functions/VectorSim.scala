@@ -118,19 +118,28 @@ object VectorKernels {
       throw new IllegalArgumentException(s"$fn expects an integer literal, got $other")
   }
 
-  /** SQL-arg builder shared by [[register]] and GraftExtensions:
-    * `lsh_bucket(vec, planes[, offset[, dims]])` with literal int knobs. */
-  def sqlLshBucket(exprs: Seq[Expression]): LshBucket =
+  /** SQL-arg builders shared by [[register]] and GraftExtensions, with
+    * arity checks so a wrong-arity call reads as a signature error rather
+    * than an IndexOutOfBoundsException. */
+  def sqlCosineSim(exprs: Seq[Expression]): CosineSim = {
+    require(exprs.length == 2,
+      s"cosine_sim expects 2 arguments (a, b), got ${exprs.length}")
+    CosineSim(exprs(0), exprs(1))
+  }
+  def sqlLshBucket(exprs: Seq[Expression]): LshBucket = {
+    require(exprs.length >= 2 && exprs.length <= 4,
+      s"lsh_bucket expects 2-4 arguments (vec, planes[, offset[, dims]]), got ${exprs.length}")
     LshBucket(exprs(0),
       litInt(exprs(1), "lsh_bucket"),
       if (exprs.length > 2) litInt(exprs(2), "lsh_bucket") else 0,
       if (exprs.length > 3) litInt(exprs(3), "lsh_bucket") else 0)
+  }
 
   /** Register for SQL use: `SELECT cosine_sim(a, b)`,
     * `SELECT lsh_bucket(vec, planes[, offset[, dims]])`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", exprs => sqlCosineSim(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => sqlLshBucket(exprs), "scala_udf")
   }

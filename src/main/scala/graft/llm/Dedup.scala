@@ -102,19 +102,30 @@ object Dedup {
     * @return (doc_id, rep) — one row per distinct id in `pairs`
     */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
-    clusters(pairs, aCol, bCol, broadcastMaxPairs = 10000000L)
+    clusters(pairs, aCol, bCol, broadcastMaxPairs = 2000000L)
 
   /** @param broadcastMaxPairs pair sets at or below this row count run
     *        union-find on the driver (pairs are the operator's OUTPUT —
-    *        orders of magnitude smaller than the corpus — and 10M edges ≈
-    *        hundreds of MB, the same bounded-driver pattern as
-    *        [[ngramJaccardPairs]]'s verify table); larger sets use the
-    *        distributed min-label propagation loop. Same representatives,
-    *        different physical plan. */
+    *        orders of magnitude smaller than the corpus — and 2M edges of
+    *        boxed ids ≈ low hundreds of MB of driver heap, the same
+    *        bounded-driver pattern as [[ngramJaccardPairs]]'s verify
+    *        table); larger sets use the distributed min-label propagation
+    *        loop. Same representatives, different physical plan. Null ids
+    *        are dropped on both paths; both id columns must share a type. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                broadcastMaxPairs: Long): DataFrame = {
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    if (e.count() <= broadcastMaxPairs) return clustersDriver(e)
+      .na.drop("any", Seq("u", "v"))
+    require(e.schema("u").dataType == e.schema("v").dataType,
+      s"clusters needs matching id types, got ${e.schema("u").dataType.sql} " +
+        s"and ${e.schema("v").dataType.sql}")
+    // route with ONE action: collect up to ceiling+1 rows — at or below the
+    // ceiling the collected rows ARE the driver path's input (no recompute
+    // of an uncached pairs lineage); above it, fall through to the loop.
+    val lim = math.min(broadcastMaxPairs + 1, (Int.MaxValue - 1).toLong).toInt
+    val head = e.limit(lim).collect()
+    if (head.length <= broadcastMaxPairs)
+      return clustersDriver(e.sparkSession, head, e.schema("u").dataType)
     // symmetric edge set incl. self-loops, so isolated-after-dedup nodes and
     // single-direction input both work
     val edges = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -157,13 +168,14 @@ object Dedup {
   }
 
   /** Bounded-size path: classic union-find with path compression, roots
-    * kept at the component MINIMUM (via the id type's natural Comparable
-    * order — the same ordering Spark's `min()` uses for longs and strings),
-    * so representatives are identical to the propagation loop's. */
-  private def clustersDriver(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    val idType = e.schema("u").dataType
-    val edges = e.collect()
+    * kept at the component MINIMUM under the SAME ordering Spark's `min()`
+    * uses — natural numeric order for numbers, unsigned UTF-8 byte order
+    * for strings (Java's String.compareTo sorts UTF-16 code units, which
+    * diverges for supplementary characters) — so representatives are
+    * identical to the propagation loop's. */
+  private def clustersDriver(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[org.apache.spark.sql.Row],
+                             idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var root = x
@@ -174,8 +186,21 @@ object Dedup {
       }
       root
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        // Spark min() on strings = UTF8String binary order = unsigned
+        // byte-wise UTF-8 comparison
+        val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+        var i = 0
+        val n = math.min(xb.length, yb.length)
+        while (i < n) {
+          val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        xb.length < yb.length
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     edges.foreach { row =>
       val (u, v) = (row.get(0), row.get(1))
       parent.getOrElseUpdate(u, u)
@@ -189,7 +214,11 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", idType),
       org.apache.spark.sql.types.StructField("rep", idType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // slice across default parallelism: one giant slice would ship the
+    // whole result in a single over-sized task
+    spark.createDataFrame(spark.sparkContext.parallelize(rows,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        rows.length / 10000 + 1))), schema)
   }
 
   /** Cache lifetime helper: eagerly materialize `out` (pairs — tiny next to

@@ -29,9 +29,10 @@ object Pipeline {
     val drops = Dedup.clusters(pairs)
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as(idCol))
-    // clusters() ends on a localCheckpoint, so `drops` no longer reads the
-    // cached pairs frame — release it here (minhashLsh's eager+cached
-    // contract) instead of letting storage blocks accumulate per run.
+    // clusters() materializes eagerly before returning (driver union-find
+    // collect, or the propagation loop's localCheckpoints), so `drops` no
+    // longer reads the cached pairs frame — release it here (minhashLsh's
+    // eager+cached contract) instead of letting storage blocks accumulate.
     pairs.unpersist()
     kept.join(drops, Seq(idCol), "left_anti")
   }

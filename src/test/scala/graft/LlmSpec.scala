@@ -64,14 +64,19 @@ class LlmSpec extends SparkSpec {
     assert(dist == expected)
   }
 
-  test("clusters handles non-numeric ids via the join-based witness") {
+  test("clusters handles non-numeric ids on both paths") {
     // string ids have no monotone label sum; a 3-hop chain forces multiple
-    // propagation rounds, which the fallback convergence check must survive
+    // propagation rounds, which the join-based fallback check must survive
     val pairs = Seq(("d-b", "d-a"), ("d-b", "d-c"), ("d-c", "d-d"))
       .toDF("a", "b")
-    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
-    assert(got == Map("d-a" -> "d-a", "d-b" -> "d-a",
-      "d-c" -> "d-a", "d-d" -> "d-a"))
+    val expected = Map("d-a" -> "d-a", "d-b" -> "d-a",
+      "d-c" -> "d-a", "d-d" -> "d-a")
+    val driver = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(driver == expected)
+    // forced distributed path: exercises the string-id join-based witness
+    val dist = Dedup.clusters(pairs, "a", "b", broadcastMaxPairs = 0L)
+      .as[(String, String)].collect().toMap
+    assert(dist == expected)
   }
 
   test("LSH-ANN recall vs brute force") {
