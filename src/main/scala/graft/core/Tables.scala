@@ -27,6 +27,19 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     })
 
+  private val counts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+
+  /** Memoized row count per (session, dir, table). Size gates use this to
+    * decide whether an in-path exactness cross-check runs (t2-fixture scale
+    * only): the gate must not re-scan the table on every operator
+    * invocation — that cost showed up as a 2.5× bench regression when
+    * dedup_simhash's gate counted an un-memoized frame per run. Base tables
+    * are immutable for a (dir, name), so one count is the truth for the
+    * session's lifetime. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    counts.getOrElseUpdate((spark, dir, name), t(spark, dir, name).count())
+
   /** events.ts (epoch-nanos long under nanosAsLong) → TimestampType (µs).
     *
     * The division must be EXACT: epoch-nanos (~1.7e18) exceed double's

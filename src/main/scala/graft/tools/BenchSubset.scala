@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev-only: time a subset of SparkEntry.queries (args = query names;
+  * prefix match when a name ends with '*'). Mirrors Bench's discipline —
+  * one warmup pass, clearCache before each timed run. */
+object BenchSubset {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-subset")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all
+      else all.filter(n => args.exists(a =>
+        if (a.endsWith("*")) n.startsWith(a.dropRight(1)) else n == a))
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[subset] warmup $n failed: ${e.getMessage}") }
+    }
+    var total = 0.0
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[subset] $name FAILED: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      total += dt
+      println(f"[subset] $name%-28s $dt%7.2f s")
+    }
+    println(f"[subset] TOTAL ${total}%.2f s over ${names.length} queries")
+    spark.stop()
+  }
+}
