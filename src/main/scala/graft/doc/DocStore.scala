@@ -45,20 +45,48 @@ object DocStore {
   /** P2 doc-path projection: `select(docs, "doc", "~orders[]~o_orderkey")`
     * emits one row per addressed leaf (array segments explode). Returns the
     * input columns (minus the doc) plus the leaf as `as`. */
-  def selectPath(docs: DataFrame, docCol: String, path: String, as: String): DataFrame = {
+  def selectPath(docs: DataFrame, docCol: String, path: String, as: String): DataFrame =
+    selectPaths(docs, docCol, Seq(path -> as))
+
+  /** Multi-path projection (the reference's flattened multi-path row dicts,
+    * README.md:134-145): every path lands as one output column. Paths
+    * addressing the SAME array share one explode, so their leaves stay
+    * POSITIONALLY ALIGNED — `~orders[]~o_orderkey` and
+    * `~orders[]~o_totalprice` in one statement emit one row per order with
+    * that order's key AND price (not a self cross-product). Paths through
+    * DIFFERENT arrays compose explodes, i.e. cross-product semantics —
+    * the relational meaning of addressing two independent nested
+    * collections in one statement. */
+  def selectPaths(docs: DataFrame, docCol: String,
+                  paths: Seq[(String, String)]): DataFrame = {
     val keep = docs.columns.filter(_ != docCol).toSeq
     var df = docs
-    var cur: Column = col(docCol)
     var fresh = 0
-    parse(path).foreach { seg =>
-      if (seg.isArray) {
-        fresh += 1
-        val tmp = s"__seg$fresh"
-        df = df.withColumn(tmp, explode(cur.getField(seg.name)))
-        cur = col(tmp)
-      } else cur = cur.getField(seg.name)
+    // one explode per distinct array PREFIX (all segments up to and
+    // including the array), shared across paths — the alignment guarantee
+    val exploded = scala.collection.mutable.Map.empty[Seq[String], Column]
+    def resolve(path: String): Column = {
+      var cur: Column = col(docCol)
+      var prefix = List.empty[String]
+      parse(path).foreach { seg =>
+        if (seg.isArray) {
+          prefix = prefix :+ s"${seg.name}[]"
+          val parent = cur
+          cur = exploded.getOrElseUpdate(prefix, {
+            fresh += 1
+            val tmp = s"__seg$fresh"
+            df = df.withColumn(tmp, explode(parent.getField(seg.name)))
+            col(tmp)
+          })
+        } else {
+          prefix = prefix :+ seg.name
+          cur = cur.getField(seg.name)
+        }
+      }
+      cur
     }
-    df.select(keep.map(col) :+ cur.as(as): _*)
+    val leaves = paths.map { case (p, as) => resolve(p).as(as) }
+    df.select(keep.map(col) ++ leaves: _*)
   }
 
   /** Doc-path existence predicate: `pathExists(docs, "doc",

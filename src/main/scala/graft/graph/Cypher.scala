@@ -12,7 +12,7 @@ package graft.graph
   *   chain   := node (edge node)*
   *   edge    := -[:REL]->  |  <-[:REL]-  |  -[:REL]-      // out / in / both
   *   node    := ( [var] [:Label] [{k: 'v', ...}] )   // keys may be quoted
-  *   ret     := var [. attr]                          // n  |  n.name
+  *   ret     := var [. attr]  |  properties(var)      // n | n.name | whole map
   * }}}
   * The IR mirrors the reference's `parser.graph` element list (node dicts +
   * relationship dicts) regrouped into chains.
@@ -30,8 +30,10 @@ object Cypher {
   final case class Chain(nodes: Seq[NodePat], rels: Seq[Rel]) {
     require(nodes.length == rels.length + 1, "malformed chain")
   }
-  /** RETURN item: the bound node (attr = None) or one of its attribute
-    * values (attr = Some; "name" addresses the node identity itself). */
+  /** RETURN item: the bound node (attr = None), one of its attribute
+    * values (attr = Some; "name" addresses the node identity itself), or
+    * the node's WHOLE attribute map (`properties(n)` — attr = Some("*"),
+    * the reference's RETURN-of-node-dicts, client.py:1201-1219). */
   final case class Ret(variable: String, attr: Option[String])
   sealed trait Stmt
   final case class Match(chains: Seq[Chain], returns: Seq[Ret]) extends Stmt
@@ -74,7 +76,11 @@ object Cypher {
 
     private def ret(): Ret = {
       val v = ident()
-      if (tryEat('.')) Ret(v, Some(ident())) else Ret(v, None)
+      if (v.equalsIgnoreCase("properties") && { ws(); peek == '(' }) {
+        eat('('); val inner = ident(); eat(')')
+        Ret(inner, Some("*")) // whole attribute map
+      }
+      else if (tryEat('.')) Ret(v, Some(ident())) else Ret(v, None)
     }
 
     private def chains(): Seq[Chain] = {

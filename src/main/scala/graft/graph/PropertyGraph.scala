@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * shared pattern variables = join conditions between triple outputs. This
   * is the GraphFrames `find` evaluation strategy, expressed directly.
   *
-  * Node identity = `name` (the reference merges on the attribute map, and
-  * its own corpus always carries a unique 'name' attribute —
-  * example.py:241-261).
+  * Node identity = the `name` attribute when present; otherwise the full
+  * attribute map, serialized canonically (the reference merges on the
+  * attribute map — client.py:841-889 — and its own corpus always carries a
+  * unique 'name'; see [[PropertyGraph.identityOf]]).
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
@@ -41,9 +42,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val spark = vertices.sparkSession
     import spark.implicits._
     val ns = stmt.chain.nodes.map(n =>
-      (n.attrs.getOrElse("name",
-        throw new IllegalArgumentException("MERGE node needs a 'name' attribute")),
-        n.label.getOrElse(""), n.attrs))
+      (PropertyGraph.identityOf(n.label, n.attrs), n.label.getOrElse(""), n.attrs))
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
       r.dir match {
         case Cypher.Out => (ns(k)._1, ns(k + 1)._1, r.typ)
@@ -155,23 +154,64 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // attribute RETURNs need the vertex row back: join attrs on per-var
       // name once per distinct variable addressed with `.attr`.
       val attrVars = returns.collect {
-        case Cypher.Ret(v, Some(a)) if a != "name" => v
+        case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" => v
       }.distinct
       attrVars.foreach { v =>
         out = out.join(
           vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")), v)
       }
-      val cols = returns.map {
-        case Cypher.Ret(v, None) => col(v)
-        case Cypher.Ret(v, Some("name")) => col(v).as(s"${v}_name")
-        case Cypher.Ret(v, Some(a)) => col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
+      val mapVars = returns.collect { case Cypher.Ret(v, Some("*")) => v }.distinct
+      if (mapVars.isEmpty) {
+        val cols = returns.map {
+          case Cypher.Ret(v, None) => col(v)
+          case Cypher.Ret(v, Some("name")) => col(v).as(s"${v}_name")
+          case Cypher.Ret(v, Some(a)) => col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
+        }
+        out.select(cols: _*).distinct()
+      } else {
+        // `properties(v)` emits the whole attribute map (the reference's
+        // RETURN of node dicts, client.py:1201-1219) as `v_properties`.
+        // MapType bars set operations, so the RETURN's set semantics run
+        // BEFORE the map is attached: distinct over the projected scalars
+        // plus the map-vars' node identities, then join each map on. Net
+        // effect: whole-map items dedup by node identity — two DISTINCT
+        // nodes that happen to share an attr map stay two rows.
+        val named = returns.map {
+          case Cypher.Ret(v, Some("*")) => s"__key_$v" -> col(v).as(s"__key_$v")
+          case Cypher.Ret(v, None) => v -> col(v)
+          case Cypher.Ret(v, Some("name")) => s"${v}_name" -> col(v).as(s"${v}_name")
+          case Cypher.Ret(v, Some(a)) => s"${v}_$a" -> col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
+        }
+        var d = out.select(named.distinctBy(_._1).map(_._2): _*).distinct()
+        mapVars.foreach { v =>
+          d = d.join(vertices.select(col("name").as(s"__key_$v"),
+            col("attrs").as(s"${v}_properties")), s"__key_$v")
+        }
+        d.select(returns.map {
+          case Cypher.Ret(v, Some("*")) => col(s"${v}_properties")
+          case Cypher.Ret(v, None) => col(v)
+          case Cypher.Ret(v, Some("name")) => col(s"${v}_name")
+          case Cypher.Ret(v, Some(a)) => col(s"${v}_$a")
+        }: _*)
       }
-      out.select(cols: _*).distinct()
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
   }
 }
 
 object PropertyGraph {
+
+  /** MERGE node identity: the `name` attribute when present (the
+    * reference's own corpus always carries one — example.py:241-261);
+    * otherwise the FULL attribute map is the identity — the reference's
+    * general MERGE semantics (match-by-attributes, client.py:841-889) —
+    * serialized canonically (label + sorted k=v pairs) so re-merging the
+    * same attrs lands on the same node deterministically. Nodes with equal
+    * attrs but different labels stay distinct. */
+  private[graph] def identityOf(label: Option[String], attrs: Map[String, String]): String =
+    attrs.getOrElse("name",
+      label.getOrElse("") + attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}"))
+
   def empty(spark: SparkSession): PropertyGraph = {
     import spark.implicits._
     PropertyGraph(

@@ -61,6 +61,22 @@ object DocSuite extends Suite {
       Some("""SELECT c_custkey AS cust_id, o_orderkey
              |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
 
+    // P2 MULTI-path projection: two leaves of the SAME array in one dialect
+    // statement share one explode, so the emitted rows are positionally
+    // aligned — each order's key sits next to that order's price (the
+    // reference's flattened multi-path row dicts, README.md:134-145;
+    // round-3 gap: one doc-path per select).
+    "hashql_doc_multi" -> Q(
+      (s, d) => {
+        val cat = new graft.core.GraftCatalog(s)
+        cat.register("customer_docs", docs(s, d))
+        graft.sql.HashQL.execute(cat,
+          "select customer_docs.cust_id, customer_docs.~orders[]~o_orderkey, " +
+            "customer_docs.~orders[]~o_totalprice from customer_docs").get
+      },
+      Some("""SELECT c_custkey AS cust_id, o_orderkey, o_totalprice
+             |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
+
     // S9 save-path shred through the oracle: raw JSON strings → inferred
     // nested rows (DocStore.fromJson) → leaf projected back out. DuckDB
     // recomputes the leaf from the raw string, so the whole shred/read

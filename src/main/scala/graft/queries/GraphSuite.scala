@@ -107,6 +107,23 @@ object GraphSuite extends Suite {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
 
+    // G1 attr-map MERGE identity (round-3 gap): nodes merged WITHOUT a
+    // 'name' attribute — identity is the full attribute map, the
+    // reference's general MERGE semantics (client.py:841-889). One region
+    // is re-merged (must be a no-op on the SAME node) and the RETURN
+    // projects the attribute back off the merge-created nodes.
+    "cypher_merge_attrs" -> Q(
+      (s, d) => {
+        val names = Tables.t(s, d, "region").select("r_name")
+          .collect().map(_.getString(0)).sorted // 5-row dim: driver-side ok
+        val g0 = PropertyGraph.empty(s)
+        val g1 = names.foldLeft(g0)((g, n) =>
+          g.merge(s"merge (r:Region {'r_name': '$n'})"))
+        val g2 = g1.merge(s"merge (r:Region {'r_name': '${names.head}'})") // no-op
+        g2.query("match (r:Region) return r.r_name")
+      },
+      Some("SELECT DISTINCT r_name AS r_r_name FROM region")),
+
     // G1/G2 MERGE round-trip: merge the 5 regions (idempotently — one is
     // merged twice) into an empty graph, then MATCH them back.
     "cypher_merge_match" -> Q(

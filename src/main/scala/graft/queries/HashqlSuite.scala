@@ -135,6 +135,35 @@ object HashqlSuite extends Suite {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
+    // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
+    // materialized, then a later dialect SELECT over the same join answers
+    // from the pre-joined parquet (zero Join nodes — asserted in
+    // MatViewSpec). This is the reference's read-path contract for create
+    // join (server.py:806-894): SELECTs read maintained rows, not a live
+    // join build.
+    "hashql_select_routed" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val reg = new HashQL.JoinRegistry
+        HashQL.execute(cat,
+          "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+            "inner join region on nation.n_regionkey = region.r_regionkey",
+          Some(reg))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_routed").toString
+        val name = HashQL.materializeJoin(
+          cat, reg, Set("customer", "nation", "region"), s"$tmp/view")
+        val out = HashQL.execute(cat,
+          "select customer.c_custkey, nation.n_name, region.r_name from customer " +
+            "inner join nation on customer.c_nationkey = nation.n_nationkey " +
+            "inner join region on nation.n_regionkey = region.r_regionkey",
+          Some(reg)).get
+        graft.matview.MatView.drop(s, s"hashql:$name") // no session-rule leak
+        out
+      },
+      Some("""SELECT c_custkey, n_name, r_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // M3/J5: create join registered, expanded as a view, queried.
     "hashql_create_join_view" -> Q(
       (s, d) => {

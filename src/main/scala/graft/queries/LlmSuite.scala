@@ -329,6 +329,58 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // IVF with iters=1 over the FULL training set: one Lloyd step is
+    // SQL-expressible — new centroid = per-list element-wise mean of the
+    // vectors assigned under the iters=0 centroids (summed in ascending-id
+    // order, the trainer's exact fold order), empty lists keep their seed
+    // centroid. This hash-checks the TRAINED path one step further than
+    // ann_ivf_flat; only the iterated fixpoint (ann_ivf) stays rows-only.
+    "ann_ivf_lloyd1" -> Q(
+      (s, d) => Similarity.ivfTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3,
+        nlist = 16, nprobe = 4, iters = 1),
+      Some(s"""WITH $cosineNormsCte,
+              |c0 AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |       ORDER BY vec_id LIMIT 16),
+              |a0 AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c0 c) WHERE arn = 1),
+              |dims AS (SELECT a.cid, t.i,
+              |      list_sum(list(x.embedding[t.i]::DOUBLE ORDER BY a.nid))
+              |        / count(*) AS v
+              |    FROM a0 a JOIN n x ON x.vec_id = a.nid, range(1, 65) t(i)
+              |    GROUP BY a.cid, t.i),
+              |c1e AS (SELECT cid, list(v ORDER BY i) AS emb FROM dims GROUP BY cid),
+              |c1 AS (SELECT c0.cid,
+              |      coalesce(c1e.emb,
+              |        list_transform(c0.embedding, x -> x::DOUBLE)) AS embedding,
+              |      sqrt(list_sum(list_transform(coalesce(c1e.emb,
+              |        list_transform(c0.embedding, x -> x::DOUBLE)),
+              |        y -> y * y))) AS nrm
+              |    FROM c0 LEFT JOIN c1e ON c0.cid = c1e.cid),
+              |asg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c1 c) WHERE arn = 1),
+              |probes AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, c.cid,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosExpr("q", "c")} DESC, c.cid) AS prn
+              |    FROM n q, c1 c WHERE q.vec_id < 5) WHERE prn <= 4),
+              |p AS (SELECT pr.qid, a.nid, round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM probes pr
+              |      JOIN asg a ON a.cid = pr.cid
+              |      JOIN n q ON q.vec_id = pr.qid
+              |      JOIN n x ON x.vec_id = a.nid
+              |      WHERE a.nid <> pr.qid),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // ---------- multimodal ----------
     "mm_decode" -> Q(
       (s, d) => Multimodal.decodeStub(

@@ -191,6 +191,7 @@ object HashQL {
     * view. */
   final class JoinRegistry {
     private var views = Map.empty[String, CreateJoin]
+    private var mats = Map.empty[String, DataFrame]
 
     /** All tables a create-join's clauses mention. */
     def tablesOf(cj: CreateJoin): Set[String] =
@@ -200,16 +201,41 @@ object HashQL {
     def nameOf(cj: CreateJoin): String = tablesOf(cj).toSeq.sorted.mkString("+")
 
     /** Register; returns the canonical name. Same table set ⇒ replaces
-      * (versioning — the refreshed definition wins). */
+      * (versioning — the refreshed definition wins, and any materialized
+      * copy of the superseded definition stops routing). */
     def put(cj: CreateJoin): String = {
       val n = nameOf(cj)
       views += n -> cj
+      mats -= n
       n
     }
     def get(name: String): Option[CreateJoin] = views.get(name)
     def forTables(tables: Set[String]): Option[CreateJoin] =
       views.get(tables.toSeq.sorted.mkString("+"))
     def names: Seq[String] = views.keys.toSeq.sorted
+
+    /** Attach a materialized frame (a parquet scan of the pre-joined rows)
+      * to a registered view — see [[HashQL.materializeJoin]]. */
+    private[sql] def setMaterialized(name: String, df: DataFrame): Unit =
+      mats += name -> df
+
+    /** The dialect read path of the reference's `create join`
+      * (server.py:806-894, README.md:29-64): a SELECT whose join clauses
+      * match a registered AND materialized view answers from the pre-joined
+      * parquet — zero Join nodes in its plan. Matching is on the unordered
+      * column-pair set, so clause order / side order don't matter; any
+      * difference (extra table, different key) falls back to the live join
+      * build. */
+    def routedFrame(tables: Set[String],
+                    joins: Seq[(String, ColRef, ColRef)]): Option[DataFrame] =
+      for {
+        cj <- forTables(tables)
+        df <- mats.get(nameOf(cj))
+        if joinPairs(cj.clauses) == joinPairs(joins)
+      } yield df
+
+    private def joinPairs(clauses: Seq[(String, ColRef, ColRef)]): Set[Set[(String, String)]] =
+      clauses.map { case (_, l, r) => Set((l.table, l.column), (r.table, r.column)) }.toSet
   }
 
   private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
@@ -237,13 +263,22 @@ object HashQL {
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None
       case Select(items, table, joins, wheres, groupBy) =>
-        var df = cat.table(table)
-        joins.foreach { case (t, l, r) =>
-          // the clause's table is the fresh side; the other ref is already
-          // in the accumulated left-deep join (reference client.py:472-480)
-          val tdf = cat.table(t)
-          val (known, fresh) = if (l.table == t) (r, l) else (l, r)
-          df = df.join(tdf, df(known.column) === tdf(fresh.column))
+        // read path first: if the statement's joins match a registered +
+        // materialized `create join`, answer from the pre-joined rows
+        // (the reference's whole point for create join — SELECTs read the
+        // maintained view, server.py:806-894).
+        val tset = joins.flatMap { case (t, l, r) =>
+          Seq(t, l.table, r.table) }.toSet + table
+        var df = registry.flatMap(_.routedFrame(tset, joins)).getOrElse {
+          var acc = cat.table(table)
+          joins.foreach { case (t, l, r) =>
+            // the clause's table is the fresh side; the other ref is already
+            // in the accumulated left-deep join (reference client.py:472-480)
+            val tdf = cat.table(t)
+            val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column))
+          }
+          acc
         }
         wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
         def aggColumns: Seq[Column] = {
@@ -262,23 +297,28 @@ object HashQL {
           case None =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
-              // doc-path projection (one array path per statement): one
-              // output row per addressed leaf. Plain fields may be projected
-              // ALONGSIDE the path (reference README.md:134-145 style mixed
-              // row dicts) — they repeat per exploded leaf.
-              require(docPaths.size == 1, "one doc-path per select supported")
-              val path = docPaths.head.column
-              val alias = path.split("~").last.stripSuffix("[]")
-              val exploded = graft.doc.DocStore.selectPath(df, "doc", path, alias)
+              // doc-path projection, one output row per addressed leaf
+              // combination: paths through the SAME array share one explode
+              // (positionally-aligned leaves — the reference's flattened
+              // multi-path row dicts, README.md:134-145); paths through
+              // different arrays cross. Plain fields may be projected
+              // ALONGSIDE paths — they repeat per exploded leaf.
+              val aliasOf = docPaths.map(r =>
+                r -> r.column.split("~").last.stripSuffix("[]")).toMap
+              require(aliasOf.values.toSeq.distinct.size == aliasOf.size,
+                "doc-paths in one select need distinct leaf names")
+              val exploded = graft.doc.DocStore.selectPaths(df, "doc",
+                docPaths.distinct.map(r => r.column -> aliasOf(r)))
               val outCols = items.flatMap {
-                case Field(r) if r.column.startsWith("~") => Seq(alias)
+                case Field(r) if r.column.startsWith("~") => Seq(aliasOf(r))
                 case Field(r) => Seq(r.column)
                 // `select *, t.~path from t`: star expands to every plain
                 // column (the doc struct itself is consumed by the path)
                 case Star => df.columns.toSeq.filter(_ != "doc")
                 case CountStar | _: AggCall => Seq.empty
               }.distinct
-              val scalarCols = outCols.filter(_ != alias)
+              val pathAliases = aliasOf.values.toSet
+              val scalarCols = outCols.filterNot(pathAliases)
               val projected = exploded.select(outCols.map(col): _*)
               // missing-field skip applies to the scalar fields, as in the
               // plain branch (server.py:1054-1060); null doc leaves are kept
@@ -300,6 +340,33 @@ object HashQL {
         }
         Some(out)
     }
+
+  /** Materialize a registered `create join` to parquet and wire BOTH read
+    * paths to it:
+    *  1. dialect SELECTs whose joins match the view answer from the parquet
+    *     via [[JoinRegistry.routedFrame]] (the reference's read-path
+    *     contract — server.py:806-894);
+    *  2. arbitrary DataFrame/SQL queries joining the same relations on the
+    *     same keys route through the Catalyst rule
+    *     ([[graft.matview.MatView.materialize]]).
+    * Freshness: re-run after base-table changes (or maintain incrementally
+    * with graft.streaming.Streams.maintainJoinN writing to `path`). Column
+    * names across the joined tables must be distinct (true for every view
+    * the dialect can register over distinct-prefixed tables; joins of
+    * insert-created tables collide on the synthesized `id` — the documented
+    * dialect limitation).
+    * @return the canonical view name (also the MatView registration name,
+    *         prefixed "hashql:") */
+  def materializeJoin(cat: GraftCatalog, registry: JoinRegistry,
+                      tables: Set[String], path: String): String = {
+    val cj = registry.forTables(tables).getOrElse(throw new IllegalArgumentException(
+      s"no create join registered for ${tables.toSeq.sorted.mkString("+")}"))
+    val name = registry.nameOf(cj)
+    val view = joinView(cat, cj)
+    graft.matview.MatView.materialize(view.sparkSession, s"hashql:$name", view, path)
+    registry.setMaterialized(name, view.sparkSession.read.parquet(path))
+    name
+  }
 
   /** Expand a registered `create join` into its DataFrame view. */
   def joinView(cat: GraftCatalog, cj: CreateJoin): DataFrame = {

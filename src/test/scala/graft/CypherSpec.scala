@@ -58,6 +58,31 @@ class CypherSpec extends SparkSpec {
     assert(attrs.collect().map(_.getString(0)).toSet == Set("Tasya"))
   }
 
+  test("properties(n) returns the whole attribute map; attr-map MERGE identity") {
+    // parser: properties(n) → Ret(n, Some("*"))
+    val Cypher.Match(_, rets) = Cypher.parse(
+      "match (r:Region) return properties(r), r.r_name"): @unchecked
+    assert(rets == Seq(Cypher.Ret("r", Some("*")), Cypher.Ret("r", Some("r_name"))))
+    // executor: nodes merged WITHOUT a name — identity = full attr map;
+    // re-merge with identical attrs is a no-op on the same node
+    val g = PropertyGraph.empty(spark)
+      .merge("merge (r:Region {'r_name': 'EMEA', 'tier': '1'})")
+      .merge("merge (r:Region {'r_name': 'APAC', 'tier': '2'})")
+      .merge("merge (r:Region {'r_name': 'EMEA', 'tier': '1'})") // no-op
+    assert(g.vertices.count() == 2)
+    val rows = g.query("match (r:Region) return properties(r), r.r_name")
+      .collect()
+    assert(rows.length == 2)
+    val byName = rows.map(r =>
+      r.getString(1) -> r.getMap[String, String](0).toMap).toMap
+    assert(byName("EMEA") == Map("r_name" -> "EMEA", "tier" -> "1"))
+    assert(byName("APAC") == Map("r_name" -> "APAC", "tier" -> "2"))
+    // mixed bare-node + whole-map RETURN keeps set semantics
+    val mixed = g.query("match (r:Region) return r, properties(r)")
+    assert(mixed.columns.toSeq == Seq("r", "r_properties"))
+    assert(mixed.count() == 2)
+  }
+
   test("merge parses quoted attribute keys (example.py:242 style)") {
     val Cypher.Merge(ch) = Cypher.parse(
       "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(tasya:Person {'name': 'Tasya'})"): @unchecked

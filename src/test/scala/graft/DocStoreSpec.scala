@@ -33,6 +33,23 @@ class DocStoreSpec extends SparkSpec {
     assert(got == Seq("God", "databases", "computers"))
   }
 
+  test("multi-path: same array aligns positionally, different arrays cross") {
+    val json =
+      """{"orders": [{"k": 1, "p": 10.0}, {"k": 2, "p": 20.0}],
+        | "tags": [{"t": "a"}, {"t": "b"}]}""".stripMargin
+    val docs = DocStore.fromJson(spark, Seq((1L, json)).toDF("doc_id", "json"))
+    // same array: one explode shared — 2 rows, each order's k WITH its p
+    val aligned = DocStore.selectPaths(docs, "doc",
+      Seq("~orders[]~k" -> "k", "~orders[]~p" -> "p"))
+      .select("k", "p").as[(Long, Double)].collect().toSet
+    assert(aligned == Set((1L, 10.0), (2L, 20.0)))
+    // different arrays: explodes compose — 2×2 cross product
+    val crossed = DocStore.selectPaths(docs, "doc",
+      Seq("~orders[]~k" -> "k", "~tags[]~t" -> "t"))
+      .select("k", "t").as[(Long, String)].collect().toSet
+    assert(crossed == Set((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")))
+  }
+
   test("doc-path filter: where people.~hobbies[]~name = 'God' (example.py:324-333)") {
     assert(people.filter(
       DocStore.pathMatches(col("doc"), "~hobbies[]~name", _ === "God")).count() == 1)

@@ -28,6 +28,17 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.6, s"simhash recall $recall")
   }
 
+  test("ngram jaccard: rarity-ordered and hash-ordered prefixes agree exactly") {
+    // the bench/verify corpora sit below rarityOrderMinDocs, so the rarity
+    // path (the 100-TB plan) is exercised here: forcing it must yield the
+    // identical pair set — PPJoin's guarantee holds under any total order.
+    val fast = Dedup.ngramJaccardPairs(augmented, "text", "doc_id", 0.6)
+    val rarity = Dedup.ngramJaccardPairs(augmented, "text", "doc_id", 0.6,
+      broadcastVerifyMaxDocs = 2000000L, rarityOrderMinDocs = 0L)
+    assert(fast.exceptAll(rarity).isEmpty && rarity.exceptAll(fast).isEmpty)
+    fast.unpersist(); rarity.unpersist()
+  }
+
   test("simhash pigeonhole banding is EXACT vs brute-force hamming join") {
     val banded = Dedup.simhashPairs(augmented, "text", "doc_id", maxDist = 3)
     val sigs = Dedup.simhash(augmented, "text", "doc_id")

@@ -119,6 +119,44 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cnr6")
   }
 
+  test("dialect SELECT answers from a materialized create join: zero Joins") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "nation", "region").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val reg = new HashQL.JoinRegistry
+    HashQL.execute(cat,
+      "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+        "inner join region on nation.n_regionkey = region.r_regionkey",
+      Some(reg))
+    val tmp = java.nio.file.Files.createTempDirectory("mv_dialect").toString
+    val name = HashQL.materializeJoin(
+      cat, reg, Set("customer", "nation", "region"), s"$tmp/view")
+    try {
+      val sel = "select customer.c_custkey, nation.n_name, region.r_name from customer " +
+        "inner join nation on customer.c_nationkey = nation.n_nationkey " +
+        "inner join region on nation.n_regionkey = region.r_regionkey"
+      val routed = HashQL.execute(cat, sel, Some(reg)).get
+      val joins = routed.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, s"dialect SELECT not routed:\n${routed.queryExecution.optimizedPlan}")
+      // same answer as the live-join path (no registry)
+      val live = HashQL.execute(cat, sel).get
+      assert(routed.exceptAll(live).isEmpty && live.exceptAll(routed).isEmpty)
+      // a DIFFERENT join over the same tables must NOT route
+      val other = HashQL.execute(cat,
+        "select customer.c_custkey from customer " +
+          "inner join nation on customer.c_custkey = nation.n_nationkey " +
+          "inner join region on nation.n_regionkey = region.r_regionkey",
+        Some(reg)).get
+      assert(other.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, "mismatched join keys wrongly routed")
+    } finally MatView.drop(spark, s"hashql:$name")
+  }
+
   test("unrelated queries are untouched") {
     val out = java.nio.file.Files.createTempDirectory("mv2").toString
     MatView.materialize(spark, "cust_nation2", custNation, out)
