@@ -141,9 +141,10 @@ object Streams {
     *    jaccard verification of candidates.
     * The per-batch JOIN OUTPUT is O(batch × collisions), but each batch
     * SCANS the whole store (it grows with the admitted corpus, like any
-    * dedup index) — large deployments should compact the per-batch
-    * directories periodically and can bucket the band store by bandHash so
-    * the candidate join co-locates.
+    * dedup index) — run [[compactStore]] periodically between restarts to
+    * rewrite the accumulated per-batch directories into one
+    * (band, bandHash)-bucketed batch so the candidate join reads co-located
+    * buckets instead of thousands of small files.
     *
     * Replay-idempotent: every write lands in a `batch=<id>` directory with
     * overwrite semantics, so a crashed-and-replayed micro-batch rewrites
@@ -218,6 +219,46 @@ object Streams {
         () // foreachBatch wants Unit; unpersist returns the frame
       }
       .start()
+  }
+
+  /** Compact the [[nearDupIngest]] signature store: the accumulated
+    * per-batch directories are rewritten into ONE consolidated batch — the
+    * band index re-bucketed on (band, bandHash) so the candidate equi-join
+    * reads co-located buckets, the shingle store coalesced out of its
+    * many tiny per-batch files. Admission semantics are unchanged (same
+    * rows, different layout) — proven by StreamsSpec.
+    *
+    * Run while the stream is STOPPED (between restarts): the swap is
+    * write-tmp → delete-old → rename, not atomic, so a concurrent
+    * micro-batch could observe a half-swapped store. Compacted data lands
+    * in `batch=-1` — streaming batch ids start at 0, so a replayed
+    * micro-batch can never overwrite the compacted directory, and replay
+    * idempotence (overwrite of `batch=<id>`) is preserved for every batch
+    * AFTER the compaction point. */
+  def compactStore(spark: SparkSession, storePath: String, buckets: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swap(dir: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) return
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
+      fs.delete(tmp, true)
+      rewrite(spark.read.parquet(dir), tmp.toString)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
+        .foreach(s => fs.delete(s.getPath, true))
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(p, "batch=-1")),
+        s"compaction rename failed for $dir")
+    }
+    swap(s"$storePath/bands") { (df, out) =>
+      df.select(col("doc_id"), col("band"), col("bandHash"))
+        .repartition(buckets, col("band"), col("bandHash"))
+        .write.mode("overwrite").partitionBy("band").parquet(out)
+    }
+    swap(s"$storePath/shingles") { (df, out) =>
+      df.select(col("doc_id"), col("sh"))
+        .coalesce(math.max(1, buckets / 4))
+        .write.mode("overwrite").parquet(out)
+    }
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

@@ -100,6 +100,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactStore preserves admission decisions and consolidates layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different words describing an unrelated subject matter with no overlap at all here"
+    val c = "yet another entirely fresh document about completely new things worth keeping around forever"
+    // seed a store with two admitted docs via one stream, then stop it
+    def seed(): String = {
+      val store = Files.createTempDirectory("cmp_store").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", 0.6,
+        Files.createTempDirectory("cmp_out").toString, store,
+        Files.createTempDirectory("cmp_ckpt").toString)
+      try { mem.addData((1L, a), (2L, b)); q.processAllAvailable() }
+      finally q.stop()
+      store
+    }
+    // continue ingesting against a store (fresh query/checkpoint — the
+    // store is the cross-restart state): near-dup of doc 1 + one novel doc
+    def continueInto(store: String): Set[Long] = {
+      val out = Files.createTempDirectory("cmp_out2").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", 0.6, out, store,
+        Files.createTempDirectory("cmp_ckpt2").toString)
+      try {
+        mem.addData((3L, a.substring(a.indexOf(' ') + 1)), (4L, c))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    }
+    val control = seed()
+    val compacted = seed()
+    Streams.compactStore(spark, compacted, buckets = 4)
+    // layout: everything consolidated under batch=-1
+    val bandDirs = new java.io.File(s"$compacted/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(bandDirs == Set("batch=-1"), s"band dirs after compaction: $bandDirs")
+    // identical store CONTENT (rows, not layout)
+    for (sub <- Seq("bands", "shingles")) {
+      val x = spark.read.parquet(s"$control/$sub").drop("batch")
+      val y = spark.read.parquet(s"$compacted/$sub").drop("batch")
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty, s"$sub rows differ")
+    }
+    // identical admission decisions against both stores
+    assert(continueInto(control) == Set(4L))
+    assert(continueInto(compacted) == Set(4L))
+  }
+
   test("cleanCorpusStream filters scan-side then near-dup-admits the rest") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("cc_out").toString
