@@ -184,11 +184,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         }
         var d = out.select(named.distinctBy(_._1).map(_._2): _*).distinct()
         mapVars.foreach { v =>
+          // joined under a reserved internal name, aliased only in the final
+          // select — a node attribute literally named 'properties' would
+          // otherwise make `${v}_properties` ambiguous here
           d = d.join(vertices.select(col("name").as(s"__key_$v"),
-            col("attrs").as(s"${v}_properties")), s"__key_$v")
+            col("attrs").as(s"__map_$v")), s"__key_$v")
         }
         d.select(returns.map {
-          case Cypher.Ret(v, Some("*")) => col(s"${v}_properties")
+          case Cypher.Ret(v, Some("*")) => col(s"__map_$v").as(s"${v}_properties")
           case Cypher.Ret(v, None) => col(v)
           case Cypher.Ret(v, Some("name")) => col(s"${v}_name")
           case Cypher.Ret(v, Some(a)) => col(s"${v}_$a")
@@ -204,13 +207,24 @@ object PropertyGraph {
     * reference's own corpus always carries one — example.py:241-261);
     * otherwise the FULL attribute map is the identity — the reference's
     * general MERGE semantics (match-by-attributes, client.py:841-889) —
-    * serialized canonically (label + sorted k=v pairs) so re-merging the
-    * same attrs lands on the same node deterministically. Nodes with equal
-    * attrs but different labels stay distinct. */
-  private[graph] def identityOf(label: Option[String], attrs: Map[String, String]): String =
+    * serialized canonically (label + sorted k=v pairs, delimiters escaped
+    * so distinct maps can never collide into one identity) and
+    * deterministically, so re-merging the same attrs lands on the same
+    * node. Nodes with equal attrs but different labels stay distinct.
+    * Attribute-LESS pattern nodes have no identity to merge on — error,
+    * as before attr-map identity existed (two anonymous `(a:Person)`
+    * nodes must not silently collapse into one vertex). */
+  private[graph] def identityOf(label: Option[String], attrs: Map[String, String]): String = {
+    require(attrs.nonEmpty,
+      "MERGE node needs a 'name' attribute or a non-empty attribute map")
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"; case '=' => "\\="; case ',' => "\\,"
+      case '{' => "\\{"; case '}' => "\\}"; case c => c.toString
+    }
     attrs.getOrElse("name",
-      label.getOrElse("") + attrs.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}"))
+      esc(label.getOrElse("")) + attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${esc(k)}=${esc(v)}" }.mkString("{", ",", "}"))
+  }
 
   def empty(spark: SparkSession): PropertyGraph = {
     import spark.implicits._

@@ -236,6 +236,15 @@ object HashQL {
 
     private def joinPairs(clauses: Seq[(String, ColRef, ColRef)]): Set[Set[(String, String)]] =
       clauses.map { case (_, l, r) => Set((l.table, l.column), (r.table, r.column)) }.toSet
+
+    /** Drop materialized routes involving `table` — DML calls this so the
+      * read path can never serve stale pre-joined rows (the reference
+      * re-maintains the view at insert time, server.py:806-894; here the
+      * route falls back to the live join until re-materialized — same
+      * answers, one more join). The registered definition stays, so
+      * re-running [[HashQL.materializeJoin]] restores the fast path. */
+    private[sql] def invalidateTable(table: String): Unit =
+      mats = mats.filter { case (name, _) => !name.split("\\+").contains(table) }
   }
 
   private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
@@ -255,10 +264,12 @@ object HashQL {
               registry: Option[JoinRegistry] = None): Option[DataFrame] =
     parse(sql) match {
       case Insert(t, fs, vs) =>
-        cat.insert(t, fs.zip(vs)); None
+        cat.insert(t, fs.zip(vs))
+        registry.foreach(_.invalidateTable(t)); None
       case Update(t, (ref, v), wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
-        cat.update(t, ref.column, v, cond); None
+        cat.update(t, ref.column, v, cond)
+        registry.foreach(_.invalidateTable(t)); None
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None

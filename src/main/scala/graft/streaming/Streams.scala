@@ -228,26 +228,35 @@ object Streams {
     * many tiny per-batch files. Admission semantics are unchanged (same
     * rows, different layout) — proven by StreamsSpec.
     *
-    * Run while the stream is STOPPED (between restarts): the swap is
-    * write-tmp → delete-old → rename, not atomic, so a concurrent
-    * micro-batch could observe a half-swapped store. Compacted data lands
-    * in `batch=-1` — streaming batch ids start at 0, so a replayed
-    * micro-batch can never overwrite the compacted directory, and replay
-    * idempotence (overwrite of `batch=<id>`) is preserved for every batch
-    * AFTER the compaction point. */
+    * Run while the stream is STOPPED (between restarts): a concurrent
+    * micro-batch could observe a half-swapped store. The swap itself is
+    * crash-safe in every window: write the consolidated copy OUTSIDE the
+    * store, rename it in as a fresh NEGATIVE batch id (streaming batch ids
+    * start at 0, so no replayed micro-batch can ever overwrite it; each
+    * compaction takes the next unused negative id), and only then delete
+    * the superseded batch directories. A crash before the rename leaves
+    * the old store untouched; a crash between rename and deletes leaves
+    * duplicated rows, which are benign — candidate generation `distinct`s
+    * before verification. Replay idempotence (overwrite of `batch=<id>`)
+    * is preserved for every batch after the compaction point. */
   def compactStore(spark: SparkSession, storePath: String, buckets: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def swap(dir: String)(rewrite: (DataFrame, String) => Unit): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(hconf)
       if (!fs.exists(p)) return
+      val batchIds = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val target = s"batch=${math.min(if (batchIds.isEmpty) 0L else batchIds.min, 0L) - 1L}"
       val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
       fs.delete(tmp, true)
       rewrite(spark.read.parquet(dir), tmp.toString)
-      fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
-        .foreach(s => fs.delete(s.getPath, true))
-      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(p, "batch=-1")),
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(p, target)),
         s"compaction rename failed for $dir")
+      fs.listStatus(p).map(_.getPath)
+        .filter(q => q.getName.startsWith("batch=") && q.getName != target)
+        .foreach(q => fs.delete(q, true))
     }
     swap(s"$storePath/bands") { (df, out) =>
       df.select(col("doc_id"), col("band"), col("bandHash"))

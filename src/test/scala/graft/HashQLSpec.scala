@@ -92,6 +92,38 @@ class HashQLSpec extends SparkSpec {
     assert(reg.names == Seq("items+people", "items+products"))
   }
 
+  test("DML invalidates the materialized route: SELECT falls back to fresh rows") {
+    import graft.core.Tables
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "nation", "region").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val reg = new HashQL.JoinRegistry
+    HashQL.execute(cat,
+      "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+        "inner join region on nation.n_regionkey = region.r_regionkey", Some(reg))
+    val tmp = java.nio.file.Files.createTempDirectory("mv_inval").toString
+    val name = HashQL.materializeJoin(
+      cat, reg, Set("customer", "nation", "region"), s"$tmp/view")
+    graft.matview.MatView.drop(spark, s"hashql:$name")
+    def joinsIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val sel = "select customer.c_custkey, nation.n_name from customer " +
+      "inner join nation on customer.c_nationkey = nation.n_nationkey " +
+      "inner join region on nation.n_regionkey = region.r_regionkey"
+    assert(joinsIn(HashQL.execute(cat, sel, Some(reg)).get) == 0) // routed
+    // UPDATE a joined table: the stale route must drop, the SELECT must
+    // rebuild the live join and see the new value
+    HashQL.execute(cat,
+      "update nation set nation.n_name = 'RENAMED' where nation.n_nationkey = 0",
+      Some(reg))
+    val after = HashQL.execute(cat, sel, Some(reg)).get
+    assert(joinsIn(after) > 0, "stale route survived DML")
+    val names = after.select("n_name").distinct().as[String].collect().toSet
+    assert(names.contains("RENAMED"))
+  }
+
   test("mixed doc-path + scalar projection explodes leaves, repeats scalars") {
     val db = new HashDb(spark)
     db.saveDocument("people", 1,
