@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining (SURVEY §2.12 growth): documents are
+  * concatenated in ascending-id order and split into fixed token-budget
+  * chunks — the GPT-style "concat and chunk at context length" layout.
+  * Each document's chunk id is `floor(tokens_before_it / budget)`, i.e. an
+  * EXACT GLOBAL PREFIX SUM of token counts in id order.
+  *
+  * A window `sum() over (order by id)` expresses this declaratively but
+  * plans as a single-task global sort at scale — so the operator computes
+  * the prefix sum the distributed way:
+  *   1. range-repartition by id + sort within partitions (partitions are
+  *      now globally ordered id ranges);
+  *   2. one tiny job collects PER-PARTITION token sums (≤ #partitions
+  *      rows — bounded driver by construction);
+  *   3. driver scan-left turns them into per-partition starting offsets
+  *      (broadcast);
+  *   4. one pass streams each partition with a running local sum + its
+  *      offset.
+  * Two scans of a two-long-column frame, no global sort, no shuffle beyond
+  * the range exchange — the shape that survives 100 TB. The frame is
+  * localCheckpoint'ed between steps so both passes see ONE pinned
+  * partitioning (range bounds are sampled; the offsets must describe the
+  * exact layout the final pass reads).
+  */
+object Packing {
+
+  /** @return (idCol, n_tokens, chunk_id) — one row per document, chunk_id
+    *         ascending with id, each chunk holding ~budget tokens (a doc
+    *         straddling a boundary belongs to the chunk its FIRST token
+    *         lands in, matching the concat-then-slice layout).
+    *
+    * Implementation note: the per-partition passes use the RDD's
+    * `mapPartitionsWithIndex` — its index is a fixed property of the RDD —
+    * and NOT `TaskContext.getPartitionId()`, which is the STAGE partition
+    * id: when a downstream plan fuses this operator into a larger stage
+    * (e.g. the physical Union an `exceptAll` builds), stage partition ids
+    * are offset by sibling subtrees and every partition would silently
+    * read the wrong offset. Caught by the LlmSpec composition test. */
+  def packChunks(df: DataFrame, textCol: String, idCol: String,
+                 budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .select(col(idCol).cast("long"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .repartitionByRange(nPart, col(idCol))
+      .sortWithinPartitions(idCol)
+      .as[(Long, Long)]
+      .localCheckpoint() // pin the sampled range bounds across both passes
+      .rdd
+    val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2) // ≤ nPart rows — bounded driver
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val packed = ranged.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets.value(pid)
+      it.map { case (id, n) =>
+        val before = run
+        run += n
+        (id, n, before / budget)
+      }
+    }
+    spark.createDataset(packed).toDF(idCol, "n_tokens", "chunk_id")
+  }
+}

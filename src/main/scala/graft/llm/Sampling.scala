@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data mixing (SURVEY
+  * §2.12 growth). At 100 TB, `df.sample()` is the wrong tool: its
+  * per-partition RNG state makes the kept set depend on partitioning and
+  * retries, so a re-run (or a speculative task) samples a DIFFERENT
+  * subset. These operators decide membership from a pure hash of the row
+  * id — reproducible across runs, partitionings, and engines, and a
+  * sample at rate r is always a SUBSET of the sample at rate r' > r
+  * (nested samples, the property data-mixing ablations need).
+  *
+  * Two mixers:
+  *  - [[hashSample]]: xxhash64 (Spark's codegen'd built-in) — the
+  *    production path, best mixing.
+  *  - [[arithSample]]/[[stratifiedSample]]: a multiplicative-mod mix in
+  *    exact integer arithmetic, chosen to be expressible in ANY SQL engine
+  *    (DuckDB oracle included) so the kept set is hash-checkable
+  *    bit-for-bit. The modulus keeps every intermediate below 2^63 —
+  *    no overflow even under ANSI arithmetic at any id range.
+  */
+object Sampling {
+
+  /** Per-mille bucket in [0, 1000) from xxhash64(id) — production mixer. */
+  def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(1000L))
+
+  /** Keep ~permille/1000 of rows, decided by xxhash64(id). */
+  def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    df.filter(hashBucket(col(idCol)) < permille)
+  }
+
+  /** SQL-mirrorable mixer: ((id mod P) * K) mod P, P = 1e9+7 (prime),
+    * K = 2654435761 (Knuth). (P-1) * K < 2^63, so the arithmetic is exact
+    * in both engines. Per-mille bucket = mix mod 1000. */
+  private val P = 1000000007L
+  private val K = 2654435761L
+  def arithBucket(id: Column): Column =
+    pmod(pmod(pmod(id.cast("long"), lit(P)) * lit(K), lit(P)), lit(1000L))
+  def arithBucketSql(c: String): String =
+    s"((($c % $P) * $K) % $P) % 1000"
+
+  /** Keep ~permille/1000 of rows — the oracle-checkable twin of
+    * [[hashSample]] (same nested-subset property, weaker mixing). */
+  def arithSample(df: DataFrame, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    df.filter(arithBucket(col(idCol)) < permille)
+  }
+  def arithSampleSql(idExpr: String, permille: Int): String =
+    s"${arithBucketSql(idExpr)} < $permille"
+
+  /** Stratified deterministic sample: per-stratum keep rates (per-mille),
+    * strata absent from the map keep `defaultPermille`. One scan, zero
+    * shuffles — rate lookup is a literal CASE over the stratum column, so
+    * the filter lands scan-side and at 100 TB this is a data-mixing pass
+    * at I/O rate (e.g. downsample low-quality buckets, upsample rare
+    * languages). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       permilleByStratum: Map[String, Int],
+                       defaultPermille: Int = 0): DataFrame = {
+    (permilleByStratum.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille out of range: $p"))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (els, (k, p)) => when(col(stratumCol) === k, lit(p)).otherwise(els)
+    }
+    df.filter(arithBucket(col(idCol)) < rate)
+  }
+  def stratifiedSampleSql(stratumExpr: String, idExpr: String,
+                          permilleByStratum: Map[String, Int],
+                          defaultPermille: Int = 0): String = {
+    val cases = permilleByStratum.toSeq.sortBy(_._1).map { case (k, p) =>
+      s"WHEN $stratumExpr = '$k' THEN $p" }.mkString(" ")
+    s"${arithBucketSql(idExpr)} < (CASE $cases ELSE $defaultPermille END)"
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (SURVEY §2.12, driver north-star):
   * dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding),
@@ -380,6 +380,46 @@ object LlmSuite extends Suite {
               |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    // ---------- sampling / packing ----------
+    // deterministic hash-membership sampling (data mixing): the kept set is
+    // a pure function of the id — reproducible across runs/partitionings,
+    // nested across rates. The arith mixer is exact integer arithmetic in
+    // both engines, so the sample is hash-checked bit-for-bit.
+    "sample_arith" -> Q(
+      (s, d) => Sampling.arithSample(docs(s, d), "doc_id", permille = 100)
+        .select("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE " +
+        Sampling.arithSampleSql("doc_id", 100))),
+
+    // stratified rates per l_returnflag — one scan-side CASE filter; the
+    // data-mixing pass (downsample one stratum, upsample another) at I/O
+    // rate.
+    "sample_stratified" -> Q(
+      (s, d) => Sampling.stratifiedSample(Tables.t(s, d, "lineitem"),
+        "l_returnflag", "l_orderkey",
+        Map("A" -> 50, "N" -> 200, "R" -> 500))
+        .select("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE " +
+        Sampling.stratifiedSampleSql("l_returnflag", "l_orderkey",
+          Map("A" -> 50, "N" -> 200, "R" -> 500)))),
+
+    // GPT-style concat-and-chunk packing: chunk id = exact global prefix
+    // sum of token counts in id order / budget — computed distributed
+    // (range partitions + per-partition offsets), oracled by the
+    // single-window formulation.
+    "pack_chunks" -> Q(
+      (s, d) => Packing.packChunks(docs(s, d), "text", "doc_id", budget = 512),
+      Some("""WITH t AS (SELECT doc_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |        FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) AS tokens_before
+             |      FROM t)
+             |SELECT doc_id, n_tokens, tokens_before // 512 AS chunk_id
+             |FROM c""".stripMargin)),
 
     // ---------- multimodal ----------
     "mm_decode" -> Q(

@@ -28,6 +28,50 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.6, s"simhash recall $recall")
   }
 
+  test("hashSample is deterministic, nested across rates, near target rate") {
+    import graft.llm.Sampling
+    val s100 = Sampling.hashSample(docs, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.hashSample(docs, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100 == again, "hash sample not reproducible")
+    val s500 = Sampling.hashSample(docs, "doc_id", 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100.subsetOf(s500), "samples not nested across rates")
+    // 500 docs at 10%: expect ~50, binomial 4σ ≈ ±27
+    assert(s100.size > 20 && s100.size < 80, s"rate off: ${s100.size}/500")
+    // arith mixer obeys the same laws
+    val a100 = Sampling.arithSample(docs, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    val a500 = Sampling.arithSample(docs, "doc_id", 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a100.subsetOf(a500))
+    assert(a100.size > 20 && a100.size < 80, s"arith rate off: ${a100.size}/500")
+  }
+
+  test("packChunks equals the global-window formulation") {
+    import graft.llm.{Packing, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    val got = Packing.packChunks(docs, "text", "doc_id", budget = 512)
+    val win = docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("before") / lit(512L)).cast("long").as("chunk_id"))
+    // both directions of exceptAll — its physical Union fuses packChunks'
+    // final pass into a multi-subtree stage, the exact composition that a
+    // stage-id-based partition lookup gets wrong (see Packing scaladoc)
+    val extra = got.exceptAll(win).collect().toSeq
+    val missing = win.exceptAll(got).collect().toSeq
+    assert(extra.isEmpty && missing.isEmpty,
+      s"extra=${extra.take(5)} missing=${missing.take(5)}")
+    // chunks are contiguous in id order and chunk ids start at 0
+    val ids = got.select("chunk_id").distinct().as[Long].collect().sorted
+    assert(ids.head == 0L && ids.toSeq == (ids.head to ids.last))
+  }
+
   test("ngram jaccard: rarity-ordered and hash-ordered prefixes agree exactly") {
     // the bench/verify corpora sit below rarityOrderMinDocs, so the rarity
     // path (the 100-TB plan) is exercised here: forcing it must yield the
