@@ -92,6 +92,34 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * Hamming-1 neighbor bucket (one plane's sign flipped) — the standard
+    * recall fix for query points that sit close to a hyperplane, bought
+    * with (planes+1)× candidate volume instead of more tables. The probe
+    * set is a pure function of the bucket id (no margin ordering, no RNG),
+    * so the operator stays deterministic and exactly SQL-expressible —
+    * same codegen'd bucket kernel, candidates still one equi-join. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+                        planes: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val bucket = graft.functions.VectorKernels.lsh_bucket(col(vecCol), planes, dims = dims)
+    val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      bucket.as("bucket"))
+    val qb = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      bucket.as("qbucket"))
+    // probe masks: 0 (own bucket) + one per flipped plane — all distinct,
+    // so a (qid, nid) pair can match through at most one probe (no dedup)
+    val masks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
+    val probes = broadcast(qb.select(col("qid"), col("qvec"),
+      explode(array(masks.map(m => col("qbucket").bitwiseXOR(m)): _*)).as("bucket")))
+    bucketed.join(probes, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
   /** Embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     *
     * Two physical paths, chosen by corpus size (the same two-path pattern as

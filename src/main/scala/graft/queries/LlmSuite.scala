@@ -288,6 +288,35 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // Multi-probe LSH: own bucket + every Hamming-1 neighbor (one plane
+    // flipped). The probe set is a pure function of the bucket id, so the
+    // recall-boosted approximate operator is STILL hash-checked — the
+    // oracle unions xor(bucket, 1<<p) probes over the same inlined planes.
+    "ann_lsh_multiprobe" -> Q(
+      (s, d) => Similarity.lshMultiProbeTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3, dims = 64, planes = 4),
+      Some {
+        val probeUnion = (0 until 4).map(p =>
+          s"SELECT qid, embedding, nrm, xor(bucket, ${1L << p}) AS bucket FROM pr")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $cosineNormsCte,
+           |b AS (SELECT vec_id, embedding, nrm,
+           |        ${lshBucketSql(dims = 64, planes = 4)} AS bucket
+           |      FROM n),
+           |pr AS (SELECT vec_id AS qid, embedding, nrm, bucket FROM b
+           |       WHERE vec_id < 5),
+           |probes AS (SELECT qid, embedding, nrm, bucket FROM pr
+           |  UNION ALL $probeUnion),
+           |p AS (SELECT q.qid, x.vec_id AS nid,
+           |        round(${cosExpr("q", "x")}, 5) AS cos
+           |      FROM probes q JOIN b x
+           |        ON q.bucket = x.bucket AND q.qid <> x.vec_id),
+           |r AS (SELECT qid, nid, cos,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+           |      FROM p)
+           |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin
+      }),
+
     // IVF ANN (k-means coarse quantizer + nprobe lists) — the other scale
     // path; recall asserted in ScalaTest, rows-only here (trained centroids
     // aren't SQL-expressible; the MACHINERY is hash-checked by ann_ivf_flat).

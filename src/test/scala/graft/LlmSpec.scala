@@ -146,6 +146,22 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.2, s"lsh recall $recall")
   }
 
+  test("multi-probe LSH beats single-bucket recall and subsumes its hits") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(emb, queries, 5, dims = 64, planes = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshMultiProbeTopK(emb, queries, 5, dims = 64, planes = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rSingle = exact.count(single.contains).toDouble / exact.size
+    val rMulti = exact.count(multi.contains).toDouble / exact.size
+    // the multi-probe candidate set is a superset of the single-bucket set,
+    // so its top-k can only get closer to exact
+    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+    assert(rMulti > 0.3, s"multi-probe recall $rMulti")
+  }
+
   test("IVF-ANN recall beats LSH at similar probe cost") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)

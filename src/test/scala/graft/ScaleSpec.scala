@@ -34,6 +34,23 @@ class ScaleSpec extends SparkSpec {
     blocked.count() // and it executes
   }
 
+  test("packChunks has no single-partition stage; sampling has no exchange") {
+    val docs = Tables.t(spark, sf, "documents")
+    // the naive window formulation funnels the corpus through ONE task;
+    // the operator's range-partition + offsets shape must not
+    val packed = graft.llm.Packing.packChunks(docs, "text", "doc_id", 512)
+    val packPlan = packed.queryExecution.executedPlan.toString
+    assert(!packPlan.contains("Exchange SinglePartition"),
+      s"packChunks funnels through one partition:\n$packPlan")
+    // deterministic sampling is a pure scan-side filter — no shuffle at all
+    val sampled = graft.llm.Sampling.stratifiedSample(
+      Tables.t(spark, sf, "lineitem"), "l_returnflag", "l_orderkey",
+      Map("A" -> 50, "N" -> 200, "R" -> 500))
+    val samplePlan = sampled.queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"),
+      s"sampling shuffles:\n$samplePlan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.t(spark, sf, "orders")
     val lineitem = Tables.t(spark, sf, "lineitem")
