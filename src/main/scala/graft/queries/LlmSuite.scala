@@ -288,6 +288,37 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // int8-quantized ANN: per-vector scale = maxAbs/127, elements rounded
+    // into [-127,127]; cosine is scale-invariant so ranking runs on the raw
+    // int arrays (4x less scan I/O). The quantization arithmetic is
+    // mirrored exactly (same divisions, same HALF_UP rounding, same
+    // ascending fold), so even the quantized approximate operator is
+    // hash-checked.
+    "ann_quantized" -> Q(
+      (s, d) => Similarity.quantizedTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),
+      Some("""WITH mx AS (SELECT vec_id,
+             |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+             |      FROM embeddings),
+             |z AS (SELECT e.vec_id,
+             |        CASE WHEN m.ma = 0 THEN list_transform(e.embedding, x -> 0)
+             |             ELSE list_transform(e.embedding,
+             |               x -> CAST(round(x::DOUBLE / (m.ma / 127.0), 0) AS INTEGER))
+             |        END AS qv
+             |      FROM embeddings e JOIN mx m USING (vec_id)),
+             |nq AS (SELECT vec_id, qv,
+             |        sqrt(list_sum(list_transform(qv, v -> v::DOUBLE * v::DOUBLE))) AS nrm
+             |      FROM z),
+             |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+             |        round(list_sum(list_transform(range(1, 65),
+             |          i -> q.qv[i]::DOUBLE * x.qv[i]::DOUBLE)) / (q.nrm * x.nrm), 5) AS cos
+             |      FROM nq q JOIN nq x ON q.vec_id <> x.vec_id
+             |      WHERE q.vec_id < 5),
+             |r AS (SELECT qid, nid, cos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |      FROM p)
+             |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // Multi-probe LSH: own bucket + every Hamming-1 neighbor (one plane
     // flipped). The probe set is a pure function of the bucket id, so the
     // recall-boosted approximate operator is STILL hash-checked — the

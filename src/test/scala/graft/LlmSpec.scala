@@ -162,6 +162,25 @@ class LlmSpec extends SparkSpec {
     assert(rMulti > 0.3, s"multi-probe recall $rMulti")
   }
 
+  test("int8 quantization: reconstruction error bounded, top-k recall high") {
+    val q = Similarity.quantizeInt8(emb)
+    // every element within half a quantization step of the original
+    val bad = q.join(emb, "vec_id")
+      .select(explode(arrays_zip(col("embedding"), col("qvec"))).as("z"), col("scale"))
+      .filter(abs(col("z.embedding").cast("double") -
+        col("z.qvec") * col("scale")) > col("scale") * 0.5 + 1e-12)
+      .count()
+    assert(bad == 0, s"$bad elements outside half-step error bound")
+    // quantized ranking stays close to exact ranking
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall > 0.8, s"quantized top-k recall $recall")
+  }
+
   test("IVF-ANN recall beats LSH at similar probe cost") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
