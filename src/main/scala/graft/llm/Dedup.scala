@@ -241,6 +241,46 @@ object Dedup {
     cached
   }
 
+  /** CROSS-corpus near-dup pairs (train/benchmark contamination check):
+    * MinHash-LSH candidates between two DIFFERENT corpora — the banded
+    * equi-join runs corpusA-bands ⋈ corpusB-bands instead of a self-join,
+    * then candidates verify with exact jaccard. The decontamination
+    * primitive every training pipeline needs before shipping a model:
+    * find corpus documents that near-duplicate an eval benchmark. Same
+    * scale shape as [[minhashLsh]]: scan-side codegen signatures, 16-byte
+    * join keys, verification O(candidates), never |A|×|B|.
+    *
+    * Returns an EAGER, CACHED frame (a, b, jaccard) — `a` from corpusA,
+    * `b` from corpusB, every verified pair at or above the threshold
+    * (no a < b constraint: the corpora are distinct id spaces). */
+  def crossNearDup(corpusA: DataFrame, corpusB: DataFrame,
+                   textCol: String, idCol: String, threshold: Double,
+                   bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    def sigs(df: DataFrame, as: String): (DataFrame, DataFrame) = {
+      val sh = df.select(col(idCol).as(as), shingle_hashes(col(textCol)).as(s"sh_$as")).cache()
+      val banded = sh.select(col(as),
+        posexplode(minhash_band_hashes(col(s"sh_$as"), bands, rowsPerBand))
+          .as(Seq("band", "bandHash")))
+      (sh, banded)
+    }
+    val (shA, bandedA) = sigs(corpusA, "a")
+    val (shB, bandedB) = sigs(corpusB, "b")
+    val cand = bandedA.join(bandedB, Seq("band", "bandHash"))
+      .select("a", "b").distinct()
+    val out = cand
+      .join(shA, "a")
+      .join(shB, "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+    val cached = out.cache()
+    cached.count()
+    shA.unpersist(); shB.unpersist()
+    cached
+  }
+
   /** 64-bit SimHash per doc: per-token xxhash64, per-bit strict majority
     * vote — one codegen'd kernel ([[graft.functions.SimHash64]]) evaluated
     * scan-side. No explode, no groupBy: the round-1 formulation bought a

@@ -37,6 +37,24 @@ object Pipeline {
     kept.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every corpus document that
+    * near-duplicates a benchmark document (jaccard ≥ threshold over
+    * 3-gram shingles) — the pass a training pipeline runs against its
+    * eval suites before the corpus ships. Exact-dup removal falls out
+    * (jaccard 1). The benchmark is typically tiny next to the corpus;
+    * the work is one banded equi-join + candidate verification
+    * ([[Dedup.crossNearDup]]), then an anti-join on the contaminated ids. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    jaccardThreshold: Double): DataFrame = {
+    val pairs = Dedup.crossNearDup(corpus, benchmark, textCol, idCol, jaccardThreshold)
+    // pin the (tiny) contaminated id set before releasing the pairs cache —
+    // a lazy projection would re-derive the whole banding lineage later
+    val contaminated = pairs.select(col("a").as(idCol)).distinct().localCheckpoint()
+    pairs.unpersist()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid
     * filters run on each micro-batch BEFORE any shuffling (same cost
     * ordering as the batch pass), then survivors flow through

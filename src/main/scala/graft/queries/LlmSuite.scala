@@ -103,6 +103,34 @@ object LlmSuite extends Suite {
          |  THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString("\n + ")
 
+  /** Cross-corpus jaccard CTEs ending in `jp(a, b, jaccard)`: exact
+    * pairwise jaccard between the corpus (documents) and the planted
+    * benchmark slice of `aug` (ids 10000-10049) — the oracle may cross
+    * |corpus|×50 pairs; the engine's banded join must land on the same
+    * verified set. */
+  private def crossJaccardCtes(threshold: Double): String = {
+    def shingleChain(src: String, t: String, sOut: String) =
+      s"""$t AS (SELECT doc_id,
+         |        string_split(replace(lower(text), ',', ''), ' ') AS toks
+         |      FROM $src),
+         |$sOut AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |      FROM $t)""".stripMargin
+    s"""$augmentedSql,
+       |bench AS (SELECT doc_id, text FROM aug
+       |          WHERE doc_id >= 10000 AND doc_id < 10050),
+       |${shingleChain("documents", "tc", "sc")},
+       |${shingleChain("bench", "tb", "sb")},
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |        len(list_intersect(x.sh, y.sh)) AS inter,
+       |        len(x.sh) AS na, len(y.sh) AS nb
+       |      FROM sc x CROSS JOIN sb y),
+       |jp AS (SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+       |       FROM p
+       |       WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $threshold)""".stripMargin
+  }
+
   /** clean_corpus oracle: quality+lang filter (fil), exact jaccard pairs
     * over fil, closure, drop non-representatives. */
   private def cleanCorpusOracle(minQuality: Double, lang: String,
@@ -214,6 +242,27 @@ object LlmSuite extends Suite {
         minQuality = 0.45, lang = "en", jaccardThreshold = 0.6)
         .select("doc_id"),
       Some(cleanCorpusOracle(0.45, "en", 0.6))),
+
+    // CROSS-corpus contamination: corpus documents near-duplicating a
+    // benchmark (here: 50 first-token-dropped copies, ids 10000-10049) —
+    // banded A⋈B join + exact verification, oracled by the exact pairwise
+    // cross jaccard. Then the decontamination pass drops them.
+    "contam_pairs" -> Q(
+      (s, d) => Dedup.crossNearDup(
+        docs(s, d).select(col("doc_id"), col("text")),
+        augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
+        "text", "doc_id", 0.6),
+      Some(s"""WITH ${crossJaccardCtes(0.6)}
+              |SELECT a, b, jaccard FROM jp""".stripMargin)),
+
+    "decontaminate" -> Q(
+      (s, d) => graft.llm.Pipeline.decontaminate(
+        docs(s, d).select(col("doc_id"), col("text")),
+        augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
+        "text", "doc_id", 0.6).select("doc_id"),
+      Some(s"""WITH ${crossJaccardCtes(0.6)}
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT a FROM jp)""".stripMargin)),
 
     // SimHash banding (xxhash-based signature — not DuckDB-expressible, so
     // rows-only there) with an EXACT in-path cross-check that Verify runs:

@@ -28,6 +28,21 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.6, s"simhash recall $recall")
   }
 
+  test("crossNearDup finds every planted contamination; decontaminate drops them") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val bench = augmented.filter(col("doc_id") >= 10000 && col("doc_id") < 10050)
+    val pairs = Dedup.crossNearDup(corpus, bench, "text", "doc_id", 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every benchmark doc (i+10000) must hit its source doc i
+    val planted = (0L until 50L).map(i => (i, i + 10000)).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
+    val clean = graft.llm.Pipeline.decontaminate(
+      corpus, bench, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 50L).forall(!clean.contains(_)), "contaminated doc survived")
+    assert(clean.size >= 440, s"over-dropped: ${clean.size}") // 450 minus natural dups, if any
+  }
+
   test("hashSample is deterministic, nested across rates, near target rate") {
     import graft.llm.Sampling
     val s100 = Sampling.hashSample(docs, "doc_id", 100)
