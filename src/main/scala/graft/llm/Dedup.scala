@@ -69,17 +69,25 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bandHash")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
     // verify candidates with exact jaccard over the shingle-hash sets
-    val withSets = cand
-      .join(docSh.select(col(idCol).as("a"), col("sh").as("shA")), "a")
-      .join(docSh.select(col(idCol).as("b"), col("sh").as("shB")), "b")
-    val out = withSets
+    val out = verifyJaccard(cand,
+      docSh.select(col(idCol).as("a"), col("sh").as("shA")),
+      docSh.select(col(idCol).as("b"), col("sh").as("shB")), threshold)
+    materializeThenRelease(out, docSh)
+  }
+
+  /** Exact-jaccard verification of candidate pairs (a, b) against shingle
+    * frames shaped (a, shA) / (b, shB) — the ONE implementation
+    * [[minhashLsh]] and [[crossNearDup]] share: the DuckDB oracles mirror
+    * this arithmetic (array_intersect sizes, HALF_UP at 4 decimals), so it
+    * must stay bit-identical across every caller. */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            threshold: Double): DataFrame =
+    cand.join(shA, "a").join(shB, "b")
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-    materializeThenRelease(out, docSh)
-  }
 
   /** Near-dup pairs → connected components: every document joined (directly
     * or transitively) by a pair lands in one cluster, labeled by the
@@ -234,10 +242,10 @@ object Dedup {
     * are tiny next to the corpus, so the default is acceptable for
     * interactive use; pipelines release explicitly (see
     * [[graft.llm.Pipeline.cleanCorpus]]). */
-  private def materializeThenRelease(out: DataFrame, intermediate: DataFrame): DataFrame = {
+  private def materializeThenRelease(out: DataFrame, intermediates: DataFrame*): DataFrame = {
     val cached = out.cache()
     cached.count()
-    intermediate.unpersist()
+    intermediates.foreach(_.unpersist())
     cached
   }
 
@@ -267,18 +275,10 @@ object Dedup {
     val (shB, bandedB) = sigs(corpusB, "b")
     val cand = bandedA.join(bandedB, Seq("band", "bandHash"))
       .select("a", "b").distinct()
-    val out = cand
-      .join(shA, "a")
-      .join(shB, "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-    val cached = out.cache()
-    cached.count()
-    shA.unpersist(); shB.unpersist()
-    cached
+    val out = verifyJaccard(cand,
+      shA.select(col("a"), col("sh_a").as("shA")),
+      shB.select(col("b"), col("sh_b").as("shB")), threshold)
+    materializeThenRelease(out, shA, shB)
   }
 
   /** 64-bit SimHash per doc: per-token xxhash64, per-bit strict majority

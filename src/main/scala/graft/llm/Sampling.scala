@@ -39,8 +39,11 @@ object Sampling {
   private val K = 2654435761L
   def arithBucket(id: Column): Column =
     pmod(pmod(pmod(id.cast("long"), lit(P)) * lit(K), lit(P)), lit(1000L))
+  // SQL % keeps the dividend's sign while Spark's pmod is always
+  // non-negative — the (x % P + P) % P shape matches pmod for negative ids
+  // too (and every intermediate stays below 2^63)
   def arithBucketSql(c: String): String =
-    s"((($c % $P) * $K) % $P) % 1000"
+    s"((((($c % $P) + $P) % $P * $K) % $P) % 1000)"
 
   /** Keep ~permille/1000 of rows — the oracle-checkable twin of
     * [[hashSample]] (same nested-subset property, weaker mixing). */
@@ -71,7 +74,7 @@ object Sampling {
                           permilleByStratum: Map[String, Int],
                           defaultPermille: Int = 0): String = {
     val cases = permilleByStratum.toSeq.sortBy(_._1).map { case (k, p) =>
-      s"WHEN $stratumExpr = '$k' THEN $p" }.mkString(" ")
+      s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $p" }.mkString(" ")
     s"${arithBucketSql(idExpr)} < (CASE $cases ELSE $defaultPermille END)"
   }
 }

@@ -100,10 +100,16 @@ object Similarity {
     * Dequantization is `element × scale`; COSINE never needs it — the
     * per-vector scale cancels, so [[quantizedTopK]] ranks on the int
     * arrays directly. Rounding is Spark `round` (HALF_UP), mirrored
-    * exactly by the oracle. */
+    * exactly by the oracle. Non-finite elements (NaN/±Inf from upstream
+    * model bugs) quantize to 0 — under ANSI mode a raw `cast(NaN as int)`
+    * would otherwise abort the whole corpus-wide job for one bad row. */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val xd = transform(col(vecCol), x => x.cast("double"))
+    val xd = transform(col(vecCol), x => {
+      val d = x.cast("double")
+      when(isnan(d) || d === lit(Double.PositiveInfinity) ||
+        d === lit(Double.NegativeInfinity), lit(0.0)).otherwise(d)
+    })
     val maxAbs = array_max(transform(xd, x => abs(x)))
     df.select(col(idCol), (maxAbs / lit(127.0)).as("scale"),
       when(maxAbs === lit(0.0), transform(xd, _ => lit(0)))

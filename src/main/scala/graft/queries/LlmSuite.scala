@@ -34,6 +34,20 @@ object LlmSuite extends Suite {
       |  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
       |  FROM documents)""".stripMargin
 
+  /** One tokenize→3-gram-shingle CTE chain (src → `$t` tokens → `$sOut`
+    * shingle sets) — the SINGLE SQL mirror of the
+    * [[graft.functions.TextKernels]] shingle tokenization, shared by every
+    * jaccard oracle so a kernel tokenization change has exactly one SQL
+    * site to update. */
+  private def shingleChainSql(src: String, t: String, sOut: String): String =
+    s"""$t AS (SELECT doc_id,
+       |        string_split(replace(lower(text), ',', ''), ' ') AS toks
+       |      FROM $src),
+       |$sOut AS (SELECT doc_id,
+       |        list_distinct(list_transform(range(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |      FROM $t)""".stripMargin
+
   /** Shared CTE chain ending in `jp(a, b, jaccard)` — exact pairwise
     * jaccard ≥ threshold over distinct 3-gram shingles of `src` (a < b).
     * `extra` lets a caller splice additional CTEs (e.g. a filtered corpus)
@@ -41,13 +55,7 @@ object LlmSuite extends Suite {
   private def jaccardPairsCtes(threshold: Double, src: String = "aug",
                                extra: String = ""): String =
     s"""$augmentedSql,$extra
-       |t AS (SELECT doc_id,
-       |        string_split(replace(lower(text), ',', ''), ' ') AS toks
-       |      FROM $src),
-       |s AS (SELECT doc_id,
-       |        list_distinct(list_transform(range(1, len(toks) - 1),
-       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |      FROM t),
+       |${shingleChainSql(src, "t", "s")},
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
        |        len(list_intersect(x.sh, y.sh)) AS inter,
        |        len(x.sh) AS na, len(y.sh) AS nb
@@ -109,19 +117,11 @@ object LlmSuite extends Suite {
     * |corpus|×50 pairs; the engine's banded join must land on the same
     * verified set. */
   private def crossJaccardCtes(threshold: Double): String = {
-    def shingleChain(src: String, t: String, sOut: String) =
-      s"""$t AS (SELECT doc_id,
-         |        string_split(replace(lower(text), ',', ''), ' ') AS toks
-         |      FROM $src),
-         |$sOut AS (SELECT doc_id,
-         |        list_distinct(list_transform(range(1, len(toks) - 1),
-         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |      FROM $t)""".stripMargin
     s"""$augmentedSql,
        |bench AS (SELECT doc_id, text FROM aug
        |          WHERE doc_id >= 10000 AND doc_id < 10050),
-       |${shingleChain("documents", "tc", "sc")},
-       |${shingleChain("bench", "tb", "sb")},
+       |${shingleChainSql("documents", "tc", "sc")},
+       |${shingleChainSql("bench", "tb", "sb")},
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
        |        len(list_intersect(x.sh, y.sh)) AS inter,
        |        len(x.sh) AS na, len(y.sh) AS nb
@@ -260,9 +260,11 @@ object LlmSuite extends Suite {
         docs(s, d).select(col("doc_id"), col("text")),
         augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
         "text", "doc_id", 0.6).select("doc_id"),
+      // NOT EXISTS, not NOT IN: the engine side is a left_anti join, and
+      // the two only agree on NULL ids under NOT EXISTS semantics
       Some(s"""WITH ${crossJaccardCtes(0.6)}
-              |SELECT doc_id FROM documents
-              |WHERE doc_id NOT IN (SELECT a FROM jp)""".stripMargin)),
+              |SELECT doc_id FROM documents d
+              |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.a = d.doc_id)""".stripMargin)),
 
     // SimHash banding (xxhash-based signature — not DuckDB-expressible, so
     // rows-only there) with an EXACT in-path cross-check that Verify runs:
@@ -346,15 +348,20 @@ object LlmSuite extends Suite {
     "ann_quantized" -> Q(
       (s, d) => Similarity.quantizedTopK(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),
-      Some("""WITH mx AS (SELECT vec_id,
-             |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+      Some("""WITH fe AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CASE
+             |          WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE) THEN 0.0
+             |          ELSE x::DOUBLE END) AS emb
              |      FROM embeddings),
+             |mx AS (SELECT vec_id,
+             |        list_max(list_transform(emb, x -> abs(x))) AS ma
+             |      FROM fe),
              |z AS (SELECT e.vec_id,
-             |        CASE WHEN m.ma = 0 THEN list_transform(e.embedding, x -> 0)
-             |             ELSE list_transform(e.embedding,
-             |               x -> CAST(round(x::DOUBLE / (m.ma / 127.0), 0) AS INTEGER))
+             |        CASE WHEN m.ma = 0 THEN list_transform(e.emb, x -> 0)
+             |             ELSE list_transform(e.emb,
+             |               x -> CAST(round(x / (m.ma / 127.0), 0) AS INTEGER))
              |        END AS qv
-             |      FROM embeddings e JOIN mx m USING (vec_id)),
+             |      FROM fe e JOIN mx m USING (vec_id)),
              |nq AS (SELECT vec_id, qv,
              |        sqrt(list_sum(list_transform(qv, v -> v::DOUBLE * v::DOUBLE))) AS nrm
              |      FROM z),
@@ -519,8 +526,8 @@ object LlmSuite extends Suite {
     // single-window formulation.
     "pack_chunks" -> Q(
       (s, d) => Packing.packChunks(docs(s, d), "text", "doc_id", budget = 512),
-      Some("""WITH t AS (SELECT doc_id,
-             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      Some(s"""WITH t AS (SELECT doc_id,
+             |        CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens
              |        FROM documents),
              |c AS (SELECT doc_id, n_tokens,
              |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

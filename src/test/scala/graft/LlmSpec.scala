@@ -171,9 +171,11 @@ class LlmSpec extends SparkSpec {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val rSingle = exact.count(single.contains).toDouble / exact.size
     val rMulti = exact.count(multi.contains).toDouble / exact.size
-    // the multi-probe candidate set is a superset of the single-bucket set,
-    // so its top-k can only get closer to exact
-    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+    // the multi-probe CANDIDATE set is a superset of the single-bucket
+    // set; after ranking, rounded-cosine ties broken by nid can in
+    // principle displace a hit, so the recall comparison carries a small
+    // tolerance rather than claiming strict dominance
+    assert(rMulti >= rSingle - 0.05, s"multi $rMulti < single $rSingle")
     assert(rMulti > 0.3, s"multi-probe recall $rMulti")
   }
 
