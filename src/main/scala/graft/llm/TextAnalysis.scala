@@ -92,6 +92,84 @@ object TextAnalysis {
         (col("m.ns").cast("double") / lit(-10000.0) + lit(0.0)).as("score"))
   }
 
+  // ---- repetition signals (Gopher-style quality filters, Rae et al. 2021
+  // §A1.1): heavily repetitive documents are low-quality training data.
+  // Both are integer-count ratios (exact double parity), rounded to 4.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. Pure scan-side expression. */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+  def dupTokenFracSql(c: String): String = {
+    val t = tokensSql(c)
+    s"round(1.0 - len(list_distinct($t))::DOUBLE / len($t), 4)"
+  }
+
+  /** Fraction of the document's word n-grams taken by the single most
+    * frequent n-gram (Gopher's "top n-gram fraction"). Documents shorter
+    * than n tokens score 0. Per-document quadratic in DISTINCT n-grams —
+    * bounded by document length, never corpus size, so still one scan. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val toks = tokens(text)
+    val cnt = size(toks)
+    val grams = transform(sequence(lit(1), cnt - lit(n) + 1),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(cnt < n, lit(0.0))
+      .otherwise(round(top.cast("double") / size(grams), 4))
+  }
+  def topNgramFracSql(c: String, n: Int): String = {
+    val t = tokensSql(c)
+    val gram = (0 until n).map(j => s"t[i${if (j == 0) "" else s"+$j"}]")
+      .mkString(" || ' ' || ")
+    s"""(CASE WHEN len($t) < $n THEN 0.0 ELSE (
+       |  SELECT round(
+       |    list_max(list_transform(list_distinct(g),
+       |      u -> len(list_filter(g, x -> x = u))))::DOUBLE / len(g), 4)
+       |  FROM (SELECT list_transform(range(1, len(t) - ${n - 2}),
+       |          i -> $gram) AS g
+       |        FROM (SELECT $t AS t))
+       |) END)""".stripMargin
+  }
+
+  // ---- PII scrubbing (C4/Dolma-style redaction): replace emails, IPv4
+  // addresses, and phone-shaped numbers with typed placeholder tokens.
+  // Patterns stay inside the Java∩RE2 common regex subset (ASCII \d, \b,
+  // bounded repetition) so Spark (Java regex) and DuckDB (RE2) transform
+  // text identically.
+  private[llm] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[llm] val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact PII in a fixed pass order (email → IPv4 → phone; the email
+    * pass runs first so an address-embedded IP is already gone). Pure
+    * column expression — the 100-TB scrub is a scan-rate map pass. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")
+  // SQL single-quoted strings pass backslashes through verbatim, so the
+  // Scala pattern constants interpolate directly.
+  def scrubPiiSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |  '$emailRe', '<EMAIL>', 'g'),
+       |  '$ipv4Re', '<IP>', 'g'),
+       |  '$phoneRe', '<PHONE>', 'g')""".stripMargin
+
+  /** Count of PII pattern hits on the RAW text (per-pattern counts summed;
+    * overlapping matches across patterns each count — the audit number a
+    * privacy review wants, not a dedup of the scrub). */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailRe)) + regexp_count(text, lit(ipv4Re)) +
+      regexp_count(text, lit(phoneRe))).cast("long")
+  def piiCountSql(c: String): String =
+    s"""CAST(len(regexp_extract_all($c, '$emailRe'))
+       | + len(regexp_extract_all($c, '$ipv4Re'))
+       | + len(regexp_extract_all($c, '$phoneRe')) AS BIGINT)""".stripMargin
+
   /** Quality score in [0,1]: integer-ratio components only (token count,
     * mean word length band, stopword ratio) so Spark and DuckDB compute
     * bit-identical doubles; rounded to 4 anyway. */

@@ -192,6 +192,43 @@ object LlmSuite extends Suite {
              |      FROM sc)
              |SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1""".stripMargin)),
 
+    // Gopher-style repetition signals: fraction of repeated tokens + the
+    // share of the single most frequent 2-/3-gram — the standard
+    // low-quality-document filters (scan-side expressions, exact-integer
+    // ratios so the oracle hash-matches).
+    "text_repetition" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.dupTokenFrac(col("text")).as("dup_token_frac"),
+        TextAnalysis.topNgramFrac(col("text"), 2).as("top_bigram_frac"),
+        TextAnalysis.topNgramFrac(col("text"), 3).as("top_trigram_frac")),
+      Some(s"""SELECT doc_id,
+              |  ${TextAnalysis.dupTokenFracSql("text")} AS dup_token_frac,
+              |  ${TextAnalysis.topNgramFracSql("text", 2)} AS top_bigram_frac,
+              |  ${TextAnalysis.topNgramFracSql("text", 3)} AS top_trigram_frac
+              |FROM documents""".stripMargin)),
+
+    // PII scrubbing over a corpus with PLANTED pii (emails/IPs/phones
+    // synthesized from doc_id — the raw corpus has none): redacted text +
+    // per-doc hit count. Regexes live in the Java∩RE2 subset, so both
+    // engines transform identically and the scrub is hash-checked.
+    "pii_scrub" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"), concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.2."), (col("doc_id") % 200).cast("string"),
+          lit(".7 tel 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+          TextAnalysis.piiCount(col("text")).as("n_pii")),
+      Some(s"""WITH pl AS (SELECT doc_id,
+              |    text || ' reach user' || doc_id || '@example.com or 10.2.'
+              |      || (doc_id % 200) || '.7 tel 555-867-'
+              |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+              |  FROM documents)
+              |SELECT doc_id, ${TextAnalysis.scrubPiiSql("text")} AS scrubbed,
+              |  ${TextAnalysis.piiCountSql("text")} AS n_pii
+              |FROM pl""".stripMargin)),
+
     // custom codegen'd Catalyst expression (graft.functions.RollingHash)
     "text_fingerprint" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"),

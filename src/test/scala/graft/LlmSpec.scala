@@ -259,6 +259,41 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.4, s"sampled-training ivf recall $recall")
   }
 
+  test("repetition signals: known fractions on hand-built documents") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      (1L, "a a a"),             // 1 distinct of 3; bigrams: "a a"×2 → 1.0
+      (2L, "a b a b a"),         // 3 distinct of 5; bigrams a b,b a,a b,b a → 0.5
+      (3L, "x"),                 // shorter than any n-gram → 0.0
+      (4L, "p q r s")            // all unique; every bigram unique → 1/3
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.dupTokenFrac(col("text")).as("d"),
+      TextAnalysis.topNgramFrac(col("text"), 2).as("b"),
+      TextAnalysis.topNgramFrac(col("text"), 3).as("t"))
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.6667, 1.0, 1.0)))
+    assert(got(1) == ((2L, 0.6, 0.5, 0.6667)))
+    assert(got(2) == ((3L, 0.0, 0.0, 0.0)))
+    assert(got(3) == ((4L, 0.0, 0.3333, 0.5)))
+  }
+
+  test("pii scrub redacts planted pii and counts every hit") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "from 192.168.0.1 to 10.0.0.255 dial 555-123-4567"),
+      (3L, "no pii here, just words and 1234 numbers")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("s"),
+      TextAnalysis.piiCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "mail <EMAIL> now", 1L)))
+    assert(got(1) == ((2L, "from <IP> to <IP> dial <PHONE>", 3L)))
+    assert(got(2) == ((3L, "no pii here, just words and 1234 numbers", 0L)))
+  }
+
   test("decode stub emits 4 features per media row, deterministic") {
     val media = Multimodal.ingestAsMedia(docs.limit(10), "doc_id", "text", "source")
     val f1 = Multimodal.decodeStub(media).orderBy("media_id").collect()
