@@ -249,6 +249,40 @@ object Dedup {
     cached
   }
 
+  /** Line-level boilerplate removal (RefinedWeb/CCNet-style): drop every
+    * LINE that occurs in at least `minDocs` distinct documents (headers,
+    * footers, nav chrome, license banners), then reassemble each document
+    * from its surviving lines in original order. Documents whose lines are
+    * all boilerplate survive with empty text (the caller decides whether
+    * to drop empties — that's a quality filter, not dedup).
+    *
+    * Scale shape: one shuffle keyed by line content to count distinct
+    * containing docs (partial agg map-side), one anti-join of the lines
+    * against the frequent set — which is small by construction (at most
+    * totalLines/minDocs distinct values), so AQE turns it into a broadcast
+    * — and one groupBy(doc) to reassemble. Nothing is ever driver-side.
+    * Lines join by exact content, not a hash of it: a hash key would
+    * shrink shuffle width for long lines but a collision would silently
+    * drop a good line — wrong trade for a lossy-by-design operator. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("line"))
+    val kept = lines.join(boilerplate, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        e => e.getField("line")), sep).as("rebuilt"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rebuilt"), lit("")).as(textCol))
+  }
+
   /** CROSS-corpus near-dup pairs (train/benchmark contamination check):
     * MinHash-LSH candidates between two DIFFERENT corpora — the banded
     * equi-join runs corpusA-bands ⋈ corpusB-bands instead of a self-join,

@@ -303,6 +303,36 @@ object LlmSuite extends Suite {
               |SELECT doc_id FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.a = d.doc_id)""".stripMargin)),
 
+    // Line-level boilerplate removal over a corpus with PLANTED chrome
+    // (every doc gains a shared license header, a per-shard footer shared
+    // by ~1/5 of docs, and a unique rare line): lines in >= 50 distinct
+    // docs are dropped, docs reassembled in original line order. The rare
+    // line and the body must survive; header/footers must not.
+    "dedup_lines" -> Q(
+      (s, d) => Dedup.lineDedup(
+        docs(s, d).select(col("doc_id"), concat_ws("\n",
+          lit("begin licensed corpus dump"), col("text"),
+          concat(lit("shard footer "), (col("doc_id") % 5).cast("string")),
+          concat(lit("rare note "), col("doc_id").cast("string"))).as("text")),
+        "text", "doc_id", minDocs = 50),
+      Some("""WITH pl AS (SELECT doc_id,
+             |    'begin licensed corpus dump' || chr(10) || text || chr(10)
+             |      || 'shard footer ' || (doc_id % 5) || chr(10)
+             |      || 'rare note ' || doc_id AS text
+             |  FROM documents),
+             |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM pl),
+             |lines AS (SELECT doc_id, unnest(l) AS line,
+             |            generate_subscripts(l, 1) AS pos
+             |          FROM ls),
+             |freq AS (SELECT line FROM lines
+             |         GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+             |kept AS (SELECT doc_id, pos, line FROM lines
+             |         WHERE line NOT IN (SELECT line FROM freq)),
+             |rb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+             |       FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, coalesce(rb.t, '') AS text
+             |FROM pl p LEFT JOIN rb ON p.doc_id = rb.doc_id""".stripMargin)),
+
     // SimHash banding (xxhash-based signature — not DuckDB-expressible, so
     // rows-only there) with an EXACT in-path cross-check that Verify runs:
     // pigeonhole banding over maxDist+1 chunks has recall 1 by construction,

@@ -278,6 +278,20 @@ class LlmSpec extends SparkSpec {
     assert(got(3) == ((4L, 0.0, 0.3333, 0.5)))
   }
 
+  test("lineDedup drops frequent lines, keeps order, empties all-boilerplate docs") {
+    val df = Seq(
+      (1L, "HEADER\nalpha\nFOOTER"),
+      (2L, "HEADER\nbeta\ngamma\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),      // nothing survives → empty text
+      (4L, "delta\nHEADER\nepsilon") // boilerplate mid-doc, order preserved
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    // HEADER in 4 docs, FOOTER in 3 → both dropped; all else unique → kept
+    assert(got.toSeq == Seq(
+      (1L, "alpha"), (2L, "beta\ngamma"), (3L, ""), (4L, "delta\nepsilon")))
+  }
+
   test("pii scrub redacts planted pii and counts every hit") {
     import graft.llm.TextAnalysis
     val df = Seq(
