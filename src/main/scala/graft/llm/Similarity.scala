@@ -295,31 +295,7 @@ object Similarity {
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    // deterministic hash-mod sample for training: ceil division keeps the
-    // EXPECTED sample size at or below maxTrainRows (corpora at or below
-    // the cap train on every row, so small-corpus results are unchanged).
-    require(maxTrainRows > 0, "maxTrainRows must be positive")
-    val total = ds.count()
-    val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
-    val train = if (mod == 1L) ds
-      else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
-    val all = train.collect().sortBy(_._1)
-    val vecs = all.map(_._2.map(_.toDouble))
-
-    // Lloyd's algorithm, deterministic
-    var centroids = vecs.take(nlist).map(_.clone())
-    (0 until iters).foreach { _ =>
-      val sums = Array.fill(nlist)(new Array[Double](vecs.head.length))
-      val counts = new Array[Int](nlist)
-      vecs.foreach { v =>
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = Array.tabulate(nlist)(c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c)))
-    }
+    val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
     // distributed assignment: one scan, broadcast centroids
@@ -348,6 +324,90 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic k-means coarse-quantizer training, shared by [[ivfTopK]]
+    * and [[semanticDedup]]: Lloyd's iterations on the driver over a
+    * deterministic xxhash64-mod sample capped at `maxTrainRows` (k-means
+    * needs a sketch of the distribution, never the corpus), centroids
+    * seeded from the first `nlist` sampled vectors by id, fixed iteration
+    * count, assignment ties to the lower list id. */
+  private[llm] def trainCentroids(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
+      nlist: Int, iters: Int, maxTrainRows: Long): Array[Array[Double]] = {
+    // deterministic hash-mod sample for training: ceil division keeps the
+    // EXPECTED sample size at or below maxTrainRows (corpora at or below
+    // the cap train on every row, so small-corpus results are unchanged).
+    require(maxTrainRows > 0, "maxTrainRows must be positive")
+    val total = ds.count()
+    val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
+    val train = if (mod == 1L) ds
+      else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+    val all = train.collect().sortBy(_._1)
+    val vecs = all.map(_._2.map(_.toDouble))
+
+    // Lloyd's algorithm, deterministic
+    var centroids = vecs.take(nlist).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](vecs.head.length))
+      val counts = new Array[Int](nlist)
+      vecs.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with the IVF coarse quantizer, find intra-cluster
+    * pairs at or above `threshold` cosine, collapse them to connected
+    * components ([[Dedup.clusters]]), and keep each component's minimum-id
+    * representative. Near-duplicate *meanings* — paraphrases, re-encodes,
+    * template variants — dedup even when their text disagrees.
+    *
+    * Scale shape: pairwise comparison happens ONLY within a cluster — the
+    * equi-join on the list id never materializes the n² cross product, and
+    * `nlist` is the dial that bounds per-cluster candidate volume (SemDeDup
+    * runs nlist ~ tens of thousands at web scale; per-list cost is
+    * Σ n_c², so size clusters to executor memory). Training is sampled
+    * ([[trainCentroids]]), assignment is one broadcast-centroid scan,
+    * components collapse via the bounded-driver/propagation dual path in
+    * [[Dedup.clusters]]. Zero-norm vectors (NaN cosine) never pair.
+    *
+    * @return the KEPT corpus rows (cluster representatives + singletons),
+    *         original schema. iters=0 keeps the whole pipeline
+    *         SQL-expressible (centroids = first nlist vectors by id) —
+    *         the semantic_dedup query hash-checks it end to end. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+                    iters: Int = 0, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxTrainRows: Long = 1L << 18): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(
+      trainCentroids(ds, idCol, nlist, iters, maxTrainRows))
+    val assigned = ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
+    }.toDF("id", "vec", "list")
+    val l = assigned.select(col("id").as("a"), col("vec").as("va"), col("list"))
+    val r = assigned.select(col("id").as("b"), col("vec").as("vb"), col("list"))
+    val pairs = l.join(r, Seq("list")).filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")), 5))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .select(col("a"), col("b"))
+    val drops = Dedup.clusters(pairs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(drops, Seq(idCol), "left_anti")
   }
 
   /** argmin over centroids by cosine (ties → lower index). */

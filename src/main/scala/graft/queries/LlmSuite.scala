@@ -371,6 +371,40 @@ object LlmSuite extends Suite {
               |      FROM n x JOIN n y ON x.vec_id < y.vec_id)
               |SELECT a, b, round(c, 5) AS cos FROM p WHERE round(c, 5) >= 0.4""".stripMargin)),
 
+    // SemDeDup-style semantic dedup, hash-checked END TO END at iters=0:
+    // IVF-cluster the embedding space (centroids = first 16 vectors by id),
+    // pair intra-cluster vectors at cosine >= 0.4, collapse components,
+    // keep min-id representatives. The oracle reproduces clustering,
+    // pairing, and the transitive closure.
+    "semantic_dedup" -> Q(
+      (s, d) => Similarity.semanticDedup(emb(s, d), threshold = 0.4,
+        nlist = 16, iters = 0).select("vec_id"),
+      Some(s"""WITH RECURSIVE $cosineNormsCte,
+              |c AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |      ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c) WHERE arn = 1),
+              |jp AS (SELECT ax.nid AS a, ay.nid AS b
+              |       FROM asg ax
+              |       JOIN asg ay ON ax.cid = ay.cid AND ax.nid < ay.nid
+              |       JOIN n x ON x.vec_id = ax.nid
+              |       JOIN n y ON y.vec_id = ay.nid
+              |       WHERE round(${cosExpr("x", "y")}, 5) >= 0.4),
+              |edges AS (SELECT a AS u, b AS v FROM jp
+              |  UNION SELECT b, a FROM jp
+              |  UNION SELECT a, a FROM jp
+              |  UNION SELECT b, b FROM jp),
+              |reach(u, w) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u),
+              |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT u FROM drops)""".stripMargin)),
+
     "ann_topk" -> Q(
       (s, d) => Similarity.bruteForceTopK(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),

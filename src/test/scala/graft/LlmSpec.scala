@@ -278,6 +278,30 @@ class LlmSpec extends SparkSpec {
     assert(got(3) == ((4L, 0.0, 0.3333, 0.5)))
   }
 
+  test("semanticDedup: exact components on a hand-built space; monotone in threshold") {
+    // nlist=2, iters=0 → centroids are v0=(1,0) and v1=(0,1). Cluster 0
+    // holds {v0, v2≈v0, v3=v0} → one component, rep 0. Cluster 1 holds
+    // {v1, v4≈v1, v5} with cos(v5, v1) ≈ 0.447 < 0.9 → v5 survives.
+    val fix = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.99f, 0.1f)), (3L, Array(1f, 0f)),
+      (4L, Array(0.1f, 0.99f)), (5L, Array(-1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(fix, threshold = 0.9, nlist = 2, iters = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 5L), s"got $kept")
+
+    // real embeddings, trained path: output is a subset, and a stricter
+    // threshold never keeps fewer
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val loose = Similarity.semanticDedup(emb, threshold = 0.4, nlist = 16, iters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val strict = Similarity.semanticDedup(emb, threshold = 0.9, nlist = 16, iters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(loose.subsetOf(all) && loose.nonEmpty)
+    assert(strict.size >= loose.size)
+  }
+
   test("lineDedup drops frequent lines, keeps order, empties all-boilerplate docs") {
     val df = Seq(
       (1L, "HEADER\nalpha\nFOOTER"),
