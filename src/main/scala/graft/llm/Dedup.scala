@@ -283,6 +283,45 @@ object Dedup {
       .select(col(idCol), coalesce(col("rebuilt"), lit("")).as(textCol))
   }
 
+  /** Exact duplicated-span removal (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr pass, at
+    * token-window granularity): every window of `width` consecutive tokens
+    * that occurs TWICE OR MORE anywhere in the corpus (across documents or
+    * within one) is boilerplate/quotation — strip every token covered by
+    * any duplicated window and reassemble each document from the
+    * survivors, order preserved.
+    *
+    * Scale shape: one posexplode (windows are (doc, pos, string) rows —
+    * never a per-pair product), one count shuffle keyed by the window,
+    * a semi-join of windows against the duplicated set, one groupBy(doc)
+    * to gather duplicated starts, and a scan-side HOF rebuild. The
+    * shuffle key here is the window STRING for oracle bit-parity; at
+    * 100 TB swap the key for xxhash64(win) — identical plan, 8-byte keys,
+    * collision odds ~(windows²/2^64) — and the reference-count threshold,
+    * window width, and rebuild are unchanged. */
+  def stripDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                          width: Int): DataFrame = {
+    require(width >= 2, s"span width must be >= 2 tokens, got $width")
+    val toks = split(col(textCol), " ")
+    val nw = size(toks) - width + 1
+    // sequence(1, nw) DESCENDS for nw < 1 — short docs get an empty window
+    // list explicitly
+    val winsExpr = when(nw < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nw),
+        i => concat_ws(" ", slice(toks, i, lit(width)))))
+    val wins = df.select(col(idCol), posexplode(winsExpr).as(Seq("wpos", "win")))
+    val dupWins = wins.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("win"))
+    val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("wpos")).as("dup_starts"))
+    // a token at 0-based position p survives iff NO duplicated window
+    // [s, s+width) covers it — dup_starts is a per-doc set, order unused
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), array_join(filter(toks, (t, p) =>
+        !exists(coalesce(col("dup_starts"), array().cast("array<int>")),
+          s => s <= p && p < s + width)), " ").as(textCol))
+  }
+
   /** CROSS-corpus near-dup pairs (train/benchmark contamination check):
     * MinHash-LSH candidates between two DIFFERENT corpora — the banded
     * equi-join runs corpusA-bands ⋈ corpusB-bands instead of a self-join,

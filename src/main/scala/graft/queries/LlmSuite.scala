@@ -333,6 +333,36 @@ object LlmSuite extends Suite {
              |SELECT p.doc_id, coalesce(rb.t, '') AS text
              |FROM pl p LEFT JOIN rb ON p.doc_id = rb.doc_id""".stripMargin)),
 
+    // Exact duplicated-span removal (ExactSubstr at 8-token windows) over
+    // the augmented corpus: each planted copy shares every window with its
+    // original, so copies strip to nothing and each original survives only
+    // where no duplicated window covers it. Window extraction, the global
+    // count, and the coverage rebuild are all mirrored — hash-checked.
+    "dedup_spans" -> Q(
+      (s, d) => Dedup.stripDuplicateSpans(augmented(s, d), "text", "doc_id",
+        width = 8),
+      Some(s"""WITH $augmentedSql,
+              |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+              |wl AS (SELECT doc_id,
+              |         list_transform(range(1, greatest(len(toks) - 6, 1)),
+              |           i -> array_to_string(toks[i : i + 7], ' ')) AS wins
+              |       FROM t),
+              |w AS (SELECT doc_id, unnest(wins) AS win,
+              |        generate_subscripts(wins, 1) - 1 AS wpos
+              |      FROM wl),
+              |dw AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+              |ds AS (SELECT doc_id, list(wpos) AS dup_starts FROM w
+              |       WHERE win IN (SELECT win FROM dw) GROUP BY doc_id)
+              |-- DuckDB array_to_string(empty) is NULL, Spark array_join
+              |-- (empty) is '' — coalesce to the Spark semantics
+              |SELECT t.doc_id, coalesce(array_to_string(list_transform(
+              |    list_filter(range(1, len(t.toks) + 1),
+              |      p -> len(list_filter(coalesce(ds.dup_starts,
+              |             CAST([] AS BIGINT[])),
+              |        s -> s <= p - 1 AND p - 1 < s + 8)) = 0),
+              |    p -> t.toks[p]), ' '), '') AS text
+              |FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id""".stripMargin)),
+
     // SimHash banding (xxhash-based signature — not DuckDB-expressible, so
     // rows-only there) with an EXACT in-path cross-check that Verify runs:
     // pigeonhole banding over maxDist+1 chunks has recall 1 by construction,

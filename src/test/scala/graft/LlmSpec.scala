@@ -316,6 +316,19 @@ class LlmSpec extends SparkSpec {
       (1L, "alpha"), (2L, "beta\ngamma"), (3L, ""), (4L, "delta\nepsilon")))
   }
 
+  test("stripDuplicateSpans: cross-doc, within-doc, and overlapping coverage") {
+    val df = Seq(
+      (1L, "z a b c d z"),       // shares "a b c","b c d" with doc 2
+      (2L, "y a b c d y"),
+      (3L, "q r s t u v"),       // fully unique → unchanged
+      (4L, "m n o m n o m")      // within-doc repeats cover everything
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(df, "text", "doc_id", width = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "z z"), (2L, "y y"), (3L, "q r s t u v"), (4L, "")))
+  }
+
   test("pii scrub redacts planted pii and counts every hit") {
     import graft.llm.TextAnalysis
     val df = Seq(
