@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data mixing (SURVEY
@@ -76,5 +77,49 @@ object Sampling {
     val cases = permilleByStratum.toSeq.sortBy(_._1).map { case (k, p) =>
       s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $p" }.mkString(" ")
     s"${arithBucketSql(idExpr)} < (CASE $cases ELSE $defaultPermille END)"
+  }
+
+  /** Token-BUDGET mixing: pretraining mixtures are specified as "this many
+    * tokens per domain", not a keep-rate — admit documents per stratum, in
+    * deterministic (arithBucket, id) order, while the stratum's running
+    * token total stays at or below its budget. The admitted set is a pure
+    * function of (ids, token counts, budgets): reproducible across runs
+    * and partitionings, and growing a budget only ever ADDS documents
+    * (the admission order is budget-independent).
+    *
+    * One shuffle: a window sum partitioned by stratum. A stratum's rows
+    * sort within its partition — at 100 TB a single giant stratum becomes
+    * one sorting task, at which point swap the window for the
+    * range-partitioned two-phase prefix sum used by
+    * [[graft.llm.Packing.packChunks]] (same admission rule, distributed
+    * running total); the operator's semantics don't change.
+    *
+    * @param tokensCol name of a precomputed per-row token-count column
+    *                  (e.g. [[TextAnalysis.tokenCount]]) */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokensCol: String, budgetByStratum: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    (budgetByStratum.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"budget must be non-negative: $b"))
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(arithBucket(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgetByStratum.foldLeft(lit(defaultBudget)) {
+      case (els, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(els)
+    }
+    df.withColumn("graft_cum", sum(col(tokensCol).cast("long")).over(order))
+      .filter(col("graft_cum") <= budget)
+      .drop("graft_cum")
+  }
+  def tokenBudgetSampleSql(stratumExpr: String, idExpr: String,
+                           tokensExpr: String,
+                           budgetByStratum: Map[String, Long],
+                           defaultBudget: Long = 0L): String = {
+    val cases = budgetByStratum.toSeq.sortBy(_._1).map { case (k, b) =>
+      s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $b" }.mkString(" ")
+    s"""sum(CAST($tokensExpr AS BIGINT)) OVER (PARTITION BY $stratumExpr
+       |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  <= (CASE $cases ELSE $defaultBudget END)""".stripMargin
   }
 }

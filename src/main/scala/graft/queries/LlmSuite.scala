@@ -651,6 +651,27 @@ object LlmSuite extends Suite {
         Sampling.stratifiedSampleSql("l_returnflag", "l_orderkey",
           Map("A" -> 50, "N" -> 200, "R" -> 500)))),
 
+    // token-BUDGET mixing: per-language token allowances (the way
+    // pretraining mixtures are actually specified), admission in
+    // deterministic (arithBucket, id) order until each stratum's budget is
+    // spent — one window shuffle, hash-checked bit-for-bit.
+    "sample_token_budget" -> Q(
+      (s, d) => Sampling.tokenBudgetSample(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "lang", "doc_id", "n_tokens",
+        Map("en" -> 5000L, "fr" -> 2000L, "de" -> 1000L))
+        .select("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    ${TextAnalysis.langIdSql("text")} AS lang,
+              |    ${TextAnalysis.tokenCountSql("text")} AS n_tokens
+              |  FROM documents)
+              |SELECT doc_id FROM t
+              |QUALIFY ${Sampling.tokenBudgetSampleSql("lang", "doc_id",
+                  "n_tokens", Map("en" -> 5000L, "fr" -> 2000L, "de" -> 1000L))}
+              |""".stripMargin)),
+
     // GPT-style concat-and-chunk packing: chunk id = exact global prefix
     // sum of token counts in id order / budget — computed distributed
     // (range partitions + per-partition offsets), oracled by the

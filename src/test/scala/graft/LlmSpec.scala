@@ -316,6 +316,28 @@ class LlmSpec extends SparkSpec {
       (1L, "alpha"), (2L, "beta\ngamma"), (3L, ""), (4L, "delta\nepsilon")))
   }
 
+  test("tokenBudgetSample: budget respected, nested across budgets, partition-invariant") {
+    import graft.llm.{Sampling, TextAnalysis}
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    def run(df: org.apache.spark.sql.DataFrame, budgets: Map[String, Long]) =
+      Sampling.tokenBudgetSample(df, "lang", "doc_id", "n", budgets)
+        .select("doc_id", "lang", "n").as[(Long, String, Long)].collect()
+    val budgets = Map("en" -> 3000L, "fr" -> 1000L, "de" -> 500L)
+    val kept = run(base, budgets)
+    // per-stratum totals stay within budget
+    kept.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= budgets(lang), s"$lang over budget")
+    }
+    // bigger budgets only ever add documents
+    val bigger = run(base, budgets.view.mapValues(_ * 2).toMap).map(_._1).toSet
+    assert(kept.map(_._1).toSet.subsetOf(bigger))
+    // admission is independent of physical partitioning
+    val reshuffled = run(base.repartition(7, col("n")), budgets).map(_._1).toSet
+    assert(reshuffled == kept.map(_._1).toSet)
+  }
+
   test("stripDuplicateSpans: cross-doc, within-doc, and overlapping coverage") {
     val df = Seq(
       (1L, "z a b c d z"),       // shares "a b c","b c d" with doc 2

@@ -51,6 +51,46 @@ class ScaleSpec extends SparkSpec {
       s"sampling shuffles:\n$samplePlan")
   }
 
+  test("span/line dedup and semanticDedup plan equi-joins only — never a cross product") {
+    val docs = Tables.t(spark, sf, "documents")
+    val spans = graft.llm.Dedup.stripDuplicateSpans(docs, "text", "doc_id", 8)
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct") &&
+      !spanPlan.contains("BroadcastNestedLoopJoin"),
+      s"stripDuplicateSpans plans a cross product:\n$spanPlan")
+
+    val lines = graft.llm.Dedup.lineDedup(docs, "text", "doc_id", 50)
+    val linePlan = lines.queryExecution.executedPlan.toString
+    assert(!linePlan.contains("CartesianProduct") &&
+      !linePlan.contains("BroadcastNestedLoopJoin"),
+      s"lineDedup plans a cross product:\n$linePlan")
+
+    // semanticDedup's pairwise stage must be the list-id equi-join (the
+    // corpus cross product never appears); inspect the pre-clusters pairs
+    // frame shape by rebuilding it the way the operator does
+    val emb = Tables.t(spark, sf, "embeddings")
+    val kept = graft.llm.Similarity.semanticDedup(emb, 0.4, nlist = 16, iters = 0)
+    val keptPlan = kept.queryExecution.executedPlan.toString
+    assert(!keptPlan.contains("CartesianProduct") &&
+      !keptPlan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup plans a cross product:\n$keptPlan")
+    kept.count() // and it executes
+  }
+
+  test("tokenBudgetSample shuffles once, keyed by the stratum") {
+    val docs = Tables.t(spark, sf, "documents")
+    val mixed = graft.llm.Sampling.tokenBudgetSample(
+      docs.select(col("doc_id"),
+        graft.llm.TextAnalysis.langId(col("text")).as("lang"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n")),
+      "lang", "doc_id", "n", Map("en" -> 3000L, "fr" -> 1000L, "de" -> 500L))
+    val plan = mixed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one stratum exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"),
+      s"window not keyed by stratum:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.t(spark, sf, "orders")
     val lineitem = Tables.t(spark, sf, "lineitem")
