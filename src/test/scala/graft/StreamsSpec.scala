@@ -31,6 +31,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pii scrub + repetition/quality filters run stateless over a stream") {
+    // the r4 scan-side text operators are pure column expressions, so they
+    // lift into a readStream unchanged — no state store, no watermark
+    import graft.llm.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val cleaned = df
+      .filter(TextAnalysis.dupTokenFrac(org.apache.spark.sql.functions.col("text")) < 0.5)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.scrubPii(org.apache.spark.sql.functions.col("text")).as("text"))
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    try {
+      mem.addData(
+        (1L, "contact me at bob@corp.io for the data"),
+        (2L, "spam spam spam spam spam ham"))   // dup frac 4/6 → dropped
+      q.processAllAvailable()
+      mem.addData((3L, "server 10.0.0.7 answered"))
+      q.processAllAvailable()
+      val rows = spark.table("scrub_out").as[(Long, String)].collect().toSet
+      assert(rows == Set(
+        (1L, "contact me at <EMAIL> for the data"),
+        (3L, "server <IP> answered")))
+    } finally q.stop()
+  }
+
   test("maintainJoin appends each micro-batch joined with the dimension") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("mv_out").toString
