@@ -73,11 +73,21 @@ object Sampling {
   }
   def stratifiedSampleSql(stratumExpr: String, idExpr: String,
                           permilleByStratum: Map[String, Int],
-                          defaultPermille: Int = 0): String = {
-    val cases = permilleByStratum.toSeq.sortBy(_._1).map { case (k, p) =>
-      s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $p" }.mkString(" ")
-    s"${arithBucketSql(idExpr)} < (CASE $cases ELSE $defaultPermille END)"
-  }
+                          defaultPermille: Int = 0): String =
+    s"${arithBucketSql(idExpr)} < " +
+      caseSql(stratumExpr, permilleByStratum.view.mapValues(_.toLong).toMap,
+        defaultPermille.toLong)
+
+  /** CASE over stratum literals; an empty map emits the bare default (a
+    * zero-WHEN `CASE ELSE … END` is a parse error in SQL). */
+  private def caseSql(stratumExpr: String, byStratum: Map[String, Long],
+                      default: Long): String =
+    if (byStratum.isEmpty) default.toString
+    else {
+      val cases = byStratum.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $v" }.mkString(" ")
+      s"(CASE $cases ELSE $default END)"
+    }
 
   /** Token-BUDGET mixing: pretraining mixtures are specified as "this many
     * tokens per domain", not a keep-rate — admit documents per stratum, in
@@ -101,6 +111,8 @@ object Sampling {
                         defaultBudget: Long = 0L): DataFrame = {
     (budgetByStratum.values.toSeq :+ defaultBudget).foreach(b =>
       require(b >= 0, s"budget must be non-negative: $b"))
+    require(!df.columns.contains("graft_cum"),
+      "input already has a graft_cum column — rename it before sampling")
     val order = Window.partitionBy(col(stratumCol))
       .orderBy(arithBucket(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -114,12 +126,9 @@ object Sampling {
   def tokenBudgetSampleSql(stratumExpr: String, idExpr: String,
                            tokensExpr: String,
                            budgetByStratum: Map[String, Long],
-                           defaultBudget: Long = 0L): String = {
-    val cases = budgetByStratum.toSeq.sortBy(_._1).map { case (k, b) =>
-      s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $b" }.mkString(" ")
+                           defaultBudget: Long = 0L): String =
     s"""sum(CAST($tokensExpr AS BIGINT)) OVER (PARTITION BY $stratumExpr
        |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |  <= (CASE $cases ELSE $defaultBudget END)""".stripMargin
-  }
+       |  <= ${caseSql(stratumExpr, budgetByStratum, defaultBudget)}""".stripMargin
 }

@@ -335,10 +335,18 @@ object Similarity {
   private[llm] def trainCentroids(
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
       nlist: Int, iters: Int, maxTrainRows: Long): Array[Array[Double]] = {
+    require(maxTrainRows > 0, "maxTrainRows must be positive")
+    // iters=0 asks for the untrained seeds — exactly the first nlist
+    // vectors by id. Take them directly (a tiny ordered limit) instead of
+    // sampling-then-collecting: no corpus-sized work at ANY scale, and the
+    // "first nlist by id" contract the iters=0 oracles (ann_ivf_flat,
+    // semantic_dedup) encode holds above the sample cap too.
+    if (iters == 0)
+      return ds.orderBy(col(idCol)).limit(nlist).collect()
+        .sortBy(_._1).map(_._2.map(_.toDouble))
     // deterministic hash-mod sample for training: ceil division keeps the
     // EXPECTED sample size at or below maxTrainRows (corpora at or below
     // the cap train on every row, so small-corpus results are unchanged).
-    require(maxTrainRows > 0, "maxTrainRows must be positive")
     val total = ds.count()
     val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
     val train = if (mod == 1L) ds
@@ -346,7 +354,10 @@ object Similarity {
     val all = train.collect().sortBy(_._1)
     val vecs = all.map(_._2.map(_.toDouble))
 
-    // Lloyd's algorithm, deterministic
+    // Lloyd's algorithm, deterministic. An empty training set has nothing
+    // to seed OR refine — return no centroids (callers produce empty
+    // assignments/probes, so empty corpus → empty result, not a crash).
+    if (vecs.isEmpty) return Array.empty
     var centroids = vecs.take(nlist).map(_.clone())
     (0 until iters).foreach { _ =>
       val sums = Array.fill(nlist)(new Array[Double](vecs.head.length))
@@ -393,10 +404,12 @@ object Similarity {
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
     val bc = spark.sparkContext.broadcast(
       trainCentroids(ds, idCol, nlist, iters, maxTrainRows))
+    // cache: the pairwise stage reads the assignment from BOTH join sides —
+    // without it the corpus scan + centroid pass runs twice
     val assigned = ds.mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
-    }.toDF("id", "vec", "list")
+    }.toDF("id", "vec", "list").cache()
     val l = assigned.select(col("id").as("a"), col("vec").as("va"), col("list"))
     val r = assigned.select(col("id").as("b"), col("vec").as("vb"), col("list"))
     val pairs = l.join(r, Seq("list")).filter(col("a") < col("b"))
@@ -404,9 +417,12 @@ object Similarity {
         graft.functions.VectorKernels.cosine_sim(col("va"), col("vb")), 5))
       .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("a"), col("b"))
+    // clusters() materializes eagerly (driver union-find or checkpointed
+    // propagation), so the assignment cache releases right after
     val drops = Dedup.clusters(pairs)
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as(idCol))
+    assigned.unpersist()
     corpus.join(drops, Seq(idCol), "left_anti")
   }
 

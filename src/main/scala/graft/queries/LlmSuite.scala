@@ -70,20 +70,29 @@ object LlmSuite extends Suite {
     s"""WITH ${jaccardPairsCtes(threshold)}
        |SELECT a, b, jaccard FROM jp""".stripMargin
 
+  /** Symmetric-edges + recursive-reach transitive closure over a pairs CTE
+    * named `jp(a, b, …)` — THE one SQL mirror of [[Dedup.clusters]]'
+    * component/representative semantics (self-loops make singletons-
+    * after-dedup work; min reachable id = the representative). Shared by
+    * every closure-consuming oracle so the convention has exactly one SQL
+    * site. */
+  private val closureCtes =
+    """edges AS (SELECT a AS u, b AS v FROM jp
+      |  UNION SELECT b, a FROM jp
+      |  UNION SELECT a, a FROM jp
+      |  UNION SELECT b, b FROM jp),
+      |reach(u, w) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u)""".stripMargin
+
   /** Connected components over the exact jaccard pairs: transitive closure
     * via recursive CTE (components are tiny — planted pairs/chains), then
     * min reachable id per node. The Spark side's min-label propagation must
     * land on identical representatives. */
   private def clustersOracle(threshold: Double): String =
     s"""WITH RECURSIVE ${jaccardPairsCtes(threshold)},
-       |edges AS (SELECT a AS u, b AS v FROM jp
-       |  UNION SELECT b, a FROM jp
-       |  UNION SELECT a, a FROM jp
-       |  UNION SELECT b, b FROM jp),
-       |reach(u, w) AS (
-       |  SELECT u, v FROM edges
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u)
+       |$closureCtes
        |SELECT u AS doc_id, min(w) AS rep FROM reach GROUP BY u""".stripMargin
 
   /** DuckDB-side cosine over the float embeddings (cast to double, same
@@ -141,14 +150,7 @@ object LlmSuite extends Suite {
          |        WHERE ${TextAnalysis.qualityScoreSql("text")} >= $minQuality
          |          AND ${TextAnalysis.langIdSql("text")} = '$lang'),""".stripMargin
     s"""WITH RECURSIVE ${jaccardPairsCtes(threshold, src = "fil", extra = filCte)},
-       |edges AS (SELECT a AS u, b AS v FROM jp
-       |  UNION SELECT b, a FROM jp
-       |  UNION SELECT a, a FROM jp
-       |  UNION SELECT b, b FROM jp),
-       |reach(u, w) AS (
-       |  SELECT u, v FROM edges
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u),
+       |$closureCtes,
        |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
        |SELECT doc_id FROM fil WHERE doc_id NOT IN (SELECT u FROM drops)""".stripMargin
   }
@@ -399,7 +401,8 @@ object LlmSuite extends Suite {
               |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
               |        ${cosExpr("x", "y")} AS c
               |      FROM n x JOIN n y ON x.vec_id < y.vec_id)
-              |SELECT a, b, round(c, 5) AS cos FROM p WHERE round(c, 5) >= 0.4""".stripMargin)),
+              |SELECT a, b, round(c, 5) AS cos FROM p
+              |WHERE NOT isnan(round(c, 5)) AND round(c, 5) >= 0.4""".stripMargin)),
 
     // SemDeDup-style semantic dedup, hash-checked END TO END at iters=0:
     // IVF-cluster the embedding space (centroids = first 16 vectors by id),
@@ -422,15 +425,11 @@ object LlmSuite extends Suite {
               |       JOIN asg ay ON ax.cid = ay.cid AND ax.nid < ay.nid
               |       JOIN n x ON x.vec_id = ax.nid
               |       JOIN n y ON y.vec_id = ay.nid
-              |       WHERE round(${cosExpr("x", "y")}, 5) >= 0.4),
-              |edges AS (SELECT a AS u, b AS v FROM jp
-              |  UNION SELECT b, a FROM jp
-              |  UNION SELECT a, a FROM jp
-              |  UNION SELECT b, b FROM jp),
-              |reach(u, w) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u),
+              |       -- NaN (zero-norm vectors) must FAIL the threshold like
+              |       -- the engine's !isnan guard — DuckDB orders NaN high
+              |       WHERE NOT isnan(round(${cosExpr("x", "y")}, 5))
+              |         AND round(${cosExpr("x", "y")}, 5) >= 0.4),
+              |$closureCtes,
               |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT u FROM drops)""".stripMargin)),

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.llm.Dedup
 
 /** SURVEY §5 property strategy for the content-dedup operators: the
@@ -9,11 +8,9 @@ import graft.llm.Dedup
   * implementations on randomized corpora (small vocabularies force
   * frequent collisions — within-doc repeats, cross-doc spans, shared
   * lines all occur by construction). */
-class DedupPropertySpec extends SparkSpec {
+class DedupPropertySpec extends SparkSpec with PropertySampling {
   import spark.implicits._
 
-  private val params = Gen.Parameters.default
-  private def sample[T](g: Gen[T], seed: Long): T = g.pureApply(params, Seed(seed))
 
   // ---- stripDuplicateSpans ≡ brute force ----
 

@@ -1,18 +1,15 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.graph.PropertyGraph
 
 /** Direction semantics as algebraic properties on random graphs:
   * reverse ≡ flipped forward, undirected ≡ forward ∪ reverse, and MERGE
   * idempotence under re-merge — raw ScalaCheck generators with
   * deterministic seeds (the KvPropertySpec pattern). */
-class GraphPropertySpec extends SparkSpec {
+class GraphPropertySpec extends SparkSpec with PropertySampling {
   import spark.implicits._
 
-  private val params = Gen.Parameters.default
-  private def sample[T](g: Gen[T], seed: Long): T = g.pureApply(params, Seed(seed))
 
   private val names = Vector("a", "b", "c", "d", "e", "f")
   private val edgesGen = Gen.listOfN(12, for {

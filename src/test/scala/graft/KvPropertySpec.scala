@@ -1,17 +1,14 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.kv.KvStore
 
 /** SURVEY §5 property strategy: every KV query shape ≡ brute-force filter
   * over the collected rows, on randomized datasets and bounds (raw
   * ScalaCheck generators, deterministic seeds). */
-class KvPropertySpec extends SparkSpec {
+class KvPropertySpec extends SparkSpec with PropertySampling {
   import spark.implicits._
 
-  private val params = Gen.Parameters.default
-  private def sample[T](g: Gen[T], seed: Long): T = g.pureApply(params, Seed(seed))
 
   private val key = Gen.oneOf("alpha", "beta", "gamma", "delta", "ep")
   private val rowsGen = Gen.listOfN(40, for {

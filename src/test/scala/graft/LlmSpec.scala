@@ -263,7 +263,7 @@ class LlmSpec extends SparkSpec {
     import graft.llm.TextAnalysis
     val df = Seq(
       (1L, "a a a"),             // 1 distinct of 3; bigrams: "a a"×2 → 1.0
-      (2L, "a b a b a"),         // 3 distinct of 5; bigrams a b,b a,a b,b a → 0.5
+      (2L, "a b a b a"),         // 2 distinct of 5; bigrams a b,b a,a b,b a → 0.5
       (3L, "x"),                 // shorter than any n-gram → 0.0
       (4L, "p q r s")            // all unique; every bigram unique → 1/3
     ).toDF("doc_id", "text")
@@ -314,6 +314,13 @@ class LlmSpec extends SparkSpec {
     // HEADER in 4 docs, FOOTER in 3 → both dropped; all else unique → kept
     assert(got.toSeq == Seq(
       (1L, "alpha"), (2L, "beta\ngamma"), (3L, ""), (4L, "delta\nepsilon")))
+  }
+
+  test("semanticDedup and ivfTopK survive an empty corpus (trained and flat)") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(empty, 0.5, nlist = 4, iters = 3).count() == 0)
+    assert(Similarity.ivfTopK(empty, empty, k = 3, nlist = 4, nprobe = 2,
+      iters = 2).count() == 0)
   }
 
   test("tokenBudgetSample: budget respected, nested across budgets, partition-invariant") {

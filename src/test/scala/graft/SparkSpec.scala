@@ -24,6 +24,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 }
 
+/** Deterministic scalacheck sampling shared by the property specs: one
+  * generator draw per explicit seed — reproducible failures, no shrink
+  * nondeterminism across the shared-JVM suites. */
+trait PropertySampling {
+  private val params = org.scalacheck.Gen.Parameters.default
+  protected def sample[T](g: org.scalacheck.Gen[T], seed: Long): T =
+    g.pureApply(params, org.scalacheck.rng.Seed(seed))
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
