@@ -249,6 +249,34 @@ object Dedup {
     cached
   }
 
+  /** Approximate has-seen filter for INCREMENTAL ingest: fold the entire
+    * history's content hashes into one Bloom filter (a single aggregation
+    * — the 100-TB history is scanned, never joined against the batch, and
+    * the filter is the only thing shipped: ~1.2 GB for 10⁹ items at 1%
+    * fpp), then drop batch rows the filter might contain.
+    *
+    * Guarantees: NO false negatives — every row that survives is
+    * definitely absent from the history (a true duplicate can never slip
+    * through); ~fpp of genuinely-new rows are falsely dropped (the
+    * standard ingest trade — tune fpp to batch economics, or route
+    * "might contain" rows to an exact check against a keyed store
+    * instead of dropping). Contents are pre-hashed with xxhash64, so the
+    * filter holds fixed-width longs regardless of document size.
+    *
+    * The exact counterpart is [[graft.streaming.Streams.nearDupIngest]]'s
+    * store-backed admission; this is the cheap front gate a pipeline puts
+    * BEFORE it. */
+  def seenFilter(batch: DataFrame, history: DataFrame, contentCol: String,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    val bloom = history.select(xxhash64(col(contentCol)).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    batch.filter(!mightContain(xxhash64(col(contentCol))))
+  }
+
   /** Line-level boilerplate removal (RefinedWeb/CCNet-style): drop every
     * LINE that occurs in at least `minDocs` distinct documents (headers,
     * footers, nav chrome, license banners), then reassemble each document
@@ -295,12 +323,14 @@ object Dedup {
     * never a per-pair product), one count shuffle keyed by the window,
     * a semi-join of windows against the duplicated set, one groupBy(doc)
     * to gather duplicated starts, and a scan-side HOF rebuild. The
-    * shuffle key here is the window STRING for oracle bit-parity; at
-    * 100 TB swap the key for xxhash64(win) — identical plan, 8-byte keys,
-    * collision odds ~(windows²/2^64) — and the reference-count threshold,
-    * window width, and rebuild are unchanged. */
+    * shuffle key here is the window STRING for oracle bit-parity
+    * (`hashKeys = false`); at 100 TB pass `hashKeys = true` to key the
+    * count shuffle and semi-join by xxhash64(win) instead — identical
+    * plan shape, 8-byte keys regardless of window length, collision odds
+    * ~(windows²/2^64) (property-tested equal on random corpora) — the
+    * reference-count threshold, window width, and rebuild are unchanged. */
   def stripDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                          width: Int): DataFrame = {
+                          width: Int, hashKeys: Boolean = false): DataFrame = {
     require(width >= 2, s"span width must be >= 2 tokens, got $width")
     val toks = split(col(textCol), " ")
     val nw = size(toks) - width + 1
@@ -309,10 +339,12 @@ object Dedup {
     val winsExpr = when(nw < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), nw),
         i => concat_ws(" ", slice(toks, i, lit(width)))))
+    val key = if (hashKeys) xxhash64(col("win")) else col("win")
     val wins = df.select(col(idCol), posexplode(winsExpr).as(Seq("wpos", "win")))
-    val dupWins = wins.groupBy(col("win")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("win"))
-    val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
+      .select(col(idCol), col("wpos"), key.as("wkey"))
+    val dupWins = wins.groupBy(col("wkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("wkey"))
+    val dupStarts = wins.join(dupWins, Seq("wkey"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("wpos")).as("dup_starts"))
     // a token at 0-based position p survives iff NO duplicated window
     // [s, s+width) covers it — dup_starts is a per-doc set, order unused

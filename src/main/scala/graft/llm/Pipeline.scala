@@ -37,6 +37,34 @@ object Pipeline {
     kept.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** The FULL composed cleaning pass — every scan-side filter this engine
+    * ships, wired in the order a pretraining pipeline runs them: quality,
+    * language, and repetition gates first (pure column predicates, scan
+    * rate, nothing shuffled for dropped docs), then PII scrubbing, then
+    * near-dup clustering over the SCRUBBED text — scrubbing first means
+    * documents differing only in volatile contact details still collapse
+    * to one representative. Returns the kept rows with scrubbed text.
+    *
+    * [[cleanCorpus]] stays as the minimal quality+langid+dedup pass (and
+    * the streaming twin's batch shape); this is the superset. */
+  def cleanCorpusFull(df: DataFrame, textCol: String, idCol: String,
+                      minQuality: Double, lang: String,
+                      maxDupTokenFrac: Double,
+                      jaccardThreshold: Double): DataFrame = {
+    val kept = df.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.dupTokenFrac(col(textCol)) <= maxDupTokenFrac)
+    val scrubbed = kept.select(col(idCol),
+      TextAnalysis.scrubPii(col(textCol)).as(textCol))
+    val pairs = Dedup.minhashLsh(scrubbed, textCol, idCol, jaccardThreshold)
+    val drops = Dedup.clusters(pairs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as(idCol))
+    pairs.unpersist()
+    scrubbed.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop every corpus document that
     * near-duplicates a benchmark document (jaccard ≥ threshold over
     * 3-gram shingles) — the pass a training pipeline runs against its

@@ -282,6 +282,43 @@ object LlmSuite extends Suite {
         .select("doc_id"),
       Some(cleanCorpusOracle(0.45, "en", 0.6))),
 
+    // the FULL composed pass: quality+langid+repetition gates on the raw
+    // (pii-planted) text, PII scrub, then near-dup clustering over the
+    // SCRUBBED text, keep representatives — every r4 filter in one
+    // hash-checked pipeline. PII is planted per-doc (differing contact
+    // lines), so the scrub is what normalizes pair members before dedup.
+    "clean_corpus_full" -> Q(
+      (s, d) => graft.llm.Pipeline.cleanCorpusFull(
+        augmented(s, d).select(col("doc_id"), concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.2."), (col("doc_id") % 200).cast("string"),
+          lit(".7 tel 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")),
+        "text", "doc_id", minQuality = 0.45, lang = "en",
+        maxDupTokenFrac = 0.8, jaccardThreshold = 0.6),
+      Some {
+        // continuation lines must not START with '||': this fragment passes
+        // through the enclosing builders' stripMargin calls again, which
+        // would strip leading pipes as margins
+        val plFil =
+          s"""
+             |pl AS (SELECT doc_id,
+             |    text || ' reach user' || doc_id || '@example.com or 10.2.' ||
+             |      (doc_id % 200) || '.7 tel 555-867-' ||
+             |      lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+             |  FROM aug),
+             |fil AS (SELECT doc_id, ${TextAnalysis.scrubPiiSql("text")} AS text
+             |  FROM pl
+             |  WHERE ${TextAnalysis.qualityScoreSql("text")} >= 0.45
+             |    AND ${TextAnalysis.langIdSql("text")} = 'en'
+             |    AND ${TextAnalysis.dupTokenFracSql("text")} <= 0.8),""".stripMargin
+        s"""WITH RECURSIVE ${jaccardPairsCtes(0.6, src = "fil", extra = plFil)},
+           |$closureCtes,
+           |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
+           |SELECT doc_id, text FROM fil
+           |WHERE doc_id NOT IN (SELECT u FROM drops)""".stripMargin
+      }),
+
     // CROSS-corpus contamination: corpus documents near-duplicating a
     // benchmark (here: 50 first-token-dropped copies, ids 10000-10049) —
     // banded A⋈B join + exact verification, oracled by the exact pairwise

@@ -34,15 +34,21 @@ class DedupPropertySpec extends SparkSpec with PropertySampling {
     }.toMap
   }
 
-  test("stripDuplicateSpans ≡ brute-force reference on random corpora") {
+  test("stripDuplicateSpans ≡ brute-force reference on random corpora (both key modes)") {
     (1 to 6).foreach { seed =>
       val texts = sample(corpusGen, seed)
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val w = sample(Gen.choose(2, 4), seed + 50)
+      val expected = refStrip(docs, w)
       val got = Dedup.stripDuplicateSpans(docs.toDF("doc_id", "text"),
           "text", "doc_id", w)
         .as[(Long, String)].collect().toMap
-      assert(got == refStrip(docs, w), s"seed=$seed width=$w")
+      assert(got == expected, s"seed=$seed width=$w")
+      // the 100-TB shuffle-key variant (xxhash64 window keys) must agree
+      val hashed = Dedup.stripDuplicateSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", w, hashKeys = true)
+        .as[(Long, String)].collect().toMap
+      assert(hashed == expected, s"hashKeys seed=$seed width=$w")
     }
   }
 

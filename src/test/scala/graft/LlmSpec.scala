@@ -316,6 +316,25 @@ class LlmSpec extends SparkSpec {
       (1L, "alpha"), (2L, "beta\ngamma"), (3L, ""), (4L, "delta\nepsilon")))
   }
 
+  test("seenFilter: zero false negatives, bounded false-positive drops") {
+    val history = docs.select(col("doc_id"), col("text"))
+    val seen = docs.limit(250).select(col("doc_id") + 20000, col("text"))
+      .toDF("doc_id", "text")
+    val novel = docs.select(col("doc_id") + 40000,
+      concat(col("text"), lit(" entirely novel suffix "), col("doc_id")))
+      .toDF("doc_id", "text")
+    val batch = seen.unionByName(novel)
+    val kept = Dedup.seenFilter(batch, history, "text",
+      expectedItems = 1000, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // every history duplicate is gone — bloom has no false negatives
+    assert(kept.forall(_ >= 40000), "a seen document slipped through")
+    // and nearly all novel rows survive (fpp 1% on 500 rows)
+    val novelCount = novel.count()
+    assert(kept.size >= novelCount - 15,
+      s"too many novel rows dropped: ${novelCount - kept.size}")
+  }
+
   test("semanticDedup and ivfTopK survive an empty corpus (trained and flat)") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.semanticDedup(empty, 0.5, nlist = 4, iters = 3).count() == 0)
