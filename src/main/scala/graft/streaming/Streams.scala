@@ -270,6 +270,31 @@ object Streams {
     }
   }
 
+  /** Streaming decontamination: drop, from every micro-batch, documents
+    * that near-duplicate a STATIC benchmark corpus (jaccard ≥ threshold
+    * over 3-gram shingles) — [[graft.llm.Pipeline.decontaminate]] run at
+    * ingest, so contaminated documents never reach the corpus at rest
+    * instead of being scrubbed out later. The benchmark is an eval-suite
+    * table (tiny, static); its signatures recompute per batch inside
+    * `crossNearDup` — a few hundred rows of scan-side kernel work, the
+    * cost of keeping exactly one implementation of the check.
+    *
+    * Replay-idempotent like [[nearDupIngest]]: survivors land in
+    * overwrite-semantics `batch=<id>` directories, so a crashed-and-
+    * replayed micro-batch rewrites the same directory. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String, threshold: Double,
+                          outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Pipeline.decontaminate(batch, benchmark, textCol, idCol, threshold)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -127,6 +127,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream rejects benchmark near-dups at ingest, replays idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    val bench = Seq((9000L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStream(mem.toDF().toDF("doc_id", "text"),
+      bench, "text", "doc_id", 0.6, s"$dir/out", s"$dir/chk")
+    try {
+      mem.addData(
+        (1L, "quick brown fox jumps over the lazy dog today"), // near-dup of bench
+        (2L, "completely unrelated content about spark shuffles and joins"))
+      q.processAllAvailable()
+      mem.addData((3L, "another novel document with its own words entirely"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("compactStore preserves admission decisions and consolidates layout") {
     implicit val sqlCtx = spark.sqlContext
     val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
