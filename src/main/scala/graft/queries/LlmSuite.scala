@@ -194,6 +194,35 @@ object LlmSuite extends Suite {
              |      FROM sc)
              |SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1""".stripMargin)),
 
+    // the corpus "data card" in one aggregation: doc/token/BPE totals,
+    // aggregate quality (FIXED-POINT sum — 4-decimal scores scale to exact
+    // longs, so float summation order can never flip the hash), language
+    // count, and the high-repetition tally. One scan, one partial-agg
+    // shuffle at any corpus size.
+    "corpus_stats" -> Q(
+      (s, d) => docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("n_bpe"),
+        (sum(round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+          .cast("long")).cast("double") / 10000.0).as("quality_total"),
+        countDistinct(TextAnalysis.langId(col("text"))).as("n_langs"),
+        sum(when(TextAnalysis.dupTokenFrac(col("text")) > 0.5, 1L)
+          .otherwise(0L)).as("n_repetitive")),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(${TextAnalysis.tokenCountSql("text")}) AS BIGINT)
+              |    AS n_tokens,
+              |  CAST(sum(${TextAnalysis.bpeTokenEstimateSql("text")}) AS BIGINT)
+              |    AS n_bpe,
+              |  CAST(sum(CAST(round(${TextAnalysis.qualityScoreSql("text")}
+              |      * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+              |    AS quality_total,
+              |  CAST(count(DISTINCT ${TextAnalysis.langIdSql("text")}) AS BIGINT)
+              |    AS n_langs,
+              |  CAST(sum(CASE WHEN ${TextAnalysis.dupTokenFracSql("text")} > 0.5
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+              |FROM documents""".stripMargin)),
+
     // Gopher-style repetition signals: fraction of repeated tokens + the
     // share of the single most frequent 2-/3-gram — the standard
     // low-quality-document filters (scan-side expressions, exact-integer
