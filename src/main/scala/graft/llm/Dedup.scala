@@ -249,6 +249,28 @@ object Dedup {
     cached
   }
 
+  /** minhashLsh → clusters → drop-non-representatives → anti-join, as ONE
+    * implementation: THE near-dup "keep one per cluster" step shared by
+    * [[graft.llm.Pipeline.cleanCorpus]]/`cleanCorpusFull` and the
+    * streaming within-batch pass
+    * ([[graft.streaming.Streams.nearDupIngest]]), so the representative
+    * semantics and the pairs-cache lifetime (released here, before
+    * returning) cannot drift between call sites. Returns the kept rows of
+    * `df`, original schema, LAZY — callers that re-read `df` expensively
+    * should cache it around this call. */
+  def keepRepresentatives(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, bands: Int = 32,
+                          rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, threshold, bands, rowsPerBand)
+    val drops = clusters(pairs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as(idCol))
+    // clusters() materialized eagerly (driver union-find or checkpointed
+    // propagation), so the pairs cache releases before returning
+    pairs.unpersist()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Approximate has-seen filter for INCREMENTAL ingest: fold the entire
     * history's content hashes into one Bloom filter (a single aggregation
     * — the 100-TB history is scanned, never joined against the batch, and
@@ -266,12 +288,19 @@ object Dedup {
     * The exact counterpart is [[graft.streaming.Streams.nearDupIngest]]'s
     * store-backed admission; this is the cheap front gate a pipeline puts
     * BEFORE it. */
+  /** @param expectedItems Bloom capacity. fpp only holds while
+    *        expectedItems ≥ |history| — an UNDERestimate saturates the
+    *        filter and the false-positive rate climbs toward 1 (most of
+    *        every batch silently dropped as "seen"). Pass the known
+    *        cardinality, or leave at 0 to have the operator count the
+    *        history itself (one extra action, never a wrong size). */
   def seenFilter(batch: DataFrame, history: DataFrame, contentCol: String,
-                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0 && fpp > 0 && fpp < 1,
-      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+                 expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(1L, history.count())
     val bloom = history.select(xxhash64(col(contentCol)).as("h"))
-      .stat.bloomFilter("h", expectedItems, fpp)
+      .stat.bloomFilter("h", n, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     batch.filter(!mightContain(xxhash64(col(contentCol))))

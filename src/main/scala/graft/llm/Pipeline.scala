@@ -25,16 +25,9 @@ object Pipeline {
     val kept = df.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)) === lang)
-    val pairs = Dedup.minhashLsh(kept, textCol, idCol, jaccardThreshold)
-    val drops = Dedup.clusters(pairs)
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as(idCol))
-    // clusters() materializes eagerly before returning (driver union-find
-    // collect, or the propagation loop's localCheckpoints), so `drops` no
-    // longer reads the cached pairs frame — release it here (minhashLsh's
-    // eager+cached contract) instead of letting storage blocks accumulate.
-    pairs.unpersist()
-    kept.join(drops, Seq(idCol), "left_anti")
+    // kept re-derives two cheap codegen predicates on the second read —
+    // not worth a cache (contrast cleanCorpusFull, whose scrub pass is)
+    Dedup.keepRepresentatives(kept, textCol, idCol, jaccardThreshold)
   }
 
   /** The FULL composed cleaning pass — every scan-side filter this engine
@@ -55,14 +48,20 @@ object Pipeline {
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.dupTokenFrac(col(textCol)) <= maxDupTokenFrac)
+    // cache the scrubbed frame: it feeds both the dedup pass and the final
+    // anti-join, and re-deriving it would re-run the three gate predicates
+    // PLUS the triple-regexp scrub over the whole corpus. Materialize the
+    // (small) result eagerly, then release — same lifetime discipline as
+    // Dedup's pair outputs. Returned frame is EAGER and CACHED;
+    // `.unpersist()` it when done in a long-lived session.
     val scrubbed = kept.select(col(idCol),
-      TextAnalysis.scrubPii(col(textCol)).as(textCol))
-    val pairs = Dedup.minhashLsh(scrubbed, textCol, idCol, jaccardThreshold)
-    val drops = Dedup.clusters(pairs)
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as(idCol))
-    pairs.unpersist()
-    scrubbed.join(drops, Seq(idCol), "left_anti")
+      TextAnalysis.scrubPii(col(textCol)).as(textCol)).cache()
+    val result =
+      Dedup.keepRepresentatives(scrubbed, textCol, idCol, jaccardThreshold)
+        .cache()
+    result.count()
+    scrubbed.unpersist()
+    result
   }
 
   /** Benchmark decontamination: drop every corpus document that

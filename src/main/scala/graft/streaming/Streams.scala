@@ -169,12 +169,8 @@ object Streams {
         // 1. within-batch dedup: keep each near-dup cluster's representative
         //    (bands/rowsPerBand passed explicitly so the within-batch and
         //    cross-batch recall curves cannot drift apart)
-        val pairs = Dedup.minhashLsh(batch, textCol, idCol, threshold,
+        val kept = Dedup.keepRepresentatives(batch, textCol, idCol, threshold,
           bands, rowsPerBand)
-        val nonReps = Dedup.clusters(pairs)
-          .filter(col("doc_id") =!= col("rep")).select(col("doc_id").as(idCol))
-        pairs.unpersist()
-        val kept = batch.join(nonReps, Seq(idCol), "left_anti")
         val sh = kept.select(col(idCol), col(textCol),
           shingle_hashes(col(textCol)).as("sh")).cache()
         sh.count()
@@ -290,8 +286,18 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Pipeline.decontaminate(batch, benchmark, textCol, idCol, threshold)
+        // explicit cache lifetime instead of Pipeline.decontaminate's
+        // localCheckpoint: a checkpointed frame per micro-batch would pin
+        // storage blocks until a driver GC, accumulating over a
+        // long-running stream. crossNearDup's pairs are EAGER+CACHED, so
+        // the anti-join reads the cache during the write; release after.
+        val pairs = graft.llm.Dedup.crossNearDup(
+          batch, benchmark, textCol, idCol, threshold)
+        val contaminated = pairs.select(col("a").as(idCol)).distinct()
+        batch.join(contaminated, Seq(idCol), "left_anti")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        pairs.unpersist()
+        () // foreachBatch needs the Unit-returning overload
       }
       .start()
 

@@ -146,6 +146,21 @@ class StreamsSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(kept == Set(2L, 3L), s"got $kept")
     } finally q.stop()
+    // REPLAY batch 0: a fresh query (new checkpoint, same out dir)
+    // restarts batch ids at 0 and re-feeds the same data — overwrite
+    // semantics must rewrite batch=0 in place, not append duplicates
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.decontaminateStream(mem2.toDF().toDF("doc_id", "text"),
+      bench, "text", "doc_id", 0.6, s"$dir/out", s"$dir/chk2")
+    try {
+      mem2.addData(
+        (1L, "quick brown fox jumps over the lazy dog today"),
+        (2L, "completely unrelated content about spark shuffles and joins"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(rows.sorted == Seq(2L, 3L), s"replay duplicated rows: $rows")
+    } finally q2.stop()
   }
 
   test("compactStore preserves admission decisions and consolidates layout") {
