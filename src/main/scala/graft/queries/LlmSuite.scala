@@ -223,6 +223,56 @@ object LlmSuite extends Suite {
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
               |FROM documents""".stripMargin)),
 
+    // per-language data-card breakdown: the mixture report a pipeline
+    // prints before training. The raw corpus is all-en, so a deterministic
+    // fr/de stopword block is planted on thirds of it to make the mixture
+    // real. avg quality = exact fixed-point sum divided by an exact
+    // integer — one double division, bit-identical in both engines.
+    "corpus_stats_by_lang" -> Q(
+      (s, d) => {
+        val fr = "le la les et de un est le la les et de un est le la les et de un est "
+        val de = "der die das und ist ein zu der die das und ist ein zu der die das und ist ein zu "
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(fr), col("text")))
+            .when(col("doc_id") % 3 === 1, concat(lit(de), col("text")))
+            .otherwise(col("text")).as("text"))
+          .groupBy(TextAnalysis.langId(col("text")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            (sum(round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+              .cast("long")).cast("double") /
+              (count(lit(1)) * 10000).cast("double")).as("avg_quality"))
+      },
+      Some(s"""WITH pl AS (SELECT doc_id, CASE
+              |    WHEN doc_id % 3 = 0 THEN
+              |      'le la les et de un est le la les et de un est le la les et de un est ' || text
+              |    WHEN doc_id % 3 = 1 THEN
+              |      'der die das und ist ein zu der die das und ist ein zu der die das und ist ein zu ' || text
+              |    ELSE text END AS text
+              |  FROM documents)
+              |SELECT ${TextAnalysis.langIdSql("text")} AS lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(${TextAnalysis.tokenCountSql("text")}) AS BIGINT)
+              |    AS n_tokens,
+              |  CAST(sum(CAST(round(${TextAnalysis.qualityScoreSql("text")}
+              |      * 10000, 0) AS BIGINT)) AS DOUBLE)
+              |    / CAST(count(*) * 10000 AS DOUBLE) AS avg_quality
+              |FROM pl
+              |GROUP BY 1""".stripMargin)),
+
+    // corpus-wide heavy-hitter vocabulary: top 20 terms by frequency
+    // (ties by term) — one explode, one count shuffle with map-side
+    // partial agg, TakeOrderedAndProject for the limit (no global sort).
+    "vocab_top" -> Q(
+      (s, d) => docs(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(20),
+      Some("""SELECT term, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+
     // Gopher-style repetition signals: fraction of repeated tokens + the
     // share of the single most frequent 2-/3-gram — the standard
     // low-quality-document filters (scan-side expressions, exact-integer
