@@ -139,6 +139,37 @@ object HashqlSuite extends Suite {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
+    // AGGREGATE over a routed view: the rule rewrites the join SUBTREE, so
+    // a group-by on top routes too — closing the "aggregate rewrites"
+    // doubt: any aggregation over a registered join reads the parquet.
+    // MatViewSpec asserts the routed aggregate plan has zero Join nodes.
+    "matview_route_agg" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val customer = Tables.t(s, d, "customer")
+        val nation = Tables.t(s, d, "nation")
+        val region = Tables.t(s, d, "region")
+        val view = customer
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mva").toString
+        graft.matview.MatView.materialize(s, "route_agg_tmp", view, s"$tmp/view")
+        val q = customer
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res) // aggregated THROUGH the route
+        graft.matview.MatView.drop(s, "route_agg_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
     // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
     // materialized, then a later dialect SELECT over the same join answers
     // from the pre-joined parquet (zero Join nodes — asserted in
