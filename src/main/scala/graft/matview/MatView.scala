@@ -3,7 +3,7 @@ package graft.matview
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Materialized-view routing (SURVEY §2.3 J5 / §2.10 M3 / §4 "candidate for
@@ -36,14 +36,25 @@ object MatView {
 
   private final case class Key(leaves: Set[String], cond: Set[(String, String)])
   private final case class Entry(name: String, key: Key, replacement: LogicalPlan)
+  private final case class AggEntry(name: String, canonical: LogicalPlan,
+                                    replacement: LogicalPlan)
 
   private val registries =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[Entry]]()
+  private val aggRegistries =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[AggEntry]]()
 
   private def registry(spark: SparkSession): scala.collection.mutable.ListBuffer[Entry] =
     registries.synchronized {
       var r = registries.get(spark)
       if (r == null) { r = scala.collection.mutable.ListBuffer.empty; registries.put(spark, r) }
+      r
+    }
+
+  private def aggRegistry(spark: SparkSession): scala.collection.mutable.ListBuffer[AggEntry] =
+    aggRegistries.synchronized {
+      var r = aggRegistries.get(spark)
+      if (r == null) { r = scala.collection.mutable.ListBuffer.empty; aggRegistries.put(spark, r) }
       r
     }
 
@@ -93,23 +104,35 @@ object MatView {
   private def keyOf(j: Join): Option[Key] =
     flatten(j).map { case (leaves, conds) => Key(leaves, conds) }
 
+  /** By-name substitution wrapper: every column `orig` still outputs must
+    * exist in the materialized parquet, and parents keep resolving because
+    * the aliases reuse the original expression ids. */
+  private def substitute(orig: LogicalPlan, replacement: LogicalPlan): Option[LogicalPlan] = {
+    val byName = replacement.output.map(a => a.name -> a).toMap
+    if (orig.output.forall(o => byName.contains(o.name)))
+      Some(Project(orig.output.map(o =>
+        Alias(byName(o.name), o.name)(exprId = o.exprId)), replacement))
+    else None
+  }
+
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val entries = registry(spark)
-      if (entries.isEmpty) plan
+      val aggEntries = aggRegistry(spark)
+      if (entries.isEmpty && aggEntries.isEmpty) plan
       else plan.transformUp {
+        // pre-aggregated summaries match on the CANONICALIZED whole
+        // aggregate (grouping + agg expressions + child), so a repeated
+        // dashboard-style group-by answers from the summary scan without
+        // touching fact rows. Canonicalization normalizes expr ids but not
+        // names; the by-name check below keeps differently-aliased
+        // lookalikes untouched.
+        case a: Aggregate if aggEntries.nonEmpty =>
+          aggEntries.find(_.canonical == a.canonicalized)
+            .flatMap(e => substitute(a, e.replacement)).getOrElse(a)
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
-          entries.find(e => keyOf(j).contains(e.key)) match {
-            case Some(e) =>
-              val byName = e.replacement.output.map(a => a.name -> a).toMap
-              // every column the (possibly pruned) join still outputs must
-              // exist in the materialized view; otherwise leave untouched
-              if (j.output.forall(o => byName.contains(o.name)))
-                Project(j.output.map(o =>
-                  Alias(byName(o.name), o.name)(exprId = o.exprId)), e.replacement)
-              else j
-            case None => j
-          }
+          entries.find(e => keyOf(j).contains(e.key))
+            .flatMap(e => substitute(j, e.replacement)).getOrElse(j)
       }
     }
   }
@@ -131,12 +154,44 @@ object MatView {
     val reg = registry(spark)
     reg.filterInPlace(_.name != name)
     reg += Entry(name, joinKey, replacement)
+    installRule(spark)
+  }
+
+  private def installRule(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[Rewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new Rewrite(spark)
+
+  /** Materialize an AGGREGATE view (a group-by over a relation or join
+    * chain) and route REPEATED occurrences of the same aggregation to the
+    * summary parquet — the rollup-serving path the join rule can't cover.
+    * Matching is exact-plan (canonicalized): same grouping, same
+    * aggregates, same child — the verbatim-repeat workload dashboards
+    * generate. Coarser or differently-keyed group-bys deliberately do NOT
+    * match (containment reasoning over grouping sets is out of scope and
+    * silently answering a *different* aggregate would be wrong).
+    *
+    * Register the aggregate view EITHER over base tables OR over a
+    * registered join view's tables, not both at once: the join rule
+    * rewrites the child first (transformUp is bottom-up), which changes
+    * the aggregate's canonical form away from one registered against raw
+    * tables. */
+  def materializeAggregate(spark: SparkSession, name: String, view: DataFrame,
+                           path: String): Unit = {
+    val plan = view.queryExecution.optimizedPlan
+    require(plan.exists(_.isInstanceOf[Aggregate]),
+      "materializeAggregate expects a plan containing an Aggregate")
+    view.write.mode("overwrite").parquet(path)
+    val replacement = spark.read.parquet(path).queryExecution.analyzed
+    val reg = aggRegistry(spark)
+    reg.filterInPlace(_.name != name)
+    reg += AggEntry(name, plan.canonicalized, replacement)
+    installRule(spark)
   }
 
   /** Drop a view's routing (the parquet stays on disk). */
-  def drop(spark: SparkSession, name: String): Unit =
+  def drop(spark: SparkSession, name: String): Unit = {
     registry(spark).filterInPlace(_.name != name)
+    aggRegistry(spark).filterInPlace(_.name != name)
+  }
 }

@@ -170,6 +170,27 @@ object HashqlSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name""".stripMargin)),
 
+    // PRE-AGGREGATED summary routing: a registered aggregate view answers
+    // the verbatim-repeated group-by from the summary parquet — zero Join
+    // AND zero aggregation in the routed plan (MatViewSpec-asserted);
+    // coarser/re-aliased aggregates deliberately recompute.
+    "matview_route_rollup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        def agg = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvr").toString
+        graft.matview.MatView.materializeAggregate(s, "rollup_tmp", agg, s"$tmp/view")
+        val res = s"$tmp/result"
+        agg.write.mode("overwrite").parquet(res) // answered from the summary
+        graft.matview.MatView.drop(s, "rollup_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
     // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
     // materialized, then a later dialect SELECT over the same join answers
     // from the pre-joined parquet (zero Join nodes — asserted in

@@ -59,6 +59,42 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cnr")
   }
 
+  test("aggregate view: verbatim-repeated group-by answers from the summary") {
+    val agg = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+    val out = java.nio.file.Files.createTempDirectory("mv_agg").toString
+    MatView.materializeAggregate(spark, "cn_agg", agg, out)
+    try {
+      val q = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains(out.split("/").last), s"no summary scan in:\n$physical")
+      assert(!physical.contains("HashAggregate") && !physical.contains("Join"),
+        s"aggregation not eliminated:\n$physical")
+      val routed = q.as[(String, Long)].collect().toMap
+      MatView.drop(spark, "cn_agg")
+      val raw = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(routed == raw)
+    } finally MatView.drop(spark, "cn_agg")
+  }
+
+  test("aggregate view: different grouping or different aliases do NOT route") {
+    val agg = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+    val out = java.nio.file.Files.createTempDirectory("mv_agg2").toString
+    MatView.materializeAggregate(spark, "cn_agg2", agg, out)
+    try {
+      // coarser rollup (no grouping key) must recompute, not reuse
+      val coarser = custNation.agg(count(lit(1)).as("cnt"))
+      assert(coarser.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "coarser aggregate wrongly answered from the summary")
+      // same shape, different output alias: canonical form matches but the
+      // by-name check must refuse (the summary has no 'n_customers' column)
+      val renamed = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+      assert(renamed.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "differently-aliased aggregate wrongly routed")
+      renamed.collect() // and it still executes correctly
+    } finally MatView.drop(spark, "cn_agg2")
+  }
+
   test("a 4-way query containing the 3-way view routes the subtree only") {
     val custNationRegion = custNation
       .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
