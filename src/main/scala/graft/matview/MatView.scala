@@ -35,28 +35,38 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object MatView {
 
   private final case class Key(leaves: Set[String], cond: Set[(String, String)])
-  private final case class Entry(name: String, key: Key, replacement: LogicalPlan)
+  private sealed trait ViewEntry { def name: String; def replacement: LogicalPlan }
+  private final case class JoinEntry(name: String, key: Key,
+                                     replacement: LogicalPlan) extends ViewEntry
   private final case class AggEntry(name: String, canonical: LogicalPlan,
-                                    replacement: LogicalPlan)
+                                    replacement: LogicalPlan) extends ViewEntry
 
+  // ONE registry for both view kinds. Lifetime note: an entry's replacement
+  // plan (a parquet LogicalRelation) strongly references its SparkSession,
+  // so a session with live registrations is pinned until `drop` — the
+  // WeakHashMap only reclaims sessions whose registries emptied. Sessions
+  // here are process-long; call drop() when a view is retired.
   private val registries =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[Entry]]()
-  private val aggRegistries =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[AggEntry]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[ViewEntry]]()
 
-  private def registry(spark: SparkSession): scala.collection.mutable.ListBuffer[Entry] =
+  private def registry(spark: SparkSession): scala.collection.mutable.ListBuffer[ViewEntry] =
     registries.synchronized {
       var r = registries.get(spark)
       if (r == null) { r = scala.collection.mutable.ListBuffer.empty; registries.put(spark, r) }
       r
     }
 
-  private def aggRegistry(spark: SparkSession): scala.collection.mutable.ListBuffer[AggEntry] =
-    aggRegistries.synchronized {
-      var r = aggRegistries.get(spark)
-      if (r == null) { r = scala.collection.mutable.ListBuffer.empty; aggRegistries.put(spark, r) }
-      r
-    }
+  /** All reads take an immutable snapshot under the buffer's own lock;
+    * mutations hold the same lock — a concurrent materialize/drop during
+    * query optimization can never tear an iteration. */
+  private def snapshot(spark: SparkSession): List[ViewEntry] = {
+    val r = registry(spark)
+    r.synchronized(r.toList)
+  }
+  private def mutate(spark: SparkSession)(f: scala.collection.mutable.ListBuffer[ViewEntry] => Unit): Unit = {
+    val r = registry(spark)
+    r.synchronized(f(r))
+  }
 
   /** A join side qualifies only if it is a bare relation under pruning-
     * inserted Projects and optimizer-inserted IsNotNull(joinkey) filters —
@@ -104,10 +114,12 @@ object MatView {
   private def keyOf(j: Join): Option[Key] =
     flatten(j).map { case (leaves, conds) => Key(leaves, conds) }
 
-  /** By-name substitution wrapper: every column `orig` still outputs must
-    * exist in the materialized parquet, and parents keep resolving because
-    * the aliases reuse the original expression ids. */
-  private def substitute(orig: LogicalPlan, replacement: LogicalPlan): Option[LogicalPlan] = {
+  /** By-NAME substitution (join views): every column the possibly-pruned
+    * join still outputs must exist in the materialized parquet; parents
+    * keep resolving because the aliases reuse the original expression
+    * ids. Name-keyed is right here because CREATE JOIN views require
+    * distinct column names across the joined tables. */
+  private def substituteByName(orig: LogicalPlan, replacement: LogicalPlan): Option[LogicalPlan] = {
     val byName = replacement.output.map(a => a.name -> a).toMap
     if (orig.output.forall(o => byName.contains(o.name)))
       Some(Project(orig.output.map(o =>
@@ -115,24 +127,38 @@ object MatView {
     else None
   }
 
+  /** POSITIONAL substitution (aggregate views): plan canonicalization
+    * erases alias names, so a canonical match fixes the output LIST —
+    * position i of the query computes exactly what position i of the view
+    * computed — while names may differ or even be PERMUTED between query
+    * and view. Mapping by name would silently wire a permuted query's
+    * outputs to the wrong summary columns; positional mapping is correct
+    * by construction and also lets re-aliased repeats route (they keep
+    * their own names via the Alias wrappers). */
+  private def substitutePositional(orig: LogicalPlan, replacement: LogicalPlan): Option[LogicalPlan] =
+    if (orig.output.length == replacement.output.length)
+      Some(Project(orig.output.zip(replacement.output).map { case (o, r) =>
+        Alias(r, o.name)(exprId = o.exprId)
+      }, replacement))
+    else None
+
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val entries = registry(spark)
-      val aggEntries = aggRegistry(spark)
-      if (entries.isEmpty && aggEntries.isEmpty) plan
+      val entries = snapshot(spark)
+      if (entries.isEmpty) plan
       else plan.transformUp {
         // pre-aggregated summaries match on the CANONICALIZED whole
         // aggregate (grouping + agg expressions + child), so a repeated
         // dashboard-style group-by answers from the summary scan without
-        // touching fact rows. Canonicalization normalizes expr ids but not
-        // names; the by-name check below keeps differently-aliased
-        // lookalikes untouched.
-        case a: Aggregate if aggEntries.nonEmpty =>
-          aggEntries.find(_.canonical == a.canonicalized)
-            .flatMap(e => substitute(a, e.replacement)).getOrElse(a)
+        // touching fact rows — whatever the query renamed its outputs to.
+        case a: Aggregate =>
+          entries.collectFirst {
+            case e: AggEntry if e.canonical == a.canonicalized => e }
+            .flatMap(e => substitutePositional(a, e.replacement)).getOrElse(a)
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
-          entries.find(e => keyOf(j).contains(e.key))
-            .flatMap(e => substitute(j, e.replacement)).getOrElse(j)
+          entries.collectFirst {
+            case e: JoinEntry if keyOf(j).contains(e.key) => e }
+            .flatMap(e => substituteByName(j, e.replacement)).getOrElse(j)
       }
     }
   }
@@ -143,6 +169,11 @@ object MatView {
     * reads the parquet instead. Call again to refresh after base-table
     * changes. */
   def materialize(spark: SparkSession, name: String, view: DataFrame, path: String): Unit = {
+    // refresh contract: drop the old registration FIRST — with it live,
+    // the installed rule would route the view's own plan (and the
+    // materializing write) to the STALE parquet: the key extraction below
+    // would then see a scan instead of a join and throw.
+    drop(spark, name)
     val analyzed = view.queryExecution.optimizedPlan
     // collectFirst visits pre-order, so the first Join is the topmost —
     // keyOf flattens the whole chain under it.
@@ -151,9 +182,7 @@ object MatView {
         "materialize expects an inner equi-join (chain) of plain relations"))
     view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
-    val reg = registry(spark)
-    reg.filterInPlace(_.name != name)
-    reg += Entry(name, joinKey, replacement)
+    mutate(spark)(_ += JoinEntry(name, joinKey, replacement))
     installRule(spark)
   }
 
@@ -167,9 +196,12 @@ object MatView {
     * summary parquet — the rollup-serving path the join rule can't cover.
     * Matching is exact-plan (canonicalized): same grouping, same
     * aggregates, same child — the verbatim-repeat workload dashboards
-    * generate. Coarser or differently-keyed group-bys deliberately do NOT
-    * match (containment reasoning over grouping sets is out of scope and
-    * silently answering a *different* aggregate would be wrong).
+    * generate. Output aliases may differ (canonicalization erases names;
+    * substitution is POSITIONAL, so a re-aliased or alias-permuted repeat
+    * routes and keeps its own names over the right columns). Coarser or
+    * differently-keyed group-bys deliberately do NOT match (containment
+    * reasoning over grouping sets is out of scope and silently answering
+    * a *different* aggregate would be wrong).
     *
     * Register the aggregate view EITHER over base tables OR over a
     * registered join view's tables, not both at once: the join rule
@@ -178,20 +210,23 @@ object MatView {
     * tables. */
   def materializeAggregate(spark: SparkSession, name: String, view: DataFrame,
                            path: String): Unit = {
+    // same refresh-ordering contract as materialize: unregister before
+    // planning or writing, so the stale route can't capture either
+    drop(spark, name)
     val plan = view.queryExecution.optimizedPlan
-    require(plan.exists(_.isInstanceOf[Aggregate]),
-      "materializeAggregate expects a plan containing an Aggregate")
+    // the ROOT must be the Aggregate: the rule only compares Aggregate
+    // nodes against the stored canonical, so registering e.g. a
+    // Filter-over-aggregate would be a dead entry that never routes
+    require(plan.isInstanceOf[Aggregate],
+      s"materializeAggregate expects the view's optimized plan to BE an " +
+        s"Aggregate (a bare groupBy().agg()), got ${plan.nodeName}")
     view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
-    val reg = aggRegistry(spark)
-    reg.filterInPlace(_.name != name)
-    reg += AggEntry(name, plan.canonicalized, replacement)
+    mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement))
     installRule(spark)
   }
 
   /** Drop a view's routing (the parquet stays on disk). */
-  def drop(spark: SparkSession, name: String): Unit = {
-    registry(spark).filterInPlace(_.name != name)
-    aggRegistry(spark).filterInPlace(_.name != name)
-  }
+  def drop(spark: SparkSession, name: String): Unit =
+    mutate(spark)(_.filterInPlace(_.name != name))
 }

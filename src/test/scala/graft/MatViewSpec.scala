@@ -77,7 +77,7 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cn_agg")
   }
 
-  test("aggregate view: different grouping or different aliases do NOT route") {
+  test("aggregate view: coarser group-bys recompute; re-aliased repeats route positionally") {
     val agg = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
     val out = java.nio.file.Files.createTempDirectory("mv_agg2").toString
     MatView.materializeAggregate(spark, "cn_agg2", agg, out)
@@ -86,13 +86,67 @@ class MatViewSpec extends SparkSpec {
       val coarser = custNation.agg(count(lit(1)).as("cnt"))
       assert(coarser.queryExecution.executedPlan.toString.contains("HashAggregate"),
         "coarser aggregate wrongly answered from the summary")
-      // same shape, different output alias: canonical form matches but the
-      // by-name check must refuse (the summary has no 'n_customers' column)
+      // same computation under a different alias: canonicalization erases
+      // names, substitution is positional — routes AND keeps its own name
       val renamed = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
-      assert(renamed.queryExecution.executedPlan.toString.contains("HashAggregate"),
-        "differently-aliased aggregate wrongly routed")
-      renamed.collect() // and it still executes correctly
+      val rPlan = renamed.queryExecution.executedPlan.toString
+      assert(!rPlan.contains("HashAggregate"), s"re-aliased repeat not routed:\n$rPlan")
+      val viaRoute = renamed.as[(String, Long)].collect().toMap
+      MatView.drop(spark, "cn_agg2")
+      val raw = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        .as[(String, Long)].collect().toMap
+      assert(viaRoute == raw)
     } finally MatView.drop(spark, "cn_agg2")
+  }
+
+  test("aggregate view: PERMUTED output aliases still get the right columns") {
+    // view: (n_name, a=count, b=max); query swaps the aliases — by-name
+    // substitution would silently wire a↔b; positional must not
+    val agg = custNation.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("a"), max(col("c_custkey")).as("b"))
+    val out = java.nio.file.Files.createTempDirectory("mv_agg3").toString
+    MatView.materializeAggregate(spark, "cn_agg3", agg, out)
+    try {
+      val swapped = custNation.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("b"), max(col("c_custkey")).as("a"))
+      val plan = swapped.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate"), s"swapped repeat not routed:\n$plan")
+      val viaRoute = swapped.select("n_name", "b", "a")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      MatView.drop(spark, "cn_agg3")
+      val raw = custNation.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("b"), max(col("c_custkey")).as("a"))
+        .select("n_name", "b", "a").as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(viaRoute == raw)
+    } finally MatView.drop(spark, "cn_agg3")
+  }
+
+  test("re-materializing under the same name refreshes instead of throwing") {
+    val out1 = java.nio.file.Files.createTempDirectory("mv_rf1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("mv_rf2").toString
+    MatView.materialize(spark, "rf", custNation, out1)
+    try {
+      // second call with the rule live: must re-extract the join key from
+      // the RAW plan (not the routed scan) and swap the entry cleanly
+      MatView.materialize(spark, "rf", custNation, out2)
+      val q = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(out2.split("/").last), s"not routed to refresh:\n$plan")
+      // aggregate flavor of the same contract (fresh DataFrame per use —
+      // a QueryExecution memoizes its optimized plan, so a pre-registration
+      // instance would show the stale plan regardless of routing)
+      def aggQ = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val aout1 = java.nio.file.Files.createTempDirectory("mv_rfa1").toString
+      val aout2 = java.nio.file.Files.createTempDirectory("mv_rfa2").toString
+      MatView.drop(spark, "rf") // agg view's child must stay a raw join
+      MatView.materializeAggregate(spark, "rfa", aggQ, aout1)
+      MatView.materializeAggregate(spark, "rfa", aggQ, aout2)
+      val aPlan = aggQ.queryExecution.executedPlan.toString
+      assert(aPlan.contains(aout2.split("/").last), s"agg not refreshed:\n$aPlan")
+      MatView.drop(spark, "rfa")
+    } finally { MatView.drop(spark, "rf"); MatView.drop(spark, "rfa") }
   }
 
   test("a 4-way query containing the 3-way view routes the subtree only") {
