@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, LshBucket, RollingHash, VectorKernels}
+import graft.functions.{CosineSim, LshBucket, NfcNormalize, RollingHash, VectorKernels}
 
 /** SparkSessionExtensions entry point: builds a session with the engine's
   * custom pieces pre-registered —
@@ -11,7 +11,7 @@ import graft.functions.{CosineSim, LshBucket, RollingHash, VectorKernels}
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   * }}}
   * Registers the custom codegen SQL functions: `rolling_hash`,
-  * `cosine_sim`, `lsh_bucket`. The materialized-view routing rule installs
+  * `cosine_sim`, `lsh_bucket`, `nfc_normalize`. The materialized-view routing rule installs
   * per-view at `MatView.materialize` time via
   * experimental.extraOptimizations (it needs runtime registry state, not a
   * static rule), and is therefore not listed here.
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => VectorKernels.sqlLshBucket(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

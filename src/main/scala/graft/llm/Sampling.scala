@@ -131,4 +131,60 @@ object Sampling {
        |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |  <= ${caseSql(stratumExpr, budgetByStratum, defaultBudget)}""".stripMargin
+
+  /** TEMPERATURE-weighted source rebalancing (the α < 1 mixture reweighting
+    * of multilingual/multi-domain pretraining — downweight head sources,
+    * upweight tail ones): stratum `s` gets
+    * `target_s = ⌊budget · w_s / Σw⌋` document slots where `w_s =
+    * ⌊√n_s⌋` — i.e. α = 0.5 applied in EXACT arithmetic. IEEE-754 sqrt is
+    * correctly rounded in both engines, floor and the integer
+    * multiply/divide are exact, so the admitted set is bit-reproducible
+    * cross-engine (a float `pow(n, α)` would not be). Slots fill in
+    * deterministic (arithBucket, id) order — same admission convention as
+    * [[tokenBudgetSample]], so re-runs and re-partitionings admit the
+    * same documents, and a bigger budget only ever ADDS documents.
+    *
+    * Plan: stratum counts (one partial-agg shuffle over strata-cardinality
+    * keys) → targets via a 1-row broadcast total → targets broadcast-join
+    * back → ONE stratum-keyed window shuffle for the row_number admission.
+    * At 100 TB the window's per-stratum sort is the same single-task
+    * hazard as tokenBudgetSample's — swap in the range-partitioned
+    * two-phase rank ([[Packing.packChunks]] pattern) if one stratum
+    * dominates; the admission rule is unchanged. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        budget: Long): DataFrame = {
+    // budget · w must stay below 2^63: w = ⌊√n⌋ ≤ 2^31.5 even at
+    // impossible stratum sizes, so cap the budget at 2^31 slots.
+    require(budget >= 0 && budget <= (1L << 31), s"budget out of range: $budget")
+    require(!df.columns.exists(Set("graft_rn", "graft_target")),
+      "input already has a graft_rn/graft_target column — rename it first")
+    val weights = df.groupBy(col(stratumCol))
+      .agg(floor(sqrt(count(lit(1)))).cast("long").as("graft_w"))
+    val total = weights.agg(sum(col("graft_w")).as("graft_tw"))
+    val targets = weights.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        expr(s"($budget * graft_w) div graft_tw").as("graft_target"))
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(arithBucket(col(idCol)), col(idCol))
+    df.join(broadcast(targets), stratumCol)
+      .withColumn("graft_rn", row_number().over(order))
+      .filter(col("graft_rn") <= col("graft_target"))
+      .drop("graft_rn", "graft_target")
+  }
+
+  /** DuckDB mirror of [[temperatureSample]] — CTE chain + QUALIFY.
+    * `src` must expose `$stratumExpr` and `$idExpr`; emits `SELECT cols`
+    * of the admitted rows. */
+  def temperatureSampleSql(src: String, cols: String, stratumExpr: String,
+                           idExpr: String, budget: Long): String =
+    s"""WITH gw AS (SELECT $stratumExpr AS g_s,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+       |  FROM $src GROUP BY 1),
+       |gt AS (SELECT g_s, CAST(($budget * w) // (SELECT sum(w) FROM gw)
+       |    AS BIGINT) AS target FROM gw),
+       |adm AS (SELECT s.*, t.target FROM $src s
+       |  JOIN gt t ON s.$stratumExpr = t.g_s
+       |  QUALIFY row_number() OVER (PARTITION BY $stratumExpr
+       |    ORDER BY ${arithBucketSql(idExpr)}, $idExpr) <= target)
+       |SELECT $cols FROM adm""".stripMargin
 }

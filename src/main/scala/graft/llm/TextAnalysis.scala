@@ -170,6 +170,75 @@ object TextAnalysis {
        | + len(regexp_extract_all($c, '$ipv4Re'))
        | + len(regexp_extract_all($c, '$phoneRe')) AS BIGINT)""".stripMargin
 
+  // ---- text fixing (ftfy/C4-style cleanup): NFC-compose, strip control
+  // characters, collapse whitespace runs. Character classes stay in the
+  // Java∩RE2 common subset (explicit hex ranges — no \s, whose membership
+  // differs between the engines on \x0B).
+  private[llm] val controlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private[llm] val wsRunRe = "[ \\t\\n\\r\\f]+"
+
+  /** Canonical text cleanup: NFC normalization (custom codegen
+    * [[graft.functions.NfcNormalize]] — Spark has no built-in), control
+    * chars dropped, whitespace runs collapsed to one space, ends trimmed.
+    * Pure scan-side expression; run it FIRST so dedup/fingerprinting see
+    * one byte representation per canonically-equal document. */
+  def fixText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalize.nfc_normalize(text),
+      controlRe, ""), wsRunRe, " "))
+  def fixTextSql(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(nfc_normalize($c),
+       |  '$controlRe', '', 'g'), '$wsRunRe', ' ', 'g'))""".stripMargin
+
+  // ---- blocklist gate (C4's badwords filter shape): count word-boundary
+  // blocklist hits; kept = zero hits. The alternation is non-capturing and
+  // every term is required alphanumeric, so the pattern stays in the
+  // Java∩RE2 subset and both engines count identically.
+  private[llm] def blocklistRe(words: Seq[String]): String = {
+    require(words.nonEmpty, "empty blocklist")
+    words.foreach(w => require(w.matches("[a-z0-9]+"),
+      s"blocklist terms must be lowercase alphanumeric: '$w'"))
+    s"\\b(?:${words.mkString("|")})\\b"
+  }
+
+  /** Number of blocklisted-term occurrences in the (lowercased) text. */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(blocklistRe(words))).cast("long")
+  def blocklistHitsSql(c: String, words: Seq[String]): String =
+    s"CAST(len(regexp_extract_all(lower($c), '${blocklistRe(words)}')) AS BIGINT)"
+
+  /** Per-document unigram surprisal in whole bits (CCNet's LM-perplexity
+    * quality signal, made hash-exact): train a unigram LM on the corpus
+    * itself (one count aggregation), then score each token
+    * `⌊log2 N⌋ − ⌊log2 cnt(term)⌋` — floor-log2 is `length(bin(x)) − 1`,
+    * EXACT integer arithmetic in both Spark and DuckDB, so unlike a
+    * float `ln()` sum the score can never drift between engines or
+    * partition orders. High bits/token ⇒ improbable text under the
+    * corpus distribution (gibberish or rare-domain) — the standard
+    * perplexity-bucket filter, minus the float hazards.
+    *
+    * Plan: explode → term-count groupBy (map-side combine) → join scores
+    * back on term → per-doc groupBy. The term-count table is
+    * vocab-bounded, so at 100 TB the join side broadcasts (AQE picks it;
+    * heavy-hitter vocab ≪ corpus). Three shuffles total, each with
+    * partial aggregation. */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    // ⌊log2 n⌋ − ⌊log2 cnt⌋ — the −1s cancel
+    val surprisal = (length(bin(col("n"))) - length(bin(col("cnt")))).cast("long")
+    toks.join(cnt, "term").crossJoin(broadcast(n))
+      .select(col(idCol), surprisal.as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s")).as("surprisal_bits"),
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+          .as("bits_per_token"))
+  }
+
   /** Quality score in [0,1]: integer-ratio components only (token count,
     * mean word length band, stopword ratio) so Spark and DuckDB compute
     * bit-identical doubles; rounded to 4 anyway. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, Snapshot, TextAnalysis}
 
 /** Training-data-pipeline operators (SURVEY §2.12, driver north-star):
   * dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding),
@@ -322,6 +322,78 @@ object LlmSuite extends Suite {
              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
              |FROM documents""".stripMargin)),
 
+    // unicode/text fixing: NFC composition (custom codegen Expression —
+    // Spark has no built-in normalizer), control-char strip, whitespace
+    // collapse, trim. Decomposed accents + a BEL + space runs are planted
+    // so the fix has real work; DuckDB's nfc_normalize applies the same
+    // canonical composition as the JDK normalizer, so the cleaned text
+    // (and the char counts before/after) hash-check.
+    "text_nfc" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"), concat(col("text"),
+          lit("  cafe\u0301 \u0007 nai\u0308ve  fin ")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.fixText(col("text")).as("fixed"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(TextAnalysis.fixText(col("text"))).cast("long").as("n_fixed")),
+      Some(s"""WITH pl AS (SELECT doc_id,
+              |    text || '  cafe' || chr(769) || ' ' || chr(7)
+              |      || ' nai' || chr(776) || 've  fin ' AS text
+              |  FROM documents)
+              |SELECT doc_id, ${TextAnalysis.fixTextSql("text")} AS fixed,
+              |  CAST(length(text) AS BIGINT) AS n_raw,
+              |  CAST(length(${TextAnalysis.fixTextSql("text")}) AS BIGINT)
+              |    AS n_fixed
+              |FROM pl""".stripMargin)),
+
+    // corpus-trained unigram-LM surprisal (the CCNet perplexity-filter
+    // shape) in EXACT integer bits: per-token ⌊log2 N⌋ − ⌊log2 cnt⌋ via
+    // length(bin(x)), so the "perplexity" score is integer arithmetic —
+    // no cross-engine ln() ulp drift, fully hash-checked.
+    "text_surprisal" -> Q(
+      (s, d) => TextAnalysis.unigramSurprisal(docs(s, d), "text", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |          unnest(string_split(lower(text), ' ')) AS term
+             |        FROM documents),
+             |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM t)
+             |SELECT doc_id,
+             |  CAST(sum(length(bin(n.n)) - length(bin(c.cnt))) AS BIGINT)
+             |    AS surprisal_bits,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(sum(length(bin(n.n)) - length(bin(c.cnt)))::DOUBLE
+             |    / count(*), 4) AS bits_per_token
+             |FROM t JOIN c USING (term) CROSS JOIN n
+             |GROUP BY doc_id""".stripMargin)),
+
+    // blocklist gate (C4 badwords-filter shape): word-boundary blocklist
+    // hits on terms planted from doc_id + the keep decision. The
+    // non-capturing alternation stays in the Java∩RE2 subset.
+    "text_blocklist" -> Q(
+      (s, d) => {
+        val words = Seq("frak", "smeg", "gorram")
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" frak")))
+            .when(col("doc_id") % 5 === 0,
+              concat(lit("smeg "), col("text"), lit(" smeg")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.blocklistHits(col("text"), words).as("n_blocked"),
+          when(TextAnalysis.blocklistHits(col("text"), words) === 0, 1L)
+            .otherwise(0L).as("kept"))
+      },
+      Some(s"""WITH pl AS (SELECT doc_id, CASE
+              |    WHEN doc_id % 7 = 0 THEN text || ' frak'
+              |    WHEN doc_id % 5 = 0 THEN 'smeg ' || text || ' smeg'
+              |    ELSE text END AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  ${TextAnalysis.blocklistHitsSql("text", Seq("frak", "smeg", "gorram"))}
+              |    AS n_blocked,
+              |  CAST(CASE WHEN ${TextAnalysis.blocklistHitsSql("text",
+                     Seq("frak", "smeg", "gorram"))} = 0
+              |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM pl""".stripMargin)),
+
     // ---------- dedup ----------
     "dedup_exact" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "text", "doc_id"),
@@ -420,6 +492,40 @@ object LlmSuite extends Suite {
       Some(s"""WITH ${crossJaccardCtes(0.6)}
               |SELECT doc_id FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.a = d.doc_id)""".stripMargin)),
+
+    // snapshot diff (dataset versioning between crawl refreshes): v2 is
+    // the corpus with planted removals (id%17=0), edits (id%13=0, text
+    // suffixed) and additions (id%11=0 re-added at id+30000); every id is
+    // classified added/removed/changed/unchanged off md5 digests — the
+    // diff join moves 16-byte hashes, never documents. One full-outer
+    // shuffle join; zero exchanges when both snapshots use the id-bucketed
+    // layout.
+    "corpus_diff" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val v2 = base.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        Snapshot.diff(base, v2, "doc_id", Seq("text"))
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |v2r AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 30000 AS doc_id, text FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |v2 AS (SELECT doc_id, md5(text) AS h2 FROM v2r)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |       WHEN v2.doc_id IS NULL THEN 'removed'
+             |       WHEN h1 = h2 THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin)),
 
     // Line-level boilerplate removal over a corpus with PLANTED chrome
     // (every doc gains a shared license header, a per-shard footer shared
@@ -786,6 +892,18 @@ object LlmSuite extends Suite {
               |QUALIFY ${Sampling.tokenBudgetSampleSql("lang", "doc_id",
                   "n_tokens", Map("en" -> 5000L, "fr" -> 2000L, "de" -> 1000L))}
               |""".stripMargin)),
+
+    // TEMPERATURE mixing (α = 0.5) over the real lang column (en is ~3×
+    // any other language here): per-language doc slots ∝ ⌊√n⌋, filled in
+    // deterministic (arithBucket, id) order. sqrt is IEEE-correctly-
+    // rounded in both engines and everything else is integer arithmetic,
+    // so the rebalanced subset hash-matches bit-for-bit.
+    "sample_temperature" -> Q(
+      (s, d) => Sampling.temperatureSample(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", budget = 200L),
+      Some(Sampling.temperatureSampleSql(
+        "(SELECT doc_id, lang FROM documents)", "doc_id, lang",
+        "lang", "doc_id", 200L))),
 
     // GPT-style concat-and-chunk packing: chunk id = exact global prefix
     // sum of token counts in id order / budget — computed distributed

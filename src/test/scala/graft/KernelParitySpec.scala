@@ -154,6 +154,22 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach(r => assert(viaColumn(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("nfc_normalize: SQL == Column == JDK normalizer; ASCII passes through untouched") {
+    graft.functions.NfcNormalize.register(spark)
+    val rows = Seq((1L, "café mixed"), (2L, "plain ascii"), (3L, "é composed"))
+      .toDF("id", "t")
+    rows.createOrReplaceTempView("nfc_sql")
+    val viaSql = spark.sql("SELECT id, nfc_normalize(t) AS n FROM nfc_sql")
+      .as[(Long, String)].collect().toMap
+    val viaCol = rows.select(col("id"),
+      graft.functions.NfcNormalize.nfc_normalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    val viaJdk = rows.as[(Long, String)].collect().map { case (i, t) =>
+      i -> java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }.toMap
+    assert(viaSql == viaJdk && viaCol == viaJdk)
+    assert(viaJdk(1L).startsWith("café"), "composition did not happen")
+  }
+
   test("minhash_band_hashes == affine-min + xxhash64-chain formulation") {
     val bands = 4
     val rpb = 2

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextAnalysis}
 
 /** Properties the oracles can't express: SimHash recall on planted
   * near-dups, LSH-ANN recall vs brute force, multimodal decode features. */
@@ -426,5 +426,82 @@ class LlmSpec extends SparkSpec {
       .join(media, "media_id")
       .filter(col("n") =!= octet_length(col("content")))
     assert(reassembled.count() == 0)
+  }
+
+  test("fixText: NFC-composes, strips controls, collapses whitespace; ASCII is identity") {
+    val in = Seq(
+      (1L, "cafe\u0301 plain"),           // decomposed -> composed
+      (2L, "a\u0007b\u0000c"),            // control chars dropped
+      (3L, "  x \t y\n\nz  "),            // ws runs collapse, ends trim
+      (4L, "already clean ascii")
+    ).toDF("id", "t")
+    val out = in.select(col("id"), TextAnalysis.fixText(col("t")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "café plain")
+    assert(out(2L) == "abc")
+    assert(out(3L) == "x y z")
+    assert(out(4L) == "already clean ascii")
+    // and the fixed text is byte-identical to the NFC of the input
+    assert(out(1L).codePointAt(3) == 0xE9)
+  }
+
+  test("unigramSurprisal: rare tokens cost more bits; totals are consistent") {
+    val in = Seq((1L, "common common common rare"), (2L, "common common common common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(in, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("surprisal_bits"), r.getAs[Long]("n_tokens"))).toMap
+    // N=8 tokens -> floor(log2 8)=3; 'common' cnt=7 -> 2; 'rare' cnt=1 -> 0
+    assert(out(1L) == (3 * (3 - 2) + (3 - 0), 4L)) // 3 commons + 1 rare = 6 bits
+    assert(out(2L) == (4 * (3 - 2), 4L))           // 4 commons = 4 bits
+  }
+
+  test("blocklistHits: word boundaries only, case-insensitive; term syntax enforced") {
+    val in = Seq((1L, "FRAK and smeg twice smeg"), (2L, "frakking is a non-hit"),
+      (3L, "clean")).toDF("id", "t")
+    val hits = in.select(col("id"),
+      TextAnalysis.blocklistHits(col("t"), Seq("frak", "smeg")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(col("t"), Seq("bad.regex("))
+    }
+  }
+
+  test("snapshot diff classifies all four statuses; diffStats sums them") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "t")
+    val d = Snapshot.diff(v1, v2, "id", Seq("t"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val stats = Snapshot.diffStats(v1, v2, "id", Seq("t")).collect().head
+    assert((stats.getAs[Long]("n_added"), stats.getAs[Long]("n_removed"),
+      stats.getAs[Long]("n_changed"), stats.getAs[Long]("n_unchanged")) == (1L, 1L, 1L, 1L))
+  }
+
+  test("temperatureSample: targets follow sqrt weights, admission budget-monotone and partition-invariant") {
+    val in = docs.select(col("doc_id"), col("lang"))
+    val k200 = Sampling.temperatureSample(in, "lang", "doc_id", 200L)
+      .as[(String, Long)].collect().toSet
+    // per-stratum targets = floor(200 * floor(sqrt(n_s)) / sum_w)
+    val counts = in.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val w = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val tw = w.values.sum
+    val byLang = k200.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    w.foreach { case (lang, ws) =>
+      assert(byLang.getOrElse(lang, 0L) == 200L * ws / tw,
+        s"stratum $lang got ${byLang.getOrElse(lang, 0L)} slots, want ${200L * ws / tw}")
+    }
+    // head stratum is downweighted relative to its raw share
+    val (headLang, headN) = counts.maxBy(_._2)
+    assert(byLang(headLang).toDouble / k200.size < headN.toDouble / counts.values.sum)
+    // budget-monotone: smaller budget admits a subset
+    val k100 = Sampling.temperatureSample(in, "lang", "doc_id", 100L)
+      .as[(String, Long)].collect().toSet
+    assert(k100.subsetOf(k200))
+    // partition-invariant
+    val reparted = Sampling.temperatureSample(in.repartition(13), "lang", "doc_id", 200L)
+      .as[(String, Long)].collect().toSet
+    assert(reparted == k200)
   }
 }

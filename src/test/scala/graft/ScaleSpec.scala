@@ -91,6 +91,34 @@ class ScaleSpec extends SparkSpec {
       s"window not keyed by stratum:\n$plan")
   }
 
+  test("snapshot diff moves digests through one join; temperatureSample windows on the stratum") {
+    val docs = Tables.t(spark, sf, "documents")
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"), col("text"))
+    val d = graft.llm.Snapshot.diff(
+      docs.select(col("doc_id"), col("text")), v2, "doc_id", Seq("text"))
+    val dPlan = d.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("CartesianProduct") &&
+      !dPlan.contains("BroadcastNestedLoopJoin"),
+      s"diff is not an equi-join:\n$dPlan")
+    // the md5 digest must be computed BELOW the shuffle (between the
+    // Exchange and its FileScan in the printed tree), so the exchange
+    // carries (id, 32-char digest), never the documents
+    val afterExchange = dPlan.substring(dPlan.indexOf("Exchange hashpartitioning"))
+    val beforeScan = afterExchange.substring(0, afterExchange.indexOf("FileScan"))
+    assert(beforeScan.contains("md5"),
+      s"digest not computed scan-side below the exchange:\n$dPlan")
+
+    val t = graft.llm.Sampling.temperatureSample(
+      docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 200L)
+    val tPlan = t.queryExecution.executedPlan.toString
+    assert(tPlan.contains("hashpartitioning(lang"),
+      s"admission window not keyed by the stratum:\n$tPlan")
+    // the per-stratum targets reach the corpus via broadcast, not shuffle
+    // (the only single-partition stage is the strata-cardinality weight sum)
+    assert(tPlan.contains("BroadcastHashJoin") || tPlan.contains("BroadcastExchange"),
+      s"targets join not broadcast:\n$tPlan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.t(spark, sf, "orders")
     val lineitem = Tables.t(spark, sf, "lineitem")
