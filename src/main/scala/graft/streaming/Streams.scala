@@ -301,6 +301,90 @@ object Streams {
       }
       .start()
 
+  /** Incremental twin of [[graft.llm.Snapshot.diff]] — the new snapshot
+    * (v2) arrives as a STREAM; each micro-batch classifies its documents
+    * against the at-rest v1 digest table (added / changed / unchanged) and
+    * writes `(id, status)` to a replay-idempotent `batch=<id>` directory.
+    * The v1 side is reduced to `(id, digest)` ONCE and cached — each batch
+    * joins 16-byte digests, never documents. Removals are only decidable
+    * once the stream is complete: [[snapshotDiffRemoved]] anti-joins v1
+    * against everything the stream classified.
+    *
+    * Caller owns the cache lifetime: unpersist the returned digest frame
+    * after stopping the query. */
+  def snapshotDiffStream(v2: DataFrame, v1: DataFrame, idCol: String,
+                         payloadCols: Seq[String], outPath: String,
+                         checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    def digest(as: String): org.apache.spark.sql.Column =
+      md5(concat_ws("\u0000", payloadCols.map(col): _*)).as(as)
+    val v1d = v1.select(col(idCol), digest("h1")).cache()
+    val q = v2.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(idCol), digest("h2"))
+          .join(v1d, Seq(idCol), "left_outer")
+          .select(col(idCol),
+            when(col("h1").isNull, "added")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("changed").as("status"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+    (q, v1d)
+  }
+
+  /** End-of-stream removals for [[snapshotDiffStream]]: v1 ids never seen
+    * by the stream. Union with the streamed statuses for the full
+    * [[graft.llm.Snapshot.diff]] answer. */
+  def snapshotDiffRemoved(spark: SparkSession, v1: DataFrame, idCol: String,
+                          outPath: String): DataFrame = {
+    val seen = spark.read.parquet(outPath).select(col(idCol))
+    v1.select(col(idCol)).join(seen, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("removed").as("status"))
+  }
+
+  /** Running data card: each micro-batch appends its per-language PARTIAL
+    * aggregates (doc/token counts + fixed-point quality sum — all exact
+    * integers, so partials fold without float drift) and
+    * [[corpusStatsTotal]] re-aggregates the partials into the current
+    * card. The partial table grows by ≤ |languages| rows per batch —
+    * compaction-free for any realistic stream lifetime, and the fold is
+    * associative so the running card always equals the batch
+    * `corpus_stats_by_lang` over everything ingested so far. */
+  def corpusStatsStream(docs: DataFrame, textCol: String, outPath: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.llm.TextAnalysis
+        batch
+          .groupBy(TextAnalysis.langId(col(textCol)).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+            sum(round(TextAnalysis.qualityScore(col(textCol)) * 10000, 0)
+              .cast("long")).as("quality_fp"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold the partials of [[corpusStatsStream]] into the current
+    * per-language card (avg quality = exact fixed-point sum over exact
+    * count, one double division at the end — same arithmetic as the batch
+    * corpus_stats_by_lang oracle query). */
+  def corpusStatsTotal(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("quality_fp")).cast("double") /
+          (sum(col("n_docs")) * 10000).cast("double")).as("avg_quality"))
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

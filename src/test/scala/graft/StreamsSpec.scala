@@ -328,4 +328,67 @@ class StreamsSpec extends SparkSpec {
       assert(afterRollover.contains((8L, 2, 500000L, 501000L)))
     } finally q.stop()
   }
+
+  test("snapshotDiffStream + removed equals the batch Snapshot.diff") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("sd_out").toString
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val v2 = mem.toDF().toDF("doc_id", "text")
+    val (q, v1d) = graft.streaming.Streams.snapshotDiffStream(
+      v2, v1, "doc_id", Seq("text"), out, ckpt)
+    try {
+      mem.addData((1L, "a"), (2L, "B2"), (7L, "new"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"), (8L, "newer"))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).select("doc_id", "status")
+        .as[(Long, String)].collect().toSet
+      val removed = graft.streaming.Streams.snapshotDiffRemoved(
+        spark, v1, "doc_id", out).as[(Long, String)].collect().toSet
+      // the batch answer over the same v2
+      val v2all = Seq((1L, "a"), (2L, "B2"), (7L, "new"), (3L, "c"), (8L, "newer"))
+        .toDF("doc_id", "text")
+      val batchDiff = graft.llm.Snapshot.diff(v1, v2all, "doc_id", Seq("text"))
+        .as[(Long, String)].collect().toSet
+      assert((streamed ++ removed) == batchDiff,
+        s"streamed=${streamed ++ removed} batch=$batchDiff")
+    } finally { q.stop(); v1d.unpersist() }
+  }
+
+  test("corpusStatsStream partials fold to the batch per-language card") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val out = Files.createTempDirectory("cs_out").toString
+    val ckpt = Files.createTempDirectory("cs_ckpt").toString
+    val en = "the cat sat on a mat and the dog is in the yard of the house"
+    val fr = "le chat est un animal et la maison de les gens est grande"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.Streams.corpusStatsStream(docs, "text", out, ckpt)
+    try {
+      mem.addData((1L, en), (2L, fr))
+      q.processAllAvailable()
+      mem.addData((3L, en), (4L, en + " again"), (5L, fr))
+      q.processAllAvailable()
+      val got = graft.streaming.Streams.corpusStatsTotal(spark, out)
+        .as[(String, Long, Long, Double)].collect()
+        .map { case (l, d, t, a) => l -> ((d, t, a)) }.toMap
+      // the batch card over everything ingested, same arithmetic
+      val all = Seq((1L, en), (2L, fr), (3L, en), (4L, en + " again"), (5L, fr))
+        .toDF("doc_id", "text")
+      val want = all.groupBy(TextAnalysis.langId(col("text")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          (sum(round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+            .cast("long")).cast("double") /
+            (count(lit(1)) * 10000).cast("double")).as("avg_quality"))
+        .as[(String, Long, Long, Double)].collect()
+        .map { case (l, d, t, a) => l -> ((d, t, a)) }.toMap
+      assert(got == want, s"got=$got want=$want")
+      assert(got.keySet.size >= 2, "expected a real language mixture")
+    } finally q.stop()
+  }
 }
