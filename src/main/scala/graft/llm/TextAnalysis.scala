@@ -207,6 +207,33 @@ object TextAnalysis {
   def blocklistHitsSql(c: String, words: Seq[String]): String =
     s"CAST(len(regexp_extract_all(lower($c), '${blocklistRe(words)}')) AS BIGINT)"
 
+  // ---- linear quality classifier (the fasttext-filter shape of
+  // CCNet/GPT-3 data curation): a fixed-weight linear model over
+  // integer-exact text features. Training happens offline; serving a
+  // linear model is ONE scan-side expression, and because features and
+  // weights are integers the logit is hash-exact cross-engine (the
+  // sigmoid is monotone, so thresholding the logit IS thresholding the
+  // probability — no exp() ulp hazards).
+  final case class LinearModel(bias: Long, wTokens: Long, wStop: Long,
+                               wDupFp: Long, wPii: Long)
+
+  /** Integer logit of [[LinearModel]] over (token count, en-stopword
+    * hits, dup-token fraction in 1e-4 fixed point, PII hits). */
+  def classifierLogit(text: Column, m: LinearModel): Column = {
+    val toks = tokens(lower(text))
+    val dupFp = round(dupTokenFrac(text) * 10000, 0).cast("long")
+    (lit(m.bias) + lit(m.wTokens) * size(toks).cast("long") +
+      lit(m.wStop) * hits(toks, dicts.head._2).cast("long") +
+      lit(m.wDupFp) * dupFp + lit(m.wPii) * piiCount(text)).cast("long")
+  }
+  def classifierLogitSql(c: String, m: LinearModel): String = {
+    val toksExpr = tokensSql(s"lower($c)")
+    s"""CAST(${m.bias} + ${m.wTokens} * len($toksExpr)
+       | + ${m.wStop} * ${hitsSql(toksExpr, dicts.head._2)}
+       | + ${m.wDupFp} * CAST(round(${dupTokenFracSql(c)} * 10000, 0) AS BIGINT)
+       | + ${m.wPii} * ${piiCountSql(c)} AS BIGINT)""".stripMargin
+  }
+
   /** Per-document unigram surprisal in whole bits (CCNet's LM-perplexity
     * quality signal, made hash-exact): train a unigram LM on the corpus
     * itself (one count aggregation), then score each token

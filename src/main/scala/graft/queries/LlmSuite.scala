@@ -394,6 +394,38 @@ object LlmSuite extends Suite {
               |    THEN 1 ELSE 0 END AS BIGINT) AS kept
               |FROM pl""".stripMargin)),
 
+    // fasttext-shape linear quality classifier served scan-side: integer
+    // features × integer weights → hash-exact logit; label = logit > 0
+    // (sigmoid is monotone, so the threshold needs no exp()). PII is
+    // planted on a third of docs so both labels occur.
+    "text_classifier" -> Q(
+      (s, d) => {
+        val m = TextAnalysis.LinearModel(
+          bias = 0L, wTokens = 100L, wStop = 500L, wDupFp = -1L, wPii = -2000L)
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" ping admin"), col("doc_id").cast("string"),
+            lit("@spam.example or 10.9."), (col("doc_id") % 100).cast("string"),
+            lit(".3"))).otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.classifierLogit(col("text"), m).as("logit"),
+          when(TextAnalysis.classifierLogit(col("text"), m) > 0, 1L)
+            .otherwise(0L).as("label"))
+      },
+      Some {
+        val m = TextAnalysis.LinearModel(
+          bias = 0L, wTokens = 100L, wStop = 500L, wDupFp = -1L, wPii = -2000L)
+        s"""WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+           |    text || ' ping admin' || doc_id || '@spam.example or 10.9.'
+           |      || (doc_id % 100) || '.3'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id, ${TextAnalysis.classifierLogitSql("text", m)} AS logit,
+           |  CAST(CASE WHEN ${TextAnalysis.classifierLogitSql("text", m)} > 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS label
+           |FROM pl""".stripMargin
+      }),
+
     // ---------- dedup ----------
     "dedup_exact" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "text", "doc_id"),

@@ -468,6 +468,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("classifierLogit: exact integer arithmetic on hand-built features") {
+    val m = TextAnalysis.LinearModel(
+      bias = 10L, wTokens = 100L, wStop = 500L, wDupFp = -1L, wPii = -2000L)
+    // "the cat sat" -> 3 tokens, 1 stopword hit, dup frac 0, no pii
+    // logit = 10 + 300 + 500 - 0 - 0 = 810
+    val in = Seq((1L, "the cat sat"),
+      (2L, "spam spam spam spam reach x@y.io")).toDF("id", "t")
+    val out = in.select(col("id"),
+      TextAnalysis.classifierLogit(col("t"), m).as("l"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 810L)
+    // doc 2: 6 tokens (3 distinct), 0 stop hits, dup frac 0.5 -> 5000 fp,
+    // 1 email: 10 + 600 + 0 - 5000 - 2000 = -6390
+    assert(out(2L) == -6390L)
+  }
+
   test("snapshot diff classifies all four statuses; diffStats sums them") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "t")
