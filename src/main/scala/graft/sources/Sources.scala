@@ -40,4 +40,29 @@ object Sources {
 
   /** S7-style dump: rows as JSON strings (the reference's /dump payload). */
   def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
+
+  /** Token-balanced training shards — the last mile of the cleaning
+    * pipeline (clean → pack → SHARD → train): documents land in
+    * `shard=<k>/` directories of ~`tokensPerShard` tokens each, contiguous
+    * in id order (the concat-and-chunk layout [[graft.llm.Packing]]
+    * computes, one directory per chunk). A data loader then streams shards
+    * independently with no skew: every shard holds the same token mass to
+    * within one straddling document.
+    *
+    * Plan: packChunks' distributed prefix sum (no global sort), one
+    * id-keyed shuffle join to attach shard ids, one shard-keyed shuffle so
+    * each output directory is written by the tasks that own it. Returns
+    * the manifest (shard, n_docs, n_tokens) — tiny, one row per shard. */
+  def writeShards(df: DataFrame, textCol: String, idCol: String,
+                  path: String, tokensPerShard: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.llm.Packing.packChunks(df, textCol, idCol, tokensPerShard)
+      .withColumnRenamed("chunk_id", "shard")
+    df.join(chunks.select(col(idCol), col("shard")), idCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    chunks.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
 }

@@ -39,4 +39,37 @@ class SourcesSpec extends SparkSpec {
     assert(dumped.count() == region.count())
     assert(dumped.columns.toSeq == Seq("json"))
   }
+
+  test("writeShards: every doc lands once, shards are id-contiguous and token-balanced") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("src_shards").toString
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val budget = 2000L
+    val manifest = Sources.writeShards(docs, "text", "doc_id", out, budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val back = spark.read.parquet(out)
+    // exactly once, text preserved
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // id ranges per shard don't interleave (concat-and-chunk order)
+    val ranges = back.groupBy("shard")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // token balance: every shard but the last holds >= budget - (straddler
+    // slack) and none exceeds budget + the largest single document
+    val maxDoc = docs.select(TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().max
+    manifest.init.foreach { case (s, _, toks) =>
+      assert(toks >= budget - maxDoc && toks <= budget + maxDoc,
+        s"shard $s holds $toks tokens (budget $budget, maxDoc $maxDoc)")
+    }
+    // manifest totals equal the corpus totals
+    assert(manifest.map(_._2).sum == docs.count())
+  }
 }
