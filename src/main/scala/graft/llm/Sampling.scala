@@ -150,7 +150,10 @@ object Sampling {
     * At 100 TB the window's per-stratum sort is the same single-task
     * hazard as tokenBudgetSample's — swap in the range-partitioned
     * two-phase rank ([[Packing.packChunks]] pattern) if one stratum
-    * dominates; the admission rule is unchanged. */
+    * dominates; the admission rule is unchanged.
+    *
+    * Rows with a NULL stratum are dropped (no slots can be allocated to
+    * an unknown stratum — filter or fill upstream to keep them). */
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
                         budget: Long): DataFrame = {
     // budget · w must stay below 2^63: w = ⌊√n⌋ ≤ 2^31.5 even at

@@ -26,6 +26,10 @@ object Snapshot {
     * no sane text column contains, so no concat ambiguity; the t2 oracle
     * uses a single payload column, where the separator never fires).
     *
+    * Ids must be unique within each snapshot (they are the snapshot's
+    * primary key); a duplicated id would fan out through the full-outer
+    * join like any keyed join.
+    *
     * @return one row per id in either version: (idCol, status) with
     *         status ∈ added | removed | changed | unchanged — "added"
     *         means present only in v2. */

@@ -56,6 +56,8 @@ object Sources {
   def writeShards(df: DataFrame, textCol: String, idCol: String,
                   path: String, tokensPerShard: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(!df.columns.contains("shard"),
+      "input already has a shard column — rename it before sharding")
     val chunks = graft.llm.Packing.packChunks(df, textCol, idCol, tokensPerShard)
       .withColumnRenamed("chunk_id", "shard")
     df.join(chunks.select(col(idCol), col("shard")), idCol)

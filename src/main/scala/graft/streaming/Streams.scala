@@ -338,11 +338,16 @@ object Streams {
 
   /** End-of-stream removals for [[snapshotDiffStream]]: v1 ids never seen
     * by the stream. Union with the streamed statuses for the full
-    * [[graft.llm.Snapshot.diff]] answer. */
+    * [[graft.llm.Snapshot.diff]] answer. A stream that never delivered a
+    * batch means v2 is empty — every v1 id is removed, which is what the
+    * no-output guard returns. */
   def snapshotDiffRemoved(spark: SparkSession, v1: DataFrame, idCol: String,
                           outPath: String): DataFrame = {
+    val all = v1.select(col(idCol))
+    if (!exists(spark, outPath))
+      return all.select(col(idCol), lit("removed").as("status"))
     val seen = spark.read.parquet(outPath).select(col(idCol))
-    v1.select(col(idCol)).join(seen, Seq(idCol), "left_anti")
+    all.join(seen, Seq(idCol), "left_anti")
       .select(col(idCol), lit("removed").as("status"))
   }
 

@@ -358,6 +358,14 @@ class StreamsSpec extends SparkSpec {
     } finally { q.stop(); v1d.unpersist() }
   }
 
+  test("snapshotDiffRemoved on a never-started stream marks everything removed") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("sd_empty").toString + "/never_written"
+    val rm = graft.streaming.Streams.snapshotDiffRemoved(spark, v1, "doc_id", dir)
+      .as[(Long, String)].collect().toSet
+    assert(rm == Set((1L, "removed"), (2L, "removed")))
+  }
+
   test("corpusStatsStream partials fold to the batch per-language card") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.TextAnalysis
