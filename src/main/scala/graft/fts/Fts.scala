@@ -34,14 +34,18 @@ object Fts {
   def tokensOracleSql(colName: String): String =
     s"string_split(replace(lower($colName), ',', ''), ' ')"
 
-  // ---- tiny recursive-descent parser: OR > AND > atom, parens allowed ----
+  // ---- tiny recursive-descent parser: OR > AND > atom, parens allowed;
+  // double-quoted atoms are PHRASES (adjacency match — growth beyond the
+  // reference's bag-of-tokens `~`) ----
   sealed trait Node
   final case class Tok(t: String) extends Node
+  final case class Phrase(ws: Seq[String]) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
 
   def parse(query: String): Node = {
     val toks = query.replace("(", " ( ").replace(")", " ) ")
+      .replace("\"", " \" ")
       .trim.split("\\s+").filter(_.nonEmpty).toList
     val (node, rest) = parseOr(toks)
     require(rest.isEmpty, s"trailing tokens in FTS query: $rest")
@@ -76,14 +80,44 @@ object Fts {
       val (n, rest) = parseOr(tail)
       require(rest.headOption.contains(")"), "unbalanced ( in FTS query")
       (n, rest.tail)
+    case "\"" :: tail =>
+      val (ws, rest) = tail.span(_ != "\"")
+      require(rest.headOption.contains("\""), "unbalanced \" in FTS query")
+      require(ws.nonEmpty, "empty phrase in FTS query")
+      if (ws.sizeIs == 1) (Tok(ws.head.toLowerCase), rest.tail)
+      else (Phrase(ws.map(_.toLowerCase)), rest.tail)
     case t :: tail => (Tok(t.toLowerCase), tail)
     case Nil => throw new IllegalArgumentException("empty FTS query")
+  }
+
+  /** Adjacency match: some position i has tokens[i..i+k-1] == ws. The
+    * scan stays a pure column expression (exists over a position range) —
+    * no positional posting lists, no shuffle; the `when` guard matters
+    * because `sequence(1, 0)` would count DOWN, not produce empty. */
+  private def phraseMatch(tokensCol: Column, ws: Seq[String]): Column = {
+    val k = ws.size
+    val hit = (i: Column) => ws.zipWithIndex.map { case (w, j) =>
+      element_at(tokensCol, (i + j).cast("int")) === lit(w)
+    }.reduce(_ && _)
+    when(size(tokensCol) < k, lit(false))
+      .otherwise(exists(sequence(lit(1), size(tokensCol) - lit(k - 1)), hit))
+  }
+
+  private def phraseMatchSql(tokensExpr: String, ws: Seq[String]): String = {
+    val k = ws.size
+    val conds = ws.zipWithIndex.map { case (w, j) =>
+      s"$tokensExpr[i${if (j == 0) "" else s"+$j"}] = '$w'"
+    }.mkString(" AND ")
+    s"""(CASE WHEN len($tokensExpr) < $k THEN FALSE ELSE
+       | len(list_filter(range(1, len($tokensExpr) - ${k - 2}),
+       |   i -> $conds)) > 0 END)""".stripMargin
   }
 
   /** Compile an FTS query string to a boolean Column over a tokens column. */
   def matches(tokensCol: Column, query: String): Column = {
     def go(n: Node): Column = n match {
       case Tok(t) => array_contains(tokensCol, t)
+      case Phrase(ws) => phraseMatch(tokensCol, ws)
       case And(l, r) => go(l) && go(r)
       case Or(l, r) => go(l) || go(r)
     }
@@ -94,6 +128,7 @@ object Fts {
   def matchesOracleSql(tokensExpr: String, query: String): String = {
     def go(n: Node): String = n match {
       case Tok(t) => s"list_contains($tokensExpr, '$t')"
+      case Phrase(ws) => phraseMatchSql(tokensExpr, ws)
       case And(l, r) => s"(${go(l)} AND ${go(r)})"
       case Or(l, r) => s"(${go(l)} OR ${go(r)})"
     }

@@ -32,6 +32,10 @@ object FtsSuite extends Suite {
     // mixed precedence + parens (documented divergence: & binds tighter)
     "fts_expr" -> ftsQ("spark & (window | stream) & data"),
     // posting-list AND-fold with 3 terms (reference client.py:730-738)
-    "fts_and3" -> ftsQ("fast & slow & big")
+    "fts_and3" -> ftsQ("fast & slow & big"),
+    // PHRASE adjacency (growth beyond the reference's bag-of-tokens ~):
+    // quoted atoms compile to an exists-over-positions expression — still
+    // scan-side, no positional index — composed with boolean operators
+    "fts_phrase" -> ftsQ("\"key agg\" & (stream | \"row scan\")")
   )
 }

@@ -28,6 +28,29 @@ class FtsSpec extends SparkSpec {
       .select("id").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("phrase queries: adjacency not bag-of-tokens; parser edges enforced") {
+    assert(Fts.parse("\"a b\" | c") ==
+      Fts.Or(Fts.Phrase(Seq("a", "b")), Fts.Tok("c")))
+    // single-word phrase degrades to a plain token
+    assert(Fts.parse("\"A\"") == Fts.Tok("a"))
+    intercept[IllegalArgumentException](Fts.parse("\"a b"))
+    intercept[IllegalArgumentException](Fts.parse("\"\""))
+    val df = Seq(
+      (1, "key agg row"),      // phrase hit
+      (2, "agg key row"),      // both tokens, wrong order -> no hit
+      (3, "key x agg"),        // both tokens, not adjacent -> no hit
+      (4, "key"),              // shorter than the phrase
+      (5, "row key agg"))      // phrase hit at the end
+      .toDF("id", "t").withColumn("toks", Fts.tokens(col("t")))
+    val hits = df.filter(Fts.matches(col("toks"), "\"key agg\""))
+      .select("id").as[Int].collect().toSet
+    assert(hits == Set(1, 5))
+    // composition with booleans keeps phrase atoms intact
+    val mixed = df.filter(Fts.matches(col("toks"), "\"key agg\" & row"))
+      .select("id").as[Int].collect().toSet
+    assert(mixed == Set(1, 5))
+  }
+
   test("as-of join picks latest right row at-or-before left time") {
     val left = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "t", "ev")
