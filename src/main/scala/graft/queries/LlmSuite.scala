@@ -438,6 +438,32 @@ object LlmSuite extends Suite {
              |  count(*) AS dup_count
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // WHY normalize before dedup: plant a canonical twin of every doc
+    // (id+40000, suffix in decomposed NFD while the original's suffix is
+    // precomposed NFC — different BYTES, same canonical text). Byte-exact
+    // dedup sees 1000 distinct documents; dedup over fixText collapses
+    // each twin into its original (keep_id = the lower id, dup_count 2).
+    // Both engines apply their own NFC (JDK vs utf8proc) — agreement IS
+    // the check.
+    "dedup_nfc" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val planted = base
+          .select(col("doc_id"), concat(col("text"), lit(" caf\u00e9")).as("text"))
+          .unionByName(base.select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
+        Dedup.exact(planted.select(col("doc_id"),
+          graft.llm.TextAnalysis.fixText(col("text")).as("text")), "text", "doc_id")
+      },
+      Some(s"""WITH pl AS (
+             |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 40000 AS doc_id, text || ' cafe' || chr(769) AS text
+             |  FROM documents)
+             |SELECT ${TextAnalysis.fixTextSql("text")} AS text,
+             |  min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM pl GROUP BY 1""".stripMargin)),
+
     // MinHash+LSH with exact-jaccard verification — must equal the exact
     // pairwise oracle (recall of the 64×2 banding at j≥0.6 is ≈ 1-1e-60).
     "dedup_minhash_lsh" -> Q(

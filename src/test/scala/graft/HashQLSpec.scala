@@ -43,6 +43,15 @@ class HashQLSpec extends SparkSpec {
     assert(got.as[String].collect().toSeq == Seq("blah sentence"))
   }
 
+  test("FTS '~' phrase adjacency flows through the dialect") {
+    val cat = new GraftCatalog(spark)
+    Seq("key agg row", "agg key row", "key then agg").foreach(v =>
+      HashQL.execute(cat, s"insert into ph (search) values ('$v')"))
+    val got = HashQL.execute(cat,
+      "select ph.search from ph where ph.search ~ '\"key agg\"'").get
+    assert(got.as[String].collect().toSeq == Seq("key agg row"))
+  }
+
   test("dialect aggregates: sum/avg/min/max with and without group by") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 10), ("a", 20), ("b", 5)).foreach { case (g, v) =>

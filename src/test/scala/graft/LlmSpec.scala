@@ -445,6 +445,22 @@ class LlmSpec extends SparkSpec {
     assert(out(1L).codePointAt(3) == 0xE9)
   }
 
+  test("dedup over fixText collapses NFC/NFD twins that byte-exact dedup misses") {
+    val base = docs.limit(50).select(col("doc_id"), col("text"))
+    val planted = base
+      .select(col("doc_id"), concat(col("text"), lit(" caf\u00e9")).as("text"))
+      .unionByName(base.select((col("doc_id") + 40000).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text")))
+    // byte-exact dedup: every twin is its own group
+    assert(graft.llm.Dedup.exact(planted, "text", "doc_id").count() == 100)
+    // normalize first: twins collapse onto the lower id, dup_count 2
+    val fixed = graft.llm.Dedup.exact(planted.select(col("doc_id"),
+      TextAnalysis.fixText(col("text")).as("text")), "text", "doc_id")
+    val rows = fixed.select("keep_id", "dup_count").as[(Long, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall { case (id, n) => id < 40000 && n == 2 })
+  }
+
   test("unigramSurprisal: rare tokens cost more bits; totals are consistent") {
     val in = Seq((1L, "common common common rare"), (2L, "common common common common"))
       .toDF("doc_id", "text")
