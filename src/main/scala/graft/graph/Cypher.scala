@@ -10,7 +10,8 @@ package graft.graph
   *   stmt    := MATCH chains RETURN ret (, ret)*   |  MERGE chains
   *   chains  := chain (, chain)*
   *   chain   := node (edge node)*
-  *   edge    := -[:REL]->  |  <-[:REL]-  |  -[:REL]-      // out / in / both
+  *   edge    := -[:REL hops]->  |  <-[:REL hops]-  |  -[:REL hops]-
+  *   hops    := ε  |  *n  |  *m..n        // variable-length (growth): ε = 1
   *   node    := ( [var] [:Label] [{k: 'v', ...}] )   // keys may be quoted
   *   ret     := var [. attr]  |  properties(var)      // n | n.name | whole map
   * }}}
@@ -26,7 +27,15 @@ object Cypher {
 
   final case class NodePat(variable: Option[String], label: Option[String],
                            attrs: Map[String, String])
-  final case class Rel(typ: String, dir: Dir)
+  /** minHops/maxHops: 1/1 for a plain edge; `*m..n` sets the range
+    * (growth beyond the reference — endpoint reachability within the hop
+    * band, one relationship type per band). */
+  final case class Rel(typ: String, dir: Dir,
+                       minHops: Int = 1, maxHops: Int = 1) {
+    require(minHops >= 1 && minHops <= maxHops,
+      s"bad hop range *$minHops..$maxHops")
+    require(maxHops <= 8, s"hop range capped at 8, got $maxHops")
+  }
   final case class Chain(nodes: Seq[NodePat], rels: Seq[Rel]) {
     require(nodes.length == rels.length + 1, "malformed chain")
   }
@@ -61,6 +70,12 @@ object Cypher {
       val start = i
       while (i < s.length && s(i) != '\'') i += 1
       val v = s.substring(start, i); i += 1; v
+    }
+    private def int(): Int = {
+      ws(); val start = i
+      while (i < s.length && s(i).isDigit) i += 1
+      require(i > start, s"expected integer at $start in: $s")
+      s.substring(start, i).toInt
     }
 
     def stmt(): Stmt = keyword() match {
@@ -100,11 +115,17 @@ object Cypher {
       val rels = scala.collection.mutable.ArrayBuffer.empty[Rel]
       while ({ ws(); peek == '-' || peek == '<' }) {
         val reversed = tryEat('<')
-        eat('-'); eat('['); eat(':'); val typ = ident(); eat(']'); eat('-')
+        eat('-'); eat('['); eat(':'); val typ = ident()
+        val (mn, mx) =
+          if (tryEat('*')) {
+            val lo = int()
+            if (tryEat('.')) { eat('.'); (lo, int()) } else (lo, lo)
+          } else (1, 1)
+        eat(']'); eat('-')
         val forward = tryEat('>')
         require(!(reversed && forward), s"edge cannot be both <- and -> in: $s")
         rels += Rel(typ,
-          if (reversed) In else if (forward) Out else Both)
+          if (reversed) In else if (forward) Out else Both, mn, mx)
         nodes += node()
       }
       Chain(nodes.toSeq, rels.toSeq)

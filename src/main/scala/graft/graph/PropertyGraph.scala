@@ -135,13 +135,28 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         } else ch.rels.zipWithIndex.foreach { case (rel, k) =>
           val (sv, dv) = (vars(k), vars(k + 1))
           val typed = edges.filter(col("rel") === rel.typ)
-          var hop = rel.dir match {
-            case Cypher.Out => typed.select(col("src").as(sv), col("dst").as(dv))
-            case Cypher.In => typed.select(col("dst").as(sv), col("src").as(dv))
+          def oneHop(a: String, b: String): DataFrame = rel.dir match {
+            case Cypher.Out => typed.select(col("src").as(a), col("dst").as(b))
+            case Cypher.In => typed.select(col("dst").as(a), col("src").as(b))
             case Cypher.Both =>
-              typed.select(col("src").as(sv), col("dst").as(dv))
-                .unionByName(typed.select(col("dst").as(sv), col("src").as(dv)))
+              typed.select(col("src").as(a), col("dst").as(b))
+                .unionByName(typed.select(col("dst").as(a), col("src").as(b)))
           }
+          // variable-length `*m..n` (growth): endpoint reachability within
+          // the hop band — union of the L-hop compositions, L in m..n, each
+          // a chain of equi-joins through anonymous intermediates, distinct
+          // endpoint pairs. Bounded by the parser's maxHops cap, so the plan
+          // is at most a fixed small join tree — no iterative fixpoint, no
+          // driver loop; Cypher trail semantics (edge-distinct paths) don't
+          // apply because only ENDPOINTS are observable here.
+          var hop =
+            if (rel.minHops == 1 && rel.maxHops == 1) oneHop(sv, dv)
+            else (rel.minHops to rel.maxHops).map { l =>
+              val names = sv +: (1 until l).map(j => s"__vl${k}_$j") :+ dv
+              (0 until l).map(j => oneHop(names(j), names(j + 1)))
+                .reduce((a, b) => a.join(b, a.columns.intersect(b.columns).toSeq))
+                .select(col(sv), col(dv))
+            }.reduce(_ unionByName _).distinct()
           // endpoint label/attr constraints: broadcast semi-joins against the
           // (small) filtered vertex set — stays a map-side filter at scale.
           nodesFor(ch.nodes(k), sv).foreach(n => hop = hop.join(broadcast(n), sv))

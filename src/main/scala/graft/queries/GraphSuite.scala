@@ -47,6 +47,23 @@ object GraphSuite extends Suite {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
+    // variable-length path (growth beyond the reference): *1..2 over the
+    // IN hierarchy reaches each customer's nation (1 hop) AND its region
+    // (2 hops) in one pattern — a bounded union of join chains, no
+    // iterative fixpoint.
+    "cypher_varlen" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN*1..2]->(x) return c, x"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'nation:' || n_name AS x
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |UNION
+             |SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'region:' || r_name AS x
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // G5: conjunctive comma-separated chains with a shared variable `n`
     // (the reference's variable-merge, client.py:978-1037, as an equi-join).
     "cypher_conjunctive" -> Q(

@@ -103,6 +103,39 @@ class CypherSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("variable-length paths: parser forms, band semantics, direction flip") {
+    // parser: *n and *m..n, on any direction
+    val Cypher.Match(cs, _) =
+      Cypher.parse("match (a)-[:R*2]->(b) return a, b"): @unchecked
+    assert(cs.head.rels == Seq(Cypher.Rel("R", Cypher.Out, 2, 2)))
+    val Cypher.Match(cs2, _) =
+      Cypher.parse("match (a)<-[:R*1..3]-(b) return a, b"): @unchecked
+    assert(cs2.head.rels == Seq(Cypher.Rel("R", Cypher.In, 1, 3)))
+    intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*3..2]->(b) return a"))
+    intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*0]->(b) return a"))
+    intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*1..99]->(b) return a"))
+
+    // executor on a hand-built path graph 1->2->3->4 (+ a side edge 2->5)
+    import spark.implicits._
+    val v = Seq("n1", "n2", "n3", "n4", "n5")
+      .map(n => (n, "N", Map.empty[String, String])).toDF("name", "label", "attrs")
+    val e = Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n2", "n5"))
+      .map { case (s, d) => (s, d, "R") }.toDF("src", "dst", "rel")
+    val g = PropertyGraph(v, e)
+    def pairs(q: String): Set[(String, String)] =
+      g.query(q).as[(String, String)].collect().toSet
+    // exactly 2 hops
+    assert(pairs("match (a)-[:R*2]->(b) return a, b") ==
+      Set(("n1", "n3"), ("n1", "n5"), ("n2", "n4")))
+    // band 1..2 = union of 1-hop and 2-hop endpoint pairs
+    assert(pairs("match (a)-[:R*1..2]->(b) return a, b") ==
+      Set(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n2", "n5"),
+        ("n1", "n3"), ("n1", "n5"), ("n2", "n4")))
+    // reversed band mirrors the forward one
+    assert(pairs("match (a)<-[:R*1..2]-(b) return a, b") ==
+      pairs("match (a)-[:R*1..2]->(b) return a, b").map(_.swap))
+  }
+
   test("example.py four-triple MATCH over the MERGE corpus") {
     val merges = Seq(
       "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(o:Person {'name': 'Tasya'})",
