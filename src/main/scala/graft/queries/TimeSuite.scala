@@ -144,6 +144,52 @@ object TimeSuite extends Suite {
              |FROM events e
              |LEFT JOIN orders o
              |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-             |GROUP BY e.event_id""".stripMargin))
+             |GROUP BY e.event_id""".stripMargin)),
+
+    // Funnel analysis (growth — product-analytics shape the reference has
+    // no analog for): per user, the furthest stage of the ordered
+    // view → click → purchase cascade, each step strictly after the
+    // previous step's FIRST occurrence. Three min-aggregations chained by
+    // equi-joins (no window over the whole event log, no self-join blowup);
+    // timestamps compared as raw epoch-nano longs so neither engine
+    // truncates (Spark TIMESTAMP is micros).
+    "time_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.t(s, d, "events").select(
+          col("user_id"), col("event_type"), col("ts"))
+        def stepAfter(typ: String, prev: org.apache.spark.sql.DataFrame,
+                      prevT: String, as: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, "user_id").filter(col("ts") > col(prevT))
+            .groupBy("user_id").agg(min(col("ts")).as(as))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = stepAfter("click", v, "t1", "t2")
+        val p = stepAfter("purchase", c.select("user_id", "t2"), "t2", "t3")
+        ev.select("user_id").distinct()
+          .join(v.select("user_id", "t1"), Seq("user_id"), "left")
+          .join(c.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(p.select("user_id", "t3"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+             |      FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+             |      GROUP BY 1)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS funnel_stage
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)""".stripMargin))
   )
 }
