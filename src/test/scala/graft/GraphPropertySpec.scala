@@ -52,6 +52,23 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
     }
   }
 
+  test("var-length band ≡ union of per-length relational compositions") {
+    (1 to 4).foreach { seed =>
+      val edges = sample(edgesGen, seed + 100).distinct
+      val g = graphOf(edges)
+      val got = g.query("match (x)-[:R*1..3]->(y) return x, y")
+        .as[(String, String)].collect().toSet
+      val e1 = edges.toSet
+      val e2 = (for { (x, y) <- edges; (y2, z) <- edges if y2 == y } yield (x, z)).toSet
+      val e3 = (for { (x, y) <- e2; (y2, z) <- edges if y2 == y } yield (x, z)).toSet
+      assert(got == (e1 | e2 | e3), s"seed=$seed band != union of compositions")
+      // exact-length form agrees with the composition too
+      val got2 = g.query("match (x)-[:R*2]->(y) return x, y")
+        .as[(String, String)].collect().toSet
+      assert(got2 == e2, s"seed=$seed *2 != composition")
+    }
+  }
+
   test("MERGE is idempotent: re-merging a random statement stream is a no-op") {
     (1 to 3).foreach { seed =>
       val edges = sample(edgesGen, seed + 900).distinct
