@@ -33,6 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize.sqlExpr(exprs)))
   }
 }

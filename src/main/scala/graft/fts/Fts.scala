@@ -44,9 +44,19 @@ object Fts {
   final case class Or(l: Node, r: Node) extends Node
 
   def parse(query: String): Node = {
-    val toks = query.replace("(", " ( ").replace(")", " ) ")
-      .replace("\"", " \" ")
-      .trim.split("\\s+").filter(_.nonEmpty).toList
+    // quote-aware pre-tokenization: the paren/operator expansion must not
+    // run INSIDE a phrase, where '(' or ')' are literal word characters
+    // (the document tokenizer keeps them — a phrase "big (data)" must
+    // stay two words, not become operators).
+    val segs = query.split("\"", -1)
+    require(segs.length % 2 == 1, s"unbalanced \" in FTS query: $query")
+    val toks = segs.zipWithIndex.flatMap { case (seg, j) =>
+      val inner =
+        if (j % 2 == 1) seg.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        else seg.replace("(", " ( ").replace(")", " ) ")
+          .trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (j % 2 == 1) "\"" +: inner :+ "\"" else inner
+    }.toList
     val (node, rest) = parseOr(toks)
     require(rest.isEmpty, s"trailing tokens in FTS query: $rest")
     node
@@ -81,11 +91,15 @@ object Fts {
       require(rest.headOption.contains(")"), "unbalanced ( in FTS query")
       (n, rest.tail)
     case "\"" :: tail =>
-      val (ws, rest) = tail.span(_ != "\"")
+      val (raw, rest) = tail.span(_ != "\"")
       require(rest.headOption.contains("\""), "unbalanced \" in FTS query")
+      // phrase words go through the SAME normalization as the document
+      // tokenizer (lowercase + comma strip) so "key, agg" can match the
+      // comma-stripped tokens column
+      val ws = raw.map(_.toLowerCase.replace(",", "")).filter(_.nonEmpty)
       require(ws.nonEmpty, "empty phrase in FTS query")
-      if (ws.sizeIs == 1) (Tok(ws.head.toLowerCase), rest.tail)
-      else (Phrase(ws.map(_.toLowerCase)), rest.tail)
+      if (ws.sizeIs == 1) (Tok(ws.head), rest.tail)
+      else (Phrase(ws), rest.tail)
     case t :: tail => (Tok(t.toLowerCase), tail)
     case Nil => throw new IllegalArgumentException("empty FTS query")
   }

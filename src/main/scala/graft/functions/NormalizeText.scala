@@ -58,8 +58,15 @@ object NfcNormalize {
   def nfc_normalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
+  /** Arity-checked SQL constructor (sibling-function convention). */
+  def sqlExpr(exprs: Seq[Expression]): NfcNormalize = {
+    require(exprs.length == 1,
+      s"nfc_normalize takes 1 argument, got ${exprs.length}")
+    NfcNormalize(exprs.head)
+  }
+
   /** Register for SQL use: `SELECT nfc_normalize(text) FROM …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+      "nfc_normalize", sqlExpr, "scala_udf")
 }

@@ -44,6 +44,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val ns = stmt.chain.nodes.map(n =>
       (PropertyGraph.identityOf(n.label, n.attrs), n.label.getOrElse(""), n.attrs))
     val es = stmt.chain.rels.zipWithIndex.map { case (r, k) =>
+      require(r.minHops == 1 && r.maxHops == 1,
+        "MERGE cannot take a variable-length edge (*m..n is MATCH-only)")
       r.dir match {
         case Cypher.Out => (ns(k)._1, ns(k + 1)._1, r.typ)
         case Cypher.In => (ns(k + 1)._1, ns(k)._1, r.typ)
@@ -134,6 +136,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           bind(nodesFor(ch.nodes.head, v).getOrElse(vertices.select(col("name").as(v))))
         } else ch.rels.zipWithIndex.foreach { case (rel, k) =>
           val (sv, dv) = (vars(k), vars(k + 1))
+          // (a)-[:R]->(a) would alias both endpoints to ONE column name and
+          // die downstream with an ambiguous reference — reject up front
+          // (self-loops are still reachable via distinct vars + attrs).
+          require(sv != dv,
+            s"edge endpoints bind the same variable '$sv' — not supported")
           val typed = edges.filter(col("rel") === rel.typ)
           def oneHop(a: String, b: String): DataFrame = rel.dir match {
             case Cypher.Out => typed.select(col("src").as(a), col("dst").as(b))

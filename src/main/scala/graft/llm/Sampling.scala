@@ -161,7 +161,11 @@ object Sampling {
     require(budget >= 0 && budget <= (1L << 31), s"budget out of range: $budget")
     require(!df.columns.exists(Set("graft_rn", "graft_target")),
       "input already has a graft_rn/graft_target column — rename it first")
-    val weights = df.groupBy(col(stratumCol))
+    // NULL strata can never be admitted (the targets join drops them), so
+    // they must not contribute weight to the denominator either — else
+    // their sqrt share of the budget is allocated but unfillable.
+    val known = df.filter(col(stratumCol).isNotNull)
+    val weights = known.groupBy(col(stratumCol))
       .agg(floor(sqrt(count(lit(1)))).cast("long").as("graft_w"))
     val total = weights.agg(sum(col("graft_w")).as("graft_tw"))
     val targets = weights.crossJoin(broadcast(total))
@@ -182,7 +186,7 @@ object Sampling {
                            idExpr: String, budget: Long): String =
     s"""WITH gw AS (SELECT $stratumExpr AS g_s,
        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
-       |  FROM $src GROUP BY 1),
+       |  FROM $src WHERE $stratumExpr IS NOT NULL GROUP BY 1),
        |gt AS (SELECT g_s, CAST(($budget * w) // (SELECT sum(w) FROM gw)
        |    AS BIGINT) AS target FROM gw),
        |adm AS (SELECT s.*, t.target FROM $src s

@@ -21,10 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** Classify every id across two snapshot versions. Payload equality is
-    * md5 over the payload columns joined with NUL (U+0000 — a code point
-    * no sane text column contains, so no concat ambiguity; the t2 oracle
-    * uses a single payload column, where the separator never fires).
+  /** `(id, md5)` digest projection — THE one definition of payload
+    * equality, shared between [[diff]] and the streaming twin
+    * ([[graft.streaming.Streams.snapshotDiffStream]]) so the two can
+    * never diverge. Payload columns join with NUL (U+0000 — a code point
+    * no sane text column contains, so no concat ambiguity); NULL payload
+    * values encode as the separator char itself, so (NULL, 'a') and
+    * ('a', NULL) digest differently, and NULL differs from ''.
+    * Non-string payloads digest through their string form. */
+  private[graft] def digests(d: DataFrame, idCol: String,
+                             payloadCols: Seq[String], as: String): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    d.select(col(idCol), md5(concat_ws("\u0000",
+      payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+  }
+
+  /** Classify every id across two snapshot versions ([[digests]] defines
+    * payload equality).
     *
     * Ids must be unique within each snapshot (they are the snapshot's
     * primary key); a duplicated id would fan out through the full-outer
@@ -35,10 +48,8 @@ object Snapshot {
     *         means present only in v2. */
   def diff(v1: DataFrame, v2: DataFrame, idCol: String,
            payloadCols: Seq[String]): DataFrame = {
-    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     def digest(d: DataFrame, as: String): DataFrame =
-      d.select(col(idCol),
-        md5(concat_ws("\u0000", payloadCols.map(col): _*)).as(as))
+      digests(d, idCol, payloadCols, as)
     digest(v1, "h1").join(digest(v2, "h2"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("h1").isNull, "added")

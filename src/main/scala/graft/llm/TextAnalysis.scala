@@ -254,7 +254,9 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("term"))
     val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val n = toks.agg(count(lit(1)).as("n"))
+    // total tokens from the vocab-bounded cnt table — NOT a third full
+    // corpus pass (Σ cnt ≡ the explode count)
+    val n = cnt.agg(sum(col("cnt")).as("n"))
     // ⌊log2 n⌋ − ⌊log2 cnt⌋ — the −1s cancel
     val surprisal = (length(bin(col("n"))) - length(bin(col("cnt")))).cast("long")
     toks.join(cnt, "term").crossJoin(broadcast(n))

@@ -34,8 +34,9 @@ object FtsSuite extends Suite {
     // posting-list AND-fold with 3 terms (reference client.py:730-738)
     "fts_and3" -> ftsQ("fast & slow & big"),
     // PHRASE adjacency (growth beyond the reference's bag-of-tokens ~):
-    // quoted atoms compile to an exists-over-positions expression — still
-    // scan-side, no positional index — composed with boolean operators
+    // quoted atoms compile to one padded-substring contains over the
+    // joined token sequence — still scan-side, no positional index —
+    // composed with boolean operators
     "fts_phrase" -> ftsQ("\"key agg\" & (stream | \"row scan\")")
   )
 }

@@ -316,14 +316,13 @@ object Streams {
                          payloadCols: Seq[String], outPath: String,
                          checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
-    def digest(as: String): org.apache.spark.sql.Column =
-      md5(concat_ws("\u0000", payloadCols.map(col): _*)).as(as)
-    val v1d = v1.select(col(idCol), digest("h1")).cache()
+    // ONE digest definition, shared with the batch diff (Snapshot.digests)
+    val v1d = graft.llm.Snapshot.digests(v1, idCol, payloadCols, "h1").cache()
     val q = v2.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.select(col(idCol), digest("h2"))
+        graft.llm.Snapshot.digests(batch, idCol, payloadCols, "h2")
           .join(v1d, Seq(idCol), "left_outer")
           .select(col(idCol),
             when(col("h1").isNull, "added")

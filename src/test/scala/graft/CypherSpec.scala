@@ -134,6 +134,14 @@ class CypherSpec extends SparkSpec {
     // reversed band mirrors the forward one
     assert(pairs("match (a)<-[:R*1..2]-(b) return a, b") ==
       pairs("match (a)-[:R*1..2]->(b) return a, b").map(_.swap))
+    // MERGE must reject a variable-length edge instead of silently
+    // creating a plain 1-hop one
+    intercept[IllegalArgumentException](
+      g.merge("merge (a:N {name: 'x'})-[:R*3]->(b:N {name: 'y'})"))
+    // same variable on both endpoints of one edge: clear error, not an
+    // ambiguous-reference crash downstream
+    intercept[IllegalArgumentException](
+      g.query("match (a)-[:R*1..2]->(a) return a"))
   }
 
   test("example.py four-triple MATCH over the MERGE corpus") {

@@ -49,6 +49,14 @@ class FtsSpec extends SparkSpec {
     val mixed = df.filter(Fts.matches(col("toks"), "\"key agg\" & row"))
       .select("id").as[Int].collect().toSet
     assert(mixed == Set(1, 5))
+    // parens inside a phrase are literal word characters, not operators;
+    // commas normalize away exactly as the document tokenizer strips them
+    val parens = Seq((10, "big (data) rocks"), (11, "big data rocks"))
+      .toDF("id", "t").withColumn("toks", Fts.tokens(col("t")))
+    assert(parens.filter(Fts.matches(col("toks"), "\"big (data)\""))
+      .select("id").as[Int].collect().toSeq == Seq(10))
+    assert(df.filter(Fts.matches(col("toks"), "\"key, agg\""))
+      .select("id").as[Int].collect().toSet == Set(1, 5))
   }
 
   test("as-of join picks latest right row at-or-before left time") {

@@ -509,6 +509,17 @@ class LlmSpec extends SparkSpec {
     val stats = Snapshot.diffStats(v1, v2, "id", Seq("t")).collect().head
     assert((stats.getAs[Long]("n_added"), stats.getAs[Long]("n_removed"),
       stats.getAs[Long]("n_changed"), stats.getAs[Long]("n_unchanged")) == (1L, 1L, 1L, 1L))
+    // NULL placement and NULL-vs-empty must classify as 'changed', and
+    // NULL payloads on both sides as 'unchanged' (digest NULL-encoding)
+    val n1 = Seq((1L, Option("a"), Option.empty[String]),
+      (2L, Option.empty[String], Option("b")),
+      (3L, Option.empty[String], Option.empty[String])).toDF("id", "t", "u")
+    val n2 = Seq((1L, Option.empty[String], Option("a")),
+      (2L, Option(""), Option("b")),
+      (3L, Option.empty[String], Option.empty[String])).toDF("id", "t", "u")
+    val nd = Snapshot.diff(n1, n2, "id", Seq("t", "u"))
+      .as[(Long, String)].collect().toMap
+    assert(nd == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"), nd.toString)
   }
 
   test("temperatureSample: targets follow sqrt weights, admission budget-monotone and partition-invariant") {
@@ -535,5 +546,13 @@ class LlmSpec extends SparkSpec {
     val reparted = Sampling.temperatureSample(in.repartition(13), "lang", "doc_id", 200L)
       .as[(String, Long)].collect().toSet
     assert(reparted == k200)
+    // NULL strata neither admit nor deflate the denominator: admissions
+    // are identical with a large NULL-lang block mixed in
+    val withNulls = in.unionByName(
+      docs.select((col("doc_id") + 90000).as("doc_id"),
+        lit(null.asInstanceOf[String]).as("lang")))
+    val kNull = Sampling.temperatureSample(withNulls, "lang", "doc_id", 200L)
+      .as[(String, Long)].collect().toSet
+    assert(kNull == k200, "NULL stratum changed the admitted set")
   }
 }
