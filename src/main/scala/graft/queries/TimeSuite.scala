@@ -190,6 +190,50 @@ object TimeSuite extends Suite {
              |    AS funnel_stage
              |FROM (SELECT DISTINCT user_id FROM events) u
              |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-             |LEFT JOIN p USING (user_id)""".stripMargin))
+             |LEFT JOIN p USING (user_id)""".stripMargin)),
+
+    // PIVOT (Spark's relational pivot operator — one shuffle with the
+    // pivot values folded into the aggregate, NOT one pass per column).
+    // Values enumerated explicitly so no pre-scan; absent combinations
+    // coalesce to 0 to match the conditional-count mirror.
+    "time_pivot" -> Q(
+      (s, d) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = Tables.t(s, d, "events")
+          .groupBy(col("user_id")).pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some("""SELECT user_id,
+             |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+             |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+             |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+             |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+             |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Cohort retention (growth): cohort = each user's first active week,
+    // cell (cohort, offset) = distinct users from that cohort active
+    // offset weeks later. Weeks computed by INTEGER division of epoch-nano
+    // timestamps (day = ns div 86400e9, week = day div 7) — no calendar
+    // functions, so both engines bucket identically regardless of
+    // week-start or timezone conventions.
+    "time_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.t(s, d, "events").select(col("user_id"),
+          expr("(ts div 86400000000000) div 7").as("week"))
+        val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH w AS (SELECT user_id,
+             |    (epoch_ns(ts) // 86400000000000) // 7 AS week FROM events),
+             |c AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1)
+             |SELECT cohort, week - cohort AS week_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM w JOIN c USING (user_id)
+             |GROUP BY cohort, week_offset""".stripMargin))
   )
 }
