@@ -156,6 +156,29 @@ object RelationalSuite extends Suite {
              |  count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // table profiling (the ANALYZE/data-card shape for relational tables):
+    // row count, key cardinalities, null tally, min/max ranges — ONE scan,
+    // one partial-agg shuffle, the stats a planner or data catalog wants.
+    // min/max only (no float sums), so every value is order-independent.
+    "q_profile" -> Q(
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        sum(col("l_quantity").isNull.cast("long")).as("n_null_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null_qty,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+             |FROM lineitem""".stripMargin)),
+
     // grouping sets via ROLLUP (subtotal rows carry NULL group keys in both
     // engines).
     "q_rollup" -> Q(

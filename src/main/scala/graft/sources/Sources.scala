@@ -41,6 +41,40 @@ object Sources {
   /** S7-style dump: rows as JSON strings (the reference's /dump payload). */
   def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
 
+  /** Small-file compaction for append-accumulating parquet dirs (the
+    * streaming sinks — ingestKv, maintainJoin, snapshotDiffStream — land
+    * one file set per micro-batch; a long-running stream accumulates
+    * thousands). Rewrites the directory into
+    * `ceil(totalBytes / targetBytes)` files via a crash-safe swap: write
+    * to `<path>.compact.tmp`, verify row count, then swap directories —
+    * a crash before the swap leaves the original untouched, a crash
+    * between the two renames leaves `<path>.compact.old` to roll back
+    * from. Content-preserving only for UNPARTITIONED dirs (partition
+    * columns would be dropped on rewrite — rejected up front). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no such dir: $path")
+    require(!fs.listStatus(hp).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("=")),
+      s"$path is hive-partitioned — compact each partition dir instead")
+    val bytes = fs.getContentSummary(hp).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val expected = df.count()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(spark.read.parquet(tmp.toString).count() == expected,
+      "compaction row-count mismatch — original left untouched")
+    require(fs.rename(hp, old), s"swap failed: $path -> $old")
+    require(fs.rename(tmp, hp), s"swap failed: $tmp -> $path")
+    fs.delete(old, true)
+  }
+
   /** Token-balanced training shards — the last mile of the cleaning
     * pipeline (clean → pack → SHARD → train): documents land in
     * `shard=<k>/` directories of ~`tokensPerShard` tokens each, contiguous

@@ -40,6 +40,32 @@ class SourcesSpec extends SparkSpec {
     assert(dumped.columns.toSeq == Seq("json"))
   }
 
+  test("compactParquet consolidates many small files, preserves rows, rejects partitioned dirs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src_compact").toString + "/t"
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // simulate per-micro-batch appends: many tiny file sets
+    (0 until 8).foreach { i =>
+      docs.filter(col("doc_id") % 8 === i).repartition(4)
+        .write.mode("append").parquet(dir)
+    }
+    def parquetFiles =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val beforeRows = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    Sources.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(parquetFiles < before, s"no consolidation: $before -> $parquetFiles")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == beforeRows)
+    assert(!new java.io.File(dir + ".compact.tmp").exists)
+    assert(!new java.io.File(dir + ".compact.old").exists)
+    // partitioned layout is rejected, not silently flattened
+    val pdir = Files.createTempDirectory("src_compact_p").toString + "/p"
+    docs.withColumn("b", col("doc_id") % 2)
+      .write.partitionBy("b").parquet(pdir)
+    intercept[IllegalArgumentException](Sources.compactParquet(spark, pdir))
+  }
+
   test("writeShards: every doc lands once, shards are id-contiguous and token-balanced") {
     import graft.llm.TextAnalysis
     import org.apache.spark.sql.functions._
