@@ -389,6 +389,48 @@ object Streams {
         (sum(col("quality_fp")).cast("double") /
           (sum(col("n_docs")) * 10000).cast("double")).as("avg_quality"))
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_millis: Long)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming funnel — the incremental twin of the batch `time_funnel`
+    * cascade (view → click → purchase, each step strictly after the
+    * previous step's FIRST occurrence): per-user state is just the three
+    * step timestamps (≤ 24 bytes/user), updated by mapGroupsWithState;
+    * every batch emits the user's CURRENT furthest stage, so the sink
+    * upserts per user.
+    *
+    * Semantics note (documented divergence from batch): within a
+    * micro-batch, events replay in ts order, so in-order and
+    * batch-boundary-split streams land on the batch answer (the
+    * StreamsSpec equivalence test). Arbitrarily late events can still
+    * upgrade a stage — state never expires here; add a timeout if user
+    * cardinality outgrows executor state (the watermark-bounded variant
+    * trades late upgrades for bounded state, exactly like dedupStream). */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[FunnelStage] = {
+    require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[Long], FunnelStage](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        // times(i) = first ts at which step i completed (Long.MaxValue = not yet)
+        var times = state.getOption.getOrElse(Seq.fill(steps.size)(Long.MaxValue))
+        it.toSeq.sortBy(_.ts_millis).foreach { e =>
+          stepIdx.get(e.event_type).foreach { i =>
+            // strict after the previous step's first time (an unreached
+            // previous step is MaxValue, which is never < ts)
+            val prevDone = i == 0 || times(i - 1) < e.ts_millis
+            if (prevDone && e.ts_millis < times(i))
+              times = times.updated(i, e.ts_millis)
+          }
+        }
+        state.update(times)
+        FunnelStage(uid, times.lastIndexWhere(_ != Long.MaxValue) + 1)
+      }
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

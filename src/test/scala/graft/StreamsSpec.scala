@@ -366,6 +366,36 @@ class StreamsSpec extends SparkSpec {
     assert(rm == Set((1L, "removed"), (2L, "removed")))
   }
 
+  test("funnelStream tracks the batch funnel cascade across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{FunnelEvent, FunnelStage}
+    val mem = MemoryStream[FunnelEvent]
+    val staged = Streams.funnelStream(mem.toDS(), Seq("view", "click", "purchase"))
+    val q = staged.writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    def stages(): Map[Long, Int] =
+      spark.table("funnel_out").as[FunnelStage].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.stage }
+    try {
+      // u1 completes in order; u2 clicks BEFORE viewing (click must not
+      // count); u3 only views
+      mem.addData(
+        FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L),
+        FunnelEvent(2L, "click", 10L), FunnelEvent(2L, "view", 20L),
+        FunnelEvent(3L, "view", 10L))
+      q.processAllAvailable()
+      assert(stages() == Map(1L -> 2, 2L -> 1, 3L -> 1))
+      // next batch: u1 purchases (stage 3); u2 clicks after its view
+      // (stage 2 now); u3's purchase can't count — it never clicked
+      mem.addData(
+        FunnelEvent(1L, "purchase", 30L),
+        FunnelEvent(2L, "click", 30L),
+        FunnelEvent(3L, "purchase", 10L))
+      q.processAllAvailable()
+      assert(stages() == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    } finally q.stop()
+  }
+
   test("corpusStatsStream partials fold to the batch per-language card") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.TextAnalysis
