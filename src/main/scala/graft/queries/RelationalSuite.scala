@@ -179,6 +179,31 @@ object RelationalSuite extends Suite {
              |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
              |FROM lineitem""".stripMargin)),
 
+    // UNPIVOT/melt (pivot's inverse — wide measure columns to long
+    // (measure, value) rows). Spark's unpivot is a zero-shuffle Expand;
+    // values are cent-exact fixed-point so the melt is hash-stable.
+    "q_unpivot" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("extendedprice_c"),
+          round(col("l_discount") * 100, 0).cast("long").as("discount_c"),
+          round(col("l_tax") * 100, 0).cast("long").as("tax_c"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("extendedprice_c"), col("discount_c"), col("tax_c")),
+          variableColumnName = "measure", valueColumnName = "cents"),
+      Some("""SELECT l_orderkey, l_linenumber, measure,
+             |  CAST(cents AS BIGINT) AS cents
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS extendedprice_c,
+             |    CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_c,
+             |    CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+             |  FROM lineitem WHERE l_orderkey <= 100)
+             |UNPIVOT (cents FOR measure IN
+             |  (extendedprice_c, discount_c, tax_c))""".stripMargin)),
+
     // grouping sets via ROLLUP (subtotal rows carry NULL group keys in both
     // engines).
     "q_rollup" -> Q(
