@@ -42,15 +42,23 @@ object Sources {
   def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
 
   /** Small-file compaction for append-accumulating parquet dirs (the
-    * streaming sinks — ingestKv, maintainJoin, snapshotDiffStream — land
-    * one file set per micro-batch; a long-running stream accumulates
-    * thousands). Rewrites the directory into
+    * flat-append streaming sinks — ingestKv, maintainJoin — land one
+    * file set per micro-batch; a long-running stream accumulates
+    * thousands; the `batch=<id>`-directory sinks like snapshotDiffStream
+    * are hive-partitioned and must compact per batch subdirectory — the
+    * guard below rejects the parent). Rewrites the directory into
     * `ceil(totalBytes / targetBytes)` files via a crash-safe swap: write
     * to `<path>.compact.tmp`, verify row count, then swap directories —
     * a crash before the swap leaves the original untouched, a crash
     * between the two renames leaves `<path>.compact.old` to roll back
     * from. Content-preserving only for UNPARTITIONED dirs (partition
-    * columns would be dropped on rewrite — rejected up front). */
+    * columns would be dropped on rewrite — rejected up front).
+    *
+    * MUST run while the writing stream is STOPPED (same contract as
+    * [[graft.streaming.Streams.compactStore]]): the rewrite snapshots the
+    * file listing, so a micro-batch appended mid-compaction would be
+    * dropped by the swap. The crash-safety protocol protects against
+    * failures, not concurrent writers. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")

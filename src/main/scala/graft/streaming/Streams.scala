@@ -400,12 +400,16 @@ object Streams {
     * upserts per user.
     *
     * Semantics note (documented divergence from batch): within a
-    * micro-batch, events replay in ts order, so in-order and
-    * batch-boundary-split streams land on the batch answer (the
-    * StreamsSpec equivalence test). Arbitrarily late events can still
-    * upgrade a stage — state never expires here; add a timeout if user
-    * cardinality outgrows executor state (the watermark-bounded variant
-    * trades late upgrades for bounded state, exactly like dedupStream). */
+    * micro-batch, events replay in ts order, so per-user in-order
+    * delivery — however the stream is batch-split — lands on the batch
+    * answer (the StreamsSpec equivalence test runs the batch cascade on
+    * the same events). Under DISORDER the stream can understate the
+    * batch stage: a step event rejected because its predecessor hadn't
+    * arrived yet is discarded, and the late predecessor cannot re-admit
+    * it (only events still to come count). State never expires here —
+    * add a timeout if user cardinality outgrows executor state (the
+    * watermark-bounded variant trades late upgrades for bounded state,
+    * exactly like dedupStream). */
   def funnelStream(events: Dataset[FunnelEvent],
                    steps: Seq[String]): Dataset[FunnelStage] = {
     require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")

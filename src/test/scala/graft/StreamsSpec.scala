@@ -393,6 +393,22 @@ class StreamsSpec extends SparkSpec {
         FunnelEvent(3L, "purchase", 10L))
       q.processAllAvailable()
       assert(stages() == Map(1L -> 3, 2L -> 2, 3L -> 1))
+      // streamed == BATCH: run the time_funnel cascade (first step time,
+      // then first strictly-later occurrence of each next step) over ALL
+      // the events delivered and compare stages
+      val all = Seq(
+        (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+        (2L, "click", 10L), (2L, "view", 20L), (2L, "click", 30L),
+        (3L, "view", 10L), (3L, "purchase", 10L))
+      val batchStages = all.groupBy(_._1).map { case (u, evs) =>
+        val firstAfter = (t: String, after: Long) =>
+          evs.filter(e => e._2 == t && e._3 > after).map(_._3).minOption
+        val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+        val t2 = t1.flatMap(firstAfter("click", _))
+        val t3 = t2.flatMap(firstAfter("purchase", _))
+        u -> Seq(t1, t2, t3).takeWhile(_.isDefined).size
+      }
+      assert(stages() == batchStages, s"streamed=${stages()} batch=$batchStages")
     } finally q.stop()
   }
 
