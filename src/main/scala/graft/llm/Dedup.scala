@@ -271,6 +271,36 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware variant of [[keepRepresentatives]]: per near-dup
+    * cluster keep the member with the HIGHEST `scoreCol` (ties broken by
+    * min id) instead of the lowest id — the selection production cleaning
+    * pipelines actually want (among near-identical crawls, keep the
+    * best-quality copy, e.g. [[TextAnalysis.qualityScore]] or a
+    * classifier logit). Docs in no cluster are always kept.
+    *
+    * Same plan as keepRepresentatives plus two cluster-membership-sized
+    * aggregations (max score per component, then min id among the
+    * maximizers — id-type-agnostic, no negation tricks), so the extra
+    * cost is proportional to the DUPLICATED subset, not the corpus. */
+  def keepBestRepresentatives(df: DataFrame, textCol: String, idCol: String,
+                              scoreCol: String, threshold: Double,
+                              bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, threshold, bands, rowsPerBand)
+    val comp = clusters(pairs) // (doc_id, rep), clustered docs only
+    pairs.unpersist()
+    val scored = comp.join(
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")), "doc_id")
+    val best = scored.groupBy(col("rep")).agg(max(col("__score")).as("__best"))
+    val winners = scored.join(best, "rep")
+      .filter(col("__score") === col("__best"))
+      .groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val drops = scored.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Approximate has-seen filter for INCREMENTAL ingest: fold the entire
     * history's content hashes into one Bloom filter (a single aggregation
     * — the 100-TB history is scanned, never joined against the batch, and

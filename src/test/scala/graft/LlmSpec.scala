@@ -445,6 +445,23 @@ class LlmSpec extends SparkSpec {
     assert(out(1L).codePointAt(3) == 0xE9)
   }
 
+  test("keepBestRepresentatives keeps the highest-scoring cluster member, min-id on ties") {
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val corpus = Seq(
+      (1L, a, 0.3),                                  // near-dup cluster {1,2,4}
+      (2L, a.substring(a.indexOf(' ') + 1), 0.9),    // highest quality -> kept
+      (4L, a.substring(a.indexOf(' ') + 1) + " x", 0.9), // tie -> id 2 wins
+      (7L, "completely different words describing an unrelated subject entirely", 0.1)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.keepBestRepresentatives(corpus, "text", "doc_id", "q", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L), s"kept $kept")
+    // min-id semantics would have kept 1 — quality selection differs
+    val minId = Dedup.keepRepresentatives(corpus, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 7L), s"min-id kept $minId")
+  }
+
   test("dedup over fixText collapses NFC/NFD twins that byte-exact dedup misses") {
     val base = docs.limit(50).select(col("doc_id"), col("text"))
     val planted = base
