@@ -1,8 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic sampling operators for training-data mixing (SURVEY
   * §2.12 growth). At 100 TB, `df.sample()` is the wrong tool: its
@@ -89,6 +89,100 @@ object Sampling {
       s"(CASE $cases ELSE $default END)"
     }
 
+  /** Distributed per-stratum running total in (arithBucket(id), id) order —
+    * the admission engine behind [[tokenBudgetSample]] and
+    * [[temperatureSample]]. Semantically identical to
+    * `sum(value) over (partition by stratum order by bucket, id rows
+    * unbounded preceding)`, but that window plans every stratum into ONE
+    * sort task — a giant stratum (English is most of any web corpus) is a
+    * single-machine sort at 100 TB. Here the prefix sum is computed the
+    * [[Packing.packChunks]] way, generalized from one global sequence to
+    * per-stratum sequences:
+    *
+    *   1. range-repartition + sort on (stratum, bucket, id) — partitions
+    *      are globally ordered key ranges, so each stratum is one
+    *      CONTIGUOUS run of rows possibly spanning adjacent partitions,
+    *      and a dominant stratum spreads over MANY partitions instead of
+    *      collapsing into one sort task;
+    *   2. one tiny job emits each partition's FIRST and LAST stratum-run
+    *      sums (≤ 2 rows/partition — middle runs start and end inside the
+    *      partition, so their prefix from earlier partitions is zero by
+    *      contiguity; driver state is ≤ 2·nPart rows regardless of
+    *      stratum cardinality);
+    *   3. the driver turns those into per-partition starting offsets for
+    *      the partition's first run (broadcast);
+    *   4. one streaming pass adds offset + running local sum per run.
+    *
+    * The frame is localCheckpoint'ed so both passes see ONE pinned
+    * partitioning (range bounds are sampled), and the per-partition passes
+    * use the RDD's own `mapPartitionsWithIndex` index, not the stage
+    * partition id (see packChunks' implementation note). NULL values
+    * count as 0 (the samplers never feed NULLs; documented for reuse). */
+  private[llm] def stratumCumSum(df: DataFrame, stratumCol: String,
+                                 idCol: String, value: Column,
+                                 outCol: String): DataFrame = {
+    val taken = Set("graft_ord", "graft_val", outCol)
+    require(!df.columns.exists(taken),
+      s"input already has one of ${taken.mkString("/")} — rename it first")
+    val spark = df.sparkSession
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .withColumn("graft_ord", arithBucket(col(idCol)))
+      .withColumn("graft_val", value.cast("long"))
+      .repartitionByRange(nPart, col(stratumCol), col("graft_ord"), col(idCol))
+      .sortWithinPartitions(stratumCol, "graft_ord", idCol)
+      .localCheckpoint() // pin the sampled range bounds across both passes
+    val sIdx = ranged.schema.fieldIndex(stratumCol)
+    val vIdx = ranged.schema.fieldIndex("graft_val")
+    val rdd = ranged.rdd
+    def sameKey(a: Any, b: Any): Boolean = java.util.Objects.equals(a, b)
+    // pass 1: (pid, first-run (stratum, sum), last-run (stratum, sum)) —
+    // a one-run partition emits a single entry; collect is ≤ 2·nPart rows
+    val edgeRuns: Array[(Int, Seq[(Any, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var firstKey: Any = null; var firstSum = 0L; var haveFirst = false
+        var curKey: Any = null; var curSum = 0L; var haveCur = false
+        it.foreach { r =>
+          val s = r.get(sIdx)
+          val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+          if (!haveCur) { curKey = s; curSum = v; haveCur = true }
+          else if (sameKey(curKey, s)) curSum += v
+          else {
+            if (!haveFirst) { firstKey = curKey; firstSum = curSum; haveFirst = true }
+            curKey = s; curSum = v
+          }
+        }
+        if (!haveCur) Iterator.empty
+        else if (!haveFirst) Iterator.single((pid, Seq((curKey, curSum))))
+        else Iterator.single((pid, Seq((firstKey, firstSum), (curKey, curSum))))
+      }.collect()
+    // pass 2 offsets: a partition's first run continues a stratum only if
+    // earlier partitions end with the same stratum (contiguity) — sum
+    // their emitted run totals. Later runs in a partition START there, so
+    // their offset is always 0.
+    val byPid = edgeRuns.toMap
+    val offsets: Map[Int, Long] = edgeRuns.map { case (pid, runs) =>
+      val s = runs.head._1
+      pid -> (0 until pid).iterator.flatMap(q =>
+        byPid.getOrElse(q, Nil).iterator
+          .filter { case (k, _) => sameKey(k, s) }.map(_._2)).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
+    val withCum = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bcOff.value.getOrElse(pid, 0L)
+      var curKey: Any = null; var haveCur = false
+      it.map { r =>
+        val s = r.get(sIdx)
+        if (!haveCur) { curKey = s; haveCur = true }
+        else if (!sameKey(curKey, s)) { curKey = s; run = 0L }
+        run += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(withCum, outSchema).drop("graft_ord", "graft_val")
+  }
+
   /** Token-BUDGET mixing: pretraining mixtures are specified as "this many
     * tokens per domain", not a keep-rate — admit documents per stratum, in
     * deterministic (arithBucket, id) order, while the stratum's running
@@ -97,12 +191,10 @@ object Sampling {
     * and partitionings, and growing a budget only ever ADDS documents
     * (the admission order is budget-independent).
     *
-    * One shuffle: a window sum partitioned by stratum. A stratum's rows
-    * sort within its partition — at 100 TB a single giant stratum becomes
-    * one sorting task, at which point swap the window for the
-    * range-partitioned two-phase prefix sum used by
-    * [[graft.llm.Packing.packChunks]] (same admission rule, distributed
-    * running total); the operator's semantics don't change.
+    * The running total is [[stratumCumSum]]'s range-partitioned two-phase
+    * prefix sum — no per-stratum single-task window sort anywhere in the
+    * plan (ScaleSpec asserts no Window node survives), so a dominant
+    * stratum spreads over many partitions at 100 TB.
     *
     * @param tokensCol name of a precomputed per-row token-count column
     *                  (e.g. [[TextAnalysis.tokenCount]]) */
@@ -113,13 +205,10 @@ object Sampling {
       require(b >= 0, s"budget must be non-negative: $b"))
     require(!df.columns.contains("graft_cum"),
       "input already has a graft_cum column — rename it before sampling")
-    val order = Window.partitionBy(col(stratumCol))
-      .orderBy(arithBucket(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budget = budgetByStratum.foldLeft(lit(defaultBudget)) {
       case (els, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(els)
     }
-    df.withColumn("graft_cum", sum(col(tokensCol).cast("long")).over(order))
+    stratumCumSum(df, stratumCol, idCol, col(tokensCol), "graft_cum")
       .filter(col("graft_cum") <= budget)
       .drop("graft_cum")
   }
@@ -146,11 +235,10 @@ object Sampling {
     *
     * Plan: stratum counts (one partial-agg shuffle over strata-cardinality
     * keys) → targets via a 1-row broadcast total → targets broadcast-join
-    * back → ONE stratum-keyed window shuffle for the row_number admission.
-    * At 100 TB the window's per-stratum sort is the same single-task
-    * hazard as tokenBudgetSample's — swap in the range-partitioned
-    * two-phase rank ([[Packing.packChunks]] pattern) if one stratum
-    * dominates; the admission rule is unchanged.
+    * back → the admission rank as [[stratumCumSum]] over value 1 (a
+    * prefix COUNT is a prefix sum) — range-partitioned, no per-stratum
+    * single-task window sort, same hazard-free shape as
+    * [[tokenBudgetSample]].
     *
     * Rows with a NULL stratum are dropped (no slots can be allocated to
     * an unknown stratum — filter or fill upstream to keep them). */
@@ -171,10 +259,8 @@ object Sampling {
     val targets = weights.crossJoin(broadcast(total))
       .select(col(stratumCol),
         expr(s"($budget * graft_w) div graft_tw").as("graft_target"))
-    val order = Window.partitionBy(col(stratumCol))
-      .orderBy(arithBucket(col(idCol)), col(idCol))
-    df.join(broadcast(targets), stratumCol)
-      .withColumn("graft_rn", row_number().over(order))
+    val joined = df.join(broadcast(targets), stratumCol)
+    stratumCumSum(joined, stratumCol, idCol, lit(1L), "graft_rn")
       .filter(col("graft_rn") <= col("graft_target"))
       .drop("graft_rn", "graft_target")
   }

@@ -77,18 +77,32 @@ class ScaleSpec extends SparkSpec {
     kept.count() // and it executes
   }
 
-  test("tokenBudgetSample shuffles once, keyed by the stratum") {
+  test("tokenBudgetSample admits via the distributed prefix sum — no Window, window-equivalent") {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.t(spark, sf, "documents")
+    val in = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.langId(col("text")).as("lang"),
+      graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val budgets = Map("en" -> 3000L, "fr" -> 1000L, "de" -> 500L)
     val mixed = graft.llm.Sampling.tokenBudgetSample(
-      docs.select(col("doc_id"),
-        graft.llm.TextAnalysis.langId(col("text")).as("lang"),
-        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n")),
-      "lang", "doc_id", "n", Map("en" -> 3000L, "fr" -> 1000L, "de" -> 500L))
+      in, "lang", "doc_id", "n", budgets)
+    // the single-task-per-stratum window must not survive anywhere in the
+    // plan — the admission total is the range-partitioned two-phase prefix
+    // sum (stratumCumSum), which also never funnels into one partition
     val plan = mixed.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected exactly one stratum exchange:\n$plan")
-    assert(plan.contains("hashpartitioning(lang"),
-      s"window not keyed by stratum:\n$plan")
+    assert(!plan.contains("Window"), s"per-stratum window survived:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"admission funnels through one partition:\n$plan")
+    // exact equivalence vs the declarative window formulation it replaced
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(graft.llm.Sampling.arithBucket(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(0L)) {
+      case (els, (k, b)) => when(col("lang") === k, lit(b)).otherwise(els) }
+    val expected = in.withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= budget).select("doc_id")
+      .as[Long].collect().toSet
+    assert(mixed.select("doc_id").as[Long].collect().toSet == expected)
   }
 
   test("snapshot diff moves digests through one join; temperatureSample windows on the stratum") {
@@ -108,15 +122,15 @@ class ScaleSpec extends SparkSpec {
     assert(beforeScan.contains("md5"),
       s"digest not computed scan-side below the exchange:\n$dPlan")
 
+    // temperatureSample: the admission rank is the same distributed prefix
+    // sum (over value 1) — no Window node, no single-partition funnel
     val t = graft.llm.Sampling.temperatureSample(
       docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 200L)
     val tPlan = t.queryExecution.executedPlan.toString
-    assert(tPlan.contains("hashpartitioning(lang"),
-      s"admission window not keyed by the stratum:\n$tPlan")
-    // the per-stratum targets reach the corpus via broadcast, not shuffle
-    // (the only single-partition stage is the strata-cardinality weight sum)
-    assert(tPlan.contains("BroadcastHashJoin") || tPlan.contains("BroadcastExchange"),
-      s"targets join not broadcast:\n$tPlan")
+    assert(!tPlan.contains("Window"),
+      s"per-stratum admission window survived:\n$tPlan")
+    assert(!tPlan.contains("Exchange SinglePartition"),
+      s"admission funnels through one partition:\n$tPlan")
   }
 
   test("bucketed tables join without a shuffle exchange") {
