@@ -406,10 +406,9 @@ object Streams {
     * the same events). Under DISORDER the stream can understate the
     * batch stage: a step event rejected because its predecessor hadn't
     * arrived yet is discarded, and the late predecessor cannot re-admit
-    * it (only events still to come count). State never expires here —
-    * add a timeout if user cardinality outgrows executor state (the
-    * watermark-bounded variant trades late upgrades for bounded state,
-    * exactly like dedupStream). */
+    * it (only events still to come count). State never expires here — the
+    * exact-small-cardinality option; at 100 TB user cardinality use
+    * [[funnelStreamBounded]], whose state expires with the watermark. */
   def funnelStream(events: Dataset[FunnelEvent],
                    steps: Seq[String]): Dataset[FunnelStage] = {
     require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")
@@ -432,6 +431,62 @@ object Streams {
         }
         state.update(times)
         FunnelStage(uid, times.lastIndexWhere(_ != Long.MaxValue) + 1)
+      }
+  }
+
+  /** Watermark-BOUNDED funnel — the scale-safe twin of [[funnelStream]]
+    * (the sessionize pattern, EventTimeTimeout): per-user state expires
+    * once the event-time watermark passes the user's last activity +
+    * `horizonMillis`, at which point the user's FINAL stage is emitted and
+    * the state removed. The state store is bounded by users active within
+    * one horizon of the watermark — not total user cardinality, which is
+    * what makes a forever-running funnel possible at 100 TB.
+    *
+    * Trade vs the NoTimeout variant (same trade as [[dedupStream]]):
+    * output is Append-mode finals (one row per user per quiet period)
+    * instead of per-batch running upgrades, and events arriving after
+    * their user's state expired start a FRESH cascade — in-horizon
+    * activity matches the batch `time_funnel` cascade exactly
+    * (StreamsSpec equivalence test). */
+  def funnelStreamBounded(events: Dataset[FunnelEvent], steps: Seq[String],
+                          horizonMillis: Long): Dataset[FunnelStage] = {
+    require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")
+    require(horizonMillis > 0, s"horizon must be positive: $horizonMillis")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withColumn("__ts", timestamp_millis(col("ts_millis")))
+      .withWatermark("__ts", s"$horizonMillis milliseconds")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            val times = state.get
+            state.remove()
+            Iterator.single(
+              FunnelStage(uid, times.lastIndexWhere(_ != Long.MaxValue) + 1))
+          } else {
+            var times = state.getOption.getOrElse(Seq.fill(steps.size)(Long.MaxValue))
+            var lastTs = Long.MinValue
+            it.toSeq.sortBy(_.ts_millis).foreach { e =>
+              lastTs = math.max(lastTs, e.ts_millis)
+              stepIdx.get(e.event_type).foreach { i =>
+                // strict after the previous step's first time (an unreached
+                // previous step is MaxValue, which is never < ts)
+                val prevDone = i == 0 || times(i - 1) < e.ts_millis
+                if (prevDone && e.ts_millis < times(i))
+                  times = times.updated(i, e.ts_millis)
+              }
+            }
+            state.update(times)
+            // expire at last activity + horizon; timeout must stay ahead
+            // of the current watermark
+            state.setTimeoutTimestamp(
+              math.max(lastTs + horizonMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
       }
   }
 

@@ -412,6 +412,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreamBounded emits batch-equivalent finals and expires state with the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{FunnelEvent, FunnelStage}
+    val horizon = 1000L
+    val mem = MemoryStream[FunnelEvent]
+    val staged = Streams.funnelStreamBounded(
+      mem.toDS(), Seq("view", "click", "purchase"), horizon)
+    val q = staged.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_bounded_out").start()
+    def finals(): Seq[FunnelStage] =
+      spark.table("funnel_bounded_out").as[FunnelStage].collect().toSeq
+    try {
+      // same fixture as the NoTimeout test: u1 completes in order, u2's
+      // click precedes its view (must not count), u3 only views
+      mem.addData(
+        FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L),
+        FunnelEvent(2L, "click", 10L), FunnelEvent(2L, "view", 20L),
+        FunnelEvent(3L, "view", 10L))
+      q.processAllAvailable()
+      mem.addData(
+        FunnelEvent(1L, "purchase", 30L),
+        FunnelEvent(2L, "click", 30L),
+        FunnelEvent(3L, "purchase", 10L))
+      q.processAllAvailable()
+      // nothing emitted while users are inside the horizon (Append finals)
+      assert(finals().isEmpty, s"premature emit: ${finals()}")
+      // advance the watermark far past every user's last activity +
+      // horizon via a sentinel user; the watermark computed at the end of
+      // this batch makes the timeouts fire on the NEXT batch
+      mem.addData(FunnelEvent(99L, "view", 100000L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99L, "view", 100001L))
+      q.processAllAvailable()
+      val got = finals().map(f => f.user_id -> f.stage).toMap
+      // the batch time_funnel cascade over the same in-horizon events
+      assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1), s"got=$got")
+      // state-expiry: a late event for an expired user starts a FRESH
+      // cascade (the old state is gone, not resumed) — u3 "clicks" after
+      // expiry, which cannot extend the already-emitted stage-1 final,
+      // and on its own expiry emits a stage-0 final (no view first)
+      mem.addData(FunnelEvent(3L, "click", 100002L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99L, "view", 300000L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99L, "view", 300001L))
+      q.processAllAvailable()
+      val afterExpiry = finals().filter(_.user_id == 3L).map(_.stage).sorted
+      assert(afterExpiry == Seq(0, 1),
+        s"expected a fresh stage-0 cascade after expiry, got $afterExpiry")
+    } finally q.stop()
+  }
+
   test("corpusStatsStream partials fold to the batch per-language card") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.TextAnalysis
