@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryFilter]")
     val Array(sfDir, outDir) = args.take(2)
     // dev-only third arg: comma-separated query-name filter for fast
     // iteration (the driver always invokes with exactly two args)

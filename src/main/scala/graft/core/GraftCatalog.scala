@@ -72,9 +72,19 @@ final class GraftCatalog(val spark: SparkSession) {
     * union per row; updates stack projections) to parquet and re-register
     * the scan — plan depth returns to 1, results unchanged. The analog of
     * log compaction for the copy-on-write surfaces; at scale run it on a
-    * cadence (or via Streams ingest, which lands in parquet directly). */
+    * cadence (or via Streams ingest, which lands in parquet directly).
+    *
+    * Safe to run REPEATEDLY against the same path: the write lands in a
+    * tmp dir and swaps in via [[graft.sources.Sources.swapDir]] (a direct
+    * overwrite would throw "cannot overwrite a path that is also being
+    * read from" on the second call, because the registered scan reads the
+    * path being rewritten), and a crash mid-swap auto-recovers on the
+    * next invocation. */
   def compact(name: String, path: String): Unit = {
-    table(name).write.mode("overwrite").parquet(path)
+    val df = table(name)
+    graft.sources.Sources.swapDir(spark, path) { tmp =>
+      df.write.mode("overwrite").parquet(tmp)
+    }
     tables += name -> spark.read.parquet(path)
   }
 }

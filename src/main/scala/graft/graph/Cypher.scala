@@ -12,6 +12,12 @@ package graft.graph
   *   chain   := node (edge node)*
   *   edge    := -[:REL hops]->  |  <-[:REL hops]-  |  -[:REL hops]-
   *   hops    := ε  |  *n  |  *m..n        // variable-length (growth): ε = 1
+  *   // *m..n uses WALK semantics (vertices/edges may repeat along a
+  *   // path), not Neo4j's relationship-uniqueness (trail) semantics:
+  *   // with an undirected rel, (x)-[:R*2]-(y) includes (x, x) by
+  *   // traversing the same edge out and back — pairs Neo4j would
+  *   // exclude. Porting Neo4j queries: undirected bands over-report
+  *   // endpoint pairs (directed bands agree on acyclic graphs).
   *   node    := ( [var] [:Label] [{k: 'v', ...}] )   // keys may be quoted
   *   ret     := var [. attr]  |  properties(var)      // n | n.name | whole map
   * }}}

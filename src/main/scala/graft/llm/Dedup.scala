@@ -323,7 +323,13 @@ object Dedup {
     *        filter and the false-positive rate climbs toward 1 (most of
     *        every batch silently dropped as "seen"). Pass the known
     *        cardinality, or leave at 0 to have the operator count the
-    *        history itself (one extra action, never a wrong size). */
+    *        history itself — note that default scans the history TWICE
+    *        (the count action plus the bloomFilter aggregation); at 100 TB
+    *        pass the cardinality you already track (or a safe
+    *        overestimate) to keep it one pass. The batch-side probe is a
+    *        boxed-Long UDF (Spark has no mightContain expression), which
+    *        fences whole-stage codegen at the filter — acceptable because
+    *        the probe is O(batch), never O(history). */
   def seenFilter(batch: DataFrame, history: DataFrame, contentCol: String,
                  expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
@@ -342,6 +348,11 @@ object Dedup {
     * from its surviving lines in original order. Documents whose lines are
     * all boilerplate survive with empty text (the caller decides whether
     * to drop empties — that's a quality filter, not dedup).
+    *
+    * RETURN SCHEMA IS (idCol, textCol) ONLY — the rebuild replaces the
+    * text; other input columns are not carried through (join the ids back
+    * to recover them). Same contract as [[stripDuplicateSpans]] and
+    * [[Pipeline.cleanCorpusFull]].
     *
     * Scale shape: one shuffle keyed by line content to count distinct
     * containing docs (partial agg map-side), one anti-join of the lines
@@ -377,6 +388,11 @@ object Dedup {
     * within one) is boilerplate/quotation — strip every token covered by
     * any duplicated window and reassemble each document from the
     * survivors, order preserved.
+    *
+    * RETURN SCHEMA IS (idCol, textCol) ONLY — the rebuild replaces the
+    * text; other input columns are not carried through (join the ids back
+    * to recover them). Same contract as [[lineDedup]] and
+    * [[Pipeline.cleanCorpusFull]].
     *
     * Scale shape: one posexplode (windows are (doc, pos, string) rows —
     * never a per-pair product), one count shuffle keyed by the window,

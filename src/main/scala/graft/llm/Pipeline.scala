@@ -36,7 +36,15 @@ object Pipeline {
     * rate, nothing shuffled for dropped docs), then PII scrubbing, then
     * near-dup clustering over the SCRUBBED text — scrubbing first means
     * documents differing only in volatile contact details still collapse
-    * to one representative. Returns the kept rows with scrubbed text.
+    * to one representative.
+    *
+    * RETURN SCHEMA IS (idCol, textCol) ONLY — the scrub pass rewrites the
+    * text column, so other input columns (lang, url, score, …) are NOT
+    * carried through (unlike [[cleanCorpus]]/keepRepresentatives, which
+    * preserve the input schema). Join the kept ids back to the source
+    * frame to recover metadata columns. Same contract as
+    * [[Dedup.lineDedup]] and [[Dedup.stripDuplicateSpans]], whose
+    * rebuilds also return (idCol, textCol).
     *
     * [[cleanCorpus]] stays as the minimal quality+langid+dedup pass (and
     * the streaming twin's batch shape); this is the superset. */

@@ -41,18 +41,53 @@ object Sources {
   /** S7-style dump: rows as JSON strings (the reference's /dump payload). */
   def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
 
+  /** Recover a stranded swap: a crash between [[swapDir]]'s two renames
+    * leaves no live dir at `path` and the previous contents at
+    * `<path>.compact.old` — rename them back so readers see the
+    * pre-compaction state (the rewrite is then simply redone). */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (!fs.exists(hp) && fs.exists(old))
+      require(fs.rename(old, hp), s"auto-recovery rename failed: $old -> $path")
+  }
+
+  /** Crash-safe replace-by-swap for a directory: `write` produces the new
+    * contents at `<path>.compact.tmp` (and is the place to verify them —
+    * throw to abort with the original untouched), then two renames swap it
+    * in. A crash before the first rename leaves the original untouched; a
+    * crash between the renames strands `<path>.compact.old`, which the
+    * NEXT invocation auto-recovers by renaming it back before rewriting.
+    *
+    * Atomicity caveat: the protocol assumes directory rename is atomic —
+    * true on HDFS and POSIX filesystems, NOT on object stores (S3 "rename"
+    * is copy+delete). On an object store, run the swap against a
+    * rename-atomic metadata layer (or a table format with atomic commit)
+    * instead. */
+  def swapDir(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    write(tmp.toString)
+    if (fs.exists(hp)) require(fs.rename(hp, old), s"swap failed: $path -> $old")
+    require(fs.rename(tmp, hp), s"swap failed: $tmp -> $path")
+    fs.delete(old, true)
+  }
+
   /** Small-file compaction for append-accumulating parquet dirs (the
     * flat-append streaming sinks — ingestKv, maintainJoin — land one
     * file set per micro-batch; a long-running stream accumulates
     * thousands; the `batch=<id>`-directory sinks like snapshotDiffStream
     * are hive-partitioned and must compact per batch subdirectory — the
     * guard below rejects the parent). Rewrites the directory into
-    * `ceil(totalBytes / targetBytes)` files via a crash-safe swap: write
-    * to `<path>.compact.tmp`, verify row count, then swap directories —
-    * a crash before the swap leaves the original untouched, a crash
-    * between the two renames leaves `<path>.compact.old` to roll back
-    * from. Content-preserving only for UNPARTITIONED dirs (partition
-    * columns would be dropped on rewrite — rejected up front).
+    * `ceil(totalBytes / targetBytes)` files via [[swapDir]]'s crash-safe
+    * swap (write tmp → verify row count → two renames, stranded-swap
+    * auto-recovery, object-store caveat there). Content-preserving only
+    * for UNPARTITIONED dirs (partition columns would be dropped on
+    * rewrite — rejected up front).
     *
     * MUST run while the writing stream is STOPPED (same contract as
     * [[graft.streaming.Streams.compactStore]]): the rewrite snapshots the
@@ -64,6 +99,7 @@ object Sources {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     require(fs.exists(hp), s"no such dir: $path")
     require(!fs.listStatus(hp).exists(st =>
       st.isDirectory && st.getPath.getName.contains("=")),
@@ -72,15 +108,11 @@ object Sources {
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val expected = df.count()
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(spark.read.parquet(tmp.toString).count() == expected,
-      "compaction row-count mismatch — original left untouched")
-    require(fs.rename(hp, old), s"swap failed: $path -> $old")
-    require(fs.rename(tmp, hp), s"swap failed: $tmp -> $path")
-    fs.delete(old, true)
+    swapDir(spark, path) { tmp =>
+      df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+      require(spark.read.parquet(tmp).count() == expected,
+        "compaction row-count mismatch — original left untouched")
+    }
   }
 
   /** Token-balanced training shards — the last mile of the cleaning

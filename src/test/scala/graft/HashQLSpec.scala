@@ -77,6 +77,25 @@ class HashQLSpec extends SparkSpec {
     assert(!cat.table("c").queryExecution.optimizedPlan.toString.contains("Union"))
   }
 
+  test("repeated compact to the SAME path works (swap, not self-overwrite)") {
+    val cat = new GraftCatalog(spark)
+    (1 to 5).foreach(i => HashQL.execute(cat, s"insert into c (v) values ($i)"))
+    val out = java.nio.file.Files.createTempDirectory("compact2").toString + "/c"
+    cat.compact("c", out)
+    // the registered scan now reads `out`; mutate and compact AGAIN to the
+    // same path — a plain overwrite would throw "cannot overwrite a path
+    // that is also being read from"
+    HashQL.execute(cat, "insert into c (v) values (6)")
+    cat.compact("c", out)
+    HashQL.execute(cat, "insert into c (v) values (7)")
+    cat.compact("c", out)
+    val vs = cat.table("c").orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(vs == (1L to 7L))
+    // no swap debris left behind
+    assert(!new java.io.File(out + ".compact.tmp").exists)
+    assert(!new java.io.File(out + ".compact.old").exists)
+  }
+
   test("create joins over different table sets coexist; same set versions") {
     val cat = new GraftCatalog(spark)
     Seq("insert into items (search, people) values ('Cat', 1)",

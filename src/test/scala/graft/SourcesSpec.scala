@@ -66,6 +66,21 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.compactParquet(spark, pdir))
   }
 
+  test("compactParquet auto-recovers a stranded swap (crash between the two renames)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src_recover").toString + "/t"
+    val rows = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    rows.repartition(6).write.parquet(dir)
+    val expected = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    // simulate the crash window: old contents renamed aside, nothing live
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".compact.old")))
+    // next invocation recovers the old dir, then compacts normally
+    Sources.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == expected)
+    assert(!new java.io.File(dir + ".compact.old").exists)
+  }
+
   test("writeShards: every doc lands once, shards are id-contiguous and token-balanced") {
     import graft.llm.TextAnalysis
     import org.apache.spark.sql.functions._
