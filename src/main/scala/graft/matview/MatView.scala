@@ -1,7 +1,8 @@
 package graft.matview
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -38,8 +39,16 @@ object MatView {
   private sealed trait ViewEntry { def name: String; def replacement: LogicalPlan }
   private final case class JoinEntry(name: String, key: Key,
                                      replacement: LogicalPlan) extends ViewEntry
+  /** `canonical` drives the verbatim exact-match route; the containment
+    * route uses `childKey` (the view child's flatten() identity — None
+    * when the child isn't a plain relation/join chain, disabling
+    * containment) plus name-keyed maps from the view's output expressions
+    * ([[sqlKey]]) to the summary parquet's columns. */
   private final case class AggEntry(name: String, canonical: LogicalPlan,
-                                    replacement: LogicalPlan) extends ViewEntry
+                                    replacement: LogicalPlan,
+                                    childKey: Option[Key],
+                                    groupMap: Map[String, Attribute],
+                                    aggMap: Map[String, Attribute]) extends ViewEntry
 
   // ONE registry for both view kinds. Lifetime note: an entry's replacement
   // plan (a parquet LogicalRelation) strongly references its SparkSession,
@@ -142,19 +151,76 @@ object MatView {
       }, replacement))
     else None
 
+  /** Name-based identity for view-output expressions under the CREATE
+    * JOIN distinct-column-names assumption: `.sql` renders attributes by
+    * name (exprIds — which differ across analysis runs — are excluded),
+    * so `sum(c_acctbal)` from the view registration and from a later
+    * query compare equal. Positional/exprId identity can't work here
+    * because containment queries are pruned DIFFERENTLY from the view. */
+  private def sqlKey(e: Expression): String = e.sql.toLowerCase(java.util.Locale.ROOT)
+
+  /** CONTAINMENT routing (the rollup-serving path): a query grouping by a
+    * SUBSET of a summary's keys — any subset, including the global empty
+    * set — answers by RE-aggregating the summary when every output is
+    * derivable: count→sum of stored counts, sum/min/max→same function
+    * over the stored column. Non-decomposables (avg: its re-aggregation
+    * needs a non-null count of the aggregated column, which the summary
+    * doesn't store) and distinct/filtered aggregates fall back to fact
+    * rows; their verbatim repeats still route via the exact-match path.
+    * Child identity is flatten()'s (leaves, join-conds) key, which
+    * absorbs the pruning Projects that make coarser queries structurally
+    * different from the view. */
+  private def substituteCoarse(a: Aggregate, e: AggEntry): Option[LogicalPlan] = {
+    if (e.childKey.isEmpty || flatten(a.child).map {
+        case (l, c) => Key(l, c) } != e.childKey) return None
+    val newGrouping = a.groupingExpressions.map(g => e.groupMap.get(sqlKey(g)))
+    if (newGrouping.exists(_.isEmpty)) return None
+    val newList = a.aggregateExpressions.map { ne =>
+      val u = ne match { case al: Alias => al.child; case x => x }
+      val rewritten: Option[Expression] = u match {
+        case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+          e.aggMap.get(sqlKey(ae.aggregateFunction)).flatMap { attr =>
+            ae.aggregateFunction match {
+              case _: Count =>
+                // count over count-column sums; coalesce keeps count's
+                // non-null contract (summary rows exist ⇒ never hit, but
+                // the type system shouldn't loosen nullability)
+                Some(Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L))))
+              case _: Sum =>
+                val r = Sum(attr).toAggregateExpression()
+                // decimal sums widen precision on re-aggregation — routing
+                // would change the output type; serve those from facts
+                if (r.dataType == ae.dataType) Some(r) else None
+              case _: Min => Some(Min(attr).toAggregateExpression())
+              case _: Max => Some(Max(attr).toAggregateExpression())
+              case _ => None
+            }
+          }
+        case other => e.groupMap.get(sqlKey(other))
+      }
+      rewritten.map(r => Alias(r, ne.name)(exprId = ne.exprId))
+    }
+    if (newList.exists(_.isEmpty)) None
+    else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), e.replacement))
+  }
+
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val entries = snapshot(spark)
       if (entries.isEmpty) plan
       else plan.transformUp {
-        // pre-aggregated summaries match on the CANONICALIZED whole
-        // aggregate (grouping + agg expressions + child), so a repeated
-        // dashboard-style group-by answers from the summary scan without
-        // touching fact rows — whatever the query renamed its outputs to.
+        // pre-aggregated summaries: the CANONICALIZED whole-aggregate
+        // match first (zero re-aggregation — a verbatim dashboard repeat
+        // reads the summary scan directly, whatever it renamed outputs
+        // to), then the containment route (subset group-by re-aggregates
+        // the summary — still zero fact rows).
         case a: Aggregate =>
-          entries.collectFirst {
-            case e: AggEntry if e.canonical == a.canonicalized => e }
-            .flatMap(e => substitutePositional(a, e.replacement)).getOrElse(a)
+          val aggs = entries.collect { case e: AggEntry => e }
+          aggs.find(_.canonical == a.canonicalized)
+            .flatMap(e => substitutePositional(a, e.replacement))
+            .orElse(aggs.iterator.map(substituteCoarse(a, _))
+              .collectFirst { case Some(p) => p })
+            .getOrElse(a)
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
           entries.collectFirst {
             case e: JoinEntry if keyOf(j).contains(e.key) => e }
@@ -192,16 +258,20 @@ object MatView {
         spark.experimental.extraOptimizations :+ new Rewrite(spark)
 
   /** Materialize an AGGREGATE view (a group-by over a relation or join
-    * chain) and route REPEATED occurrences of the same aggregation to the
-    * summary parquet — the rollup-serving path the join rule can't cover.
-    * Matching is exact-plan (canonicalized): same grouping, same
-    * aggregates, same child — the verbatim-repeat workload dashboards
-    * generate. Output aliases may differ (canonicalization erases names;
-    * substitution is POSITIONAL, so a re-aliased or alias-permuted repeat
-    * routes and keeps its own names over the right columns). Coarser or
-    * differently-keyed group-bys deliberately do NOT match (containment
-    * reasoning over grouping sets is out of scope and silently answering
-    * a *different* aggregate would be wrong).
+    * chain) and route matching aggregations to the summary parquet — the
+    * rollup-serving path the join rule can't cover. Two routes:
+    *
+    *  1. EXACT (canonicalized whole-plan): same grouping, same aggregates,
+    *     same child — the verbatim-repeat workload dashboards generate.
+    *     Output aliases may differ (canonicalization erases names;
+    *     substitution is POSITIONAL, so a re-aliased or alias-permuted
+    *     repeat routes and keeps its own names over the right columns).
+    *  2. CONTAINMENT ([[substituteCoarse]]): a group-by over a SUBSET of
+    *     the summary's keys (including the global aggregate) whose every
+    *     output re-aggregates from stored columns — count→sum of counts,
+    *     sum/min/max→same — answers by re-aggregating the summary, zero
+    *     fact rows. avg / distinct / filtered aggregates and decimal sums
+    *     recompute from facts (only their verbatim repeats route).
     *
     * Register the aggregate view EITHER over base tables OR over a
     * registered join view's tables, not both at once: the join rule
@@ -220,9 +290,27 @@ object MatView {
     require(plan.isInstanceOf[Aggregate],
       s"materializeAggregate expects the view's optimized plan to BE an " +
         s"Aggregate (a bare groupBy().agg()), got ${plan.nodeName}")
+    val agg = plan.asInstanceOf[Aggregate]
     view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
-    mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement))
+    // containment metadata: the child's structural identity plus
+    // name-keyed output→summary-column maps (positional zip: replacement
+    // column i stores view output i)
+    val childKey = flatten(agg.child).map { case (l, c) => Key(l, c) }
+    val group = Map.newBuilder[String, Attribute]
+    val aggs = Map.newBuilder[String, Attribute]
+    agg.aggregateExpressions.zip(replacement.output).foreach { case (ne, attr) =>
+      ne match {
+        case al: Alias => al.child match {
+          case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+            aggs += sqlKey(ae.aggregateFunction) -> attr
+          case other => group += sqlKey(other) -> attr
+        }
+        case other => group += sqlKey(other) -> attr
+      }
+    }
+    mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement,
+      childKey, group.result(), aggs.result()))
     installRule(spark)
   }
 

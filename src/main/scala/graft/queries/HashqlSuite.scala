@@ -191,6 +191,38 @@ object HashqlSuite extends Suite {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
+    // CONTAINMENT routing: the summary is keyed by (r_name, n_name); the
+    // query groups by r_name ONLY — the classic rollup-serving ask — and
+    // answers by RE-aggregating the summary (count→sum of counts,
+    // min/max→same), zero fact rows (MatViewSpec asserts no Join in the
+    // routed plan). Integer-exact aggregates, so the routed answer is
+    // hash-checked against DuckDB computing from raw facts.
+    "matview_route_coarse" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, max, min}
+        def base = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        val summary = base.groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvc").toString
+        graft.matview.MatView.materializeAggregate(s, "coarse_tmp", summary, s"$tmp/view")
+        val q = base.groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res) // re-aggregated from the summary
+        graft.matview.MatView.drop(s, "coarse_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+             |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
     // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
     // materialized, then a later dialect SELECT over the same join answers
     // from the pre-joined parquet (zero Join nodes — asserted in

@@ -77,15 +77,18 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cn_agg")
   }
 
-  test("aggregate view: coarser group-bys recompute; re-aliased repeats route positionally") {
+  test("aggregate view: coarser group-bys route via containment; re-aliased repeats route positionally") {
     val agg = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
     val out = java.nio.file.Files.createTempDirectory("mv_agg2").toString
     MatView.materializeAggregate(spark, "cn_agg2", agg, out)
     try {
-      // coarser rollup (no grouping key) must recompute, not reuse
+      // coarser rollup (no grouping key): count re-aggregates as the sum
+      // of the stored per-group counts — summary scan, ZERO fact rows
       val coarser = custNation.agg(count(lit(1)).as("cnt"))
-      assert(coarser.queryExecution.executedPlan.toString.contains("HashAggregate"),
-        "coarser aggregate wrongly answered from the summary")
+      val cPlan = coarser.queryExecution.executedPlan.toString
+      assert(cPlan.contains(out.split("/").last), s"no summary scan in:\n$cPlan")
+      assert(!cPlan.contains("Join"), s"containment route still joins facts:\n$cPlan")
+      val viaCoarse = coarser.as[Long].collect().head
       // same computation under a different alias: canonicalization erases
       // names, substitution is positional — routes AND keeps its own name
       val renamed = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
@@ -96,7 +99,47 @@ class MatViewSpec extends SparkSpec {
       val raw = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
         .as[(String, Long)].collect().toMap
       assert(viaRoute == raw)
+      assert(viaCoarse == raw.values.sum)
     } finally MatView.drop(spark, "cn_agg2")
+  }
+
+  test("aggregate view: SUBSET group-by re-aggregates the summary — zero fact scans; avg falls back") {
+    // summary keyed by (r_name, n_name) with every re-aggregable kind
+    val custNatReg = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val agg = custNatReg.groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"),
+        min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+    val out = java.nio.file.Files.createTempDirectory("mv_coarse").toString
+    MatView.materializeAggregate(spark, "cn_coarse", agg, out)
+    try {
+      // the classic rollup ask: group by a strict subset of the keys
+      val q = custNatReg.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"),
+          min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(out.split("/").last), s"no summary scan in:\n$plan")
+      assert(!plan.contains("Join"), s"containment route read fact rows:\n$plan")
+      val routed = q.as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      MatView.drop(spark, "cn_coarse")
+      val raw = q.as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(routed.keySet == raw.keySet, s"routed=$routed raw=$raw")
+      raw.foreach { case (k, (cnt, s, mn, mx)) =>
+        val (rc, rs, rmn, rmx) = routed(k)
+        assert(rc == cnt && rmn == mn && rmx == mx, s"$k: routed=${routed(k)} raw=${raw(k)}")
+        // double sums re-associate across the two plans — ulp-level drift
+        assert(math.abs(rs - s) <= math.max(1e-9, 1e-9 * math.abs(s)),
+          s"$k: sum drift beyond float association: $rs vs $s")
+      }
+      // avg is NOT decomposable from (sum-of-column, row-count) when the
+      // column can be null — it must keep reading fact rows
+      MatView.materializeAggregate(spark, "cn_coarse", agg, out)
+      val avgQ = custNatReg.groupBy(col("r_name")).agg(avg(col("c_acctbal")).as("a"))
+      assert(avgQ.queryExecution.executedPlan.toString.contains("Join"),
+        "avg wrongly served from the summary")
+    } finally MatView.drop(spark, "cn_coarse")
   }
 
   test("aggregate view: PERMUTED output aliases still get the right columns") {
