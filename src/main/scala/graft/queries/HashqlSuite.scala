@@ -45,6 +45,17 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3""".stripMargin)),
 
+    // ORDER BY + LIMIT (dialect growth): plans as TakeOrderedAndProject —
+    // per-partition top-k, driver merge, never a global sort
+    // (HashQLSpec plan-shape assertion). Tie-broken on the unique key so
+    // the kept set is deterministic and hash-checkable.
+    "hashql_topk" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_acctbal from customer " +
+          "order by customer.c_acctbal desc, customer.c_custkey limit 10"),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin)),
+
     "hashql_join" -> Q(
       (s, d) => run(s, d,
         "select orders.o_orderkey, customer.c_name from orders " +

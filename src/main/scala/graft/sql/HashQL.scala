@@ -20,6 +20,7 @@ import graft.fts.Fts
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f ~ 'tok1 & tok2 | tok3' [and …]]
   *     [group by t.f]
+  *     [order by t.f [asc|desc] [, …]] [limit n]
   *   create join inner join a on a.x = b.y [inner join …]*
   * }}}
   * Numeric literals coerce to Long (reference server.py:477-478); rows
@@ -49,9 +50,16 @@ object HashQL {
   sealed trait Stmt
   final case class Insert(table: String, fields: Seq[String], values: Seq[Any]) extends Stmt
   final case class Update(table: String, set: (ColRef, Any), wheres: Seq[Pred]) extends Stmt
+  /** orderBy: (column, descending) pairs; limit: row cap. Both growth
+    * beyond the reference (its SQL surface has no sorts — ordering exists
+    * only on the KV surface, server.py:126) — the first thing an
+    * interactive dialect user asks for, and the engine already proves the
+    * top-k operator (TakeOrderedAndProject, q_topk). */
   final case class Select(items: Seq[SelectItem], table: String,
                           joins: Seq[(String, ColRef, ColRef)], wheres: Seq[Pred],
-                          groupBy: Option[ColRef]) extends Stmt
+                          groupBy: Option[ColRef],
+                          orderBy: Seq[(ColRef, Boolean)] = Nil,
+                          limit: Option[Int] = None) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
 
   // ---------------- lexer/parser ----------------
@@ -164,7 +172,27 @@ object HashQL {
         val l = colRef(); kw("="); val r = colRef(); joins += ((t, l, r)) }
       val wheres = if (is("where")) { next(); preds() } else Nil
       val groupBy = if (is("group")) { next(); kw("by"); Some(colRef()) } else None
-      Select(items.toSeq, table, joins.toSeq, wheres, groupBy)
+      val orderBy = if (is("order")) {
+        next(); kw("by")
+        val obs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Boolean)]
+        var m = true
+        while (m) {
+          val r = colRef()
+          val desc =
+            if (is("desc")) { next(); true }
+            else { if (is("asc")) next(); false }
+          obs += ((r, desc))
+          if (is(",")) next() else m = false
+        }
+        obs.toSeq
+      } else Nil
+      val limit = if (is("limit")) {
+        next()
+        val t = next()
+        require(t.matches("[0-9]+"), s"limit expects a number, got $t")
+        Some(t.toInt)
+      } else None
+      Select(items.toSeq, table, joins.toSeq, wheres, groupBy, orderBy, limit)
     }
 
     private def createJoinRest(): CreateJoin = {
@@ -273,7 +301,7 @@ object HashQL {
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None
-      case Select(items, table, joins, wheres, groupBy) =>
+      case Select(items, table, joins, wheres, groupBy, orderBy, limit) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -349,7 +377,16 @@ object HashQL {
               else df.select(cols.map(col): _*).na.drop("any", cols)
             }
         }
-        Some(out)
+        // ORDER BY / LIMIT on the projected frame: sort keys address
+        // output columns (aliases included — `cnt`, `sum_x`, doc-path leaf
+        // names). ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
+        // partition top-k + driver merge — no global sort at any scale);
+        // a bare LIMIT is a CollectLimit.
+        val ordered =
+          if (orderBy.isEmpty) out
+          else out.orderBy(orderBy.map { case (r, desc) =>
+            if (desc) col(r.column).desc else col(r.column).asc }: _*)
+        Some(limit.fold(ordered)(ordered.limit))
     }
 
   /** Materialize a registered `create join` to parquet and wire BOTH read

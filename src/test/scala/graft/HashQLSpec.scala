@@ -77,6 +77,27 @@ class HashQLSpec extends SparkSpec {
     assert(!cat.table("c").queryExecution.optimizedPlan.toString.contains("Union"))
   }
 
+  test("order by + limit plans TakeOrderedAndProject, never a global sort") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 3L), ("b", 1L), ("c", 7L), ("d", 5L), ("e", 2L))
+      .foreach { case (n, v) =>
+        HashQL.execute(cat, s"insert into m (nm, v) values ('$n', $v)") }
+    val top = HashQL.execute(cat,
+      "select m.nm, m.v from m order by m.v desc limit 2").get
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("c", 7L), ("d", 5L)))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"order by + limit did not plan top-k:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the top-k plan:\n$plan")
+    // ascending default, multi-key, and bare limit parse too
+    val asc = HashQL.execute(cat,
+      "select m.nm from m order by m.v, m.nm limit 3").get
+    assert(asc.collect().map(_.getString(0)).toSeq == Seq("b", "e", "a"))
+    assert(HashQL.execute(cat, "select m.nm from m limit 2").get.count() == 2)
+  }
+
   test("repeated compact to the SAME path works (swap, not self-overwrite)") {
     val cat = new GraftCatalog(spark)
     (1 to 5).foreach(i => HashQL.execute(cat, s"insert into c (v) values ($i)"))
