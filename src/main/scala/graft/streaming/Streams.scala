@@ -134,22 +134,38 @@ object Streams {
     * admitted; survivors are appended to `outPath` and their signatures to
     * the store.
     *
-    * State lives in two parquet stores, not executor memory:
+    * State lives in three parquet stores, not executor memory:
     *  - `store/bands`: (doc_id, bandHash) partitioned by band — the LSH
     *    index; candidate generation is an equi-join on (band, bandHash).
     *  - `store/shingles`: (doc_id, sh) — shingle-hash sets for exact
     *    jaccard verification of candidates.
+    *  - `store/hashes`: (doc_id, h = xxhash64(text)) — exact content
+    *    hashes backing the Bloom FRONT GATE: byte-identical re-crawls
+    *    (most of any recrawl-heavy stream) are dropped before candidate
+    *    generation ever runs, shrinking the band join's input. The gate
+    *    is admission-EQUIVALENT: a "might contain" row is exact-confirmed
+    *    against the hash store (a broadcast probe of the batch's suspect
+    *    hashes — Bloom false positives never drop a genuinely-new doc),
+    *    and a byte-identical doc would have been rejected by verification
+    *    anyway (jaccard 1 ≥ any threshold). The Bloom filter lives in the
+    *    query closure — rebuilt from the store at (re)start with 4×
+    *    headroom, folded forward with each admitted batch; saturation
+    *    only costs extra exact probes, never correctness.
     * The per-batch JOIN OUTPUT is O(batch × collisions), but each batch
-    * SCANS the whole store (it grows with the admitted corpus, like any
-    * dedup index) — run [[compactStore]] periodically between restarts to
-    * rewrite the accumulated per-batch directories into one
+    * SCANS the whole band store (it grows with the admitted corpus, like
+    * any dedup index) — run [[compactStore]] periodically between restarts
+    * to rewrite the accumulated per-batch directories into one
     * (band, bandHash)-bucketed batch so the candidate join reads co-located
     * buckets instead of thousands of small files.
     *
     * Replay-idempotent: every write lands in a `batch=<id>` directory with
     * overwrite semantics, so a crashed-and-replayed micro-batch rewrites
     * exactly the same directories instead of appending duplicates — and
-    * readers see the stores as partitioned tables.
+    * readers see the stores as partitioned tables. Self-matches (a
+    * replayed batch seeing its OWN hashes/signatures already in the
+    * store) are excluded by doc id in both the front gate and the
+    * candidate join, so the replay re-admits the same rows instead of
+    * rejecting everything against itself.
     *
     * Admission policy: a document is rejected iff a verified jaccard ≥
     * threshold pair links it to an already-admitted doc (or to the batch's
@@ -161,17 +177,42 @@ object Streams {
     import graft.functions.TextKernels.{minhash_band_hashes, shingle_hashes}
     import graft.llm.Dedup
     val bands = 32; val rowsPerBand = 2
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val hashesPath = s"$storePath/hashes"
+        if (bloom == null)
+          bloom = if (exists(spark, hashesPath)) {
+            val hist = spark.read.parquet(hashesPath)
+            // parquet count() is footer metadata — no data scan
+            hist.stat.bloomFilter("h", math.max(1024L, hist.count() * 4), 0.01)
+          } else org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01)
         // 1. within-batch dedup: keep each near-dup cluster's representative
         //    (bands/rowsPerBand passed explicitly so the within-batch and
         //    cross-batch recall curves cannot drift apart)
         val kept = Dedup.keepRepresentatives(batch, textCol, idCol, threshold,
           bands, rowsPerBand)
-        val sh = kept.select(col(idCol), col(textCol),
+        val withH = kept.withColumn("__h", xxhash64(col(textCol))).cache()
+        // 2. Bloom front gate: suspects (batch rows the filter might have
+        //    seen) are exact-confirmed against the hash store; confirmed
+        //    byte-identical re-crawls never reach candidate generation.
+        //    Self-matches excluded by id for replay idempotence.
+        val fresh = if (exists(spark, hashesPath)) {
+          val suspects = withH
+            .filter(bloomProbe(spark, bloom)(col("__h")))
+            .select(col("__h").as("h")).distinct()
+          val seen = spark.read.parquet(hashesPath)
+            .join(broadcast(suspects), Seq("h"), "left_semi")
+            .select(col("doc_id").as("__seen_id"), col("h").as("__seen_h"))
+            .distinct()
+          withH.join(broadcast(seen),
+            col("__h") === col("__seen_h") && col(idCol) =!= col("__seen_id"),
+            "left_anti")
+        } else withH
+        val sh = fresh.select(col(idCol), col(textCol), col("__h"),
           shingle_hashes(col(textCol)).as("sh")).cache()
         sh.count()
         // banding computed ONCE — reused by candidate generation and the
@@ -179,13 +220,14 @@ object Streams {
         val banded = sh.select(col(idCol),
           posexplode(minhash_band_hashes(col("sh"), bands, rowsPerBand))
             .as(Seq("band", "bandHash")))
-        // 2. candidates vs the admitted store: band equi-join, then exact
+        // 3. candidates vs the admitted store: band equi-join, then exact
         //    jaccard verification against stored shingle sets
         val dropIds = if (exists(spark, s"$storePath/bands")) {
           val storeBands = spark.read.parquet(s"$storePath/bands")
           val cand = banded.join(storeBands
               .select(col("doc_id").as("old_id"), col("band"), col("bandHash")),
               Seq("band", "bandHash"))
+            .filter(col("old_id") =!= col(idCol)) // replayed batch vs itself
             .select(col(idCol), col("old_id")).distinct()
           val storeSh = spark.read.parquet(s"$storePath/shingles")
           cand
@@ -199,7 +241,7 @@ object Streams {
         } else kept.limit(0).select(col(idCol))
         val admitted = sh.join(dropIds, Seq(idCol), "left_anti").cache()
         admitted.count()
-        // 3. write survivors + their signatures into per-batch directories
+        // 4. write survivors + their signatures into per-batch directories
         //    (overwrite → an at-least-once replay of this batch is a no-op
         //    rewrite, never a duplicate append)
         admitted.select(col(idCol), col(textCol))
@@ -210,11 +252,28 @@ object Streams {
           .parquet(s"$storePath/bands/batch=$batchId")
         admitted.select(col(idCol).as("doc_id"), col("sh"))
           .write.mode("overwrite").parquet(s"$storePath/shingles/batch=$batchId")
+        admitted.select(col(idCol).as("doc_id"), col("__h").as("h"))
+          .write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
+        // fold the admitted hashes into the in-memory gate (bounded by
+        // batch size — the store stays the durable source of truth)
+        admitted.select(col("__h")).distinct().collect()
+          .foreach(r => bloom.putLong(r.getLong(0)))
         admitted.unpersist()
         sh.unpersist()
+        withH.unpersist()
         () // foreachBatch wants Unit; unpersist returns the frame
       }
       .start()
+  }
+
+  /** Broadcast Bloom membership probe as a filter Column. A boxed-Long UDF
+    * (Spark has no mightContain expression) — fences codegen at the
+    * filter, acceptable because the probe is O(batch). */
+  private def bloomProbe(spark: SparkSession,
+                         bloom: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(bloom)
+    udf((h: Long) => bc.value.mightContainLong(h))
   }
 
   /** Compact the [[nearDupIngest]] signature store: the accumulated
@@ -261,6 +320,11 @@ object Streams {
     }
     swap(s"$storePath/shingles") { (df, out) =>
       df.select(col("doc_id"), col("sh"))
+        .coalesce(math.max(1, buckets / 4))
+        .write.mode("overwrite").parquet(out)
+    }
+    swap(s"$storePath/hashes") { (df, out) =>
+      df.select(col("doc_id"), col("h"))
         .coalesce(math.max(1, buckets / 4))
         .write.mode("overwrite").parquet(out)
     }

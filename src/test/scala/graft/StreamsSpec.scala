@@ -127,6 +127,64 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest bloom front gate: exact re-crawls drop BEFORE candidate generation; admission unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different words describing an unrelated subject matter with no overlap at all here"
+    val novel = "yet another entirely fresh document about completely new things worth keeping around forever"
+    val store = Files.createTempDirectory("bg_store").toString
+    val out1 = Files.createTempDirectory("bg_out1").toString
+    // one query, two micro-batches (batch ids advance — a fresh
+    // checkpoint would restart at 0 and overwrite the store's batch dirs)
+    locally {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", 0.6, out1, store,
+        Files.createTempDirectory("bg_ckpt").toString)
+      try {
+        mem.addData((1L, a), (2L, b))
+        q.processAllAvailable()
+        // mixed second batch against the full store: byte-identical
+        // re-crawl (gate), non-identical near-dup (band join), novel doc
+        // (admitted) — admission decisions are unchanged by the gate
+        mem.addData(
+          (10L, a),                               // exact re-crawl of 1
+          (11L, a.substring(a.indexOf(' ') + 1)), // near-dup of 1, not identical
+          (12L, novel))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val admitted = spark.read.parquet(out1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 12L), s"admissions: $admitted")
+    // the hash store exists alongside bands/shingles
+    assert(new java.io.File(s"$store/hashes").exists, "no hash store written")
+    // CAUSAL front-gate check: delete the band + shingle stores so
+    // candidate generation cannot reject anything — ONLY the hash-gate
+    // path can. The exact re-crawl must still be dropped.
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmTree); p.delete()
+    }
+    rmTree(new java.io.File(s"$store/bands"))
+    rmTree(new java.io.File(s"$store/shingles"))
+    val out3 = Files.createTempDirectory("bg_out3").toString
+    val admitted3 = locally {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", 0.6, out3, store,
+        Files.createTempDirectory("bg_ckpt3").toString)
+      try {
+        mem.addData(
+          (20L, b),                              // exact re-crawl of 2 — gate only
+          (21L, "one more fully original text with vocabulary shared by nothing else in the stream"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out3).select("doc_id").as[Long].collect().toSet
+    }
+    assert(admitted3 == Set(21L),
+      s"front gate failed without the band store: $admitted3")
+  }
+
   test("decontaminateStream rejects benchmark near-dups at ingest, replays idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("decontam").toString
@@ -202,7 +260,7 @@ class StreamsSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
     assert(bandDirs == Set("batch=-1"), s"band dirs after compaction: $bandDirs")
     // identical store CONTENT (rows, not layout)
-    for (sub <- Seq("bands", "shingles")) {
+    for (sub <- Seq("bands", "shingles", "hashes")) {
       val x = spark.read.parquet(s"$control/$sub").drop("batch")
       val y = spark.read.parquet(s"$compacted/$sub").drop("batch")
       assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty, s"$sub rows differ")
