@@ -10,7 +10,13 @@ package graft.graph
   *   stmt    := MATCH chains RETURN ret (, ret)*   |  MERGE chains
   *   chains  := chain (, chain)*
   *   chain   := node (edge node)*
-  *   edge    := -[:REL hops]->  |  <-[:REL hops]-  |  -[:REL hops]-
+  *   edge    := -[relpat]->  |  <-[relpat]-  |  -[relpat]-
+  *   relpat  := [var] :REL hops [{k: 'v', ...}]   // edge PROPERTIES
+  *              // (growth beyond the reference, whose edges are bare
+  *              // adjacency bits — client.py:805-816): MERGE stores the
+  *              // map (existing edge's attrs win on re-merge, like node
+  *              // identity), MATCH filters on it, RETURN addresses it
+  *              // via the edge variable (e.attr → column e_attr)
   *   hops    := ε  |  *n  |  *m..n        // variable-length (growth): ε = 1
   *   // *m..n uses WALK semantics (vertices/edges may repeat along a
   *   // path), not Neo4j's relationship-uniqueness (trail) semantics:
@@ -35,12 +41,19 @@ object Cypher {
                            attrs: Map[String, String])
   /** minHops/maxHops: 1/1 for a plain edge; `*m..n` sets the range
     * (growth beyond the reference — endpoint reachability within the hop
-    * band, one relationship type per band). */
+    * band, one relationship type per band). `variable` binds the edge for
+    * attribute RETURNs (single-hop only); `attrs` filters on (MATCH) or
+    * stores (MERGE) edge properties — on a `*m..n` band every traversed
+    * edge must carry the attrs. */
   final case class Rel(typ: String, dir: Dir,
-                       minHops: Int = 1, maxHops: Int = 1) {
+                       minHops: Int = 1, maxHops: Int = 1,
+                       variable: Option[String] = None,
+                       attrs: Map[String, String] = Map.empty) {
     require(minHops >= 1 && minHops <= maxHops,
       s"bad hop range *$minHops..$maxHops")
     require(maxHops <= 8, s"hop range capped at 8, got $maxHops")
+    require(variable.isEmpty || (minHops == 1 && maxHops == 1),
+      "an edge variable cannot bind a *m..n band")
   }
   final case class Chain(nodes: Seq[NodePat], rels: Seq[Rel]) {
     require(nodes.length == rels.length + 1, "malformed chain")
@@ -121,29 +134,29 @@ object Cypher {
       val rels = scala.collection.mutable.ArrayBuffer.empty[Rel]
       while ({ ws(); peek == '-' || peek == '<' }) {
         val reversed = tryEat('<')
-        eat('-'); eat('['); eat(':'); val typ = ident()
+        eat('-'); eat('[')
+        ws()
+        val evar = if (peek != ':') Some(ident()) else None
+        eat(':'); val typ = ident()
         val (mn, mx) =
           if (tryEat('*')) {
             val lo = int()
             if (tryEat('.')) { eat('.'); (lo, int()) } else (lo, lo)
           } else (1, 1)
+        val eattrs = attrMap()
         eat(']'); eat('-')
         val forward = tryEat('>')
         require(!(reversed && forward), s"edge cannot be both <- and -> in: $s")
         rels += Rel(typ,
-          if (reversed) In else if (forward) Out else Both, mn, mx)
+          if (reversed) In else if (forward) Out else Both, mn, mx, evar, eattrs)
         nodes += node()
       }
       Chain(nodes.toSeq, rels.toSeq)
     }
 
-    private def node(): NodePat = {
-      eat('(')
-      ws()
-      var variable: Option[String] = None
-      var label: Option[String] = None
-      if (peek != ':' && peek != '{' && peek != ')') variable = Some(ident())
-      if (tryEat(':')) label = Some(ident())
+    /** `{k: 'v', ...}` (keys may be quoted) — shared by node and edge
+      * patterns; empty map when no brace follows. */
+    private def attrMap(): Map[String, String] = {
       val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       if (tryEat('{')) {
         while ({ ws(); peek != '}' }) {
@@ -155,8 +168,19 @@ object Cypher {
         }
         eat('}')
       }
+      attrs.toMap
+    }
+
+    private def node(): NodePat = {
+      eat('(')
+      ws()
+      var variable: Option[String] = None
+      var label: Option[String] = None
+      if (peek != ':' && peek != '{' && peek != ')') variable = Some(ident())
+      if (tryEat(':')) label = Some(ident())
+      val attrs = attrMap()
       eat(')')
-      NodePat(variable, label, attrs.toMap)
+      NodePat(variable, label, attrs)
     }
   }
 }

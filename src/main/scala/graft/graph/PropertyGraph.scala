@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
+  /** Edge frame normalized to carry the `eattrs` property map — callers
+    * may supply bare (src, dst, rel) frames (the pre-edge-property shape,
+    * and the natural hand-built fixture); they behave as all-empty maps. */
+  private def edgesN: DataFrame =
+    if (edges.columns.contains("eattrs")) edges
+    else edges.withColumn("eattrs", typedLit(Map.empty[String, String]))
+
   /** G1/G2 MERGE: upsert the nodes and edges of one chain. Idempotent —
     * re-merging an existing node/edge is a no-op, and deterministically so:
-    * nodes go through a full-outer join whose coalesce always prefers the
-    * EXISTING row (the reference's match-by-attributes no-op case,
-    * client.py:876-889); edges union+dropDuplicates on the FULL row, which
-    * is deterministic because duplicate edge rows are identical.
+    * both nodes and edges go through a full-outer join whose coalesce
+    * always prefers the EXISTING row (the reference's match-by-attributes
+    * no-op case, client.py:876-889) — for edges that means re-merging an
+    * existing (src, dst, rel) with DIFFERENT properties keeps the stored
+    * properties.
     *
     * Plan-growth discipline: each merge references the previous
     * vertices/edges plan exactly ONCE, so a stream of k statements builds a
@@ -47,8 +55,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       require(r.minHops == 1 && r.maxHops == 1,
         "MERGE cannot take a variable-length edge (*m..n is MATCH-only)")
       r.dir match {
-        case Cypher.Out => (ns(k)._1, ns(k + 1)._1, r.typ)
-        case Cypher.In => (ns(k + 1)._1, ns(k)._1, r.typ)
+        case Cypher.Out => (ns(k)._1, ns(k + 1)._1, r.typ, r.attrs)
+        case Cypher.In => (ns(k + 1)._1, ns(k)._1, r.typ, r.attrs)
         case Cypher.Both => throw new IllegalArgumentException(
           "MERGE requires a directed edge (-[:R]-> or <-[:R]-)")
       }
@@ -56,12 +64,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // within-statement duplicates resolved driver-side, first occurrence
     // wins (deterministic — ns/es are in statement order)
     val newV = ns.distinctBy(_._1).toDF("name", "label", "attrs")
-    val newE = es.distinct.toDF("src", "dst", "rel")
+    val newE = es.distinctBy(t => (t._1, t._2, t._3))
+      .toDF("src", "dst", "rel", "eattrs")
     val v2 = vertices.alias("o").join(newV.alias("n"), Seq("name"), "full_outer")
       .select(col("name"),
         coalesce(col("o.label"), col("n.label")).as("label"),
         coalesce(col("o.attrs"), col("n.attrs")).as("attrs"))
-    val e2 = edges.unionByName(newE).dropDuplicates("src", "dst", "rel")
+    // edge identity is (src, dst, rel); attrs are payload — re-merging an
+    // existing edge keeps the EXISTING attrs (same preference as nodes)
+    val e2 = edgesN.alias("o").join(newE.alias("n"), Seq("src", "dst", "rel"), "full_outer")
+      .select(col("src"), col("dst"), col("rel"),
+        coalesce(col("o.eattrs"), col("n.eattrs")).as("eattrs"))
     PropertyGraph(v2, e2)
   }
 
@@ -118,6 +131,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       def varOf(p: Cypher.NodePat): String =
         p.variable.getOrElse { anon += 1; s"__anon$anon" }
 
+      // edge variables: RETURN e.attr projects the bound edge's property
+      // (carried out of the hop as column `e_attr`); bare `e` and
+      // `properties(e)` are node-only surfaces.
+      val edgeVars = chains.flatMap(_.rels.flatMap(_.variable)).toSet
+      returns.foreach {
+        case Cypher.Ret(v, None) if edgeVars(v) =>
+          throw new IllegalArgumentException(
+            s"edge variable '$v' supports attribute returns only ($v.attr)")
+        case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
+          throw new IllegalArgumentException(
+            s"properties($v) addresses nodes; return $v.attr for edge attrs")
+        case _ => ()
+      }
+      val edgeAttrNeeds: Map[String, Seq[String]] = returns.collect {
+        case Cypher.Ret(v, Some(a)) if edgeVars(v) => (v, a)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+
       var acc: Option[DataFrame] = None
       def bind(df: DataFrame): Unit = acc = Some(acc match {
         case None => df
@@ -141,13 +171,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           // (self-loops are still reachable via distinct vars + attrs).
           require(sv != dv,
             s"edge endpoints bind the same variable '$sv' — not supported")
-          val typed = edges.filter(col("rel") === rel.typ)
+          // edge property constraints filter the typed edge list scan-side
+          // (MATCH ...-[:R {k: 'v'}]->...); on a *m..n band this applies
+          // per hop — every traversed edge must carry the attrs
+          var typed = edgesN.filter(col("rel") === rel.typ)
+          rel.attrs.foreach { case (k, v) =>
+            typed = typed.filter(col("eattrs").getItem(k) === v) }
+          // RETURNed edge properties ride along as `<evar>_<attr>` columns
+          val carry = rel.variable.toSeq
+            .flatMap(v => edgeAttrNeeds.getOrElse(v, Nil)
+              .map(a => col("eattrs").getItem(a).as(s"${v}_$a")))
           def oneHop(a: String, b: String): DataFrame = rel.dir match {
-            case Cypher.Out => typed.select(col("src").as(a), col("dst").as(b))
-            case Cypher.In => typed.select(col("dst").as(a), col("src").as(b))
+            case Cypher.Out =>
+              typed.select(col("src").as(a) +: col("dst").as(b) +: carry: _*)
+            case Cypher.In =>
+              typed.select(col("dst").as(a) +: col("src").as(b) +: carry: _*)
             case Cypher.Both =>
-              typed.select(col("src").as(a), col("dst").as(b))
-                .unionByName(typed.select(col("dst").as(a), col("src").as(b)))
+              typed.select(col("src").as(a) +: col("dst").as(b) +: carry: _*)
+                .unionByName(
+                  typed.select(col("dst").as(a) +: col("src").as(b) +: carry: _*))
           }
           // variable-length `*m..n` (growth): endpoint reachability within
           // the hop band — union of the L-hop compositions, L in m..n, each
@@ -176,7 +218,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // attribute RETURNs need the vertex row back: join attrs on per-var
       // name once per distinct variable addressed with `.attr`.
       val attrVars = returns.collect {
-        case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" => v
+        case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" && !edgeVars(v) => v
       }.distinct
       attrVars.foreach { v =>
         out = out.join(
@@ -186,6 +228,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       if (mapVars.isEmpty) {
         val cols = returns.map {
           case Cypher.Ret(v, None) => col(v)
+          case Cypher.Ret(v, Some(a)) if edgeVars(v) => col(s"${v}_$a")
           case Cypher.Ret(v, Some("name")) => col(v).as(s"${v}_name")
           case Cypher.Ret(v, Some(a)) => col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
         }
@@ -201,6 +244,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         val named = returns.map {
           case Cypher.Ret(v, Some("*")) => s"__key_$v" -> col(v).as(s"__key_$v")
           case Cypher.Ret(v, None) => v -> col(v)
+          case Cypher.Ret(v, Some(a)) if edgeVars(v) => s"${v}_$a" -> col(s"${v}_$a")
           case Cypher.Ret(v, Some("name")) => s"${v}_name" -> col(v).as(s"${v}_name")
           case Cypher.Ret(v, Some(a)) => s"${v}_$a" -> col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
         }
@@ -252,7 +296,8 @@ object PropertyGraph {
     import spark.implicits._
     PropertyGraph(
       Seq.empty[(String, String, Map[String, String])].toDF("name", "label", "attrs"),
-      Seq.empty[(String, String, String)].toDF("src", "dst", "rel"))
+      Seq.empty[(String, String, String, Map[String, String])]
+        .toDF("src", "dst", "rel", "eattrs"))
   }
 
   /** Build the t2 graph from the TPC-H-ish tables: Customer-IN->Nation,
@@ -276,18 +321,19 @@ object PropertyGraph {
         lit("Supplier").as("label"),
         map(lit("s_name"), col("s_name")).as("attrs")))
     val natByKey = nation.select(col("n_nationkey"), concat(lit("nation:"), col("n_name")).as("nname"))
+    val noAttrs = typedLit(Map.empty[String, String]).as("eattrs")
     val e =
       customer.join(natByKey, col("c_nationkey") === col("n_nationkey"))
         .select(concat(lit("customer:"), col("c_custkey")).as("src"),
-          col("nname").as("dst"), lit("IN").as("rel"))
+          col("nname").as("dst"), lit("IN").as("rel"), noAttrs)
       .unionByName(
         nation.join(region, col("n_regionkey") === col("r_regionkey"))
           .select(concat(lit("nation:"), col("n_name")).as("src"),
-            concat(lit("region:"), col("r_name")).as("dst"), lit("IN").as("rel")))
+            concat(lit("region:"), col("r_name")).as("dst"), lit("IN").as("rel"), noAttrs))
       .unionByName(
         supplier.join(natByKey, col("s_nationkey") === col("n_nationkey"))
           .select(concat(lit("supplier:"), col("s_suppkey")).as("src"),
-            col("nname").as("dst"), lit("LOCATED").as("rel")))
+            col("nname").as("dst"), lit("LOCATED").as("rel"), noAttrs))
     PropertyGraph(v, e)
   }
 }

@@ -141,6 +141,35 @@ object GraphSuite extends Suite {
       },
       Some("SELECT DISTINCT r_name AS r_r_name FROM region")),
 
+    // EDGE PROPERTIES (growth beyond the reference, whose edges are bare
+    // adjacency bits — client.py:805-816): MERGE stores an attr map on
+    // each nation-IN->region edge, a re-merge with DIFFERENT attrs is a
+    // no-op (existing edge's properties win, mirroring node identity),
+    // and MATCH binds the edge to a variable whose attr RETURNs as e_link.
+    "cypher_edge_attrs" -> Q(
+      (s, d) => {
+        val pairs = Tables.t(s, d, "nation")
+          .join(Tables.t(s, d, "region"),
+            org.apache.spark.sql.functions.col("n_regionkey") ===
+              org.apache.spark.sql.functions.col("r_regionkey"))
+          .select("n_name", "r_name")
+          .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+        // 25-row dim: driver-side ok
+        val g1 = pairs.foldLeft(PropertyGraph.empty(s)) { case (g, (n, r)) =>
+          g.merge(s"merge (n:Nation {'name': '$n'})" +
+            s"-[:IN {'link': '$n->$r'}]->(r:Region {'name': '$r'})")
+        }
+        // re-merge the first edge with a DIFFERENT property value — the
+        // stored properties must win (idempotent upsert)
+        val (n0, r0) = pairs.head
+        val g2 = g1.merge(s"merge (n:Nation {'name': '$n0'})" +
+          s"-[:IN {'link': 'CLOBBERED'}]->(r:Region {'name': '$r0'})")
+        g2.query("match (n:Nation)-[e:IN]->(r:Region) return n, e.link, r")
+      },
+      Some("""SELECT DISTINCT n_name AS n, n_name || '->' || r_name AS e_link,
+             |  r_name AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // G1/G2 MERGE round-trip: merge the 5 regions (idempotently — one is
     // merged twice) into an empty graph, then MATCH them back.
     "cypher_merge_match" -> Q(

@@ -103,6 +103,44 @@ class CypherSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("edge properties: parse, MERGE store + existing-wins, MATCH filter, e.attr RETURN") {
+    import spark.implicits._
+    // parser: variable + attrs on the edge, in every direction
+    val Cypher.Match(chains, rets) = Cypher.parse(
+      "match (a)-[e:R {w: '3'}]->(b) return a, e.w, b"): @unchecked
+    assert(chains.head.rels == Seq(
+      Cypher.Rel("R", Cypher.Out, 1, 1, Some("e"), Map("w" -> "3"))))
+    assert(rets(1) == Cypher.Ret("e", Some("w")))
+    // an edge variable cannot bind a band; bare/properties() edge returns rejected
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (a)-[e:R*1..2]->(b) return a"))
+    // executor: two typed edges with different weights
+    val g0 = PropertyGraph.empty(spark)
+      .merge("merge (x:N {name: 'x'})-[:R {w: '3'}]->(y:N {name: 'y'})")
+      .merge("merge (y:N {name: 'y'})-[:R {w: '7'}]->(z:N {name: 'z'})")
+    // MATCH attr filter: only the w=3 edge matches
+    assert(g0.query("match (a)-[:R {w: '3'}]->(b) return a, b")
+      .as[(String, String)].collect().toSet == Set(("x", "y")))
+    // e.attr RETURN carries the per-edge value
+    assert(g0.query("match (a)-[e:R]->(b) return a, e.w, b")
+      .as[(String, String, String)].collect().toSet ==
+      Set(("x", "3", "y"), ("y", "7", "z")))
+    // re-merge with different attrs: existing edge's properties win
+    val g1 = g0.merge("merge (x:N {name: 'x'})-[:R {w: '99'}]->(y:N {name: 'y'})")
+    assert(g1.query("match (a)-[e:R]->(b) return a, e.w, b")
+      .as[(String, String, String)].collect().toSet ==
+      Set(("x", "3", "y"), ("y", "7", "z")))
+    // bare edge-var return and properties(e) are rejected with guidance
+    intercept[IllegalArgumentException](
+      g0.query("match (a)-[e:R]->(b) return e"))
+    intercept[IllegalArgumentException](
+      g0.query("match (a)-[e:R]->(b) return properties(e)"))
+    // undirected edge with an attr filter matches both orientations
+    assert(g0.query("match (a)-[e:R {w: '7'}]-(b) return a, e.w, b")
+      .as[(String, String, String)].collect().toSet ==
+      Set(("y", "7", "z"), ("z", "7", "y")))
+  }
+
   test("variable-length paths: parser forms, band semantics, direction flip") {
     // parser: *n and *m..n, on any direction
     val Cypher.Match(cs, _) =
