@@ -907,6 +907,73 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // IVF with iters=2 (round-5 growth on the lloyd1 CTE): the second
+    // Lloyd round is one more assignment→mean pair — a1 assigns under c1,
+    // c2 = per-list mean of a1 (empty lists keep their c1 centroid, which
+    // is itself the seed if the list was empty before). Narrows the
+    // rows-only gap to the iterated fixpoint alone (ann_ivf at iters=5).
+    "ann_ivf_lloyd2" -> Q(
+      (s, d) => Similarity.ivfTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3,
+        nlist = 16, nprobe = 4, iters = 2),
+      Some(s"""WITH $cosineNormsCte,
+              |c0 AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |       ORDER BY vec_id LIMIT 16),
+              |a0 AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c0 c) WHERE arn = 1),
+              |dims AS (SELECT a.cid, t.i,
+              |      list_sum(list(x.embedding[t.i]::DOUBLE ORDER BY a.nid))
+              |        / count(*) AS v
+              |    FROM a0 a JOIN n x ON x.vec_id = a.nid, range(1, 65) t(i)
+              |    GROUP BY a.cid, t.i),
+              |c1e AS (SELECT cid, list(v ORDER BY i) AS emb FROM dims GROUP BY cid),
+              |c1 AS (SELECT c0.cid,
+              |      coalesce(c1e.emb,
+              |        list_transform(c0.embedding, x -> x::DOUBLE)) AS embedding,
+              |      sqrt(list_sum(list_transform(coalesce(c1e.emb,
+              |        list_transform(c0.embedding, x -> x::DOUBLE)),
+              |        y -> y * y))) AS nrm
+              |    FROM c0 LEFT JOIN c1e ON c0.cid = c1e.cid),
+              |a1 AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c1 c) WHERE arn = 1),
+              |dims2 AS (SELECT a.cid, t.i,
+              |      list_sum(list(x.embedding[t.i]::DOUBLE ORDER BY a.nid))
+              |        / count(*) AS v
+              |    FROM a1 a JOIN n x ON x.vec_id = a.nid, range(1, 65) t(i)
+              |    GROUP BY a.cid, t.i),
+              |c2e AS (SELECT cid, list(v ORDER BY i) AS emb FROM dims2 GROUP BY cid),
+              |c2 AS (SELECT c1.cid,
+              |      coalesce(c2e.emb, c1.embedding) AS embedding,
+              |      sqrt(list_sum(list_transform(coalesce(c2e.emb, c1.embedding),
+              |        y -> y * y))) AS nrm
+              |    FROM c1 LEFT JOIN c2e ON c1.cid = c2e.cid),
+              |asg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c2 c) WHERE arn = 1),
+              |probes AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, c.cid,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosExpr("q", "c")} DESC, c.cid) AS prn
+              |    FROM n q, c2 c WHERE q.vec_id < 5) WHERE prn <= 4),
+              |p AS (SELECT pr.qid, a.nid, round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM probes pr
+              |      JOIN asg a ON a.cid = pr.cid
+              |      JOIN n q ON q.vec_id = pr.qid
+              |      JOIN n x ON x.vec_id = a.nid
+              |      WHERE a.nid <> pr.qid),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // ---------- sampling / packing ----------
     // deterministic hash-membership sampling (data mixing): the kept set is
     // a pure function of the id — reproducible across runs/partitionings,
