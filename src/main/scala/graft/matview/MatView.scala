@@ -1,8 +1,9 @@
 package graft.matview
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -163,10 +164,11 @@ object MatView {
     * SUBSET of a summary's keys — any subset, including the global empty
     * set — answers by RE-aggregating the summary when every output is
     * derivable: count→sum of stored counts, sum/min/max→same function
-    * over the stored column. Non-decomposables (avg: its re-aggregation
-    * needs a non-null count of the aggregated column, which the summary
-    * doesn't store) and distinct/filtered aggregates fall back to fact
-    * rows; their verbatim repeats still route via the exact-match path.
+    * over the stored column, and avg(x)→Σsum(x)/Σcount(x) when the
+    * summary stores both (count(1) suffices for a non-nullable x).
+    * distinct/filtered aggregates and avg without its matching count
+    * fall back to fact rows; their verbatim repeats still route via the
+    * exact-match path.
     * Child identity is flatten()'s (leaves, join-conds) key, which
     * absorbs the pruning Projects that make coarser queries structurally
     * different from the view. */
@@ -179,21 +181,41 @@ object MatView {
       val u = ne match { case al: Alias => al.child; case x => x }
       val rewritten: Option[Expression] = u match {
         case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
-          e.aggMap.get(sqlKey(ae.aggregateFunction)).flatMap { attr =>
-            ae.aggregateFunction match {
-              case _: Count =>
-                // count over count-column sums; coalesce keeps count's
-                // non-null contract (summary rows exist ⇒ never hit, but
-                // the type system shouldn't loosen nullability)
-                Some(Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L))))
-              case _: Sum =>
-                val r = Sum(attr).toAggregateExpression()
-                // decimal sums widen precision on re-aggregation — routing
-                // would change the output type; serve those from facts
-                if (r.dataType == ae.dataType) Some(r) else None
-              case _: Min => Some(Min(attr).toAggregateExpression())
-              case _: Max => Some(Max(attr).toAggregateExpression())
-              case _ => None
+          ae.aggregateFunction match {
+            // avg DECOMPOSES when the summary stores both sum(x) and the
+            // NON-NULL count of the same column (count(1) suffices for a
+            // non-nullable x): avg = Σ sums / Σ counts, null when the
+            // count sums to 0 (an all-null group — matches avg's null).
+            // Restricted to double avg (decimal re-division drifts scale).
+            case av: Average if ae.dataType == DoubleType =>
+              val argKey = sqlKey(av.child)
+              for {
+                sAttr <- e.aggMap.get(s"sum($argKey)")
+                cAttr <- e.aggMap.get(s"count($argKey)").orElse(
+                  if (!av.child.nullable) e.aggMap.get("count(1)") else None)
+              } yield {
+                val num = Sum(sAttr).toAggregateExpression()
+                val den = Sum(cAttr).toAggregateExpression()
+                If(EqualTo(den, Literal(0L)),
+                  Literal(null, DoubleType),
+                  Divide(Cast(num, DoubleType), Cast(den, DoubleType)))
+              }
+            case fn => e.aggMap.get(sqlKey(fn)).flatMap { attr =>
+              fn match {
+                case _: Count =>
+                  // count over count-column sums; coalesce keeps count's
+                  // non-null contract (summary rows exist ⇒ never hit, but
+                  // the type system shouldn't loosen nullability)
+                  Some(Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L))))
+                case _: Sum =>
+                  val r = Sum(attr).toAggregateExpression()
+                  // decimal sums widen precision on re-aggregation — routing
+                  // would change the output type; serve those from facts
+                  if (r.dataType == ae.dataType) Some(r) else None
+                case _: Min => Some(Min(attr).toAggregateExpression())
+                case _: Max => Some(Max(attr).toAggregateExpression())
+                case _ => None
+              }
             }
           }
         case other => e.groupMap.get(sqlKey(other))
@@ -269,9 +291,10 @@ object MatView {
     *  2. CONTAINMENT ([[substituteCoarse]]): a group-by over a SUBSET of
     *     the summary's keys (including the global aggregate) whose every
     *     output re-aggregates from stored columns — count→sum of counts,
-    *     sum/min/max→same — answers by re-aggregating the summary, zero
-    *     fact rows. avg / distinct / filtered aggregates and decimal sums
-    *     recompute from facts (only their verbatim repeats route).
+    *     sum/min/max→same, avg→Σsum/Σcount when both are stored —
+    *     answers by re-aggregating the summary, zero fact rows. distinct /
+    *     filtered aggregates, avg without its matching count, and decimal
+    *     sums recompute from facts (only their verbatim repeats route).
     *
     * Register the aggregate view EITHER over base tables OR over a
     * registered join view's tables, not both at once: the join rule

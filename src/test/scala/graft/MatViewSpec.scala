@@ -134,12 +134,34 @@ class MatViewSpec extends SparkSpec {
           s"$k: sum drift beyond float association: $rs vs $s")
       }
       // avg is NOT decomposable from (sum-of-column, row-count) when the
-      // column can be null — it must keep reading fact rows
+      // column can be null — against THIS summary (count(1) only, nullable
+      // c_acctbal) it must keep reading fact rows
       MatView.materializeAggregate(spark, "cn_coarse", agg, out)
       val avgQ = custNatReg.groupBy(col("r_name")).agg(avg(col("c_acctbal")).as("a"))
       assert(avgQ.queryExecution.executedPlan.toString.contains("Join"),
         "avg wrongly served from the summary")
-    } finally MatView.drop(spark, "cn_coarse")
+      // ...but a summary storing sum(x) AND count(x) decomposes avg:
+      // Σsum/Σcount from the summary, zero fact rows
+      val aggAvg = custNatReg.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("c_acctbal")).as("s"), count(col("c_acctbal")).as("c"))
+      val out2 = java.nio.file.Files.createTempDirectory("mv_coarse_avg").toString
+      MatView.materializeAggregate(spark, "cn_coarse_avg", aggAvg, out2)
+      val avgRouted = custNatReg.groupBy(col("r_name"))
+        .agg(avg(col("c_acctbal")).as("a"))
+      val aPlan = avgRouted.queryExecution.executedPlan.toString
+      assert(aPlan.contains(out2.split("/").last), s"no summary scan in:\n$aPlan")
+      assert(!aPlan.contains("Join"), s"avg containment read fact rows:\n$aPlan")
+      val got = avgRouted.as[(String, Double)].collect().toMap
+      MatView.drop(spark, "cn_coarse_avg")
+      val want = avgRouted.as[(String, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, w) =>
+        assert(math.abs(got(k) - w) <= math.max(1e-9, 1e-9 * math.abs(w)),
+          s"$k: avg drift beyond float association: ${got(k)} vs $w") }
+    } finally {
+      MatView.drop(spark, "cn_coarse")
+      MatView.drop(spark, "cn_coarse_avg")
+    }
   }
 
   test("aggregate view: PERMUTED output aliases still get the right columns") {
