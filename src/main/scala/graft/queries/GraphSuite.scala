@@ -148,27 +148,24 @@ object GraphSuite extends Suite {
     // and MATCH binds the edge to a variable whose attr RETURNs as e_link.
     "cypher_edge_attrs" -> Q(
       (s, d) => {
-        val pairs = Tables.t(s, d, "nation")
-          .join(Tables.t(s, d, "region"),
-            org.apache.spark.sql.functions.col("n_regionkey") ===
-              org.apache.spark.sql.functions.col("r_regionkey"))
-          .select("n_name", "r_name")
-          .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
-        // 25-row dim: driver-side ok
-        val g1 = pairs.foldLeft(PropertyGraph.empty(s)) { case (g, (n, r)) =>
-          g.merge(s"merge (n:Nation {'name': '$n'})" +
-            s"-[:IN {'link': '$n->$r'}]->(r:Region {'name': '$r'})")
+        val names = Tables.t(s, d, "region").select("r_name")
+          .collect().map(_.getString(0)).sorted // 5-row dim: driver-side ok
+        // 5 statements (each MERGE is a full-outer upsert pair — keep the
+        // statement stream short like cypher_merge_*; bulk ingest goes
+        // through DataFrames, not statement folds)
+        val g1 = names.foldLeft(PropertyGraph.empty(s)) { (g, r) =>
+          g.merge(s"merge (r:Region {'name': '$r'})" +
+            s"-[:IN {'link': '$r->world'}]->(w:World {'name': 'world'})")
         }
         // re-merge the first edge with a DIFFERENT property value — the
         // stored properties must win (idempotent upsert)
-        val (n0, r0) = pairs.head
-        val g2 = g1.merge(s"merge (n:Nation {'name': '$n0'})" +
-          s"-[:IN {'link': 'CLOBBERED'}]->(r:Region {'name': '$r0'})")
-        g2.query("match (n:Nation)-[e:IN]->(r:Region) return n, e.link, r")
+        val g2 = g1.merge(s"merge (r:Region {'name': '${names.head}'})" +
+          s"-[:IN {'link': 'CLOBBERED'}]->(w:World {'name': 'world'})")
+        g2.query("match (r:Region)-[e:IN]->(w:World) return r, e.link, w")
       },
-      Some("""SELECT DISTINCT n_name AS n, n_name || '->' || r_name AS e_link,
-             |  r_name AS r
-             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+      Some("""SELECT DISTINCT r_name AS r, r_name || '->world' AS e_link,
+             |  'world' AS w
+             |FROM region""".stripMargin)),
 
     // G1/G2 MERGE round-trip: merge the 5 regions (idempotently — one is
     // merged twice) into an empty graph, then MATCH them back.
