@@ -326,6 +326,72 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
 
+  /** Persist an IVF index AT REST — the serving posture of a 100 TB ANN
+    * deployment: train once, write (a) the centroid table (nlist rows) and
+    * (b) the corpus assignments PARTITIONED BY list id, then serve query
+    * batches from the parquet with [[ivfTopKFromIndex]] — no retraining,
+    * no full-corpus assignment per batch. Because the assignments are
+    * hive-partitioned on `list`, a query batch probing p lists reads ONLY
+    * those partitions (static partition pruning at the scan — asserted in
+    * LlmSpec), so per-batch cost is ≈ `Σ probed-list sizes`, the
+    * FAISS-style nprobe/nlist fraction of the corpus. Training,
+    * assignment, and ranking are exactly [[ivfTopK]]'s (LlmSpec asserts
+    * result equality), so the iters=0 index is oracle-checkable through
+    * the same SQL as ann_ivf_flat. */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    nlist: Int = 16, iters: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxTrainRows: Long = 1L << 18): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ds.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
+    }.toDF("nid", "nvec", "list")
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** Serve a query batch from a [[writeIvfIndex]] index: centroids load
+    * driver-side (nlist rows), each query picks its `nprobe` nearest
+    * lists, and the list scan is STATICALLY filtered to the union of
+    * probed list ids — partition pruning reads only those directories.
+    * Ranking is identical to [[ivfTopK]] (exact cosine within probed
+    * lists, ties to the lower neighbor id). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val qRows = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
+    val probes = qRows.flatMap { case (qid, vf) =>
+      val v = vf.map(_.toDouble)
+      centroids.indices
+        .sortBy(c => (-dotOf(v, centroids(c)) /
+          (normOf(v) * math.max(normOf(centroids(c)), 1e-12)), c))
+        .take(nprobe).map(list => (qid, vf, list))
+    }.toSeq
+    val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
+    val probedLists = probes.map(_._3).distinct
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list").isin(probedLists: _*)) // static partition pruning
+      .join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
   /** Deterministic k-means coarse-quantizer training, shared by [[ivfTopK]]
     * and [[semanticDedup]]: Lloyd's iterations on the driver over a
     * deterministic xxhash64-mod sample capped at `maxTrainRows` (k-means

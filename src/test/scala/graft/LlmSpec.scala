@@ -211,6 +211,26 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.45, s"ivf recall $recall")
   }
 
+  test("persisted IVF index serves identically to the live path and prunes partitions") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 2)
+    val served = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 4)
+    // bit-identical to the live train+assign+rank path at the same params
+    val live = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served.as[(Long, Long, Double, Int)].collect().toSet == live)
+    // the at-rest layout is one directory per list, and the serving scan
+    // is statically pruned to the probed lists only
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list=")).map(_.getName).toSet
+    assert(listDirs.nonEmpty && listDirs.subsetOf(
+      (0 until 16).map(i => s"list=$i").toSet), s"bad layout: $listDirs")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"list scan not partition-pruned:\n$plan")
+  }
+
   test("LSH-blocked embeddingNearDup: exact-scored subset with usable recall") {
     val exact = Similarity.embeddingNearDup(emb, 0.4)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
