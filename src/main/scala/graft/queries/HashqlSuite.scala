@@ -45,6 +45,23 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3""".stripMargin)),
 
+    // comparison predicates (dialect growth beyond the reference's = and
+    // ~): numeric < > <= >= with the same Long coercion as equality.
+    "hashql_compare" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey from customer " +
+          "where customer.c_nationkey >= 20 and customer.c_nationkey < 23"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE c_nationkey >= 20 AND c_nationkey < 23""".stripMargin)),
+
+    // multi-column GROUP BY (dialect growth; the reference groups by one
+    // key, server.py:452-455).
+    "hashql_groupby2" -> Q(
+      (s, d) => run(s, d,
+        "select count(*) from orders group by orders.o_orderstatus, orders.o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)),
+
     // ORDER BY + LIMIT (dialect growth): plans as TakeOrderedAndProject —
     // per-partition top-k, driver merge, never a global sort
     // (HashQLSpec plan-shape assertion). Tie-broken on the unique key so

@@ -18,8 +18,9 @@ import graft.fts.Fts
   *   update t set t.f = v where t.g = w [and …]
   *   select t.a, u.b | * | count(*) from t
   *     [inner join u on t.x = u.y]*
-  *     [where t.f = v | t.f ~ 'tok1 & tok2 | tok3' [and …]]
-  *     [group by t.f]
+  *     [where t.f = v | t.f < v | t.f > v | t.f <= v | t.f >= v
+  *            | t.f ~ 'tok1 & tok2 | tok3' [and …]]
+  *     [group by t.f [, t.g …]]
   *     [order by t.f [asc|desc] [, …]] [limit n]
   *   create join inner join a on a.x = b.y [inner join …]*
   * }}}
@@ -45,6 +46,9 @@ object HashQL {
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
+  /** op in < > <= >= — numeric comparison growth beyond the reference's
+    * = and ~ (its WHERE grammar stops at equality, server.py:456-476). */
+  final case class Cmp(ref: ColRef, op: String, value: Any) extends Pred
   final case class FtsMatch(ref: ColRef, query: String) extends Pred
 
   sealed trait Stmt
@@ -57,7 +61,7 @@ object HashQL {
     * top-k operator (TakeOrderedAndProject, q_topk). */
   final case class Select(items: Seq[SelectItem], table: String,
                           joins: Seq[(String, ColRef, ColRef)], wheres: Seq[Pred],
-                          groupBy: Option[ColRef],
+                          groupBy: Seq[ColRef],
                           orderBy: Seq[(ColRef, Boolean)] = Nil,
                           limit: Option[Int] = None) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
@@ -80,12 +84,17 @@ object HashQL {
           val j = s.indexOf('\'', i + 1)
           require(j > 0, s"unterminated string in: $s")
           out += s.substring(i, j + 1); i = j + 1
-        } else if ("(),=*".contains(c)) { out += c.toString; i += 1 }
+        } else if ("(),=*<>".contains(c)) {
+          // two-char comparison ops lex as one token
+          if ((c == '<' || c == '>') && i + 1 < s.length && s(i + 1) == '=') {
+            out += s.substring(i, i + 2); i += 2
+          } else { out += c.toString; i += 1 }
+        }
         else {
           // '~' inside an identifier is a doc-path (people.~hobbies[]~name);
           // a standalone '~' token is the FTS operator
           val start = i
-          while (i < s.length && !s(i).isWhitespace && !"(),=*'".contains(s(i))) i += 1
+          while (i < s.length && !s(i).isWhitespace && !"(),=*'<>".contains(s(i))) i += 1
           out += s.substring(start, i)
         }
       }
@@ -145,6 +154,7 @@ object HashQL {
         out += (next() match {
           case "=" => Eq(ref, literal())
           case "~" => FtsMatch(ref, literal().toString)
+          case op @ ("<" | ">" | "<=" | ">=") => Cmp(ref, op, literal())
           case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
         })
         if (is("and")) next() else more = false
@@ -171,7 +181,12 @@ object HashQL {
       while (is("inner")) { next(); kw("join"); val t = next(); kw("on")
         val l = colRef(); kw("="); val r = colRef(); joins += ((t, l, r)) }
       val wheres = if (is("where")) { next(); preds() } else Nil
-      val groupBy = if (is("group")) { next(); kw("by"); Some(colRef()) } else None
+      val groupBy = if (is("group")) {
+        next(); kw("by")
+        val gs = scala.collection.mutable.ArrayBuffer(colRef())
+        while (is(",")) { next(); gs += colRef() }
+        gs.toSeq
+      } else Nil
       val orderBy = if (is("order")) {
         next(); kw("by")
         val obs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Boolean)]
@@ -283,6 +298,12 @@ object HashQL {
       graft.doc.DocStore.pathMatches(col("doc"), ref.column, _ === lit(v))
     case Eq(ref, v: Long) => col(ref.column).cast("long") === lit(v)
     case Eq(ref, v) => col(ref.column) === lit(v)
+    case Cmp(ref, op, v) =>
+      val c = v match { case n: Long => col(ref.column).cast("long"); case _ => col(ref.column) }
+      op match {
+        case "<" => c < lit(v); case ">" => c > lit(v)
+        case "<=" => c <= lit(v); case ">=" => c >= lit(v)
+      }
     case FtsMatch(ref, q) => Fts.matches(Fts.tokens(col(ref.column)), q)
   }
 
@@ -331,9 +352,10 @@ object HashQL {
           if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
         }
         val out = groupBy match {
-          case Some(g) =>
-            df.groupBy(col(g.column)).agg(aggColumns.head, aggColumns.tail: _*)
-          case None =>
+          case gs if gs.nonEmpty =>
+            df.groupBy(gs.map(g => col(g.column)): _*)
+              .agg(aggColumns.head, aggColumns.tail: _*)
+          case _ =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
               // doc-path projection, one output row per addressed leaf

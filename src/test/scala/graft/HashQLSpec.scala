@@ -77,6 +77,21 @@ class HashQLSpec extends SparkSpec {
     assert(!cat.table("c").queryExecution.optimizedPlan.toString.contains("Union"))
   }
 
+  test("comparison predicates and multi-column group by") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", "x", 1L), ("b", "x", 5L), ("c", "y", 7L), ("d", "y", 9L))
+      .foreach { case (n, g, v) =>
+        HashQL.execute(cat, s"insert into m (nm, grp, v) values ('$n', '$g', $v)") }
+    // spaced and unspaced comparison forms both lex ('<'/'>' are stop chars)
+    assert(HashQL.execute(cat, "select m.nm from m where m.v > 5").get
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("c", "d"))
+    assert(HashQL.execute(cat, "select m.nm from m where m.v>=5 and m.v<9").get
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    val g2 = HashQL.execute(cat,
+      "select count(*) from m group by m.grp, m.v").get
+    assert(g2.columns.toSeq == Seq("grp", "v", "cnt") && g2.count() == 4)
+  }
+
   test("order by + limit plans TakeOrderedAndProject, never a global sort") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 3L), ("b", 1L), ("c", 7L), ("d", 5L), ("e", 2L))
