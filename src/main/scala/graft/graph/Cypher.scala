@@ -16,7 +16,8 @@ package graft.graph
   *              // adjacency bits — client.py:805-816): MERGE stores the
   *              // map (existing edge's attrs win on re-merge, like node
   *              // identity), MATCH filters on it, RETURN addresses it
-  *              // via the edge variable (e.attr → column e_attr)
+  *              // via the edge variable (e.attr → column e_attr;
+  *              // properties(e) → the whole map as e_properties)
   *   hops    := ε  |  *n  |  *m..n        // variable-length (growth): ε = 1
   *   // *m..n uses WALK semantics (vertices/edges may repeat along a
   *   // path), not Neo4j's relationship-uniqueness (trail) semantics:

@@ -132,21 +132,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         p.variable.getOrElse { anon += 1; s"__anon$anon" }
 
       // edge variables: RETURN e.attr projects the bound edge's property
-      // (carried out of the hop as column `e_attr`); bare `e` and
-      // `properties(e)` are node-only surfaces.
+      // (carried out of the hop as column `e_attr`); `properties(e)`
+      // attaches the whole map post-distinct via the stored (src, dst)
+      // identity; a bare `e` has no printable identity — rejected.
       val edgeVars = chains.flatMap(_.rels.flatMap(_.variable)).toSet
       returns.foreach {
         case Cypher.Ret(v, None) if edgeVars(v) =>
           throw new IllegalArgumentException(
-            s"edge variable '$v' supports attribute returns only ($v.attr)")
-        case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
-          throw new IllegalArgumentException(
-            s"properties($v) addresses nodes; return $v.attr for edge attrs")
+            s"edge variable '$v' supports $v.attr and properties($v) returns only")
         case _ => ()
       }
       val edgeAttrNeeds: Map[String, Seq[String]] = returns.collect {
-        case Cypher.Ret(v, Some(a)) if edgeVars(v) => (v, a)
+        case Cypher.Ret(v, Some(a)) if edgeVars(v) && a != "*" => (v, a)
       }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      // properties(e): carry the matched edge's STORED (src, dst) out of
+      // the hop — the same row in either orientation of an undirected
+      // match — and re-join eattrs on it after the distinct.
+      val edgePropVars: Set[String] = returns.collect {
+        case Cypher.Ret(v, Some("*")) if edgeVars(v) => v }.toSet
+      val relOf: Map[String, String] = chains.flatMap(_.rels)
+        .flatMap(r => r.variable.map(_ -> r.typ)).toMap
 
       var acc: Option[DataFrame] = None
       def bind(df: DataFrame): Unit = acc = Some(acc match {
@@ -177,10 +182,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           var typed = edgesN.filter(col("rel") === rel.typ)
           rel.attrs.foreach { case (k, v) =>
             typed = typed.filter(col("eattrs").getItem(k) === v) }
-          // RETURNed edge properties ride along as `<evar>_<attr>` columns
-          val carry = rel.variable.toSeq
-            .flatMap(v => edgeAttrNeeds.getOrElse(v, Nil)
-              .map(a => col("eattrs").getItem(a).as(s"${v}_$a")))
+          // RETURNed edge properties ride along as `<evar>_<attr>` columns;
+          // properties(e) carries the stored endpoints as identity keys
+          val carry = rel.variable.toSeq.flatMap { v =>
+            edgeAttrNeeds.getOrElse(v, Nil)
+              .map(a => col("eattrs").getItem(a).as(s"${v}_$a")) ++
+              (if (edgePropVars(v))
+                Seq(col("src").as(s"__esrc_$v"), col("dst").as(s"__edst_$v"))
+              else Nil)
+          }
           def oneHop(a: String, b: String): DataFrame = rel.dir match {
             case Cypher.Out =>
               typed.select(col("src").as(a) +: col("dst").as(b) +: carry: _*)
@@ -224,8 +234,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         out = out.join(
           vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")), v)
       }
-      val mapVars = returns.collect { case Cypher.Ret(v, Some("*")) => v }.distinct
-      if (mapVars.isEmpty) {
+      val nodeMapVars = returns.collect {
+        case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct
+      if (nodeMapVars.isEmpty && edgePropVars.isEmpty) {
         val cols = returns.map {
           case Cypher.Ret(v, None) => col(v)
           case Cypher.Ret(v, Some(a)) if edgeVars(v) => col(s"${v}_$a")
@@ -238,25 +249,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         // RETURN of node dicts, client.py:1201-1219) as `v_properties`.
         // MapType bars set operations, so the RETURN's set semantics run
         // BEFORE the map is attached: distinct over the projected scalars
-        // plus the map-vars' node identities, then join each map on. Net
-        // effect: whole-map items dedup by node identity — two DISTINCT
-        // nodes that happen to share an attr map stay two rows.
-        val named = returns.map {
-          case Cypher.Ret(v, Some("*")) => s"__key_$v" -> col(v).as(s"__key_$v")
-          case Cypher.Ret(v, None) => v -> col(v)
-          case Cypher.Ret(v, Some(a)) if edgeVars(v) => s"${v}_$a" -> col(s"${v}_$a")
-          case Cypher.Ret(v, Some("name")) => s"${v}_name" -> col(v).as(s"${v}_name")
-          case Cypher.Ret(v, Some(a)) => s"${v}_$a" -> col(s"__attrs_$v").getItem(a).as(s"${v}_$a")
+        // plus the map-vars' identities (node name / stored edge
+        // endpoints), then join each map on. Net effect: whole-map items
+        // dedup by identity — two DISTINCT nodes/edges that happen to
+        // share an attr map stay two rows.
+        val named = returns.flatMap {
+          case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
+            Seq(s"__esrc_$v" -> col(s"__esrc_$v"), s"__edst_$v" -> col(s"__edst_$v"))
+          case Cypher.Ret(v, Some("*")) => Seq(s"__key_$v" -> col(v).as(s"__key_$v"))
+          case Cypher.Ret(v, None) => Seq(v -> col(v))
+          case Cypher.Ret(v, Some(a)) if edgeVars(v) => Seq(s"${v}_$a" -> col(s"${v}_$a"))
+          case Cypher.Ret(v, Some("name")) => Seq(s"${v}_name" -> col(v).as(s"${v}_name"))
+          case Cypher.Ret(v, Some(a)) =>
+            Seq(s"${v}_$a" -> col(s"__attrs_$v").getItem(a).as(s"${v}_$a"))
         }
         var d = out.select(named.distinctBy(_._1).map(_._2): _*).distinct()
-        mapVars.foreach { v =>
+        nodeMapVars.foreach { v =>
           // joined under a reserved internal name, aliased only in the final
           // select — a node attribute literally named 'properties' would
           // otherwise make `${v}_properties` ambiguous here
           d = d.join(vertices.select(col("name").as(s"__key_$v"),
             col("attrs").as(s"__map_$v")), s"__key_$v")
         }
+        edgePropVars.foreach { v =>
+          d = d.join(edgesN.filter(col("rel") === relOf(v))
+            .select(col("src").as(s"__esrc_$v"), col("dst").as(s"__edst_$v"),
+              col("eattrs").as(s"__emap_$v")),
+            Seq(s"__esrc_$v", s"__edst_$v"))
+        }
         d.select(returns.map {
+          case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
+            col(s"__emap_$v").as(s"${v}_properties")
           case Cypher.Ret(v, Some("*")) => col(s"__map_$v").as(s"${v}_properties")
           case Cypher.Ret(v, None) => col(v)
           case Cypher.Ret(v, Some("name")) => col(s"${v}_name")

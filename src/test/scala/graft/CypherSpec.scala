@@ -130,11 +130,15 @@ class CypherSpec extends SparkSpec {
     assert(g1.query("match (a)-[e:R]->(b) return a, e.w, b")
       .as[(String, String, String)].collect().toSet ==
       Set(("x", "3", "y"), ("y", "7", "z")))
-    // bare edge-var return and properties(e) are rejected with guidance
+    // bare edge-var return is rejected (no printable identity)
     intercept[IllegalArgumentException](
       g0.query("match (a)-[e:R]->(b) return e"))
-    intercept[IllegalArgumentException](
-      g0.query("match (a)-[e:R]->(b) return properties(e)"))
+    // properties(e) attaches the WHOLE edge map post-distinct (the same
+    // identity trick as properties(n), keyed on stored endpoints)
+    val maps = g0.query("match (a)-[e:R]->(b) return a, properties(e), b")
+      .as[(String, Map[String, String], String)].collect().toSet
+    assert(maps == Set(
+      ("x", Map("w" -> "3"), "y"), ("y", Map("w" -> "7"), "z")))
     // undirected edge with an attr filter matches both orientations
     assert(g0.query("match (a)-[e:R {w: '7'}]-(b) return a, e.w, b")
       .as[(String, String, String)].collect().toSet ==
