@@ -380,6 +380,11 @@ object Similarity {
           (normOf(v) * math.max(normOf(centroids(c)), 1e-12)), c))
         .take(nprobe).map(list => (qid, vf, list))
     }.toSeq
+    // empty batch (or empty index → no centroids → no probes): answer the
+    // empty frame with the contract schema instead of planning an empty
+    // isin over the list scan
+    if (probes.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
     val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
     val probedLists = probes.map(_._3).distinct
     spark.read.parquet(s"$path/lists")

@@ -229,6 +229,10 @@ class LlmSpec extends SparkSpec {
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("list"),
       s"list scan not partition-pruned:\n$plan")
+    // an empty query batch answers the empty contract frame
+    val none = Similarity.ivfTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") < 0), k = 5, nprobe = 4)
+    assert(none.columns.toSeq == Seq("qid", "nid", "cos", "rn") && none.isEmpty)
   }
 
   test("LSH-blocked embeddingNearDup: exact-scored subset with usable recall") {
