@@ -71,8 +71,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         coalesce(col("o.label"), col("n.label")).as("label"),
         coalesce(col("o.attrs"), col("n.attrs")).as("attrs"))
     // edge identity is (src, dst, rel); attrs are payload — re-merging an
-    // existing edge keeps the EXISTING attrs (same preference as nodes)
-    val e2 = edgesN.alias("o").join(newE.alias("n"), Seq("src", "dst", "rel"), "full_outer")
+    // existing edge keeps the EXISTING attrs (same preference as nodes).
+    // dropDuplicates first: a CALLER-supplied edge frame may carry
+    // duplicate identity rows (merge-built frames never do) — the
+    // full-outer join would preserve that multiplicity where the old
+    // union+dropDuplicates formulation collapsed it.
+    val e2 = edgesN.dropDuplicates("src", "dst", "rel").alias("o")
+      .join(newE.alias("n"), Seq("src", "dst", "rel"), "full_outer")
       .select(col("src"), col("dst"), col("rel"),
         coalesce(col("o.eattrs"), col("n.eattrs")).as("eattrs"))
     PropertyGraph(v2, e2)
@@ -135,7 +140,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // (carried out of the hop as column `e_attr`); `properties(e)`
       // attaches the whole map post-distinct via the stored (src, dst)
       // identity; a bare `e` has no printable identity — rejected.
-      val edgeVars = chains.flatMap(_.rels.flatMap(_.variable)).toSet
+      // an edge variable binds exactly ONE relationship pattern: reusing
+      // it would alias both hops' carry columns and silently turn them
+      // into join keys (Neo4j rejects relationship-variable reuse too);
+      // colliding with a node variable is the same hazard
+      val relVarSeq = chains.flatMap(_.rels.flatMap(_.variable))
+      require(relVarSeq.distinct.size == relVarSeq.size,
+        s"edge variable bound more than once: ${relVarSeq.diff(relVarSeq.distinct).distinct.mkString(", ")}")
+      val nodeVarSet = chains.flatMap(_.nodes.flatMap(_.variable)).toSet
+      require(!relVarSeq.exists(nodeVarSet),
+        s"edge variable collides with a node variable: ${relVarSeq.filter(nodeVarSet).mkString(", ")}")
+      val edgeVars = relVarSeq.toSet
       returns.foreach {
         case Cypher.Ret(v, None) if edgeVars(v) =>
           throw new IllegalArgumentException(
@@ -272,7 +287,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
             col("attrs").as(s"__map_$v")), s"__key_$v")
         }
         edgePropVars.foreach { v =>
+          // dropDuplicates guards against caller-supplied edge frames with
+          // duplicate identity rows multiplying the output (merge-built
+          // frames are unique by construction)
           d = d.join(edgesN.filter(col("rel") === relOf(v))
+            .dropDuplicates("src", "dst")
             .select(col("src").as(s"__esrc_$v"), col("dst").as(s"__edst_$v"),
               col("eattrs").as(s"__emap_$v")),
             Seq(s"__esrc_$v", s"__edst_$v"))

@@ -160,6 +160,15 @@ object MatView {
     * because containment queries are pruned DIFFERENTLY from the view. */
   private def sqlKey(e: Expression): String = e.sql.toLowerCase(java.util.Locale.ROOT)
 
+  /** True when `e` contains ANY aggregate call. Outputs containing one
+    * that is not a plain unfiltered non-distinct Count/Sum/Min/Max/Avg
+    * (countDistinct, sum(x)/100, filtered aggs …) are neither grouping
+    * keys nor re-aggregable — they must register NOWHERE, so containment
+    * queries touching them fall back to fact rows instead of binding a
+    * summary column outside an aggregate (an invalid plan). */
+  private def containsAgg(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[AggregateExpression])
+
   /** CONTAINMENT routing (the rollup-serving path): a query grouping by a
     * SUBSET of a summary's keys — any subset, including the global empty
     * set — answers by RE-aggregating the summary when every output is
@@ -218,7 +227,12 @@ object MatView {
               }
             }
           }
-        case other => e.groupMap.get(sqlKey(other))
+        // distinct/filtered/composite aggregate outputs never match here:
+        // registration excludes anything containing an aggregate from
+        // groupMap, and this guard keeps a query-side composite (e.g.
+        // sum(x)/100) from being treated as a grouping column
+        case other if !containsAgg(other) => e.groupMap.get(sqlKey(other))
+        case _ => None
       }
       rewritten.map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
@@ -327,9 +341,16 @@ object MatView {
         case al: Alias => al.child match {
           case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
             aggs += sqlKey(ae.aggregateFunction) -> attr
-          case other => group += sqlKey(other) -> attr
+          // distinct/filtered/composite aggregate outputs register in
+          // NEITHER map — they are not grouping keys (treating one as a
+          // group column would bind the summary attribute outside an
+          // aggregate: invalid plan, or silently wrong reuse of
+          // per-fine-group distinct counts) and not re-aggregable
+          case other if !containsAgg(other) => group += sqlKey(other) -> attr
+          case _ => ()
         }
-        case other => group += sqlKey(other) -> attr
+        case other if !containsAgg(other) => group += sqlKey(other) -> attr
+        case _ => ()
       }
     }
     mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement,

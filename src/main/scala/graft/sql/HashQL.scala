@@ -71,7 +71,12 @@ object HashQL {
   private def coerce(tok: String): Any =
     if (tok.matches("[0-9]+")) tok.toLong else tok
 
-  def parse(sql: String): Stmt = new P(sql).stmt()
+  def parse(sql: String): Stmt = {
+    val p = new P(sql)
+    val out = p.stmt()
+    p.expectEof()
+    out
+  }
 
   private final class P(s: String) {
     private val toks: Array[String] = {
@@ -85,8 +90,11 @@ object HashQL {
           require(j > 0, s"unterminated string in: $s")
           out += s.substring(i, j + 1); i = j + 1
         } else if ("(),=*<>".contains(c)) {
-          // two-char comparison ops lex as one token
-          if ((c == '<' || c == '>') && i + 1 < s.length && s(i + 1) == '=') {
+          // two-char ops lex as one token: <= >= and the <> not-equal
+          // TYPO — kept as one token so preds() rejects it with a clean
+          // "unsupported predicate op" instead of mis-parsing '<' '>'
+          if ((c == '<' || c == '>') && i + 1 < s.length &&
+              (s(i + 1) == '=' || (c == '<' && s(i + 1) == '>'))) {
             out += s.substring(i, i + 2); i += 2
           } else { out += c.toString; i += 1 }
         }
@@ -103,6 +111,11 @@ object HashQL {
     private var p = 0
     private def peek: String = if (p < toks.length) toks(p) else ""
     private def next(): String = { val t = peek; p += 1; t }
+    /** a statement must consume every token — trailing junk (e.g. the
+      * literal after a mis-parsed operator) is an error, never silently
+      * ignored */
+    def expectEof(): Unit = require(p >= toks.length,
+      s"unexpected trailing tokens: ${toks.drop(p).take(4).mkString(" ")}")
     private def kw(k: String): Unit =
       require(next().equalsIgnoreCase(k), s"expected $k near ${toks.drop(p - 1).take(4).mkString(" ")}")
     private def is(k: String): Boolean = peek.equalsIgnoreCase(k)
@@ -192,7 +205,10 @@ object HashQL {
         val obs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Boolean)]
         var m = true
         while (m) {
-          val r = colRef()
+          // sort keys address OUTPUT columns: `t.f` like everywhere else,
+          // or a bare identifier for aggregate aliases (cnt, sum_x) which
+          // have no table
+          val r = if (peek.contains('.')) colRef() else ColRef("", next())
           val desc =
             if (is("desc")) { next(); true }
             else { if (is("asc")) next(); false }
@@ -299,11 +315,18 @@ object HashQL {
     case Eq(ref, v: Long) => col(ref.column).cast("long") === lit(v)
     case Eq(ref, v) => col(ref.column) === lit(v)
     case Cmp(ref, op, v) =>
-      val c = v match { case n: Long => col(ref.column).cast("long"); case _ => col(ref.column) }
-      op match {
-        case "<" => c < lit(v); case ">" => c > lit(v)
-        case "<=" => c <= lit(v); case ">=" => c >= lit(v)
+      def cmp(c: Column): Column = {
+        val cc = v match { case _: Long => c.cast("long"); case _ => c }
+        op match {
+          case "<" => cc < lit(v); case ">" => cc > lit(v)
+          case "<=" => cc <= lit(v); case ">=" => cc >= lit(v)
+        }
       }
+      // doc-path comparison: ANY addressed leaf satisfies it (same
+      // any-leaf semantics as the Eq branch above)
+      if (ref.column.startsWith("~"))
+        graft.doc.DocStore.pathMatches(col("doc"), ref.column, cmp)
+      else cmp(col(ref.column))
     case FtsMatch(ref, q) => Fts.matches(Fts.tokens(col(ref.column)), q)
   }
 

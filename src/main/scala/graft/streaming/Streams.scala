@@ -178,6 +178,12 @@ object Streams {
     import graft.llm.Dedup
     val bands = 32; val rowsPerBand = 2
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    // ONE broadcast of the filter, re-shipped only after a batch mutates
+    // it (the predecessor destroyed) — a fresh broadcast per batch would
+    // re-ship the whole filter every batch and accumulate driver state
+    // over a long-running stream
+    var bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -190,6 +196,7 @@ object Streams {
             // parquet count() is footer metadata — no data scan
             hist.stat.bloomFilter("h", math.max(1024L, hist.count() * 4), 0.01)
           } else org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01)
+        if (bloomBc == null) bloomBc = spark.sparkContext.broadcast(bloom)
         // 1. within-batch dedup: keep each near-dup cluster's representative
         //    (bands/rowsPerBand passed explicitly so the within-batch and
         //    cross-batch recall curves cannot drift apart)
@@ -201,8 +208,10 @@ object Streams {
         //    byte-identical re-crawls never reach candidate generation.
         //    Self-matches excluded by id for replay idempotence.
         val fresh = if (exists(spark, hashesPath)) {
+          val bc = bloomBc
+          val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
           val suspects = withH
-            .filter(bloomProbe(spark, bloom)(col("__h")))
+            .filter(mightContain(col("__h")))
             .select(col("__h").as("h")).distinct()
           val seen = spark.read.parquet(hashesPath)
             .join(broadcast(suspects), Seq("h"), "left_semi")
@@ -255,9 +264,14 @@ object Streams {
         admitted.select(col(idCol).as("doc_id"), col("__h").as("h"))
           .write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
         // fold the admitted hashes into the in-memory gate (bounded by
-        // batch size — the store stays the durable source of truth)
-        admitted.select(col("__h")).distinct().collect()
-          .foreach(r => bloom.putLong(r.getLong(0)))
+        // batch size — the store stays the durable source of truth) and
+        // re-broadcast ONLY when the filter actually changed
+        val newHashes = admitted.select(col("__h")).distinct().collect()
+        if (newHashes.nonEmpty) {
+          newHashes.foreach(r => bloom.putLong(r.getLong(0)))
+          bloomBc.destroy()
+          bloomBc = spark.sparkContext.broadcast(bloom)
+        }
         admitted.unpersist()
         sh.unpersist()
         withH.unpersist()
@@ -266,15 +280,6 @@ object Streams {
       .start()
   }
 
-  /** Broadcast Bloom membership probe as a filter Column. A boxed-Long UDF
-    * (Spark has no mightContain expression) — fences codegen at the
-    * filter, acceptable because the probe is O(batch). */
-  private def bloomProbe(spark: SparkSession,
-                         bloom: org.apache.spark.util.sketch.BloomFilter)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val bc = spark.sparkContext.broadcast(bloom)
-    udf((h: Long) => bc.value.mightContainLong(h))
-  }
 
   /** Compact the [[nearDupIngest]] signature store: the accumulated
     * per-batch directories are rewritten into ONE consolidated batch — the

@@ -143,6 +143,13 @@ class CypherSpec extends SparkSpec {
     assert(g0.query("match (a)-[e:R {w: '7'}]-(b) return a, e.w, b")
       .as[(String, String, String)].collect().toSet ==
       Set(("y", "7", "z"), ("z", "7", "y")))
+    // reusing one edge variable across two patterns (or colliding with a
+    // node variable) is rejected — it would silently turn carry columns
+    // into join keys
+    intercept[IllegalArgumentException](
+      g0.query("match (a)-[e:R]->(b)-[e:R]->(c) return a, e.w, c"))
+    intercept[IllegalArgumentException](
+      g0.query("match (a)-[b:R]->(b) return a, b.w"))
   }
 
   test("variable-length paths: parser forms, band semantics, direction flip") {

@@ -90,6 +90,19 @@ class HashQLSpec extends SparkSpec {
     val g2 = HashQL.execute(cat,
       "select count(*) from m group by m.grp, m.v").get
     assert(g2.columns.toSeq == Seq("grp", "v", "cnt") && g2.count() == 4)
+    // the <> not-equal TYPO dies with a clean unsupported-op error, not a
+    // mis-parse into '<' '>' with a silently-dropped literal
+    val e = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select m.nm from m where m.v <> 5"))
+    assert(e.getMessage.contains("<>"), e.getMessage)
+    // trailing junk after a complete statement is an error, never ignored
+    intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select m.nm from m where m.v = 5 bogus"))
+    // ORDER BY addresses aggregate output aliases as bare identifiers
+    val topGrp = HashQL.execute(cat,
+      "select count(*) from m group by m.grp order by cnt desc, grp limit 1").get
+    assert(topGrp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .forall { case (_, c) => c == 2L })
   }
 
   test("order by + limit plans TakeOrderedAndProject, never a global sort") {

@@ -164,6 +164,36 @@ class MatViewSpec extends SparkSpec {
     }
   }
 
+  test("containment: distinct/composite aggregate outputs fall back cleanly, never route") {
+    // a summary whose outputs include a DISTINCT aggregate and a composite
+    // over an aggregate — neither is a grouping key nor re-aggregable
+    val agg = custNation.groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("d"),
+        (sum(col("c_acctbal")) / lit(100)).as("s100"),
+        count(lit(1)).as("cnt"))
+    val out = java.nio.file.Files.createTempDirectory("mv_dist").toString
+    MatView.materializeAggregate(spark, "cn_dist", agg, out)
+    try {
+      // coarser query touching the distinct output: MUST recompute from
+      // facts (routing would reuse per-fine-group distinct counts — wrong)
+      val q1 = custNation.groupBy(col("n_name"))
+        .agg(countDistinct(col("c_custkey")).as("d"))
+      assert(q1.queryExecution.executedPlan.toString.contains("Join"),
+        "distinct aggregate wrongly served from the summary")
+      q1.collect() // and it executes (no invalid-plan binding error)
+      // composite-over-aggregate likewise
+      val q2 = custNation.groupBy(col("n_name"))
+        .agg((sum(col("c_acctbal")) / lit(100)).as("s100"))
+      assert(q2.queryExecution.executedPlan.toString.contains("Join"),
+        "composite aggregate wrongly served from the summary")
+      q2.collect()
+      // the plain count output still routes for untouched-by-distinct asks
+      val q3 = custNation.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      assert(!q3.queryExecution.executedPlan.toString.contains("Join"),
+        "plain count lost its containment route")
+    } finally MatView.drop(spark, "cn_dist")
+  }
+
   test("aggregate view: PERMUTED output aliases still get the right columns") {
     // view: (n_name, a=count, b=max); query swaps the aliases — by-name
     // substitution would silently wire a↔b; positional must not
