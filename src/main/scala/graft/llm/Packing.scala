@@ -70,4 +70,26 @@ object Packing {
     }
     spark.createDataset(packed).toDF(idCol, "n_tokens", "chunk_id")
   }
+
+  /** Materialize the packed sequences themselves — the training-file rows
+    * a loader actually reads: one row per chunk, documents concatenated in
+    * ascending-id order with `sep`. [[packChunks]] decides membership (its
+    * distributed prefix sum, no global sort); this adds one id-keyed join
+    * to fetch the text back and one chunk-keyed shuffle to assemble. Per-
+    * chunk memory is bounded by ~budget tokens by construction, so the
+    * collect_list can never blow an executor.
+    *
+    * @return (chunk_id, packed, n_docs, n_tokens) */
+  def packTexts(df: DataFrame, textCol: String, idCol: String,
+                budget: Long, sep: String = " "): DataFrame = {
+    val chunks = packChunks(df, textCol, idCol, budget)
+    chunks.join(df.select(col(idCol), col(textCol)), idCol)
+      .groupBy(col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          e => e.getField(textCol)), sep).as("packed"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
 }

@@ -1083,6 +1083,25 @@ object LlmSuite extends Suite {
              |SELECT doc_id, n_tokens, tokens_before // 512 AS chunk_id
              |FROM c""".stripMargin)),
 
+    // materialized packed sequences (round-5 growth): the training-file
+    // rows themselves — documents of each chunk concatenated in id order.
+    // DuckDB mirrors the assembly with string_agg(ORDER BY doc_id), so
+    // the packed text is hash-checked byte-for-byte.
+    "pack_texts" -> Q(
+      (s, d) => Packing.packTexts(docs(s, d), "text", "doc_id", budget = 512),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |        CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens
+             |        FROM documents),
+             |c AS (SELECT doc_id, text, n_tokens,
+             |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) // 512 AS chunk_id
+             |      FROM t)
+             |SELECT chunk_id, string_agg(text, ' ' ORDER BY doc_id) AS packed,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY chunk_id""".stripMargin)),
+
     // ---------- multimodal ----------
     "mm_decode" -> Q(
       (s, d) => Multimodal.decodeStub(
