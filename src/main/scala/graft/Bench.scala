@@ -6,9 +6,14 @@ import org.apache.spark.sql.SparkSession
   * printed as ONE JSON line.
   *
   * Each query gets one warmup execution (JIT + codegen + file-listing
-  * caches) and one timed execution — the driver's number should reflect
-  * engine throughput, not JVM cold start. Timing actions are `count()`
-  * (forces the full plan; avoids collect-to-driver skew for wide results).
+  * caches) and then the MEDIAN of three timed executions — a single timed
+  * run on a shared 32-core box is exposed to GC/compilation pauses (a 7×
+  * outlier was observed on one query in a past round); the median of three
+  * is robust to one pause while keeping the full suite under a few
+  * minutes. Timing actions are `count()` (forces the full plan; avoids
+  * collect-to-driver skew for wide results), and the cache is cleared
+  * before every timed run so no run reads a previous run's materialized
+  * blocks.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,14 +37,18 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
     val results = names.map { name =>
-      // drop caches a warmup run registered: Spark's cache manager matches
-      // by logical plan, so a timed query would otherwise silently read the
-      // warmup's materialized blocks instead of doing its own work.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 3).map { _ =>
+        // drop caches a previous run registered: Spark's cache manager
+        // matches by logical plan, so a timed query would otherwise
+        // silently read earlier materialized blocks instead of doing its
+        // own work.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> runs(1) // median of 3
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -72,11 +72,20 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         coalesce(col("o.attrs"), col("n.attrs")).as("attrs"))
     // edge identity is (src, dst, rel); attrs are payload — re-merging an
     // existing edge keeps the EXISTING attrs (same preference as nodes).
-    // dropDuplicates first: a CALLER-supplied edge frame may carry
+    // Identity-dedup first: a CALLER-supplied edge frame may carry
     // duplicate identity rows (merge-built frames never do) — the
     // full-outer join would preserve that multiplicity where the old
-    // union+dropDuplicates formulation collapsed it.
-    val e2 = edgesN.dropDuplicates("src", "dst", "rel").alias("o")
+    // union+dropDuplicates formulation collapsed it. The winner among
+    // duplicates with DIFFERENT eattrs is chosen by min over a canonical
+    // entry-sorted JSON rendering of the map (dropDuplicates would keep an
+    // arbitrary row, so repeated merges could flip stored properties run
+    // to run); same serialization ⇒ same map, so the choice is total.
+    val eattrsCanon = coalesce(
+      to_json(map_from_entries(array_sort(map_entries(col("eattrs"))))), lit(""))
+    val dedupedOld = edgesN
+      .groupBy("src", "dst", "rel")
+      .agg(min_by(col("eattrs"), eattrsCanon).as("eattrs"))
+    val e2 = dedupedOld.alias("o")
       .join(newE.alias("n"), Seq("src", "dst", "rel"), "full_outer")
       .select(col("src"), col("dst"), col("rel"),
         coalesce(col("o.eattrs"), col("n.eattrs")).as("eattrs"))

@@ -117,7 +117,18 @@ object Sampling {
     * partitioning (range bounds are sampled), and the per-partition passes
     * use the RDD's own `mapPartitionsWithIndex` index, not the stage
     * partition id (see packChunks' implementation note). NULL values
-    * count as 0 (the samplers never feed NULLs; documented for reuse). */
+    * count as 0 (the samplers never feed NULLs; documented for reuse).
+    *
+    * Eager-execution / fault-tolerance trade (same as packChunks):
+    * localCheckpoint runs the upstream plan NOW, truncates lineage, and
+    * pins the materialized blocks to executor memory/disk — an executor
+    * loss after the checkpoint is unrecoverable (localCheckpoint is
+    * explicitly not fault-tolerant) and the pinned corpus consumes
+    * cluster storage for the duration of the call. On a production
+    * multi-tenant cluster, prefer `spark.sparkContext.setCheckpointDir`
+    * + `.checkpoint()` (reliable storage, survives executor loss) for
+    * the pinning step, at the cost of one distributed write — the range
+    * bounds only need to be pinned, not fast. */
   private[llm] def stratumCumSum(df: DataFrame, stratumCol: String,
                                  idCol: String, value: Column,
                                  outCol: String): DataFrame = {

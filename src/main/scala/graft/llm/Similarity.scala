@@ -364,15 +364,32 @@ object Similarity {
     * lists, and the list scan is STATICALLY filtered to the union of
     * probed list ids — partition pruning reads only those directories.
     * Ranking is identical to [[ivfTopK]] (exact cosine within probed
-    * lists, ties to the lower neighbor id). */
+    * lists, ties to the lower neighbor id).
+    *
+    * Driver-side bound: the QUERY batch (not the corpus) collects to the
+    * driver so its probe expansion can be broadcast — correct for the
+    * serving contract (a query batch is small by definition) and guarded
+    * by `maxQueryRows` so an accidentally corpus-sized `queries` frame
+    * fails fast instead of silently OOMing the driver. For genuinely
+    * large query frames use [[ivfTopKFromIndexDistributed]], which never
+    * collects. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nprobe: Int = 4,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxQueryRows: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val qRows = queries.select(col(idCol).cast("long"),
-      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
+    val qSel = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    // count BEFORE collect — the guard must fire before the driver tries
+    // to hold the batch, not after
+    val qCount = qSel.count()
+    require(qCount <= maxQueryRows,
+      s"query batch has $qCount rows > maxQueryRows=$maxQueryRows " +
+        "(driver-side probe expansion); use ivfTopKFromIndexDistributed " +
+        "for corpus-sized query frames")
+    val qRows = qSel.collect()
     val probes = qRows.flatMap { case (qid, vf) =>
       val v = vf.map(_.toDouble)
       centroids.indices
@@ -390,6 +407,49 @@ object Similarity {
     spark.read.parquet(s"$path/lists")
       .filter(col("list").isin(probedLists: _*)) // static partition pruning
       .join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** [[ivfTopKFromIndex]] for DataFrame-sized query batches: the query
+    * frame never touches the driver. Centroids (nlist rows — tiny by
+    * construction) broadcast to executors; each query computes its own
+    * `nprobe` nearest lists inside `flatMap`, and the probe frame joins
+    * the list scan on `list`. Probe selection and ranking are bit-for-bit
+    * the collected path's (same sort key, same tie-break — LlmSpec asserts
+    * result equality), so either path serves the same answers.
+    *
+    * Scale trade vs the collected path: probed list ids are not known at
+    * plan time, so the list scan cannot be STATICALLY pruned — but a
+    * corpus-sized query batch probes essentially every list anyway, and
+    * the join is a plain equi-join on `list` (shuffle or broadcast per
+    * AQE), never |queries|×|corpus|. Use the collected variant for small
+    * serving batches (pruned scan), this one for bulk scoring. */
+  def ivfTopKFromIndexDistributed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    if (centroids.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+      .flatMap { case (qid, vf) =>
+        val cs = bcCentroids.value
+        val v = vf.map(_.toDouble)
+        cs.indices
+          .sortBy(c => (-dotOf(v, cs(c)) /
+            (normOf(v) * math.max(normOf(cs(c)), 1e-12)), c))
+          .take(nprobe).map(list => (qid, vf, list))
+      }.toDF("qid", "qvec", "list")
+    spark.read.parquet(s"$path/lists")
+      .join(probes, Seq("list")).filter(col("qid") =!= col("nid"))
       .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))

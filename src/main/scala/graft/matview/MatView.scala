@@ -1,7 +1,7 @@
 package graft.matview
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, If, IsNotNull, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -115,6 +115,38 @@ object MatView {
       case _ => None
     }
 
+  /** [[flatten]] variant for the FILTERED containment route: instead of
+    * rejecting user filters, COLLECT their conjuncts for rewriting against
+    * the summary. By the time the rule runs (extraOptimizations), a user's
+    * `WHERE r_name = 'EUROPE'` has been pushed below the joins onto the
+    * leaf scans, so predicates are gathered from ANY depth. IsNotNull
+    * conjuncts over join-CONDITION columns are absorbed (the view's inner
+    * join already implies them — same contract as flatten); every other
+    * conjunct, including a user's own IS NOT NULL on a non-join column,
+    * is returned and must rewrite against the summary or the route is
+    * abandoned. */
+  private def flattenCollect(plan: LogicalPlan, joinCols: Set[String])
+      : Option[(Set[String], Set[(String, String)], Seq[Expression])] = plan match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      flattenCollect(child, joinCols)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      flattenCollect(f.child, joinCols).map { case (l, c, p) =>
+        val kept = conjuncts(f.condition).filterNot {
+          case IsNotNull(a: AttributeReference) => joinCols.contains(a.name)
+          case _ => false
+        }
+        (l, c, p ++ kept)
+      }
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      for ((ll, lc, lp) <- flattenCollect(j.left, joinCols);
+           (rl, rc, rp) <- flattenCollect(j.right, joinCols))
+        yield (ll ++ rl, lc ++ rc ++ condKey(j), lp ++ rp)
+    case leaf if leaf.children.isEmpty =>
+      Some((Set(leaf.canonicalized.toString), Set.empty, Nil))
+    case _ => None
+  }
+
   private def condKey(j: Join): Set[(String, String)] =
     j.condition.toSeq.flatMap(_.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
@@ -182,8 +214,34 @@ object MatView {
     * absorbs the pruning Projects that make coarser queries structurally
     * different from the view. */
   private def substituteCoarse(a: Aggregate, e: AggEntry): Option[LogicalPlan] = {
-    if (e.childKey.isEmpty || flatten(a.child).map {
-        case (l, c) => Key(l, c) } != e.childKey) return None
+    if (e.childKey.isEmpty) return None
+    val key = e.childKey.get
+    val joinCols = key.cond.flatMap { case (x, y) => Seq(x, y) }
+    val flat = flattenCollect(a.child, joinCols)
+    if (flat.isEmpty) return None
+    val (leaves, conds, preds) = flat.get
+    if (Key(leaves, conds) != key) return None
+    // FILTER containment: a deterministic predicate referencing only the
+    // summary's GROUPING KEYS selects whole groups — filtering the
+    // summary's rows on the rewritten predicate keeps exactly the fact
+    // rows the original filter kept (the summary has one row per distinct
+    // key combination). Each conjunct rewrites by substituting every
+    // subexpression matching a grouping-key sqlKey with the summary
+    // column; any residual fact-side reference (a non-key column) or
+    // nondeterminism abandons the route → facts.
+    val rewrittenPreds = preds.map { p =>
+      val out = p.transformUp {
+        case ex if e.groupMap.contains(sqlKey(ex)) => e.groupMap(sqlKey(ex))
+      }
+      if (out.deterministic &&
+          out.references.subsetOf(AttributeSet(e.replacement.output))) Some(out)
+      else None
+    }
+    if (rewrittenPreds.exists(_.isEmpty)) return None
+    val source: LogicalPlan =
+      if (rewrittenPreds.isEmpty) e.replacement
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        rewrittenPreds.map(_.get).reduce(And), e.replacement)
     val newGrouping = a.groupingExpressions.map(g => e.groupMap.get(sqlKey(g)))
     if (newGrouping.exists(_.isEmpty)) return None
     val newList = a.aggregateExpressions.map { ne =>
@@ -237,7 +295,7 @@ object MatView {
       rewritten.map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
     if (newList.exists(_.isEmpty)) None
-    else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), e.replacement))
+    else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), source))
   }
 
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -306,9 +364,14 @@ object MatView {
     *     the summary's keys (including the global aggregate) whose every
     *     output re-aggregates from stored columns — count→sum of counts,
     *     sum/min/max→same, avg→Σsum/Σcount when both are stored —
-    *     answers by re-aggregating the summary, zero fact rows. distinct /
-    *     filtered aggregates, avg without its matching count, and decimal
-    *     sums recompute from facts (only their verbatim repeats route).
+    *     answers by re-aggregating the summary, zero fact rows. A WHERE
+    *     over the summary's GROUPING KEYS (equality, comparisons, any
+    *     deterministic predicate — `GROUP BY n_name WHERE r_name =
+    *     'EUROPE'`) also routes: key predicates select whole groups, so
+    *     the summary is filtered before re-aggregating — still zero fact
+    *     rows. distinct / filtered aggregates, avg without its matching
+    *     count, decimal sums, and predicates touching NON-key columns
+    *     recompute from facts (only their verbatim repeats route).
     *
     * Register the aggregate view EITHER over base tables OR over a
     * registered join view's tables, not both at once: the join rule
@@ -333,26 +396,35 @@ object MatView {
     // containment metadata: the child's structural identity plus
     // name-keyed output→summary-column maps (positional zip: replacement
     // column i stores view output i)
-    val childKey = flatten(agg.child).map { case (l, c) => Key(l, c) }
     val group = Map.newBuilder[String, Attribute]
     val aggs = Map.newBuilder[String, Attribute]
+    val seenKeys = scala.collection.mutable.Set.empty[String]
+    var keysCollide = false
     agg.aggregateExpressions.zip(replacement.output).foreach { case (ne, attr) =>
-      ne match {
-        case al: Alias => al.child match {
-          case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
-            aggs += sqlKey(ae.aggregateFunction) -> attr
-          // distinct/filtered/composite aggregate outputs register in
-          // NEITHER map — they are not grouping keys (treating one as a
-          // group column would bind the summary attribute outside an
-          // aggregate: invalid plan, or silently wrong reuse of
-          // per-fine-group distinct counts) and not re-aggregable
-          case other if !containsAgg(other) => group += sqlKey(other) -> attr
-          case _ => ()
-        }
+      val inner = ne match { case al: Alias => al.child; case x => x }
+      // sqlKey is NAME-based: two outputs whose .sql strings render
+      // identically (e.g. same-named attributes from different join sides,
+      // qualifiers erased) would overwrite each other last-wins and a
+      // coarser query could silently re-aggregate the WRONG column. Any
+      // collision disables containment for this entry entirely (childKey
+      // = None below); the exact-match route is canonical-plan-keyed and
+      // stays safe.
+      if (!seenKeys.add(sqlKey(inner))) keysCollide = true
+      inner match {
+        case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+          aggs += sqlKey(ae.aggregateFunction) -> attr
+        // distinct/filtered/composite aggregate outputs register in
+        // NEITHER map — they are not grouping keys (treating one as a
+        // group column would bind the summary attribute outside an
+        // aggregate: invalid plan, or silently wrong reuse of
+        // per-fine-group distinct counts) and not re-aggregable
         case other if !containsAgg(other) => group += sqlKey(other) -> attr
         case _ => ()
       }
     }
+    val childKey =
+      if (keysCollide) None
+      else flatten(agg.child).map { case (l, c) => Key(l, c) }
     mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement,
       childKey, group.result(), aggs.result()))
     installRule(spark)

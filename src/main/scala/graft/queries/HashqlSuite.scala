@@ -251,6 +251,39 @@ object HashqlSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)),
 
+    // FILTER-containment routing (the other half of rollup serving): a
+    // subset group-by WITH a predicate on a summary grouping key answers
+    // by FILTERING the summary then re-aggregating — zero fact rows
+    // (plan-asserted in MatViewSpec). The reference's create-join read
+    // path (server.py:806-894) is the spiritual ancestor: reads served
+    // from maintained state, not recomputed from base rows.
+    "matview_route_filtered" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, max, min}
+        def base = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        val summary = base.groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvf").toString
+        graft.matview.MatView.materializeAggregate(s, "filt_tmp", summary, s"$tmp/view")
+        val q = base.filter(col("r_name") === "EUROPE").groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res) // summary filtered + re-aggregated
+        graft.matview.MatView.drop(s, "filt_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name""".stripMargin)),
+
     // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
     // materialized, then a later dialect SELECT over the same join answers
     // from the pre-joined parquet (zero Join nodes — asserted in

@@ -461,12 +461,16 @@ object Streams {
   final case class FunnelEvent(user_id: Long, event_type: String, ts_millis: Long)
   final case class FunnelStage(user_id: Long, stage: Int)
 
-  /** Streaming funnel — the incremental twin of the batch `time_funnel`
-    * cascade (view → click → purchase, each step strictly after the
-    * previous step's FIRST occurrence): per-user state is just the three
-    * step timestamps (≤ 24 bytes/user), updated by mapGroupsWithState;
-    * every batch emits the user's CURRENT furthest stage, so the sink
-    * upserts per user.
+  /** DEFAULT streaming funnel = [[funnelStreamBounded]] (watermark-bounded
+    * state). This NoTimeout variant is the explicit OPT-IN for small,
+    * known-bounded user cardinality: per-user state NEVER expires, so the
+    * state store grows with total distinct users forever — a funnel over
+    * 100 TB of events must use the bounded twin. What the opt-in buys:
+    * per-batch running upgrades (the sink upserts the user's CURRENT
+    * furthest stage each batch) instead of Append-mode finals, and no
+    * fresh-cascade restarts after quiet periods. Per-user state is just
+    * the step timestamps (≤ 8×8 bytes/user), updated by
+    * mapGroupsWithState.
     *
     * Semantics note (documented divergence from batch): within a
     * micro-batch, events replay in ts order, so per-user in-order
@@ -475,11 +479,9 @@ object Streams {
     * the same events). Under DISORDER the stream can understate the
     * batch stage: a step event rejected because its predecessor hadn't
     * arrived yet is discarded, and the late predecessor cannot re-admit
-    * it (only events still to come count). State never expires here — the
-    * exact-small-cardinality option; at 100 TB user cardinality use
-    * [[funnelStreamBounded]], whose state expires with the watermark. */
-  def funnelStream(events: Dataset[FunnelEvent],
-                   steps: Seq[String]): Dataset[FunnelStage] = {
+    * it (only events still to come count). */
+  def funnelStreamUnboundedState(events: Dataset[FunnelEvent],
+                                 steps: Seq[String]): Dataset[FunnelStage] = {
     require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
@@ -503,20 +505,26 @@ object Streams {
       }
   }
 
-  /** Watermark-BOUNDED funnel — the scale-safe twin of [[funnelStream]]
-    * (the sessionize pattern, EventTimeTimeout): per-user state expires
-    * once the event-time watermark passes the user's last activity +
+  /** Watermark-BOUNDED funnel — the DEFAULT streaming funnel (the
+    * sessionize pattern, EventTimeTimeout): per-user state expires once
+    * the event-time watermark passes the user's last activity +
     * `horizonMillis`, at which point the user's FINAL stage is emitted and
     * the state removed. The state store is bounded by users active within
     * one horizon of the watermark — not total user cardinality, which is
-    * what makes a forever-running funnel possible at 100 TB.
+    * what makes a forever-running funnel possible at 100 TB. Reach for
+    * [[funnelStreamUnboundedState]] only when user cardinality is known
+    * small and per-batch running upgrades are required.
     *
     * Trade vs the NoTimeout variant (same trade as [[dedupStream]]):
     * output is Append-mode finals (one row per user per quiet period)
     * instead of per-batch running upgrades, and events arriving after
-    * their user's state expired start a FRESH cascade — in-horizon
-    * activity matches the batch `time_funnel` cascade exactly
-    * (StreamsSpec equivalence test). */
+    * their user's state expired start a FRESH cascade. In-horizon
+    * activity matches the batch `time_funnel` cascade when each user's
+    * events arrive in ts order ACROSS micro-batches (the StreamsSpec
+    * equivalence fixture); under cross-batch disorder the same caveat as
+    * the unbounded variant applies — a step event rejected because its
+    * predecessor hadn't arrived yet is discarded, and the late
+    * predecessor cannot re-admit it. */
   def funnelStreamBounded(events: Dataset[FunnelEvent], steps: Seq[String],
                           horizonMillis: Long): Dataset[FunnelStage] = {
     require(steps.nonEmpty && steps.size <= 8, s"1..8 funnel steps, got ${steps.size}")

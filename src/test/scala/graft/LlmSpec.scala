@@ -233,6 +233,30 @@ class LlmSpec extends SparkSpec {
     val none = Similarity.ivfTopKFromIndex(spark, dir,
       emb.filter(col("vec_id") < 0), k = 5, nprobe = 4)
     assert(none.columns.toSeq == Seq("qid", "nid", "cos", "rn") && none.isEmpty)
+    // the guard fails fast BEFORE the driver tries to hold the batch
+    val tooBig = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 4,
+        maxQueryRows = 3)
+    }
+    assert(tooBig.getMessage.contains("maxQueryRows"))
+  }
+
+  test("distributed IVF probe assignment matches the collected path with no driver collect of queries") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dist").toString + "/idx"
+    Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 2)
+    val collected = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val dist = Similarity.ivfTopKFromIndexDistributed(spark, dir, queries, k = 5, nprobe = 4)
+    assert(dist.as[(Long, Long, Double, Int)].collect().toSet == collected)
+    // the query frame stays distributed: its parquet scan must appear in
+    // the executed plan (the collected path replaces it with a local
+    // relation of driver-collected probe rows)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"probe assignment not executor-side:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"query batch was collected to the driver:\n$plan")
   }
 
   test("LSH-blocked embeddingNearDup: exact-scored subset with usable recall") {

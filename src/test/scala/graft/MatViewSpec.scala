@@ -194,6 +194,78 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cn_dist")
   }
 
+  test("filter-containment: WHERE on a grouping key filters the summary — zero fact rows; non-key filter falls back") {
+    val custNatReg = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val agg = custNatReg.groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"),
+        min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+    val out = java.nio.file.Files.createTempDirectory("mv_filt").toString
+    MatView.materializeAggregate(spark, "cn_filt", agg, out)
+    try {
+      // the other half of rollup serving: subset group-by + key filter
+      def q = custNatReg.filter(col("r_name") === "EUROPE")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"),
+          min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(out.split("/").last), s"no summary scan in:\n$plan")
+      assert(!plan.contains("Join"), s"filtered containment read fact rows:\n$plan")
+      val routed = q.as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+      // a comparison predicate on a key routes too
+      def qCmp = custNatReg.filter(col("n_name") >= "M").groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val cPlan = qCmp.queryExecution.executedPlan.toString
+      assert(cPlan.contains(out.split("/").last) && !cPlan.contains("Join"),
+        s"comparison key filter not routed:\n$cPlan")
+      val routedCmp = qCmp.as[(String, Long)].collect().toMap
+
+      // a filter on a NON-key column must keep reading fact rows
+      val qBad = custNatReg.filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      assert(qBad.queryExecution.executedPlan.toString.contains("Join"),
+        "non-key filter wrongly served from the summary")
+      qBad.collect() // and it still executes
+
+      MatView.drop(spark, "cn_filt")
+      val raw = q.as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(routed.keySet == raw.keySet, s"routed=$routed raw=$raw")
+      raw.foreach { case (k, (cnt, s, mn, mx)) =>
+        val (rc, rs, rmn, rmx) = routed(k)
+        assert(rc == cnt && rmn == mn && rmx == mx, s"$k: routed=${routed(k)} raw=${raw(k)}")
+        assert(math.abs(rs - s) <= math.max(1e-9, 1e-9 * math.abs(s)),
+          s"$k: sum drift beyond float association: $rs vs $s")
+      }
+      assert(routedCmp == qCmp.as[(String, Long)].collect().toMap)
+    } finally MatView.drop(spark, "cn_filt")
+  }
+
+  test("containment disabled when view outputs' sql renderings collide; exact repeat still routes") {
+    // the same aggregate registered twice under different aliases renders
+    // the same `sum(c_acctbal)` sqlKey — the name-keyed containment maps
+    // can't distinguish them, so containment must be OFF for this entry
+    val agg = custNation.groupBy(col("n_name"))
+      .agg(sum(col("c_acctbal")).as("s1"), sum(col("c_acctbal")).as("s2"))
+    val out = java.nio.file.Files.createTempDirectory("mv_collide").toString
+    MatView.materializeAggregate(spark, "cn_collide", agg, out)
+    try {
+      // a coarser ask must recompute from facts (no containment route)
+      val coarse = custNation.agg(sum(col("c_acctbal")).as("s1"))
+      assert(coarse.queryExecution.executedPlan.toString.contains("Join"),
+        "colliding-key entry wrongly served a containment query")
+      coarse.collect()
+      // the verbatim repeat still routes via the canonical exact path
+      val repeat = custNation.groupBy(col("n_name"))
+        .agg(sum(col("c_acctbal")).as("s1"), sum(col("c_acctbal")).as("s2"))
+      val rPlan = repeat.queryExecution.executedPlan.toString
+      assert(rPlan.contains(out.split("/").last) && !rPlan.contains("Join"),
+        s"exact repeat lost its route:\n$rPlan")
+    } finally MatView.drop(spark, "cn_collide")
+  }
+
   test("aggregate view: PERMUTED output aliases still get the right columns") {
     // view: (n_name, a=count, b=max); query swaps the aliases — by-name
     // substitution would silently wire a↔b; positional must not

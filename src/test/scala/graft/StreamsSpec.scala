@@ -424,11 +424,11 @@ class StreamsSpec extends SparkSpec {
     assert(rm == Set((1L, "removed"), (2L, "removed")))
   }
 
-  test("funnelStream tracks the batch funnel cascade across micro-batches") {
+  test("funnelStreamUnboundedState (opt-in) tracks the batch funnel cascade across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.{FunnelEvent, FunnelStage}
     val mem = MemoryStream[FunnelEvent]
-    val staged = Streams.funnelStream(mem.toDS(), Seq("view", "click", "purchase"))
+    val staged = Streams.funnelStreamUnboundedState(mem.toDS(), Seq("view", "click", "purchase"))
     val q = staged.writeStream.outputMode("update")
       .format("memory").queryName("funnel_out").start()
     def stages(): Map[Long, Int] =
