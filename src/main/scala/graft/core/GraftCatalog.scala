@@ -64,9 +64,12 @@ final class GraftCatalog(val spark: SparkSession) {
       else lit(null)))
   }
 
-  /** S3 DELETE as anti-filter. */
+  /** S3 DELETE as anti-filter. Only rows where the predicate is TRUE are
+    * deleted: a NULL predicate (dynamic-schema row missing the WHERE
+    * field) keeps the row, as SQL DELETE does — a bare `!where` would
+    * silently drop those rows too, because Filter discards NULL. */
   def delete(name: String, where: org.apache.spark.sql.Column): Unit =
-    tables += name -> table(name).filter(!where)
+    tables += name -> table(name).filter(!coalesce(where, lit(false)))
 
   /** Checkpoint a table's accumulated plan (row-at-a-time inserts build a
     * union per row; updates stack projections) to parquet and re-register

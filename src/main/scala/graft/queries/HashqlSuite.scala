@@ -62,6 +62,32 @@ object HashqlSuite extends Suite {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
              |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // HAVING (dialect growth): post-aggregation filter over the grouped
+    // frame; both the agg-call spelling (`having count(*) >= 30`) and the
+    // output-alias spelling (`having cnt >= 30`) resolve to the same
+    // predicate. Catalyst plans Filter-over-Aggregate (q_having proves
+    // the operator); grouping-key conjuncts would push below the agg.
+    "hashql_having" -> Q(
+      (s, d) => run(s, d,
+        "select count(*), max(customer.c_acctbal) from customer " +
+          "group by customer.c_nationkey having count(*) >= 30 and max(customer.c_acctbal) < 9990"),
+      Some("""SELECT c_nationkey, count(*) AS cnt, max(c_acctbal) AS max_c_acctbal
+             |FROM customer GROUP BY c_nationkey
+             |HAVING count(*) >= 30 AND max(c_acctbal) < 9990""".stripMargin)),
+
+    // DELETE (dialect growth; the reference clears KV ranges,
+    // client.py:204-212, but has no SQL DELETE): example.py people replay,
+    // the 29-year-olds deleted, survivors selected. Copy-on-write
+    // anti-filter underneath (GraftCatalog.delete) — only rows whose
+    // predicate is TRUE go; a NULL predicate row stays.
+    "hashql_delete_select" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat, "delete from people where people.age = 29")
+        HashQL.execute(cat, "select * from people").get
+      },
+      Some("SELECT * FROM (VALUES (2, 'Fred', 45)) AS t(id, people_name, age)")),
+
     // ORDER BY + LIMIT (dialect growth): plans as TakeOrderedAndProject —
     // per-partition top-k, driver merge, never a global sort
     // (HashQLSpec plan-shape assertion). Tie-broken on the unique key so

@@ -16,11 +16,13 @@ import graft.fts.Fts
   * {{{
   *   insert into t (f, g) values ('s', 2)
   *   update t set t.f = v where t.g = w [and …]
+  *   delete from t [where t.g = w [and …]]
   *   select t.a, u.b | * | count(*) from t
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f ~ 'tok1 & tok2 | tok3' [and …]]
   *     [group by t.f [, t.g …]]
+  *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [order by t.f [asc|desc] [, …]] [limit n]
   *   create join inner join a on a.x = b.y [inner join …]*
   * }}}
@@ -51,17 +53,33 @@ object HashQL {
   final case class Cmp(ref: ColRef, op: String, value: Any) extends Pred
   final case class FtsMatch(ref: ColRef, query: String) extends Pred
 
+  /** HAVING conjunct: `column` addresses an OUTPUT column of the
+    * aggregated frame — the auto-alias of an agg call (`cnt`, `sum_x`) or
+    * a grouping column; the parser maps `count(*)`/`sum(t.f)`/… spellings
+    * to those aliases, so `having count(*) > 2` and `having cnt > 2` are
+    * the same predicate. */
+  final case class HavingPred(column: String, op: String, value: Any)
+
   sealed trait Stmt
   final case class Insert(table: String, fields: Seq[String], values: Seq[Any]) extends Stmt
   final case class Update(table: String, set: (ColRef, Any), wheres: Seq[Pred]) extends Stmt
-  /** orderBy: (column, descending) pairs; limit: row cap. Both growth
-    * beyond the reference (its SQL surface has no sorts — ordering exists
-    * only on the KV surface, server.py:126) — the first thing an
-    * interactive dialect user asks for, and the engine already proves the
-    * top-k operator (TakeOrderedAndProject, q_topk). */
+  /** `delete from t where …` — dialect growth (the reference clears whole
+    * KV ranges, client.py:204-212, but its SQL stops at SELECT/INSERT/
+    * UPDATE/CREATE JOIN); lowers to [[GraftCatalog.delete]] (copy-on-write
+    * anti-filter) + registry invalidation, symmetric with Update. An
+    * omitted WHERE deletes every row (the table stays registered). */
+  final case class Delete(table: String, wheres: Seq[Pred]) extends Stmt
+  /** orderBy: (column, descending) pairs; limit: row cap; having:
+    * post-aggregation conjuncts. All growth beyond the reference (its SQL
+    * surface has no sorts or HAVING — ordering exists only on the KV
+    * surface, server.py:126) — the first things an interactive dialect
+    * user asks for, and the engine already proves the operators
+    * (TakeOrderedAndProject via q_topk, aggregate-then-filter via
+    * q_having). */
   final case class Select(items: Seq[SelectItem], table: String,
                           joins: Seq[(String, ColRef, ColRef)], wheres: Seq[Pred],
                           groupBy: Seq[ColRef],
+                          having: Seq[HavingPred] = Nil,
                           orderBy: Seq[(ColRef, Boolean)] = Nil,
                           limit: Option[Int] = None) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
@@ -134,6 +152,7 @@ object HashQL {
     def stmt(): Stmt = next().toLowerCase match {
       case "insert" => kw("into"); insertRest()
       case "update" => updateRest()
+      case "delete" => kw("from"); deleteRest()
       case "select" => selectRest()
       case "create" => kw("join"); createJoinRest()
       case other => throw new IllegalArgumentException(s"unsupported statement: $other")
@@ -157,6 +176,12 @@ object HashQL {
       val ref = colRef(); kw("="); val v = literal()
       val wheres = if (is("where")) { next(); preds() } else Nil
       Update(table, (ref, v), wheres)
+    }
+
+    private def deleteRest(): Delete = {
+      val table = next()
+      val wheres = if (is("where")) { next(); preds() } else Nil
+      Delete(table, wheres)
     }
 
     private def preds(): Seq[Pred] = {
@@ -200,6 +225,21 @@ object HashQL {
         while (is(",")) { next(); gs += colRef() }
         gs.toSeq
       } else Nil
+      val having = if (is("having")) {
+        next()
+        val hs = scala.collection.mutable.ArrayBuffer.empty[HavingPred]
+        var m = true
+        while (m) {
+          val target = havingTarget()
+          val op = next() match {
+            case o @ ("=" | "<" | ">" | "<=" | ">=") => o
+            case o => throw new IllegalArgumentException(s"unsupported having op: $o")
+          }
+          hs += HavingPred(target, op, literal())
+          if (is("and")) next() else m = false
+        }
+        hs.toSeq
+      } else Nil
       val orderBy = if (is("order")) {
         next(); kw("by")
         val obs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Boolean)]
@@ -223,8 +263,24 @@ object HashQL {
         require(t.matches("[0-9]+"), s"limit expects a number, got $t")
         Some(t.toInt)
       } else None
-      Select(items.toSeq, table, joins.toSeq, wheres, groupBy, orderBy, limit)
+      Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy, limit)
     }
+
+    /** A HAVING target resolves to an OUTPUT column name: agg-call
+      * spellings map to the same auto-aliases the projection generates
+      * (`count(*)`→cnt, `sum(t.f)`→sum_f, …), a `t.f` grouping column to
+      * its bare name, and a bare identifier passes through (addressing an
+      * alias directly). */
+    private def havingTarget(): String =
+      if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); "cnt" }
+      else if (Seq("sum", "avg", "min", "max").exists(is)) {
+        val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
+        s"${fn}_${r.column}"
+      } else {
+        val t = next()
+        val i = t.indexOf('.')
+        if (i > 0) t.substring(i + 1) else t
+      }
 
     private def createJoinRest(): CreateJoin = {
       val clauses = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
@@ -342,10 +398,14 @@ object HashQL {
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
         cat.update(t, ref.column, v, cond)
         registry.foreach(_.invalidateTable(t)); None
+      case Delete(t, wheres) =>
+        val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
+        cat.delete(t, cond)
+        registry.foreach(_.invalidateTable(t)); None
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None
-      case Select(items, table, joins, wheres, groupBy, orderBy, limit) =>
+      case Select(items, table, joins, wheres, groupBy, having, orderBy, limit) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -422,14 +482,29 @@ object HashQL {
               else df.select(cols.map(col): _*).na.drop("any", cols)
             }
         }
+        // HAVING filters the aggregated frame's OUTPUT columns (Catalyst
+        // plans it as Filter-over-Aggregate and pushes grouping-key
+        // conjuncts below the aggregation — the same plan q_having
+        // proves); aggregates referenced in HAVING must appear in the
+        // select list (that is what names them).
+        val havinged = having.foldLeft(out) { (d, h) =>
+          val c = col(h.column)
+          d.filter(h.op match {
+            case "=" => c === lit(h.value)
+            case "<" => c < lit(h.value)
+            case ">" => c > lit(h.value)
+            case "<=" => c <= lit(h.value)
+            case ">=" => c >= lit(h.value)
+          })
+        }
         // ORDER BY / LIMIT on the projected frame: sort keys address
         // output columns (aliases included — `cnt`, `sum_x`, doc-path leaf
         // names). ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
         // partition top-k + driver merge — no global sort at any scale);
         // a bare LIMIT is a CollectLimit.
         val ordered =
-          if (orderBy.isEmpty) out
-          else out.orderBy(orderBy.map { case (r, desc) =>
+          if (orderBy.isEmpty) havinged
+          else havinged.orderBy(orderBy.map { case (r, desc) =>
             if (desc) col(r.column).desc else col(r.column).asc }: _*)
         Some(limit.fold(ordered)(ordered.limit))
     }

@@ -105,6 +105,43 @@ class HashQLSpec extends SparkSpec {
       .forall { case (_, c) => c == 2L })
   }
 
+  test("having filters the aggregated frame; agg-call and alias spellings agree") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10), ("a", 20), ("b", 5), ("b", 6), ("b", 7), ("c", 100))
+      .foreach { case (g, v) =>
+        HashQL.execute(cat, s"insert into h (grp, v) values ('$g', $v)") }
+    val byCall = HashQL.execute(cat,
+      "select count(*), sum(h.v) from h group by h.grp having count(*) >= 2 and sum(h.v) < 31").get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byCall.toSeq.sorted == Seq(("a", 2L, 30L), ("b", 3L, 18L)))
+    val byAlias = HashQL.execute(cat,
+      "select count(*), sum(h.v) from h group by h.grp having cnt >= 2 and sum_v < 31").get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byAlias.toSeq.sorted == byCall.toSeq.sorted)
+    // having composes with order by + limit on the filtered frame
+    val top = HashQL.execute(cat,
+      "select count(*) from h group by h.grp having count(*) >= 2 order by cnt desc limit 1").get
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("b", 3L)))
+    // unsupported op rejected cleanly
+    intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select count(*) from h group by h.grp having count(*) ~ 'x'"))
+  }
+
+  test("delete removes only predicate-TRUE rows; NULL-predicate rows stay") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into p (name, age) values ('Ted', 29)")
+    HashQL.execute(cat, "insert into p (name, age) values ('Fred', 45)")
+    HashQL.execute(cat, "insert into p (name) values ('NoAge')") // age is NULL
+    HashQL.execute(cat, "delete from p where p.age = 29")
+    // Ted (TRUE) deleted; Fred (FALSE) and NoAge (NULL — dynamic-schema
+    // row missing the field) both survive, as SQL DELETE requires
+    assert(cat.table("p").select("name").as[String].collect().toSet ==
+      Set("Fred", "NoAge"))
+    HashQL.execute(cat, "delete from p") // no WHERE ⇒ everything goes
+    assert(cat.table("p").count() == 0L)
+  }
+
   test("order by + limit plans TakeOrderedAndProject, never a global sort") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 3L), ("b", 1L), ("c", 7L), ("d", 5L), ("e", 2L))
