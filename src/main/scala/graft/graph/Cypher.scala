@@ -7,7 +7,16 @@ package graft.graph
   *
   * Grammar (case-insensitive keywords, as the reference):
   * {{{
-  *   stmt    := MATCH chains RETURN ret (, ret)*   |  MERGE chains
+  *   stmt    := MATCH chains [WHERE cond (AND cond)*] RETURN ret (, ret)*
+  *            |  MERGE chains
+  *   cond    := var.attr (= | < | > | <= | >=) ('v' | n)
+  *              // WHERE (growth — the reference's grammar has no WHERE,
+  *              // cypher.py): inequality/range predicates over node or
+  *              // edge attributes, beyond the attr-map equality patterns.
+  *              // A numeric literal compares numerically (the attr string
+  *              // casts to long — HashQL's coercion rule); a quoted
+  *              // literal compares as a string. var.name addresses the
+  *              // node identity itself.
   *   chains  := chain (, chain)*
   *   chain   := node (edge node)*
   *   edge    := -[relpat]->  |  <-[relpat]-  |  -[relpat]-
@@ -64,8 +73,14 @@ object Cypher {
     * the node's WHOLE attribute map (`properties(n)` — attr = Some("*"),
     * the reference's RETURN-of-node-dicts, client.py:1201-1219). */
   final case class Ret(variable: String, attr: Option[String])
+  /** WHERE conjunct (growth): `variable.attr op value`. `value` is Long
+    * for a numeric literal (numeric comparison — the attr casts to long,
+    * HashQL's coercion rule) or String for a quoted one; `attr` "name" on
+    * a node variable addresses the identity itself. */
+  final case class Where(variable: String, attr: String, op: String, value: Any)
   sealed trait Stmt
-  final case class Match(chains: Seq[Chain], returns: Seq[Ret]) extends Stmt
+  final case class Match(chains: Seq[Chain], returns: Seq[Ret],
+                         wheres: Seq[Where] = Nil) extends Stmt
   final case class Merge(chain: Chain) extends Stmt
 
   def parse(input: String): Stmt = new P(input).stmt()
@@ -101,12 +116,39 @@ object Cypher {
     def stmt(): Stmt = keyword() match {
       case "match" =>
         val cs = chains()
-        require(keyword() == "return", "expected RETURN")
+        var k = keyword()
+        val conds = scala.collection.mutable.ArrayBuffer.empty[Where]
+        if (k == "where") {
+          var more = true
+          while (more) {
+            val v = ident(); eat('.'); val a = ident()
+            conds += Where(v, a, operator(), { ws()
+              if (peek == '\'') quoted() else int().toLong })
+            k = keyword()
+            more = k == "and"
+          }
+        }
+        require(k == "return", "expected RETURN")
         val rets = scala.collection.mutable.ArrayBuffer(ret())
         while (tryEat(',')) rets += ret()
-        Match(cs, rets.toSeq)
+        Match(cs, rets.toSeq, conds.toSeq)
       case "merge" => Merge(chains().head)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
+    }
+
+    /** WHERE comparison operator; `<>` dies with a clear unsupported-op
+      * error (same courtesy as HashQL's lexer) rather than mis-parsing. */
+    private def operator(): String = {
+      ws()
+      val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+      if (two == "<=" || two == ">=") { i += 2; two }
+      else if (two == "<>") throw new IllegalArgumentException(
+        s"unsupported where op <> at $i in: $s")
+      else peek match {
+        case c @ ('=' | '<' | '>') => i += 1; c.toString
+        case c => throw new IllegalArgumentException(
+          s"unsupported where op at $i: $c in: $s")
+      }
     }
 
     private def ret(): Ret = {

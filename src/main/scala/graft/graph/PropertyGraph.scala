@@ -140,7 +140,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * either orientation (a union of both before the join — final RETURN
     * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
-    case Cypher.Match(chains, returns) =>
+    case Cypher.Match(chains, returns, wheres) =>
       var anon = 0
       def varOf(p: Cypher.NodePat): String =
         p.variable.getOrElse { anon += 1; s"__anon$anon" }
@@ -166,9 +166,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
             s"edge variable '$v' supports $v.attr and properties($v) returns only")
         case _ => ()
       }
-      val edgeAttrNeeds: Map[String, Seq[String]] = returns.collect {
+      // WHERE conjuncts (growth — the reference grammar has no WHERE)
+      // reference bound node or edge variables; edge-var predicates need
+      // their attr carried out of the hop like edge-attr RETURNs do
+      wheres.foreach { w =>
+        require(nodeVarSet(w.variable) || edgeVars(w.variable),
+          s"WHERE references unbound variable '${w.variable}'")
+      }
+      val edgeAttrNeeds: Map[String, Seq[String]] = (returns.collect {
         case Cypher.Ret(v, Some(a)) if edgeVars(v) && a != "*" => (v, a)
-      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      } ++ wheres.collect {
+        case Cypher.Where(v, a, _, _) if edgeVars(v) => (v, a)
+      }).groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       // properties(e): carry the matched edge's STORED (src, dst) out of
       // the hop — the same row in either orientation of an undirected
       // match — and re-join eattrs on it after the distinct.
@@ -249,14 +258,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       }
 
       var out = acc.get
-      // attribute RETURNs need the vertex row back: join attrs on per-var
-      // name once per distinct variable addressed with `.attr`.
-      val attrVars = returns.collect {
+      // attribute RETURNs and node-var WHERE conjuncts need the vertex row
+      // back: join attrs on per-var name once per distinct variable
+      // addressed with `.attr` (or filtered on a non-name attribute).
+      val attrVars = (returns.collect {
         case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" && !edgeVars(v) => v
-      }.distinct
+      } ++ wheres.collect {
+        case Cypher.Where(v, a, _, _) if !edgeVars(v) && a != "name" => v
+      }).distinct
       attrVars.foreach { v =>
         out = out.join(
           vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")), v)
+      }
+      // WHERE: post-bind filters (Catalyst pushes an attr predicate through
+      // the inner attrs-join into the vertices scan, so at scale this is a
+      // scan-side filter on the vertex side, not a post-join sieve). A
+      // numeric literal compares numerically via try_cast-to-long — NULL
+      // for a missing or NON-numeric attr, so such rows drop (a plain
+      // ANSI cast would throw mid-scan on the first non-numeric value).
+      wheres.foreach { w =>
+        val target =
+          if (edgeVars(w.variable)) col(s"${w.variable}_${w.attr}")
+          else if (w.attr == "name") col(w.variable)
+          else col(s"__attrs_${w.variable}").getItem(w.attr)
+        val c = w.value match { case _: Long => target.try_cast("long"); case _ => target }
+        out = out.filter(w.op match {
+          case "=" => c === lit(w.value)
+          case "<" => c < lit(w.value)
+          case ">" => c > lit(w.value)
+          case "<=" => c <= lit(w.value)
+          case ">=" => c >= lit(w.value)
+        })
       }
       val nodeMapVars = returns.collect {
         case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct
@@ -360,8 +392,12 @@ object PropertyGraph {
     val v =
       customer.select(concat(lit("customer:"), col("c_custkey")).as("name"),
         lit("Customer").as("label"),
+        // attrs are strings (the reference's node dicts hold strings);
+        // c_nationkey rides along so numeric WHERE comparisons have a
+        // castable attribute to range over (cypher_where)
         map(lit("c_name"), col("c_name"),
-          lit("c_mktsegment"), col("c_mktsegment")).as("attrs"))
+          lit("c_mktsegment"), col("c_mktsegment"),
+          lit("c_nationkey"), col("c_nationkey").cast("string")).as("attrs"))
       .unionByName(nation.select(concat(lit("nation:"), col("n_name")).as("name"),
         lit("Nation").as("label"),
         map(lit("n_name"), col("n_name")).as("attrs")))

@@ -124,6 +124,22 @@ object GraphSuite extends Suite {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
 
+    // WHERE clause (growth — the reference grammar has no WHERE,
+    // cypher.py): inequality/range predicates over bound-node attributes,
+    // compiled to post-bind filters Catalyst pushes into the vertex scan.
+    // Numeric literals compare numerically (attr string casts to long —
+    // HashQL's coercion rule), quoted ones as strings.
+    "cypher_where" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) " +
+          "where c.c_nationkey >= 20 and c.c_nationkey < 23 and c.c_mktsegment = 'BUILDING' " +
+          "return c, n.n_name"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  n_name AS n_n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_nationkey >= 20 AND c_nationkey < 23
+             |  AND c_mktsegment = 'BUILDING'""".stripMargin)),
+
     // G1 attr-map MERGE identity (round-3 gap): nodes merged WITHOUT a
     // 'name' attribute — identity is the full attribute map, the
     // reference's general MERGE semantics (client.py:841-889). One region

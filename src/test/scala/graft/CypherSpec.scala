@@ -9,7 +9,7 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: match with label + attribute map (cypher_test.py:3-22)") {
     val q = "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) return actor"
-    val Cypher.Match(chains, returns) = Cypher.parse(q): @unchecked
+    val Cypher.Match(chains, returns, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
     assert(chains.size == 1)
     val ch = chains.head
@@ -21,12 +21,12 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: keywords case-insensitive (cypher_test.py:25-45)") {
     val q = "MATCH (actor)-[:ACTED_IN]->(w:Movie {title: 'Wall Street'}) RETURN actor"
-    val Cypher.Match(_, returns) = Cypher.parse(q): @unchecked
+    val Cypher.Match(_, returns, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
   }
 
   test("golden IR: edge directions and attribute RETURN items") {
-    val Cypher.Match(chains, returns) = Cypher.parse(
+    val Cypher.Match(chains, returns, _) = Cypher.parse(
       "match (n:Nation)<-[:IN]-(c:Customer)-[:KNOWS]-(o) return c, n.n_name, o.name"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("IN", Cypher.In), Cypher.Rel("KNOWS", Cypher.Both)))
@@ -60,7 +60,7 @@ class CypherSpec extends SparkSpec {
 
   test("properties(n) returns the whole attribute map; attr-map MERGE identity") {
     // parser: properties(n) → Ret(n, Some("*"))
-    val Cypher.Match(_, rets) = Cypher.parse(
+    val Cypher.Match(_, rets, _) = Cypher.parse(
       "match (r:Region) return properties(r), r.r_name"): @unchecked
     assert(rets == Seq(Cypher.Ret("r", Some("*")), Cypher.Ret("r", Some("r_name"))))
     // executor: nodes merged WITHOUT a name — identity = full attr map;
@@ -106,7 +106,7 @@ class CypherSpec extends SparkSpec {
   test("edge properties: parse, MERGE store + existing-wins, MATCH filter, e.attr RETURN") {
     import spark.implicits._
     // parser: variable + attrs on the edge, in every direction
-    val Cypher.Match(chains, rets) = Cypher.parse(
+    val Cypher.Match(chains, rets, _) = Cypher.parse(
       "match (a)-[e:R {w: '3'}]->(b) return a, e.w, b"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("R", Cypher.Out, 1, 1, Some("e"), Map("w" -> "3"))))
@@ -154,10 +154,10 @@ class CypherSpec extends SparkSpec {
 
   test("variable-length paths: parser forms, band semantics, direction flip") {
     // parser: *n and *m..n, on any direction
-    val Cypher.Match(cs, _) =
+    val Cypher.Match(cs, _, _) =
       Cypher.parse("match (a)-[:R*2]->(b) return a, b"): @unchecked
     assert(cs.head.rels == Seq(Cypher.Rel("R", Cypher.Out, 2, 2)))
-    val Cypher.Match(cs2, _) =
+    val Cypher.Match(cs2, _, _) =
       Cypher.parse("match (a)<-[:R*1..3]-(b) return a, b"): @unchecked
     assert(cs2.head.rels == Seq(Cypher.Rel("R", Cypher.In, 1, 3)))
     intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*3..2]->(b) return a"))
@@ -191,6 +191,44 @@ class CypherSpec extends SparkSpec {
     // ambiguous-reference crash downstream
     intercept[IllegalArgumentException](
       g.query("match (a)-[:R*1..2]->(a) return a"))
+  }
+
+  test("WHERE clause: parser goldens, numeric coercion, edge-var predicates") {
+    // parser: conjunctive WHERE between the pattern and RETURN; numeric
+    // literals parse as Long, quoted as String
+    val Cypher.Match(_, _, wheres) = Cypher.parse(
+      "match (n:Person) where n.age > 30 and n.city = 'Oslo' return n"): @unchecked
+    assert(wheres == Seq(
+      Cypher.Where("n", "age", ">", 30L), Cypher.Where("n", "city", "=", "Oslo")))
+    // <= / >= lex as one op; <> dies cleanly; unbound variable rejected
+    val Cypher.Match(_, _, w2) = Cypher.parse(
+      "match (n:P) where n.age <= 9 return n"): @unchecked
+    assert(w2 == Seq(Cypher.Where("n", "age", "<=", 9L)))
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (n:P) where n.age <> 9 return n"))
+
+    import spark.implicits._
+    val g = PropertyGraph.empty(spark)
+      .merge("merge (a:Person {'name': 'Ann', 'age': '31'})-[:KNOWS {'since': '2015'}]->(b:Person {'name': 'Bob', 'age': '25'})")
+      .merge("merge (a:Person {'name': 'Cid', 'age': '40'})-[:KNOWS {'since': '2021'}]->(b:Person {'name': 'Ann', 'age': '31'})")
+    intercept[IllegalArgumentException](
+      g.query("match (n:Person) where q.age > 30 return n"))
+    // numeric range over a node attribute (attr string casts to long)
+    assert(g.query("match (n:Person) where n.age > 30 return n")
+      .as[String].collect().toSet == Set("Ann", "Cid"))
+    // string compare + name addressing the identity itself
+    assert(g.query("match (n:Person) where n.name < 'B' return n")
+      .as[String].collect().toSet == Set("Ann"))
+    // WHERE over a hop: filter applies post-bind, edges unaffected
+    assert(g.query("match (a:Person)-[:KNOWS]->(b:Person) where b.age >= 30 return a, b")
+      .as[(String, String)].collect().toSet == Set(("Cid", "Ann")))
+    // edge-variable predicate: the attr is carried out of the hop even
+    // though RETURN never mentions it
+    assert(g.query("match (a)-[e:KNOWS]->(b) where e.since >= 2020 return a, b")
+      .as[(String, String)].collect().toSet == Set(("Cid", "Ann")))
+    // non-numeric attr under a numeric comparison drops the row (NULL),
+    // never errors
+    assert(g.query("match (n:Person) where n.name > 30 return n").count() == 0)
   }
 
   test("example.py four-triple MATCH over the MERGE corpus") {
