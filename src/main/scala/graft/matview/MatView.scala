@@ -430,6 +430,46 @@ object MatView {
     installRule(spark)
   }
 
+  /** Refresh a registered AGGREGATE view's stored summary IN PLACE from an
+    * already-computed frame — the read side of incremental maintenance
+    * (`graft.streaming.Streams.maintainAggregate` streams per-batch
+    * partials; `foldAggregate` folds them into the current summary; this
+    * lands the fold under the routed path without ever recomputing from
+    * facts). The routing metadata (canonical plan, containment key,
+    * output maps) is KEPT — only the replacement scan and its attribute
+    * references change — so exact-match and containment queries keep
+    * routing, now over the fresh rows.
+    *
+    * `summary` must carry the registered summary's exact column names in
+    * the same order (the fold does, by construction); the write is
+    * crash-safe via [[graft.sources.Sources.swapDir]] (the old scan reads
+    * `path` while the new contents land in the swap tmp). */
+  def refreshAggregate(spark: SparkSession, name: String, path: String,
+                       summary: DataFrame): Unit = {
+    val e = snapshot(spark).collectFirst {
+      case e: AggEntry if e.name == name => e
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no registered aggregate view: $name"))
+    val expected = e.replacement.output.map(_.name)
+    require(summary.columns.toSeq == expected,
+      s"refresh summary columns ${summary.columns.toSeq} != registered $expected")
+    graft.sources.Sources.swapDir(spark, path) { tmp =>
+      summary.write.mode("overwrite").parquet(tmp)
+    }
+    val replacement = spark.read.parquet(path).queryExecution.analyzed
+    // groupMap/aggMap hold the OLD scan's attributes — remap by name onto
+    // the fresh scan (names are unique: registration disabled containment
+    // on any collision, and exact-match substitution is positional)
+    val byName = replacement.output.map(a => a.name -> a).toMap
+    val refreshed = e.copy(replacement = replacement,
+      groupMap = e.groupMap.view.mapValues(a => byName(a.name)).toMap,
+      aggMap = e.aggMap.view.mapValues(a => byName(a.name)).toMap)
+    mutate(spark) { r =>
+      val i = r.indexWhere(_.name == name)
+      r(i) = refreshed
+    }
+  }
+
   /** Drop a view's routing (the parquet stays on disk). */
   def drop(spark: SparkSession, name: String): Unit =
     mutate(spark)(_.filterInPlace(_.name != name))

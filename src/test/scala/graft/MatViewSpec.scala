@@ -316,6 +316,48 @@ class MatViewSpec extends SparkSpec {
     } finally { MatView.drop(spark, "rf"); MatView.drop(spark, "rfa") }
   }
 
+  test("refreshAggregate swaps the summary in place; routes stay live over fresh rows") {
+    val agg = custNation.groupBy(col("n_name")).agg(
+      count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"))
+    val out = java.nio.file.Files.createTempDirectory("mv_refresh").toString
+    MatView.materializeAggregate(spark, "cn_refresh", agg, out)
+    try {
+      // simulate the maintenance fold: the stored summary plus a delta
+      // group (what Streams.foldAggregate would hand back after ingest)
+      val delta = Seq(("__NEW_NATION__", 3L, 123.45)).toDF("n_name", "cnt", "s")
+      val folded = spark.read.parquet(out).unionByName(delta)
+        .groupBy(col("n_name")).agg(sum(col("cnt")).as("cnt"), sum(col("s")).as("s"))
+      val before = spark.read.parquet(out).count()
+      MatView.refreshAggregate(spark, "cn_refresh", out, folded)
+      // exact-match route: the verbatim view reads the REFRESHED parquet
+      // (new group visible), zero aggregation re-run
+      def q = custNation.groupBy(col("n_name")).agg(
+        count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(out.split("/").last) && !plan.contains("Join"),
+        s"refreshed view not routed:\n$plan")
+      val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.contains("__NEW_NATION__") && rows("__NEW_NATION__") == 3L)
+      assert(rows.size == before + 1)
+      // containment route: the global rollup re-aggregates the REFRESHED
+      // summary (remapped attribute maps) — zero Join, delta included
+      def coarse = custNation.agg(count(lit(1)).as("cnt"))
+      val cPlan = coarse.queryExecution.executedPlan.toString
+      assert(cPlan.contains(out.split("/").last) && !cPlan.contains("Join"),
+        s"containment lost after refresh:\n$cPlan")
+      val total = coarse.as[Long].collect().head
+      MatView.drop(spark, "cn_refresh")
+      val rawTotal = custNation.agg(count(lit(1)).as("cnt")).as[Long].collect().head
+      assert(total == rawTotal + 3)
+      // schema contract: wrong column set is rejected before any write
+      MatView.materializeAggregate(spark, "cn_refresh", agg, out)
+      intercept[IllegalArgumentException](MatView.refreshAggregate(
+        spark, "cn_refresh", out, folded.withColumnRenamed("s", "wrong")))
+      intercept[IllegalArgumentException](MatView.refreshAggregate(
+        spark, "no_such_view", out, folded))
+    } finally MatView.drop(spark, "cn_refresh")
+  }
+
   test("a 4-way query containing the 3-way view routes the subtree only") {
     val custNationRegion = custNation
       .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
