@@ -8,7 +8,13 @@ package graft.graph
   * Grammar (case-insensitive keywords, as the reference):
   * {{{
   *   stmt    := MATCH chains [WHERE cond (AND cond)*] RETURN ret (, ret)*
+  *                [ORDER BY ret [ASC|DESC] (, ...)*] [LIMIT n]
   *            |  MERGE chains
+  *              // ORDER BY / LIMIT (growth, like HashQL's): sort keys
+  *              // address RETURN items (var or var.attr — a properties()
+  *              // map is unorderable and rejected); ORDER BY + LIMIT
+  *              // plans TakeOrderedAndProject — per-partition top-k +
+  *              // driver merge, no global sort at any scale.
   *   cond    := var.attr (= | < | > | <= | >=) ('v' | n)
   *              // WHERE (growth — the reference's grammar has no WHERE,
   *              // cypher.py): inequality/range predicates over node or
@@ -80,10 +86,17 @@ object Cypher {
   final case class Where(variable: String, attr: String, op: String, value: Any)
   sealed trait Stmt
   final case class Match(chains: Seq[Chain], returns: Seq[Ret],
-                         wheres: Seq[Where] = Nil) extends Stmt
+                         wheres: Seq[Where] = Nil,
+                         orderBy: Seq[(Ret, Boolean)] = Nil,
+                         limit: Option[Int] = None) extends Stmt
   final case class Merge(chain: Chain) extends Stmt
 
-  def parse(input: String): Stmt = new P(input).stmt()
+  def parse(input: String): Stmt = {
+    val p = new P(input)
+    val out = p.stmt()
+    p.expectEof()
+    out
+  }
 
   private final class P(s: String) {
     private var i = 0
@@ -112,6 +125,20 @@ object Cypher {
       require(i > start, s"expected integer at $start in: $s")
       s.substring(start, i).toInt
     }
+    /** Consume `k` (case-insensitive) if it is the next identifier;
+      * otherwise leave the position untouched. */
+    private def tryKeyword(k: String): Boolean = {
+      ws(); val save = i
+      if (i < s.length && s(i).isLetter && ident().equalsIgnoreCase(k)) true
+      else { i = save; false }
+    }
+    /** A statement must consume the whole input — trailing junk is an
+      * error, never silently ignored (same contract as HashQL). */
+    def expectEof(): Unit = {
+      ws()
+      require(i >= s.length,
+        s"unexpected trailing input at $i: ${s.substring(i).take(24)}")
+    }
 
     def stmt(): Stmt = keyword() match {
       case "match" =>
@@ -131,7 +158,21 @@ object Cypher {
         require(k == "return", "expected RETURN")
         val rets = scala.collection.mutable.ArrayBuffer(ret())
         while (tryEat(',')) rets += ret()
-        Match(cs, rets.toSeq, conds.toSeq)
+        val obs = scala.collection.mutable.ArrayBuffer.empty[(Ret, Boolean)]
+        if (tryKeyword("order")) {
+          require(keyword() == "by", "expected BY after ORDER")
+          var m = true
+          while (m) {
+            val r = ret()
+            require(!r.attr.contains("*"),
+              "cannot ORDER BY a properties(...) map")
+            val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
+            obs += ((r, desc))
+            m = tryEat(',')
+          }
+        }
+        val lim = if (tryKeyword("limit")) Some(int()) else None
+        Match(cs, rets.toSeq, conds.toSeq, obs.toSeq, lim)
       case "merge" => Merge(chains().head)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
     }

@@ -140,7 +140,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * either orientation (a union of both before the join — final RETURN
     * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
-    case Cypher.Match(chains, returns, wheres) =>
+    case Cypher.Match(chains, returns, wheres, orderBy, limitN) =>
       var anon = 0
       def varOf(p: Cypher.NodePat): String =
         p.variable.getOrElse { anon += 1; s"__anon$anon" }
@@ -292,7 +292,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       }
       val nodeMapVars = returns.collect {
         case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct
-      if (nodeMapVars.isEmpty && edgePropVars.isEmpty) {
+      val projected = if (nodeMapVars.isEmpty && edgePropVars.isEmpty) {
         val cols = returns.map {
           case Cypher.Ret(v, None) => col(v)
           case Cypher.Ret(v, Some(a)) if edgeVars(v) => col(s"${v}_$a")
@@ -346,6 +346,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           case Cypher.Ret(v, Some(a)) => col(s"${v}_$a")
         }: _*)
       }
+      // ORDER BY / LIMIT (growth, like HashQL's): sort keys address the
+      // RETURN's OUTPUT columns by the same naming (var, var_attr), so an
+      // item must appear in RETURN to be sortable. ORDER BY + LIMIT plans
+      // TakeOrderedAndProject — per-partition top-k + driver merge.
+      def outName(r: Cypher.Ret): String = r.attr match {
+        case None => r.variable
+        case Some(a) => s"${r.variable}_$a"
+      }
+      val retNames = returns.map(outName).toSet
+      orderBy.foreach { case (r, _) =>
+        require(retNames.contains(outName(r)),
+          s"ORDER BY item ${outName(r)} must appear in RETURN") }
+      val ordered =
+        if (orderBy.isEmpty) projected
+        else projected.orderBy(orderBy.map { case (r, desc) =>
+          if (desc) col(outName(r)).desc else col(outName(r)).asc }: _*)
+      limitN.fold(ordered)(ordered.limit)
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
   }
 }

@@ -140,6 +140,19 @@ object GraphSuite extends Suite {
              |WHERE c_nationkey >= 20 AND c_nationkey < 23
              |  AND c_mktsegment = 'BUILDING'""".stripMargin)),
 
+    // ORDER BY + LIMIT (growth, the HashQL hashql_topk ask on the graph
+    // surface): sort keys address RETURN output columns; plans
+    // TakeOrderedAndProject (per-partition top-k + driver merge, no global
+    // sort — CypherSpec plan assertion). Tie-broken on the unique c_name
+    // so the kept set is deterministic and hash-checkable.
+    "cypher_topk" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) " +
+          "return c.c_name, n.n_name order by c.c_name desc limit 10"),
+      Some("""SELECT c_name AS c_c_name, n_name AS n_n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_name DESC LIMIT 10""".stripMargin)),
+
     // G1 attr-map MERGE identity (round-3 gap): nodes merged WITHOUT a
     // 'name' attribute — identity is the full attribute map, the
     // reference's general MERGE semantics (client.py:841-889). One region

@@ -9,7 +9,7 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: match with label + attribute map (cypher_test.py:3-22)") {
     val q = "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) return actor"
-    val Cypher.Match(chains, returns, _) = Cypher.parse(q): @unchecked
+    val Cypher.Match(chains, returns, _, _, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
     assert(chains.size == 1)
     val ch = chains.head
@@ -21,12 +21,12 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: keywords case-insensitive (cypher_test.py:25-45)") {
     val q = "MATCH (actor)-[:ACTED_IN]->(w:Movie {title: 'Wall Street'}) RETURN actor"
-    val Cypher.Match(_, returns, _) = Cypher.parse(q): @unchecked
+    val Cypher.Match(_, returns, _, _, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
   }
 
   test("golden IR: edge directions and attribute RETURN items") {
-    val Cypher.Match(chains, returns, _) = Cypher.parse(
+    val Cypher.Match(chains, returns, _, _, _) = Cypher.parse(
       "match (n:Nation)<-[:IN]-(c:Customer)-[:KNOWS]-(o) return c, n.n_name, o.name"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("IN", Cypher.In), Cypher.Rel("KNOWS", Cypher.Both)))
@@ -60,7 +60,7 @@ class CypherSpec extends SparkSpec {
 
   test("properties(n) returns the whole attribute map; attr-map MERGE identity") {
     // parser: properties(n) → Ret(n, Some("*"))
-    val Cypher.Match(_, rets, _) = Cypher.parse(
+    val Cypher.Match(_, rets, _, _, _) = Cypher.parse(
       "match (r:Region) return properties(r), r.r_name"): @unchecked
     assert(rets == Seq(Cypher.Ret("r", Some("*")), Cypher.Ret("r", Some("r_name"))))
     // executor: nodes merged WITHOUT a name — identity = full attr map;
@@ -106,7 +106,7 @@ class CypherSpec extends SparkSpec {
   test("edge properties: parse, MERGE store + existing-wins, MATCH filter, e.attr RETURN") {
     import spark.implicits._
     // parser: variable + attrs on the edge, in every direction
-    val Cypher.Match(chains, rets, _) = Cypher.parse(
+    val Cypher.Match(chains, rets, _, _, _) = Cypher.parse(
       "match (a)-[e:R {w: '3'}]->(b) return a, e.w, b"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("R", Cypher.Out, 1, 1, Some("e"), Map("w" -> "3"))))
@@ -154,10 +154,10 @@ class CypherSpec extends SparkSpec {
 
   test("variable-length paths: parser forms, band semantics, direction flip") {
     // parser: *n and *m..n, on any direction
-    val Cypher.Match(cs, _, _) =
+    val Cypher.Match(cs, _, _, _, _) =
       Cypher.parse("match (a)-[:R*2]->(b) return a, b"): @unchecked
     assert(cs.head.rels == Seq(Cypher.Rel("R", Cypher.Out, 2, 2)))
-    val Cypher.Match(cs2, _, _) =
+    val Cypher.Match(cs2, _, _, _, _) =
       Cypher.parse("match (a)<-[:R*1..3]-(b) return a, b"): @unchecked
     assert(cs2.head.rels == Seq(Cypher.Rel("R", Cypher.In, 1, 3)))
     intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*3..2]->(b) return a"))
@@ -196,12 +196,12 @@ class CypherSpec extends SparkSpec {
   test("WHERE clause: parser goldens, numeric coercion, edge-var predicates") {
     // parser: conjunctive WHERE between the pattern and RETURN; numeric
     // literals parse as Long, quoted as String
-    val Cypher.Match(_, _, wheres) = Cypher.parse(
+    val Cypher.Match(_, _, wheres, _, _) = Cypher.parse(
       "match (n:Person) where n.age > 30 and n.city = 'Oslo' return n"): @unchecked
     assert(wheres == Seq(
       Cypher.Where("n", "age", ">", 30L), Cypher.Where("n", "city", "=", "Oslo")))
     // <= / >= lex as one op; <> dies cleanly; unbound variable rejected
-    val Cypher.Match(_, _, w2) = Cypher.parse(
+    val Cypher.Match(_, _, w2, _, _) = Cypher.parse(
       "match (n:P) where n.age <= 9 return n"): @unchecked
     assert(w2 == Seq(Cypher.Where("n", "age", "<=", 9L)))
     intercept[IllegalArgumentException](
@@ -229,6 +229,37 @@ class CypherSpec extends SparkSpec {
     // non-numeric attr under a numeric comparison drops the row (NULL),
     // never errors
     assert(g.query("match (n:Person) where n.name > 30 return n").count() == 0)
+  }
+
+  test("ORDER BY / LIMIT: parser goldens, top-k plan, output-column addressing") {
+    // parser: sort keys are RETURN-item shapes with asc/desc, limit an int
+    val Cypher.Match(_, _, _, obs, lim) = Cypher.parse(
+      "match (n:P) return n, n.age order by n.age desc, n asc limit 3"): @unchecked
+    assert(obs == Seq((Cypher.Ret("n", Some("age")), true), (Cypher.Ret("n", None), false)))
+    assert(lim.contains(3))
+    // properties() maps are unorderable; trailing junk dies (expectEof)
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (n:P) return n order by properties(n)"))
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (n:P) return n bogus trailing"))
+
+    import spark.implicits._
+    val g = Seq(("Ann", "31"), ("Bob", "25"), ("Cid", "40"), ("Dee", "25"))
+      .foldLeft(PropertyGraph.empty(spark)) { case (acc, (n, a)) =>
+        acc.merge(s"merge (p:Person {'name': '$n', 'age': '$a'})") }
+    // sort on an attr output column, tie-break on the identity, cap rows
+    val top = g.query(
+      "match (p:Person) return p, p.age order by p.age desc, p limit 2")
+    assert(top.as[(String, String)].collect().toSeq ==
+      Seq(("Cid", "40"), ("Ann", "31")))
+    // ORDER BY + LIMIT plans per-partition top-k, never a global sort
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    // bare LIMIT caps without sorting
+    assert(g.query("match (p:Person) return p limit 3").count() == 3)
+    // a sort key absent from RETURN is a clear error
+    intercept[IllegalArgumentException](
+      g.query("match (p:Person) return p order by p.age"))
   }
 
   test("example.py four-triple MATCH over the MERGE corpus") {
