@@ -131,14 +131,18 @@ object Sampling {
     * bounds only need to be pinned, not fast. */
   private[llm] def stratumCumSum(df: DataFrame, stratumCol: String,
                                  idCol: String, value: Column,
-                                 outCol: String): DataFrame = {
+                                 outCol: String,
+                                 ord: Option[Column] = None): DataFrame = {
     val taken = Set("graft_ord", "graft_val", outCol)
     require(!df.columns.exists(taken),
       s"input already has one of ${taken.mkString("/")} — rename it first")
     val spark = df.sparkSession
     val nPart = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = df
-      .withColumn("graft_ord", arithBucket(col(idCol)))
+      // within-stratum order: (ord, id) — the samplers' admission order is
+      // the default (arithBucket, id); epochShuffle passes its own seeded
+      // full-range mixer
+      .withColumn("graft_ord", ord.getOrElse(arithBucket(col(idCol))))
       .withColumn("graft_val", value.cast("long"))
       .repartitionByRange(nPart, col(stratumCol), col("graft_ord"), col(idCol))
       .sortWithinPartitions(stratumCol, "graft_ord", idCol)
@@ -291,4 +295,41 @@ object Sampling {
        |  QUALIFY row_number() OVER (PARTITION BY $stratumExpr
        |    ORDER BY ${arithBucketSql(idExpr)}, $idExpr) <= target)
        |SELECT $cols FROM adm""".stripMargin
+
+  /** Seeded FULL-RANGE mixer for epoch shuffling: ((id mod P + seed) mod P
+    * · K) mod P — unlike [[arithBucket]] (mod-1000, 1000 coarse buckets)
+    * this keeps all ~1e9 values of the mix, so ordering by (mix, id) is a
+    * near-total pseudorandom permutation with a different order per seed.
+    * Exact integer arithmetic: every intermediate < 2^63 in both engines. */
+  def epochOrd(id: Column, seed: Long): Column =
+    pmod(pmod(pmod(id.cast("long"), lit(P)) + lit(((seed % P) + P) % P),
+      lit(P)) * lit(K), lit(P))
+  def epochOrdSql(c: String, seed: Long): String =
+    s"((((((($c % $P) + $P) % $P) + ${((seed % P) + P) % P}) % $P) * $K) % $P)"
+
+  /** Deterministic EPOCH SHUFFLE for training-data pipelines: assign each
+    * row its 1-based position in the seed's pseudorandom permutation
+    * (order by ([[epochOrd]], id)) as `outCol`. A training run sorts/
+    * buckets by the position to read a differently-ordered corpus per
+    * epoch — reproducible across runs, partitionings, and engines (the
+    * property `df.orderBy(rand(seed))` does NOT have), with no curriculum
+    * leakage from ingest order.
+    *
+    * Scale shape: position = prefix count over one global order — computed
+    * by [[stratumCumSum]]'s range-partitioned two-phase pass (constant
+    * stratum: the order spreads over ALL partitions; no Window, no
+    * single-task sort anywhere — ScaleSpec asserts it). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   outCol: String = "epoch_pos"): DataFrame = {
+    require(!df.columns.contains("graft_stratum"),
+      "input already has a graft_stratum column — rename it first")
+    stratumCumSum(df.withColumn("graft_stratum", lit(0)), "graft_stratum",
+      idCol, lit(1L), outCol, Some(epochOrd(col(idCol), seed)))
+      .drop("graft_stratum")
+  }
+
+  /** DuckDB mirror of [[epochShuffle]]: row_number over the same seeded
+    * order. */
+  def epochShuffleSql(idExpr: String, seed: Long, outCol: String = "epoch_pos"): String =
+    s"row_number() OVER (ORDER BY ${epochOrdSql(idExpr, seed)}, $idExpr) AS $outCol"
 }

@@ -1066,6 +1066,17 @@ object LlmSuite extends Suite {
         "(SELECT doc_id, lang FROM documents)", "doc_id, lang",
         "lang", "doc_id", 200L))),
 
+    // EPOCH SHUFFLE: each row's 1-based position in seed 7's pseudorandom
+    // permutation — deterministic across runs/partitionings/engines
+    // (df.orderBy(rand(seed)) is NOT), computed as a range-partitioned
+    // two-phase prefix count (no Window — ScaleSpec), oracled by the
+    // single-window row_number formulation.
+    "sample_epoch_shuffle" -> Q(
+      (s, d) => Sampling.epochShuffle(
+        docs(s, d).select("doc_id"), "doc_id", seed = 7L),
+      Some(s"""SELECT doc_id, ${Sampling.epochShuffleSql("doc_id", 7L)}
+             |FROM documents""".stripMargin)),
+
     // GPT-style concat-and-chunk packing: chunk id = exact global prefix
     // sum of token counts in id order / budget — computed distributed
     // (range partitions + per-partition offsets), oracled by the

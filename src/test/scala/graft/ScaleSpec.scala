@@ -105,6 +105,26 @@ class ScaleSpec extends SparkSpec {
     assert(mixed.select("doc_id").as[Long].collect().toSet == expected)
   }
 
+  test("epochShuffle assigns positions distributed — no Window, window-equivalent per seed") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val shuffled = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 42L)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global-order window survived:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"position assignment funnels through one partition:\n$plan")
+    // bit-for-bit the row_number formulation it replaces
+    val w = Window.orderBy(
+      graft.llm.Sampling.epochOrd(col("doc_id"), 42L), col("doc_id"))
+    val expected = docs.withColumn("epoch_pos", row_number().over(w).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled.as[(Long, Long)].collect().toMap == expected)
+    // different seed ⇒ different permutation (the multi-epoch point)
+    val other = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 43L)
+      .as[(Long, Long)].collect().toMap
+    assert(other != expected)
+  }
+
   test("snapshot diff moves digests through one join; temperatureSample windows on the stratum") {
     val docs = Tables.t(spark, sf, "documents")
     val v2 = docs.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"), col("text"))
