@@ -2,6 +2,7 @@ package graft
 
 import graft.core.GraftCatalog
 import graft.sql.HashQL
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Dialect semantics: dynamic schema, id synthesis, int coercion,
   * missing-field row skip, FTS predicate — FIXTURES.md §A2 scenario. */
@@ -161,6 +162,35 @@ class HashQLSpec extends SparkSpec {
       "select m.nm from m order by m.v, m.nm limit 3").get
     assert(asc.collect().map(_.getString(0)).toSeq == Seq("b", "e", "a"))
     assert(HashQL.execute(cat, "select m.nm from m limit 2").get.count() == 2)
+  }
+
+  test("dialect GROUP BY SELECTs route through a registered aggregate summary") {
+    import graft.core.Tables
+    // the MatView rule is session-wide Catalyst, and dialect SELECTs are
+    // plain DataFrames — so a summary registered via the DataFrame API
+    // serves the HashQL surface too, exact-match AND containment+HAVING
+    val cat = new GraftCatalog(spark)
+    val customer = Tables.t(spark, sf, "customer")
+    cat.register("customer", customer)
+    val summary = customer.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = java.nio.file.Files.createTempDirectory("hq_mv").toString
+    graft.matview.MatView.materializeAggregate(spark, "hq_seg", summary, out)
+    try {
+      // containment: the dialect groups by a SUBSET key — re-aggregates
+      // the summary, zero fact rows; HAVING filters the routed frame
+      val q = HashQL.execute(cat,
+        "select count(*) from customer group by customer.c_mktsegment having count(*) >= 1").get
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(out.split("/").last), s"no summary scan:\n$plan")
+      assert(!plan.contains(sf), s"dialect group-by still reads facts:\n$plan")
+      val routed = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.matview.MatView.drop(spark, "hq_seg")
+      val raw = HashQL.execute(cat,
+        "select count(*) from customer group by customer.c_mktsegment").get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(routed == raw)
+    } finally graft.matview.MatView.drop(spark, "hq_seg")
   }
 
   test("repeated compact to the SAME path works (swap, not self-overwrite)") {
