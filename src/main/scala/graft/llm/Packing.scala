@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *      offset.
   * Two scans of a two-long-column frame, no global sort, no shuffle beyond
   * the range exchange — the shape that survives 100 TB. The frame is
-  * localCheckpoint'ed between steps so both passes see ONE pinned
-  * partitioning (range bounds are sampled; the offsets must describe the
-  * exact layout the final pass reads).
+  * pinned between steps so both passes see ONE partitioning (range bounds
+  * are sampled; the offsets must describe the exact layout the final pass
+  * reads) — reliably checkpointed when the session has a checkpoint dir,
+  * localCheckpoint'ed otherwise (see Sampling.pinPartitioning).
   */
 object Packing {
 
@@ -52,7 +53,7 @@ object Packing {
       .repartitionByRange(nPart, col(idCol))
       .sortWithinPartitions(idCol)
       .as[(Long, Long)]
-      .localCheckpoint() // pin the sampled range bounds across both passes
+      .transform(Sampling.pinPartitioning(_)) // pin the sampled range bounds across both passes
       .rdd
     val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L

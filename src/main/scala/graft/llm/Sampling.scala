@@ -24,6 +24,23 @@ import org.apache.spark.sql.types.LongType
   */
 object Sampling {
 
+  /** Pin a frame's partitioning for the two-pass prefix-sum operators
+    * ([[stratumCumSum]], [[graft.llm.Packing.packChunks]]): both passes
+    * must see ONE materialized layout (range bounds are sampled, and the
+    * broadcast offsets describe the exact layout the final pass reads).
+    *
+    * When the session has a RELIABLE checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir` — the production posture on a
+    * multi-tenant cluster), the pin is `checkpoint()`: it survives
+    * executor loss, at the cost of one distributed write. Otherwise
+    * `localCheckpoint()`: fast, but executor-memory/disk-pinned and NOT
+    * fault-tolerant — an executor loss after the pin fails the job. */
+  private[llm] def pinPartitioning[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint()
+    else ds.localCheckpoint()
+
   /** Per-mille bucket in [0, 1000) from xxhash64(id) — production mixer. */
   def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(1000L))
 
@@ -119,16 +136,13 @@ object Sampling {
     * partition id (see packChunks' implementation note). NULL values
     * count as 0 (the samplers never feed NULLs; documented for reuse).
     *
-    * Eager-execution / fault-tolerance trade (same as packChunks):
-    * localCheckpoint runs the upstream plan NOW, truncates lineage, and
-    * pins the materialized blocks to executor memory/disk — an executor
-    * loss after the checkpoint is unrecoverable (localCheckpoint is
-    * explicitly not fault-tolerant) and the pinned corpus consumes
-    * cluster storage for the duration of the call. On a production
-    * multi-tenant cluster, prefer `spark.sparkContext.setCheckpointDir`
-    * + `.checkpoint()` (reliable storage, survives executor loss) for
-    * the pinning step, at the cost of one distributed write — the range
-    * bounds only need to be pinned, not fast. */
+    * Eager-execution / fault-tolerance trade (same as packChunks): the
+    * pin runs the upstream plan NOW, truncates lineage, and holds the
+    * materialized layout for the duration of the call. [[pinPartitioning]]
+    * picks the mechanism: with a session checkpoint dir configured the pin
+    * is a RELIABLE `checkpoint()` (survives executor loss — set one for
+    * production-scale runs); without it, `localCheckpoint()` (fast, but
+    * executor-pinned and not fault-tolerant). */
   private[llm] def stratumCumSum(df: DataFrame, stratumCol: String,
                                  idCol: String, value: Column,
                                  outCol: String,
@@ -146,7 +160,7 @@ object Sampling {
       .withColumn("graft_val", value.cast("long"))
       .repartitionByRange(nPart, col(stratumCol), col("graft_ord"), col(idCol))
       .sortWithinPartitions(stratumCol, "graft_ord", idCol)
-      .localCheckpoint() // pin the sampled range bounds across both passes
+      .transform(pinPartitioning(_)) // pin the sampled range bounds across both passes
     val sIdx = ranged.schema.fieldIndex(stratumCol)
     val vIdx = ranged.schema.fieldIndex("graft_val")
     val rdd = ranged.rdd

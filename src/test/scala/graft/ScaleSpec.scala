@@ -125,6 +125,33 @@ class ScaleSpec extends SparkSpec {
     assert(other != expected)
   }
 
+  test("pinPartitioning upgrades to a reliable checkpoint when the session has a checkpoint dir") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val before = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 5L)
+      .as[(Long, Long)].collect().toMap
+    val packBefore = graft.llm.Packing.packChunks(
+      Tables.t(spark, sf, "documents"), "text", "doc_id", budget = 512)
+      .as[(Long, Long, Long)].collect().toSet
+    // setting the dir flips every subsequent prefix-sum pin in this shared
+    // session from localCheckpoint to reliable checkpoint() — results are
+    // a pure function of the input either way (asserted below), only the
+    // fault-tolerance of the pinned layout changes
+    val ckpt = java.nio.file.Files.createTempDirectory("reliable_ck").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val after = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(after == before)
+    val packAfter = graft.llm.Packing.packChunks(
+      Tables.t(spark, sf, "documents"), "text", "doc_id", budget = 512)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packAfter == packBefore)
+    // the reliable checkpoint actually landed RDD files in the dir
+    def files(f: java.io.File): Iterator[java.io.File] =
+      Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(files)
+    assert(files(new java.io.File(ckpt)).count(_.isFile) > 0,
+      "no reliable checkpoint files written")
+  }
+
   test("snapshot diff moves digests through one join; temperatureSample windows on the stratum") {
     val docs = Tables.t(spark, sf, "documents")
     val v2 = docs.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"), col("text"))
