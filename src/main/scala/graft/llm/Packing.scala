@@ -72,6 +72,52 @@ object Packing {
     spark.createDataset(packed).toDF(idCol, "n_tokens", "chunk_id")
   }
 
+  /** Sliding-window text chunking — the embedding/retrieval prep step
+    * (documents are longer than an embedding model's context; chunks
+    * overlap so no semantic unit is cut without a second chance): one row
+    * per (doc, window), windows of `chunkChars` characters advancing by
+    * `chunkChars - overlapChars`. A doc shorter than one chunk yields
+    * exactly one (possibly short) chunk; the LAST window is clipped to
+    * the text, and a window count of ceil((len - overlap) / stride)
+    * guarantees full coverage with no all-overlap tail window. NULL text
+    * yields no rows.
+    *
+    * Pure codegen (sequence → transform → posexplode): chunking runs
+    * scan-side at I/O rate, output size ≈ len/stride rows per doc —
+    * no UDF, no shuffle.
+    *
+    * @return (idCol, chunk_idx, chunk_text), chunk_idx 0-based */
+  def chunkTexts(df: DataFrame, textCol: String, idCol: String,
+                 chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be positive: $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"overlap must be in [0, chunkChars): $overlapChars")
+    val stride = chunkChars - overlapChars
+    // the explicit isnull guard matters: greatest() SKIPS nulls, so a null
+    // text would otherwise produce one null chunk instead of no rows
+    val windows = expr(
+      s"if(isnull($textCol), null, " +
+        s"transform(sequence(0, greatest(cast(ceil((length($textCol) - $overlapChars) / $stride) as int), 1) - 1), " +
+        s"i -> substring($textCol, i * $stride + 1, $chunkChars)))")
+    df.select(col(idCol), posexplode(windows).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
+  /** DuckDB mirror of [[chunkTexts]] (DuckDB 1.0 table functions cannot
+    * take lateral column args, so the window indices come from a scalar
+    * `range()` list unnested in a CTE). `src` must expose `$idExpr` and
+    * `$textExpr`. */
+  def chunkTextsSql(src: String, idExpr: String, textExpr: String,
+                    chunkChars: Int, overlapChars: Int): String = {
+    val stride = chunkChars - overlapChars
+    s"""WITH graft_ch AS (SELECT $idExpr, $textExpr,
+       |    unnest(range(0, CAST(greatest(ceil((length($textExpr) - $overlapChars) / $stride), 1) AS BIGINT))) AS i
+       |  FROM $src)
+       |SELECT $idExpr, i AS chunk_idx,
+       |  substring($textExpr, CAST(i AS INT) * $stride + 1, $chunkChars) AS chunk_text
+       |FROM graft_ch""".stripMargin
+  }
+
   /** Materialize the packed sequences themselves — the training-file rows
     * a loader actually reads: one row per chunk, documents concatenated in
     * ascending-id order with `sep`. [[packChunks]] decides membership (its

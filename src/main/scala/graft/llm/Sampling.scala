@@ -250,6 +250,33 @@ object Sampling {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |  <= ${caseSql(stratumExpr, budgetByStratum, defaultBudget)}""".stripMargin
 
+  /** PER-STRATUM CAP — the "at most N documents per host/domain/source"
+    * policy every crawl-derived pretraining corpus applies (a handful of
+    * boilerplate-heavy hosts would otherwise dominate the mixture): keep
+    * each stratum's first `cap` rows in deterministic (arithBucket, id)
+    * admission order — same convention as [[tokenBudgetSample]], so
+    * re-runs, re-partitionings, and engines admit the same rows, and a
+    * larger cap only ever ADDS rows. The kept subset is a deterministic
+    * uniform-ish sample WITHIN each stratum, not a prefix of ingest order
+    * (no crawl-recency bias).
+    *
+    * The admission rank is [[stratumCumSum]] over value 1 — the
+    * range-partitioned two-phase prefix count; no per-stratum Window,
+    * no single-task sort, a dominant host spreads over many partitions. */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                    cap: Long): DataFrame = {
+    require(cap >= 0, s"cap must be non-negative: $cap")
+    require(!df.columns.contains("graft_rank"),
+      "input already has a graft_rank column — rename it first")
+    stratumCumSum(df, stratumCol, idCol, lit(1L), "graft_rank")
+      .filter(col("graft_rank") <= cap)
+      .drop("graft_rank")
+  }
+  /** DuckDB mirror of [[capPerStratum]] — a QUALIFY conjunct. */
+  def capPerStratumSql(stratumExpr: String, idExpr: String, cap: Long): String =
+    s"""row_number() OVER (PARTITION BY $stratumExpr
+       |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr) <= $cap""".stripMargin
+
   /** TEMPERATURE-weighted source rebalancing (the α < 1 mixture reweighting
     * of multilingual/multi-domain pretraining — downweight head sources,
     * upweight tail ones): stratum `s` gets

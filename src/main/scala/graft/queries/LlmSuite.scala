@@ -1066,6 +1066,26 @@ object LlmSuite extends Suite {
         "(SELECT doc_id, lang FROM documents)", "doc_id, lang",
         "lang", "doc_id", 200L))),
 
+    // PER-STRATUM CAP: "at most 40 documents per language" — the per-host/
+    // per-source cap every crawl corpus applies. Admission in the same
+    // deterministic (arithBucket, id) order as the other samplers (NOT
+    // ingest order — no crawl-recency bias), rank via the distributed
+    // prefix count, hash-checked against the QUALIFY row_number mirror.
+    "sample_cap_stratum" -> Q(
+      (s, d) => Sampling.capPerStratum(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", cap = 40L),
+      Some(s"""SELECT doc_id, lang FROM documents
+             |QUALIFY ${Sampling.capPerStratumSql("lang", "doc_id", 40L)}""".stripMargin)),
+
+    // SLIDING-WINDOW CHUNKING: embedding-prep windows (200 chars, 40
+    // overlap) — codegen sequence→transform→posexplode, scan-side, no
+    // shuffle; byte-for-byte hash-checked against the unnest(range())
+    // mirror including the clipped last window and short-doc cases.
+    "chunk_texts" -> Q(
+      (s, d) => Packing.chunkTexts(docs(s, d), "text", "doc_id",
+        chunkChars = 200, overlapChars = 40),
+      Some(Packing.chunkTextsSql("documents", "doc_id", "text", 200, 40))),
+
     // EPOCH SHUFFLE: each row's 1-based position in seed 7's pseudorandom
     // permutation — deterministic across runs/partitionings/engines
     // (df.orderBy(rand(seed)) is NOT), computed as a range-partitioned

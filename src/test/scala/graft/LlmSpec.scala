@@ -620,4 +620,47 @@ class LlmSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(kNull == k200, "NULL stratum changed the admitted set")
   }
+
+  test("capPerStratum: caps every stratum, cap-monotone, partition-invariant, no Window") {
+    val in = docs.select(col("doc_id"), col("lang"))
+    val counts = in.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val k40 = Sampling.capPerStratum(in, "lang", "doc_id", 40L)
+      .as[(Long, String)].collect().toSet
+    val byLang = k40.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    counts.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0L) == math.min(n, 40L),
+        s"stratum $lang kept ${byLang.getOrElse(lang, 0L)} of $n, cap 40") }
+    // a larger cap only ever ADDS rows
+    val k80 = Sampling.capPerStratum(in, "lang", "doc_id", 80L)
+      .as[(Long, String)].collect().toSet
+    assert(k40.subsetOf(k80))
+    // partition-invariant, and never a per-stratum Window
+    val reparted = Sampling.capPerStratum(in.repartition(13), "lang", "doc_id", 40L)
+    assert(reparted.as[(Long, String)].collect().toSet == k40)
+    val plan = reparted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-stratum window survived:\n$plan")
+  }
+
+  test("chunkTexts: full coverage, exact overlap, short/empty/null docs") {
+    val in = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"), // 26 chars: 3 windows at stride 8
+      (2L, "short"),                      // shorter than one chunk
+      (3L, ""),                           // empty: one empty chunk
+      (4L, null.asInstanceOf[String])     // null: no rows
+    ).toDF("doc_id", "text")
+    val chunks = graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 2)
+      .as[(Long, Long, String)].collect().sortBy(t => (t._1, t._2))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(1L) == Seq("abcdefghij", "ijklmnopqr", "qrstuvwxyz"))
+    // consecutive windows share exactly the overlap
+    byDoc(1L).sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(2) == b.take(2)) }
+    // stripping each window's leading overlap reconstructs the text
+    assert(byDoc(1L).head + byDoc(1L).tail.map(_.drop(2)).mkString == "abcdefghijklmnopqrstuvwxyz")
+    assert(byDoc(2L) == Seq("short") && byDoc(3L) == Seq(""))
+    assert(!byDoc.contains(4L))
+    // degenerate params rejected
+    intercept[IllegalArgumentException](
+      graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
+  }
 }
