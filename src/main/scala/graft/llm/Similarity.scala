@@ -359,6 +359,37 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
 
+  /** Grow a [[writeIvfIndex]] index IN PLACE (the FAISS `add` analog):
+    * assign NEW vectors to the index's EXISTING centroids and append them
+    * into the hive-partitioned lists — no retraining, no rebuild, each
+    * call lands new files inside only the affected `list=` partitions, so
+    * continuous ingest keeps serving costs at the nprobe/nlist fraction.
+    * Serving (pruned or distributed) sees appended vectors immediately.
+    *
+    * Caller contracts (FAISS's own): ids must be new — appending an
+    * existing id duplicates it (dedup upstream or compact); and the
+    * centroids are FROZEN, so if ingest drifts far from the training
+    * distribution, lists skew and recall sags — retrain + rebuild on a
+    * cadence (monitor list-size skew via `spark.read.parquet(lists)
+    * .groupBy("list").count()`). */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       vectors: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"no centroids at $path/centroids")
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCentroids.value
+        it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
+      }.toDF("nid", "nvec", "list")
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
   /** Serve a query batch from a [[writeIvfIndex]] index: centroids load
     * driver-side (nlist rows), each query picks its `nprobe` nearest
     * lists, and the list scan is STATICALLY filtered to the union of

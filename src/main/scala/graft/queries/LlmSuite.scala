@@ -860,6 +860,32 @@ object LlmSuite extends Suite {
     // with static partition pruning over the probed lists. At iters=0 the
     // whole persisted pipeline is the ann_ivf_flat SQL — so the
     // train→write→read→probe→rank round-trip is hash-checked end to end.
+    // IVF index APPEND (FAISS add): index built over the EVEN half,
+    // odd half appended against the frozen centroids — then a full-probe
+    // (nprobe = nlist) serve is an exact scan of the grown corpus, so the
+    // routed round-trip hash-checks against plain brute-force top-k SQL
+    // (centroid choice cancels out at full probe; pruned-probe equality
+    // and the immediately-servable property are LlmSpec-asserted).
+    "ann_ivf_append" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfa").toString
+        Similarity.writeIvfIndex(emb(s, d).filter(col("vec_id") % 2 === 0),
+          s"$tmp/idx", nlist = 16, iters = 0)
+        Similarity.appendToIvfIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") % 2 === 1))
+        Similarity.ivfTopKFromIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") < 5), k = 3, nprobe = 16)
+      },
+      Some(s"""WITH $cosineNormsCte,
+              |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+              |        round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM n q JOIN n x ON q.vec_id <> x.vec_id
+              |      WHERE q.vec_id < 5),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     "ann_ivf_index" -> Q(
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString

@@ -241,6 +241,36 @@ class LlmSpec extends SparkSpec {
     assert(tooBig.getMessage.contains("maxQueryRows"))
   }
 
+  test("appendToIvfIndex grows the index in place; full-probe serving stays exact") {
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/idx"
+    Similarity.writeIvfIndex(half, dir, nlist = 16, iters = 2)
+    Similarity.appendToIvfIndex(spark, dir, rest)
+    // every vector is in the lists exactly once, inside list= partitions
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.count() == emb.count())
+    assert(lists.select("nid").distinct().count() == emb.count())
+    // probing ALL lists is an exact full scan: equals brute force over the
+    // grown corpus, appended vectors included
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == brute)
+    // an appended vector is immediately servable: a query AT an appended
+    // vector probes that vector's own nearest list first and finds it at
+    // rank 1 with cosine 1
+    val probe1 = rest.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val target = rest.limit(1).select("vec_id").as[Long].head()
+    val hit = Similarity.ivfTopKFromIndex(spark, dir, probe1, k = 1, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hit.length == 1 && hit.head._2 == target && hit.head._3 == 1.0,
+      s"appended vector not served: ${hit.mkString(",")}")
+  }
+
   test("distributed IVF probe assignment matches the collected path with no driver collect of queries") {
     val queries = emb.filter(col("vec_id") < 10)
     val dir = java.nio.file.Files.createTempDirectory("ivf_dist").toString + "/idx"
