@@ -41,6 +41,60 @@ object Sources {
   /** S7-style dump: rows as JSON strings (the reference's /dump payload). */
   def toJsonStrings(df: DataFrame): DataFrame = df.toJSON.toDF("json")
 
+  /** Morton/Z-value: bit-interleave of the low `bits` bits of two
+    * non-negative longs (x's bit i → position 2i, y's → 2i+1). The fold
+    * unrolls to 2·bits static shift/and/or ops at planning time — pure
+    * whole-stage codegen, no UDF, no per-row loop object. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int = 12): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ORDER the table on two numeric columns and write it — the
+    * multi-dimensional clustering that makes parquet min/max skipping work
+    * for BOTH columns at once (Delta's OPTIMIZE ZORDER, re-expressed):
+    * a sort on (a) gives perfect pruning on a and none on b; the Z-curve
+    * gives ~sqrt-fraction file hit rates on either dimension, which at
+    * 100 TB is the difference between scanning everything and scanning a
+    * corner. Each dimension is min-max scaled to `bits` bits (one tiny
+    * agg — 1 driver row), interleaved with [[zValue]], range-partitioned
+    * into `files` globally ordered buckets, and sorted within each.
+    * Layout-only: rows and schema are untouched (the z column is dropped
+    * before writing); read back with plain `spark.read.parquet`.
+    *
+    * Scaling uses double arithmetic — fine for a LAYOUT decision (bucket
+    * boundaries need not be exact), and immune to (max-min)·(2^bits-1)
+    * long overflow. Degenerate dimensions (min = max) scale to 0. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    bits: Int = 12, files: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, least, floor}
+    val spark = df.sparkSession
+    val n = if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    val Array(bounds) = df.agg(
+      min(col(colA).cast("double")).as("na"), max(col(colA).cast("double")).as("xa"),
+      min(col(colB).cast("double")).as("nb"), max(col(colB).cast("double")).as("xb"))
+      .collect()
+    val top = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * top)
+        .cast("long"), lit(top))
+    val z = zValue(
+      scaled(colA, bounds.getDouble(0), bounds.getDouble(1)),
+      scaled(colB, bounds.getDouble(2), bounds.getDouble(3)), bits)
+    df.withColumn("graft_z", z)
+      .repartitionByRange(n, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Recover a stranded swap: a crash between [[swapDir]]'s two renames
     * leaves no live dir at `path` and the previous contents at
     * `<path>.compact.old` — rename them back so readers see the

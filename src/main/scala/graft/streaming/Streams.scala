@@ -458,6 +458,29 @@ object Streams {
         (sum(col("quality_fp")).cast("double") /
           (sum(col("n_docs")) * 10000).cast("double")).as("avg_quality"))
 
+  /** Continuous ANN ingest: each micro-batch of embeddings appends into a
+    * persisted IVF index ([[graft.llm.Similarity.appendToIvfIndex]] —
+    * assignment against the index's frozen centroids, new files only in
+    * the affected `list=` partitions), so vectors become servable by the
+    * pruned/distributed probe paths one batch after arrival, with no
+    * retraining in the loop. Same caller contracts as the batch append
+    * (new ids only — dedup upstream, e.g. [[dedupStream]]; retrain +
+    * rebuild on distribution drift). Replay caveat: the append sink is
+    * NOT idempotent — a batch replayed after a crash between the write
+    * and the checkpoint commit appends twice; dedup on read or compact
+    * when exactly-once matters. */
+  def maintainIvfIndex(vectors: DataFrame, indexPath: String, checkpoint: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Similarity.appendToIvfIndex(
+          batch.sparkSession, indexPath, batch, idCol, vecCol)
+      }
+      .start()
+
   /** One output column of a maintained aggregate view: `fn` in
     * count|sum|min|max (count ignores `column`), `alias` = the output
     * column's name — the registered summary's schema. For avg, store sum

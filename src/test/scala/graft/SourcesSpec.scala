@@ -81,6 +81,51 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".compact.old").exists)
   }
 
+  test("zValue interleaves bits exactly; z-ordered layout prunes on BOTH dims") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // golden: reference interleave computed in plain Scala
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (4095L, 4095L), (2897L, 1034L))
+    val got = samples.toDF("x", "y")
+      .select(Sources.zValue(col("x"), col("y"), 12)).as[Long].collect().toSeq
+    assert(got == samples.map { case (x, y) => ref(x, y, 12) })
+
+    // layout property on real events: z-order on (user_id, ts) vs a plain
+    // ts sort. A narrow user_id slice must SKIP most z-ordered files by
+    // min/max alone, while the ts-sorted layout spans all users in every
+    // file (zero skipping on that dimension).
+    val events = Tables.t(spark, sf, "events")
+      .select(col("user_id").cast("long"), col("ts").cast("long"))
+    val zDir = Files.createTempDirectory("zord").toString + "/z"
+    val sDir = Files.createTempDirectory("zord").toString + "/s"
+    Sources.writeZOrdered(events, zDir, "user_id", "ts", bits = 12, files = 8)
+    events.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(sDir)
+    def fileBoxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("nu"), max("user_id").as("xu"))
+      .as[(String, Long, Long)].collect()
+    val zBoxes = fileBoxes(zDir)
+    val sBoxes = fileBoxes(sDir)
+    assert(zBoxes.length >= 4 && sBoxes.length >= 4, "not enough files to compare")
+    // the probe: users in the bottom ~eighth of the id range
+    val (uMin, uMax) = events.agg(min("user_id"), max("user_id"))
+      .as[(Long, Long)].head()
+    val cut = uMin + (uMax - uMin) / 8
+    def hit(boxes: Array[(String, Long, Long)]) =
+      boxes.count { case (_, nu, _) => nu <= cut } // file overlaps [uMin, cut]
+    assert(hit(sBoxes) == sBoxes.length,
+      s"ts-sorted layout unexpectedly skips user files: ${hit(sBoxes)}/${sBoxes.length}")
+    assert(hit(zBoxes) <= zBoxes.length / 2,
+      s"z-order skipped too few files: ${hit(zBoxes)}/${zBoxes.length} hit")
+    // layout-only: contents and schema survive the rewrite
+    assert(spark.read.parquet(zDir).count() == events.count())
+    assert(spark.read.parquet(zDir).columns.toSeq == Seq("user_id", "ts"))
+  }
+
   test("writeShards: every doc lands once, shards are id-contiguous and token-balanced") {
     import graft.llm.TextAnalysis
     import org.apache.spark.sql.functions._

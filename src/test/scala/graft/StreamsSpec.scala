@@ -556,6 +556,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainIvfIndex: streamed embeddings become servable, full-probe exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Similarity
+    val dir = Files.createTempDirectory("m_ivf").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.writeIvfIndex(even, s"$dir/idx", nlist = 8, iters = 1)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.maintainIvfIndex(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/idx",
+      Files.createTempDirectory("m_ivf_ck").toString)
+    try {
+      val (a, b) = odd.splitAt(odd.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    // everything streamed is in the lists exactly once
+    val lists = spark.read.parquet(s"$dir/idx/lists")
+    assert(lists.count() == emb.count())
+    assert(lists.select("nid").distinct().count() == emb.count())
+    // and servable: full-probe serving equals brute force over the corpus
+    val queries = emb.filter(col("vec_id") < 8)
+    val served = Similarity.ivfTopKFromIndex(spark, s"$dir/idx", queries,
+      k = 3, nprobe = 8).as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == brute)
+  }
+
   test("maintainAggregate partials fold to the batch summary and refresh the routed view") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams
