@@ -390,6 +390,24 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
+  /** Compact a [[writeIvfIndex]] index's lists in place: drop duplicate
+    * vector ids (the crash-replay artifact of the append sinks — replayed
+    * rows are byte-identical, so any surviving copy is THE row; ties on a
+    * genuinely conflicting id keep the lowest list for determinism) and
+    * consolidate the per-append small files. Crash-safe via the
+    * [[graft.sources.Sources.swapDir]] protocol; run while no append
+    * stream is writing (same contract as the other compactions). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val lists = spark.read.parquet(s"$path/lists")
+    graft.sources.Sources.swapDir(spark, s"$path/lists") { tmp =>
+      lists.groupBy(col("nid"))
+        .agg(min_by(struct(col("nvec"), col("list")), col("list")).as("s"))
+        .select(col("nid"), col("s.nvec").as("nvec"), col("s.list").as("list"))
+        .repartition(col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    }
+  }
+
   /** Serve a query batch from a [[writeIvfIndex]] index: centroids load
     * driver-side (nlist rows), each query picks its `nprobe` nearest
     * lists, and the list scan is STATICALLY filtered to the union of

@@ -269,6 +269,17 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect()
     assert(hit.length == 1 && hit.head._2 == target && hit.head._3 == 1.0,
       s"appended vector not served: ${hit.mkString(",")}")
+    // a replayed append duplicates; compactIvfIndex restores exactly-once
+    // and serving stays exact
+    Similarity.appendToIvfIndex(spark, dir, rest) // double-append
+    assert(spark.read.parquet(s"$dir/lists").count() > emb.count())
+    Similarity.compactIvfIndex(spark, dir)
+    val compacted = spark.read.parquet(s"$dir/lists")
+    assert(compacted.count() == emb.count())
+    assert(compacted.select("nid").distinct().count() == emb.count())
+    val full2 = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full2 == brute)
   }
 
   test("distributed IVF probe assignment matches the collected path with no driver collect of queries") {
