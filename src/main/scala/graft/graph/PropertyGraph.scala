@@ -282,13 +282,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           else if (w.attr == "name") col(w.variable)
           else col(s"__attrs_${w.variable}").getItem(w.attr)
         val c = w.value match { case _: Long => target.try_cast("long"); case _ => target }
-        out = out.filter(w.op match {
-          case "=" => c === lit(w.value)
-          case "<" => c < lit(w.value)
-          case ">" => c > lit(w.value)
-          case "<=" => c <= lit(w.value)
-          case ">=" => c >= lit(w.value)
-        })
+        out = out.filter(graft.core.Compare.cmp(c, w.op, w.value))
       }
       val nodeMapVars = returns.collect {
         case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct

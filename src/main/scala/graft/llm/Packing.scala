@@ -110,9 +110,12 @@ object Packing {
   def chunkTextsSql(src: String, idExpr: String, textExpr: String,
                     chunkChars: Int, overlapChars: Int): String = {
     val stride = chunkChars - overlapChars
+    // the IS NOT NULL mirrors chunkTexts' isnull guard: DuckDB's greatest()
+    // is NULL-ignoring like Spark's, so a NULL text would otherwise emit
+    // one (id, 0, NULL) row here while Spark emits none
     s"""WITH graft_ch AS (SELECT $idExpr, $textExpr,
        |    unnest(range(0, CAST(greatest(ceil((length($textExpr) - $overlapChars) / $stride), 1) AS BIGINT))) AS i
-       |  FROM $src)
+       |  FROM $src WHERE $textExpr IS NOT NULL)
        |SELECT $idExpr, i AS chunk_idx,
        |  substring($textExpr, CAST(i AS INT) * $stride + 1, $chunkChars) AS chunk_text
        |FROM graft_ch""".stripMargin

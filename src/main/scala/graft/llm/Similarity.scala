@@ -287,6 +287,46 @@ object Similarity {
     * centroids + one scan). Deterministic: centroids init from the first
     * `nlist` sampled vectors by id, fixed iteration count, ties to the
     * lower list id. */
+  /** The ONE probe-selection rule every IVF serving path shares
+    * (bit-parity between the live, collected, and distributed paths is
+    * contractual — LlmSpec asserts result equality): the `nprobe`
+    * centroids nearest by cosine, ties to the lower list id. */
+  private def probeLists(cs: Array[Array[Double]], vf: Array[Float],
+                         nprobe: Int): Seq[Int] = {
+    val v = vf.map(_.toDouble)
+    cs.indices
+      .sortBy(c => (-dotOf(v, cs(c)) /
+        (normOf(v) * math.max(normOf(cs(c)), 1e-12)), c))
+      .take(nprobe)
+  }
+
+  /** The ONE frozen-centroid assignment pass ([[ivfTopK]] /
+    * [[writeIvfIndex]] / [[appendToIvfIndex]]): broadcast centroids, one
+    * distributed scan → (nid, nvec, list). */
+  private def assignToLists(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
+    }.toDF("nid", "nvec", "list")
+  }
+
+  /** The ONE probed-candidate ranking (every IVF serving path): exact
+    * rounded cosine within the probed lists, self-matches dropped, ties to
+    * the lower neighbor id. `lists` exposes (nid, nvec, list); `probes`
+    * (qid, qvec, list). */
+  private def rankProbed(lists: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    lists.join(probes, Seq("list")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -296,34 +336,15 @@ object Similarity {
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
     val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-
-    // distributed assignment: one scan, broadcast centroids
-    val bucketed = ds.mapPartitions { it =>
-      val cs = bcCentroids.value
-      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
-    }.toDF("nid", "nvec", "list")
-
+    val bucketed = assignToLists(ds, centroids)
     // each query probes its nprobe nearest lists. Collecting the QUERY set
     // is the broadcast contract shared with bruteForceTopK — queries are a
     // request batch (≪ corpus), never corpus-sized.
     val qRows = queries.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
-    val probes = qRows.flatMap { case (qid, vf) =>
-      val v = vf.map(_.toDouble)
-      bcCentroids.value.indices
-        .sortBy(c => (-dotOf(v, bcCentroids.value(c)) /
-          (normOf(v) * math.max(normOf(bcCentroids.value(c)), 1e-12)), c))
-        .take(nprobe).map(list => (qid, vf, list))
-    }.toSeq
-    val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
-
-    bucketed.join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+    val probes = qRows.toSeq.flatMap { case (qid, vf) =>
+      probeLists(centroids, vf, nprobe).map(list => (qid, vf, list)) }
+    rankProbed(bucketed, broadcast(probes.toDF("qid", "qvec", "list")), k)
   }
 
   /** Persist an IVF index AT REST — the serving posture of a 100 TB ANN
@@ -347,14 +368,10 @@ object Similarity {
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
     val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    ds.mapPartitions { it =>
-      val cs = bcCentroids.value
-      it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
-    }.toDF("nid", "nvec", "list")
+    assignToLists(ds, centroids)
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
@@ -379,13 +396,8 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     require(centroids.nonEmpty, s"no centroids at $path/centroids")
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bcCentroids.value
-        it.map { case (id, vf) => (id, vf, nearest(cs, vf.map(_.toDouble))) }
-      }.toDF("nid", "nvec", "list")
+    assignToLists(vectors.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])], centroids)
       .repartition(col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
@@ -431,36 +443,28 @@ object Similarity {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val qSel = queries.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-    // count BEFORE collect — the guard must fire before the driver tries
-    // to hold the batch, not after
-    val qCount = qSel.count()
-    require(qCount <= maxQueryRows,
-      s"query batch has $qCount rows > maxQueryRows=$maxQueryRows " +
+    // ONE execution, guard included: collect at most maxQueryRows + 1 rows
+    // (driver memory bounded by the same limit) and fail on overflow — a
+    // separate count() would run the upstream plan twice and, on a
+    // nondeterministic frame, could pass while collect() materializes more
+    val qRows = qSel.limit(
+      math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt).collect()
+    require(qRows.length <= maxQueryRows,
+      s"query batch exceeds maxQueryRows=$maxQueryRows " +
         "(driver-side probe expansion); use ivfTopKFromIndexDistributed " +
         "for corpus-sized query frames")
-    val qRows = qSel.collect()
-    val probes = qRows.flatMap { case (qid, vf) =>
-      val v = vf.map(_.toDouble)
-      centroids.indices
-        .sortBy(c => (-dotOf(v, centroids(c)) /
-          (normOf(v) * math.max(normOf(centroids(c)), 1e-12)), c))
-        .take(nprobe).map(list => (qid, vf, list))
-    }.toSeq
+    val probes = qRows.toSeq.flatMap { case (qid, vf) =>
+      probeLists(centroids, vf, nprobe).map(list => (qid, vf, list)) }
     // empty batch (or empty index → no centroids → no probes): answer the
     // empty frame with the contract schema instead of planning an empty
     // isin over the list scan
     if (probes.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
-    val qDf = broadcast(probes.toDF("qid", "qvec", "list"))
     val probedLists = probes.map(_._3).distinct
-    spark.read.parquet(s"$path/lists")
-      .filter(col("list").isin(probedLists: _*)) // static partition pruning
-      .join(qDf, Seq("list")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+    rankProbed(
+      spark.read.parquet(s"$path/lists")
+        .filter(col("list").isin(probedLists: _*)), // static partition pruning
+      broadcast(probes.toDF("qid", "qvec", "list")), k)
   }
 
   /** [[ivfTopKFromIndex]] for DataFrame-sized query batches: the query
@@ -490,20 +494,9 @@ object Similarity {
     val probes = queries.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
       .flatMap { case (qid, vf) =>
-        val cs = bcCentroids.value
-        val v = vf.map(_.toDouble)
-        cs.indices
-          .sortBy(c => (-dotOf(v, cs(c)) /
-            (normOf(v) * math.max(normOf(cs(c)), 1e-12)), c))
-          .take(nprobe).map(list => (qid, vf, list))
+        probeLists(bcCentroids.value, vf, nprobe).map(list => (qid, vf, list))
       }.toDF("qid", "qvec", "list")
-    spark.read.parquet(s"$path/lists")
-      .join(probes, Seq("list")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+    rankProbed(spark.read.parquet(s"$path/lists"), probes, k)
   }
 
   /** Deterministic k-means coarse-quantizer training, shared by [[ivfTopK]]

@@ -80,6 +80,12 @@ object Sources {
       min(col(colA).cast("double")).as("na"), max(col(colA).cast("double")).as("xa"),
       min(col(colB).cast("double")).as("nb"), max(col(colB).cast("double")).as("xb"))
       .collect()
+    // an empty frame (or all-null dims) has no bounds to scale against —
+    // write it as-is instead of dying on a null min with an opaque NPE
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val top = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)

@@ -373,10 +373,7 @@ object HashQL {
     case Cmp(ref, op, v) =>
       def cmp(c: Column): Column = {
         val cc = v match { case _: Long => c.cast("long"); case _ => c }
-        op match {
-          case "<" => cc < lit(v); case ">" => cc > lit(v)
-          case "<=" => cc <= lit(v); case ">=" => cc >= lit(v)
-        }
+        graft.core.Compare.cmp(cc, op, v)
       }
       // doc-path comparison: ANY addressed leaf satisfies it (same
       // any-leaf semantics as the Eq branch above)
@@ -488,14 +485,7 @@ object HashQL {
         // proves); aggregates referenced in HAVING must appear in the
         // select list (that is what names them).
         val havinged = having.foldLeft(out) { (d, h) =>
-          val c = col(h.column)
-          d.filter(h.op match {
-            case "=" => c === lit(h.value)
-            case "<" => c < lit(h.value)
-            case ">" => c > lit(h.value)
-            case "<=" => c <= lit(h.value)
-            case ">=" => c >= lit(h.value)
-          })
+          d.filter(graft.core.Compare.cmp(col(h.column), h.op, h.value))
         }
         // ORDER BY / LIMIT on the projected frame: sort keys address
         // output columns (aliases included — `cnt`, `sum_x`, doc-path leaf

@@ -516,7 +516,9 @@ object Streams {
     * Contract: INSERT-only maintenance (append streams — min/max cannot
     * retract; the reference's insert-time view maintenance has the same
     * shape, server.py:806-894). Replay-idempotent: a restarted batch
-    * OVERWRITES its own `batch=<id>` directory, never double-counts. No
+    * OVERWRITES its own `batch=<id>` directory, never double-counts —
+    * including a replay AFTER a compaction folded that batch into the
+    * seed (the compaction watermark excludes it from later folds). No
     * streaming state store — partials are plain files, growing by
     * ≤ |groups in batch| rows per batch; [[compactAggregateStore]] folds
     * the accumulated partials back into one seed when the file count
@@ -548,26 +550,68 @@ object Streams {
   def seedAggregateStore(summary: DataFrame, storePath: String): Unit =
     summary.write.mode("overwrite").parquet(s"$storePath/batch=-1")
 
+  /** Highest batch id whose partial is already folded into the seed
+    * (written by [[compactAggregateStore]]; -2 when nothing was ever
+    * compacted, so every id passes the `batch > watermark` filter). The
+    * marker lives INSIDE the store dir — underscore-prefixed, so parquet
+    * reads skip it, and the crash-safe swap moves it atomically with the
+    * seed it describes. */
+  private def foldWatermark(spark: SparkSession, storePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_folded_through")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -2L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Fold the partial store of [[maintainAggregate]] into the current
     * summary: count→Σcounts, sum→Σsums, min/max→min/max — column names and
     * order match (groupCols ++ aliases), so the result is drop-in for the
-    * registered summary's schema. */
+    * registered summary's schema. Batches at or below the compaction
+    * watermark are EXCLUDED: their rows are already inside the seed, so a
+    * batch replayed after compaction (crash between the sink write and the
+    * checkpoint commit, then a compact, then the restart re-runs it) is
+    * folded exactly once, not twice. */
   def foldAggregate(spark: SparkSession, storePath: String,
-                    groupCols: Seq[String], specs: Seq[AggSpec]): DataFrame =
+                    groupCols: Seq[String], specs: Seq[AggSpec]): DataFrame = {
+    val w = foldWatermark(spark, storePath)
     spark.read.parquet(storePath)
+      .filter(col("batch") === -1 || col("batch") > w)
       .groupBy(groupCols.map(col): _*)
       .agg(specs.head.fold, specs.tail.map(_.fold): _*)
+  }
 
   /** Fold the accumulated partials back into ONE seed partial — run while
     * the stream is stopped (same contract as [[compactStore]]); crash-safe
     * via the [[graft.sources.Sources.swapDir]] protocol. The store then
-    * holds a single `batch=-1` directory and the stream resumes appending
-    * fresh batches beside it. */
+    * holds a single `batch=-1` directory plus a `_folded_through` marker
+    * recording the highest folded batch id, and the stream resumes
+    * appending fresh batches beside it. The marker is what keeps
+    * [[maintainAggregate]]'s replay idempotence ACROSS compactions: a
+    * batch Structured Streaming replays after its partial was folded
+    * recreates its `batch=<id>` dir, but the fold filters ids at or below
+    * the watermark. Requires the stream to keep its checkpoint (batch ids
+    * must stay monotonic); resetting the checkpoint dir restarts ids at 0
+    * and needs a fresh store. */
   def compactAggregateStore(spark: SparkSession, storePath: String,
                             groupCols: Seq[String], specs: Seq[AggSpec]): Unit = {
+    val prev = foldWatermark(spark, storePath)
+    val hp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = fs.listStatus(hp).iterator
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
+      .foldLeft(prev)(math.max)
     val folded = foldAggregate(spark, storePath, groupCols, specs)
     graft.sources.Sources.swapDir(spark, storePath) { tmp =>
       folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded_through"))
+      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 

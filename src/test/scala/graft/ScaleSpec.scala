@@ -133,23 +133,35 @@ class ScaleSpec extends SparkSpec {
       Tables.t(spark, sf, "documents"), "text", "doc_id", budget = 512)
       .as[(Long, Long, Long)].collect().toSet
     // setting the dir flips every subsequent prefix-sum pin in this shared
-    // session from localCheckpoint to reliable checkpoint() — results are
-    // a pure function of the input either way (asserted below), only the
-    // fault-tolerance of the pinned layout changes
+    // session from localCheckpoint to reliable checkpoint() — correct
+    // either way, but slower and order-dependent for the OTHER suites
+    // sharing this JVM, so the dir is restored to unset afterwards
+    // (SparkContext has no public unsetter; the reflective reset below is
+    // test-only)
     val ckpt = java.nio.file.Files.createTempDirectory("reliable_ck").toString
     spark.sparkContext.setCheckpointDir(ckpt)
-    val after = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 5L)
-      .as[(Long, Long)].collect().toMap
-    assert(after == before)
-    val packAfter = graft.llm.Packing.packChunks(
-      Tables.t(spark, sf, "documents"), "text", "doc_id", budget = 512)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(packAfter == packBefore)
-    // the reliable checkpoint actually landed RDD files in the dir
-    def files(f: java.io.File): Iterator[java.io.File] =
-      Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(files)
-    assert(files(new java.io.File(ckpt)).count(_.isFile) > 0,
-      "no reliable checkpoint files written")
+    try {
+      val after = graft.llm.Sampling.epochShuffle(docs, "doc_id", seed = 5L)
+        .as[(Long, Long)].collect().toMap
+      assert(after == before)
+      val packAfter = graft.llm.Packing.packChunks(
+        Tables.t(spark, sf, "documents"), "text", "doc_id", budget = 512)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(packAfter == packBefore)
+      // the reliable checkpoint actually landed RDD files in the dir
+      def files(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(files)
+      assert(files(new java.io.File(ckpt)).count(_.isFile) > 0,
+        "no reliable checkpoint files written")
+    } finally {
+      val f = spark.sparkContext.getClass.getDeclaredFields
+        .find(_.getName.endsWith("checkpointDir"))
+        .getOrElse(fail("SparkContext.checkpointDir field not found"))
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir not restored for the shared session")
+    }
   }
 
   test("snapshot diff moves digests through one join; temperatureSample windows on the stratum") {

@@ -645,6 +645,15 @@ class StreamsSpec extends SparkSpec {
       assert(dirs == Seq("batch=-1"), s"store not compacted: $dirs")
       assert(asMap(Streams.foldAggregate(spark, s"$dir/store", Seq("cat"), specs))
         == asMap(summaryOf(allRows)))
+      // a batch REPLAYED after compaction (crash between sink write and
+      // checkpoint commit, then compact, then restart re-runs it) recreates
+      // its batch dir — the fold watermark excludes it, so nothing
+      // double-counts even though its rows are already inside the seed
+      Seq(("a", 1L, 7L, 7L, 7L)) // batch 0's partial, re-materialized
+        .toDF("cat", "n_rows", "sum_v", "min_v", "max_v")
+        .write.mode("overwrite").parquet(s"$dir/store/batch=0")
+      assert(asMap(Streams.foldAggregate(spark, s"$dir/store", Seq("cat"), specs))
+        == asMap(summaryOf(allRows)), "replayed pre-compaction batch double-counted")
 
       // replay idempotence: a re-run batch overwrites its own partial dir,
       // never double-counts (overwrite-by-batch-id, like the other sinks)
