@@ -138,6 +138,150 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — the FAISS `PQ` codec): each
+    * corpus vector is encoded as `m` small codes — per subspace, the
+    * L2-nearest codeword from a `ksub`-entry codebook — and queries rank
+    * candidates by cosine against the RECONSTRUCTION via asymmetric
+    * distance computation: the query stays full-precision, and its dot
+    * product with any codeword is one lookup in an m×ksub table computed
+    * once per query. At m=4/ksub=256 the at-rest representation is
+    * 4 bytes/vector vs 256 for float32×64 — a 64× memory reduction, the
+    * arithmetic that lets a 100 TB embedding corpus serve ANN from RAM.
+    *
+    * Scale shape: codebooks are tiny (m·ksub·subdim doubles) and broadcast;
+    * encoding is ONE distributed scan; scoring per (query, code-row) is
+    * m table lookups — no per-pair float vector math at all. The query set
+    * is the broadcast request-batch contract shared with
+    * [[bruteForceTopK]]; candidates are the full coded corpus (flat ADC
+    * scan — compose with the IVF list routing of [[ivfTopK]] for the
+    * probed-subset variant).
+    *
+    * Deterministic, and at iters=0 SQL-expressible end to end: codebook j
+    * is the j-th subvector slice of the first `ksub` vectors by id,
+    * refinement is per-subspace L2 Lloyd's over the hash-mod sample
+    * (ties → lower codeword id), ranking ties → lower neighbor id. The
+    * ann_pq oracle hash-checks codebook construction, encoding, the ADC
+    * lookup sums, and ranking bit-for-bit. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             ksub: Int = 16, iters: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxTrainRows: Long = 1L << 18): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val books = trainPqCodebooks(ds, idCol, m, ksub, iters, maxTrainRows)
+    if (books.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
+    val subdim = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // encode: one distributed scan → m codes per row (the at-rest shape)
+    val coded = ds.mapPartitions { it =>
+      val bs = bcBooks.value
+      it.map { case (id, vf) => (id, pqEncode(bs, vf)) }
+    }
+    // query batch: the broadcast request-batch contract of bruteForceTopK
+    val qRows = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
+    // ADC tables. lut(j)(c) = dot(query subspace j, codeword c); rnorm² of
+    // a code row = Σ_j ‖codeword‖² (exact — the reconstruction IS the
+    // codewords). Ascending-j folds mirror the oracle's ORDER BY j sums.
+    val qLuts = qRows.map { case (qid, vf) =>
+      val v = vf.map(_.toDouble)
+      val lut = Array.tabulate(books.length, books(0).length) { (j, c) =>
+        dotOf(v.slice(j * subdim, (j + 1) * subdim), books(j)(c))
+      }
+      (qid, lut, normOf(v))
+    }
+    val normTab = books.map(_.map(cw => dotOf(cw, cw)))
+    val bcQ = spark.sparkContext.broadcast(qLuts)
+    val bcN = spark.sparkContext.broadcast(normTab)
+    coded.flatMap { case (nid, codes) =>
+      val nt = bcN.value
+      var rn2 = 0.0
+      var j = 0; while (j < codes.length) { rn2 += nt(j)(codes(j)); j += 1 }
+      val rnorm = math.sqrt(rn2)
+      bcQ.value.iterator.filter(_._1 != nid).map { case (qid, lut, qn) =>
+        var adot = 0.0
+        var jj = 0; while (jj < codes.length) { adot += lut(jj)(codes(jj)); jj += 1 }
+        (qid, nid, adot / (qn * rnorm))
+      }
+    }.toDF("qid", "nid", "raw")
+      .withColumn("cos", round(col("raw"), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** Per-subspace codebooks for [[pqTopK]], shape [m][≤ksub][dims/m].
+    * Same training contract as [[trainCentroids]]: iters=0 → the first
+    * `ksub` vectors by id, sliced (no corpus-sized work at any scale);
+    * otherwise per-subspace L2 Lloyd's on the driver over the
+    * deterministic xxhash64-mod sample capped at `maxTrainRows`. */
+  private[llm] def trainPqCodebooks(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
+      m: Int, ksub: Int, iters: Int, maxTrainRows: Long): Array[Array[Array[Double]]] = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    require(maxTrainRows > 0, "maxTrainRows must be positive")
+    def slices(vs: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+      val dims = vs.head.length
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+      val sub = dims / m
+      Array.tabulate(m)(j => vs.map(_.slice(j * sub, (j + 1) * sub)))
+    }
+    if (iters == 0) {
+      val seeds = ds.orderBy(col(idCol)).limit(ksub).collect()
+        .sortBy(_._1).map(_._2.map(_.toDouble))
+      return if (seeds.isEmpty) Array.empty else slices(seeds)
+    }
+    val total = ds.count()
+    val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
+    val train = if (mod == 1L) ds
+      else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+    val all = train.collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    if (all.isEmpty) return Array.empty
+    slices(all).map { sub =>
+      var cb = sub.take(ksub).map(_.clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cb.length)(new Array[Double](sub.head.length))
+        val counts = new Array[Int](cb.length)
+        sub.foreach { v =>
+          val c = nearestL2(cb, v)
+          counts(c) += 1
+          var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        }
+        cb = Array.tabulate(cb.length)(c =>
+          if (counts(c) == 0) cb(c) else sums(c).map(_ / counts(c)))
+      }
+      cb
+    }
+  }
+
+  /** Encode one vector as its m per-subspace nearest-codeword ids. */
+  private def pqEncode(books: Array[Array[Array[Double]]],
+                       vf: Array[Float]): Array[Int] = {
+    val subdim = books(0)(0).length
+    val v = vf.map(_.toDouble)
+    Array.tabulate(books.length)(j =>
+      nearestL2(books(j), v.slice(j * subdim, (j + 1) * subdim)))
+  }
+
+  /** argmin over codewords by squared L2 (ties → lower index — matches the
+    * oracle's ORDER BY dist, cid). NaN distances never beat a real one. */
+  private def nearestL2(cb: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cb(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
     * Hamming-1 neighbor bucket (one plane's sign flipped) — the standard
     * recall fix for query points that sit close to a hyperplane, bought

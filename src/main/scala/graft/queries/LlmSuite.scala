@@ -785,6 +785,60 @@ object LlmSuite extends Suite {
              |      FROM p)
              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // Product-quantization ANN (Jégou 2011 / FAISS PQ): m=4 subspaces ×
+    // ksub=8 codewords each; a vector's code is its per-subspace L2-nearest
+    // codeword, ranking is cosine against the reconstruction via the
+    // per-query ADC lookup table. At iters=0 codebook j is the j-th 16-dim
+    // slice of the first 8 vectors by id, so DuckDB reproduces codebooks,
+    // encoding, the ADC sums (ordered list folds mirror the engine's
+    // ascending-j loops) and ranking bit-for-bit — the whole PQ pipeline is
+    // hash-checked; Lloyd's-refined recall is LlmSpec-asserted.
+    "ann_pq" -> Q(
+      (s, d) => Similarity.pqTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3, m = 4,
+        ksub = 8, iters = 0),
+      Some("""WITH n AS (SELECT vec_id, embedding,
+             |        sqrt(list_sum(list_transform(embedding,
+             |          x -> x::DOUBLE * x::DOUBLE))) AS nrm
+             |      FROM embeddings),
+             |js AS (SELECT unnest(range(0, 4)) AS j),
+             |sv AS (SELECT x.vec_id, s.j,
+             |        list_transform(list_slice(x.embedding, s.j*16+1, s.j*16+16),
+             |          e -> e::DOUBLE) AS sv
+             |      FROM embeddings x, js s),
+             |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+             |       FROM (SELECT vec_id, embedding FROM embeddings
+             |             ORDER BY vec_id LIMIT 8)),
+             |cw AS (SELECT c.cid, s.j,
+             |        list_transform(list_slice(c.embedding, s.j*16+1, s.j*16+16),
+             |          e -> e::DOUBLE) AS sv
+             |      FROM cb0 c, js s),
+             |asg AS (SELECT vec_id, j, cid FROM (
+             |    SELECT x.vec_id, x.j, w.cid,
+             |      row_number() OVER (PARTITION BY x.vec_id, x.j
+             |        ORDER BY list_sum(list_transform(range(1, 17),
+             |          i -> (x.sv[i] - w.sv[i]) * (x.sv[i] - w.sv[i]))), w.cid) AS arn
+             |    FROM sv x JOIN cw w ON x.j = w.j) WHERE arn = 1),
+             |parts AS (SELECT q.vec_id AS qid, a.vec_id AS nid, a.j,
+             |        q.nrm AS qnrm,
+             |        list_sum(list_transform(range(1, 17),
+             |          i -> qx.sv[i] * w.sv[i])) AS qd,
+             |        list_sum(list_transform(range(1, 17),
+             |          i -> w.sv[i] * w.sv[i])) AS cn2
+             |      FROM n q
+             |      JOIN sv qx ON qx.vec_id = q.vec_id
+             |      JOIN asg a ON a.j = qx.j AND a.vec_id <> q.vec_id
+             |      JOIN cw w ON w.j = a.j AND w.cid = a.cid
+             |      WHERE q.vec_id < 5),
+             |p AS (SELECT qid, nid,
+             |        round(list_sum(list(qd ORDER BY j)) /
+             |          (max(qnrm) * sqrt(list_sum(list(cn2 ORDER BY j)))), 5) AS cos
+             |      FROM parts GROUP BY qid, nid),
+             |r AS (SELECT qid, nid, cos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |      FROM p)
+             |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // Multi-probe LSH: own bucket + every Hamming-1 neighbor (one plane
     // flipped). The probe set is a pure function of the bucket id, so the
     // recall-boosted approximate operator is STILL hash-checked — the

@@ -198,6 +198,61 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.8, s"quantized top-k recall $recall")
   }
 
+  test("PQ-ANN: trained recall clears the bar, more code bits help, rerank recovers") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(m: Int, ksub: Int): Double = {
+      val pq = Similarity.pqTopK(emb, queries, 5, m = m, ksub = ksub, iters = 2)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      exact.count(pq.contains).toDouble / exact.size
+    }
+    // the synthetic embeddings are near-isotropic — PQ's worst case (no
+    // cluster structure to exploit); measured ~0.14 at 16-bit codes,
+    // ~0.4 at 64-bit. The bars sit under the measured values with margin.
+    val coarse = recallOf(4, 16)  // 4×4 = 16-bit codes
+    val fine = recallOf(16, 16)   // 16×4 = 64-bit codes
+    assert(fine > 0.25, s"pq recall $fine at 64-bit codes")
+    assert(fine >= coarse - 0.05, s"more code bits hurt: $fine < $coarse")
+    // the production posture: PQ shortlists from the coded scan, exact
+    // cosine reranks the shortlist — tiny shortlists recover most recall
+    val short = Similarity.pqTopK(emb, queries, 50, m = 8, ksub = 32, iters = 2)
+      .select(col("qid"), col("nid"))
+    val rer = short.join(emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")), "nid")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))), "qid")
+      .withColumn("cos", round(graft.functions.VectorKernels.cosine_sim(col("qvec"), col("nvec")), 5))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rRerank = exact.count(rer.contains).toDouble / exact.size
+    assert(rRerank > 0.6, s"pq+rerank recall $rRerank")
+  }
+
+  test("PQ-ANN: reconstruction-cosine error bounded, deterministic across partitionings") {
+    val queries = emb.filter(col("vec_id") < 10)
+    // |cos(q, reconstruction) - cos(q, x)| stays small on average —
+    // measured avg ~0.07 on the isotropic fixture at 8×5-bit codes
+    val pq = Similarity.pqTopK(emb, queries, 500, m = 8, ksub = 32, iters = 2)
+      .select(col("qid"), col("nid"), col("cos").as("pcos"))
+    val ex = Similarity.bruteForceTopK(emb, queries, 500)
+      .select(col("qid"), col("nid"), col("cos").as("ecos"))
+    val err = pq.join(ex, Seq("qid", "nid"))
+      .select(avg(abs(col("pcos") - col("ecos")))).as[Double].collect()(0)
+    assert(err < 0.15, s"pq avg cosine error $err")
+    // same answer from a different physical layout (training sample,
+    // encoding, and ranking are all order-independent by construction)
+    val a = Similarity.pqTopK(emb, queries, 5, m = 4, ksub = 16, iters = 2)
+      .collect().map(_.toString).sorted
+    val b = Similarity.pqTopK(emb.repartition(13), queries, 5, m = 4, ksub = 16, iters = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "pqTopK not partition-invariant")
+    // empty corpus answers the empty frame, never throws
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.pqTopK(empty, empty, k = 3, m = 4, ksub = 8).count() == 0)
+  }
+
   test("IVF-ANN recall beats LSH at similar probe cost") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
