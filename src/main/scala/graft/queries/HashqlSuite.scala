@@ -54,6 +54,36 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, c_nationkey FROM customer
              |WHERE c_nationkey >= 20 AND c_nationkey < 23""".stripMargin)),
 
+    // OR + parentheses (dialect growth: the reference's WHERE is a flat
+    // AND chain, server.py:456-476). Standard precedence — AND binds
+    // tighter than OR — and the parenthesized disjunction distributes over
+    // the conjunct, both shapes in one statement.
+    "hashql_or" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey from customer " +
+          "where (customer.c_nationkey = 3 or customer.c_nationkey = 7) " +
+          "and customer.c_acctbal >= 0 or customer.c_nationkey = 21"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE (c_nationkey = 3 OR c_nationkey = 7) AND c_acctbal >= 0
+             |   OR c_nationkey = 21""".stripMargin)),
+
+    // IN list: member equality with the dialect's numeric coercion.
+    "hashql_in" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_orderpriority from orders " +
+          "where orders.o_orderpriority in ('1-URGENT', '5-LOW')"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin)),
+
+    // LIKE: %/_ wildcards — Spark Column.like and DuckDB LIKE share
+    // semantics (no regex, backslash escapes unused here).
+    "hashql_like" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_name from part " +
+          "where part.p_name like '%r_d%' and part.p_size < 20"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE '%r_d%' AND p_size < 20""".stripMargin)),
+
     // multi-column GROUP BY (dialect growth; the reference groups by one
     // key, server.py:452-455).
     "hashql_groupby2" -> Q(

@@ -20,7 +20,9 @@ import graft.fts.Fts
   *   select t.a, u.b | * | count(*) from t
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f < v | t.f > v | t.f <= v | t.f >= v
-  *            | t.f ~ 'tok1 & tok2 | tok3' [and …]]
+  *            | t.f in (v1, v2, …) | t.f like 'pat'
+  *            | t.f ~ 'tok1 & tok2 | tok3'
+  *            [and|or …, AND over OR, parens group]]
   *     [group by t.f [, t.g …]]
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [order by t.f [asc|desc] [, …]] [limit n]
@@ -52,6 +54,17 @@ object HashQL {
     * = and ~ (its WHERE grammar stops at equality, server.py:456-476). */
   final case class Cmp(ref: ColRef, op: String, value: Any) extends Pred
   final case class FtsMatch(ref: ColRef, query: String) extends Pred
+  /** Boolean structure (dialect growth: the reference's WHERE is a flat
+    * AND chain, server.py:456-476). Standard SQL precedence — AND binds
+    * tighter than OR, parentheses group — so `a = 1 and b = 2 or c = 3`
+    * is Or(And(a,b), c). */
+  final case class And(ps: Seq[Pred]) extends Pred
+  final case class Or(ps: Seq[Pred]) extends Pred
+  /** `t.f in (v1, v2, …)` — equality against any member, each member
+    * coerced exactly like [[Eq]] (numeric literals compare as long). */
+  final case class InList(ref: ColRef, values: Seq[Any]) extends Pred
+  /** `t.f like 'pat'` — SQL LIKE, `%`/`_` wildcards. */
+  final case class Like(ref: ColRef, pattern: String) extends Pred
 
   /** HAVING conjunct: `column` addresses an OUTPUT column of the
     * aggregated frame — the auto-alias of an agg call (`cnt`, `sum_x`) or
@@ -184,21 +197,45 @@ object HashQL {
       Delete(table, wheres)
     }
 
-    private def preds(): Seq[Pred] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Pred]
-      var more = true
-      while (more) {
+    /** WHERE clause → top-level AND conjuncts (callers fold with &&).
+      * Grammar: expr := conj (OR conj)*; conj := atom (AND atom)*;
+      * atom := '(' expr ')' | simple — standard SQL precedence. */
+    private def preds(): Seq[Pred] = predExpr() match {
+      case And(ps) => ps
+      case other => Seq(other)
+    }
+    private def predExpr(): Pred = {
+      val terms = scala.collection.mutable.ArrayBuffer(predConj())
+      while (is("or")) { next(); terms += predConj() }
+      if (terms.size == 1) terms.head else Or(terms.toSeq)
+    }
+    private def predConj(): Pred = {
+      val terms = scala.collection.mutable.ArrayBuffer(predAtom())
+      while (is("and")) { next(); terms += predAtom() }
+      if (terms.size == 1) terms.head else And(terms.toSeq)
+    }
+    private def predAtom(): Pred =
+      if (is("(")) { next(); val e = predExpr(); kw(")"); e }
+      else {
         val ref = colRef()
-        out += (next() match {
+        next() match {
           case "=" => Eq(ref, literal())
           case "~" => FtsMatch(ref, literal().toString)
           case op @ ("<" | ">" | "<=" | ">=") => Cmp(ref, op, literal())
+          case t if t.equalsIgnoreCase("in") =>
+            kw("(")
+            val vs = scala.collection.mutable.ArrayBuffer(literal())
+            while (is(",")) { next(); vs += literal() }
+            kw(")")
+            InList(ref, vs.toSeq)
+          case t if t.equalsIgnoreCase("like") =>
+            val v = literal()
+            require(v.isInstanceOf[String],
+              s"like expects a quoted pattern, got $v")
+            Like(ref, v.toString)
           case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
-        })
-        if (is("and")) next() else more = false
+        }
       }
-      out.toSeq
-    }
 
     private def selectRest(): Select = {
       val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
@@ -381,6 +418,22 @@ object HashQL {
         graft.doc.DocStore.pathMatches(col("doc"), ref.column, cmp)
       else cmp(col(ref.column))
     case FtsMatch(ref, q) => Fts.matches(Fts.tokens(col(ref.column)), q)
+    case And(ps) => ps.map(predColumn(cat, _)).reduce(_ && _)
+    case Or(ps) => ps.map(predColumn(cat, _)).reduce(_ || _)
+    case InList(ref, vs) =>
+      // per-member Eq semantics (long coercion per value), folded with OR —
+      // doc-paths keep the any-leaf contract of the other branches
+      def mem(c: Column): Column = vs.map {
+        case l: Long => c.cast("long") === lit(l)
+        case v => c === lit(v)
+      }.reduce(_ || _)
+      if (ref.column.startsWith("~"))
+        graft.doc.DocStore.pathMatches(col("doc"), ref.column, mem)
+      else mem(col(ref.column))
+    case Like(ref, pat) =>
+      if (ref.column.startsWith("~"))
+        graft.doc.DocStore.pathMatches(col("doc"), ref.column, _.like(pat))
+      else col(ref.column).like(pat)
   }
 
   /** Execute a dialect statement. DDL/DML mutate the catalog and return

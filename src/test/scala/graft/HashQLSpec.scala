@@ -106,6 +106,33 @@ class HashQLSpec extends SparkSpec {
       .forall { case (_, c) => c == 2L })
   }
 
+  test("boolean grammar: AND over OR, parens, IN member coercion, LIKE wildcards") {
+    val cat = new GraftCatalog(spark)
+    Seq(("ann", "x", 1L), ("bob", "x", 5L), ("cat", "y", 7L), ("dan", "y", 9L))
+      .foreach { case (n, g, v) =>
+        HashQL.execute(cat, s"insert into b (nm, grp, v) values ('$n', '$g', $v)") }
+    def names(sql: String): Seq[String] =
+      HashQL.execute(cat, sql).get.collect().map(_.getString(0)).sorted.toSeq
+    // AND binds tighter than OR: grp='x' AND v=5 OR v=9 = (x∧5) ∨ 9
+    assert(names("select b.nm from b where b.grp = 'x' and b.v = 5 or b.v = 9")
+      == Seq("bob", "dan"))
+    // parens flip it: x ∧ (5 ∨ 9)
+    assert(names("select b.nm from b where b.grp = 'x' and (b.v = 5 or b.v = 9)")
+      == Seq("bob"))
+    // IN: numeric members coerce like Eq; string members compare as-is
+    assert(names("select b.nm from b where b.v in (1, 9)") == Seq("ann", "dan"))
+    assert(names("select b.nm from b where b.nm in ('ann', 'cat')") == Seq("ann", "cat"))
+    // LIKE: % spans, _ is exactly one char
+    assert(names("select b.nm from b where b.nm like '%a%'") == Seq("ann", "cat", "dan"))
+    assert(names("select b.nm from b where b.nm like '_a_'") == Seq("cat", "dan"))
+    // OR works in UPDATE/DELETE predicates too (shared preds())
+    HashQL.execute(cat, "delete from b where b.v = 1 or b.v = 9")
+    assert(names("select b.nm from b") == Seq("bob", "cat"))
+    // an unquoted LIKE pattern is a clean error
+    intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select b.nm from b where b.nm like 7"))
+  }
+
   test("having filters the aggregated frame; agg-call and alias spellings agree") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 10), ("a", 20), ("b", 5), ("b", 6), ("b", 7), ("c", 100))
