@@ -42,6 +42,11 @@ package graft.graph
   *   // endpoint pairs (directed bands agree on acyclic graphs).
   *   node    := ( [var] [:Label] [{k: 'v', ...}] )   // keys may be quoted
   *   ret     := var [. attr]  |  properties(var)      // n | n.name | whole map
+  *            |  count(*) | count(var[.attr])         // aggregates (growth):
+  *            |  (sum|avg|min|max)(var.attr)          // implicit grouping by
+  *              // the plain items, Cypher-style; aggregation ranges over
+  *              // the DISTINCT pattern bindings (see RetAgg); numeric
+  *              // aggs coerce attrs via try_cast-to-long
   * }}}
   * The IR mirrors the reference's `parser.graph` element list (node dicts +
   * relationship dicts) regrouped into chains.
@@ -74,20 +79,38 @@ object Cypher {
   final case class Chain(nodes: Seq[NodePat], rels: Seq[Rel]) {
     require(nodes.length == rels.length + 1, "malformed chain")
   }
+  /** A RETURN-list entry: a plain item ([[Ret]]) or an aggregate call
+    * ([[RetAgg]] — growth; the reference's RETURN is projection-only). */
+  sealed trait RetItem
   /** RETURN item: the bound node (attr = None), one of its attribute
     * values (attr = Some; "name" addresses the node identity itself), or
     * the node's WHOLE attribute map (`properties(n)` — attr = Some("*"),
     * the reference's RETURN-of-node-dicts, client.py:1201-1219). */
-  final case class Ret(variable: String, attr: Option[String])
+  final case class Ret(variable: String, attr: Option[String]) extends RetItem
+  /** Aggregate RETURN item (growth): `count(*)` (arg None), `count(v)` /
+    * `count(v.attr)`, or `sum|avg|min|max(v.attr)`. Cypher's implicit
+    * grouping applies — the plain items alongside become the grouping
+    * keys; no plain items → one global row. Aggregation ranges over the
+    * DISTINCT variable bindings of the pattern (anonymous endpoints
+    * included) — the set semantics RETURN already has, lifted to groups.
+    * Numeric aggregates coerce the attr with try_cast-to-long (HashQL's
+    * rule): non-numeric or missing attrs drop from the aggregate as
+    * NULLs rather than throwing mid-scan. */
+  final case class RetAgg(fn: String, arg: Option[Ret]) extends RetItem {
+    require(fn == "count" || arg.exists(_.attr.isDefined),
+      s"$fn needs a var.attr argument")
+    require(arg.forall(!_.attr.contains("*")),
+      "cannot aggregate a properties(...) map")
+  }
   /** WHERE conjunct (growth): `variable.attr op value`. `value` is Long
     * for a numeric literal (numeric comparison — the attr casts to long,
     * HashQL's coercion rule) or String for a quoted one; `attr` "name" on
     * a node variable addresses the identity itself. */
   final case class Where(variable: String, attr: String, op: String, value: Any)
   sealed trait Stmt
-  final case class Match(chains: Seq[Chain], returns: Seq[Ret],
+  final case class Match(chains: Seq[Chain], returns: Seq[RetItem],
                          wheres: Seq[Where] = Nil,
-                         orderBy: Seq[(Ret, Boolean)] = Nil,
+                         orderBy: Seq[(RetItem, Boolean)] = Nil,
                          limit: Option[Int] = None) extends Stmt
   final case class Merge(chain: Chain) extends Stmt
 
@@ -156,15 +179,16 @@ object Cypher {
           }
         }
         require(k == "return", "expected RETURN")
-        val rets = scala.collection.mutable.ArrayBuffer(ret())
-        while (tryEat(',')) rets += ret()
-        val obs = scala.collection.mutable.ArrayBuffer.empty[(Ret, Boolean)]
+        val rets = scala.collection.mutable.ArrayBuffer(retItem())
+        while (tryEat(',')) rets += retItem()
+        val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]
         if (tryKeyword("order")) {
           require(keyword() == "by", "expected BY after ORDER")
           var m = true
           while (m) {
-            val r = ret()
-            require(!r.attr.contains("*"),
+            val r = retItem()
+            require(!PartialFunction.cond(r) {
+              case Ret(_, Some("*")) => true },
               "cannot ORDER BY a properties(...) map")
             val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
             obs += ((r, desc))
@@ -199,6 +223,22 @@ object Cypher {
         Ret(inner, Some("*")) // whole attribute map
       }
       else if (tryEat('.')) Ret(v, Some(ident())) else Ret(v, None)
+    }
+
+    /** RETURN entry: `count(*)` / `count(v[.attr])` /
+      * `sum|avg|min|max(v.attr)` (an aggregate keyword IMMEDIATELY
+      * followed by '(' — a node variable with one of these names still
+      * parses bare), properties(v), or var[.attr]. */
+    private def retItem(): RetItem = {
+      ws(); val save = i
+      val v = ident()
+      if (Seq("count", "sum", "avg", "min", "max").contains(v.toLowerCase)
+          && { ws(); peek == '(' }) {
+        eat('(')
+        val arg = { ws(); if (peek == '*') { i += 1; None } else Some(ret()) }
+        eat(')')
+        RetAgg(v.toLowerCase, arg)
+      } else { i = save; ret() }
     }
 
     private def chains(): Seq[Chain] = {

@@ -160,12 +160,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       require(!relVarSeq.exists(nodeVarSet),
         s"edge variable collides with a node variable: ${relVarSeq.filter(nodeVarSet).mkString(", ")}")
       val edgeVars = relVarSeq.toSet
-      returns.foreach {
+      val aggItems = returns.collect { case a: Cypher.RetAgg => a }
+      val plainRets = returns.collect { case r: Cypher.Ret => r }
+      (plainRets ++ aggItems.flatMap(_.arg)).foreach {
         case Cypher.Ret(v, None) if edgeVars(v) =>
           throw new IllegalArgumentException(
             s"edge variable '$v' supports $v.attr and properties($v) returns only")
         case _ => ()
       }
+      if (aggItems.nonEmpty)
+        require(!plainRets.exists(_.attr.contains("*")),
+          "properties(...) cannot be grouped — aggregate RETURNs take " +
+            "var / var.attr keys only")
       // WHERE conjuncts (growth — the reference grammar has no WHERE)
       // reference bound node or edge variables; edge-var predicates need
       // their attr carried out of the hop like edge-attr RETURNs do
@@ -173,7 +179,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         require(nodeVarSet(w.variable) || edgeVars(w.variable),
           s"WHERE references unbound variable '${w.variable}'")
       }
-      val edgeAttrNeeds: Map[String, Seq[String]] = (returns.collect {
+      // plain RETURN items plus aggregate arguments — every place that
+      // resolves a var.attr to a carried/joined column ranges over both
+      val retsAndArgs = plainRets ++ aggItems.flatMap(_.arg)
+      val edgeAttrNeeds: Map[String, Seq[String]] = (retsAndArgs.collect {
         case Cypher.Ret(v, Some(a)) if edgeVars(v) && a != "*" => (v, a)
       } ++ wheres.collect {
         case Cypher.Where(v, a, _, _) if edgeVars(v) => (v, a)
@@ -261,7 +270,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // attribute RETURNs and node-var WHERE conjuncts need the vertex row
       // back: join attrs on per-var name once per distinct variable
       // addressed with `.attr` (or filtered on a non-name attribute).
-      val attrVars = (returns.collect {
+      val attrVars = (retsAndArgs.collect {
         case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" && !edgeVars(v) => v
       } ++ wheres.collect {
         case Cypher.Where(v, a, _, _) if !edgeVars(v) && a != "name" => v
@@ -284,10 +293,62 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         val c = w.value match { case _: Long => target.try_cast("long"); case _ => target }
         out = out.filter(graft.core.Compare.cmp(c, w.op, w.value))
       }
-      val nodeMapVars = returns.collect {
+      // output-column naming, shared by the projection branches, the
+      // aggregation aliases, and the ORDER BY targeting: var, var_attr,
+      // cnt for count(*), fn_var[_attr] for the other aggregates.
+      def outName(r: Cypher.RetItem): String = r match {
+        case Cypher.Ret(v, None) => v
+        case Cypher.Ret(v, Some(a)) => s"${v}_$a"
+        case Cypher.RetAgg("count", None) => "cnt"
+        case Cypher.RetAgg(fn, Some(arg)) => s"${fn}_${outName(arg)}"
+        case Cypher.RetAgg(fn, None) => fn // unreachable (RetAgg requires)
+      }
+      val nodeMapVars = plainRets.collect {
         case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct
-      val projected = if (nodeMapVars.isEmpty && edgePropVars.isEmpty) {
-        val cols = returns.map {
+      val projected = if (aggItems.nonEmpty) {
+        // aggregation path (growth): Cypher implicit grouping — plain
+        // items are the keys; none → one global row. Aggregates range
+        // over the DISTINCT pattern bindings: every bound variable column
+        // (named and anonymous endpoints, carried edge attrs) minus the
+        // MapType attr joins, plus the computed attr values keys/args
+        // address — all functions of the identities, so including them
+        // cannot split a binding row. The distinct is the same per-group
+        // set semantics the plain RETURN has.
+        def keyCol(r: Cypher.Ret): Option[(String, Column)] = r.attr match {
+          case None => None                        // identity col exists
+          case Some(_) if edgeVars(r.variable) => None // carried as v_a
+          case Some("name") => Some(outName(r) -> col(r.variable).as(outName(r)))
+          case Some(a) => Some(outName(r) ->
+            col(s"__attrs_${r.variable}").getItem(a).as(outName(r)))
+        }
+        val identCols = out.columns.filterNot(_.startsWith("__attrs_")).toSeq
+        val computed = retsAndArgs.flatMap(keyCol).distinctBy(_._1)
+          .filterNot { case (n, _) => identCols.contains(n) }
+        val base = out.select(identCols.map(col) ++ computed.map(_._2): _*)
+          .distinct()
+        val aggCols = aggItems.map { a =>
+          (a match {
+            case Cypher.RetAgg("count", None) => count(lit(1))
+            case Cypher.RetAgg("count", Some(r)) => count(col(outName(r)))
+            case Cypher.RetAgg(fn, Some(r)) =>
+              // numeric coercion via try_cast (HashQL's rule): missing or
+              // non-numeric attrs become NULL and drop from the aggregate
+              val c = col(outName(r)).try_cast("long")
+              fn match {
+                case "sum" => sum(c); case "avg" => avg(c)
+                case "min" => min(c); case "max" => max(c)
+              }
+            case Cypher.RetAgg(fn, None) =>
+              throw new IllegalArgumentException(s"$fn needs an argument")
+          }).as(outName(a))
+        }
+        val grouped =
+          if (plainRets.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
+          else base.groupBy(plainRets.map(r => col(outName(r))): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(returns.map(r => col(outName(r))): _*)
+      } else if (nodeMapVars.isEmpty && edgePropVars.isEmpty) {
+        val cols = plainRets.map {
           case Cypher.Ret(v, None) => col(v)
           case Cypher.Ret(v, Some(a)) if edgeVars(v) => col(s"${v}_$a")
           case Cypher.Ret(v, Some("name")) => col(v).as(s"${v}_name")
@@ -303,7 +364,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         // endpoints), then join each map on. Net effect: whole-map items
         // dedup by identity — two DISTINCT nodes/edges that happen to
         // share an attr map stay two rows.
-        val named = returns.flatMap {
+        val named = plainRets.flatMap {
           case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
             Seq(s"__esrc_$v" -> col(s"__esrc_$v"), s"__edst_$v" -> col(s"__edst_$v"))
           case Cypher.Ret(v, Some("*")) => Seq(s"__key_$v" -> col(v).as(s"__key_$v"))
@@ -331,7 +392,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
               col("eattrs").as(s"__emap_$v")),
             Seq(s"__esrc_$v", s"__edst_$v"))
         }
-        d.select(returns.map {
+        d.select(plainRets.map {
           case Cypher.Ret(v, Some("*")) if edgeVars(v) =>
             col(s"__emap_$v").as(s"${v}_properties")
           case Cypher.Ret(v, Some("*")) => col(s"__map_$v").as(s"${v}_properties")
@@ -341,13 +402,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         }: _*)
       }
       // ORDER BY / LIMIT (growth, like HashQL's): sort keys address the
-      // RETURN's OUTPUT columns by the same naming (var, var_attr), so an
-      // item must appear in RETURN to be sortable. ORDER BY + LIMIT plans
-      // TakeOrderedAndProject — per-partition top-k + driver merge.
-      def outName(r: Cypher.Ret): String = r.attr match {
-        case None => r.variable
-        case Some(a) => s"${r.variable}_$a"
-      }
+      // RETURN's OUTPUT columns by the same naming (var, var_attr, agg
+      // aliases), so an item must appear in RETURN to be sortable.
+      // ORDER BY + LIMIT plans TakeOrderedAndProject — per-partition
+      // top-k + driver merge.
       val retNames = returns.map(outName).toSet
       orderBy.foreach { case (r, _) =>
         require(retNames.contains(outName(r)),

@@ -76,6 +76,30 @@ object GraphSuite extends Suite {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin)),
 
+    // aggregates (growth — the reference's RETURN is projection-only):
+    // Cypher implicit grouping, plain items are the keys. Aggregation
+    // ranges over the DISTINCT pattern bindings — (c, n) pairs here, so
+    // count(*) is customers-per-nation; numeric aggs coerce the string
+    // attr via try_cast-to-long (sum/min/max of c_nationkey within a
+    // nation all collapse to functions of that nation's key — exactly
+    // what the oracle computes).
+    "cypher_agg" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) return n, count(*), " +
+          "sum(c.c_nationkey), min(c.c_nationkey), max(c.c_nationkey)"),
+      Some("""SELECT 'nation:' || n_name AS n, count(*) AS cnt,
+             |  CAST(sum(c_nationkey) AS BIGINT) AS sum_c_c_nationkey,
+             |  min(c_nationkey) AS min_c_c_nationkey,
+             |  max(c_nationkey) AS max_c_c_nationkey
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // global aggregate: no plain items → one row; the single-node chain
+    // is a label scan, the count is over distinct bound nodes.
+    "cypher_count" -> Q(
+      (s, d) => g(s, d).query("match (c:Customer) return count(*)"),
+      Some("SELECT count(*) AS cnt FROM customer")),
+
     // G3: attribute-map node lookup + expansion.
     "cypher_attr_lookup" -> Q(
       (s, d) => g(s, d).query(

@@ -231,6 +231,50 @@ class CypherSpec extends SparkSpec {
     assert(g.query("match (n:Person) where n.name > 30 return n").count() == 0)
   }
 
+  test("aggregates: parser goldens, implicit grouping, binding-distinct counts") {
+    // parser: count(*) / count(v) / fn(v.attr); a node variable that
+    // happens to be named like an aggregate still parses bare
+    val Cypher.Match(_, rets, _, _, _) = Cypher.parse(
+      "match (a)-[:R]->(b) return a, count(*), sum(b.v)"): @unchecked
+    assert(rets == Seq(Cypher.Ret("a", None), Cypher.RetAgg("count", None),
+      Cypher.RetAgg("sum", Some(Cypher.Ret("b", Some("v"))))))
+    val Cypher.Match(_, r2, _, _, _) = Cypher.parse(
+      "match (count:C) return count"): @unchecked
+    assert(r2 == Seq(Cypher.Ret("count", None)))
+    // sum without a var.attr argument dies at parse
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (a) return sum(a)"))
+    intercept[IllegalArgumentException](
+      Cypher.parse("match (a) return count(properties(a))"))
+
+    import spark.implicits._
+    val g = PropertyGraph.empty(spark)
+      .merge("merge (a:P {'name': 'Ann', 'age': '31'})-[:KNOWS]->(b:P {'name': 'Bob', 'age': '25'})")
+      .merge("merge (a:P {'name': 'Ann', 'age': '31'})-[:KNOWS]->(b:P {'name': 'Cid', 'age': '40'})")
+      .merge("merge (a:P {'name': 'Dee', 'age': 'young'})-[:KNOWS]->(b:P {'name': 'Cid', 'age': '40'})")
+    // implicit grouping: plain item = key; count over distinct bindings
+    assert(g.query("match (a:P)-[:KNOWS]->(b:P) return a, count(*)")
+      .as[(String, Long)].collect().toSet == Set(("Ann", 2L), ("Dee", 1L)))
+    // global aggregate: no keys -> one row; sum/avg coerce via try_cast so
+    // the non-numeric 'young' drops as NULL instead of throwing
+    assert(g.query("match (n:P) return count(*), sum(n.age), avg(n.age)")
+      .as[(Long, Long, Double)].collect().toSeq ==
+        Seq((4L, 96L, 32.0)))
+    // re-merging does not inflate counts (bindings stay distinct), and
+    // min/max coerce numerically
+    val g2 = g.merge("merge (a:P {'name': 'Ann', 'age': '31'})-[:KNOWS]->(b:P {'name': 'Bob', 'age': '25'})")
+    assert(g2.query("match (a:P)-[:KNOWS]->(b:P) return a, count(*), min(b.age), max(b.age)")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+        Set(("Ann", 2L, 25L, 40L), ("Dee", 1L, 40L, 40L)))
+    // ORDER BY addresses aggregate output aliases; LIMIT composes
+    assert(g.query(
+      "match (a:P)-[:KNOWS]->(b:P) return a, count(*) order by cnt desc, a limit 1")
+      .as[(String, Long)].collect().toSeq == Seq(("Ann", 2L)))
+    // properties() cannot be a grouping key
+    intercept[IllegalArgumentException](
+      g.query("match (n:P) return properties(n), count(*)"))
+  }
+
   test("ORDER BY / LIMIT: parser goldens, top-k plan, output-column addressing") {
     // parser: sort keys are RETURN-item shapes with asc/desc, limit an int
     val Cypher.Match(_, _, _, obs, lim) = Cypher.parse(
