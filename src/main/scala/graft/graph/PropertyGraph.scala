@@ -118,6 +118,63 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def checkpointLocal(): PropertyGraph =
     PropertyGraph(vertices.localCheckpoint(), edges.localCheckpoint())
 
+  /** Connected components over the (optionally rel-filtered) edge set,
+    * treated as UNDIRECTED: every vertex appears exactly once with the
+    * minimum node name reachable from it as its component representative;
+    * isolated vertices are their own singletons. Delegates to
+    * [[graft.llm.Dedup.clusters]] — bounded driver union-find when the
+    * edge list fits (edges ≤ 2M), distributed min-label propagation
+    * above, identical representatives either way — so the graph surface
+    * and the dedup pipeline share ONE closure implementation. */
+  def connectedComponents(rels: Seq[String] = Nil): DataFrame = {
+    val es = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val cl = graft.llm.Dedup.clusters(es).withColumnRenamed("doc_id", "node")
+    vertices.select(col("name").as("node"))
+      .join(cl, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+  }
+
+  /** PageRank in EXACT integer fixed-point arithmetic: ranks are scaled
+    * by `scale` (initial rank = scale), a round is
+    * `rank' = (15·scale) div 100 + (85·Σ contribs) div 100` with
+    * `contrib = rank div outDegree` — damping 0.85 as integer
+    * multiply-then-divide. Integer addition commutes exactly, so results
+    * are reproducible across partitionings, runs, and engines, where
+    * float PageRank depends on summation order. Dangling mass is dropped
+    * (the standard simplified formulation — ranks need not sum to
+    * n·scale). `iters` is capped so the plan is a fixed-depth join tree:
+    * one groupBy-on-dst shuffle per round plus a broadcast-sized
+    * out-degree side; no driver-side iteration state. Overflow headroom:
+    * 85·Σ contribs ≤ 85·n·scale — safe in a long to ~10^11 nodes at the
+    * default scale. */
+  def pageRank(iters: Int = 2, rels: Seq[String] = Nil,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && iters <= 8, s"iters must be in 0..8, got $iters")
+    val es = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+      .select(col("src"), col("dst"))
+    val outDeg = es.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    var ranks = vertices.select(col("name").as("node"),
+      lit(scale).as("rank"))
+    (0 until iters).foreach { _ =>
+      val contribs = es
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div odeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      ranks = vertices.select(col("name").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cin"), lit(0L)).as("cin"))
+        // integral `div` (not `/`, which widens to double) keeps every
+        // step exact — the whole point of the fixed-point formulation
+        .select(col("node"),
+          expr(s"${15L * scale / 100L}L + (85L * cin) div 100L").as("rank"))
+    }
+    ranks
+  }
+
   /** Checkpoint the accumulated MERGE plan (each merge stacks a
     * union+dropDuplicates) to parquet and re-read — plan depth back to 1.
     * Run after bulk statement streams; semantics unchanged. */

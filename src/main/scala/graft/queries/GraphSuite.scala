@@ -232,6 +232,73 @@ object GraphSuite extends Suite {
         val g2 = g1.merge(s"merge (r:Region {'name': '${names.head}'})") // no-op
         g2.query("match (r:Region) return r")
       },
-      Some("SELECT DISTINCT r_name AS r FROM region"))
+      Some("SELECT DISTINCT r_name AS r FROM region")),
+
+    // graph analytics (growth): connected components over the undirected
+    // IN+LOCATED edges — each region's customer/nation/supplier tree is
+    // one component; representative = min reachable node name
+    // (Dedup.clusters' contract, so dedup and graph share ONE closure
+    // implementation and ONE oracle convention — the recursive-CTE
+    // closure mirrors clustersOracle).
+    "graph_cc" -> Q(
+      (s, d) => g(s, d).connectedComponents(),
+      Some("""WITH RECURSIVE
+             |v AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+             |  UNION ALL SELECT 'nation:' || n_name FROM nation
+             |  UNION ALL SELECT 'region:' || r_name FROM region
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+             |jp AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+             |         'nation:' || n_name AS b
+             |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |       FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |         'nation:' || n_name
+             |       FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |edges AS (SELECT a AS u, b AS v FROM jp
+             |  UNION SELECT b, a FROM jp
+             |  UNION SELECT node, node FROM v),
+             |reach(u, w) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u)
+             |SELECT u AS node, min(w) AS rep FROM reach GROUP BY u""".stripMargin)),
+
+    // graph analytics (growth): PageRank in exact integer fixed-point —
+    // contrib = rank div outdeg, rank' = 150000 + (85·Σcontrib) div 100
+    // at scale 10^6. Integer sums commute, so even the ITERATED ranks
+    // hash-match across engines (float pagerank could not).
+    "graph_pagerank" -> Q(
+      (s, d) => g(s, d).pageRank(iters = 2),
+      Some("""WITH
+             |v AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+             |  UNION ALL SELECT 'nation:' || n_name FROM nation
+             |  UNION ALL SELECT 'region:' || r_name FROM region
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+             |e AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+             |        'nation:' || n_name AS dst
+             |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |      FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |        'nation:' || n_name
+             |      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM v),
+             |c1 AS (SELECT e.dst AS node,
+             |         CAST(sum(r.rank // o.odeg) AS BIGINT) AS cin
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN od o ON e.src = o.src GROUP BY e.dst),
+             |r1 AS (SELECT v.node,
+             |         CAST(150000 + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
+             |       FROM v LEFT JOIN c1 c ON v.node = c.node),
+             |c2 AS (SELECT e.dst AS node,
+             |         CAST(sum(r.rank // o.odeg) AS BIGINT) AS cin
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN od o ON e.src = o.src GROUP BY e.dst),
+             |r2 AS (SELECT v.node,
+             |         CAST(150000 + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
+             |       FROM v LEFT JOIN c2 c ON v.node = c.node)
+             |SELECT node, rank FROM r2""".stripMargin))
   )
 }

@@ -69,6 +69,42 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
     }
   }
 
+  test("connectedComponents: reps agree with BFS closure; isolated nodes are singletons") {
+    (1 to 4).foreach { seed =>
+      val edges = sample(edgesGen, seed).distinct
+      val g = graphOf(edges)
+      val got = g.connectedComponents().as[(String, String)].collect().toMap
+      // reference closure on the driver: undirected BFS, min-name rep
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      def comp(n: String): Set[String] = {
+        var seen = Set(n); var frontier = Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      val want = names.map(n => n -> comp(n).min).toMap
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
+  test("pageRank: exact-integer ranks are partition-invariant; iters=0 is uniform") {
+    val edges = sample(edgesGen, 3).distinct
+    val g = graphOf(edges)
+    assert(g.pageRank(iters = 0).as[(String, Long)].collect()
+      .forall(_._2 == 1000000L))
+    val a = g.pageRank(iters = 3).as[(String, Long)].collect().toMap
+    val shuffled = PropertyGraph(
+      g.vertices.repartition(7), g.edges.repartition(5))
+    val b = shuffled.pageRank(iters = 3).as[(String, Long)].collect().toMap
+    assert(a == b, "integer pageRank not partition-invariant")
+    // a node with no in-edges holds exactly the teleport mass
+    val sinks = names.toSet -- edges.map(_._2).toSet
+    sinks.foreach(n => assert(a(n) == 150000L, s"$n: ${a(n)}"))
+  }
+
   test("MERGE is idempotent: re-merging a random statement stream is a no-op") {
     (1 to 3).foreach { seed =>
       val edges = sample(edgesGen, seed + 900).distinct
