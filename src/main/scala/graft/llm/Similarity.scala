@@ -215,6 +215,81 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
 
+  /** IVF-PQ ANN — the FAISS `IndexIVFPQ` serving shape: [[ivfTopK]]'s
+    * coarse quantizer routes each query to its `nprobe` nearest lists,
+    * and candidates INSIDE the probed lists are scored with [[pqTopK]]'s
+    * ADC lookup tables over the m-code rows. The two reductions multiply:
+    * per query the scan touches ~nprobe/nlist of the corpus and reads
+    * codes, not vectors — at m=4/nlist=16/nprobe=4 that is 1/4 of the
+    * rows at 1/64 of the bytes, the 100 TB serving posture. Rerank the
+    * survivors against full-precision vectors when exactness matters
+    * (the shortlist pattern LlmSpec demonstrates for pqTopK).
+    *
+    * Simplification vs FAISS: codes quantize the RAW vectors, not the
+    * per-list residuals — one shared codebook set across lists, and the
+    * iters=0 path stays SQL-expressible end to end: ann_ivfpq composes
+    * the ann_ivf_flat (coarse assignment/probing) and ann_pq (codebooks/
+    * ADC) oracle conventions and hash-checks the whole pipeline. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                ksub: Int = 16, iters: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxTrainRows: Long = 1L << 18): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
+    val books = trainPqCodebooks(ds, idCol, m, ksub, iters, maxTrainRows)
+    if (centroids.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    // ONE scan → (coarse list, m codes) per row: the at-rest shape
+    val coded = ds.mapPartitions { it =>
+      val cs = bcC.value; val bs = bcB.value
+      it.map { case (id, vf) =>
+        (id, nearest(cs, vf.map(_.toDouble)), pqEncode(bs, vf)) }
+    }.toDF("nid", "list", "codes")
+    // query batch: broadcast request-batch contract (ivfTopK/bruteForce)
+    val qRows = queries.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])].collect()
+    val subdim = books(0)(0).length
+    val qLuts = qRows.map { case (qid, vf) =>
+      val v = vf.map(_.toDouble)
+      val lut = Array.tabulate(books.length, books(0).length) { (j, c) =>
+        dotOf(v.slice(j * subdim, (j + 1) * subdim), books(j)(c))
+      }
+      qid -> (lut, normOf(v))
+    }.toMap
+    val normTab = books.map(_.map(cw => dotOf(cw, cw)))
+    val probes = qRows.toSeq.flatMap { case (qid, vf) =>
+      probeLists(centroids, vf, nprobe).map(list => (qid, list)) }
+    val bcQ = spark.sparkContext.broadcast(qLuts)
+    val bcN = spark.sparkContext.broadcast(normTab)
+    coded.join(broadcast(probes.toDF("qid", "list")), Seq("list"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("codes"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcQ.value; val nt = bcN.value
+        it.map { case (qid, nid, codes) =>
+          val (lut, qn) = qs(qid)
+          var adot = 0.0; var rn2 = 0.0
+          var j = 0
+          while (j < codes.length) {
+            adot += lut(j)(codes(j)); rn2 += nt(j)(codes(j)); j += 1
+          }
+          (qid, nid, adot / (qn * math.sqrt(rn2)))
+        }
+      }.toDF("qid", "nid", "raw")
+      .withColumn("cos", round(col("raw"), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
   /** Per-subspace codebooks for [[pqTopK]], shape [m][≤ksub][dims/m].
     * Same training contract as [[trainCentroids]]: iters=0 → the first
     * `ksub` vectors by id, sliced (no corpus-sized work at any scale);

@@ -839,6 +839,68 @@ object LlmSuite extends Suite {
              |      FROM p)
              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // IVF-PQ (FAISS IndexIVFPQ shape): coarse probing routes each query to
+    // nprobe lists, PQ ADC scores the codes inside them — the oracle is
+    // literally the ann_ivf_flat coarse CTEs composed with the ann_pq
+    // codebook/ADC CTEs, restricted to the probed candidate pairs, so the
+    // doubly-approximate operator is STILL hash-checked end to end.
+    "ann_ivfpq" -> Q(
+      (s, d) => Similarity.ivfPqTopK(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3,
+        nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 0),
+      Some(s"""WITH $cosineNormsCte,
+              |c AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |      ORDER BY vec_id LIMIT 16),
+              |casg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c) WHERE arn = 1),
+              |probes AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, c.cid,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosExpr("q", "c")} DESC, c.cid) AS prn
+              |    FROM n q, c WHERE q.vec_id < 5) WHERE prn <= 4),
+              |js AS (SELECT unnest(range(0, 4)) AS j),
+              |sv AS (SELECT x.vec_id, s.j,
+              |        list_transform(list_slice(x.embedding, s.j*16+1, s.j*16+16),
+              |          e -> e::DOUBLE) AS sv
+              |      FROM embeddings x, js s),
+              |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+              |       FROM (SELECT vec_id, embedding FROM embeddings
+              |             ORDER BY vec_id LIMIT 8)),
+              |cw AS (SELECT c2.cid, s.j,
+              |        list_transform(list_slice(c2.embedding, s.j*16+1, s.j*16+16),
+              |          e -> e::DOUBLE) AS sv
+              |      FROM cb0 c2, js s),
+              |pqasg AS (SELECT vec_id, j, cid FROM (
+              |    SELECT x.vec_id, x.j, w.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id, x.j
+              |        ORDER BY list_sum(list_transform(range(1, 17),
+              |          i -> (x.sv[i] - w.sv[i]) * (x.sv[i] - w.sv[i]))), w.cid) AS arn
+              |    FROM sv x JOIN cw w ON x.j = w.j) WHERE arn = 1),
+              |cand AS (SELECT pr.qid, a2.nid FROM probes pr
+              |         JOIN casg a2 ON a2.cid = pr.cid
+              |         WHERE a2.nid <> pr.qid),
+              |parts AS (SELECT p2.qid, p2.nid, a.j, q.nrm AS qnrm,
+              |        list_sum(list_transform(range(1, 17),
+              |          i -> qx.sv[i] * w.sv[i])) AS qd,
+              |        list_sum(list_transform(range(1, 17),
+              |          i -> w.sv[i] * w.sv[i])) AS cn2
+              |      FROM cand p2
+              |      JOIN n q ON q.vec_id = p2.qid
+              |      JOIN sv qx ON qx.vec_id = p2.qid
+              |      JOIN pqasg a ON a.vec_id = p2.nid AND a.j = qx.j
+              |      JOIN cw w ON w.j = a.j AND w.cid = a.cid),
+              |p AS (SELECT qid, nid,
+              |        round(list_sum(list(qd ORDER BY j)) /
+              |          (max(qnrm) * sqrt(list_sum(list(cn2 ORDER BY j)))), 5) AS cos
+              |      FROM parts GROUP BY qid, nid),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // Multi-probe LSH: own bucket + every Hamming-1 neighbor (one plane
     // flipped). The probe set is a pure function of the bucket id, so the
     // recall-boosted approximate operator is STILL hash-checked — the

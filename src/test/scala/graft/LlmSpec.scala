@@ -230,6 +230,30 @@ class LlmSpec extends SparkSpec {
     assert(rRerank > 0.6, s"pq+rerank recall $rRerank")
   }
 
+  test("IVF-PQ: full probe ≡ flat PQ bit-for-bit; pruned probe recall holds up") {
+    val queries = emb.filter(col("vec_id") < 20)
+    // nprobe = nlist makes the candidate set everything-but-self, so the
+    // composed operator must reproduce flat pqTopK EXACTLY — coarse
+    // routing cancels out, ADC scoring is shared
+    val full = Similarity.ivfPqTopK(emb, queries, 5, nlist = 16, nprobe = 16,
+      m = 8, ksub = 16, iters = 2).collect().map(_.toString).sorted
+    val flat = Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16, iters = 2)
+      .collect().map(_.toString).sorted
+    assert(full.sameElements(flat), "full-probe ivfPqTopK != flat pqTopK")
+    // pruned probing loses some of PQ's hits but keeps most — the double
+    // approximation still finds real neighbors (vs exact top-5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pruned = Similarity.ivfPqTopK(emb, queries, 5, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16, iters = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pruned.contains).toDouble / exact.size
+    assert(recall > 0.15, s"ivfpq recall $recall")
+    // empty corpus answers the empty frame
+    val none = emb.filter(col("vec_id") < 0)
+    assert(Similarity.ivfPqTopK(none, none, k = 3).count() == 0)
+  }
+
   test("PQ-ANN: reconstruction-cosine error bounded, deterministic across partitionings") {
     val queries = emb.filter(col("vec_id") < 10)
     // |cos(q, reconstruction) - cos(q, x)| stays small on average —
