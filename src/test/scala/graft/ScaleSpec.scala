@@ -51,6 +51,59 @@ class ScaleSpec extends SparkSpec {
       s"sampling shuffles:\n$samplePlan")
   }
 
+  test("PQ serving plans: flat ADC has no join at all; IVF-PQ is one broadcast equi-join") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // flat PQ: encode scan + broadcast LUTs — candidate generation is a
+    // flatMap, so there must be NO join operator anywhere in the plan
+    val pq = graft.llm.Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16, iters = 1)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("Join"), s"flat ADC scan plans a join:\n$pqPlan")
+    // IVF-PQ: candidates come from ONE broadcast equi-join on the probed
+    // list ids — never a cartesian, never a shuffle of the coded corpus
+    // beyond the ranking window
+    val ivfpq = graft.llm.Similarity.ivfPqTopK(emb, queries, 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, iters = 1)
+    val ivfpqPlan = ivfpq.queryExecution.executedPlan.toString
+    assert(ivfpqPlan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$ivfpqPlan")
+    assert(!ivfpqPlan.contains("CartesianProduct") &&
+      !ivfpqPlan.contains("BroadcastNestedLoopJoin"),
+      s"ivfPqTopK plans a cross product:\n$ivfpqPlan")
+    ivfpq.count()
+  }
+
+  test("graph analytics plans: pageRank shuffles only on join/agg keys, cc never crosses") {
+    val g = graft.graph.PropertyGraph.fromTpch(
+      Tables.t(spark, sf, "customer"), Tables.t(spark, sf, "nation"),
+      Tables.t(spark, sf, "region"), Tables.t(spark, sf, "supplier"))
+    val pr = g.pageRank(iters = 2)
+    val prPlan = pr.queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct") &&
+      !prPlan.contains("BroadcastNestedLoopJoin"),
+      s"pageRank plans a cross product:\n$prPlan")
+    val cc = g.connectedComponents()
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(!ccPlan.contains("CartesianProduct") &&
+      !ccPlan.contains("BroadcastNestedLoopJoin"),
+      s"connectedComponents plans a cross product:\n$ccPlan")
+  }
+
+  test("cypher aggregates plan partial aggregation below the exchange") {
+    val g = graft.graph.PropertyGraph.fromTpch(
+      Tables.t(spark, sf, "customer"), Tables.t(spark, sf, "nation"),
+      Tables.t(spark, sf, "region"), Tables.t(spark, sf, "supplier"))
+    val agg = g.query(
+      "match (c:Customer)-[:IN]->(n:Nation) return n, count(*), sum(c.c_nationkey)")
+    val plan = agg.queryExecution.executedPlan.toString
+    // two HashAggregates per logical agg (partial below, final above the
+    // exchange) — map-side combine is what keeps a skewed group from
+    // funneling its raw bindings through one reducer
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no partial aggregation in cypher agg plan:\n$plan")
+    agg.count()
+  }
+
   test("span/line dedup and semanticDedup plan equi-joins only — never a cross product") {
     val docs = Tables.t(spark, sf, "documents")
     val spans = graft.llm.Dedup.stripDuplicateSpans(docs, "text", "doc_id", 8)
