@@ -109,8 +109,16 @@ object MatView {
             _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>
         flatten(f.child)
       case j: Join if j.joinType == Inner && j.condition.isDefined =>
-        for ((ll, lc) <- flatten(j.left); (rl, rc) <- flatten(j.right))
-          yield (ll ++ rl, lc ++ rc ++ condKey(j))
+        // a join CONDITION can carry more than the view's equi-keys:
+        // PushPredicateThroughJoin folds a cross-side user predicate
+        // (e.g. `r_name = 'EU' OR n_name = 'JP'`) into the condition.
+        // Ignoring such residue would route the view WITHOUT the
+        // predicate — a wrong answer — so any non-equi conjunct kills
+        // the exact route here (the containment route rewrites it).
+        val (eqs, rest) = condSplit(j)
+        if (rest.nonEmpty) None
+        else for ((ll, lc) <- flatten(j.left); (rl, rc) <- flatten(j.right))
+          yield (ll ++ rl, lc ++ rc ++ eqs)
       case leaf if leaf.children.isEmpty => Some((Set(leaf.canonicalized.toString), Set.empty))
       case _ => None
     }
@@ -139,19 +147,35 @@ object MatView {
         (l, c, p ++ kept)
       }
     case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      // non-equi residue in the condition (a cross-side user predicate
+      // PushPredicateThroughJoin folded in) is COLLECTED like a Filter
+      // conjunct: it must rewrite against the summary or the route is
+      // abandoned — never silently dropped
+      val (eqs, rest) = condSplit(j)
       for ((ll, lc, lp) <- flattenCollect(j.left, joinCols);
            (rl, rc, rp) <- flattenCollect(j.right, joinCols))
-        yield (ll ++ rl, lc ++ rc ++ condKey(j), lp ++ rp)
+        yield (ll ++ rl, lc ++ rc ++ eqs, lp ++ rp ++ rest)
     case leaf if leaf.children.isEmpty =>
       Some((Set(leaf.canonicalized.toString), Set.empty, Nil))
     case _ => None
   }
 
-  private def condKey(j: Join): Set[(String, String)] =
-    j.condition.toSeq.flatMap(_.collect {
+  /** Split a join condition into its attr=attr equi-conjuncts (the view
+    * identity) and everything else (user predicates folded into the
+    * condition by pushdown — the callers decide whether that residue is
+    * rewritable or fatal). */
+  private def condSplit(j: Join): (Set[(String, String)], Seq[Expression]) = {
+    val cs = j.condition.toSeq.flatMap(conjuncts)
+    val eqs = cs.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         if (a.name <= b.name) (a.name, b.name) else (b.name, a.name)
-    }).toSet
+    }.toSet
+    val rest = cs.filter {
+      case EqualTo(_: AttributeReference, _: AttributeReference) => false
+      case _ => true
+    }
+    (eqs, rest)
+  }
 
   private def keyOf(j: Join): Option[Key] =
     flatten(j).map { case (leaves, conds) => Key(leaves, conds) }

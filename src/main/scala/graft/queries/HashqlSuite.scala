@@ -340,6 +340,36 @@ object HashqlSuite extends Suite {
              |WHERE r_name = 'EUROPE'
              |GROUP BY n_name""".stripMargin)),
 
+    // boolean filter containment (round-6 growth + regression pin for the
+    // folded-condition bug): a cross-side OR over two GROUPING KEYS gets
+    // folded into the join CONDITION by PushPredicateThroughJoin — the
+    // route must carry it to the summary (filter-then-re-aggregate), not
+    // silently drop it and serve the unfiltered rollup.
+    "matview_route_or" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        def base = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        val summary = base.groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvo").toString
+        graft.matview.MatView.materializeAggregate(s, "or_tmp", summary, s"$tmp/view")
+        val q = base
+          .filter(col("r_name") === "EUROPE" || col("n_name") === "JAPAN")
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res)
+        graft.matview.MatView.drop(s, "or_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE' OR n_name = 'JAPAN'
+             |GROUP BY n_name""".stripMargin)),
+
     // J5 read path END-TO-END IN THE DIALECT: `create join` registered and
     // materialized, then a later dialect SELECT over the same join answers
     // from the pre-joined parquet (zero Join nodes — asserted in

@@ -243,6 +243,44 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cn_filt")
   }
 
+  test("filter-containment: OR and IN over grouping keys route; a key-with-non-key OR falls back") {
+    val custNatReg = custNation
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+    val agg = custNatReg.groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = java.nio.file.Files.createTempDirectory("mv_bool").toString
+    MatView.materializeAggregate(spark, "cn_bool", agg, out)
+    try {
+      // the rewrite substitutes key subexpressions inside ANY deterministic
+      // predicate, so boolean structure routes for free: OR of two keys…
+      def qOr = custNatReg
+        .filter(col("r_name") === "EUROPE" || col("n_name") === "JAPAN")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val orPlan = qOr.queryExecution.executedPlan.toString
+      assert(orPlan.contains(out.split("/").last) && !orPlan.contains("Join"),
+        s"key-OR filter not served from the summary:\n$orPlan")
+      val routedOr = qOr.as[(String, Long)].collect().toMap
+      // …and IN lists on a key
+      def qIn = custNatReg.filter(col("r_name").isin("EUROPE", "ASIA"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      val inPlan = qIn.queryExecution.executedPlan.toString
+      assert(inPlan.contains(out.split("/").last) && !inPlan.contains("Join"),
+        s"key-IN filter not served from the summary:\n$inPlan")
+      val routedIn = qIn.as[(String, Long)].collect().toMap
+      // an OR reaching a NON-key column selects partial groups — facts
+      val qMixed = custNatReg
+        .filter(col("r_name") === "EUROPE" || col("c_mktsegment") === "BUILDING")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      assert(qMixed.queryExecution.executedPlan.toString.contains("Join"),
+        "key-or-non-key OR wrongly served from the summary")
+      qMixed.collect()
+
+      MatView.drop(spark, "cn_bool")
+      assert(routedOr == qOr.as[(String, Long)].collect().toMap)
+      assert(routedIn == qIn.as[(String, Long)].collect().toMap)
+    } finally MatView.drop(spark, "cn_bool")
+  }
+
   test("containment disabled when view outputs' sql renderings collide; exact repeat still routes") {
     // the same aggregate registered twice under different aliases renders
     // the same `sum(c_acctbal)` sqlKey — the name-keyed containment maps
