@@ -91,23 +91,35 @@ object MatView {
   }
   /** Flatten an inner-equi-join TREE (n-way, any shape — the reference's own
     * `create join` smoke is 3-way, example.py:151-238) into its leaf
-    * relations plus the union of all equi-condition column-name pairs.
-    * Returns None if anything other than a bare relation (modulo
-    * pruning-Projects / IsNotNull-Filters) or a plain inner equi-join
-    * appears — a user filter means the query is NOT the registered view,
-    * and so does a Project that COMPUTES anything (only attribute-list
-    * Projects, the shape column pruning inserts, are transparent —
-    * substituting through e.g. `upper(n_name).as("n_name")` would silently
-    * drop the computation). */
-  private def flatten(plan: LogicalPlan): Option[(Set[String], Set[(String, String)])] =
+    * relations plus the union of all equi-condition column-name pairs,
+    * plus the columns of every IsNotNull filter passed through. Returns
+    * None if anything other than a bare relation (modulo pruning-Projects
+    * / IsNotNull-Filters) or a plain inner equi-join appears — a user
+    * filter means the query is NOT the registered view, and so does a
+    * Project that COMPUTES anything (only attribute-list Projects, the
+    * shape column pruning inserts, are transparent — substituting through
+    * e.g. `upper(n_name).as("n_name")` would silently drop the
+    * computation).
+    *
+    * IsNotNull filters are NOT absorbed blindly: the caller must check
+    * the returned columns against the join-condition columns ([[keyOf]]).
+    * The inner join implies non-nullness only for its OWN keys; a user's
+    * `WHERE maybe IS NOT NULL` on a nullable payload column used to be
+    * swallowed here, silently routing to rows the filter should have
+    * dropped. */
+  private def flatten(plan: LogicalPlan)
+      : Option[(Set[String], Set[(String, String)], Set[String])] =
     plan match {
       case Project(projectList, child)
           if projectList.forall(_.isInstanceOf[AttributeReference]) =>
         flatten(child)
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if conjuncts(f.condition).forall(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) =>
-        flatten(f.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        val cs = conjuncts(f.condition)
+        val nnCols = cs.collect {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.name }
+        if (nnCols.length != cs.length) None
+        else flatten(f.child).map { case (l, c, nn) => (l, c, nn ++ nnCols) }
       case j: Join if j.joinType == Inner && j.condition.isDefined =>
         // a join CONDITION can carry more than the view's equi-keys:
         // PushPredicateThroughJoin folds a cross-side user predicate
@@ -117,9 +129,10 @@ object MatView {
         // the exact route here (the containment route rewrites it).
         val (eqs, rest) = condSplit(j)
         if (rest.nonEmpty) None
-        else for ((ll, lc) <- flatten(j.left); (rl, rc) <- flatten(j.right))
-          yield (ll ++ rl, lc ++ rc ++ eqs)
-      case leaf if leaf.children.isEmpty => Some((Set(leaf.canonicalized.toString), Set.empty))
+        else for ((ll, lc, ln) <- flatten(j.left); (rl, rc, rn) <- flatten(j.right))
+          yield (ll ++ rl, lc ++ rc ++ eqs, ln ++ rn)
+      case leaf if leaf.children.isEmpty =>
+        Some((Set(leaf.canonicalized.toString), Set.empty, Set.empty))
       case _ => None
     }
 
@@ -177,8 +190,19 @@ object MatView {
     (eqs, rest)
   }
 
-  private def keyOf(j: Join): Option[Key] =
-    flatten(j).map { case (leaves, conds) => Key(leaves, conds) }
+  /** Exact-route identity of a query join tree. IsNotNull filters inside
+    * the tree are legitimate ONLY over join-implied columns: the tree's
+    * own condition columns, or `outerJoinCols` — key columns of ENCLOSING
+    * inner joins, whose constraints Catalyst pushes into the subtree and
+    * whose joins re-apply the null semantics after the substitution. An
+    * IsNotNull over any other column is a real user predicate the
+    * materialized rows do not honor, so the route must not fire. */
+  private def keyOf(j: Join, outerJoinCols: Set[String] = Set.empty): Option[Key] =
+    flatten(j).flatMap { case (leaves, conds, nn) =>
+      val condCols = conds.flatMap { case (a, b) => Seq(a, b) }
+      if (nn.subsetOf(condCols ++ outerJoinCols)) Some(Key(leaves, conds))
+      else None
+    }
 
   /** By-NAME substitution (join views): every column the possibly-pruned
     * join still outputs must exist in the materialized parquet; parents
@@ -326,7 +350,16 @@ object MatView {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val entries = snapshot(spark)
       if (entries.isEmpty) plan
-      else plan.transformUp {
+      else {
+      // key columns of every inner join in the WHOLE plan: an IsNotNull
+      // a parent join's constraint inference pushed into a candidate
+      // subtree is safe to absorb — that parent re-drops null keys
+      // post-substitution (keyOf rejects all other IsNotNulls)
+      val planJoinCols: Set[String] = plan.collect {
+        case pj: Join if pj.joinType == Inner =>
+          condSplit(pj)._1.flatMap { case (a, b) => Seq(a, b) }
+      }.flatten.toSet
+      plan.transformUp {
         // pre-aggregated summaries: the CANONICALIZED whole-aggregate
         // match first (zero re-aggregation — a verbatim dashboard repeat
         // reads the summary scan directly, whatever it renamed outputs
@@ -341,8 +374,9 @@ object MatView {
             .getOrElse(a)
         case j: Join if j.joinType == Inner && j.condition.isDefined =>
           entries.collectFirst {
-            case e: JoinEntry if keyOf(j).contains(e.key) => e }
+            case e: JoinEntry if keyOf(j, planJoinCols).contains(e.key) => e }
             .flatMap(e => substituteByName(j, e.replacement)).getOrElse(j)
+      }
       }
     }
   }
@@ -448,7 +482,13 @@ object MatView {
     }
     val childKey =
       if (keysCollide) None
-      else flatten(agg.child).map { case (l, c) => Key(l, c) }
+      else flatten(agg.child).flatMap { case (l, c, nn) =>
+        // same guard as keyOf: a view registered over a join carrying a
+        // non-key IsNotNull has semantics the (leaves, conds) key cannot
+        // encode — disable containment for it rather than over-match
+        val condCols = c.flatMap { case (x, y) => Seq(x, y) }
+        if (nn.subsetOf(condCols)) Some(Key(l, c)) else None
+      }
     mutate(spark)(_ += AggEntry(name, plan.canonicalized, replacement,
       childKey, group.result(), aggs.result()))
     installRule(spark)

@@ -415,6 +415,33 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, "cnr5")
   }
 
+  test("IsNotNull on a nullable NON-key column blocks the route; parent-join keys stay absorbable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv_nn").toString
+    Seq((1L, Option("x")), (2L, None), (3L, Option("y")))
+      .toDF("k", "maybe").write.parquet(s"$dir/l")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("rk", "attr")
+      .write.parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    MatView.materialize(spark, "nn_guard", l.join(r, col("k") === col("rk")),
+      s"$dir/view")
+    try {
+      // the inner join implies IsNotNull only for its KEYS — a user's
+      // IS NOT NULL over a nullable payload column is a real predicate
+      // the materialized rows don't honor, so the route must decline
+      // (this returned 3 rows instead of 2 before the guard)
+      val q = l.filter(col("maybe").isNotNull).join(r, col("k") === col("rk"))
+      assert(!q.queryExecution.executedPlan.toString.contains("view"),
+        "non-key IsNotNull absorbed into the route")
+      assert(q.count() == 2)
+      // …while the clean join still routes
+      val clean = l.join(r, col("k") === col("rk"))
+      assert(clean.queryExecution.executedPlan.toString.contains("view"))
+      assert(clean.count() == 3)
+    } finally MatView.drop(spark, "nn_guard")
+  }
+
   test("filtered variants of the view are NOT rewritten (filter must survive)") {
     val out = java.nio.file.Files.createTempDirectory("mv3").toString
     MatView.materialize(spark, "cust_nation3", custNation, out)
