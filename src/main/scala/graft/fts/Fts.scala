@@ -141,4 +141,114 @@ object Fts {
     }
     go(parse(query))
   }
+
+  // ---- BM25 ranking (growth beyond the reference's boolean-only `~`,
+  // server.py:1124-1128 returns an unranked row set) ----
+
+  /** A ranking query is a bag of terms under the SAME normalization as the
+    * document tokenizer ([[tokens]]): lowercase, commas stripped,
+    * whitespace-split, duplicates collapsed (BM25 is defined over distinct
+    * query terms). Restricted to word characters so the terms can be
+    * inlined verbatim into both engines' generated SQL. */
+  def bm25Terms(query: String): Seq[String] = {
+    val ts = query.toLowerCase.replace(",", "").split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(ts.nonEmpty, s"empty BM25 query: $query")
+    require(ts.forall(_.matches("[a-z0-9_]+")),
+      s"BM25 terms must be word characters: $ts")
+    ts
+  }
+
+  /** BM25 document ranking over the tokens column, in EXACT INTEGER
+    * arithmetic so Spark and the DuckDB oracle produce bit-identical
+    * scores (the same discipline as `TextAnalysis.unigramSurprisal`):
+    *
+    *   - idf(t) = ⌊log2 N⌋ − ⌊log2 df(t)⌋, computed as
+    *     `length(bin(N)) − length(bin(df))` — integer bits, never a float
+    *     log. Lucene-shaped: common terms (df within a power of two of N)
+    *     contribute 0; never negative since df ≤ N.
+    *   - tf saturation + length normalization at the standard k1 = 1.2,
+    *     b = 0.75, cleared of fractions: tf·(k1+1) / (tf + k1·(1−b+b·dl/A))
+    *     with A = ⌊Σdl / N⌋ (integer mean doc length) multiplies through
+    *     by 20·A into (44·A·tf) / (20·A·tf + 6·A + 18·dl) — evaluated as
+    *     one integer `div` per term, scaled by `scale` first to keep
+    *     precision. Overflow headroom: idf ≤ 63, and 44·A·tf·scale at
+    *     scale=100 stays < 2^63 for A·tf < 2^51 — nothing a real corpus
+    *     reaches per document.
+    *   - score(d) = Σ_t [tf > 0] · idf(t) · saturation(t, d); docs
+    *     matching no term (score 0) are dropped; ties break by ascending
+    *     id so top-k is a total order.
+    *
+    * Execution shape: TWO scans of a (id, tokens) projection — one tiny
+    * corpus-stats aggregate (N, Σdl, per-term df — one row, broadcast
+    * back) and one scoring pass where tf/dl/score are all scan-side
+    * codegen expressions (`filter` HOF + arithmetic, no explode, no
+    * per-term join); top-k plans TakeOrderedAndProject (per-partition
+    * heads, no global sort). At 100 TB: two column-pruned passes at I/O
+    * rate with ZERO wide shuffles — the stats row is the only thing that
+    * moves — vs the classic inverted-index join shape whose posting-list
+    * shuffle dwarfs it.
+    *
+    * @return (idCol, score) — top `k` by (score desc, id asc), score > 0 */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           query: String, k: Int, scale: Long = 100L): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(scale > 0, s"scale must be positive: $scale")
+    val terms = bm25Terms(query)
+    val base = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val dfAggs = terms.indices.map(i =>
+      sum(when(array_contains(col("toks"), terms(i)), 1L).otherwise(0L))
+        .as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).as("sdl") +: dfAggs): _*)
+    var scored = base.crossJoin(broadcast(stats))
+      .withColumn("a", expr("sdl div n"))
+    terms.indices.foreach { i =>
+      scored = scored.withColumn(s"tf_$i",
+        size(expr(s"filter(toks, x -> x = '${terms(i)}')")).cast("long"))
+    }
+    val contrib = terms.indices.map(i =>
+      s"(CASE WHEN tf_$i > 0 THEN (length(bin(n)) - length(bin(df_$i))) * " +
+        s"((44 * a * tf_$i * $scale) div (20 * a * tf_$i + 6 * a + 18 * dl)) " +
+        s"ELSE 0 END)")
+    scored.withColumn("score", expr(contrib.mkString(" + ")).cast("long"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** DuckDB mirror of [[bm25]] — generated from the same term list, the
+    * same integer formula (`//` ≡ Spark's `div` on BIGINT, `bin`/`length`
+    * agree — proven by the text_surprisal oracle). `src` must expose
+    * `$idExpr` and `$textExpr`. */
+  def bm25OracleSql(src: String, idExpr: String, textExpr: String,
+                    query: String, k: Int, scale: Long = 100L): String = {
+    val terms = bm25Terms(query)
+    val toks = tokensOracleSql(textExpr)
+    val dfSels = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '${terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+    val tfSels = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i")
+    val contrib = terms.indices.map(i =>
+      s"(CASE WHEN tf_$i > 0 THEN (length(bin(n)) - length(bin(df_$i))) * " +
+        s"((44 * a * tf_$i * $scale) // (20 * a * tf_$i + 6 * a + 18 * dl)) " +
+        s"ELSE 0 END)")
+    s"""WITH graft_bm_d AS (SELECT $idExpr AS _id, $toks AS toks,
+       |    CAST(len($toks) AS BIGINT) AS dl FROM $src),
+       |graft_bm_s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS sdl,
+       |    ${dfSels.mkString(",\n    ")}
+       |  FROM graft_bm_d),
+       |graft_bm_t AS (SELECT _id, dl, n, sdl // n AS a,
+       |    ${(terms.indices.map(i => s"df_$i") ++ Seq.empty).mkString(", ")},
+       |    ${tfSels.mkString(",\n    ")}
+       |  FROM graft_bm_d, graft_bm_s),
+       |graft_bm_sc AS (SELECT _id,
+       |    CAST(${contrib.mkString("\n      + ")} AS BIGINT) AS score
+       |  FROM graft_bm_t)
+       |SELECT _id AS $idExpr, score FROM graft_bm_sc
+       |WHERE score > 0 ORDER BY score DESC, _id LIMIT $k""".stripMargin
+  }
 }

@@ -37,6 +37,17 @@ object FtsSuite extends Suite {
     // quoted atoms compile to one padded-substring contains over the
     // joined token sequence — still scan-side, no positional index —
     // composed with boolean operators
-    "fts_phrase" -> ftsQ("\"key agg\" & (stream | \"row scan\")")
+    "fts_phrase" -> ftsQ("\"key agg\" & (stream | \"row scan\")"),
+
+    // BM25 ranking (growth — the reference returns unranked row sets):
+    // exact-integer idf/saturation (see Fts.bm25 scaladoc) so the scores
+    // hash-check bit-for-bit; "dup" is the planted rare term (idf > 0),
+    // the common terms exercise the zero-idf path at this corpus size.
+    // Top-k totals order by (score desc, id) — a deterministic LIMIT.
+    "fts_bm25" -> Q(
+      (s, d) => Fts.bm25(Tables.t(s, d, "documents"), "doc_id", "text",
+        "dup merge stream", k = 15),
+      Some(Fts.bm25OracleSql("documents", "doc_id", "text",
+        "dup merge stream", k = 15)))
   )
 }

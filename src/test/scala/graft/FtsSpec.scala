@@ -77,4 +77,45 @@ class FtsSpec extends SparkSpec {
       .select("m").as[String].head()
     assert(got == "exact")
   }
+
+  test("bm25: rare terms outrank common, tf saturates, non-matches drop") {
+    // 4 docs: "zebra" appears in one (rare, idf = len(bin 4) − len(bin 1)
+    // = 2), "cat" in ALL (df = N ⇒ idf 0 — the common-term floor)
+    val docs = Seq(
+      (1L, "zebra cat cat cat"),
+      (2L, "cat cat cat cat"),
+      (3L, "cat dog dog dog"),
+      (4L, "cat dog dog dog")).toDF("id", "t")
+    val r = Fts.bm25(docs, "id", "t", "zebra cat", k = 10)
+      .as[(Long, Long)].collect().toMap
+    // cat contributes 0 everywhere (idf 0), so only doc 1 scores
+    assert(r.keySet == Set(1L))
+    // doc 1's score is the zebra contribution alone:
+    // idf = len(bin(4)) - len(bin(1)) = 2; A = 16/4 = 4, tf = 1, dl = 4
+    // contribution = 2 * (44*4*1*100 div (20*4*1 + 6*4 + 18*4)) = 2*100
+    assert(r(1L) == 200L)
+    // tf monotone at fixed dl: duplicate the rare term, same doc length
+    val docs2 = Seq((1L, "zebra zebra pad pad"), (2L, "zebra pad pad pad"),
+      (3L, "pad pad pad pad"), (4L, "pad pad pad pad")).toDF("id", "t")
+    val r2 = Fts.bm25(docs2, "id", "t", "zebra", k = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(1L) > r2(2L), s"tf=2 must outrank tf=1: $r2")
+    // length normalization: same tf, longer doc scores lower
+    val docs3 = Seq((1L, "zebra pad"), (2L, "zebra pad pad pad pad pad"),
+      (3L, "pad pad"), (4L, "pad pad")).toDF("id", "t")
+    val r3 = Fts.bm25(docs3, "id", "t", "zebra", k = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(1L) > r3(2L), s"shorter doc must outrank at equal tf: $r3")
+  }
+
+  test("bm25: top-k plans TakeOrderedAndProject, no global sort exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Fts.bm25(docs, "doc_id", "text", "dup merge", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+    // term validation: injection-shaped and empty queries are rejected
+    intercept[IllegalArgumentException](Fts.bm25Terms("bad'term"))
+    intercept[IllegalArgumentException](Fts.bm25Terms("  "))
+  }
 }
