@@ -81,14 +81,15 @@ final class HashDb(val spark: SparkSession) {
   // ---------------- graph surface (POST /cypher) ------------------------
   private var mergesSinceCheckpoint = 0
 
-  /** MERGE mutates the graph and returns None; MATCH returns bindings.
-    * Every merge deepens the graph's logical plan by one join/union layer,
-    * so unbounded statement streams periodically truncate lineage
-    * (localCheckpoint) to keep analysis cost flat. */
+  /** Mutating statements (MERGE / DETACH DELETE / SET) change the graph
+    * and return None; MATCH returns bindings. Every mutation deepens the
+    * graph's logical plan by one join/union layer, so unbounded statement
+    * streams periodically truncate lineage (localCheckpoint) to keep
+    * analysis cost flat. */
   def cypher(statement: String): Option[DataFrame] =
     Cypher.parse(statement) match {
-      case m: Cypher.Merge =>
-        graph = graph.merge(m)
+      case _: Cypher.Merge | _: Cypher.Delete | _: Cypher.SetAttrs =>
+        graph = graph.execute(statement)
         mergesSinceCheckpoint += 1
         if (mergesSinceCheckpoint >= 32) {
           graph = graph.checkpointLocal()

@@ -7,8 +7,15 @@ package graft.graph
   *
   * Grammar (case-insensitive keywords, as the reference):
   * {{{
-  *   stmt    := MATCH chains [WHERE cond (AND cond)*] RETURN ret (, ret)*
+  *   stmt    := MATCH chains (OPTIONAL MATCH chains)*
+  *                [WHERE cond (AND cond)*] RETURN ret (, ret)*
   *                [ORDER BY ret [ASC|DESC] (, ...)*] [LIMIT n]
+  *            |  MATCH chains [WHERE ...] DETACH DELETE var (, var)*
+  *            |  MATCH chains [WHERE ...] SET var.attr = 'v' (, ...)*
+  *              // OPTIONAL MATCH / DETACH DELETE / SET (growth — the
+  *              // reference grammar is MATCH/MERGE only): see the Stmt
+  *              // scaladocs for the outer-join / cascade / upsert
+  *              // semantics each carries.
   *            |  MERGE chains
   *              // ORDER BY / LIMIT (growth, like HashQL's): sort keys
   *              // address RETURN items (var or var.attr — a properties()
@@ -108,11 +115,32 @@ object Cypher {
     * a node variable addresses the identity itself. */
   final case class Where(variable: String, attr: String, op: String, value: Any)
   sealed trait Stmt
+  /** `optional` chains (growth — `OPTIONAL MATCH`, absent from the
+    * reference grammar) left-join onto the mandatory pattern's bindings:
+    * unmatched rows keep the mandatory columns and NULL the
+    * optional-only variables — Cypher's outer-pattern semantics. The
+    * optional group must share ≥1 variable with the mandatory group, and
+    * WHERE conjuncts may reference mandatory bindings only (Neo4j scopes
+    * a WHERE after OPTIONAL MATCH to the optional pattern; that filter
+    * belongs in the optional pattern's attr maps here). */
   final case class Match(chains: Seq[Chain], returns: Seq[RetItem],
                          wheres: Seq[Where] = Nil,
                          orderBy: Seq[(RetItem, Boolean)] = Nil,
-                         limit: Option[Int] = None) extends Stmt
+                         limit: Option[Int] = None,
+                         optional: Seq[Chain] = Nil) extends Stmt
   final case class Merge(chain: Chain) extends Stmt
+  /** `MATCH … [WHERE …] DETACH DELETE v (, v)*` (growth): drop every node
+    * bound to a listed variable in any pattern match, cascading to ALL
+    * incident edges (the DETACH contract; bare DELETE-with-edges-present
+    * is an error in Cypher and is not offered here). */
+  final case class Delete(chains: Seq[Chain], wheres: Seq[Where],
+                          vars: Seq[String]) extends Stmt
+  /** `MATCH … [WHERE …] SET v.attr = 'val' (, v.attr = 'val')*` (growth):
+    * upsert one attribute on every node bound to `v` — last write wins
+    * within a statement's set list, the identity attribute `name` is not
+    * settable. */
+  final case class SetAttrs(chains: Seq[Chain], wheres: Seq[Where],
+                            sets: Seq[(String, String, String)]) extends Stmt
 
   def parse(input: String): Stmt = {
     val p = new P(input)
@@ -166,6 +194,13 @@ object Cypher {
     def stmt(): Stmt = keyword() match {
       case "match" =>
         val cs = chains()
+        // OPTIONAL MATCH groups (growth): each adds chains to the
+        // left-joined optional pattern
+        val opt = scala.collection.mutable.ArrayBuffer.empty[Chain]
+        while (tryKeyword("optional")) {
+          require(keyword() == "match", "expected MATCH after OPTIONAL")
+          opt ++= chains()
+        }
         var k = keyword()
         val conds = scala.collection.mutable.ArrayBuffer.empty[Where]
         if (k == "where") {
@@ -178,25 +213,45 @@ object Cypher {
             more = k == "and"
           }
         }
-        require(k == "return", "expected RETURN")
-        val rets = scala.collection.mutable.ArrayBuffer(retItem())
-        while (tryEat(',')) rets += retItem()
-        val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]
-        if (tryKeyword("order")) {
-          require(keyword() == "by", "expected BY after ORDER")
-          var m = true
-          while (m) {
-            val r = retItem()
-            require(!PartialFunction.cond(r) {
-              case Ret(_, Some("*")) => true },
-              "cannot ORDER BY a properties(...) map")
-            val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
-            obs += ((r, desc))
-            m = tryEat(',')
-          }
+        k match {
+          case "return" =>
+            val rets = scala.collection.mutable.ArrayBuffer(retItem())
+            while (tryEat(',')) rets += retItem()
+            val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]
+            if (tryKeyword("order")) {
+              require(keyword() == "by", "expected BY after ORDER")
+              var m = true
+              while (m) {
+                val r = retItem()
+                require(!PartialFunction.cond(r) {
+                  case Ret(_, Some("*")) => true },
+                  "cannot ORDER BY a properties(...) map")
+                val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
+                obs += ((r, desc))
+                m = tryEat(',')
+              }
+            }
+            val lim = if (tryKeyword("limit")) Some(int()) else None
+            Match(cs, rets.toSeq, conds.toSeq, obs.toSeq, lim, opt.toSeq)
+          case "detach" =>
+            require(opt.isEmpty, "DETACH DELETE cannot follow OPTIONAL MATCH")
+            require(keyword() == "delete", "expected DELETE after DETACH")
+            val vs = scala.collection.mutable.ArrayBuffer(ident())
+            while (tryEat(',')) vs += ident()
+            Delete(cs, conds.toSeq, vs.toSeq)
+          case "set" =>
+            require(opt.isEmpty, "SET cannot follow OPTIONAL MATCH")
+            val sets = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+            var m = true
+            while (m) {
+              val v = ident(); eat('.'); val a = ident()
+              eat('='); sets += ((v, a, quoted()))
+              m = tryEat(',')
+            }
+            SetAttrs(cs, conds.toSeq, sets.toSeq)
+          case other => throw new IllegalArgumentException(
+            s"expected RETURN, DETACH DELETE, or SET, got: $other")
         }
-        val lim = if (tryKeyword("limit")) Some(int()) else None
-        Match(cs, rets.toSeq, conds.toSeq, obs.toSeq, lim)
       case "merge" => Merge(chains().head)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
     }

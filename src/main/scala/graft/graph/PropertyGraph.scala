@@ -197,7 +197,55 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * either orientation (a union of both before the join — final RETURN
     * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
-    case Cypher.Match(chains, returns, wheres, orderBy, limitN) =>
+    case m: Cypher.Match => evalMatch(m)
+    case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
+  }
+
+  /** Mutating statements: MERGE upserts (as [[merge]]), `MATCH … DETACH
+    * DELETE` drops the bound nodes plus ALL their incident edges (two
+    * anti-joins against the matched name set — at scale the deleted set
+    * is usually broadcast-sized and the cascade stays map-side), `MATCH …
+    * SET` upserts one attribute per set item on the bound nodes
+    * (map_filter + map_concat — scan-side map surgery, no explode). Each
+    * statement references the previous vertices/edges plan once, same
+    * depth discipline as [[merge]]; [[compact]]/[[checkpointLocal]] reset
+    * depth for long statement streams. */
+  def execute(cypher: String): PropertyGraph = Cypher.parse(cypher) match {
+    case m: Cypher.Merge => merge(m)
+    case Cypher.Delete(chains, wheres, vars) =>
+      val bound = evalMatch(Cypher.Match(chains,
+        vars.map(v => Cypher.Ret(v, None)), wheres))
+      val del = vars.map(v => bound.select(col(v).as("name")))
+        .reduce(_ unionByName _).distinct()
+      PropertyGraph(
+        vertices.join(del, Seq("name"), "left_anti"),
+        edgesN.join(del.select(col("name").as("src")), Seq("src"), "left_anti")
+          .join(del.select(col("name").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"), col("rel"), col("eattrs")))
+    case Cypher.SetAttrs(chains, wheres, sets) =>
+      sets.foreach { case (_, attr, _) =>
+        require(attr != "name", "cannot SET the identity attribute 'name'") }
+      val bound = evalMatch(Cypher.Match(chains,
+        sets.map(_._1).distinct.map(v => Cypher.Ret(v, None)), wheres))
+      var v2 = vertices
+      sets.foreach { case (variable, attr, value) =>
+        val hit = bound.select(col(variable).as("name")).distinct()
+          .withColumn("__hit", lit(true))
+        v2 = v2.join(hit, Seq("name"), "left")
+          .select(col("name"), col("label"),
+            when(col("__hit"),
+              map_concat(
+                map_filter(col("attrs"), (k, _) => k =!= attr),
+                map(lit(attr), lit(value))))
+              .otherwise(col("attrs")).as("attrs"))
+      }
+      PropertyGraph(v2, edges)
+    case _ => throw new IllegalArgumentException(
+      s"not a mutating statement: $cypher")
+  }
+
+  private def evalMatch(stmt: Cypher.Match): DataFrame = stmt match {
+    case Cypher.Match(chains, returns, wheres, orderBy, limitN, optChains) =>
       var anon = 0
       def varOf(p: Cypher.NodePat): String =
         p.variable.getOrElse { anon += 1; s"__anon$anon" }
@@ -206,14 +254,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // (carried out of the hop as column `e_attr`); `properties(e)`
       // attaches the whole map post-distinct via the stored (src, dst)
       // identity; a bare `e` has no printable identity — rejected.
+      // OPTIONAL MATCH (growth): the optional group binds in its own join
+      // tree, then LEFT-joins onto the mandatory bindings — unmatched rows
+      // keep mandatory columns and NULL every optional-only variable.
+      val allChains = chains ++ optChains
+      // variables bound ONLY in the optional group: their attr joins (and
+      // properties() map joins) must be LEFT joins or the NULLs of an
+      // unmatched row would silently drop it
+      val optOnlyVars: Set[String] =
+        optChains.flatMap(c => c.nodes.flatMap(_.variable) ++
+            c.rels.flatMap(_.variable)).toSet --
+          chains.flatMap(_.nodes.flatMap(_.variable)).toSet
       // an edge variable binds exactly ONE relationship pattern: reusing
       // it would alias both hops' carry columns and silently turn them
       // into join keys (Neo4j rejects relationship-variable reuse too);
       // colliding with a node variable is the same hazard
-      val relVarSeq = chains.flatMap(_.rels.flatMap(_.variable))
+      val relVarSeq = allChains.flatMap(_.rels.flatMap(_.variable))
       require(relVarSeq.distinct.size == relVarSeq.size,
         s"edge variable bound more than once: ${relVarSeq.diff(relVarSeq.distinct).distinct.mkString(", ")}")
-      val nodeVarSet = chains.flatMap(_.nodes.flatMap(_.variable)).toSet
+      val nodeVarSet = allChains.flatMap(_.nodes.flatMap(_.variable)).toSet
       require(!relVarSeq.exists(nodeVarSet),
         s"edge variable collides with a node variable: ${relVarSeq.filter(nodeVarSet).mkString(", ")}")
       val edgeVars = relVarSeq.toSet
@@ -231,10 +290,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
             "var / var.attr keys only")
       // WHERE conjuncts (growth — the reference grammar has no WHERE)
       // reference bound node or edge variables; edge-var predicates need
-      // their attr carried out of the hop like edge-attr RETURNs do
+      // their attr carried out of the hop like edge-attr RETURNs do.
+      // Optional-only variables are out of scope: a post-join predicate
+      // over them would drop the very NULL rows OPTIONAL exists to keep
+      // (Neo4j scopes such a WHERE to the optional pattern — spell the
+      // constraint as an attr map in the optional pattern instead).
       wheres.foreach { w =>
         require(nodeVarSet(w.variable) || edgeVars(w.variable),
           s"WHERE references unbound variable '${w.variable}'")
+        require(!optOnlyVars(w.variable),
+          s"WHERE cannot reference OPTIONAL MATCH variable '${w.variable}'")
       }
       // plain RETURN items plus aggregate arguments — every place that
       // resolves a var.attr to a carried/joined column ranges over both
@@ -249,9 +314,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // match — and re-join eattrs on it after the distinct.
       val edgePropVars: Set[String] = returns.collect {
         case Cypher.Ret(v, Some("*")) if edgeVars(v) => v }.toSet
+      // its post-distinct map join is keyed on the stored endpoints,
+      // which an unmatched optional row NULLs — inner-join would drop the
+      // row, left-join would fabricate a NULL map for a never-matched
+      // edge; neither is right, so reject up front (e.attr projections on
+      // optional edges work fine — they ride the carry columns)
+      require(!edgePropVars.exists(optOnlyVars),
+        s"properties() of an OPTIONAL MATCH edge variable is not supported")
       val relOf: Map[String, String] = chains.flatMap(_.rels)
         .flatMap(r => r.variable.map(_ -> r.typ)).toMap
 
+      def bindGroup(group: Seq[Cypher.Chain]): DataFrame = {
       var acc: Option[DataFrame] = None
       def bind(df: DataFrame): Unit = acc = Some(acc match {
         case None => df
@@ -262,7 +335,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           if (shared.nonEmpty) prev.join(df, shared) else prev.crossJoin(df)
       })
 
-      chains.foreach { ch =>
+      group.foreach { ch =>
         val vars = ch.nodes.map(varOf)
         if (ch.rels.isEmpty) {
           // single-node chain: label/attr scan
@@ -322,8 +395,20 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           bind(hop)
         }
       }
+      acc.get
+      }
 
-      var out = acc.get
+      var out = bindGroup(chains)
+      if (optChains.nonEmpty) {
+        // the optional pattern matches INNER within its own group (all of
+        // it must match, as in Cypher), then left-joins the whole group
+        // onto the mandatory bindings on the shared variables
+        val optDf = bindGroup(optChains)
+        val shared = out.columns.intersect(optDf.columns).toSeq
+        require(shared.nonEmpty,
+          "OPTIONAL MATCH must share at least one variable with MATCH")
+        out = out.join(optDf, shared, "left")
+      }
       // attribute RETURNs and node-var WHERE conjuncts need the vertex row
       // back: join attrs on per-var name once per distinct variable
       // addressed with `.attr` (or filtered on a non-name attribute).
@@ -333,8 +418,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         case Cypher.Where(v, a, _, _) if !edgeVars(v) && a != "name" => v
       }).distinct
       attrVars.foreach { v =>
+        // LEFT for optional-only vars: an unmatched row's NULL name must
+        // keep the row (its attr projections come out NULL)
         out = out.join(
-          vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")), v)
+          vertices.select(col("name").as(v), col("attrs").as(s"__attrs_$v")),
+          Seq(v), if (optOnlyVars(v)) "left" else "inner")
       }
       // WHERE: post-bind filters (Catalyst pushes an attr predicate through
       // the inner attrs-join into the vertices scan, so at scale this is a
@@ -435,9 +523,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         nodeMapVars.foreach { v =>
           // joined under a reserved internal name, aliased only in the final
           // select — a node attribute literally named 'properties' would
-          // otherwise make `${v}_properties` ambiguous here
+          // otherwise make `${v}_properties` ambiguous here (LEFT for an
+          // optional-only var: the unmatched NULL identity keeps its row,
+          // map comes out NULL)
           d = d.join(vertices.select(col("name").as(s"__key_$v"),
-            col("attrs").as(s"__map_$v")), s"__key_$v")
+            col("attrs").as(s"__map_$v")), Seq(s"__key_$v"),
+            if (optOnlyVars(v)) "left" else "inner")
         }
         edgePropVars.foreach { v =>
           // dropDuplicates guards against caller-supplied edge frames with
@@ -472,7 +563,6 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         else projected.orderBy(orderBy.map { case (r, desc) =>
           if (desc) col(outName(r)).desc else col(outName(r)).asc }: _*)
       limitN.fold(ordered)(ordered.limit)
-    case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
   }
 }
 

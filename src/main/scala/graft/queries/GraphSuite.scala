@@ -177,6 +177,60 @@ object GraphSuite extends Suite {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |ORDER BY c_name DESC LIMIT 10""".stripMargin)),
 
+    // OPTIONAL MATCH (growth — left-outer pattern semantics): every
+    // Region keeps its row; only NATION_3's region binds n, the rest
+    // project NULL. The optional group left-joins onto the mandatory
+    // bindings on the shared variable r.
+    "cypher_optional" -> Q(
+      (s, d) => g(s, d).query(
+        "match (r:Region) optional match " +
+          "(n:Nation {name: 'nation:NATION_3'})-[:IN]->(r) return r, n"),
+      Some("""SELECT DISTINCT 'region:' || r_name AS r,
+             |  CASE WHEN x.n_name IS NULL THEN NULL
+             |       ELSE 'nation:' || x.n_name END AS n
+             |FROM region LEFT JOIN
+             |  (SELECT * FROM nation WHERE n_name = 'NATION_3') x
+             |  ON x.n_regionkey = r_regionkey""".stripMargin)),
+
+    // OPTIONAL MATCH + aggregate: suppliers-per-nation INCLUDING the
+    // zero-supplier nations (count skips the NULLs of unmatched rows) —
+    // the canonical left-join-then-count Cypher idiom a plain MATCH
+    // cannot express.
+    "cypher_optional_count" -> Q(
+      (s, d) => g(s, d).query(
+        "match (n:Nation) optional match (sup:Supplier)-[:LOCATED]->(n) " +
+          "return n, count(sup)"),
+      Some("""SELECT 'nation:' || n_name AS n, count(s_suppkey) AS count_sup
+             |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // DETACH DELETE (growth): drop the nations of EUROPE and every
+    // incident edge; the follow-up MATCH proves both the nodes and the
+    // customer-IN edges are gone (an orphaned edge would still bind).
+    "cypher_detach_delete" -> Q(
+      (s, d) => g(s, d)
+        .execute("match (n:Nation)-[:IN]->(r:Region {name: 'region:EUROPE'}) " +
+          "detach delete n")
+        .query("match (c:Customer)-[:IN]->(n:Nation) return c, n"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  'nation:' || n_name AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name <> 'EUROPE'""".stripMargin)),
+
+    // SET (growth): stamp a new attribute on the matched nations, then
+    // range over it with WHERE — proves the upsert lands scan-visible
+    // (map_filter + map_concat surgery, no explode) and only on the
+    // matched node set.
+    "cypher_set" -> Q(
+      (s, d) => g(s, d)
+        .execute("match (n:Nation)-[:IN]->(r:Region {name: 'region:EUROPE'}) " +
+          "set n.zone = 'euro'")
+        .query("match (n:Nation) where n.zone = 'euro' return n, n.zone"),
+      Some("""SELECT DISTINCT 'nation:' || n_name AS n, 'euro' AS n_zone
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'""".stripMargin)),
+
     // G1 attr-map MERGE identity (round-3 gap): nodes merged WITHOUT a
     // 'name' attribute — identity is the full attribute map, the
     // reference's general MERGE semantics (client.py:841-889). One region

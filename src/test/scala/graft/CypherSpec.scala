@@ -9,7 +9,7 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: match with label + attribute map (cypher_test.py:3-22)") {
     val q = "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) return actor"
-    val Cypher.Match(chains, returns, _, _, _) = Cypher.parse(q): @unchecked
+    val Cypher.Match(chains, returns, _, _, _, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
     assert(chains.size == 1)
     val ch = chains.head
@@ -21,12 +21,12 @@ class CypherSpec extends SparkSpec {
 
   test("golden IR: keywords case-insensitive (cypher_test.py:25-45)") {
     val q = "MATCH (actor)-[:ACTED_IN]->(w:Movie {title: 'Wall Street'}) RETURN actor"
-    val Cypher.Match(_, returns, _, _, _) = Cypher.parse(q): @unchecked
+    val Cypher.Match(_, returns, _, _, _, _) = Cypher.parse(q): @unchecked
     assert(returns == Seq(Cypher.Ret("actor", None)))
   }
 
   test("golden IR: edge directions and attribute RETURN items") {
-    val Cypher.Match(chains, returns, _, _, _) = Cypher.parse(
+    val Cypher.Match(chains, returns, _, _, _, _) = Cypher.parse(
       "match (n:Nation)<-[:IN]-(c:Customer)-[:KNOWS]-(o) return c, n.n_name, o.name"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("IN", Cypher.In), Cypher.Rel("KNOWS", Cypher.Both)))
@@ -60,7 +60,7 @@ class CypherSpec extends SparkSpec {
 
   test("properties(n) returns the whole attribute map; attr-map MERGE identity") {
     // parser: properties(n) → Ret(n, Some("*"))
-    val Cypher.Match(_, rets, _, _, _) = Cypher.parse(
+    val Cypher.Match(_, rets, _, _, _, _) = Cypher.parse(
       "match (r:Region) return properties(r), r.r_name"): @unchecked
     assert(rets == Seq(Cypher.Ret("r", Some("*")), Cypher.Ret("r", Some("r_name"))))
     // executor: nodes merged WITHOUT a name — identity = full attr map;
@@ -106,7 +106,7 @@ class CypherSpec extends SparkSpec {
   test("edge properties: parse, MERGE store + existing-wins, MATCH filter, e.attr RETURN") {
     import spark.implicits._
     // parser: variable + attrs on the edge, in every direction
-    val Cypher.Match(chains, rets, _, _, _) = Cypher.parse(
+    val Cypher.Match(chains, rets, _, _, _, _) = Cypher.parse(
       "match (a)-[e:R {w: '3'}]->(b) return a, e.w, b"): @unchecked
     assert(chains.head.rels == Seq(
       Cypher.Rel("R", Cypher.Out, 1, 1, Some("e"), Map("w" -> "3"))))
@@ -154,10 +154,10 @@ class CypherSpec extends SparkSpec {
 
   test("variable-length paths: parser forms, band semantics, direction flip") {
     // parser: *n and *m..n, on any direction
-    val Cypher.Match(cs, _, _, _, _) =
+    val Cypher.Match(cs, _, _, _, _, _) =
       Cypher.parse("match (a)-[:R*2]->(b) return a, b"): @unchecked
     assert(cs.head.rels == Seq(Cypher.Rel("R", Cypher.Out, 2, 2)))
-    val Cypher.Match(cs2, _, _, _, _) =
+    val Cypher.Match(cs2, _, _, _, _, _) =
       Cypher.parse("match (a)<-[:R*1..3]-(b) return a, b"): @unchecked
     assert(cs2.head.rels == Seq(Cypher.Rel("R", Cypher.In, 1, 3)))
     intercept[IllegalArgumentException](Cypher.parse("match (a)-[:R*3..2]->(b) return a"))
@@ -196,12 +196,12 @@ class CypherSpec extends SparkSpec {
   test("WHERE clause: parser goldens, numeric coercion, edge-var predicates") {
     // parser: conjunctive WHERE between the pattern and RETURN; numeric
     // literals parse as Long, quoted as String
-    val Cypher.Match(_, _, wheres, _, _) = Cypher.parse(
+    val Cypher.Match(_, _, wheres, _, _, _) = Cypher.parse(
       "match (n:Person) where n.age > 30 and n.city = 'Oslo' return n"): @unchecked
     assert(wheres == Seq(
       Cypher.Where("n", "age", ">", 30L), Cypher.Where("n", "city", "=", "Oslo")))
     // <= / >= lex as one op; <> dies cleanly; unbound variable rejected
-    val Cypher.Match(_, _, w2, _, _) = Cypher.parse(
+    val Cypher.Match(_, _, w2, _, _, _) = Cypher.parse(
       "match (n:P) where n.age <= 9 return n"): @unchecked
     assert(w2 == Seq(Cypher.Where("n", "age", "<=", 9L)))
     intercept[IllegalArgumentException](
@@ -234,11 +234,11 @@ class CypherSpec extends SparkSpec {
   test("aggregates: parser goldens, implicit grouping, binding-distinct counts") {
     // parser: count(*) / count(v) / fn(v.attr); a node variable that
     // happens to be named like an aggregate still parses bare
-    val Cypher.Match(_, rets, _, _, _) = Cypher.parse(
+    val Cypher.Match(_, rets, _, _, _, _) = Cypher.parse(
       "match (a)-[:R]->(b) return a, count(*), sum(b.v)"): @unchecked
     assert(rets == Seq(Cypher.Ret("a", None), Cypher.RetAgg("count", None),
       Cypher.RetAgg("sum", Some(Cypher.Ret("b", Some("v"))))))
-    val Cypher.Match(_, r2, _, _, _) = Cypher.parse(
+    val Cypher.Match(_, r2, _, _, _, _) = Cypher.parse(
       "match (count:C) return count"): @unchecked
     assert(r2 == Seq(Cypher.Ret("count", None)))
     // sum without a var.attr argument dies at parse
@@ -277,7 +277,7 @@ class CypherSpec extends SparkSpec {
 
   test("ORDER BY / LIMIT: parser goldens, top-k plan, output-column addressing") {
     // parser: sort keys are RETURN-item shapes with asc/desc, limit an int
-    val Cypher.Match(_, _, _, obs, lim) = Cypher.parse(
+    val Cypher.Match(_, _, _, obs, lim, _) = Cypher.parse(
       "match (n:P) return n, n.age order by n.age desc, n asc limit 3"): @unchecked
     assert(obs == Seq((Cypher.Ret("n", Some("age")), true), (Cypher.Ret("n", None), false)))
     assert(lim.contains(3))
@@ -342,5 +342,79 @@ class CypherSpec extends SparkSpec {
     assert(rows == Set(
       ("Samuel", "Tasya", "Ideas", "Margaret"),
       ("Samuel", "Tasya", "Thoughts", "John")))
+  }
+
+  private def fixtureGraph: PropertyGraph = Seq(
+    "merge (a:Person {'name': 'Ann', 'age': '30'})-[:KNOWS]->(b:Person {'name': 'Bob', 'age': '20'})",
+    "merge (c:Person {'name': 'Cal', 'age': '40'})",
+    "merge (a:Person {'name': 'Ann'})-[:LIKES]->(p:Post {'name': 'P1'})"
+  ).foldLeft(PropertyGraph.empty(spark))(_.merge(_))
+
+  test("OPTIONAL MATCH: unmatched rows survive with NULL optional vars") {
+    val g = fixtureGraph
+    // parser golden
+    val m = Cypher.parse(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) return p, q")
+      .asInstanceOf[Cypher.Match]
+    assert(m.optional.nonEmpty && m.chains.length == 1)
+    val rows = g.query(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) return p, q")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("Ann", Some("Bob")), ("Bob", None), ("Cal", None)))
+    // optional attr projection NULLs too (left attrs join)
+    val attrs = g.query(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) return p, q.age")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(attrs == Set(("Ann", Some("20")), ("Bob", None), ("Cal", None)))
+    // count(q) skips NULL bindings — zero-match rows count 0
+    val counts = g.query(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) return p, count(q)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts == Set(("Ann", 1L), ("Bob", 0L), ("Cal", 0L)))
+    // properties(q) of an optional var: NULL map on unmatched rows
+    val maps = g.query(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) return p, properties(q)")
+      .collect().map(r => (r.getString(0), Option(r.getMap[String, String](1)))).toSet
+    assert(maps.map { case (p, m) => (p, m.isDefined) } ==
+      Set(("Ann", true), ("Bob", false), ("Cal", false)))
+    // guardrails: no shared variable; WHERE over an optional-only var
+    intercept[IllegalArgumentException](g.query(
+      "match (p:Person) optional match (x:Post) return p, x"))
+    intercept[IllegalArgumentException](g.query(
+      "match (p:Person) optional match (p)-[:KNOWS]->(q:Person) " +
+        "where q.age > 10 return p, q"))
+  }
+
+  test("DETACH DELETE: nodes go, incident edges cascade both directions") {
+    val g = fixtureGraph
+    val g2 = g.execute("match (p:Person {name: 'Ann'}) detach delete p")
+    assert(g2.vertices.select("name").collect().map(_.getString(0)).toSet ==
+      Set("Bob", "Cal", "P1"))
+    // Ann's outgoing KNOWS and LIKES edges are both gone
+    assert(g2.edges.count() == 0)
+    // WHERE composes with the delete pattern
+    val g3 = g.execute("match (p:Person) where p.age >= 30 detach delete p")
+    assert(g3.vertices.select("name").collect().map(_.getString(0)).toSet ==
+      Set("Bob", "P1"))
+    // parser: bare DELETE is not offered
+    intercept[IllegalArgumentException](
+      g.execute("match (p:Person) delete p"))
+  }
+
+  test("SET: attr upsert on matched nodes only; identity not settable") {
+    val g = fixtureGraph
+    val g2 = g.execute("match (p:Person) where p.age >= 30 set p.senior = 'y'")
+    val seniors = g2.query("match (p:Person) where p.senior = 'y' return p")
+      .collect().map(_.getString(0)).toSet
+    assert(seniors == Set("Ann", "Cal"))
+    // overwrite an EXISTING key (map_filter precedes map_concat)
+    val g3 = g2.execute("match (p:Person {name: 'Ann'}) set p.senior = 'n'")
+    assert(g3.query("match (p:Person) where p.senior = 'y' return p")
+      .collect().map(_.getString(0)).toSet == Set("Cal"))
+    // untouched nodes keep their attrs verbatim
+    assert(g3.query("match (p:Person {name: 'Bob'}) return p.age")
+      .collect().map(_.getString(0)).toSeq == Seq("20"))
+    intercept[IllegalArgumentException](
+      g.execute("match (p:Person) set p.name = 'x'"))
   }
 }
