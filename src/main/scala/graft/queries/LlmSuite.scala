@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, Snapshot, TextAnalysis}
 
 /** Training-data-pipeline operators (SURVEY §2.12, driver north-star):
   * dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding),
@@ -726,6 +726,35 @@ object LlmSuite extends Suite {
               |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    // hybrid retrieval (growth): BM25 lexical leg + brute-force cosine
+    // vector leg, fused by reciprocal-rank fusion in EXACT integer
+    // arithmetic (scale div (60 + rank)) — the fused scores hash-check
+    // bit-for-bit. Legs at depth 20, fused top-10; doc_id ↔ vec_id is the
+    // shared id space. The oracle recomputes both legs (bm25 mirror SQL +
+    // the round-before-rank cosine CTE) and the same integer fusion.
+    "hybrid_rrf" -> Q(
+      (s, d) => Retrieval.hybridTopK(
+        Tables.t(s, d, "documents"), emb(s, d),
+        textQuery = "dup merge stream", queryVecId = 7L, k = 10, kEach = 20),
+      Some(s"""WITH lex AS (
+              |  SELECT doc_id AS _id,
+              |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              |  FROM (${graft.fts.Fts.bm25OracleSql(
+                 "documents", "doc_id", "text", "dup merge stream", k = 20)})),
+              |$cosineNormsCte,
+              |vec AS (SELECT nid AS _id, rn AS rank FROM (
+              |    SELECT x.vec_id AS nid,
+              |      row_number() OVER (ORDER BY
+              |        round(${cosExpr("q", "x")}, 5) DESC, x.vec_id) AS rn
+              |    FROM n q JOIN n x ON q.vec_id <> x.vec_id
+              |    WHERE q.vec_id = 7) WHERE rn <= 20),
+              |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+              |f AS (SELECT _id,
+              |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf
+              |  FROM u GROUP BY _id)
+              |SELECT _id AS doc_id, rrf FROM f
+              |ORDER BY rrf DESC, _id LIMIT 10""".stripMargin)),
 
     // LSH-bucketed ANN — scale path; recall vs brute force asserted in
     // ScalaTest. The bucket planes are DETERMINISTIC (splitmix-mixed
