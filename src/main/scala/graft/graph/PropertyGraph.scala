@@ -175,6 +175,52 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     ranks
   }
 
+  /** Unweighted shortest-path distances from `source` by BFS frontier
+    * expansion (growth — with [[connectedComponents]]/[[pageRank]], the
+    * graph-analytics trio the reference's MATCH-only surface lacks):
+    * returns (node, dist) for every node within `maxHops` of the source,
+    * dist = fewest hops, source at 0. Undirected by default (a path
+    * follows edges either way, like [[connectedComponents]]); `directed =
+    * true` follows src→dst only.
+    *
+    * Pregel-shaped supersteps: hop h+1 candidates = frontier ⋈ edges (ONE
+    * equi-join shuffle on the frontier, never vertices×edges), minus the
+    * already-reached set (anti-join against ≤maxHops persisted layers).
+    * Each layer is persisted WITH lineage (MEMORY_AND_DISK — recomputable
+    * after executor loss, unlike a localCheckpoint pin) so the per-hop
+    * emptiness probe and the next join never re-expand earlier frontiers.
+    * The driver holds hop counters only, no node data; `maxHops ≤ 16`
+    * caps plan depth the way `iters ≤ 8` does for pageRank. Early exit
+    * when a frontier empties, so dense cores stop at the graph's actual
+    * eccentricity, not the cap. */
+  def bfsDistances(source: String, maxHops: Int, rels: Seq[String] = Nil,
+                   directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16,
+      s"maxHops must be in 0..16, got $maxHops")
+    val base = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val es = if (directed) base
+      else base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val start = vertices.filter(col("name") === source)
+      .select(col("name").as("node"), lit(0L).as("dist")).persist(storage)
+    val layers = scala.collection.mutable.ArrayBuffer(start)
+    var frontier = start
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val reached = layers.map(_.select(col("node"))).reduce(_ unionByName _)
+      val next = frontier.join(es, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist")).persist(storage)
+      layers += next
+      frontier = next
+    }
+    layers.reduce(_ unionByName _)
+  }
+
   /** Checkpoint the accumulated MERGE plan (each merge stacks a
     * union+dropDuplicates) to parquet and re-read — plan depth back to 1.
     * Run after bulk statement streams; semantics unchanged. */

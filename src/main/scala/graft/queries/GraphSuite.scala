@@ -353,6 +353,31 @@ object GraphSuite extends Suite {
              |r2 AS (SELECT v.node,
              |         CAST(150000 + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
              |       FROM v LEFT JOIN c2 c ON v.node = c.node)
-             |SELECT node, rank FROM r2""".stripMargin))
+             |SELECT node, rank FROM r2""".stripMargin)),
+
+    // BFS shortest-path distances (growth): 2 undirected hops out of
+    // region:EUROPE — the region at 0, its nations at 1, their customers
+    // and suppliers at 2. The oracle is a depth-bounded recursive CTE
+    // taking min(d) per node; the engine's frontier expansion must agree
+    // hop for hop.
+    "graph_bfs" -> Q(
+      (s, d) => g(s, d).bfsDistances("region:EUROPE", maxHops = 2),
+      Some("""WITH RECURSIVE
+             |jp AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+             |         'nation:' || n_name AS b
+             |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |       FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |         'nation:' || n_name
+             |       FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |ed AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+             |reach(node, d) AS (
+             |  SELECT 'region:' || r_name, 0 FROM region WHERE r_name = 'EUROPE'
+             |  UNION
+             |  SELECT e.v, r.d + 1 FROM reach r JOIN ed e ON r.node = e.u
+             |  WHERE r.d < 2)
+             |SELECT node, CAST(min(d) AS BIGINT) AS dist
+             |FROM reach GROUP BY node""".stripMargin))
   )
 }

@@ -105,6 +105,43 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
     sinks.foreach(n => assert(a(n) == 150000L, s"$n: ${a(n)}"))
   }
 
+  test("bfsDistances ≡ driver-side BFS on random graphs, both orientations") {
+    def refBfs(edges: Seq[(String, String)], src: String, maxHops: Int,
+               directed: Boolean): Map[String, Long] = {
+      val adj = (if (directed) edges else edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var dist = Map(src -> 0L)
+      var frontier = Set(src)
+      var h = 0L
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) --
+          dist.keySet
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    (1 to 4).foreach { seed =>
+      val edges = sample(edgesGen, seed + 400).distinct
+      val g = graphOf(edges)
+      Seq(true, false).foreach { directed =>
+        // maxHops 6 > any 6-node eccentricity: exercises the early exit
+        val got = g.bfsDistances("a", maxHops = 6, directed = directed)
+          .as[(String, Long)].collect().toMap
+        val exp = refBfs(edges, "a", 6, directed)
+        assert(got == exp, s"seed=$seed directed=$directed: $got != $exp")
+        // the cap truncates: only nodes within 1 hop survive maxHops = 1
+        val capped = g.bfsDistances("a", maxHops = 1, directed = directed)
+          .as[(String, Long)].collect().toMap
+        assert(capped == exp.filter(_._2 <= 1L),
+          s"seed=$seed directed=$directed capped: $capped")
+      }
+    }
+    // a source absent from the vertex set reaches nothing
+    assert(graphOf(Seq(("a", "b"))).bfsDistances("zz", 3).count() == 0L)
+  }
+
   test("MERGE is idempotent: re-merging a random statement stream is a no-op") {
     (1 to 3).foreach { seed =>
       val edges = sample(edgesGen, seed + 900).distinct
