@@ -30,7 +30,29 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           payload: Map[String, String]): DataFrame = {
+           payload: Map[String, String]): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = false)
+
+  /** Forward as-of join: for each left row `(key, t)`, attach the EARLIEST
+    * right row with the same key and `rightTime >= t` — the "next
+    * scheduled event after this observation" lookup (next order after a
+    * click, next deploy after an alert). Same single-shuffle union+window
+    * plan as [[asOf]], with the time axis reversed; among right rows tied
+    * on (key, time) the deterministic winner is the SMALLEST orderable
+    * payload tuple (mirroring asOf's greatest-tuple rule under reversal).
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  payload: Map[String, String]): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           payload: Map[String, String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadSchema = right.select(payload.keys.toSeq.map(col): _*).schema
     // tie-break only on ORDERABLE payload fields: a MapType (or other
@@ -59,11 +81,16 @@ object AsOfJoin {
     // never reorders them. (If NO payload field is orderable, equal-(key,t)
     // right rows have no deterministic winner — matching the pre-tie-break
     // behavior for that corner.)
+    // forward mode reverses the time axis (so "last preceding" becomes
+    // "first following") and the tie-break direction (so the winner among
+    // equal-(key,t) right rows is the smallest tuple, not the largest).
+    val tieStruct = struct(tieCols.map(c => col(s"__payload.$c")): _*)
     val tieKeys =
       if (tieCols.isEmpty) Nil
-      else Seq(struct(tieCols.map(c => col(s"__payload.$c")): _*).asc)
+      else Seq(if (forward) tieStruct.desc else tieStruct.asc)
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy((Seq(col("__t").asc, col("__isLeft").asc) ++ tieKeys): _*)
+      .orderBy((Seq(tOrd, col("__isLeft").asc) ++ tieKeys): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match",
       last(col("__payload"), ignoreNulls = true).over(w))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, Resample}
 
 /** Window functions, event-time bucketing, and the as-of join — SURVEY §2.5
   * (the reference has no window functions; its only sort is the KV sk sort)
@@ -146,6 +146,22 @@ object TimeSuite extends Suite {
              |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
              |GROUP BY e.event_id""".stripMargin)),
 
+    // Forward as-of join: earliest order at-or-after each event — the
+    // "next scheduled thing" lookup, same union+window plan reversed.
+    "asof_forward" -> Q(
+      (s, d) => AsOfJoin.asOfForward(
+        left = events(s, d).select("event_id", "user_id", "ts_utc"),
+        right = Tables.t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_utc", rightTime = "o_orderdate",
+        payload = Map("o_orderdate" -> "next_order_date"))
+        .select("event_id", "next_order_date"),
+      Some("""SELECT e.event_id, min(o.o_orderdate) AS next_order_date
+             |FROM events e
+             |LEFT JOIN orders o
+             |  ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+             |GROUP BY e.event_id""".stripMargin)),
+
     // Funnel analysis (growth — product-analytics shape the reference has
     // no analog for): per user, the furthest stage of the ordered
     // view → click → purchase cascade, each step strictly after the
@@ -212,6 +228,64 @@ object TimeSuite extends Suite {
              |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
              |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
              |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Gap-filled hourly resample (operators.Resample.gapFill): dense
+    // (event_type, hour) grid over the global span with zero-filled empty
+    // buckets — the model-feature-grid shape. The tick axis is generated
+    // in-plan from a 1-row bounds aggregate (range-sized, not data-sized);
+    // hour = integer division of epoch-nanos so both engines bucket
+    // identically.
+    "time_gapfill" -> Q(
+      (s, d) => Resample.gapFill(
+        Tables.t(s, d, "events").select(col("event_type"),
+          expr("ts div 3600000000000").as("h"), col("value")),
+        "event_type", "h", "value"),
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_ns(ts) // 3600000000000 AS tick,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |hs AS (SELECT unnest(generate_series((SELECT min(tick) FROM e),
+             |                                     (SELECT max(tick) FROM e))) AS tick),
+             |ty AS (SELECT DISTINCT event_type FROM e),
+             |c AS (SELECT event_type, tick, count(*) AS cnt, sum(cents) AS sc
+             |      FROM e GROUP BY 1, 2)
+             |SELECT ty.event_type, hs.tick,
+             |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+             |  coalesce(c.sc, 0) / 100.0 AS sum_value
+             |FROM hs CROSS JOIN ty
+             |LEFT JOIN c ON c.tick = hs.tick AND c.event_type = ty.event_type"""
+        .stripMargin)),
+
+    // Forward fill (LOCF) over the gap-filled grid: empty buckets carry
+    // the most recent non-empty bucket's sum; buckets before a group's
+    // first observation stay NULL. One window pass, single-value state.
+    "time_gapfill_ffill" -> Q(
+      (s, d) => Resample.forwardFill(
+        Resample.gapFill(
+          Tables.t(s, d, "events").select(col("event_type"),
+            expr("ts div 3600000000000").as("h"), col("value")),
+          "event_type", "h", "value"),
+        "event_type", "tick", "sum_value", "cnt"),
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_ns(ts) // 3600000000000 AS tick,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |hs AS (SELECT unnest(generate_series((SELECT min(tick) FROM e),
+             |                                     (SELECT max(tick) FROM e))) AS tick),
+             |ty AS (SELECT DISTINCT event_type FROM e),
+             |c AS (SELECT event_type, tick, count(*) AS cnt, sum(cents) AS sc
+             |      FROM e GROUP BY 1, 2),
+             |g AS (SELECT ty.event_type, hs.tick,
+             |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+             |    coalesce(c.sc, 0) / 100.0 AS sum_value
+             |  FROM hs CROSS JOIN ty
+             |  LEFT JOIN c ON c.tick = hs.tick AND c.event_type = ty.event_type)
+             |SELECT event_type, tick, cnt,
+             |  last_value(CASE WHEN cnt > 0 THEN sum_value END IGNORE NULLS)
+             |    OVER (PARTITION BY event_type ORDER BY tick
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sum_value
+             |FROM g""".stripMargin)),
 
     // Cohort retention (growth): cohort = each user's first active week,
     // cell (cohort, offset) = distinct users from that cohort active

@@ -67,4 +67,37 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("forward as-of ≡ brute-force min-following, inclusive at equal t") {
+    val left = Seq(("k1", 100L), ("k1", 150L), ("k1", 200L), ("k2", 10L),
+      ("k3", 5L)).toDF("k", "t")
+    // k1 has rows before/at/after; k2's only right row is in the past
+    // (no match); k3 has none at all (null)
+    val right = Seq(("k1", 150L, "a"), ("k1", 150L, "b"), ("k1", 300L, "c"),
+      ("k2", 5L, "d")).toDF("rk", "rt", "v")
+    val got = AsOfJoin.asOfForward(left, right, "k", "rk", "t", "rt",
+        payload = Map("v" -> "v_out"))
+      .select("k", "t", "v_out").as[(String, Long, String)].collect().toSet
+    // at t=100 and t=150 the earliest following is rt=150; the tie on
+    // (k1,150) resolves to the SMALLEST payload tuple "a"
+    assert(got == Set(("k1", 100L, "a"), ("k1", 150L, "a"),
+      ("k1", 200L, "c"), ("k2", 10L, null), ("k3", 5L, null)))
+  }
+
+  test("forward and backward as-of agree under time reversal") {
+    val left = (0L until 40L).map(i => ("k" + i % 3, i * 7 % 100)).toDF("k", "t")
+    val right = (0L until 30L).map(i => ("k" + i % 3, i * 11 % 100, i))
+      .toDF("rk", "rt", "p")
+    val fwd = AsOfJoin.asOfForward(left, right, "k", "rk", "t", "rt",
+        Map("rt" -> "m")).select("k", "t", "m")
+      .as[(String, Long, Option[Long])].collect().toSet
+    // reverse time on both sides: forward(t) == -backward(-t)
+    val bwd = AsOfJoin.asOf(
+        left.withColumn("t", -col("t")),
+        right.withColumn("rt", -col("rt")), "k", "rk", "t", "rt",
+        Map("rt" -> "m"))
+      .select(col("k"), -col("t"), -col("m"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(fwd == bwd)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Resample
+
+/** Gap-fill + forward-fill resampling: dense grid shape, zero-fill
+  * semantics, LOCF carry rules, and the no-driver-collect plan contract. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // group a: ticks 2 and 5 (gap 3..4); group b: tick 3 only; span 2..5
+  private def fixture = Seq(
+    ("a", 2L, 1.0), ("a", 2L, 3.0), ("a", 5L, 10.0), ("b", 3L, 7.0)
+  ).toDF("g", "tick", "v")
+
+  test("gapFill emits the full span × groups grid with zero-filled gaps") {
+    val out = Resample.gapFill(fixture, "g", "tick", "v")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 2L, 2L, 4.0), ("a", 3L, 0L, 0.0), ("a", 4L, 0L, 0.0),
+      ("a", 5L, 1L, 10.0),
+      ("b", 2L, 0L, 0.0), ("b", 3L, 1L, 7.0), ("b", 4L, 0L, 0.0),
+      ("b", 5L, 0L, 0.0)))
+  }
+
+  test("forwardFill carries the last observed value; leading gaps stay null") {
+    val filled = Resample.forwardFill(
+        Resample.gapFill(fixture, "g", "tick", "v"),
+        "g", "tick", "sum_value", "cnt")
+      .select("g", "tick", "sum_value")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(filled == Set(
+      ("a", 2L, Some(4.0)), ("a", 3L, Some(4.0)), ("a", 4L, Some(4.0)),
+      ("a", 5L, Some(10.0)),
+      ("b", 2L, None), ("b", 3L, Some(7.0)), ("b", 4L, Some(7.0)),
+      ("b", 5L, Some(7.0))))
+  }
+
+  test("single-tick input yields one bucket per group; empty groups impossible") {
+    val one = Seq(("x", 9L, 2.5)).toDF("g", "tick", "v")
+    val out = Resample.gapFill(one, "g", "tick", "v")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out == List(("x", 9L, 1L, 2.5)))
+  }
+
+  test("scaffold is generated in-plan: no CollectLimit / driver round-trip") {
+    val plan = Resample.gapFill(fixture, "g", "tick", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"), plan)
+    // the groups side of the scaffold cross join is broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+}
