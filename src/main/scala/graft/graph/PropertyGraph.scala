@@ -221,6 +221,43 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     layers.reduce(_ unionByName _)
   }
 
+  /** Per-node triangle counts (growth — completes the graph-analytics
+    * quartet with [[connectedComponents]], [[pageRank]], [[bfsDistances]]):
+    * (node, n_tri) for every vertex, n_tri = number of distinct undirected
+    * triangles through it (0 included). Edge direction and rel type are
+    * ignored (optionally filtered by `rels`); parallel edges and
+    * self-loops are dropped first — triangles are over the simple graph.
+    *
+    * The node-iterator formulation every distributed engine uses: orient
+    * each edge min(name)→max(name) and dedup (halves the edge list, kills
+    * 2-cycles), build wedges by self-joining oriented edges on their
+    * common LOWEST endpoint (each triangle generated exactly once, as its
+    * lexicographically smallest wedge — no /3 correction or double
+    * counting), then close each wedge against the oriented edge list.
+    * Three equi-join shuffles total, wedge count bounded by
+    * Σ_v C(deg(v),2) — the orientation caps the join fan-out at the
+    * SMALLEST endpoint's degree, the standard high-degree-hub mitigation.
+    */
+  def triangleCounts(rels: Seq[String] = Nil): DataFrame = {
+    val base = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+    val e = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val wedges = e.select(col("u"), col("v").as("x"))
+      .join(e.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(
+      e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    vertices.select(col("name").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** Checkpoint the accumulated MERGE plan (each merge stacks a
     * union+dropDuplicates) to parquet and re-read — plan depth back to 1.
     * Run after bulk statement streams; semantics unchanged. */

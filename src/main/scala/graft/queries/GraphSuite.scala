@@ -27,6 +27,30 @@ object GraphSuite extends Suite {
         Tables.t(s, d, "customer"), Tables.t(s, d, "nation"),
         Tables.t(s, d, "region"), Tables.t(s, d, "supplier")).checkpointLocal())
 
+  // The TPC-H hierarchy alone is a forest (zero triangles); the enriched
+  // graph adds customer-[:BUYS]->supplier edges derived from
+  // orders ⋈ lineitem (distinct pairs — one shuffle), which close
+  // customer–supplier–nation triangles whenever a customer buys from a
+  // supplier in its own nation. Memoized at rest like g().
+  private val cacheB =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  private def gBuys(s: SparkSession, d: String): PropertyGraph =
+    cacheB.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.functions._
+      val base = g(s, d)
+      val buys = Tables.t(s, d, "orders")
+        .join(Tables.t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("customer:"), col("o_custkey")).as("src"),
+          concat(lit("supplier:"), col("l_suppkey")).as("dst"))
+        .distinct() // before the map column — set ops reject MapType
+        .select(col("src"), col("dst"), lit("BUYS").as("rel"),
+          typedLit(Map.empty[String, String]).as("eattrs"))
+      PropertyGraph(base.vertices, base.edges.unionByName(buys))
+        .checkpointLocal()
+    })
+
   def defs: Map[String, Q] = Map(
 
     // G4: single-hop expansion with label filters.
@@ -354,6 +378,41 @@ object GraphSuite extends Suite {
              |         CAST(150000 + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
              |       FROM v LEFT JOIN c2 c ON v.node = c.node)
              |SELECT node, rank FROM r2""".stripMargin)),
+
+    // Per-node triangle counts (growth) over the BUYS-enriched graph: a
+    // triangle is customer–supplier–nation when the customer bought from
+    // a same-nation supplier. The oracle mirrors the oriented-wedge
+    // construction in plain SQL: orient min→max, wedge on the common
+    // lowest endpoint, close against the edge list, explode corners.
+    "graph_triangles" -> Q(
+      (s, d) => gBuys(s, d).triangleCounts(),
+      Some("""WITH v AS (
+             |  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+             |  UNION ALL SELECT 'nation:' || n_name FROM nation
+             |  UNION ALL SELECT 'region:' || r_name FROM region
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+             |raw AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+             |         'nation:' || n_name AS b
+             |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |       FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |         'nation:' || n_name
+             |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  UNION ALL SELECT DISTINCT
+             |         'customer:' || CAST(o_custkey AS VARCHAR),
+             |         'supplier:' || CAST(l_suppkey AS VARCHAR)
+             |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+             |      FROM raw WHERE a <> b),
+             |w AS (SELECT e1.u, e1.v AS x, e2.v AS y
+             |      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+             |t AS (SELECT w.u, w.x, w.y
+             |      FROM w JOIN e ON e.u = w.x AND e.v = w.y),
+             |n AS (SELECT unnest([u, x, y]) AS node FROM t),
+             |c AS (SELECT node, count(*) AS n_tri FROM n GROUP BY 1)
+             |SELECT v.node, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+             |FROM v LEFT JOIN c USING (node)""".stripMargin)),
 
     // BFS shortest-path distances (growth): 2 undirected hops out of
     // region:EUROPE — the region at 0, its nations at 1, their customers

@@ -142,6 +142,28 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
     assert(graphOf(Seq(("a", "b"))).bfsDistances("zz", 3).count() == 0L)
   }
 
+  test("triangleCounts ≡ brute-force triple enumeration on random graphs") {
+    (1 to 4).foreach { seed =>
+      val edges = sample(edgesGen, seed + 700).distinct
+      // simple undirected adjacency: drop self-loops, merge directions
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).toSet
+      val exp = names.map { n =>
+        val tri = (for {
+          a <- names; b <- names
+          if a < b && adj((n, a)) && adj((n, b)) && adj((a, b))
+        } yield (a, b)).size
+        n -> tri.toLong
+      }.toMap
+      val got = graphOf(edges).triangleCounts()
+        .as[(String, Long)].collect().toMap
+      assert(got == exp, s"seed=$seed: $got != $exp")
+    }
+    // edgeless graph: every vertex present with 0
+    assert(graphOf(Nil).triangleCounts().as[(String, Long)].collect().toMap
+      == names.map(_ -> 0L).toMap)
+  }
+
   test("MERGE is idempotent: re-merging a random statement stream is a no-op") {
     (1 to 3).foreach { seed =>
       val edges = sample(edgesGen, seed + 900).distinct
