@@ -84,6 +84,48 @@ object HashqlSuite extends Suite {
       Some("""SELECT p_partkey, p_name FROM part
              |WHERE p_name LIKE '%r_d%' AND p_size < 20""".stripMargin)),
 
+    // BETWEEN (dialect growth): desugars at parse time to >= AND <= —
+    // its `and` binds to the atom, never the conjunction.
+    "hashql_between" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_size from part " +
+          "where part.p_size between 10 and 15 and part.p_type = 'ECONOMY'"),
+      Some("""SELECT p_partkey, p_size FROM part
+             |WHERE p_size BETWEEN 10 AND 15 AND p_type = 'ECONOMY'"""
+        .stripMargin)),
+
+    // NOT in all its spellings (dialect growth): prefix `not (…)`, infix
+    // `not in`, and `<>` — ANSI three-valued negation on both engines.
+    "hashql_not" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_mktsegment from customer " +
+          "where customer.c_mktsegment not in ('BUILDING', 'AUTOMOBILE') " +
+          "and customer.c_nationkey <> 7 " +
+          "and not (customer.c_acctbal < 0 or customer.c_nationkey = 3)"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+             |  AND c_nationkey <> 7
+             |  AND NOT (c_acctbal < 0 OR c_nationkey = 3)""".stripMargin)),
+
+    // SELECT DISTINCT (dialect growth): set semantics over the projected
+    // rows — one partial-agg shuffle, the q_distinct plan.
+    "hashql_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select distinct orders.o_orderstatus, orders.o_orderpriority from orders"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"""
+        .stripMargin)),
+
+    // LIMIT + OFFSET paging (dialect growth): rows m+1..m+n of the sorted
+    // stream — deterministic under the unique-key tie-break, so pages are
+    // stable and hash-checkable.
+    "hashql_offset" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_acctbal from customer " +
+          "order by customer.c_acctbal desc, customer.c_custkey limit 10 offset 5"),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 5"""
+        .stripMargin)),
+
     // multi-column GROUP BY (dialect growth; the reference groups by one
     // key, server.py:452-455).
     "hashql_groupby2" -> Q(

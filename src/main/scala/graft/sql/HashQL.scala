@@ -17,15 +17,16 @@ import graft.fts.Fts
   *   insert into t (f, g) values ('s', 2)
   *   update t set t.f = v where t.g = w [and …]
   *   delete from t [where t.g = w [and …]]
-  *   select t.a, u.b | * | count(*) from t
+  *   select [distinct] t.a, u.b | * | count(*) from t
   *     [inner join u on t.x = u.y]*
-  *     [where t.f = v | t.f < v | t.f > v | t.f <= v | t.f >= v
-  *            | t.f in (v1, v2, …) | t.f like 'pat'
+  *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
+  *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f ~ 'tok1 & tok2 | tok3'
+  *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
   *     [group by t.f [, t.g …]]
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
-  *     [order by t.f [asc|desc] [, …]] [limit n]
+  *     [order by t.f [asc|desc] [, …]] [limit n] [offset m]
   *   create join inner join a on a.x = b.y [inner join …]*
   * }}}
   * Numeric literals coerce to Long (reference server.py:477-478); rows
@@ -65,6 +66,14 @@ object HashQL {
   final case class InList(ref: ColRef, values: Seq[Any]) extends Pred
   /** `t.f like 'pat'` — SQL LIKE, `%`/`_` wildcards. */
   final case class Like(ref: ColRef, pattern: String) extends Pred
+  /** `not <atom>` / `t.f not in (…)` / `t.f not like '…'` /
+    * `t.f not between a and b` / `t.f <> v` — SQL three-valued negation
+    * (NOT of a null comparison stays null, so filters still drop the
+    * row — matching Spark's and ANSI's `!`). `<>` parses directly to
+    * Not(Eq(…)). `between a and b` desugars at parse time to
+    * `>= a AND <= b` (its `and` is part of the atom, not a conjunction),
+    * so BETWEEN needs no executor support at all. */
+  final case class Not(p: Pred) extends Pred
 
   /** HAVING conjunct: `column` addresses an OUTPUT column of the
     * aggregated frame — the auto-alias of an agg call (`cnt`, `sum_x`) or
@@ -94,7 +103,9 @@ object HashQL {
                           groupBy: Seq[ColRef],
                           having: Seq[HavingPred] = Nil,
                           orderBy: Seq[(ColRef, Boolean)] = Nil,
-                          limit: Option[Int] = None) extends Stmt
+                          limit: Option[Int] = None,
+                          distinct: Boolean = false,
+                          offset: Option[Int] = None) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
 
   // ---------------- lexer/parser ----------------
@@ -122,8 +133,6 @@ object HashQL {
           out += s.substring(i, j + 1); i = j + 1
         } else if ("(),=*<>".contains(c)) {
           // two-char ops lex as one token: <= >= and the <> not-equal
-          // TYPO — kept as one token so preds() rejects it with a clean
-          // "unsupported predicate op" instead of mis-parsing '<' '>'
           if ((c == '<' || c == '>') && i + 1 < s.length &&
               (s(i + 1) == '=' || (c == '<' && s(i + 1) == '>'))) {
             out += s.substring(i, i + 2); i += 2
@@ -216,12 +225,21 @@ object HashQL {
     }
     private def predAtom(): Pred =
       if (is("(")) { next(); val e = predExpr(); kw(")"); e }
+      else if (is("not")) { next(); Not(predAtom()) }
       else {
         val ref = colRef()
-        next() match {
+        // `ref not in/like/between …` — the negation rides the operator
+        val negated = is("not") && { next(); true }
+        val atom = next() match {
           case "=" => Eq(ref, literal())
+          case "<>" => Not(Eq(ref, literal()))
           case "~" => FtsMatch(ref, literal().toString)
           case op @ ("<" | ">" | "<=" | ">=") => Cmp(ref, op, literal())
+          case t if t.equalsIgnoreCase("between") =>
+            // BETWEEN's `and` binds to the atom, not the conjunction —
+            // consumed here before predConj ever sees it
+            val lo = literal(); kw("and"); val hi = literal()
+            And(Seq(Cmp(ref, ">=", lo), Cmp(ref, "<=", hi)))
           case t if t.equalsIgnoreCase("in") =>
             kw("(")
             val vs = scala.collection.mutable.ArrayBuffer(literal())
@@ -235,9 +253,17 @@ object HashQL {
             Like(ref, v.toString)
           case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
         }
+        if (negated) {
+          require(atom.isInstanceOf[InList] || atom.isInstanceOf[Like] ||
+            atom.isInstanceOf[And], // And = desugared BETWEEN
+            "infix NOT applies to IN / LIKE / BETWEEN; use `not (…)` otherwise")
+          Not(atom)
+        } else atom
       }
 
     private def selectRest(): Select = {
+      // `select distinct …` — set semantics over the projected rows
+      val distinct = is("distinct") && { next(); true }
       val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
       var more = true
       while (more) {
@@ -300,7 +326,16 @@ object HashQL {
         require(t.matches("[0-9]+"), s"limit expects a number, got $t")
         Some(t.toInt)
       } else None
-      Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy, limit)
+      // `[limit n] offset m` — skip m rows (meaningful under ORDER BY,
+      // like any SQL OFFSET)
+      val offset = if (is("offset")) {
+        next()
+        val t = next()
+        require(t.matches("[0-9]+"), s"offset expects a number, got $t")
+        Some(t.toInt)
+      } else None
+      Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
+        limit, distinct, offset)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -434,6 +469,9 @@ object HashQL {
       if (ref.column.startsWith("~"))
         graft.doc.DocStore.pathMatches(col("doc"), ref.column, _.like(pat))
       else col(ref.column).like(pat)
+    // three-valued: !(null) stays null, so NOT over a null comparison
+    // still drops the row — ANSI semantics on both engines
+    case Not(p) => !predColumn(cat, p)
   }
 
   /** Execute a dialect statement. DDL/DML mutate the catalog and return
@@ -455,7 +493,8 @@ object HashQL {
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None
-      case Select(items, table, joins, wheres, groupBy, having, orderBy, limit) =>
+      case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
+                  distinct, offset) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -540,16 +579,23 @@ object HashQL {
         val havinged = having.foldLeft(out) { (d, h) =>
           d.filter(graft.core.Compare.cmp(col(h.column), h.op, h.value))
         }
+        // DISTINCT over the projected (post-HAVING) rows — one
+        // partial-agg shuffle on all output columns, exactly the
+        // q_distinct plan.
+        val dedup = if (distinct) havinged.distinct() else havinged
         // ORDER BY / LIMIT on the projected frame: sort keys address
         // output columns (aliases included — `cnt`, `sum_x`, doc-path leaf
         // names). ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
         // partition top-k + driver merge — no global sort at any scale);
-        // a bare LIMIT is a CollectLimit.
+        // a bare LIMIT is a CollectLimit. OFFSET composes before LIMIT
+        // (SQL `LIMIT n OFFSET m` = rows m+1..m+n of the sorted stream —
+        // Spark folds offset+limit+sort into one GlobalLimit plan).
         val ordered =
-          if (orderBy.isEmpty) havinged
-          else havinged.orderBy(orderBy.map { case (r, desc) =>
+          if (orderBy.isEmpty) dedup
+          else dedup.orderBy(orderBy.map { case (r, desc) =>
             if (desc) col(r.column).desc else col(r.column).asc }: _*)
-        Some(limit.fold(ordered)(ordered.limit))
+        val skipped = offset.fold(ordered)(ordered.offset)
+        Some(limit.fold(skipped)(skipped.limit))
     }
 
   /** Materialize a registered `create join` to parquet and wire BOTH read

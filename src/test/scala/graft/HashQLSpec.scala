@@ -91,11 +91,10 @@ class HashQLSpec extends SparkSpec {
     val g2 = HashQL.execute(cat,
       "select count(*) from m group by m.grp, m.v").get
     assert(g2.columns.toSeq == Seq("grp", "v", "cnt") && g2.count() == 4)
-    // the <> not-equal TYPO dies with a clean unsupported-op error, not a
-    // mis-parse into '<' '>' with a silently-dropped literal
-    val e = intercept[IllegalArgumentException](
-      HashQL.execute(cat, "select m.nm from m where m.v <> 5"))
-    assert(e.getMessage.contains("<>"), e.getMessage)
+    // <> lexes as ONE token (never mis-parsed into '<' '>' with a
+    // silently-dropped literal) and means not-equal
+    assert(HashQL.execute(cat, "select m.nm from m where m.v <> 5").get
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c", "d"))
     // trailing junk after a complete statement is an error, never ignored
     intercept[IllegalArgumentException](
       HashQL.execute(cat, "select m.nm from m where m.v = 5 bogus"))
@@ -131,6 +130,39 @@ class HashQLSpec extends SparkSpec {
     // an unquoted LIKE pattern is a clean error
     intercept[IllegalArgumentException](
       HashQL.execute(cat, "select b.nm from b where b.nm like 7"))
+  }
+
+  test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
+    val cat = new GraftCatalog(spark)
+    Seq(("ann", "x", 1L), ("bob", "x", 5L), ("cat", "y", 7L), ("dan", "y", 9L))
+      .foreach { case (n, g, v) =>
+        HashQL.execute(cat, s"insert into b (nm, grp, v) values ('$n', '$g', $v)") }
+    def names(sql: String): Seq[String] =
+      HashQL.execute(cat, sql).get.collect().map(_.getString(0)).sorted.toSeq
+    // BETWEEN is inclusive both ends, and its AND binds to the atom:
+    // between 5 and 7 AND grp='y' parses as (v∈[5,7]) ∧ (grp=y)
+    assert(names("select b.nm from b where b.v between 5 and 7") == Seq("bob", "cat"))
+    assert(names("select b.nm from b where b.v between 5 and 7 and b.grp = 'y'")
+      == Seq("cat"))
+    assert(names("select b.nm from b where b.v not between 5 and 7")
+      == Seq("ann", "dan"))
+    // <> and prefix NOT
+    assert(names("select b.nm from b where b.grp <> 'x'") == Seq("cat", "dan"))
+    assert(names("select b.nm from b where not (b.v = 1 or b.v = 9)")
+      == Seq("bob", "cat"))
+    assert(names("select b.nm from b where b.nm not in ('ann', 'cat')")
+      == Seq("bob", "dan"))
+    assert(names("select b.nm from b where b.nm not like '%a%'") == Seq("bob"))
+    // infix NOT before a plain comparison is rejected with a clean error
+    intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select b.nm from b where b.v not = 5"))
+    // DISTINCT over the projection
+    assert(names("select distinct b.grp from b") == Seq("x", "y"))
+    // OFFSET pages the sorted stream; beyond-the-end offset is empty
+    assert(names("select b.nm from b order by b.v limit 2 offset 1")
+      == Seq("bob", "cat"))
+    assert(names("select b.nm from b order by b.v offset 3") == Seq("dan"))
+    assert(names("select b.nm from b order by b.v limit 2 offset 9") == Nil)
   }
 
   test("having filters the aggregated frame; agg-call and alias spellings agree") {
