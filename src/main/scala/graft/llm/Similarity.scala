@@ -48,6 +48,89 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
 
+  /** One (query, candidate) pool row for [[mmrRerank]]'s per-query greedy:
+    * `rel` = relevance quantized to an integer (1e5·cos) so selection is
+    * exact arithmetic. */
+  final case class MmrCand(qid: Long, nid: Long, rel: Long)
+  /** One candidate-pair similarity (both directions materialized). */
+  final case class MmrSim(qid: Long, a: Long, b: Long, s: Long)
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein '98): from
+    * each query's top-`poolK` cosine candidates, greedily select `k` that
+    * trade relevance against redundancy —
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * diversification pass between ANN retrieval and a context window.
+    *
+    * Determinism: relevance and pairwise similarity are quantized to
+    * integers (1e5 × cosine rounded to 5 decimals, the ann_topk contract),
+    * λ is an integer percent, and every argmax tie-breaks on the smaller
+    * candidate id — so the greedy is exact integer arithmetic, bit-equal
+    * across partitionings and engines.
+    *
+    * Scale posture: candidate pools come from [[bruteForceTopK]] (swap in
+    * any ANN front — LSH/IVF — upstream); the poolK² pairwise-sim join and
+    * the greedy are both per-query and poolK-bounded (poolK ≤ 1024
+    * enforced), so the whole rerank is |queries|·poolK² work distributed
+    * by query — never corpus-quadratic. The greedy itself runs in one
+    * cogroup (two shuffles keyed on qid), O(k·poolK) per query. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, poolK: Int, k: Int,
+                lambdaPct: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(poolK > 0 && poolK <= 1024, s"poolK must be in 1..1024, got $poolK")
+    require(k > 0 && k <= poolK, s"k must be in 1..poolK, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in 0..100, got $lambdaPct")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, queries, poolK, idCol, vecCol)
+      .select(col("qid"), col("nid"),
+        round(col("cos") * 100000, 0).cast("long").as("rel"))
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val withVec = pool.join(vecs, col("nid") === col("vid"))
+      .select(col("qid"), col("nid"), col("rel"), col("vec"))
+    val half = withVec.as("a").join(withVec.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") < col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("a"), col("b.nid").as("b"),
+        round(round(graft.functions.VectorKernels.cosine_sim(
+          col("a.vec"), col("b.vec")), 5) * 100000, 0).cast("long").as("s"))
+    val sims = half.unionByName(
+      half.select(col("qid"), col("b").as("a"), col("a").as("b"), col("s")))
+    pool.as[MmrCand].groupByKey(_.qid)
+      .cogroup(sims.as[MmrSim].groupByKey(_.qid)) { (qid, cs, ss) =>
+        val cand = cs.toArray
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        ss.foreach(r => sim((r.a, r.b)) = r.s)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val remaining = scala.collection.mutable.Map(
+          cand.map(c => c.nid -> c.rel): _*)
+        val maxSim = scala.collection.mutable.HashMap.empty[Long, Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var rank = 1L
+        while (rank <= k && remaining.nonEmpty) {
+          // rank 1 = pure relevance (no selected set yet); later ranks =
+          // λ·rel − (1−λ)·maxsim. Ties on score → smaller nid.
+          val pick = remaining.keys.minBy { nid =>
+            // rank 1 ranks by bare rel (not λ·rel) so λ=0 still selects
+            // the most relevant seed, matching the oracle's first step
+            val score =
+              if (selected.isEmpty) remaining(nid)
+              else lambdaPct * remaining(nid) -
+                (100L - lambdaPct) * maxSim.getOrElse(nid, 0L)
+            (-score, nid)
+          }
+          out += ((qid, pick, rank))
+          remaining -= pick
+          selected += pick
+          remaining.keys.foreach { nid =>
+            val s = sim.getOrElse((nid, pick), 0L)
+            if (!maxSim.contains(nid) || s > maxSim(nid)) maxSim(nid) = s
+          }
+          rank += 1
+        }
+        out.iterator
+      }.toDF("qid", "nid", "mmr_rank")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
     * splitmix64-style integer mix folded to [-1, 1). No RNG state, so every
     * executor computes identical planes — and an oracle can inline the very

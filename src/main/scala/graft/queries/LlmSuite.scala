@@ -107,6 +107,55 @@ object LlmSuite extends Suite {
        |  i -> $xv.embedding[i]::DOUBLE * $yv.embedding[i]::DOUBLE))
        |  / ($xv.nrm * $yv.nrm)""".stripMargin
 
+  /** DuckDB twin of [[Similarity.mmrRerank]]: the k-step greedy UNROLLED
+    * as CTE chains (`acc1..acck`) — step t anti-joins out the already
+    * selected, aggregates each survivor's max similarity against them,
+    * and picks the integer-score argmax with the same min-id tie-break.
+    * Pure integer arithmetic end to end, so the hash must match. */
+  private def mmrOracleSql(nQueries: Int, poolK: Int, k: Int, lam: Int): String = {
+    val head = s"""WITH $cosineNormsCte,
+      |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+      |        round(${cosExpr("q", "x")}, 5) AS cos
+      |      FROM n q JOIN n x ON q.vec_id <> x.vec_id
+      |      WHERE q.vec_id < $nQueries),
+      |cand AS (SELECT qid, nid,
+      |        CAST(round(cos * 100000, 0) AS BIGINT) AS rel
+      |      FROM (SELECT qid, nid, cos,
+      |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |            FROM p)
+      |      WHERE rn <= $poolK),
+      |sim0 AS (SELECT a.qid, a.nid AS a, b.nid AS b,
+      |        CAST(round(round(${cosExpr("x", "y")}, 5) * 100000, 0) AS BIGINT) AS s
+      |      FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid < b.nid
+      |      JOIN n x ON x.vec_id = a.nid JOIN n y ON y.vec_id = b.nid),
+      |sim AS (SELECT qid, a, b, s FROM sim0
+      |  UNION ALL SELECT qid, b, a, s FROM sim0),
+      |acc1 AS (SELECT qid, nid, 1 AS mmr_rank FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+      |    FROM cand) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s""",
+      |m$t AS (SELECT c.qid, c.nid,
+      |        $lam * c.rel - ${100 - lam} * max(s.s) AS score
+      |      FROM cand c
+      |      JOIN acc${t - 1} p ON p.qid = c.qid
+      |      JOIN sim s ON s.qid = c.qid AND s.a = c.nid AND s.b = p.nid
+      |      LEFT JOIN acc${t - 1} x ON x.qid = c.qid AND x.nid = c.nid
+      |      WHERE x.nid IS NULL
+      |      GROUP BY c.qid, c.nid, c.rel),
+      |pick$t AS (SELECT qid, nid, $t AS mmr_rank FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+      |    FROM m$t) WHERE rn = 1),
+      |acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM pick$t)"""
+        .stripMargin
+    }.mkString
+    s"""$head$steps
+       |SELECT qid, nid, CAST(mmr_rank AS BIGINT) AS mmr_rank
+       |FROM acc$k""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.lshBucket: each plane's coefficients are the
     * SAME deterministic doubles the Spark expression uses, inlined as a list
     * literal (Double.toString round-trips exactly), and the dot is the same
@@ -726,6 +775,20 @@ object LlmSuite extends Suite {
               |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    // MMR diversified rerank (growth — the standard pass between ANN
+    // retrieval and a RAG context window): greedy
+    // argmax λ·rel − (1−λ)·max-sim-to-selected over each query's top-20
+    // cosine pool, k=5, λ=70%. Scores quantized to integers (1e5·cos, the
+    // ann_topk rounding contract) with min-id tie-breaks, so the greedy is
+    // exact arithmetic — the oracle UNROLLS the same k-step selection in
+    // SQL (each step: anti-join out the selected, aggregate max-sim
+    // against them, argmax by row_number).
+    "ann_mmr" -> Q(
+      (s, d) => Similarity.mmrRerank(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 3),
+        poolK = 20, k = 5, lambdaPct = 70),
+      Some(mmrOracleSql(nQueries = 3, poolK = 20, k = 5, lam = 70))),
 
     // hybrid retrieval (growth): BM25 lexical leg + brute-force cosine
     // vector leg, fused by reciprocal-rank fusion in EXACT integer

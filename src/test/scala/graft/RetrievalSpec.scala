@@ -62,4 +62,73 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.intersect(lexIds).nonEmpty)
     assert(fused.intersect(vecIds).nonEmpty)
   }
+
+  test("mmrRerank ≡ driver-side greedy; λ=100 degenerates to top-k by rel") {
+    import graft.llm.Similarity
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+
+    // driver-side reference greedy over exact quantized scores
+    def refMmr(lam: Long): Map[Long, Seq[Long]] = {
+      val pool = Similarity.bruteForceTopK(emb, queries, 12)
+        .select(col("qid"), col("nid"),
+          round(col("cos") * 100000, 0).cast("long").as("rel"))
+        .as[(Long, Long, Long)].collect()
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toMap
+      def cosQ(a: Long, b: Long): Long = {
+        val (x, y) = (vecs(a), vecs(b))
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          dot += x(i).toDouble * y(i).toDouble
+          nx += x(i).toDouble * x(i).toDouble
+          ny += y(i).toDouble * y(i).toDouble
+          i += 1
+        }
+        // valueOf (toString-canonical), matching Spark's round() — the
+        // exact-binary-expansion BigDecimal(double) can differ at .5 edges
+        val c = BigDecimal(java.math.BigDecimal.valueOf(
+            dot / (math.sqrt(nx) * math.sqrt(ny))))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        (c * 100000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      pool.groupBy(_._1).map { case (qid, rows) =>
+        var rem = rows.map(r => r._2 -> r._3).toMap
+        var sel = Vector.empty[Long]
+        val ms = scala.collection.mutable.HashMap.empty[Long, Long]
+        while (sel.size < 5 && rem.nonEmpty) {
+          val pick = rem.keys.minBy { n =>
+            val sc = if (sel.isEmpty) rem(n)
+              else lam * rem(n) - (100 - lam) * ms.getOrElse(n, 0L)
+            (-sc, n)
+          }
+          sel :+= pick; rem -= pick
+          rem.keys.foreach { n =>
+            val s = cosQ(n, pick)
+            if (!ms.contains(n) || s > ms(n)) ms(n) = s
+          }
+        }
+        qid -> sel
+      }
+    }
+
+    Seq(70L, 30L).foreach { lam =>
+      val got = Similarity.mmrRerank(emb, queries, poolK = 12, k = 5,
+          lambdaPct = lam.toInt)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(_._3).map(_._2).toSeq }
+      assert(got == refMmr(lam), s"λ=$lam")
+    }
+
+    // λ=100 ignores diversity: selection = first k of the relevance order
+    val topk = Similarity.bruteForceTopK(emb, queries, 12)
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nid"), col("rn").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val mmr100 = Similarity.mmrRerank(emb, queries, poolK = 12, k = 5,
+        lambdaPct = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mmr100 == topk)
+  }
 }
