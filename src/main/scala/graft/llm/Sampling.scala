@@ -95,6 +95,33 @@ object Sampling {
       caseSql(stratumExpr, permilleByStratum.view.mapValues(_.toLong).toMap,
         defaultPermille.toLong)
 
+  /** Deterministic train/val/test split: one `split` label per row from
+    * its [[arithBucket]] — bucket < train‰ → "train", the next val‰ →
+    * "val", the rest → "test". A pure scan-side CASE (zero shuffles, works
+    * as a partition-pruning predicate downstream); membership depends only
+    * on the id, so re-runs, backfills, and cross-table joins on the same
+    * id space land rows in the same split — and `train` at p‰ is exactly
+    * [[arithSample]]'s keep set at p‰ (nested-subset property: shrinking
+    * the train fraction only moves rows OUT of train, never across
+    * val/test boundaries below it). */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"permilles must be non-negative and sum ≤ 1000, " +
+        s"got $trainPermille + $valPermille")
+    val b = arithBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPermille, lit("train"))
+        .when(b < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test")))
+  }
+  def splitAssignSql(idExpr: String, trainPermille: Int,
+                     valPermille: Int): String =
+    s"CASE WHEN ${arithBucketSql(idExpr)} < $trainPermille THEN 'train' " +
+      s"WHEN ${arithBucketSql(idExpr)} < ${trainPermille + valPermille} " +
+      s"THEN 'val' ELSE 'test' END"
+
   /** CASE over stratum literals; an empty map emits the bare default (a
     * zero-WHEN `CASE ELSE … END` is a parse error in SQL). */
   private def caseSql(stratumExpr: String, byStratum: Map[String, Long],

@@ -1255,6 +1255,16 @@ object LlmSuite extends Suite {
       Some("SELECT doc_id FROM documents WHERE " +
         Sampling.arithSampleSql("doc_id", 100))),
 
+    // train/val/test split (growth): deterministic id-keyed assignment —
+    // a scan-side CASE over the arithmetic bucket, zero shuffles; the
+    // train set at 900‰ is exactly arithSample(900)'s keep set.
+    "sample_split" -> Q(
+      (s, d) => Sampling.splitAssign(docs(s, d), "doc_id",
+        trainPermille = 900, valPermille = 50).select("doc_id", "split"),
+      Some("SELECT doc_id, " +
+        Sampling.splitAssignSql("doc_id", 900, 50) +
+        " AS split FROM documents")),
+
     // stratified rates per l_returnflag — one scan-side CASE filter; the
     // data-mixing pass (downsample one stratum, upsample another) at I/O
     // rate.

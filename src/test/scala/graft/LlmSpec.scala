@@ -64,6 +64,29 @@ class LlmSpec extends SparkSpec {
     assert(a100.size > 20 && a100.size < 80, s"arith rate off: ${a100.size}/500")
   }
 
+  test("splitAssign partitions the table; train = arithSample's keep set") {
+    import graft.llm.Sampling
+    val split = Sampling.splitAssign(docs, "doc_id", 800, 100)
+      .select(col("doc_id").cast("long"), col("split"))
+      .as[(Long, String)].collect()
+    // exhaustive + disjoint: every row labeled exactly once
+    assert(split.length == docs.count())
+    assert(split.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the train set IS the 800‰ arith sample (shared bucket function)
+    val train = split.filter(_._2 == "train").map(_._1).toSet
+    val a800 = Sampling.arithSample(docs, "doc_id", 800)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(train == a800)
+    // nested-subset across configs: shrinking train only moves rows out
+    val train500 = Sampling.splitAssign(docs, "doc_id", 500, 100)
+      .filter(col("split") === "train")
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(train500.subsetOf(train))
+    // degenerate configs still partition
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(docs, "doc_id", 900, 200))
+  }
+
   test("packChunks equals the global-window formulation") {
     import graft.llm.{Packing, TextAnalysis}
     import org.apache.spark.sql.expressions.Window
