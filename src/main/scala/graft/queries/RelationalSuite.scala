@@ -223,6 +223,21 @@ object RelationalSuite extends Suite {
              |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // statistical aggregates (growth): Pearson correlation and sample
+    // stddev/variance per group — single-pass co-moment accumulation in
+    // both engines (one partial-agg shuffle); rounded to 4 decimals so
+    // summation-order float noise can't flip the hash.
+    "q_corr" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 4).as("var_disc")),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS r_qty_price,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(var_samp(l_discount), 4) AS var_disc
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // sketch percentiles (approx_percentile) — estimator values are
     // implementation-specific, so rows-only for DuckDB; the estimate is
     // error-bounded IN-PATH at t2-fixture scale: each group's p50 must

@@ -60,6 +60,21 @@ object TimeSuite extends Suite {
              |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
              |FROM events""".stripMargin)),
 
+    // ntile quantile binning (growth): 4 equal-frequency buckets of order
+    // value within each priority class — the feature-binning shape.
+    // Per-group sort (one shuffle on the partition key), unique tie-break.
+    "win_ntile" -> Q(
+      (s, d) => Tables.t(s, d, "orders")
+        .withColumn("bin", ntile(4).over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("bin").cast("long").as("bin")),
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+             |FROM orders""".stripMargin)),
+
     // event-time tumbling bucket via date_trunc: partial agg map-side, tiny
     // final state — the streaming-safe aggregation shape.
     "time_window_agg" -> Q(

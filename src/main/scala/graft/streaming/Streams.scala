@@ -99,6 +99,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked STREAM-STREAM interval join — the attribution shape
+    * (purchase within `horizonMillis` after a same-key click), the batch
+    * twin of q_interval_join running incrementally. Inner join on
+    * key equality plus the time-range predicate; both sides carry event
+    * -time watermarks, and Spark derives each side's state eviction bound
+    * FROM the range condition (left rows expire once the right watermark
+    * passes `leftTs + horizon`; right rows once the left watermark passes
+    * `rightTs`) — so state is ingest-rate × horizon on each side, never
+    * unbounded, at any key cardinality. Column names must be disjoint
+    * across the two sides (rename before calling), as in any
+    * self-describing stream-stream join. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         horizonMillis: Long, watermark: String): DataFrame = {
+    require(horizonMillis > 0, s"horizon must be positive: $horizonMillis")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"interval $horizonMillis milliseconds"))
+  }
+
   /** S1 continuous KV ingest (the reference's POST /set write path,
     * server.py:80-103): a stream of (pk, sk, value) rows lands in the
     * pk-bucketed layout incrementally — each micro-batch is hash-bucketed

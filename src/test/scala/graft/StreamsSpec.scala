@@ -58,6 +58,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join ≡ batch range join; cross-batch pairs found") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF().toDF("c_user", "c_ts"),
+      purchases.toDF().toDF("p_user", "p_ts", "amount"),
+      "c_user", "p_user", "c_ts", "p_ts",
+      horizonMillis = 10 * 60 * 1000, watermark = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+      // click batch first; its purchases arrive in a LATER micro-batch
+      clicks.addData((1L, ts("00:10")), (2L, ts("00:15")))
+      q.processAllAvailable()
+      purchases.addData(
+        (1L, ts("00:12"), 5.0),   // inside 10min after u1's click
+        (1L, ts("00:25"), 7.0),   // outside horizon
+        (2L, ts("00:14"), 9.0),   // BEFORE u2's click — no match
+        (3L, ts("00:16"), 4.0))   // keyless
+      q.processAllAvailable()
+      // second wave: both sides in one batch, inclusive edge
+      clicks.addData((3L, ts("01:00")))
+      purchases.addData((3L, ts("01:10"), 2.0)) // exactly +10min, inclusive
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("c_user", "amount").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 5.0), (3L, 2.0)))
+
+      // batch twin over the identical rows agrees
+      val bc = Seq((1L, ts("00:10")), (2L, ts("00:15")), (3L, ts("01:00")))
+        .toDF("c_user", "c_ts")
+      val bp = Seq((1L, ts("00:12"), 5.0), (1L, ts("00:25"), 7.0),
+        (2L, ts("00:14"), 9.0), (3L, ts("00:16"), 4.0), (3L, ts("01:10"), 2.0))
+        .toDF("p_user", "p_ts", "amount")
+      val batch = bc.join(bp, col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 10 minutes"))
+        .select("c_user", "amount").as[(Long, Double)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("maintainJoin appends each micro-batch joined with the dimension") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("mv_out").toString
