@@ -46,6 +46,20 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Duplication profile — the report every dedup run prints: for each
+    * exact-duplicate cluster size, how many clusters have that size and
+    * how many rows they cover (cluster_size=1 rows are the unique tail;
+    * Σ rows = corpus size). Piggybacks on [[exactByHash]]'s 16-byte
+    * shuffle; the second aggregation's input is one row per cluster and
+    * its output is at most the largest cluster size — driver-safe to
+    * collect at any corpus scale. */
+  def duplicationProfile(df: DataFrame, contentCol: String,
+                         idCol: String): DataFrame =
+    exactByHash(df, contentCol, idCol)
+      .groupBy(col("dup_count").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("dup_count")).as("n_rows"))
+
   /** MinHash+LSH near-dup pairs with exact-jaccard verification.
     * bands×rowsPerBand minhashes; candidates = docs sharing any band
     * signature; output pairs (a < b) with verified jaccard ≥ threshold.

@@ -487,6 +487,37 @@ object LlmSuite extends Suite {
              |  count(*) AS dup_count
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // duplication profile (growth — the report every dedup run prints):
+    // clusters and row coverage by exact-duplicate cluster size. The
+    // corpus is unique at small SF, so plant duplicates (the dedup_nfc
+    // pattern): every 5th doc twice more, every 25th once more — sizes
+    // 1, 3, and 4 in the profile. Second agg input is one row per
+    // cluster; output ≤ largest cluster size.
+    "dedup_profile" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val planted = base
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        Dedup.duplicationProfile(planted, "text", "doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents
+             |    WHERE doc_id % 5 = 0
+             |  UNION ALL SELECT doc_id + 200000, text FROM documents
+             |    WHERE doc_id % 5 = 0
+             |  UNION ALL SELECT doc_id + 300000, text FROM documents
+             |    WHERE doc_id % 25 = 0),
+             |c AS (SELECT count(*) AS sz FROM planted GROUP BY md5(text))
+             |SELECT sz AS cluster_size, count(*) AS n_clusters,
+             |  CAST(sum(sz) AS BIGINT) AS n_rows
+             |FROM c GROUP BY sz""".stripMargin)),
+
     // WHY normalize before dedup: plant a canonical twin of every doc
     // (id+40000, suffix in decomposed NFD while the original's suffix is
     // precomposed NFC — different BYTES, same canonical text). Byte-exact

@@ -87,6 +87,12 @@ class ScaleSpec extends SparkSpec {
     assert(!ccPlan.contains("CartesianProduct") &&
       !ccPlan.contains("BroadcastNestedLoopJoin"),
       s"connectedComponents plans a cross product:\n$ccPlan")
+    // triangle counting: wedge build + closure are equi-joins on node ids
+    val tri = g.triangleCounts()
+    val triPlan = tri.queryExecution.executedPlan.toString
+    assert(!triPlan.contains("CartesianProduct") &&
+      !triPlan.contains("BroadcastNestedLoopJoin"),
+      s"triangleCounts plans a cross product:\n$triPlan")
   }
 
   test("cypher aggregates plan partial aggregation below the exchange") {
