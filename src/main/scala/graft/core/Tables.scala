@@ -20,12 +20,34 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects outright; read nanos as epoch-nano longs instead and convert
-      // with [[tsNanos]] where a real timestamp is needed.
+      // events.parquet has shipped as both TIMESTAMP(NANOS) — which Spark's
+      // parquet reader rejects outright — and plain timestamp[us]. Read
+      // nanos as epoch-nano longs, then normalize whatever arrived to ONE
+      // downstream contract: `ts` is always an epoch-nano LongType (the
+      // DuckDB oracle's epoch_ns(ts) accepts both physical types, so only
+      // this side needs the shim). Convert with [[tsNanos]] where a real
+      // timestamp is needed.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name != "events") df else normalizeTs(df)
     })
+
+  /** events.ts → epoch-nano LongType regardless of the parquet physical
+    * type. timestamp[us] values are micro-exact, so `unix_micros * 1000`
+    * is exact; the NTZ→LTZ cast is the identity under the contract's UTC
+    * session timezone (Verify/Bench/SparkSpec all pin it). */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
 
   private val counts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
