@@ -475,6 +475,42 @@ object Dedup {
     materializeThenRelease(out, shA, shB)
   }
 
+  /** Distinct word n-grams of a token array, 1-based windows of exactly
+    * `n` tokens (documents shorter than n contribute none). */
+  private def fullNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact n-gram collision decontamination — the eval-overlap check of
+    * GPT-3 appendix C / Llama 2 (13-gram collisions against the benchmark
+    * text): a corpus document is contaminated when ANY of its word
+    * n-grams also occurs anywhere in the evaluation set. Complements
+    * [[crossNearDup]] (whole-document near-dup): a verbatim eval QUOTE
+    * embedded in an otherwise-unrelated long document sits far below any
+    * jaccard threshold, but shares an n-gram exactly.
+    *
+    * Returns (idCol, hits): contaminated corpus ids with the number of
+    * their distinct n-grams that collide.
+    *
+    * 100 TB story: the eval side is benchmark-sized (thousands of docs →
+    * at most a few million distinct n-grams), deduplicated and BROADCAST;
+    * the corpus side computes its n-gram array scan-side (codegen HOFs
+    * over the [[graft.fts.Fts.tokens]] split) and probes the broadcast
+    * relation inside the scan stage — corpus text is never shuffled; the
+    * only exchange carries per-doc (id, partial count) rows for the
+    * already-filtered hits. */
+  def ngramCollisions(corpus: DataFrame, evalSet: DataFrame,
+                      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(fullNgrams(graft.fts.Fts.tokens(col(textCol)), n)).as("gram"))
+    val evalGrams = broadcast(grams(evalSet).select("gram").distinct())
+    grams(corpus).join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   /** 64-bit SimHash per doc: per-token xxhash64, per-bit strict majority
     * vote — one codegen'd kernel ([[graft.functions.SimHash64]]) evaluated
     * scan-side. No explode, no groupBy: the round-1 formulation bought a

@@ -90,6 +90,21 @@ object Pipeline {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Exact n-gram decontamination pass: drop every corpus document with
+    * any word n-gram collision against the benchmark (the GPT-3 /
+    * Llama 2 eval-overlap rule — see [[Dedup.ngramCollisions]] for the
+    * broadcast-probe scale shape). The contaminated id set is benchmark-
+    * bounded, so the final anti-join broadcasts it — the corpus is read
+    * once and never shuffled. */
+  def decontaminateNgram(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 13): DataFrame = {
+    val contaminated =
+      Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
+        .select(col(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid
     * filters run on each micro-batch BEFORE any shuffling (same cost
     * ordering as the batch pass), then survivors flow through

@@ -189,6 +189,29 @@ object LlmSuite extends Suite {
        |       WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $threshold)""".stripMargin
   }
 
+  /** Exact n-gram collision CTEs — the SQL mirror of
+    * [[Dedup.ngramCollisions]]: `evg(gram)` is the distinct n-gram set of
+    * the planted benchmark slice (ids 10000-10049 of `aug`), `cg(doc_id,
+    * gram)` the per-corpus-doc distinct n-grams (windows of exactly `n`
+    * tokens of the shared comma-strip-lowercase tokenization). */
+  private def ngramCollisionCtes(n: Int): String = {
+    def gramsCte(src: String, tname: String, out: String, cols: String) =
+      s"""$tname AS (SELECT doc_id,
+         |        string_split(replace(lower(text), ',', ''), ' ') AS toks
+         |      FROM $src),
+         |$out AS (SELECT $cols
+         |        unnest(list_distinct(list_transform(
+         |          range(1, len(toks) - ${n - 2}),
+         |          i -> array_to_string(toks[i:i+${n - 1}], ' ')))) AS gram
+         |      FROM $tname)""".stripMargin
+    s"""$augmentedSql,
+       |bench AS (SELECT doc_id, text FROM aug
+       |          WHERE doc_id >= 10000 AND doc_id < 10050),
+       |${gramsCte("bench", "tbn", "evg0", "")},
+       |evg AS (SELECT DISTINCT gram FROM evg0),
+       |${gramsCte("documents", "tcn", "cg", "doc_id,")}""".stripMargin
+  }
+
   /** clean_corpus oracle: quality+lang filter (fil), exact jaccard pairs
     * over fil, closure, drop non-representatives. */
   private def cleanCorpusOracle(minQuality: Double, lang: String,
@@ -630,6 +653,36 @@ object LlmSuite extends Suite {
       Some(s"""WITH ${crossJaccardCtes(0.6)}
               |SELECT doc_id FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.a = d.doc_id)""".stripMargin)),
+
+    // EXACT n-gram collision contamination (the GPT-3 appendix-C /
+    // Llama-2 eval-overlap rule, 8-grams at fixture length): a corpus doc
+    // is hit when ANY of its distinct word 8-grams also occurs in the
+    // eval set. The eval fixture is the first-token-dropped copies of
+    // docs 0-49, so each source doc shares every 8-gram except its first.
+    // Complements whole-document jaccard: an embedded verbatim quote
+    // collides here while sitting far below any jaccard threshold.
+    "contam_ngram" -> Q(
+      (s, d) => Dedup.ngramCollisions(
+        docs(s, d).select(col("doc_id"), col("text")),
+        augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
+        "text", "doc_id", n = 8),
+      Some(s"""WITH ${ngramCollisionCtes(8)}
+              |SELECT doc_id, count(*) AS hits FROM cg
+              |WHERE gram IN (SELECT gram FROM evg)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // ... and the decontamination pass over it (drop every hit doc; the
+    // hit id set is benchmark-bounded, so the anti-join broadcasts it).
+    "decontam_ngram" -> Q(
+      (s, d) => graft.llm.Pipeline.decontaminateNgram(
+        docs(s, d).select(col("doc_id"), col("text")),
+        augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
+        "text", "doc_id", n = 8).select("doc_id"),
+      Some(s"""WITH ${ngramCollisionCtes(8)}
+              |SELECT doc_id FROM documents d
+              |WHERE NOT EXISTS (SELECT 1 FROM cg
+              |  WHERE cg.doc_id = d.doc_id
+              |    AND cg.gram IN (SELECT gram FROM evg))""".stripMargin)),
 
     // snapshot diff (dataset versioning between crawl refreshes): v2 is
     // the corpus with planted removals (id%17=0), edits (id%13=0, text

@@ -43,6 +43,24 @@ class LlmSpec extends SparkSpec {
     assert(clean.size >= 440, s"over-dropped: ${clean.size}") // 450 minus natural dups, if any
   }
 
+  test("ngramCollisions: planted copies hit sources, eval side broadcast") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val bench = augmented.filter(col("doc_id") >= 10000 && col("doc_id") < 10050)
+    val hits = Dedup.ngramCollisions(corpus, bench, "text", "doc_id", n = 8)
+    val hitIds = hits.select("doc_id").as[Long].collect().toSet
+    // each first-token-dropped copy shares all-but-one 8-gram with source
+    assert((0L until 50L).forall(hitIds.contains), "missed a planted source")
+    // the eval gram set is benchmark-bounded and must be BROADCAST: the
+    // corpus text probes it scan-side, never shuffling the corpus
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+    val clean = graft.llm.Pipeline.decontaminateNgram(
+      corpus, bench, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 50L).forall(!clean.contains(_)), "contaminated doc survived")
+    assert(clean.size == 500 - hitIds.size, "drop set != hit set")
+  }
+
   test("hashSample is deterministic, nested across rates, near target rate") {
     import graft.llm.Sampling
     val s100 = Sampling.hashSample(docs, "doc_id", 100)
