@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val suites: Seq[Suite] = Seq(
     RelationalSuite, KvSuite, FtsSuite, TimeSuite, DocSuite, GraphSuite,
-    LlmSuite, HashqlSuite)
+    LlmSuite, HashqlSuite, SketchSuite)
 
   private lazy val all: Map[String, Q] =
     suites.foldLeft(Map.empty[String, Q]) { (acc, s) =>

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.sketch.Kmv
+
+/** KMV distinct-count sketches (graft.sketch.Kmv) — mergeable cardinality
+  * summaries. Every query here is hash-checked: the sketch machinery is
+  * exact-deterministic (mult-mod permutation hash, sorted-distinct-prefix
+  * sketches, integer-division estimator), so DuckDB reproduces sketch
+  * bytes AND estimates bit-for-bit via list arithmetic.
+  *
+  * k is sized against the fixtures to exercise BOTH estimator branches
+  * across driver SFs: distinct users/event_type = 15 at sf0.001 (< k=64 →
+  * exact-length branch) and 150 at sf0.01 (> k → (k-1)·P/h_k branch);
+  * the 31-token vocab runs the estimator branch at k=16 everywhere.
+  */
+object SketchSuite extends Suite {
+
+  private val P = Kmv.P
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  def defs: Map[String, Q] = Map(
+
+    // distinct users per event type: sketch estimate next to the exact
+    // count — the error-visible data-card row. 100 TB: the sketch build
+    // is one bounded fold + one ≤ nPart·k shuffle; the exact column is
+    // the thing you could NOT keep pre-aggregated.
+    "sketch_distinct_users" -> Q(
+      (s, d) => {
+        val sk = Kmv.sketch(events(s, d), Seq("event_type"),
+          Kmv.kmvHash(col("user_id")), 64)
+        val exact = events(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact"))
+        sk.join(exact, "event_type")
+          .select(col("event_type"), Kmv.estimate(col("kmv"), 64).as("est"),
+            col("exact"))
+      },
+      Some(s"""WITH h AS (SELECT event_type, ${Kmv.kmvHashSql("user_id")} AS hh
+              |          FROM events),
+              |sk AS (SELECT event_type, ${Kmv.sketchAggSql("hh", 64)} AS kmv
+              |       FROM h GROUP BY event_type),
+              |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact
+              |       FROM events GROUP BY event_type)
+              |SELECT sk.event_type, ${Kmv.estimateSql("kmv", 64)} AS est, exact
+              |FROM sk JOIN ex ON sk.event_type = ex.event_type""".stripMargin)),
+
+    // the MERGEABILITY story: per-(type, day) sketch rows — the shape a
+    // 100 TB pipeline stores as a daily summary — fold per type, and the
+    // union sketch's estimate must equal the direct one (k-min of a union
+    // is a subset of the parts' k-mins; the fold is exact, not a bound).
+    "sketch_merge_daily" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+        val daily = Kmv.sketch(ev, Seq("event_type", "day"),
+          Kmv.kmvHash(col("user_id")), 64)
+        Kmv.merge(daily, Seq("event_type"), "kmv", 64)
+          .select(col("event_type"), Kmv.estimate(col("kmv"), 64).as("est"))
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+              |            epoch_ns(ts) // 86400000000000 AS day,
+              |            ${Kmv.kmvHashSql("user_id")} AS hh
+              |          FROM events),
+              |daily AS (SELECT event_type, day, ${Kmv.sketchAggSql("hh", 64)} AS kmv
+              |          FROM h GROUP BY event_type, day),
+              |m AS (SELECT event_type, ${Kmv.mergeAggSql("kmv", 64)} AS kmv
+              |      FROM daily GROUP BY event_type)
+              |SELECT event_type, ${Kmv.estimateSql("kmv", 64)} AS est FROM m""".stripMargin)),
+
+    // audience-overlap jaccard between 'click' and every other event type,
+    // estimated from the two sketches alone (|X ∩ A ∩ B| / |X| over the
+    // union's k-min sample) next to the exact set jaccard — the pairwise
+    // question sketch summaries answer without re-reading either side.
+    "sketch_jaccard_types" -> Q(
+      (s, d) => {
+        val sk = Kmv.sketch(events(s, d), Seq("event_type"),
+          Kmv.kmvHash(col("user_id")), 64)
+        val clickSk = sk.filter(col("event_type") === "click")
+          .select(col("kmv").as("kmv_a"))
+        val others = sk.filter(col("event_type") =!= "click")
+        val users = events(s, d).select("event_type", "user_id").distinct()
+        val clickUsers = users.filter(col("event_type") === "click")
+          .select("user_id")
+        val inter = users.filter(col("event_type") =!= "click")
+          .join(clickUsers, "user_id")
+          .groupBy("event_type").agg(countDistinct(col("user_id")).as("inter"))
+        val exact = users.filter(col("event_type") =!= "click")
+          .groupBy("event_type").agg(countDistinct(col("user_id")).as("nb"))
+          .join(inter, Seq("event_type"), "left").na.fill(0L, Seq("inter"))
+          .crossJoin(clickUsers.agg(countDistinct(col("user_id")).as("na")))
+          .select(col("event_type"),
+            round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double"), 4)
+              .as("exact_jaccard"))
+        others.crossJoin(clickSk)
+          .select(col("event_type"),
+            Kmv.jaccard(col("kmv_a"), col("kmv"), 64).as("est_jaccard"))
+          .join(exact, "event_type")
+      },
+      Some(s"""WITH h AS (SELECT event_type, user_id,
+              |            ${Kmv.kmvHashSql("user_id")} AS hh
+              |          FROM events),
+              |sk AS (SELECT event_type, ${Kmv.sketchAggSql("hh", 64)} AS kmv
+              |       FROM h GROUP BY event_type),
+              |ck AS (SELECT kmv AS kmv_a FROM sk WHERE event_type = 'click'),
+              |u AS (SELECT DISTINCT event_type, user_id FROM events),
+              |ex AS (SELECT b.event_type,
+              |         round(count(DISTINCT CASE WHEN a.user_id IS NOT NULL
+              |                 THEN b.user_id END)::DOUBLE /
+              |           ((SELECT count(DISTINCT user_id) FROM u
+              |             WHERE event_type = 'click')
+              |            + count(DISTINCT b.user_id)
+              |            - count(DISTINCT CASE WHEN a.user_id IS NOT NULL
+              |                THEN b.user_id END)), 4) AS exact_jaccard
+              |       FROM u b LEFT JOIN (SELECT user_id FROM u
+              |                           WHERE event_type = 'click') a
+              |         ON b.user_id = a.user_id
+              |       WHERE b.event_type <> 'click'
+              |       GROUP BY b.event_type)
+              |SELECT sk.event_type,
+              |  ${Kmv.jaccardSql("kmv_a", "kmv", 64)} AS est_jaccard,
+              |  exact_jaccard
+              |FROM sk CROSS JOIN ck JOIN ex ON sk.event_type = ex.event_type
+              |WHERE sk.event_type <> 'click'""".stripMargin)),
+
+    // distinct-vocabulary estimate over the corpus tokens — string keys
+    // route through the rolling-hash codegen kernel (same modulus P), so
+    // the token never shuffles: the sketch fold sees longs only.
+    "sketch_vocab" -> Q(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(explode(graft.fts.Fts.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val sk = Kmv.sketch(toks, Seq.empty,
+          graft.functions.RollingHash.rolling_hash(col("tok")), 16)
+        val exact = toks.agg(countDistinct(col("tok")).as("exact"))
+        sk.crossJoin(exact)
+          .select(Kmv.estimate(col("kmv"), 16).as("est"), col("exact"))
+      },
+      Some(s"""WITH toks AS (SELECT tok FROM (
+              |    SELECT unnest(string_split(replace(lower(text), ',', ''), ' ')) AS tok
+              |    FROM documents) WHERE tok <> ''),
+              |h AS (SELECT list_reduce(
+              |        list_prepend(CAST(0 AS BIGINT),
+              |          list_transform(range(1, length(tok) + 1),
+              |            i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+              |        (acc, c) -> (acc * 131 + c) % $P) AS hh
+              |      FROM toks),
+              |sk AS (SELECT ${Kmv.sketchAggSql("hh", 16)} AS kmv FROM h),
+              |ex AS (SELECT count(DISTINCT tok) AS exact FROM toks)
+              |SELECT ${Kmv.estimateSql("kmv", 16)} AS est, exact
+              |FROM sk CROSS JOIN ex""".stripMargin))
+  )
+}

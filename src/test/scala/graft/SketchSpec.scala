@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sketch.Kmv
+
+/** KMV sketch invariants beyond the oracle queries: exact mergeability
+  * (the union's sketch, not an approximation of it), prefix nesting
+  * across k, estimator error at scale, and the no-Window/bounded-fold
+  * plan shape. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(from: Long, until: Long) =
+    spark.range(from, until).select(col("id"))
+
+  test("merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly") {
+    val a = ids(0, 5000)
+    val b = ids(3000, 9000) // overlapping halves
+    val k = 128
+    val skA = Kmv.sketch(a.withColumn("g", lit("x")), Seq("g"),
+      Kmv.kmvHash(col("id")), k)
+    val skB = Kmv.sketch(b.withColumn("g", lit("x")), Seq("g"),
+      Kmv.kmvHash(col("id")), k)
+    val merged = Kmv.merge(skA.unionByName(skB), Seq("g"), "kmv", k)
+      .select("kmv").as[Seq[Long]].head()
+    val direct = Kmv.sketch(a.unionByName(b).withColumn("g", lit("x")),
+      Seq("g"), Kmv.kmvHash(col("id")), k)
+      .select("kmv").as[Seq[Long]].head()
+    assert(merged == direct, "merged sketch != union's direct sketch")
+  }
+
+  test("smaller k is a strict prefix of larger k (same data)") {
+    val d = ids(0, 4000)
+    def sk(k: Int): Seq[Long] =
+      Kmv.sketch(d, Seq.empty, Kmv.kmvHash(col("id")), k)
+        .select("kmv").as[Seq[Long]].head()
+    val s32 = sk(32); val s128 = sk(128)
+    assert(s128.take(32) == s32, "k=32 sketch is not the k=128 prefix")
+    assert(s128 == s128.sorted && s128.distinct == s128, "not sorted-distinct")
+  }
+
+  test("estimator: exact below k, within ~4/sqrt(k) above") {
+    val n = 20000L
+    val d = ids(0, n)
+    val k = 256
+    val est = Kmv.sketch(d, Seq.empty, Kmv.kmvHash(col("id")), k)
+      .select(Kmv.estimate(col("kmv"), k).as("e")).as[Long].head()
+    val err = math.abs(est - n).toDouble / n
+    assert(err < 4.0 / math.sqrt(k), s"estimate $est for $n: err $err")
+    // below k: the sketch IS the value set — estimate is exact
+    val small = Kmv.sketch(ids(0, 100), Seq.empty, Kmv.kmvHash(col("id")), k)
+      .select(Kmv.estimate(col("kmv"), k).as("e")).as[Long].head()
+    assert(small == 100L, s"sub-k estimate not exact: $small")
+  }
+
+  test("jaccard estimate tracks exact overlap; identical sets give 1.0") {
+    val k = 256
+    def sk(from: Long, until: Long): Seq[Long] =
+      Kmv.sketch(ids(from, until), Seq.empty, Kmv.kmvHash(col("id")), k)
+        .select("kmv").as[Seq[Long]].head()
+    val a = sk(0, 10000); val b = sk(5000, 15000)
+    val est = spark.range(1)
+      .select(Kmv.jaccard(typedLit(a), typedLit(b), k).as("j"))
+      .as[Double].head()
+    // exact J = 5000/15000 = 1/3; k=256 → σ ≈ J·(1-J)/sqrt(k)-ish, be loose
+    assert(math.abs(est - 1.0 / 3) < 0.15, s"jaccard estimate off: $est")
+    val same = spark.range(1)
+      .select(Kmv.jaccard(typedLit(a), typedLit(a), k).as("j"))
+      .as[Double].head()
+    assert(same == 1.0, s"self-jaccard != 1: $same")
+  }
+
+  test("plan shape: no Window, one shuffle over bounded partials") {
+    val sk = Kmv.sketch(ids(0, 10000).withColumn("g", pmod(col("id"), lit(4))),
+      Seq("g"), Kmv.kmvHash(col("id")), 64)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window in sketch plan:\n$plan")
+    // phase 2 shuffles partial ARRAYS (≤ k per group per partition), never
+    // raw hashes: the pre-shuffle side of the exchange must already carry
+    // the array-typed partial column
+    assert(plan.contains("graft_kmv_partial"),
+      s"bounded partial stage missing:\n$plan")
+  }
+
+  test("null and string keys: nulls ignored, strings via rolling_hash") {
+    val d = Seq(Some(1L), None, Some(2L), Some(1L)).toDF("v")
+    val sk = Kmv.sketch(d, Seq.empty, Kmv.kmvHash(col("v")), 8)
+      .select("kmv").as[Seq[Long]].head()
+    assert(sk.length == 2, s"nulls/dups not handled: $sk")
+    val strs = Seq("alpha", "beta", "alpha").toDF("s")
+    val sks = Kmv.sketch(strs, Seq.empty,
+      graft.functions.RollingHash.rolling_hash(col("s")), 8)
+      .select("kmv").as[Seq[Long]].head()
+    assert(sks.length == 2, s"string keys wrong: $sks")
+  }
+}
