@@ -258,6 +258,56 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Weighted single-source shortest paths (growth — the weighted
+    * companion of [[bfsDistances]]): (node, dist) with dist = minimum
+    * total edge weight over paths of AT MOST `maxHops` edges from
+    * `source` (nodes unreachable within the hop bound are absent).
+    * Weights come from `weight`, evaluated against the edge frame
+    * (src/dst/rel/eattrs in scope — e.g. `element_at(eattrs, "w")` with a
+    * default for unweighted rels); integral weights keep distances
+    * exact-deterministic across engines. Negative weights are fine
+    * (Bellman-Ford, not Dijkstra) — with a hop bound there is no
+    * negative-cycle divergence, the answer is simply min over ≤ maxHops
+    * hop paths.
+    *
+    * Superstep shape, one relaxation round per hop: candidates =
+    * dist ⋈ edges (ONE equi-join shuffle on the current distance table,
+    * never vertices×edges), new dist = min per node of (old ∪
+    * candidates). The distance table is persisted with lineage
+    * (MEMORY_AND_DISK, recomputable after executor loss) and the prior
+    * round released, so plan depth stays at one round; the driver holds
+    * loop counters only. `maxHops ≤ 16` caps plan depth like
+    * [[bfsDistances]]. */
+  def ssspDistances(source: String, maxHops: Int, weight: Column,
+                    rels: Seq[String] = Nil,
+                    directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16,
+      s"maxHops must be in 0..16, got $maxHops")
+    val base = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+      .select(col("src").as("u"), col("dst").as("v"),
+        weight.cast("long").as("w"))
+    val es = if (directed) base
+      else base.unionByName(base.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var dist = vertices.filter(col("name") === source)
+      .select(col("name").as("node"), lit(0L).as("dist")).persist(storage)
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val cand = dist.join(es, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(cand)
+        .groupBy("node").agg(min(col("dist")).as("dist")).persist(storage)
+      // materialize BEFORE releasing the parent: next's lineage reads dist
+      next.count()
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    dist
+  }
+
   /** Checkpoint the accumulated MERGE plan (each merge stacks a
     * union+dropDuplicates) to parquet and re-read — plan depth back to 1.
     * Run after bulk statement streams; semantics unchanged. */

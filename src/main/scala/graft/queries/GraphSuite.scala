@@ -437,6 +437,63 @@ object GraphSuite extends Suite {
              |  SELECT e.v, r.d + 1 FROM reach r JOIN ed e ON r.node = e.u
              |  WHERE r.d < 2)
              |SELECT node, CAST(min(d) AS BIGINT) AS dist
-             |FROM reach GROUP BY node""".stripMargin))
+             |FROM reach GROUP BY node""".stripMargin)),
+
+    // WEIGHTED shortest paths (growth — Bellman-Ford supersteps): minimum
+    // total line-item count over ≤ 4 undirected BUYS hops out of
+    // customer:1. Weights live on the edges as properties (eattrs.w),
+    // exercising the property-graph weight path end-to-end; integer
+    // weights keep distances hash-exact. The oracle UNROLLS the four
+    // relaxation rounds (min per node per round) — linear in rounds,
+    // immune to the path blowup a recursive path-enumeration CTE hits on
+    // dense bipartite graphs.
+    "graph_sssp" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        gBuysWeighted(s, d).ssspDistances("customer:1", maxHops = 4,
+          weight = element_at(col("eattrs"), "w").cast("long"),
+          rels = Seq("BUYS"))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""r$r AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM r${r - 1}
+             |  UNION ALL
+             |  SELECT und.v AS node, r${r - 1}.dist + und.w AS dist
+             |  FROM r${r - 1} JOIN und ON r${r - 1}.node = und.u)
+             |GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT 'customer:' || CAST(o_custkey AS VARCHAR) AS u,
+           |        'supplier:' || CAST(l_suppkey AS VARCHAR) AS v,
+           |        count(*) AS w
+           |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |      GROUP BY 1, 2),
+           |und AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+           |r0 AS (SELECT 'customer:1' AS node, CAST(0 AS BIGINT) AS dist),
+           |$rounds
+           |SELECT node, dist FROM r4""".stripMargin
+      })
   )
+
+  // Weighted twin of gBuys: BUYS edges carry their line-item count as the
+  // edge property `w` (an integer — the weight ssspDistances reads).
+  // Memoized at rest like the others.
+  private val cacheW =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  private def gBuysWeighted(s: SparkSession, d: String): PropertyGraph =
+    cacheW.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.functions._
+      val base = g(s, d)
+      val buys = Tables.t(s, d, "orders")
+        .join(Tables.t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("customer:"), col("o_custkey")).as("src"),
+          concat(lit("supplier:"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("src"), col("dst"), lit("BUYS").as("rel"),
+          map(lit("w"), col("w").cast("string")).as("eattrs"))
+      PropertyGraph(base.vertices, base.edges.unionByName(buys))
+        .checkpointLocal()
+    })
 }

@@ -181,4 +181,42 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
       assert(m1 == m2 && m1 == edges.toSet, s"seed=$seed match drifted")
     }
   }
+
+  test("ssspDistances ≡ driver-side Bellman-Ford; unit weights ≡ bfs") {
+    import org.apache.spark.sql.functions._
+    val wEdgesGen = Gen.listOfN(12, for {
+      s <- Gen.oneOf(names); d <- Gen.oneOf(names); w <- Gen.choose(1L, 9L)
+    } yield (s, d, w))
+    def refSssp(edges: Seq[(String, String, Long)], src: String,
+                maxHops: Int): Map[String, Long] = {
+      val und = edges ++ edges.map { case (s, d, w) => (d, s, w) }
+      var dist = Map(src -> 0L)
+      (1 to maxHops).foreach { _ =>
+        val cand = und.flatMap { case (u, v, w) => dist.get(u).map(du => (v, du + w)) }
+        dist = (dist.toSeq ++ cand).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      dist
+    }
+    (1 to 4).foreach { seed =>
+      val wedges = sample(wEdgesGen, seed + 700)
+        .distinctBy(e => (e._1, e._2)) // one weight per (src,dst)
+      val v = names.map(n => (n, "N", Map.empty[String, String]))
+        .toDF("name", "label", "attrs")
+      val e = wedges.map { case (s, d, w) => (s, d, "R", Map("w" -> w.toString)) }
+        .toDF("src", "dst", "rel", "eattrs")
+      val g = PropertyGraph(v, e)
+      val got = g.ssspDistances("a", maxHops = 4,
+        weight = element_at(col("eattrs"), "w").cast("long"))
+        .as[(String, Long)].collect().toMap
+      val exp = refSssp(wedges, "a", 4)
+      assert(got == exp, s"seed=$seed: $got != $exp")
+      // unit weights collapse to hop counts — must agree with bfsDistances
+      val unit = g.ssspDistances("a", maxHops = 6, weight = lit(1L))
+        .as[(String, Long)].collect().toMap
+      val bfs = g.bfsDistances("a", maxHops = 6)
+        .as[(String, Long)].collect().toMap
+      assert(unit == bfs, s"seed=$seed unit-weight sssp != bfs")
+    }
+  }
 }
