@@ -638,6 +638,58 @@ object Streams {
     }
   }
 
+  /** Incremental KMV sketch maintenance — distinct-count summaries kept
+    * fresh under ingest (the [[maintainAggregate]] pattern applied to
+    * [[graft.sketch.Kmv]] sketches, which plain distinct counts can't
+    * join: counts don't pre-aggregate, sketches do). Each micro-batch
+    * writes its per-group sketch (the bounded two-phase fold over JUST
+    * the batch) under `storePath/batch=<id>`; [[foldSketch]] merges the
+    * partials into the sketch OF EVERYTHING INGESTED — exactly, because
+    * k-min union is associative.
+    *
+    * Simpler replay contract than the aggregate store: sketch merge is
+    * also IDEMPOTENT (re-merging the same sketch is a no-op), so a batch
+    * replayed after [[compactSketchStore]] folded it into the seed merges
+    * harmlessly — no fold watermark needed. Store growth is ≤ one
+    * (groups-in-batch × k-longs) file set per batch. */
+  def maintainSketch(stream: DataFrame, groupCols: Seq[String],
+                     hash: org.apache.spark.sql.Column, k: Int,
+                     storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sketch.Kmv.sketch(batch, groupCols, hash, k)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Seed the sketch store with a pre-stream sketch (e.g. the initial
+    * corpus's); batch=-1 keeps it clear of real ids. */
+  def seedSketchStore(sketches: DataFrame, storePath: String): Unit =
+    sketches.write.mode("overwrite").parquet(s"$storePath/batch=-1")
+
+  /** Merge every partial in the store into the union's sketch per group —
+    * bit-identical to re-sketching all ingested facts (StreamsSpec). */
+  def foldSketch(spark: SparkSession, storePath: String,
+                 groupCols: Seq[String], kmvCol: String, k: Int): DataFrame =
+    graft.sketch.Kmv.merge(
+      spark.read.parquet(storePath).drop("batch"), groupCols, kmvCol, k)
+
+  /** Fold accumulated partials back into one batch=-1 seed (run while the
+    * stream is stopped; crash-safe via the swapDir protocol). Idempotent
+    * merge means no `_folded_through` marker: a post-compaction replayed
+    * batch re-merges to the identical sketch. */
+  def compactSketchStore(spark: SparkSession, storePath: String,
+                         groupCols: Seq[String], kmvCol: String, k: Int): Unit = {
+    val folded = foldSketch(spark, storePath, groupCols, kmvCol, k)
+    graft.sources.Sources.swapDir(spark, storePath) { tmp =>
+      folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts_millis: Long)
   final case class FunnelStage(user_id: Long, stage: Int)
 

@@ -714,4 +714,47 @@ class StreamsSpec extends SparkSpec {
       assert(z.toSeq == Seq(("z", 2L, 3L, 1L, 2L)), z.mkString(","))
     } finally graft.matview.MatView.drop(spark, "magg_view")
   }
+
+  test("maintainSketch partials fold to the direct sketch; compaction + replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.Kmv
+    val dir = Files.createTempDirectory("msk").toString
+    val k = 16
+    // pre-stream corpus, sketched and seeded
+    val initial = (0L until 40L).map(i => ("a", i)) ++ (0L until 10L).map(i => ("b", i))
+    Streams.seedSketchStore(
+      Kmv.sketch(initial.toDF("cat", "id"), Seq("cat"), Kmv.kmvHash(col("id")), k),
+      s"$dir/store")
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.maintainSketch(mem.toDF().toDF("cat", "id"), Seq("cat"),
+      Kmv.kmvHash(col("id")), k, s"$dir/store",
+      Files.createTempDirectory("msk_ck").toString)
+    val batch1 = (30L until 60L).map(i => ("a", i)) // overlaps the seed
+    val batch2 = (0L until 25L).map(i => ("b", i)) :+ (("c", 7L))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().toMap
+    val all = (initial ++ batch1 ++ batch2).toDF("cat", "id")
+    val direct = sketchMap(
+      Kmv.sketch(all, Seq("cat"), Kmv.kmvHash(col("id")), k))
+    val folded = sketchMap(
+      Streams.foldSketch(spark, s"$dir/store", Seq("cat"), "kmv", k))
+    assert(folded == direct, "stream-folded sketch != direct sketch of all facts")
+
+    // compact, then simulate a post-compaction batch REPLAY (the crashed-
+    // sink case): re-merging already-folded rows must change nothing
+    Streams.compactSketchStore(spark, s"$dir/store", Seq("cat"), "kmv", k)
+    val afterCompact = sketchMap(
+      Streams.foldSketch(spark, s"$dir/store", Seq("cat"), "kmv", k))
+    assert(afterCompact == direct, "compaction changed the folded sketch")
+    Kmv.sketch(batch2.toDF("cat", "id"), Seq("cat"), Kmv.kmvHash(col("id")), k)
+      .write.mode("overwrite").parquet(s"$dir/store/batch=1") // replayed dir
+    val afterReplay = sketchMap(
+      Streams.foldSketch(spark, s"$dir/store", Seq("cat"), "kmv", k))
+    assert(afterReplay == direct, "replayed batch broke idempotence")
+  }
 }
