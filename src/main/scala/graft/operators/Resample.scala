@@ -63,4 +63,56 @@ object Resample {
     val observed = when(col(presentCol) > 0, col(valueCol))
     grid.withColumn(valueCol, last(observed, ignoreNulls = true).over(w))
   }
+
+  /** Truncated exponential moving average (α = 1/2, normalized over the
+    * available terms — the smoothing every monitoring/feature pipeline
+    * runs): per group, in `ordCol` order, over the last `window` rows,
+    *
+    *   ewma = Σ_j v_{t-j} · 2^{-j}  /  Σ_j 2^{-j}   (j = 0 .. window-1)
+    *
+    * Truncation does two jobs at once: the window frame bounds state
+    * (an untruncated EWMA drags the whole history into every row), and
+    * 2^{-j} with j < 64 keeps every weight an EXACT binary scaling —
+    * multiplication and division by powers of two are exact in IEEE
+    * doubles, the numerator/denominator fold LEFT over the frame array in
+    * both engines, and every add/divide is correctly rounded, so the
+    * result is bit-identical across engines with no float-tolerance
+    * caveat (round(6) only stabilizes display).
+    *
+    * Same partitioned-sort shape as win_running_sum: one bounded frame
+    * per key, no global sort. Appends `outCol` to the input rows. */
+  def ewma(events: DataFrame, groupCol: String, ordCol: String,
+           valueCol: String, window: Int, outCol: String = "ewma"): DataFrame = {
+    require(window >= 1 && window <= 62, s"window must be in 1..62, got $window")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(ordCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vals = collect_list(col(valueCol)).over(w) // frame order: oldest first
+    val n = size(col("graft_ewma_vals"))
+    // element i (0-based idx = i-1) has age n-i ⇒ weight 2^-(n-i)… the
+    // NEWEST (i = n) gets 2^0. Scale by integer shifts, not pow().
+    // 2^(n-i) via pow: exact for integral exponents below the window cap
+    // (the value is an exactly-representable power of two and pow is
+    // correctly rounded in both engines)
+    def shifted(expr: Column => Column): Column =
+      aggregate(sequence(lit(1), n),
+        lit(0.0),
+        (acc, i) => acc + expr(i) / pow(lit(2.0), (n - i).cast("double")))
+    events.withColumn("graft_ewma_vals", vals)
+      .withColumn(outCol,
+        round(shifted(i => element_at(col("graft_ewma_vals"), i)) /
+          shifted(_ => lit(1.0)), 6))
+      .drop("graft_ewma_vals")
+  }
+
+  /** DuckDB mirror of [[ewma]] given a window-collected list column
+    * `vals` (oldest first): the identical left fold and exact power-of-two
+    * scaling. */
+  def ewmaSql(vals: String): String = {
+    def fold(term: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($vals) + 1),
+         |    i -> $term / CAST(1::BIGINT << (len($vals) - i) AS DOUBLE))),
+         |  (acc, x) -> acc + x)""".stripMargin
+    s"round(${fold(s"$vals[i]")} / ${fold("1.0")}, 6)"
+  }
 }

@@ -250,6 +250,24 @@ object TimeSuite extends Suite {
     // in-plan from a 1-row bounds aggregate (range-sized, not data-sized);
     // hour = integer division of epoch-nanos so both engines bucket
     // identically.
+    // Truncated EWMA (α=1/2 over the last 8 events per user): all
+    // arithmetic is exact power-of-two scaling + identically-ordered left
+    // folds, so the smoothed doubles hash-match bit-for-bit — no float
+    // tolerance (see Resample.ewma).
+    "time_ewma" -> Q(
+      (s, d) => Resample.ewma(
+        Tables.t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("value")),
+        "user_id", "event_id", "value", window = 8)
+        .select("user_id", "event_id", "ewma"),
+      Some(s"""WITH v AS (SELECT user_id, event_id,
+              |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+              |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+              |      AS vals
+              |  FROM events)
+              |SELECT user_id, event_id, ${Resample.ewmaSql("vals")} AS ewma
+              |FROM v""".stripMargin)),
+
     "time_gapfill" -> Q(
       (s, d) => Resample.gapFill(
         Tables.t(s, d, "events").select(col("event_type"),

@@ -52,4 +52,34 @@ class ResampleSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("ewma: hand-computed weights, constant invariance, truncation") {
+    val d = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 1L, 7.0)).toDF("g", "t", "v")
+    val got = Resample.ewma(d, "g", "t", "v", window = 2)
+      .select("g", "t", "ewma").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // window 2, α=1/2 normalized: first row = v; later = (2·v_t + v_{t-1})/3
+    // (the operator rounds to 6 decimals for display stability)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(got(("a", 1L)) == 1.0)
+    assert(near(got(("a", 2L)), (2 * 2.0 + 1.0) / 3))
+    assert(near(got(("a", 3L)), (2 * 3.0 + 2.0) / 3))
+    assert(got(("b", 1L)) == 7.0) // single row: weight sum normalizes to v
+    // constant series: ewma == the constant at every row, any window
+    val const = (1L to 20L).map(i => ("c", i, 4.25)).toDF("g", "t", "v")
+    val cs = Resample.ewma(const, "g", "t", "v", window = 8)
+      .select("ewma").as[Double].collect()
+    assert(cs.forall(_ == 4.25), cs.mkString(","))
+    // truncation: rows beyond the window cannot influence the result —
+    // an early outlier must produce identical ewma from row window+1 on
+    val spike = (("s", 0L, 1e9) +: (1L to 10L).map(i => ("s", i, 1.0)))
+      .toDF("g", "t", "v")
+    val flat = (1L to 10L).map(i => ("s", i, 1.0)).toDF("g", "t", "v")
+    def tailVals(df: org.apache.spark.sql.DataFrame) =
+      Resample.ewma(df, "g", "t", "v", window = 4)
+        .filter(col("t") >= 5).orderBy("t")
+        .select("ewma").as[Double].collect().toSeq
+    assert(tailVals(spike) == tailVals(flat), "window truncation leaked")
+  }
 }
