@@ -447,6 +447,50 @@ object HashqlSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
     // M3/J5: create join registered, expanded as a view, queried.
+    // `create agg view` → materializeAggregate: the dialect's verbatim
+    // repeat of the view definition routes to the summary parquet (plan
+    // assertions in HashQLSpec; here the oracle checks the answer).
+    "hashql_create_agg_view" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggv").toString
+        val name = HashQL.materializeAggView(cat,
+          "create agg view as select supplier.s_nationkey, count(*), " +
+            "min(supplier.s_suppkey) from supplier group by supplier.s_nationkey",
+          s"$tmp/view")
+        val out = HashQL.execute(cat,
+          "select supplier.s_nationkey, count(*), min(supplier.s_suppkey) " +
+            "from supplier group by supplier.s_nationkey").get
+        out.write.mode("overwrite").parquet(s"$tmp/result") // run while routed
+        graft.matview.MatView.drop(s, name) // no rule leak into other queries
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+             |  min(s_suppkey) AS min_s_suppkey
+             |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+
+    // …and the CONTAINMENT route through the dialect: a COARSER group-by
+    // (key subset of the registered view) re-aggregates the summary —
+    // zero fact rows — and still matches the facts oracle.
+    "hashql_agg_routed_coarse" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggc").toString
+        val name = HashQL.materializeAggView(cat,
+          "create agg view as select lineitem.l_returnflag, " +
+            "lineitem.l_linestatus, count(*) from lineitem " +
+            "group by lineitem.l_returnflag, lineitem.l_linestatus",
+          s"$tmp/view")
+        val out = HashQL.execute(cat,
+          "select lineitem.l_returnflag, count(*) from lineitem " +
+            "group by lineitem.l_returnflag").get
+        out.write.mode("overwrite").parquet(s"$tmp/result")
+        graft.matview.MatView.drop(s, name)
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     "hashql_create_join_view" -> Q(
       (s, d) => {
         val cat = tpchCat(s, d)

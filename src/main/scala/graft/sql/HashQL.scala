@@ -28,6 +28,8 @@ import graft.fts.Fts
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [order by t.f [asc|desc] [, …]] [limit n] [offset m]
   *   create join inner join a on a.x = b.y [inner join …]*
+  *   create agg view as select g [, …], count(*) | sum(t.f) | … from t
+  *     [inner join …]* [where …] group by t.g [, …]
   * }}}
   * Numeric literals coerce to Long (reference server.py:477-478); rows
   * missing a projected field are skipped (server.py:1054-1060) —
@@ -107,6 +109,16 @@ object HashQL {
                           distinct: Boolean = false,
                           offset: Option[Int] = None) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
+  /** `create agg view as select …` — dialect growth: registers the
+    * SELECT's aggregation as a routed summary via
+    * [[graft.matview.MatView.materializeAggregate]], so any later
+    * aggregation over the same facts (verbatim, coarser group-by, or
+    * grouping-key-filtered — the exact + containment routes) reads the
+    * summary parquet instead of the fact rows. The inner select must be a
+    * bare grouped aggregation: GROUP BY present; projected fields ⊆
+    * grouping keys; no HAVING/ORDER BY/LIMIT/OFFSET/DISTINCT (those
+    * belong on the QUERIES over the view, which route regardless). */
+  final case class CreateAggView(sel: Select) extends Stmt
 
   // ---------------- lexer/parser ----------------
 
@@ -176,7 +188,25 @@ object HashQL {
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
       case "select" => selectRest()
-      case "create" => kw("join"); createJoinRest()
+      case "create" =>
+        if (is("agg")) {
+          next(); kw("view"); kw("as"); kw("select")
+          val sel = selectRest()
+          require(sel.groupBy.nonEmpty, "create agg view needs GROUP BY")
+          require(sel.having.isEmpty && sel.orderBy.isEmpty &&
+            sel.limit.isEmpty && sel.offset.isEmpty && !sel.distinct,
+            "create agg view takes a bare grouped aggregation " +
+              "(no having/order by/limit/offset/distinct)")
+          val groupCols = sel.groupBy.map(_.column).toSet
+          sel.items.foreach {
+            case Field(r) => require(groupCols.contains(r.column),
+              s"projected field ${r.column} is not a grouping key")
+            case Star => throw new IllegalArgumentException(
+              "create agg view cannot project *")
+            case _ => () // agg calls
+          }
+          CreateAggView(sel)
+        } else { kw("join"); createJoinRest() }
       case other => throw new IllegalArgumentException(s"unsupported statement: $other")
     }
 
@@ -430,8 +460,26 @@ object HashQL {
       * route falls back to the live join until re-materialized — same
       * answers, one more join). The registered definition stays, so
       * re-running [[HashQL.materializeJoin]] restores the fast path. */
-    private[sql] def invalidateTable(table: String): Unit =
+    private[sql] def invalidateTable(table: String): Unit = {
       mats = mats.filter { case (name, _) => !name.split("\\+").contains(table) }
+      // aggregate views over the table: drop the Catalyst route too — the
+      // summary parquet is stale the moment facts change (same contract
+      // as the join mats; re-run materializeAggView to restore)
+      aggViews.foreach { case (name, (tables, spark)) =>
+        if (tables.contains(table)) {
+          graft.matview.MatView.drop(spark, name)
+          aggViews -= name
+        }
+      }
+    }
+
+    /** name → (base tables, owning session) for `create agg view`
+      * registrations — tracked so DML can invalidate the MatView route. */
+    private var aggViews =
+      Map.empty[String, (Set[String], org.apache.spark.sql.SparkSession)]
+    private[sql] def putAggView(name: String, tables: Set[String],
+                                spark: org.apache.spark.sql.SparkSession): Unit =
+      aggViews += name -> ((tables, spark))
   }
 
   private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
@@ -474,6 +522,57 @@ object HashQL {
     case Not(p) => !predColumn(cat, p)
   }
 
+  /** Aggregate output columns with their dialect auto-aliases (cnt,
+    * sum_x, …) — shared by the SELECT executor and the agg-view builder
+    * so the view's stored names are exactly the names queries produce. */
+  private def aggsOf(items: Seq[SelectItem]): Seq[Column] = {
+    val aggs = items.collect {
+      case CountStar => count(lit(1)).as("cnt")
+      case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
+      case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
+      case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
+      case AggCall("max", r) => max(col(r.column)).as(s"max_${r.column}")
+    }
+    if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
+  }
+
+  /** `create agg view as select …` → one summary parquet at `path` +
+    * Catalyst routing ([[graft.matview.MatView.materializeAggregate]]):
+    * after this, ANY matching aggregation in the session — the verbatim
+    * repeat, a coarser group-by over a key subset, or a grouping-key
+    * filter — reads the summary instead of fact rows, dialect and
+    * DataFrame queries alike (the route rewrites the optimized plan, so
+    * there is no dialect-level read path to keep in sync). DML through
+    * [[execute]] with the same `registry` invalidates the route
+    * (re-materialize to restore it). Built from FACTS, never through a
+    * routed join view — the registration must capture base-table identity
+    * for containment matching. Returns the registered view name. */
+  def materializeAggView(cat: GraftCatalog, sql: String, path: String,
+                         registry: Option[JoinRegistry] = None): String = {
+    val sel = parse(sql) match {
+      case CreateAggView(s) => s
+      case other => throw new IllegalArgumentException(
+        s"materializeAggView expects `create agg view as select …`, got $other")
+    }
+    var df = cat.table(sel.table)
+    sel.joins.foreach { case (t, l, r) =>
+      val tdf = cat.table(t)
+      val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+      df = df.join(tdf, df(known.column) === tdf(fresh.column))
+    }
+    sel.wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
+    val aggs = aggsOf(sel.items)
+    val frame = df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val tables = (sel.joins.flatMap { case (t, l, r) =>
+      Seq(t, l.table, r.table) }.toSet + sel.table).toSeq.sorted
+    val name = s"hashqlagg:${tables.mkString("+")}:" +
+      sel.groupBy.map(_.column).mkString(",")
+    graft.matview.MatView.materializeAggregate(df.sparkSession, name, frame, path)
+    registry.foreach(_.putAggView(name, tables.toSet, df.sparkSession))
+    name
+  }
+
   /** Execute a dialect statement. DDL/DML mutate the catalog and return
     * None; SELECT returns the result frame. */
   def execute(cat: GraftCatalog, sql: String,
@@ -493,6 +592,10 @@ object HashQL {
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None
+      case _: CreateAggView => throw new IllegalStateException(
+        "create agg view materializes a summary — call " +
+          "HashQL.materializeAggView(cat, sql, path, registry) " +
+          "with a parquet path for it")
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
                   distinct, offset) =>
         // read path first: if the statement's joins match a registered +
@@ -513,16 +616,7 @@ object HashQL {
           acc
         }
         wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
-        def aggColumns: Seq[Column] = {
-          val aggs = items.collect {
-            case CountStar => count(lit(1)).as("cnt")
-            case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
-            case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
-            case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
-            case AggCall("max", r) => max(col(r.column)).as(s"max_${r.column}")
-          }
-          if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
-        }
+        def aggColumns: Seq[Column] = aggsOf(items)
         val out = groupBy match {
           case gs if gs.nonEmpty =>
             df.groupBy(gs.map(g => col(g.column)): _*)

@@ -352,4 +352,45 @@ class HashQLSpec extends SparkSpec {
     val ages = cat.table("p").orderBy("id").select("age").as[Long].collect().toSeq
     assert(ages == Seq(31L, 29L))
   }
+
+  test("create agg view: verbatim + coarser selects route to the summary; DML invalidates") {
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("aggview").toString
+    // parquet-backed like every production table: containment identity is
+    // the relation leaf, which column pruning must leave in place (a
+    // LocalRelation fixture would be pruned INTO a different leaf)
+    Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L), ("x", "p", 8L))
+      .toDF("a", "b", "v").write.parquet(s"$dir/facts")
+    cat.register("t", spark.read.parquet(s"$dir/facts"))
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select t.a, t.b, count(*), sum(t.v) from t group by t.a, t.b",
+      s"$dir/view", Some(reg))
+    try {
+      // verbatim repeat: the exact route reads the summary parquet —
+      // no aggregation over fact rows, the scan is the view dir
+      val exact = HashQL.execute(cat,
+        "select t.a, t.b, count(*), sum(t.v) from t group by t.a, t.b", Some(reg)).get
+      val exactPlan = exact.queryExecution.executedPlan.toString
+      assert(exactPlan.contains(s"$dir/view"), s"exact route missed:\n$exactPlan")
+      assert(exact.as[(String, String, Long, Long)].collect().toSet ==
+        Set(("x", "p", 2L, 9L), ("x", "q", 1L, 2L), ("y", "p", 1L, 4L)))
+      // coarser group-by: containment re-aggregates the summary
+      val coarse = HashQL.execute(cat,
+        "select t.a, count(*), sum(t.v) from t group by t.a", Some(reg)).get
+      val coarsePlan = coarse.queryExecution.executedPlan.toString
+      assert(coarsePlan.contains(s"$dir/view"), s"containment route missed:\n$coarsePlan")
+      assert(coarse.as[(String, Long, Long)].collect().toSet ==
+        Set(("x", 3L, 11L), ("y", 1L, 4L)))
+      // DML drops the route: the same select now scans facts and sees
+      // the new row (a stale summary would miss it)
+      HashQL.execute(cat, "insert into t (a, b, v) values ('y', 'q', 100)", Some(reg))
+      val after = HashQL.execute(cat,
+        "select t.a, count(*), sum(t.v) from t group by t.a", Some(reg)).get
+      assert(!after.queryExecution.executedPlan.toString.contains(s"$dir/view"),
+        "stale agg view still routed after DML")
+      assert(after.as[(String, Long, Long)].collect().toSet ==
+        Set(("x", 3L, 11L), ("y", 2L, 104L)))
+    } finally graft.matview.MatView.drop(spark, name)
+  }
 }
