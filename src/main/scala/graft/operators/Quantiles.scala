@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** EXACT distributed quantiles by iterative range selection — order
+  * statistics with NO sort and NO shuffle of the data.
+  *
+  * Spark's exact `percentile` aggregate collects every distinct value
+  * into one aggregation buffer, and a sort-based selection shuffles the
+  * full column: both are memory- or network-bound at 100 TB. Selection by
+  * binary search on the VALUE DOMAIN is neither: each round asks one
+  * global `count(v <= mid)` per still-open quantile — a partial-agg scan
+  * producing a single row, no Sort, no Exchange of data rows — and halves
+  * the candidate range. ⌈log₂(max-min)⌉ rounds total (≤ 64 for longs,
+  * ~24 for cent-scaled prices), executor memory O(1). The classic trade
+  * vs one full sort-shuffle: k cheap scans instead of one expensive
+  * shuffle — at cluster scale the scans win whenever the scan is cheaper
+  * than shuffling the column (it virtually always is for wide tables
+  * where the scan reads ONE pruned column). All probes advance in the
+  * SAME pass (one conditional-sum column each), so the pass count is the
+  * max over probes, not the sum.
+  *
+  * Semantics: discrete lower-interpolation quantiles — the value at
+  * 0-indexed rank ⌊q·(n-1)⌋ of the sorted column, i.e. an actual element
+  * (numpy interpolation='lower'; ties/duplicates handled by rank
+  * arithmetic). Integral values only: exact integer counting is what
+  * makes the result deterministic and oracle-checkable; scale doubles to
+  * cents first. Nulls are ignored like every SQL quantile.
+  */
+object Quantiles {
+
+  /** (prob, value) rows for each requested quantile of `valueCol`
+    * (cast to long). Empty input → empty result. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1]: $probs")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      // multiple counting passes over one pruned column: cache it (spills
+      // to disk; at production scale prefer a pre-cached/columnar source
+      // and this persist is a cheap no-op re-mark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+      val n = head.getLong(0)
+      val schema = StructType(Seq(StructField("prob", DoubleType, nullable = false),
+        StructField("value", LongType, nullable = false)))
+      if (n == 0L)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      // 1-indexed target rank per probe: ⌊q·(n-1)⌋ + 1 (same IEEE product
+      // in any engine, so the rank arithmetic mirrors exactly)
+      val ranks = probs.map(p => math.floor(p * (n - 1)).toLong + 1L)
+      val lo = probs.map(_ => head.getLong(1)).toArray
+      val hi = probs.map(_ => head.getLong(2)).toArray
+      // invariant: the rank-th smallest value lies in [lo(i), hi(i)]
+      while (probs.indices.exists(i => lo(i) < hi(i))) {
+        val open = probs.indices.filter(i => lo(i) < hi(i))
+        // overflow-safe FLOOR midpoint: halves floored toward -∞ plus a
+        // floorMod carry (0 or 1). Plain `%` truncates toward zero and,
+        // for negative odd lo/hi, pushes mid BELOW lo — a range that then
+        // never shrinks (the non-termination QuantilesSpec pins).
+        val mids = open.map { i =>
+          Math.floorDiv(lo(i), 2) + Math.floorDiv(hi(i), 2) +
+            (Math.floorMod(lo(i), 2) + Math.floorMod(hi(i), 2)) / 2
+        }
+        val cols = open.zip(mids).map { case (i, m) =>
+          sum(when(col("v") <= m, 1L).otherwise(0L)).as(s"c$i") }
+        val row = vals.agg(cols.head, cols.tail: _*).head()
+        open.zip(mids).zipWithIndex.foreach { case ((i, m), j) =>
+          if (row.getLong(j) >= ranks(i)) hi(i) = m else lo(i) = m + 1L
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        probs.zipWithIndex.map { case (p, i) => Row(p, lo(i)) }.asJava, schema)
+    } finally vals.unpersist(blocking = false)
+  }
+
+  /** DuckDB mirror for one probe: the explicit rank formulation (no
+    * dependence on any engine's quantile interpolation mode) — smallest
+    * value whose 1-indexed rank reaches ⌊q·(n-1)⌋+1. */
+  def exactQuantileSql(table: String, valueExpr: String, prob: Double): String =
+    s"""SELECT CAST($prob AS DOUBLE) AS prob, min(v) AS value FROM (
+       |  SELECT v, row_number() OVER (ORDER BY v) AS rn
+       |  FROM (SELECT $valueExpr AS v FROM $table WHERE $valueExpr IS NOT NULL))
+       |WHERE rn >= CAST(floor($prob * ((SELECT count($valueExpr) FROM $table) - 1))
+       |              AS BIGINT) + 1""".stripMargin
+}

@@ -214,6 +214,22 @@ object RelationalSuite extends Suite {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
     // exact percentiles (linear interpolation — quantile_cont semantics).
+    // EXACT quantiles with NO sort and NO data shuffle: binary search on
+    // the value domain, one conditional-count scan per round, all probes
+    // advanced in the same pass (operators.Quantiles — the selection
+    // alternative to percentile()'s collect-all buffer at 100 TB). Cents
+    // keep the counting integer-exact; the oracle is the explicit rank
+    // formulation, immune to quantile-interpolation-mode differences.
+    "q_exact_quantiles" -> Q(
+      (s, d) => graft.operators.Quantiles.exactQuantiles(
+        t(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "cents", Seq(0.5, 0.9, 0.99)),
+      Some(Seq(0.5, 0.9, 0.99).map(p =>
+        graft.operators.Quantiles.exactQuantileSql("lineitem",
+          "CAST(round(l_extendedprice * 100, 0) AS BIGINT)", p))
+        .mkString("\nUNION ALL\n"))),
+
     "q_percentile" -> Q(
       (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
