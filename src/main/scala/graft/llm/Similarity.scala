@@ -713,13 +713,50 @@ object Similarity {
     * stream is writing (same contract as the other compactions). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val lists = spark.read.parquet(s"$path/lists")
+    val live = antiTombstones(spark, path, lists)
     graft.sources.Sources.swapDir(spark, s"$path/lists") { tmp =>
-      lists.groupBy(col("nid"))
+      live.groupBy(col("nid"))
         .agg(min_by(struct(col("nvec"), col("list")), col("list")).as("s"))
         .select(col("nid"), col("s.nvec").as("nvec"), col("s.list").as("list"))
         .repartition(col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(tmp)
     }
+    // clear the tombstones the rewrite just applied. Crash between the
+    // swap and this delete is safe: re-anti-joining already-removed ids
+    // is a no-op (delete is idempotent); only a RE-ADD of a deleted id
+    // must wait until the store is confirmed clear — see
+    // [[deleteFromIvfIndex]]'s contract.
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) fs.delete(tp, true)
+  }
+
+  /** Delete vectors from a [[writeIvfIndex]] index (the FAISS
+    * `remove_ids` analog, completing the add/compact/delete lifecycle):
+    * LOGICAL deletion — ids append into `path/tombstones` (O(|deleted|)
+    * write, no list rewrite), every serving path anti-joins the tombstone
+    * set (broadcast: deletions between compactions are small), and
+    * [[compactIvfIndex]] physically drops the rows and clears the store.
+    * Deleting an absent id is a no-op. Contract: RE-ADDING a deleted id
+    * only takes effect after a compaction has cleared its tombstone —
+    * append-then-still-tombstoned rows stay hidden (and are dropped by
+    * the next compact), exactly like a log-structured store's
+    * delete-wins-until-merge rule. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         ids: DataFrame, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("nid")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Filter tombstoned rows out of a lists scan (applied AFTER any static
+    * partition pruning, so pruned serving keeps its pruned read). */
+  private def antiTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String, lists: DataFrame): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) lists
+    else lists.join(
+      broadcast(spark.read.parquet(s"$path/tombstones").select("nid").distinct()),
+      Seq("nid"), "left_anti")
   }
 
   /** Serve a query batch from a [[writeIvfIndex]] index: centroids load
@@ -764,8 +801,8 @@ object Similarity {
       return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
     val probedLists = probes.map(_._3).distinct
     rankProbed(
-      spark.read.parquet(s"$path/lists")
-        .filter(col("list").isin(probedLists: _*)), // static partition pruning
+      antiTombstones(spark, path, spark.read.parquet(s"$path/lists")
+        .filter(col("list").isin(probedLists: _*))), // static partition pruning
       broadcast(probes.toDF("qid", "qvec", "list")), k)
   }
 
@@ -798,7 +835,8 @@ object Similarity {
       .flatMap { case (qid, vf) =>
         probeLists(bcCentroids.value, vf, nprobe).map(list => (qid, vf, list))
       }.toDF("qid", "qvec", "list")
-    rankProbed(spark.read.parquet(s"$path/lists"), probes, k)
+    rankProbed(antiTombstones(spark, path, spark.read.parquet(s"$path/lists")),
+      probes, k)
   }
 
   /** Deterministic k-means coarse-quantizer training, shared by [[ivfTopK]]

@@ -1178,6 +1178,28 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // DELETE from the persisted index (FAISS remove_ids): tombstoned ids
+    // vanish from serving without any list rewrite; full probing makes
+    // the oracle the brute-force top-k over the SURVIVING corpus.
+    "ann_ivf_delete" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfd").toString
+        Similarity.writeIvfIndex(emb(s, d), s"$tmp/idx", nlist = 16, iters = 0)
+        Similarity.deleteFromIvfIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") % 3 === 0))
+        Similarity.ivfTopKFromIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") < 5), k = 3, nprobe = 16)
+      },
+      Some(s"""WITH $cosineNormsCte,
+              |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+              |        round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM n q JOIN n x ON q.vec_id <> x.vec_id
+              |      WHERE q.vec_id < 5 AND x.vec_id % 3 <> 0),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     "ann_ivf_index" -> Q(
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString

@@ -402,6 +402,44 @@ class LlmSpec extends SparkSpec {
     assert(full2 == brute)
   }
 
+  test("deleteFromIvfIndex hides ids on both serving paths; compact drops them physically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString + "/idx"
+    Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 8)
+    val deleted = emb.filter(col("vec_id") % 3 === 0)
+    val deletedIds = deleted.select("vec_id").as[Long].collect().toSet
+    Similarity.deleteFromIvfIndex(spark, dir, deleted)
+    // logical delete: the lists still hold the rows, serving hides them
+    assert(spark.read.parquet(s"$dir/lists").count() == emb.count())
+    val served = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(served.nonEmpty && served.forall(r => !deletedIds.contains(r._2)),
+      "tombstoned id served (collected path)")
+    val dist = Similarity.ivfTopKFromIndexDistributed(spark, dir, queries,
+      k = 5, nprobe = 16).as[(Long, Long, Double, Int)].collect()
+    assert(dist.toSet == served.toSet, "distributed path diverged under tombstones")
+    // compact: rows physically gone, tombstone store cleared, serving same
+    Similarity.compactIvfIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists").count() ==
+      emb.count() - deletedIds.size)
+    assert(!new java.io.File(s"$dir/tombstones").exists(), "tombstones not cleared")
+    val after = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(after.toSet == served.toSet, "compaction changed served answers")
+    // re-add AFTER compaction restores the ids to serving
+    Similarity.appendToIvfIndex(spark, dir, deleted)
+    val back = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(back.exists(r => deletedIds.contains(r._2)),
+      "re-added ids still hidden after compaction")
+    // delete of an absent id is a no-op
+    Similarity.deleteFromIvfIndex(spark, dir,
+      Seq(99999999L).toDF("vec_id"))
+    val noop = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(noop.toSet == back.toSet)
+  }
+
   test("distributed IVF probe assignment matches the collected path with no driver collect of queries") {
     val queries = emb.filter(col("vec_id") < 10)
     val dir = java.nio.file.Files.createTempDirectory("ivf_dist").toString + "/idx"
