@@ -10,11 +10,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * Spark's exact `percentile` aggregate collects every distinct value
   * into one aggregation buffer, and a sort-based selection shuffles the
   * full column: both are memory- or network-bound at 100 TB. Selection by
-  * binary search on the VALUE DOMAIN is neither: each round asks one
-  * global `count(v <= mid)` per still-open quantile — a partial-agg scan
-  * producing a single row, no Sort, no Exchange of data rows — and halves
-  * the candidate range. ⌈log₂(max-min)⌉ rounds total (≤ 64 for longs,
-  * ~24 for cent-scaled prices), executor memory O(1). The classic trade
+  * section search on the VALUE DOMAIN is neither: each round counts
+  * `v <= split` at up to 15 split points per still-open quantile — ONE
+  * partial-agg scan producing a single row, no Sort, no Exchange of data
+  * rows — and narrows the range 16-fold. ⌈log₁₆(max-min)⌉ rounds total
+  * (≤ 16 for longs, ~6 for cent-scaled prices), executor memory O(1).
+  * The classic trade
   * vs one full sort-shuffle: k cheap scans instead of one expensive
   * shuffle — at cluster scale the scans win whenever the scan is cheaper
   * than shuffling the column (it virtually always is for wide tables
@@ -57,22 +58,42 @@ object Quantiles {
       val ranks = probs.map(p => math.floor(p * (n - 1)).toLong + 1L)
       val lo = probs.map(_ => head.getLong(1)).toArray
       val hi = probs.map(_ => head.getLong(2)).toArray
-      // invariant: the rank-th smallest value lies in [lo(i), hi(i)]
+      // invariant: the rank-th smallest value lies in [lo(i), hi(i)].
+      // S-way section search, not bisection: each round counts at up to S
+      // split points per open probe IN ONE SCAN (extra conditional sums
+      // are nearly free next to the scan itself), cutting rounds from
+      // log₂(range) to log_{S+1}(range) — ~6 scans for cent-scaled
+      // prices. Splits are floor-spaced (floorDiv is exact toward -∞;
+      // a truncating division would push splits below lo on negative
+      // domains — the non-termination QuantilesSpec pins).
+      val S = 15
       while (probs.indices.exists(i => lo(i) < hi(i))) {
         val open = probs.indices.filter(i => lo(i) < hi(i))
-        // overflow-safe FLOOR midpoint: halves floored toward -∞ plus a
-        // floorMod carry (0 or 1). Plain `%` truncates toward zero and,
-        // for negative odd lo/hi, pushes mid BELOW lo — a range that then
-        // never shrinks (the non-termination QuantilesSpec pins).
-        val mids = open.map { i =>
-          Math.floorDiv(lo(i), 2) + Math.floorDiv(hi(i), 2) +
-            (Math.floorMod(lo(i), 2) + Math.floorMod(hi(i), 2)) / 2
+        val splits: Seq[(Int, Seq[Long])] = open.map { i =>
+          val span = hi(i) - lo(i) // hi > lo ⇒ positive, no overflow at ±2^62 domains
+          val pts =
+            if (span <= S) (lo(i) until hi(i)).toSeq
+            else (1 to S).map(j => lo(i) + Math.floorDiv(span, S + 1) * j).distinct
+          (i, pts)
         }
-        val cols = open.zip(mids).map { case (i, m) =>
-          sum(when(col("v") <= m, 1L).otherwise(0L)).as(s"c$i") }
+        val cols = splits.flatMap { case (i, pts) =>
+          pts.zipWithIndex.map { case (m, j) =>
+            sum(when(col("v") <= m, 1L).otherwise(0L)).as(s"c${i}_$j") } }
         val row = vals.agg(cols.head, cols.tail: _*).head()
-        open.zip(mids).zipWithIndex.foreach { case ((i, m), j) =>
-          if (row.getLong(j) >= ranks(i)) hi(i) = m else lo(i) = m + 1L
+        var off = 0
+        splits.foreach { case (i, pts) =>
+          val counts = pts.indices.map(j => row.getLong(off + j))
+          off += pts.length
+          // counts are monotone in the split points: the answer sits in
+          // the first bracket whose cumulative count reaches the rank
+          val hit = pts.indices.find(j => counts(j) >= ranks(i))
+          hit match {
+            case Some(j) =>
+              hi(i) = pts(j)
+              if (j > 0) lo(i) = pts(j - 1) + 1L
+            case None =>
+              lo(i) = pts.last + 1L
+          }
         }
       }
       import scala.jdk.CollectionConverters._
