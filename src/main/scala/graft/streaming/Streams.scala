@@ -690,6 +690,48 @@ object Streams {
     }
   }
 
+  final case class EwmaEvent(key: String, ord: Long, value: Double)
+  final case class EwmaOut(key: String, ord: Long, value: Double, ewma: Double)
+
+  /** Streaming twin of [[graft.operators.Resample.ewma]] (α = 1/2,
+    * normalized, window-truncated): per key, state is ONLY the last
+    * `window - 1` (ord, value) pairs — bounded by construction, no
+    * timeout needed for size (key cardinality is the usual state-store
+    * dimension). Each micro-batch's rows are processed in `ord` order and
+    * every row emits its smoothed value; the arithmetic reproduces the
+    * batch operator's exact fold (power-of-two scaling, oldest-first
+    * left fold, HALF_UP round to 6), so in-order streams match the batch
+    * twin bit-for-bit (StreamsSpec). Same cross-batch caveat as the
+    * funnel: a row arriving in an EARLIER batch than a smaller-ord
+    * sibling has already been smoothed without it. */
+  def ewmaStream(events: Dataset[EwmaEvent], window: Int): Dataset[EwmaOut] = {
+    require(window >= 1 && window <= 62, s"window must be in 1..62, got $window")
+    import events.sparkSession.implicits._
+    def smooth(buf: Seq[Double]): Double = {
+      val n = buf.length
+      def fold(term: Int => Double): Double =
+        buf.indices.foldLeft(0.0)((acc, i) =>
+          acc + term(i) / math.pow(2.0, (n - 1 - i).toDouble))
+      val raw = fold(buf(_)) / fold(_ => 1.0)
+      // java BigDecimal.valueOf (the canonical-string conversion) is what
+      // Spark's Round uses for doubles — scala's BigDecimal(double) takes
+      // the exact binary expansion and can round ties differently
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[EwmaEvent], state: GroupState[Seq[(Long, Double)]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = it.toSeq.sortBy(_.ord).map { e =>
+            buf = (buf :+ (e.ord, e.value)).takeRight(window)
+            EwmaOut(key, e.ord, e.value, smooth(buf.map(_._2)))
+          }
+          state.update(buf.takeRight(window - 1))
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts_millis: Long)
   final case class FunnelStage(user_id: Long, stage: Int)
 

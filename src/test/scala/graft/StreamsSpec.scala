@@ -715,6 +715,34 @@ class StreamsSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, "magg_view")
   }
 
+  test("ewmaStream matches the batch ewma bit-for-bit on in-order streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{EwmaEvent, EwmaOut}
+    val rng = new scala.util.Random(7)
+    val events = (1L to 30L).flatMap(o =>
+      Seq(EwmaEvent("a", o, rng.nextDouble() * 100),
+        EwmaEvent("b", o, rng.nextDouble() * -10)))
+    val mem = MemoryStream[EwmaEvent]
+    val q = Streams.ewmaStream(mem.toDS(), window = 4).writeStream
+      .format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      // two batches split mid-stream: state carries the window tail across
+      val (b1, b2) = events.partition(_.ord <= 17L)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_out").as[EwmaOut].collect()
+      .map(r => (r.key, r.ord) -> r.ewma).toMap
+    val batch = graft.operators.Resample.ewma(
+      events.toDF(), "key", "ord", "value", window = 4)
+      .select(col("key"), col("ord"), col("ewma"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed.keySet == batch.keySet)
+    val diffs = streamed.collect { case (k, v) if batch(k) != v => (k, v, batch(k)) }
+    assert(diffs.isEmpty, s"stream != batch: ${diffs.take(5)}")
+  }
+
   test("maintainSketch partials fold to the direct sketch; compaction + replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sketch.Kmv
