@@ -102,6 +102,107 @@ object Quantiles {
     } finally vals.unpersist(blocking = false)
   }
 
+  /** Per-GROUP exact quantiles — the "p99 latency per host" shape with
+    * the same no-sort/no-data-shuffle selection: returns (groupCol, prob,
+    * value) for every group × prob.
+    *
+    * Per round, ONE scan serves every group and probe at once: a
+    * broadcast 1:1 join attaches each group's current split arrays (no
+    * row amplification), a codegen HOF computes each row's bucket index
+    * per probe, and a single groupBy(group) emits conditional bucket
+    * counts — |groups| × (probes·(S+1)) longs to the driver, which
+    * re-brackets. Driver state is O(groups·probes) longs, guarded by
+    * `maxGroups` (beyond it, group-local windowed selection is the right
+    * tool — this operator is for the many-rows-per-group regime).
+    * Rounds = ⌈log₁₆(widest group range)⌉; groups whose every probe has
+    * closed drop out of later rounds' join frame. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                       probs: Seq[Double], maxGroups: Int = 100000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1]: $probs")
+    val spark = df.sparkSession
+    val S = 15
+    val vals = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = vals.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .limit(maxGroups + 1).collect()
+      require(stats.length <= maxGroups,
+        s"more than $maxGroups groups — use a windowed per-group selection " +
+          "for the many-small-groups regime")
+      val outSchema = StructType(Seq(
+        df.schema(groupCol),
+        StructField("prob", DoubleType, nullable = false),
+        StructField("value", LongType, nullable = false)))
+      if (stats.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      val groups = stats.map(_.get(0))
+      val ranks = stats.map(r => probs.map(p =>
+        math.floor(p * (r.getLong(1) - 1)).toLong + 1L).toArray)
+      val lo = stats.map(r => probs.map(_ => r.getLong(2)).toArray)
+      val hi = stats.map(r => probs.map(_ => r.getLong(3)).toArray)
+      def openGroups: Seq[Int] = groups.indices.filter(gi =>
+        probs.indices.exists(pi => lo(gi)(pi) < hi(gi)(pi)))
+      def splitsFor(gi: Int, pi: Int): Seq[Long] = {
+        val (l, h) = (lo(gi)(pi), hi(gi)(pi))
+        if (l >= h) Seq.empty
+        else if (h - l <= S) (l until h).toSeq
+        else (1 to S).map(j => l + Math.floorDiv(h - l, S + 1) * j).distinct
+      }
+      while (openGroups.nonEmpty) {
+        val open = openGroups
+        val splitRows = open.map { gi =>
+          Row.fromSeq(groups(gi) +: probs.indices.map(pi => splitsFor(gi, pi)))
+        }
+        val splitSchema = StructType(df.schema(groupCol).copy(name = "g") +:
+          probs.indices.map(pi => StructField(s"sp$pi",
+            org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+            nullable = false)))
+        import scala.jdk.CollectionConverters._
+        val splitsDf = spark.createDataFrame(splitRows.asJava, splitSchema)
+        val joined = vals.join(broadcast(splitsDf), Seq("g"))
+        // bucket index per probe = #splits STRICTLY BELOW v (0..|splits|):
+        // buckets 0..j then sum to exactly count(v <= pts(j)) — a `≤ v`
+        // bucket would lose the rows equal to the split. One conditional
+        // count column per (probe, bucket), a single scan for everything.
+        val aggCols = probs.indices.flatMap { pi =>
+          val bucket = size(filter(col(s"sp$pi"), x => x < col("v")))
+          (0 to S).map(b =>
+            sum(when(bucket === b, 1L).otherwise(0L)).as(s"c${pi}_$b"))
+        }
+        val counts = joined.groupBy(col("g"))
+          .agg(aggCols.head, aggCols.tail: _*).collect()
+          .map(r => r.get(0) -> r).toMap
+        open.foreach { gi =>
+          val row = counts(groups(gi))
+          probs.indices.foreach { pi =>
+            val pts = splitsFor(gi, pi)
+            if (pts.nonEmpty) {
+              // cumulative count at split j = Σ buckets 0..j
+              var cum = 0L
+              val cums = pts.indices.map { j =>
+                cum += row.getLong(1 + pi * (S + 1) + j); cum }
+              val hit = pts.indices.find(j => cums(j) >= ranks(gi)(pi))
+              hit match {
+                case Some(j) =>
+                  hi(gi)(pi) = pts(j)
+                  if (j > 0) lo(gi)(pi) = pts(j - 1) + 1L
+                case None => lo(gi)(pi) = pts.last + 1L
+              }
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        groups.indices.flatMap(gi => probs.zipWithIndex.map { case (p, pi) =>
+          Row(groups(gi), p, lo(gi)(pi)) }).asJava, outSchema)
+    } finally vals.unpersist(blocking = false)
+  }
+
   /** DuckDB mirror for one probe: the explicit rank formulation (no
     * dependence on any engine's quantile interpolation mode) — smallest
     * value whose 1-indexed rank reaches ⌊q·(n-1)⌋+1. */

@@ -37,6 +37,33 @@ class QuantilesSpec extends SparkSpec with PropertySampling {
       .as[(Double, Long)].head()._2 == 42L)
   }
 
+  test("exactQuantilesBy matches per-group sorted-index reference") {
+    val gen = org.scalacheck.Gen.listOfN(600, for {
+      g <- org.scalacheck.Gen.oneOf("a", "b", "c", "d")
+      v <- org.scalacheck.Gen.choose(-500L, 500L)
+    } yield (g, v))
+    val probs = Seq(0.0, 0.5, 0.9, 1.0)
+    (1 to 3).foreach { seed =>
+      val xs = sample(gen, seed + 1200)
+      val got = Quantiles.exactQuantilesBy(xs.toDF("g", "v"), "g", "v", probs)
+        .as[(String, Double, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val byG = xs.groupBy(_._1)
+      byG.foreach { case (g, rows) =>
+        probs.foreach { p =>
+          val exp = ref(rows.map(_._2), p)
+          assert(got((g, p)) == exp, s"seed=$seed g=$g p=$p: ${got((g, p))} != $exp")
+        }
+      }
+      assert(got.size == byG.size * probs.length)
+    }
+    // single-row groups close immediately with their own value
+    val tiny = Seq(("x", 7L), ("y", -3L)).toDF("g", "v")
+    val t = Quantiles.exactQuantilesBy(tiny, "g", "v", Seq(0.5))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t == Map("x" -> 7L, "y" -> -3L))
+  }
+
   test("nulls ignored; empty input returns no rows") {
     val withNulls = Seq(Some(1L), None, Some(3L), None, Some(2L)).toDF("v")
     assert(Quantiles.exactQuantiles(withNulls, "v", Seq(1.0))
