@@ -230,6 +230,43 @@ object RelationalSuite extends Suite {
           "CAST(round(l_extendedprice * 100, 0) AS BIGINT)", p))
         .mkString("\nUNION ALL\n"))),
 
+    // exact top-k per group with NO window sort: two bounded heap folds
+    // (k rows per group per partition, then per group) — the selection
+    // identity win_row_number's full-group sort doesn't exploit. Unique
+    // event_id doubles as the required determinism tiebreak.
+    "q_topk_per_group" -> Q(
+      (s, d) => graft.operators.TopK.perGroup(
+        Tables.t(s, d, "events").select(col("user_id"), col("event_id")),
+        Seq("user_id"), "event_id", "event_id", k = 3),
+      Some("""SELECT user_id, event_id, CAST(rn AS INT) AS rank FROM (
+             |  SELECT user_id, event_id, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn <= 3""".stripMargin)),
+
+    // per-GROUP exact quantiles ("p99 per host"): same selection, one
+    // scan per round for every group × probe via bucket histograms.
+    "q_exact_quantiles_by" -> Q(
+      (s, d) => graft.operators.Quantiles.exactQuantilesBy(
+        Tables.t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", Seq(0.5, 0.99)),
+      Some {
+        def leg(p: Double) =
+          s"""SELECT g AS event_type, CAST($p AS DOUBLE) AS prob,
+             |  min(v) AS value FROM r
+             |WHERE rn >= CAST(floor($p * (n - 1)) AS BIGINT) + 1
+             |GROUP BY g""".stripMargin
+        s"""WITH vv AS (SELECT event_type AS g,
+           |    CAST(round(value * 100, 0) AS BIGINT) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           |        count(*) OVER (PARTITION BY g) AS n
+           |      FROM vv)
+           |${leg(0.5)}
+           |UNION ALL
+           |${leg(0.99)}""".stripMargin
+      }),
+
     "q_percentile" -> Q(
       (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
