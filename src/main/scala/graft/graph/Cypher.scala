@@ -141,6 +141,25 @@ object Cypher {
     * settable. */
   final case class SetAttrs(chains: Seq[Chain], wheres: Seq[Where],
                             sets: Seq[(String, String, String)]) extends Stmt
+  /** `MATCH p = shortestPath((a …)-[:R*m..n]-(b …)) RETURN …` (growth —
+    * Neo4j's anchored shortest-path form; the reference grammar has
+    * neither): minimum hop count from a UNIQUELY-bound source `a` to
+    * every target matching `b`'s label/attrs within the band, walk
+    * semantics, BFS-evaluated ([[PropertyGraph.bfsDistances]] — frontier
+    * joins, never vertices×edges). RETURN items: the target variable,
+    * `target.attr`, or `length(p)` (column `<p>_length`); `length(p)`
+    * parses into Ret(pathVar, Some("length")) — unambiguous because the
+    * path variable shadows nothing. Directions: `->` follows src→dst,
+    * `-` either way; `<-` is rejected (write the flipped pattern).
+    * `*m..n` defaults to `*1..8`; min > 0 keeps the source itself out
+    * unless the band admits length 0 paths (it cannot — minHops ≥ 1). */
+  final case class ShortestPathStmt(pathVar: String, chain: Chain,
+                                    returns: Seq[Ret]) extends Stmt {
+    require(chain.nodes.length == 2 && chain.rels.length == 1,
+      "shortestPath takes a single (a)-[...]-(b) pattern")
+    require(chain.rels.head.dir != In,
+      "shortestPath: <- direction unsupported — flip the pattern")
+  }
 
   def parse(input: String): Stmt = {
     val p = new P(input)
@@ -192,6 +211,31 @@ object Cypher {
     }
 
     def stmt(): Stmt = keyword() match {
+      case "match" if { ws(); peek != '(' } =>
+        // `MATCH p = shortestPath( chain )` — the only MATCH form that
+        // does not open with a node's '('
+        val pv = ident()
+        eat('=')
+        require(keyword() == "shortestpath", "expected shortestPath after '='")
+        eat('(')
+        val c = chain()
+        eat(')')
+        require(keyword() == "return", "shortestPath expects RETURN")
+        def spItem(): Ret = {
+          val save = i
+          if (tryKeyword("length") && tryEat('(')) {
+            val v = ident(); eat(')')
+            require(v == pv, s"unknown path variable $v")
+            Ret(pv, Some("length"))
+          } else {
+            i = save
+            val v = ident()
+            if (tryEat('.')) Ret(v, Some(ident())) else Ret(v, None)
+          }
+        }
+        val spRets = scala.collection.mutable.ArrayBuffer(spItem())
+        while (tryEat(',')) spRets += spItem()
+        ShortestPathStmt(pv, c, spRets.toSeq)
       case "match" =>
         val cs = chains()
         // OPTIONAL MATCH groups (growth): each adds chains to the

@@ -331,7 +331,52 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
     case m: Cypher.Match => evalMatch(m)
+    case sp: Cypher.ShortestPathStmt => evalShortestPath(sp)
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
+  }
+
+  /** `MATCH p = shortestPath((a)-[:R*m..n]->(b)) RETURN …`: BFS layers
+    * from the uniquely-bound source ([[bfsDistances]] — one frontier join
+    * per hop), band-filtered, label/attr-filtered on the target side.
+    * The source anchor must bind exactly one vertex (a multi-source
+    * shortest path is a different operator — run one statement per
+    * source). */
+  private def evalShortestPath(sp: Cypher.ShortestPathStmt): DataFrame = {
+    val aPat = sp.chain.nodes.head
+    val bPat = sp.chain.nodes.last
+    val rel = sp.chain.rels.head
+    require(aPat.label.nonEmpty || aPat.attrs.nonEmpty,
+      "shortestPath needs an anchored source (label and/or attrs)")
+    val srcNames = nodesFor(aPat, "name").get
+      .limit(2).collect().map(_.getString(0)).toSeq
+    require(srcNames.length == 1,
+      s"shortestPath source must bind exactly one vertex, got " +
+        s"${if (srcNames.isEmpty) "none" else "several"}")
+    val dists = bfsDistances(srcNames.head, maxHops = rel.maxHops,
+      rels = Seq(rel.typ), directed = rel.dir == Cypher.Out)
+      .filter(col("dist") >= rel.minHops && col("dist") <= rel.maxHops)
+    val targeted = nodesFor(bPat, "node")
+      .map(t => dists.join(t, Seq("node"), "left_semi")).getOrElse(dists)
+    val bVar = bPat.variable.getOrElse(
+      throw new IllegalArgumentException("shortestPath target needs a variable"))
+    val needsAttrs = sp.returns.exists {
+      case Cypher.Ret(v, Some(a)) => v == bVar && a != "name"
+      case _ => false
+    }
+    val withAttrs =
+      if (!needsAttrs) targeted
+      else targeted.join(
+        vertices.select(col("name").as("node"), col("attrs")), Seq("node"), "left")
+    withAttrs.select(sp.returns.map {
+      case Cypher.Ret(v, Some("length")) if v == sp.pathVar =>
+        col("dist").as(s"${sp.pathVar}_length")
+      case Cypher.Ret(v, None) if v == bVar => col("node").as(v)
+      case Cypher.Ret(v, Some("name")) if v == bVar => col("node").as(s"${v}_name")
+      case Cypher.Ret(v, Some(a)) if v == bVar =>
+        col("attrs").getItem(a).as(s"${v}_$a")
+      case other => throw new IllegalArgumentException(
+        s"shortestPath RETURN can address the target or length(path): $other")
+    }: _*)
   }
 
   /** Mutating statements: MERGE upserts (as [[merge]]), `MATCH … DETACH

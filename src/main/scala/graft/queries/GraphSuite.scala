@@ -439,6 +439,29 @@ object GraphSuite extends Suite {
              |SELECT node, CAST(min(d) AS BIGINT) AS dist
              |FROM reach GROUP BY node""".stripMargin)),
 
+    // Cypher shortestPath (growth — Neo4j's anchored form): min-hop
+    // distance from the EUROPE region to everything within 2 undirected
+    // IN hops — its nations at 1, their customers at 2 (LOCATED edges
+    // excluded by the rel type). length(p) rides out as p_length.
+    "cypher_shortest_path" -> Q(
+      (s, d) => g(s, d).query(
+        "match p = shortestPath((r:Region {name: 'region:EUROPE'})" +
+          "-[:IN*1..2]-(b)) return b, length(p)"),
+      Some("""WITH RECURSIVE
+             |jp AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+             |         'nation:' || n_name AS b
+             |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |       FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |ed AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+             |reach(node, d) AS (
+             |  SELECT 'region:' || r_name, 0 FROM region WHERE r_name = 'EUROPE'
+             |  UNION
+             |  SELECT e.v, r.d + 1 FROM reach r JOIN ed e ON r.node = e.u
+             |  WHERE r.d < 2)
+             |SELECT node AS b, CAST(min(d) AS BIGINT) AS p_length
+             |FROM reach GROUP BY node HAVING min(d) >= 1""".stripMargin)),
+
     // WEIGHTED shortest paths (growth — Bellman-Ford supersteps): minimum
     // total line-item count over ≤ 4 undirected BUYS hops out of
     // customer:1. Weights live on the edges as properties (eattrs.w),

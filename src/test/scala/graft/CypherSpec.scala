@@ -417,4 +417,40 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       g.execute("match (p:Person) set p.name = 'x'"))
   }
+
+  test("shortestPath: anchored BFS, band filter, target filters, length(p)") {
+    // a chain with a shortcut: a→b→c→d plus a→c
+    val g = Seq(
+      "merge (p:N {'name': 'a'})-[:R]->(o:N {'name': 'b'})",
+      "merge (p:N {'name': 'b'})-[:R]->(o:N {'name': 'c'})",
+      "merge (p:N {'name': 'c'})-[:R]->(o:M {'name': 'd'})",
+      "merge (p:N {'name': 'a'})-[:R]->(o:N {'name': 'c'})")
+      .foldLeft(PropertyGraph.empty(spark))(_.merge(_))
+    val got = g.query(
+      "match p = shortestPath((s:N {name: 'a'})-[:R*1..3]->(b)) return b, length(p)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the a→c shortcut wins over a→b→c; d rides it at 2
+    assert(got == Map("b" -> 1L, "c" -> 1L, "d" -> 2L), got.toString)
+    // band minimum excludes closer nodes; label filter restricts targets
+    val far = g.query(
+      "match p = shortestPath((s:N {name: 'a'})-[:R*2..3]->(b)) return b")
+      .collect().map(_.getString(0)).toSet
+    assert(far == Set("d"), far.toString)
+    val labeled = g.query(
+      "match p = shortestPath((s:N {name: 'a'})-[:R*1..3]->(b:M)) return b, length(p)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled == Map("d" -> 2L))
+    // undirected band sees predecessors too
+    val undir = g.query(
+      "match p = shortestPath((s:N {name: 'c'})-[:R*1..1]-(b)) return b")
+      .collect().map(_.getString(0)).toSet
+    assert(undir == Set("a", "b", "d"), undir.toString)
+    // error paths: ambiguous source, reversed arrow, bad RETURN var
+    intercept[IllegalArgumentException](g.query(
+      "match p = shortestPath((s:N)-[:R*1..2]->(b)) return b").collect())
+    intercept[IllegalArgumentException](g.query(
+      "match p = shortestPath((s:N {name: 'a'})<-[:R*1..2]-(b)) return b"))
+    intercept[IllegalArgumentException](g.query(
+      "match p = shortestPath((s:N {name: 'a'})-[:R*1..2]->(b)) return length(q)"))
+  }
 }
