@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.sketch.Kmv
+import graft.sketch.{CountMin, Kmv}
 
 /** KMV distinct-count sketches (graft.sketch.Kmv) — mergeable cardinality
   * summaries. Every query here is hash-checked: the sketch machinery is
@@ -156,6 +156,59 @@ object SketchSuite extends Suite {
               |sk AS (SELECT ${Kmv.sketchAggSql("hh", 16)} AS kmv FROM h),
               |ex AS (SELECT count(DISTINCT tok) AS exact FROM toks)
               |SELECT ${Kmv.estimateSql("kmv", 16)} AS est, exact
-              |FROM sk CROSS JOIN ex""".stripMargin))
+              |FROM sk CROSS JOIN ex""".stripMargin)),
+
+    // Count-Min point frequencies: ONE d·w-long grid summarizes per-user
+    // event counts over an unbounded id space; the heaviest users' true
+    // counts sit next to the sketch estimate (always ≥, exact when no row
+    // collides). 100 TB: the grid is 8 KB however many users exist — the
+    // per-key count table it replaces is as big as the key space.
+    "sketch_cm_user_freq" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val cm = CountMin.sketch(ev, Seq.empty, col("user_id"), 4, 256)
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("user_id")).limit(10)
+        top.crossJoin(cm)
+          .select(col("user_id"),
+            CountMin.estimate(col("cm"), col("user_id"), 4, 256).as("est"),
+            col("exact"))
+      },
+      Some(s"""WITH cnt AS (SELECT idx, count(*) AS n FROM (
+              |    SELECT ${CountMin.slotsUnnestSql("user_id", 4, 256)} AS idx
+              |    FROM events) GROUP BY idx),
+              |cm AS (SELECT list(coalesce(n, 0) ORDER BY s) AS cm
+              |       FROM range(0, 1024) t(s) LEFT JOIN cnt ON cnt.idx = t.s),
+              |ex AS (SELECT user_id, count(*) AS exact FROM events
+              |       GROUP BY user_id ORDER BY exact DESC, user_id LIMIT 10)
+              |SELECT user_id, ${CountMin.estimateSql("cm", "user_id", 4, 256)} AS est,
+              |       exact
+              |FROM ex CROSS JOIN cm""".stripMargin)),
+
+    // the grid MERGE story: per-day grids (the summary a pipeline stores)
+    // zip-sum into the union's grid; the oracle rebuilds the grid from ALL
+    // facts directly, so the hash-match IS the mergeability proof —
+    // elementwise sum of daily grids ≡ one grid over everything.
+    "sketch_cm_merge_daily" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+        val daily = CountMin.sketch(ev, Seq("day"), col("user_id"), 4, 256)
+        val merged = CountMin.merge(daily, Seq.empty, "cm", 4, 256)
+        val probes = ev.select(col("user_id")).distinct()
+          .orderBy("user_id").limit(20)
+        probes.crossJoin(merged)
+          .select(col("user_id"),
+            CountMin.estimate(col("cm"), col("user_id"), 4, 256).as("est"))
+      },
+      Some(s"""WITH cnt AS (SELECT idx, count(*) AS n FROM (
+              |    SELECT ${CountMin.slotsUnnestSql("user_id", 4, 256)} AS idx
+              |    FROM events) GROUP BY idx),
+              |cm AS (SELECT list(coalesce(n, 0) ORDER BY s) AS cm
+              |       FROM range(0, 1024) t(s) LEFT JOIN cnt ON cnt.idx = t.s),
+              |p AS (SELECT DISTINCT user_id FROM events
+              |      ORDER BY user_id LIMIT 20)
+              |SELECT user_id, ${CountMin.estimateSql("cm", "user_id", 4, 256)} AS est
+              |FROM p CROSS JOIN cm""".stripMargin))
   )
 }

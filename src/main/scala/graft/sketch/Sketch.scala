@@ -150,3 +150,127 @@ object Kmv {
   def mergeAggSql(kmvExpr: String, k: Int): String =
     s"list_slice(list_sort(list_distinct(flatten(list($kmvExpr)))), 1, $k)"
 }
+
+/** Count-Min frequency sketches (Cormode & Muthukrishnan 2005) — MERGEABLE
+  * point-frequency summaries, the counting sibling of [[Kmv]]'s
+  * distinct-count sketches.
+  *
+  * Why a sketch when `groupBy(key).count()` exists: at 100 TB a per-key
+  * count over a high-cardinality key (user ids, URLs, vocab) is a
+  * full shuffle of every key occurrence AND an output as large as the key
+  * space. A Count-Min sketch is d·w longs REGARDLESS of cardinality, and
+  * it pre-aggregates: per-partition / per-day grids fold by ELEMENTWISE
+  * SUM into exactly the union's grid, so stored daily sketch rows answer
+  * "how often did key x appear, ever" without re-touching facts. The
+  * estimate `min_i grid[i·w + h_i(x) mod w]` NEVER underestimates (each
+  * counter sums the true count plus non-negative collision mass) and
+  * overestimates by ≤ 2N/w with probability 1 − 2^−d.
+  *
+  * Everything is EXACT-deterministic like [[Kmv]]: row hashes are d
+  * mult-mod permutations of the same modulus P (SQL-mirrorable), the grid
+  * is a plain `array<long>` in row-major order, merge is zip-sum — so
+  * sketch bytes and estimates hash-check against a DuckDB grid built by
+  * list arithmetic. Unlike k-min union, grid merge is NOT idempotent
+  * (re-adding a grid double-counts) — the streaming maintenance in
+  * [[graft.streaming.Streams.maintainCountMin]] therefore uses the
+  * aggregate-store replay/compaction watermark, not the sketch store's
+  * merge-anytime contract.
+  *
+  * 100 TB story: phase 1 is a bounded per-partition fold (one long[d·w]
+  * per live group per partition — no Window, no shuffle of key
+  * occurrences); phase 2 shuffles only the ≤ nPart·(d·w) partial
+  * counters per group. Reference scope: the reference engine has no
+  * sketches at all (counts are exact table scans, server.py) — this is
+  * pipeline growth mandated by the builder brief.
+  */
+object CountMin {
+
+  val P = Kmv.P
+
+  /** d independent row multipliers (32-bit primes; (P−1)·K < 2^63 keeps
+    * every product exact in a long). d ≤ 4. */
+  private val Ks = Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  val maxDepth: Int = Ks.length
+
+  /** Grid index of `key` in hash row `i`: i·w + ((key mod P)·K_i mod P)
+    * mod w — 0-based row-major position in the flat grid array. */
+  def slot(key: Column, i: Int, w: Int): Column =
+    lit(i.toLong * w) + pmod(pmod(pmod(key.cast("long"), lit(P)) * lit(Ks(i)), lit(P)), lit(w))
+
+  /** DuckDB mirror of [[slot]] (double-pmod shape matches Spark's
+    * non-negative pmod for negative keys). */
+  def slotSql(c: String, i: Int, w: Int): String =
+    s"(${i.toLong * w} + ((((($c % $P) + $P) % $P) * ${Ks(i)}) % $P) % $w)"
+
+  /** All d grid indexes of a key as a SQL `unnest([...])` list — the
+    * oracle's per-occurrence scatter. */
+  def slotsUnnestSql(c: String, d: Int, w: Int): String =
+    s"unnest([${(0 until d).map(slotSql(c, _, w)).mkString(", ")}])"
+
+  /** Per-group Count-Min grid: `groupCols :+ (outCol: array<long>)`, the
+    * flat d×w row-major counter grid of `key` occurrences per group. Null
+    * keys are ignored; empty `groupCols` builds one global grid row. */
+  def sketch(df: DataFrame, groupCols: Seq[String], key: Column,
+             d: Int, w: Int, outCol: String = "cm"): DataFrame = {
+    require(d >= 1 && d <= maxDepth, s"depth must be in [1, $maxDepth], got $d")
+    require(w >= 2, s"width must be >= 2, got $w")
+    val spark = df.sparkSession
+    val withK = df
+      .select(groupCols.map(col) :+ key.cast("long").as("graft_cm_k"): _*)
+      .filter(col("graft_cm_k").isNotNull)
+    val nGroup = groupCols.length
+    // phase 1: one long[d·w] per live group per partition — the entire
+    // partition folds into d·w counters before anything shuffles.
+    val partials = withK.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+      it.foreach { r =>
+        val grid = m.getOrElseUpdate((0 until nGroup).map(r.get),
+          new Array[Long](d * w))
+        val x = r.getLong(nGroup)
+        var i = 0
+        while (i < d) {
+          val h = (((x % P) + P) % P) * Ks(i) % P
+          grid(i * w + (h % w).toInt) += 1L
+          i += 1
+        }
+      }
+      m.iterator.map { case (key, grid) => Row.fromSeq(key :+ grid.toSeq) }
+    }
+    val outSchema = StructType(
+      withK.schema.fields.take(nGroup) :+
+        StructField("graft_cm_partial", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    // phase 2: zip-sum the ≤ nPart partial grids per group.
+    CountMin.merge(spark.createDataFrame(partials, outSchema),
+      groupCols, "graft_cm_partial", d, w, outCol)
+  }
+
+  /** Merge grid ROWS per group by elementwise sum — EXACTLY the grid the
+    * union's facts would build (counter addition is associative and
+    * commutative; it is NOT idempotent — never merge the same grid
+    * twice). */
+  def merge(df: DataFrame, groupCols: Seq[String], cmCol: String,
+            d: Int, w: Int, outCol: String = "cm"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(cmCol)),
+        array_repeat(lit(0L), d * w),
+        (acc, x) => zip_with(acc, x, _ + _)).as(outCol))
+
+  /** DuckDB mirror of [[merge]]'s fold: per 0-based slot s, the sum over
+    * the grouped grids' values at s. */
+  def mergeAggSql(cmExpr: String, d: Int, w: Int): String =
+    s"""list_transform(range(0, ${d * w}),
+       |  s -> list_sum(list_transform(list($cmExpr), g -> g[s + 1])))""".stripMargin
+
+  /** Point-frequency estimate of `key` from a grid: min over the d
+    * counters the key hashes to. ≥ the true count always; exact when no
+    * other key collides in some row. */
+  def estimate(cm: Column, key: Column, d: Int, w: Int): Column = {
+    val rows = (0 until d).map(i => element_at(cm, (slot(key, i, w) + 1).cast("int")))
+    if (d == 1) rows.head else least(rows: _*)
+  }
+
+  /** DuckDB mirror of [[estimate]] (1-based list indexing). */
+  def estimateSql(cm: String, c: String, d: Int, w: Int): String =
+    s"least(${(0 until d).map(i => s"$cm[${slotSql(c, i, w)} + 1]").mkString(", ")})"
+}

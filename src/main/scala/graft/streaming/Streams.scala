@@ -690,6 +690,71 @@ object Streams {
     }
   }
 
+  /** Incremental Count-Min maintenance — point-frequency grids kept fresh
+    * under ingest ([[maintainSketch]]'s shape over
+    * [[graft.sketch.CountMin]]). The replay contract is the AGGREGATE
+    * store's, not the sketch store's: grid merge is associative but NOT
+    * idempotent (re-summing a grid double-counts), so a replayed batch
+    * OVERWRITES its own `batch=<id>` dir, and [[compactCountMinStore]]
+    * records a `_folded_through` watermark so a batch replayed AFTER
+    * compaction folded it into the seed is excluded from later folds. */
+  def maintainCountMin(stream: DataFrame, groupCols: Seq[String],
+                       key: org.apache.spark.sql.Column, d: Int, w: Int,
+                       storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sketch.CountMin.sketch(batch, groupCols, key, d, w)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Seed the grid store with a pre-stream corpus grid (batch=-1 keeps it
+    * clear of real ids). */
+  def seedCountMinStore(grids: DataFrame, storePath: String): Unit =
+    grids.write.mode("overwrite").parquet(s"$storePath/batch=-1")
+
+  /** Zip-sum every live partial into the grid OF EVERYTHING INGESTED —
+    * bit-identical to re-sketching all facts (StreamsSpec). Batches at or
+    * below the compaction watermark are already inside the seed and are
+    * excluded. */
+  def foldCountMin(spark: SparkSession, storePath: String,
+                   groupCols: Seq[String], cmCol: String,
+                   d: Int, w: Int): DataFrame = {
+    val wm = foldWatermark(spark, storePath)
+    graft.sketch.CountMin.merge(
+      spark.read.parquet(storePath)
+        .filter(col("batch") === -1 || col("batch") > wm)
+        .drop("batch"),
+      groupCols, cmCol, d, w)
+  }
+
+  /** Fold accumulated grid partials into one batch=-1 seed plus the
+    * `_folded_through` marker (run while the stream is stopped; crash-safe
+    * via the swapDir protocol — same contract as
+    * [[compactAggregateStore]]). */
+  def compactCountMinStore(spark: SparkSession, storePath: String,
+                           groupCols: Seq[String], cmCol: String,
+                           d: Int, w: Int): Unit = {
+    val prev = foldWatermark(spark, storePath)
+    val hp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = fs.listStatus(hp).iterator
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
+      .foldLeft(prev)(math.max)
+    val folded = foldCountMin(spark, storePath, groupCols, cmCol, d, w)
+    graft.sources.Sources.swapDir(spark, storePath) { tmp =>
+      folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded_through"))
+      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   final case class EwmaEvent(key: String, ord: Long, value: Double)
   final case class EwmaOut(key: String, ord: Long, value: Double, ewma: Double)
 

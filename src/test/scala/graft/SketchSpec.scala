@@ -93,4 +93,73 @@ class SketchSpec extends SparkSpec {
       .select("kmv").as[Seq[Long]].head()
     assert(sks.length == 2, s"string keys wrong: $sks")
   }
+
+  // ---- Count-Min ----
+
+  private def freqData = {
+    // key i appears i+1 times, i in [0, 50)
+    spark.range(0, 50).select(col("id"),
+      explode(sequence(lit(0L), col("id"))).as("rep")).select("id")
+  }
+
+  test("count-min never underestimates; exact at wide w") {
+    val d = 4; val w = 64
+    val cm = graft.sketch.CountMin.sketch(freqData, Seq.empty, col("id"), d, w)
+    val est = freqData.distinct()
+      .crossJoin(cm)
+      .select(col("id"),
+        graft.sketch.CountMin.estimate(col("cm"), col("id"), d, w).as("est"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach { i =>
+      assert(est(i) >= i + 1, s"underestimate for $i: ${est(i)} < ${i + 1}")
+    }
+    // wide grid, 50 keys over 4 rows of 64: at least one collision-free
+    // row per key is not guaranteed, but total mass 1275 over w=64 bounds
+    // the overestimate by 2N/w with high probability
+    (0L until 50L).foreach { i =>
+      assert(est(i) - (i + 1) <= 2 * 1275 / w,
+        s"overestimate beyond CM bound for $i: ${est(i)} vs ${i + 1}")
+    }
+    // a genuinely wide grid IS exact: w=4096 ≫ 50 keys
+    val wide = graft.sketch.CountMin.sketch(freqData, Seq.empty, col("id"), d, 4096)
+    val exact = freqData.distinct().crossJoin(wide)
+      .select(col("id"),
+        graft.sketch.CountMin.estimate(col("cm"), col("id"), d, 4096).as("est"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach { i =>
+      assert(exact(i) == i + 1, s"wide grid not exact for $i: ${exact(i)}")
+    }
+  }
+
+  test("count-min merge(grid(A), grid(B)) == grid(A ∪ B) exactly") {
+    val d = 3; val w = 32
+    val a = ids(0, 4000).withColumn("g", lit("x"))
+    val b = ids(2000, 7000).withColumn("g", lit("x"))
+    val gA = graft.sketch.CountMin.sketch(a, Seq("g"), col("id"), d, w)
+    val gB = graft.sketch.CountMin.sketch(b, Seq("g"), col("id"), d, w)
+    val merged = graft.sketch.CountMin.merge(gA.unionByName(gB), Seq("g"), "cm", d, w)
+      .select("cm").as[Seq[Long]].head()
+    val direct = graft.sketch.CountMin.sketch(a.unionByName(b), Seq("g"),
+      col("id"), d, w).select("cm").as[Seq[Long]].head()
+    assert(merged == direct, "merged grid != union's direct grid")
+    // duplicate occurrences COUNT (frequency, not distinct): the union
+    // grid's total mass is |A| + |B|, overlap double-counted
+    assert(direct.sum == (4000 + 5000) * d,
+      s"grid mass ${direct.sum} != ${(4000 + 5000) * d}")
+  }
+
+  test("count-min plan shape: no Window, bounded partial fold below the shuffle") {
+    val cm = graft.sketch.CountMin.sketch(
+      ids(0, 10000).withColumn("g", pmod(col("id"), lit(4))),
+      Seq("g"), col("id"), 4, 64)
+    val plan = cm.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window in count-min plan:\n$plan")
+    assert(plan.contains("graft_cm_partial"),
+      s"bounded partial stage missing:\n$plan")
+    // nulls ignored
+    val withNull = Seq(Some(1L), None, Some(1L)).toDF("v")
+    val g = graft.sketch.CountMin.sketch(withNull, Seq.empty, col("v"), 2, 8)
+      .select("cm").as[Seq[Long]].head()
+    assert(g.sum == 2 * 2, s"null key counted: $g")
+  }
 }

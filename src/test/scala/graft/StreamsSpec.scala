@@ -785,4 +785,47 @@ class StreamsSpec extends SparkSpec {
       Streams.foldSketch(spark, s"$dir/store", Seq("cat"), "kmv", k))
     assert(afterReplay == direct, "replayed batch broke idempotence")
   }
+
+  test("maintainCountMin partials fold to the direct grid; watermark guards post-compaction replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.CountMin
+    val dir = Files.createTempDirectory("mcm").toString
+    val (d, w) = (3, 32)
+    val initial = (0L until 40L).map(i => ("a", i % 7)) ++
+      (0L until 10L).map(i => ("b", i))
+    Streams.seedCountMinStore(
+      CountMin.sketch(initial.toDF("cat", "id"), Seq("cat"), col("id"), d, w),
+      s"$dir/store")
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.maintainCountMin(mem.toDF().toDF("cat", "id"), Seq("cat"),
+      col("id"), d, w, s"$dir/store",
+      Files.createTempDirectory("mcm_ck").toString)
+    val batch1 = (30L until 60L).map(i => ("a", i % 5))
+    val batch2 = (0L until 25L).map(i => ("b", i % 3)) :+ (("c", 7L))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def gridMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().toMap
+    val all = (initial ++ batch1 ++ batch2).toDF("cat", "id")
+    val direct = gridMap(CountMin.sketch(all, Seq("cat"), col("id"), d, w))
+    val folded = gridMap(
+      Streams.foldCountMin(spark, s"$dir/store", Seq("cat"), "cm", d, w))
+    assert(folded == direct, "stream-folded grid != direct grid of all facts")
+
+    // compact, then replay an already-folded batch: WITHOUT the watermark
+    // the zip-sum would double-count batch2's rows — the filter must
+    // exclude ids at or below _folded_through
+    Streams.compactCountMinStore(spark, s"$dir/store", Seq("cat"), "cm", d, w)
+    assert(gridMap(Streams.foldCountMin(
+      spark, s"$dir/store", Seq("cat"), "cm", d, w)) == direct,
+      "compaction changed the folded grid")
+    CountMin.sketch(batch2.toDF("cat", "id"), Seq("cat"), col("id"), d, w)
+      .write.mode("overwrite").parquet(s"$dir/store/batch=1") // replayed dir
+    assert(gridMap(Streams.foldCountMin(
+      spark, s"$dir/store", Seq("cat"), "cm", d, w)) == direct,
+      "post-compaction replayed batch double-counted")
+  }
 }
