@@ -304,6 +304,48 @@ object Sampling {
     s"""row_number() OVER (PARTITION BY $stratumExpr
        |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr) <= $cap""".stripMargin
 
+  /** WEIGHT-PROPORTIONAL systematic sampling (Madow's method in exact
+    * integer arithmetic) — "sample documents ∝ token count / quality
+    * weight" made deterministic: lay the rows' integer weights end-to-end
+    * per stratum in the samplers' (arithBucket, id) admission order and
+    * keep every row whose weight interval (cum−w, cum] covers a multiple
+    * of `stride`. A row is kept with frequency ~w/stride (certainty when
+    * w ≥ stride), each stratum keeps ≤ ⌊total_w/stride⌋ rows — exactly
+    * that many when no single weight exceeds stride (the row intervals
+    * partition (0, total], one kept row per covered multiple) — and
+    * membership is a pure function of
+    * (ids, weights, stride): reproducible across runs, partitionings, and
+    * engines, where the float inverse-CDF draw of weighted reservoir /
+    * A-ES sampling could never hash-match. Rows with NULL or
+    * non-positive weight are never kept (their interval is empty).
+    *
+    * The running weight total is [[stratumCumSum]]'s range-partitioned
+    * two-phase prefix sum — no per-stratum Window sort; a dominant
+    * stratum spreads over many partitions at 100 TB. */
+  def weightedSystematicSample(df: DataFrame, stratumCol: String,
+                               idCol: String, weightCol: String,
+                               stride: Long): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    require(!df.columns.contains("graft_cum"),
+      "input already has a graft_cum column — rename it first")
+    stratumCumSum(df, stratumCol, idCol, col(weightCol), "graft_cum")
+      // positive weights keep both operands non-negative, so truncating
+      // `div` IS floor division in both engines
+      .filter(col(weightCol) > 0 &&
+        expr(s"graft_cum div $stride") >
+          expr(s"(graft_cum - $weightCol) div $stride"))
+      .drop("graft_cum")
+  }
+  /** DuckDB mirror of [[weightedSystematicSample]] — a QUALIFY conjunct
+    * (`//` is DuckDB's integer division). */
+  def weightedSystematicSampleSql(stratumExpr: String, idExpr: String,
+                                  weightExpr: String, stride: Long): String = {
+    val cum = s"""sum(CAST($weightExpr AS BIGINT)) OVER (PARTITION BY $stratumExpr
+                 |  ORDER BY ${arithBucketSql(idExpr)}, $idExpr
+                 |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    s"$weightExpr > 0 AND ($cum) // $stride > (($cum) - $weightExpr) // $stride"
+  }
+
   /** TEMPERATURE-weighted source rebalancing (the α < 1 mixture reweighting
     * of multilingual/multi-domain pretraining — downweight head sources,
     * upweight tail ones): stratum `s` gets

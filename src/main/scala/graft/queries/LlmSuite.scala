@@ -1427,6 +1427,19 @@ object LlmSuite extends Suite {
       Some(s"""SELECT doc_id, lang FROM documents
              |QUALIFY ${Sampling.capPerStratumSql("lang", "doc_id", 40L)}""".stripMargin)),
 
+    // WEIGHT-PROPORTIONAL sampling: keep documents ∝ n_chars (the "sample
+    // by token mass, not doc count" policy of pretraining mixtures) —
+    // Madow systematic sampling in exact integer arithmetic over the
+    // distributed prefix sum, per language. Deterministic where weighted
+    // reservoir draws are not; bit-for-bit against the window mirror.
+    "sample_weighted" -> Q(
+      (s, d) => Sampling.weightedSystematicSample(
+        docs(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", stride = 4000L),
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             |QUALIFY ${Sampling.weightedSystematicSampleSql(
+                 "lang", "doc_id", "n_chars", 4000L)}""".stripMargin)),
+
     // SLIDING-WINDOW CHUNKING: embedding-prep windows (200 chars, 40
     // overlap) — codegen sequence→transform→posexplode, scan-side, no
     // shuffle; byte-for-byte hash-checked against the unnest(range())

@@ -840,6 +840,42 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"per-stratum window survived:\n$plan")
   }
 
+  test("weightedSystematicSample: interval-cover counts, certainty rows, partition-invariant, no Window") {
+    import graft.llm.Sampling
+    val in = docs.select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("w"))
+    val stride = 1500L
+    val kept = Sampling.weightedSystematicSample(in, "lang", "doc_id", "w", stride)
+      .as[(Long, String, Long)].collect().toSet
+    // per-stratum kept count: ≤ ⌊total/stride⌋, and ≥ that minus the rows
+    // whose interval covers 2+ multiples (only weights > stride can)
+    val rows = in.as[(Long, String, Long)].collect()
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val total = rs.map(_._3).sum
+      val big = rs.count(_._3 > stride)
+      val n = keptBy.getOrElse(lang, 0L)
+      assert(n <= total / stride, s"$lang kept $n > ${total / stride}")
+      assert(n >= total / stride - big,
+        s"$lang kept $n < ${total / stride} - $big")
+    }
+    // certainty: every row with weight ≥ stride is kept
+    val heavy = rows.filter(_._3 >= stride).map(_._1).toSet
+    assert(heavy.subsetOf(kept.map(_._1)),
+      s"certainty rows missing: ${(heavy -- kept.map(_._1)).take(5)}")
+    // zero/NULL weights never keep
+    val zeroed = Sampling.weightedSystematicSample(
+      Seq((1L, "x", 0L), (2L, "x", 5L)).toDF("doc_id", "lang", "w"),
+      "lang", "doc_id", "w", 1L).as[(Long, String, Long)].collect()
+    assert(zeroed.map(_._1).toSet == Set(2L), "zero-weight row admitted")
+    // partition-invariant, no per-stratum Window
+    val reparted = Sampling.weightedSystematicSample(
+      in.repartition(13), "lang", "doc_id", "w", stride)
+    assert(reparted.as[(Long, String, Long)].collect().toSet == kept)
+    val plan = reparted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-stratum window survived:\n$plan")
+  }
+
   test("chunkTexts: full coverage, exact overlap, short/empty/null docs") {
     val in = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz"), // 26 chars: 3 windows at stride 8
