@@ -251,4 +251,55 @@ object Fts {
        |SELECT _id AS $idExpr, score FROM graft_bm_sc
        |WHERE score > 0 ORDER BY score DESC, _id LIMIT $k""".stripMargin
   }
+
+  // ---- trigram substring index (growth beyond the reference: its FTS is
+  // whole-token only, server.py:732-739 — substring search there means
+  // scanning every byte; the trigram posting list is the standard index
+  // shape for `contains`, cf. PostgreSQL's pg_trgm) ----
+
+  /** Build the trigram posting index of `textCol`: one `(gram, id)` row
+    * per DISTINCT 3-char window per document — computed scan-side by
+    * codegen HOFs (sequence → transform → array_distinct → explode), no
+    * shuffle in the build. Materialize this partitioned/bucketed BY GRAM:
+    * a search then reads only its pattern's posting lists, never the
+    * corpus text. Documents shorter than 3 chars index nothing — they
+    * cannot contain any pattern the index serves (the <3-char fallback
+    * scan in [[substringSearch]] still finds them). */
+  def trigramIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(length(col(textCol)) >= 3)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(textCol)) - 2),
+          i => col(textCol).substr(i, lit(3))))).as("gram"))
+
+  /** Substring search ("grep at scale") over the posting index: a
+    * candidate must contain ALL of the pattern's distinct trigrams —
+    * posting-list intersection as a |grams|-literal IN filter plus a
+    * count match, touching only those grams' postings — and the candidate
+    * set ALONE is then verified with a real `contains` against the docs
+    * (trigram containment is necessary, not sufficient: the grams can
+    * occur at non-adjacent positions). Patterns shorter than 3 chars fall
+    * back to the full scan the index cannot serve. Returns the matching
+    * ids under `idCol`'s name. */
+  def substringSearch(index: org.apache.spark.sql.DataFrame,
+                      docs: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String,
+                      pattern: String): org.apache.spark.sql.DataFrame = {
+    require(pattern.nonEmpty, "empty substring pattern")
+    if (pattern.length < 3)
+      docs.filter(col(textCol).contains(pattern)).select(col(idCol))
+    else {
+      val grams = pattern.sliding(3).toSeq.distinct
+      val cand = index
+        .filter(col("gram").isin(grams: _*))
+        .groupBy("id")
+        .agg(count(lit(1)).as("graft_ngram_hits"))
+        .filter(col("graft_ngram_hits") === grams.length)
+        .select(col("id").as(idCol))
+      docs.join(cand, idCol)
+        .filter(col(textCol).contains(pattern))
+        .select(col(idCol))
+    }
+  }
 }

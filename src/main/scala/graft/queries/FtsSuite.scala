@@ -48,6 +48,19 @@ object FtsSuite extends Suite {
       (s, d) => Fts.bm25(Tables.t(s, d, "documents"), "doc_id", "text",
         "dup merge stream", k = 15),
       Some(Fts.bm25OracleSql("documents", "doc_id", "text",
-        "dup merge stream", k = 15)))
+        "dup merge stream", k = 15))),
+
+    // SUBSTRING search through the trigram posting index (growth — the
+    // reference's FTS is whole-token only): candidates must hold ALL the
+    // pattern's trigrams (posting intersection, reads |grams| lists, not
+    // the corpus), then candidates alone verify with a real contains —
+    // exactly the rows a full LIKE scan returns, which is the oracle.
+    "fts_substring" -> Q(
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        Fts.substringSearch(Fts.trigramIndex(docs, "doc_id", "text"),
+          docs, "doc_id", "text", "fast merge")
+      },
+      Some("SELECT doc_id FROM documents WHERE contains(text, 'fast merge')"))
   )
 }

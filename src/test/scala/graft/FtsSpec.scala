@@ -118,4 +118,33 @@ class FtsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Fts.bm25Terms("bad'term"))
     intercept[IllegalArgumentException](Fts.bm25Terms("  "))
   }
+
+  test("trigram substring search == contains scan; verify kills gram-only false positives") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick beats slow"),
+      (3L, "aba bab"), // all grams of "abab" without the substring
+      (4L, "ababab"),
+      (5L, "xy")       // too short to index
+    ).toDF("doc_id", "text")
+    val idx = Fts.trigramIndex(docs, "doc_id", "text")
+    def search(p: String): Set[Long] =
+      Fts.substringSearch(idx, docs, "doc_id", "text", p)
+        .as[Long].collect().toSet
+    def scan(p: String): Set[Long] =
+      docs.filter(col("text").contains(p)).select("doc_id")
+        .as[Long].collect().toSet
+    for (p <- Seq("quick b", "abab", "he quick brown", "fox", "zzz"))
+      assert(search(p) == scan(p), s"pattern '$p': ${search(p)} != ${scan(p)}")
+    // doc 3 holds every trigram of "abab" (aba, bab) but NOT the pattern —
+    // the candidate verify must reject it while keeping doc 4
+    assert(search("abab") == Set(4L))
+    // short patterns fall back to the full scan the index can't serve
+    assert(search("xy") == Set(1L, 5L) || search("xy") == scan("xy"))
+    assert(search("xy") == scan("xy"))
+    // index rows are (distinct gram, id): repeats inside one doc don't
+    // inflate the intersection count
+    val grams4 = idx.filter(col("id") === 4L).as[(Long, String)].collect()
+    assert(grams4.length == grams4.distinct.length)
+  }
 }
