@@ -341,6 +341,32 @@ object TimeSuite extends Suite {
              |SELECT cohort, week - cohort AS week_offset,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM w JOIN c USING (user_id)
-             |GROUP BY cohort, week_offset""".stripMargin))
+             |GROUP BY cohort, week_offset""".stripMargin)),
+
+    // Z-SCORE outlier flagging per (event_type, day) — |x − mean| > 3σ in
+    // EXACT integer arithmetic over cent-scaled values: the inequality is
+    // cross-multiplied to (n·x − Σ)² > 9·(n·Σx² − Σ²), no division and no
+    // float, so the flagged set hash-matches where a (x-avg)/stddev
+    // comparison could flip rows one ULP from the threshold. Plan: one
+    // partial-agg shuffle for the per-group stats, broadcast back, filter
+    // scan-side (operators.Anomaly scaladoc has the overflow contract).
+    "time_zscore" -> Q(
+      (s, d) => {
+        val ev = Tables.t(s, d, "events").select(col("event_id"),
+          col("event_type"), expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        graft.operators.Anomaly.zscoreOutliers(
+            ev, Seq("event_type", "day"), "c", k = 3)
+          .select("event_id", "event_type", "c")
+      },
+      Some(s"""WITH e AS (SELECT event_id, event_type,
+              |    epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+              |g AS (SELECT event_type, day, CAST(count(c) AS BIGINT) AS n,
+              |    sum(c) AS s, sum(c * c) AS q
+              |  FROM e GROUP BY 1, 2)
+              |SELECT event_id, event_type, c
+              |FROM e JOIN g USING (event_type, day)
+              |WHERE ${graft.operators.Anomaly.predicateSql("n", "s", "q", "c", 3)}""".stripMargin))
   )
 }

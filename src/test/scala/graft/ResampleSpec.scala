@@ -82,4 +82,28 @@ class ResampleSpec extends SparkSpec {
         .select("ewma").as[Double].collect().toSeq
     assert(tailVals(spike) == tailVals(flat), "window truncation leaked")
   }
+
+  test("zscoreOutliers flags exactly |z| > k; σ=0 and NULLs safe; stats broadcast") {
+    import graft.operators.Anomaly
+    // group a: 20 values near 100 plus one 10000 spike — only the spike
+    // has |z| > 3; group b all-equal (σ = 0) flags nothing; NULL ignored
+    val a = (1L to 20L).map(i => ("a", i, Some(100L + i))) :+ (("a", 99L, Some(10000L)))
+    val b = (1L to 5L).map(i => ("b", 100L + i, Some(7L)))
+    val n = Seq(("a", 98L, Option.empty[Long]))
+    val df = (a ++ b ++ n).toDF("g", "id", "v")
+    val flagged = Anomaly.zscoreOutliers(df, Seq("g"), "v", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(99L), s"flagged $flagged")
+    // reference check vs float z-scores on group a
+    val vals = a.map(_._3.get.toDouble)
+    val mean = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(x => (x - mean) * (x - mean)).sum / vals.size)
+    val refFlag = a.filter(r => math.abs(r._3.get - mean) > 3 * sd).map(_._2).toSet
+    assert(refFlag == Set(99L), s"fixture degenerate: $refFlag")
+    // per-group stats ride a broadcast join — the fact side never
+    // re-shuffles on the group key for the probe
+    val plan = Anomaly.zscoreOutliers(df, Seq("g"), "v", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
