@@ -268,6 +268,77 @@ object TextAnalysis {
           .as("bits_per_token"))
   }
 
+  /** Bigram LM surprisal with Stupid-Backoff-style fallback, in whole bits
+    * (exact integer arithmetic — same floor-log2 trick as
+    * [[unigramSurprisal]], so Spark and DuckDB can never drift). The
+    * CCNet/KenLM perplexity-bucket filter shape (reference tokenization:
+    * /root/reference/server.py:732-739), upgraded from unigram to bigram
+    * context with a held-out split so the backoff path is real:
+    *
+    *  - model trains on the `trainPred` subset of the corpus (bigram +
+    *    unigram counts, total N);
+    *  - token 1 of a doc scores by unigram: ⌊log2 N⌋ − ⌊log2 c(w)⌋, or
+    *    ⌊log2 N⌋ + 1 when w is out-of-vocabulary (count-1 + 1-bit penalty);
+    *  - token i>1 scores by conditional bigram ⌊log2 c(w_{i−1})⌋ −
+    *    ⌊log2 c(w_{i−1}w_i)⌋ when the bigram was seen, else BACKS OFF to
+    *    the unigram score + a 1-bit penalty (the integer stand-in for
+    *    Stupid Backoff's ×0.4 ≈ +1.32 bits; exactness beats fidelity here).
+    *
+    * Returns (id, bits, n_tokens, n_backoff, bits_per_token); `n_backoff`
+    * is itself a useful novelty signal (how much of the doc steps off the
+    * training distribution).
+    *
+    * Plan: one explode to (prev, cur) pairs via a shifted `arrays_zip` —
+    * scan-side, no self-join on position — then two count aggregations
+    * over the TRAIN subset (vocab- and bigram-vocab-bounded), three
+    * term-keyed joins back, one per-doc groupBy. At 100 TB the unigram
+    * side always broadcasts; the bigram table is corpus-bounded but ≪
+    * corpus (heavy-tail cutoff: it holds distinct pairs, not occurrences)
+    * — AQE broadcasts it when it fits and falls back to a shuffle-hash
+    * join on the pair key otherwise. Every aggregation is partial
+    * (map-side combine), so the shuffles move vocab-sized data, not
+    * corpus-sized. */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, trainPred: Column): org.apache.spark.sql.DataFrame = {
+    val l = tokens(lower(col(textCol)))
+    // prev-shifted zip: position i pairs (token i−1 | null, token i)
+    val prevArr = concat(array(lit(null).cast("string")), slice(l, lit(1), size(l) - 1))
+    val pairs = df.select(col(idCol), trainPred.as("is_train"),
+      explode(arrays_zip(prevArr.as("prev"), l.as("cur"))).as("p"))
+      .select(col(idCol), col("is_train"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val train = pairs.filter(col("is_train"))
+    val uni = train.groupBy(col("cur").as("term")).agg(count(lit(1)).as("ucnt"))
+    // total train tokens from the vocab-bounded table, not a second pass
+    val n = uni.agg(sum(col("ucnt")).as("n"))
+    val bi = train.filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("bprev"), col("cur").as("bcur"))
+      .agg(count(lit(1)).as("bcnt"))
+    val uc = uni.select(col("term").as("c_term"), col("ucnt").as("c_cnt"))
+    val up = uni.select(col("term").as("p_term"), col("ucnt").as("p_cnt"))
+    // ⌊log2 x⌋ = length(bin(x)) − 1; the −1s cancel in every difference,
+    // and the OOV penalty folds to exactly length(bin(N))
+    val uniBits = when(col("c_cnt").isNull, length(bin(col("n"))))
+      .otherwise(length(bin(col("n"))) - length(bin(col("c_cnt"))))
+    val s = when(col("prev").isNotNull && col("bcnt").isNotNull,
+        length(bin(col("p_cnt"))) - length(bin(col("bcnt"))))
+      .when(col("prev").isNotNull, lit(1) + uniBits)
+      .otherwise(uniBits)
+    val backoff = when(col("prev").isNotNull && col("bcnt").isNull, 1L).otherwise(0L)
+    pairs
+      .join(uc, col("cur") === col("c_term"), "left")
+      .join(up, col("prev") === col("p_term"), "left")
+      .join(bi, col("prev") === col("bprev") && col("cur") === col("bcur"), "left")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), s.cast("long").as("s"), backoff.as("backoff"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s")).as("bits"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("backoff")).as("n_backoff"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+          .as("bits_per_token"))
+  }
+
   /** Quality score in [0,1]: integer-ratio components only (token count,
     * mean word length band, stopword ratio) so Spark and DuckDB compute
     * bit-identical doubles; rounded to 4 anyway. */

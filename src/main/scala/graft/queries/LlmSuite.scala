@@ -437,6 +437,58 @@ object LlmSuite extends Suite {
              |FROM t JOIN c USING (term) CROSS JOIN n
              |GROUP BY doc_id""".stripMargin)),
 
+    // bigram LM with Stupid-Backoff fallback, exact integer bits: trained
+    // on the doc_id%5≠0 split, scored over everything, so held-out docs
+    // really exercise the OOV and backoff branches. Planted tokens make
+    // that deterministic: ' u<doc_id>' is unique (OOV off-split) and
+    // ' z<doc_id%7>' is a common unigram behind an unseen bigram (backoff
+    // with in-vocab fallback). n_backoff doubles as the novelty signal.
+    "text_lm_backoff" -> Q(
+      (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" u"), col("doc_id"),
+            lit(" z"), col("doc_id") % 7).as("text"))
+        TextAnalysis.bigramSurprisal(aug, "text", "doc_id",
+          col("doc_id") % 5 =!= 0)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' u' || doc_id || ' z' || (doc_id % 7)
+             |    AS text FROM documents),
+             |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM aug),
+             |pc AS (
+             |  SELECT doc_id, p[1] AS prev, p[2] AS cur FROM (
+             |    SELECT doc_id,
+             |      unnest(list_zip(list_prepend(NULL, l[1:len(l)-1]), l)) AS p
+             |    FROM tok)),
+             |train AS (SELECT * FROM pc WHERE doc_id % 5 <> 0),
+             |uni AS (SELECT cur AS term, count(*) AS cnt FROM train GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM train),
+             |bi AS (SELECT prev, cur, count(*) AS cnt FROM train
+             |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT pc.doc_id,
+             |    CASE
+             |      WHEN pc.prev IS NOT NULL AND bi.cnt IS NOT NULL
+             |        THEN length(bin(up.cnt)) - length(bin(bi.cnt))
+             |      WHEN pc.prev IS NOT NULL
+             |        THEN 1 + CASE WHEN uc.cnt IS NULL THEN length(bin(n.n))
+             |                      ELSE length(bin(n.n)) - length(bin(uc.cnt)) END
+             |      ELSE CASE WHEN uc.cnt IS NULL THEN length(bin(n.n))
+             |                ELSE length(bin(n.n)) - length(bin(uc.cnt)) END
+             |    END AS s,
+             |    CASE WHEN pc.prev IS NOT NULL AND bi.cnt IS NULL
+             |      THEN 1 ELSE 0 END AS backoff
+             |  FROM pc
+             |  LEFT JOIN uni uc ON pc.cur = uc.term
+             |  LEFT JOIN uni up ON pc.prev = up.term
+             |  LEFT JOIN bi ON pc.prev = bi.prev AND pc.cur = bi.cur
+             |  CROSS JOIN n)
+             |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bits,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+             |  round(sum(s)::DOUBLE / count(*), 4) AS bits_per_token
+             |FROM scored GROUP BY doc_id""".stripMargin)),
+
     // blocklist gate (C4 badwords-filter shape): word-boundary blocklist
     // hits on terms planted from doc_id + the keep decision. The
     // non-capturing alternation stays in the Java∩RE2 subset.

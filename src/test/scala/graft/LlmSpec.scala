@@ -898,4 +898,28 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
   }
+
+  test("bigramSurprisal: branch semantics on a hand-checked corpus") {
+    // train = docs 1,2 ("a b", "a b"); held-out doc 3 = "a b c a"
+    //   N=4; c(a)=2, c(b)=2; bigram c(a,b)=2
+    val in = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(in, "text", "doc_id",
+        col("doc_id") =!= 3L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 'a' first-token uni = ⌊lg 4⌋−⌊lg 2⌋ = 1; 'b' after 'a' bigram
+    //   = ⌊lg c(a)⌋−⌊lg c(ab)⌋ = 0 → bits 1, no backoff
+    assert(out(1L) == ((1L, 1L, 2L, 0L, 0.5)), s"${out(1L)}")
+    // doc 3 "a b c a": a→1; (a,b) seen→0; (b,c): bigram unseen, c OOV →
+    //   1 + length(bin(4)) = 4; (c,a): bigram unseen, a in-vocab →
+    //   1 + (⌊lg4⌋−⌊lg2⌋) = 2 → bits 7, two backoffs
+    assert(out(3L)._2 == 7L && out(3L)._4 == 2L,
+      s"held-out scoring: ${out(3L)}")
+    // partition-invariance: exact integers can't drift with layout
+    val reparted = TextAnalysis.bigramSurprisal(in.repartition(7), "text",
+        "doc_id", col("doc_id") =!= 3L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(reparted == out.values.toSet)
+  }
 }
