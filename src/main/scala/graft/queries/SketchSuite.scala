@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.sketch.{CountMin, Kmv}
+import graft.sketch.{CountMin, Kmv, MisraGries}
 
 /** KMV distinct-count sketches (graft.sketch.Kmv) — mergeable cardinality
   * summaries. Every query here is hash-checked: the sketch machinery is
@@ -27,6 +27,24 @@ object SketchSuite extends Suite {
     Tables.t(s, d, "documents")
 
   def defs: Map[String, Q] = Map(
+
+    // EXACT heavy hitters over the token stream: Misra-Gries candidate
+    // pruning (k counters per task — never a domain-sized shuffle) then
+    // an exact count restricted to the candidates, so the result is
+    // bit-identical to the naive HAVING plan the oracle runs. k=64 keeps
+    // the ~31-word common vocab above threshold and the planted
+    // u<doc_id> singletons below it at every driver SF.
+    "heavy_hitters" -> Q(
+      (s, d) => {
+        val terms = docs(s, d).select(
+          explode(split(lower(col("text")), " ")).as("term"))
+        MisraGries.heavyHittersExact(terms, "term", 64)
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             |          FROM documents)
+             |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+             |FROM t GROUP BY term
+             |HAVING count(*) * 64 > (SELECT count(*) FROM t)""".stripMargin)),
 
     // distinct users per event type: sketch estimate next to the exact
     // count — the error-visible data-card row. 100 TB: the sketch build

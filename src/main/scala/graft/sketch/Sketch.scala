@@ -274,3 +274,129 @@ object CountMin {
   def estimateSql(cm: String, c: String, d: Int, w: Int): String =
     s"least(${(0 until d).map(i => s"$cm[${slotSql(c, i, w)} + 1]").mkString(", ")})"
 }
+
+/** Misra-Gries heavy hitters (Misra & Gries 1982; mergeable form per
+  * Agarwal et al., "Mergeable Summaries") — the deterministic counter
+  * sibling of [[CountMin]], plus the EXACT two-phase heavy-hitter operator
+  * built on it.
+  *
+  * Why not a plain `groupBy(key).count().filter(cnt > n/k)`: at 100 TB
+  * over a high-cardinality key (n-gram vocab, URLs, user ids) the naive
+  * plan shuffles one partial-count row PER DISTINCT KEY — the shuffle is
+  * domain-sized. Misra-Gries keeps k counters per partition (any key with
+  * global frequency > n/(k+1) is guaranteed to survive in at least one
+  * partition's counters — if Σcountₚ(x) > Σnₚ/(k+1) then some partition
+  * has countₚ(x) > nₚ/(k+1), which MG retains), so the candidate set is
+  * ≤ k·nPartitions rows no matter the domain. [[heavyHittersExact]] then
+  * verifies candidates with an exact count restricted to them: the
+  * output is EXACT (hence partition-invariant and oracle-checkable
+  * against a plain HAVING query) while the only domain-sized structure
+  * ever built is k counters per task.
+  *
+  * The summary form is MERGEABLE with bookkept error: an MG run that
+  * performed d decrement rounds under-counts any key by at most d (each
+  * round subtracts 1 from k counters plus the arriving item, so
+  * n = Σcnt + d·(k+1) exactly — d is recoverable from the stored rows).
+  * Summing per-key counts across summaries keeps `est ≤ true ≤ est + Σd`,
+  * which is what [[graft.streaming.Streams.maintainHeavyHitters]] folds
+  * across micro-batches. Reference scope: the reference has no sketches
+  * (exact scans only, server.py) — pipeline growth per the builder brief.
+  */
+object MisraGries {
+
+  /** MG summary of `df[keyCol]` (nulls ignored): one row per surviving
+    * key with columns (keyCol, cnt, err, n) where `err` (the total
+    * decrement mass — identical on every row) bounds the per-key
+    * under-count and `n` is the total occurrence count:
+    * `cnt ≤ true ≤ cnt + err` for present keys, `true ≤ err` for absent
+    * ones. Phase 1 is a bounded per-partition counter fold (k live
+    * counters per task); phase 2 shuffles only the ≤ k·nPart survivors
+    * (per-key sums — no second pruning, so the error bound stays the sum
+    * of per-partition decrement counts). */
+  def summary(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    // per-partition MG: rows (key, cnt, 0, 0) for survivors + one meta row
+    // (null, 0, d_p, n_p) carrying the partition's decrement/total counts
+    val partials = keyed.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Any, Long]
+      var dec = 0L
+      var n = 0L
+      it.foreach { r =>
+        val x = r.get(0)
+        n += 1L
+        m.get(x) match {
+          case Some(c) => m.update(x, c + 1L)
+          case None if m.size < k => m.update(x, 1L)
+          case None =>
+            // decrement round: the arriving item and every counter lose 1
+            dec += 1L
+            val dead = m.iterator.collect { case (key, 1L) => key }.toList
+            m.mapValuesInPlace((_, c) => c - 1L)
+            dead.foreach(m.remove)
+        }
+      }
+      m.iterator.map { case (key, c) => Row(key, c, 0L, 0L) } ++
+        Iterator.single(Row(null, 0L, dec, n))
+    }
+    val schema = StructType(Seq(
+      keyed.schema.fields.head.copy(nullable = true),
+      StructField("cnt", LongType, nullable = false),
+      StructField("graft_mg_dec", LongType, nullable = false),
+      StructField("graft_mg_n", LongType, nullable = false)))
+    val pdf = spark.createDataFrame(partials, schema)
+    val meta = pdf.agg(sum(col("graft_mg_dec")).as("err"),
+      sum(col("graft_mg_n")).as("n"))
+    pdf.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(sum(col("cnt")).as("cnt"))
+      .crossJoin(broadcast(meta))
+  }
+
+  /** Fold MERGED summary rows (the [[summary]] schema, possibly from many
+    * summaries concatenated) into one: per-key count sums plus the sum of
+    * each distinct source summary's `err`/`n`. `srcCol` distinguishes the
+    * source summaries (e.g. the store's `batch` partition column). The
+    * bound survives the fold: est ≤ true ≤ est + folded err. */
+  def fold(summaries: DataFrame, keyCol: String, srcCol: String): DataFrame = {
+    val meta = summaries.groupBy(col(srcCol))
+      .agg(first(col("err")).as("e"), first(col("n")).as("bn"))
+      .agg(coalesce(sum(col("e")), lit(0L)).as("err"),
+        coalesce(sum(col("bn")), lit(0L)).as("n"))
+    summaries.groupBy(col(keyCol)).agg(sum(col("cnt")).as("cnt"))
+      .crossJoin(broadcast(meta))
+  }
+
+  /** Prune a folded summary back to ≤ k rows, Agarwal-style: subtract the
+    * (k+1)-th largest count from every counter, drop the non-positive,
+    * charge the subtraction to `err`. Deterministic; keeps the
+    * est ≤ true ≤ est + err contract. No-op when ≤ k rows survive as-is. */
+  def prune(summary: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val s = summary.select(col("cnt")).orderBy(col("cnt").desc)
+      .limit(k + 1).collect() // ≤ k+1 longs — driver-bounded by contract
+    if (s.length <= k) summary
+    else {
+      val sub = s.last.getLong(0)
+      summary.filter(col("cnt") > sub)
+        .select(col(keyCol), (col("cnt") - sub).as("cnt"),
+          (col("err") + sub).as("err"), col("n"))
+    }
+  }
+
+  /** EXACT heavy hitters: every key with frequency STRICTLY above n/k,
+    * with its exact count — `(keyCol, cnt)`, deterministic and
+    * partition-invariant. Phase 1 prunes to MG candidates (a guaranteed
+    * superset of keys above n/(k+1) ⊇ above n/k); phase 2 semi-joins the
+    * facts to the broadcast candidate set and counts exactly — the only
+    * full-domain aggregation is restricted to ≤ k·nPart candidate keys. */
+  def heavyHittersExact(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val s = summary(df, keyCol, k)
+    val n = s.select(col("n")).limit(1)
+    df.filter(col(keyCol).isNotNull)
+      .join(broadcast(s.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k > col("n"))
+      .select(col(keyCol), col("cnt"))
+  }
+}

@@ -755,6 +755,73 @@ object Streams {
     }
   }
 
+  /** Streaming Misra-Gries heavy-hitter maintenance: each micro-batch
+    * writes its bounded MG summary ([[graft.sketch.MisraGries.summary]] —
+    * ≤ k·tasks rows with exact error bookkeeping) under `batch=<id>`;
+    * [[foldHeavyHitters]] folds live partials into one summary OF
+    * EVERYTHING INGESTED with `est ≤ true ≤ est + err` still exact.
+    * Same replay/compaction contract as [[maintainCountMin]]: counter
+    * sums are associative but not idempotent, so a replayed batch
+    * overwrites its own dir and compaction records `_folded_through`. */
+  def maintainHeavyHitters(stream: DataFrame, keyCol: String, k: Int,
+                           storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sketch.MisraGries.summary(batch, keyCol, k)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold every live per-batch MG summary into the all-ingested summary
+    * (key, cnt, err, n): per-key count lower bounds with the folded
+    * error bound and total. Batches at or below the compaction watermark
+    * live inside the batch=-1 seed and are excluded. */
+  def foldHeavyHitters(spark: SparkSession, storePath: String,
+                       keyCol: String): DataFrame = {
+    val wm = foldWatermark(spark, storePath)
+    graft.sketch.MisraGries.fold(
+      spark.read.parquet(storePath)
+        .filter(col("batch") === -1 || col("batch") > wm),
+      keyCol, "batch")
+  }
+
+  /** Candidate heavy hitters from the folded store: every key whose count
+    * COULD exceed n/k given the error bound, i.e. (est + err)·k > n — a
+    * guaranteed superset of the true heavy hitters (no false negatives;
+    * est is still each key's exact lower bound). */
+  def heavyHittersFromStore(spark: SparkSession, storePath: String,
+                            keyCol: String, k: Int): DataFrame =
+    foldHeavyHitters(spark, storePath, keyCol)
+      .filter((col("cnt") + col("err")) * k > col("n"))
+      .select(col(keyCol), col("cnt"), col("err"), col("n"))
+
+  /** Fold + prune accumulated MG partials into one ≤ k-row batch=-1 seed
+    * (pruning charges the subtracted mass to `err`, keeping the bound
+    * exact) plus the `_folded_through` marker. Run while the stream is
+    * stopped; crash-safe via the swapDir protocol. */
+  def compactHeavyHitterStore(spark: SparkSession, storePath: String,
+                              keyCol: String, k: Int): Unit = {
+    val prev = foldWatermark(spark, storePath)
+    val hp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = fs.listStatus(hp).iterator
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
+      .foldLeft(prev)(math.max)
+    val folded = graft.sketch.MisraGries.prune(
+      foldHeavyHitters(spark, storePath, keyCol), keyCol, k)
+    graft.sources.Sources.swapDir(spark, storePath) { tmp =>
+      folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded_through"))
+      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   final case class EwmaEvent(key: String, ord: Long, value: Double)
   final case class EwmaOut(key: String, ord: Long, value: Double, ewma: Double)
 

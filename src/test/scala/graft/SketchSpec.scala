@@ -162,4 +162,58 @@ class SketchSpec extends SparkSpec {
       .select("cm").as[Seq[Long]].head()
     assert(g.sum == 2 * 2, s"null key counted: $g")
   }
+
+  test("misra-gries: exact accounting, bounds, and heavyHittersExact ≡ naive plan") {
+    import graft.sketch.MisraGries
+    // 500×h1 + 120×h2 + 1000 singletons, shuffled deterministically
+    val rows = (Seq.fill(500)("h1") ++ Seq.fill(120)("h2") ++
+      (0 until 1000).map(i => s"s$i")).sortBy(_.hashCode)
+    val df = rows.toDF("key").repartition(11)
+    val n = rows.length.toLong
+    val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    val k = 16
+    val s = MisraGries.summary(df, "key", k)
+      .as[(String, Long, Long, Long)].collect()
+    val err = s.head._3
+    assert(s.forall(_._4 == n), "n mismatch")
+    // mass conservation: every decrement round removes exactly k+1
+    assert(n - s.map(_._2).sum == err * (k + 1),
+      s"accounting broken: n=$n sum=${s.map(_._2).sum} err=$err")
+    // est ≤ true ≤ est + err for present keys; true ≤ err for absent
+    s.foreach { case (key, cnt, e, _) =>
+      assert(cnt <= truth(key) && truth(key) <= cnt + e, s"bound broken at $key") }
+    val present = s.map(_._1).toSet
+    truth.foreach { case (key, t) =>
+      if (!present(key)) assert(t <= err, s"absent key $key true=$t > err=$err") }
+
+    // exact two-phase result ≡ naive groupBy-HAVING, partition-invariant
+    def naive(kk: Int) = df.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * kk > n).as[(String, Long)].collect().toSet
+    for (kk <- Seq(4, 8, 64)) {
+      val hh = MisraGries.heavyHittersExact(df, "key", kk)
+        .as[(String, Long)].collect().toSet
+      assert(hh == naive(kk), s"k=$kk: $hh != ${naive(kk)}")
+      val hh2 = MisraGries.heavyHittersExact(df.repartition(3), "key", kk)
+        .as[(String, Long)].collect().toSet
+      assert(hh2 == hh, s"k=$kk not partition-invariant")
+    }
+    // k=4 ⇒ threshold 405 ⇒ exactly h1; k=8 ⇒ 202.5 ⇒ h1; k=64 ⇒ ~25 ⇒ h1,h2
+    assert(naive(4) == Set(("h1", 500L)) && naive(64).map(_._1) == Set("h1", "h2"))
+
+    // fold of two summaries keeps the bound; prune keeps it and caps rows
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val sa = MisraGries.summary(half1.toDF("key"), "key", k).withColumn("src", lit(0))
+    val sb = MisraGries.summary(half2.toDF("key"), "key", k).withColumn("src", lit(1))
+    val folded = MisraGries.fold(sa.unionByName(sb), "key", "src")
+    val f = folded.as[(String, Long, Long, Long)].collect()
+    assert(f.head._4 == n)
+    f.foreach { case (key, cnt, e, _) =>
+      assert(cnt <= truth(key) && truth(key) <= cnt + e, s"fold bound at $key") }
+    val pruned = MisraGries.prune(folded, "key", k)
+      .as[(String, Long, Long, Long)].collect()
+    assert(pruned.length <= k, s"prune left ${pruned.length} rows")
+    pruned.foreach { case (key, cnt, e, _) =>
+      assert(cnt <= truth(key) && truth(key) <= cnt + e, s"prune bound at $key") }
+  }
 }

@@ -828,4 +828,45 @@ class StreamsSpec extends SparkSpec {
       spark, s"$dir/store", Seq("cat"), "cm", d, w)) == direct,
       "post-compaction replayed batch double-counted")
   }
+
+  test("maintainHeavyHitters: folded bounds stay exact across batches and compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mhh").toString
+    val k = 8
+    val mem = MemoryStream[String]
+    val q = Streams.maintainHeavyHitters(mem.toDF().toDF("key"), "key", k,
+      s"$dir/store", Files.createTempDirectory("mhh_ck").toString)
+    val batch1 = Seq.fill(60)("hot") ++ (0 until 40).map(i => s"a$i")
+    val batch2 = Seq.fill(30)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 30).map(i => s"b$i")
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = batch1 ++ batch2
+    val truth = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = all.length.toLong
+    def check(tag: String): Unit = {
+      val f = Streams.foldHeavyHitters(spark, s"$dir/store", "key")
+        .as[(String, Long, Long, Long)].collect()
+      assert(f.head._4 == n, s"$tag: n=${f.head._4} != $n")
+      f.foreach { case (key, cnt, e, _) =>
+        assert(cnt <= truth(key) && truth(key) <= cnt + e, s"$tag bound at $key") }
+      val absent = truth.keySet -- f.map(_._1).toSet
+      absent.foreach(key => assert(truth(key) <= f.head._3, s"$tag absent $key"))
+      // candidate report: no false negatives vs the true > n/k set
+      val trueHh = truth.filter { case (_, c) => c * k > n }.keySet
+      val cands = Streams.heavyHittersFromStore(spark, s"$dir/store", "key", k)
+        .as[(String, Long, Long, Long)].collect().map(_._1).toSet
+      assert(trueHh.subsetOf(cands), s"$tag missed: ${trueHh -- cands}")
+    }
+    check("pre-compaction")
+    Streams.compactHeavyHitterStore(spark, s"$dir/store", "key", k)
+    check("post-compaction")
+    // replayed already-folded batch must be excluded by the watermark
+    graft.sketch.MisraGries.summary(batch2.toDF("key"), "key", k)
+      .write.mode("overwrite").parquet(s"$dir/store/batch=1")
+    check("post-compaction replay")
+  }
 }
