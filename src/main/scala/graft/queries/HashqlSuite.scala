@@ -75,6 +75,45 @@ object HashqlSuite extends Suite {
       Some("""SELECT o_orderkey, o_orderpriority FROM orders
              |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin)),
 
+    // IN (SELECT …): membership subquery planned as a LEFT SEMI join
+    // with a broadcast-able dimension side — the 100 TB shape of the
+    // "filter facts by a dimension predicate" idiom.
+    "hashql_in_subquery" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_nationkey in " +
+          "(select nation.n_nationkey from nation where nation.n_regionkey = 2)"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_nationkey IN
+             |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"""
+        .stripMargin)),
+
+    // NOT IN (SELECT …): LEFT ANTI (NOT EXISTS semantics — see the
+    // InSelect scaladoc); composed with a plain conjunct in one WHERE.
+    "hashql_not_in_subquery" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where customer.c_nationkey not in " +
+          "(select nation.n_nationkey from nation where nation.n_regionkey <= 2) " +
+          "and customer.c_mktsegment = 'BUILDING'"),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM nation WHERE n_regionkey <= 2
+             |   AND n_nationkey = c.c_nationkey)
+             |AND c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // UNION (distinct) of two branches with positional alignment: output
+    // names follow the first branch, overlapping keys collapse.
+    "hashql_union" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer where customer.c_nationkey = 1 " +
+          "union select supplier.s_suppkey from supplier " +
+          "where supplier.s_nationkey = 1"),
+      Some("""SELECT c_custkey FROM customer WHERE c_nationkey = 1
+             |UNION
+             |SELECT s_suppkey FROM supplier WHERE s_nationkey = 1"""
+        .stripMargin)),
+
     // LIKE: %/_ wildcards — Spark Column.like and DuckDB LIKE share
     // semantics (no regex, backslash escapes unused here).
     "hashql_like" -> Q(

@@ -21,12 +21,14 @@ import graft.fts.Fts
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
+  *            | t.f [not] in (select u.g from u [where …])
   *            | t.f ~ 'tok1 & tok2 | tok3'
   *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
   *     [group by t.f [, t.g …]]
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [order by t.f [asc|desc] [, …]] [limit n] [offset m]
+  *   select … union [all] select … [union [all] select …]*
   *   create join inner join a on a.x = b.y [inner join …]*
   *   create agg view as select g [, …], count(*) | sum(t.f) | … from t
   *     [inner join …]* [where …] group by t.g [, …]
@@ -66,6 +68,16 @@ object HashQL {
   /** `t.f in (v1, v2, …)` — equality against any member, each member
     * coerced exactly like [[Eq]] (numeric literals compare as long). */
   final case class InList(ref: ColRef, values: Seq[Any]) extends Pred
+  /** `t.f in (select u.g from u [where …])` — membership against a
+    * one-column subquery, planned as a LEFT SEMI join (`not in (…)` as
+    * LEFT ANTI, i.e. NOT-EXISTS semantics — a null-producing subquery
+    * does not veto every row the way ANSI NOT IN does; the oracle
+    * mirrors with NOT EXISTS). Valid only as a top-level WHERE conjunct:
+    * a membership test under OR/parens would need a general subquery
+    * planner for one dialect corner — rejected at execution with a clear
+    * message. Dialect growth (the reference has no subqueries,
+    * server.py:456-476). */
+  final case class InSelect(ref: ColRef, sub: Select) extends Pred
   /** `t.f like 'pat'` — SQL LIKE, `%`/`_` wildcards. */
   final case class Like(ref: ColRef, pattern: String) extends Pred
   /** `not <atom>` / `t.f not in (…)` / `t.f not like '…'` /
@@ -108,6 +120,14 @@ object HashQL {
                           limit: Option[Int] = None,
                           distinct: Boolean = false,
                           offset: Option[Int] = None) extends Stmt
+  /** `select … union [all] select … [union [all] select …]*` — positional
+    * set union of SELECT branches (output names follow the first branch,
+    * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
+    * Mixed ALL/DISTINCT ops in one chain are rejected (their SQL
+    * semantics depend on association order — an explicit error beats a
+    * silent choice). Each branch is a full Select (its own WHERE / GROUP
+    * BY / ORDER BY / LIMIT, applied per-branch). Dialect growth. */
+  final case class Union(selects: Seq[Select], all: Boolean) extends Stmt
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
   /** `create agg view as select …` — dialect growth: registers the
     * SELECT's aggregation as a routed summary via
@@ -187,7 +207,22 @@ object HashQL {
       case "insert" => kw("into"); insertRest()
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
-      case "select" => selectRest()
+      case "select" =>
+        val first = selectRest()
+        if (!is("union")) first
+        else {
+          val branches = scala.collection.mutable.ArrayBuffer(first)
+          val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          while (is("union")) {
+            next()
+            allFlags += (is("all") && { next(); true })
+            kw("select")
+            branches += selectRest()
+          }
+          require(allFlags.distinct.size == 1,
+            "mixed UNION / UNION ALL in one chain is not supported")
+          Union(branches.toSeq, allFlags.head)
+        }
       case "create" =>
         if (is("agg")) {
           next(); kw("view"); kw("as"); kw("select")
@@ -272,10 +307,17 @@ object HashQL {
             And(Seq(Cmp(ref, ">=", lo), Cmp(ref, "<=", hi)))
           case t if t.equalsIgnoreCase("in") =>
             kw("(")
-            val vs = scala.collection.mutable.ArrayBuffer(literal())
-            while (is(",")) { next(); vs += literal() }
-            kw(")")
-            InList(ref, vs.toSeq)
+            if (is("select")) {
+              next()
+              val sub = selectRest()
+              kw(")")
+              InSelect(ref, sub)
+            } else {
+              val vs = scala.collection.mutable.ArrayBuffer(literal())
+              while (is(",")) { next(); vs += literal() }
+              kw(")")
+              InList(ref, vs.toSeq)
+            }
           case t if t.equalsIgnoreCase("like") =>
             val v = literal()
             require(v.isInstanceOf[String],
@@ -284,7 +326,8 @@ object HashQL {
           case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
         }
         if (negated) {
-          require(atom.isInstanceOf[InList] || atom.isInstanceOf[Like] ||
+          require(atom.isInstanceOf[InList] || atom.isInstanceOf[InSelect] ||
+            atom.isInstanceOf[Like] ||
             atom.isInstanceOf[And], // And = desugared BETWEEN
             "infix NOT applies to IN / LIKE / BETWEEN; use `not (…)` otherwise")
           Not(atom)
@@ -520,6 +563,9 @@ object HashQL {
     // three-valued: !(null) stays null, so NOT over a null comparison
     // still drops the row — ANSI semantics on both engines
     case Not(p) => !predColumn(cat, p)
+    case _: InSelect => throw new IllegalArgumentException(
+      "in (select …) is supported only as a top-level WHERE conjunct " +
+        "(optionally under a single NOT), not inside OR/parens")
   }
 
   /** Aggregate output columns with their dialect auto-aliases (cnt,
@@ -596,6 +642,21 @@ object HashQL {
         "create agg view materializes a summary — call " +
           "HashQL.materializeAggView(cat, sql, path, registry) " +
           "with a parquet path for it")
+      case sel: Select => Some(selectFrame(cat, sel, registry))
+      case Union(sels, all) =>
+        val frames = sels.map(selectFrame(cat, _, registry))
+        require(frames.map(_.columns.length).distinct.size == 1,
+          s"union branches must project the same number of columns, " +
+            s"got ${frames.map(_.columns.length).mkString("/")}")
+        // positional union (SQL): names follow the first branch; plain
+        // UNION dedups the whole chain (one partial-agg shuffle)
+        val u = frames.reduce(_ union _)
+        Some(if (all) u else u.distinct())
+    }
+
+  private def selectFrame(cat: GraftCatalog, sel: Select,
+                          registry: Option[JoinRegistry]): DataFrame = {
+    sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
                   distinct, offset) =>
         // read path first: if the statement's joins match a registered +
@@ -615,7 +676,18 @@ object HashQL {
           }
           acc
         }
-        wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
+        wheres.foreach {
+          // membership subqueries plan as semi/anti joins on the filtered
+          // frame — Catalyst broadcasts the (typically dimension-sized)
+          // subquery side, so the 100 TB shape is one broadcast probe
+          case InSelect(ref, sub) =>
+            val sf = subqueryFrame(cat, sub, registry)
+            df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_semi")
+          case Not(InSelect(ref, sub)) =>
+            val sf = subqueryFrame(cat, sub, registry)
+            df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
+          case pr => df = df.filter(predColumn(cat, pr))
+        }
         def aggColumns: Seq[Column] = aggsOf(items)
         val out = groupBy match {
           case gs if gs.nonEmpty =>
@@ -689,8 +761,22 @@ object HashQL {
           else dedup.orderBy(orderBy.map { case (r, desc) =>
             if (desc) col(r.column).desc else col(r.column).asc }: _*)
         val skipped = offset.fold(ordered)(ordered.offset)
-        Some(limit.fold(skipped)(skipped.limit))
+        limit.fold(skipped)(skipped.limit)
     }
+  }
+
+  /** Plan an IN-subquery's inner SELECT: must project exactly one column;
+    * renamed to a reserved name so the semi/anti join condition can never
+    * be ambiguous, even when the subquery reads the same table as the
+    * outer query. */
+  private def subqueryFrame(cat: GraftCatalog, sub: Select,
+                            registry: Option[JoinRegistry]): DataFrame = {
+    val sf = selectFrame(cat, sub, registry)
+    require(sf.columns.length == 1,
+      s"in (select …) subquery must project exactly one column, " +
+        s"got ${sf.columns.mkString(", ")}")
+    sf.toDF("graft_in_sub")
+  }
 
   /** Materialize a registered `create join` to parquet and wire BOTH read
     * paths to it:

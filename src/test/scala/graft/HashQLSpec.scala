@@ -344,6 +344,54 @@ class HashQLSpec extends SparkSpec {
     assert(star.columns.toSeq == Seq("id", "name") && star.count() == 3)
   }
 
+  test("IN-subquery semi/anti joins and UNION set semantics") {
+    val cat = new GraftCatalog(spark)
+    Seq("insert into people (people_name, age) values ('Ted', 29)",
+      "insert into people (people_name, age) values ('Fred', 45)",
+      "insert into people (people_name, age) values ('Sam', 33)",
+      "insert into adults (a_name) values ('Fred')",
+      "insert into adults (a_name) values ('Sam')")
+      .foreach(HashQL.execute(cat, _))
+    def names(sql: String): Set[String] =
+      HashQL.execute(cat, sql).get.select("people_name")
+        .as[String].collect().toSet
+    assert(names("select people.people_name from people where " +
+      "people.people_name in (select adults.a_name from adults)") ==
+      Set("Fred", "Sam"))
+    // NOT IN = anti join; composes with a plain conjunct
+    assert(names("select people.people_name from people where " +
+      "people.people_name not in (select adults.a_name from adults)") ==
+      Set("Ted"))
+    assert(names("select people.people_name from people where " +
+      "people.people_name in (select adults.a_name from adults) " +
+      "and people.age = 45") == Set("Fred"))
+    // self-referencing subquery stays unambiguous (reserved rename)
+    assert(names("select people.people_name from people where " +
+      "people.people_name in (select people.people_name from people " +
+      "where people.age > 30)") == Set("Fred", "Sam"))
+
+    // UNION dedups across branches; UNION ALL keeps duplicates
+    val u = HashQL.execute(cat, "select people.people_name from people " +
+      "union select adults.a_name from adults").get
+    assert(u.columns.toSeq == Seq("people_name") &&
+      u.as[String].collect().toSet == Set("Ted", "Fred", "Sam") &&
+      u.count() == 3)
+    val ua = HashQL.execute(cat, "select people.people_name from people " +
+      "union all select adults.a_name from adults").get
+    assert(ua.count() == 5)
+
+    // rejected shapes: nested membership, mixed chain, wide subquery
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select people.people_name from people where people.age = 45 or " +
+        "people.people_name in (select adults.a_name from adults)"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select people.people_name from people union all " +
+        "select adults.a_name from adults union select adults.a_name from adults"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select people.people_name from people where people.people_name in " +
+        "(select people.people_name, people.age from people)"))
+  }
+
   test("update rewrites matching rows only (example.py:126-149)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")
