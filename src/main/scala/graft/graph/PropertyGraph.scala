@@ -258,6 +258,68 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** k-core decomposition by iterative degree peeling (growth — with
+    * [[connectedComponents]] / [[pageRank]] / [[bfsDistances]] /
+    * [[triangleCounts]], the community-structure member of the analytics
+    * family): returns (node, deg) for every vertex of the k-core — the
+    * maximal subgraph where every vertex has ≥ k neighbors WITHIN the
+    * subgraph — with deg = its degree inside the core. Undirected simple
+    * graph (orientation/rel/parallel edges/self-loops dropped first, like
+    * [[triangleCounts]]); the empty frame when no k-core exists.
+    *
+    * Superstep shape: each round restricts the edge list to the current
+    * vertex set (two semi-joins), recounts degrees (one partial-agg
+    * shuffle on the node key), and drops nodes below k — the textbook
+    * parallel peel, which converges to the same fixpoint as sequential
+    * peeling. The surviving set only shrinks, so count equality IS set
+    * equality and the driver loop (counters only, no node data) exits at
+    * the first unchanged round; each round's survivors persist with
+    * lineage (MEMORY_AND_DISK, recomputable after executor loss) and the
+    * prior round is released, keeping plan depth at one round. Rounds to
+    * fixpoint = the graph's peel depth — hub-and-spoke corpora collapse
+    * in a handful; `maxRounds` caps pathological chains (a cap exit
+    * returns the still-converging superset — size the cap above the
+    * expected peel depth). */
+  def kCore(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in 1..64, got $maxRounds")
+    val base = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+    val e = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val d = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = d.select(col("a").as("node")).distinct().persist(storage)
+    var curN = cur.count()
+    var lastDeg: DataFrame = null
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      rounds += 1
+      val deg = d
+        .join(cur.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(cur.select(col("node").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .persist(storage)
+      val next = deg.select(col("a").as("node"))
+      val nextN = next.count()
+      // next ⊆ cur, so equal counts ⇒ equal sets ⇒ degrees this round
+      // were computed against the final core itself
+      changed = nextN != curN
+      cur.unpersist()
+      if (lastDeg != null) lastDeg.unpersist()
+      lastDeg = deg
+      cur = next
+      curN = nextN
+    }
+    lastDeg.select(col("a").as("node"), col("deg"))
+  }
+
   /** Weighted single-source shortest paths (growth — the weighted
     * companion of [[bfsDistances]]): (node, dist) with dist = minimum
     * total edge weight over paths of AT MOST `maxHops` edges from

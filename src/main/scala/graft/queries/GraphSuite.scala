@@ -414,6 +414,43 @@ object GraphSuite extends Suite {
              |SELECT v.node, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
              |FROM v LEFT JOIN c USING (node)""".stripMargin)),
 
+    // k-core decomposition (growth): the k=10 core of the BUYS-enriched
+    // graph with in-core degrees. The oracle unrolls the peel to 6
+    // rounds — the fixture reaches its fixpoint in ≤ 3 at every driver
+    // SF (extra rounds are no-ops, matching the engine's early exit).
+    "graph_kcore" -> Q(
+      (s, d) => gBuys(s, d).kCore(k = 10),
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""r$i AS (SELECT d.a AS node FROM d
+             |  WHERE d.a IN (SELECT node FROM r${i - 1})
+             |    AND d.b IN (SELECT node FROM r${i - 1})
+             |  GROUP BY d.a HAVING count(*) >= 10)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+           |         'nation:' || n_name AS b
+           |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+           |       FROM nation JOIN region ON n_regionkey = r_regionkey
+           |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+           |         'nation:' || n_name
+           |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |  UNION ALL SELECT DISTINCT
+           |         'customer:' || CAST(o_custkey AS VARCHAR),
+           |         'supplier:' || CAST(l_suppkey AS VARCHAR)
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |      FROM raw WHERE a <> b),
+           |d AS (SELECT u AS a, v AS b FROM e
+           |      UNION ALL SELECT v AS a, u AS b FROM e),
+           |r0 AS (SELECT DISTINCT a AS node FROM d),
+           |$rounds
+           |SELECT d.a AS node, CAST(count(*) AS BIGINT) AS deg FROM d
+           |WHERE d.a IN (SELECT node FROM r6)
+           |  AND d.b IN (SELECT node FROM r6)
+           |GROUP BY d.a""".stripMargin
+      }),
+
     // BFS shortest-path distances (growth): 2 undirected hops out of
     // region:EUROPE — the region at 0, its nations at 1, their customers
     // and suppliers at 2. The oracle is a depth-bounded recursive CTE

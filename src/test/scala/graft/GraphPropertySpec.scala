@@ -219,4 +219,27 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
       assert(unit == bfs, s"seed=$seed unit-weight sssp != bfs")
     }
   }
+
+  test("kCore: cascading peel, direction/parallel-edge insensitivity, empty core") {
+    // K4 on a..d plus a tail d-e-f: peeling the tail is CASCADING (f goes
+    // first, then e) — exercises multi-round convergence
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val tail = Seq("d" -> "e", "e" -> "f")
+    val g = graphOf(k4 ++ tail)
+    val core2 = g.kCore(2).as[(String, Long)].collect().toMap
+    assert(core2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      s"2-core: $core2")
+    val core3 = g.kCore(3).as[(String, Long)].collect().toMap
+    assert(core3 == core2, "3-core should equal the K4")
+    assert(g.kCore(4).isEmpty, "no 4-core in K4+tail")
+    // reversed/parallel/self-loop edges change nothing (simple undirected)
+    val noisy = graphOf(k4 ++ tail ++ k4.map(_.swap) ++ Seq("a" -> "a"))
+    assert(noisy.kCore(3).as[(String, Long)].collect().toMap == core3,
+      "orientation/parallel/self-loop noise changed the core")
+    // partition-invariance of the fixpoint
+    val reparted = PropertyGraph(g.vertices.repartition(7),
+      g.edges.repartition(5))
+    assert(reparted.kCore(2).as[(String, Long)].collect().toMap == core2)
+  }
 }
