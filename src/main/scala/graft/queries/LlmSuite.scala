@@ -899,6 +899,17 @@ object LlmSuite extends Suite {
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT u FROM drops)""".stripMargin)),
 
+    // signed random projection 64 → 16 dims (Achlioptas ±1 JL) in exact
+    // fixed-point integers: quantize each component, sum with hash-parity
+    // signs — bit-identical across engines/partitionings, so the reduced
+    // vectors hash-check whole. The cheap-prefilter leg of a
+    // project→shortlist→exact-rerank serving stack.
+    "embed_rp" -> Q(
+      (s, d) => Similarity.randomProject(emb(s, d), inDim = 64, outDim = 16),
+      Some(s"""SELECT vec_id,
+              |  ${Similarity.randomProjectSql("embedding", 64, 16)} AS rp
+              |FROM embeddings""".stripMargin)),
+
     "ann_topk" -> Q(
       (s, d) => Similarity.bruteForceTopK(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 3),

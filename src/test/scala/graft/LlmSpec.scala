@@ -899,6 +899,29 @@ class LlmSpec extends SparkSpec {
       graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
   }
 
+  test("randomProject preserves cosine structure (JL) and stays exact-integer") {
+    val rp = Similarity.randomProject(emb, inDim = 64, outDim = 16)
+    val joined = emb.select(col("vec_id"), col("embedding"))
+      .join(rp, "vec_id")
+      .as[(Long, Seq[Float], Seq[Long])].collect().sortBy(_._1)
+    def cos[T](a: Seq[T], b: Seq[T])(implicit n: Numeric[T]): Double = {
+      val ad = a.map(n.toDouble); val bd = b.map(n.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / math.sqrt(ad.map(x => x * x).sum * bd.map(x => x * x).sum)
+    }
+    // deviation between original-space and projected-space cosine over
+    // consecutive pairs: ±1 JL at outDim=16 has stderr ~1/√16 = 0.25
+    val devs = joined.sliding(2).map { case Array(a, b) =>
+      math.abs(cos(a._2, b._2) - cos(a._3, b._3)) }.toSeq
+    val meanDev = devs.sum / devs.size
+    assert(meanDev < 0.25, s"mean cosine deviation $meanDev")
+    // exactness: re-projection under a different partitioning is
+    // bit-identical (integer arithmetic — no float order hazard)
+    val again = Similarity.randomProject(emb.repartition(13), 64, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(joined.forall { case (id, _, v) => again(id) == v })
+  }
+
   test("bigramSurprisal: branch semantics on a hand-checked corpus") {
     // train = docs 1,2 ("a b", "a b"); held-out doc 3 = "a b c a"
     //   N=4; c(a)=2, c(b)=2; bigram c(a,b)=2
