@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training member of the pipeline family, exact and
+  * hash-checkable against an unrolled-SQL oracle.
+  *
+  * The scalable formulation: BPE statistics depend only on WORD
+  * frequencies, so the corpus collapses to a (word, freq) table first —
+  * one vocab-bounded shuffle over any corpus size — and every merge
+  * iteration then runs over that table, not the corpus. Each iteration
+  * is: explode adjacent symbol pairs weighted by freq (scan-side
+  * `arrays_zip` of shifted slices, the [[TextAnalysis.bigramSurprisal]]
+  * construction), one partial-agg shuffle to sum pair counts, and a
+  * 1-row argmax collect (count desc, then lexicographic pair — fully
+  * deterministic, no float anywhere). The merge applies as a codegen'd
+  * string fold over each word's symbols (greedy left-to-right, re-merge
+  * impossible by the separator argument in the fold's CASE), mirrored
+  * exactly by a DuckDB `list_reduce` in the oracle.
+  *
+  * 100 TB story: the corpus is touched ONCE (word counts); nMerges
+  * iterations each shuffle pair-count rows bounded by the live symbol
+  * vocabulary, with the word table persisted (MEMORY_AND_DISK, lineage
+  * kept) and the previous round released. Driver state is one (pair,
+  * count) row per iteration. Reference scope: the reference tokenizes by
+  * whitespace only (server.py:732-739) — subword learning is pipeline
+  * growth per the builder brief.
+  */
+object Bpe {
+
+  /** Atomic end-of-word marker symbol (classic BPE `</w>`): lets merges
+    * distinguish word-final from word-internal contexts and makes every
+    * learned token boundary-aware. */
+  val EndOfWord = "</w>"
+
+  /** Symbol separator inside the fold string — U+001F, guaranteed absent
+    * from whitespace-tokenized text symbols. */
+  private val Sep = "\u001f"
+
+  final case class Merge(step: Int, lhs: String, rhs: String,
+                         merged: String, cnt: Long)
+
+  /** Learn `nMerges` BPE merge rules from `df[textCol]` (whitespace
+    * pre-tokenization, lowercased). Returns (step, lhs, rhs, merged,
+    * cnt) in learning order; stops early if the corpus runs out of
+    * repeated pairs. Deterministic: exact integer counts, ties broken by
+    * lexicographic (lhs, rhs). */
+  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in 1..64, got $nMerges")
+    val spark = df.sparkSession
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // corpus → word-frequency table: the ONLY corpus-sized pass
+    val wf = df.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var words = wf
+      .select(concat(chars(col("word")), array(lit(EndOfWord))).as("sym"),
+        col("freq"))
+      .persist(storage)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 0
+    var dry = false
+    while (step < nMerges && !dry) {
+      step += 1
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += Merge(step, a, b, a + b, c)
+        val next = words
+          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq"))
+          .persist(storage)
+        next.count() // materialize before releasing the parent
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Single-character symbols of a word (an explicit substring transform —
+    * regex-split on "" leaves boundary empties behind, engine-dependent). */
+  private def chars(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent symbol pairs weighted by word frequency: (a, b, c). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("sym")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("sym"), lit(1), size(col("sym")) - 1).as("a"),
+        slice(col("sym"), lit(2), size(col("sym")) - 1).as("b"))).as("p"),
+        col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("c"))
+
+  /** Apply one merge rule (a, b) → a+b to a symbol array, greedy
+    * left-to-right, as a pure codegen'd fold: build a Sep-joined string
+    * where the pair's second half is appended WITHOUT a separator when
+    * the accumulator ends in Sep+a (an exact complete-symbol test — a
+    * freshly merged a+b can never end in Sep+a, so cascading re-merges
+    * within the round are impossible), then split back. */
+  private[llm] def applyMerge(sym: Column, a: String, b: String): Column = {
+    val folded = aggregate(sym, lit(""), (acc, x) =>
+      when(acc.endsWith(lit(Sep + a)) && x === b, concat(acc, x))
+        .otherwise(concat(acc, lit(Sep), x)))
+    split(substring(folded, 2, Int.MaxValue), Sep)
+  }
+
+  /** Encode texts with an already-learned merge list (in learning
+    * order): (idCol, tokens: array<string>) where each word's symbols
+    * carry the [[EndOfWord]] marker on the final token. The merge chain
+    * compiles to nested scan-side folds — zero shuffles at encode time,
+    * the property that lets a 100 TB corpus tokenize at scan rate. */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= 64, "encode supports up to 64 chained merges")
+    val words = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val init = concat(chars(col("word")), array(lit(EndOfWord)))
+    val sym = merges.foldLeft(init) { case (acc, (a, b)) =>
+      applyMerge(acc, a, b) }
+    // word order is restored by sorting the collected (pos, sym) structs —
+    // collect_list alone has no ordering contract
+    words.select(col(idCol), col("pos"), sym.as("sym"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        s => s.getField("sym"))).as("tokens"))
+  }
+}

@@ -112,6 +112,39 @@ object LlmSuite extends Suite {
     * selected, aggregates each survivor's max similarity against them,
     * and picks the integer-score argmax with the same min-id tie-break.
     * Pure integer arithmetic end to end, so the hash must match. */
+  /** DuckDB twin of [[graft.llm.Bpe.train]]: m iterations unrolled as CTE
+    * chains. Each round: adjacent-pair counts weighted by word freq, the
+    * (count desc, pair asc) argmax, and the merge applied by the SAME
+    * greedy separator-string fold the engine uses (list_reduce with a
+    * seeded empty accumulator; ends_with(acc, sep||a) is an exact
+    * complete-symbol test, and a fresh a||b can never end in sep||a, so
+    * cascading re-merges are impossible — both engines agree word by
+    * word). */
+  private def bpeOracleSql(m: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """wf AS (SELECT word, count(*) AS freq FROM
+        |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1)""".stripMargin,
+      "w0 AS (SELECT list_append(string_split(word, ''), '</w>') AS sym, freq FROM wf)")
+    (1 to m).foreach { t =>
+      ctes += s"""p$t AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS c
+        |  FROM (SELECT unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS p,
+        |          freq
+        |        FROM w${t - 1} WHERE len(sym) >= 2) GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1)"
+      ctes += s"""w$t AS (SELECT string_split(substr(list_reduce(
+        |    list_prepend('', sym),
+        |    (acc, x) -> CASE WHEN ends_with(acc, chr(31) || m$t.a) AND x = m$t.b
+        |                     THEN acc || x ELSE acc || chr(31) || x END),
+        |    2), chr(31)) AS sym, freq
+        |  FROM w${t - 1}, m$t)""".stripMargin
+    }
+    val out = (1 to m).map(t =>
+      s"SELECT $t AS step, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"CAST(c AS BIGINT) AS cnt FROM m$t").mkString("\n  UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$out"
+  }
+
   private def mmrOracleSql(nQueries: Int, poolK: Int, k: Int, lam: Int): String = {
     val head = s"""WITH $cosineNormsCte,
       |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
@@ -898,6 +931,15 @@ object LlmSuite extends Suite {
               |drops AS (SELECT u FROM reach GROUP BY u HAVING min(w) <> u)
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT u FROM drops)""".stripMargin)),
+
+    // distributed BPE vocabulary learning (Sennrich 2016): 8 merge rules
+    // from the documents corpus, exact integer pair counts with
+    // lexicographic tie-breaks. The oracle UNROLLS the 8 iterations as
+    // CTE chains — pair-count → deterministic argmax → list_reduce
+    // merge-fold, the same greedy left-to-right fold the engine codegens.
+    "bpe_train" -> Q(
+      (s, d) => graft.llm.Bpe.train(docs(s, d), "text", nMerges = 8),
+      Some(bpeOracleSql(8))),
 
     // signed random projection 64 → 16 dims (Achlioptas ±1 JL) in exact
     // fixed-point integers: quantize each component, sum with hash-parity

@@ -899,6 +899,38 @@ class LlmSpec extends SparkSpec {
       graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
   }
 
+  test("BPE train/encode: hand-checked merges, greedy fold, early stop") {
+    import graft.llm.Bpe
+    // corpus "aa aa ab": round 1 ties (a,a) vs (a,</w>) at 2 — lex break
+    // picks (a,</w>) ('<' < 'a'); then (a,a</w>), (a,b), (ab,</w>), dry.
+    val df = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", nMerges = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "a", "</w>", "a</w>", 2L),
+      (2, "a", "a</w>", "aa</w>", 2L),
+      (3, "a", "b", "ab", 1L),
+      (4, "ab", "</w>", "ab</w>", 1L)), s"merges: $merges")
+
+    val toks = Bpe.encode(df, "text", "doc_id",
+        merges.map(m => (m._2, m._3)))
+      .as[(Long, Seq[String])].collect().head._2
+    assert(toks == Seq("aa</w>", "aa</w>", "ab</w>"), s"tokens: $toks")
+
+    // greedy left-to-right on odd runs: "aaa" under (a,a) → [aa, a]
+    val run = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    val runToks = Bpe.encode(run, "text", "doc_id", Seq(("a", "a")))
+      .as[(Long, Seq[String])].collect().head._2
+    assert(runToks == Seq("aa", "a", "</w>", "aa", "aa", "</w>"),
+      s"greedy runs: $runToks")
+
+    // partition-invariance: merge table identical from a 13-way layout
+    val docs13 = Tables.t(spark, sf, "documents").repartition(13)
+    val m1 = Bpe.train(Tables.t(spark, sf, "documents"), "text", 4).collect().toSet
+    val m2 = Bpe.train(docs13, "text", 4).collect().toSet
+    assert(m1 == m2, "BPE merges changed under repartition")
+  }
+
   test("randomProject preserves cosine structure (JL) and stays exact-integer") {
     val rp = Similarity.randomProject(emb, inDim = 64, outDim = 16)
     val joined = emb.select(col("vec_id"), col("embedding"))
