@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.sketch.{CountMin, Kmv, MisraGries}
+import graft.sketch.{CountMin, Histo, Kmv, MisraGries}
 
 /** KMV distinct-count sketches (graft.sketch.Kmv) — mergeable cardinality
   * summaries. Every query here is hash-checked: the sketch machinery is
@@ -207,6 +207,49 @@ object SketchSuite extends Suite {
     // zip-sum into the union's grid; the oracle rebuilds the grid from ALL
     // facts directly, so the hash-match IS the mergeability proof —
     // elementwise sum of daily grids ≡ one grid over everything.
+    // mergeable equi-width histogram grids (the sketch family's quantile
+    // member): per-type value histograms in cents (step = $10, 64 bins)
+    // plus integer-arithmetic p50/p95 estimates from the grid — grid
+    // bytes AND estimates hash-checked. Exact quantiles can't
+    // pre-aggregate; these grids can (see sketch_histo_merge_daily).
+    "sketch_histogram" -> Q(
+      (s, d) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        Histo.sketch(events(s, d), Seq("event_type"), cents,
+            lo = 0L, step = 1000L, w = 64)
+          .select(col("event_type"), col("hist"),
+            Histo.quantile(col("hist"), 500, 0L, 1000L).as("p50"),
+            Histo.quantile(col("hist"), 950, 0L, 1000L).as("p95"))
+      },
+      Some(s"""WITH ${Histo.sketchCtesSql("events", "event_type",
+                 "CAST(round(value * 100) AS BIGINT)", 0L, 1000L, 64)}
+              |SELECT event_type, hist,
+              |  ${Histo.quantileSql("hist", 500, 0L, 1000L)} AS p50,
+              |  ${Histo.quantileSql("hist", 950, 0L, 1000L)} AS p95
+              |FROM h""".stripMargin)),
+
+    // the pre-aggregation story: per-(type, day) grid rows — the daily
+    // summary a 100 TB pipeline stores — fold per type by elementwise
+    // sum, and the folded grid's quantiles must equal the direct grid's
+    // (the oracle computes the direct grid; the engine folds dailies).
+    "sketch_histo_merge_daily" -> Q(
+      (s, d) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        val ev = events(s, d).withColumn("day", expr("ts div 86400000000000"))
+        val daily = Histo.sketch(ev, Seq("event_type", "day"), cents,
+          lo = 0L, step = 1000L, w = 64)
+        Histo.merge(daily, Seq("event_type"), "hist", 64)
+          .select(col("event_type"),
+            Histo.quantile(col("hist"), 500, 0L, 1000L).as("p50"),
+            Histo.quantile(col("hist"), 990, 0L, 1000L).as("p99"))
+      },
+      Some(s"""WITH ${Histo.sketchCtesSql("events", "event_type",
+                 "CAST(round(value * 100) AS BIGINT)", 0L, 1000L, 64)}
+              |SELECT event_type,
+              |  ${Histo.quantileSql("hist", 500, 0L, 1000L)} AS p50,
+              |  ${Histo.quantileSql("hist", 990, 0L, 1000L)} AS p99
+              |FROM h""".stripMargin)),
+
     "sketch_cm_merge_daily" -> Q(
       (s, d) => {
         val ev = events(s, d)

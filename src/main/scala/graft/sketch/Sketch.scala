@@ -275,6 +275,144 @@ object CountMin {
     s"least(${(0 until d).map(i => s"$cm[${slotSql(c, i, w)} + 1]").mkString(", ")})"
 }
 
+/** Mergeable equi-width histogram sketches — the QUANTILE member of the
+  * sketch family ([[Kmv]] distinct counts, [[CountMin]] frequencies,
+  * [[MisraGries]] heavy hitters): a fixed integer grid of `w` bins of
+  * width `step` starting at `lo`, one `array<long>` of counts per group.
+  *
+  * Why a sketch when exact quantiles exist
+  * ([[graft.operators.Quantiles]]): exact selection must touch facts per
+  * query, and per-day exact quantiles CANNOT pre-aggregate — yesterday's
+  * p95 plus today's p95 is not the union's p95. The grid CAN: merge is
+  * elementwise sum (associative/commutative, exactly the union's grid),
+  * so per-day/per-partition rows of w longs serve any rollup's quantiles
+  * later without re-touching facts, with error bounded by ONE BIN WIDTH
+  * — the error is a deliberate knob (step), not a float hazard.
+  *
+  * Everything is exact-deterministic like its siblings: bin index is
+  * integer (x−lo) div step clamped into [0, w) (under/overflow land in
+  * the edge bins — size the grid so that's the tail you can tolerate),
+  * the quantile estimate returns the lower edge of the first bin whose
+  * cumulative count reaches ⌈q·N/1000⌉ (integer permille arithmetic) —
+  * both SQL-mirrorable, so grids AND estimates hash-check against DuckDB
+  * list arithmetic. Not idempotent under re-merge (counter sums): the
+  * streaming maintenance uses the aggregate-store replay/compaction
+  * watermark, same as [[CountMin]].
+  *
+  * 100 TB story: phase 1 folds each partition into one long[w] per live
+  * group (no Window, no shuffle of value rows); phase 2 shuffles only
+  * the ≤ nPart partial grids per group. */
+object Histo {
+
+  /** 0-based bin of an integral value: (x−lo) div step, clamped.
+    * Integral `div` (Column `/` would widen to double). */
+  def bin(x: Column, lo: Long, step: Long, w: Int): Column = {
+    val d = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(x.cast("long") - lo),
+        org.apache.spark.sql.GraftBridge.expression(lit(step))))
+    least(greatest(d, lit(0L)), lit(w - 1L))
+  }
+
+  /** DuckDB mirror of [[bin]] (`//` = integer division). */
+  def binSql(c: String, lo: Long, step: Long, w: Int): String =
+    s"least(greatest((CAST($c AS BIGINT) - $lo) // $step, 0), ${w - 1})"
+
+  /** Per-group histogram grid: `groupCols :+ (outCol: array<long>)`.
+    * Null values are ignored; empty `groupCols` builds one global row. */
+  def sketch(df: DataFrame, groupCols: Seq[String], value: Column,
+             lo: Long, step: Long, w: Int, outCol: String = "hist"): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(w >= 2, s"width must be >= 2, got $w")
+    val spark = df.sparkSession
+    val withV = df
+      .select(groupCols.map(col) :+ value.cast("long").as("graft_h_v"): _*)
+      .filter(col("graft_h_v").isNotNull)
+    val nGroup = groupCols.length
+    val partials = withV.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+      it.foreach { r =>
+        val grid = m.getOrElseUpdate((0 until nGroup).map(r.get), new Array[Long](w))
+        val x = r.getLong(nGroup)
+        val b = math.min(math.max((x - lo) / step, 0L), (w - 1).toLong).toInt
+        grid(b) += 1L
+      }
+      m.iterator.map { case (key, grid) => Row.fromSeq(key :+ grid.toSeq) }
+    }
+    val outSchema = StructType(
+      withV.schema.fields.take(nGroup) :+
+        StructField("graft_h_partial", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    merge(spark.createDataFrame(partials, outSchema),
+      groupCols, "graft_h_partial", w, outCol)
+  }
+
+  /** Merge grid ROWS per group by elementwise sum — exactly the union's
+    * grid (not idempotent; see the streaming-store contract). */
+  def merge(df: DataFrame, groupCols: Seq[String], histCol: String,
+            w: Int, outCol: String = "hist"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(histCol)),
+        array_repeat(lit(0L), w),
+        (acc, x) => zip_with(acc, x, _ + _)).as(outCol))
+
+  /** DuckDB mirror of the grid BUILD as a CTE chain (an aggregate can't
+    * live inside a list lambda, so the oracle assembles the list from
+    * per-bin counts the way the CountMin oracle does): emits
+    * `b/cnt/g/h` CTE definitions; `h` has (groupCol, hist). */
+  def sketchCtesSql(table: String, groupCol: String, c: String,
+                    lo: Long, step: Long, w: Int): String =
+    s"""b AS (SELECT $groupCol, ${binSql(c, lo, step, w)} AS bin FROM $table),
+       |cnt AS (SELECT $groupCol, bin, count(*) AS n FROM b GROUP BY 1, 2),
+       |g AS (SELECT DISTINCT $groupCol FROM $table),
+       |h AS (SELECT g.$groupCol,
+       |        list(CAST(coalesce(cnt.n, 0) AS BIGINT) ORDER BY t.s) AS hist
+       |      FROM g CROSS JOIN range(0, $w) t(s)
+       |      LEFT JOIN cnt ON cnt.$groupCol = g.$groupCol AND cnt.bin = t.s
+       |      GROUP BY g.$groupCol)""".stripMargin
+
+  /** DuckDB mirror of [[merge]]'s fold. */
+  def mergeAggSql(histExpr: String, w: Int): String =
+    s"""list_transform(range(0, $w),
+       |  s -> CAST(list_sum(list_transform(list($histExpr), g -> g[s + 1]))
+       |       AS BIGINT))""".stripMargin
+
+  /** q-permille quantile estimate from a grid: the LOWER EDGE of the
+    * first bin whose cumulative count reaches ⌈q·N/1000⌉ — within one
+    * `step` of the true quantile; null for an all-empty grid. Integer
+    * arithmetic end to end. */
+  def quantile(hist: Column, qPermille: Int, lo: Long, step: Long): Column = {
+    require(qPermille >= 1 && qPermille <= 1000,
+      s"qPermille must be in 1..1000, got $qPermille")
+    val n = aggregate(hist, lit(0L), _ + _)
+    // cum ≥ ⌈q·N/1000⌉ ⟺ 1000·cum ≥ q·N — no division anywhere.
+    // First index reaching the target via ONE (cum, found-index) struct
+    // fold — O(w), no nested prefix sums.
+    val folded = aggregate(
+      zip_with(hist, sequence(lit(0), size(hist) - 1),
+        (c, i) => struct(c.as("c"), i.as("i"))),
+      struct(lit(0L).as("cum"), lit(-1).as("idx")),
+      (acc, x) => struct(
+        (acc.getField("cum") + x.getField("c")).as("cum"),
+        when(acc.getField("idx") >= 0, acc.getField("idx"))
+          .otherwise(when(
+            (acc.getField("cum") + x.getField("c")) * 1000 >= n * qPermille,
+            x.getField("i")).otherwise(lit(-1))).as("idx")))
+    when(n === 0, lit(null).cast("long"))
+      .otherwise(lit(lo) + folded.getField("idx").cast("long") * step)
+  }
+
+  /** DuckDB mirror of [[quantile]] (list_filter keeps 0-based indexes
+    * whose prefix reaches the target; first survivor is the bin). */
+  def quantileSql(hist: String, qPermille: Int, lo: Long, step: Long): String = {
+    val n = s"list_sum($hist)"
+    s"""(CASE WHEN $n = 0 THEN NULL ELSE
+       |  $lo + (list_filter(range(0, len($hist)),
+       |    i -> list_sum($hist[1:i + 1]) * 1000 >= $n * $qPermille))[1] * $step
+       |  END)""".stripMargin
+  }
+}
+
 /** Misra-Gries heavy hitters (Misra & Gries 1982; mergeable form per
   * Agarwal et al., "Mergeable Summaries") — the deterministic counter
   * sibling of [[CountMin]], plus the EXACT two-phase heavy-hitter operator

@@ -755,6 +755,61 @@ object Streams {
     }
   }
 
+  /** Streaming histogram-grid maintenance ([[graft.sketch.Histo]]): each
+    * micro-batch writes its per-group grid under `batch=<id>`;
+    * [[foldHistogram]] zip-sums live partials into the grid of everything
+    * ingested, which then serves any quantile estimate without touching
+    * facts. Same replay/compaction contract as [[maintainCountMin]]
+    * (grid sums are not idempotent). */
+  def maintainHistogram(stream: DataFrame, groupCols: Seq[String],
+                        value: org.apache.spark.sql.Column,
+                        lo: Long, step: Long, w: Int,
+                        storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sketch.Histo.sketch(batch, groupCols, value, lo, step, w)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Zip-sum every live histogram partial into the grid of everything
+    * ingested — bit-identical to re-sketching all facts. Batches at or
+    * below the compaction watermark live inside the batch=-1 seed. */
+  def foldHistogram(spark: SparkSession, storePath: String,
+                    groupCols: Seq[String], histCol: String, w: Int): DataFrame = {
+    val wm = foldWatermark(spark, storePath)
+    graft.sketch.Histo.merge(
+      spark.read.parquet(storePath)
+        .filter(col("batch") === -1 || col("batch") > wm)
+        .drop("batch"),
+      groupCols, histCol, w)
+  }
+
+  /** Fold accumulated grid partials into one batch=-1 seed plus the
+    * `_folded_through` marker (stream stopped; swapDir crash-safety). */
+  def compactHistogramStore(spark: SparkSession, storePath: String,
+                            groupCols: Seq[String], histCol: String,
+                            w: Int): Unit = {
+    val prev = foldWatermark(spark, storePath)
+    val hp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = fs.listStatus(hp).iterator
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
+      .foldLeft(prev)(math.max)
+    val folded = foldHistogram(spark, storePath, groupCols, histCol, w)
+    graft.sources.Sources.swapDir(spark, storePath) { tmp =>
+      folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded_through"))
+      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Streaming Misra-Gries heavy-hitter maintenance: each micro-batch
     * writes its bounded MG summary ([[graft.sketch.MisraGries.summary]] —
     * ≤ k·tasks rows with exact error bookkeeping) under `batch=<id>`;

@@ -163,6 +163,45 @@ class SketchSpec extends SparkSpec {
     assert(g.sum == 2 * 2, s"null key counted: $g")
   }
 
+  test("histogram grids: merge ≡ direct, quantile error ≤ one bin, edge clamps") {
+    import graft.sketch.Histo
+    val (lo, step, w) = (0L, 10L, 16)
+    val vals = (0 until 1000).map(i => (i % 7).toLong * 23 % 160)
+    val df = vals.toDF("v").withColumn("g", lit("x"))
+    val grid = Histo.sketch(df, Seq("g"), col("v"), lo, step, w)
+    val g = grid.select("hist").as[Seq[Long]].head()
+    assert(g.sum == vals.length && g.length == w)
+    // split-merge exactness: grids of two halves zip-sum to the whole
+    val (h1, h2) = vals.splitAt(vals.length / 2)
+    val daily = Histo.sketch(
+      h1.toDF("v").withColumn("g", lit("x")).withColumn("d", lit(1))
+        .unionByName(h2.toDF("v").withColumn("g", lit("x")).withColumn("d", lit(2))),
+      Seq("g", "d"), col("v"), lo, step, w)
+    val merged = Histo.merge(daily, Seq("g"), "hist", w)
+      .select("hist").as[Seq[Long]].head()
+    assert(merged == g, "merged daily grids != direct grid")
+    // quantile estimate within one bin width of the exact quantile
+    val sorted = vals.sorted
+    for (q <- Seq(100, 500, 900, 1000)) {
+      val est = grid.select(Histo.quantile(col("hist"), q, lo, step))
+        .as[Long].head()
+      val exact = sorted(math.max(0, (q * vals.length + 999) / 1000 - 1))
+      assert(est <= exact && exact < est + step,
+        s"q=$q: est=$est exact=$exact (bin width $step)")
+    }
+    // under/overflow clamp into edge bins; empty grid → null quantile
+    val edge = Seq(-50L, 5000L).toDF("v").withColumn("g", lit("x"))
+    val eg = Histo.sketch(edge, Seq("g"), col("v"), lo, step, w)
+      .select("hist").as[Seq[Long]].head()
+    assert(eg.head == 1L && eg.last == 1L, s"edge clamps: $eg")
+    // global grid of an empty input: one all-zero row (Spark's global
+    // aggregate), whose quantile is NULL by the n=0 contract
+    val empty = Histo.sketch(df.filter(lit(false)), Seq.empty, col("v"), lo, step, w)
+    val er = empty.select(col("hist"),
+      Histo.quantile(col("hist"), 500, lo, step).as("p50")).collect().head
+    assert(er.getSeq[Long](0).forall(_ == 0L) && er.isNullAt(1))
+  }
+
   test("misra-gries: exact accounting, bounds, and heavyHittersExact ≡ naive plan") {
     import graft.sketch.MisraGries
     // 500×h1 + 120×h2 + 1000 singletons, shuffled deterministically

@@ -829,6 +829,41 @@ class StreamsSpec extends SparkSpec {
       "post-compaction replayed batch double-counted")
   }
 
+  test("maintainHistogram partials fold to the direct grid; watermark guards replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.Histo
+    val dir = Files.createTempDirectory("mh").toString
+    val (lo, step, w) = (0L, 10L, 8)
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.maintainHistogram(mem.toDF().toDF("cat", "v"), Seq("cat"),
+      col("v"), lo, step, w, s"$dir/store",
+      Files.createTempDirectory("mh_ck").toString)
+    val batch1 = (0L until 40L).map(i => ("a", i % 70))
+    val batch2 = (0L until 25L).map(i => ("b", i * 3 % 80)) :+ (("a", 75L))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def gridMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().toMap
+    val all = (batch1 ++ batch2).toDF("cat", "v")
+    val direct = gridMap(Histo.sketch(all, Seq("cat"), col("v"), lo, step, w))
+    assert(gridMap(Streams.foldHistogram(
+      spark, s"$dir/store", Seq("cat"), "hist", w)) == direct)
+
+    Streams.compactHistogramStore(spark, s"$dir/store", Seq("cat"), "hist", w)
+    assert(gridMap(Streams.foldHistogram(
+      spark, s"$dir/store", Seq("cat"), "hist", w)) == direct,
+      "compaction changed the folded grid")
+    // replay an already-folded batch: watermark must exclude it
+    Histo.sketch(batch2.toDF("cat", "v"), Seq("cat"), col("v"), lo, step, w)
+      .write.mode("overwrite").parquet(s"$dir/store/batch=1")
+    assert(gridMap(Streams.foldHistogram(
+      spark, s"$dir/store", Seq("cat"), "hist", w)) == direct,
+      "post-compaction replay double-counted")
+  }
+
   test("maintainHeavyHitters: folded bounds stay exact across batches and compaction") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("mhh").toString
