@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** OHLC downsample (the candlestick shape): per (group, tick) open /
+    * high / low / close of an integral value, where open/close are the
+    * values at the MINIMUM/MAXIMUM of `ordCol` within the bucket
+    * (`min_by`/`max_by` against a unique order key — ties impossible, so
+    * the result is deterministic where first()/last() would not be).
+    * One partial-agg shuffle on (group, tick); value should be integral
+    * (cents) so both engines agree bit-for-bit. */
+  def ohlc(events: DataFrame, groupCol: String, tickCol: String,
+           valueCol: String, ordCol: String): DataFrame =
+    events.groupBy(col(groupCol), col(tickCol))
+      .agg(min_by(col(valueCol), col(ordCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(ordCol)).as("close"),
+        count(lit(1)).as("n"))
+
   /** Dense per-(group, bucket) counts+sums over `[min(tick), max(tick)]`
     * of the input, step 1: every group carries every bucket in the global
     * span, zero-filled where it had no events. `tick` must already be an

@@ -1610,6 +1610,31 @@ object LlmSuite extends Suite {
              |  ascii(substr(text, 1, 1)) AS first_byte
              |FROM documents""".stripMargin)),
 
+    // content-hash dedup of binary media (multimodal ∘ dedup): planted
+    // byte-identical copies (doc_id+10000) collapse on md5(content);
+    // keeper = min media_id. The asset-store dedup every multimodal
+    // crawl needs — one 16-byte-key shuffle regardless of payload size.
+    "mm_dedup" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"),
+          lit("crawl").as("source"))
+        val withCopies = base.unionByName(
+          base.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+              lit("recrawl").as("source")))
+        Multimodal.ingestAsMedia(withCopies, "doc_id", "text", "source")
+          .groupBy(md5(col("content")).as("content_md5"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("keeper"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id % 3 = 0)
+             |SELECT md5(text) AS content_md5,
+             |  CAST(count(*) AS BIGINT) AS n_copies,
+             |  min(media_id) AS keeper
+             |FROM m GROUP BY 1""".stripMargin)),
+
     "mm_frame_sample" -> Q(
       (s, d) => Multimodal.frameSample(
         Multimodal.ingestAsMedia(docs(s, d), "doc_id", "text", "source"), stride = 4)

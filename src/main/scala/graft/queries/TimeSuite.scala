@@ -268,6 +268,25 @@ object TimeSuite extends Suite {
               |SELECT user_id, event_id, ${Resample.ewmaSql("vals")} AS ewma
               |FROM v""".stripMargin)),
 
+    // OHLC candlestick downsample (growth): per (type, 6h bucket) open/
+    // high/low/close in cents, open/close anchored on the unique event_id
+    // (deterministic where first()/last() are not). One partial-agg
+    // shuffle — the market-data rollup shape at any scale.
+    "time_ohlc" -> Q(
+      (s, d) => Resample.ohlc(
+        Tables.t(s, d, "events").select(col("event_type"),
+          expr("ts div 21600000000000").as("tick"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_id")),
+        "event_type", "tick", "cents", "event_id"),
+      Some("""SELECT event_type, epoch_ns(ts) // 21600000000000 AS tick,
+             |  arg_min(CAST(round(value * 100, 0) AS BIGINT), event_id) AS open,
+             |  max(CAST(round(value * 100, 0) AS BIGINT)) AS high,
+             |  min(CAST(round(value * 100, 0) AS BIGINT)) AS low,
+             |  arg_max(CAST(round(value * 100, 0) AS BIGINT), event_id) AS close,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     "time_gapfill" -> Q(
       (s, d) => Resample.gapFill(
         Tables.t(s, d, "events").select(col("event_type"),

@@ -106,4 +106,22 @@ class ResampleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("ohlc: order-anchored open/close, extremes, partition-invariance") {
+    // bucket 1 of g: events (ord, v) = (10, 5), (11, 9), (12, 2), (13, 7)
+    //   → open 5 (ord 10), high 9, low 2, close 7 (ord 13)
+    val df = Seq(
+      ("g", 1L, 5L, 10L), ("g", 1L, 9L, 11L), ("g", 1L, 2L, 12L),
+      ("g", 1L, 7L, 13L), ("g", 2L, 4L, 20L), ("h", 1L, 6L, 15L)
+    ).toDF("grp", "tick", "v", "ord")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Resample.ohlc(d, "grp", "tick", "v", "ord")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(df)
+    assert(got == Set(
+      ("g", 1L, 5L, 9L, 2L, 7L, 4L),
+      ("g", 2L, 4L, 4L, 4L, 4L, 1L),
+      ("h", 1L, 6L, 6L, 6L, 6L, 1L)), s"ohlc: $got")
+    assert(run(df.repartition(7)) == got, "ohlc not partition-invariant")
+  }
 }
