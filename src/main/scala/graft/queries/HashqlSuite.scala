@@ -75,6 +75,51 @@ object HashqlSuite extends Suite {
       Some("""SELECT o_orderkey, o_orderpriority FROM orders
              |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin)),
 
+    // SAMPLE clause (dialect growth): deterministic arithBucket sampling
+    // as dialect syntax — reproducible TABLESAMPLE, composed with WHERE.
+    "hashql_sample" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_orderpriority from orders " +
+          "sample 250 permille by orders.o_orderkey " +
+          "where orders.o_orderpriority = '1-URGENT'"),
+      Some(s"""SELECT o_orderkey, o_orderpriority FROM orders
+              |WHERE ${graft.llm.Sampling.arithSampleSql("o_orderkey", 250)}
+              |  AND o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // window functions (dialect growth): row_number per nation ordered
+    // by key — the dedup-rank/top-n-per-group building block.
+    "hashql_win_rownumber" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey, " +
+          "row_number() over (partition by customer.c_nationkey " +
+          "order by customer.c_custkey) from customer"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  CAST(row_number() OVER (PARTITION BY c_nationkey
+             |       ORDER BY c_custkey) AS INTEGER) AS rn
+             |FROM customer""".stripMargin)),
+
+    // rank with real ties (many parts share a size within a type).
+    "hashql_win_rank" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_type, part.p_size, " +
+          "rank() over (partition by part.p_type order by part.p_size) from part"),
+      Some("""SELECT p_partkey, p_type, p_size,
+             |  CAST(rank() OVER (PARTITION BY p_type ORDER BY p_size)
+             |       AS INTEGER) AS rnk
+             |FROM part""".stripMargin)),
+
+    // running sum: ORDER BY in the window ⇒ the ANSI default RANGE frame
+    // in both engines; integer measure keeps it exact.
+    "hashql_win_runsum" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey, " +
+          "sum(customer.c_custkey) over (partition by customer.c_nationkey " +
+          "order by customer.c_custkey) from customer"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  CAST(sum(c_custkey) OVER (PARTITION BY c_nationkey
+             |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
+             |FROM customer""".stripMargin)),
+
     // IN (SELECT …): membership subquery planned as a LEFT SEMI join
     // with a broadcast-able dimension side — the 100 TB shape of the
     // "filter facts by a dimension predicate" idiom.

@@ -120,7 +120,7 @@ object LlmSuite extends Suite {
     * complete-symbol test, and a fresh a||b can never end in sep||a, so
     * cascading re-merges are impossible — both engines agree word by
     * word). */
-  private def bpeOracleSql(m: Int): String = {
+  private def bpeTrainCtes(m: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """wf AS (SELECT word, count(*) AS freq FROM
         |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
@@ -139,10 +139,33 @@ object LlmSuite extends Suite {
         |    2), chr(31)) AS sym, freq
         |  FROM w${t - 1}, m$t)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private def bpeOracleSql(m: Int): String = {
     val out = (1 to m).map(t =>
       s"SELECT $t AS step, a AS lhs, b AS rhs, a || b AS merged, " +
         s"CAST(c AS BIGINT) AS cnt FROM m$t").mkString("\n  UNION ALL ")
-    s"WITH ${ctes.mkString(",\n")}\n$out"
+    s"WITH ${bpeTrainCtes(m).mkString(",\n")}\n$out"
+  }
+
+  /** Train CTEs + a per-doc encode: each word runs the SAME m nested
+    * greedy folds the engine chains, flattened in word order. */
+  private def bpeEncodeOracleSql(m: Int): String = {
+    def fold(inner: String, t: Int): String =
+      s"""string_split(substr(list_reduce(list_prepend('', $inner),
+         |  (acc, x) -> CASE WHEN ends_with(acc, chr(31) || m$t.a) AND x = m$t.b
+         |              THEN acc || x ELSE acc || chr(31) || x END),
+         |  2), chr(31))""".stripMargin
+    val chain = (1 to m).foldLeft(
+      "list_append(string_split(w, ''), '</w>')")(fold)
+    s"""WITH ${bpeTrainCtes(m).mkString(",\n")}
+       |SELECT d.doc_id,
+       |  flatten(list_transform(
+       |    list_filter(string_split(lower(d.text), ' '), w -> w <> ''),
+       |    w -> $chain)) AS tokens
+       |FROM documents d, ${(1 to m).map("m" + _).mkString(", ")}"""
+      .stripMargin
   }
 
   private def mmrOracleSql(nQueries: Int, poolK: Int, k: Int, lam: Int): String = {
@@ -940,6 +963,19 @@ object LlmSuite extends Suite {
     "bpe_train" -> Q(
       (s, d) => graft.llm.Bpe.train(docs(s, d), "text", nMerges = 8),
       Some(bpeOracleSql(8))),
+
+    // end-to-end BPE encode: train 4 merges, then tokenize every doc
+    // with the learned rules — the oracle re-learns the same merges in
+    // SQL and applies the SAME nested greedy folds per word (list_reduce
+    // inside list_transform), so whole token arrays hash-check.
+    "bpe_encode" -> Q(
+      (s, d) => {
+        val m = graft.llm.Bpe.train(docs(s, d), "text", nMerges = 4)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.llm.Bpe.encode(docs(s, d), "text", "doc_id", m)
+      },
+      Some(bpeEncodeOracleSql(4))),
 
     // signed random projection 64 → 16 dims (Achlioptas ±1 JL) in exact
     // fixed-point integers: quantize each component, sum with hash-parity

@@ -17,7 +17,10 @@ import graft.fts.Fts
   *   insert into t (f, g) values ('s', 2)
   *   update t set t.f = v where t.g = w [and …]
   *   delete from t [where t.g = w [and …]]
-  *   select [distinct] t.a, u.b | * | count(*) from t
+  *   select [distinct] t.a, u.b | * | count(*)
+  *     | row_number()|rank() over (partition by t.p order by t.o [desc])
+  *     | sum(t.x) over (…)
+  *     from t [sample n permille by t.id]
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
@@ -52,6 +55,16 @@ object HashQL {
   /** sum/avg/min/max(t.f) — dialect growth beyond the reference's count
     * (the generic `ident(args)` parse at server.py:433-445 invites it). */
   final case class AggCall(fn: String, ref: ColRef) extends SelectItem
+  /** Window calls (dialect growth — no analog anywhere in the reference):
+    * `row_number() over (partition by t.p order by t.o [desc])` → `rn`,
+    * `rank() over (…)` → `rnk`, `sum(t.x) over (…)` → `wsum_x` (a RUNNING
+    * sum when ORDER BY is present — the ANSI default RANGE frame, which
+    * Spark and DuckDB share, peers included). Windows project alongside
+    * plain fields (no GROUP BY, no doc-paths in the same select); their
+    * aliases are addressable in ORDER BY like any output column. */
+  final case class WinCall(fn: String, arg: Option[ColRef],
+                           part: Seq[ColRef],
+                           order: Seq[(ColRef, Boolean)]) extends SelectItem
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
@@ -88,6 +101,14 @@ object HashQL {
     * `>= a AND <= b` (its `and` is part of the atom, not a conjunction),
     * so BETWEEN needs no executor support at all. */
   final case class Not(p: Pred) extends Pred
+  /** `from t sample N permille by t.id` — deterministic hash sampling as
+    * a dialect clause (desugared at parse time into this WHERE conjunct):
+    * keeps rows whose [[graft.llm.Sampling.arithBucket]] of the named
+    * column falls below N. Reproducible across runs/partitions/engines,
+    * nested across rates (a 100-permille sample ⊂ the 200-permille one) —
+    * `TABLESAMPLE BERNOULLI` semantics without the nondeterminism.
+    * Scan-side filter: at 100 TB this is a sampling pass at I/O rate. */
+  final case class SampleBucket(ref: ColRef, permille: Int) extends Pred
 
   /** HAVING conjunct: `column` addresses an OUTPUT column of the
     * aggregated frame — the auto-alias of an agg call (`cnt`, `sum_x`) or
@@ -341,20 +362,34 @@ object HashQL {
       var more = true
       while (more) {
         if (is("*")) { next(); items += Star }
+        else if (is("row_number") || is("rank")) {
+          val fn = next().toLowerCase; kw("("); kw(")")
+          items += windowSpec(fn, None)
+        }
         else if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); items += CountStar }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
-          items += AggCall(fn, r)
+          items += (if (is("over")) windowSpec(fn, Some(r)) else AggCall(fn, r))
         }
         else items += Field(colRef())
         if (is(",")) next() else more = false
       }
       kw("from")
       val table = next()
+      // `sample N permille by t.id` rides directly after the base table
+      // (TABLESAMPLE position) and desugars to a WHERE conjunct
+      val sample = if (is("sample")) {
+        next()
+        val n = next()
+        require(n.matches("[0-9]+") && n.toInt <= 1000,
+          s"sample expects a permille in 0..1000, got $n")
+        kw("permille"); kw("by")
+        Some(SampleBucket(colRef(), n.toInt))
+      } else None
       val joins = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
       while (is("inner")) { next(); kw("join"); val t = next(); kw("on")
         val l = colRef(); kw("="); val r = colRef(); joins += ((t, l, r)) }
-      val wheres = if (is("where")) { next(); preds() } else Nil
+      val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       val groupBy = if (is("group")) {
         next(); kw("by")
         val gs = scala.collection.mutable.ArrayBuffer(colRef())
@@ -409,6 +444,39 @@ object HashQL {
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset)
+    }
+
+    /** `over (partition by …[, …] order by …[ desc][, …])` — both clauses
+      * optional, any combination; window fns limited to row_number / rank
+      * (need ORDER BY to mean anything — required) and sum. */
+    private def windowSpec(fn: String, arg: Option[ColRef]): WinCall = {
+      kw("over"); kw("(")
+      val part = if (is("partition")) {
+        next(); kw("by")
+        val ps = scala.collection.mutable.ArrayBuffer(colRef())
+        while (is(",")) { next(); ps += colRef() }
+        ps.toSeq
+      } else Nil
+      val order = if (is("order")) {
+        next(); kw("by")
+        val os = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Boolean)]
+        var m = true
+        while (m) {
+          val r = colRef()
+          val desc =
+            if (is("desc")) { next(); true }
+            else { if (is("asc")) next(); false }
+          os += ((r, desc))
+          if (is(",")) next() else m = false
+        }
+        os.toSeq
+      } else Nil
+      kw(")")
+      require(Set("row_number", "rank", "sum").contains(fn),
+        s"window functions supported: row_number, rank, sum — got $fn")
+      require(fn == "sum" || order.nonEmpty,
+        s"$fn() over (…) requires an ORDER BY in the window")
+      WinCall(fn, arg, part, order)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -566,6 +634,35 @@ object HashQL {
     case _: InSelect => throw new IllegalArgumentException(
       "in (select …) is supported only as a top-level WHERE conjunct " +
         "(optionally under a single NOT), not inside OR/parens")
+    case SampleBucket(ref, permille) =>
+      graft.llm.Sampling.arithBucket(col(ref.column)) < permille
+  }
+
+  /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
+    * addressable in ORDER BY like every other output column. */
+  private def winAlias(w: WinCall): String = w.fn match {
+    case "row_number" => "rn"
+    case "rank" => "rnk"
+    case "sum" => s"wsum_${w.arg.get.column}"
+  }
+
+  private def winColumn(w: WinCall): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val spec0 =
+      if (w.part.isEmpty) Window.partitionBy()
+      else Window.partitionBy(w.part.map(p => col(p.column)): _*)
+    val spec =
+      if (w.order.isEmpty) spec0
+      else spec0.orderBy(w.order.map { case (r, d) =>
+        if (d) col(r.column).desc else col(r.column).asc }: _*)
+    w.fn match {
+      case "row_number" => row_number().over(spec)
+      case "rank" => rank().over(spec)
+      // with ORDER BY this is the ANSI default RANGE frame (running sum,
+      // peers included) — Spark and DuckDB agree; without, the whole
+      // partition's sum on every row
+      case "sum" => sum(col(w.arg.get.column)).over(spec)
+    }
   }
 
   /** Aggregate output columns with their dialect auto-aliases (cnt,
@@ -691,11 +788,15 @@ object HashQL {
         def aggColumns: Seq[Column] = aggsOf(items)
         val out = groupBy match {
           case gs if gs.nonEmpty =>
+            require(!items.exists(_.isInstanceOf[WinCall]),
+              "window calls cannot mix with GROUP BY in one select")
             df.groupBy(gs.map(g => col(g.column)): _*)
               .agg(aggColumns.head, aggColumns.tail: _*)
           case _ =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
+              require(!items.exists(_.isInstanceOf[WinCall]),
+                "window calls cannot mix with doc-path projection")
               // doc-path projection, one output row per addressed leaf
               // combination: paths through the SAME array share one explode
               // (positionally-aligned leaves — the reference's flattened
@@ -725,16 +826,30 @@ object HashQL {
               if (scalarCols.isEmpty) projected
               else projected.na.drop("any", scalarCols)
             } else {
+              val wins = items.collect { case w: WinCall => w }
+              val winAliases = wins.map(winAlias)
+              require(winAliases.distinct.size == winAliases.size,
+                s"duplicate window output aliases: $winAliases")
               val cols = items.flatMap {
                 case Star => df.columns.toSeq
                 case Field(ref) => Seq(ref.column)
+                case w: WinCall => Seq(winAlias(w))
                 case CountStar | _: AggCall => Seq.empty
               }
               if (items.nonEmpty && items.forall(i =>
                   i == CountStar || i.isInstanceOf[AggCall]))
                 df.agg(aggColumns.head, aggColumns.tail: _*)
-              // missing-field skip semantics (server.py:1054-1060)
-              else df.select(cols.map(col): _*).na.drop("any", cols)
+              else {
+                val withWins = wins.foldLeft(df)((d, w) =>
+                  d.withColumn(winAlias(w), winColumn(w)))
+                // missing-field skip semantics (server.py:1054-1060)
+                // apply to the projected SCALAR fields; window outputs
+                // (computed, never "missing") are exempt
+                val scalarCols = cols.filterNot(winAliases.toSet)
+                val projected = withWins.select(cols.map(col): _*)
+                if (scalarCols.isEmpty) projected
+                else projected.na.drop("any", scalarCols)
+              }
             }
         }
         // HAVING filters the aggregated frame's OUTPUT columns (Catalyst

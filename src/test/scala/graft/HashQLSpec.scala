@@ -392,6 +392,49 @@ class HashQLSpec extends SparkSpec {
         "(select people.people_name, people.age from people)"))
   }
 
+  test("window calls and SAMPLE clause: semantics + rejected shapes") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 2L, 5L), ("b", 7L, 1L))
+      .zipWithIndex.foreach { case ((g, o, v), i) =>
+        HashQL.execute(cat,
+          s"insert into t (g, o, v, k) values ('$g', $o, $v, ${i + 1})")
+      }
+    // row_number per group ordered by (o, k): deterministic via unique k
+    val rn = HashQL.execute(cat, "select t.k, row_number() over " +
+      "(partition by t.g order by t.o, t.k) from t").get
+      .as[(Long, Int)].collect().toMap
+    assert(rn == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 1), s"rn: $rn")
+    // rank: ties share a rank, next rank skips
+    val rnk = HashQL.execute(cat, "select t.k, rank() over " +
+      "(partition by t.g order by t.o) from t").get
+      .as[(Long, Int)].collect().toMap
+    assert(rnk == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1), s"rnk: $rnk")
+    // running sum over the ANSI RANGE frame: o=2 peers both included
+    val ws = HashQL.execute(cat, "select t.k, sum(t.v) over " +
+      "(partition by t.g order by t.o) from t").get
+      .as[(Long, Long)].collect().toMap
+    assert(ws == Map(1L -> 10L, 2L -> 35L, 3L -> 35L, 4L -> 1L), s"ws: $ws")
+    // window aliases are ORDER-BY-addressable output columns
+    val top = HashQL.execute(cat, "select t.k, row_number() over " +
+      "(partition by t.g order by t.o, t.k) from t order by rn desc limit 1").get
+      .as[(Long, Int)].collect().head
+    assert(top == ((3L, 3)))
+    // sample clause: deterministic subset, nested across rates
+    def keys(p: Int) = HashQL.execute(cat,
+      s"select t.k from t sample $p permille by t.k").get
+      .as[Long].collect().toSet
+    assert(keys(1000) == Set(1L, 2L, 3L, 4L) && keys(0).isEmpty)
+    assert(keys(250).subsetOf(keys(500)) && keys(500).subsetOf(keys(1000)))
+
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g, count(*), row_number() over (order by t.g) " +
+        "from t group by t.g"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select avg(t.v) over (order by t.o) from t"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.k from t sample 1001 permille by t.k"))
+  }
+
   test("update rewrites matching rows only (example.py:126-149)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into p (name, age) values ('Sam', 29)")
