@@ -320,6 +320,65 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     lastDeg.select(col("a").as("node"), col("deg"))
   }
 
+  /** k-truss decomposition (growth — [[kCore]]'s edge-level sibling, a
+    * strictly stronger cohesion filter): the maximal subgraph where every
+    * EDGE closes ≥ k−2 triangles within the subgraph. Returns
+    * (u, v, support) for each surviving oriented edge (u < v), support =
+    * its triangle count inside the truss; empty when no k-truss exists.
+    *
+    * Each round recounts per-edge support with [[triangleCounts]]'s
+    * oriented-wedge construction (wedge on the lowest endpoint, close
+    * against the edge list — three equi-join shuffles, fan-out capped by
+    * the smallest endpoint's degree) and drops edges below k−2. The edge
+    * set only shrinks, so count equality is set equality and the final
+    * round's supports are measured against the truss itself; same
+    * driver-loop/persist/cap discipline as [[kCore]]. */
+  def kTruss(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in 1..64, got $maxRounds")
+    val base = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+    val e0 = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = e0.persist(storage)
+    var curN = cur.count()
+    var last: DataFrame = null
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      rounds += 1
+      val wedges = cur.select(col("u"), col("v").as("x"))
+        .join(cur.select(col("u"), col("v").as("y")), Seq("u"))
+        .filter(col("x") < col("y"))
+      val tris = wedges.join(
+        cur.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      val sup = tris.select(
+          explode(array(
+            struct(col("u").as("a"), col("x").as("b")),
+            struct(col("u").as("a"), col("y").as("b")),
+            struct(col("x").as("a"), col("y").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      val next = cur
+        .join(sup, col("u") === col("a") && col("v") === col("b"))
+        .select(col("u"), col("v"), col("support"))
+        .persist(storage)
+      val nextN = next.count()
+      changed = nextN != curN
+      cur.unpersist()
+      if (last != null) last.unpersist()
+      last = next
+      cur = next.select(col("u"), col("v"))
+      curN = nextN
+    }
+    last
+  }
+
   /** Weighted single-source shortest paths (growth — the weighted
     * companion of [[bfsDistances]]): (node, dist) with dist = minimum
     * total edge weight over paths of AT MOST `maxHops` edges from

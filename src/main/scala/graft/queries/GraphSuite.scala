@@ -451,6 +451,49 @@ object GraphSuite extends Suite {
            |GROUP BY d.a""".stripMargin
       }),
 
+    // k-truss (growth): edges of the BUYS-enriched graph closing ≥ 1
+    // triangle inside the truss (k=3), with in-truss supports. The
+    // oracle unrolls 4 peel rounds (fixture fixpoint ≤ 2 at every SF).
+    "graph_ktruss" -> Q(
+      (s, d) => gBuys(s, d).kTruss(k = 3),
+      Some {
+        // AS MATERIALIZED everywhere a CTE is referenced more than once:
+        // without it DuckDB inlines each reference and the 4 unrolled
+        // rounds re-evaluate the whole chain 3^4 times (observed as a
+        // file-handle explosion on the base scans)
+        def round(cur: String, out: String): String =
+          s"""$out AS MATERIALIZED (
+             |  WITH w AS (SELECT e1.u, e1.v AS x, e2.v AS y FROM $cur e1
+             |             JOIN $cur e2 ON e1.u = e2.u AND e1.v < e2.v),
+             |  t AS MATERIALIZED (SELECT w.u, w.x, w.y FROM w
+             |        JOIN $cur e ON e.u = w.x AND e.v = w.y),
+             |  te AS (SELECT u AS a, x AS b FROM t
+             |    UNION ALL SELECT u, y FROM t UNION ALL SELECT x, y FROM t),
+             |  s AS (SELECT a, b, count(*) AS sup FROM te GROUP BY 1, 2)
+             |  SELECT c.u, c.v, s.sup FROM $cur c
+             |  JOIN s ON s.a = c.u AND s.b = c.v WHERE s.sup >= 1)"""
+            .stripMargin
+        val rounds = (1 to 4).map(i =>
+          round(s"t${i - 1}", s"t$i")).mkString(",\n")
+        s"""WITH raw AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+           |         'nation:' || n_name AS b
+           |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+           |       FROM nation JOIN region ON n_regionkey = r_regionkey
+           |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+           |         'nation:' || n_name
+           |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |  UNION ALL SELECT DISTINCT
+           |         'customer:' || CAST(o_custkey AS VARCHAR),
+           |         'supplier:' || CAST(l_suppkey AS VARCHAR)
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |t0 AS MATERIALIZED (
+           |       SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |       FROM raw WHERE a <> b),
+           |$rounds
+           |SELECT u, v, CAST(sup AS BIGINT) AS support FROM t4""".stripMargin
+      }),
+
     // BFS shortest-path distances (growth): 2 undirected hops out of
     // region:EUROPE — the region at 0, its nations at 1, their customers
     // and suppliers at 2. The oracle is a depth-bounded recursive CTE

@@ -566,6 +566,62 @@ object Streams {
       .start()
   }
 
+  /** RETRACTION-aware maintenance (the DELETE/UPDATE half of incremental
+    * view maintenance that [[maintainAggregate]]'s INSERT-only contract
+    * excludes): the stream carries an op column (+1 insert, −1 retract a
+    * previously-inserted row; an UPDATE is a retract+insert pair), and
+    * each batch's partial stores SIGNED aggregates — count = Σop,
+    * sum = Σ(op·x) — which fold by the same summation as the insert-only
+    * store, cancelling retracted rows exactly. min/max are rejected:
+    * they cannot retract without the full history (the classic IVM
+    * limitation; serve those from facts or recompute). Read with
+    * [[foldAggregateRetractive]], which also drops groups whose net
+    * count reached zero (all rows retracted ⇒ the group no longer exists
+    * in the view, exactly as a batch re-materialization would show).
+    * Same store/replay/compaction contract as [[maintainAggregate]]. */
+  def maintainAggregateRetractive(stream: DataFrame, groupCols: Seq[String],
+                                  specs: Seq[AggSpec], opCol: String,
+                                  storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(specs.nonEmpty, "at least one AggSpec")
+    require(specs.forall(s => s.fn == "count" || s.fn == "sum"),
+      "retraction maintenance supports count/sum (+ avg via the sum/count " +
+        "decomposition); min/max cannot retract")
+    require(specs.map(_.alias).distinct.size == specs.size,
+      "AggSpec aliases must be distinct")
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val signed = specs.map { s =>
+          (s.fn match {
+            case "count" => sum(col(opCol).cast("long"))
+            case "sum" => sum(col(opCol).cast("long") * col(s.column))
+          }).as(s.alias)
+        }
+        batch.groupBy(groupCols.map(col): _*)
+          .agg(signed.head, signed.tail: _*)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** [[foldAggregate]] over a retractive store: groups whose net
+    * `countAlias` is ≤ 0 are dropped (fully-retracted groups must vanish
+    * like they would in a batch re-materialization — a store maintained
+    * only by [[maintainAggregateRetractive]] can never fold below zero
+    * for any group unless retractions outnumber the matching inserts,
+    * which the +1/−1 contract forbids). */
+  def foldAggregateRetractive(spark: SparkSession, storePath: String,
+                              groupCols: Seq[String], specs: Seq[AggSpec],
+                              countAlias: String): DataFrame = {
+    require(specs.exists(_.alias == countAlias),
+      s"countAlias $countAlias must name one of the specs")
+    foldAggregate(spark, storePath, groupCols, specs)
+      .filter(col(countAlias) > 0)
+  }
+
   /** Write an EXISTING summary (the view's initial materialization over
     * pre-stream facts) into the partial store as the seed partial — counts
     * fold by summing, so a seed is just one more partial. batch=-1 keeps

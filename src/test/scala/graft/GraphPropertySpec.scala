@@ -242,4 +242,23 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
       g.edges.repartition(5))
     assert(reparted.kCore(2).as[(String, Long)].collect().toMap == core2)
   }
+
+  test("kTruss: supports within the truss, cascade, empty truss") {
+    // K4 on a..d (every edge closes 2 triangles) + a pendant triangle
+    // d-e-f (each of its edges closes exactly 1)
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val tri = Seq("d" -> "e", "d" -> "f", "e" -> "f")
+    val g = graphOf(k4 ++ tri)
+    val t3 = g.kTruss(3).as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t3.keySet == (k4 ++ tri).toSet && tri.forall(t3(_) == 1L) &&
+      k4.forall(t3(_) == 2L), s"3-truss: $t3")
+    // k=4 needs support ≥ 2 INSIDE the truss: the pendant triangle goes
+    // first, and K4 alone still gives every edge support 2 — it stays
+    val t4 = g.kTruss(4).as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t4.keySet == k4.toSet && t4.values.forall(_ == 2L), s"4-truss: $t4")
+    assert(g.kTruss(5).isEmpty, "no 5-truss in K4")
+  }
 }

@@ -829,6 +829,49 @@ class StreamsSpec extends SparkSpec {
       "post-compaction replayed batch double-counted")
   }
 
+  test("retractive aggregate maintenance: deletes/updates cancel exactly; emptied groups vanish") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mar").toString
+    val specs = Seq(Streams.AggSpec("count", "", "cnt"),
+      Streams.AggSpec("sum", "v", "sum_v"))
+    val mem = MemoryStream[(Int, String, Long)]
+    val q = Streams.maintainAggregateRetractive(
+      mem.toDF().toDF("op", "cat", "v"), Seq("cat"), specs, "op",
+      s"$dir/store", Files.createTempDirectory("mar_ck").toString)
+    try {
+      mem.addData((1, "a", 10L), (1, "a", 20L), (1, "b", 5L))
+      q.processAllAvailable()
+      // update b: retract+insert pair; delete one a row; new group c
+      mem.addData((-1, "a", 10L), (1, "a", 7L),
+        (-1, "b", 5L), (1, "b", 9L), (1, "c", 1L))
+      q.processAllAvailable()
+      // retract group c entirely
+      mem.addData((-1, "c", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def folded = Streams.foldAggregateRetractive(
+      spark, s"$dir/store", Seq("cat"), specs, "cnt")
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, s) => c -> ((n, s)) }.toMap
+    // net rows: a = {20, 7}, b = {9}, c = ∅
+    assert(folded == Map("a" -> ((2L, 27L)), "b" -> ((1L, 9L))), s"$folded")
+    // unsigned fold ≡ batch aggregate over the NET row multiset
+    val net = Seq(("a", 20L), ("a", 7L), ("b", 9L)).toDF("cat", "v")
+      .groupBy("cat").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, s) => c -> ((n, s)) }.toMap
+    assert(folded == net, "folded retractive view != batch over net rows")
+    // compaction: zero-count groups stay IN the signed seed (so later
+    // re-inserts fold on top) but OUT of the read path
+    Streams.compactAggregateStore(spark, s"$dir/store", Seq("cat"), specs)
+    assert(folded == net, "compaction changed the folded retractive view")
+    val seed = spark.read.parquet(s"$dir/store/batch=-1")
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, s) => c -> ((n, s)) }.toMap
+    assert(seed("c") == ((0L, 0L)), s"zero-count group missing from seed: $seed")
+  }
+
   test("maintainHistogram partials fold to the direct grid; watermark guards replays") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sketch.Histo
