@@ -833,7 +833,8 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nprobe: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       maxQueryRows: Long = 1L << 20): DataFrame = {
+                       maxQueryRows: Long = 1L << 20,
+                       allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
@@ -857,10 +858,23 @@ object Similarity {
     if (probes.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "cos", "rn")
     val probedLists = probes.map(_._3).distinct
-    rankProbed(
-      antiTombstones(spark, path, spark.read.parquet(s"$path/lists")
-        .filter(col("list").isin(probedLists: _*))), // static partition pruning
-      broadcast(probes.toDF("qid", "qvec", "list")), k)
+    // FILTERED serving (FAISS IDSelector / vector-store metadata filters):
+    // `allowed` is a one-id-column frame; the semi-join applies AFTER
+    // partition pruning and BEFORE ranking, so the result is the exact
+    // top-k among allowed rows in the probed lists. The filter side is a
+    // dimension-shaped id list — broadcast, costing one scan-side probe
+    // per candidate row at any corpus size. (Highly selective filters
+    // want a larger nprobe: pruning happens per-list, and a filter can
+    // empty a probed list — the standard filtered-ANN recall trade.)
+    val scan0 = antiTombstones(spark, path, spark.read.parquet(s"$path/lists")
+      .filter(col("list").isin(probedLists: _*))) // static partition pruning
+    val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must have exactly one id column, got ${a.columns.toSeq}")
+      scan0.join(broadcast(a.toDF("graft_allow_id")),
+        col("nid") === col("graft_allow_id"), "left_semi")
+    }
+    rankProbed(scan, broadcast(probes.toDF("qid", "qvec", "list")), k)
   }
 
   /** [[ivfTopKFromIndex]] for DataFrame-sized query batches: the query

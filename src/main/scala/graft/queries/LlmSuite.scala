@@ -1372,6 +1372,43 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // FILTERED index serving (FAISS IDSelector / metadata-filter shape):
+    // same persisted pipeline, neighbors restricted to vec_id % 3 = 0 by
+    // a broadcast semi-join after partition pruning — the oracle is the
+    // ann_ivf_index SQL with the predicate on the neighbor side.
+    "ann_ivf_filtered" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+        Similarity.writeIvfIndex(emb(s, d), s"$tmp/idx", nlist = 16, iters = 0)
+        Similarity.ivfTopKFromIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") < 5), k = 3, nprobe = 4,
+          allowed = Some(emb(s, d).filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"))))
+      },
+      Some(s"""WITH $cosineNormsCte,
+              |c AS (SELECT vec_id AS cid, embedding, nrm FROM n
+              |      ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT nid, cid FROM (
+              |    SELECT x.vec_id AS nid, c.cid,
+              |      row_number() OVER (PARTITION BY x.vec_id
+              |        ORDER BY ${cosExpr("x", "c")} DESC, c.cid) AS arn
+              |    FROM n x, c) WHERE arn = 1),
+              |probes AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, c.cid,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosExpr("q", "c")} DESC, c.cid) AS prn
+              |    FROM n q, c WHERE q.vec_id < 5) WHERE prn <= 4),
+              |p AS (SELECT pr.qid, a.nid, round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM probes pr
+              |      JOIN asg a ON a.cid = pr.cid
+              |      JOIN n q ON q.vec_id = pr.qid
+              |      JOIN n x ON x.vec_id = a.nid
+              |      WHERE a.nid <> pr.qid AND a.nid % 3 = 0),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // IVF with iters=1 over the FULL training set: one Lloyd step is
     // SQL-expressible — new centroid = per-list element-wise mean of the
     // vectors assigned under the iters=0 centroids (summed in ascending-id

@@ -440,6 +440,36 @@ class LlmSpec extends SparkSpec {
     assert(noop.toSet == back.toSet)
   }
 
+  test("filtered IVF serving: full probe ≡ brute force over the allowed subset") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt").toString + "/idx"
+    Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 8)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    // full probe (nprobe = nlist): the filtered serve must be the exact
+    // brute-force answer over the allowed corpus
+    val served = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5,
+        nprobe = 16, allowed = Some(allowed))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 3 === 0), queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == brute, "filtered full-probe serve != filtered brute force")
+    assert(served.forall(_._2 % 3 == 0), "disallowed neighbor served")
+    // pruned probes stay inside the allowed subset and keep decent recall
+    val pruned = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5,
+        nprobe = 4, allowed = Some(allowed))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pruned.forall(_._2 % 3 == 0))
+    val recall = pruned.map(r => (r._1, r._2)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size.toDouble /
+      brute.size
+    assert(recall > 0.5, s"filtered pruned recall $recall")
+    // a wide allowed frame is rejected
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 4,
+        allowed = Some(emb.select(col("vec_id"), col("embedding")))))
+  }
+
   test("distributed IVF probe assignment matches the collected path with no driver collect of queries") {
     val queries = emb.filter(col("vec_id") < 10)
     val dir = java.nio.file.Files.createTempDirectory("ivf_dist").toString + "/idx"
