@@ -8,7 +8,7 @@ package graft.graph
   * Grammar (case-insensitive keywords, as the reference):
   * {{{
   *   stmt    := MATCH chains (OPTIONAL MATCH chains)*
-  *                [WHERE cond (AND cond)*] RETURN ret (, ret)*
+  *                [WHERE wexpr] RETURN ret (, ret)*
   *                [ORDER BY ret [ASC|DESC] (, ...)*] [LIMIT n]
   *            |  MATCH chains [WHERE ...] DETACH DELETE var (, var)*
   *            |  MATCH chains [WHERE ...] SET var.attr = 'v' (, ...)*
@@ -22,10 +22,13 @@ package graft.graph
   *              // map is unorderable and rejected); ORDER BY + LIMIT
   *              // plans TakeOrderedAndProject — per-partition top-k +
   *              // driver merge, no global sort at any scale.
+  *   wexpr   := wconj (OR wconj)* ; wconj := watom (AND watom)*
+  *   watom   := '(' wexpr ')' | NOT watom | cond
   *   cond    := var.attr (= | < | > | <= | >=) ('v' | n)
   *              // WHERE (growth — the reference's grammar has no WHERE,
   *              // cypher.py): inequality/range predicates over node or
-  *              // edge attributes, beyond the attr-map equality patterns.
+  *              // edge attributes with full boolean structure (AND over
+  *              // OR, parens, three-valued NOT — HashQL's rules).
   *              // A numeric literal compares numerically (the attr string
   *              // casts to long — HashQL's coercion rule); a quoted
   *              // literal compares as a string. var.name addresses the
@@ -109,11 +112,32 @@ object Cypher {
     require(arg.forall(!_.attr.contains("*")),
       "cannot aggregate a properties(...) map")
   }
-  /** WHERE conjunct (growth): `variable.attr op value`. `value` is Long
+  /** Boolean WHERE structure (growth — Neo4j's full AND/OR/NOT/parens
+    * surface over the comparison leaves): standard precedence, AND binds
+    * tighter than OR. `wheres` on a statement is the TOP-LEVEL conjunct
+    * list (an element may internally be an OR/NOT tree), so the flat
+    * AND-chain shape round 5 shipped is unchanged as the common case. */
+  sealed trait WExpr
+  final case class WAnd(l: WExpr, r: WExpr) extends WExpr
+  final case class WOr(l: WExpr, r: WExpr) extends WExpr
+  /** Three-valued like HashQL's NOT: negating a NULL comparison stays
+    * NULL, so the row still drops — ANSI semantics. */
+  final case class WNot(e: WExpr) extends WExpr
+  /** WHERE comparison leaf: `variable.attr op value`. `value` is Long
     * for a numeric literal (numeric comparison — the attr casts to long,
     * HashQL's coercion rule) or String for a quoted one; `attr` "name" on
     * a node variable addresses the identity itself. */
-  final case class Where(variable: String, attr: String, op: String, value: Any)
+  final case class Where(variable: String, attr: String, op: String,
+                         value: Any) extends WExpr
+
+  /** Every comparison leaf under a WHERE tree — validation and
+    * attr-carry planning range over these. */
+  def leaves(e: WExpr): Seq[Where] = e match {
+    case w: Where => Seq(w)
+    case WAnd(l, r) => leaves(l) ++ leaves(r)
+    case WOr(l, r) => leaves(l) ++ leaves(r)
+    case WNot(x) => leaves(x)
+  }
   sealed trait Stmt
   /** `optional` chains (growth — `OPTIONAL MATCH`, absent from the
     * reference grammar) left-join onto the mandatory pattern's bindings:
@@ -124,7 +148,7 @@ object Cypher {
     * a WHERE after OPTIONAL MATCH to the optional pattern; that filter
     * belongs in the optional pattern's attr maps here). */
   final case class Match(chains: Seq[Chain], returns: Seq[RetItem],
-                         wheres: Seq[Where] = Nil,
+                         wheres: Seq[WExpr] = Nil,
                          orderBy: Seq[(RetItem, Boolean)] = Nil,
                          limit: Option[Int] = None,
                          optional: Seq[Chain] = Nil) extends Stmt
@@ -133,13 +157,13 @@ object Cypher {
     * bound to a listed variable in any pattern match, cascading to ALL
     * incident edges (the DETACH contract; bare DELETE-with-edges-present
     * is an error in Cypher and is not offered here). */
-  final case class Delete(chains: Seq[Chain], wheres: Seq[Where],
+  final case class Delete(chains: Seq[Chain], wheres: Seq[WExpr],
                           vars: Seq[String]) extends Stmt
   /** `MATCH … [WHERE …] SET v.attr = 'val' (, v.attr = 'val')*` (growth):
     * upsert one attribute on every node bound to `v` — last write wins
     * within a statement's set list, the identity attribute `name` is not
     * settable. */
-  final case class SetAttrs(chains: Seq[Chain], wheres: Seq[Where],
+  final case class SetAttrs(chains: Seq[Chain], wheres: Seq[WExpr],
                             sets: Seq[(String, String, String)]) extends Stmt
   /** `MATCH p = shortestPath((a …)-[:R*m..n]-(b …)) RETURN …` (growth —
     * Neo4j's anchored shortest-path form; the reference grammar has
@@ -246,16 +270,16 @@ object Cypher {
           opt ++= chains()
         }
         var k = keyword()
-        val conds = scala.collection.mutable.ArrayBuffer.empty[Where]
+        val conds = scala.collection.mutable.ArrayBuffer.empty[WExpr]
         if (k == "where") {
-          var more = true
-          while (more) {
-            val v = ident(); eat('.'); val a = ident()
-            conds += Where(v, a, operator(), { ws()
-              if (peek == '\'') quoted() else int().toLong })
-            k = keyword()
-            more = k == "and"
+          // top-level ANDs flatten into the statement's conjunct list;
+          // OR/NOT/parens stay as trees inside an element
+          def topConjuncts(e: WExpr): Seq[WExpr] = e match {
+            case WAnd(l, r) => topConjuncts(l) ++ topConjuncts(r)
+            case x => Seq(x)
           }
+          conds ++= topConjuncts(whereExpr())
+          k = keyword()
         }
         k match {
           case "return" =>
@@ -298,6 +322,31 @@ object Cypher {
         }
       case "merge" => Merge(chains().head)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
+    }
+
+    /** WHERE grammar, standard precedence: expr := conj (OR conj)*;
+      * conj := atom (AND atom)*; atom := '(' expr ')' | NOT atom | leaf.
+      * `tryKeyword` consumes whole identifiers, so OR never swallows the
+      * start of ORDER. */
+    private def whereExpr(): WExpr = {
+      var e = whereConj()
+      while (tryKeyword("or")) e = WOr(e, whereConj())
+      e
+    }
+    private def whereConj(): WExpr = {
+      var e = whereAtom()
+      while (tryKeyword("and")) e = WAnd(e, whereAtom())
+      e
+    }
+    private def whereAtom(): WExpr = {
+      ws()
+      if (tryEat('(')) { val e = whereExpr(); eat(')'); e }
+      else if (tryKeyword("not")) WNot(whereAtom())
+      else {
+        val v = ident(); eat('.'); val a = ident()
+        Where(v, a, operator(), { ws()
+          if (peek == '\'') quoted() else int().toLong })
+      }
     }
 
     /** WHERE comparison operator; `<>` dies with a clear unsupported-op

@@ -594,7 +594,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // over them would drop the very NULL rows OPTIONAL exists to keep
       // (Neo4j scopes such a WHERE to the optional pattern — spell the
       // constraint as an attr map in the optional pattern instead).
-      wheres.foreach { w =>
+      val whereLeaves = wheres.flatMap(Cypher.leaves)
+      whereLeaves.foreach { w =>
         require(nodeVarSet(w.variable) || edgeVars(w.variable),
           s"WHERE references unbound variable '${w.variable}'")
         require(!optOnlyVars(w.variable),
@@ -605,7 +606,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       val retsAndArgs = plainRets ++ aggItems.flatMap(_.arg)
       val edgeAttrNeeds: Map[String, Seq[String]] = (retsAndArgs.collect {
         case Cypher.Ret(v, Some(a)) if edgeVars(v) && a != "*" => (v, a)
-      } ++ wheres.collect {
+      } ++ whereLeaves.collect {
         case Cypher.Where(v, a, _, _) if edgeVars(v) => (v, a)
       }).groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       // properties(e): carry the matched edge's STORED (src, dst) out of
@@ -713,7 +714,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // addressed with `.attr` (or filtered on a non-name attribute).
       val attrVars = (retsAndArgs.collect {
         case Cypher.Ret(v, Some(a)) if a != "name" && a != "*" && !edgeVars(v) => v
-      } ++ wheres.collect {
+      } ++ whereLeaves.collect {
         case Cypher.Where(v, a, _, _) if !edgeVars(v) && a != "name" => v
       }).distinct
       attrVars.foreach { v =>
@@ -729,14 +730,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // numeric literal compares numerically via try_cast-to-long — NULL
       // for a missing or NON-numeric attr, so such rows drop (a plain
       // ANSI cast would throw mid-scan on the first non-numeric value).
-      wheres.foreach { w =>
-        val target =
-          if (edgeVars(w.variable)) col(s"${w.variable}_${w.attr}")
-          else if (w.attr == "name") col(w.variable)
-          else col(s"__attrs_${w.variable}").getItem(w.attr)
-        val c = w.value match { case _: Long => target.try_cast("long"); case _ => target }
-        out = out.filter(graft.core.Compare.cmp(c, w.op, w.value))
+      def whereColumn(e: Cypher.WExpr): org.apache.spark.sql.Column = e match {
+        case w: Cypher.Where =>
+          val target =
+            if (edgeVars(w.variable)) col(s"${w.variable}_${w.attr}")
+            else if (w.attr == "name") col(w.variable)
+            else col(s"__attrs_${w.variable}").getItem(w.attr)
+          val c = w.value match { case _: Long => target.try_cast("long"); case _ => target }
+          graft.core.Compare.cmp(c, w.op, w.value)
+        case Cypher.WAnd(l, r) => whereColumn(l) && whereColumn(r)
+        // disjunctions/negations keep ANSI three-valued semantics: a NULL
+        // branch (missing/non-numeric attr) neither satisfies nor, under
+        // NOT, resurrects the row
+        case Cypher.WOr(l, r) => whereColumn(l) || whereColumn(r)
+        case Cypher.WNot(x) => !whereColumn(x)
       }
+      wheres.foreach(w => out = out.filter(whereColumn(w)))
       // output-column naming, shared by the projection branches, the
       // aggregation aliases, and the ORDER BY targeting: var, var_attr,
       // cnt for count(*), fn_var[_attr] for the other aggregates.

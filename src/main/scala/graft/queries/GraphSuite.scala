@@ -188,6 +188,23 @@ object GraphSuite extends Suite {
              |WHERE c_nationkey >= 20 AND c_nationkey < 23
              |  AND c_mktsegment = 'BUILDING'""".stripMargin)),
 
+    // boolean WHERE structure (growth²): AND over OR, parens
+    // distributing over a conjunct, and NOT — both precedence shapes in
+    // one statement, HashQL's hashql_or on the graph surface.
+    "cypher_where_or" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) " +
+          "where (c.c_nationkey = 3 or c.c_nationkey = 21) " +
+          "and not c.c_mktsegment = 'BUILDING' " +
+          "or c.c_nationkey >= 23 " +
+          "return c, n.n_name"),
+      Some("""SELECT DISTINCT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+             |  n_name AS n_n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE (c_nationkey = 3 OR c_nationkey = 21)
+             |  AND NOT c_mktsegment = 'BUILDING'
+             |  OR c_nationkey >= 23""".stripMargin)),
+
     // ORDER BY + LIMIT (growth, the HashQL hashql_topk ask on the graph
     // surface): sort keys address RETURN output columns; plans
     // TakeOrderedAndProject (per-partition top-k + driver merge, no global

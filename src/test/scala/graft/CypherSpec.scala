@@ -206,6 +206,19 @@ class CypherSpec extends SparkSpec {
     assert(w2 == Seq(Cypher.Where("n", "age", "<=", 9L)))
     intercept[IllegalArgumentException](
       Cypher.parse("match (n:P) where n.age <> 9 return n"))
+    // boolean structure: AND over OR, parens, NOT; top-level ANDs flatten
+    // into the conjunct list, OR/NOT stay trees; OR never eats ORDER
+    val Cypher.Match(_, _, w3, _, _, _) = Cypher.parse(
+      "match (n:P) where (n.a = 1 or n.b = 2) and not n.c = 'x' " +
+        "return n order by n limit 2"): @unchecked
+    assert(w3 == Seq(
+      Cypher.WOr(Cypher.Where("n", "a", "=", 1L), Cypher.Where("n", "b", "=", 2L)),
+      Cypher.WNot(Cypher.Where("n", "c", "=", "x"))), s"$w3")
+    val Cypher.Match(_, _, w4, _, _, _) = Cypher.parse(
+      "match (n:P) where n.a = 1 and n.b = 2 or n.c = 3 return n"): @unchecked
+    assert(w4 == Seq(Cypher.WOr(
+      Cypher.WAnd(Cypher.Where("n", "a", "=", 1L), Cypher.Where("n", "b", "=", 2L)),
+      Cypher.Where("n", "c", "=", 3L))), s"$w4")
 
     import spark.implicits._
     val g = PropertyGraph.empty(spark)
