@@ -21,8 +21,38 @@ final class GraftCatalog(val spark: SparkSession) {
 
   private var tables = Map.empty[String, DataFrame]
   private var counters = Map.empty[String, Long]
+  // version log: history(name)(v-1) = the table AS OF version v (1-based).
+  // Entries are lazy PLANS (cheap to hold), but each pins its lineage —
+  // long-lived sessions should compact() on a cadence, which snapshots
+  // the CURRENT version to parquet and frees its lineage while older
+  // versions keep theirs (the Delta-style time-travel trade, in-session).
+  private var history = Map.empty[String, Vector[DataFrame]]
 
-  def register(name: String, df: DataFrame): Unit = tables += name -> df
+  private def commit(name: String, df: DataFrame): Unit = {
+    history += name -> (history.getOrElse(name, Vector.empty) :+ df)
+    tables += name -> df
+  }
+
+  /** Number of committed versions of `name` (0 = never written). Every
+    * register/insert/update/delete commits one; compact() swaps the
+    * current version's plan for the parquet scan without adding one
+    * (contents identical). */
+  def versionOf(name: String): Int = history.getOrElse(name, Vector.empty).length
+
+  /** TIME TRAVEL (growth — Delta/Iceberg `VERSION AS OF`, in-session):
+    * the table exactly as of version `v` (1-based;
+    * `v == versionOf(name)` reads the current state). Every version is a
+    * lazy plan over the same immutable base data, so reads are as
+    * distributed as the current table's. */
+  def tableAsOf(name: String, v: Int): DataFrame = {
+    val h = history.getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name"))
+    require(v >= 1 && v <= h.length,
+      s"version $v out of range 1..${h.length} for $name")
+    h(v - 1)
+  }
+
+  def register(name: String, df: DataFrame): Unit = commit(name, df)
 
   def table(name: String): DataFrame =
     tables.getOrElse(name, throw new IllegalArgumentException(s"no such table: $name"))
@@ -47,7 +77,7 @@ final class GraftCatalog(val spark: SparkSession) {
     })
     val rowDf = spark.createDataFrame(
       java.util.Collections.singletonList(row), schema)
-    tables += name -> (tables.get(name) match {
+    commit(name, tables.get(name) match {
       case Some(existing) => existing.unionByName(rowDf, allowMissingColumns = true)
       case None => rowDf
     })
@@ -59,9 +89,9 @@ final class GraftCatalog(val spark: SparkSession) {
              where: org.apache.spark.sql.Column): Unit = {
     val df = table(name)
     val v = setValue match { case i: Int => lit(i.toLong); case x => lit(x) }
-    tables += name -> df.withColumn(setField,
+    commit(name, df.withColumn(setField,
       when(where, v).otherwise(if (df.columns.contains(setField)) col(setField)
-      else lit(null)))
+      else lit(null))))
   }
 
   /** S3 DELETE as anti-filter. Only rows where the predicate is TRUE are
@@ -69,7 +99,7 @@ final class GraftCatalog(val spark: SparkSession) {
     * field) keeps the row, as SQL DELETE does — a bare `!where` would
     * silently drop those rows too, because Filter discards NULL. */
   def delete(name: String, where: org.apache.spark.sql.Column): Unit =
-    tables += name -> table(name).filter(!coalesce(where, lit(false)))
+    commit(name, table(name).filter(!coalesce(where, lit(false))))
 
   /** Checkpoint a table's accumulated plan (row-at-a-time inserts build a
     * union per row; updates stack projections) to parquet and re-register
@@ -82,12 +112,24 @@ final class GraftCatalog(val spark: SparkSession) {
     * overwrite would throw "cannot overwrite a path that is also being
     * read from" on the second call, because the registered scan reads the
     * path being rewritten), and a crash mid-swap auto-recovers on the
-    * next invocation. */
+    * next invocation.
+    *
+    * Time-travel interaction: the version compact() rewrites reads
+    * THROUGH `path`, so a LATER compact() to the same path silently
+    * repoints that historical version at the new contents — compact to a
+    * fresh path per call (version-stamped dirs) when [[tableAsOf]] must
+    * stay faithful across compactions. Versions committed before the
+    * compact keep their own lineage and are unaffected. */
   def compact(name: String, path: String): Unit = {
     val df = table(name)
     graft.sources.Sources.swapDir(spark, path) { tmp =>
       df.write.mode("overwrite").parquet(tmp)
     }
-    tables += name -> spark.read.parquet(path)
+    // same contents, new plan: replace the CURRENT version in place so
+    // versionOf stays aligned and the latest version's lineage is freed
+    val scan = spark.read.parquet(path)
+    tables += name -> scan
+    history += name -> (history.getOrElse(name, Vector.empty)
+      .dropRight(1) :+ scan)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import graft.core.{GraftCatalog, Tables}
 import graft.sql.HashQL
 
@@ -118,6 +119,37 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, c_nationkey,
              |  CAST(sum(c_custkey) OVER (PARTITION BY c_nationkey
              |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
+             |FROM customer""".stripMargin)),
+
+    // TIME TRAVEL (growth — Delta-style VERSION AS OF over the catalog's
+    // copy-on-write version log): read the people table as of the
+    // version before Sam's age update alongside the current state.
+    "hashql_time_travel" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s) // 4 inserts → versions 1..4
+        HashQL.execute(cat,
+          "update people set people.age = 30 where people.people_name = 'Sam'")
+        cat.tableAsOf("people", 4)
+          .select(col("people_name"), col("age"), lit(4L).as("v"))
+          .unionByName(cat.table("people")
+            .select(col("people_name"), col("age"), lit(5L).as("v")))
+      },
+      Some("""SELECT people_name, CAST(age AS BIGINT) AS age,
+             |  CAST(v AS BIGINT) AS v FROM (VALUES
+             |  ('Ted', 29, 4), ('Fred', 45, 4), ('Simon', 29, 4), ('Sam', 29, 4),
+             |  ('Ted', 29, 5), ('Fred', 45, 5), ('Simon', 29, 5), ('Sam', 30, 5)
+             |) t(people_name, age, v)""".stripMargin)),
+
+    // lag: previous row's value in window order (offset 1, NULL at the
+    // partition head in both engines).
+    "hashql_win_lag" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey, " +
+          "lag(customer.c_custkey) over (partition by customer.c_nationkey " +
+          "order by customer.c_custkey) from customer"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  lag(c_custkey) OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_custkey) AS lag_c_custkey
              |FROM customer""".stripMargin)),
 
     // IN (SELECT …): membership subquery planned as a LEFT SEMI join

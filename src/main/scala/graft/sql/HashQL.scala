@@ -19,7 +19,7 @@ import graft.fts.Fts
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
-  *     | sum(t.x) over (…)
+  *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
   *     [inner join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
@@ -366,6 +366,10 @@ object HashQL {
           val fn = next().toLowerCase; kw("("); kw(")")
           items += windowSpec(fn, None)
         }
+        else if (is("lag") || is("lead")) {
+          val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
+          items += windowSpec(fn, Some(r))
+        }
         else if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); items += CountStar }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
@@ -472,8 +476,8 @@ object HashQL {
         os.toSeq
       } else Nil
       kw(")")
-      require(Set("row_number", "rank", "sum").contains(fn),
-        s"window functions supported: row_number, rank, sum — got $fn")
+      require(Set("row_number", "rank", "sum", "lag", "lead").contains(fn),
+        s"window functions supported: row_number, rank, sum, lag, lead — got $fn")
       require(fn == "sum" || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
       WinCall(fn, arg, part, order)
@@ -644,6 +648,7 @@ object HashQL {
     case "row_number" => "rn"
     case "rank" => "rnk"
     case "sum" => s"wsum_${w.arg.get.column}"
+    case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
   }
 
   private def winColumn(w: WinCall): Column = {
@@ -662,6 +667,8 @@ object HashQL {
       // peers included) — Spark and DuckDB agree; without, the whole
       // partition's sum on every row
       case "sum" => sum(col(w.arg.get.column)).over(spec)
+      case "lag" => lag(col(w.arg.get.column), 1).over(spec)
+      case "lead" => lead(col(w.arg.get.column), 1).over(spec)
     }
   }
 

@@ -344,6 +344,32 @@ class HashQLSpec extends SparkSpec {
     assert(star.columns.toSeq == Seq("id", "name") && star.count() == 3)
   }
 
+  test("time travel: every mutation commits a version; compact keeps alignment") {
+    val cat = new GraftCatalog(spark)
+    assert(cat.versionOf("t") == 0)
+    HashQL.execute(cat, "insert into t (a, n) values ('x', 1)") // v1
+    HashQL.execute(cat, "insert into t (a, n) values ('y', 2)") // v2
+    HashQL.execute(cat, "update t set t.n = 9 where t.a = 'x'") // v3
+    HashQL.execute(cat, "delete from t where t.a = 'y'")        // v4
+    assert(cat.versionOf("t") == 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "n").as[(String, Long)].collect().toSet
+    assert(rows(cat.tableAsOf("t", 1)) == Set(("x", 1L)))
+    assert(rows(cat.tableAsOf("t", 2)) == Set(("x", 1L), ("y", 2L)))
+    assert(rows(cat.tableAsOf("t", 3)) == Set(("x", 9L), ("y", 2L)))
+    assert(rows(cat.tableAsOf("t", 4)) == rows(cat.table("t")))
+    intercept[IllegalArgumentException](cat.tableAsOf("t", 5))
+    intercept[IllegalArgumentException](cat.tableAsOf("t", 0))
+    intercept[IllegalArgumentException](cat.tableAsOf("zzz", 1))
+    // compact swaps the current version's plan, not the version count;
+    // prior versions keep their own lineage
+    val dir = java.nio.file.Files.createTempDirectory("tt").toString
+    cat.compact("t", s"$dir/t")
+    assert(cat.versionOf("t") == 4)
+    assert(rows(cat.tableAsOf("t", 4)) == Set(("x", 9L)))
+    assert(rows(cat.tableAsOf("t", 2)) == Set(("x", 1L), ("y", 2L)))
+  }
+
   test("IN-subquery semi/anti joins and UNION set semantics") {
     val cat = new GraftCatalog(spark)
     Seq("insert into people (people_name, age) values ('Ted', 29)",
