@@ -358,6 +358,22 @@ object RelationalSuite extends Suite {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // explicit GROUPING SETS (the general form rollup/cube sugar over):
+    // (status, priority), (status), () — one partial-agg pass expands to
+    // the three grouping shapes, same plan Structured rollups use.
+    "q_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                |  (o_orderstatus), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderstatus), ())""".stripMargin)),
+
     // HAVING — post-aggregation filter.
     "q_having" -> Q(
       (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))

@@ -283,4 +283,37 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("round-6 plan shapes: zero-shuffle scan ops, bounded-candidate heavy hitters") {
+    val docs = Tables.t(spark, sf, "documents")
+    val emb = Tables.t(spark, sf, "embeddings")
+    // randomProject: pure scan-side HOFs — no Exchange anywhere
+    val rp = graft.llm.Similarity.randomProject(emb, 64, 16)
+    assert(!rp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "randomProject plan shuffles")
+    // BPE encode: chained folds + ONE per-doc reassembly shuffle; the
+    // merge applications themselves add none (2 exchanges total:
+    // posexplode→groupBy partial/final)
+    val enc = graft.llm.Bpe.encode(docs, "text", "doc_id",
+      Seq(("e", "</w>"), ("t", "h")))
+    val encExchanges = "Exchange".r
+      .findAllIn(enc.queryExecution.executedPlan.toString).length
+    assert(encExchanges <= 1,
+      s"BPE encode pays $encExchanges exchanges — merge folds must be scan-side")
+    // heavyHittersExact phase 2: the candidate set joins via BROADCAST
+    // (never a domain-sized shuffle of the fact side against candidates)
+    val terms = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+    val hh = graft.sketch.MisraGries.heavyHittersExact(terms, "term", 64)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert(hhPlan.contains("BroadcastHashJoin") ||
+      hhPlan.contains("BroadcastExchange"),
+      s"candidate semi-join not broadcast:\n${hhPlan.take(1500)}")
+    // histogram sketch: bounded partial fold below the shuffle, no Window
+    val grid = graft.sketch.Histo.sketch(
+      Tables.t(spark, sf, "events"), Seq("event_type"),
+      round(col("value") * 100, 0).cast("long"), 0L, 1000L, 64)
+    val gPlan = grid.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("Window") && gPlan.contains("graft_h_partial"),
+      s"histogram plan shape:\n${gPlan.take(1200)}")
+  }
 }
