@@ -121,6 +121,37 @@ object HashqlSuite extends Suite {
              |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
              |FROM customer""".stripMargin)),
 
+    // CTAS (growth): register a SELECT's result as a new lazy table and
+    // query it — the staging-table idiom.
+    "hashql_ctas" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table bld as " +
+          "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_mktsegment = 'BUILDING'")
+        HashQL.execute(cat,
+          "select bld.c_custkey, bld.c_name from bld where bld.c_custkey <= 500").get
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 500"""
+        .stripMargin)),
+
+    // multi-row VALUES (growth): one statement, per-row id synthesis —
+    // identical to the rows arriving as separate statements.
+    "hashql_insert_multi" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat, "insert into pets (pet_name, legs) values " +
+          "('Rex', 4), ('Tweety', 2), ('Slinky', 0)")
+        HashQL.execute(cat, "insert into pets (pet_name, legs) values ('Dot', 8)")
+        HashQL.execute(cat,
+          "select pets.id, pets.pet_name, pets.legs from pets").get
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS id, pet_name,
+             |  CAST(legs AS BIGINT) AS legs FROM (VALUES
+             |  (1, 'Rex', 4), (2, 'Tweety', 2), (3, 'Slinky', 0), (4, 'Dot', 8)
+             |) t(id, pet_name, legs)""".stripMargin)),
+
     // TIME TRAVEL (growth — Delta-style VERSION AS OF over the catalog's
     // copy-on-write version log): read the people table as of the
     // version before Sam's age update alongside the current state.

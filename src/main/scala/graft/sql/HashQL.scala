@@ -14,7 +14,7 @@ import graft.fts.Fts
   *
   * Dialect:
   * {{{
-  *   insert into t (f, g) values ('s', 2)
+  *   insert into t (f, g) values ('s', 2) [, ('u', 3)]*
   *   update t set t.f = v where t.g = w [and …]
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*)
@@ -32,6 +32,7 @@ import graft.fts.Fts
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [order by t.f [asc|desc] [, …]] [limit n] [offset m]
   *   select … union [all] select … [union [all] select …]*
+  *   create table t as select …[ union …]
   *   create join inner join a on a.x = b.y [inner join …]*
   *   create agg view as select g [, …], count(*) | sum(t.f) | … from t
   *     [inner join …]* [where …] group by t.g [, …]
@@ -118,7 +119,18 @@ object HashQL {
   final case class HavingPred(column: String, op: String, value: Any)
 
   sealed trait Stmt
-  final case class Insert(table: String, fields: Seq[String], values: Seq[Any]) extends Stmt
+  /** Multi-row INSERT (growth): `values (…), (…), …` — each row commits
+    * one catalog version with its own synthesized id, exactly as if the
+    * rows arrived as separate statements (the reference is strictly
+    * row-at-a-time, server.py:666-669). */
+  final case class Insert(table: String, fields: Seq[String],
+                          rows: Seq[Seq[Any]]) extends Stmt
+  /** `create table t as select …` (growth — CTAS): registers the SELECT's
+    * result frame as a new catalog table. Lazy like every catalog entry —
+    * the scan/join plan IS the table until something materializes it;
+    * `GraftCatalog.compact` lands it in parquet when wanted. The target
+    * must not already exist (no silent replace). */
+  final case class CreateTableAs(table: String, sel: Stmt) extends Stmt
   final case class Update(table: String, set: (ColRef, Any), wheres: Seq[Pred]) extends Stmt
   /** `delete from t where …` — dialect growth (the reference clears whole
     * KV ranges, client.py:204-212, but its SQL stops at SELECT/INSERT/
@@ -245,7 +257,28 @@ object HashQL {
           Union(branches.toSeq, allFlags.head)
         }
       case "create" =>
-        if (is("agg")) {
+        if (is("table")) {
+          next()
+          val t = next()
+          kw("as"); kw("select")
+          CreateTableAs(t, selectRest() match {
+            case s if !is("union") => s
+            case first =>
+              // union chains compose under CTAS too
+              val branches = scala.collection.mutable.ArrayBuffer(first)
+              val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+              while (is("union")) {
+                next()
+                allFlags += (is("all") && { next(); true })
+                kw("select")
+                branches += selectRest()
+              }
+              require(allFlags.distinct.size == 1,
+                "mixed UNION / UNION ALL in one chain is not supported")
+              Union(branches.toSeq, allFlags.head)
+          })
+        }
+        else if (is("agg")) {
           next(); kw("view"); kw("as"); kw("select")
           val sel = selectRest()
           require(sel.groupBy.nonEmpty, "create agg view needs GROUP BY")
@@ -271,11 +304,20 @@ object HashQL {
       kw("(")
       val fields = scala.collection.mutable.ArrayBuffer(next())
       while (is(",")) { next(); fields += next() }
-      kw(")"); kw("values"); kw("(")
-      val values = scala.collection.mutable.ArrayBuffer(literal())
-      while (is(",")) { next(); values += literal() }
-      kw(")")
-      Insert(table, fields.toSeq, values.toSeq)
+      kw(")"); kw("values")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      var more = true
+      while (more) {
+        kw("(")
+        val values = scala.collection.mutable.ArrayBuffer(literal())
+        while (is(",")) { next(); values += literal() }
+        kw(")")
+        require(values.length == fields.length,
+          s"insert row has ${values.length} values for ${fields.length} fields")
+        rows += values.toSeq
+        if (is(",")) next() else more = false
+      }
+      Insert(table, fields.toSeq, rows.toSeq)
     }
 
     private def updateRest(): Update = {
@@ -728,9 +770,17 @@ object HashQL {
   def execute(cat: GraftCatalog, sql: String,
               registry: Option[JoinRegistry] = None): Option[DataFrame] =
     parse(sql) match {
-      case Insert(t, fs, vs) =>
-        cat.insert(t, fs.zip(vs))
+      case Insert(t, fs, rows) =>
+        rows.foreach(r => cat.insert(t, fs.zip(r)))
         registry.foreach(_.invalidateTable(t)); None
+      case CreateTableAs(t, sel) =>
+        require(!cat.exists(t), s"create table: $t already exists")
+        cat.register(t, sel match {
+          case s: Select => selectFrame(cat, s, registry)
+          case u: Union => unionFrame(cat, u, registry)
+          case other => throw new IllegalStateException(s"CTAS over $other")
+        })
+        None
       case Update(t, (ref, v), wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
         cat.update(t, ref.column, v, cond)
@@ -747,16 +797,20 @@ object HashQL {
           "HashQL.materializeAggView(cat, sql, path, registry) " +
           "with a parquet path for it")
       case sel: Select => Some(selectFrame(cat, sel, registry))
-      case Union(sels, all) =>
-        val frames = sels.map(selectFrame(cat, _, registry))
-        require(frames.map(_.columns.length).distinct.size == 1,
-          s"union branches must project the same number of columns, " +
-            s"got ${frames.map(_.columns.length).mkString("/")}")
-        // positional union (SQL): names follow the first branch; plain
-        // UNION dedups the whole chain (one partial-agg shuffle)
-        val u = frames.reduce(_ union _)
-        Some(if (all) u else u.distinct())
+      case u: Union => Some(unionFrame(cat, u, registry))
     }
+
+  private def unionFrame(cat: GraftCatalog, u: Union,
+                         registry: Option[JoinRegistry]): DataFrame = {
+    val frames = u.selects.map(selectFrame(cat, _, registry))
+    require(frames.map(_.columns.length).distinct.size == 1,
+      s"union branches must project the same number of columns, " +
+        s"got ${frames.map(_.columns.length).mkString("/")}")
+    // positional union (SQL): names follow the first branch; plain
+    // UNION dedups the whole chain (one partial-agg shuffle)
+    val out = frames.reduce(_ union _)
+    if (u.all) out else out.distinct()
+  }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
                           registry: Option[JoinRegistry]): DataFrame = {

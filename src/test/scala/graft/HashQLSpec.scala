@@ -344,6 +344,25 @@ class HashQLSpec extends SparkSpec {
     assert(star.columns.toSeq == Seq("id", "name") && star.count() == 3)
   }
 
+  test("CTAS and multi-row VALUES: arity checks, no silent replace") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into src (a, n) values ('x', 1), ('y', 2), ('z', 3)")
+    assert(cat.versionOf("src") == 3, "multi-row insert must commit per row")
+    HashQL.execute(cat, "create table big as " +
+      "select src.a, src.n from src where src.n >= 2")
+    assert(HashQL.execute(cat, "select big.a from big").get
+      .as[String].collect().toSet == Set("y", "z"))
+    // CTAS over a union chain
+    HashQL.execute(cat, "create table both as select src.a from src " +
+      "union all select big.a from big")
+    assert(HashQL.execute(cat, "select both.a from both").get.count() == 5)
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "create table big as select src.a from src"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into src (a, n) values ('w')"))
+  }
+
   test("time travel: every mutation commits a version; compact keeps alignment") {
     val cat = new GraftCatalog(spark)
     assert(cat.versionOf("t") == 0)
