@@ -34,11 +34,22 @@ object DocStore {
   def hydrate(docs: DataFrame, docCol: String = "doc"): DataFrame =
     docs.withColumn("json", to_json(col(docCol)))
 
-  private final case class Seg(name: String, isArray: Boolean)
+  private final case class Seg(name: String, isArray: Boolean,
+                               index: Option[Int] = None)
 
+  /** `x` plain field · `x[]` every element (explodes / exists) · `x[n]`
+    * the n-th element, 0-based (growth beyond the reference's []-only
+    * addressing, README.md:100-145): a pure `element_at` — no explode,
+    * NULL past the end, JSON-path-style. */
   private def parse(path: String): Seq[Seg] =
     path.split("~").filter(_.nonEmpty).toSeq.map { s =>
       if (s.endsWith("[]")) Seg(s.dropRight(2), isArray = true)
+      else if (s.endsWith("]") && s.contains("[")) {
+        val at = s.lastIndexOf('[')
+        val idx = s.substring(at + 1, s.length - 1)
+        require(idx.matches("[0-9]+"), s"bad array index in path segment: $s")
+        Seg(s.substring(0, at), isArray = false, index = Some(idx.toInt))
+      }
       else Seg(s, isArray = false)
     }
 
@@ -78,6 +89,10 @@ object DocStore {
             df = df.withColumn(tmp, explode(parent.getField(seg.name)))
             col(tmp)
           })
+        } else if (seg.index.isDefined) {
+          // indexed element: scan-side element_at (1-based), no explode
+          prefix = prefix :+ s"${seg.name}[${seg.index.get}]"
+          cur = try_element_at(cur.getField(seg.name), lit(seg.index.get + 1))
         } else {
           prefix = prefix :+ seg.name
           cur = cur.getField(seg.name)
@@ -96,12 +111,20 @@ object DocStore {
     * segment (the reference's own examples never nest arrays). */
   def pathMatches(docCol: Column, path: String, pred: Column => Column): Column = {
     val segs = parse(path)
+    def step(c: Column, s: Seg): Column =
+      if (s.index.isDefined) try_element_at(c.getField(s.name), lit(s.index.get + 1))
+      else c.getField(s.name)
     val arrIdx = segs.indexWhere(_.isArray)
-    require(arrIdx >= 0, s"pathMatches expects an array segment in $path")
-    val pre = segs.take(arrIdx + 1).foldLeft(Option.empty[Column]) {
-      case (acc, seg) => Some(acc.fold(docCol.getField(seg.name))(_.getField(seg.name)))
-    }.get
-    val post = segs.drop(arrIdx + 1)
-    exists(pre, e => pred(post.foldLeft(e)((c, s) => c.getField(s.name))))
+    if (arrIdx < 0)
+      // pure scalar chain (plain and/or INDEXED segments): the predicate
+      // applies to the single addressed leaf; NULL (missing field, index
+      // past the end) fails the filter like any NULL comparison
+      pred(segs.foldLeft(docCol)(step))
+    else {
+      val arr = segs.take(arrIdx).foldLeft(docCol)(step)
+        .getField(segs(arrIdx).name)
+      val post = segs.drop(arrIdx + 1)
+      exists(arr, e => pred(post.foldLeft(e)(step)))
+    }
   }
 }

@@ -32,6 +32,25 @@ object DocSuite extends Suite {
       Some("""SELECT c_custkey AS cust_id, o_orderkey
              |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin)),
 
+    // indexed addressing (growth beyond the reference's []-only syntax):
+    // `~orders[0]~leaf` = the first element via scan-side element_at —
+    // no explode, one output row per doc. The fixture array_sorts the
+    // collected orders (struct order = by o_orderkey) because
+    // collect_list order is nondeterministic; [0] is then the min-key
+    // order, which the oracle states as min/arg_min.
+    "doc_path_index" -> Q(
+      (s, d) => {
+        val sorted = docs(s, d).select(col("cust_id"),
+          struct(col("doc.name").as("name"),
+            array_sort(col("doc.orders")).as("orders")).as("doc"))
+        DocStore.selectPaths(sorted, "doc", Seq(
+          "~orders[0]~o_orderkey" -> "first_key",
+          "~orders[0]~o_totalprice" -> "first_price"))
+      },
+      Some("""SELECT o_custkey AS cust_id, min(o_orderkey) AS first_key,
+             |  arg_min(o_totalprice, o_orderkey) AS first_price
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // doc-path predicate: docs where ANY order exceeds 300k — evaluated
     // scan-side via higher-order `exists`, no explode+shuffle.
     "doc_path_filter" -> Q(

@@ -865,7 +865,7 @@ object HashQL {
               // different arrays cross. Plain fields may be projected
               // ALONGSIDE paths — they repeat per exploded leaf.
               val aliasOf = docPaths.map(r =>
-                r -> r.column.split("~").last.stripSuffix("[]")).toMap
+                r -> r.column.split("~").last.replaceAll("\\[\\d*\\]$", "")).toMap
               require(aliasOf.values.toSeq.distinct.size == aliasOf.size,
                 "doc-paths in one select need distinct leaf names")
               val exploded = graft.doc.DocStore.selectPaths(df, "doc",

@@ -56,4 +56,24 @@ class DocStoreSpec extends SparkSpec {
     assert(people.filter(
       DocStore.pathMatches(col("doc"), "~hobbies[]~name", _ === "absent")).count() == 0)
   }
+
+  test("indexed paths: element_at semantics, out-of-range NULL, no explode") {
+    // [1] = second hobby; one row per doc (no explode)
+    val second = DocStore.selectPath(people, "doc", "~hobbies[1]~name", "h")
+    assert(second.count() == 1 &&
+      second.select("h").as[String].head() == "databases")
+    assert(!second.queryExecution.executedPlan.toString.contains("Generate"),
+      "indexed path exploded")
+    // past the end → NULL, row kept
+    val oob = DocStore.selectPath(people, "doc", "~hobbies[9]~name", "h")
+    assert(oob.count() == 1 && oob.select("h").head().isNullAt(0))
+    // indexed pathMatches: scalar predicate, NULL past the end drops
+    assert(people.filter(DocStore.pathMatches(col("doc"),
+      "~hobbies[0]~name", _ === "God")).count() == 1)
+    assert(people.filter(DocStore.pathMatches(col("doc"),
+      "~hobbies[9]~name", _ === "God")).count() == 0)
+    // malformed index rejected
+    intercept[IllegalArgumentException](
+      DocStore.selectPath(people, "doc", "~hobbies[x]~name", "h").collect())
+  }
 }
