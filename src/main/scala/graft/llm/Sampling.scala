@@ -442,4 +442,62 @@ object Sampling {
     * order. */
   def epochShuffleSql(idExpr: String, seed: Long, outCol: String = "epoch_pos"): String =
     s"row_number() OVER (ORDER BY ${epochOrdSql(idExpr, seed)}, $idExpr) AS $outCol"
+
+  private val StrideScale = 1000000L
+
+  /** CURRICULUM / mixture interleaving by stride scheduling (Waldspurger &
+    * Weihl's stride scheduler applied to data mixing): assign every row a
+    * global training position such that strata interleave PROPORTIONALLY
+    * to their weights throughout the epoch — stratum s's k-th document
+    * (in deterministic id order) runs at virtual time ⌊k·SCALE/wₛ⌋, and
+    * the epoch is the ascending (vtime, stratum, id) order. A weight-3
+    * stratum appears ~3× as often as a weight-1 stratum at EVERY point of
+    * training, which is what mixture schedules actually promise (contrast
+    * concatenated corpora, where domains arrive in blocks). Exact integer
+    * arithmetic end to end — reproducible across runs, partitionings, and
+    * engines; headroom: n·SCALE < 2⁶³ holds to ~9×10¹² rows per stratum.
+    *
+    * Both passes are [[stratumCumSum]]'s range-partitioned two-phase
+    * prefix count (per-stratum seq, then the global position over the
+    * stride order) — no Window, no single-task sort; a dominant stratum
+    * spreads over many partitions. Returns the input plus `outCol`
+    * (1-based global position). */
+  def curriculumOrder(df: DataFrame, stratumCol: String, idCol: String,
+                      weightByStratum: Map[String, Long],
+                      defaultWeight: Long = 1L,
+                      outCol: String = "train_pos"): DataFrame = {
+    (weightByStratum.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 1, s"weights must be >= 1, got $w"))
+    val seqd = stratumCumSum(df, stratumCol, idCol, lit(1L), "graft_seq",
+      Some(col(idCol)))
+    val w = weightByStratum.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val vtime = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(col("graft_seq") * StrideScale),
+        org.apache.spark.sql.GraftBridge.expression(w)))
+    stratumCumSum(
+      seqd.withColumn("graft_vt", vtime)
+        .withColumn("graft_all", lit(0)),
+      "graft_all", idCol, lit(1L), outCol,
+      Some(struct(col("graft_vt"), col(stratumCol))))
+      .drop("graft_seq", "graft_vt", "graft_all")
+  }
+
+  /** DuckDB mirror of [[curriculumOrder]] as a full SELECT over `table`
+    * (two window passes mirror the two prefix counts). */
+  def curriculumOrderSql(table: String, stratumCol: String, idCol: String,
+                         weightByStratum: Map[String, Long],
+                         defaultWeight: Long = 1L,
+                         outCol: String = "train_pos"): String = {
+    val w = weightByStratum.foldLeft(s"$defaultWeight") {
+      case (acc, (k, v)) => s"CASE WHEN $stratumCol = '$k' THEN $v ELSE $acc END"
+    }
+    s"""SELECT * EXCLUDE (graft_seq),
+       |  row_number() OVER (ORDER BY (graft_seq * $StrideScale) // ($w),
+       |    $stratumCol, $idCol) AS $outCol
+       |FROM (SELECT *, row_number() OVER (PARTITION BY $stratumCol
+       |        ORDER BY $idCol) AS graft_seq FROM $table)""".stripMargin
+  }
 }

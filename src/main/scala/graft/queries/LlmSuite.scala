@@ -1594,6 +1594,19 @@ object LlmSuite extends Suite {
         "(SELECT doc_id, lang FROM documents)", "doc_id, lang",
         "lang", "doc_id", 200L))),
 
+    // CURRICULUM interleave (stride scheduling applied to data mixing):
+    // every doc gets a global training position with languages appearing
+    // proportionally to their weights at EVERY point of the epoch (not in
+    // concatenated blocks). Exact integer virtual times — the full
+    // position assignment hash-checks.
+    "sample_curriculum" -> Q(
+      (s, d) => Sampling.curriculumOrder(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 4L, "fr" -> 2L)),
+      Some(Sampling.curriculumOrderSql(
+        "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
+        Map("en" -> 4L, "fr" -> 2L)))),
+
     // PER-STRATUM CAP: "at most 40 documents per language" — the per-host/
     // per-source cap every crawl corpus applies. Admission in the same
     // deterministic (arithBucket, id) order as the other samplers (NOT

@@ -929,6 +929,25 @@ class LlmSpec extends SparkSpec {
       graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
   }
 
+  test("curriculumOrder: exact 3:1 interleave, partition-invariant, no Window") {
+    val in = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (101 to 110).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    def positions(df: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumOrder(df, "lang", "doc_id", Map("a" -> 3L, "b" -> 1L))
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    val pos = positions(in)
+    // stride math: the k-th b doc runs at vtime k·S, preceded by exactly
+    // the 3k a docs with vtime ⌊j·S/3⌋ ≤ k·S (tie at j=3k goes to 'a') —
+    // so b lands at every 4th position exactly, start to finish
+    (1 to 10).foreach(k => assert(pos(100L + k) == 4L * k,
+      s"b#$k at ${pos(100L + k)}, expected ${4 * k}"))
+    assert(pos.values.toSeq.sorted == (1L to 40L), "positions not a permutation")
+    assert(positions(in.repartition(7)) == pos, "not partition-invariant")
+    val plan = Sampling.curriculumOrder(in, "lang", "doc_id", Map("a" -> 3L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into curriculum plan")
+  }
+
   test("BPE train/encode: hand-checked merges, greedy fold, early stop") {
     import graft.llm.Bpe
     // corpus "aa aa ab": round 1 ties (a,a) vs (a,</w>) at 2 — lex break
