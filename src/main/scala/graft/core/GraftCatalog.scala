@@ -94,6 +94,17 @@ final class GraftCatalog(val spark: SparkSession) {
       else lit(null))))
   }
 
+  /** [[update]] with a computed right-hand side (`set t.a = t.b + 1` —
+    * dialect growth): same copy-on-write `when` projection, the value a
+    * Column over the row. */
+  def updateExpr(name: String, setField: String, value: org.apache.spark.sql.Column,
+                 where: org.apache.spark.sql.Column): Unit = {
+    val df = table(name)
+    commit(name, df.withColumn(setField,
+      when(where, value).otherwise(if (df.columns.contains(setField)) col(setField)
+      else lit(null))))
+  }
+
   /** S3 DELETE as anti-filter. Only rows where the predicate is TRUE are
     * deleted: a NULL predicate (dynamic-schema row missing the WHERE
     * field) keeps the row, as SQL DELETE does — a bare `!where` would

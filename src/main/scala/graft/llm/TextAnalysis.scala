@@ -339,6 +339,33 @@ object TextAnalysis {
           .as("bits_per_token"))
   }
 
+  /** Registrable host of a URL, lowercased (the per-domain key every
+    * crawl pipeline caps/dedups/rates on): the authority between `://`
+    * and the first `/ : ? #`, ports and paths dropped. Pure regex in the
+    * Java∩RE2 subset — both engines extract identically; non-URLs yield
+    * the empty string (regexp_extract's no-match contract). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+  def urlDomainSql(c: String): String =
+    s"coalesce(regexp_extract(lower($c), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '')"
+
+  /** Tracking-parameter strip (utm_…, fbclid, gclid, msclkid — the
+    * canonicalization step before URL dedup; without it every campaign
+    * link is a distinct "page"): drop matching query params, then tidy
+    * separator debris (`?&` → `?`, trailing `?`/`&`). Three global regex
+    * replaces, Java∩RE2, scan-side. */
+  def canonicalizeUrl(url: Column): Column = {
+    val dropped = regexp_replace(url,
+      "(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*&?", "")
+    regexp_replace(regexp_replace(dropped, "\\?&", "?"), "[?&]+(#|$)", "$1")
+  }
+  def canonicalizeUrlSql(c: String): String = {
+    val dropped =
+      s"regexp_replace($c, '(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g')"
+    s"""regexp_replace(regexp_replace($dropped, '\\?&', '?', 'g'),
+       |  '[?&]+(#|${"$"})', '\\1', 'g')""".stripMargin
+  }
+
   /** Quality score in [0,1]: integer-ratio components only (token count,
     * mean word length band, stopword ratio) so Spark and DuckDB compute
     * bit-identical doubles; rounded to 4 anyway. */

@@ -121,6 +121,21 @@ object HashqlSuite extends Suite {
              |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
              |FROM customer""".stripMargin)),
 
+    // computed-UPDATE (growth beyond the reference's literal-only SET):
+    // birthday bump — age = age + 1 for one person, literal-VALUES oracle.
+    "hashql_update_expr" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat,
+          "update people set people.age = people.age + 1 " +
+            "where people.people_name = 'Ted'")
+        HashQL.execute(cat,
+          "select people.people_name, people.age from people").get
+      },
+      Some("""SELECT people_name, CAST(age AS BIGINT) AS age FROM (VALUES
+             |  ('Ted', 30), ('Fred', 45), ('Simon', 29), ('Sam', 29)
+             |) t(people_name, age)""".stripMargin)),
+
     // CTAS (growth): register a SELECT's result as a new lazy table and
     // query it — the staging-table idiom.
     "hashql_ctas" -> Q(

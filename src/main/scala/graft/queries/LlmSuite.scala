@@ -545,6 +545,28 @@ object LlmSuite extends Suite {
              |  round(sum(s)::DOUBLE / count(*), 4) AS bits_per_token
              |FROM scored GROUP BY doc_id""".stripMargin)),
 
+    // URL canonicalization (the step before per-domain caps and URL
+    // dedup — without it every campaign link is a distinct page): planted
+    // tracking-laden URLs → registrable lowercase domain + stripped
+    // canonical form, identical regex semantics in both engines.
+    "text_url_canon" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+          concat(lit("https://Site"), col("doc_id") % 7,
+            lit(".Example.COM/page/"), col("doc_id"),
+            lit("?utm_source=x&id="), col("doc_id"),
+            lit("&utm_campaign=y")).as("url"))
+        .select(col("doc_id"),
+          TextAnalysis.urlDomain(col("url")).as("domain"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("canon")),
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    'https://Site' || (doc_id % 7) || '.Example.COM/page/'
+              |      || doc_id || '?utm_source=x&id=' || doc_id
+              |      || '&utm_campaign=y' AS url
+              |  FROM documents)
+              |SELECT doc_id, ${TextAnalysis.urlDomainSql("url")} AS domain,
+              |  ${TextAnalysis.canonicalizeUrlSql("url")} AS canon
+              |FROM u""".stripMargin)),
+
     // blocklist gate (C4 badwords-filter shape): word-boundary blocklist
     // hits on terms planted from doc_id + the keep decision. The
     // non-capturing alternation stays in the Java∩RE2 subset.

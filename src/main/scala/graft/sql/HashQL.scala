@@ -15,7 +15,8 @@ import graft.fts.Fts
   * Dialect:
   * {{{
   *   insert into t (f, g) values ('s', 2) [, ('u', 3)]*
-  *   update t set t.f = v where t.g = w [and …]
+  *   update t set t.f = v | t.g | t.g + n | t.g - n | t.g * n
+  *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
@@ -131,7 +132,15 @@ object HashQL {
     * `GraftCatalog.compact` lands it in parquet when wanted. The target
     * must not already exist (no silent replace). */
   final case class CreateTableAs(table: String, sel: Stmt) extends Stmt
-  final case class Update(table: String, set: (ColRef, Any), wheres: Seq[Pred]) extends Stmt
+  /** SET right-hand side (growth beyond the reference's literal-only
+    * assignment, server.py:478): a literal, another column, or
+    * column-arithmetic `t.b + n | t.b - n | t.b * n` (long coercion —
+    * non-numeric values become NULL under try_cast, never a throw). */
+  sealed trait SetVal
+  final case class SetLit(v: Any) extends SetVal
+  final case class SetCol(ref: ColRef) extends SetVal
+  final case class SetArith(ref: ColRef, op: String, n: Long) extends SetVal
+  final case class Update(table: String, set: (ColRef, SetVal), wheres: Seq[Pred]) extends Stmt
   /** `delete from t where …` — dialect growth (the reference clears whole
     * KV ranges, client.py:204-212, but its SQL stops at SELECT/INSERT/
     * UPDATE/CREATE JOIN); lowers to [[GraftCatalog.delete]] (copy-on-write
@@ -323,7 +332,20 @@ object HashQL {
     private def updateRest(): Update = {
       val table = next()
       kw("set")
-      val ref = colRef(); kw("="); val v = literal()
+      val ref = colRef(); kw("=")
+      // RHS: quoted/number literal, or a column ref optionally followed
+      // by space-separated `+ - *` and a numeric literal
+      val v: SetVal =
+        if (peek.contains('.') && !peek.startsWith("'")) {
+          val r2 = colRef()
+          if (is("+") || is("-") || is("*")) {
+            val op = next()
+            val n = literal()
+            require(n.isInstanceOf[Long],
+              s"column arithmetic expects a numeric literal, got $n")
+            SetArith(r2, op, n.asInstanceOf[Long])
+          } else SetCol(r2)
+        } else SetLit(literal())
       val wheres = if (is("where")) { next(); preds() } else Nil
       Update(table, (ref, v), wheres)
     }
@@ -781,9 +803,19 @@ object HashQL {
           case other => throw new IllegalStateException(s"CTAS over $other")
         })
         None
-      case Update(t, (ref, v), wheres) =>
+      case Update(t, (ref, sv), wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
-        cat.update(t, ref.column, v, cond)
+        sv match {
+          case SetLit(v) => cat.update(t, ref.column, v, cond)
+          case SetCol(r2) => cat.updateExpr(t, ref.column, col(r2.column), cond)
+          case SetArith(r2, op, n) =>
+            val base = col(r2.column).try_cast("long")
+            cat.updateExpr(t, ref.column, op match {
+              case "+" => base + n
+              case "-" => base - n
+              case "*" => base * n
+            }, cond)
+        }
         registry.foreach(_.invalidateTable(t)); None
       case Delete(t, wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
