@@ -48,15 +48,29 @@ object Bpe {
     * cnt) in learning order; stops early if the corpus runs out of
     * repeated pairs. Deterministic: exact integer counts, ties broken by
     * lexicographic (lhs, rhs). */
-  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges must be in 1..64, got $nMerges")
-    val spark = df.sparkSession
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // corpus → word-frequency table: the ONLY corpus-sized pass
-    val wf = df.select(explode(split(lower(col(textCol)), " ")).as("word"))
+  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainFromWordCounts(wordCounts(df, textCol), nMerges)
+
+  /** The corpus→(word, freq) collapse — the ONLY corpus-sized pass of
+    * training, and exactly the shape
+    * [[graft.streaming.Streams.maintainAggregate]] keeps fresh under
+    * ingest (group by word, count partials): stream word counts, fold,
+    * and [[trainFromWordCounts]] retrains the tokenizer from the folded
+    * store without ever re-touching documents. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** [[train]] from an already-aggregated (word, freq) frame — the
+    * incremental-tokenizer entry point (BPE statistics are a pure
+    * function of word frequencies, so a maintained count store IS the
+    * training state). */
+  def trainFromWordCounts(wf: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in 1..64, got $nMerges")
+    val spark = wf.sparkSession
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = wf
       .select(concat(chars(col("word")), array(lit(EndOfWord))).as("sym"),
         col("freq"))

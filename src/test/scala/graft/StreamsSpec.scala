@@ -829,6 +829,33 @@ class StreamsSpec extends SparkSpec {
       "post-compaction replayed batch double-counted")
   }
 
+  test("incremental BPE: streamed word-count store retrains to the batch tokenizer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, split, lower}
+    val dir = Files.createTempDirectory("bpe_inc").toString
+    val specs = Seq(Streams.AggSpec("count", "", "freq"))
+    val mem = MemoryStream[String]
+    val words = mem.toDF().toDF("text")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val q = Streams.maintainAggregate(words, Seq("word"), specs,
+      s"$dir/store", Files.createTempDirectory("bpe_ck").toString)
+    val batch1 = Seq("low low lower", "newest newest widest")
+    val batch2 = Seq("low lowest newest", "widest widest wide")
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val folded = Streams.foldAggregate(spark, s"$dir/store", Seq("word"), specs)
+    val incMerges = graft.llm.Bpe.trainFromWordCounts(folded, nMerges = 6)
+      .collect().toSeq.map(_.toSeq)
+    val batchMerges = graft.llm.Bpe.train(
+      (batch1 ++ batch2).toDF("text"), "text", nMerges = 6)
+      .collect().toSeq.map(_.toSeq)
+    assert(incMerges == batchMerges,
+      s"incremental tokenizer diverged:\n$incMerges\nvs\n$batchMerges")
+  }
+
   test("retractive aggregate maintenance: deletes/updates cancel exactly; emptied groups vanish") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("mar").toString
