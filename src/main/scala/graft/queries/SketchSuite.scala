@@ -250,6 +250,44 @@ object SketchSuite extends Suite {
               |  ${Histo.quantileSql("hist", 990, 0L, 1000L)} AS p99
               |FROM h""".stripMargin)),
 
+    // SLIDING-WINDOW distinct counts from the daily sketch store: each
+    // day folds its trailing-3-day sketches (a banded self-join over the
+    // tiny summary table — facts never re-touched) next to the exact
+    // windowed count. The rollup shape windowed distinct counts need at
+    // 100 TB, impossible with stored exact counts.
+    "sketch_window_3d" -> Q(
+      (s, d) => {
+        val ev = events(s, d).withColumn("day", expr("ts div 86400000000000"))
+        val daily = Kmv.sketch(ev, Seq("day"), Kmv.kmvHash(col("user_id")), 64)
+        val win = daily.select(col("day").as("d0"))
+          .join(daily.select(col("day").as("d1"), col("kmv")),
+            col("d1").between(col("d0") - 2, col("d0")))
+        val folded = Kmv.merge(
+          win.select(col("d0").as("day"), col("kmv")), Seq("day"), "kmv", 64)
+        val exact = ev.select(col("day").as("d0")).distinct()
+          .join(ev.select(col("day").as("d1"), col("user_id")),
+            col("d1").between(col("d0") - 2, col("d0")))
+          .groupBy(col("d0").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact"))
+        folded.join(exact, "day")
+          .select(col("day"), Kmv.estimate(col("kmv"), 64).as("est"), col("exact"))
+      },
+      Some(s"""WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+              |          FROM events),
+              |h AS (SELECT day, ${Kmv.kmvHashSql("user_id")} AS hh FROM e),
+              |daily AS (SELECT day, ${Kmv.sketchAggSql("hh", 64)} AS kmv
+              |          FROM h GROUP BY day),
+              |win AS (SELECT a.day, ${Kmv.mergeAggSql("b.kmv", 64)} AS kmv
+              |        FROM daily a JOIN daily b
+              |          ON b.day BETWEEN a.day - 2 AND a.day
+              |        GROUP BY a.day),
+              |ex AS (SELECT a.day, count(DISTINCT b.user_id) AS exact
+              |       FROM (SELECT DISTINCT day FROM e) a JOIN e b
+              |         ON b.day BETWEEN a.day - 2 AND a.day
+              |       GROUP BY a.day)
+              |SELECT win.day, ${Kmv.estimateSql("kmv", 64)} AS est, exact
+              |FROM win JOIN ex ON win.day = ex.day""".stripMargin)),
+
     "sketch_cm_merge_daily" -> Q(
       (s, d) => {
         val ev = events(s, d)
