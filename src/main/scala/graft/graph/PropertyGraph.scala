@@ -175,6 +175,40 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     ranks
   }
 
+  /** Personalized PageRank (growth — the recommendation/similar-node
+    * workhorse): [[pageRank]]'s exact integer fixed-point arithmetic with
+    * ALL teleport mass at `source` — rank₀ = scale·[v = source], round =
+    * `rank' = [v = source]·(15·scale) div 100 + (85·Σ contribs) div 100`.
+    * Ranks measure proximity to the source through directed edges;
+    * integer sums keep iterated ranks partition- and engine-
+    * reproducible. Same fixed-depth plan discipline as pageRank. */
+  def personalizedPageRank(source: String, iters: Int = 2,
+                           rels: Seq[String] = Nil,
+                           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && iters <= 8, s"iters must be in 0..8, got $iters")
+    val es = (if (rels.isEmpty) edges
+      else edges.filter(col("rel").isin(rels: _*)))
+      .select(col("src"), col("dst"))
+    val outDeg = es.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val teleport = when(col("node") === source, lit(15L * scale / 100L))
+      .otherwise(lit(0L))
+    var ranks = vertices.select(col("name").as("node"),
+      when(col("name") === source, lit(scale)).otherwise(lit(0L)).as("rank"))
+    (0 until iters).foreach { _ =>
+      val contribs = es
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div odeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      ranks = vertices.select(col("name").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cin"), lit(0L)).as("cin"))
+        .select(col("node"),
+          (teleport + expr("(85 * cin) div 100")).as("rank"))
+    }
+    ranks
+  }
+
   /** Unweighted shortest-path distances from `source` by BFS frontier
     * expansion (growth — with [[connectedComponents]]/[[pageRank]], the
     * graph-analytics trio the reference's MATCH-only surface lacks):

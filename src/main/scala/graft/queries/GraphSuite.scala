@@ -396,6 +396,46 @@ object GraphSuite extends Suite {
              |       FROM v LEFT JOIN c2 c ON v.node = c.node)
              |SELECT node, rank FROM r2""".stripMargin)),
 
+    // personalized PageRank (growth): all teleport mass at customer:1 —
+    // integer fixed-point, 2 unrolled iterations hash-checked like
+    // graph_pagerank. Ranks measure directed proximity to the source.
+    "graph_ppr" -> Q(
+      (s, d) => g(s, d).personalizedPageRank("customer:1", iters = 2),
+      Some("""WITH
+             |v AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+             |  UNION ALL SELECT 'nation:' || n_name FROM nation
+             |  UNION ALL SELECT 'region:' || r_name FROM region
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+             |e AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+             |        'nation:' || n_name AS dst
+             |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name
+             |      FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |        'nation:' || n_name
+             |      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+             |r0 AS (SELECT node,
+             |         CAST(CASE WHEN node = 'customer:1' THEN 1000000 ELSE 0 END
+             |           AS BIGINT) AS rank FROM v),
+             |c1 AS (SELECT e.dst AS node,
+             |         CAST(sum(r.rank // o.odeg) AS BIGINT) AS cin
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN od o ON e.src = o.src GROUP BY e.dst),
+             |r1 AS (SELECT v.node,
+             |         CAST(CASE WHEN v.node = 'customer:1' THEN 150000 ELSE 0 END
+             |           + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
+             |       FROM v LEFT JOIN c1 c ON v.node = c.node),
+             |c2 AS (SELECT e.dst AS node,
+             |         CAST(sum(r.rank // o.odeg) AS BIGINT) AS cin
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN od o ON e.src = o.src GROUP BY e.dst),
+             |r2 AS (SELECT v.node,
+             |         CAST(CASE WHEN v.node = 'customer:1' THEN 150000 ELSE 0 END
+             |           + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
+             |       FROM v LEFT JOIN c2 c ON v.node = c.node)
+             |SELECT node, rank FROM r2""".stripMargin)),
+
     // Per-node triangle counts (growth) over the BUYS-enriched graph: a
     // triangle is customer–supplier–nation when the customer bought from
     // a same-nation supplier. The oracle mirrors the oriented-wedge
