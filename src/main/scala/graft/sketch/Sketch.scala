@@ -528,13 +528,24 @@ object MisraGries {
     * facts to the broadcast candidate set and counts exactly — the only
     * full-domain aggregation is restricted to ≤ k·nPart candidate keys. */
   def heavyHittersExact(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val s = summary(df, keyCol, k)
-    val n = s.select(col("n")).limit(1)
+    val spark = df.sparkSession
+    // ONE pass over the facts for phase 1: the summary is ≤ k·nPartitions
+    // rows by construction (the documented driver bound — 1000 executors
+    // × k=1024 is ~1M short rows), so collecting it beats leaving the
+    // lazy frame to re-scan the corpus once for the candidate join and
+    // once for the total
+    val s = summary(df, keyCol, k).collect()
+    if (s.isEmpty) return df.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(df.schema(keyCol), StructField("cnt", LongType))))
+    val n = s.head.getLong(3)
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(s.map(r => Row(r.get(0))): _*),
+      StructType(Seq(df.schema(keyCol))))
     df.filter(col(keyCol).isNotNull)
-      .join(broadcast(s.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .join(broadcast(cand), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(n))
-      .filter(col("cnt") * k > col("n"))
+      .filter(col("cnt") * k > n)
       .select(col(keyCol), col("cnt"))
   }
 }
