@@ -211,6 +211,18 @@ object HashqlSuite extends Suite {
              |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"""
         .stripMargin)),
 
+    // scalar subquery comparison (growth): "above the global average" —
+    // the 1-row aggregate broadcasts and the filter stays scan-side.
+    // avg of an integer column is engine-identical (sum/count in double).
+    "hashql_scalar_subquery" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_size from part " +
+          "where part.p_size > (select avg(part.p_size) from part) " +
+          "and part.p_type = 'ECONOMY'"),
+      Some("""SELECT p_partkey, p_size FROM part
+             |WHERE p_size > (SELECT avg(p_size) FROM part)
+             |  AND p_type = 'ECONOMY'""".stripMargin)),
+
     // NOT IN (SELECT …): LEFT ANTI (NOT EXISTS semantics — see the
     // InSelect scaladoc); composed with a plain conjunct in one WHERE.
     "hashql_not_in_subquery" -> Q(

@@ -26,6 +26,7 @@ import graft.fts.Fts
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f [not] in (select u.g from u [where …])
+  *            | t.f <|>|<=|>= (select sum|avg|min|max|count(…) from u [where …])
   *            | t.f ~ 'tok1 & tok2 | tok3'
   *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
@@ -93,6 +94,12 @@ object HashQL {
     * message. Dialect growth (the reference has no subqueries,
     * server.py:456-476). */
   final case class InSelect(ref: ColRef, sub: Select) extends Pred
+  /** `t.f <op> (select <agg> from u [where …])` — comparison against a
+    * SCALAR subquery (must produce exactly one row and one column: a
+    * global aggregate). Planned as a broadcast cross-join of the 1-row
+    * frame + a filter — the "above the average" idiom. Top-level-conjunct
+    * only, like [[InSelect]]. Dialect growth. */
+  final case class CmpSelect(ref: ColRef, op: String, sub: Select) extends Pred
   /** `t.f like 'pat'` — SQL LIKE, `%`/`_` wildcards. */
   final case class Like(ref: ColRef, pattern: String) extends Pred
   /** `not <atom>` / `t.f not in (…)` / `t.f not like '…'` /
@@ -384,7 +391,13 @@ object HashQL {
           case "=" => Eq(ref, literal())
           case "<>" => Not(Eq(ref, literal()))
           case "~" => FtsMatch(ref, literal().toString)
-          case op @ ("<" | ">" | "<=" | ">=") => Cmp(ref, op, literal())
+          case op @ ("<" | ">" | "<=" | ">=") =>
+            if (is("(")) {
+              next(); kw("select")
+              val sub = selectRest()
+              kw(")")
+              CmpSelect(ref, op, sub)
+            } else Cmp(ref, op, literal())
           case t if t.equalsIgnoreCase("between") =>
             // BETWEEN's `and` binds to the atom, not the conjunction —
             // consumed here before predConj ever sees it
@@ -876,6 +889,19 @@ object HashQL {
           case Not(InSelect(ref, sub)) =>
             val sf = subqueryFrame(cat, sub, registry)
             df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
+          // scalar subquery: broadcast the 1-row aggregate and compare —
+          // at scale this is a scan-side filter against a broadcast value
+          case CmpSelect(ref, op, sub) =>
+            val sf = selectFrame(cat, sub, registry)
+            require(sf.columns.length == 1,
+              s"scalar subquery must project exactly one column, " +
+                s"got ${sf.columns.mkString(", ")}")
+            val sv = sf.toDF("graft_scalar")
+            df = df.crossJoin(broadcast(sv))
+              .filter(graft.core.Compare.cmp(
+                col(ref.column).try_cast(sv.schema.head.dataType),
+                op, col("graft_scalar")))
+              .drop("graft_scalar")
           case pr => df = df.filter(predColumn(cat, pr))
         }
         def aggColumns: Seq[Column] = aggsOf(items)

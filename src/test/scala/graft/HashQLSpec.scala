@@ -425,6 +425,13 @@ class HashQLSpec extends SparkSpec {
       "union all select adults.a_name from adults").get
     assert(ua.count() == 5)
 
+    // scalar subquery: above-average filter; wide subquery rejected
+    assert(names("select people.people_name from people where " +
+      "people.age > (select avg(people.age) from people)") == Set("Fred"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select people.people_name from people where people.age > " +
+        "(select people.people_name, people.age from people)"))
+
     // rejected shapes: nested membership, mixed chain, wide subquery
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select people.people_name from people where people.age = 45 or " +
