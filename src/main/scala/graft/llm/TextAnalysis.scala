@@ -339,6 +339,45 @@ object TextAnalysis {
           .as("bits_per_token"))
   }
 
+  /** Distributed batch-perceptron TRAINING in exact integer arithmetic
+    * (Rosenblatt's rule, batch form: one epoch = ONE aggregation) — the
+    * quality-classifier TRAINER to [[classifierLogit]]'s scorer. Each
+    * epoch sums the misclassified rows' y·x (and y for the bias) in a
+    * single partial-agg pass and adds the integer delta to the weights:
+    * w' = w + Σ_{y(w·x+b) ≤ 0} y·x. Everything is 64-bit integer — sums
+    * commute, so the learned weights are bit-identical across runs,
+    * partitionings, and engines (float SGD could never hash-check), and
+    * the whole trainer is an unrolled-SQL oracle away from DuckDB.
+    *
+    * Contract: `yCol` is ±1; features are integral (counts, fixed-point
+    * ratios — [[classifierLogit]]'s feature style); overflow headroom
+    * |w| ≤ epochs·Σ|x| per dimension. Driver state = one weight vector;
+    * each epoch reads the facts once (cache `df` upstream for small
+    * fixtures). Linearly separable data converges by the perceptron
+    * theorem; otherwise the returned weights are the last iterate (batch
+    * updates, not pocket). Returns one row: w_<feature>… , bias. */
+  def trainPerceptron(df: org.apache.spark.sql.DataFrame, xCols: Seq[String],
+                      yCol: String, epochs: Int): org.apache.spark.sql.DataFrame = {
+    require(xCols.nonEmpty && epochs >= 1 && epochs <= 16,
+      s"need features and 1..16 epochs, got $xCols/$epochs")
+    val spark = df.sparkSession
+    var w = Array.fill(xCols.length + 1)(0L) // features ++ bias
+    (1 to epochs).foreach { _ =>
+      val margin = xCols.zipWithIndex.foldLeft(lit(w.last)) {
+        case (acc, (c, i)) => acc + col(c).cast("long") * w(i)
+      } * col(yCol).cast("long")
+      val mis = when(margin <= 0, col(yCol).cast("long")).otherwise(lit(0L))
+      val sums = (xCols.map(c => sum(mis * col(c).cast("long"))) :+ sum(mis))
+        .zipWithIndex.map { case (e, i) => coalesce(e, lit(0L)).as(s"d$i") }
+      val delta = df.agg(sums.head, sums.tail: _*).collect().head
+      w = w.indices.map(i => w(i) + delta.getLong(i)).toArray
+    }
+    import spark.implicits._
+    Seq(1).toDF("one").select(
+      xCols.zipWithIndex.map { case (c, i) => lit(w(i)).as(s"w_$c") } :+
+        lit(w.last).as("bias"): _*)
+  }
+
   /** Registrable host of a URL, lowercased (the per-domain key every
     * crawl pipeline caps/dedups/rates on): the authority between `://`
     * and the first `/ : ? #`, ports and paths dropped. Pure regex in the

@@ -567,6 +567,44 @@ object LlmSuite extends Suite {
               |  ${TextAnalysis.canonicalizeUrlSql("url")} AS canon
               |FROM u""".stripMargin)),
 
+    // distributed perceptron TRAINING (the quality-classifier trainer to
+    // text_classifier's scorer) in exact integer arithmetic: 4 epochs,
+    // each ONE aggregation of the misclassified rows' y·x; labels from a
+    // linear rule over (token count, n_chars) so the data is separable.
+    // The oracle unrolls the 4 epochs as weight-CTE chains — learned
+    // weights hash-check bit-for-bit, which float SGD could never do.
+    "text_perceptron" -> Q(
+      (s, d) => {
+        val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+        val f = docs(s, d).select(toks.as("x1"), col("n_chars").as("x2"),
+          when(toks * 3 + col("n_chars") > 700, 1L).otherwise(-1L).as("y"))
+        TextAnalysis.trainPerceptron(f, Seq("x1", "x2"), "y", epochs = 4)
+      },
+      Some {
+        val x1 = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+        val epochs = (1 to 4).map { t =>
+          s"""m$t AS (SELECT
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y * x1 ELSE 0 END), 0) AS d1,
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y * x2 ELSE 0 END), 0) AS d2,
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y ELSE 0 END), 0) AS db
+             |  FROM f, w${t - 1} w),
+             |w$t AS (SELECT w.w1 + m.d1 AS w1, w.w2 + m.d2 AS w2,
+             |          w.b + m.db AS b FROM w${t - 1} w, m$t m)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (SELECT $x1 AS x1, n_chars AS x2,
+           |    CAST(CASE WHEN 3 * $x1 + n_chars > 700 THEN 1 ELSE -1 END
+           |      AS BIGINT) AS y
+           |  FROM documents),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+           |         CAST(0 AS BIGINT) AS b),
+           |$epochs
+           |SELECT CAST(w1 AS BIGINT) AS w_x1, CAST(w2 AS BIGINT) AS w_x2,
+           |  CAST(b AS BIGINT) AS bias FROM w4""".stripMargin
+      }),
+
     // blocklist gate (C4 badwords-filter shape): word-boundary blocklist
     // hits on terms planted from doc_id + the keep decision. The
     // non-capturing alternation stays in the Java∩RE2 subset.

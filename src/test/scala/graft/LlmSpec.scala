@@ -929,6 +929,24 @@ class LlmSpec extends SparkSpec {
       graft.llm.Packing.chunkTexts(in, "text", "doc_id", 10, 10))
   }
 
+  test("trainPerceptron: separable data converges, exact across partitionings") {
+    // y = sign(2·x1 − x2 − 1) with a margin — linearly separable
+    val rows = for (x1 <- 0L to 20L; x2 <- 0L to 20L
+                    if (2 * x1 - x2 - 1).abs >= 2)
+      yield (x1, x2, if (2 * x1 - x2 - 1 > 0) 1L else -1L)
+    val df = rows.toDF("x1", "x2", "y").cache()
+    val w = TextAnalysis.trainPerceptron(df, Seq("x1", "x2"), "y", epochs = 12)
+      .collect().head
+    val (w1, w2, b) = (w.getLong(0), w.getLong(1), w.getLong(2))
+    val acc = rows.count { case (x1, x2, y) =>
+      y * (w1 * x1 + w2 * x2 + b) > 0 }.toDouble / rows.size
+    assert(acc > 0.95, s"perceptron accuracy $acc with w=($w1,$w2,$b)")
+    // integer batch updates: bit-identical from any partitioning
+    val w13 = TextAnalysis.trainPerceptron(df.repartition(13),
+      Seq("x1", "x2"), "y", epochs = 12).collect().head
+    assert(w13.toSeq == w.toSeq, "weights changed under repartition")
+  }
+
   test("curriculumOrder: exact 3:1 interleave, partition-invariant, no Window") {
     val in = ((1 to 30).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
