@@ -605,6 +605,49 @@ object LlmSuite extends Suite {
            |  CAST(b AS BIGINT) AS bias FROM w4""".stripMargin
       }),
 
+    // the train→serve loop closed: learn weights (same 4 epochs), then
+    // label every doc scan-side with the learned linear score — per-doc
+    // predictions hash-check, proving the in-engine-trained model serves
+    // identically in both engines.
+    "text_perceptron_apply" -> Q(
+      (s, d) => {
+        val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+        val f = docs(s, d).select(col("doc_id"), toks.as("x1"),
+          col("n_chars").as("x2"),
+          when(toks * 3 + col("n_chars") > 700, 1L).otherwise(-1L).as("y"))
+        val w = TextAnalysis.trainPerceptron(f, Seq("x1", "x2"), "y", 4)
+          .collect().head
+        f.select(col("doc_id"), col("y"),
+          when(col("x1") * w.getLong(0) + col("x2") * w.getLong(1) +
+            w.getLong(2) > 0, 1L).otherwise(-1L).as("pred"))
+      },
+      Some {
+        val x1 = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+        val epochs = (1 to 4).map { t =>
+          s"""m$t AS (SELECT
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y * x1 ELSE 0 END), 0) AS d1,
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y * x2 ELSE 0 END), 0) AS d2,
+             |  coalesce(sum(CASE WHEN y * (w.w1*x1 + w.w2*x2 + w.b) <= 0
+             |               THEN y ELSE 0 END), 0) AS db
+             |  FROM f, w${t - 1} w),
+             |w$t AS (SELECT w.w1 + m.d1 AS w1, w.w2 + m.d2 AS w2,
+             |          w.b + m.db AS b FROM w${t - 1} w, m$t m)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (SELECT doc_id, $x1 AS x1, n_chars AS x2,
+           |    CAST(CASE WHEN 3 * $x1 + n_chars > 700 THEN 1 ELSE -1 END
+           |      AS BIGINT) AS y
+           |  FROM documents),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+           |         CAST(0 AS BIGINT) AS b),
+           |$epochs
+           |SELECT f.doc_id, f.y,
+           |  CAST(CASE WHEN f.x1 * w.w1 + f.x2 * w.w2 + w.b > 0
+           |       THEN 1 ELSE -1 END AS BIGINT) AS pred
+           |FROM f, w4 w""".stripMargin
+      }),
+
     // blocklist gate (C4 badwords-filter shape): word-boundary blocklist
     // hits on terms planted from doc_id + the keep decision. The
     // non-capturing alternation stays in the Java∩RE2 subset.
