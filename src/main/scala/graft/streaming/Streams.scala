@@ -811,6 +811,53 @@ object Streams {
     }
   }
 
+  /** Streaming OHLC maintenance ([[graft.operators.Resample.ohlc]]'s
+    * incremental twin — the market-data/candlestick store): each
+    * micro-batch writes per-(group, tick) partials under `batch=<id>`,
+    * and [[foldOhlc]] combines them into the full-history candles. The
+    * open/close anchors make this genuinely foldable where first()/last()
+    * would not be: partials carry (open, min ord) and (close, max ord),
+    * and the fold takes min_by/max_by over those anchors — associative
+    * and exact for a unique `ordCol`. Same replay/compaction contract as
+    * the other non-idempotent stores. */
+  def maintainOhlc(stream: DataFrame, groupCol: String, tickCol: String,
+                   valueCol: String, ordCol: String,
+                   storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(groupCol), col(tickCol))
+          .agg(min_by(col(valueCol), col(ordCol)).as("open"),
+            min(col(ordCol)).as("o_ord"),
+            max(col(valueCol)).as("high"),
+            min(col(valueCol)).as("low"),
+            max_by(col(valueCol), col(ordCol)).as("close"),
+            max(col(ordCol)).as("c_ord"),
+            count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold the OHLC partial store into full-history candles — identical
+    * to [[graft.operators.Resample.ohlc]] over all ingested facts
+    * (StreamsSpec): open follows the minimum ord anchor across partials,
+    * close the maximum, high/low/n fold by max/min/sum. */
+  def foldOhlc(spark: SparkSession, storePath: String,
+               groupCol: String, tickCol: String): DataFrame = {
+    val wm = foldWatermark(spark, storePath)
+    spark.read.parquet(storePath)
+      .filter(col("batch") === -1 || col("batch") > wm)
+      .groupBy(col(groupCol), col(tickCol))
+      .agg(min_by(col("open"), col("o_ord")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("c_ord")).as("close"),
+        sum(col("n")).as("n"))
+  }
+
   /** Streaming histogram-grid maintenance ([[graft.sketch.Histo]]): each
     * micro-batch writes its per-group grid under `batch=<id>`;
     * [[foldHistogram]] zip-sums live partials into the grid of everything

@@ -829,6 +829,31 @@ class StreamsSpec extends SparkSpec {
       "post-compaction replayed batch double-counted")
   }
 
+  test("maintainOhlc: folded candles equal the batch ohlc over all facts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mohlc").toString
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.maintainOhlc(
+      mem.toDF().toDF("g", "tick", "v", "ord"), "g", "tick", "v", "ord",
+      s"$dir/store", Files.createTempDirectory("mohlc_ck").toString)
+    // batch boundaries split ticks so the anchors must really fold:
+    // tick 1's open arrives in batch 1, its close in batch 2
+    val b1 = Seq(("g", 1L, 5L, 10L), ("g", 1L, 9L, 11L), ("h", 1L, 6L, 15L))
+    val b2 = Seq(("g", 1L, 2L, 12L), ("g", 1L, 7L, 13L), ("g", 2L, 4L, 20L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val folded = m(Streams.foldOhlc(spark, s"$dir/store", "g", "tick"))
+    val direct = m(graft.operators.Resample.ohlc(
+      (b1 ++ b2).toDF("g", "tick", "v", "ord"), "g", "tick", "v", "ord"))
+    assert(folded == direct, s"folded $folded != direct $direct")
+    assert(folded(("g", 1L)) == ((5L, 9L, 2L, 7L, 4L)), "cross-batch anchors")
+  }
+
   test("incremental BPE: streamed word-count store retrains to the batch tokenizer") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{explode, split, lower}
