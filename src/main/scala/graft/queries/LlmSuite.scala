@@ -1771,6 +1771,35 @@ object LlmSuite extends Suite {
              |SELECT doc_id, n_tokens, tokens_before // 512 AS chunk_id
              |FROM c""".stripMargin)),
 
+    // the mixing→packing last mile COMPOSED: curriculum positions drive
+    // the packing key, so training chunks fill in proportional-interleave
+    // order — weighted strata stay mixed inside every chunk stream, not
+    // concatenated by domain. Both distributed prefix passes + the pack
+    // membership hash-check end to end.
+    "pack_curriculum" -> Q(
+      (s, d) => {
+        val ordered = Sampling.curriculumOrder(
+          docs(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", "doc_id", Map("en" -> 4L, "fr" -> 2L))
+        Packing.packChunks(ordered.select(col("train_pos"), col("text")),
+          "text", "train_pos", budget = 512)
+      },
+      Some(s"""WITH cur AS (
+              |  ${Sampling.curriculumOrderSql(
+                   "(SELECT doc_id, lang, text FROM documents)",
+                   "lang", "doc_id", Map("en" -> 4L, "fr" -> 2L))}),
+              |t AS (SELECT train_pos,
+              |        CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT)
+              |          AS n_tokens
+              |      FROM cur),
+              |c AS (SELECT train_pos, n_tokens,
+              |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY train_pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |          AS BIGINT) AS tokens_before
+              |      FROM t)
+              |SELECT train_pos, n_tokens, tokens_before // 512 AS chunk_id
+              |FROM c""".stripMargin)),
+
     // materialized packed sequences (round-5 growth): the training-file
     // rows themselves — documents of each chunk concatenated in id order.
     // DuckDB mirrors the assembly with string_agg(ORDER BY doc_id), so
