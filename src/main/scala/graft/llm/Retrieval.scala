@@ -76,4 +76,34 @@ object Retrieval {
       .select(col("nid").as(docIdCol), col("rn").as("rank"))
     rrfFuse(Seq(lex, vec), docIdCol, k, rrfK, scale)
   }
+
+  /** Pseudo-relevance feedback (Rocchio/RM3 shape, exact-integer): run
+    * BM25, mine the top `kSeed` documents for their `mExp` most frequent
+    * non-query terms (≥ 3 word chars; ties by term ascending —
+    * deterministic), and re-run BM25 with the expanded term set. The
+    * classic vocabulary-mismatch fix ("dedup" seeds pull in "near",
+    * "duplicate"…), kept hash-checkable: expansion selection is integer
+    * counting and the second pass is the same integer BM25.
+    *
+    * Cost: the seed pass (two column-pruned scans), one semi-join +
+    * explode over the kSeed seed docs ONLY (a k-row frame — the mining
+    * never touches the corpus), a ≤ mExp driver collect, and the final
+    * pass (two more scans). Four corpus scans total, zero wide shuffles —
+    * the PRF standard shape. */
+  def prfTopK(docs: DataFrame, idCol: String, textCol: String, query: String,
+              k: Int, kSeed: Int = 10, mExp: Int = 5): DataFrame = {
+    require(kSeed >= 1 && mExp >= 0, s"bad kSeed=$kSeed / mExp=$mExp")
+    val qTerms = graft.fts.Fts.bm25Terms(query)
+    val seeds = graft.fts.Fts.bm25(docs, idCol, textCol, query, kSeed)
+      .select(col(idCol))
+    val expTerms = docs.join(broadcast(seeds), Seq(idCol), "left_semi")
+      .select(explode(graft.fts.Fts.tokens(col(textCol))).as("term"))
+      .filter(col("term").rlike("^[a-z0-9_]{3,}$") &&
+        !col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(mExp).collect().map(_.getString(0)).toSeq
+    graft.fts.Fts.bm25(docs, idCol, textCol,
+      (qTerms ++ expTerms).mkString(" "), k)
+  }
 }
