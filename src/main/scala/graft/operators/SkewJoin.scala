@@ -29,4 +29,30 @@ object SkewJoin {
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
       .drop("__salt")
   }
+
+  /** Bloom-pruned inner equi-join — the SELECTIVE-dimension shape: when
+    * the dim side is too big to broadcast whole rows but its KEY SET's
+    * bloom (~10 bits/key at fpp 1%) broadcasts fine, probe the bloom
+    * scan-side on the fact table BEFORE the shuffle, so the exchange
+    * moves only ~(selectivity + fpp) of the fact rows. This is what
+    * AQE's runtime bloom filters do opportunistically, expressed as an
+    * explicit, always-on operator. EXACT: blooms have no false
+    * negatives, and false positives are dropped by the join itself — the
+    * result is bit-identical to the plain join (the oracle).
+    *
+    * Costs (same contract as Dedup.seenFilter): one pass over the dim
+    * keys to build the bloom (count + aggregation) and one non-codegen
+    * UDF probe per fact row — O(fact scan), never O(dim)·O(fact). */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedKeys: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
+    val n = if (expectedKeys > 0) expectedKeys else math.max(1L, dim.count())
+    val bloom = dim.select(xxhash64(col(dimKey)).as("h"))
+      .stat.bloomFilter("h", n, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    fact.filter(mightContain(xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

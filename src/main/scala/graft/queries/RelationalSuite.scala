@@ -358,6 +358,29 @@ object RelationalSuite extends Suite {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // bloom-pruned join (growth): urgent orders are a selective dim —
+    // the fact side probes the broadcast key bloom scan-side, so the
+    // shuffle moves ~selectivity of lineitem; false positives die in the
+    // join, so the revenue answer is EXACTLY the plain join's (the
+    // oracle). AQE's runtime filters, made explicit and deterministic.
+    "q_bloom_join" -> Q(
+      (s, d) => {
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin.bloomPrunedJoin(
+            t(s, d, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |       AS BIGINT) AS cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // explicit GROUPING SETS (the general form rollup/cube sugar over):
     // (status, priority), (status), () — one partial-agg pass expands to
     // the three grouping shapes, same plan Structured rollups use.

@@ -284,6 +284,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedJoin: exact vs plain join, probe below the exchange") {
+    // spark.range sources: a Seq fixture becomes a LocalRelation whose
+    // filter constant-folds away at plan time, hiding the probe
+    val fact = spark.range(1, 5001).select((col("id") % 600).as("fk"),
+      concat(lit("p"), col("id")).as("payload"))
+    val dim = spark.range(0, 100).select(col("id").as("dk"),
+      concat(lit("d"), col("id")).as("attr")) // selective
+    val pruned = SkewJoin.bloomPrunedJoin(fact, dim, "fk", "dk")
+      .select("fk", "payload", "attr")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "attr")
+    assert(pruned.as[(Long, String, String)].collect().toSet ==
+      plain.as[(Long, String, String)].collect().toSet,
+      "bloom pruning changed the join result")
+    // the probe must sit on the fact SCAN side, BELOW the join (printed
+    // deeper in the tree). collect() can't see through AdaptiveSparkPlan
+    // pre-execution, so assert on the printed tree positions.
+    val plan = pruned.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    val probeAt = plan.indexOf("Filter (UDF(xxhash64")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe not below the join (join@$joinAt probe@$probeAt):\n$plan")
+  }
+
   test("round-6 plan shapes: zero-shuffle scan ops, bounded-candidate heavy hitters") {
     val docs = Tables.t(spark, sf, "documents")
     val emb = Tables.t(spark, sf, "embeddings")
