@@ -334,6 +334,52 @@ object HashqlSuite extends Suite {
       },
       Some("SELECT * FROM (VALUES (2, 'Fred', 45)) AS t(id, people_name, age)")),
 
+    // LEFT JOIN (dialect growth; the reference's join surface is inner-
+    // only, client.py:472-480): unmatched left rows survive with null
+    // right-side columns, and the reference's missing-field row skip is
+    // suspended for outer selects (dropping the nulls would turn the
+    // outer join back into an inner one). Plans a single shuffled (or
+    // broadcast) LeftOuter — same 100-TB shape as the inner chain.
+    // Every dimension key in the testdata is fully referenced, so the
+    // null-producing right side is carved first with a CTAS (urgent
+    // orders only) — the left join then yields a MIX of matched rows and
+    // null-extended ones (421 rows at sf0.01, 203 of them null).
+    "hashql_left_join" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select customer.c_custkey, customer.c_name, urgento.o_orderkey " +
+            "from customer left join urgento on customer.c_custkey = urgento.o_custkey " +
+            "where customer.c_custkey <= 200").get
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey FROM customer
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON c_custkey = u.o_custkey WHERE c_custkey <= 200""".stripMargin)),
+
+    // IS NULL over a LEFT JOIN — the SQL spelling of an anti-join
+    // (customers with no urgent orders). The predicate is two-valued
+    // (never UNKNOWN), so its survival set is exact under the dialect's
+    // three-valued AND/OR.
+    "hashql_left_join_null" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select customer.c_custkey, customer.c_name from customer " +
+            "left join urgento on customer.c_custkey = urgento.o_custkey " +
+            "where urgento.o_orderkey is null").get
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON c_custkey = u.o_custkey WHERE u.o_orderkey IS NULL""".stripMargin)),
+
     // ORDER BY + LIMIT (dialect growth): plans as TakeOrderedAndProject —
     // per-partition top-k, driver merge, never a global sort
     // (HashQLSpec plan-shape assertion). Tie-broken on the unique key so

@@ -22,9 +22,10 @@ import graft.fts.Fts
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
-  *     [inner join u on t.x = u.y]*
+  *     [inner join u on t.x = u.y | left [outer] join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
+  *            | t.f is [not] null
   *            | t.f [not] in (select u.g from u [where …])
   *            | t.f <|>|<=|>= (select sum|avg|min|max|count(…) from u [where …])
   *            | t.f ~ 'tok1 & tok2 | tok3'
@@ -41,7 +42,11 @@ import graft.fts.Fts
   * }}}
   * Numeric literals coerce to Long (reference server.py:477-478); rows
   * missing a projected field are skipped (server.py:1054-1060) —
-  * reproduced via na.drop on the projected columns.
+  * reproduced via na.drop on the projected columns. That skip is the
+  * reference's row-dict semantics for its own (inner-join) surface: a
+  * SELECT with a LEFT JOIN follows standard SQL instead — right-side
+  * nulls survive projection (dropping them would turn the outer join
+  * back into an inner one).
   *
   * Known limitation (shared with the reference, whose merged row dicts
   * also collide on `id` — client.py:420): joined tables each carry a
@@ -102,6 +107,10 @@ object HashQL {
   final case class CmpSelect(ref: ColRef, op: String, sub: Select) extends Pred
   /** `t.f like 'pat'` — SQL LIKE, `%`/`_` wildcards. */
   final case class Like(ref: ColRef, pattern: String) extends Pred
+  /** `t.f is [not] null` — the two-valued null test (never UNKNOWN, unlike
+    * every comparison above). The natural partner of LEFT JOIN: `left join
+    * o on … where o.key is null` is the SQL spelling of an anti-join. */
+  final case class IsNullP(ref: ColRef, not: Boolean) extends Pred
   /** `not <atom>` / `t.f not in (…)` / `t.f not like '…'` /
     * `t.f not between a and b` / `t.f <> v` — SQL three-valued negation
     * (NOT of a null comparison stays null, so filters still drop the
@@ -161,8 +170,15 @@ object HashQL {
     * user asks for, and the engine already proves the operators
     * (TakeOrderedAndProject via q_topk, aggregate-then-filter via
     * q_having). */
+  /** One `… join u on l = r` clause. `outer` = LEFT [OUTER] JOIN: the
+    * accumulated left side keeps unmatched rows, `u`'s columns go null.
+    * (RIGHT JOIN is deliberately absent — in a left-deep chain it is the
+    * same statement with the tables swapped, and the reference's dialect
+    * has no outer joins at all, so this is already growth.) */
+  final case class JoinClause(table: String, l: ColRef, r: ColRef,
+                              outer: Boolean = false)
   final case class Select(items: Seq[SelectItem], table: String,
-                          joins: Seq[(String, ColRef, ColRef)], wheres: Seq[Pred],
+                          joins: Seq[JoinClause], wheres: Seq[Pred],
                           groupBy: Seq[ColRef],
                           having: Seq[HavingPred] = Nil,
                           orderBy: Seq[(ColRef, Boolean)] = Nil,
@@ -385,6 +401,14 @@ object HashQL {
       else if (is("not")) { next(); Not(predAtom()) }
       else {
         val ref = colRef()
+        if (is("is")) {
+          // `is [not] null` before the generic op switch: `is` is not an
+          // operator token and `null` is not a literal anywhere else
+          next()
+          val n = is("not") && { next(); true }
+          kw("null")
+          return IsNullP(ref, n)
+        }
         // `ref not in/like/between …` — the negation rides the operator
         val negated = is("not") && { next(); true }
         val atom = next() match {
@@ -467,9 +491,14 @@ object HashQL {
         kw("permille"); kw("by")
         Some(SampleBucket(colRef(), n.toInt))
       } else None
-      val joins = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
-      while (is("inner")) { next(); kw("join"); val t = next(); kw("on")
-        val l = colRef(); kw("="); val r = colRef(); joins += ((t, l, r)) }
+      val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
+      while (is("inner") || is("left")) {
+        val outer = next().equalsIgnoreCase("left")
+        if (outer && is("outer")) next() // LEFT OUTER JOIN = LEFT JOIN
+        kw("join"); val t = next(); kw("on")
+        val l = colRef(); kw("="); val r = colRef()
+        joins += JoinClause(t, l, r, outer)
+      }
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       val groupBy = if (is("group")) {
         next(); kw("by")
@@ -709,6 +738,13 @@ object HashQL {
       if (ref.column.startsWith("~"))
         graft.doc.DocStore.pathMatches(col("doc"), ref.column, _.like(pat))
       else col(ref.column).like(pat)
+    // two-valued — no try_cast coercion to slip a null in; doc-paths keep
+    // the any-leaf contract of the other branches
+    case IsNullP(ref, not) =>
+      def test(c: Column): Column = if (not) c.isNotNull else c.isNull
+      if (ref.column.startsWith("~"))
+        graft.doc.DocStore.pathMatches(col("doc"), ref.column, test)
+      else test(col(ref.column))
     // three-valued: !(null) stays null, so NOT over a null comparison
     // still drops the row — ANSI semantics on both engines
     case Not(p) => !predColumn(cat, p)
@@ -781,8 +817,13 @@ object HashQL {
       case other => throw new IllegalArgumentException(
         s"materializeAggView expects `create agg view as select …`, got $other")
     }
+    // containment routing identifies the view child by its INNER-equi-join
+    // structure (MatView.flatten) — an outer join has no such identity,
+    // so agg views stay inner-only
+    require(!sel.joins.exists(_.outer),
+      "create agg view supports inner joins only")
     var df = cat.table(sel.table)
-    sel.joins.foreach { case (t, l, r) =>
+    sel.joins.foreach { case JoinClause(t, l, r, _) =>
       val tdf = cat.table(t)
       val (known, fresh) = if (l.table == t) (r, l) else (l, r)
       df = df.join(tdf, df(known.column) === tdf(fresh.column))
@@ -791,8 +832,8 @@ object HashQL {
     val aggs = aggsOf(sel.items)
     val frame = df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val tables = (sel.joins.flatMap { case (t, l, r) =>
-      Seq(t, l.table, r.table) }.toSet + sel.table).toSeq.sorted
+    val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
+      .toSet + sel.table).toSeq.sorted
     val name = s"hashqlagg:${tables.mkString("+")}:" +
       sel.groupBy.map(_.column).mkString(",")
     graft.matview.MatView.materializeAggregate(df.sparkSession, name, frame, path)
@@ -865,17 +906,24 @@ object HashQL {
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
-        // maintained view, server.py:806-894).
-        val tset = joins.flatMap { case (t, l, r) =>
-          Seq(t, l.table, r.table) }.toSet + table
-        var df = registry.flatMap(_.routedFrame(tset, joins)).getOrElse {
+        // maintained view, server.py:806-894). create join views are
+        // inner by construction, so a SELECT with any LEFT JOIN never
+        // routes (the pre-joined rows lack the unmatched-left rows).
+        val tset = joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
+          .toSet + table
+        val routed =
+          if (joins.exists(_.outer)) None
+          else registry.flatMap(_.routedFrame(tset,
+            joins.map(j => (j.table, j.l, j.r))))
+        var df = routed.getOrElse {
           var acc = cat.table(table)
-          joins.foreach { case (t, l, r) =>
+          joins.foreach { case JoinClause(t, l, r, outer) =>
             // the clause's table is the fresh side; the other ref is already
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
-            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column))
+            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column),
+              if (outer) "left" else "inner")
           }
           acc
         }
@@ -941,8 +989,9 @@ object HashQL {
               val projected = exploded.select(outCols.map(col): _*)
               // missing-field skip applies to the scalar fields, as in the
               // plain branch (server.py:1054-1060); null doc leaves are kept
-              // (unchanged single-path semantics).
-              if (scalarCols.isEmpty) projected
+              // (unchanged single-path semantics). LEFT JOIN selects keep
+              // SQL null semantics instead (see the class doc).
+              if (scalarCols.isEmpty || joins.exists(_.outer)) projected
               else projected.na.drop("any", scalarCols)
             } else {
               val wins = items.collect { case w: WinCall => w }
@@ -963,10 +1012,12 @@ object HashQL {
                   d.withColumn(winAlias(w), winColumn(w)))
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
-                // (computed, never "missing") are exempt
+                // (computed, never "missing") are exempt, and LEFT JOIN
+                // selects keep SQL null semantics (dropping null right-side
+                // fields would undo the outer join — see the class doc)
                 val scalarCols = cols.filterNot(winAliases.toSet)
                 val projected = withWins.select(cols.map(col): _*)
-                if (scalarCols.isEmpty) projected
+                if (scalarCols.isEmpty || joins.exists(_.outer)) projected
                 else projected.na.drop("any", scalarCols)
               }
             }

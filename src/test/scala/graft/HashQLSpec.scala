@@ -132,6 +132,42 @@ class HashQLSpec extends SparkSpec {
       HashQL.execute(cat, "select b.nm from b where b.nm like 7"))
   }
 
+  test("left join keeps unmatched rows; is [not] null carves the sets") {
+    val cat = new GraftCatalog(spark)
+    Seq("ann", "bob", "cat").foreach(n =>
+      HashQL.execute(cat, s"insert into c (nm) values ('$n')"))
+    Seq(("ann", 1), ("ann", 2), ("cat", 5)).foreach { case (w, a) =>
+      HashQL.execute(cat, s"insert into o (who, amt) values ('$w', $a)") }
+    val lj = HashQL.execute(cat,
+      "select c.nm, o.amt from c left join o on c.nm = o.who").get
+    // bob survives with a null amt — the na.drop missing-field skip is
+    // suspended for outer selects (it would undo the join type)
+    assert(lj.count() == 4)
+    assert(lj.filter(col("amt").isNull).collect().map(_.getString(0)).toSeq
+      == Seq("bob"))
+    // LEFT OUTER JOIN spelling parses to the same plan
+    assert(HashQL.execute(cat,
+      "select c.nm, o.amt from c left outer join o on c.nm = o.who")
+      .get.count() == 4)
+    // is null / is not null partition the outer result exactly
+    def nms(sql: String): Seq[String] =
+      HashQL.execute(cat, sql).get.collect().map(_.getString(0)).sorted.toSeq
+    assert(nms("select c.nm from c left join o on c.nm = o.who " +
+      "where o.amt is null") == Seq("bob"))
+    assert(nms("select c.nm from c left join o on c.nm = o.who " +
+      "where o.amt is not null") == Seq("ann", "ann", "cat"))
+    // the join type survives optimization: projecting a right-side column
+    // keeps LeftOuter (no silent inner-join degrade)
+    assert(lj.queryExecution.optimizedPlan.toString.contains("LeftOuter"),
+      lj.queryExecution.optimizedPlan.toString)
+    // on an ordinary table, is not null is the missing-field skip made
+    // explicit; is null selects the schema-union null rows
+    HashQL.execute(cat, "insert into c (nm, extra) values ('dan', 9)")
+    assert(nms("select c.nm from c where c.extra is null")
+      == Seq("ann", "bob", "cat"))
+    assert(nms("select c.nm from c where c.extra is not null") == Seq("dan"))
+  }
+
   test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
     val cat = new GraftCatalog(spark)
     Seq(("ann", "x", 1L), ("bob", "x", 5L), ("cat", "y", 7L), ("dan", "y", 9L))
