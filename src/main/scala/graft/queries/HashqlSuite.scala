@@ -380,6 +380,27 @@ object HashqlSuite extends Suite {
              |           WHERE o_orderpriority = '1-URGENT') u
              |ON c_custkey = u.o_custkey WHERE u.o_orderkey IS NULL""".stripMargin)),
 
+    // count(column) vs count(*) — null-aware counting, which only
+    // becomes observable once LEFT JOIN can extend rows with nulls:
+    // count(*) counts every joined-or-extended row, count(u.o_orderkey)
+    // counts only the matched ones. One partial-agg shuffle; the
+    // grouped form routes through the same plan as every GROUP BY.
+    "hashql_count_col" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select count(urgento.o_orderkey), count(*) from customer " +
+            "left join urgento on customer.c_custkey = urgento.o_custkey").get
+      },
+      Some("""SELECT count(u.o_orderkey) AS cnt_o_orderkey, count(*) AS cnt
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON c_custkey = u.o_custkey""".stripMargin)),
+
     // ORDER BY + LIMIT (dialect growth): plans as TakeOrderedAndProject —
     // per-partition top-k, driver merge, never a global sort
     // (HashQLSpec plan-shape assertion). Tie-broken on the unique key so

@@ -18,7 +18,7 @@ import graft.fts.Fts
   *   update t set t.f = v | t.g | t.g + n | t.g - n | t.g * n
   *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
-  *   select [distinct] t.a, u.b | * | count(*)
+  *   select [distinct] t.a, u.b | * | count(*) | count(t.f)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -471,7 +471,14 @@ object HashQL {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
           items += windowSpec(fn, Some(r))
         }
-        else if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); items += CountStar }
+        else if (is("count")) {
+          // count(*) counts rows; count(t.f) counts NON-NULL f — the SQL
+          // distinction starts mattering once LEFT JOIN can produce nulls
+          next(); kw("(")
+          if (is("*")) { next(); items += CountStar }
+          else items += AggCall("count", colRef())
+          kw(")")
+        }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
           items += (if (is("over")) windowSpec(fn, Some(r)) else AggCall(fn, r))
@@ -595,7 +602,11 @@ object HashQL {
       * its bare name, and a bare identifier passes through (addressing an
       * alias directly). */
     private def havingTarget(): String =
-      if (is("count")) { next(); kw("("); if (is("*")) next() else colRef(); kw(")"); "cnt" }
+      if (is("count")) {
+        next(); kw("(")
+        val t = if (is("*")) { next(); "cnt" } else s"cnt_${colRef().column}"
+        kw(")"); t
+      }
       else if (Seq("sum", "avg", "min", "max").exists(is)) {
         val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
         s"${fn}_${r.column}"
@@ -791,6 +802,9 @@ object HashQL {
   private def aggsOf(items: Seq[SelectItem]): Seq[Column] = {
     val aggs = items.collect {
       case CountStar => count(lit(1)).as("cnt")
+      // null-aware: rows where the column is null (schema-union gaps,
+      // LEFT JOIN extensions) don't count — standard SQL count(col)
+      case AggCall("count", r) => count(col(r.column)).as(s"cnt_${r.column}")
       case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
       case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
       case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")

@@ -166,6 +166,17 @@ class HashQLSpec extends SparkSpec {
     assert(nms("select c.nm from c where c.extra is null")
       == Seq("ann", "bob", "cat"))
     assert(nms("select c.nm from c where c.extra is not null") == Seq("dan"))
+    // count(col) is null-aware where count(*) is not — observable exactly
+    // here, where the left join manufactured a null
+    val cnts = HashQL.execute(cat,
+      "select count(o.amt), count(*) from c left join o on c.nm = o.who").get
+      .collect().head
+    assert(cnts.getLong(0) == 3 && cnts.getLong(1) == 5) // dan + bob null amt
+    // …and in HAVING, the count(t.f) spelling resolves to its own alias
+    assert(HashQL.execute(cat,
+      "select c.nm, count(o.amt) from c left join o on c.nm = o.who " +
+        "group by c.nm having count(o.amt) = 0").get
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("bob", "dan"))
   }
 
   test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
