@@ -380,6 +380,40 @@ object HashqlSuite extends Suite {
              |           WHERE o_orderpriority = '1-URGENT') u
              |ON c_custkey = u.o_custkey WHERE u.o_orderkey IS NULL""".stripMargin)),
 
+    // FULL [OUTER] JOIN — unmatched rows from BOTH sides survive (36
+    // left-null + 2351 right-null + matches at sf0.01). Spark plans one
+    // shuffled FullOuter on the key — same single-exchange shape as the
+    // inner chain, still the 100-TB plan.
+    "hashql_full_join" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table hibal as " +
+          "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_nationkey >= 20")
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select hibal.c_custkey, hibal.c_name, urgento.o_orderkey " +
+            "from hibal full join urgento on hibal.c_custkey = urgento.o_custkey").get
+      },
+      Some("""SELECT h.c_custkey, h.c_name, u.o_orderkey
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_nationkey >= 20) h
+             |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON h.c_custkey = u.o_custkey""".stripMargin)),
+
+    // count(DISTINCT col) — exact distinct counting in the dialect (the
+    // engine operator is proven by q_count_distinct; approx siblings live
+    // in the sketch suite). Plans the standard two-phase expand/partial
+    // distinct aggregation — no row ever leaves its partition un-reduced.
+    "hashql_count_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_mktsegment, count(distinct customer.c_nationkey) " +
+          "from customer group by customer.c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS cntd_c_nationkey
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
     // count(column) vs count(*) — null-aware counting, which only
     // becomes observable once LEFT JOIN can extend rows with nulls:
     // count(*) counts every joined-or-extended row, count(u.o_orderkey)

@@ -18,11 +18,11 @@ import graft.fts.Fts
   *   update t set t.f = v | t.g | t.g + n | t.g - n | t.g * n
   *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
-  *   select [distinct] t.a, u.b | * | count(*) | count(t.f)
+  *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
-  *     [inner join u on t.x = u.y | left [outer] join u on t.x = u.y]*
+  *     [inner | left [outer] | full [outer]  join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f is [not] null
@@ -170,13 +170,16 @@ object HashQL {
     * user asks for, and the engine already proves the operators
     * (TakeOrderedAndProject via q_topk, aggregate-then-filter via
     * q_having). */
-  /** One `… join u on l = r` clause. `outer` = LEFT [OUTER] JOIN: the
-    * accumulated left side keeps unmatched rows, `u`'s columns go null.
-    * (RIGHT JOIN is deliberately absent — in a left-deep chain it is the
-    * same statement with the tables swapped, and the reference's dialect
-    * has no outer joins at all, so this is already growth.) */
+  /** One `… join u on l = r` clause. `kind` ∈ inner | left | full:
+    * LEFT [OUTER] keeps unmatched accumulated-left rows (`u`'s columns go
+    * null), FULL [OUTER] keeps unmatched rows from BOTH sides. (RIGHT
+    * JOIN is deliberately absent — in a left-deep chain it is the same
+    * statement with the tables swapped, and the reference's dialect has
+    * no outer joins at all, so this is already growth.) */
   final case class JoinClause(table: String, l: ColRef, r: ColRef,
-                              outer: Boolean = false)
+                              kind: String = "inner") {
+    def outer: Boolean = kind != "inner"
+  }
   final case class Select(items: Seq[SelectItem], table: String,
                           joins: Seq[JoinClause], wheres: Seq[Pred],
                           groupBy: Seq[ColRef],
@@ -476,6 +479,7 @@ object HashQL {
           // distinction starts mattering once LEFT JOIN can produce nulls
           next(); kw("(")
           if (is("*")) { next(); items += CountStar }
+          else if (is("distinct")) { next(); items += AggCall("count_distinct", colRef()) }
           else items += AggCall("count", colRef())
           kw(")")
         }
@@ -499,12 +503,12 @@ object HashQL {
         Some(SampleBucket(colRef(), n.toInt))
       } else None
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
-      while (is("inner") || is("left")) {
-        val outer = next().equalsIgnoreCase("left")
-        if (outer && is("outer")) next() // LEFT OUTER JOIN = LEFT JOIN
+      while (is("inner") || is("left") || is("full")) {
+        val kind = next().toLowerCase(java.util.Locale.ROOT)
+        if (kind != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
         kw("join"); val t = next(); kw("on")
         val l = colRef(); kw("="); val r = colRef()
-        joins += JoinClause(t, l, r, outer)
+        joins += JoinClause(t, l, r, kind)
       }
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       val groupBy = if (is("group")) {
@@ -604,7 +608,10 @@ object HashQL {
     private def havingTarget(): String =
       if (is("count")) {
         next(); kw("(")
-        val t = if (is("*")) { next(); "cnt" } else s"cnt_${colRef().column}"
+        val t =
+          if (is("*")) { next(); "cnt" }
+          else if (is("distinct")) { next(); s"cntd_${colRef().column}" }
+          else s"cnt_${colRef().column}"
         kw(")"); t
       }
       else if (Seq("sum", "avg", "min", "max").exists(is)) {
@@ -805,6 +812,11 @@ object HashQL {
       // null-aware: rows where the column is null (schema-union gaps,
       // LEFT JOIN extensions) don't count — standard SQL count(col)
       case AggCall("count", r) => count(col(r.column)).as(s"cnt_${r.column}")
+      // exact distinct count — the partial-agg expand/shuffle plan
+      // q_count_distinct proves; excluded from matview containment by
+      // registration (distinct aggs don't re-aggregate)
+      case AggCall("count_distinct", r) =>
+        count_distinct(col(r.column)).as(s"cntd_${r.column}")
       case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
       case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
       case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
@@ -931,13 +943,12 @@ object HashQL {
             joins.map(j => (j.table, j.l, j.r))))
         var df = routed.getOrElse {
           var acc = cat.table(table)
-          joins.foreach { case JoinClause(t, l, r, outer) =>
+          joins.foreach { case JoinClause(t, l, r, kind) =>
             // the clause's table is the fresh side; the other ref is already
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
-            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column),
-              if (outer) "left" else "inner")
+            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column), kind)
           }
           acc
         }

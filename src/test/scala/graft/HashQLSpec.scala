@@ -177,6 +177,18 @@ class HashQLSpec extends SparkSpec {
       "select c.nm, count(o.amt) from c left join o on c.nm = o.who " +
         "group by c.nm having count(o.amt) = 0").get
       .collect().map(_.getString(0)).sorted.toSeq == Seq("bob", "dan"))
+    // FULL JOIN keeps unmatched rows from both sides: 'eve' has orders
+    // but no c row, bob/dan have c rows but no orders
+    HashQL.execute(cat, "insert into o (who, amt) values ('eve', 7)")
+    val fj = HashQL.execute(cat,
+      "select c.nm, o.who, o.amt from c full join o on c.nm = o.who").get
+    assert(fj.count() == 6) // ann×2, cat, eve(null nm), bob+dan (null o)
+    assert(fj.filter(col("nm").isNull).collect().map(_.getString(1)).toSeq
+      == Seq("eve"))
+    assert(fj.filter(col("who").isNull).count() == 2)
+    // count(distinct) is exact and group-scoped
+    assert(HashQL.execute(cat,
+      "select count(distinct o.who) from o").get.collect().head.getLong(0) == 3)
   }
 
   test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
