@@ -584,6 +584,15 @@ class HashQLSpec extends SparkSpec {
       assert(coarsePlan.contains(s"$dir/view"), s"containment route missed:\n$coarsePlan")
       assert(coarse.as[(String, Long, Long)].collect().toSet ==
         Set(("x", 3L, 11L), ("y", 1L, 4L)))
+      // HAVING composes with the route: the Filter sits ABOVE the
+      // Aggregate node the rule rewrites (transformUp), so the filtered
+      // aggregation still reads the summary — zero fact rows
+      val hav = HashQL.execute(cat,
+        "select t.a, count(*) from t group by t.a having count(*) >= 2",
+        Some(reg)).get
+      assert(hav.queryExecution.executedPlan.toString.contains(s"$dir/view"),
+        s"HAVING broke the route:\n${hav.queryExecution.executedPlan}")
+      assert(hav.as[(String, Long)].collect().toSet == Set(("x", 3L)))
       // DML drops the route: the same select now scans facts and sees
       // the new row (a stale summary would miss it)
       HashQL.execute(cat, "insert into t (a, b, v) values ('y', 'q', 100)", Some(reg))
