@@ -584,6 +584,19 @@ class HashQLSpec extends SparkSpec {
       assert(coarsePlan.contains(s"$dir/view"), s"containment route missed:\n$coarsePlan")
       assert(coarse.as[(String, Long, Long)].collect().toSet ==
         Set(("x", 3L, 11L), ("y", 1L, 4L)))
+      // avg(t.v) decomposes from a summary storing count(t.v) + sum(t.v):
+      // the null-aware count is exactly the denominator avg needs (the
+      // first view's count(*) can't serve it — v reads as nullable from
+      // parquet — so containment falls through to this one)
+      val name2 = HashQL.materializeAggView(cat,
+        "create agg view as select t.a, count(t.v), sum(t.v) from t group by t.a",
+        s"$dir/view2", Some(reg))
+      try {
+        val avgQ = HashQL.execute(cat, "select avg(t.v) from t", Some(reg)).get
+        val avgPlan = avgQ.queryExecution.executedPlan.toString
+        assert(avgPlan.contains(s"$dir/view2"), s"avg route missed:\n$avgPlan")
+        assert(avgQ.as[Double].collect().head == 3.75) // (1+2+4+8)/4
+      } finally graft.matview.MatView.drop(spark, name2)
       // HAVING composes with the route: the Filter sits ABOVE the
       // Aggregate node the rule rewrites (transformUp), so the filtered
       // aggregation still reads the summary — zero fact rows
