@@ -22,7 +22,7 @@ import graft.fts.Fts
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
-  *     [inner | left [outer] | full [outer]  join u on t.x = u.y]*
+  *     [[inner | left [outer] | full [outer]] join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f is [not] null
@@ -503,9 +503,15 @@ object HashQL {
         Some(SampleBucket(colRef(), n.toInt))
       } else None
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
-      while (is("inner") || is("left") || is("full")) {
-        val kind = next().toLowerCase(java.util.Locale.ROOT)
-        if (kind != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
+      while (is("inner") || is("left") || is("full") || is("join")) {
+        // bare `join` = `inner join`, the common SQL spelling
+        val kind =
+          if (is("join")) "inner"
+          else {
+            val k = next().toLowerCase(java.util.Locale.ROOT)
+            if (k != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
+            k
+          }
         kw("join"); val t = next(); kw("on")
         val l = colRef(); kw("="); val r = colRef()
         joins += JoinClause(t, l, r, kind)

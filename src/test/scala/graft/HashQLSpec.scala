@@ -149,6 +149,9 @@ class HashQLSpec extends SparkSpec {
     assert(HashQL.execute(cat,
       "select c.nm, o.amt from c left outer join o on c.nm = o.who")
       .get.count() == 4)
+    // bare `join` is `inner join` — the common SQL spelling
+    assert(HashQL.execute(cat,
+      "select c.nm, o.amt from c join o on c.nm = o.who").get.count() == 3)
     // is null / is not null partition the outer result exactly
     def nms(sql: String): Seq[String] =
       HashQL.execute(cat, sql).get.collect().map(_.getString(0)).sorted.toSeq
