@@ -380,6 +380,27 @@ object HashqlSuite extends Suite {
              |           WHERE o_orderpriority = '1-URGENT') u
              |ON c_custkey = u.o_custkey WHERE u.o_orderkey IS NULL""".stripMargin)),
 
+    // coalesce(t.f, v) over a LEFT JOIN — null-extended rows take the
+    // default, matched rows keep their value; computed outputs are exempt
+    // from the reference's missing-field skip. Pure scan-side expression
+    // above the single join exchange.
+    "hashql_coalesce" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select customer.c_custkey, coalesce(urgento.o_orderkey, 0) " +
+            "from customer left join urgento on customer.c_custkey = urgento.o_custkey " +
+            "where customer.c_custkey <= 200").get
+      },
+      Some("""SELECT c_custkey, coalesce(u.o_orderkey, 0) AS coalesce_o_orderkey
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON c_custkey = u.o_custkey WHERE c_custkey <= 200""".stripMargin)),
+
     // FULL [OUTER] JOIN — unmatched rows from BOTH sides survive (36
     // left-null + 2351 right-null + matches at sf0.01). Spark plans one
     // shuffled FullOuter on the key — same single-exchange shape as the

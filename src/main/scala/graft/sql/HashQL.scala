@@ -19,6 +19,7 @@ import graft.fts.Fts
   *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
+  *     | coalesce(t.f, v)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -73,6 +74,13 @@ object HashQL {
   final case class WinCall(fn: String, arg: Option[ColRef],
                            part: Seq[ColRef],
                            order: Seq[(ColRef, Boolean)]) extends SelectItem
+  /** `coalesce(t.f, <literal>)` — null replacement in the projection, the
+    * natural companion of LEFT/FULL JOIN extensions and schema-union
+    * gaps. Two-arg column+literal form (the dominant use); output alias
+    * `coalesce_<col>`. A COMPUTED output like window calls: exempt from
+    * the missing-field row skip (its value is never "missing" — that is
+    * its whole point). */
+  final case class Coalesce2(ref: ColRef, default: Any) extends SelectItem
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
@@ -487,6 +495,12 @@ object HashQL {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
           items += (if (is("over")) windowSpec(fn, Some(r)) else AggCall(fn, r))
         }
+        else if (is("coalesce")) {
+          next(); kw("(")
+          val r = colRef(); kw(",")
+          val v = literal(); kw(")")
+          items += Coalesce2(r, v)
+        }
         else items += Field(colRef())
         if (is(",")) next() else more = false
       }
@@ -779,6 +793,8 @@ object HashQL {
       graft.llm.Sampling.arithBucket(col(ref.column)) < permille
   }
 
+  private def coalAlias(c: Coalesce2): String = s"coalesce_${c.ref.column}"
+
   /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
     * addressable in ORDER BY like every other output column. */
   private def winAlias(w: WinCall): String = w.fn match {
@@ -988,6 +1004,8 @@ object HashQL {
           case gs if gs.nonEmpty =>
             require(!items.exists(_.isInstanceOf[WinCall]),
               "window calls cannot mix with GROUP BY in one select")
+            require(!items.exists(_.isInstanceOf[Coalesce2]),
+              "coalesce cannot mix with GROUP BY in one select")
             df.groupBy(gs.map(g => col(g.column)): _*)
               .agg(aggColumns.head, aggColumns.tail: _*)
           case _ =>
@@ -995,6 +1013,8 @@ object HashQL {
             if (docPaths.nonEmpty) {
               require(!items.exists(_.isInstanceOf[WinCall]),
                 "window calls cannot mix with doc-path projection")
+              require(!items.exists(_.isInstanceOf[Coalesce2]),
+                "coalesce cannot mix with doc-path projection")
               // doc-path projection, one output row per addressed leaf
               // combination: paths through the SAME array share one explode
               // (positionally-aligned leaves — the reference's flattened
@@ -1026,13 +1046,15 @@ object HashQL {
               else projected.na.drop("any", scalarCols)
             } else {
               val wins = items.collect { case w: WinCall => w }
-              val winAliases = wins.map(winAlias)
-              require(winAliases.distinct.size == winAliases.size,
-                s"duplicate window output aliases: $winAliases")
+              val coals = items.collect { case c: Coalesce2 => c }
+              val computedAliases = wins.map(winAlias) ++ coals.map(coalAlias)
+              require(computedAliases.distinct.size == computedAliases.size,
+                s"duplicate computed output aliases: $computedAliases")
               val cols = items.flatMap {
                 case Star => df.columns.toSeq
                 case Field(ref) => Seq(ref.column)
                 case w: WinCall => Seq(winAlias(w))
+                case c: Coalesce2 => Seq(coalAlias(c))
                 case CountStar | _: AggCall => Seq.empty
               }
               if (items.nonEmpty && items.forall(i =>
@@ -1041,13 +1063,17 @@ object HashQL {
               else {
                 val withWins = wins.foldLeft(df)((d, w) =>
                   d.withColumn(winAlias(w), winColumn(w)))
+                val withComputed = coals.foldLeft(withWins)((d, c) =>
+                  d.withColumn(coalAlias(c),
+                    coalesce(col(c.ref.column), lit(c.default))))
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
-                // (computed, never "missing") are exempt, and LEFT JOIN
-                // selects keep SQL null semantics (dropping null right-side
-                // fields would undo the outer join — see the class doc)
-                val scalarCols = cols.filterNot(winAliases.toSet)
-                val projected = withWins.select(cols.map(col): _*)
+                // and coalesce (computed, never "missing") are exempt, and
+                // LEFT JOIN selects keep SQL null semantics (dropping null
+                // right-side fields would undo the outer join — see the
+                // class doc)
+                val scalarCols = cols.filterNot(computedAliases.toSet)
+                val projected = withComputed.select(cols.map(col): _*)
                 if (scalarCols.isEmpty || joins.exists(_.outer)) projected
                 else projected.na.drop("any", scalarCols)
               }

@@ -192,6 +192,15 @@ class HashQLSpec extends SparkSpec {
     // count(distinct) is exact and group-scoped
     assert(HashQL.execute(cat,
       "select count(distinct o.who) from o").get.collect().head.getLong(0) == 3)
+    // coalesce replaces the outer join's null extensions (and is exempt
+    // from the missing-field skip — a computed output is never missing)
+    val co = HashQL.execute(cat,
+      "select c.nm, coalesce(o.amt, 0) from c left join o on c.nm = o.who")
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(co == Seq(("ann", 1L), ("ann", 2L), ("bob", 0L), ("cat", 5L),
+      ("dan", 0L)), co.toString)
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select c.nm, coalesce(o.amt, 0) from c group by c.nm"))
   }
 
   test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
