@@ -276,6 +276,13 @@ object HashQL {
     }
     private def literal(): Any = {
       val t = next()
+      // bare NULL used to lex as the STRING "null" — a silent wrong
+      // answer in comparisons (`= null` would match rows containing the
+      // text "null"); SQL's `= null` is never true anyway, so reject it
+      // toward the forms that mean something
+      require(!t.equalsIgnoreCase("null"),
+        "bare null is not a comparison literal: use `t.f is [not] null` " +
+          "in predicates, or `set t.f = null` in UPDATE")
       if (t.startsWith("'")) t.substring(1, t.length - 1) else coerce(t)
     }
 
@@ -379,7 +386,8 @@ object HashQL {
               s"column arithmetic expects a numeric literal, got $n")
             SetArith(r2, op, n.asInstanceOf[Long])
           } else SetCol(r2)
-        } else SetLit(literal())
+        } else if (is("null")) { next(); SetLit(null) } // explicit null-out
+        else SetLit(literal())
       val wheres = if (is("where")) { next(); preds() } else Nil
       Update(table, (ref, v), wheres)
     }

@@ -565,6 +565,14 @@ class HashQLSpec extends SparkSpec {
     HashQL.execute(cat, "update p set p.age = 31 where p.name = 'Sam'")
     val ages = cat.table("p").orderBy("id").select("age").as[Long].collect().toSeq
     assert(ages == Seq(31L, 29L))
+    // explicit null-out, read back via the is-null predicate
+    HashQL.execute(cat, "update p set p.age = null where p.name = 'Ted'")
+    assert(HashQL.execute(cat, "select p.name from p where p.age is null").get
+      .as[String].collect().toSeq == Seq("Ted"))
+    // bare null as a COMPARISON literal is a clear error — it used to lex
+    // as the string "null" (a silent wrong answer against text columns)
+    intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select p.name from p where p.name = null"))
   }
 
   test("create agg view: verbatim + coarser selects route to the summary; DML invalidates") {
