@@ -356,11 +356,15 @@ object HashQL {
       while (is(",")) { next(); fields += next() }
       kw(")"); kw("values")
       val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      // explicit NULL in VALUES = the field omitted for that row (the
+      // dialect's dynamic schema already means "missing => null", so the
+      // two spellings are one semantics)
+      def insertVal(): Any = if (is("null")) { next(); null } else literal()
       var more = true
       while (more) {
         kw("(")
-        val values = scala.collection.mutable.ArrayBuffer(literal())
-        while (is(",")) { next(); values += literal() }
+        val values = scala.collection.mutable.ArrayBuffer(insertVal())
+        while (is(",")) { next(); values += insertVal() }
         kw(")")
         require(values.length == fields.length,
           s"insert row has ${values.length} values for ${fields.length} fields")
@@ -903,7 +907,9 @@ object HashQL {
               registry: Option[JoinRegistry] = None): Option[DataFrame] =
     parse(sql) match {
       case Insert(t, fs, rows) =>
-        rows.foreach(r => cat.insert(t, fs.zip(r)))
+        // a null value is the field omitted for that row — schema union
+        // supplies the null (and no type is invented for it)
+        rows.foreach(r => cat.insert(t, fs.zip(r).filter(_._2 != null)))
         registry.foreach(_.invalidateTable(t)); None
       case CreateTableAs(t, sel) =>
         require(!cat.exists(t), s"create table: $t already exists")

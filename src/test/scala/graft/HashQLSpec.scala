@@ -573,6 +573,10 @@ class HashQLSpec extends SparkSpec {
     // as the string "null" (a silent wrong answer against text columns)
     intercept[IllegalArgumentException](
       HashQL.execute(cat, "select p.name from p where p.name = null"))
+    // explicit NULL in INSERT VALUES = the field omitted for that row
+    HashQL.execute(cat, "insert into p (name, age) values ('Nix', null)")
+    assert(HashQL.execute(cat, "select p.name from p where p.age is null").get
+      .as[String].collect().toSet == Set("Ted", "Nix"))
   }
 
   test("create agg view: verbatim + coarser selects route to the summary; DML invalidates") {
