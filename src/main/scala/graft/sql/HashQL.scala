@@ -14,8 +14,8 @@ import graft.fts.Fts
   *
   * Dialect:
   * {{{
-  *   insert into t (f, g) values ('s', 2) [, ('u', 3)]*
-  *   update t set t.f = v | t.g | t.g + n | t.g - n | t.g * n
+  *   insert into t (f, g) values ('s', 2) [, ('u', 3)]*   // null = omit
+  *   update t set t.f = v | null | t.g | t.g + n | t.g - n | t.g * n
   *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
