@@ -1112,10 +1112,14 @@ object HashQL {
         // a bare LIMIT is a CollectLimit. OFFSET composes before LIMIT
         // (SQL `LIMIT n OFFSET m` = rows m+1..m+n of the sorted stream —
         // Spark folds offset+limit+sort into one GlobalLimit plan).
+        // ASC pins NULLS LAST: Spark's asc default is nulls-FIRST while
+        // DuckDB's is nulls-last, and with outer joins in the dialect a
+        // nullable sort key under LIMIT would otherwise keep DIFFERENT
+        // rows per engine (desc defaults already agree on nulls-last).
         val ordered =
           if (orderBy.isEmpty) dedup
           else dedup.orderBy(orderBy.map { case (r, desc) =>
-            if (desc) col(r.column).desc else col(r.column).asc }: _*)
+            if (desc) col(r.column).desc else col(r.column).asc_nulls_last }: _*)
         val skipped = offset.fold(ordered)(ordered.offset)
         limit.fold(skipped)(skipped.limit)
     }

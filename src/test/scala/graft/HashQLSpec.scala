@@ -201,6 +201,13 @@ class HashQLSpec extends SparkSpec {
       ("dan", 0L)), co.toString)
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select c.nm, coalesce(o.amt, 0) from c group by c.nm"))
+    // ORDER BY asc puts nulls LAST (the DuckDB default): a LIMIT over a
+    // nullable sort key keeps the same rows in both engines
+    val ord = HashQL.execute(cat,
+      "select c.nm, o.amt from c left join o on c.nm = o.who " +
+        "order by amt, nm limit 3").get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ord == Seq(("ann", 1L), ("ann", 2L), ("cat", 5L)), ord.toString)
   }
 
   test("NOT / <> / BETWEEN / DISTINCT / OFFSET round out the grammar") {
