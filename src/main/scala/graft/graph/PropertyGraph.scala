@@ -900,10 +900,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       orderBy.foreach { case (r, _) =>
         require(retNames.contains(outName(r)),
           s"ORDER BY item ${outName(r)} must appear in RETURN") }
+      // asc pins NULLS LAST (DuckDB's default; Spark's asc is nulls-
+      // first): attribute values are nullable — a node without the attr —
+      // so a LIMIT over an attr sort key must keep the same rows as the
+      // oracle. Desc defaults already agree on nulls-last.
       val ordered =
         if (orderBy.isEmpty) projected
         else projected.orderBy(orderBy.map { case (r, desc) =>
-          if (desc) col(outName(r)).desc else col(outName(r)).asc }: _*)
+          if (desc) col(outName(r)).desc
+          else col(outName(r)).asc_nulls_last }: _*)
       limitN.fold(ordered)(ordered.limit)
   }
 }
