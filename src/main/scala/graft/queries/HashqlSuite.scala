@@ -401,6 +401,29 @@ object HashqlSuite extends Suite {
              |           WHERE o_orderpriority = '1-URGENT') u
              |ON c_custkey = u.o_custkey WHERE c_custkey <= 200""".stripMargin)),
 
+    // coalesce(a.k, b.k) over a FULL JOIN — the unified-key idiom: the
+    // merged column is non-null for every surviving row whichever side
+    // produced it. Same single-exchange FullOuter plan underneath.
+    "hashql_full_join_merge" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "create table hibal as " +
+          "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_nationkey >= 20")
+        HashQL.execute(cat, "create table urgento as " +
+          "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_orderpriority = '1-URGENT'")
+        HashQL.execute(cat,
+          "select coalesce(hibal.c_custkey, urgento.o_custkey), urgento.o_orderkey " +
+            "from hibal full join urgento on hibal.c_custkey = urgento.o_custkey").get
+      },
+      Some("""SELECT coalesce(h.c_custkey, u.o_custkey) AS coalesce_c_custkey,
+             |       u.o_orderkey
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_nationkey >= 20) h
+             |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') u
+             |ON h.c_custkey = u.o_custkey""".stripMargin)),
+
     // FULL [OUTER] JOIN — unmatched rows from BOTH sides survive (36
     // left-null + 2351 right-null + matches at sf0.01). Spark plans one
     // shuffled FullOuter on the key — same single-exchange shape as the

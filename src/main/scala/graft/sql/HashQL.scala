@@ -19,7 +19,7 @@ import graft.fts.Fts
   *     [where t.g = w [and …]]
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
-  *     | coalesce(t.f, v)
+  *     | coalesce(t.f, v | u.g)
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -74,12 +74,14 @@ object HashQL {
   final case class WinCall(fn: String, arg: Option[ColRef],
                            part: Seq[ColRef],
                            order: Seq[(ColRef, Boolean)]) extends SelectItem
-  /** `coalesce(t.f, <literal>)` — null replacement in the projection, the
-    * natural companion of LEFT/FULL JOIN extensions and schema-union
-    * gaps. Two-arg column+literal form (the dominant use); output alias
-    * `coalesce_<col>`. A COMPUTED output like window calls: exempt from
-    * the missing-field row skip (its value is never "missing" — that is
-    * its whole point). */
+  /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
+    * projection, the natural companion of LEFT/FULL JOIN extensions and
+    * schema-union gaps. Two-arg forms: column+literal (fill a default)
+    * and column+column (the FULL JOIN key-merge idiom —
+    * `coalesce(a.k, b.k)` is the unified key). Output alias
+    * `coalesce_<first col>`. A COMPUTED output like window calls: exempt
+    * from the missing-field row skip (its value is never "missing" —
+    * that is its whole point). `default` holds a literal or a ColRef. */
   final case class Coalesce2(ref: ColRef, default: Any) extends SelectItem
 
   sealed trait Pred
@@ -510,7 +512,11 @@ object HashQL {
         else if (is("coalesce")) {
           next(); kw("(")
           val r = colRef(); kw(",")
-          val v = literal(); kw(")")
+          // second arg: a column ref (FULL-JOIN key merge) or a literal
+          val v: Any =
+            if (peek.contains('.') && !peek.startsWith("'")) colRef()
+            else literal()
+          kw(")")
           items += Coalesce2(r, v)
         }
         else items += Field(colRef())
@@ -1078,8 +1084,11 @@ object HashQL {
                 val withWins = wins.foldLeft(df)((d, w) =>
                   d.withColumn(winAlias(w), winColumn(w)))
                 val withComputed = coals.foldLeft(withWins)((d, c) =>
-                  d.withColumn(coalAlias(c),
-                    coalesce(col(c.ref.column), lit(c.default))))
+                  d.withColumn(coalAlias(c), coalesce(col(c.ref.column),
+                    c.default match {
+                      case r2: ColRef => col(r2.column)
+                      case v => lit(v)
+                    })))
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
                 // and coalesce (computed, never "missing") are exempt, and

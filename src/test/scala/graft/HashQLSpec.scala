@@ -201,6 +201,13 @@ class HashQLSpec extends SparkSpec {
       ("dan", 0L)), co.toString)
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select c.nm, coalesce(o.amt, 0) from c group by c.nm"))
+    // coalesce(a.k, b.k) merges the two sides of a FULL JOIN into one
+    // non-null key column
+    val merged = HashQL.execute(cat,
+      "select coalesce(c.nm, o.who) from c full join o on c.nm = o.who")
+      .get.collect().map(_.getString(0))
+    assert(merged.forall(_ != null) && merged.sorted.toSeq
+      == Seq("ann", "ann", "bob", "cat", "dan", "eve"), merged.toSeq.toString)
     // ORDER BY asc puts nulls LAST (the DuckDB default): a LIMIT over a
     // nullable sort key keeps the same rows in both engines
     val ord = HashQL.execute(cat,
