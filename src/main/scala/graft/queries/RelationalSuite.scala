@@ -515,6 +515,20 @@ object RelationalSuite extends Suite {
         .except(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
       Some("""SELECT DISTINCT n_nationkey AS k FROM nation
              |EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier""".stripMargin)),
+    // MULTISET set ops (ALL variants — bag semantics): occurrences
+    // subtract/min rather than collapsing to membership. Spark plans both
+    // as one aggregate computing per-row counts on each side + a
+    // generate — same single-shuffle shape as the distinct forms, no join.
+    "q_set_except_all" -> Q(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |EXCEPT ALL SELECT s_nationkey AS k FROM supplier""".stripMargin)),
+    "q_set_intersect_all" -> Q(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |INTERSECT ALL SELECT s_nationkey AS k FROM supplier""".stripMargin)),
 
     // M1 INSERT: append-as-union (at scale: an append to a partitioned
     // table — never a rewrite).
