@@ -1152,4 +1152,28 @@ object Streams {
         }.write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** LEFT-outer twin of [[maintainJoin]] — the maintained view of the
+    * dialect's LEFT JOIN: every fact delta row is kept, unmatched ones
+    * append with null dimension columns. Same broadcast-per-batch shape.
+    *
+    * INSERT-only contract (like [[maintainAggregate]]): `dim` is re-read
+    * each micro-batch, so facts arriving after a dimension row see it —
+    * but a dimension row arriving after a fact was appended does NOT
+    * retro-fill that fact's nulls (that retraction is the classic outer-
+    * join IVM limit). When late dimensions matter, either re-materialize,
+    * or serve reads as `coalesce(view.dimcol, fresh.dimcol)` over a
+    * repair join of the view's null-extended rows against the current
+    * dimension — the repair input is only the null subset, not the view. */
+  def maintainJoinLeft(stream: DataFrame, dim: DataFrame,
+                       joinExpr: org.apache.spark.sql.Column,
+                       outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.join(broadcast(dim), joinExpr, "left")
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }
