@@ -1176,4 +1176,33 @@ object Streams {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** Repair pass for a [[maintainJoinLeft]] view: re-probes ONLY the
+    * view's null-extended rows against the CURRENT dimension and rewrites
+    * the ones that now match — the periodic-repair answer to the outer-
+    * join retraction limit (per-row retraction needs changelog state;
+    * a repair over the null subset needs none, and its input is the null
+    * subset, not the view). Rows still unmatched stay null-extended, so
+    * repeated repairs converge as the dimension fills in. Crash-safe via
+    * [[graft.sources.Sources.swapDir]] (readers see old or new, never a
+    * mix); run between restarts of the maintaining stream, like
+    * compactStore.
+    * @param factKey the view's fact-side join column
+    * @param dimKey  the dimension's key column (null in the view exactly
+    *                when the row was appended unmatched — it is the join
+    *                key, so a matched row can't carry a null one) */
+  def repairLeftView(spark: SparkSession, viewPath: String, dim: DataFrame,
+                     factKey: String, dimKey: String): Unit = {
+    val view = spark.read.parquet(viewPath)
+    val dimCols = dim.columns
+    require(dimCols.contains(dimKey), s"dim has no column $dimKey")
+    val matched = view.filter(col(dimKey).isNotNull)
+    val nulls = view.filter(col(dimKey).isNull).drop(dimCols: _*)
+    val repaired = nulls.join(broadcast(dim),
+      nulls(factKey) === dim(dimKey), "left")
+    val out = matched.unionByName(repaired.select(view.columns.map(col): _*))
+    graft.sources.Sources.swapDir(spark, viewPath) { tmp =>
+      out.write.parquet(tmp)
+    }
+  }
 }

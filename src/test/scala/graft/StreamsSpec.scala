@@ -142,6 +142,16 @@ class StreamsSpec extends SparkSpec {
       // dimension-less ones null-extended
       assert(got == Set((10.0, Some("gold")), (20.0, None), (30.0, None)))
     } finally q.stop()
+    // the repair pass retro-fills nulls once the dimension grows; the
+    // still-unmatched stay null (and a second repair is a no-op rewrite)
+    val dim2 = Seq((1L, "gold"), (2L, "silver")).toDF("c_id", "tier")
+    Streams.repairLeftView(spark, out, dim2, "cust_id", "c_id")
+    val after = spark.read.parquet(out).select("amount", "tier")
+      .as[(Double, Option[String])].collect().toSet
+    assert(after == Set((10.0, Some("gold")), (20.0, Some("silver")),
+      (30.0, Some("silver"))), after.toString)
+    Streams.repairLeftView(spark, out, dim2, "cust_id", "c_id")
+    assert(spark.read.parquet(out).count() == 3)
   }
 
   test("maintainJoinN folds a micro-batch through a 3-way dimension chain") {
