@@ -189,6 +189,10 @@ class HashQLSpec extends SparkSpec {
     assert(fj.filter(col("nm").isNull).collect().map(_.getString(1)).toSeq
       == Seq("eve"))
     assert(fj.filter(col("who").isNull).count() == 2)
+    // FULL keeps its type through optimization too (neither side can
+    // broadcast a full outer — both sides exchange)
+    assert(fj.queryExecution.optimizedPlan.toString.contains("FullOuter"),
+      fj.queryExecution.optimizedPlan.toString)
     // count(distinct) is exact and group-scoped
     assert(HashQL.execute(cat,
       "select count(distinct o.who) from o").get.collect().head.getLong(0) == 3)
