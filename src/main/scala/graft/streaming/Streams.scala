@@ -1196,6 +1196,13 @@ object Streams {
     val view = spark.read.parquet(viewPath)
     val dimCols = dim.columns
     require(dimCols.contains(dimKey), s"dim has no column $dimKey")
+    // the null-subset rebuild drops the dim's columns by NAME — a fact
+    // key sharing a dim column name would be dropped with them (parquet
+    // already forbids duplicate names in the view, so this can only mean
+    // the caller passed the wrong key)
+    require(!dimCols.contains(factKey),
+      s"factKey $factKey collides with a dimension column; fact and dim " +
+        "columns must be distinctly named (the CREATE JOIN convention)")
     val matched = view.filter(col(dimKey).isNotNull)
     val nulls = view.filter(col(dimKey).isNull).drop(dimCols: _*)
     val repaired = nulls.join(broadcast(dim),
