@@ -161,9 +161,9 @@ object LlmSuite extends Suite {
       "list_append(string_split(w, ''), '</w>')")(fold)
     s"""WITH ${bpeTrainCtes(m).mkString(",\n")}
        |SELECT d.doc_id,
-       |  flatten(list_transform(
+       |  array_to_string(flatten(list_transform(
        |    list_filter(string_split(lower(d.text), ' '), w -> w <> ''),
-       |    w -> $chain)) AS tokens
+       |    w -> $chain)), ' ') AS tokens
        |FROM documents d, ${(1 to m).map("m" + _).mkString(", ")}"""
       .stripMargin
   }
@@ -1070,13 +1070,16 @@ object LlmSuite extends Suite {
     // end-to-end BPE encode: train 4 merges, then tokenize every doc
     // with the learned rules — the oracle re-learns the same merges in
     // SQL and applies the SAME nested greedy folds per word (list_reduce
-    // inside list_transform), so whole token arrays hash-check.
+    // inside list_transform). Final projection space-joins the token
+    // array so the comparator sees a scalar string (arrays crash its
+    // pandas sort); the join is lossless since tokens never hold ' '.
     "bpe_encode" -> Q(
       (s, d) => {
         val m = graft.llm.Bpe.train(docs(s, d), "text", nMerges = 4)
           .orderBy("step").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.llm.Bpe.encode(docs(s, d), "text", "doc_id", m)
+          .select(col("doc_id"), concat_ws(" ", col("tokens")).as("tokens"))
       },
       Some(bpeEncodeOracleSql(4))),
 
@@ -1085,10 +1088,15 @@ object LlmSuite extends Suite {
     // signs — bit-identical across engines/partitionings, so the reduced
     // vectors hash-check whole. The cheap-prefilter leg of a
     // project→shortlist→exact-rerank serving stack.
+    // comma-joined rendering of the 16 integer components keeps the
+    // comparator array-free without losing a bit of the fixed-point hash.
     "embed_rp" -> Q(
-      (s, d) => Similarity.randomProject(emb(s, d), inDim = 64, outDim = 16),
+      (s, d) => Similarity.randomProject(emb(s, d), inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("rp"), _.cast("string"))).as("rp")),
       Some(s"""SELECT vec_id,
-              |  ${Similarity.randomProjectSql("embedding", 64, 16)} AS rp
+              |  array_to_string(${Similarity.randomProjectSql("embedding", 64, 16)},
+              |                  ',') AS rp
               |FROM embeddings""".stripMargin)),
 
     "ann_topk" -> Q(

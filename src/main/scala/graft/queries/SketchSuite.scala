@@ -215,15 +215,23 @@ object SketchSuite extends Suite {
     "sketch_histogram" -> Q(
       (s, d) => {
         val cents = round(col("value") * 100, 0).cast("long")
+        // grid rendered comma-joined: the comparator can't sort arrays,
+        // and the string carries every bucket count bit-for-bit
         Histo.sketch(events(s, d), Seq("event_type"), cents,
             lo = 0L, step = 1000L, w = 64)
           .select(col("event_type"), col("hist"),
             Histo.quantile(col("hist"), 500, 0L, 1000L).as("p50"),
             Histo.quantile(col("hist"), 950, 0L, 1000L).as("p95"))
+          // second select: re-aliasing hist in the SAME projection makes
+          // the quantile exprs lateral-reference the string instead of
+          // the input array
+          .select(col("event_type"),
+            concat_ws(",", transform(col("hist"), _.cast("string"))).as("hist"),
+            col("p50"), col("p95"))
       },
       Some(s"""WITH ${Histo.sketchCtesSql("events", "event_type",
                  "CAST(round(value * 100) AS BIGINT)", 0L, 1000L, 64)}
-              |SELECT event_type, hist,
+              |SELECT event_type, array_to_string(hist, ',') AS hist,
               |  ${Histo.quantileSql("hist", 500, 0L, 1000L)} AS p50,
               |  ${Histo.quantileSql("hist", 950, 0L, 1000L)} AS p95
               |FROM h""".stripMargin)),
