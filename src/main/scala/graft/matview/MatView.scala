@@ -238,7 +238,17 @@ object MatView {
     * so `sum(c_acctbal)` from the view registration and from a later
     * query compare equal. Positional/exprId identity can't work here
     * because containment queries are pruned DIFFERENTLY from the view. */
-  private def sqlKey(e: Expression): String = e.sql.toLowerCase(java.util.Locale.ROOT)
+  private def sqlKey(e: Expression): String = {
+    // strip attribute qualifiers first: a query through a temp view
+    // renders `view.n_name` where DataFrame registration rendered
+    // `n_name` — same column, and view column names are distinct by
+    // contract, so the qualifier carries no identity here
+    val stripped = e.transform {
+      case a: AttributeReference if a.qualifier.nonEmpty =>
+        a.withQualifier(Seq.empty)
+    }
+    stripped.sql.toLowerCase(java.util.Locale.ROOT)
+  }
 
   /** True when `e` contains ANY aggregate call. Outputs containing one
     * that is not a plain unfiltered non-distinct Count/Sum/Min/Max/Avg
@@ -262,13 +272,14 @@ object MatView {
     * absorbs the pruning Projects that make coarser queries structurally
     * different from the view. */
   private def substituteCoarse(a: Aggregate, e: AggEntry): Option[LogicalPlan] = {
-    if (e.childKey.isEmpty) return None
+    def dbg(m: => String): Unit = if (sys.env.contains("GRAFT_MV_DEBUG")) println(s"[mvdbg] $m")
+    if (e.childKey.isEmpty) { dbg("no childKey"); return None }
     val key = e.childKey.get
     val joinCols = key.cond.flatMap { case (x, y) => Seq(x, y) }
     val flat = flattenCollect(a.child, joinCols)
-    if (flat.isEmpty) return None
+    if (flat.isEmpty) { dbg("flatten failed"); return None }
     val (leaves, conds, preds) = flat.get
-    if (Key(leaves, conds) != key) return None
+    if (Key(leaves, conds) != key) { dbg(s"key mismatch: ${Key(leaves, conds)} vs $key"); return None }
     // FILTER containment: a deterministic predicate referencing only the
     // summary's GROUPING KEYS selects whole groups — filtering the
     // summary's rows on the rewritten predicate keeps exactly the fact
@@ -285,13 +296,13 @@ object MatView {
           out.references.subsetOf(AttributeSet(e.replacement.output))) Some(out)
       else None
     }
-    if (rewrittenPreds.exists(_.isEmpty)) return None
+    if (rewrittenPreds.exists(_.isEmpty)) { dbg("pred rewrite failed"); return None }
     val source: LogicalPlan =
       if (rewrittenPreds.isEmpty) e.replacement
       else org.apache.spark.sql.catalyst.plans.logical.Filter(
         rewrittenPreds.map(_.get).reduce(And), e.replacement)
     val newGrouping = a.groupingExpressions.map(g => e.groupMap.get(sqlKey(g)))
-    if (newGrouping.exists(_.isEmpty)) return None
+    if (newGrouping.exists(_.isEmpty)) { dbg(s"grouping rewrite failed: ${a.groupingExpressions.map(sqlKey)} keys=${e.groupMap.keys}"); return None }
     val newList = a.aggregateExpressions.map { ne =>
       val u = ne match { case al: Alias => al.child; case x => x }
       val rewritten: Option[Expression] = u match {
@@ -342,8 +353,10 @@ object MatView {
       }
       rewritten.map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
-    if (newList.exists(_.isEmpty)) None
-    else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), source))
+    if (newList.exists(_.isEmpty)) {
+      dbg(s"agg rewrite failed for: ${a.aggregateExpressions.zip(newList).collect{case (x, None)=>x.toString + " / class=" + (x match {case al: Alias => al.child.getClass.getName; case o => o.getClass.getName})}.mkString("; ")} aggMap=${e.aggMap.keys}")
+      None
+    } else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), source))
   }
 
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -223,6 +223,37 @@ object HashqlSuite extends Suite {
              |WHERE p_size > (SELECT avg(p_size) FROM part)
              |  AND p_type = 'ECONOMY'""".stripMargin)),
 
+    // EXISTS (SELECT …): correlated existence test — the correlation
+    // `orders.o_custkey = customer.c_custkey` inside the subquery WHERE
+    // becomes the LEFT SEMI join key; the status conjunct stays a
+    // subquery-local filter. The 100 TB shape: facts filtered scan-side,
+    // then one semi join probing the outer keys.
+    "hashql_exists" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name from customer " +
+          "where exists (select orders.o_orderkey from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_orderstatus = 'F')"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""
+        .stripMargin)),
+
+    // NOT EXISTS: LEFT ANTI on the same correlation — customers with NO
+    // urgent order, composed with a plain outer conjunct.
+    "hashql_not_exists" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where not exists (select orders.o_orderkey from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_orderpriority = '1-URGENT') " +
+          "and customer.c_mktsegment = 'BUILDING'"),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  AND o.o_orderpriority = '1-URGENT')
+             |AND c_mktsegment = 'BUILDING'""".stripMargin)),
+
     // NOT IN (SELECT …): LEFT ANTI (NOT EXISTS semantics — see the
     // InSelect scaladoc); composed with a plain conjunct in one WHERE.
     "hashql_not_in_subquery" -> Q(
@@ -700,6 +731,39 @@ object HashqlSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'EUROPE'
              |GROUP BY n_name""".stripMargin)),
+
+    // HAVING containment (round-7 growth): a filter ABOVE the
+    // re-aggregation referencing only re-aggregated outputs filters the
+    // FINAL groups — containment-safe (unlike key filters it needs no
+    // predicate rewrite at all: the substituted aggregate keeps its
+    // output ids, so the Filter rides through). Zero fact rows
+    // (MatViewHavingSpec asserts the plan); the classic rollup-dashboard
+    // ask `GROUP BY subset HAVING agg > k`.
+    "matview_route_having" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, min}
+        def base = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        val summary = base.groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_key"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvh").toString
+        graft.matview.MatView.materializeAggregate(s, "having_tmp", summary, s"$tmp/view")
+        val q = base.groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_key"))
+          .filter(col("n_customers") > 5)
+        val res = s"$tmp/result"
+        q.write.mode("overwrite").parquet(res) // summary re-aggregated + HAVING
+        graft.matview.MatView.drop(s, "having_tmp")
+        s.read.parquet(res)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             |  min(c_custkey) AS min_key
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name
+             |HAVING count(*) > 5""".stripMargin)),
 
     // boolean filter containment (round-6 growth + regression pin for the
     // folded-condition bug): a cross-side OR over two GROUPING KEYS gets

@@ -109,6 +109,23 @@ object HashQL {
     * message. Dialect growth (the reference has no subqueries,
     * server.py:456-476). */
   final case class InSelect(ref: ColRef, sub: Select) extends Pred
+  /** `t.a = u.b` — column-to-column equality (dialect growth; the
+    * reference compares columns only to literals, server.py:456-476).
+    * Inside an EXISTS subquery, a pair whose one side references an
+    * OUTER table is the correlation key; anywhere else it is a plain
+    * same-frame filter. */
+  final case class EqCol(a: ColRef, b: ColRef) extends Pred
+  /** `[not] exists (select … from u [join …] [where …])` — correlated
+    * existence test, the most common subquery form after IN. Correlation
+    * rides in the subquery WHERE as [[EqCol]] conjuncts referencing an
+    * outer table; planned as a LEFT SEMI (NOT → LEFT ANTI) join on those
+    * keys, so the 100 TB shape is one broadcast-able probe exactly like
+    * [[InSelect]]. Null outer keys never equal anything: EXISTS drops
+    * them, NOT EXISTS keeps them — ANSI, and precisely why NOT EXISTS is
+    * the null-safe spelling of NOT IN. Top-level-conjunct only, like the
+    * other subquery forms. Dialect growth (no subqueries in the
+    * reference). */
+  final case class ExistsSelect(sub: Select) extends Pred
   /** `t.f <op> (select <agg> from u [where …])` — comparison against a
     * SCALAR subquery (must produce exactly one row and one column: a
     * global aggregate). Planned as a broadcast cross-join of the 1-row
@@ -276,6 +293,16 @@ object HashQL {
       require(i > 0, s"expected table.column, got $t")
       ColRef(t.substring(0, i), t.substring(i + 1))
     }
+    /** does the NEXT token have the `table.column` shape — an IDENTIFIER
+      * head before the dot? Mere '.'-containment would misread dotted
+      * numerics (1.5) as column refs; quoted strings are never refs. */
+    private def peekIsColRef: Boolean = {
+      val t = peek
+      val head = t.takeWhile(_ != '.')
+      t.contains('.') && head.nonEmpty &&
+        (head.head.isLetter || head.head == '_') &&
+        head.forall(c => c.isLetterOrDigit || c == '_')
+    }
     private def literal(): Any = {
       val t = next()
       // bare NULL used to lex as the STRING "null" — a silent wrong
@@ -381,9 +408,10 @@ object HashQL {
       kw("set")
       val ref = colRef(); kw("=")
       // RHS: quoted/number literal, or a column ref optionally followed
-      // by space-separated `+ - *` and a numeric literal
+      // by space-separated `+ - *` and a numeric literal (identifier-head
+      // dispatch — a dotted numeric like 1.5 is a literal, not a ref)
       val v: SetVal =
-        if (peek.contains('.') && !peek.startsWith("'")) {
+        if (peekIsColRef) {
           val r2 = colRef()
           if (is("+") || is("-") || is("*")) {
             val op = next()
@@ -424,6 +452,13 @@ object HashQL {
     private def predAtom(): Pred =
       if (is("(")) { next(); val e = predExpr(); kw(")"); e }
       else if (is("not")) { next(); Not(predAtom()) }
+      else if (is("exists")) {
+        // `exists (select …)`; `not exists (…)` arrives via the branch
+        // above as Not(ExistsSelect)
+        next(); kw("("); kw("select")
+        val sub = selectRest(); kw(")")
+        ExistsSelect(sub)
+      }
       else {
         val ref = colRef()
         if (is("is")) {
@@ -437,7 +472,8 @@ object HashQL {
         // `ref not in/like/between …` — the negation rides the operator
         val negated = is("not") && { next(); true }
         val atom = next() match {
-          case "=" => Eq(ref, literal())
+          // `t.a = u.b` (identifier-headed ref) vs `t.a = <literal>`
+          case "=" => if (peekIsColRef) EqCol(ref, colRef()) else Eq(ref, literal())
           case "<>" => Not(Eq(ref, literal()))
           case "~" => FtsMatch(ref, literal().toString)
           case op @ ("<" | ">" | "<=" | ">=") =>
@@ -512,10 +548,12 @@ object HashQL {
         else if (is("coalesce")) {
           next(); kw("(")
           val r = colRef(); kw(",")
-          // second arg: a column ref (FULL-JOIN key merge) or a literal
-          val v: Any =
-            if (peek.contains('.') && !peek.startsWith("'")) colRef()
-            else literal()
+          // second arg: a column ref (identifier-headed table.column —
+          // the FULL-JOIN key merge) or a literal; dotted numerics like
+          // 1.5 are literals, and bare null gets its own rejection
+          require(!is("null"),
+            "coalesce(…, null) is a no-op — use a typed literal or column default")
+          val v: Any = if (peekIsColRef) colRef() else literal()
           kw(")")
           items += Coalesce2(r, v)
         }
@@ -804,9 +842,15 @@ object HashQL {
     // three-valued: !(null) stays null, so NOT over a null comparison
     // still drops the row — ANSI semantics on both engines
     case Not(p) => !predColumn(cat, p)
-    case _: InSelect => throw new IllegalArgumentException(
-      "in (select …) is supported only as a top-level WHERE conjunct " +
-        "(optionally under a single NOT), not inside OR/parens")
+    // same-frame column equality (EXISTS correlation pairs are peeled
+    // off by existsJoin before this runs; what reaches here compares two
+    // columns of the current frame)
+    case EqCol(a, b) => col(a.column) === col(b.column)
+    case _: InSelect | _: ExistsSelect | _: CmpSelect =>
+      throw new IllegalArgumentException(
+        "subquery predicates (in/exists/scalar compare) are supported only " +
+          "as top-level WHERE conjuncts (optionally under a single NOT), " +
+          "not inside OR/parens")
     case SampleBucket(ref, permille) =>
       graft.llm.Sampling.arithBucket(col(ref.column)) < permille
   }
@@ -1004,6 +1048,10 @@ object HashQL {
           case Not(InSelect(ref, sub)) =>
             val sf = subqueryFrame(cat, sub, registry)
             df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
+          case ExistsSelect(sub) =>
+            df = existsJoin(cat, df, sub, registry, anti = false)
+          case Not(ExistsSelect(sub)) =>
+            df = existsJoin(cat, df, sub, registry, anti = true)
           // scalar subquery: broadcast the 1-row aggregate and compare —
           // at scale this is a scan-side filter against a broadcast value
           case CmpSelect(ref, op, sub) =>
@@ -1077,8 +1125,15 @@ object HashQL {
                 case c: Coalesce2 => Seq(coalAlias(c))
                 case CountStar | _: AggCall => Seq.empty
               }
-              if (items.nonEmpty && items.forall(i =>
-                  i == CountStar || i.isInstanceOf[AggCall]))
+              val isAggItem = (i: SelectItem) =>
+                i == CountStar || i.isInstanceOf[AggCall]
+              // all-aggregate select = global aggregation; a MIX of
+              // aggregates and plain fields without GROUP BY has no SQL
+              // meaning — reject instead of silently dropping the
+              // aggregate (same posture as the window/coalesce guards)
+              require(!items.exists(isAggItem) || items.forall(isAggItem),
+                "aggregates cannot mix with plain fields without GROUP BY")
+              if (items.nonEmpty && items.forall(isAggItem))
                 df.agg(aggColumns.head, aggColumns.tail: _*)
               else {
                 val withWins = wins.foldLeft(df)((d, w) =>
@@ -1131,6 +1186,51 @@ object HashQL {
             if (desc) col(r.column).desc else col(r.column).asc_nulls_last }: _*)
         val skipped = offset.fold(ordered)(ordered.offset)
         limit.fold(skipped)(skipped.limit)
+    }
+  }
+
+  /** Plan `[not] exists (select …)` as a LEFT SEMI/ANTI join. Correlation
+    * rides in the subquery WHERE as `inner.col = outer.col` [[EqCol]]
+    * equalities: every conjunct whose one side references a table outside
+    * the subquery's FROM/JOIN set becomes a join-key pair; the rest stay
+    * subquery-local filters (including fully-local EqCol, which
+    * predColumn handles). Null outer keys never match — EXISTS drops
+    * them, NOT EXISTS keeps them (ANSI). The subquery's projection is
+    * ignored per SQL; grouping/ordering decorations are rejected.
+    * Uncorrelated EXISTS degenerates to a constant gate: probe the
+    * subquery for ONE row (an O(1) LIMIT-1 action) and keep or empty the
+    * outer frame. 100 TB: the semi join broadcasts the typically
+    * dimension-sized subquery side, exactly like [[InSelect]]. */
+  private def existsJoin(cat: GraftCatalog, outer: DataFrame, sub: Select,
+                         registry: Option[JoinRegistry],
+                         anti: Boolean): DataFrame = {
+    require(sub.groupBy.isEmpty && sub.having.isEmpty && sub.orderBy.isEmpty &&
+      sub.limit.isEmpty && !sub.distinct && sub.offset.isEmpty,
+      "exists subquery supports plain select … from … [join …] [where …]")
+    val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
+      .toSet + sub.table
+    // (inner, outer) orientation for a correlation pair, None if local
+    def corrPair(p: Pred): Option[(ColRef, ColRef)] = p match {
+      case EqCol(a, b) if subTables.contains(a.table) != subTables.contains(b.table) =>
+        if (subTables.contains(a.table)) Some((a, b)) else Some((b, a))
+      case _ => None
+    }
+    val (corr, local) = sub.wheres.partition(p => corrPair(p).isDefined)
+    if (corr.isEmpty) {
+      val any = selectFrame(cat, sub.copy(wheres = local), registry)
+        .limit(1).count() > 0
+      if (any != anti) outer else outer.limit(0)
+    } else {
+      val pairs = corr.flatMap(corrPair)
+      // project ONLY the inner correlation keys, under reserved names so
+      // the join condition can never be ambiguous (same trick as
+      // subqueryFrame) even when inner and outer read the same table
+      val inner = selectFrame(cat,
+        sub.copy(items = pairs.map(p => Field(p._1)), wheres = local), registry)
+        .toDF(pairs.indices.map(i => s"graft_ex_$i"): _*)
+      val cond = pairs.zipWithIndex.map { case ((_, o), i) =>
+        outer(o.column) === inner(s"graft_ex_$i") }.reduce(_ && _)
+      outer.join(inner, cond, if (anti) "left_anti" else "left_semi")
     }
   }
 

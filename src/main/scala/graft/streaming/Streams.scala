@@ -1162,27 +1162,40 @@ object Streams {
     * but a dimension row arriving after a fact was appended does NOT
     * retro-fill that fact's nulls (that retraction is the classic outer-
     * join IVM limit). When late dimensions matter, either re-materialize,
-    * or serve reads as `coalesce(view.dimcol, fresh.dimcol)` over a
-    * repair join of the view's null-extended rows against the current
-    * dimension — the repair input is only the null subset, not the view. */
+    * or run [[repairLeftView]] with the SAME (factKey, dimKey) pair —
+    * the join probe there reads only the null subset (the crash-safe
+    * swap still rewrites the full view, like compactStore).
+    *
+    * The join condition is deliberately a (factKey, dimKey) PAIR, not a
+    * free-form Column: [[repairLeftView]] re-derives the same equi-join
+    * from the same pair, so the two passes cannot diverge (a repair
+    * under a different condition would retro-fill rows the original
+    * join never matched — silently wrong data). */
   def maintainJoinLeft(stream: DataFrame, dim: DataFrame,
-                       joinExpr: org.apache.spark.sql.Column,
-                       outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                       factKey: String, dimKey: String,
+                       outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(dim.columns.contains(dimKey), s"dim has no column $dimKey")
+    require(!dim.columns.contains(factKey),
+      s"factKey $factKey collides with a dimension column; fact and dim " +
+        "columns must be distinctly named (the CREATE JOIN convention)")
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.join(broadcast(dim), joinExpr, "left")
+        batch.join(broadcast(dim), batch(factKey) === dim(dimKey), "left")
           .write.mode("append").parquet(outPath)
       }
       .start()
+  }
 
   /** Repair pass for a [[maintainJoinLeft]] view: re-probes ONLY the
     * view's null-extended rows against the CURRENT dimension and rewrites
     * the ones that now match — the periodic-repair answer to the outer-
     * join retraction limit (per-row retraction needs changelog state;
-    * a repair over the null subset needs none, and its input is the null
-    * subset, not the view). Rows still unmatched stay null-extended, so
+    * a repair over the null subset needs none). Cost shape: the JOIN
+    * PROBE scales with the null subset, but the crash-safe swap rewrites
+    * the whole view (matched ∪ repaired) — write I/O is O(view), like
+    * compactStore. Rows still unmatched stay null-extended, so
     * repeated repairs converge as the dimension fills in. Crash-safe via
     * [[graft.sources.Sources.swapDir]] (readers see old or new, never a
     * mix); run between restarts of the maintaining stream, like

@@ -659,4 +659,79 @@ class HashQLSpec extends SparkSpec {
         Set(("x", 3L, 11L), ("y", 2L, 104L)))
     } finally graft.matview.MatView.drop(spark, name)
   }
+
+  test("correlated EXISTS / NOT EXISTS plan as semi/anti joins") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("b", 2), ("c", 3)).foreach { case (n, k) =>
+      HashQL.execute(cat, s"insert into cust (nm, k) values ('$n', $k)") }
+    Seq((1, "open"), (1, "done"), (3, "open")).foreach { case (k, st) =>
+      HashQL.execute(cat, s"insert into ord (ck, st) values ($k, '$st')") }
+    val ex = HashQL.execute(cat,
+      "select cust.nm from cust where exists (select ord.id from ord " +
+        "where ord.ck = cust.k and ord.st = 'open')").get
+    assert(ex.as[String].collect().toSet == Set("a", "c"))
+    val nex = HashQL.execute(cat,
+      "select cust.nm from cust where not exists (select ord.id from ord " +
+        "where ord.ck = cust.k and ord.st = 'open')").get
+    assert(nex.as[String].collect().toSet == Set("b"))
+    // the plan is a join, not a cartesian/filter shape
+    assert(ex.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(nex.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("uncorrelated EXISTS is an all-or-nothing gate") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into g (v) values (1)")
+    HashQL.execute(cat, "insert into probe (x) values (7)")
+    val keep = HashQL.execute(cat,
+      "select g.v from g where exists (select probe.x from probe where probe.x = 7)").get
+    assert(keep.count() == 1)
+    val drop = HashQL.execute(cat,
+      "select g.v from g where exists (select probe.x from probe where probe.x = 8)").get
+    assert(drop.count() == 0)
+  }
+
+  test("EXISTS under OR is rejected with a clear message") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into r (v) values (1)")
+    HashQL.execute(cat, "insert into r2 (v) values (1)")
+    val e = intercept[IllegalArgumentException] {
+      HashQL.execute(cat,
+        "select r.v from r where r.v = 9 or exists (select r2.v from r2 where r2.v = r.v)")
+        .get.collect()
+    }
+    assert(e.getMessage.contains("top-level WHERE conjunct"))
+  }
+
+  test("column-to-column equality filters the same frame") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into pair (a, b) values (1, 1), (2, 3)")
+    val got = HashQL.execute(cat,
+      "select pair.a from pair where pair.a = pair.b").get
+    assert(got.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("coalesce(…, null) and ungrouped agg+field mixes are rejected") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into mx (g, v) values ('a', 1)")
+    val e1 = intercept[IllegalArgumentException] {
+      HashQL.execute(cat, "select coalesce(mx.v, null) from mx")
+    }
+    assert(e1.getMessage.contains("coalesce"))
+    val e2 = intercept[IllegalArgumentException] {
+      HashQL.execute(cat, "select mx.g, count(mx.v) from mx").get.collect()
+    }
+    assert(e2.getMessage.contains("without GROUP BY"))
+  }
+
+  test("all-null INSERT row pins to an id-only row (omit ≡ null)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into z (a, b) values (null, null)")
+    val rows = cat.table("z").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("id") == 1L)
+    // every value null ⇒ every field omitted ⇒ the row carries only its
+    // synthesized id (the dynamic-schema model's omit-equals-null corner)
+    assert(cat.table("z").columns.toSet == Set("id"))
+  }
 }

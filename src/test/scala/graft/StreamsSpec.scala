@@ -130,7 +130,7 @@ class StreamsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Double)]
     val stream = mem.toDF().toDF("cust_id", "amount")
     val q = Streams.maintainJoinLeft(stream, dim,
-      stream("cust_id") === dim("c_id"), out, ckpt)
+      "cust_id", "c_id", out, ckpt)
     try {
       mem.addData((1L, 10.0), (2L, 20.0))
       q.processAllAvailable()
