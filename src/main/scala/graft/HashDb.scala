@@ -96,7 +96,8 @@ final class HashDb(val spark: SparkSession) {
           mergesSinceCheckpoint = 0
         }
         None
-      case _: Cypher.Match => Some(graph.query(statement))
+      case _: Cypher.Match | _: Cypher.With | _: Cypher.ShortestPathStmt =>
+        Some(graph.query(statement))
     }
   def graphState: PropertyGraph = graph
 }

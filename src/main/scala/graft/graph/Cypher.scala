@@ -10,6 +10,11 @@ package graft.graph
   *   stmt    := MATCH chains (OPTIONAL MATCH chains)*
   *                [WHERE wexpr] RETURN ret (, ret)*
   *                [ORDER BY ret [ASC|DESC] (, ...)*] [LIMIT n]
+  *            |  MATCH chains [WHERE wexpr] WITH witem (, witem)*
+  *                [WHERE bexpr] (MATCH segment… | RETURN ret (, ret)*)
+  *              // WITH pipeline (growth): witem := ret [AS ident]; the
+  *              // post-WITH bexpr compares BARE output names (the graph
+  *              // HAVING); segments chain — see the With scaladoc.
   *            |  MATCH chains [WHERE ...] DETACH DELETE var (, var)*
   *            |  MATCH chains [WHERE ...] SET var.attr = 'v' (, ...)*
   *              // OPTIONAL MATCH / DETACH DELETE / SET (growth — the
@@ -107,8 +112,11 @@ object Cypher {
     * rule): non-numeric or missing attrs drop from the aggregate as
     * NULLs rather than throwing mid-scan. */
   final case class RetAgg(fn: String, arg: Option[Ret]) extends RetItem {
-    require(fn == "count" || arg.exists(_.attr.isDefined),
-      s"$fn needs a var.attr argument")
+    // in a PATTERN return, sum/avg/min/max additionally need a var.attr
+    // argument (a bare node identity is a string) — validated in
+    // evalMatch, because in a WITH pipeline segment the same bare form
+    // legitimately addresses a numeric piped column (`sum(n)`)
+    require(fn == "count" || arg.isDefined, s"$fn needs an argument")
     require(arg.forall(!_.attr.contains("*")),
       "cannot aggregate a properties(...) map")
   }
@@ -126,7 +134,9 @@ object Cypher {
   /** WHERE comparison leaf: `variable.attr op value`. `value` is Long
     * for a numeric literal (numeric comparison — the attr casts to long,
     * HashQL's coercion rule) or String for a quoted one; `attr` "name" on
-    * a node variable addresses the identity itself. */
+    * a node variable addresses the identity itself. attr == "" marks a
+    * BARE output-column reference — constructed only by the post-WITH
+    * WHERE parser, where WITH has narrowed scope to its output names. */
   final case class Where(variable: String, attr: String, op: String,
                          value: Any) extends WExpr
 
@@ -183,6 +193,26 @@ object Cypher {
       "shortestPath takes a single (a)-[...]-(b) pattern")
     require(chain.rels.head.dir != In,
       "shortestPath: <- direction unsupported — flip the pattern")
+  }
+  /** `MATCH … [WHERE …] WITH item (, item)* [WHERE …] (MATCH … | RETURN …)`
+    * — the WITH pipeline (growth; neither the reference grammar nor round-6's
+    * dialect had multi-stage queries). Each WITH closes one pattern stage:
+    * its items (plain vars / var.attr / aggregates, optionally `AS`-aliased)
+    * become the ONLY names in scope downstream — Neo4j's scoping rule. A
+    * WHERE after WITH filters those output columns (the graph HAVING:
+    * `WITH n, count(*) AS c WHERE c > 2`); its comparison leaves are BARE
+    * output names ([[Where]] with attr == "", constructed only here) — to
+    * filter on `n.attr` downstream, project it in the WITH first. `next` is
+    * the rest of the pipeline: another MATCH segment (whose patterns re-bind
+    * shared WITH variables — possibly itself ending in WITH, so stages
+    * chain), or a bare RETURN (a [[Match]] with EMPTY chains — valid only
+    * as a pipeline tail, projecting the piped frame). */
+  final case class With(chains: Seq[Chain], optional: Seq[Chain],
+                        wheres: Seq[WExpr],
+                        items: Seq[(RetItem, Option[String])],
+                        postWheres: Seq[WExpr],
+                        next: Stmt) extends Stmt {
+    require(items.nonEmpty, "WITH needs at least one item")
   }
 
   def parse(input: String): Stmt = {
@@ -260,7 +290,21 @@ object Cypher {
         val spRets = scala.collection.mutable.ArrayBuffer(spItem())
         while (tryEat(',')) spRets += spItem()
         ShortestPathStmt(pv, c, spRets.toSeq)
-      case "match" =>
+      case "match" => matchRest()
+      case "merge" => Merge(chains().head)
+      case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
+    }
+
+    /** top-level ANDs flatten into the statement's conjunct list;
+      * OR/NOT/parens stay as trees inside an element */
+    private def topConjuncts(e: WExpr): Seq[WExpr] = e match {
+      case WAnd(l, r) => topConjuncts(l) ++ topConjuncts(r)
+      case x => Seq(x)
+    }
+
+    /** Everything after a consumed MATCH keyword (pattern form) — also the
+      * recursive entry for pipeline segments after WITH. */
+    private def matchRest(): Stmt = {
         val cs = chains()
         // OPTIONAL MATCH groups (growth): each adds chains to the
         // left-joined optional pattern
@@ -272,35 +316,40 @@ object Cypher {
         var k = keyword()
         val conds = scala.collection.mutable.ArrayBuffer.empty[WExpr]
         if (k == "where") {
-          // top-level ANDs flatten into the statement's conjunct list;
-          // OR/NOT/parens stay as trees inside an element
-          def topConjuncts(e: WExpr): Seq[WExpr] = e match {
-            case WAnd(l, r) => topConjuncts(l) ++ topConjuncts(r)
-            case x => Seq(x)
-          }
-          conds ++= topConjuncts(whereExpr())
+          conds ++= topConjuncts(whereExpr(patternLeaf))
           k = keyword()
         }
         k match {
-          case "return" =>
-            val rets = scala.collection.mutable.ArrayBuffer(retItem())
-            while (tryEat(',')) rets += retItem()
-            val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]
-            if (tryKeyword("order")) {
-              require(keyword() == "by", "expected BY after ORDER")
-              var m = true
-              while (m) {
-                val r = retItem()
-                require(!PartialFunction.cond(r) {
-                  case Ret(_, Some("*")) => true },
-                  "cannot ORDER BY a properties(...) map")
-                val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
-                obs += ((r, desc))
-                m = tryEat(',')
-              }
+          case "return" => returnTail(cs, conds.toSeq, opt.toSeq)
+          case "with" =>
+            // WITH pipeline (growth): items close this stage; an optional
+            // WHERE filters the stage's OUTPUT columns by bare name (the
+            // graph HAVING); the tail is another MATCH segment or a bare
+            // RETURN over the piped frame.
+            val items = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Option[String])]
+            var m = true
+            while (m) {
+              val it = retItem()
+              val alias = if (tryKeyword("as")) Some(ident()) else None
+              require(!PartialFunction.cond(it) {
+                case Ret(_, Some("*")) => true },
+                "WITH cannot pipe a properties(...) map — project attrs instead")
+              items += ((it, alias))
+              m = tryEat(',')
             }
-            val lim = if (tryKeyword("limit")) Some(int()) else None
-            Match(cs, rets.toSeq, conds.toSeq, obs.toSeq, lim, opt.toSeq)
+            val post =
+              if (tryKeyword("where")) topConjuncts(whereExpr(bareLeaf)) else Nil
+            val tail = keyword() match {
+              case "match" => matchRest() match {
+                case t @ (_: Match | _: With) => t
+                case _ => throw new IllegalArgumentException(
+                  "a pipeline MATCH segment must end in WITH or RETURN")
+              }
+              case "return" => returnTail(Nil, Nil, Nil) // bare RETURN tail
+              case o => throw new IllegalArgumentException(
+                s"expected MATCH or RETURN after WITH, got: $o")
+            }
+            With(cs, opt.toSeq, conds.toSeq, items.toSeq, post, tail)
           case "detach" =>
             require(opt.isEmpty, "DETACH DELETE cannot follow OPTIONAL MATCH")
             require(keyword() == "delete", "expected DELETE after DETACH")
@@ -318,36 +367,73 @@ object Cypher {
             }
             SetAttrs(cs, conds.toSeq, sets.toSeq)
           case other => throw new IllegalArgumentException(
-            s"expected RETURN, DETACH DELETE, or SET, got: $other")
+            s"expected RETURN, WITH, DETACH DELETE, or SET, got: $other")
         }
-      case "merge" => Merge(chains().head)
-      case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
+    }
+
+    /** RETURN list + ORDER BY/LIMIT → a [[Match]]; shared by the plain
+      * statement form and the pipeline tail (where `cs` is empty). */
+    private def returnTail(cs: Seq[Chain], conds: Seq[WExpr],
+                           opt: Seq[Chain]): Match = {
+            val rets = scala.collection.mutable.ArrayBuffer(retItem())
+            while (tryEat(',')) rets += retItem()
+            val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]
+            if (tryKeyword("order")) {
+              require(keyword() == "by", "expected BY after ORDER")
+              var m = true
+              while (m) {
+                val r = retItem()
+                require(!PartialFunction.cond(r) {
+                  case Ret(_, Some("*")) => true },
+                  "cannot ORDER BY a properties(...) map")
+                val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
+                obs += ((r, desc))
+                m = tryEat(',')
+              }
+            }
+            val lim = if (tryKeyword("limit")) Some(int()) else None
+            Match(cs, rets.toSeq, conds, obs.toSeq, lim, opt)
     }
 
     /** WHERE grammar, standard precedence: expr := conj (OR conj)*;
       * conj := atom (AND atom)*; atom := '(' expr ')' | NOT atom | leaf.
       * `tryKeyword` consumes whole identifiers, so OR never swallows the
-      * start of ORDER. */
-    private def whereExpr(): WExpr = {
-      var e = whereConj()
-      while (tryKeyword("or")) e = WOr(e, whereConj())
+      * start of ORDER. The leaf parser is a parameter: pattern WHEREs
+      * compare `var.attr`; post-WITH WHEREs compare bare output names. */
+    private def whereExpr(leaf: () => WExpr): WExpr = {
+      var e = whereConj(leaf)
+      while (tryKeyword("or")) e = WOr(e, whereConj(leaf))
       e
     }
-    private def whereConj(): WExpr = {
-      var e = whereAtom()
-      while (tryKeyword("and")) e = WAnd(e, whereAtom())
+    private def whereConj(leaf: () => WExpr): WExpr = {
+      var e = whereAtom(leaf)
+      while (tryKeyword("and")) e = WAnd(e, whereAtom(leaf))
       e
     }
-    private def whereAtom(): WExpr = {
+    private def whereAtom(leaf: () => WExpr): WExpr = {
       ws()
-      if (tryEat('(')) { val e = whereExpr(); eat(')'); e }
-      else if (tryKeyword("not")) WNot(whereAtom())
-      else {
-        val v = ident(); eat('.'); val a = ident()
-        Where(v, a, operator(), { ws()
-          if (peek == '\'') quoted() else int().toLong })
-      }
+      if (tryEat('(')) { val e = whereExpr(leaf); eat(')'); e }
+      else if (tryKeyword("not")) WNot(whereAtom(leaf))
+      else leaf()
     }
+    /** pattern-WHERE leaf: `var.attr op value` */
+    private val patternLeaf: () => WExpr = () => {
+      val v = ident(); eat('.'); val a = ident()
+      Where(v, a, operator(), cmpValue())
+    }
+    /** post-WITH leaf: `name op value` — WITH narrows scope to its output
+      * columns, so the reference is a BARE name (attr == "" marks it);
+      * a dotted ref here gets a targeted error instead of a parse death. */
+    private val bareLeaf: () => WExpr = () => {
+      val v = ident()
+      ws()
+      require(peek != '.',
+        s"WHERE after WITH references output columns by bare name ('$v'); " +
+          "project the attribute in the WITH items first")
+      Where(v, "", operator(), cmpValue())
+    }
+    private def cmpValue(): Any = { ws()
+      if (peek == '\'') quoted() else int().toLong }
 
     /** WHERE comparison operator; `<>` dies with a clear unsupported-op
       * error (same courtesy as HashQL's lexer) rather than mis-parsing. */

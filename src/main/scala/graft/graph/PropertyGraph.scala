@@ -486,8 +486,148 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * distinct dedups any self-loop double-match). */
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
     case m: Cypher.Match => evalMatch(m)
+    case w: Cypher.With => evalWith(w)
     case sp: Cypher.ShortestPathStmt => evalShortestPath(sp)
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
+  }
+
+  /** WITH pipeline (growth — Cypher's multi-stage idiom, e.g.
+    * `MATCH … WITH n, count(*) AS c WHERE c > 2 MATCH … RETURN …`).
+    * Each stage compiles like a RETURN — the same pattern binder and
+    * implicit-grouping aggregation [[evalMatch]] has — then its output
+    * frame PIPES into the next segment: the segment binds its own join
+    * tree and equi-joins the piped frame on the WITH variables its
+    * patterns re-bind (shared names — the same variable-merge rule
+    * chains already use). A WHERE between WITH and the next keyword
+    * filters the stage's output columns — the graph HAVING. Scoping is
+    * Neo4j's: WITH narrows the namespace to its items; downstream
+    * references to anything else are rejected (project `n.attr` in the
+    * WITH to use it later).
+    *
+    * 100 TB shape: a stage's aggregate output is group-sized — the
+    * pipe join is a summary ⋈ pattern equi-join Catalyst plans like any
+    * dimension join (broadcast when small), and stage frames are plain
+    * DataFrames, so AQE sizes the exchanges per stage. Aggregation
+    * ranges over DISTINCT bindings, as [[evalMatch]] documents. */
+  private def evalWith(w: Cypher.With): DataFrame = {
+    val stage = evalMatch(
+      Cypher.Match(w.chains, w.items.map(_._1), w.wheres, Nil, None, w.optional))
+    pipeFrom(stage, w.items, w.postWheres, w.next)
+  }
+
+  /** Rename a stage's output to its AS aliases, apply the post-WITH
+    * WHERE, and evaluate the pipeline tail over the piped frame. */
+  private def pipeFrom(stage: DataFrame,
+                       items: Seq[(Cypher.RetItem, Option[String])],
+                       postWheres: Seq[Cypher.WExpr],
+                       next: Cypher.Stmt): DataFrame = {
+    val names = items.map { case (it, al) => al.getOrElse(outName(it)) }
+    require(names.distinct.size == names.size,
+      s"duplicate WITH output names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    var piped = stage.toDF(names: _*)
+    // post-WITH WHERE: bare output columns only (attr == "" leaves, the
+    // only kind the post-WITH parser builds); numeric literals compare
+    // via try_cast-to-long, same coercion as pattern WHEREs
+    def pCol(e: Cypher.WExpr): Column = e match {
+      case Cypher.Where(v, "", op, value) =>
+        require(names.contains(v),
+          s"WHERE after WITH references '$v' — in scope: ${names.mkString(", ")}")
+        val c = value match {
+          case _: Long => col(v).try_cast("long"); case _ => col(v) }
+        graft.core.Compare.cmp(c, op, value)
+      case Cypher.WAnd(l, r) => pCol(l) && pCol(r)
+      case Cypher.WOr(l, r) => pCol(l) || pCol(r)
+      case Cypher.WNot(x) => !pCol(x)
+      case other => throw new IllegalArgumentException(
+        s"unsupported post-WITH predicate: $other")
+    }
+    postWheres.foreach(e => piped = piped.filter(pCol(e)))
+    next match {
+      case w2: Cypher.With =>
+        val seg = pipeSegment(piped, names,
+          w2.chains, w2.optional, w2.wheres, w2.items.map(_._1))
+        pipeFrom(seg, w2.items, w2.postWheres, w2.next)
+      case m: Cypher.Match =>
+        val seg = pipeSegment(piped, names,
+          m.chains, m.optional, m.wheres, m.returns)
+        // ORDER BY / LIMIT over the final output columns, same contract
+        // and nulls-last pinning as the plain RETURN path
+        val retNames = m.returns.map(outName).toSet
+        m.orderBy.foreach { case (r, _) =>
+          require(retNames.contains(outName(r)),
+            s"ORDER BY item ${outName(r)} must appear in RETURN") }
+        val ordered =
+          if (m.orderBy.isEmpty) seg
+          else seg.orderBy(m.orderBy.map { case (r, desc) =>
+            if (desc) col(outName(r)).desc
+            else col(outName(r)).asc_nulls_last }: _*)
+        m.limit.fold(ordered)(ordered.limit)
+      case other => throw new IllegalArgumentException(
+        s"unsupported pipeline tail: $other")
+    }
+  }
+
+  /** One pipeline segment: bind its patterns (if any) via [[evalMatch]],
+    * equi-join the piped frame on the WITH variables the patterns
+    * re-bind, then project/aggregate the requested items over the joined
+    * bindings. Output columns are named by [[outName]], in item order. */
+  private def pipeSegment(piped: DataFrame, pipedNames: Seq[String],
+                          chains: Seq[Cypher.Chain], optional: Seq[Cypher.Chain],
+                          wheres: Seq[Cypher.WExpr],
+                          items: Seq[Cypher.RetItem]): DataFrame = {
+    val aggs = items.collect { case a: Cypher.RetAgg => a }
+    val plains = items.collect { case r: Cypher.Ret => r }
+    require(!plains.exists(_.attr.contains("*")),
+      "properties(...) is not available in a pipeline segment — " +
+        "return it from a single-stage MATCH")
+    val segBound: Set[String] = (chains ++ optional)
+      .flatMap(c => c.nodes.flatMap(_.variable) ++ c.rels.flatMap(_.variable))
+      .toSet
+    def pipedOnly(r: Cypher.Ret): Boolean = !segBound(r.variable)
+    val refs = plains ++ aggs.flatMap(_.arg)
+    refs.filter(pipedOnly).foreach { r =>
+      require(r.attr.isEmpty && pipedNames.contains(r.variable),
+        s"'${outName(r)}' is neither a WITH output (${pipedNames.mkString(", ")}) " +
+          "nor bound by this segment's MATCH — project it in the WITH first")
+    }
+    val joined =
+      if (chains.isEmpty) piped // bare RETURN tail
+      else {
+        val shared = pipedNames.filter(segBound)
+        require(shared.nonEmpty,
+          "a pipeline MATCH segment must re-bind at least one WITH variable")
+        val segItems = (refs.filterNot(pipedOnly) ++
+          shared.map(v => Cypher.Ret(v, None))).distinct
+        val bound = evalMatch(
+          Cypher.Match(chains, segItems, wheres, Nil, None, optional))
+        // segment bindings are a distinct set, the piped frame is a
+        // stage output (also a set) — the equi-join on the shared WITH
+        // variables is the pipe
+        piped.join(bound, shared)
+      }
+    if (aggs.isEmpty)
+      joined.select(items.map(i => col(outName(i))): _*).distinct()
+    else {
+      val aggCols = aggs.map { a =>
+        (a match {
+          case Cypher.RetAgg("count", None) => count(lit(1))
+          case Cypher.RetAgg("count", Some(r)) => count(col(outName(r)))
+          case Cypher.RetAgg(fn, Some(r)) =>
+            val c = col(outName(r)).try_cast("long")
+            fn match {
+              case "sum" => sum(c); case "avg" => avg(c)
+              case "min" => min(c); case "max" => max(c)
+            }
+          case Cypher.RetAgg(fn, None) =>
+            throw new IllegalArgumentException(s"$fn needs an argument")
+        }).as(outName(a))
+      }
+      val grouped =
+        if (plains.isEmpty) joined.agg(aggCols.head, aggCols.tail: _*)
+        else joined.groupBy(plains.map(r => col(outName(r))): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      grouped.select(items.map(i => col(outName(i))): _*)
+    }
   }
 
   /** `MATCH p = shortestPath((a)-[:R*m..n]->(b)) RETURN …`: BFS layers
@@ -577,6 +717,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       s"not a mutating statement: $cypher")
   }
 
+  /** output-column naming, shared by the projection branches, the
+    * aggregation aliases, ORDER BY targeting, and the WITH pipeline's
+    * default stage names: var, var_attr, cnt for count(*),
+    * fn_var[_attr] for the other aggregates. */
+  private def outName(r: Cypher.RetItem): String = r match {
+    case Cypher.Ret(v, None) => v
+    case Cypher.Ret(v, Some(a)) => s"${v}_$a"
+    case Cypher.RetAgg("count", None) => "cnt"
+    case Cypher.RetAgg(fn, Some(arg)) => s"${fn}_${outName(arg)}"
+    case Cypher.RetAgg(fn, None) => fn // unreachable (RetAgg requires)
+  }
+
   private def evalMatch(stmt: Cypher.Match): DataFrame = stmt match {
     case Cypher.Match(chains, returns, wheres, orderBy, limitN, optChains) =>
       var anon = 0
@@ -610,6 +762,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         s"edge variable collides with a node variable: ${relVarSeq.filter(nodeVarSet).mkString(", ")}")
       val edgeVars = relVarSeq.toSet
       val aggItems = returns.collect { case a: Cypher.RetAgg => a }
+      // numeric aggregates over a bare node identity (a string) are a
+      // type error in a pattern RETURN; the bare form is only meaningful
+      // over a piped WITH column (pipeSegment's aggregation, not here)
+      aggItems.foreach { a =>
+        require(a.fn == "count" || a.arg.exists(_.attr.isDefined),
+          s"${a.fn} needs a var.attr argument") }
       val plainRets = returns.collect { case r: Cypher.Ret => r }
       (plainRets ++ aggItems.flatMap(_.arg)).foreach {
         case Cypher.Ret(v, None) if edgeVars(v) =>
@@ -780,16 +938,6 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         case Cypher.WNot(x) => !whereColumn(x)
       }
       wheres.foreach(w => out = out.filter(whereColumn(w)))
-      // output-column naming, shared by the projection branches, the
-      // aggregation aliases, and the ORDER BY targeting: var, var_attr,
-      // cnt for count(*), fn_var[_attr] for the other aggregates.
-      def outName(r: Cypher.RetItem): String = r match {
-        case Cypher.Ret(v, None) => v
-        case Cypher.Ret(v, Some(a)) => s"${v}_$a"
-        case Cypher.RetAgg("count", None) => "cnt"
-        case Cypher.RetAgg(fn, Some(arg)) => s"${fn}_${outName(arg)}"
-        case Cypher.RetAgg(fn, None) => fn // unreachable (RetAgg requires)
-      }
       val nodeMapVars = plainRets.collect {
         case Cypher.Ret(v, Some("*")) if !edgeVars(v) => v }.distinct
       val projected = if (aggItems.nonEmpty) {

@@ -210,6 +210,38 @@ object GraphSuite extends Suite {
     // TakeOrderedAndProject (per-partition top-k + driver merge, no global
     // sort — CypherSpec plan assertion). Tie-broken on the unique c_name
     // so the kept set is deterministic and hash-checkable.
+    // WITH pipeline (round-7 growth — Cypher's multi-stage idiom, absent
+    // from the reference grammar): stage 1 counts customers per nation
+    // (implicit grouping over distinct bindings), the post-WITH WHERE is
+    // the graph HAVING, stage 2 re-binds n and hops to its region. The
+    // pipe is a summary ⋈ pattern equi-join — group-sized left side, so
+    // at scale Catalyst broadcasts it like any dimension.
+    "cypher_with" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) with n, count(*) as nc " +
+          "where nc > 60 match (n)-[:IN]->(r:Region) return n.n_name, nc, r"),
+      Some("""WITH agg AS (
+             |  SELECT 'nation:' || n_name AS n, count(*) AS nc
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1)
+             |SELECT DISTINCT n_name AS n_n_name, nc, 'region:' || r_name AS r
+             |FROM agg JOIN nation ON agg.n = 'nation:' || n_name
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE nc > 60""".stripMargin)),
+
+    // chained WITH stages: per-nation counts re-aggregated per region —
+    // sum over a bare piped column (`sum(nc)`), the rollup shape.
+    "cypher_with_chain" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) with n, count(*) as nc " +
+          "match (n)-[:IN]->(r:Region) with r, sum(nc) as customers " +
+          "return r, customers"),
+      Some("""SELECT 'region:' || r_name AS r,
+             |  CAST(count(*) AS BIGINT) AS customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1""".stripMargin)),
+
     "cypher_topk" -> Q(
       (s, d) => g(s, d).query(
         "match (c:Customer)-[:IN]->(n:Nation) " +

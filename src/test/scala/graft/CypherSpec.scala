@@ -254,9 +254,11 @@ class CypherSpec extends SparkSpec {
     val Cypher.Match(_, r2, _, _, _, _) = Cypher.parse(
       "match (count:C) return count"): @unchecked
     assert(r2 == Seq(Cypher.Ret("count", None)))
-    // sum without a var.attr argument dies at parse
+    // sum over a bare node identity (a string) dies when planned as a
+    // pattern RETURN — the bare form is reserved for piped WITH columns,
+    // so the check moved from the parser to evalMatch
     intercept[IllegalArgumentException](
-      Cypher.parse("match (a) return sum(a)"))
+      PropertyGraph.empty(spark).query("match (a) return sum(a)"))
     intercept[IllegalArgumentException](
       Cypher.parse("match (a) return count(properties(a))"))
 
@@ -465,5 +467,85 @@ class CypherSpec extends SparkSpec {
       "match p = shortestPath((s:N {name: 'a'})<-[:R*1..2]-(b)) return b"))
     intercept[IllegalArgumentException](g.query(
       "match p = shortestPath((s:N {name: 'a'})-[:R*1..2]->(b)) return length(q)"))
+  }
+
+  test("WITH pipeline: parser goldens") {
+    val q = "match (c:Customer)-[:IN]->(n:Nation) " +
+      "with n, count(*) as nc where nc > 2 " +
+      "match (n)-[:IN]->(r:Region) return n.name, nc, r order by nc desc limit 5"
+    val w = Cypher.parse(q).asInstanceOf[Cypher.With]
+    assert(w.items == Seq(
+      (Cypher.Ret("n", None), None),
+      (Cypher.RetAgg("count", None), Some("nc"))))
+    // post-WITH WHERE leaves are BARE output names (attr == "")
+    assert(w.postWheres == Seq(Cypher.Where("nc", "", ">", 2L)))
+    val tail = w.next.asInstanceOf[Cypher.Match]
+    assert(tail.chains.size == 1 && tail.returns.size == 3)
+    assert(tail.orderBy == Seq((Cypher.RetAgg("count", None), true)) ||
+      tail.orderBy == Seq((Cypher.Ret("nc", None), true)))
+    assert(tail.limit.contains(5))
+    // bare RETURN tail: a Match with EMPTY chains
+    val w2 = Cypher.parse(
+      "match (a:P)-[:R]->(b) with b, count(*) as k return b, k")
+      .asInstanceOf[Cypher.With]
+    assert(w2.next.asInstanceOf[Cypher.Match].chains.isEmpty)
+    // chained stages nest With inside With
+    val w3 = Cypher.parse(
+      "match (a:P)-[:R]->(b) with b match (b)-[:S]->(d) with d return d")
+      .asInstanceOf[Cypher.With]
+    assert(w3.next.isInstanceOf[Cypher.With])
+    // dotted post-WITH refs get the targeted scoping error
+    val e = intercept[IllegalArgumentException](Cypher.parse(
+      "match (a:P)-[:R]->(b) with b where b.x > 1 return b"))
+    assert(e.getMessage.contains("bare name"))
+    // a WITH must be followed by MATCH or RETURN
+    intercept[IllegalArgumentException](Cypher.parse(
+      "match (a:P)-[:R]->(b) with b detach delete b"))
+    // properties() cannot pipe
+    intercept[IllegalArgumentException](Cypher.parse(
+      "match (a:P)-[:R]->(b) with properties(b) return b"))
+  }
+
+  test("WITH pipeline: aggregate stage, HAVING filter, second hop") {
+    var g = PropertyGraph.empty(spark)
+    Seq("Ann" -> "Paris", "Bob" -> "Paris", "Cy" -> "Paris", "Dee" -> "Oslo")
+      .foreach { case (p, c) =>
+        g = g.merge(s"merge (p:Person {'name': '$p'})-[:LIVES]->(c:City {'name': '$c'})") }
+    g = g.merge("merge (c:City {'name': 'Paris'})-[:IN]->(k:Country {'name': 'FR'})")
+    g = g.merge("merge (c:City {'name': 'Oslo'})-[:IN]->(k:Country {'name': 'NO'})")
+    // count per city, keep cities with > 2 residents, hop to country
+    val got = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n where n > 2 " +
+        "match (c)-[:IN]->(k:Country) return c.name, n, k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("Paris", 3L, "FR")), got.toString)
+    // chained WITH stages: per-city counts re-aggregated per country
+    val chained = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "match (c)-[:IN]->(k:Country) with k, sum(n) as total " +
+        "return k, total order by total desc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(chained == Seq("FR" -> 3L, "NO" -> 1L), chained.toString)
+    // bare RETURN tail serves the filtered stage directly
+    val bare = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n where n > 2 " +
+        "return c, n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(bare == Set("Paris" -> 3L))
+    // WITH narrows scope: p is gone downstream
+    val e1 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c " +
+        "match (c)-[:IN]->(k:Country) return p, k"))
+    assert(e1.getMessage.contains("WITH"), e1.getMessage)
+    // post-WITH WHERE is scoped to the WITH outputs
+    val e2 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n where m > 1 " +
+        "return c, n"))
+    assert(e2.getMessage.contains("in scope"), e2.getMessage)
+    // a pipeline segment must re-bind a WITH variable (no implicit cross)
+    val e3 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "match (x:Country)-[:IN]->(y) return x, n"))
+    assert(e3.getMessage.contains("re-bind"), e3.getMessage)
   }
 }
