@@ -360,13 +360,29 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * (u, v, support) for each surviving oriented edge (u < v), support =
     * its triangle count inside the truss; empty when no k-truss exists.
     *
-    * Each round recounts per-edge support with [[triangleCounts]]'s
-    * oriented-wedge construction (wedge on the lowest endpoint, close
-    * against the edge list — three equi-join shuffles, fan-out capped by
-    * the smallest endpoint's degree) and drops edges below k−2. The edge
-    * set only shrinks, so count equality is set equality and the final
-    * round's supports are measured against the truss itself; same
-    * driver-loop/persist/cap discipline as [[kCore]]. */
+    * Adaptive support-decrement peel (round-7 rewrite; the round-6
+    * version re-ran the FULL wedge join every round): the oriented-wedge
+    * triangle count runs once up front; then each round drops edges
+    * below k−2 and picks the cheaper of two support updates, decided by
+    * the MEASURED removal fraction (both counts are already on the
+    * driver):
+    *  - mass peel (removals > 1/8 of the edges — the typical first
+    *    round, where every triangle-free edge goes at once): recount
+    *    support with a full wedge join over the SURVIVOR graph, which
+    *    just shrank by that large fraction;
+    *  - trickle peel (the long tail of rounds): enumerate only the
+    *    triangles INCIDENT to the dropped set — the dropped edge can sit
+    *    at any of a canonical triangle's three positions, so three
+    *    dropped ⋈ edge-list joins (dropped side explicitly broadcast —
+    *    its size is known), deduped on (u,x,y) because a triangle may
+    *    lose 2-3 edges in one round but is destroyed once — and
+    *    decrement each destroyed triangle's surviving edges by 1; cost
+    *    tracks |removed|·degree, not |edges|·degree.
+    * By induction the support column always equals the triangle count
+    * within the current subgraph, so both arms converge to the same
+    * fixpoint as full recounting. Same driver-loop (counters only) /
+    * persist-with-lineage / cap discipline as [[kCore]], with the cap
+    * exit returning the still-converging superset. */
   def kTruss(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
@@ -378,39 +394,86 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var cur = e0.persist(storage)
-    var curN = cur.count()
-    var last: DataFrame = null
-    var rounds = 0
-    var changed = true
-    while (changed && rounds < maxRounds) {
-      rounds += 1
-      val wedges = cur.select(col("u"), col("v").as("x"))
-        .join(cur.select(col("u"), col("v").as("y")), Seq("u"))
+    // full oriented-wedge support count. The join back to `e` is INNER:
+    // a zero-support edge belongs to no triangle, so dropping it right
+    // here destroys nothing and owes no decrements — materializing it
+    // only to peel it next round (as a left-join-with-0 would) wastes a
+    // whole round; no k≥3 truss can contain it
+    def fullSupport(e: DataFrame): DataFrame = {
+      val sup = e.select(col("u"), col("v").as("x"))
+        .join(e.select(col("u"), col("v").as("y")), Seq("u"))
         .filter(col("x") < col("y"))
-      val tris = wedges.join(
-        cur.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-      val sup = tris.select(
-          explode(array(
+        .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .select(explode(array(
             struct(col("u").as("a"), col("x").as("b")),
             struct(col("u").as("a"), col("y").as("b")),
             struct(col("x").as("a"), col("y").as("b")))).as("e"))
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= k - 2)
-      val next = cur
-        .join(sup, col("u") === col("a") && col("v") === col("b"))
+      e.join(sup, col("u") === col("a") && col("v") === col("b"))
         .select(col("u"), col("v"), col("support"))
-        .persist(storage)
-      val nextN = next.count()
-      changed = nextN != curN
-      cur.unpersist()
-      if (last != null) last.unpersist()
-      last = next
-      cur = next.select(col("u"), col("v"))
-      curN = nextN
     }
-    last
+    var cur = fullSupport(e0).persist(storage)
+    var curN = cur.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val removed = cur.filter(col("support") < k - 2)
+        .select(col("u"), col("v")).persist(storage)
+      val nR = removed.count()
+      if (nR == 0) { done = true; removed.unpersist() }
+      else {
+        val survivors = cur.filter(col("support") >= k - 2)
+        val next = (if (nR * 8L > curN) {
+          // mass peel: the survivor graph just shrank by >1/8 — a full
+          // recount over it beats removal-incident joins whose probe
+          // side would be most of the old graph
+          fullSupport(survivors.select(col("u"), col("v")))
+        } else {
+          // trickle peel: touch only triangles incident to the dropped
+          // set; nR is known-small here, so the three position joins
+          // stay map-side under an explicit broadcast
+          val rem = broadcast(removed)
+          def as2(df: DataFrame, a: String, b: String): DataFrame =
+            df.select(col("u").as(a), col("v").as(b))
+          val allE = cur.select(col("u"), col("v"))
+          // destroyed triangles (u < x < y): the removed edge at each of
+          // the three canonical positions — (u,x), (u,y), (x,y)
+          val t1 = as2(rem, "u", "x")
+            .join(as2(allE, "u", "y"), Seq("u")).filter(col("x") < col("y"))
+            .join(as2(allE, "x", "y"), Seq("x", "y"))
+          val t2 = as2(rem, "u", "y")
+            .join(as2(allE, "u", "x"), Seq("u")).filter(col("x") < col("y"))
+            .join(as2(allE, "x", "y"), Seq("x", "y"))
+          val t3 = as2(rem, "x", "y")
+            .join(as2(allE, "u", "x"), Seq("x"))
+            .join(as2(allE, "u", "y"), Seq("u", "y"))
+          val destroyed = t1.select(col("u"), col("x"), col("y"))
+            .unionByName(t2.select(col("u"), col("x"), col("y")))
+            .unionByName(t3.select(col("u"), col("x"), col("y")))
+            .distinct()
+          val dec = destroyed.select(explode(array(
+              struct(col("u").as("a"), col("x").as("b")),
+              struct(col("u").as("a"), col("y").as("b")),
+              struct(col("x").as("a"), col("y").as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .join(as2(rem, "a", "b"), Seq("a", "b"), "left_anti")
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
+          survivors
+            .join(dec, col("u") === col("a") && col("v") === col("b"), "left")
+            .select(col("u"), col("v"),
+              (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+        }).persist(storage)
+        // materialize before releasing the prior round; re-count rather
+        // than subtract — a mass-peel recount also drops the survivors
+        // whose support fell to zero
+        curN = next.count()
+        cur.unpersist(); removed.unpersist()
+        cur = next
+      }
+    }
+    cur
   }
 
   /** Weighted single-source shortest paths (growth — the weighted

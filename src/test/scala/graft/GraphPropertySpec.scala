@@ -260,5 +260,16 @@ class GraphPropertySpec extends SparkSpec with PropertySampling {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(t4.keySet == k4.toSet && t4.values.forall(_ == 2L), s"4-truss: $t4")
     assert(g.kTruss(5).isEmpty, "no 5-truss in K4")
+    // multi-round decrement cascade: two triangles sharing edge b-c.
+    // k=4 round 1 drops the four outer edges (support 1); both triangles
+    // die, so b-c must be DECREMENTED twice (2→0) and peel in round 2 —
+    // the support-decrement bookkeeping, not a full recount, drives this
+    val twoTri = graphOf(Seq("a" -> "b", "a" -> "c", "b" -> "c",
+      "b" -> "d", "c" -> "d"))
+    assert(twoTri.kTruss(4).isEmpty, "shared-edge cascade should empty out")
+    val t3b = twoTri.kTruss(3).as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t3b == Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 2L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L), s"two-triangle 3-truss: $t3b")
   }
 }
