@@ -450,7 +450,23 @@ object MatView {
     * the aggregate's canonical form away from one registered against raw
     * tables. */
   def materializeAggregate(spark: SparkSession, name: String, view: DataFrame,
-                           path: String): Unit = {
+                           path: String): Unit =
+    registerAggregateImpl(spark, name, view, path, writeSummary = true)
+
+  /** Register routing for `view` against an EXISTING summary parquet at
+    * `path` WITHOUT recomputing it — the delete-delta path: the summary
+    * was just folded in place, but exact-match routing keys on the
+    * canonical FACT plan, which copy-on-write DML just changed, so the
+    * entry must re-register against the post-mutation definition frame.
+    * The caller owns the invariant that the parquet really is the
+    * summary of `view` (the fold equivalence is spec-tested). */
+  def registerAggregate(spark: SparkSession, name: String, view: DataFrame,
+                        path: String): Unit =
+    registerAggregateImpl(spark, name, view, path, writeSummary = false)
+
+  private def registerAggregateImpl(spark: SparkSession, name: String,
+                                    view: DataFrame, path: String,
+                                    writeSummary: Boolean): Unit = {
     // same refresh-ordering contract as materialize: unregister before
     // planning or writing, so the stale route can't capture either
     drop(spark, name)
@@ -462,7 +478,7 @@ object MatView {
       s"materializeAggregate expects the view's optimized plan to BE an " +
         s"Aggregate (a bare groupBy().agg()), got ${plan.nodeName}")
     val agg = plan.asInstanceOf[Aggregate]
-    view.write.mode("overwrite").parquet(path)
+    if (writeSummary) view.write.mode("overwrite").parquet(path)
     val replacement = spark.read.parquet(path).queryExecution.analyzed
     // containment metadata: the child's structural identity plus
     // name-keyed output→summary-column maps (positional zip: replacement

@@ -874,6 +874,41 @@ object HashqlSuite extends Suite {
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // delete-delta maintenance (round-7 growth): a DML DELETE on the base
+    // table of a count/sum agg view SUBTRACTS the deleted rows from the
+    // summary (negated partials, one scan of the deleted subset — never a
+    // fact recompute) and the route survives; the oracle recomputes from
+    // post-delete facts, so a drifted summary would hash-mismatch.
+    // min/max views invalidate instead (recompute-only, HashQLSpec).
+    "hashql_delete_agg_routed" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val reg = new HashQL.JoinRegistry
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggd").toString
+        // integer-summed column (o_custkey): the fold's old−deleted
+        // arithmetic stays EXACT, so the folded summary bit-matches the
+        // oracle's direct post-delete aggregation
+        val name = HashQL.materializeAggView(cat,
+          "create agg view as select orders.o_orderpriority, count(*), " +
+            "count(orders.o_custkey), sum(orders.o_custkey) " +
+            "from orders group by orders.o_orderpriority",
+          s"$tmp/view", Some(reg))
+        HashQL.execute(cat,
+          "delete from orders where orders.o_orderstatus = 'F'", Some(reg))
+        val out = HashQL.execute(cat,
+          "select orders.o_orderpriority, count(*), " +
+            "count(orders.o_custkey), sum(orders.o_custkey) " +
+            "from orders group by orders.o_orderpriority", Some(reg)).get
+        out.write.mode("overwrite").parquet(s"$tmp/result") // while routed
+        graft.matview.MatView.drop(s, name)
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(count(o_custkey) AS BIGINT) AS cnt_o_custkey,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     "hashql_create_join_view" -> Q(
       (s, d) => {
         val cat = tpchCat(s, d)

@@ -780,22 +780,112 @@ object HashQL {
       // aggregate views over the table: drop the Catalyst route too — the
       // summary parquet is stale the moment facts change (same contract
       // as the join mats; re-run materializeAggView to restore)
-      aggViews.foreach { case (name, (tables, spark)) =>
-        if (tables.contains(table)) {
-          graft.matview.MatView.drop(spark, name)
+      aggViews.foreach { case (name, reg) =>
+        if (reg.tables.contains(table)) {
+          graft.matview.MatView.drop(reg.spark, name)
           aggViews -= name
         }
       }
     }
 
-    /** name → (base tables, owning session) for `create agg view`
-      * registrations — tracked so DML can invalidate the MatView route. */
-    private var aggViews =
-      Map.empty[String, (Set[String], org.apache.spark.sql.SparkSession)]
-    private[sql] def putAggView(name: String, tables: Set[String],
-                                spark: org.apache.spark.sql.SparkSession): Unit =
-      aggViews += name -> ((tables, spark))
+    /** DELETE-time hook (round-7 growth — the delete half of incremental
+      * view maintenance; INSERT/UPDATE still invalidate, see
+      * [[invalidateTable]]): join mats always invalidate, but an
+      * aggregate view whose summary can SUBTRACT the deleted rows folds a
+      * delete-delta instead and keeps routing — at 100 TB that is one
+      * scan of the deleted subset versus a full fact recompute. Runs
+      * AFTER the catalog mutated; `deleted` is the pre-delete plan of the
+      * removed rows, captured by the caller (catalog plans are immutable,
+      * so it stays evaluatable). */
+    private[sql] def onDelete(cat: GraftCatalog, table: String,
+                              deleted: DataFrame): Unit = {
+      mats = mats.filter { case (name, _) => !name.split("\\+").contains(table) }
+      aggViews.foreach { case (name, reg) =>
+        if (reg.tables.contains(table) && !deltaFold(cat, name, reg, table, deleted)) {
+          graft.matview.MatView.drop(reg.spark, name)
+          aggViews -= name
+        }
+      }
+    }
+
+    /** Fold a delete-delta into one registered aggregate view; false when
+      * the view is not delta-foldable (caller invalidates instead).
+      * Foldable = single-table view whose aggregates are all count(*) /
+      * count(col) / sum(col), with count(*) present (group emptiness is
+      * row count: `cnt` 0 ⇒ the group vanishes, as a re-materialization
+      * would show) and, for every sum(col), a companion count(col) — the
+      * textbook IVM sum+count pairing, here so a group whose remaining
+      * col values are all NULL serves sum = NULL exactly like a batch
+      * recompute, not a fabricated 0. min/max/avg/count_distinct cannot
+      * subtract without history — those views are recompute-only (they
+      * invalidate, re-run materializeAggView to restore). The fold:
+      * negated partials over the deleted subset (view WHERE applied),
+      * summed into the current summary parquet (crash-safe swap), then
+      * the route RE-REGISTERS against the post-delete definition frame —
+      * exact-match routing keys on the canonical fact plan, which the
+      * copy-on-write delete just changed
+      * ([[graft.matview.MatView.registerAggregate]], no recompute). */
+    private def deltaFold(cat: GraftCatalog, name: String, reg: AggViewReg,
+                          table: String, deleted: DataFrame): Boolean = {
+      val sel = reg.sel
+      if (sel.joins.nonEmpty || sel.table != table) return false
+      val calls = sel.items.collect { case a: AggCall => a }
+      val hasStar = sel.items.contains(CountStar) || calls.isEmpty
+      if (!hasStar) return false
+      if (!calls.forall(c => c.fn == "count" || c.fn == "sum")) return false
+      val cntCols = calls.filter(_.fn == "count").map(_.ref.column).toSet
+      if (!calls.filter(_.fn == "sum").forall(c => cntCols(c.ref.column)))
+        return false
+      val spark = reg.spark
+      val groupCols = sel.groupBy.map(_.column)
+      var del = deleted
+      sel.wheres.foreach(p => del = del.filter(predColumn(cat, p)))
+      // negated partials under the registered aliases (aggsOf's naming)
+      val negs: Seq[Column] =
+        if (calls.isEmpty) Seq((-count(lit(1))).as("cnt"))
+        else sel.items.collect {
+          case CountStar => (-count(lit(1))).as("cnt")
+          case AggCall("count", r) => (-count(col(r.column))).as(s"cnt_${r.column}")
+          case AggCall("sum", r) => (-sum(col(r.column))).as(s"sum_${r.column}")
+        }
+      val delta = del.groupBy(groupCols.map(col): _*).agg(negs.head, negs.tail: _*)
+      val old = spark.read.parquet(reg.path)
+      val aliases = old.columns.filterNot(groupCols.contains).toSeq
+      // summation folds counts and sums alike; sum() skips nulls, so an
+      // all-null deleted sum partial is a no-op — those rows contributed
+      // nothing to the stored sum either
+      val foldCols = aliases.map(a => sum(col(a)).as(a))
+      var folded = old.unionByName(delta)
+        .groupBy(groupCols.map(col): _*)
+        .agg(foldCols.head, foldCols.tail: _*)
+        .filter(col("cnt") > 0)
+      calls.filter(_.fn == "sum").foreach { c =>
+        val (s, n) = (s"sum_${c.ref.column}", s"cnt_${c.ref.column}")
+        folded = folded.withColumn(s, when(col(n) > 0, col(s)))
+      }
+      // the old scan keeps reading reg.path while the fold lands in the
+      // swap tmp; readers see old or new, never a mix
+      graft.sources.Sources.swapDir(spark, reg.path) { tmp =>
+        folded.select(old.columns.map(col).toSeq: _*)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      graft.matview.MatView.registerAggregate(spark, name,
+        aggViewFrame(cat, sel), reg.path)
+      true
+    }
+
+    /** name → registration for `create agg view` — tracked so DML can
+      * delta-fold or invalidate the MatView route. */
+    private var aggViews = Map.empty[String, AggViewReg]
+    private[sql] def putAggView(name: String, reg: AggViewReg): Unit =
+      aggViews += name -> reg
   }
+
+  /** One `create agg view` registration — enough definition (parsed
+    * SELECT + summary path) for the DELETE-time delta fold. */
+  private[sql] final case class AggViewReg(
+      tables: Set[String], spark: org.apache.spark.sql.SparkSession,
+      path: String, sel: Select)
 
   private def predColumn(cat: GraftCatalog, pr: Pred): Column = pr match {
     // doc-path predicate: `people.~hobbies[]~name = 'God'` — ANY addressed
@@ -932,6 +1022,23 @@ object HashQL {
     // so agg views stay inner-only
     require(!sel.joins.exists(_.outer),
       "create agg view supports inner joins only")
+    val frame = aggViewFrame(cat, sel)
+    val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
+      .toSet + sel.table).toSeq.sorted
+    val name = s"hashqlagg:${tables.mkString("+")}:" +
+      sel.groupBy.map(_.column).mkString(",")
+    graft.matview.MatView.materializeAggregate(frame.sparkSession, name, frame, path)
+    registry.foreach(_.putAggView(name,
+      AggViewReg(tables.toSet, frame.sparkSession, path, sel)))
+    name
+  }
+
+  /** Build a `create agg view` definition frame over the catalog's
+    * CURRENT table state — shared by registration and by the delete-delta
+    * re-registration (exact-match routing keys on the canonical fact
+    * plan, so after copy-on-write DML the entry must re-register against
+    * the new plan). */
+  private def aggViewFrame(cat: GraftCatalog, sel: Select): DataFrame = {
     var df = cat.table(sel.table)
     sel.joins.foreach { case JoinClause(t, l, r, _) =>
       val tdf = cat.table(t)
@@ -940,15 +1047,8 @@ object HashQL {
     }
     sel.wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
     val aggs = aggsOf(sel.items)
-    val frame = df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
+    df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
-      .toSet + sel.table).toSeq.sorted
-    val name = s"hashqlagg:${tables.mkString("+")}:" +
-      sel.groupBy.map(_.column).mkString(",")
-    graft.matview.MatView.materializeAggregate(df.sparkSession, name, frame, path)
-    registry.foreach(_.putAggView(name, tables.toSet, df.sparkSession))
-    name
   }
 
   /** Execute a dialect statement. DDL/DML mutate the catalog and return
@@ -985,8 +1085,14 @@ object HashQL {
         registry.foreach(_.invalidateTable(t)); None
       case Delete(t, wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
+        // capture the deleted rows' plan BEFORE the copy-on-write rewrite
+        // (plans are immutable, so it stays evaluatable after); the hook
+        // then folds negated partials into deltable aggregate views and
+        // invalidates everything else
+        val deleted = cat.table(t).filter(cond)
         cat.delete(t, cond)
-        registry.foreach(_.invalidateTable(t)); None
+        registry.foreach(_.onDelete(cat, t, deleted))
+        None
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None

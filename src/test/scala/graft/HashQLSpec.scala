@@ -660,6 +660,54 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, name)
   }
 
+  test("DML DELETE delta-folds count/sum agg views; min/max views invalidate") {
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_deldelta").toString
+    Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    HashQL.execute(cat, "insert into t (g) values ('c')") // v = null row
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), count(t.v), sum(t.v) " +
+        "from t group by t.g", s"$dir/view", Some(reg))
+    val q = "select t.g, count(*), count(t.v), sum(t.v) from t group by t.g"
+    try {
+      // deleting one row keeps the route AND the answers exact
+      HashQL.execute(cat, "delete from t where t.v = 2", Some(reg))
+      val afterOne = HashQL.execute(cat, q, Some(reg)).get
+      assert(afterOne.queryExecution.executedPlan.toString.contains(s"$dir/view"),
+        s"delete dropped the deltable route:\n${afterOne.queryExecution.executedPlan}")
+      assert(afterOne.as[(String, Long, Long, Option[Long])].collect().toSet ==
+        Set(("a", 1L, 1L, Some(1L)), ("b", 2L, 2L, Some(7L)),
+          ("c", 2L, 1L, Some(5L))))
+      // emptied group vanishes; a group left with only null values serves
+      // sum = NULL (the count(t.v) companion detects it), like a recompute
+      HashQL.execute(cat, "delete from t where t.g = 'b'", Some(reg))
+      HashQL.execute(cat, "delete from t where t.v = 5", Some(reg))
+      val afterAll = HashQL.execute(cat, q, Some(reg)).get
+      assert(afterAll.queryExecution.executedPlan.toString.contains(s"$dir/view"))
+      val rows = afterAll.as[(String, Long, Long, Option[Long])].collect().toSet
+      assert(rows == Set(("a", 1L, 1L, Some(1L)), ("c", 1L, 0L, None)), rows)
+      // the folded summary still equals a from-facts recompute
+      graft.matview.MatView.drop(spark, name)
+      assert(HashQL.execute(cat, q, Some(reg)).get
+        .as[(String, Long, Long, Option[Long])].collect().toSet == rows)
+    } finally graft.matview.MatView.drop(spark, name)
+    // a min/max view cannot subtract — DELETE invalidates it as before
+    val name2 = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), min(t.v) from t group by t.g",
+      s"$dir/view2", Some(reg))
+    try {
+      HashQL.execute(cat, "delete from t where t.v = 1", Some(reg))
+      val after = HashQL.execute(cat,
+        "select t.g, count(*), min(t.v) from t group by t.g", Some(reg)).get
+      assert(!after.queryExecution.executedPlan.toString.contains(s"$dir/view2"),
+        "min/max view still routed after DELETE")
+      assert(after.as[(String, Long, Option[Long])].collect().toSet ==
+        Set(("c", 1L, None)))
+    } finally graft.matview.MatView.drop(spark, name2)
+  }
+
   test("correlated EXISTS / NOT EXISTS plan as semi/anti joins") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("b", 2), ("c", 3)).foreach { case (n, k) =>
