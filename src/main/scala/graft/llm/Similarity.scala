@@ -726,13 +726,115 @@ object Similarity {
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    writeIndexInto(ds, idCol, path, nlist, iters, maxTrainRows)
+  }
+
+  /** The index-writing core shared by [[writeIvfIndex]] (into the live
+    * path) and [[retrainIvfIndex]] (into a swap tmp): train, write
+    * centroids + hive-partitioned lists, and record the training-time
+    * assignment quality (mean cosine of each vector to its assigned
+    * centroid, one extra scan) under `dir/stats` — the baseline
+    * [[ivfAssignDrift]] compares ingest batches against. */
+  private def writeIndexInto(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
+      dir: String, nlist: Int, iters: Int, maxTrainRows: Long): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
     val centroids = trainCentroids(ds, idCol, nlist, iters, maxTrainRows)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     assignToLists(ds, centroids)
       .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/lists")
+    Seq(meanAssignCos(ds, centroids)).toDF("mean_assign_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Mean cosine of each vector to its nearest centroid — the assignment
+    * quality a distribution shift degrades (drifted vectors sit far from
+    * every trained centroid). Distributed: broadcast centroids, one scan,
+    * one scalar back. 1.0 (neutral) for an empty input or no centroids. */
+  private def meanAssignCos(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      centroids: Array[Array[Double]]): Double = {
+    if (centroids.isEmpty) return 1.0
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val r = ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (_, vf) =>
+        val v = vf.map(_.toDouble)
+        val c = cs(nearest(cs, v))
+        dotOf(v, c) / (math.max(normOf(v), 1e-12) * math.max(normOf(c), 1e-12))
+      }
+    }.toDF("cos").agg(avg(col("cos"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Measured drift of an ingest batch against a [[writeIvfIndex]] index:
+    * the batch's mean assignment cosine under the FROZEN centroids,
+    * divided by the training-time baseline stored in `path/stats`.
+    * ≈ 1 for in-distribution ingest; sinking toward 0 as vectors land
+    * ever farther from every centroid — the silent-recall-degradation
+    * signal the frozen-centroid append contract warns about. 1.0
+    * (neutral, never triggers) when the index predates the stats file. */
+  def ivfAssignDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                     vectors: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Double = {
+    import spark.implicits._
+    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return 1.0
+    val baseline = spark.read.parquet(s"$path/stats").head().getDouble(0)
+    if (baseline <= 0) return 1.0
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val batch = vectors.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    meanAssignCos(batch, centroids) / baseline
+  }
+
+  /** Re-train a [[writeIvfIndex]] index from its OWN live content (the
+    * rows of `lists` minus tombstones — the index holds every vector, so
+    * no external corpus handle is needed): fresh centroids, fresh
+    * assignments, fresh baseline, written under the crash-safe
+    * [[graft.sources.Sources.swapDir]] protocol — serving reads the old
+    * index until the swap, then the new one, never a mix. Tombstones are
+    * folded in (deleted rows don't survive the rebuild) and the store
+    * comes out clear. Run while no append stream is writing (the
+    * compaction contract). */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      nlist: Int = 16, iters: Int = 5,
+                      maxTrainRows: Long = 1L << 18): Unit = {
+    import spark.implicits._
+    val live = antiTombstones(spark, path, spark.read.parquet(s"$path/lists"))
+      .select(col("nid"), col("nvec")).as[(Long, Array[Float])]
+    graft.sources.Sources.swapDir(spark, path) { tmp =>
+      writeIndexInto(live, "nid", tmp, nlist, iters, maxTrainRows)
+    }
+  }
+
+  /** [[appendToIvfIndex]] with the drift-triggered retrain that closes
+    * the frozen-centroid serving loop: measure the batch's
+    * [[ivfAssignDrift]], append it, and when the ratio falls below
+    * `retrainBelow` re-run training over the grown index
+    * ([[retrainIvfIndex]]). Returns the measured ratio so callers can
+    * log/alert on the trend. At 100 TB the measurement is one extra scan
+    * of the BATCH (never the index), and the retrain amortizes: it fires
+    * on measured distribution shift, not on a wall-clock cadence. */
+  def appendToIvfIndexWithRetrain(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, retrainBelow: Double = 0.9,
+      nlist: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Long = 1L << 18): Double = {
+    val drift = ivfAssignDrift(spark, path, vectors, idCol, vecCol)
+    appendToIvfIndex(spark, path, vectors, idCol, vecCol)
+    if (drift < retrainBelow)
+      retrainIvfIndex(spark, path, nlist, iters, maxTrainRows)
+    drift
   }
 
   /** Grow a [[writeIvfIndex]] index IN PLACE (the FAISS `add` analog):

@@ -1430,6 +1430,37 @@ object LlmSuite extends Suite {
               |      FROM p)
               |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // drift-triggered retrain (round-7 growth — closes the frozen-
+    // centroid serving loop): the appended half measures its assignment
+    // drift against the stored training baseline and, past the
+    // threshold (forced here for determinism), re-trains over the grown
+    // index IN PLACE from the index's own rows — crash-safe swap, fresh
+    // centroids/lists/baseline. Full probing makes the oracle the
+    // brute-force top-k over the grown corpus (centroid choice cancels
+    // out); the threshold's fire/no-fire behavior and the pruned-probe
+    // recall recovery are LlmSpec-asserted on a drifted fixture.
+    "ann_ivf_retrain" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfr").toString
+        Similarity.writeIvfIndex(emb(s, d).filter(col("vec_id") % 2 === 0),
+          s"$tmp/idx", nlist = 16, iters = 2)
+        Similarity.appendToIvfIndexWithRetrain(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") % 2 === 1),
+          retrainBelow = 2.0, // force the retrain arm deterministically
+          nlist = 16, iters = 2)
+        Similarity.ivfTopKFromIndex(s, s"$tmp/idx",
+          emb(s, d).filter(col("vec_id") < 5), k = 3, nprobe = 16)
+      },
+      Some(s"""WITH $cosineNormsCte,
+              |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+              |        round(${cosExpr("q", "x")}, 5) AS cos
+              |      FROM n q JOIN n x ON q.vec_id <> x.vec_id
+              |      WHERE q.vec_id < 5),
+              |r AS (SELECT qid, nid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              |      FROM p)
+              |SELECT qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // DELETE from the persisted index (FAISS remove_ids): tombstoned ids
     // vanish from serving without any list rewrite; full probing makes
     // the oracle the brute-force top-k over the SURVIVING corpus.

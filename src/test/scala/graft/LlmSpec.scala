@@ -1044,4 +1044,65 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(reparted == out.values.toSet)
   }
+
+  test("IVF drift-triggered retrain: frozen centroids sag on drifted ingest, retrain recovers recall") {
+    // base cluster along e1 (internal spread on coord 2); the drifted
+    // batch lives along e3 with a ±1 first coordinate that SPLITS it
+    // across both frozen lists — the recall-sag shape the retrain fixes
+    val base = (0L until 8L).map(i => (i, Array(100f, i.toFloat, 0f, 0f)))
+    val fresh = (100L until 108L).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      (i, Array(s, 0f, 100f, (i - 100).toFloat))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val freshDf = fresh.toDF("vec_id", "embedding")
+    val q = Seq((999L, Array(0f, 0f, 100f, 1.5f))).toDF("vec_id", "embedding")
+    val all = baseDf.unionByName(freshDf)
+    val brute = Similarity.bruteForceTopK(all, q, 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+
+    // WITHOUT retrain: the drifted batch splits across the frozen lists,
+    // so a 1-probe query at the new cluster misses half its neighbors
+    val frozen = java.nio.file.Files.createTempDirectory("ivf_frozen").toString + "/idx"
+    Similarity.writeIvfIndex(baseDf, frozen, nlist = 2, iters = 3)
+    Similarity.appendToIvfIndex(spark, frozen, freshDf)
+    val sagged = Similarity.ivfTopKFromIndex(spark, frozen, q, k = 4, nprobe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(sagged != brute, "fixture should demonstrate frozen-centroid recall sag")
+
+    // WITH the drift trigger: an in-distribution batch measures ≈ 1 and
+    // leaves the centroids alone; the drifted batch measures far below
+    // the threshold, fires the retrain, and the same 1-probe query is
+    // exact again
+    val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString + "/idx"
+    Similarity.writeIvfIndex(baseDf, dir, nlist = 2, iters = 3)
+    def centroidSnapshot(): Set[(Int, Seq[Double])] =
+      spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Array[Double])].collect()
+        .map { case (i, a) => (i, a.toSeq) }.toSet
+    val centroidsBefore = centroidSnapshot()
+    val inDist = Seq((50L, Array(100f, 3.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val d1 = Similarity.appendToIvfIndexWithRetrain(spark, dir, inDist,
+      retrainBelow = 0.9, nlist = 2, iters = 3)
+    assert(d1 > 0.95, s"in-distribution drift should be ≈ 1, got $d1")
+    assert(centroidSnapshot() == centroidsBefore,
+      "in-distribution append must not retrain")
+    val d2 = Similarity.appendToIvfIndexWithRetrain(spark, dir, freshDf,
+      retrainBelow = 0.9, nlist = 2, iters = 3)
+    assert(d2 < 0.5, s"orthogonal ingest should measure heavy drift, got $d2")
+    assert(centroidSnapshot() != centroidsBefore,
+      "drifted append must retrain")
+    val bruteAll = Similarity.bruteForceTopK(all.unionByName(inDist), q, 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recovered = Similarity.ivfTopKFromIndex(spark, dir, q, k = 4, nprobe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(recovered == bruteAll, s"post-retrain 1-probe: $recovered != $bruteAll")
+    // an index written before the stats file existed measures neutral
+    val legacy = java.nio.file.Files.createTempDirectory("ivf_legacy").toString + "/idx"
+    Similarity.writeIvfIndex(baseDf, legacy, nlist = 2, iters = 3)
+    val fs = new org.apache.hadoop.fs.Path(s"$legacy/stats")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/stats"), true)
+    assert(Similarity.ivfAssignDrift(spark, legacy, freshDf) == 1.0)
+  }
 }
