@@ -909,6 +909,63 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderstatus <> 'F'
              |GROUP BY o_orderpriority""".stripMargin)),
 
+    // INSERT delta (round-7 growth): appends never retract, so even a
+    // min/max view folds the positive partials and keeps routing; the
+    // oracle recomputes over the post-insert rows, so a drifted summary
+    // would hash-mismatch. (Tables registered from raw parquet have no
+    // dialect id column and still invalidate — HashQLSpec.)
+    "hashql_insert_agg_routed" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        val reg = new HashQL.JoinRegistry
+        Seq(("a", 1), ("a", 2), ("b", 3)).foreach { case (g, v) =>
+          HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggi").toString
+        val name = HashQL.materializeAggView(cat,
+          "create agg view as select t.g, count(*), min(t.v), max(t.v), " +
+            "sum(t.v) from t group by t.g", s"$tmp/view", Some(reg))
+        HashQL.execute(cat,
+          "insert into t (g, v) values ('a', 0), ('c', 9)", Some(reg))
+        val out = HashQL.execute(cat,
+          "select t.g, count(*), min(t.v), max(t.v), sum(t.v) " +
+            "from t group by t.g", Some(reg)).get
+        out.write.mode("overwrite").parquet(s"$tmp/result") // while routed
+        graft.matview.MatView.drop(s, name)
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('a', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+             |  ('b', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+             |  ('c', CAST(1 AS BIGINT), CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(9 AS BIGINT))
+             |) AS t(g, cnt, min_v, max_v, sum_v)""".stripMargin)),
+
+    // UPDATE delta (round-7 growth): an update is a retract+append pair —
+    // the count/sum view folds the before-image out and the after-image
+    // in, group-key moves included, and keeps routing.
+    "hashql_update_agg_routed" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        val reg = new HashQL.JoinRegistry
+        Seq(("a", 1), ("a", 2), ("b", 3)).foreach { case (g, v) =>
+          HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggu").toString
+        val name = HashQL.materializeAggView(cat,
+          "create agg view as select t.g, count(*), count(t.v), sum(t.v) " +
+            "from t group by t.g", s"$tmp/view", Some(reg))
+        HashQL.execute(cat,
+          "update t set t.v = t.v + 10 where t.g = 'a'", Some(reg))
+        val out = HashQL.execute(cat,
+          "select t.g, count(*), count(t.v), sum(t.v) from t group by t.g",
+          Some(reg)).get
+        out.write.mode("overwrite").parquet(s"$tmp/result") // while routed
+        graft.matview.MatView.drop(s, name)
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('a', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(23 AS BIGINT)),
+             |  ('b', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+             |) AS t(g, cnt, cnt_v, sum_v)""".stripMargin)),
+
     "hashql_create_join_view" -> Q(
       (s, d) => {
         val cat = tpchCat(s, d)

@@ -788,80 +788,129 @@ object HashQL {
       }
     }
 
-    /** DELETE-time hook (round-7 growth — the delete half of incremental
-      * view maintenance; INSERT/UPDATE still invalidate, see
-      * [[invalidateTable]]): join mats always invalidate, but an
-      * aggregate view whose summary can SUBTRACT the deleted rows folds a
-      * delete-delta instead and keeps routing — at 100 TB that is one
-      * scan of the deleted subset versus a full fact recompute. Runs
-      * AFTER the catalog mutated; `deleted` is the pre-delete plan of the
-      * removed rows, captured by the caller (catalog plans are immutable,
-      * so it stays evaluatable). */
+    /** DML hooks (round-7 growth — incremental view maintenance for the
+      * dialect's mutations): join mats always invalidate (pre-joined rows
+      * are stale the moment facts change), but an aggregate view whose
+      * summary can absorb the delta folds it instead and keeps routing —
+      * at 100 TB that is one scan of the CHANGED rows versus a full fact
+      * recompute. Each hook runs AFTER the catalog mutated; the
+      * removed/added frames are plans captured around the copy-on-write
+      * rewrite (catalog plans are immutable, so the pre-mutation plan
+      * stays evaluatable). Delta rules per mutation:
+      *  - INSERT: positive partials — count/sum/min/max all fold
+      *    (appends never retract, so even min/max absorb new rows);
+      *  - DELETE: negated partials — count/sum only, with count(*)
+      *    present (group emptiness) and a count(col) companion per
+      *    sum(col) (all-NULL-remainder exactness); min/max cannot
+      *    subtract without history (the classic IVM limit) and
+      *    invalidate, recompute-only;
+      *  - UPDATE: retract-the-before + append-the-after under DELETE's
+      *    rules (an update IS a retraction pair; group-key updates move
+      *    rows between groups and emptied groups vanish). */
     private[sql] def onDelete(cat: GraftCatalog, table: String,
-                              deleted: DataFrame): Unit = {
+                              deleted: DataFrame): Unit =
+      dmlHook(cat, table, removed = Some(deleted), added = None)
+    private[sql] def onInsert(cat: GraftCatalog, table: String,
+                              inserted: DataFrame): Unit =
+      dmlHook(cat, table, removed = None, added = Some(inserted))
+    private[sql] def onUpdate(cat: GraftCatalog, table: String,
+                              before: DataFrame, after: DataFrame): Unit =
+      dmlHook(cat, table, removed = Some(before), added = Some(after))
+
+    private def dmlHook(cat: GraftCatalog, table: String,
+                        removed: Option[DataFrame],
+                        added: Option[DataFrame]): Unit = {
       mats = mats.filter { case (name, _) => !name.split("\\+").contains(table) }
       aggViews.foreach { case (name, reg) =>
-        if (reg.tables.contains(table) && !deltaFold(cat, name, reg, table, deleted)) {
+        if (reg.tables.contains(table) &&
+            !dmlFold(cat, name, reg, table, removed, added)) {
           graft.matview.MatView.drop(reg.spark, name)
           aggViews -= name
         }
       }
     }
 
-    /** Fold a delete-delta into one registered aggregate view; false when
-      * the view is not delta-foldable (caller invalidates instead).
-      * Foldable = single-table view whose aggregates are all count(*) /
-      * count(col) / sum(col), with count(*) present (group emptiness is
-      * row count: `cnt` 0 ⇒ the group vanishes, as a re-materialization
-      * would show) and, for every sum(col), a companion count(col) — the
-      * textbook IVM sum+count pairing, here so a group whose remaining
-      * col values are all NULL serves sum = NULL exactly like a batch
-      * recompute, not a fabricated 0. min/max/avg/count_distinct cannot
-      * subtract without history — those views are recompute-only (they
-      * invalidate, re-run materializeAggView to restore). The fold:
-      * negated partials over the deleted subset (view WHERE applied),
-      * summed into the current summary parquet (crash-safe swap), then
-      * the route RE-REGISTERS against the post-delete definition frame —
-      * exact-match routing keys on the canonical fact plan, which the
-      * copy-on-write delete just changed
+    /** Fold a DML delta into one registered aggregate view; false when
+      * the view cannot absorb it (caller invalidates instead — re-run
+      * materializeAggView to restore). Foldable = single-table view
+      * whose aggregates fit the mutation's rules (see [[onDelete]]'s
+      * scaladoc): append-only deltas fold count/sum/min/max; any
+      * retraction (`removed` present) restricts to count/sum, requires
+      * count(*) (group emptiness is row count: `cnt` 0 ⇒ the group
+      * vanishes, as a re-materialization would show) and a count(col)
+      * companion per sum(col) — the textbook IVM sum+count pairing, so a
+      * group whose remaining col values are all NULL serves sum = NULL
+      * exactly like a batch recompute, not a fabricated 0. The fold:
+      * signed partials over the changed subsets (view WHERE applied),
+      * folded into the current summary parquet (crash-safe swap), then
+      * the route RE-REGISTERS against the post-mutation definition
+      * frame — exact-match routing keys on the canonical fact plan,
+      * which the copy-on-write DML just changed
       * ([[graft.matview.MatView.registerAggregate]], no recompute). */
-    private def deltaFold(cat: GraftCatalog, name: String, reg: AggViewReg,
-                          table: String, deleted: DataFrame): Boolean = {
+    private def dmlFold(cat: GraftCatalog, name: String, reg: AggViewReg,
+                        table: String, removed: Option[DataFrame],
+                        added: Option[DataFrame]): Boolean = {
       val sel = reg.sel
       if (sel.joins.nonEmpty || sel.table != table) return false
       val calls = sel.items.collect { case a: AggCall => a }
-      val hasStar = sel.items.contains(CountStar) || calls.isEmpty
-      if (!hasStar) return false
-      if (!calls.forall(c => c.fn == "count" || c.fn == "sum")) return false
-      val cntCols = calls.filter(_.fn == "count").map(_.ref.column).toSet
-      if (!calls.filter(_.fn == "sum").forall(c => cntCols(c.ref.column)))
-        return false
+      val retracts = removed.isDefined
+      val okFns = if (retracts) Set("count", "sum")
+        else Set("count", "sum", "min", "max")
+      if (!calls.forall(c => okFns(c.fn))) return false
+      if (retracts) {
+        if (!(sel.items.contains(CountStar) || calls.isEmpty)) return false
+        val cntCols = calls.filter(_.fn == "count").map(_.ref.column).toSet
+        if (!calls.filter(_.fn == "sum").forall(c => cntCols(c.ref.column)))
+          return false
+      }
       val spark = reg.spark
       val groupCols = sel.groupBy.map(_.column)
-      var del = deleted
-      sel.wheres.foreach(p => del = del.filter(predColumn(cat, p)))
-      // negated partials under the registered aliases (aggsOf's naming)
-      val negs: Seq[Column] =
-        if (calls.isEmpty) Seq((-count(lit(1))).as("cnt"))
-        else sel.items.collect {
-          case CountStar => (-count(lit(1))).as("cnt")
-          case AggCall("count", r) => (-count(col(r.column))).as(s"cnt_${r.column}")
-          case AggCall("sum", r) => (-sum(col(r.column))).as(s"sum_${r.column}")
-        }
-      val delta = del.groupBy(groupCols.map(col): _*).agg(negs.head, negs.tail: _*)
+      // signed partials under the registered aliases (aggsOf's naming);
+      // min/max only ever appear on the append side (okFns above)
+      def partials(rows: DataFrame, sign: Int): DataFrame = {
+        var r = rows
+        sel.wheres.foreach(p => r = r.filter(predColumn(cat, p)))
+        val cols: Seq[Column] =
+          if (calls.isEmpty) Seq((count(lit(1)) * sign).as("cnt"))
+          else sel.items.collect {
+            case CountStar => (count(lit(1)) * sign).as("cnt")
+            case AggCall("count", c) =>
+              (count(col(c.column)) * sign).as(s"cnt_${c.column}")
+            case AggCall("sum", c) =>
+              (sum(col(c.column)) * sign).as(s"sum_${c.column}")
+            case AggCall("min", c) => min(col(c.column)).as(s"min_${c.column}")
+            case AggCall("max", c) => max(col(c.column)).as(s"max_${c.column}")
+          }
+        r.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+      }
       val old = spark.read.parquet(reg.path)
+      val deltas = removed.map(partials(_, -1)).toSeq ++
+        added.map(partials(_, 1)).toSeq
       val aliases = old.columns.filterNot(groupCols.contains).toSeq
-      // summation folds counts and sums alike; sum() skips nulls, so an
-      // all-null deleted sum partial is a no-op — those rows contributed
-      // nothing to the stored sum either
-      val foldCols = aliases.map(a => sum(col(a)).as(a))
-      var folded = old.unionByName(delta)
+      // counts and sums fold by summation (sum() skips nulls, so an
+      // all-null partial is a no-op — those rows contributed nothing to
+      // the stored value either); min/max fold by min/max
+      val foldCols = (if (calls.isEmpty) Seq(sum(col("cnt")).as("cnt"))
+        else sel.items.collect {
+          case CountStar => sum(col("cnt")).as("cnt")
+          case AggCall("count", c) =>
+            sum(col(s"cnt_${c.column}")).as(s"cnt_${c.column}")
+          case AggCall("sum", c) =>
+            sum(col(s"sum_${c.column}")).as(s"sum_${c.column}")
+          case AggCall("min", c) =>
+            min(col(s"min_${c.column}")).as(s"min_${c.column}")
+          case AggCall("max", c) =>
+            max(col(s"max_${c.column}")).as(s"max_${c.column}")
+        })
+      var folded = deltas.foldLeft(old)(_ unionByName _)
         .groupBy(groupCols.map(col): _*)
         .agg(foldCols.head, foldCols.tail: _*)
-        .filter(col("cnt") > 0)
-      calls.filter(_.fn == "sum").foreach { c =>
-        val (s, n) = (s"sum_${c.ref.column}", s"cnt_${c.ref.column}")
-        folded = folded.withColumn(s, when(col(n) > 0, col(s)))
+      if (retracts) {
+        folded = folded.filter(col("cnt") > 0)
+        calls.filter(_.fn == "sum").foreach { c =>
+          val (s, n) = (s"sum_${c.ref.column}", s"cnt_${c.ref.column}")
+          folded = folded.withColumn(s, when(col(n) > 0, col(s)))
+        }
       }
       // the old scan keeps reading reg.path while the fold lands in the
       // swap tmp; readers see old or new, never a mix
@@ -1059,8 +1108,22 @@ object HashQL {
       case Insert(t, fs, rows) =>
         // a null value is the field omitted for that row — schema union
         // supplies the null (and no type is invented for it)
+        val pre = if (cat.exists(t)) Some(cat.table(t)) else None
         rows.foreach(r => cat.insert(t, fs.zip(r).filter(_._2 != null)))
-        registry.foreach(_.invalidateTable(t)); None
+        // the inserted rows, identified by their synthesized ids against
+        // the pre-insert plan (plans are immutable) — feeds the
+        // positive-delta fold for registered aggregate views. A table
+        // registered WITHOUT the dialect's id column (raw parquet) has no
+        // row identity to diff on — plain invalidation there.
+        registry.foreach { r =>
+          pre match {
+            case Some(p) if !p.columns.contains("id") => r.invalidateTable(t)
+            case Some(p) => r.onInsert(cat, t,
+              cat.table(t).join(p.select("id"), Seq("id"), "left_anti"))
+            case None => r.onInsert(cat, t, cat.table(t))
+          }
+        }
+        None
       case CreateTableAs(t, sel) =>
         require(!cat.exists(t), s"create table: $t already exists")
         cat.register(t, sel match {
@@ -1071,6 +1134,11 @@ object HashQL {
         None
       case Update(t, (ref, sv), wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
+        // the update IS a retraction pair: retract the matched rows'
+        // before-image, append their after-image (matched set pinned by
+        // id against the PRE plan — the SET may change the very columns
+        // the WHERE tested)
+        val before = cat.table(t).filter(cond)
         sv match {
           case SetLit(v) => cat.update(t, ref.column, v, cond)
           case SetCol(r2) => cat.updateExpr(t, ref.column, col(r2.column), cond)
@@ -1082,7 +1150,12 @@ object HashQL {
               case "*" => base * n
             }, cond)
         }
-        registry.foreach(_.invalidateTable(t)); None
+        registry.foreach { r =>
+          if (!before.columns.contains("id")) r.invalidateTable(t)
+          else r.onUpdate(cat, t, before,
+            cat.table(t).join(before.select("id"), Seq("id"), "left_semi"))
+        }
+        None
       case Delete(t, wheres) =>
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
         // capture the deleted rows' plan BEFORE the copy-on-write rewrite

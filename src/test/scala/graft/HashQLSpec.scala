@@ -708,6 +708,61 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, name2)
   }
 
+  test("DML INSERT/UPDATE delta-fold agg views; min/max folds on append only") {
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_insdelta").toString
+    Seq(("a", 1), ("a", 2), ("b", 3)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // min/max view: INSERT folds (appends never retract)
+    val nameMm = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), min(t.v), max(t.v) " +
+        "from t group by t.g", s"$dir/mm", Some(reg))
+    val qMm = "select t.g, count(*), min(t.v), max(t.v) from t group by t.g"
+    try {
+      HashQL.execute(cat, "insert into t (g, v) values ('a', 0), ('c', 9)", Some(reg))
+      val got = HashQL.execute(cat, qMm, Some(reg)).get
+      assert(got.queryExecution.executedPlan.toString.contains(s"$dir/mm"),
+        s"insert dropped the min/max route:\n${got.queryExecution.executedPlan}")
+      val rows = got.as[(String, Long, Long, Long)].collect().toSet
+      assert(rows == Set(("a", 3L, 0L, 2L), ("b", 1L, 3L, 3L), ("c", 1L, 9L, 9L)),
+        rows)
+      // …but UPDATE retracts, and min/max cannot — route must drop
+      HashQL.execute(cat, "update t set t.v = 7 where t.g = 'b'", Some(reg))
+      val afterUp = HashQL.execute(cat, qMm, Some(reg)).get
+      assert(!afterUp.queryExecution.executedPlan.toString.contains(s"$dir/mm"),
+        "min/max view survived an UPDATE")
+      assert(afterUp.as[(String, Long, Long, Long)].collect().toSet ==
+        Set(("a", 3L, 0L, 2L), ("b", 1L, 7L, 7L), ("c", 1L, 9L, 9L)))
+    } finally graft.matview.MatView.drop(spark, nameMm)
+    // count/sum view: UPDATE folds as a retract+append pair, including a
+    // group-KEY update that moves rows between groups
+    val nameCs = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), count(t.v), sum(t.v) " +
+        "from t group by t.g", s"$dir/cs", Some(reg))
+    val qCs = "select t.g, count(*), count(t.v), sum(t.v) from t group by t.g"
+    try {
+      HashQL.execute(cat, "update t set t.v = t.v + 10 where t.g = 'a'", Some(reg))
+      val got = HashQL.execute(cat, qCs, Some(reg)).get
+      assert(got.queryExecution.executedPlan.toString.contains(s"$dir/cs"),
+        s"update dropped the count/sum route:\n${got.queryExecution.executedPlan}")
+      assert(got.as[(String, Long, Long, Option[Long])].collect().toSet ==
+        Set(("a", 3L, 3L, Some(33L)), ("b", 1L, 1L, Some(7L)),
+          ("c", 1L, 1L, Some(9L))))
+      // group-key move: all of c becomes b — c vanishes, b absorbs
+      HashQL.execute(cat, "update t set t.g = 'b' where t.g = 'c'", Some(reg))
+      val moved = HashQL.execute(cat, qCs, Some(reg)).get
+      assert(moved.queryExecution.executedPlan.toString.contains(s"$dir/cs"))
+      val rows = moved.as[(String, Long, Long, Option[Long])].collect().toSet
+      assert(rows == Set(("a", 3L, 3L, Some(33L)), ("b", 2L, 2L, Some(16L))),
+        rows)
+      // folded summary ≡ from-facts recompute
+      graft.matview.MatView.drop(spark, nameCs)
+      assert(HashQL.execute(cat, qCs, Some(reg)).get
+        .as[(String, Long, Long, Option[Long])].collect().toSet == rows)
+    } finally graft.matview.MatView.drop(spark, nameCs)
+  }
+
   test("correlated EXISTS / NOT EXISTS plan as semi/anti joins") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("b", 2), ("c", 3)).foreach { case (n, k) =>
