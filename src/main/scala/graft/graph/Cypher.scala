@@ -211,8 +211,14 @@ object Cypher {
                         wheres: Seq[WExpr],
                         items: Seq[(RetItem, Option[String])],
                         postWheres: Seq[WExpr],
-                        next: Stmt) extends Stmt {
+                        next: Stmt,
+                        orderBy: Seq[(String, Boolean)] = Nil,
+                        limit: Option[Int] = None) extends Stmt {
     require(items.nonEmpty, "WITH needs at least one item")
+    // `WITH … ORDER BY … LIMIT … WHERE …` — Neo4j's clause order and
+    // semantics: the sort + truncation shape the stage's OUTPUT (the
+    // top-k pipeline idiom), THEN the WHERE filters what survived. Sort
+    // keys are bare output names, (name, desc) pairs.
   }
 
   def parse(input: String): Stmt = {
@@ -337,6 +343,20 @@ object Cypher {
               items += ((it, alias))
               m = tryEat(',')
             }
+            // ORDER BY / LIMIT before WHERE — Neo4j's WITH-modifier
+            // order; sort keys are bare output names
+            val obs = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+            if (tryKeyword("order")) {
+              require(keyword() == "by", "expected BY after ORDER")
+              var more = true
+              while (more) {
+                val n = ident()
+                val desc = if (tryKeyword("desc")) true else { tryKeyword("asc"); false }
+                obs += ((n, desc))
+                more = tryEat(',')
+              }
+            }
+            val lim = if (tryKeyword("limit")) Some(int()) else None
             val post =
               if (tryKeyword("where")) topConjuncts(whereExpr(bareLeaf)) else Nil
             val tail = keyword() match {
@@ -349,7 +369,8 @@ object Cypher {
               case o => throw new IllegalArgumentException(
                 s"expected MATCH or RETURN after WITH, got: $o")
             }
-            With(cs, opt.toSeq, conds.toSeq, items.toSeq, post, tail)
+            With(cs, opt.toSeq, conds.toSeq, items.toSeq, post, tail,
+              obs.toSeq, lim)
           case "detach" =>
             require(opt.isEmpty, "DETACH DELETE cannot follow OPTIONAL MATCH")
             require(keyword() == "delete", "expected DELETE after DETACH")

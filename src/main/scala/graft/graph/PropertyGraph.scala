@@ -575,19 +575,30 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   private def evalWith(w: Cypher.With): DataFrame = {
     val stage = evalMatch(
       Cypher.Match(w.chains, w.items.map(_._1), w.wheres, Nil, None, w.optional))
-    pipeFrom(stage, w.items, w.postWheres, w.next)
+    pipeFrom(stage, w)
   }
 
-  /** Rename a stage's output to its AS aliases, apply the post-WITH
-    * WHERE, and evaluate the pipeline tail over the piped frame. */
-  private def pipeFrom(stage: DataFrame,
-                       items: Seq[(Cypher.RetItem, Option[String])],
-                       postWheres: Seq[Cypher.WExpr],
-                       next: Cypher.Stmt): DataFrame = {
+  /** Rename a stage's output to its AS aliases, apply the stage's
+    * ORDER BY / LIMIT then the post-WITH WHERE (Neo4j's modifier order —
+    * the top-k pipeline idiom truncates BEFORE the filter), and evaluate
+    * the pipeline tail over the piped frame. ORDER BY + LIMIT plans
+    * TakeOrderedAndProject — per-partition top-k + driver merge, no
+    * global sort; asc pins nulls-last like the RETURN path. */
+  private def pipeFrom(stage: DataFrame, w: Cypher.With): DataFrame = {
+    val items = w.items
+    val postWheres = w.postWheres
+    val next = w.next
     val names = items.map { case (it, al) => al.getOrElse(outName(it)) }
     require(names.distinct.size == names.size,
       s"duplicate WITH output names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     var piped = stage.toDF(names: _*)
+    w.orderBy.foreach { case (n, _) =>
+      require(names.contains(n),
+        s"WITH ORDER BY references '$n' — in scope: ${names.mkString(", ")}") }
+    if (w.orderBy.nonEmpty)
+      piped = piped.orderBy(w.orderBy.map { case (n, desc) =>
+        if (desc) col(n).desc else col(n).asc_nulls_last }: _*)
+    w.limit.foreach(n => piped = piped.limit(n))
     // post-WITH WHERE: bare output columns only (attr == "" leaves, the
     // only kind the post-WITH parser builds); numeric literals compare
     // via try_cast-to-long, same coercion as pattern WHEREs
@@ -609,7 +620,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       case w2: Cypher.With =>
         val seg = pipeSegment(piped, names,
           w2.chains, w2.optional, w2.wheres, w2.items.map(_._1))
-        pipeFrom(seg, w2.items, w2.postWheres, w2.next)
+        pipeFrom(seg, w2)
       case m: Cypher.Match =>
         val seg = pipeSegment(piped, names,
           m.chains, m.optional, m.wheres, m.returns)

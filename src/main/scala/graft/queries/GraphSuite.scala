@@ -242,6 +242,25 @@ object GraphSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1""".stripMargin)),
 
+    // WITH ORDER BY/LIMIT (round-7 growth): the top-k pipeline — keep
+    // the 5 biggest nations by customer count (tie-broken on the unique
+    // n so the kept set is deterministic), then hop each to its region.
+    // Plans TakeOrderedAndProject for the stage: per-partition top-k +
+    // driver merge, no global sort.
+    "cypher_with_topk" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) with n, count(*) as nc " +
+          "order by nc desc, n limit 5 " +
+          "match (n)-[:IN]->(r:Region) return n, nc, r"),
+      Some("""WITH agg AS (
+             |  SELECT 'nation:' || n_name AS n, count(*) AS nc
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1),
+             |top AS (SELECT n, nc FROM agg ORDER BY nc DESC, n LIMIT 5)
+             |SELECT DISTINCT top.n AS n, nc, 'region:' || r_name AS r
+             |FROM top JOIN nation ON top.n = 'nation:' || n_name
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     "cypher_topk" -> Q(
       (s, d) => g(s, d).query(
         "match (c:Customer)-[:IN]->(n:Nation) " +

@@ -547,5 +547,25 @@ class CypherSpec extends SparkSpec {
       "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
         "match (x:Country)-[:IN]->(y) return x, n"))
     assert(e3.getMessage.contains("re-bind"), e3.getMessage)
+    // WITH ORDER BY/LIMIT: the top-k pipeline — modifiers run BEFORE the
+    // post-WITH WHERE (Neo4j's clause order), so LIMIT 1 keeps only the
+    // top city and the filter then sees just that row
+    val top = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "order by n desc, c limit 1 " +
+        "match (c)-[:IN]->(k:Country) return c, n, k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(top == Set(("Paris", 3L, "FR")), top.toString)
+    // LIMIT-before-WHERE: the limit keeps Paris only; a WHERE that
+    // excludes it yields the empty frame (Oslo was already truncated)
+    val cut = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "order by n desc, c limit 1 where n < 2 return c, n")
+    assert(cut.count() == 0, "WHERE must filter AFTER the LIMIT")
+    // an ORDER BY key must be a WITH output
+    val e4 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "order by zz limit 1 return c"))
+    assert(e4.getMessage.contains("in scope"), e4.getMessage)
   }
 }
