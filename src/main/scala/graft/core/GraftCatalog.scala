@@ -54,8 +54,22 @@ final class GraftCatalog(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = commit(name, df)
 
+  /** Statement-scoped name bindings (CTEs): while `f` runs, `table`
+    * resolves these names FIRST — a CTE shadows a same-named catalog
+    * table, standard SQL scoping. Restored on exit (also on throw), and
+    * safe to nest; the frames a query builds inside the scope are plans
+    * that captured their inputs at build time, so they stay valid after
+    * the scope pops. */
+  def withScope[T](bindings: Map[String, DataFrame])(f: => T): T = {
+    val saved = scope
+    scope = scope ++ bindings
+    try f finally scope = saved
+  }
+  private var scope = Map.empty[String, DataFrame]
+
   def table(name: String): DataFrame =
-    tables.getOrElse(name, throw new IllegalArgumentException(s"no such table: $name"))
+    scope.getOrElse(name, tables.getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name")))
 
   def exists(name: String): Boolean = tables.contains(name)
   def names: Seq[String] = tables.keys.toSeq.sorted

@@ -223,6 +223,40 @@ object HashqlSuite extends Suite {
              |WHERE p_size > (SELECT avg(p_size) FROM part)
              |  AND p_type = 'ECONOMY'""".stripMargin)),
 
+    // CTEs (round-7 growth — `with name as (select …) select …`):
+    // aggregate once in the CTE, filter its outputs in the body. CTE
+    // names shadow tables for the statement and Catalyst inlines the
+    // definition — the plan is exactly the nested aggregation's.
+    "hashql_cte" -> Q(
+      (s, d) => run(s, d,
+        "with per_cust as (select orders.o_custkey, count(*) " +
+          "from orders group by orders.o_custkey) " +
+          "select per_cust.o_custkey, per_cust.cnt from per_cust " +
+          "where per_cust.cnt >= 14"),
+      Some("""WITH per_cust AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT o_custkey, cnt FROM per_cust WHERE cnt >= 14"""
+        .stripMargin)),
+
+    // CTE chain + body join against a base table: the second CTE refines
+    // the first, and the body joins it back to customer — the dedupe of
+    // the shared join-key name mirrors the reference's dict-merge.
+    "hashql_cte_join" -> Q(
+      (s, d) => run(s, d,
+        "with per_cust as (select orders.o_custkey, count(*) " +
+          "from orders group by orders.o_custkey), " +
+          "big as (select per_cust.o_custkey, per_cust.cnt from per_cust " +
+          "where per_cust.cnt >= 14) " +
+          "select customer.c_name, big.cnt from big " +
+          "inner join customer on customer.c_custkey = big.o_custkey"),
+      Some("""WITH per_cust AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY o_custkey),
+             |big AS (SELECT o_custkey, cnt FROM per_cust WHERE cnt >= 14)
+             |SELECT c_name, cnt FROM big
+             |JOIN customer ON c_custkey = big.o_custkey""".stripMargin)),
+
     // EXISTS (SELECT …): correlated existence test — the correlation
     // `orders.o_custkey = customer.c_custkey` inside the subquery WHERE
     // becomes the LEFT SEMI join key; the status conjunct stays a

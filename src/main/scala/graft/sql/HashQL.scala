@@ -223,6 +223,17 @@ object HashQL {
     * silent choice). Each branch is a full Select (its own WHERE / GROUP
     * BY / ORDER BY / LIMIT, applied per-branch). Dialect growth. */
   final case class Union(selects: Seq[Select], all: Boolean) extends Stmt
+  /** `with name as (select …) (, name as (select …))* select …` — common
+    * table expressions (dialect growth; the reference has no subqueries
+    * at all, server.py:456-476). Each CTE body is a full Select or Union
+    * chain; later CTEs and the main body see all earlier CTE names,
+    * which SHADOW same-named catalog tables for the statement (standard
+    * SQL scoping). Queries only — a CTE cannot head a DML statement. */
+  final case class WithCtes(ctes: Seq[(String, Stmt)], body: Stmt) extends Stmt {
+    require(ctes.nonEmpty, "WITH needs at least one CTE")
+    require(ctes.map(_._1).distinct.size == ctes.size,
+      s"duplicate CTE names: ${ctes.map(_._1).diff(ctes.map(_._1).distinct).mkString(", ")}")
+  }
   final case class CreateJoin(clauses: Seq[(String, ColRef, ColRef)]) extends Stmt
   /** `create agg view as select …` — dialect growth: registers the
     * SELECT's aggregation as a routed summary via
@@ -319,43 +330,26 @@ object HashQL {
       case "insert" => kw("into"); insertRest()
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
-      case "select" =>
-        val first = selectRest()
-        if (!is("union")) first
-        else {
-          val branches = scala.collection.mutable.ArrayBuffer(first)
-          val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
-          while (is("union")) {
-            next()
-            allFlags += (is("all") && { next(); true })
-            kw("select")
-            branches += selectRest()
-          }
-          require(allFlags.distinct.size == 1,
-            "mixed UNION / UNION ALL in one chain is not supported")
-          Union(branches.toSeq, allFlags.head)
+      case "select" => selectOrUnion()
+      case "with" =>
+        // CTEs: with name as (select …) (, name as (…))* select …
+        val ctes = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
+        var more = true
+        while (more) {
+          val name = next()
+          kw("as"); kw("("); kw("select")
+          ctes += name -> selectOrUnion()
+          kw(")")
+          more = is(",") && { next(); true }
         }
+        kw("select")
+        WithCtes(ctes.toSeq, selectOrUnion())
       case "create" =>
         if (is("table")) {
           next()
           val t = next()
           kw("as"); kw("select")
-          CreateTableAs(t, selectRest() match {
-            case s if !is("union") => s
-            case first =>
-              // union chains compose under CTAS too
-              val branches = scala.collection.mutable.ArrayBuffer(first)
-              val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
-              while (is("union")) {
-                next()
-                allFlags += (is("all") && { next(); true })
-                kw("select")
-                branches += selectRest()
-              }
-              require(allFlags.distinct.size == 1,
-                "mixed UNION / UNION ALL in one chain is not supported")
-              Union(branches.toSeq, allFlags.head)
-          })
+          CreateTableAs(t, selectOrUnion()) // union chains compose under CTAS
         }
         else if (is("agg")) {
           next(); kw("view"); kw("as"); kw("select")
@@ -516,6 +510,27 @@ object HashQL {
           Not(atom)
         } else atom
       }
+
+    /** A SELECT (already past the keyword), optionally continued by a
+      * UNION [ALL] chain — shared by top-level selects, CTAS bodies, and
+      * CTE bodies (inside parens the closing ')' ends the chain). */
+    private def selectOrUnion(): Stmt = {
+      val first = selectRest()
+      if (!is("union")) first
+      else {
+        val branches = scala.collection.mutable.ArrayBuffer(first)
+        val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+        while (is("union")) {
+          next()
+          allFlags += (is("all") && { next(); true })
+          kw("select")
+          branches += selectRest()
+        }
+        require(allFlags.distinct.size == 1,
+          "mixed UNION / UNION ALL in one chain is not supported")
+        Union(branches.toSeq, allFlags.head)
+      }
+    }
 
     private def selectRest(): Select = {
       // `select distinct …` — set semantics over the projected rows
@@ -1175,6 +1190,28 @@ object HashQL {
           "with a parquet path for it")
       case sel: Select => Some(selectFrame(cat, sel, registry))
       case u: Union => Some(unionFrame(cat, u, registry))
+      case WithCtes(ctes, body) =>
+        // build each CTE's plan inside the scope of the earlier ones,
+        // then the body inside all of them; a built plan captured its
+        // inputs, so it stays valid after the scope pops. CTEs cost
+        // nothing by themselves — Catalyst inlines them into the body's
+        // plan (a CTE referenced twice is planned twice, like Spark's
+        // own non-cached CTE handling; persist through CTAS when a CTE
+        // must be shared at scale).
+        val scope = ctes.foldLeft(Map.empty[String, DataFrame]) {
+          case (sc, (name, defn)) =>
+            sc + (name -> cat.withScope(sc)(queryFrame(cat, defn, registry)))
+        }
+        Some(cat.withScope(scope)(queryFrame(cat, body, registry)))
+    }
+
+  /** Evaluate a query-shaped Stmt (Select or Union) to a frame. */
+  private def queryFrame(cat: GraftCatalog, stmt: Stmt,
+                         registry: Option[JoinRegistry]): DataFrame =
+    stmt match {
+      case s: Select => selectFrame(cat, s, registry)
+      case u: Union => unionFrame(cat, u, registry)
+      case other => throw new IllegalStateException(s"not a query: $other")
     }
 
   private def unionFrame(cat: GraftCatalog, u: Union,
@@ -1214,6 +1251,15 @@ object HashQL {
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
             acc = acc.join(tdf, acc(known.column) === tdf(fresh.column), kind)
+            // same-NAMED equi-join keys (a CTE joined back to its base
+            // table is the common case) would make every later bare-name
+            // reference ambiguous; on an INNER join the two copies hold
+            // equal values, so keep the accumulated side's — the
+            // reference's dict-merge does the same collapse. Outer joins
+            // keep both (the unmatched side's NULL key is meaningful —
+            // the coalesce key-merge serves those).
+            if (kind == "inner" && known.column == fresh.column)
+              acc = acc.drop(tdf(fresh.column))
           }
           acc
         }

@@ -763,6 +763,38 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, nameCs)
   }
 
+  test("CTEs: chaining, table shadowing, scope popped after the statement") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // aggregate CTE + filter over its outputs
+    val one = HashQL.execute(cat,
+      "with s as (select t.g, count(*), sum(t.v) from t group by t.g) " +
+        "select s.g, s.cnt, s.sum_v from s where s.cnt >= 3").get
+    assert(one.as[(String, Long, Long)].collect().toSet == Set(("b", 3L, 12L)))
+    // a later CTE references an earlier one; the body joins a CTE with a
+    // real table
+    val chain = HashQL.execute(cat,
+      "with s as (select t.g, sum(t.v) from t group by t.g), " +
+        "big as (select s.g, s.sum_v from s where s.sum_v > 3) " +
+        "select t.g, t.v, big.sum_v from t " +
+        "inner join big on big.g = t.g where t.v >= 4").get
+    assert(chain.as[(String, Long, Long)].collect().toSet ==
+      Set(("b", 4L, 12L), ("b", 5L, 12L)))
+    // a CTE SHADOWS a same-named catalog table for the statement…
+    val shadowed = HashQL.execute(cat,
+      "with t as (select t.g from t where t.v = 1) select t.g from t").get
+    assert(shadowed.as[String].collect().toSeq == Seq("a"))
+    // …and the real table is back the moment the statement ends
+    assert(HashQL.execute(cat, "select t.g from t").get.count() == 5)
+    // CTE names don't leak into the catalog
+    intercept[IllegalArgumentException](cat.table("s"))
+    // duplicate CTE names are rejected
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with x as (select t.g from t), x as (select t.g from t) " +
+        "select x.g from x"))
+  }
+
   test("correlated EXISTS / NOT EXISTS plan as semi/anti joins") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("b", 2), ("c", 3)).foreach { case (n, k) =>
