@@ -121,6 +121,37 @@ object HashqlSuite extends Suite {
              |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
              |FROM customer""".stripMargin)),
 
+    // moving sum (round-7 growth): `rows 2 preceding` = ROWS BETWEEN 2
+    // PRECEDING AND CURRENT ROW — the sliding-frame idiom; integer
+    // measure keeps the fold exact, and the frame's evaluation order is
+    // the window order (unique c_custkey), so both engines agree.
+    "hashql_win_movsum" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey, " +
+          "sum(customer.c_custkey) over (partition by customer.c_nationkey " +
+          "order by customer.c_custkey rows 2 preceding) from customer"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  CAST(sum(c_custkey) OVER (PARTITION BY c_nationkey
+             |       ORDER BY c_custkey
+             |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS wsum_c_custkey
+             |FROM customer""".stripMargin)),
+
+    // moving average over the same frame: a 3-element average of small
+    // integers is an exact sum divided by an exact small count, so the
+    // IEEE double matches bit-for-bit across engines.
+    "hashql_win_movavg" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey, " +
+          "avg(customer.c_nationkey) over (partition by customer.c_nationkey " +
+          "order by customer.c_custkey rows 2 preceding) from customer"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  avg(c_nationkey) OVER (PARTITION BY c_nationkey
+             |       ORDER BY c_custkey
+             |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |    AS wavg_c_nationkey
+             |FROM customer""".stripMargin)),
+
     // computed-UPDATE (growth beyond the reference's literal-only SET):
     // birthday bump — age = age + 1 for one person, literal-VALUES oracle.
     "hashql_update_expr" -> Q(
@@ -222,6 +253,21 @@ object HashqlSuite extends Suite {
       Some("""SELECT p_partkey, p_size FROM part
              |WHERE p_size > (SELECT avg(p_size) FROM part)
              |  AND p_type = 'ECONOMY'""".stripMargin)),
+
+    // catalog introspection (round-7 growth — the reference's HTTP API
+    // has no listing/schema endpoints): show tables / describe.
+    "hashql_show_tables" -> Q(
+      (s, d) => HashQL.execute(tpchCat(s, d), "show tables").get,
+      Some("""SELECT * FROM (VALUES ('customer'), ('documents'),
+             |  ('embeddings'), ('events'), ('lineitem'), ('nation'),
+             |  ('orders'), ('part'), ('region'), ('supplier'))
+             |AS t(table_name)""".stripMargin)),
+
+    "hashql_describe" -> Q(
+      (s, d) => HashQL.execute(tpchCat(s, d), "describe nation").get,
+      Some("""SELECT * FROM (VALUES ('n_nationkey', 'INT'),
+             |  ('n_name', 'STRING'), ('n_regionkey', 'INT'))
+             |AS t(column_name, column_type)""".stripMargin)),
 
     // CTEs (round-7 growth — `with name as (select …) select …`):
     // aggregate once in the CTE, filter its outputs in the body. CTE

@@ -71,9 +71,13 @@ object HashQL {
     * Spark and DuckDB share, peers included). Windows project alongside
     * plain fields (no GROUP BY, no doc-paths in the same select); their
     * aliases are addressable in ORDER BY like any output column. */
+  /** `frame`: `rows <n> preceding` — a bounded sliding frame
+    * (ROWS BETWEEN n PRECEDING AND CURRENT ROW) for sum/avg: the moving
+    * sum/average idiom. None = the ANSI default RANGE frame. */
   final case class WinCall(fn: String, arg: Option[ColRef],
                            part: Seq[ColRef],
-                           order: Seq[(ColRef, Boolean)]) extends SelectItem
+                           order: Seq[(ColRef, Boolean)],
+                           frame: Option[Int] = None) extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
     * schema-union gaps. Two-arg forms: column+literal (fill a default)
@@ -229,6 +233,12 @@ object HashQL {
     * chain; later CTEs and the main body see all earlier CTE names,
     * which SHADOW same-named catalog tables for the statement (standard
     * SQL scoping). Queries only — a CTE cannot head a DML statement. */
+  /** `show tables` — one (table_name) row per catalog table, sorted
+    * (dialect growth — introspection the reference's HTTP API lacks). */
+  case object ShowTables extends Stmt
+  /** `describe t` — (column_name, column_type) rows in schema order;
+    * types render as Spark SQL type names (BIGINT, STRING, …). */
+  final case class Describe(table: String) extends Stmt
   final case class WithCtes(ctes: Seq[(String, Stmt)], body: Stmt) extends Stmt {
     require(ctes.nonEmpty, "WITH needs at least one CTE")
     require(ctes.map(_._1).distinct.size == ctes.size,
@@ -331,6 +341,8 @@ object HashQL {
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
       case "select" => selectOrUnion()
+      case "show" => kw("tables"); ShowTables
+      case "describe" => Describe(next())
       case "with" =>
         // CTEs: with name as (select …) (, name as (…))* select …
         val ctes = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
@@ -683,12 +695,26 @@ object HashQL {
         }
         os.toSeq
       } else Nil
+      // `rows <n> preceding` — bounded sliding frame (the moving-sum/avg
+      // idiom); ROWS semantics need a deterministic row order, so ORDER
+      // BY is required with it
+      val frame = if (is("rows")) {
+        next()
+        val n = next().toInt
+        kw("preceding")
+        Some(n)
+      } else None
       kw(")")
-      require(Set("row_number", "rank", "sum", "lag", "lead").contains(fn),
-        s"window functions supported: row_number, rank, sum, lag, lead — got $fn")
-      require(fn == "sum" || order.nonEmpty,
+      require(Set("row_number", "rank", "sum", "avg", "lag", "lead").contains(fn),
+        s"window functions supported: row_number, rank, sum, avg, lag, lead — got $fn")
+      require(fn == "sum" || fn == "avg" || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
-      WinCall(fn, arg, part, order)
+      require(frame.isEmpty || fn == "sum" || fn == "avg",
+        "a rows frame applies to sum/avg windows only")
+      require(frame.isEmpty || order.nonEmpty,
+        "a rows frame requires an ORDER BY in the window")
+      require(frame.forall(_ >= 0), "rows frame size must be >= 0")
+      WinCall(fn, arg, part, order, frame)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -1017,6 +1043,7 @@ object HashQL {
     case "row_number" => "rn"
     case "rank" => "rnk"
     case "sum" => s"wsum_${w.arg.get.column}"
+    case "avg" => s"wavg_${w.arg.get.column}"
     case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
   }
 
@@ -1025,17 +1052,22 @@ object HashQL {
     val spec0 =
       if (w.part.isEmpty) Window.partitionBy()
       else Window.partitionBy(w.part.map(p => col(p.column)): _*)
-    val spec =
+    val ordered =
       if (w.order.isEmpty) spec0
       else spec0.orderBy(w.order.map { case (r, d) =>
         if (d) col(r.column).desc else col(r.column).asc }: _*)
+    // `rows n preceding` → ROWS BETWEEN n PRECEDING AND CURRENT ROW (the
+    // moving sum/avg); Spark and DuckDB share the frame semantics, and
+    // the frame's evaluation order is the window order — deterministic
+    val spec = w.frame.fold(ordered)(n => ordered.rowsBetween(-n, 0))
     w.fn match {
       case "row_number" => row_number().over(spec)
       case "rank" => rank().over(spec)
-      // with ORDER BY this is the ANSI default RANGE frame (running sum,
-      // peers included) — Spark and DuckDB agree; without, the whole
-      // partition's sum on every row
+      // with ORDER BY and no explicit frame this is the ANSI default
+      // RANGE frame (running sum, peers included) — Spark and DuckDB
+      // agree; without ORDER BY, the whole partition's sum on every row
       case "sum" => sum(col(w.arg.get.column)).over(spec)
+      case "avg" => avg(col(w.arg.get.column)).over(spec)
       case "lag" => lag(col(w.arg.get.column), 1).over(spec)
       case "lead" => lead(col(w.arg.get.column), 1).over(spec)
     }
@@ -1188,6 +1220,15 @@ object HashQL {
         "create agg view materializes a summary — call " +
           "HashQL.materializeAggView(cat, sql, path, registry) " +
           "with a parquet path for it")
+      case ShowTables =>
+        val s = cat.spark
+        import s.implicits._
+        Some(cat.names.toDF("table_name"))
+      case Describe(t) =>
+        val s = cat.spark
+        import s.implicits._
+        Some(cat.table(t).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.sql)).toDF("column_name", "column_type"))
       case sel: Select => Some(selectFrame(cat, sel, registry))
       case u: Union => Some(unionFrame(cat, u, registry))
       case WithCtes(ctes, body) =>

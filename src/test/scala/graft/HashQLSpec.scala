@@ -763,6 +763,22 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, nameCs)
   }
 
+  test("rows-frame windows: moving sum/avg values, frame guards") {
+    val cat = new GraftCatalog(spark)
+    Seq(1, 2, 3, 4).foreach(v =>
+      HashQL.execute(cat, s"insert into w (g, v) values ('x', $v)"))
+    val mov = HashQL.execute(cat,
+      "select w.v, sum(w.v) over (partition by w.g order by w.v rows 1 preceding), " +
+        "avg(w.v) over (partition by w.g order by w.v rows 1 preceding) from w").get
+    assert(mov.as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 1L, 1.0), (2L, 3L, 1.5), (3L, 5L, 2.5), (4L, 7L, 3.5)))
+    // a frame needs ORDER BY; only sum/avg take one
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select sum(w.v) over (partition by w.g rows 1 preceding) from w"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select row_number() over (order by w.v rows 1 preceding) from w"))
+  }
+
   test("CTEs: chaining, table shadowing, scope popped after the statement") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)).foreach { case (g, v) =>
