@@ -570,8 +570,9 @@ class HashQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.g, count(*), row_number() over (order by t.g) " +
         "from t group by t.g"))
+    // avg joined the window set in round 7; min/max over windows stay out
     intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select avg(t.v) over (order by t.o) from t"))
+      "select min(t.v) over (order by t.o) from t"))
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.k from t sample 1001 permille by t.k"))
   }
