@@ -119,6 +119,15 @@ final class GraftCatalog(val spark: SparkSession) {
       else lit(null))))
   }
 
+  /** DELETE by row identity: drop every row whose `id` appears in `ids`
+    * — the subquery-predicate delete path, where the SQL layer already
+    * evaluated the predicate to a row set (one anti-join; at scale the
+    * doomed set is usually broadcast-sized). */
+  def deleteRows(name: String, ids: DataFrame): Unit = {
+    val df = table(name)
+    commit(name, df.join(ids.select(col("id")).distinct(), Seq("id"), "left_anti"))
+  }
+
   /** S3 DELETE as anti-filter. Only rows where the predicate is TRUE are
     * deleted: a NULL predicate (dynamic-schema row missing the WHERE
     * field) keeps the row, as SQL DELETE does — a bare `!where` would

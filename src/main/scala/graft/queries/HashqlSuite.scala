@@ -254,6 +254,23 @@ object HashqlSuite extends Suite {
              |WHERE p_size > (SELECT avg(p_size) FROM part)
              |  AND p_type = 'ECONOMY'""".stripMargin)),
 
+    // DELETE with an IN-subquery predicate (round-7 growth — the
+    // decontamination idiom a training pipeline runs daily: drop every
+    // corpus row named by a contamination list). The predicate evaluates
+    // through the same semi-join machinery SELECT uses, then one
+    // anti-join on the dialect id drops the doomed rows.
+    "hashql_delete_in_subquery" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat, "insert into banned (nm) values ('Ted'), ('Sam')")
+        HashQL.execute(cat,
+          "delete from people where people.people_name in " +
+            "(select banned.nm from banned)")
+        HashQL.execute(cat, "select * from people").get
+      },
+      Some("""SELECT * FROM (VALUES (2, 'Fred', 45), (3, 'Simon', 29))
+             |AS t(id, people_name, age)""".stripMargin)),
+
     // catalog introspection (round-7 growth — the reference's HTTP API
     // has no listing/schema endpoints): show tables / describe.
     "hashql_show_tables" -> Q(

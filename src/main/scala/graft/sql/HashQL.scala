@@ -1180,6 +1180,9 @@ object HashQL {
         })
         None
       case Update(t, (ref, sv), wheres) =>
+        require(!wheres.exists(subqueryPred),
+          "UPDATE does not take subquery predicates — stage the target " +
+            "rows with CTAS, or DELETE + re-INSERT them")
         val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
         // the update IS a retraction pair: retract the matched rows'
         // before-image, append their after-image (matched set pinned by
@@ -1204,13 +1207,29 @@ object HashQL {
         }
         None
       case Delete(t, wheres) =>
-        val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
         // capture the deleted rows' plan BEFORE the copy-on-write rewrite
         // (plans are immutable, so it stays evaluatable after); the hook
         // then folds negated partials into deltable aggregate views and
         // invalidates everything else
-        val deleted = cat.table(t).filter(cond)
-        cat.delete(t, cond)
+        val pre = cat.table(t)
+        val deleted =
+          if (wheres.exists(subqueryPred)) {
+            // subquery predicates (the decontamination idiom — `delete …
+            // where id in (select …)`) evaluate to a ROW SET via the same
+            // semi/anti machinery SELECT uses; the doomed ids then drop
+            // by one anti-join. Needs the dialect id column for identity.
+            require(pre.columns.contains("id"),
+              s"DELETE with a subquery predicate needs table $t's dialect " +
+                "id column (raw-registered tables have no row identity)")
+            val doomed = applyWheres(cat, pre, wheres, registry).select("id")
+            cat.deleteRows(t, doomed)
+            pre.join(doomed, Seq("id"), "left_semi")
+          } else {
+            val cond = wheres.map(predColumn(cat, _))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            cat.delete(t, cond)
+            pre.filter(cond)
+          }
         registry.foreach(_.onDelete(cat, t, deleted))
         None
       case cj: CreateJoin =>
@@ -1254,6 +1273,53 @@ object HashQL {
       case u: Union => unionFrame(cat, u, registry)
       case other => throw new IllegalStateException(s"not a query: $other")
     }
+
+  /** Apply a WHERE conjunct list to a frame — plain predicates as
+    * filters, subquery predicates as their join forms. Shared by SELECT
+    * and by the subquery-DELETE path (the predicate set IS the doomed
+    * row set there). */
+  private def applyWheres(cat: GraftCatalog, frame: DataFrame,
+                          wheres: Seq[Pred],
+                          registry: Option[JoinRegistry]): DataFrame = {
+    var df = frame
+    wheres.foreach {
+      // membership subqueries plan as semi/anti joins on the filtered
+      // frame — Catalyst broadcasts the (typically dimension-sized)
+      // subquery side, so the 100 TB shape is one broadcast probe
+      case InSelect(ref, sub) =>
+        val sf = subqueryFrame(cat, sub, registry)
+        df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_semi")
+      case Not(InSelect(ref, sub)) =>
+        val sf = subqueryFrame(cat, sub, registry)
+        df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
+      case ExistsSelect(sub) =>
+        df = existsJoin(cat, df, sub, registry, anti = false)
+      case Not(ExistsSelect(sub)) =>
+        df = existsJoin(cat, df, sub, registry, anti = true)
+      // scalar subquery: broadcast the 1-row aggregate and compare —
+      // at scale this is a scan-side filter against a broadcast value
+      case CmpSelect(ref, op, sub) =>
+        val sf = selectFrame(cat, sub, registry)
+        require(sf.columns.length == 1,
+          s"scalar subquery must project exactly one column, " +
+            s"got ${sf.columns.mkString(", ")}")
+        val sv = sf.toDF("graft_scalar")
+        df = df.crossJoin(broadcast(sv))
+          .filter(graft.core.Compare.cmp(
+            col(ref.column).try_cast(sv.schema.head.dataType),
+            op, col("graft_scalar")))
+          .drop("graft_scalar")
+      case pr => df = df.filter(predColumn(cat, pr))
+    }
+    df
+  }
+
+  /** Does a top-level conjunct need the join machinery (vs a Column)? */
+  private def subqueryPred(p: Pred): Boolean = p match {
+    case _: InSelect | _: ExistsSelect | _: CmpSelect => true
+    case Not(_: InSelect | _: ExistsSelect) => true
+    case _ => false
+  }
 
   private def unionFrame(cat: GraftCatalog, u: Union,
                          registry: Option[JoinRegistry]): DataFrame = {
@@ -1304,35 +1370,7 @@ object HashQL {
           }
           acc
         }
-        wheres.foreach {
-          // membership subqueries plan as semi/anti joins on the filtered
-          // frame — Catalyst broadcasts the (typically dimension-sized)
-          // subquery side, so the 100 TB shape is one broadcast probe
-          case InSelect(ref, sub) =>
-            val sf = subqueryFrame(cat, sub, registry)
-            df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_semi")
-          case Not(InSelect(ref, sub)) =>
-            val sf = subqueryFrame(cat, sub, registry)
-            df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
-          case ExistsSelect(sub) =>
-            df = existsJoin(cat, df, sub, registry, anti = false)
-          case Not(ExistsSelect(sub)) =>
-            df = existsJoin(cat, df, sub, registry, anti = true)
-          // scalar subquery: broadcast the 1-row aggregate and compare —
-          // at scale this is a scan-side filter against a broadcast value
-          case CmpSelect(ref, op, sub) =>
-            val sf = selectFrame(cat, sub, registry)
-            require(sf.columns.length == 1,
-              s"scalar subquery must project exactly one column, " +
-                s"got ${sf.columns.mkString(", ")}")
-            val sv = sf.toDF("graft_scalar")
-            df = df.crossJoin(broadcast(sv))
-              .filter(graft.core.Compare.cmp(
-                col(ref.column).try_cast(sv.schema.head.dataType),
-                op, col("graft_scalar")))
-              .drop("graft_scalar")
-          case pr => df = df.filter(predColumn(cat, pr))
-        }
+        df = applyWheres(cat, df, wheres, registry)
         def aggColumns: Seq[Column] = aggsOf(items)
         val out = groupBy match {
           case gs if gs.nonEmpty =>

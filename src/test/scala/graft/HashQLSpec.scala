@@ -780,6 +780,50 @@ class HashQLSpec extends SparkSpec {
       "select row_number() over (order by w.v rows 1 preceding) from w"))
   }
 
+  test("DELETE with subquery predicates: the decontamination idiom") {
+    val cat = new GraftCatalog(spark)
+    Seq(("d1", 10), ("d2", 20), ("d3", 30), ("d4", 40)).foreach { case (n, s) =>
+      HashQL.execute(cat, s"insert into corpus (nm, score) values ('$n', $s)") }
+    Seq("d2", "d4").foreach(n =>
+      HashQL.execute(cat, s"insert into bad (nm) values ('$n')"))
+    // IN-subquery composed with a plain conjunct: only the matching half
+    // of the bad list is doomed
+    HashQL.execute(cat,
+      "delete from corpus where corpus.nm in (select bad.nm from bad) " +
+        "and corpus.score >= 40")
+    assert(HashQL.execute(cat, "select corpus.nm from corpus").get
+      .as[String].collect().toSet == Set("d1", "d2", "d3"))
+    // NOT IN — keep only the contaminated rows' complement
+    HashQL.execute(cat,
+      "delete from corpus where corpus.nm not in (select bad.nm from bad)")
+    assert(HashQL.execute(cat, "select corpus.nm from corpus").get
+      .as[String].collect().toSet == Set("d2"))
+    // the delta hook sees subquery deletes too: a count view stays
+    // routed and exact through one
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_subdel").toString
+    HashQL.execute(cat, "insert into corpus (nm, score) values ('d9', 90)")
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select corpus.nm, count(*) from corpus " +
+        "group by corpus.nm", s"$dir/view", Some(reg))
+    try {
+      HashQL.execute(cat,
+        "delete from corpus where corpus.nm in (select bad.nm from bad)",
+        Some(reg))
+      val got = HashQL.execute(cat,
+        "select corpus.nm, count(*) from corpus group by corpus.nm",
+        Some(reg)).get
+      assert(got.queryExecution.executedPlan.toString.contains(s"$dir/view"),
+        "subquery delete dropped the deltable route")
+      assert(got.as[(String, Long)].collect().toSet == Set(("d9", 1L)))
+    } finally graft.matview.MatView.drop(spark, name)
+    // UPDATE rejects subquery predicates with a targeted message
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update corpus set corpus.score = 1 " +
+        "where corpus.nm in (select bad.nm from bad)"))
+    assert(e.getMessage.contains("UPDATE does not take subquery"), e.getMessage)
+  }
+
   test("CTEs: chaining, table shadowing, scope popped after the statement") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)).foreach { case (g, v) =>
