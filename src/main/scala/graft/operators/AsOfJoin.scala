@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,14 +25,23 @@ object AsOfJoin {
     * @param leftTime   event-time column on `left`
     * @param rightTime  event-time column on `right`
     * @param payload    columns of `right` to carry (renamed as given)
+    * @param tolerance  maximum allowed |leftTime − matched rightTime|
+    *                   (pandas merge_asof's `tolerance`): a match farther
+    *                   away comes out NULL, exactly like no match.
+    *                   Measured after a cast-to-long of both time columns
+    *                   — SECONDS for timestamps, native units for
+    *                   numerics. The windowed carry is unchanged; only
+    *                   the emitted match is gap-gated, so this costs one
+    *                   scan-side comparison. None = unbounded (default).
     * @return left columns + payload columns (null where no prior right row)
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           payload: Map[String, String]): DataFrame =
+           payload: Map[String, String],
+           tolerance: Option[Long] = None): DataFrame =
     asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
-      forward = false)
+      forward = false, tolerance)
 
   /** Forward as-of join: for each left row `(key, t)`, attach the EARLIEST
     * right row with the same key and `rightTime >= t` — the "next
@@ -45,14 +54,16 @@ object AsOfJoin {
   def asOfForward(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTime: String, rightTime: String,
-                  payload: Map[String, String]): DataFrame =
+                  payload: Map[String, String],
+                  tolerance: Option[Long] = None): DataFrame =
     asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
-      forward = true)
+      forward = true, tolerance)
 
   private def asOfImpl(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           payload: Map[String, String], forward: Boolean): DataFrame = {
+           payload: Map[String, String], forward: Boolean,
+           tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadSchema = right.select(payload.keys.toSeq.map(col): _*).schema
     // tie-break only on ORDERABLE payload fields: a MapType (or other
@@ -64,12 +75,18 @@ object AsOfJoin {
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(1))
       .withColumn("__payload",
-        lit(null).cast(payloadSchema
-          .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _)))
+        lit(null).cast((payloadSchema.fields :+
+          org.apache.spark.sql.types.StructField("__rt",
+            right.schema(rightTime).dataType))
+          .foldLeft(new org.apache.spark.sql.types.StructType())(_ add _)))
+    // the matched right row's own time rides in the struct (reserved
+    // field __rt) so the tolerance gate can measure the gap; it is NOT a
+    // tie-break key (tieCols come from the declared payload only)
     val r = right
       .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__isLeft"),
-        struct(payload.keys.toSeq.map(col): _*).as("__payload"))): _*)
+        struct((payload.keys.toSeq.map(col) :+
+          col(rightTime).as("__rt")): _*).as("__payload"))): _*)
     val unioned = l.select(
       (leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__isLeft"), col("__payload"))): _*)
       .unionByName(r, allowMissingColumns = true)
@@ -94,7 +111,26 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match",
       last(col("__payload"), ignoreNulls = true).over(w))
-    carried.filter(col("__isLeft") === 1)
+    // tolerance gate: a carried match farther than `tolerance` from the
+    // probe time is emitted as NULL — same output as no match at all.
+    // One scan-side comparison; the window pass is untouched.
+    // temporal columns go through a timestamp cast first (TIMESTAMP_NTZ
+    // has no direct long cast; the session timezone applies identically
+    // to both sides, so the DIFFERENCE is tz-free)
+    def asEpoch(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case _: org.apache.spark.sql.types.TimestampNTZType |
+             _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.DateType =>
+          c.cast("timestamp").cast("long")
+        case _ => c.cast("long")
+      }
+    val gated = tolerance.fold(carried)(tol =>
+      carried.withColumn("__match",
+        when(abs(asEpoch(col("__t"), left.schema(leftTime).dataType) -
+          asEpoch(col("__match.__rt"), right.schema(rightTime).dataType))
+          <= tol, col("__match"))))
+    gated.filter(col("__isLeft") === 1)
       .select(leftCols.map(col) ++
         payload.map { case (src, dst) => col(s"__match.$src").as(dst) }.toSeq: _*)
   }

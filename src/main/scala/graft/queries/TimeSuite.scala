@@ -161,6 +161,28 @@ object TimeSuite extends Suite {
              |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
              |GROUP BY e.event_id""".stripMargin)),
 
+    // As-of with tolerance (round-7 growth — pandas merge_asof's
+    // `tolerance`): the latest at-or-before match comes out NULL when it
+    // is more than 30 days old. The gate is one scan-side comparison on
+    // the carried match time; equivalence with the windowed oracle holds
+    // because the LATEST at-or-before row is the closest — if it misses
+    // the tolerance window, every earlier row does too.
+    "asof_tolerance" -> Q(
+      (s, d) => AsOfJoin.asOf(
+        left = events(s, d).select("event_id", "user_id", "ts_utc"),
+        right = Tables.t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_utc", rightTime = "o_orderdate",
+        payload = Map("o_orderdate" -> "last_order_date"),
+        tolerance = Some(30L * 86400))
+        .select("event_id", "last_order_date"),
+      Some("""SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+             |FROM events e
+             |LEFT JOIN orders o
+             |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |  AND o.o_orderdate >= e.ts - INTERVAL 2592000 SECOND
+             |GROUP BY e.event_id""".stripMargin)),
+
     // Forward as-of join: earliest order at-or-after each event — the
     // "next scheduled thing" lookup, same union+window plan reversed.
     "asof_forward" -> Q(

@@ -27,6 +27,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out(1).getAs[Map[String, Int]]("m_out") == Map("b" -> 2))
   }
 
+  test("as-of tolerance: stale matches come out NULL; boundary is inclusive") {
+    val left = Seq(("k1", 100L), ("k1", 200L), ("k1", 300L)).toDF("k", "t")
+    val right = Seq(("k1", 95L, "x"), ("k1", 150L, "y")).toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      payload = Map("v" -> "v_out"), tolerance = Some(50L))
+      .orderBy("t").collect().map(r => r.getLong(1) -> Option(r.getString(2)))
+    // 100 matches 95 (gap 5); 200 matches 150 at the inclusive boundary
+    // (gap 50); 300's latest match (150) is 150 away — NULL, like no match
+    assert(out.toSeq == Seq(100L -> Some("x"), 200L -> Some("y"),
+      300L -> None), out.mkString(", "))
+    // forward mode gates the same way
+    val fwd = AsOfJoin.asOfForward(left, right, "k", "rk", "t", "rt",
+      payload = Map("v" -> "v_out"), tolerance = Some(50L))
+      .orderBy("t").collect().map(r => r.getLong(1) -> Option(r.getString(2)))
+    assert(fwd.toSeq == Seq(100L -> Some("y"), 200L -> None, 300L -> None),
+      fwd.mkString(", "))
+  }
+
   test("interval join matches brute force, both window edges inclusive") {
     // window = [-5s, +10s]; bucket width 15s — pairs straddle buckets
     val left = Seq((1L, ts(10000)), (2L, ts(29999)), (3L, ts(45000)))
