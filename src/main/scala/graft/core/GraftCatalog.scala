@@ -67,6 +67,12 @@ final class GraftCatalog(val spark: SparkSession) {
   }
   private var scope = Map.empty[String, DataFrame]
 
+  /** Is `name` currently shadowed by a statement-scoped binding? Read
+    * paths that key on table NAMES (materialized-join routing) must
+    * check this: a routed pre-joined view of the BASE table is not an
+    * answer for a query over its CTE shadow. */
+  def isShadowed(name: String): Boolean = scope.contains(name)
+
   def table(name: String): DataFrame =
     scope.getOrElse(name, tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name")))

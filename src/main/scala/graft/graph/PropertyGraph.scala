@@ -664,13 +664,31 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         s"'${outName(r)}' is neither a WITH output (${pipedNames.mkString(", ")}) " +
           "nor bound by this segment's MATCH — project it in the WITH first")
     }
+    // a numeric aggregate over a BARE variable is only meaningful for a
+    // piped (numeric) column; over a segment-bound node variable it
+    // would try_cast identity strings to NULL — same rejection as the
+    // single-stage path (evalMatch)
+    aggs.foreach { a =>
+      require(a.fn == "count" || a.arg.exists(r =>
+          r.attr.isDefined || pipedOnly(r)),
+        s"${a.fn} over a pattern variable needs a var.attr argument")
+    }
     val joined =
       if (chains.isEmpty) piped // bare RETURN tail
       else {
         val shared = pipedNames.filter(segBound)
         require(shared.nonEmpty,
           "a pipeline MATCH segment must re-bind at least one WITH variable")
-        val segItems = (refs.filterNot(pipedOnly) ++
+        // aggregation must range over the DISTINCT pattern BINDINGS, not
+        // the distinct projected values — include every named variable
+        // the segment binds, so two residents of one city stay two rows
+        // under count(*) (anonymous endpoints have no name to carry and
+        // collapse, a documented narrowing of the single-stage contract)
+        val bindingItems =
+          if (aggs.isEmpty) Nil
+          else (chains ++ optional).flatMap(_.nodes.flatMap(_.variable))
+            .distinct.map(v => Cypher.Ret(v, None))
+        val segItems = (refs.filterNot(pipedOnly) ++ bindingItems ++
           shared.map(v => Cypher.Ret(v, None))).distinct
         val bound = evalMatch(
           Cypher.Match(chains, segItems, wheres, Nil, None, optional))

@@ -272,14 +272,13 @@ object MatView {
     * absorbs the pruning Projects that make coarser queries structurally
     * different from the view. */
   private def substituteCoarse(a: Aggregate, e: AggEntry): Option[LogicalPlan] = {
-    def dbg(m: => String): Unit = if (sys.env.contains("GRAFT_MV_DEBUG")) println(s"[mvdbg] $m")
-    if (e.childKey.isEmpty) { dbg("no childKey"); return None }
+    if (e.childKey.isEmpty) return None
     val key = e.childKey.get
     val joinCols = key.cond.flatMap { case (x, y) => Seq(x, y) }
     val flat = flattenCollect(a.child, joinCols)
-    if (flat.isEmpty) { dbg("flatten failed"); return None }
+    if (flat.isEmpty) return None
     val (leaves, conds, preds) = flat.get
-    if (Key(leaves, conds) != key) { dbg(s"key mismatch: ${Key(leaves, conds)} vs $key"); return None }
+    if (Key(leaves, conds) != key) return None
     // FILTER containment: a deterministic predicate referencing only the
     // summary's GROUPING KEYS selects whole groups — filtering the
     // summary's rows on the rewritten predicate keeps exactly the fact
@@ -296,13 +295,13 @@ object MatView {
           out.references.subsetOf(AttributeSet(e.replacement.output))) Some(out)
       else None
     }
-    if (rewrittenPreds.exists(_.isEmpty)) { dbg("pred rewrite failed"); return None }
+    if (rewrittenPreds.exists(_.isEmpty)) return None
     val source: LogicalPlan =
       if (rewrittenPreds.isEmpty) e.replacement
       else org.apache.spark.sql.catalyst.plans.logical.Filter(
         rewrittenPreds.map(_.get).reduce(And), e.replacement)
     val newGrouping = a.groupingExpressions.map(g => e.groupMap.get(sqlKey(g)))
-    if (newGrouping.exists(_.isEmpty)) { dbg(s"grouping rewrite failed: ${a.groupingExpressions.map(sqlKey)} keys=${e.groupMap.keys}"); return None }
+    if (newGrouping.exists(_.isEmpty)) return None
     val newList = a.aggregateExpressions.map { ne =>
       val u = ne match { case al: Alias => al.child; case x => x }
       val rewritten: Option[Expression] = u match {
@@ -353,10 +352,8 @@ object MatView {
       }
       rewritten.map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
-    if (newList.exists(_.isEmpty)) {
-      dbg(s"agg rewrite failed for: ${a.aggregateExpressions.zip(newList).collect{case (x, None)=>x.toString + " / class=" + (x match {case al: Alias => al.child.getClass.getName; case o => o.getClass.getName})}.mkString("; ")} aggMap=${e.aggMap.keys}")
-      None
-    } else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), source))
+    if (newList.exists(_.isEmpty)) None
+    else Some(Aggregate(newGrouping.map(_.get), newList.map(_.get), source))
   }
 
   private final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -509,8 +506,21 @@ object MatView {
         case _ => ()
       }
     }
+    // sqlKey strips attribute qualifiers (so temp-view and DataFrame
+    // registrations render the same key) — sound ONLY while a bare name
+    // denotes one attribute across the view's join: if any column name
+    // appears in TWO child leaves, a query grouping on the OTHER side's
+    // same-named column would strip to an identical key and silently
+    // route to this side's summary column. Disable containment for such
+    // views (exact-match routing is canonical-plan-keyed, qualifier-free
+    // by construction, and stays on). Checked on the ANALYZED plan:
+    // column pruning in the optimized child can remove the very
+    // same-named column a differently-pruned query still groups on.
+    val leafNames = view.queryExecution.analyzed.collectLeaves()
+      .flatMap(_.output.map(_.name.toLowerCase(java.util.Locale.ROOT)))
+    val nameAmbiguous = leafNames.size != leafNames.distinct.size
     val childKey =
-      if (keysCollide) None
+      if (keysCollide || nameAmbiguous) None
       else flatten(agg.child).flatMap { case (l, c, nn) =>
         // same guard as keyOf: a view registered over a join carrying a
         // non-key IsNotNull has semantics the (leaves, conds) key cannot

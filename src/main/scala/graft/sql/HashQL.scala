@@ -927,7 +927,6 @@ object HashQL {
       val old = spark.read.parquet(reg.path)
       val deltas = removed.map(partials(_, -1)).toSeq ++
         added.map(partials(_, 1)).toSeq
-      val aliases = old.columns.filterNot(groupCols.contains).toSeq
       // counts and sums fold by summation (sum() skips nulls, so an
       // all-null partial is a no-op — those rows contributed nothing to
       // the stored value either); min/max fold by min/max
@@ -947,7 +946,10 @@ object HashQL {
         .groupBy(groupCols.map(col): _*)
         .agg(foldCols.head, foldCols.tail: _*)
       if (retracts) {
-        folded = folded.filter(col("cnt") > 0)
+        // emptied KEYED groups vanish, as a recompute would show; the
+        // GLOBAL aggregation (no GROUP BY) keeps its one row — a
+        // recompute over zero facts still yields (0, NULL, …)
+        if (groupCols.nonEmpty) folded = folded.filter(col("cnt") > 0)
         calls.filter(_.fn == "sum").foreach { c =>
           val (s, n) = (s"sum_${c.ref.column}", s"cnt_${c.ref.column}")
           folded = folded.withColumn(s, when(col(n) > 0, col(s)))
@@ -1346,8 +1348,11 @@ object HashQL {
         // routes (the pre-joined rows lack the unmatched-left rows).
         val tset = joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
           .toSet + table
+        // a CTE shadowing any participating table makes the NAME-keyed
+        // route wrong (the pre-joined parquet holds BASE rows, not the
+        // shadow's) — fall back to the live build, which resolves shadows
         val routed =
-          if (joins.exists(_.outer)) None
+          if (joins.exists(_.outer) || tset.exists(cat.isShadowed)) None
           else registry.flatMap(_.routedFrame(tset,
             joins.map(j => (j.table, j.l, j.r))))
         var df = routed.getOrElse {

@@ -567,5 +567,19 @@ class CypherSpec extends SparkSpec {
       "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
         "order by zz limit 1 return c"))
     assert(e4.getMessage.contains("in scope"), e4.getMessage)
+    // segment aggregation ranges over the distinct BINDINGS, not the
+    // distinct projected values: three Paris residents count as 3 even
+    // though only c is projected
+    val perCity = g.query(
+      "match (c:City) with c match (q:Person)-[:LIVES]->(c) " +
+        "return c, count(*)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCity == Map("Paris" -> 3L, "Oslo" -> 1L), perCity.toString)
+    // a numeric aggregate over a segment-bound bare node var is rejected
+    // (identity strings would try_cast to NULL), same as single-stage
+    val e5 = intercept[IllegalArgumentException](g.query(
+      "match (c:City) with c match (q:Person)-[:LIVES]->(c) " +
+        "return c, sum(q)"))
+    assert(e5.getMessage.contains("var.attr"), e5.getMessage)
   }
 }

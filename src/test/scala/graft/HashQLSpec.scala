@@ -824,6 +824,40 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("UPDATE does not take subquery"), e.getMessage)
   }
 
+  test("a CTE shadowing a routed table bypasses the materialized join") {
+    import graft.core.Tables
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "nation").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val reg = new HashQL.JoinRegistry
+    HashQL.execute(cat,
+      "create join inner join nation on customer.c_nationkey = nation.n_nationkey",
+      Some(reg))
+    val tmp = java.nio.file.Files.createTempDirectory("mv_cte").toString
+    val name = HashQL.materializeJoin(
+      cat, reg, Set("customer", "nation"), s"$tmp/view")
+    try {
+      def joinsIn(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+      val plainSel = "select customer.c_custkey, nation.n_name from customer " +
+        "inner join nation on customer.c_nationkey = nation.n_nationkey"
+      assert(joinsIn(HashQL.execute(cat, plainSel, Some(reg)).get) == 0) // routed
+      // the same join under a CTE shadow of `customer` must NOT serve the
+      // pre-joined base rows — the shadow's filter would silently vanish
+      val shadowed = HashQL.execute(cat,
+        "with customer as (select customer.c_custkey, customer.c_nationkey " +
+          "from customer where customer.c_mktsegment = 'BUILDING') " + plainSel,
+        Some(reg)).get
+      assert(joinsIn(shadowed) >= 1, "CTE shadow was bypassed by the route")
+      val expect = HashQL.execute(cat,
+        "select customer.c_custkey from customer " +
+          "where customer.c_mktsegment = 'BUILDING'", Some(reg)).get.count()
+      assert(shadowed.count() == expect)
+    } finally graft.matview.MatView.drop(spark, s"hashql:$name")
+  }
+
   test("CTEs: chaining, table shadowing, scope popped after the statement") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)).foreach { case (g, v) =>

@@ -521,6 +521,33 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, s"hashql:$name")
   }
 
+  test("same-named columns on two join sides disable containment; exact match survives") {
+    import spark.implicits._
+    // both relations carry a `name` column — after qualifier stripping a
+    // query grouping on b's name would render the same key as a's; the
+    // registration must disable containment rather than over-match
+    val a = Seq((1, "x"), (2, "y"), (3, "y")).toDF("id", "name")
+    val b = Seq((1, "p"), (2, "q"), (3, "p")).toDF("bid", "name")
+    val base = a.join(b, col("id") === col("bid"))
+    val out = java.nio.file.Files.createTempDirectory("mv_amb").toString
+    val view = base.groupBy(a("name")).agg(count(lit(1)).as("cnt"))
+    MatView.materializeAggregate(spark, "amb_view", view, out)
+    try {
+      // grouping on the OTHER side's same-named column must NOT route
+      val q = base.groupBy(b("name")).agg(count(lit(1)).as("cnt"))
+      assert(!q.queryExecution.executedPlan.toString.contains(out.split("/").last),
+        "cross-relation same-name grouping wrongly routed to the summary")
+      assert(q.as[(String, Long)].collect().toSet ==
+        Set(("p", 2L), ("q", 1L)))
+      // the verbatim repeat still routes via the canonical-plan match
+      val same = base.groupBy(a("name")).agg(count(lit(1)).as("cnt"))
+      assert(same.queryExecution.executedPlan.toString.contains(out.split("/").last),
+        "exact-match route lost")
+      assert(same.as[(String, Long)].collect().toSet ==
+        Set(("x", 1L), ("y", 2L)))
+    } finally MatView.drop(spark, "amb_view")
+  }
+
   test("unrelated queries are untouched") {
     val out = java.nio.file.Files.createTempDirectory("mv2").toString
     MatView.materialize(spark, "cust_nation2", custNation, out)
