@@ -121,6 +121,18 @@ object HashqlSuite extends Suite {
              |       ORDER BY c_custkey) AS BIGINT) AS wsum_c_custkey
              |FROM customer""".stripMargin)),
 
+    // grouped top-k — THE dashboard query: biggest groups first, ORDER BY
+    // addressing the aggregate's auto-alias, deterministic tie-break on
+    // the key. Plans TakeOrderedAndProject above the partial agg.
+    "hashql_topk_groups" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderpriority, count(*) from orders " +
+          "group by orders.o_orderpriority " +
+          "order by cnt desc, orders.o_orderpriority limit 3"),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY cnt DESC, o_orderpriority LIMIT 3""".stripMargin)),
+
     // moving sum (round-7 growth): `rows 2 preceding` = ROWS BETWEEN 2
     // PRECEDING AND CURRENT ROW — the sliding-frame idiom; integer
     // measure keeps the fold exact, and the frame's evaluation order is
