@@ -139,30 +139,44 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** PageRank in EXACT integer fixed-point arithmetic: ranks are scaled
     * by `scale` (initial rank = scale), a round is
     * `rank' = (15·scale) div 100 + (85·Σ contribs) div 100` with
-    * `contrib = rank div outDegree` — damping 0.85 as integer
-    * multiply-then-divide. Integer addition commutes exactly, so results
-    * are reproducible across partitionings, runs, and engines, where
-    * float PageRank depends on summation order. Dangling mass is dropped
-    * (the standard simplified formulation — ranks need not sum to
-    * n·scale). `iters` is capped so the plan is a fixed-depth join tree:
-    * one groupBy-on-dst shuffle per round plus a broadcast-sized
-    * out-degree side; no driver-side iteration state. Overflow headroom:
-    * 85·Σ contribs ≤ 85·n·scale — safe in a long to ~10^11 nodes at the
-    * default scale. */
+    * `contrib = (rank·w) div Σw` over the source's out-edges — damping
+    * 0.85 as integer multiply-then-divide. Unweighted (the default) sets
+    * w = 1, so contrib = rank div outDegree, the textbook form. Integer
+    * addition commutes exactly, so results are reproducible across
+    * partitionings, runs, and engines, where float PageRank depends on
+    * summation order. Dangling mass is dropped (the standard simplified
+    * formulation — ranks need not sum to n·scale). `iters` is capped so
+    * the plan is a fixed-depth join tree: one groupBy-on-dst shuffle per
+    * round plus a broadcast-sized out-weight side; no driver-side
+    * iteration state.
+    *
+    * `weight` (round-7 growth — the edge-importance variant every
+    * interaction graph wants): a Column over the EDGE frame (src / dst /
+    * rel / eattrs in scope — e.g.
+    * `coalesce(element_at(eattrs, "w").cast("long"), 1)`), cast to long;
+    * integral weights keep the fixed point exact. Edges with NULL or
+    * non-positive weight are dropped (they would poison the integer
+    * sums). Overflow headroom: rank·w stays in a long while
+    * max-rank · max-weight < 2^63 — at the default scale that is weights
+    * to ~10^12 on ~10^5-rank graphs. */
   def pageRank(iters: Int = 2, rels: Seq[String] = Nil,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               weight: Option[Column] = None): DataFrame = {
     require(iters >= 0 && iters <= 8, s"iters must be in 0..8, got $iters")
-    val es = (if (rels.isEmpty) edges
-      else edges.filter(col("rel").isin(rels: _*)))
-      .select(col("src"), col("dst"))
-    val outDeg = es.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val base = (if (rels.isEmpty) edgesN
+      else edgesN.filter(col("rel").isin(rels: _*)))
+    val es = base
+      .select(col("src"), col("dst"),
+        weight.map(_.cast("long")).getOrElse(lit(1L)).as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+    val outW = es.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     var ranks = vertices.select(col("name").as("node"),
       lit(scale).as("rank"))
     (0 until iters).foreach { _ =>
       val contribs = es
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
-        .select(col("dst").as("node"), expr("rank div odeg").as("c"))
+        .join(outW, Seq("src"))
+        .select(col("dst").as("node"), expr("(rank * w) div wsum").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cin"))
       ranks = vertices.select(col("name").as("node"))
         .join(contribs, Seq("node"), "left")

@@ -414,6 +414,46 @@ object GraphSuite extends Suite {
     // contrib = rank div outdeg, rank' = 150000 + (85·Σcontrib) div 100
     // at scale 10^6. Integer sums commute, so even the ITERATED ranks
     // hash-match across engines (float pagerank could not).
+    // weighted PageRank (round-7 growth): BUYS edges weighted by the
+    // customer-supplier LINE count — contrib = (rank·w) div Σw, still
+    // exact integer fixed-point, so the iterated ranks hash-match the
+    // SQL mirror; hierarchy edges default to w = 1 through the coalesce.
+    "graph_pagerank_weighted" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, element_at, lit}
+        gBuysWeighted(s, d).pageRank(iters = 1,
+          weight = Some(coalesce(
+            element_at(org.apache.spark.sql.functions.col("eattrs"), "w")
+              .cast("long"), lit(1L))))
+      },
+      Some("""WITH
+             |v AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+             |  UNION ALL SELECT 'nation:' || n_name FROM nation
+             |  UNION ALL SELECT 'region:' || r_name FROM region
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+             |e AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+             |        'nation:' || n_name AS dst, CAST(1 AS BIGINT) AS w
+             |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation:' || n_name, 'region:' || r_name, 1
+             |      FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             |        'nation:' || n_name, 1
+             |      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  UNION ALL SELECT 'customer:' || CAST(o_custkey AS VARCHAR),
+             |        'supplier:' || CAST(l_suppkey AS VARCHAR),
+             |        CAST(count(*) AS BIGINT)
+             |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |      GROUP BY o_custkey, l_suppkey),
+             |ow AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM v),
+             |c1 AS (SELECT e.dst AS node,
+             |         CAST(sum((r.rank * e.w) // o.wsum) AS BIGINT) AS cin
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN ow o ON e.src = o.src GROUP BY e.dst)
+             |SELECT v.node,
+             |  CAST(150000 + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS rank
+             |FROM v LEFT JOIN c1 c ON v.node = c.node""".stripMargin)),
+
     "graph_pagerank" -> Q(
       (s, d) => g(s, d).pageRank(iters = 2),
       Some("""WITH
