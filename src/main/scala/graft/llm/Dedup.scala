@@ -126,6 +126,27 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
     clusters(pairs, aCol, bCol, broadcastMaxPairs = 2000000L)
 
+  /** QUALITY-based representative selection (round-7 growth — production
+    * curation keeps each near-dup cluster's BEST member, not its
+    * lowest-id one): given [[clusters]]' (doc_id, rep) table and a
+    * per-doc score frame, return (rep, keep_id) with keep_id = the
+    * highest-scoring member, ties to the LOWER doc_id so the choice is
+    * total and engine-reproducible. One equi-join plus one max_by
+    * aggregate — cluster-table-sized work, the corpus is never re-read
+    * (pass `length(text)`, a model quality score, or any other
+    * precomputed signal as the score). */
+  def keepBest(clusters: DataFrame, scores: DataFrame,
+               idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
+    clusters
+      .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
+        Seq("doc_id"))
+      .groupBy(col("rep"))
+      // lexicographic struct max: highest score, then highest -doc_id
+      // (= lowest doc_id) — the deterministic argmax
+      .agg(max_by(col("doc_id"),
+        struct(col("__s"), (lit(0L) - col("doc_id")).as("__nid"))).as("keep_id"))
+      .select(col("rep"), col("keep_id"))
+
   /** @param broadcastMaxPairs pair sets at or below this row count run
     *        union-find on the driver (pairs are the operator's OUTPUT —
     *        orders of magnitude smaller than the corpus — and 2M edges of

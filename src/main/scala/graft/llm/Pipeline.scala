@@ -105,6 +105,23 @@ object Pipeline {
     corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** One-row contamination REPORT (round-7 growth — the number a data
+    * card quotes and a release gate checks): corpus size, count of docs
+    * colliding with the benchmark on any n-gram, and the integer
+    * per-mille rate — exact integer division, so the report hashes
+    * identically across engines. Same scan shape as
+    * [[decontaminateNgram]]: eval grams dedup + broadcast, the corpus
+    * is probed scan-side and never shuffled. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 13): DataFrame = {
+    val hits = Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
+    corpus.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_contaminated")))
+      .select(col("n_docs"), col("n_contaminated"),
+        expr("(1000 * n_contaminated) div n_docs").as("permille"))
+  }
+
   /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid
     * filters run on each micro-batch BEFORE any shuffling (same cost
     * ordering as the batch pass), then survivors flow through

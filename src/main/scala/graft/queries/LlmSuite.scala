@@ -796,6 +796,27 @@ object LlmSuite extends Suite {
         Dedup.minhashLsh(augmented(s, d), "text", "doc_id", 0.6)),
       Some(clustersOracle(0.6))),
 
+    // quality-based representative selection (round-7 growth): keep each
+    // cluster's LONGEST member instead of its lowest id — the production
+    // curation rule ("keep the best copy"); ties break to the lower id,
+    // so the Spark max_by struct argmax and the SQL window agree exactly.
+    "dedup_keep_best" -> Q(
+      (s, d) => Dedup.keepBest(
+        Dedup.clusters(Dedup.minhashLsh(augmented(s, d), "text", "doc_id", 0.6)),
+        augmented(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("score"))),
+      Some(s"""WITH RECURSIVE ${jaccardPairsCtes(0.6)},
+              |$closureCtes,
+              |cl AS (SELECT u AS doc_id, min(w) AS rep FROM reach GROUP BY u),
+              |sc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sscore
+              |       FROM aug),
+              |j AS (SELECT cl.rep, cl.doc_id, sc.sscore
+              |      FROM cl JOIN sc ON cl.doc_id = sc.doc_id),
+              |r AS (SELECT rep, doc_id, row_number() OVER (
+              |        PARTITION BY rep ORDER BY sscore DESC, doc_id) AS rn
+              |      FROM j)
+              |SELECT rep, doc_id AS keep_id FROM r WHERE rn = 1""".stripMargin)),
+
     // the full cleaning pass wired end-to-end: scan-side quality+langid
     // filters, then near-dup clustering over the survivors, keep reps only.
     "clean_corpus" -> Q(
@@ -881,6 +902,21 @@ object LlmSuite extends Suite {
               |SELECT doc_id, count(*) AS hits FROM cg
               |WHERE gram IN (SELECT gram FROM evg)
               |GROUP BY doc_id""".stripMargin)),
+
+    // ... the one-row rate REPORT over the same collisions — the data
+    // card number; integer per-mille keeps the hash exact.
+    "contam_rate" -> Q(
+      (s, d) => graft.llm.Pipeline.contaminationReport(
+        docs(s, d).select(col("doc_id"), col("text")),
+        augmented(s, d).filter(col("doc_id") >= 10000 && col("doc_id") < 10050),
+        "text", "doc_id", n = 8),
+      Some(s"""WITH ${ngramCollisionCtes(8)},
+              |h AS (SELECT doc_id FROM cg
+              |      WHERE gram IN (SELECT gram FROM evg) GROUP BY doc_id)
+              |SELECT (SELECT count(*) FROM documents) AS n_docs,
+              |  (SELECT count(*) FROM h) AS n_contaminated,
+              |  (1000 * (SELECT count(*) FROM h)) //
+              |    (SELECT count(*) FROM documents) AS permille""".stripMargin)),
 
     // ... and the decontamination pass over it (drop every hit doc; the
     // hit id set is benchmark-bounded, so the anti-join broadcasts it).
