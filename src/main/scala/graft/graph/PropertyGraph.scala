@@ -687,6 +687,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           r.attr.isDefined || pipedOnly(r)),
         s"${a.fn} over a pattern variable needs a var.attr argument")
     }
+    // segment aggregation carries every NAMED variable into the binding
+    // set, but an anonymous node has no name to carry — two bindings
+    // differing only in the anonymous middle would collapse and count(*)
+    // silently undercount (single-stage MATCH carries its __anon columns
+    // and does not). Reject up front; the fix is to name the node.
+    require(aggs.isEmpty || (chains ++ optional)
+        .forall(_.nodes.forall(_.variable.isDefined)),
+      "aggregation in a pipeline segment requires every pattern node to " +
+        "be NAMED (anonymous nodes cannot join the binding set) — give " +
+        "the intermediate node a variable")
     val joined =
       if (chains.isEmpty) piped // bare RETURN tail
       else {

@@ -138,8 +138,13 @@ object Dedup {
   def keepBest(clusters: DataFrame, scores: DataFrame,
                idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
     clusters
+      // LEFT join: a member missing from the score frame must not vanish
+      // (dropping it could delete a whole cluster from the keep-list) —
+      // its NULL score sorts below every scored member in the struct
+      // ordering, so unscored members only win when the entire cluster
+      // is unscored, and then the lowest id keeps (the classic rule)
       .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
-        Seq("doc_id"))
+        Seq("doc_id"), "left")
       .groupBy(col("rep"))
       // lexicographic struct max: highest score, then highest -doc_id
       // (= lowest doc_id) — the deterministic argmax
@@ -323,14 +328,13 @@ object Dedup {
     val pairs = minhashLsh(df, textCol, idCol, threshold, bands, rowsPerBand)
     val comp = clusters(pairs) // (doc_id, rep), clustered docs only
     pairs.unpersist()
-    val scored = comp.join(
-      df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")), "doc_id")
-    val best = scored.groupBy(col("rep")).agg(max(col("__score")).as("__best"))
-    val winners = scored.join(best, "rep")
-      .filter(col("__score") === col("__best"))
-      .groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val drops = scored.select(col("doc_id"))
+    // the argmax rule (max score, ties to the lower id) lives in ONE
+    // place — [[keepBest]]; here it selects the per-cluster winner and
+    // everything else in a cluster drops
+    val winners = keepBest(comp,
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("score")))
+      .select(col("keep_id").as("doc_id"))
+    val drops = comp.select(col("doc_id"))
       .join(winners, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

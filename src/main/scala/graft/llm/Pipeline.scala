@@ -118,8 +118,12 @@ object Pipeline {
     val hits = Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
     corpus.agg(count(lit(1)).as("n_docs"))
       .crossJoin(hits.agg(count(lit(1)).as("n_contaminated")))
+      // an empty corpus reports 0‰ rather than NULL (Spark's div-by-zero)
+      // — a release gate comparing the rate must never see a silent NULL
       .select(col("n_docs"), col("n_contaminated"),
-        expr("(1000 * n_contaminated) div n_docs").as("permille"))
+        when(col("n_docs") > 0,
+          expr("(1000 * n_contaminated) div n_docs"))
+          .otherwise(lit(0L)).as("permille"))
   }
 
   /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid

@@ -581,5 +581,11 @@ class CypherSpec extends SparkSpec {
       "match (c:City) with c match (q:Person)-[:LIVES]->(c) " +
         "return c, sum(q)"))
     assert(e5.getMessage.contains("var.attr"), e5.getMessage)
+    // aggregation over a segment with an ANONYMOUS node is rejected (the
+    // unnamed binding cannot join the distinct set — it would silently
+    // undercount); naming the node is the documented fix
+    val e6 = intercept[IllegalArgumentException](g.query(
+      "match (c:City) with c match ()-[:LIVES]->(c) return c, count(*)"))
+    assert(e6.getMessage.contains("NAMED"), e6.getMessage)
   }
 }
