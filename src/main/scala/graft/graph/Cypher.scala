@@ -331,7 +331,9 @@ object Cypher {
             // WITH pipeline (growth): items close this stage; an optional
             // WHERE filters the stage's OUTPUT columns by bare name (the
             // graph HAVING); the tail is another MATCH segment or a bare
-            // RETURN over the piped frame.
+            // RETURN over the piped frame. A leading DISTINCT is accepted
+            // and a no-op — stage outputs already have set semantics.
+            tryKeyword("distinct")
             val items = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Option[String])]
             var m = true
             while (m) {
@@ -393,9 +395,12 @@ object Cypher {
     }
 
     /** RETURN list + ORDER BY/LIMIT → a [[Match]]; shared by the plain
-      * statement form and the pipeline tail (where `cs` is empty). */
+      * statement form and the pipeline tail (where `cs` is empty).
+      * A leading DISTINCT is accepted and a no-op — RETURN already has
+      * set semantics here (Neo4j-port compatibility). */
     private def returnTail(cs: Seq[Chain], conds: Seq[WExpr],
                            opt: Seq[Chain]): Match = {
+            tryKeyword("distinct")
             val rets = scala.collection.mutable.ArrayBuffer(retItem())
             while (tryEat(',')) rets += retItem()
             val obs = scala.collection.mutable.ArrayBuffer.empty[(RetItem, Boolean)]

@@ -587,5 +587,15 @@ class CypherSpec extends SparkSpec {
     val e6 = intercept[IllegalArgumentException](g.query(
       "match (c:City) with c match ()-[:LIVES]->(c) return c, count(*)"))
     assert(e6.getMessage.contains("NAMED"), e6.getMessage)
+    // Neo4j-port compat: RETURN DISTINCT / WITH DISTINCT are accepted
+    // no-ops (set semantics already hold here)
+    val dis = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) return distinct c")
+      .collect().map(_.getString(0)).toSet
+    assert(dis == Set("Paris", "Oslo"))
+    val wdis = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with distinct c return c")
+      .collect().map(_.getString(0)).toSet
+    assert(wdis == Set("Paris", "Oslo"))
   }
 }

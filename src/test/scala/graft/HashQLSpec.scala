@@ -882,6 +882,12 @@ class HashQLSpec extends SparkSpec {
     assert(shadowed.as[String].collect().toSeq == Seq("a"))
     // …and the real table is back the moment the statement ends
     assert(HashQL.execute(cat, "select t.g from t").get.count() == 5)
+    // a CTE body can be a UNION chain
+    val u = HashQL.execute(cat,
+      "with gs as (select t.g from t where t.v = 1 " +
+        "union select t.g from t where t.v = 3) " +
+        "select gs.g from gs").get
+    assert(u.as[String].collect().toSet == Set("a", "b"))
     // CTE names don't leak into the catalog
     intercept[IllegalArgumentException](cat.table("s"))
     // duplicate CTE names are rejected
