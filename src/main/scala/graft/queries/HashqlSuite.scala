@@ -283,6 +283,29 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES (2, 'Fred', 45), (3, 'Simon', 29))
              |AS t(id, people_name, age)""".stripMargin)),
 
+    // recursive CTE (round-7 growth): semi-naive reachability fixpoint —
+    // UNION-distinct iteration with frontier-only step joins; the a→b→c→a
+    // cycle terminates through EXCEPT, the c→d spur rides along, e/f stay
+    // unreachable. DuckDB evaluates its native WITH RECURSIVE over the
+    // same edge list.
+    "hashql_recursive_reach" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "f"))
+          .foreach { case (x, y) =>
+            HashQL.execute(cat, s"insert into g (s, d) values ('$x', '$y')") }
+        HashQL.execute(cat,
+          "with recursive r as (select g.d from g where g.s = 'a' " +
+            "union select g.d from r inner join g on g.s = r.d) " +
+            "select r.d from r").get
+      },
+      Some("""WITH RECURSIVE ed(s, d) AS (
+             |  SELECT * FROM (VALUES ('a','b'), ('b','c'), ('c','a'),
+             |    ('c','d'), ('e','f'))),
+             |r(d) AS (SELECT d FROM ed WHERE s = 'a'
+             |  UNION SELECT ed.d FROM r JOIN ed ON ed.s = r.d)
+             |SELECT d FROM r""".stripMargin)),
+
     // catalog introspection (round-7 growth — the reference's HTTP API
     // has no listing/schema endpoints): show tables / describe.
     "hashql_show_tables" -> Q(

@@ -239,6 +239,18 @@ object HashQL {
   /** `describe t` — (column_name, column_type) rows in schema order;
     * types render as Spark SQL type names (BIGINT, STRING, …). */
   final case class Describe(table: String) extends Stmt
+  /** `with recursive name as (select base union select step) select …` —
+    * the SQL fixpoint (dialect growth; DuckDB-compatible semantics):
+    * UNION (distinct — ALL is rejected, bag recursion diverges on
+    * cycles) iterated semi-naively: each round evaluates the step with
+    * `name` bound to the LAST round's NEW rows only, keeps what EXCEPT
+    * hasn't been seen, and stops when a round adds nothing. Rounds are
+    * capped (64) with a clear error, so a diverging recursion cannot
+    * hang a cluster. The step's references to `name` resolve through the
+    * same statement scope as plain CTEs; step output columns align to
+    * the base's POSITIONALLY (standard recursive-CTE rule). */
+  final case class WithRecursive(name: String, base: Select, step: Select,
+                                 body: Stmt) extends Stmt
   final case class WithCtes(ctes: Seq[(String, Stmt)], body: Stmt) extends Stmt {
     require(ctes.nonEmpty, "WITH needs at least one CTE")
     require(ctes.map(_._1).distinct.size == ctes.size,
@@ -343,6 +355,19 @@ object HashQL {
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
+      case "with" if is("recursive") =>
+        // with recursive name as (select base union select step) select …
+        next()
+        val name = next()
+        kw("as"); kw("("); kw("select")
+        val base = selectRest()
+        kw("union")
+        require(!is("all"),
+          "recursive CTE requires UNION (distinct) — UNION ALL diverges on cycles")
+        kw("select")
+        val step = selectRest()
+        kw(")"); kw("select")
+        WithRecursive(name, base, step, selectOrUnion())
       case "with" =>
         // CTEs: with name as (select …) (, name as (…))* select …
         val ctes = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
@@ -1265,7 +1290,83 @@ object HashQL {
             sc + (name -> cat.withScope(sc)(queryFrame(cat, defn, registry)))
         }
         Some(cat.withScope(scope)(queryFrame(cat, body, registry)))
+      case WithRecursive(name, base, step, body) =>
+        // semi-naive fixpoint: each round binds `name` to the LAST
+        // round's NEW rows only, so the step join probes the frontier,
+        // not the whole accumulated set — the 100 TB recursion shape
+        // (frontiers shrink; acc grows once per row). localCheckpoint
+        // per round keeps plan depth at one round and the driver holds
+        // counters only. Columns align positionally to the base's, the
+        // standard recursive-CTE rule. The frontier binds under RESERVED
+        // column names (the step AST's `name.` references are retargeted
+        // to them), so the recursive table's columns can never collide
+        // with the step tables' — a recursion's working table and its
+        // edge table share names by construction.
+        val recStep = retargetRecursive(step, name)
+        def rec(df: DataFrame): DataFrame =
+          df.toDF(df.columns.map(c => s"__rec_$c").toSeq: _*)
+        var acc = selectFrame(cat, base, registry).distinct().localCheckpoint()
+        var frontier = acc
+        var rounds = 0
+        var done = false
+        while (!done && rounds < 64) {
+          rounds += 1
+          val stepped = cat.withScope(Map(name -> rec(frontier)))(
+            selectFrame(cat, recStep, registry))
+          require(stepped.columns.length == acc.columns.length,
+            s"recursive step projects ${stepped.columns.length} columns, " +
+              s"base has ${acc.columns.length}")
+          val fresh = stepped.toDF(acc.columns.toSeq: _*)
+            .distinct().except(acc).localCheckpoint()
+          if (fresh.isEmpty) done = true
+          else {
+            acc = acc.unionByName(fresh).localCheckpoint()
+            frontier = fresh
+          }
+        }
+        require(done,
+          s"recursive CTE '$name' did not reach a fixpoint within 64 rounds")
+        Some(cat.withScope(Map(name -> acc))(queryFrame(cat, body, registry)))
     }
+
+  /** Rewrite a recursive step's `name.col` references to the frontier's
+    * reserved `__rec_col` names. The step grammar is deliberately the
+    * semi-naive walk shape — plain projection, inner joins, simple
+    * predicates; grouping/windows/subqueries inside a recursive step are
+    * rejected with a clear message (recursion composes with them through
+    * the OUTER body instead). */
+  private def retargetRecursive(step: Select, name: String): Select = {
+    def ref(r: ColRef): ColRef =
+      if (r.table == name) ColRef(r.table, s"__rec_${r.column}") else r
+    def pred(p: Pred): Pred = p match {
+      case Eq(r, v) => Eq(ref(r), v)
+      case Cmp(r, op, v) => Cmp(ref(r), op, v)
+      case Like(r, v) => Like(ref(r), v)
+      case InList(r, vs) => InList(ref(r), vs)
+      case IsNullP(r, n) => IsNullP(ref(r), n)
+      case EqCol(a, b) => EqCol(ref(a), ref(b))
+      case FtsMatch(r, q) => FtsMatch(ref(r), q)
+      case SampleBucket(r, pm) => SampleBucket(ref(r), pm)
+      case Not(x) => Not(pred(x))
+      case And(ps) => And(ps.map(pred))
+      case Or(ps) => Or(ps.map(pred))
+      case other => throw new IllegalArgumentException(
+        s"a recursive step supports simple predicates only, got: $other")
+    }
+    require(step.groupBy.isEmpty && step.having.isEmpty &&
+      step.orderBy.isEmpty && step.limit.isEmpty && step.offset.isEmpty &&
+      !step.distinct,
+      "a recursive step is a plain select … from … [join …] [where …] — " +
+        "aggregate/sort/limit through the outer body instead")
+    val items = step.items.map {
+      case Field(r) => Field(ref(r))
+      case other => throw new IllegalArgumentException(
+        s"a recursive step projects plain columns only, got: $other")
+    }
+    step.copy(items = items,
+      joins = step.joins.map(j => j.copy(l = ref(j.l), r = ref(j.r))),
+      wheres = step.wheres.map(pred))
+  }
 
   /** Evaluate a query-shaped Stmt (Select or Union) to a frame. */
   private def queryFrame(cat: GraftCatalog, stmt: Stmt,

@@ -858,6 +858,33 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, s"hashql:$name")
   }
 
+  test("recursive CTE: reachability fixpoint, cycle termination, guards") {
+    val cat = new GraftCatalog(spark)
+    // a→b→c→a cycle plus c→d spur and an unreachable e→f
+    Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "f"))
+      .foreach { case (s2, d2) =>
+        HashQL.execute(cat, s"insert into e (s, d) values ('$s2', '$d2')") }
+    val reach = HashQL.execute(cat,
+      "with recursive r as (select e.d from e where e.s = 'a' " +
+        "union select e.d from r inner join e on e.s = r.d) " +
+        "select r.d from r").get
+    // the cycle terminates through EXCEPT; d rides the spur; e/f excluded
+    assert(reach.as[String].collect().toSet == Set("a", "b", "c", "d"))
+    // UNION ALL recursion is rejected up front
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with recursive r as (select e.d from e union all " +
+        "select e.d from r inner join e on e.s = r.d) select r.d from r"))
+    assert(e1.getMessage.contains("UNION ALL"), e1.getMessage)
+    // arity mismatch between base and step is a clear error
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with recursive r as (select e.d from e where e.s = 'a' " +
+        "union select e.s, e.d from r inner join e on e.s = r.d) " +
+        "select r.d from r"))
+    assert(e2.getMessage.contains("columns"), e2.getMessage)
+    // the recursive name doesn't leak past the statement
+    intercept[IllegalArgumentException](cat.table("r"))
+  }
+
   test("CTEs: chaining, table shadowing, scope popped after the statement") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)).foreach { case (g, v) =>
