@@ -340,4 +340,44 @@ class ScaleSpec extends SparkSpec {
     assert(!gPlan.contains("Window") && gPlan.contains("graft_h_partial"),
       s"histogram plan shape:\n${gPlan.take(1200)}")
   }
+
+  test("round-7 plan shapes: broadcast EXISTS probe, cross-free WITH pipe, flat recursion") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders", "nation").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    // EXISTS lowers to ONE semi join with the subquery side BROADCAST —
+    // the dimension-probe shape, never a cartesian or a fact shuffle
+    val ex = HashQL.execute(cat,
+      "select customer.c_custkey from customer where exists " +
+        "(select orders.o_orderkey from orders " +
+        "where orders.o_custkey = customer.c_custkey " +
+        "and orders.o_orderstatus = 'F')").get
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert(exPlan.contains("LeftSemi") && exPlan.contains("BroadcastExchange"),
+      s"EXISTS probe not a broadcast semi join:\n${exPlan.take(1200)}")
+    assert(!exPlan.contains("CartesianProduct"))
+    // the Cypher WITH pipe is an equi-join of the group-sized stage
+    // output against the segment — never a cartesian
+    val g = graft.graph.PropertyGraph.fromTpch(
+      Tables.t(spark, sf, "customer"), Tables.t(spark, sf, "nation"),
+      Tables.t(spark, sf, "region"), Tables.t(spark, sf, "supplier"))
+    val piped = g.query(
+      "match (c:Customer)-[:IN]->(n:Nation) with n, count(*) as nc " +
+        "where nc > 5 match (n)-[:IN]->(r:Region) return n, nc, r")
+    assert(!piped.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "WITH pipe planned a cartesian")
+    // a converged recursive CTE serves from its checkpointed fixpoint —
+    // the body's plan is a scan (plus the projection), no join replay
+    Seq(("a", "b"), ("b", "c"), ("c", "a")).foreach { case (x, y) =>
+      HashQL.execute(cat, s"insert into re (s, d) values ('$x', '$y')") }
+    val rec = HashQL.execute(cat,
+      "with recursive r as (select re.d from re where re.s = 'a' " +
+        "union select re.d from r inner join re on re.s = r.d) " +
+        "select r.d from r").get
+    val recPlan = rec.queryExecution.executedPlan.toString
+    assert(recPlan.contains("ExistingRDD") && !recPlan.contains("Join"),
+      s"recursive body should scan the checkpointed fixpoint:\n${recPlan.take(800)}")
+  }
 }
