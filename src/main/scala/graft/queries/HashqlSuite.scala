@@ -1111,6 +1111,85 @@ object HashqlSuite extends Suite {
       },
       Some("""SELECT c_custkey, n_name, r_name FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
-             |JOIN region ON n_regionkey = r_regionkey""".stripMargin))
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // ---- round-9 growth: expression projections (verdict #2) ----
+
+    // arithmetic in the projection with standard precedence and an AS
+    // alias; int×long widens to BIGINT on both engines (oracle casts the
+    // DuckDB INT32 product), double halving is bit-exact.
+    "hashql_expr_project" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_size * 2 + 1 as s2, " +
+          "part.p_retailprice / 2 as half from part where part.p_size >= 45"),
+      Some("""SELECT p_partkey, CAST(p_size * 2 + 1 AS BIGINT) AS s2,
+             |  p_retailprice / 2 AS half
+             |FROM part WHERE p_size >= 45""".stripMargin)),
+
+    // CASE WHEN in the projection — full WHERE-grammar conditions, ELSE
+    // branch, decimal literals coercing to double.
+    "hashql_case" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "case when orders.o_totalprice >= 200000.0 then 'big' " +
+          "when orders.o_totalprice >= 50000.0 then 'mid' " +
+          "else 'small' end as bucket from orders"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice >= 200000.0 THEN 'big'
+             |       WHEN o_totalprice >= 50000.0 THEN 'mid'
+             |       ELSE 'small' END AS bucket
+             |FROM orders""".stripMargin)),
+
+    // aggregate over a computed expression — the revenue idiom's shape
+    // (sum of a per-row product) on exact-integer-valued doubles, so the
+    // distributed sum is order-independent and hash-stable.
+    "hashql_agg_expr" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "sum(lineitem.l_quantity * (1 + lineitem.l_linenumber)) as wq " +
+          "from lineitem group by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag, sum(l_quantity * (1 + l_linenumber)) AS wq
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // CASE inside an aggregate — conditional counting, the pivot
+    // building block; oracle casts DuckDB's HUGEINT sum to BIGINT.
+    "hashql_agg_case" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderstatus, " +
+          "sum(case when orders.o_orderpriority = '1-URGENT' then 1 else 0 end) " +
+          "as urgent, count(*) from orders group by orders.o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // expression-aggregate alias addressable in HAVING and ORDER BY —
+    // the alias names the output column, so post-aggregation clauses
+    // compose exactly like the auto-aliases.
+    "hashql_agg_expr_having" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_nationkey, " +
+          "sum(case when customer.c_acctbal < 0.0 then 1 else 0 end) " +
+          "as overdrawn from customer group by customer.c_nationkey " +
+          "having overdrawn >= 1 " +
+          "order by overdrawn desc, customer.c_nationkey limit 10"),
+      Some("""SELECT c_nationkey,
+             |  CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS overdrawn
+             |FROM customer GROUP BY c_nationkey
+             |HAVING CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)
+             |       AS BIGINT) >= 1
+             |ORDER BY overdrawn DESC, c_nationkey LIMIT 10""".stripMargin)),
+
+    // scalar subquery under `=` (round-9 growth, verdict #5): broadcast
+    // the 1-row aggregate and filter — `where t.f = (select max(…)…)` is
+    // the most common scalar spelling.
+    "hashql_eq_scalar" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_size from part " +
+          "where part.p_size = (select max(part.p_size) from part)"),
+      Some("""SELECT p_partkey, p_size FROM part
+             |WHERE p_size = (SELECT max(p_size) FROM part)""".stripMargin))
   )
 }

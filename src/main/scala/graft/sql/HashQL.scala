@@ -20,6 +20,9 @@ import graft.fts.Fts
   *   delete from t [where t.g = w [and …]]
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
   *     | coalesce(t.f, v | u.g)
+  *     | <expr> as x | sum|avg|min|max(<expr>) as x | count(…) as x
+  *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/ <expr>
+  *         | case when <pred> then <expr> [when …]* [else <expr>] end
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -28,7 +31,7 @@ import graft.fts.Fts
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f is [not] null
   *            | t.f [not] in (select u.g from u [where …])
-  *            | t.f <|>|<=|>= (select sum|avg|min|max|count(…) from u [where …])
+  *            | t.f =|<|>|<=|>= (select sum|avg|min|max|count(…) from u [where …])
   *            | t.f ~ 'tok1 & tok2 | tok3'
   *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
@@ -87,6 +90,37 @@ object HashQL {
     * from the missing-field row skip (its value is never "missing" —
     * that is its whole point). `default` holds a literal or a ColRef. */
   final case class Coalesce2(ref: ColRef, default: Any) extends SelectItem
+
+  /** Scalar expression tree (round-9 growth — the first thing every
+    * interactive user types: `select t.a + t.b`, `case when … then … end`,
+    * `sum(l_extendedprice * (1 - l_discount))`; the reference projects
+    * bare fields only, server.py:421-446). Grammar is the standard
+    * two-level precedence (`* /` over `+ -`, parens group); operators are
+    * space-separated tokens like the rest of the dialect. Numeric
+    * literals: integers coerce to Long (reference semantics), decimals to
+    * Double. Doc-paths are not addressable inside expressions (their
+    * any-leaf explode semantics don't compose with scalar arithmetic —
+    * project the leaf first through a CTE). */
+  sealed trait Expr
+  final case class ELit(v: Any) extends Expr
+  final case class ECol(ref: ColRef) extends Expr
+  final case class EArith(l: Expr, op: String, r: Expr) extends Expr
+  /** `case when <pred> then <expr> [when …]* [else <expr>] end` — the
+    * conditions are full WHERE-grammar predicates (minus subqueries);
+    * a missing ELSE yields NULL, per SQL. */
+  final case class ECase(branches: Seq[(Pred, Expr)], els: Option[Expr]) extends Expr
+
+  /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
+    * anything beyond a bare column (it is what names the output), and is
+    * addressable in ORDER BY exactly like the window/agg auto-aliases.
+    * Computed outputs are exempt from the reference's missing-field row
+    * skip (they are never "missing"; their NULLs are data). */
+  final case class ExprItem(expr: Expr, alias: String) extends SelectItem
+  /** `sum|avg|min|max(<expr>) as alias`, `count(*) as alias`, … — an
+    * aggregate over a computed expression (or an explicitly re-aliased
+    * plain aggregate). fn ∈ count_star | count | count_distinct | sum |
+    * avg | min | max. The alias is addressable in HAVING and ORDER BY. */
+  final case class AggExprItem(fn: String, expr: Expr, alias: String) extends SelectItem
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
@@ -271,7 +305,9 @@ object HashQL {
   // ---------------- lexer/parser ----------------
 
   private def coerce(tok: String): Any =
-    if (tok.matches("[0-9]+")) tok.toLong else tok
+    if (tok.matches("-?[0-9]+")) tok.toLong
+    else if (tok.matches("-?[0-9]+\\.[0-9]+")) tok.toDouble
+    else tok
 
   def parse(sql: String): Stmt = {
     val p = new P(sql)
@@ -402,6 +438,11 @@ object HashQL {
               s"projected field ${r.column} is not a grouping key")
             case Star => throw new IllegalArgumentException(
               "create agg view cannot project *")
+            case _: ExprItem | _: AggExprItem =>
+              throw new IllegalArgumentException(
+                "create agg view aggregates plain columns " +
+                  "(count/sum/avg/min/max(t.f)) — expression aggregates " +
+                  "don't re-aggregate for containment routing or DML folds")
             case _ => () // agg calls
           }
           CreateAggView(sel)
@@ -503,8 +544,17 @@ object HashQL {
         // `ref not in/like/between …` — the negation rides the operator
         val negated = is("not") && { next(); true }
         val atom = next() match {
-          // `t.a = u.b` (identifier-headed ref) vs `t.a = <literal>`
-          case "=" => if (peekIsColRef) EqCol(ref, colRef()) else Eq(ref, literal())
+          // `t.a = u.b` (identifier-headed ref) vs `t.a = (select <agg> …)`
+          // (the most common scalar-subquery spelling — round-9 growth;
+          // the verdict's #5) vs `t.a = <literal>`
+          case "=" =>
+            if (peekIsColRef) EqCol(ref, colRef())
+            else if (is("(")) {
+              next(); kw("select")
+              val sub = selectRest()
+              kw(")")
+              CmpSelect(ref, "=", sub)
+            } else Eq(ref, literal())
           case "<>" => Not(Eq(ref, literal()))
           case "~" => FtsMatch(ref, literal().toString)
           case op @ ("<" | ">" | "<=" | ">=") =>
@@ -588,14 +638,32 @@ object HashQL {
           // count(*) counts rows; count(t.f) counts NON-NULL f — the SQL
           // distinction starts mattering once LEFT JOIN can produce nulls
           next(); kw("(")
-          if (is("*")) { next(); items += CountStar }
-          else if (is("distinct")) { next(); items += AggCall("count_distinct", colRef()) }
-          else items += AggCall("count", colRef())
+          val item0: SelectItem =
+            if (is("*")) { next(); CountStar }
+            else if (is("distinct")) { next(); AggCall("count_distinct", colRef()) }
+            else AggCall("count", colRef())
           kw(")")
+          // `count(…) as alias` re-aliases the aggregate (the alias then
+          // addresses it in HAVING/ORDER BY in place of the auto-alias)
+          items += (if (is("as")) item0 match {
+            case CountStar => AggExprItem("count_star", ELit(1L), aliasAfterAs("count(*)"))
+            case AggCall(fn, r) => AggExprItem(fn, ECol(r), aliasAfterAs(fn))
+            case other => other
+          } else item0)
         }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
-          val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
-          items += (if (is("over")) windowSpec(fn, Some(r)) else AggCall(fn, r))
+          val fn = next().toLowerCase; kw("(")
+          val e = exprTree(); kw(")")
+          items += (e match {
+            // plain-column forms keep their round-7 shapes: window call
+            // when OVER follows, auto-aliased AggCall otherwise
+            case ECol(r) if is("over") => windowSpec(fn, Some(r))
+            case ECol(r) if !is("as") => AggCall(fn, r)
+            case ECol(r) => AggExprItem(fn, ECol(r), aliasAfterAs(fn))
+            // aggregate over a computed expression — the revenue idiom
+            // sum(l_extendedprice * (1 - l_discount)); AS names the output
+            case _ => AggExprItem(fn, e, aliasAfterAs(s"$fn(<expression>)"))
+          })
         }
         else if (is("coalesce")) {
           next(); kw("(")
@@ -609,7 +677,18 @@ object HashQL {
           kw(")")
           items += Coalesce2(r, v)
         }
-        else items += Field(colRef())
+        else {
+          // plain field, or a scalar expression (arithmetic / CASE / a
+          // re-aliased column) — anything computed must be AS-named
+          val e = exprTree()
+          items += ((e, is("as")) match {
+            case (ECol(r), false) => Field(r)
+            case (_, true) => ExprItem(e, aliasAfterAs("expression"))
+            case _ => throw new IllegalArgumentException(
+              "a computed projection needs `as <alias>` to name its output " +
+                "(only a bare t.col projects unnamed)")
+          })
+        }
         if (is(",")) next() else more = false
       }
       kw("from")
@@ -693,6 +772,49 @@ object HashQL {
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset)
+    }
+
+    /** Scalar expression grammar (standard precedence, two levels):
+      * expr := term (('+'|'-') term)*; term := factor (('*'|'/') factor)*;
+      * factor := '(' expr ')' | CASE … END | colref | literal. Operators
+      * are space-separated tokens (`*` also lexes standalone); a bare
+      * column parses to ECol so callers can keep the round-7 plain-field
+      * shapes when nothing was computed. */
+    private def exprTree(): Expr = {
+      var e = exprTerm()
+      while (is("+") || is("-")) { val op = next(); e = EArith(e, op, exprTerm()) }
+      e
+    }
+    private def exprTerm(): Expr = {
+      var e = exprFactor()
+      while (is("*") || is("/")) { val op = next(); e = EArith(e, op, exprFactor()) }
+      e
+    }
+    private def exprFactor(): Expr =
+      if (is("(")) { next(); val e = exprTree(); kw(")"); e }
+      else if (is("case")) {
+        next()
+        val brs = scala.collection.mutable.ArrayBuffer.empty[(Pred, Expr)]
+        while (is("when")) {
+          next()
+          val p = predExpr(); kw("then")
+          brs += ((p, exprTree()))
+        }
+        require(brs.nonEmpty, "CASE needs at least one WHEN branch")
+        val els = if (is("else")) { next(); Some(exprTree()) } else None
+        kw("end")
+        ECase(brs.toSeq, els)
+      }
+      else if (peekIsColRef) ECol(colRef())
+      else ELit(literal())
+
+    /** Consume `as <alias>` (required) and validate the alias shape. */
+    private def aliasAfterAs(what: String): String = {
+      require(is("as"), s"computed projection $what needs `as <alias>`")
+      next()
+      val a = next()
+      require(a.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad output alias: $a")
+      a
     }
 
     /** `over (partition by …[, …] order by …[ desc][, …])` — both clauses
@@ -1062,6 +1184,36 @@ object HashQL {
       graft.llm.Sampling.arithBucket(col(ref.column)) < permille
   }
 
+  /** Lower a scalar expression to a Column. Arithmetic rides Spark's
+    * native operators (whole-stage-codegen'd; `/` is ANSI double division
+    * in both engines), CASE lowers to a `when` chain whose conditions go
+    * through the ONE predicate dispatch ([[predColumn]] — so CASE
+    * conditions support exactly the WHERE grammar minus subqueries). No
+    * casts are injected: parquet columns keep their types and Spark's
+    * coercion matches DuckDB's for the numeric tower. */
+  private def exprColumn(cat: GraftCatalog, e: Expr): Column = e match {
+    case ELit(v) => lit(v)
+    case ECol(r) =>
+      require(!r.column.startsWith("~"),
+        "doc-paths are not addressable inside expressions — project the " +
+          "leaf through a CTE first")
+      col(r.column)
+    case EArith(l, op, r) =>
+      val (lc, rc) = (exprColumn(cat, l), exprColumn(cat, r))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case other => throw new IllegalArgumentException(s"unsupported arithmetic op: $other")
+      }
+    case ECase(brs, els) =>
+      val first = when(predColumn(cat, brs.head._1), exprColumn(cat, brs.head._2))
+      val chained = brs.tail.foldLeft(first) { case (acc, (p, v)) =>
+        acc.when(predColumn(cat, p), exprColumn(cat, v)) }
+      els.fold(chained)(d => chained.otherwise(exprColumn(cat, d)))
+  }
+
   private def coalAlias(c: Coalesce2): String = s"coalesce_${c.ref.column}"
 
   /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
@@ -1103,7 +1255,7 @@ object HashQL {
   /** Aggregate output columns with their dialect auto-aliases (cnt,
     * sum_x, …) — shared by the SELECT executor and the agg-view builder
     * so the view's stored names are exactly the names queries produce. */
-  private def aggsOf(items: Seq[SelectItem]): Seq[Column] = {
+  private def aggsOf(cat: GraftCatalog, items: Seq[SelectItem]): Seq[Column] = {
     val aggs = items.collect {
       case CountStar => count(lit(1)).as("cnt")
       // null-aware: rows where the column is null (schema-union gaps,
@@ -1118,6 +1270,17 @@ object HashQL {
       case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
       case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
       case AggCall("max", r) => max(col(r.column)).as(s"max_${r.column}")
+      // aggregates over computed expressions (round-9 growth): same
+      // partial-agg shapes, the expression evaluated scan-side inside
+      // whole-stage codegen; the AS alias names the output
+      case AggExprItem("count_star", _, a) => count(lit(1)).as(a)
+      case AggExprItem("count", e, a) => count(exprColumn(cat, e)).as(a)
+      case AggExprItem("count_distinct", e, a) =>
+        count_distinct(exprColumn(cat, e)).as(a)
+      case AggExprItem("sum", e, a) => sum(exprColumn(cat, e)).as(a)
+      case AggExprItem("avg", e, a) => avg(exprColumn(cat, e)).as(a)
+      case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
+      case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
     }
     if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
   }
@@ -1169,7 +1332,7 @@ object HashQL {
       df = df.join(tdf, df(known.column) === tdf(fresh.column))
     }
     sel.wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
-    val aggs = aggsOf(sel.items)
+    val aggs = aggsOf(cat, sel.items)
     df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -1477,13 +1640,16 @@ object HashQL {
           acc
         }
         df = applyWheres(cat, df, wheres, registry)
-        def aggColumns: Seq[Column] = aggsOf(items)
+        def aggColumns: Seq[Column] = aggsOf(cat, items)
         val out = groupBy match {
           case gs if gs.nonEmpty =>
             require(!items.exists(_.isInstanceOf[WinCall]),
               "window calls cannot mix with GROUP BY in one select")
             require(!items.exists(_.isInstanceOf[Coalesce2]),
               "coalesce cannot mix with GROUP BY in one select")
+            require(!items.exists(_.isInstanceOf[ExprItem]),
+              "scalar expressions over grouped output are not supported — " +
+                "aggregate here, compute over the result through a CTE")
             df.groupBy(gs.map(g => col(g.column)): _*)
               .agg(aggColumns.head, aggColumns.tail: _*)
           case _ =>
@@ -1493,6 +1659,9 @@ object HashQL {
                 "window calls cannot mix with doc-path projection")
               require(!items.exists(_.isInstanceOf[Coalesce2]),
                 "coalesce cannot mix with doc-path projection")
+              require(!items.exists(i => i.isInstanceOf[ExprItem] ||
+                i.isInstanceOf[AggExprItem]),
+                "expressions cannot mix with doc-path projection")
               // doc-path projection, one output row per addressed leaf
               // combination: paths through the SAME array share one explode
               // (positionally-aligned leaves — the reference's flattened
@@ -1511,7 +1680,7 @@ object HashQL {
                 // `select *, t.~path from t`: star expands to every plain
                 // column (the doc struct itself is consumed by the path)
                 case Star => df.columns.toSeq.filter(_ != "doc")
-                case CountStar | _: AggCall => Seq.empty
+                case _ => Seq.empty // aggs; windows/coalesce/exprs rejected above
               }.distinct
               val pathAliases = aliasOf.values.toSet
               val scalarCols = outCols.filterNot(pathAliases)
@@ -1525,7 +1694,9 @@ object HashQL {
             } else {
               val wins = items.collect { case w: WinCall => w }
               val coals = items.collect { case c: Coalesce2 => c }
-              val computedAliases = wins.map(winAlias) ++ coals.map(coalAlias)
+              val exprs = items.collect { case e: ExprItem => e }
+              val computedAliases = wins.map(winAlias) ++ coals.map(coalAlias) ++
+                exprs.map(_.alias)
               require(computedAliases.distinct.size == computedAliases.size,
                 s"duplicate computed output aliases: $computedAliases")
               val cols = items.flatMap {
@@ -1533,10 +1704,12 @@ object HashQL {
                 case Field(ref) => Seq(ref.column)
                 case w: WinCall => Seq(winAlias(w))
                 case c: Coalesce2 => Seq(coalAlias(c))
-                case CountStar | _: AggCall => Seq.empty
+                case e: ExprItem => Seq(e.alias)
+                case CountStar | _: AggCall | _: AggExprItem => Seq.empty
               }
               val isAggItem = (i: SelectItem) =>
-                i == CountStar || i.isInstanceOf[AggCall]
+                i == CountStar || i.isInstanceOf[AggCall] ||
+                  i.isInstanceOf[AggExprItem]
               // all-aggregate select = global aggregation; a MIX of
               // aggregates and plain fields without GROUP BY has no SQL
               // meaning — reject instead of silently dropping the
@@ -1548,12 +1721,16 @@ object HashQL {
               else {
                 val withWins = wins.foldLeft(df)((d, w) =>
                   d.withColumn(winAlias(w), winColumn(w)))
-                val withComputed = coals.foldLeft(withWins)((d, c) =>
+                val withCoals = coals.foldLeft(withWins)((d, c) =>
                   d.withColumn(coalAlias(c), coalesce(col(c.ref.column),
                     c.default match {
                       case r2: ColRef => col(r2.column)
                       case v => lit(v)
                     })))
+                // scalar expressions evaluate per-row inside the same
+                // projection — codegen'd, no extra pass
+                val withComputed = exprs.foldLeft(withCoals)((d, e) =>
+                  d.withColumn(e.alias, exprColumn(cat, e.expr)))
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
                 // and coalesce (computed, never "missing") are exempt, and
