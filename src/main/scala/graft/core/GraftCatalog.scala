@@ -80,8 +80,13 @@ final class GraftCatalog(val spark: SparkSession) {
   def exists(name: String): Boolean = tables.contains(name)
   def names: Seq[String] = tables.keys.toSeq.sorted
 
-  /** M1 INSERT: dynamic-schema append with synthesized id. */
-  def insert(name: String, values: Seq[(String, Any)]): Long = {
+  /** M1 INSERT: dynamic-schema append with synthesized id. Returns the
+    * appended one-row frame (a LocalRelation over the literals) — the
+    * O(delta) feed for incremental view maintenance. The caller already
+    * holds these values as literals; deriving them back by anti-joining
+    * the full post-insert table would turn a 1-row INSERT into a
+    * table-sized shuffle at 100 TB. */
+  def insert(name: String, values: Seq[(String, Any)]): DataFrame = {
     val id = counters.getOrElse(name, 0L) + 1
     counters += name -> id
     val fields = ("id" -> (id: Any)) +: values
@@ -101,7 +106,7 @@ final class GraftCatalog(val spark: SparkSession) {
       case Some(existing) => existing.unionByName(rowDf, allowMissingColumns = true)
       case None => rowDf
     })
-    id
+    rowDf
   }
 
   /** M2 UPDATE … SET … WHERE (copy-on-write `when` projection). */

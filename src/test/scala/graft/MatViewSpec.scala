@@ -521,6 +521,53 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.drop(spark, s"hashql:$name")
   }
 
+  test("subset containment: FK-side drop routes with zero Joins; fact-side drop falls back; Star falls back") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "nation", "region").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val reg = new HashQL.JoinRegistry
+    HashQL.execute(cat,
+      "create join inner join nation on customer.c_nationkey = nation.n_nationkey " +
+        "inner join region on nation.n_regionkey = region.r_regionkey",
+      Some(reg))
+    val tmp = java.nio.file.Files.createTempDirectory("mv_subset").toString
+    val name = HashQL.materializeJoin(
+      cat, reg, Set("customer", "nation", "region"), s"$tmp/view")
+    try {
+      // dropping REGION (row-preserving: r_regionkey unique, every nation
+      // matches) — the 2-table query serves from the 3-table parquet
+      val sub = "select customer.c_custkey, nation.n_name from customer " +
+        "inner join nation on customer.c_nationkey = nation.n_nationkey"
+      val routed = HashQL.execute(cat, sub, Some(reg)).get
+      assert(routed.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, s"subset query not routed:\n${routed.queryExecution.optimizedPlan}")
+      assert(routed.queryExecution.executedPlan.toString.contains(s"$tmp/view"))
+      val live = HashQL.execute(cat, sub).get
+      assert(routed.exceptAll(live).isEmpty && live.exceptAll(routed).isEmpty)
+      // dropping CUSTOMER would serve one row PER CUSTOMER for a
+      // nation-only query — customer's clause is the fact side (not
+      // row-preserving), so the route must NOT fire
+      val nationOnly = HashQL.execute(cat,
+        "select nation.n_nationkey, count(*) from nation " +
+          "group by nation.n_nationkey", Some(reg)).get
+      assert(!nationOnly.queryExecution.executedPlan.toString.contains(s"$tmp/view"),
+        "fact-side drop wrongly routed — counts would multiply")
+      import spark.implicits._
+      assert(nationOnly.as[(Long, Long)].collect().forall(_._2 == 1L))
+      // `select *` over the subset must not expand region's columns —
+      // Star disables the subset route (live join, Join present)
+      val star = HashQL.execute(cat,
+        "select * from customer " +
+          "inner join nation on customer.c_nationkey = nation.n_nationkey",
+        Some(reg)).get
+      assert(!star.columns.contains("r_name"),
+        s"star subset query leaked dropped-table columns: ${star.columns.mkString(",")}")
+    } finally MatView.drop(spark, s"hashql:$name")
+  }
+
   test("same-named columns on two join sides disable containment; exact match survives") {
     import spark.implicits._
     // both relations carry a `name` column — after qualifier stripping a

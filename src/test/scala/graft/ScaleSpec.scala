@@ -380,4 +380,76 @@ class ScaleSpec extends SparkSpec {
     assert(recPlan.contains("ExistingRDD") && !recPlan.contains("Join"),
       s"recursive body should scan the checkpointed fixpoint:\n${recPlan.take(800)}")
   }
+
+  test("INSERT delta is O(delta): literals only, no fact-table scan; UPDATE after-image from the before-frame") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("scale_dml").toString
+    (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+      .write.parquet(s"$dir/facts")
+    cat.register("t", spark.read.parquet(s"$dir/facts"))
+    // the IVM hook's insert delta must plan over the INSERT's literal
+    // rows alone — a single FileScan here means a 1-row INSERT pays a
+    // table-sized derivation at 100 TB
+    val rowDf = cat.insert("t", Seq("g" -> "g0", "v" -> 7L))
+    val delta = HashQL.insertDeltaFrame(cat.table("t"), Seq(rowDf))
+    val deltaPlan = delta.queryExecution.executedPlan.toString
+    assert(!deltaPlan.contains("FileScan") && !deltaPlan.contains("Scan parquet"),
+      s"insert delta scans fact files:\n$deltaPlan")
+    assert(delta.columns.toSet == cat.table("t").columns.toSet)
+    // and end-to-end: a count/sum view folds the delta and KEEPS routing
+    val reg = new HashQL.JoinRegistry
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), count(t.v), sum(t.v) " +
+        "from t group by t.g", s"$dir/view", Some(reg))
+    try {
+      HashQL.execute(cat, "insert into t (g, v) values ('g1', 1000)", Some(reg))
+      HashQL.execute(cat, "update t set t.v = t.v + 1 where t.g = 'g2'", Some(reg))
+      val routed = HashQL.execute(cat,
+        "select t.g, count(*), count(t.v), sum(t.v) from t group by t.g",
+        Some(reg)).get
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains(s"$dir/view"),
+        s"foldable view dropped its route after INSERT+UPDATE:\n$plan")
+      val got = routed.as[(String, Long, Long, Long)].collect().toSet
+      graft.matview.MatView.drop(spark, name)
+      val recomputed = HashQL.execute(cat,
+        "select t.g, count(*), count(t.v), sum(t.v) from t group by t.g",
+        Some(reg)).get.as[(String, Long, Long, Long)].collect().toSet
+      assert(got == recomputed, s"folded summary drifted: $got vs $recomputed")
+    } finally graft.matview.MatView.drop(spark, name)
+  }
+
+  test("a twice-referenced CTE materializes once: the body reads the checkpoint, not the files") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    // referenced twice (two UNION ALL branches): the CTE's aggregation
+    // must run ONCE — both branches scan the checkpointed result, so the
+    // executed body has no parquet scan at all
+    val twice = HashQL.execute(cat,
+      "with c as (select orders.o_orderpriority, count(*) from orders " +
+        "group by orders.o_orderpriority) " +
+        "select c.o_orderpriority, c.cnt from c where c.cnt > 0 " +
+        "union all select c.o_orderpriority, c.cnt from c where c.cnt < 0").get
+    val twicePlan = twice.queryExecution.executedPlan.toString
+    assert(!twicePlan.contains("FileScan") && twicePlan.contains("ExistingRDD"),
+      s"shared CTE was re-planned per reference:\n${twicePlan.take(1200)}")
+    // answers unchanged vs the direct spelling
+    val direct = HashQL.execute(cat,
+      "select orders.o_orderpriority, count(*) from orders " +
+        "group by orders.o_orderpriority").get
+      .as[(String, Long)].collect().toSet
+    assert(twice.as[(String, Long)].collect().toSet == direct)
+    // referenced once: stays a lazy inline plan — the parquet scan (and
+    // its pushdown) must survive, no eager materialization
+    val once = HashQL.execute(cat,
+      "with c as (select orders.o_orderkey, orders.o_custkey from orders " +
+        "where orders.o_custkey < 100) select c.o_orderkey from c").get
+    val oncePlan = once.queryExecution.executedPlan.toString
+    assert(oncePlan.contains("FileScan") && !oncePlan.contains("ExistingRDD"),
+      s"single-use CTE was eagerly materialized:\n${oncePlan.take(1200)}")
+  }
 }
