@@ -221,6 +221,23 @@ object Cypher {
     // keys are bare output names, (name, desc) pairs.
   }
 
+  /** `UNWIND ['v1', 'v2', …] AS x (MATCH segment… | RETURN …)` (round-10
+    * growth — Neo4j's list-expansion clause over a LITERAL list): the
+    * list becomes a one-column frame named `x`, piped into the tail
+    * exactly like a WITH stage's output — a MATCH tail re-binding `x` as
+    * a node variable anchors its pattern on the listed identities (the
+    * "look these ids up" idiom), a bare RETURN projects the list.
+    * Values must be all-string or all-numeric (one column, one type).
+    * Set semantics like the rest of this surface: RETURN dedups, so a
+    * duplicated list element yields one row (Neo4j's bag UNWIND keeps
+    * it — documented divergence, same as RETURN DISTINCT-always). */
+  final case class Unwind(values: Seq[Any], alias: String, next: Stmt) extends Stmt {
+    require(values.nonEmpty, "UNWIND needs a non-empty literal list")
+    require(values.forall(_.isInstanceOf[Long]) ||
+        values.forall(_.isInstanceOf[String]),
+      "UNWIND list must be all-string or all-numeric")
+  }
+
   def parse(input: String): Stmt = {
     val p = new P(input)
     val out = p.stmt()
@@ -298,6 +315,32 @@ object Cypher {
         ShortestPathStmt(pv, c, spRets.toSeq)
       case "match" => matchRest()
       case "merge" => Merge(chains().head)
+      case "unwind" =>
+        eat('[')
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+        ws()
+        if (peek != ']') {
+          var m = true
+          while (m) {
+            ws()
+            vals += (if (peek == '\'') quoted() else int().toLong)
+            m = tryEat(',')
+          }
+        }
+        eat(']')
+        require(tryKeyword("as"), "expected AS after the UNWIND list")
+        val alias = ident()
+        val tail = keyword() match {
+          case "match" => matchRest() match {
+            case t @ (_: Match | _: With) => t
+            case _ => throw new IllegalArgumentException(
+              "an UNWIND MATCH tail must end in WITH or RETURN")
+          }
+          case "return" => returnTail(Nil, Nil, Nil)
+          case o => throw new IllegalArgumentException(
+            s"expected MATCH or RETURN after UNWIND … AS, got: $o")
+        }
+        Unwind(vals.toSeq, alias, tail)
       case k => throw new IllegalArgumentException(s"unsupported cypher statement: $k")
     }
 

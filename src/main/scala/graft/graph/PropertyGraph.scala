@@ -564,8 +564,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def query(cypher: String): DataFrame = Cypher.parse(cypher) match {
     case m: Cypher.Match => evalMatch(m)
     case w: Cypher.With => evalWith(w)
+    case u: Cypher.Unwind => evalUnwind(u)
     case sp: Cypher.ShortestPathStmt => evalShortestPath(sp)
     case _ => throw new IllegalArgumentException(s"not a MATCH: $cypher")
+  }
+
+  /** UNWIND (round-10 growth — see [[Cypher.Unwind]]): the literal list
+    * becomes a one-column frame piped into the tail like a WITH stage —
+    * a MATCH tail re-binding the alias as a node variable anchors on the
+    * listed identities (broadcast-sized by construction: the list is a
+    * statement literal, so the pipe join is a broadcast probe into the
+    * pattern at any graph scale). */
+  private def evalUnwind(u: Cypher.Unwind): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val df =
+      if (u.values.forall(_.isInstanceOf[Long]))
+        u.values.map(_.asInstanceOf[Long]).toDF(u.alias)
+      else u.values.map(_.asInstanceOf[String]).toDF(u.alias)
+    pipeTail(df, Seq(u.alias), u.next)
   }
 
   /** WITH pipeline (growth — Cypher's multi-stage idiom, e.g.
@@ -630,6 +647,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         s"unsupported post-WITH predicate: $other")
     }
     postWheres.foreach(e => piped = piped.filter(pCol(e)))
+    pipeTail(piped, names, next)
+  }
+
+  /** Dispatch a piped frame into the pipeline tail — shared by the WITH
+    * stages and UNWIND (whose literal frame pipes identically). */
+  private def pipeTail(piped: DataFrame, names: Seq[String],
+                       next: Cypher.Stmt): DataFrame =
     next match {
       case w2: Cypher.With =>
         val seg = pipeSegment(piped, names,
@@ -653,7 +677,6 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       case other => throw new IllegalArgumentException(
         s"unsupported pipeline tail: $other")
     }
-  }
 
   /** One pipeline segment: bind its patterns (if any) via [[evalMatch]],
     * equi-join the piped frame on the WITH variables the patterns
@@ -674,10 +697,67 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     def pipedOnly(r: Cypher.Ret): Boolean = !segBound(r.variable)
     val refs = plains ++ aggs.flatMap(_.arg)
     refs.filter(pipedOnly).foreach { r =>
-      require(r.attr.isEmpty && pipedNames.contains(r.variable),
+      require(pipedNames.contains(r.variable),
         s"'${outName(r)}' is neither a WITH output (${pipedNames.mkString(", ")}) " +
           "nor bound by this segment's MATCH — project it in the WITH first")
     }
+    // WHERE conjuncts splitting (round-10 growth — attribute passthrough):
+    // a conjunct over piped variables filters the piped frame directly
+    // (`WITH n MATCH … WHERE n.age > 30` no longer demands projecting age
+    // in the WITH); a conjunct over segment-bound variables evaluates
+    // inside the pattern as before. One conjunct may not mix the two.
+    val (pipedWheres, boundWheres) = wheres.partition { e =>
+      val ls = Cypher.leaves(e)
+      val allPiped = ls.forall(l => !segBound(l.variable))
+      require(allPiped || ls.forall(l => segBound(l.variable)),
+        "a WHERE conjunct may not mix piped WITH variables with " +
+          "segment-bound variables — split it into AND-ed conjuncts")
+      allPiped
+    }
+    pipedWheres.flatMap(Cypher.leaves).foreach { l =>
+      require(pipedNames.contains(l.variable),
+        s"WHERE references '${l.variable}' — in scope: " +
+          s"${(pipedNames ++ segBound.toSeq).distinct.mkString(", ")}")
+    }
+    // a piped bare NODE variable carries its identity; `v.attr` references
+    // downstream (RETURN items, aggregate args, piped WHERE leaves)
+    // recover the attribute with ONE left join against the vertices frame
+    // per variable — group-sized piped frame ⋈ vertices, a dimension-join
+    // shape Catalyst broadcasts when small. `v.name` is the identity
+    // itself (no join).
+    val attrNeeds: Seq[(String, String)] =
+      (refs.collect { case r @ Cypher.Ret(v, Some(a))
+           if pipedOnly(r) && a != "*" && a != "name" => (v, a) } ++
+        pipedWheres.flatMap(Cypher.leaves).collect {
+          case Cypher.Where(v, a, _, _) if a.nonEmpty && a != "name" => (v, a)
+        }).distinct
+    var pipedE = piped
+    refs.collect { case r @ Cypher.Ret(v, Some("name")) if pipedOnly(r) =>
+      v }.distinct.foreach { v =>
+      if (!pipedE.columns.contains(s"${v}_name"))
+        pipedE = pipedE.withColumn(s"${v}_name", col(v))
+    }
+    attrNeeds.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, pairs) =>
+      val need = pairs.map(_._2).distinct
+        .filterNot(a => pipedE.columns.contains(s"${v}_$a"))
+      if (need.nonEmpty) {
+        val vdf = vertices.select(
+          col("name").as(v) +: need.map(a =>
+            col("attrs").getItem(a).as(s"${v}_$a")): _*)
+        pipedE = pipedE.join(vdf, Seq(v), "left")
+      }
+    }
+    def pipedCol(e: Cypher.WExpr): Column = e match {
+      case Cypher.Where(v, a, op, value) =>
+        val target = if (a == "name" || a == "") col(v) else col(s"${v}_$a")
+        val c = value match {
+          case _: Long => target.try_cast("long"); case _ => target }
+        graft.core.Compare.cmp(c, op, value)
+      case Cypher.WAnd(l, r) => pipedCol(l) && pipedCol(r)
+      case Cypher.WOr(l, r) => pipedCol(l) || pipedCol(r)
+      case Cypher.WNot(x) => !pipedCol(x)
+    }
+    pipedWheres.foreach(e => pipedE = pipedE.filter(pipedCol(e)))
     // a numeric aggregate over a BARE variable is only meaningful for a
     // piped (numeric) column; over a segment-bound node variable it
     // would try_cast identity strings to NULL — same rejection as the
@@ -698,7 +778,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         "be NAMED (anonymous nodes cannot join the binding set) — give " +
         "the intermediate node a variable")
     val joined =
-      if (chains.isEmpty) piped // bare RETURN tail
+      if (chains.isEmpty) pipedE // bare RETURN tail
       else {
         val shared = pipedNames.filter(segBound)
         require(shared.nonEmpty,
@@ -715,11 +795,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         val segItems = (refs.filterNot(pipedOnly) ++ bindingItems ++
           shared.map(v => Cypher.Ret(v, None))).distinct
         val bound = evalMatch(
-          Cypher.Match(chains, segItems, wheres, Nil, None, optional))
+          Cypher.Match(chains, segItems, boundWheres, Nil, None, optional))
         // segment bindings are a distinct set, the piped frame is a
         // stage output (also a set) — the equi-join on the shared WITH
         // variables is the pipe
-        piped.join(bound, shared)
+        pipedE.join(bound, shared)
       }
     if (aggs.isEmpty)
       joined.select(items.map(i => col(outName(i))): _*).distinct()

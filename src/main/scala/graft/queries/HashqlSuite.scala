@@ -1207,6 +1207,17 @@ object HashqlSuite extends Suite {
              |WHERE l_quantity * (1 + l_linenumber) >= 300.0
              |AND l_returnflag = 'A'""".stripMargin)),
 
+    // column-to-column inequality (round-10 FIX: `t.a > t.b` used to
+    // lex the right side as the literal string "t.b" — only `=` had a
+    // colref arm; now it lowers through the expression comparison).
+    "hashql_cmp_col" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where lineitem.l_discount > lineitem.l_tax " +
+          "and lineitem.l_returnflag = 'R'"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_discount > l_tax AND l_returnflag = 'R'""".stripMargin)),
+
     // scalar expressions over GROUPING KEYS compose with aggregation —
     // computed on the aggregated (group-count-sized) frame, free at scale.
     "hashql_expr_groupkey" -> Q(

@@ -594,7 +594,12 @@ object HashQL {
               val sub = selectRest()
               kw(")")
               CmpSelect(ref, op, sub)
-            } else Cmp(ref, op, literal())
+            }
+            // column-to-column inequality (round-10 fix: this used to
+            // fall through to literal(), silently comparing against the
+            // STRING "u.b") — rides the expression-comparison lowering
+            else if (peekIsColRef) ExprCmp(ECol(ref), op, ECol(colRef()))
+            else Cmp(ref, op, literal())
           case t if t.equalsIgnoreCase("between") =>
             // BETWEEN's `and` binds to the atom, not the conjunction —
             // consumed here before predConj ever sees it

@@ -598,4 +598,82 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(wdis == Set("Paris", "Oslo"))
   }
+
+  test("WITH attribute passthrough: piped bare variables serve v.attr downstream") {
+    var g = PropertyGraph.empty(spark)
+    Seq(("Ann", "31", "Paris"), ("Bob", "45", "Paris"), ("Cy", "19", "Oslo"))
+      .foreach { case (p, age, c) =>
+        g = g.merge(s"merge (p:Person {'name': '$p', 'age': '$age'})" +
+          s"-[:LIVES]->(c:City {'name': '$c'})") }
+    // `WITH p MATCH … WHERE p.age > 30` — age was NOT projected in the
+    // WITH; the piped identity recovers it from the vertices frame
+    val got = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with p, c " +
+        "match (p)-[:LIVES]->(c) where p.age > 30 return p, c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("Ann" -> "Paris", "Bob" -> "Paris"), got.toString)
+    // RETURN of a piped-only attribute (p not re-bound downstream)
+    val ret = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with p, c " +
+        "match (c)-[:LIVES]-(q:Person) where q.name = 'Ann' return p.age")
+      .collect().map(_.getString(0)).toSet
+    assert(ret == Set("31", "45"), ret.toString) // Paris residents' ages
+    // aggregate over a piped attribute (1:1 hop, so the piped bindings
+    // don't fan out): residents' ages summed per country
+    g = g.merge("merge (c:City {'name': 'Paris'})-[:IN]->(k:Country {'name': 'FR'})")
+    g = g.merge("merge (c:City {'name': 'Oslo'})-[:IN]->(k:Country {'name': 'NO'})")
+    val agg = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with p, c " +
+        "match (c)-[:IN]->(k:Country) return k, sum(p.age)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(agg == Set("FR" -> 76L, "NO" -> 19L), agg.toString)
+    // a conjunct mixing piped and segment-bound variables is rejected
+    val e1 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with p, c " +
+        "match (c)-[:LIVES]-(q:Person) where p.age > 30 or q.age > 30 " +
+        "return p, q"))
+    assert(e1.getMessage.contains("may not mix"), e1.getMessage)
+    // an unknown piped variable in WHERE still rejects cleanly
+    val e2 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c " +
+        "match (c)-[:LIVES]-(q:Person) where z.age > 30 return q"))
+    assert(e2.getMessage.contains("in scope"), e2.getMessage)
+  }
+
+  test("UNWIND: literal list anchors a pattern; bare RETURN; parse guards") {
+    var g = PropertyGraph.empty(spark)
+    Seq("Ann" -> "Paris", "Bob" -> "Paris", "Cy" -> "Oslo")
+      .foreach { case (p, c) =>
+        g = g.merge(s"merge (p:Person {'name': '$p'})-[:LIVES]->(c:City {'name': '$c'})") }
+    // the listed identities anchor the pattern — a broadcast-sized probe
+    val got = g.query(
+      "unwind ['Ann', 'Cy', 'Nobody'] as p match (p)-[:LIVES]->(c:City) " +
+        "return p, c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("Ann" -> "Paris", "Cy" -> "Oslo"), got.toString)
+    // bare RETURN projects the list (set semantics — duplicate collapses)
+    val bare = g.query("unwind ['x', 'y', 'x'] as v return v")
+      .collect().map(_.getString(0)).toSet
+    assert(bare == Set("x", "y"))
+    // numeric list keeps a numeric column
+    val nums = g.query("unwind [3, 1, 2] as n return n order by n limit 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nums == Seq(1L, 2L))
+    // UNWIND composes with WITH stages downstream
+    val piped = g.query(
+      "unwind ['Ann', 'Bob'] as p match (p)-[:LIVES]->(c:City) " +
+        "with c, count(*) as n return c, n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(piped == Set("Paris" -> 2L))
+    // guards: empty list, mixed types, missing AS
+    val e1 = intercept[IllegalArgumentException](
+      Cypher.parse("unwind [] as x return x"))
+    assert(e1.getMessage.contains("non-empty"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Cypher.parse("unwind ['a', 2] as x return x"))
+    assert(e2.getMessage.contains("all-string or all-numeric"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Cypher.parse("unwind ['a'] x return x"))
+    assert(e3.getMessage.contains("AS"), e3.getMessage)
+  }
 }

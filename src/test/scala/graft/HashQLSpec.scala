@@ -1007,4 +1007,109 @@ class HashQLSpec extends SparkSpec {
     // synthesized id (the dynamic-schema model's omit-equals-null corner)
     assert(cat.table("z").columns.toSet == Set("id"))
   }
+
+  // ---- expression grammar goldens (rounds 9-10) ----
+
+  private def exprCat(): GraftCatalog = {
+    val cat = new GraftCatalog(spark)
+    Seq((2, 3, 4), (10, 0, 1), (5, 5, 5)).foreach { case (a, b, c) =>
+      HashQL.execute(cat, s"insert into e (a, b, c) values ($a, $b, $c)") }
+    cat
+  }
+
+  test("expression precedence: * binds over +; parens override; division is double") {
+    val cat = exprCat()
+    val got = HashQL.execute(cat,
+      "select e.a, e.a + e.b * e.c as x, (e.a + e.b) * e.c as y, e.a / 2 as h " +
+        "from e where e.a = 2").get
+    assert(got.as[(Long, Long, Long, Double)].collect().toSeq ==
+      Seq((2L, 14L, 20L, 1.0))) // 2+3*4=14 not 20; (2+3)*4=20; 2/2=1.0
+  }
+
+  test("CASE nests in THEN/ELSE branches and composes with arithmetic") {
+    val cat = exprCat()
+    val got = HashQL.execute(cat,
+      "select e.a, case when e.b = 0 then 0 - 1 else " +
+        "case when e.a > e.b then e.a * 100 else e.b end end as k " +
+        "from e order by e.a").get
+    assert(got.as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 3L), (5L, 5L), (10L, -1L)))
+  }
+
+  test("computed projections require AS; alias collisions and doc-paths reject with clear messages") {
+    val cat = exprCat()
+    // missing AS
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a + 1 from e"))
+    assert(e1.getMessage.contains("as <alias>"), e1.getMessage)
+    // computed alias shadowing a projected field (round-10: was a silent
+    // overwrite through withColumn)
+    val e2 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a, e.b / 2 as a from e"))
+    assert(e2.getMessage.contains("collides with a projected field"), e2.getMessage)
+    // duplicate computed aliases
+    val e3 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a + 1 as x, e.b + 1 as x from e"))
+    assert(e3.getMessage.contains("duplicate computed output aliases"), e3.getMessage)
+    // doc-paths are not expression operands
+    HashQL.execute(cat, "insert into d (k) values (1)")
+    val e4 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select d.~a~b + 1 as x from d").get.collect())
+    assert(e4.getMessage.contains("doc-paths are not addressable"), e4.getMessage)
+  }
+
+  test("grouped selects: expressions over grouping keys compute post-agg; non-key refs reject") {
+    val cat = exprCat()
+    val got = HashQL.execute(cat,
+      "select e.a, e.a * 10 as a10, count(*) from e group by e.a " +
+        "order by e.a").get
+    assert(got.select("a", "a10", "cnt").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 20L, 1L), (5L, 50L, 1L), (10L, 100L, 1L)))
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a, e.b * 2 as b2, count(*) from e group by e.a"))
+    assert(e1.getMessage.contains("grouping keys only"), e1.getMessage)
+  }
+
+  test("expressions in WHERE: computed comparisons filter; non-comparison ops reject") {
+    val cat = exprCat()
+    // a*b > 10 keeps (5,5,5) [25] and (2,3,4) [6]? no — 6 < 10; (10,0,1)=0
+    val got = HashQL.execute(cat,
+      "select e.a from e where e.a * e.b > 10").get
+    assert(got.as[Long].collect().toSeq == Seq(5L))
+    // both sides computed; CASE as a predicate operand
+    val both = HashQL.execute(cat,
+      "select e.a from e where e.a + e.b = e.c + 5 and " +
+        "case when e.c > 3 then 1 else 0 end = 1").get
+    assert(both.as[Long].collect().toSeq == Seq(5L)) // 5+5 = 5+5, c=5 > 3
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a from e where e.a + 1 in (2, 3)"))
+    assert(e1.getMessage.contains("computed expression compares with"), e1.getMessage)
+  }
+
+  test("<> column and scalar-subquery arms; non-aggregate scalar subqueries reject") {
+    val cat = exprCat()
+    val ne = HashQL.execute(cat, "select e.a from e where e.a <> e.c").get
+    assert(ne.as[Long].collect().sorted.toSeq == Seq(2L, 10L))
+    val nes = HashQL.execute(cat,
+      "select e.a from e where e.a <> (select max(e.a) from e)").get
+    assert(nes.as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    // a row-set subquery can produce N rows — the broadcast compare
+    // would silently duplicate outer rows, so it must reject
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select e.a from e where e.a = (select e.b from e)")
+        .get.collect())
+    assert(e1.getMessage.contains("global aggregate"), e1.getMessage)
+  }
+
+  test("a pure rename keeps the missing-field skip (select t.a as b ≡ select t.a)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a) values ('x')")
+    HashQL.execute(cat, "insert into t (a, b) values ('y', 2)")
+    val renamed = HashQL.execute(cat, "select t.b as bb from t").get
+    assert(renamed.columns.toSeq == Seq("bb"))
+    assert(renamed.as[Long].collect().toSeq == Seq(2L)) // row without b skipped
+    // a COMPUTED output stays exempt (never "missing")
+    val computed = HashQL.execute(cat, "select t.b + 0 as bb from t").get.collect()
+    assert(computed.length == 2)
+  }
 }

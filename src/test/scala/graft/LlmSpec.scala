@@ -59,6 +59,21 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert((0L until 50L).forall(!clean.contains(_)), "contaminated doc survived")
     assert(clean.size == 500 - hitIds.size, "drop set != hit set")
+    // report+decontaminate with the SHARED probe: identical to running
+    // each separately, with the 8-gram scan paid once (the pinned id set
+    // feeds both halves)
+    val (report, cleaned) = graft.llm.Pipeline.reportAndDecontaminate(
+      corpus, bench, "text", "doc_id", n = 8)
+    val (nDocs, nCont, permille) =
+      report.as[(Long, Long, Long)].collect().head
+    assert(nDocs == 500L && nCont == hitIds.size.toLong)
+    assert(permille == 1000L * nCont / nDocs)
+    assert(cleaned.select("doc_id").as[Long].collect().toSet == clean,
+      "shared-probe decontaminate drifted from the direct pass")
+    val sepReport = graft.llm.Pipeline.contaminationReport(
+      corpus, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect().head
+    assert(sepReport == ((nDocs, nCont, permille)))
   }
 
   test("hashSample is deterministic, nested across rates, near target rate") {
