@@ -1239,6 +1239,63 @@ object HashqlSuite extends Suite {
              |WHERE p_size <> (SELECT max(p_size) FROM part)
              |AND p_size >= 48""".stripMargin)),
 
+    // scalar functions in the expression grammar (round-10 growth):
+    // string tier — upper/length/substr, composing with arithmetic and
+    // the WHERE grammar (length(...) >= 8 is a computed comparison).
+    "hashql_string_funcs" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, upper(customer.c_name) as un, " +
+          "length(customer.c_name) as ln, " +
+          "substr(customer.c_name, 10, 9) as tail " +
+          "from customer where customer.c_custkey <= 100 " +
+          "and length(customer.c_name) >= 8"),
+      Some("""SELECT c_custkey, upper(c_name) AS un, length(c_name) AS ln,
+             |  substr(c_name, 10, 9) AS tail
+             |FROM customer WHERE c_custkey <= 100 AND length(c_name) >= 8""".stripMargin)),
+
+    // date parts from a timestamp column — year/month/day pinned BIGINT
+    // on both engines.
+    "hashql_date_parts" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber, " +
+          "year(lineitem.l_shipdate) as y, month(lineitem.l_shipdate) as m, " +
+          "day(lineitem.l_shipdate) as dd " +
+          "from lineitem where lineitem.l_orderkey <= 200"),
+      Some("""SELECT l_orderkey, l_linenumber, year(l_shipdate) AS y,
+             |  month(l_shipdate) AS m, day(l_shipdate) AS dd
+             |FROM lineitem WHERE l_orderkey <= 200""".stripMargin)),
+
+    // UPDATE SET takes the full expression grammar (round-10): CASE WHEN
+    // on the right-hand side; literal-VALUES oracle over the replayed
+    // scenario.
+    "hashql_update_case" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        Seq(("a", 10), ("b", 3), ("c", 25)).foreach { case (g, v) =>
+          HashQL.execute(cat, s"insert into uc (g, v) values ('$g', $v)") }
+        HashQL.execute(cat,
+          "update uc set uc.v = case when uc.v >= 10 then uc.v * 2 " +
+            "else uc.v + 100 end where uc.g <> 'c'")
+        HashQL.execute(cat, "select uc.g, uc.v from uc").get
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('a', CAST(20 AS BIGINT)),
+             |  ('b', CAST(103 AS BIGINT)),
+             |  ('c', CAST(25 AS BIGINT))
+             |) AS t(g, v)""".stripMargin)),
+
+    // dense_rank window (round-10 growth): rank without gaps, ties share.
+    "hashql_dense_rank" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_orderpriority, " +
+          "dense_rank() over (partition by orders.o_orderpriority " +
+          "order by orders.o_custkey) from orders " +
+          "where orders.o_orderkey <= 500"),
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_custkey) AS INT) AS drnk
+             |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
+
     // subqueries under OR (r9 verdict missing #5): each subquery leaf
     // lowers to a boolean flag attached by one join; the disjunction
     // filters the flags — OR-of-EXISTS, the review's named idiom.

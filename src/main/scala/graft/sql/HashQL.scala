@@ -109,6 +109,23 @@ object HashQL {
     * conditions are full WHERE-grammar predicates (minus subqueries);
     * a missing ELSE yields NULL, per SQL. */
   final case class ECase(branches: Seq[(Pred, Expr)], els: Option[Expr]) extends Expr
+  /** Scalar function call (round-10 growth — the string/date/math tier a
+    * dialect user reaches for first): fn ∈ upper | lower | length | trim
+    * | abs | floor | ceil | substr(x, start [, len]) | year | month |
+    * day. All lower to codegen'd native Columns with DuckDB-identical
+    * semantics (1-based substr, char length, date parts from
+    * timestamps); floor/ceil return BIGINT on both engines. Arity is
+    * validated at parse time. */
+  final case class EFunc(fn: String, args: Seq[Expr]) extends Expr {
+    private val arity = Map("upper" -> Set(1), "lower" -> Set(1),
+      "length" -> Set(1), "trim" -> Set(1), "abs" -> Set(1),
+      "floor" -> Set(1), "ceil" -> Set(1), "substr" -> Set(2, 3),
+      "year" -> Set(1), "month" -> Set(1), "day" -> Set(1))
+    require(arity.contains(fn), s"unsupported scalar function: $fn")
+    require(arity(fn).contains(args.length),
+      s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
+        s"got ${args.length}")
+  }
 
   /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
     * anything beyond a bare column (it is what names the output), and is
@@ -229,6 +246,13 @@ object HashQL {
   final case class SetLit(v: Any) extends SetVal
   final case class SetCol(ref: ColRef) extends SetVal
   final case class SetArith(ref: ColRef, op: String, n: Long) extends SetVal
+  /** `set t.a = <full scalar expression>` (round-10 growth): the whole
+    * expression grammar — arithmetic with precedence/parens, CASE WHEN,
+    * scalar functions — on the SET right-hand side, lowered through the
+    * ONE Expr → Column path. The three simple shapes above keep their
+    * dedicated forms (SetArith's try_cast-to-long coercion predates the
+    * grammar and is preserved). */
+  final case class SetExpr(e: Expr) extends SetVal
   final case class Update(table: String, set: (ColRef, SetVal), wheres: Seq[Pred]) extends Stmt
   /** `delete from t where …` — dialect growth (the reference clears whole
     * KV ranges, client.py:204-212, but its SQL stops at SELECT/INSERT/
@@ -487,21 +511,19 @@ object HashQL {
       val table = next()
       kw("set")
       val ref = colRef(); kw("=")
-      // RHS: quoted/number literal, or a column ref optionally followed
-      // by space-separated `+ - *` and a numeric literal (identifier-head
-      // dispatch — a dotted numeric like 1.5 is a literal, not a ref)
+      // RHS: `null`, or the FULL scalar expression grammar (round-10 —
+      // arithmetic, CASE, scalar functions); the three simple shapes map
+      // to their dedicated SetVal forms so pre-grammar coercion semantics
+      // (SetArith's try_cast-to-long) are preserved bit-for-bit
       val v: SetVal =
-        if (peekIsColRef) {
-          val r2 = colRef()
-          if (is("+") || is("-") || is("*")) {
-            val op = next()
-            val n = literal()
-            require(n.isInstanceOf[Long],
-              s"column arithmetic expects a numeric literal, got $n")
-            SetArith(r2, op, n.asInstanceOf[Long])
-          } else SetCol(r2)
-        } else if (is("null")) { next(); SetLit(null) } // explicit null-out
-        else SetLit(literal())
+        if (is("null")) { next(); SetLit(null) } // explicit null-out
+        else exprTree() match {
+          case ELit(x) => SetLit(x)
+          case ECol(r2) => SetCol(r2)
+          case EArith(ECol(r2), op @ ("+" | "-" | "*"), ELit(n: Long)) =>
+            SetArith(r2, op, n)
+          case e => SetExpr(e)
+        }
       val wheres = if (is("where")) { next(); preds() } else Nil
       Update(table, (ref, v), wheres)
     }
@@ -662,7 +684,7 @@ object HashQL {
       var more = true
       while (more) {
         if (is("*")) { next(); items += Star }
-        else if (is("row_number") || is("rank")) {
+        else if (is("row_number") || is("rank") || is("dense_rank")) {
           val fn = next().toLowerCase; kw("("); kw(")")
           items += windowSpec(fn, None)
         }
@@ -826,8 +848,21 @@ object HashQL {
       while (is("*") || is("/")) { val op = next(); e = EArith(e, op, exprFactor()) }
       e
     }
+    private def peekAt(k: Int): String = if (p + k < toks.length) toks(p + k) else ""
+    private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
+      "floor", "ceil", "substr", "year", "month", "day")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
+      else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
+        // scalar function call — name must be immediately followed by '('
+        // (a column named `trim` in `t.trim` stays a colref: dotted)
+        val fn = next().toLowerCase
+        kw("(")
+        val args = scala.collection.mutable.ArrayBuffer(exprTree())
+        while (is(",")) { next(); args += exprTree() }
+        kw(")")
+        EFunc(fn, args.toSeq)
+      }
       else if (is("case")) {
         next()
         val brs = scala.collection.mutable.ArrayBuffer.empty[(Pred, Expr)]
@@ -888,8 +923,8 @@ object HashQL {
         Some(n)
       } else None
       kw(")")
-      require(Set("row_number", "rank", "sum", "avg", "lag", "lead").contains(fn),
-        s"window functions supported: row_number, rank, sum, avg, lag, lead — got $fn")
+      require(Set("row_number", "rank", "dense_rank", "sum", "avg", "lag", "lead").contains(fn),
+        s"window functions supported: row_number, rank, dense_rank, sum, avg, lag, lead — got $fn")
       require(fn == "sum" || fn == "avg" || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
       require(frame.isEmpty || fn == "sum" || fn == "avg",
@@ -1302,6 +1337,30 @@ object HashQL {
       val chained = brs.tail.foldLeft(first) { case (acc, (p, v)) =>
         acc.when(predColumn(cat, p), exprColumn(cat, v)) }
       els.fold(chained)(d => chained.otherwise(exprColumn(cat, d)))
+    case EFunc(fn, args) =>
+      val a = args.map(exprColumn(cat, _))
+      fn match {
+        case "upper" => upper(a(0))
+        case "lower" => lower(a(0))
+        // char length; Spark returns INT, DuckDB BIGINT — pin long so
+        // the engines agree on the output schema
+        case "length" => length(a(0)).cast("long")
+        case "trim" => trim(a(0))
+        case "abs" => abs(a(0))
+        // Spark floor/ceil(double) already return LONG; DuckDB returns
+        // DOUBLE — oracles cast (documented on EFunc)
+        case "floor" => floor(a(0))
+        case "ceil" => ceil(a(0))
+        // 1-based, like both engines; 2-arg form runs to end of string
+        case "substr" =>
+          val len = if (a.length == 3) a(2).cast("int") else lit(Int.MaxValue)
+          a(0).substr(a(1).cast("int"), len)
+        // date parts from timestamp/date columns; INT on Spark, BIGINT
+        // on DuckDB — pin long
+        case "year" => year(a(0)).cast("long")
+        case "month" => month(a(0)).cast("long")
+        case "day" => dayofmonth(a(0)).cast("long")
+      }
   }
 
   /** Column names a scalar expression references (CASE conditions
@@ -1314,6 +1373,7 @@ object HashQL {
     case ECase(brs, els) =>
       brs.flatMap { case (p, v) => predRefs(p) ++ exprRefs(v) }.toSet ++
         els.toSeq.flatMap(exprRefs)
+    case EFunc(_, args) => args.flatMap(exprRefs).toSet
   }
   private def predRefs(p: Pred): Set[String] = p match {
     case Eq(r, _) => Set(r.column)
@@ -1338,6 +1398,7 @@ object HashQL {
   private def winAlias(w: WinCall): String = w.fn match {
     case "row_number" => "rn"
     case "rank" => "rnk"
+    case "dense_rank" => "drnk"
     case "sum" => s"wsum_${w.arg.get.column}"
     case "avg" => s"wavg_${w.arg.get.column}"
     case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
@@ -1359,6 +1420,7 @@ object HashQL {
     w.fn match {
       case "row_number" => row_number().over(spec)
       case "rank" => rank().over(spec)
+      case "dense_rank" => dense_rank().over(spec)
       // with ORDER BY and no explicit frame this is the ANSI default
       // RANGE frame (running sum, peers included) — Spark and DuckDB
       // agree; without ORDER BY, the whole partition's sum on every row
@@ -1525,6 +1587,7 @@ object HashQL {
               case "-" => base - n
               case "*" => base * n
             }
+          case SetExpr(e) => exprColumn(cat, e)
         }
         cat.updateExpr(t, ref.column, setCol, cond)
         registry.foreach(_.onUpdate(cat, t, before,

@@ -1126,6 +1126,64 @@ class HashQLSpec extends SparkSpec {
     assert(e1.getMessage.contains("global aggregate"), e1.getMessage)
   }
 
+  test("scalar functions: string/math tier, nesting, WHERE composition, arity guards") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into f (s, x) values ('  Hello  ', -7), ('world', 3)")
+    val got = HashQL.execute(cat,
+      "select f.x, upper(f.s) as u, length(trim(f.s)) as n, abs(f.x) as a, " +
+        "substr(trim(f.s), 2, 3) as mid from f order by f.x").get
+    assert(got.as[(Long, String, Long, Long, String)].collect().toSeq == Seq(
+      (-7L, "  HELLO  ", 5L, 7L, "ell"),
+      (3L, "WORLD", 5L, 3L, "orl")))
+    // functions compose with arithmetic and compare in WHERE
+    val wh = HashQL.execute(cat,
+      "select f.s from f where length(trim(f.s)) + f.x = 8").get
+    assert(wh.as[String].collect().toSeq == Seq("world")) // 5 + 3
+    // 2-arg substr runs to end of string
+    val tail2 = HashQL.execute(cat,
+      "select substr(f.s, 2) as t2 from f where f.x = 3").get
+    assert(tail2.as[String].collect().toSeq == Seq("orld"))
+    // arity is validated at parse time with the allowed counts
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select upper(f.s, f.s) as u from f"))
+    assert(e1.getMessage.contains("argument"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select reverse(f.s) as r from f"))
+    assert(e2.getMessage.contains("as <alias>") || e2.getMessage.contains("expected"),
+      e2.getMessage) // unknown fn never parses as a call
+  }
+
+  test("UPDATE SET takes full expressions; simple shapes keep their coercions") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10), ("b", 3)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into u (g, v) values ('$g', $v)") }
+    // CASE on the RHS
+    HashQL.execute(cat,
+      "update u set u.v = case when u.v >= 10 then u.v * 2 else u.v + 100 end")
+    assert(HashQL.execute(cat, "select u.g, u.v from u").get
+      .as[(String, Long)].collect().toSet == Set("a" -> 20L, "b" -> 103L))
+    // parenthesized arithmetic (not the simple col-op-lit shape)
+    HashQL.execute(cat, "update u set u.v = (u.v + 1) * 10 where u.g = 'a'")
+    assert(HashQL.execute(cat, "select u.v from u where u.g = 'a'").get
+      .as[Long].collect().toSeq == Seq(210L))
+    // functions on the RHS
+    HashQL.execute(cat, "update u set u.g = upper(u.g) where u.v = 103")
+    assert(HashQL.execute(cat, "select u.g from u where u.v = 103").get
+      .as[String].collect().toSeq == Seq("B"))
+  }
+
+  test("dense_rank windows: no gaps on ties") {
+    val cat = new GraftCatalog(spark)
+    Seq(("x", 10), ("x", 10), ("x", 20), ("y", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into w (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select w.g, w.v, dense_rank() over (partition by w.g order by w.v) " +
+        "from w order by w.g, w.v").get
+    assert(got.as[(String, Long, Int)].collect().toSeq == Seq(
+      ("x", 10L, 1), ("x", 10L, 1), ("x", 20L, 2), ("y", 5L, 1)))
+  }
+
   test("a pure rename keeps the missing-field skip (select t.a as b ≡ select t.a)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a) values ('x')")
