@@ -1265,6 +1265,19 @@ object HashqlSuite extends Suite {
              |  month(l_shipdate) AS m, day(l_shipdate) AS dd
              |FROM lineitem WHERE l_orderkey <= 200""".stripMargin)),
 
+    // GROUP BY a computed alias (round-10 growth): the time-rollup
+    // idiom — the expression key evaluates scan-side BEFORE the
+    // partial aggregation, so at 100 TB this is one shuffle on the
+    // bucketed key like any grouped aggregate.
+    "hashql_group_expr" -> Q(
+      (s, d) => run(s, d,
+        "select year(lineitem.l_shipdate) as y, count(*), " +
+          "sum(lineitem.l_quantity) as sq from lineitem group by y " +
+          "order by y"),
+      Some("""SELECT year(l_shipdate) AS y, count(*) AS cnt,
+             |  sum(l_quantity) AS sq
+             |FROM lineitem GROUP BY y ORDER BY y""".stripMargin)),
+
     // UPDATE SET takes the full expression grammar (round-10): CASE WHEN
     // on the right-hand side; literal-VALUES oracle over the replayed
     // scenario.

@@ -1184,6 +1184,32 @@ class HashQLSpec extends SparkSpec {
       ("x", 10L, 1), ("x", 10L, 1), ("x", 20L, 2), ("y", 5L, 1)))
   }
 
+  test("GROUP BY a computed alias: expression keys evaluate pre-agg; unknown keys reject") {
+    val cat = new GraftCatalog(spark)
+    Seq(("ab", 1), ("cd", 2), ("efg", 3), ("hi", 4)).foreach { case (s0, v) =>
+      HashQL.execute(cat, s"insert into t (s, v) values ('$s0', $v)") }
+    // group by a computed key (string length buckets)
+    val got = HashQL.execute(cat,
+      "select length(t.s) as n, count(*), sum(t.v) from t group by n " +
+        "order by n").get
+    assert(got.select("n", "cnt", "sum_v").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 3L, 7L), (3L, 1L, 3L)))
+    // computed key + post-agg expression over it in one select
+    val both = HashQL.execute(cat,
+      "select length(t.s) as n, n * 10 as n10, count(*) from t group by n " +
+        "order by n").get
+    assert(both.select("n", "n10", "cnt").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 20L, 3L), (3L, 30L, 1L)))
+    // HAVING addresses the computed key like any output column
+    val hav = HashQL.execute(cat,
+      "select length(t.s) as n, count(*) from t group by n having cnt > 1").get
+    assert(hav.select("n", "cnt").as[(Long, Long)].collect().toSeq == Seq((2L, 3L)))
+    // a bare group key that is neither a column nor an alias rejects
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select count(*) from t group by nope"))
+    assert(e1.getMessage.contains("neither a column nor a computed"), e1.getMessage)
+  }
+
   test("a pure rename keeps the missing-field skip (select t.a as b ≡ select t.a)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a) values ('x')")
