@@ -1265,6 +1265,28 @@ object HashqlSuite extends Suite {
              |  month(l_shipdate) AS m, day(l_shipdate) AS dd
              |FROM lineitem WHERE l_orderkey <= 200""".stripMargin)),
 
+    // composite join keys (round-10 growth): `on a = b and c = d` —
+    // one hash join on both key columns; never routes through a
+    // single-pair materialized view.
+    "hashql_join_composite" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, supplier.s_suppkey from customer " +
+          "inner join supplier on customer.c_nationkey = supplier.s_nationkey " +
+          "and customer.c_custkey = supplier.s_suppkey"),
+      Some("""SELECT c_custkey, s_suppkey FROM customer
+             |JOIN supplier ON c_nationkey = s_nationkey
+             |AND c_custkey = s_suppkey""".stripMargin)),
+
+    // coalesce / nullif compose inside the expression grammar.
+    "hashql_nullif_coalesce" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "coalesce(nullif(orders.o_orderstatus, 'O'), 'open') as st " +
+          "from orders where orders.o_orderkey <= 300"),
+      Some("""SELECT o_orderkey,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
+             |FROM orders WHERE o_orderkey <= 300""".stripMargin)),
+
     // GROUP BY a computed alias (round-10 growth): the time-rollup
     // idiom — the expression key evaluates scan-side BEFORE the
     // partial aggregation, so at 100 TB this is one shuffle on the

@@ -120,7 +120,8 @@ object HashQL {
     private val arity = Map("upper" -> Set(1), "lower" -> Set(1),
       "length" -> Set(1), "trim" -> Set(1), "abs" -> Set(1),
       "floor" -> Set(1), "ceil" -> Set(1), "substr" -> Set(2, 3),
-      "year" -> Set(1), "month" -> Set(1), "day" -> Set(1))
+      "year" -> Set(1), "month" -> Set(1), "day" -> Set(1),
+      "coalesce" -> Set(2, 3, 4), "nullif" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -274,8 +275,14 @@ object HashQL {
     * statement with the tables swapped, and the reference's dialect has
     * no outer joins at all, so this is already growth.) */
   final case class JoinClause(table: String, l: ColRef, r: ColRef,
-                              kind: String = "inner") {
+                              kind: String = "inner",
+                              extra: Seq[(ColRef, ColRef)] = Nil) {
     def outer: Boolean = kind != "inner"
+    // `extra`: additional `AND l2 = r2` equi-conjuncts on the ON clause
+    // (round-10 growth — composite join keys). A clause with extras never
+    // routes through a materialized join view (views register the
+    // single-pair form; a silently-matching primary pair would drop the
+    // extra condition).
   }
   final case class Select(items: Seq[SelectItem], table: String,
                           joins: Seq[JoinClause], wheres: Seq[Pred],
@@ -727,12 +734,17 @@ object HashQL {
             case _ => AggExprItem(fn, e, aliasAfterAs(s"$fn(<expression>)"))
           })
         }
-        else if (is("coalesce")) {
+        else if (is("coalesce") && coalesce2Shape()) {
+          // the LEGACY 2-arg projection form `coalesce(t.a, v)` keeps its
+          // Coalesce2 item (auto-alias `coalesce_a`, the FULL-JOIN key
+          // merge); anything richer — 3+ args, nested calls, arithmetic
+          // continuation, an AS alias — parses through the expression
+          // grammar's n-ary coalesce below
           next(); kw("(")
           val r = colRef(); kw(",")
-          // second arg: a column ref (identifier-headed table.column —
-          // the FULL-JOIN key merge) or a literal; dotted numerics like
-          // 1.5 are literals, and bare null gets its own rejection
+          // second arg: a column ref (identifier-headed table.column) or
+          // a literal; dotted numerics like 1.5 are literals, and bare
+          // null gets its own rejection
           require(!is("null"),
             "coalesce(…, null) is a no-op — use a typed literal or column default")
           val v: Any = if (peekIsColRef) colRef() else literal()
@@ -740,8 +752,9 @@ object HashQL {
           items += Coalesce2(r, v)
         }
         else {
-          // plain field, or a scalar expression (arithmetic / CASE / a
-          // re-aliased column) — anything computed must be AS-named
+          // plain field, or a scalar expression (arithmetic / CASE /
+          // function calls / a re-aliased column) — anything computed
+          // must be AS-named
           val e = exprTree()
           items += ((e, is("as")) match {
             case (ECol(r), false) => Field(r)
@@ -777,7 +790,15 @@ object HashQL {
           }
         kw("join"); val t = next(); kw("on")
         val l = colRef(); kw("="); val r = colRef()
-        joins += JoinClause(t, l, r, kind)
+        // `on a = b and c = d` — the AND binds to the ON clause
+        // (composite keys); WHERE needs its keyword, so no ambiguity
+        val extras = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        while (is("and")) {
+          next()
+          val l2 = colRef(); kw("="); val r2 = colRef()
+          extras += ((l2, r2))
+        }
+        joins += JoinClause(t, l, r, kind, extras.toSeq)
       }
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       val groupBy = if (is("group")) {
@@ -858,8 +879,14 @@ object HashQL {
       e
     }
     private def peekAt(k: Int): String = if (p + k < toks.length) toks(p + k) else ""
+    /** Lookahead only (consumes nothing): does the upcoming `coalesce(…)`
+      * match the LEGACY 2-arg single-token-argument projection shape,
+      * with no expression continuation after the ')'? */
+    private def coalesce2Shape(): Boolean =
+      peekAt(1) == "(" && peekAt(3) == "," && peekAt(5) == ")" &&
+        !Set("as", "+", "-", "*", "/").contains(peekAt(6).toLowerCase)
     private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
-      "floor", "ceil", "substr", "year", "month", "day")
+      "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
       else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
@@ -1376,6 +1403,11 @@ object HashQL {
         case "year" => year(a(0)).cast("long")
         case "month" => month(a(0)).cast("long")
         case "day" => dayofmonth(a(0)).cast("long")
+        // n-ary first-non-null / ANSI NULLIF — inside expressions; the
+        // projection-level 2-arg `coalesce(t.a, v)` item keeps its
+        // dedicated Coalesce2 form (auto-alias, FULL-JOIN key merge)
+        case "coalesce" => coalesce(a: _*)
+        case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))
       }
   }
 
@@ -1521,10 +1553,15 @@ object HashQL {
     * the new plan). */
   private def aggViewFrame(cat: GraftCatalog, sel: Select): DataFrame = {
     var df = cat.table(sel.table)
-    sel.joins.foreach { case JoinClause(t, l, r, _) =>
+    sel.joins.foreach { case JoinClause(t, l, r, _, extra) =>
       val tdf = cat.table(t)
       val (known, fresh) = if (l.table == t) (r, l) else (l, r)
-      df = df.join(tdf, df(known.column) === tdf(fresh.column))
+      val cond = extra.foldLeft(df(known.column) === tdf(fresh.column)) {
+        case (c, (l2, r2)) =>
+          val (k2, f2) = if (l2.table == t) (r2, l2) else (l2, r2)
+          c && df(k2.column) === tdf(f2.column)
+      }
+      df = df.join(tdf, cond)
     }
     sel.wheres.foreach(pr => df = df.filter(predColumn(cat, pr)))
     val aggs = aggsOf(cat, sel.items)
@@ -1946,18 +1983,24 @@ object HashQL {
         // pre-joined parquet — `select *` must not expand the dropped
         // tables' columns, so Star disables that route (exact still fires)
         val routed =
-          if (joins.exists(_.outer) || tset.exists(cat.isShadowed)) None
+          if (joins.exists(_.outer) || joins.exists(_.extra.nonEmpty) ||
+              tset.exists(cat.isShadowed)) None
           else registry.flatMap(_.routedFrame(tset,
             joins.map(j => (j.table, j.l, j.r)),
             allowSubset = !items.contains(Star)))
         var df = routed.getOrElse {
           var acc = cat.table(table)
-          joins.foreach { case JoinClause(t, l, r, kind) =>
+          joins.foreach { case JoinClause(t, l, r, kind, extra) =>
             // the clause's table is the fresh side; the other ref is already
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
-            acc = acc.join(tdf, acc(known.column) === tdf(fresh.column), kind)
+            val cond = extra.foldLeft(acc(known.column) === tdf(fresh.column)) {
+              case (c, (l2, r2)) =>
+                val (k2, f2) = if (l2.table == t) (r2, l2) else (l2, r2)
+                c && acc(k2.column) === tdf(f2.column)
+            }
+            acc = acc.join(tdf, cond, kind)
             // same-NAMED equi-join keys (a CTE joined back to its base
             // table is the common case) would make every later bare-name
             // reference ambiguous; on an INNER join the two copies hold

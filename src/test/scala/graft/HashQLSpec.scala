@@ -1210,6 +1210,34 @@ class HashQLSpec extends SparkSpec {
     assert(e1.getMessage.contains("neither a column nor a computed"), e1.getMessage)
   }
 
+  test("composite JOIN ON: and-ed equi-conjuncts; blocks matview routing") {
+    val cat = new GraftCatalog(spark)
+    Seq((1, 10, "a"), (1, 20, "b"), (2, 10, "c")).foreach { case (k1, k2, v) =>
+      HashQL.execute(cat, s"insert into L (k1, k2, v) values ($k1, $k2, '$v')") }
+    Seq((1, 10, "X"), (2, 10, "Y"), (1, 99, "Z")).foreach { case (k1, k2, w) =>
+      HashQL.execute(cat, s"insert into R (r1, r2, w) values ($k1, $k2, '$w')") }
+    val got = HashQL.execute(cat,
+      "select L.v, R.w from L inner join R on L.k1 = R.r1 and L.k2 = R.r2").get
+    assert(got.as[(String, String)].collect().toSet ==
+      Set("a" -> "X", "c" -> "Y")) // (1,20) and (1,99) have no composite match
+    // LEFT JOIN keeps the unmatched left rows under the composite condition
+    val lj = HashQL.execute(cat,
+      "select L.v, R.w from L left join R on L.k1 = R.r1 and L.k2 = R.r2 " +
+        "where R.w is null").get
+    assert(lj.as[(String, String)].collect().map(_._1).toSet == Set("b"))
+  }
+
+  test("coalesce/nullif inside expressions: n-ary first-non-null, ANSI NULLIF") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into n (a, b) values ('x', 'y'), ('same', 'same')")
+    HashQL.execute(cat, "insert into n (b) values ('only_b')") // a missing ⇒ null
+    val got = HashQL.execute(cat,
+      "select coalesce(nullif(n.a, 'same'), n.b, 'fallback') as r from n " +
+        "order by r").get
+    // ('x','y')→x; ('same','same')→nullif nulls a→b='same'; (null,'only_b')→b
+    assert(got.as[String].collect().toSeq == Seq("only_b", "same", "x"))
+  }
+
   test("a pure rename keeps the missing-field skip (select t.a as b ≡ select t.a)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a) values ('x')")
