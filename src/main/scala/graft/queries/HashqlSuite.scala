@@ -1265,6 +1265,33 @@ object HashqlSuite extends Suite {
              |  month(l_shipdate) AS m, day(l_shipdate) AS dd
              |FROM lineitem WHERE l_orderkey <= 200""".stripMargin)),
 
+    // dialect set ops beyond UNION (round-10 growth): INTERSECT /
+    // EXCEPT, positional, names from the first branch.
+    "hashql_intersect" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_nationkey from customer " +
+          "intersect select supplier.s_nationkey from supplier"),
+      Some("""SELECT c_nationkey FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    "hashql_except" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey from orders " +
+          "except select customer.c_custkey from customer " +
+          "where customer.c_custkey >= 100"),
+      Some("""SELECT o_custkey FROM orders
+             |EXCEPT SELECT c_custkey FROM customer
+             |WHERE c_custkey >= 100""".stripMargin)),
+
+    // ntile buckets over a unique order key (deterministic).
+    "hashql_ntile" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, ntile(4) over (order by orders.o_orderkey) " +
+          "from orders where orders.o_orderkey <= 100"),
+      Some("""SELECT o_orderkey,
+             |  CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS ntl
+             |FROM orders WHERE o_orderkey <= 100""".stripMargin)),
+
     // composite join keys (round-10 growth): `on a = b and c = d` —
     // one hash join on both key columns; never routes through a
     // single-pair materialized view.

@@ -80,7 +80,8 @@ object HashQL {
   final case class WinCall(fn: String, arg: Option[ColRef],
                            part: Seq[ColRef],
                            order: Seq[(ColRef, Boolean)],
-                           frame: Option[Int] = None) extends SelectItem
+                           frame: Option[Int] = None,
+                           buckets: Option[Int] = None) extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
     * schema-union gaps. Two-arg forms: column+literal (fill a default)
@@ -300,6 +301,17 @@ object HashQL {
     * silent choice). Each branch is a full Select (its own WHERE / GROUP
     * BY / ORDER BY / LIMIT, applied per-branch). Dialect growth. */
   final case class Union(selects: Seq[Select], all: Boolean) extends Stmt
+  /** `select … intersect [all] select …` / `select … except [all] select …`
+    * (round-10 growth — the dialect's set-op surface beyond UNION):
+    * positional set operations, names follow the first branch. Plain
+    * forms have SQL set semantics (dedup), ALL keeps multiset semantics
+    * (Spark intersectAll/exceptAll ≡ DuckDB's). A chain mixes neither
+    * ops nor ALL-ness — parenthesize through CTEs for anything richer
+    * (set-op association is too easy to silently mis-read). */
+  final case class SetOpChain(op: String, selects: Seq[Select],
+                              all: Boolean) extends Stmt {
+    require(op == "intersect" || op == "except", s"bad set op: $op")
+  }
   /** `with name as (select …) (, name as (select …))* select …` — common
     * table expressions (dialect growth; the reference has no subqueries
     * at all, server.py:456-476). Each CTE body is a full Select or Union
@@ -672,7 +684,26 @@ object HashQL {
       * CTE bodies (inside parens the closing ')' ends the chain). */
     private def selectOrUnion(): Stmt = {
       val first = selectRest()
-      if (!is("union")) first
+      if (is("intersect") || is("except")) {
+        val op = next().toLowerCase
+        val allFlags = scala.collection.mutable.ArrayBuffer(
+          is("all") && { next(); true })
+        kw("select")
+        val branches = scala.collection.mutable.ArrayBuffer(first, selectRest())
+        while (is(op)) {
+          next()
+          allFlags += (is("all") && { next(); true })
+          kw("select")
+          branches += selectRest()
+        }
+        require(!is("union") && !is("intersect") && !is("except"),
+          "mixed set operators in one chain are not supported — " +
+            "parenthesize through CTEs")
+        require(allFlags.distinct.size == 1,
+          s"mixed $op / $op ALL in one chain is not supported")
+        SetOpChain(op, branches.toSeq, allFlags.head)
+      }
+      else if (!is("union")) first
       else {
         val branches = scala.collection.mutable.ArrayBuffer(first)
         val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
@@ -684,6 +715,9 @@ object HashQL {
         }
         require(allFlags.distinct.size == 1,
           "mixed UNION / UNION ALL in one chain is not supported")
+        require(!is("intersect") && !is("except"),
+          "mixed set operators in one chain are not supported — " +
+            "parenthesize through CTEs")
         Union(branches.toSeq, allFlags.head)
       }
     }
@@ -698,6 +732,17 @@ object HashQL {
         else if (is("row_number") || is("rank") || is("dense_rank")) {
           val fn = next().toLowerCase; kw("("); kw(")")
           items += windowSpec(fn, None)
+        }
+        else if (is("ntile")) {
+          // ntile(N) — N equal-ish buckets over the window order
+          // (round-10 growth; deterministic only when the ORDER BY key
+          // is unique, as with every row-numbering function)
+          next(); kw("(")
+          val t = next()
+          require(t.matches("[0-9]+") && t.toInt > 0,
+            s"ntile expects a positive bucket count, got $t")
+          kw(")")
+          items += windowSpec("ntile", None, buckets = Some(t.toInt))
         }
         else if (is("lag") || is("lead")) {
           val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
@@ -934,7 +979,8 @@ object HashQL {
     /** `over (partition by …[, …] order by …[ desc][, …])` — both clauses
       * optional, any combination; window fns limited to row_number / rank
       * (need ORDER BY to mean anything — required) and sum. */
-    private def windowSpec(fn: String, arg: Option[ColRef]): WinCall = {
+    private def windowSpec(fn: String, arg: Option[ColRef],
+                           buckets: Option[Int] = None): WinCall = {
       kw("over"); kw("(")
       val part = if (is("partition")) {
         next(); kw("by")
@@ -966,8 +1012,10 @@ object HashQL {
         Some(n)
       } else None
       kw(")")
-      require(Set("row_number", "rank", "dense_rank", "sum", "avg", "lag", "lead").contains(fn),
-        s"window functions supported: row_number, rank, dense_rank, sum, avg, lag, lead — got $fn")
+      require(Set("row_number", "rank", "dense_rank", "ntile", "sum", "avg",
+        "lag", "lead").contains(fn),
+        s"window functions supported: row_number, rank, dense_rank, ntile, " +
+          s"sum, avg, lag, lead — got $fn")
       require(fn == "sum" || fn == "avg" || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
       require(frame.isEmpty || fn == "sum" || fn == "avg",
@@ -975,7 +1023,7 @@ object HashQL {
       require(frame.isEmpty || order.nonEmpty,
         "a rows frame requires an ORDER BY in the window")
       require(frame.forall(_ >= 0), "rows frame size must be >= 0")
-      WinCall(fn, arg, part, order, frame)
+      WinCall(fn, arg, part, order, frame, buckets)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -1447,6 +1495,7 @@ object HashQL {
     case "row_number" => "rn"
     case "rank" => "rnk"
     case "dense_rank" => "drnk"
+    case "ntile" => "ntl"
     case "sum" => s"wsum_${w.arg.get.column}"
     case "avg" => s"wavg_${w.arg.get.column}"
     case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
@@ -1469,6 +1518,7 @@ object HashQL {
       case "row_number" => row_number().over(spec)
       case "rank" => rank().over(spec)
       case "dense_rank" => dense_rank().over(spec)
+      case "ntile" => ntile(w.buckets.get).over(spec)
       // with ORDER BY and no explicit frame this is the ANSI default
       // RANGE frame (running sum, peers included) — Spark and DuckDB
       // agree; without ORDER BY, the whole partition's sum on every row
@@ -1610,6 +1660,7 @@ object HashQL {
         cat.register(t, sel match {
           case s: Select => selectFrame(cat, s, registry)
           case u: Union => unionFrame(cat, u, registry)
+          case so: SetOpChain => setOpFrame(cat, so, registry)
           case other => throw new IllegalStateException(s"CTAS over $other")
         })
         None
@@ -1690,6 +1741,7 @@ object HashQL {
           .map(f => (f.name, f.dataType.sql)).toDF("column_name", "column_type"))
       case sel: Select => Some(selectFrame(cat, sel, registry))
       case u: Union => Some(unionFrame(cat, u, registry))
+      case so: SetOpChain => Some(setOpFrame(cat, so, registry))
       case WithCtes(ctes, body) =>
         // build each CTE's plan inside the scope of the earlier ones,
         // then the body inside all of them; a built plan captured its
@@ -1802,6 +1854,7 @@ object HashQL {
       (if (s.table == n) 1 else 0) + s.joins.count(_.table == n) +
         s.wheres.map(predTableRefCount(_, n)).sum
     case Union(ss, _) => ss.map(tableRefCount(_, n)).sum
+    case SetOpChain(_, ss, _) => ss.map(tableRefCount(_, n)).sum
     case _ => 0
   }
   private def predTableRefCount(p: Pred, n: String): Int = p match {
@@ -1819,6 +1872,7 @@ object HashQL {
     stmt match {
       case s: Select => selectFrame(cat, s, registry)
       case u: Union => unionFrame(cat, u, registry)
+      case so: SetOpChain => setOpFrame(cat, so, registry)
       case other => throw new IllegalStateException(s"not a query: $other")
     }
 
@@ -1949,6 +2003,26 @@ object HashQL {
     }
     val lowered = lower(pr)
     df.filter(predColumn(cat, lowered)).drop(flags.toSeq: _*)
+  }
+
+  /** INTERSECT/EXCEPT chains (left-associative, one op per chain):
+    * positional like UNION; plain = set semantics (one partial-agg
+    * dedup shuffle per op), ALL = multiset (Spark's intersectAll /
+    * exceptAll — the same hash-join-on-all-columns plans q_set_*_all
+    * prove). */
+  private def setOpFrame(cat: GraftCatalog, so: SetOpChain,
+                         registry: Option[JoinRegistry]): DataFrame = {
+    val frames = so.selects.map(selectFrame(cat, _, registry))
+    require(frames.map(_.columns.length).distinct.size == 1,
+      s"${so.op} branches must project the same number of columns, " +
+        s"got ${frames.map(_.columns.length).mkString("/")}")
+    frames.reduce((a, b) => (so.op, so.all) match {
+      case ("intersect", false) => a.intersect(b)
+      case ("intersect", true) => a.intersectAll(b)
+      case ("except", false) => a.except(b)
+      case ("except", true) => a.exceptAll(b)
+      case _ => throw new IllegalStateException(so.op)
+    })
   }
 
   private def unionFrame(cat: GraftCatalog, u: Union,

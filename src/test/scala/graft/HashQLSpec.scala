@@ -1238,6 +1238,38 @@ class HashQLSpec extends SparkSpec {
     assert(got.as[String].collect().toSeq == Seq("only_b", "same", "x"))
   }
 
+  test("dialect INTERSECT/EXCEPT: set and multiset forms, mixed chains reject") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into A (v) values (1), (2), (2), (3)")
+    HashQL.execute(cat, "insert into B (v) values (2), (3), (3), (4)")
+    def vals(sql: String): Seq[Long] =
+      HashQL.execute(cat, sql).get.as[Long].collect().sorted.toSeq
+    assert(vals("select A.v from A intersect select B.v from B") == Seq(2L, 3L))
+    assert(vals("select A.v from A except select B.v from B") == Seq(1L))
+    // multiset: A has two 2s, B one 2 → one survives EXCEPT ALL
+    assert(vals("select A.v from A except all select B.v from B") == Seq(1L, 2L))
+    assert(vals("select A.v from A intersect all select B.v from B") == Seq(2L, 3L))
+    // chains are one op only
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select A.v from A union select B.v from B except select A.v from A"))
+    assert(e1.getMessage.contains("mixed set operators"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select A.v from A except select B.v from B except all select A.v from A"))
+    assert(e2.getMessage.contains("mixed"), e2.getMessage)
+  }
+
+  test("ntile windows: balanced buckets over the window order") {
+    val cat = new GraftCatalog(spark)
+    (1 to 8).foreach(v => HashQL.execute(cat, s"insert into t (v) values ($v)"))
+    val got = HashQL.execute(cat,
+      "select t.v, ntile(3) over (order by t.v) from t order by t.v").get
+    assert(got.select("v", "ntl").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 2), (6L, 2), (7L, 3), (8L, 3)))
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ntile(0) over (order by t.v) from t"))
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("a pure rename keeps the missing-field skip (select t.a as b ≡ select t.a)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a) values ('x')")

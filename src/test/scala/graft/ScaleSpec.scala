@@ -421,6 +421,36 @@ class ScaleSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, name)
   }
 
+  test("subqueries under OR plan flag joins — broadcast equi-joins, never a cartesian") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val orEx = HashQL.execute(cat,
+      "select customer.c_custkey from customer " +
+        "where customer.c_nationkey = 0 or exists " +
+        "(select orders.o_orderkey from orders " +
+        "where orders.o_custkey = customer.c_custkey " +
+        "and orders.o_totalprice >= 100000.0)").get
+    val plan = orEx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-EXISTS planned a cross product:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"flag join is not an equi-join:\n${plan.take(1500)}")
+    orEx.count()
+    // the scalar-compare flag under OR stays a broadcast of ONE row
+    val orScalar = HashQL.execute(cat,
+      "select customer.c_custkey from customer " +
+        "where customer.c_custkey = (select max(orders.o_custkey) from orders) " +
+        "or customer.c_nationkey = 0").get
+    val sPlan = orScalar.queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastExchange"),
+      s"scalar flag not broadcast:\n${sPlan.take(1200)}")
+    orScalar.count()
+  }
+
   test("a twice-referenced CTE materializes once: the body reads the checkpoint, not the files") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
