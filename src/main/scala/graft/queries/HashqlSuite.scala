@@ -1265,6 +1265,18 @@ object HashqlSuite extends Suite {
              |  month(l_shipdate) AS m, day(l_shipdate) AS dd
              |FROM lineitem WHERE l_orderkey <= 200""".stripMargin)),
 
+    // date-literal range filter on a timestamp column (the TPC-H Q1
+    // shipdate idiom): the quoted literal coerces to timestamp in the
+    // comparison on BOTH engines, and the predicate pushes to the scan.
+    "hashql_date_filter" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where lineitem.l_shipdate >= '2001-06-01' " +
+          "and lineitem.l_shipdate < '2001-09-01'"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_shipdate >= '2001-06-01'
+             |AND l_shipdate < '2001-09-01'""".stripMargin)),
+
     // dialect set ops beyond UNION (round-10 growth): INTERSECT /
     // EXCEPT, positional, names from the first branch.
     "hashql_intersect" -> Q(

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.core.GraftCatalog
+import graft.sql.HashQL
+
+/** SURVEY §5 property strategy for the round-9/10 expression grammar:
+  * randomly generated expression STRINGS — arithmetic with precedence
+  * and parens, nested CASE WHEN, abs(), column refs and literals — must
+  * parse, plan, and evaluate to exactly what a straightforward in-memory
+  * interpreter computes on the same rows. One generator produces the SQL
+  * text and its interpreter side by side, so parser, lowering, and
+  * Catalyst execution are all under test at once.
+  *
+  * Domain is kept in small non-negative longs (values/literals ≤ 9,
+  * tree depth ≤ 3) so ANSI overflow can never fire on either path, and
+  * division is excluded (its double typing belongs to the oracle-checked
+  * driver queries, not a long-valued differential test). CASE condition
+  * operands are leaves: a '(' opening a WHEN condition is predicate
+  * grouping, not expression grouping — the grammar's documented shape. */
+class ExprPropertySpec extends SparkSpec with PropertySampling {
+  import spark.implicits._
+
+  private type Env = Map[String, Long]
+  private type GenExpr = (String, Env => Long)
+
+  private val leafGen: Gen[GenExpr] = Gen.oneOf(
+    Gen.choose(0L, 9L).map(n => (n.toString, (_: Env) => n)),
+    Gen.oneOf("a", "b").map(c => (s"t.$c", (r: Env) => r(c))))
+
+  private def exprGen(depth: Int): Gen[GenExpr] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      2 -> leafGen,
+      4 -> (for {
+        (ls, lf) <- exprGen(depth - 1)
+        (rs, rf) <- exprGen(depth - 1)
+        op <- Gen.oneOf("+", "-", "*")
+      } yield (s"( $ls $op $rs )", (r: Env) => op match {
+        case "+" => lf(r) + rf(r)
+        case "-" => lf(r) - rf(r)
+        case "*" => lf(r) * rf(r)
+      })),
+      1 -> exprGen(depth - 1).map { case (s0, f) =>
+        (s"abs( $s0 - 9 )", (r: Env) => math.abs(f(r) - 9L)) },
+      3 -> (for {
+        (cls, clf) <- leafGen // condition operands: leaves (see scaladoc)
+        (crs, crf) <- leafGen
+        op <- Gen.oneOf("<", ">", "=", "<=", ">=")
+        (ts, tf) <- exprGen(depth - 1)
+        (es, ef) <- exprGen(depth - 1)
+      } yield (s"case when $cls $op $crs then $ts else $es end", (r: Env) => {
+        val c = op match {
+          case "<" => clf(r) < crf(r)
+          case ">" => clf(r) > crf(r)
+          case "=" => clf(r) == crf(r)
+          case "<=" => clf(r) <= crf(r)
+          case ">=" => clf(r) >= crf(r)
+        }
+        if (c) tf(r) else ef(r)
+      })))
+
+  test("random expression trees: dialect parse+plan ≡ in-memory interpreter") {
+    val cat = new GraftCatalog(spark)
+    val rows = for { a <- 0L to 9L; b <- Seq(0L, 3L, 7L, 9L) } yield (a, b)
+    rows.foreach { case (a, b) =>
+      HashQL.execute(cat, s"insert into t (a, b) values ($a, $b)") }
+    (1 to 40).foreach { seed =>
+      val (sql, f) = sample(exprGen(3), seed)
+      val got = HashQL.execute(cat, s"select t.id, $sql as x from t").get
+        .as[(Long, Long)].collect().toMap
+      val expected = rows.zipWithIndex.map { case ((a, b), i) =>
+        (i + 1).toLong -> f(Map("a" -> a, "b" -> b)) }.toMap
+      assert(got == expected, s"seed $seed diverged on: $sql")
+    }
+  }
+
+  test("random expressions as WHERE predicates: filter ≡ interpreter row set") {
+    val cat = new GraftCatalog(spark)
+    val rows = for { a <- 0L to 9L; b <- Seq(0L, 4L, 9L) } yield (a, b)
+    rows.foreach { case (a, b) =>
+      HashQL.execute(cat, s"insert into t (a, b) values ($a, $b)") }
+    (1 to 25).foreach { seed =>
+      val (ls, lf) = sample(exprGen(2), seed)
+      val (rs, rf) = sample(exprGen(2), seed + 1000)
+      val op = sample(Gen.oneOf("<", ">", "=", "<=", ">="), seed + 2000)
+      // `0 + …` pins the computed-comparison (ExprCmp) path: a bare
+      // column head followed by `= (` would read as a scalar-subquery
+      // opener (the grammar's documented dispatch), and the ECol-headed
+      // forms have their own goldens
+      val got = HashQL.execute(cat,
+        s"select t.id from t where 0 + $ls $op $rs").get
+        .as[Long].collect().toSet
+      val expected = rows.zipWithIndex.collect { case ((a, b), i)
+          if {
+            val env = Map("a" -> a, "b" -> b)
+            val (l, r) = (lf(env), rf(env))
+            op match {
+              case "<" => l < r; case ">" => l > r; case "=" => l == r
+              case "<=" => l <= r; case ">=" => l >= r
+            }
+          } => (i + 1).toLong }.toSet
+      assert(got == expected, s"seed $seed diverged on: $ls $op $rs")
+    }
+  }
+}
