@@ -93,6 +93,8 @@ final class GraftCatalog(val spark: SparkSession) {
     val schema = StructType(fields.map { case (f, v) =>
       StructField(f, v match {
         case _: Long | _: Int => LongType
+        // decimal literals coerce to Double in the dialect (F2)
+        case _: Double => DoubleType
         case _ => StringType
       })
     })

@@ -1277,6 +1277,46 @@ object HashqlSuite extends Suite {
              |WHERE l_shipdate >= '2001-06-01'
              |AND l_shipdate < '2001-09-01'""".stripMargin)),
 
+    // round-10 scalar-function growth: concat + replace (string tier).
+    // concat null-propagates on the Spark side, so the oracle spells it
+    // as the `||` chain — DuckDB's own concat() skips NULLs instead.
+    "hashql_concat_replace" -> Q(
+      (s, d) => run(s, d,
+        "select concat(customer.c_mktsegment, '_', " +
+          "replace(customer.c_name, 'Customer#', '')) as tag " +
+          "from customer where customer.c_custkey < 50"),
+      Some("""SELECT c_mktsegment || '_' || replace(c_name, 'Customer#', '') AS tag
+             |FROM customer WHERE c_custkey < 50""".stripMargin)),
+
+    // round(x, scale) (half away from zero on both engines), the `%`
+    // operator at `* /` precedence, and its mod() spelling — all over
+    // BIGINT/DOUBLE columns so the output types line up engine-to-engine.
+    "hashql_round_mod" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, round(lineitem.l_quantity / 7, 2) as q7, " +
+          "lineitem.l_orderkey % 7 as m7, mod(lineitem.l_orderkey, 5) as m5 " +
+          "from lineitem where lineitem.l_orderkey <= 100"),
+      Some("""SELECT l_orderkey, round(l_quantity / 7, 2) AS q7,
+             |  l_orderkey % 7 AS m7, mod(l_orderkey, 5) AS m5
+             |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
+    // running min/max windows with explicit `as` re-aliases (round-10
+    // growth; the ANSI default RANGE frame — Spark and DuckDB agree, and
+    // l_linenumber is unique per order so the running prefix is
+    // deterministic).
+    "hashql_win_minmax" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber, " +
+          "min(lineitem.l_quantity) over (partition by lineitem.l_orderkey " +
+          "order by lineitem.l_linenumber) as lo, " +
+          "max(lineitem.l_quantity) over (partition by lineitem.l_orderkey " +
+          "order by lineitem.l_linenumber) as hi " +
+          "from lineitem where lineitem.l_orderkey <= 100"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  min(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS lo,
+             |  max(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS hi
+             |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
     // dialect set ops beyond UNION (round-10 growth): INTERSECT /
     // EXCEPT, positional, names from the first branch.
     "hashql_intersect" -> Q(

@@ -21,8 +21,10 @@ import graft.fts.Fts
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
   *     | coalesce(t.f, v | u.g)
   *     | <expr> as x | sum|avg|min|max(<expr>) as x | count(…) as x
-  *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/ <expr>
+  *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/|% <expr>
   *         | case when <pred> then <expr> [when …]* [else <expr>] end
+  *         | upper|lower|length|trim|abs|floor|ceil|substr|year|month|day
+  *           |coalesce|nullif|concat|round|replace|mod ( <expr> [, …] )
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -81,7 +83,8 @@ object HashQL {
                            part: Seq[ColRef],
                            order: Seq[(ColRef, Boolean)],
                            frame: Option[Int] = None,
-                           buckets: Option[Int] = None) extends SelectItem
+                           buckets: Option[Int] = None,
+                           alias: Option[String] = None) extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
     * schema-union gaps. Two-arg forms: column+literal (fill a default)
@@ -113,20 +116,32 @@ object HashQL {
   /** Scalar function call (round-10 growth — the string/date/math tier a
     * dialect user reaches for first): fn ∈ upper | lower | length | trim
     * | abs | floor | ceil | substr(x, start [, len]) | year | month |
-    * day. All lower to codegen'd native Columns with DuckDB-identical
-    * semantics (1-based substr, char length, date parts from
-    * timestamps); floor/ceil return BIGINT on both engines. Arity is
-    * validated at parse time. */
+    * day | concat | round(x [, scale]) | replace(s, from, to) |
+    * mod(a, b). All lower to codegen'd native Columns with
+    * DuckDB-identical semantics (1-based substr, char length, date parts
+    * from timestamps, half-away-from-zero round, dividend-signed mod);
+    * floor/ceil return BIGINT on both engines. concat null-propagates
+    * (Spark semantics — the DuckDB equivalent is the `||` chain, not its
+    * null-skipping concat()). round's scale must be an integer LITERAL
+    * (Spark's round takes a static scale). Arity is validated at parse
+    * time. */
   final case class EFunc(fn: String, args: Seq[Expr]) extends Expr {
     private val arity = Map("upper" -> Set(1), "lower" -> Set(1),
       "length" -> Set(1), "trim" -> Set(1), "abs" -> Set(1),
       "floor" -> Set(1), "ceil" -> Set(1), "substr" -> Set(2, 3),
       "year" -> Set(1), "month" -> Set(1), "day" -> Set(1),
-      "coalesce" -> Set(2, 3, 4), "nullif" -> Set(2))
+      "coalesce" -> Set(2, 3, 4), "nullif" -> Set(2),
+      "concat" -> Set(2, 3, 4), "round" -> Set(1, 2),
+      "replace" -> Set(3), "mod" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
         s"got ${args.length}")
+    if (fn == "round" && args.length == 2)
+      require(args(1) match {
+        case ELit(_: Long) => true
+        case _ => false
+      }, "round's scale must be an integer literal")
   }
 
   /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
@@ -920,7 +935,11 @@ object HashQL {
     }
     private def exprTerm(): Expr = {
       var e = exprFactor()
-      while (is("*") || is("/")) { val op = next(); e = EArith(e, op, exprFactor()) }
+      // `%` binds like `* /` (C/SQL precedence); space-separated like
+      // every dialect operator
+      while (is("*") || is("/") || is("%")) {
+        val op = next(); e = EArith(e, op, exprFactor())
+      }
       e
     }
     private def peekAt(k: Int): String = if (p + k < toks.length) toks(p + k) else ""
@@ -929,9 +948,10 @@ object HashQL {
       * with no expression continuation after the ')'? */
     private def coalesce2Shape(): Boolean =
       peekAt(1) == "(" && peekAt(3) == "," && peekAt(5) == ")" &&
-        !Set("as", "+", "-", "*", "/").contains(peekAt(6).toLowerCase)
+        !Set("as", "+", "-", "*", "/", "%").contains(peekAt(6).toLowerCase)
     private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
-      "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif")
+      "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
+      "concat", "round", "replace", "mod")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
       else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
@@ -1012,18 +1032,24 @@ object HashQL {
         Some(n)
       } else None
       kw(")")
-      require(Set("row_number", "rank", "dense_rank", "ntile", "sum", "avg",
-        "lag", "lead").contains(fn),
+      // the frame-taking aggregates (sum/avg/min/max) work with or
+      // without ORDER BY: ordered = running, unordered = whole-partition
+      val framedAggs = Set("sum", "avg", "min", "max")
+      require((framedAggs ++ Set("row_number", "rank", "dense_rank",
+        "ntile", "lag", "lead")).contains(fn),
         s"window functions supported: row_number, rank, dense_rank, ntile, " +
-          s"sum, avg, lag, lead — got $fn")
-      require(fn == "sum" || fn == "avg" || order.nonEmpty,
+          s"sum, avg, min, max, lag, lead — got $fn")
+      require(framedAggs.contains(fn) || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
-      require(frame.isEmpty || fn == "sum" || fn == "avg",
-        "a rows frame applies to sum/avg windows only")
+      require(frame.isEmpty || framedAggs.contains(fn),
+        "a rows frame applies to sum/avg/min/max windows only")
       require(frame.isEmpty || order.nonEmpty,
         "a rows frame requires an ORDER BY in the window")
       require(frame.forall(_ >= 0), "rows frame size must be >= 0")
-      WinCall(fn, arg, part, order, frame, buckets)
+      // `… over (…) as x` re-aliases the window output (else the
+      // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
+      val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
+      WinCall(fn, arg, part, order, frame, buckets, alias)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -1421,6 +1447,8 @@ object HashQL {
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" => lc / rc
+        // sign follows the dividend in both engines
+        case "%" => lc % rc
         case other => throw new IllegalArgumentException(s"unsupported arithmetic op: $other")
       }
     case ECase(brs, els) =>
@@ -1456,6 +1484,16 @@ object HashQL {
         // dedicated Coalesce2 form (auto-alias, FULL-JOIN key merge)
         case "coalesce" => coalesce(a: _*)
         case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))
+        // null-propagating, like the SQL `||` chain (the DuckDB oracle
+        // spelling); DuckDB's own concat() skips nulls instead
+        case "concat" => concat(a: _*)
+        // half away from zero on both engines; scale is a static int
+        // (validated an ELit at parse)
+        case "round" =>
+          if (a.length == 1) round(a(0))
+          else round(a(0), args(1).asInstanceOf[ELit].v.asInstanceOf[Long].toInt)
+        case "replace" => replace(a(0), a(1), a(2))
+        case "mod" => a(0) % a(1)
       }
   }
 
@@ -1491,15 +1529,17 @@ object HashQL {
 
   /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
     * addressable in ORDER BY like every other output column. */
-  private def winAlias(w: WinCall): String = w.fn match {
+  private def winAlias(w: WinCall): String = w.alias.getOrElse(w.fn match {
     case "row_number" => "rn"
     case "rank" => "rnk"
     case "dense_rank" => "drnk"
     case "ntile" => "ntl"
     case "sum" => s"wsum_${w.arg.get.column}"
     case "avg" => s"wavg_${w.arg.get.column}"
+    case "min" => s"wmin_${w.arg.get.column}"
+    case "max" => s"wmax_${w.arg.get.column}"
     case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
-  }
+  })
 
   private def winColumn(w: WinCall): Column = {
     import org.apache.spark.sql.expressions.Window
@@ -1524,6 +1564,9 @@ object HashQL {
       // agree; without ORDER BY, the whole partition's sum on every row
       case "sum" => sum(col(w.arg.get.column)).over(spec)
       case "avg" => avg(col(w.arg.get.column)).over(spec)
+      // running min/max under ORDER BY; whole-partition extremum without
+      case "min" => min(col(w.arg.get.column)).over(spec)
+      case "max" => max(col(w.arg.get.column)).over(spec)
       case "lag" => lag(col(w.arg.get.column), 1).over(spec)
       case "lead" => lead(col(w.arg.get.column), 1).over(spec)
     }

@@ -571,9 +571,10 @@ class HashQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.g, count(*), row_number() over (order by t.g) " +
         "from t group by t.g"))
-    // avg joined the window set in round 7; min/max over windows stay out
+    // avg joined the window set in round 7, min/max in round 10 —
+    // count over a window stays out (count(…) never parses a window)
     intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select min(t.v) over (order by t.o) from t"))
+      "select first_value(t.v) over (order by t.o) as f from t"))
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.k from t sample 1001 permille by t.k"))
   }
@@ -1154,6 +1155,38 @@ class HashQLSpec extends SparkSpec {
       e2.getMessage) // unknown fn never parses as a call
   }
 
+  test("concat/replace/round/mod and the % operator: semantics and guards") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into g (s, x) values ('ab#1', 17), ('cd#2', -17)")
+    val got = HashQL.execute(cat,
+      "select g.x, concat(g.s, '!') as c, replace(g.s, '#', '-') as r, " +
+        "g.x % 5 as m, mod(g.x, 5) as m2 from g order by g.x desc").get
+    // % / mod: sign follows the dividend (both engines)
+    assert(got.as[(Long, String, String, Long, Long)].collect().toSeq == Seq(
+      (17L, "ab#1!", "ab-1", 2L, 2L),
+      (-17L, "cd#2!", "cd-2", -2L, -2L)))
+    // % binds at * / precedence: 3 + 17 % 5 = 3 + 2, not (3+17) % 5
+    val prec = HashQL.execute(cat,
+      "select 3 + g.x % 5 as p from g where g.x = 17").get
+    assert(prec.as[Long].collect().toSeq == Seq(5L))
+    // round: 1-arg and static-scale 2-arg; half away from zero
+    HashQL.execute(cat, "insert into h (d) values (2.5), (-2.5), (2.345)")
+    val r = HashQL.execute(cat,
+      "select round(h.d) as r0, round(h.d, 2) as r2 from h").get
+    assert(r.as[(Double, Double)].collect().toSet == Set(
+      (3.0, 2.5), (-3.0, -2.5), (2.0, 2.35)))
+    // round's scale must be an integer literal, not an expression
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select round(h.d, h.d) as r from h"))
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    // concat null-propagates (Spark/|| semantics, not DuckDB concat())
+    HashQL.execute(cat, "insert into g (s) values ('lone')") // x is NULL
+    val nulls = HashQL.execute(cat,
+      "select concat(g.s, '_', g.x) as c from g where g.s = 'lone'").get
+    assert(nulls.collect().head.isNullAt(0))
+  }
+
   test("UPDATE SET takes full expressions; simple shapes keep their coercions") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 10), ("b", 3)).foreach { case (g, v) =>
@@ -1182,6 +1215,19 @@ class HashQLSpec extends SparkSpec {
         "from w order by w.g, w.v").get
     assert(got.as[(String, Long, Int)].collect().toSeq == Seq(
       ("x", 10L, 1), ("x", 10L, 1), ("x", 20L, 2), ("y", 5L, 1)))
+  }
+
+  test("min/max over windows: running extremum under ORDER BY") {
+    val cat = new GraftCatalog(spark)
+    Seq(("x", 3), ("x", 1), ("x", 2), ("y", 9)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into w (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select w.g, w.v, min(w.v) over (partition by w.g order by w.id) as lo, " +
+        "max(w.v) over (partition by w.g order by w.id) as hi " +
+        "from w order by w.id").get
+    assert(got.as[(String, Long, Long, Long)].collect().toSeq == Seq(
+      ("x", 3L, 3L, 3L), ("x", 1L, 1L, 3L), ("x", 2L, 1L, 3L),
+      ("y", 9L, 9L, 9L)))
   }
 
   test("GROUP BY a computed alias: expression keys evaluate pre-agg; unknown keys reject") {
