@@ -1317,6 +1317,27 @@ object HashqlSuite extends Suite {
              |  max(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS hi
              |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
 
+    // the monthly-rollup idiom: date_trunc as a computed grouping key.
+    // DuckDB's date_trunc('month', ts) returns DATE where Spark returns
+    // TIMESTAMP — the oracle casts so the schemas line up.
+    "hashql_date_trunc" -> Q(
+      (s, d) => run(s, d,
+        "select date_trunc('month', lineitem.l_shipdate) as mo, " +
+          "count(*), sum(lineitem.l_quantity) as qty " +
+          "from lineitem group by mo"),
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
+             |  count(*) AS cnt, sum(l_quantity) AS qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // `||` chains fold to one null-propagating n-ary concat — the ANSI
+    // spelling of hashql_concat_replace's function form.
+    "hashql_concat_op" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_name || '/' || customer.c_mktsegment as tag " +
+          "from customer where customer.c_custkey < 50"),
+      Some("""SELECT c_name || '/' || c_mktsegment AS tag
+             |FROM customer WHERE c_custkey < 50""".stripMargin)),
+
     // dialect set ops beyond UNION (round-10 growth): INTERSECT /
     // EXCEPT, positional, names from the first branch.
     "hashql_intersect" -> Q(

@@ -22,9 +22,11 @@ import graft.fts.Fts
   *     | coalesce(t.f, v | u.g)
   *     | <expr> as x | sum|avg|min|max(<expr>) as x | count(…) as x
   *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/|% <expr>
+  *         | <expr> || <expr> [|| …]        // n-ary concat, loosest
   *         | case when <pred> then <expr> [when …]* [else <expr>] end
   *         | upper|lower|length|trim|abs|floor|ceil|substr|year|month|day
-  *           |coalesce|nullif|concat|round|replace|mod ( <expr> [, …] )
+  *           |hour|minute|date_trunc|coalesce|nullif|concat|round|replace
+  *           |mod ( <expr> [, …] )
   *     | row_number()|rank() over (partition by t.p order by t.o [desc])
   *     | sum(t.x)|lag(t.x)|lead(t.x) over (…)
   *     from t [sample n permille by t.id]
@@ -116,10 +118,13 @@ object HashQL {
   /** Scalar function call (round-10 growth — the string/date/math tier a
     * dialect user reaches for first): fn ∈ upper | lower | length | trim
     * | abs | floor | ceil | substr(x, start [, len]) | year | month |
-    * day | concat | round(x [, scale]) | replace(s, from, to) |
-    * mod(a, b). All lower to codegen'd native Columns with
-    * DuckDB-identical semantics (1-based substr, char length, date parts
-    * from timestamps, half-away-from-zero round, dividend-signed mod);
+    * day | hour | minute | date_trunc(unit, ts) | concat |
+    * round(x [, scale]) | replace(s, from, to) | mod(a, b). All lower to
+    * codegen'd native Columns with DuckDB-identical semantics (1-based
+    * substr, char length, date parts from timestamps,
+    * half-away-from-zero round, dividend-signed mod; DuckDB's
+    * date_trunc returns DATE for coarse units where Spark keeps
+    * TIMESTAMP — oracles cast);
     * floor/ceil return BIGINT on both engines. concat null-propagates
     * (Spark semantics — the DuckDB equivalent is the `||` chain, not its
     * null-skipping concat()). round's scale must be an integer LITERAL
@@ -131,8 +136,9 @@ object HashQL {
       "floor" -> Set(1), "ceil" -> Set(1), "substr" -> Set(2, 3),
       "year" -> Set(1), "month" -> Set(1), "day" -> Set(1),
       "coalesce" -> Set(2, 3, 4), "nullif" -> Set(2),
-      "concat" -> Set(2, 3, 4), "round" -> Set(1, 2),
-      "replace" -> Set(3), "mod" -> Set(2))
+      "concat" -> (2 to 8).toSet, "round" -> Set(1, 2),
+      "replace" -> Set(3), "mod" -> Set(2),
+      "hour" -> Set(1), "minute" -> Set(1), "date_trunc" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -142,6 +148,14 @@ object HashQL {
         case ELit(_: Long) => true
         case _ => false
       }, "round's scale must be an integer literal")
+    if (fn == "date_trunc")
+      require(args.head match {
+        case ELit(u: String) =>
+          Set("year", "quarter", "month", "week", "day", "hour",
+            "minute").contains(u)
+        case _ => false
+      }, "date_trunc's unit must be a literal: 'year' | 'quarter' | " +
+        "'month' | 'week' | 'day' | 'hour' | 'minute'")
   }
 
   /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
@@ -929,6 +943,18 @@ object HashQL {
       * column parses to ECol so callers can keep the round-7 plain-field
       * shapes when nothing was computed. */
     private def exprTree(): Expr = {
+      // `||` string concatenation binds loosest (ANSI: below + -); a
+      // chain folds into one n-ary concat — null-propagating in both
+      // engines (unlike DuckDB's null-skipping concat() function)
+      var e = exprAdd()
+      if (is("||")) {
+        val parts = scala.collection.mutable.ArrayBuffer(e)
+        while (is("||")) { next(); parts += exprAdd() }
+        e = EFunc("concat", parts.toSeq)
+      }
+      e
+    }
+    private def exprAdd(): Expr = {
       var e = exprTerm()
       while (is("+") || is("-")) { val op = next(); e = EArith(e, op, exprTerm()) }
       e
@@ -948,10 +974,10 @@ object HashQL {
       * with no expression continuation after the ')'? */
     private def coalesce2Shape(): Boolean =
       peekAt(1) == "(" && peekAt(3) == "," && peekAt(5) == ")" &&
-        !Set("as", "+", "-", "*", "/", "%").contains(peekAt(6).toLowerCase)
+        !Set("as", "+", "-", "*", "/", "%", "||").contains(peekAt(6).toLowerCase)
     private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
       "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
-      "concat", "round", "replace", "mod")
+      "concat", "round", "replace", "mod", "hour", "minute", "date_trunc")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
       else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
@@ -1494,6 +1520,12 @@ object HashQL {
           else round(a(0), args(1).asInstanceOf[ELit].v.asInstanceOf[Long].toInt)
         case "replace" => replace(a(0), a(1), a(2))
         case "mod" => a(0) % a(1)
+        case "hour" => hour(a(0)).cast("long")
+        case "minute" => minute(a(0)).cast("long")
+        // unit validated a literal at parse; Spark takes (unit, ts),
+        // timestamp out on both engines
+        case "date_trunc" =>
+          date_trunc(args.head.asInstanceOf[ELit].v.asInstanceOf[String], a(1))
       }
   }
 

@@ -1187,6 +1187,34 @@ class HashQLSpec extends SparkSpec {
     assert(nulls.collect().head.isNullAt(0))
   }
 
+  test("|| chains and date_trunc/hour/minute: folding, precedence, unit guard") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into e (s, x, t) values ('a', 2, '2024-03-17 13:45:10')")
+    // a || chain folds to one n-ary concat; arithmetic binds tighter
+    val got = HashQL.execute(cat,
+      "select e.s || '-' || e.x + 1 as tag from e").get
+    assert(got.as[String].collect().toSeq == Seq("a-3"))
+    // null-propagating, like ANSI ||
+    HashQL.execute(cat, "insert into e (s) values ('b')") // x NULL
+    assert(HashQL.execute(cat,
+      "select e.s || e.x as tag from e where e.s = 'b'").get
+      .collect().head.isNullAt(0))
+    // date parts and truncation (string timestamps cast on the fly)
+    val dt = HashQL.execute(cat,
+      "select hour(e.t) as h, minute(e.t) as m, " +
+        "date_trunc('month', e.t) as mo from e where e.s = 'a'").get
+    val r = dt.collect().head
+    assert(r.getLong(0) == 13L && r.getLong(1) == 45L &&
+      r.getTimestamp(2).toString.startsWith("2024-03-01 00:00:00"))
+    // the unit must be a known literal
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select date_trunc('fortnight', e.t) as mo from e"))
+    assert(e1.getMessage.contains("unit"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select date_trunc(e.s, e.t) as mo from e"))
+    assert(e2.getMessage.contains("unit"), e2.getMessage)
+  }
+
   test("UPDATE SET takes full expressions; simple shapes keep their coercions") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 10), ("b", 3)).foreach { case (g, v) =>
