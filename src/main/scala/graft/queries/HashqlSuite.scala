@@ -1338,6 +1338,19 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_name || '/' || c_mktsegment AS tag
              |FROM customer WHERE c_custkey < 50""".stripMargin)),
 
+    // explicit casts: number→string for composite keys, double→long
+    // (l_quantity is integer-valued, so DuckDB's rounding CAST and
+    // Spark's truncating one agree here — the general rule is on ECast).
+    "hashql_cast" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, cast(lineitem.l_quantity as long) as q, " +
+          "cast(lineitem.l_orderkey as string) || ':' || " +
+          "cast(lineitem.l_linenumber as string) as k " +
+          "from lineitem where lineitem.l_orderkey <= 100"),
+      Some("""SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+             |  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS k
+             |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
     // dialect set ops beyond UNION (round-10 growth): INTERSECT /
     // EXCEPT, positional, names from the first branch.
     "hashql_intersect" -> Q(

@@ -23,6 +23,7 @@ import graft.fts.Fts
   *     | <expr> as x | sum|avg|min|max(<expr>) as x | count(…) as x
   *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/|% <expr>
   *         | <expr> || <expr> [|| …]        // n-ary concat, loosest
+  *         | cast ( <expr> as long|bigint|double|string|varchar )
   *         | case when <pred> then <expr> [when …]* [else <expr>] end
   *         | upper|lower|length|trim|abs|floor|ceil|substr|year|month|day
   *           |hour|minute|date_trunc|coalesce|nullif|concat|round|replace
@@ -115,6 +116,14 @@ object HashQL {
     * conditions are full WHERE-grammar predicates (minus subqueries);
     * a missing ELSE yields NULL, per SQL. */
   final case class ECase(branches: Seq[(Pred, Expr)], els: Option[Expr]) extends Expr
+  /** `cast(<expr> as long|bigint|double|string|varchar)` — explicit type
+    * conversion (long/bigint and string/varchar are synonyms). NOTE:
+    * double→long truncates toward zero (Spark/ANSI); DuckDB's CAST
+    * rounds instead — oracles spell that case CAST(trunc(x) AS BIGINT). */
+  final case class ECast(expr: Expr, ty: String) extends Expr {
+    require(Set("long", "double", "string").contains(ty),
+      s"cast target must be long | bigint | double | string | varchar, got $ty")
+  }
   /** Scalar function call (round-10 growth — the string/date/math tier a
     * dialect user reaches for first): fn ∈ upper | lower | length | trim
     * | abs | floor | ceil | substr(x, start [, len]) | year | month |
@@ -980,6 +989,18 @@ object HashQL {
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
+      else if (is("cast") && peekAt(1) == "(") {
+        next(); kw("(")
+        val e = exprTree()
+        kw("as")
+        val ty = next().toLowerCase match {
+          case "bigint" => "long"
+          case "varchar" => "string"
+          case t => t
+        }
+        kw(")")
+        ECast(e, ty)
+      }
       else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
         // scalar function call — name must be immediately followed by '('
         // (a column named `trim` in `t.trim` stays a colref: dotted)
@@ -1477,6 +1498,7 @@ object HashQL {
         case "%" => lc % rc
         case other => throw new IllegalArgumentException(s"unsupported arithmetic op: $other")
       }
+    case ECast(e0, ty) => exprColumn(cat, e0).cast(ty)
     case ECase(brs, els) =>
       val first = when(predColumn(cat, brs.head._1), exprColumn(cat, brs.head._2))
       val chained = brs.tail.foldLeft(first) { case (acc, (p, v)) =>
@@ -1540,6 +1562,7 @@ object HashQL {
       brs.flatMap { case (p, v) => predRefs(p) ++ exprRefs(v) }.toSet ++
         els.toSeq.flatMap(exprRefs)
     case EFunc(_, args) => args.flatMap(exprRefs).toSet
+    case ECast(e0, _) => exprRefs(e0)
   }
   private def predRefs(p: Pred): Set[String] = p match {
     case Eq(r, _) => Set(r.column)

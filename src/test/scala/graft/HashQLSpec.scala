@@ -1245,6 +1245,24 @@ class HashQLSpec extends SparkSpec {
       ("x", 10L, 1), ("x", 10L, 1), ("x", 20L, 2), ("y", 5L, 1)))
   }
 
+  test("cast: explicit conversions in projections and WHERE; bad targets reject") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into c (s, x, d) values ('12', 7, 2.9)")
+    val got = HashQL.execute(cat,
+      "select cast(c.s as long) + 1 as n, cast(c.x as double) / 2 as h, " +
+        "cast(c.x as string) || '!' as t, cast(c.d as bigint) as w from c").get
+    // double→long truncates toward zero (Spark/ANSI; DuckDB CAST rounds —
+    // documented on ECast, oracles spell trunc explicitly)
+    assert(got.as[(Long, Double, String, Long)].collect().toSeq ==
+      Seq((13L, 3.5, "7!", 2L)))
+    assert(HashQL.execute(cat,
+      "select c.x from c where cast(c.s as long) = 12").get
+      .as[Long].collect().toSeq == Seq(7L))
+    val e1 = intercept[IllegalArgumentException](
+      HashQL.execute(cat, "select cast(c.x as date) as y from c"))
+    assert(e1.getMessage.contains("cast target"), e1.getMessage)
+  }
+
   test("min/max over windows: running extremum under ORDER BY") {
     val cat = new GraftCatalog(spark)
     Seq(("x", 3), ("x", 1), ("x", 2), ("y", 9)).foreach { case (g, v) =>
