@@ -103,4 +103,57 @@ class ExprPropertySpec extends SparkSpec with PropertySampling {
       assert(got == expected, s"seed $seed diverged on: $ls $op $rs")
     }
   }
+
+  // ---- string tier: upper/lower/trim/substr/replace/|| differentially ----
+  // ASCII-only domain so JVM String ops and Spark's UTF8String agree
+  // letter-for-letter; spaces only as whitespace (trim strips exactly
+  // those on both paths).
+  private type SEnv = Map[String, String]
+  private type GenSExpr = (String, SEnv => String)
+
+  private val sLeafGen: Gen[GenSExpr] = Gen.oneOf(
+    Gen.const(("ts.s", (r: SEnv) => r("s"))),
+    Gen.oneOf("ab", "X#", " ", "7", "_x").map(v => (s"'$v'", (_: SEnv) => v)))
+
+  private def sExprGen(depth: Int): Gen[GenSExpr] =
+    if (depth == 0) sLeafGen
+    else Gen.frequency(
+      2 -> sLeafGen,
+      2 -> sExprGen(depth - 1).map { case (s0, f) =>
+        (s"upper( $s0 )", (r: SEnv) => f(r).toUpperCase) },
+      2 -> sExprGen(depth - 1).map { case (s0, f) =>
+        (s"lower( $s0 )", (r: SEnv) => f(r).toLowerCase) },
+      1 -> sExprGen(depth - 1).map { case (s0, f) =>
+        (s"trim( $s0 )", (r: SEnv) => f(r).trim) },
+      2 -> (for {
+        (s0, f) <- sExprGen(depth - 1)
+        pos <- Gen.choose(1, 3)
+        len <- Gen.choose(0, 4)
+      } yield (s"substr( $s0 , $pos , $len )",
+        (r: SEnv) => f(r).drop(pos - 1).take(len))),
+      2 -> (for {
+        (s0, f) <- sExprGen(depth - 1)
+        from <- Gen.oneOf("a", "#", "x", "B")
+        to <- Gen.oneOf("", "z", "--")
+      } yield (s"replace( $s0 , '$from' , '$to' )",
+        (r: SEnv) => f(r).replace(from, to))),
+      3 -> (for {
+        (ls, lf) <- sExprGen(depth - 1)
+        (rs, rf) <- sExprGen(depth - 1)
+      } yield (s"$ls || $rs", (r: SEnv) => lf(r) + rf(r))))
+
+  test("random string-function trees: dialect parse+plan ≡ JVM string ops") {
+    val cat = new GraftCatalog(spark)
+    val vals = Seq("", " ab ", "Hello#1", "xYz", "a b", "##",
+      "Customer#42", "q")
+    vals.foreach(v => HashQL.execute(cat, s"insert into ts (s) values ('$v')"))
+    (1 to 30).foreach { seed =>
+      val (sql, f) = sample(sExprGen(3), seed)
+      val got = HashQL.execute(cat, s"select ts.id, $sql as x from ts").get
+        .as[(Long, String)].collect().toMap
+      val expected = vals.zipWithIndex.map { case (v, i) =>
+        (i + 1).toLong -> f(Map("s" -> v)) }.toMap
+      assert(got == expected, s"seed $seed diverged on: $sql")
+    }
+  }
 }
