@@ -1351,6 +1351,29 @@ object HashqlSuite extends Suite {
              |  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS k
              |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
 
+    // expressions over aggregates (round-10 growth): the TPC-H Q14
+    // promo-share shape — a ratio of two sums in one global aggregation.
+    // All inputs are integer-valued doubles, so the sums are exact in
+    // either engine's summation order and the single IEEE division is
+    // bitwise-deterministic (no rounding shim needed).
+    "hashql_agg_arith" -> Q(
+      (s, d) => run(s, d,
+        "select sum(case when lineitem.l_linenumber = 1 " +
+          "then lineitem.l_quantity else 0.0 end) * 100 / " +
+          "sum(lineitem.l_quantity) as promo from lineitem"),
+      Some("""SELECT sum(CASE WHEN l_linenumber = 1 THEN l_quantity ELSE 0.0 END)
+             |  * 100 / sum(l_quantity) AS promo FROM lineitem""".stripMargin)),
+
+    // grouped ratio: per-order mean quantity — sum/count computed in the
+    // SAME groupBy pass as the projected count (one shuffle).
+    "hashql_group_mean" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, sum(lineitem.l_quantity) / count(*) " +
+          "as mean_qty, count(*) as cnt from lineitem " +
+          "group by lineitem.l_orderkey"),
+      Some("""SELECT l_orderkey, sum(l_quantity) / count(*) AS mean_qty,
+             |  count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin)),
+
     // dialect set ops beyond UNION (round-10 growth): INTERSECT /
     // EXCEPT, positional, names from the first branch.
     "hashql_intersect" -> Q(

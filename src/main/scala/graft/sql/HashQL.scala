@@ -21,6 +21,8 @@ import graft.fts.Fts
   *   select [distinct] t.a, u.b | * | count(*) | count([distinct] t.f)
   *     | coalesce(t.f, v | u.g)
   *     | <expr> as x | sum|avg|min|max(<expr>) as x | count(…) as x
+  *     | <expr over aggregates> as x     // sum(a) / sum(b), count(*) * k —
+  *       aggregate calls as expression factors (aggregate selects only)
   *       where <expr> := t.a | <num> | ( <expr> ) | <expr> +|-|*|/|% <expr>
   *         | <expr> || <expr> [|| …]        // n-ary concat, loosest
   *         | cast ( <expr> as long|bigint|double|string|varchar )
@@ -123,6 +125,21 @@ object HashQL {
   final case class ECast(expr: Expr, ty: String) extends Expr {
     require(Set("long", "double", "string").contains(ty),
       s"cast target must be long | bigint | double | string | varchar, got $ty")
+  }
+  /** An aggregate call INSIDE an expression tree — `sum(a) / sum(b)`,
+    * `count(*) * 1.0 / n`, `round(sum(x) / count(*), 2)`: the ratio/mean
+    * idioms (TPC-H Q14's promo share). Valid only in an aggregate
+    * select's projection: the executor computes each distinct EAgg as a
+    * reserved-named aggregate column in the SAME groupBy.agg pass
+    * (partial-agg'd scan-side like any aggregate), then evaluates the
+    * surrounding arithmetic on the aggregated frame and drops the
+    * reserved columns. Anywhere else (WHERE, UPDATE SET, grouping keys)
+    * lowering rejects with a clear message — filter on aggregates
+    * through HAVING. fn reuses [[AggExprItem]]'s inventory;
+    * `count_star`'s arg is a placeholder. */
+  final case class EAgg(fn: String, arg: Expr) extends Expr {
+    require(Set("count_star", "count", "count_distinct", "sum", "avg",
+      "min", "max").contains(fn), s"unsupported aggregate: $fn")
   }
   /** Scalar function call (round-10 growth — the string/date/math tier a
     * dialect user reaches for first): fn ∈ upper | lower | length | trim
@@ -796,8 +813,17 @@ object HashQL {
             else AggCall("count", colRef())
           kw(")")
           // `count(…) as alias` re-aliases the aggregate (the alias then
-          // addresses it in HAVING/ORDER BY in place of the auto-alias)
-          items += (if (is("as")) item0 match {
+          // addresses it in HAVING/ORDER BY in place of the auto-alias);
+          // an arithmetic continuation makes it an expression over
+          // aggregates — `count(*) * 1.0 / n as share`
+          items += (if (arithOps.exists(is)) {
+            val lead = item0 match {
+              case CountStar => EAgg("count_star", ELit(1L))
+              case AggCall(fn0, r) => EAgg(fn0, ECol(r))
+              case other => throw new IllegalStateException(s"$other")
+            }
+            ExprItem(exprTreeFrom(lead), aliasAfterAs("count(…) <op> …"))
+          } else if (is("as")) item0 match {
             case CountStar => AggExprItem("count_star", ELit(1L), aliasAfterAs("count(*)"))
             case AggCall(fn, r) => AggExprItem(fn, ECol(r), aliasAfterAs(fn))
             case other => other
@@ -806,7 +832,12 @@ object HashQL {
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("(")
           val e = exprTree(); kw(")")
-          items += (e match {
+          // an arithmetic continuation makes the whole item an expression
+          // OVER aggregates — `sum(a) / sum(b) as r`, the ratio idiom
+          items += (if (arithOps.exists(is))
+            ExprItem(exprTreeFrom(EAgg(fn, e)),
+              aliasAfterAs(s"$fn(<expression>) <op> …"))
+          else e match {
             // plain-column forms keep their round-7 shapes: window call
             // when OVER follows, auto-aliased AggCall otherwise
             case ECol(r) if is("over") => windowSpec(fn, Some(r))
@@ -951,11 +982,15 @@ object HashQL {
       * are space-separated tokens (`*` also lexes standalone); a bare
       * column parses to ECol so callers can keep the round-7 plain-field
       * shapes when nothing was computed. */
-    private def exprTree(): Expr = {
+    private def exprTree(): Expr = exprTreeFrom(exprFactor())
+    /** Continue the expression grammar from an already-parsed first
+      * factor — the entry point for select items whose leading aggregate
+      * was consumed by selectRest's dedicated branches (`sum(x) / …`). */
+    private def exprTreeFrom(first: Expr): Expr = {
       // `||` string concatenation binds loosest (ANSI: below + -); a
       // chain folds into one n-ary concat — null-propagating in both
       // engines (unlike DuckDB's null-skipping concat() function)
-      var e = exprAdd()
+      var e = exprAddFrom(first)
       if (is("||")) {
         val parts = scala.collection.mutable.ArrayBuffer(e)
         while (is("||")) { next(); parts += exprAdd() }
@@ -963,13 +998,15 @@ object HashQL {
       }
       e
     }
-    private def exprAdd(): Expr = {
-      var e = exprTerm()
+    private def exprAdd(): Expr = exprAddFrom(exprFactor())
+    private def exprAddFrom(first: Expr): Expr = {
+      var e = exprTermFrom(first)
       while (is("+") || is("-")) { val op = next(); e = EArith(e, op, exprTerm()) }
       e
     }
-    private def exprTerm(): Expr = {
-      var e = exprFactor()
+    private def exprTerm(): Expr = exprTermFrom(exprFactor())
+    private def exprTermFrom(first: Expr): Expr = {
+      var e = first
       // `%` binds like `* /` (C/SQL precedence); space-separated like
       // every dialect operator
       while (is("*") || is("/") || is("%")) {
@@ -987,6 +1024,7 @@ object HashQL {
     private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
       "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc")
+    private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
       else if (is("cast") && peekAt(1) == "(") {
@@ -1010,6 +1048,21 @@ object HashQL {
         while (is(",")) { next(); args += exprTree() }
         kw(")")
         EFunc(fn, args.toSeq)
+      }
+      else if (Seq("sum", "avg", "min", "max", "count").exists(is) &&
+               peekAt(1) == "(") {
+        // an aggregate call in factor position — `sum(a) / sum(b)`'s
+        // right-hand side, `round(sum(x) / count(*), 2)`'s inner calls.
+        // Valid only in aggregate projections (lowering enforces).
+        val fn = next().toLowerCase
+        kw("(")
+        val ag =
+          if (fn != "count") EAgg(fn, exprTree())
+          else if (is("*")) { next(); EAgg("count_star", ELit(1L)) }
+          else if (is("distinct")) { next(); EAgg("count_distinct", exprTree()) }
+          else EAgg("count", exprTree())
+        kw(")")
+        ag
       }
       else if (is("case")) {
         next()
@@ -1499,6 +1552,9 @@ object HashQL {
         case other => throw new IllegalArgumentException(s"unsupported arithmetic op: $other")
       }
     case ECast(e0, ty) => exprColumn(cat, e0).cast(ty)
+    case _: EAgg => throw new IllegalArgumentException(
+      "aggregate calls are valid only in an aggregate select's " +
+        "projection — filter on aggregates through HAVING")
     case ECase(brs, els) =>
       val first = when(predColumn(cat, brs.head._1), exprColumn(cat, brs.head._2))
       val chained = brs.tail.foldLeft(first) { case (acc, (p, v)) =>
@@ -1563,7 +1619,47 @@ object HashQL {
         els.toSeq.flatMap(exprRefs)
     case EFunc(_, args) => args.flatMap(exprRefs).toSet
     case ECast(e0, _) => exprRefs(e0)
+    // an aggregate's INNER refs are pre-aggregation scan columns, not
+    // output references — the grouped-select guard must not see them
+    case _: EAgg => Set.empty
   }
+
+  /** The distinct aggregate calls inside an expression tree, in first-
+    * occurrence order (CASE conditions excluded — aggregates there fail
+    * at lowering with exprColumn's clear message). */
+  private def aggNodes(e: Expr): Seq[EAgg] = (e match {
+    case a: EAgg => Seq(a)
+    case EArith(l, _, r) => aggNodes(l) ++ aggNodes(r)
+    case ECase(brs, els) =>
+      brs.flatMap { case (_, v) => aggNodes(v) } ++ els.toSeq.flatMap(aggNodes)
+    case EFunc(_, args) => args.flatMap(aggNodes)
+    case ECast(e0, _) => aggNodes(e0)
+    case _ => Seq.empty
+  }).distinct
+
+  /** Replace each EAgg with a bare reference to its reserved aggregate
+    * output column — the post-aggregation rewrite. */
+  private def substAggs(e: Expr, m: Map[EAgg, String]): Expr = e match {
+    case a: EAgg => ECol(ColRef("", m(a)))
+    case EArith(l, op, r) => EArith(substAggs(l, m), op, substAggs(r, m))
+    case ECase(brs, els) =>
+      ECase(brs.map { case (p, v) => (p, substAggs(v, m)) },
+        els.map(substAggs(_, m)))
+    case EFunc(fn, args) => EFunc(fn, args.map(substAggs(_, m)))
+    case ECast(e0, ty) => ECast(substAggs(e0, m), ty)
+    case other => other
+  }
+
+  private def aggColumnOf(cat: GraftCatalog, a: EAgg, name: String): Column =
+    a.fn match {
+      case "count_star" => count(lit(1)).as(name)
+      case "count" => count(exprColumn(cat, a.arg)).as(name)
+      case "count_distinct" => count_distinct(exprColumn(cat, a.arg)).as(name)
+      case "sum" => sum(exprColumn(cat, a.arg)).as(name)
+      case "avg" => avg(exprColumn(cat, a.arg)).as(name)
+      case "min" => min(exprColumn(cat, a.arg)).as(name)
+      case "max" => max(exprColumn(cat, a.arg)).as(name)
+    }
   private def predRefs(p: Pred): Set[String] = p match {
     case Eq(r, _) => Set(r.column)
     case Cmp(r, _, _) => Set(r.column)
@@ -1631,7 +1727,13 @@ object HashQL {
     * sum_x, …) — shared by the SELECT executor and the agg-view builder
     * so the view's stored names are exactly the names queries produce. */
   private def aggsOf(cat: GraftCatalog, items: Seq[SelectItem]): Seq[Column] = {
-    val aggs = items.collect {
+    val aggs = aggsRaw(cat, items)
+    if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
+  }
+  /** Like [[aggsOf]] but without the default count — for callers that
+    * supply their own aggregate columns (expressions over aggregates). */
+  private def aggsRaw(cat: GraftCatalog, items: Seq[SelectItem]): Seq[Column] =
+    items.collect {
       case CountStar => count(lit(1)).as("cnt")
       // null-aware: rows where the column is null (schema-union gaps,
       // LEFT JOIN extensions) don't count — standard SQL count(col)
@@ -1657,8 +1759,6 @@ object HashQL {
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
     }
-    if (aggs.isEmpty) Seq(count(lit(1)).as("cnt")) else aggs
-  }
 
   /** `create agg view as select …` → one summary parquet at `path` +
     * Catalyst routing ([[graft.matview.MatView.materializeAggregate]]):
@@ -2222,12 +2322,27 @@ object HashQL {
                   s"keys only — ${bad.mkString(", ")} is not a grouping key " +
                   "(aggregate it, or compute over the result through a CTE)")
             }
+            // expressions OVER aggregates (`sum(a) / count(*) as mean`):
+            // each distinct inner aggregate joins the SAME groupBy.agg
+            // pass under a reserved name (one shuffle, partial-agg'd),
+            // the arithmetic evaluates on the aggregated frame, and the
+            // reserved columns drop from the output
+            val aggMap = postExprs.flatMap(e => aggNodes(e.expr)).distinct
+              .zipWithIndex.map { case (a, i) => a -> s"__ag$i" }.toMap
+            val extraAggs = aggMap.toSeq.sortBy(_._2)
+              .map { case (a, n) => aggColumnOf(cat, a, n) }
+            val base = aggsRaw(cat, items)
+            val aggAll =
+              if (base.isEmpty && extraAggs.isEmpty)
+                Seq(count(lit(1)).as("cnt"))
+              else base ++ extraAggs
             val aggd = pre.groupBy(gs.map(g => col(g.column)): _*)
-              .agg(aggColumns.head, aggColumns.tail: _*)
+              .agg(aggAll.head, aggAll.tail: _*)
             postExprs.foreach(e => require(!aggd.columns.contains(e.alias),
               s"computed alias ${e.alias} collides with an output column"))
             postExprs.foldLeft(aggd)((d, e) =>
-              d.withColumn(e.alias, exprColumn(cat, e.expr)))
+              d.withColumn(e.alias, exprColumn(cat, substAggs(e.expr, aggMap))))
+              .drop(aggMap.values.toSeq: _*)
           case _ =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
@@ -2293,17 +2408,31 @@ object HashQL {
                 case e: ExprItem => Seq(e.alias)
                 case CountStar | _: AggCall | _: AggExprItem => Seq.empty
               }
-              val isAggItem = (i: SelectItem) =>
-                i == CountStar || i.isInstanceOf[AggCall] ||
-                  i.isInstanceOf[AggExprItem]
+              val isAggItem = (i: SelectItem) => i match {
+                case CountStar | _: AggCall | _: AggExprItem => true
+                // an expression over aggregates is itself an aggregate
+                // output (`sum(a) / sum(b) as r`)
+                case e: ExprItem => aggNodes(e.expr).nonEmpty
+                case _ => false
+              }
               // all-aggregate select = global aggregation; a MIX of
               // aggregates and plain fields without GROUP BY has no SQL
               // meaning — reject instead of silently dropping the
               // aggregate (same posture as the window/coalesce guards)
               require(!items.exists(isAggItem) || items.forall(isAggItem),
                 "aggregates cannot mix with plain fields without GROUP BY")
-              if (items.nonEmpty && items.forall(isAggItem))
-                df.agg(aggColumns.head, aggColumns.tail: _*)
+              if (items.nonEmpty && items.forall(isAggItem)) {
+                val aggExprs = items.collect {
+                  case e: ExprItem if aggNodes(e.expr).nonEmpty => e }
+                val aggMap = aggExprs.flatMap(e => aggNodes(e.expr)).distinct
+                  .zipWithIndex.map { case (a, i) => a -> s"__ag$i" }.toMap
+                val aggAll = aggsRaw(cat, items) ++ aggMap.toSeq.sortBy(_._2)
+                  .map { case (a, n) => aggColumnOf(cat, a, n) }
+                val aggd = df.agg(aggAll.head, aggAll.tail: _*)
+                aggExprs.foldLeft(aggd)((d, e) => d.withColumn(e.alias,
+                  exprColumn(cat, substAggs(e.expr, aggMap))))
+                  .drop(aggMap.values.toSeq: _*)
+              }
               else {
                 val withWins = wins.foldLeft(df)((d, w) =>
                   d.withColumn(winAlias(w), winColumn(w)))

@@ -1245,6 +1245,43 @@ class HashQLSpec extends SparkSpec {
       ("x", 10L, 1), ("x", 10L, 1), ("x", 20L, 2), ("y", 5L, 1)))
   }
 
+  test("expressions over aggregates: grouped and global ratios; guards") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10, 2), ("a", 20, 3), ("b", 9, 4)).foreach { case (g, v, w) =>
+      HashQL.execute(cat, s"insert into r (g, v, w) values ('$g', $v, $w)") }
+    // grouped: mean via sum/count plus a scaled sum — ONE groupBy pass,
+    // reserved agg columns never leak
+    val got = HashQL.execute(cat,
+      "select r.g, sum(r.v) / count(*) as mean, sum(r.v) * 2 as s2, " +
+        "count(*) as n from r group by r.g order by r.g").get
+    // grouped output keeps the dialect's keys-then-aggs-then-computed
+    // order (matview routing relies on stored names/positions); the
+    // computed aliases land after the base aggregates
+    assert(got.columns.toSet == Set("g", "mean", "s2", "n"))
+    assert(got.select("g", "mean", "s2", "n")
+      .as[(String, Double, Long, Long)].collect().toSeq == Seq(
+        ("a", 15.0, 60L, 2L), ("b", 9.0, 18L, 1L)))
+    // global: ratio of two sums; functions compose around aggregates
+    val tot = HashQL.execute(cat,
+      "select sum(r.v) / sum(r.w) as ratio, " +
+        "round(sum(r.v) * 1.0 / count(*), 2) as m from r").get
+    assert(tot.columns.toSeq == Seq("ratio", "m"))
+    assert(tot.as[(Double, Double)].collect().toSeq ==
+      Seq((39.0 / 9.0, 13.0)))
+    // aggregates in WHERE reject with the HAVING hint
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select r.g from r where sum(r.v) > 5"))
+    assert(e1.getMessage.contains("HAVING"), e1.getMessage)
+    // mixing agg expressions with plain fields without GROUP BY rejects
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select r.g, sum(r.v) / 2 as h from r"))
+    assert(e2.getMessage.contains("GROUP BY"), e2.getMessage)
+    // non-key scan columns inside a grouped expression reject
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select r.g, sum(r.v) / r.v as bad from r group by r.g"))
+    assert(e3.getMessage.contains("grouping key"), e3.getMessage)
+  }
+
   test("cast: explicit conversions in projections and WHERE; bad targets reject") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into c (s, x, d) values ('12', 7, 2.9)")
