@@ -1268,6 +1268,11 @@ class HashQLSpec extends SparkSpec {
     assert(tot.columns.toSeq == Seq("ratio", "m"))
     assert(tot.as[(Double, Double)].collect().toSeq ==
       Seq((39.0 / 9.0, 13.0)))
+    // HAVING addresses a computed ratio alias like any output column
+    val hv = HashQL.execute(cat,
+      "select r.g, sum(r.v) / count(*) as mean from r group by r.g " +
+        "having mean > 10").get
+    assert(hv.select("g").as[String].collect().toSeq == Seq("a"))
     // aggregates in WHERE reject with the HAVING hint
     val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select r.g from r where sum(r.v) > 5"))
