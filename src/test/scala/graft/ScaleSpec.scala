@@ -482,4 +482,28 @@ class ScaleSpec extends SparkSpec {
     assert(oncePlan.contains("FileScan") && !oncePlan.contains("ExistingRDD"),
       s"single-use CTE was eagerly materialized:\n${oncePlan.take(1200)}")
   }
+
+  test("agg-expression ratios aggregate in ONE pass: single exchange, partials scan-side") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("lineitem", Tables.t(spark, sf, "lineitem"))
+    // sum/count for the ratio ride the SAME groupBy.agg as the projected
+    // count: one logical Aggregate → one shuffle, with map-side partials.
+    // A naive lowering (one aggregation per inner aggregate + join) would
+    // shuffle the fact table once per EAgg — the 100 TB killer.
+    val df = HashQL.execute(cat,
+      "select lineitem.l_orderkey, sum(lineitem.l_quantity) / count(*) " +
+        "as mean_qty, count(*) as cnt from lineitem " +
+        "group by lineitem.l_orderkey").get
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size == 1, s"expected one Aggregate, got ${aggs.size}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"no map-side partial aggregation in ratio plan:\n${plan.take(1200)}")
+    // reserved names stay internal to the plan — never output columns
+    assert(!df.columns.exists(_.startsWith("__ag")))
+    df.count()
+  }
 }
