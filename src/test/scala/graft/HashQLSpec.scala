@@ -673,6 +673,29 @@ class HashQLSpec extends SparkSpec {
     } finally graft.matview.MatView.drop(spark, name)
   }
 
+  test("agg-expression ratios stay correct with a registered agg view") {
+    // the ratio query's Aggregate carries EXTRA reserved aggregates, so
+    // whatever the summary route decides (fire or fall back), answers
+    // must match the direct aggregation — silent mis-routing is the
+    // failure class this pins
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("aggratio").toString
+    Seq(("x", 10L), ("x", 20L), ("y", 9L)).toDF("g", "v")
+      .write.parquet(s"$dir/facts")
+    cat.register("t", spark.read.parquet(s"$dir/facts"))
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select t.g, count(*), sum(t.v) from t group by t.g",
+      s"$dir/view", Some(reg))
+    try {
+      val ratio = HashQL.execute(cat,
+        "select t.g, sum(t.v) / count(*) as mean, count(*) as n from t " +
+          "group by t.g", Some(reg)).get
+      assert(ratio.select("g", "mean", "n").as[(String, Double, Long)]
+        .collect().toSet == Set(("x", 15.0, 2L), ("y", 9.0, 1L)))
+    } finally graft.matview.MatView.drop(spark, name)
+  }
+
   test("DML DELETE delta-folds count/sum agg views; min/max views invalidate") {
     val cat = new GraftCatalog(spark)
     val reg = new HashQL.JoinRegistry
