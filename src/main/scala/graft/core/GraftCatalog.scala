@@ -95,6 +95,10 @@ final class GraftCatalog(val spark: SparkSession) {
         case _: Long | _: Int => LongType
         // decimal literals coerce to Double in the dialect (F2)
         case _: Double => DoubleType
+        // typed temporal literals (round 11): `timestamp '…'`/`date '…'`
+        // insert as native temporal columns
+        case _: java.sql.Timestamp => TimestampType
+        case _: java.sql.Date => DateType
         case _ => StringType
       })
     })

@@ -1522,6 +1522,201 @@ object HashqlSuite extends Suite {
         s.read.parquet(s"$tmp/result")
       },
       Some("""SELECT c_custkey, n_name FROM customer
-             |JOIN nation ON c_nationkey = n_nationkey""".stripMargin))
+             |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // ---- round 11: typed temporal tier -----------------------------
+
+    // typed date literals + interval arithmetic in WHERE (the TPC-H Q1
+    // shipdate idiom — r10 verdict #1): both predicates lower to native
+    // timestamp comparisons, interval arithmetic folds at plan time, and
+    // the filters push to the parquet scan (ScaleSpec asserts).
+    "hashql_date_arith" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where lineitem.l_shipdate <= date '2001-12-01' - interval '90' day " +
+          "and lineitem.l_shipdate > date '2001-01-01' + interval '6' month"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL 90 DAY
+             |AND l_shipdate > DATE '2001-01-01' + INTERVAL 6 MONTH""".stripMargin)),
+
+    // typed literals ride every literal position — BETWEEN and equality
+    // compare the timestamp column against DATE values natively (no
+    // string lexicographics), still a pushable scan-side filter.
+    "hashql_date_between" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey from orders where orders.o_orderdate " +
+          "between date '2001-03-01' and date '2001-06-30'"),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_orderdate BETWEEN DATE '2001-03-01' AND DATE '2001-06-30'""".stripMargin)),
+
+    // date/timestamp CAST targets: timestamp → DATE truncates the time
+    // part on both engines.
+    "hashql_date_cast" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, cast(orders.o_orderdate as date) as od " +
+          "from orders where orders.o_orderkey <= 200"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+             |FROM orders WHERE o_orderkey <= 200""".stripMargin)),
+
+    // TPC-H Q1 (pricing summary) in the dialect: typed interval WHERE,
+    // aggregates over expressions, a ratio, multi-key GROUP BY + ORDER
+    // BY. Money sums ride floor(x*100) cents — floor of the SAME double
+    // is deterministic on both engines and the long sums are exact in
+    // any order (the verify skill's exactness rule; a raw double sum
+    // would hash-flip on summation order).
+    "hashql_q1_pricing" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, lineitem.l_linestatus, " +
+          "sum(lineitem.l_quantity) as sum_qty, " +
+          "sum(floor(lineitem.l_extendedprice * 100)) as base_cents, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) as disc_cents, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * ( 1 + lineitem.l_tax ) * 100)) as charge_cents, " +
+          "sum(lineitem.l_quantity) / count(*) as avg_qty, " +
+          "count(*) as count_order " +
+          "from lineitem " +
+          "where lineitem.l_shipdate <= date '2001-12-01' - interval '90' day " +
+          "group by lineitem.l_returnflag, lineitem.l_linestatus " +
+          "order by lineitem.l_returnflag, lineitem.l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * ( 1 + l_tax ) * 100) AS BIGINT)) AS BIGINT) AS charge_cents,
+             |  sum(l_quantity) / count(*) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL 90 DAY
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- round 11: correlated scalar subqueries (r10 verdict #2) ----
+
+    // decorrelated to ONE groupBy(o_orderkey).agg + ONE left equi-join
+    // (ScaleSpec asserts: no per-row execution, no nested-loop/cartesian
+    // join). max keeps the comparison deterministic (order-independent
+    // over doubles); orders with no lineitems compare against NULL and
+    // drop — ANSI, and DuckDB's native correlated plan agrees.
+    "hashql_scalar_corr" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_totalprice from orders " +
+          "where orders.o_totalprice > ( select max(lineitem.l_extendedprice) " +
+          "from lineitem where lineitem.l_orderkey = orders.o_orderkey )"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > ( SELECT max(l_extendedprice)
+             |  FROM lineitem WHERE l_orderkey = o_orderkey )""".stripMargin)),
+
+    // the COUNT edge: a correlated count over an EMPTY set is 0, not
+    // NULL (the join miss coalesces for count aggregates only) —
+    // customers with no orders and c_nationkey = 0 survive `<=` here;
+    // a NULL-semantics bug would silently drop them.
+    "hashql_scalar_corr_count" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_nationkey from customer " +
+          "where customer.c_nationkey <= ( select count(*) from orders " +
+          "where orders.o_custkey = customer.c_custkey )"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE c_nationkey <= ( SELECT count(*) FROM orders
+             |  WHERE o_custkey = c_custkey )""".stripMargin)),
+
+    // NOT over a scalar compare is THREE-VALUED (the r10 advice's
+    // coalesce defect): a NULL lhs makes the comparison UNKNOWN and NOT
+    // keeps it UNKNOWN — the row drops, exactly like the conjunct
+    // spelling and ANSI. Mystery (no age) must NOT appear.
+    "hashql_not_scalar_null" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat, "insert into people (people_name) values ('Mystery')")
+        HashQL.execute(cat,
+          "select people.people_name from people where not " +
+            "( people.age = ( select max(people.age) from people ) )").get
+      },
+      Some("""WITH people AS (SELECT * FROM (VALUES
+             |    ('Ted', 29), ('Fred', 45), ('Simon', 29), ('Sam', 29),
+             |    ('Mystery', NULL))
+             |  AS p(people_name, age))
+             |SELECT people_name FROM people
+             |WHERE NOT ( age = ( SELECT max(age) FROM people ) )""".stripMargin)),
+
+    // ---- round 11: regexp/string tier 2 (r10 verdict #3) ------------
+
+    // rlike predicate + regexp_extract/regexp_replace/split_part — Java
+    // regex semantics; the oracle pins DuckDB equivalences
+    // (regexp_matches for RLIKE, the 'g' flag for replace-ALL).
+    "hashql_regexp" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_name, " +
+          "regexp_extract(customer.c_name, 'Customer#0*([1-9][0-9]*)', 1) as num, " +
+          "regexp_replace(customer.c_name, '[0-9]', '#') as masked, " +
+          "split_part(customer.c_name, '#', 2) as tail " +
+          "from customer where customer.c_custkey <= 50 " +
+          "and customer.c_name rlike 'Customer#[0-9]+'"),
+      Some("""SELECT c_name,
+             |  regexp_extract(c_name, 'Customer#0*([1-9][0-9]*)', 1) AS num,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |  split_part(c_name, '#', 2) AS tail
+             |FROM customer WHERE c_custkey <= 50
+             |AND regexp_matches(c_name, 'Customer#[0-9]+')""".stripMargin)),
+
+    // anchored rlike + infix NOT RLIKE (three-valued like every
+    // comparison).
+    "hashql_rlike" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_mktsegment from customer " +
+          "where customer.c_mktsegment rlike '^(BU|MA)' " +
+          "and customer.c_name not rlike '[13579]$' " +
+          "and customer.c_custkey <= 300"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE regexp_matches(c_mktsegment, '^(BU|MA)')
+             |AND NOT regexp_matches(c_name, '[13579]$')
+             |AND c_custkey <= 300""".stripMargin)),
+
+    // ---- round 11: window growth (r10 verdict #4) --------------------
+
+    // full ROWS BETWEEN frame — the centered moving sum.
+    "hashql_win_frame" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber, " +
+          "sum(lineitem.l_quantity) over (partition by lineitem.l_orderkey " +
+          "order by lineitem.l_linenumber " +
+          "rows between 1 preceding and 1 following) as winq " +
+          "from lineitem where lineitem.l_orderkey <= 100"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS winq
+             |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
+    // first_value under the default frame; last_value needs the
+    // unbounded-following frame to mean "the partition's last" (the ANSI
+    // default frame ends at the current row — both engines agree).
+    "hashql_first_last" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_custkey, " +
+          "first_value(orders.o_totalprice) over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) as fv, " +
+          "last_value(orders.o_totalprice) over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey " +
+          "rows between unbounded preceding and unbounded following) as lv " +
+          "from orders where orders.o_orderkey <= 500"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS fv,
+             |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+             |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
+
+    // ORDER BY over expressions (round-11): sort keys run the full
+    // scalar grammar over output columns; the trailing unique key keeps
+    // the LIMIT deterministic.
+    "hashql_order_expr" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name from customer " +
+          "where customer.c_custkey <= 100 " +
+          "order by length(customer.c_name) desc, " +
+          "customer.c_custkey % 7, customer.c_custkey limit 20"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey <= 100
+             |ORDER BY length(c_name) DESC, c_custkey % 7, c_custkey
+             |LIMIT 20""".stripMargin))
   )
 }

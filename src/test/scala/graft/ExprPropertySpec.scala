@@ -140,7 +140,36 @@ class ExprPropertySpec extends SparkSpec with PropertySampling {
       3 -> (for {
         (ls, lf) <- sExprGen(depth - 1)
         (rs, rf) <- sExprGen(depth - 1)
-      } yield (s"$ls || $rs", (r: SEnv) => lf(r) + rf(r))))
+      } yield (s"$ls || $rs", (r: SEnv) => lf(r) + rf(r))),
+      // round-11 regexp tier — patterns restricted to the shared
+      // Java/RE2 subset (char classes, quantifiers); replace-ALL
+      // semantics mirror String.replaceAll
+      2 -> (for {
+        (s0, f) <- sExprGen(depth - 1)
+        pat <- Gen.oneOf("[0-9]+", "[a-z]", "#+", "[A-Z]")
+        to <- Gen.oneOf("", "@", "NN")
+      } yield (s"regexp_replace( $s0 , '$pat' , '$to' )",
+        (r: SEnv) => f(r).replaceAll(pat, to))),
+      1 -> (for {
+        (s0, f) <- sExprGen(depth - 1)
+        pat <- Gen.oneOf("([0-9]+)", "([a-z]+)", "(#+)")
+      } yield (s"regexp_extract( $s0 , '$pat' , 1 )",
+        (r: SEnv) => {
+          val m = java.util.regex.Pattern.compile(pat).matcher(f(r))
+          if (m.find()) m.group(1) else ""
+        })),
+      1 -> (for {
+        (s0, f) <- sExprGen(depth - 1)
+        delim <- Gen.oneOf("#", "b")
+        part <- Gen.choose(1, 2)
+      } yield (s"split_part( $s0 , '$delim' , $part )",
+        (r: SEnv) => {
+          // Spark/DuckDB split_part: 1-based, '' when out of range;
+          // a trailing delimiter yields a trailing empty field
+          // (split with -1 keeps it, unlike Java's default split)
+          val fields = f(r).split(java.util.regex.Pattern.quote(delim), -1)
+          if (part <= fields.length) fields(part - 1) else ""
+        })))
 
   test("random string-function trees: dialect parse+plan ≡ JVM string ops") {
     val cat = new GraftCatalog(spark)

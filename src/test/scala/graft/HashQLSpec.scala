@@ -571,10 +571,11 @@ class HashQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.g, count(*), row_number() over (order by t.g) " +
         "from t group by t.g"))
-    // avg joined the window set in round 7, min/max in round 10 —
-    // count over a window stays out (count(…) never parses a window)
+    // avg joined the window set in round 7, min/max in round 10,
+    // first/last_value in round 11 — count over a window stays out
+    // (count(…) never parses a window)
     intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select first_value(t.v) over (order by t.o) as f from t"))
+      "select count(t.v) over (order by t.o) as f from t"))
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.k from t sample 1001 permille by t.k"))
   }
@@ -916,6 +917,21 @@ class HashQLSpec extends SparkSpec {
         "union select e.s, e.d from r inner join e on e.s = r.d) " +
         "select r.d from r"))
     assert(e2.getMessage.contains("columns"), e2.getMessage)
+    // an AGGREGATING step is a DOCUMENTED clean reject (r9-carried,
+    // r10 verdict #9): per-round aggregation breaks the semi-naive
+    // frontier's monotonicity (an aggregate over a PARTIAL frontier is
+    // not the aggregate over the fixpoint — silently wrong answers);
+    // aggregate through the OUTER body instead — shown green below
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with recursive r as (select e.d from e where e.s = 'a' " +
+        "union select e.d from r inner join e on e.s = r.d group by e.d) " +
+        "select r.d from r"))
+    assert(e3.getMessage.contains("aggregate"), e3.getMessage)
+    val aggOver = HashQL.execute(cat,
+      "with recursive r as (select e.d from e where e.s = 'a' " +
+        "union select e.d from r inner join e on e.s = r.d) " +
+        "select count(*) as reached from r").get
+    assert(aggOver.as[Long].collect().toSeq == Seq(4L))
     // the recursive name doesn't leak past the statement
     intercept[IllegalArgumentException](cat.table("r"))
   }
@@ -1324,7 +1340,7 @@ class HashQLSpec extends SparkSpec {
       "select c.x from c where cast(c.s as long) = 12").get
       .as[Long].collect().toSeq == Seq(7L))
     val e1 = intercept[IllegalArgumentException](
-      HashQL.execute(cat, "select cast(c.x as date) as y from c"))
+      HashQL.execute(cat, "select cast(c.x as blob) as y from c"))
     assert(e1.getMessage.contains("cast target"), e1.getMessage)
   }
 
@@ -1437,5 +1453,157 @@ class HashQLSpec extends SparkSpec {
     // a COMPUTED output stays exempt (never "missing")
     val computed = HashQL.execute(cat, "select t.b + 0 as bb from t").get.collect()
     assert(computed.length == 2)
+  }
+
+  test("typed temporal literals + interval arithmetic (round 11)") {
+    val cat = new GraftCatalog(spark)
+    // typed literals flow through INSERT (literal() handles them anywhere)
+    Seq("2020-01-05", "2020-02-05", "2020-03-05").zipWithIndex.foreach {
+      case (day, i) => HashQL.execute(cat,
+        s"insert into ev (n, ts) values (${i + 1}, timestamp '$day 10:30:00')")
+    }
+    // date literal compares against the timestamp column natively
+    val afterFeb = HashQL.execute(cat,
+      "select ev.n from ev where ev.ts >= date '2020-02-01'").get
+    assert(afterFeb.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // interval arithmetic: +1 month lands exactly on the next literal
+    val window = HashQL.execute(cat,
+      "select ev.n from ev where ev.ts < date '2020-01-10' + interval '1' month " +
+        "and ev.ts > timestamp '2020-03-05 10:30:00' - interval '60' day").get
+    assert(window.as[Long].collect().toSeq == Seq(2L))
+    // CAST to date truncates the time part; year/month parts agree
+    val casted = HashQL.execute(cat,
+      "select ev.n, cast(ev.ts as date) as d, month(ev.ts) as m from ev " +
+        "where ev.n = 1").get.collect().head
+    assert(casted.getAs[java.sql.Date]("d").toString == "2020-01-05")
+    assert(casted.getAs[Long]("m") == 1L)
+    // date_add / date_sub shift whole days (DATE out)
+    val shifted = HashQL.execute(cat,
+      "select date_add(ev.ts, 3) as fwd, date_sub(ev.ts, 5) as back " +
+        "from ev where ev.n = 1").get.collect().head
+    assert(shifted.getAs[java.sql.Date]("fwd").toString == "2020-01-08")
+    assert(shifted.getAs[java.sql.Date]("back").toString == "2019-12-31")
+    // week intervals normalize to days: 2020-01-05 10:30 < 2020-01-08
+    val weeks = HashQL.execute(cat,
+      "select ev.n from ev where ev.ts < date '2020-01-01' + interval '1' week").get
+    assert(weeks.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("interval literals are rejected outside +/- position; bad shapes reject") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a) values ('x')")
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select interval '1' day as iv from t"))
+    assert(e1.getMessage.contains("right operand"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.parse(
+      "select t.a from t where t.a <= date '2020-1-1' - interval '1' day"))
+    assert(e2.getMessage.contains("yyyy-mm-dd"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](HashQL.parse(
+      "select cast(t.a as blob) as x from t"))
+    assert(e3.getMessage.contains("cast target"), e3.getMessage)
+  }
+
+  test("correlated scalar subqueries decorrelate with ANSI edge semantics") {
+    val cat = new GraftCatalog(spark)
+    // parents: (k, threshold); children: (k, v) — parent 3 has NO children
+    Seq((1, 10), (2, 100), (3, 0)).foreach { case (k, t) =>
+      HashQL.execute(cat, s"insert into par (k, thresh) values ($k, $t)") }
+    Seq((1, 5), (1, 7), (2, 50)).foreach { case (k, v) =>
+      HashQL.execute(cat, s"insert into child (k, v) values ($k, $v)") }
+    // max: parent 3's scalar is NULL → comparison UNKNOWN → dropped
+    val gtMax = HashQL.execute(cat,
+      "select par.k from par where par.thresh > " +
+        "( select max(child.v) from child where child.k = par.k )").get
+    assert(gtMax.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // count: parent 3's scalar is 0 (not NULL) → `>=` keeps it
+    val geCount = HashQL.execute(cat,
+      "select par.k from par where par.thresh >= " +
+        "( select count(*) from child where child.k = par.k )").get
+    assert(geCount.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // local filters inside the subquery compose with the correlation;
+    // parent 2's children ALL fail v < 7, so its sum-over-empty is NULL
+    // (ANSI — unlike count) and the comparison drops it
+    val filtered = HashQL.execute(cat,
+      "select par.k from par where par.thresh > " +
+        "( select sum(child.v) from child where child.k = par.k and child.v < 7 )").get
+    assert(filtered.as[Long].collect().sorted.toSeq == Seq(1L))
+  }
+
+  test("rlike + regexp tier: match, extract, replace-all, split, split_part") {
+    val cat = new GraftCatalog(spark)
+    Seq("user#042", "user#7", "admin#9", "guest").foreach(v =>
+      HashQL.execute(cat, s"insert into u (name) values ('$v')"))
+    val matched = HashQL.execute(cat,
+      "select u.name from u where u.name rlike '^user#[0-9]+'").get
+    assert(matched.as[String].collect().sorted.toSeq == Seq("user#042", "user#7"))
+    val notM = HashQL.execute(cat,
+      "select u.name from u where u.name not rlike '#'").get
+    assert(notM.as[String].collect().toSeq == Seq("guest"))
+    val ex = HashQL.execute(cat,
+      "select u.name, regexp_extract(u.name, '#0*([0-9]+)', 1) as num, " +
+        "regexp_replace(u.name, '[0-9]', '*') as masked, " +
+        "split_part(u.name, '#', 1) as role from u " +
+        "where u.name rlike '#'").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(ex.toSet == Set(
+      ("user#042", "42", "user#***", "user"),
+      ("user#7", "7", "user#*", "user"),
+      ("admin#9", "9", "admin#*", "admin")))
+    // split yields the array form (spec-only surface: arrays don't hash
+    // through the parquet oracle compare)
+    val parts = HashQL.execute(cat,
+      "select split(u.name, '#') as parts from u where u.name = 'user#042'").get
+    assert(parts.as[Seq[String]].collect().head == Seq("user", "042"))
+    // patterns must be literals where Spark compiles them statically
+    val e = intercept[IllegalArgumentException](HashQL.parse(
+      "select regexp_extract(u.name, u.name, 1) as x from u"))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("window frames: rows between bounds, first/last_value, ranking guard") {
+    val cat = new GraftCatalog(spark)
+    (1 to 6).foreach(v => HashQL.execute(cat,
+      s"insert into w (g, v) values ('${if (v <= 3) "a" else "b"}', $v)"))
+    val framed = HashQL.execute(cat,
+      "select w.g, w.v, sum(w.v) over (partition by w.g order by w.v " +
+        "rows between 1 preceding and 1 following) as s from w " +
+        "order by w.g, w.v").get
+    assert(framed.select("s").as[Long].collect().toSeq ==
+      Seq(3L, 6L, 5L, 9L, 15L, 11L))
+    val fl = HashQL.execute(cat,
+      "select w.g, w.v, first_value(w.v) over (partition by w.g order by w.v) as fv, " +
+        "last_value(w.v) over (partition by w.g order by w.v " +
+        "rows between unbounded preceding and unbounded following) as lv " +
+        "from w order by w.g, w.v").get
+    assert(fl.select("fv", "lv").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 3L), (1L, 3L), (1L, 3L), (4L, 6L), (4L, 6L), (4L, 6L)))
+    // empty frame rejected at parse
+    val e1 = intercept[IllegalArgumentException](HashQL.parse(
+      "select sum(w.v) over (order by w.v rows between 1 following and 1 preceding) as s from w"))
+    assert(e1.getMessage.contains("frame is empty"), e1.getMessage)
+    // the scale guard: an unpartitioned ranking window over FILE-BACKED
+    // data with no WHERE/LIMIT rejects; a LocalRelation table is bounded
+    // by construction and passes (the ntile spec above)
+    cat.register("ord", graft.core.Tables.t(spark, sf, "orders"))
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) from ord"))
+    assert(e2.getMessage.contains("ONE executor"), e2.getMessage)
+    HashQL.execute(cat, // WHERE-bounded passes
+      "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) " +
+        "from ord where ord.o_orderkey <= 10").get.count()
+  }
+
+  test("order by expressions: grammar over output columns, stable under limit") {
+    val cat = new GraftCatalog(spark)
+    Seq(("aa", 2), ("b", 10), ("ccc", 1), ("dd", 5)).foreach { case (n, v) =>
+      HashQL.execute(cat, s"insert into t (name, v) values ('$n', $v)") }
+    val byLen = HashQL.execute(cat,
+      "select t.name from t order by length(t.name) desc, t.name").get
+    assert(byLen.as[String].collect().toSeq == Seq("ccc", "aa", "dd", "b"))
+    val byExpr = HashQL.execute(cat,
+      "select t.name, t.v from t order by t.v % 4, t.v limit 3").get
+    // v%4 → ccc:1, dd:1, aa:2, b:2; ties break on v
+    assert(byExpr.select("name").as[String].collect().toSeq ==
+      Seq("ccc", "dd", "aa"))
   }
 }

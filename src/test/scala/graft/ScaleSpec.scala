@@ -506,4 +506,71 @@ class ScaleSpec extends SparkSpec {
     assert(!df.columns.exists(_.startsWith("__ag")))
     df.count()
   }
+
+  test("typed date predicates push to the parquet scan; interval folds at plan time") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("lineitem", Tables.t(spark, sf, "lineitem"))
+    // `<= date '…' - interval '90' day` must reach the scan as a TYPED
+    // timestamp filter (constant-folded bound) — at 100 TB this is
+    // row-group pruning at I/O rate; a string comparison or an unfolded
+    // expression would read everything
+    val df = HashQL.execute(cat,
+      "select lineitem.l_orderkey from lineitem " +
+        "where lineitem.l_shipdate <= date '2001-12-01' - interval '90' day").get
+    val scan = df.queryExecution.executedPlan.toString
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("l_shipdate")),
+      s"date predicate not pushed to the scan:\n${scan.take(1500)}")
+    df.count()
+  }
+
+  test("correlated scalar subqueries decorrelate: one aggregate + one equi-join") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("orders", "lineitem").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select orders.o_orderkey from orders " +
+        "where orders.o_totalprice > ( select max(lineitem.l_extendedprice) " +
+        "from lineitem where lineitem.l_orderkey = orders.o_orderkey )").get
+    // the standard decorrelation: ONE groupBy over the subquery side,
+    // ONE equi-join — never a per-outer-row execution or a nested loop
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size == 1, s"expected one Aggregate, got ${aggs.size}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar planned a cross product:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"decorrelated join is not an equi-join:\n${plan.take(1500)}")
+    df.count()
+  }
+
+  test("a cheap multiply-referenced CTE stays lazy — pushdown survives (r10 advice)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    // scan-filter-project CTE referenced twice: double-planning a scan
+    // beats materializing it, and the body's extra filters must still
+    // push into the parquet read (localCheckpoint would sever that and
+    // pin the plan to current executors)
+    val df = HashQL.execute(cat,
+      "with c as (select orders.o_orderkey, orders.o_custkey from orders " +
+        "where orders.o_custkey < 500) " +
+        "select c.o_orderkey from c where c.o_orderkey < 100 " +
+        "union all select c.o_orderkey from c where c.o_orderkey > 100000000").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan") && !plan.contains("ExistingRDD"),
+      s"cheap CTE was eagerly materialized:\n${plan.take(1200)}")
+    // each branch's own predicate reached a scan
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("o_orderkey")),
+      s"body predicate did not push into the CTE scan:\n${pushed.mkString("\n")}")
+    df.count()
+  }
 }
