@@ -115,7 +115,13 @@ object Cypher {
     // in a PATTERN return, sum/avg/min/max additionally need a var.attr
     // argument (a bare node identity is a string) — validated in
     // evalMatch, because in a WITH pipeline segment the same bare form
-    // legitimately addresses a numeric piped column (`sum(n)`)
+    // legitimately addresses a numeric piped column (`sum(n)`).
+    // `collect(v[.attr])` (round-11 growth) gathers the group's DISTINCT
+    // values into a SORTED list — set semantics like the rest of this
+    // surface (Neo4j's bag collect keeps duplicates — documented
+    // divergence, same family as RETURN's always-distinct), sorted so
+    // the list is deterministic across partitionings. The natural
+    // producer for a downstream pipeline UNWIND ([[UnwindCol]]).
     require(fn == "count" || arg.isDefined, s"$fn needs an argument")
     require(arg.forall(!_.attr.contains("*")),
       "cannot aggregate a properties(...) map")
@@ -237,6 +243,14 @@ object Cypher {
         values.forall(_.isInstanceOf[String]),
       "UNWIND list must be all-string or all-numeric")
   }
+
+  /** `… WITH collect(x) AS xs … UNWIND xs AS x (MATCH … | RETURN …)`
+    * (round-11 growth — UNWIND over a PIPED column, the re-expansion half
+    * of collect): inside a pipeline, UNWIND names a list-typed column of
+    * the piped frame and explodes it under `alias`; every other piped
+    * variable stays in scope (Neo4j's rule). The statement-head UNWIND
+    * keeps its literal-list form ([[Unwind]]). */
+  final case class UnwindCol(column: String, alias: String, next: Stmt) extends Stmt
 
   def parse(input: String): Stmt = {
     val p = new P(input)
@@ -411,8 +425,26 @@ object Cypher {
                   "a pipeline MATCH segment must end in WITH or RETURN")
               }
               case "return" => returnTail(Nil, Nil, Nil) // bare RETURN tail
+              // `UNWIND xs AS x` over a piped column (round-11): the
+              // bare-identifier form, distinct from the statement-head
+              // literal-list UNWIND
+              case "unwind" =>
+                val column = ident()
+                require(tryKeyword("as"), "expected AS after UNWIND column")
+                val ualias = ident()
+                val utail = keyword() match {
+                  case "match" => matchRest() match {
+                    case t @ (_: Match | _: With) => t
+                    case _ => throw new IllegalArgumentException(
+                      "an UNWIND MATCH tail must end in WITH or RETURN")
+                  }
+                  case "return" => returnTail(Nil, Nil, Nil)
+                  case o => throw new IllegalArgumentException(
+                    s"expected MATCH or RETURN after UNWIND … AS, got: $o")
+                }
+                UnwindCol(column, ualias, utail)
               case o => throw new IllegalArgumentException(
-                s"expected MATCH or RETURN after WITH, got: $o")
+                s"expected MATCH, RETURN, or UNWIND after WITH, got: $o")
             }
             With(cs, opt.toSeq, conds.toSeq, items.toSeq, post, tail,
               obs.toSeq, lim)
@@ -535,7 +567,7 @@ object Cypher {
     private def retItem(): RetItem = {
       ws(); val save = i
       val v = ident()
-      if (Seq("count", "sum", "avg", "min", "max").contains(v.toLowerCase)
+      if (Seq("count", "sum", "avg", "min", "max", "collect").contains(v.toLowerCase)
           && { ws(); peek == '(' }) {
         eat('(')
         val arg = { ws(); if (peek == '*') { i += 1; None } else Some(ret()) }

@@ -578,10 +578,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   private def evalUnwind(u: Cypher.Unwind): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+    // a MATCH tail re-binding the alias as a NODE variable equi-joins
+    // the list against STRING vertex identities — a LongType column
+    // there would silently compare empty under Spark's implicit cast
+    // (r10 advice), so numeric lists pipe as their string identities
+    // when the tail anchors a pattern on them
+    val rebindsAsNode = (u.next match {
+      case m: Cypher.Match => m.chains ++ m.optional
+      case w: Cypher.With => w.chains ++ w.optional
+      case _ => Seq.empty
+    }).exists(_.nodes.exists(_.variable.contains(u.alias)))
     val df =
-      if (u.values.forall(_.isInstanceOf[Long]))
-        u.values.map(_.asInstanceOf[Long]).toDF(u.alias)
-      else u.values.map(_.asInstanceOf[String]).toDF(u.alias)
+      if (!u.values.forall(_.isInstanceOf[Long]))
+        u.values.map(_.asInstanceOf[String]).toDF(u.alias)
+      else if (rebindsAsNode)
+        u.values.map(_.asInstanceOf[Long].toString).toDF(u.alias)
+      else u.values.map(_.asInstanceOf[Long]).toDF(u.alias)
     pipeTail(df, Seq(u.alias), u.next)
   }
 
@@ -674,6 +686,24 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
             if (desc) col(outName(r)).desc
             else col(outName(r)).asc_nulls_last }: _*)
         m.limit.fold(ordered)(ordered.limit)
+      // `UNWIND xs AS x` over a piped column (round-11): explode the
+      // collected list back to rows — every other piped variable stays
+      // in scope (Neo4j's rule). Scan-shaped at any scale: explode is a
+      // per-row generator, no shuffle.
+      case uc: Cypher.UnwindCol =>
+        require(names.contains(uc.column),
+          s"UNWIND references '${uc.column}' — in scope: ${names.mkString(", ")}")
+        require(piped.schema(uc.column).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"UNWIND in a pipeline expands a LIST column (a collect(…) " +
+            s"output) — '${uc.column}' is not a list")
+        require(uc.alias == uc.column || !names.contains(uc.alias),
+          s"UNWIND alias '${uc.alias}' collides with a piped variable")
+        val exploded = piped
+          .withColumn(s"__unwind_${uc.alias}", explode(col(uc.column)))
+          .drop(uc.column)
+          .withColumnRenamed(s"__unwind_${uc.alias}", uc.alias)
+        pipeTail(exploded, names.filterNot(_ == uc.column) :+ uc.alias, uc.next)
       case other => throw new IllegalArgumentException(
         s"unsupported pipeline tail: $other")
     }
@@ -808,6 +838,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         (a match {
           case Cypher.RetAgg("count", None) => count(lit(1))
           case Cypher.RetAgg("count", Some(r)) => count(col(outName(r)))
+          // distinct values, SORTED — deterministic across partitionings
+          // (set semantics like the rest of the surface); no numeric
+          // coercion: the list keeps the raw string values
+          case Cypher.RetAgg("collect", Some(r)) =>
+            sort_array(collect_set(col(outName(r))))
           case Cypher.RetAgg(fn, Some(r)) =>
             val c = col(outName(r)).try_cast("long")
             fn match {
@@ -960,9 +995,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       val aggItems = returns.collect { case a: Cypher.RetAgg => a }
       // numeric aggregates over a bare node identity (a string) are a
       // type error in a pattern RETURN; the bare form is only meaningful
-      // over a piped WITH column (pipeSegment's aggregation, not here)
+      // over a piped WITH column (pipeSegment's aggregation, not here).
+      // collect is exempt both ways: collecting node IDENTITIES is the
+      // natural producer for a pipeline UNWIND
       aggItems.foreach { a =>
-        require(a.fn == "count" || a.arg.exists(_.attr.isDefined),
+        require(a.fn == "count" || a.fn == "collect" ||
+          a.arg.exists(_.attr.isDefined),
           s"${a.fn} needs a var.attr argument") }
       val plainRets = returns.collect { case r: Cypher.Ret => r }
       (plainRets ++ aggItems.flatMap(_.arg)).foreach {
@@ -1161,6 +1199,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           (a match {
             case Cypher.RetAgg("count", None) => count(lit(1))
             case Cypher.RetAgg("count", Some(r)) => count(col(outName(r)))
+            // sorted distinct list (round-11) — raw string values, no
+            // numeric coercion; sorted for determinism
+            case Cypher.RetAgg("collect", Some(r)) =>
+              sort_array(collect_set(col(outName(r))))
             case Cypher.RetAgg(fn, Some(r)) =>
               // numeric coercion via try_cast (HashQL's rule): missing or
               // non-numeric attrs become NULL and drop from the aggregate

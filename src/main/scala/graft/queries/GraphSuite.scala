@@ -255,6 +255,19 @@ object GraphSuite extends Suite {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |WHERE n_name IN ('NATION_3', 'NATION_7')""".stripMargin)),
 
+    // collect → UNWIND round trip (round-11 growth): collect gathers the
+    // group's distinct customers into a sorted list, the pipeline UNWIND
+    // explodes it back under a new alias with `n` still in scope — the
+    // re-expansion identity (distinct (n, customer) pairs back out).
+    "cypher_unwind_piped" -> Q(
+      (s, d) => g(s, d).query(
+        "match (c:Customer)-[:IN]->(n:Nation) where c.c_nationkey <= 2 " +
+          "with n, collect(c) as cs unwind cs as cust return n, cust"),
+      Some("""SELECT DISTINCT 'nation:' || n_name AS n,
+             |  'customer:' || c_custkey AS cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_nationkey <= 2""".stripMargin)),
+
     // chained WITH stages: per-nation counts re-aggregated per region —
     // sum over a bare piped column (`sum(nc)`), the rollup shape.
     "cypher_with_chain" -> Q(

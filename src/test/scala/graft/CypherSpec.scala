@@ -676,4 +676,59 @@ class CypherSpec extends SparkSpec {
       Cypher.parse("unwind ['a'] x return x"))
     assert(e3.getMessage.contains("AS"), e3.getMessage)
   }
+
+  test("collect + pipeline UNWIND: sorted lists, re-expansion, scope, guards") {
+    var g = PropertyGraph.empty(spark)
+    Seq("Ann" -> "Paris", "Bob" -> "Paris", "Cy" -> "Oslo")
+      .foreach { case (p, c) =>
+        g = g.merge(s"merge (p:Person {'name': '$p'})-[:LIVES]->(c:City {'name': '$c'})") }
+    // collect gathers the group's DISTINCT identities, SORTED (set
+    // semantics + determinism — documented divergence from Neo4j's bags)
+    val collected = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps return c, ps")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(collected == Map("Paris" -> Seq("Ann", "Bob"), "Oslo" -> Seq("Cy")))
+    // UNWIND re-expands the list; the other piped variable stays in scope
+    val expanded = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps " +
+        "unwind ps as person return c, person")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(expanded == Set("Paris" -> "Ann", "Paris" -> "Bob", "Oslo" -> "Cy"))
+    // the exploded alias re-anchors a MATCH tail like any piped variable
+    val rejoined = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps " +
+        "unwind ps as person match (person)-[:LIVES]->(c2:City) return person, c2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(rejoined == Set("Ann" -> "Paris", "Bob" -> "Paris", "Cy" -> "Oslo"))
+    // guards: non-list column, out-of-scope column, alias collision
+    val e1 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, count(*) as n " +
+        "unwind n as x return x"))
+    assert(e1.getMessage.contains("not a list"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps " +
+        "unwind zs as x return x"))
+    assert(e2.getMessage.contains("in scope"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](g.query(
+      "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps " +
+        "unwind ps as c return c"))
+    assert(e3.getMessage.contains("collides"), e3.getMessage)
+  }
+
+  test("numeric UNWIND into a node-rebinding tail matches string identities (r10 advice)") {
+    var g = PropertyGraph.empty(spark)
+    // vertices whose identities are numeric STRINGS — the shape the
+    // silent-empty defect hit: LongType list vs string identity equi-join
+    Seq("1" -> "Paris", "2" -> "Oslo")
+      .foreach { case (p, c) =>
+        g = g.merge(s"merge (p:Person {'name': '$p'})-[:LIVES]->(c:City {'name': '$c'})") }
+    val got = g.query(
+      "unwind [1, 2, 9] as p match (p)-[:LIVES]->(c:City) return p, c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("1" -> "Paris", "2" -> "Oslo"), got.toString)
+    // a numeric list NOT anchoring a pattern keeps its numeric column
+    val nums = g.query("unwind [2, 1] as n return n order by n limit 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nums == Seq(1L))
+  }
 }
