@@ -1589,6 +1589,54 @@ object HashqlSuite extends Suite {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q6 (forecasting revenue change) in the dialect: typed date
+    // range + double BETWEEN + quantity bound, one scan-side filter into
+    // a global aggregate. Revenue rides floor-cents (exact long sum —
+    // see hashql_q1_pricing).
+    "hashql_q6_forecast" -> Q(
+      (s, d) => run(s, d,
+        "select sum(floor(lineitem.l_extendedprice * lineitem.l_discount * 100)) " +
+          "as revenue_cents, count(*) as n from lineitem " +
+          "where lineitem.l_shipdate >= date '2000-01-01' " +
+          "and lineitem.l_shipdate < date '2001-01-01' " +
+          "and lineitem.l_discount between 0.02 and 0.07 " +
+          "and lineitem.l_quantity < 24"),
+      Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+             |AND l_discount BETWEEN 0.02 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q3 (shipping priority) shape: segment filter, 3-way join,
+    // typed date bounds on BOTH fact tables, grouped revenue, top-10 by
+    // revenue desc with a key tiebreak — the first "real" analyst query
+    // the typed tier unlocks end-to-end.
+    "hashql_q3_shipping" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as revenue_cents " +
+          "from customer " +
+          "inner join orders on customer.c_custkey = orders.o_custkey " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "where customer.c_mktsegment = 'BUILDING' " +
+          "and orders.o_orderdate < date '2001-03-15' " +
+          "and lineitem.l_shipdate > date '2001-03-15' " +
+          "group by lineitem.l_orderkey " +
+          "order by revenue_cents desc, lineitem.l_orderkey limit 10"),
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < DATE '2001-03-15'
+             |AND l_shipdate > DATE '2001-03-15'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // ---- round 11: correlated scalar subqueries (r10 verdict #2) ----
 
     // decorrelated to ONE groupBy(o_orderkey).agg + ONE left equi-join
