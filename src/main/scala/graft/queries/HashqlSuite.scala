@@ -1637,6 +1637,36 @@ object HashqlSuite extends Suite {
              |GROUP BY l_orderkey
              |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // DECIMAL money math (round 11): the revenue sum runs over
+    // decimal(18,2) — fixed-point partials are EXACT and
+    // order-independent, the money-type answer to "doubles flip on
+    // summation order". The t2 comparator can't hash DECIMAL output
+    // columns (Arrow-lossy on the oracle side), so the typed sum is
+    // emitted two lossless ways: integral cents (BIGINT) and the
+    // canonical decimal STRING rendering — both prove the fixed-point
+    // value bit-for-bit.
+    "hashql_decimal_money" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "cast(sum(cast(lineitem.l_extendedprice as decimal(18, 2))) * 100 " +
+          "as long) as base_cents, " +
+          "cast(cast(sum(cast(lineitem.l_extendedprice as decimal(18, 2))) " +
+          "as decimal(18, 2)) as string) as base_repr, " +
+          "count(*) as n from lineitem " +
+          "where lineitem.l_shipdate >= date '2000-06-01' " +
+          "group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) * 100 AS BIGINT)
+             |    AS base_cents,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+             |    AS VARCHAR) AS base_repr,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '2000-06-01'
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- round 11: correlated scalar subqueries (r10 verdict #2) ----
 
     // decorrelated to ONE groupBy(o_orderkey).agg + ONE left equi-join
@@ -1684,6 +1714,33 @@ object HashqlSuite extends Suite {
              |  AS p(people_name, age))
              |SELECT people_name FROM people
              |WHERE NOT ( age = ( SELECT max(age) FROM people ) )""".stripMargin)),
+
+    // scalar subqueries in the PROJECTION list (round 11): the
+    // correlated form attaches each customer's order count by the same
+    // decorrelated groupBy + left-join plan as the WHERE-side compare —
+    // count's empty-group-is-0 edge included (customers with no orders
+    // show 0, not NULL).
+    "hashql_scalar_proj" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "( select count(*) from orders " +
+          "where orders.o_custkey = customer.c_custkey ) as n_orders " +
+          "from customer where customer.c_custkey <= 200"),
+      Some("""SELECT c_custkey,
+             |  ( SELECT count(*) FROM orders WHERE o_custkey = c_custkey )
+             |    AS n_orders
+             |FROM customer WHERE c_custkey <= 200""".stripMargin)),
+
+    // the uncorrelated projection form broadcasts ONE row — the
+    // "share of the global max" idiom alongside a plain field.
+    "hashql_scalar_proj_global" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_totalprice, " +
+          "( select max(orders.o_totalprice) from orders ) as global_max " +
+          "from orders where orders.o_orderkey <= 100"),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  ( SELECT max(o_totalprice) FROM orders ) AS global_max
+             |FROM orders WHERE o_orderkey <= 100""".stripMargin)),
 
     // ---- round 11: regexp/string tier 2 (r10 verdict #3) ------------
 

@@ -33,12 +33,14 @@ import graft.fts.Fts
   *         | <expr> || <expr> [|| …]        // n-ary concat, loosest
   *         | date '<yyyy-mm-dd>' | timestamp '<yyyy-mm-dd[ hh:mm:ss]>'
   *         | <expr> +|- interval '<n>' year|month|week|day|hour|minute|second
-  *         | cast ( <expr> as long|bigint|double|string|varchar|date|timestamp )
+  *         | cast ( <expr> as long|bigint|double|string|varchar|date
+  *                  |timestamp|decimal(p,s) )
   *         | case when <pred> then <expr> [when …]* [else <expr>] end
   *         | upper|lower|length|trim|abs|floor|ceil|substr|year|month|day
   *           |hour|minute|date_trunc|coalesce|nullif|concat|round|replace
   *           |mod|date_add|date_sub|regexp_replace|regexp_extract|split
   *           |split_part ( <expr> [, …] )
+  *     | ( select <agg> from u [where …] ) as x   // scalar subquery item
   *     | row_number()|rank() over (partition by t.p order by t.o [desc]
   *         [rows n preceding | rows between <bound> and <bound>])
   *     | sum(t.x)|lag(t.x)|lead(t.x)|first_value(t.x)|last_value(t.x) over (…)
@@ -142,9 +144,22 @@ object HashQL {
     * timestamp to DATE (truncates the time part, both engines) or a
     * string/date to TIMESTAMP (midnight-extends, both engines). */
   final case class ECast(expr: Expr, ty: String) extends Expr {
-    require(Set("long", "double", "string", "date", "timestamp").contains(ty),
+    require(Set("long", "double", "string", "date", "timestamp").contains(ty)
+        || ty.matches("decimal\\([0-9]+,[0-9]+\\)"),
       "cast target must be long | bigint | double | string | varchar | " +
-        s"date | timestamp, got $ty")
+        s"date | timestamp | decimal(p,s), got $ty")
+    // decimal(p,s) (round-11): the MONEY type — fixed-point sums are
+    // exact and order-independent, so decimal aggregates hash-match
+    // across engines and partitionings where double sums flip on
+    // summation order. double→decimal is safe at the data's own scale
+    // (both engines recover the nearest s-digit decimal); scaling DOWN
+    // rounds HALF_UP on Spark vs half-even on DuckDB at exact ties —
+    // documented, keep s at or above the data's scale.
+    if (ty.startsWith("decimal(")) {
+      val Array(p, s) = ty.stripPrefix("decimal(").stripSuffix(")").split(",")
+      require(p.toInt >= 1 && p.toInt <= 38 && s.toInt >= 0 && s.toInt <= p.toInt,
+        s"decimal precision must be 1..38 and scale 0..precision, got $ty")
+    }
   }
   /** `interval '<n>' <unit>` — a typed interval literal, valid ONLY as
     * the right operand of `+`/`-` (round-11 growth — the TPC-H Q1 idiom
@@ -239,6 +254,21 @@ object HashQL {
       require(args(1).isInstanceOf[ELit] &&
         args(1).asInstanceOf[ELit].v.isInstanceOf[String],
         "split's delimiter pattern must be a quoted string literal")
+  }
+
+  /** `( select <agg> from u [where …] ) as alias` — a scalar subquery in
+    * the PROJECTION list (round-11 growth): attaches the subquery's
+    * single aggregate value as a named output column. Same structural
+    * rules as the WHERE-side [[CmpSelect]]: the subquery is a
+    * single-aggregate select; uncorrelated → one broadcast row,
+    * correlated (via `u.k = t.k` conjuncts) → decorrelated
+    * groupBy + left equi-join, count aggregates coalesce missing groups
+    * to 0 (ANSI), others stay NULL. A computed output — exempt from the
+    * missing-field row skip; not available under GROUP BY or doc-paths
+    * (stage through a CTE). */
+  final case class ScalarSubItem(sub: Select, alias: String) extends SelectItem {
+    require(!alias.startsWith("graft_"),
+      s"alias $alias collides with reserved internal names")
   }
 
   /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
@@ -630,11 +660,12 @@ object HashQL {
               s"projected field ${r.column} is not a grouping key")
             case Star => throw new IllegalArgumentException(
               "create agg view cannot project *")
-            case _: ExprItem | _: AggExprItem =>
+            case _: ExprItem | _: AggExprItem | _: ScalarSubItem =>
               throw new IllegalArgumentException(
                 "create agg view aggregates plain columns " +
                   "(count/sum/avg/min/max(t.f)) — expression aggregates " +
-                  "don't re-aggregate for containment routing or DML folds")
+                  "and scalar subqueries don't re-aggregate for " +
+                  "containment routing or DML folds")
             case _ => () // agg calls
           }
           CreateAggView(sel)
@@ -970,6 +1001,14 @@ object HashQL {
           kw(")")
           items += Coalesce2(r, v)
         }
+        else if (peek == "(" && peekAt(1).equalsIgnoreCase("select")) {
+          // scalar subquery in the projection list (round-11) — the
+          // value-attaching twin of the WHERE-side compare form
+          next(); kw("select")
+          val sub = selectRest()
+          kw(")")
+          items += ScalarSubItem(sub, aliasAfterAs("( select … )"))
+        }
         else {
           // plain field, or a scalar expression (arithmetic / CASE /
           // function calls / a re-aliased column) — anything computed
@@ -1143,6 +1182,14 @@ object HashQL {
         val ty = next().toLowerCase match {
           case "bigint" => "long"
           case "varchar" => "string"
+          // decimal(p, s) — the precision/scale lex as separate tokens
+          case "decimal" if is("(") =>
+            next()
+            val p0 = next(); kw(",")
+            val s0 = next(); kw(")")
+            require(p0.matches("[0-9]+") && s0.matches("[0-9]+"),
+              s"decimal takes integer precision and scale, got ($p0, $s0)")
+            s"decimal($p0,$s0)"
           case t => t
         }
         kw(")")
@@ -2296,7 +2343,9 @@ object HashQL {
   private def tableRefCount(st: Stmt, n: String): Int = st match {
     case s: Select =>
       (if (s.table == n) 1 else 0) + s.joins.count(_.table == n) +
-        s.wheres.map(predTableRefCount(_, n)).sum
+        s.wheres.map(predTableRefCount(_, n)).sum +
+        s.items.collect { case ScalarSubItem(sub, _) =>
+          tableRefCount(sub, n) }.sum
     case Union(ss, _) => ss.map(tableRefCount(_, n)).sum
     case SetOpChain(_, ss, _) => ss.map(tableRefCount(_, n)).sum
     case _ => 0
@@ -2532,6 +2581,9 @@ object HashQL {
               "window calls cannot mix with GROUP BY in one select")
             require(!items.exists(_.isInstanceOf[Coalesce2]),
               "coalesce cannot mix with GROUP BY in one select")
+            require(!items.exists(_.isInstanceOf[ScalarSubItem]),
+              "scalar subqueries cannot mix with GROUP BY in one select — " +
+                "stage through a CTE")
             // scalar expressions in a grouped select come in two kinds
             // (round-10 growth): an ExprItem whose alias appears in the
             // GROUP BY list is a COMPUTED GROUPING KEY — evaluated
@@ -2592,6 +2644,8 @@ object HashQL {
               require(!items.exists(i => i.isInstanceOf[ExprItem] ||
                 i.isInstanceOf[AggExprItem]),
                 "expressions cannot mix with doc-path projection")
+              require(!items.exists(_.isInstanceOf[ScalarSubItem]),
+                "scalar subqueries cannot mix with doc-path projection")
               // doc-path projection, one output row per addressed leaf
               // combination: paths through the SAME array share one explode
               // (positionally-aligned leaves — the reference's flattened
@@ -2622,6 +2676,7 @@ object HashQL {
               if (scalarCols.isEmpty || joins.exists(_.outer)) projected
               else projected.na.drop("any", scalarCols)
             } else {
+              val scalarSubs = items.collect { case s0: ScalarSubItem => s0 }
               val wins = items.collect { case w: WinCall => w }
               // SCALE GUARD (r10 verdict): a ranking window with no
               // PARTITION BY plans a single-partition global sort — one
@@ -2646,7 +2701,7 @@ object HashQL {
               val coals = items.collect { case c: Coalesce2 => c }
               val exprs = items.collect { case e: ExprItem => e }
               val computedAliases = wins.map(winAlias) ++ coals.map(coalAlias) ++
-                exprs.map(_.alias)
+                exprs.map(_.alias) ++ scalarSubs.map(_.alias)
               require(computedAliases.distinct.size == computedAliases.size,
                 s"duplicate computed output aliases: $computedAliases")
               // a computed alias shadowing a projected plain field would
@@ -2665,6 +2720,7 @@ object HashQL {
                 case w: WinCall => Seq(winAlias(w))
                 case c: Coalesce2 => Seq(coalAlias(c))
                 case e: ExprItem => Seq(e.alias)
+                case s0: ScalarSubItem => Seq(s0.alias)
                 case CountStar | _: AggCall | _: AggExprItem => Seq.empty
               }
               val isAggItem = (i: SelectItem) => i match {
@@ -2703,8 +2759,16 @@ object HashQL {
                     })))
                 // scalar expressions evaluate per-row inside the same
                 // projection — codegen'd, no extra pass
-                val withComputed = exprs.foldLeft(withCoals)((d, e) =>
+                val withExprs = exprs.foldLeft(withCoals)((d, e) =>
                   d.withColumn(e.alias, exprColumn(cat, e.expr)))
+                // projection-list scalar subqueries attach their value by
+                // the shared scalarJoin plan (broadcast row or
+                // decorrelated left join)
+                val withComputed = scalarSubs.foldLeft(withExprs) { (d, s0) =>
+                  val (joined, v, _, reserved) =
+                    scalarJoin(cat, d, s0.sub, registry)
+                  joined.withColumn(s0.alias, v).drop(reserved: _*)
+                }
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
                 // and coalesce (computed, never "missing") are exempt, and
@@ -2714,6 +2778,7 @@ object HashQL {
                 // computation — it keeps the skip, so renaming a column
                 // never changes the returned row set
                 val skipExempt = (wins.map(winAlias) ++ coals.map(coalAlias) ++
+                  scalarSubs.map(_.alias) ++
                   exprs.collect { case e if !e.expr.isInstanceOf[ECol] => e.alias }).toSet
                 val scalarCols = cols.filterNot(skipExempt)
                 val projected = withComputed.select(cols.map(col): _*)
@@ -2793,6 +2858,22 @@ object HashQL {
                             op: String, sub: Select,
                             registry: Option[JoinRegistry])
       : (DataFrame, Column, Seq[String]) = {
+    val (joined, v, dt, reserved) = scalarJoin(cat, outer, sub, registry)
+    val lhs = col(ref.column).try_cast(dt)
+    val cmpC =
+      if (op == "<>") !(lhs === v)
+      else graft.core.Compare.cmp(lhs, op, v)
+    (joined, cmpC, reserved)
+  }
+
+  /** Attach a scalar subquery's value to `outer` — the shared plan under
+    * the WHERE-side compare ([[scalarCompare]]) and the projection-list
+    * item ([[ScalarSubItem]]). Returns (joined frame, value Column, the
+    * scalar's type, reserved columns to drop). See [[scalarCompare]]'s
+    * scaladoc for the decorrelation shape and ANSI edges. */
+  private def scalarJoin(cat: GraftCatalog, outer: DataFrame, sub: Select,
+                         registry: Option[JoinRegistry])
+      : (DataFrame, Column, org.apache.spark.sql.types.DataType, Seq[String]) = {
     val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sub.table
     val (corr, local) = sub.wheres.partition(p => corrPairOf(subTables)(p).isDefined)
@@ -2808,11 +2889,8 @@ object HashQL {
         s"scalar subquery must project exactly one column, " +
           s"got ${sf.columns.mkString(", ")}")
       val sv = sf.toDF("graft_scalar")
-      val lhs = col(ref.column).try_cast(sv.schema.head.dataType)
-      val cmpC =
-        if (op == "<>") !(lhs === col("graft_scalar"))
-        else graft.core.Compare.cmp(lhs, op, col("graft_scalar"))
-      (outer.crossJoin(broadcast(sv)), cmpC, Seq("graft_scalar"))
+      (outer.crossJoin(broadcast(sv)), col("graft_scalar"),
+        sv.schema.head.dataType, Seq("graft_scalar"))
     } else {
       require(sub.items.length == 1,
         "a correlated scalar subquery projects exactly one aggregate")
@@ -2840,11 +2918,8 @@ object HashQL {
       val scalarC =
         if (isCount) coalesce(col("graft_scalar"), lit(0L))
         else col("graft_scalar")
-      val lhs = col(ref.column).try_cast(keyed.schema("graft_scalar").dataType)
-      val cmpC =
-        if (op == "<>") !(lhs === scalarC)
-        else graft.core.Compare.cmp(lhs, op, scalarC)
-      (joined, cmpC, pairs.indices.map(i => s"graft_sc_$i") :+ "graft_scalar")
+      (joined, scalarC, keyed.schema("graft_scalar").dataType,
+        pairs.indices.map(i => s"graft_sc_$i") :+ "graft_scalar")
     }
   }
 

@@ -1503,6 +1503,29 @@ class HashQLSpec extends SparkSpec {
     assert(e3.getMessage.contains("cast target"), e3.getMessage)
   }
 
+  test("decimal(p,s) casts: exact money sums, scale pinning, bad shapes reject") {
+    val cat = new GraftCatalog(spark)
+    Seq("1.10", "2.20", "3.30").foreach(v =>
+      HashQL.execute(cat, s"insert into m (price) values ('$v')"))
+    // string → decimal; the SUM is exact (0.1+0.2+0.3 of doubles is NOT)
+    val sum = HashQL.execute(cat,
+      "select cast(sum(cast(m.price as decimal(18, 2))) as decimal(18, 2)) " +
+        "as total from m").get.collect().head.getDecimal(0)
+    assert(sum.toPlainString == "6.60", sum.toPlainString)
+    // per-row cast keeps the declared scale
+    val rows = HashQL.execute(cat,
+      "select cast(m.price as decimal(10, 2)) as p from m " +
+        "order by p desc limit 1").get.collect().head.getDecimal(0)
+    assert(rows.toPlainString == "3.30")
+    // guards: precision range, missing scale parens shape
+    val e1 = intercept[IllegalArgumentException](HashQL.parse(
+      "select cast(m.price as decimal(40, 2)) as p from m"))
+    assert(e1.getMessage.contains("1..38"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.parse(
+      "select cast(m.price as decimal(2, 7)) as p from m"))
+    assert(e2.getMessage.contains("scale"), e2.getMessage)
+  }
+
   test("correlated scalar subqueries decorrelate with ANSI edge semantics") {
     val cat = new GraftCatalog(spark)
     // parents: (k, threshold); children: (k, v) — parent 3 has NO children
@@ -1527,6 +1550,44 @@ class HashQLSpec extends SparkSpec {
       "select par.k from par where par.thresh > " +
         "( select sum(child.v) from child where child.k = par.k and child.v < 7 )").get
     assert(filtered.as[Long].collect().sorted.toSeq == Seq(1L))
+  }
+
+  test("projection scalar subqueries: correlated attach, count-0, guards") {
+    val cat = new GraftCatalog(spark)
+    Seq((1, 10), (2, 100), (3, 0)).foreach { case (k, t) =>
+      HashQL.execute(cat, s"insert into par (k, thresh) values ($k, $t)") }
+    Seq((1, 5), (1, 7), (2, 50)).foreach { case (k, v) =>
+      HashQL.execute(cat, s"insert into child (k, v) values ($k, $v)") }
+    // correlated max: parent 3 has no children → NULL
+    val m = HashQL.execute(cat,
+      "select par.k, ( select max(child.v) from child " +
+        "where child.k = par.k ) as mx from par").get
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m == Map(1L -> Some(7L), 2L -> Some(50L), 3L -> None))
+    // correlated count: parent 3 shows 0, not NULL
+    val c = HashQL.execute(cat,
+      "select par.k, ( select count(*) from child " +
+        "where child.k = par.k ) as n from par").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+    // uncorrelated: one broadcast value on every row
+    val u = HashQL.execute(cat,
+      "select par.k, ( select sum(child.v) from child ) as s from par").get
+      .collect().map(_.getLong(1)).toSet
+    assert(u == Set(62L))
+    // the attached alias is ORDER-BY-addressable like any output column
+    val ordered = HashQL.execute(cat,
+      "select par.k, ( select count(*) from child " +
+        "where child.k = par.k ) as n from par order by n desc, par.k limit 1").get
+      .collect().head
+    assert(ordered.getLong(0) == 1L && ordered.getLong(1) == 2L)
+    // guards: GROUP BY mix, reserved alias
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select par.k, ( select count(*) from child ) as n from par group by par.k"))
+    assert(e1.getMessage.contains("CTE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.parse(
+      "select ( select count(*) from child ) as graft_x from par"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
   test("rlike + regexp tier: match, extract, replace-all, split, split_part") {
