@@ -1810,6 +1810,34 @@ object HashqlSuite extends Suite {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
              |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
 
+    // window COUNT (round-11): group size per row without collapsing —
+    // the dedup-rank / fan-out-inspection idiom.
+    "hashql_win_count" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_custkey, " +
+          "count(*) over (partition by orders.o_custkey) as wcnt " +
+          "from orders where orders.o_orderkey <= 500"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  count(*) OVER (PARTITION BY o_custkey) AS wcnt
+             |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
+
+    // QUALIFY (round-11; DuckDB-native): the grouped top-k idiom —
+    // top-2 orders per customer by price, one window + one post-window
+    // filter (no self-join); the trailing o_orderkey tiebreak makes the
+    // row set deterministic under ties.
+    "hashql_qualify" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "row_number() over (partition by orders.o_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey) as rn " +
+          "from orders where orders.o_orderkey <= 2000 " +
+          "qualify rn <= 2"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |FROM orders WHERE o_orderkey <= 2000
+             |QUALIFY rn <= 2""".stripMargin)),
+
     // ORDER BY over expressions (round-11): sort keys run the full
     // scalar grammar over output columns; the trailing unique key keeps
     // the LIMIT deterministic.

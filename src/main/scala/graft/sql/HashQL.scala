@@ -43,7 +43,8 @@ import graft.fts.Fts
   *     | ( select <agg> from u [where …] ) as x   // scalar subquery item
   *     | row_number()|rank() over (partition by t.p order by t.o [desc]
   *         [rows n preceding | rows between <bound> and <bound>])
-  *     | sum(t.x)|lag(t.x)|lead(t.x)|first_value(t.x)|last_value(t.x) over (…)
+  *     | sum(t.x)|count(*)|count(t.x)|lag(t.x)|lead(t.x)
+  *       |first_value(t.x)|last_value(t.x) over (…)
   *     from t [sample n permille by t.id]
   *     [[inner | left [outer] | full [outer]] join u on t.x = u.y]*
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
@@ -57,6 +58,7 @@ import graft.fts.Fts
   *            [and|or …, AND over OR, parens group]]
   *     [group by t.f [, t.g …]]
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
+  *     [qualify <window alias|output>  =|<|>|<=|>=  v [and …]]
   *     [order by <expr> [asc|desc] [, …]] [limit n] [offset m]
   *   select … union [all] select … [union [all] select …]*
   *   create table t as select …[ union …]
@@ -445,7 +447,15 @@ object HashQL {
                           orderBy: Seq[(Expr, Boolean)] = Nil,
                           limit: Option[Int] = None,
                           distinct: Boolean = false,
-                          offset: Option[Int] = None) extends Stmt
+                          offset: Option[Int] = None,
+                          // `qualify <output> op literal [and …]` —
+                          // post-window filtering (round-11; DuckDB's
+                          // QUALIFY): conjuncts over window aliases /
+                          // output columns, applied AFTER the windows
+                          // compute and before DISTINCT/ORDER BY. The
+                          // grouped-top-k idiom: `qualify rn <= 3`.
+                          // Requires a window call in the select.
+                          qualify: Seq[HavingPred] = Nil) extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -651,9 +661,10 @@ object HashQL {
           val sel = selectRest()
           require(sel.groupBy.nonEmpty, "create agg view needs GROUP BY")
           require(sel.having.isEmpty && sel.orderBy.isEmpty &&
-            sel.limit.isEmpty && sel.offset.isEmpty && !sel.distinct,
+            sel.limit.isEmpty && sel.offset.isEmpty && !sel.distinct &&
+            sel.qualify.isEmpty,
             "create agg view takes a bare grouped aggregation " +
-              "(no having/order by/limit/offset/distinct)")
+              "(no having/qualify/order by/limit/offset/distinct)")
           val groupCols = sel.groupBy.map(_.column).toSet
           sel.items.foreach {
             case Field(r) => require(groupCols.contains(r.column),
@@ -948,11 +959,25 @@ object HashQL {
             else if (is("distinct")) { next(); AggCall("count_distinct", colRef()) }
             else AggCall("count", colRef())
           kw(")")
+          // `count(*)|count(t.f) over (…)` — a window count (round 11:
+          // running/frame counts, the group-size-per-row idiom); the
+          // distinct form stays out (neither engine windows a distinct
+          // count without rewrites)
+          if (is("over")) {
+            val warg = item0 match {
+              case CountStar => None
+              case AggCall("count", r) => Some(r)
+              case _ => throw new IllegalArgumentException(
+                "count(distinct …) cannot be a window function — " +
+                  "aggregate through GROUP BY instead")
+            }
+            items += windowSpec("count", warg)
+          }
           // `count(…) as alias` re-aliases the aggregate (the alias then
           // addresses it in HAVING/ORDER BY in place of the auto-alias);
           // an arithmetic continuation makes it an expression over
           // aggregates — `count(*) * 1.0 / n as share`
-          items += (if (arithOps.exists(is)) {
+          else items += (if (arithOps.exists(is)) {
             val lead = item0 match {
               case CountStar => EAgg("count_star", ELit(1L))
               case AggCall(fn0, r) => EAgg(fn0, ECol(r))
@@ -1085,6 +1110,24 @@ object HashQL {
         }
         hs.toSeq
       } else Nil
+      // QUALIFY (round-11): window-output conjuncts, HAVING's grammar
+      // over the post-window frame; windows-required is checked at
+      // lowering (where the item list is interpreted)
+      val qualify = if (is("qualify")) {
+        next()
+        val qs = scala.collection.mutable.ArrayBuffer.empty[HavingPred]
+        var m = true
+        while (m) {
+          val target = havingTarget()
+          val op = next() match {
+            case o @ ("=" | "<" | ">" | "<=" | ">=") => o
+            case o => throw new IllegalArgumentException(s"unsupported qualify op: $o")
+          }
+          qs += HavingPred(target, op, literal())
+          if (is("and")) next() else m = false
+        }
+        qs.toSeq
+      } else Nil
       val orderBy = if (is("order")) {
         next(); kw("by")
         val obs = scala.collection.mutable.ArrayBuffer.empty[(Expr, Boolean)]
@@ -1119,7 +1162,7 @@ object HashQL {
         Some(t.toInt)
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
-        limit, distinct, offset)
+        limit, distinct, offset, qualify)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -1342,7 +1385,7 @@ object HashQL {
       kw(")")
       // the frame-taking window functions work with or without ORDER BY
       // when unframed: ordered = running, unordered = whole-partition
-      val framedAggs = Set("sum", "avg", "min", "max",
+      val framedAggs = Set("sum", "avg", "min", "max", "count",
         "first_value", "last_value")
       require((framedAggs ++ Set("row_number", "rank", "dense_rank",
         "ntile", "lag", "lead")).contains(fn),
@@ -1967,6 +2010,8 @@ object HashQL {
     case "avg" => s"wavg_${w.arg.get.column}"
     case "min" => s"wmin_${w.arg.get.column}"
     case "max" => s"wmax_${w.arg.get.column}"
+    // count(*) over → wcnt; count(t.f) over → wcnt_f (non-null counted)
+    case "count" => w.arg.fold("wcnt")(r => s"wcnt_${r.column}")
     case "first_value" => s"fv_${w.arg.get.column}"
     case "last_value" => s"lv_${w.arg.get.column}"
     case "lag" | "lead" => s"${w.fn}_${w.arg.get.column}"
@@ -1997,6 +2042,10 @@ object HashQL {
       // agree; without ORDER BY, the whole partition's sum on every row
       case "sum" => sum(col(w.arg.get.column)).over(spec)
       case "avg" => avg(col(w.arg.get.column)).over(spec)
+      // count(*) counts frame rows; count(col) counts non-null — the SQL
+      // distinction, per-row over the window
+      case "count" =>
+        w.arg.fold(count(lit(1)))(r => count(col(r.column))).over(spec)
       // running min/max under ORDER BY; whole-partition extremum without
       case "min" => min(col(w.arg.get.column)).over(spec)
       case "max" => max(col(w.arg.get.column)).over(spec)
@@ -2323,7 +2372,7 @@ object HashQL {
     }
     require(step.groupBy.isEmpty && step.having.isEmpty &&
       step.orderBy.isEmpty && step.limit.isEmpty && step.offset.isEmpty &&
-      !step.distinct,
+      !step.distinct && step.qualify.isEmpty,
       "a recursive step is a plain select … from … [join …] [where …] — " +
         "aggregate/sort/limit through the outer body instead")
     val items = step.items.map {
@@ -2527,7 +2576,7 @@ object HashQL {
                           registry: Option[JoinRegistry]): DataFrame = {
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset) =>
+                  distinct, offset, qualify) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -2787,12 +2836,26 @@ object HashQL {
               }
             }
         }
+        // QUALIFY filters the post-window frame's OUTPUT columns (the
+        // grouped-top-k idiom `qualify rn <= 3`); Catalyst plans it as
+        // Filter-over-Window. Requires a window in the select — a
+        // window-less QUALIFY is just WHERE, rejected toward it.
+        val qualified =
+          if (qualify.isEmpty) out
+          else {
+            require(items.exists(_.isInstanceOf[WinCall]),
+              "QUALIFY filters window outputs — this select has no " +
+                "window call (use WHERE)")
+            qualify.foldLeft(out) { (d, q) =>
+              d.filter(graft.core.Compare.cmp(col(q.column), q.op, q.value))
+            }
+          }
         // HAVING filters the aggregated frame's OUTPUT columns (Catalyst
         // plans it as Filter-over-Aggregate and pushes grouping-key
         // conjuncts below the aggregation — the same plan q_having
         // proves); aggregates referenced in HAVING must appear in the
         // select list (that is what names them).
-        val havinged = having.foldLeft(out) { (d, h) =>
+        val havinged = having.foldLeft(qualified) { (d, h) =>
           d.filter(graft.core.Compare.cmp(col(h.column), h.op, h.value))
         }
         // DISTINCT over the projected (post-HAVING) rows — one
@@ -2940,7 +3003,8 @@ object HashQL {
                          anti: Boolean,
                          flagCol: Option[String] = None): DataFrame = {
     require(sub.groupBy.isEmpty && sub.having.isEmpty && sub.orderBy.isEmpty &&
-      sub.limit.isEmpty && !sub.distinct && sub.offset.isEmpty,
+      sub.limit.isEmpty && !sub.distinct && sub.offset.isEmpty &&
+      sub.qualify.isEmpty,
       "exists subquery supports plain select … from … [join …] [where …]")
     val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sub.table

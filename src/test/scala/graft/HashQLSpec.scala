@@ -572,10 +572,16 @@ class HashQLSpec extends SparkSpec {
       "select t.g, count(*), row_number() over (order by t.g) " +
         "from t group by t.g"))
     // avg joined the window set in round 7, min/max in round 10,
-    // first/last_value in round 11 — count over a window stays out
-    // (count(…) never parses a window)
-    intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select count(t.v) over (order by t.o) as f from t"))
+    // count/first/last_value in round 11 — the DISTINCT count stays out
+    // (neither engine windows a distinct count)
+    val eDc = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select count(distinct t.v) over (order by t.o) as f from t"))
+    assert(eDc.getMessage.contains("distinct"), eDc.getMessage)
+    // count(*) over a partition = the group-size-per-row idiom
+    val wc = HashQL.execute(cat,
+      "select t.g, count(*) over (partition by t.g) as wcnt from t").get
+      .select("g", "wcnt").as[(String, Long)].collect().toSet
+    assert(wc.forall { case (_, n) => n >= 1 })
     intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.k from t sample 1001 permille by t.k"))
   }
@@ -1652,6 +1658,25 @@ class HashQLSpec extends SparkSpec {
     HashQL.execute(cat, // WHERE-bounded passes
       "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) " +
         "from ord where ord.o_orderkey <= 10").get.count()
+  }
+
+  test("QUALIFY: post-window top-k filter; window-less qualify rejects") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    val top = HashQL.execute(cat,
+      "select t.g, t.v, row_number() over (partition by t.g " +
+        "order by t.v desc) as rn from t qualify rn <= 2 order by t.g, rn").get
+      .select("g", "v").as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("a", 2L), ("b", 9L), ("b", 8L)))
+    // composes with window-count: groups smaller than 3 only
+    val small = HashQL.execute(cat,
+      "select t.g, count(*) over (partition by t.g) as wcnt from t " +
+        "qualify wcnt < 3").get.select("g").as[String].collect().toSet
+    assert(small == Set("b"))
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g from t qualify g = 'a'"))
+    assert(e.getMessage.contains("no window"), e.getMessage)
   }
 
   test("order by expressions: grammar over output columns, stable under limit") {
