@@ -136,6 +136,21 @@ final class GraftCatalog(val spark: SparkSession) {
       else lit(null))))
   }
 
+  /** Multi-assignment [[updateExpr]] (round 11): every right-hand side
+    * evaluates against the BEFORE image SIMULTANEOUSLY (SQL UPDATE
+    * semantics — `set a = b, b = a` swaps), lowered as ONE copy-on-write
+    * projection via withColumns. */
+  def updateExprs(name: String,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  where: org.apache.spark.sql.Column): Unit = {
+    val df = table(name)
+    val cols = sets.map { case (f, v) =>
+      f -> when(where, v).otherwise(
+        if (df.columns.contains(f)) col(f) else lit(null))
+    }.toMap
+    commit(name, df.withColumns(cols))
+  }
+
   /** DELETE by row identity: drop every row whose `id` appears in `ids`
     * — the subquery-predicate delete path, where the SQL layer already
     * evaluated the predicate to a row set (one anti-join; at scale the

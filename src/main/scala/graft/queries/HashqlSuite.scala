@@ -1524,6 +1524,22 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, n_name FROM customer
              |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
 
+    // multi-column UPDATE SET (round 11): both assignments evaluate
+    // against the BEFORE image in one copy-on-write projection — SQL's
+    // simultaneous semantics.
+    "hashql_update_multi" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat,
+          "update people set people.age = people.age + 1, " +
+            "people.people_name = upper(people.people_name) " +
+            "where people.age = 29")
+        HashQL.execute(cat,
+          "select people.people_name, people.age from people").get
+      },
+      Some("""SELECT * FROM (VALUES ('TED', 30), ('Fred', 45),
+             |  ('SIMON', 30), ('SAM', 30)) AS p(people_name, age)""".stripMargin)),
+
     // ---- round 11: typed temporal tier -----------------------------
 
     // typed date literals + interval arithmetic in WHERE (the TPC-H Q1

@@ -406,7 +406,17 @@ object HashQL {
     * dedicated forms (SetArith's try_cast-to-long coercion predates the
     * grammar and is preserved). */
   final case class SetExpr(e: Expr) extends SetVal
-  final case class Update(table: String, set: (ColRef, SetVal), wheres: Seq[Pred]) extends Stmt
+  /** `update t set t.a = …[, t.b = …]*` — multi-assignment (round 11):
+    * every right-hand side evaluates against the BEFORE image
+    * simultaneously (`set t.a = t.b, t.b = t.a` swaps — SQL semantics,
+    * one copy-on-write projection). Target columns must be distinct. */
+  final case class Update(table: String, sets: Seq[(ColRef, SetVal)],
+                          wheres: Seq[Pred]) extends Stmt {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    require(sets.map(_._1.column).distinct.size == sets.size,
+      s"duplicate UPDATE target column: " +
+        sets.map(_._1.column).diff(sets.map(_._1.column).distinct).mkString(", "))
+  }
   /** `delete from t where …` — dialect growth (the reference clears whole
     * KV ranges, client.py:204-212, but its SQL stops at SELECT/INSERT/
     * UPDATE/CREATE JOIN); lowers to [[GraftCatalog.delete]] (copy-on-write
@@ -712,26 +722,34 @@ object HashQL {
     private def updateRest(): Update = {
       val table = next()
       kw("set")
-      val ref = colRef(); kw("=")
-      // RHS: `null`, or the FULL scalar expression grammar (round-10 —
-      // arithmetic, CASE, scalar functions); the three simple shapes map
-      // to their dedicated SetVal forms so pre-grammar coercion semantics
-      // (SetArith's try_cast-to-long) are preserved bit-for-bit
-      val v: SetVal =
-        if (is("null")) { next(); SetLit(null) } // explicit null-out
-        else exprTree() match {
-          case ELit(x) => SetLit(x)
-          // a bare unquoted word on a SET RHS keeps its pre-grammar
-          // meaning: a string literal, not an output-column reference
-          // (UPDATE has no computed aliases in scope)
-          case ECol(ColRef("", bare)) => SetLit(bare)
-          case ECol(r2) => SetCol(r2)
-          case EArith(ECol(r2), op @ ("+" | "-" | "*"), ELit(n: Long)) =>
-            SetArith(r2, op, n)
-          case e => SetExpr(e)
-        }
+      // each RHS: `null`, or the FULL scalar expression grammar (round-10
+      // — arithmetic, CASE, scalar functions); the three simple shapes
+      // map to their dedicated SetVal forms so pre-grammar coercion
+      // semantics (SetArith's try_cast-to-long) are preserved bit-for-bit
+      def assignment(): (ColRef, SetVal) = {
+        val ref = colRef(); kw("=")
+        val v: SetVal =
+          if (is("null")) { next(); SetLit(null) } // explicit null-out
+          else exprTree() match {
+            case ELit(x) => SetLit(x)
+            // a bare unquoted word on a SET RHS keeps its pre-grammar
+            // meaning: a string literal, not an output-column reference
+            // (UPDATE has no computed aliases in scope)
+            case ECol(ColRef("", bare)) => SetLit(bare)
+            case ECol(r2) => SetCol(r2)
+            case EArith(ECol(r2), op @ ("+" | "-" | "*"), ELit(n: Long)) =>
+              SetArith(r2, op, n)
+            case e => SetExpr(e)
+          }
+        (ref, v)
+      }
+      // `set t.a = …, t.b = …` (round-11 multi-assignment) — the comma
+      // separates assignments; commas INSIDE an RHS live in function-call
+      // parens, so there is no ambiguity
+      val sets = scala.collection.mutable.ArrayBuffer(assignment())
+      while (is(",")) { next(); sets += assignment() }
       val wheres = if (is("where")) { next(); preds() } else Nil
-      Update(table, (ref, v), wheres)
+      Update(table, sets.toSeq, wheres)
     }
 
     private def deleteRest(): Delete = {
@@ -2199,7 +2217,7 @@ object HashQL {
           case other => throw new IllegalStateException(s"CTAS over $other")
         })
         None
-      case Update(t, (ref, sv), wheres) =>
+      case Update(t, sets, wheres) =>
         require(!wheres.exists(subqueryPred),
           "UPDATE does not take subquery predicates — stage the target " +
             "rows with CTAS, or DELETE + re-INSERT them")
@@ -2209,14 +2227,14 @@ object HashQL {
         // id against the PRE plan — the SET may change the very columns
         // the WHERE tested)
         val before = cat.table(t).filter(cond)
-        // the SET's right-hand side as a Column — applied once through the
-        // catalog's copy-on-write rewrite, and once to the captured
-        // before-frame to derive the after-image O(delta): the updated
-        // rows are exactly the before rows with the SET applied, so the
-        // hook never rescans the post-update table (the old semi-join
-        // derivation shuffled the full table to recover rows already
-        // pinned by `before`'s immutable plan)
-        val setCol: Column = sv match {
+        // each SET right-hand side as a Column — applied once through the
+        // catalog's copy-on-write rewrite (ALL assignments in ONE
+        // projection, every RHS against the BEFORE image — SQL's
+        // simultaneous semantics), and once to the captured before-frame
+        // to derive the after-image O(delta): the updated rows are
+        // exactly the before rows with the SETs applied, so the hook
+        // never rescans the post-update table
+        def setCol(sv: SetVal): Column = sv match {
           case SetLit(v) => v match { case i: Int => lit(i.toLong); case x => lit(x) }
           case SetCol(r2) => col(r2.column)
           case SetArith(r2, op, n) =>
@@ -2228,9 +2246,10 @@ object HashQL {
             }
           case SetExpr(e) => exprColumn(cat, e)
         }
-        cat.updateExpr(t, ref.column, setCol, cond)
+        val assigns = sets.map { case (ref, sv) => ref.column -> setCol(sv) }
+        cat.updateExprs(t, assigns, cond)
         registry.foreach(_.onUpdate(cat, t, before,
-          before.withColumn(ref.column, setCol)))
+          before.withColumns(assigns.toMap)))
         None
       case Delete(t, wheres) =>
         // capture the deleted rows' plan BEFORE the copy-on-write rewrite

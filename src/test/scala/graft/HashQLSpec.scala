@@ -1660,6 +1660,26 @@ class HashQLSpec extends SparkSpec {
         "from ord where ord.o_orderkey <= 10").get.count()
   }
 
+  test("multi-column UPDATE SET: simultaneous semantics, duplicate targets reject") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a, b) values (1, 2)")
+    HashQL.execute(cat, "insert into t (a, b) values (10, 20)")
+    // every RHS reads the BEFORE image: a/b swap, not cascade
+    HashQL.execute(cat, "update t set t.a = t.b, t.b = t.a where t.a = 1")
+    val rows = cat.table("t").orderBy("id")
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((2L, 1L), (10L, 20L)))
+    // mixed shapes in one statement (arith + expression)
+    HashQL.execute(cat,
+      "update t set t.a = t.a + 100, t.b = t.a * 2 where t.b = 20")
+    val rows2 = cat.table("t").orderBy("id")
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(rows2 == Seq((2L, 1L), (110L, 20L)))
+    val e = intercept[IllegalArgumentException](HashQL.parse(
+      "update t set t.a = 1, t.a = 2"))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("QUALIFY: post-window top-k filter; window-less qualify rejects") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).foreach { case (g, v) =>
