@@ -1826,6 +1826,25 @@ object HashqlSuite extends Suite {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
              |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
 
+    // GROUP BY the expression itself (round-11: the other spelling of
+    // the round-10 alias form — both lower to one scan-side computed
+    // key) + the quarter date part.
+    "hashql_group_by_expr" -> Q(
+      (s, d) => run(s, d,
+        "select year(orders.o_orderdate) as y, quarter(orders.o_orderdate) as q, " +
+          "count(*), " +
+          "sum(floor(orders.o_totalprice * 100)) / count(*) as avg_cents " +
+          "from orders " +
+          "group by year(orders.o_orderdate), quarter(orders.o_orderdate) " +
+          "order by y, q"),
+      Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    / count(*) AS avg_cents
+             |FROM orders
+             |GROUP BY year(o_orderdate), quarter(o_orderdate)
+             |ORDER BY y, q""".stripMargin)),
+
     // window COUNT (round-11): group size per row without collapsing —
     // the dedup-rank / fan-out-inspection idiom.
     "hashql_win_count" -> Q(

@@ -56,7 +56,7 @@ import graft.fts.Fts
   *            | t.f ~ 'tok1 & tok2 | tok3'
   *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
-  *     [group by t.f [, t.g …]]
+  *     [group by t.f | <alias> | <projected expr> [, …]]
   *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
   *     [qualify <window alias|output>  =|<|>|<=|>=  v [and …]]
   *     [order by <expr> [asc|desc] [, …]] [limit n] [offset m]
@@ -214,6 +214,10 @@ object HashQL {
       "concat" -> (2 to 8).toSet, "round" -> Set(1, 2),
       "replace" -> Set(3), "mod" -> Set(2),
       "hour" -> Set(1), "minute" -> Set(1), "date_trunc" -> Set(2),
+      // round-11 date-part growth: quarter/week/dayofyear agree between
+      // engines (week = ISO week number on both; dayofweek does NOT —
+      // deliberately absent)
+      "quarter" -> Set(1), "week" -> Set(1), "dayofyear" -> Set(1),
       // round-11 regexp/string tier 2 (Java regex semantics; the oracle
       // notes pin the DuckDB equivalences): regexp_replace replaces ALL
       // occurrences (DuckDB spells that with the 'g' flag),
@@ -1104,11 +1108,24 @@ object HashQL {
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       val groupBy = if (is("group")) {
         next(); kw("by")
-        // `t.col`, or a BARE identifier addressing a computed projection's
-        // alias (round-10 growth: `select year(t.d) as y … group by y` —
-        // the time-rollup idiom; DuckDB accepts the same alias form)
+        // `t.col`, a BARE identifier addressing a computed projection's
+        // alias (round-10: `select year(t.d) as y … group by y`), or the
+        // EXPRESSION itself repeated (round-11: `group by year(t.d)` —
+        // the other spelling DuckDB accepts): an expression key matches
+        // a projected ExprItem STRUCTURALLY and rewrites to its alias,
+        // so both spellings lower to the same scan-side computed key.
         def groupKey(): ColRef =
-          if (peek.contains('.')) colRef() else ColRef("", next())
+          if ((exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") ||
+              (is("cast") && peekAt(1) == "(") || is("case")) {
+            val e = exprTree()
+            items.collectFirst {
+              case ExprItem(e2, a) if e2 == e => ColRef("", a)
+            }.getOrElse(throw new IllegalArgumentException(
+              "a GROUP BY expression must appear in the projection with " +
+                "an alias (select <expr> as x … group by <same expr>) — " +
+                "the key then computes once, scan-side"))
+          }
+          else if (peek.contains('.')) colRef() else ColRef("", next())
         val gs = scala.collection.mutable.ArrayBuffer(groupKey())
         while (is(",")) { next(); gs += groupKey() }
         gs.toSeq
@@ -1232,7 +1249,7 @@ object HashQL {
       "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc",
       "regexp_replace", "regexp_extract", "split", "split_part",
-      "date_add", "date_sub")
+      "date_add", "date_sub", "quarter", "week", "dayofyear")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -1919,6 +1936,11 @@ object HashQL {
         case "mod" => a(0) % a(1)
         case "hour" => hour(a(0)).cast("long")
         case "minute" => minute(a(0)).cast("long")
+        // ISO week on both engines; quarter/dayofyear also agree —
+        // INT on Spark, BIGINT on DuckDB, pin long like the other parts
+        case "quarter" => quarter(a(0)).cast("long")
+        case "week" => weekofyear(a(0)).cast("long")
+        case "dayofyear" => dayofyear(a(0)).cast("long")
         // unit validated a literal at parse; Spark takes (unit, ts),
         // timestamp out on both engines
         case "date_trunc" =>

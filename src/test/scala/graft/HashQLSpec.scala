@@ -1660,6 +1660,29 @@ class HashQLSpec extends SparkSpec {
         "from ord where ord.o_orderkey <= 10").get.count()
   }
 
+  test("GROUP BY expressions match projected aliases; date parts quarter/week/dayofyear") {
+    val cat = new GraftCatalog(spark)
+    Seq("2020-01-15", "2020-02-20", "2020-07-04").zipWithIndex.foreach {
+      case (day, i) => HashQL.execute(cat,
+        s"insert into ev (n, ts) values (${i + 1}, timestamp '$day')")
+    }
+    // the expression spelling lowers to the SAME plan as the alias form
+    val byExpr = HashQL.execute(cat,
+      "select quarter(ev.ts) as q, count(*) from ev group by quarter(ev.ts) " +
+        "order by q").get.as[(Long, Long)].collect().toSeq
+    assert(byExpr == Seq((1L, 2L), (3L, 1L)))
+    // parts agree with the calendar
+    val parts = HashQL.execute(cat,
+      "select week(ev.ts) as w, dayofyear(ev.ts) as dy from ev " +
+        "where ev.n = 3").get.collect().head
+    assert(parts.getAs[Long]("dy") == 186L) // 2020 is a leap year
+    assert(parts.getAs[Long]("w") == 27L)   // ISO week of 2020-07-04
+    // an UNPROJECTED group-by expression rejects with the fix spelled out
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select count(*) from ev group by quarter(ev.ts)"))
+    assert(e.getMessage.contains("alias"), e.getMessage)
+  }
+
   test("multi-column UPDATE SET: simultaneous semantics, duplicate targets reject") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a, b) values (1, 2)")
