@@ -1778,6 +1778,25 @@ object HashqlSuite extends Suite {
              |FROM customer WHERE c_custkey <= 50
              |AND regexp_matches(c_name, 'Customer#[0-9]+')""".stripMargin)),
 
+    // string tier 3 (round-11): instr (1-based, 0 absent), lpad/rpad,
+    // boolean containment tests — semantics identical on both engines.
+    "hashql_string_tier3" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_name, instr(customer.c_name, '#') as pos, " +
+          "lpad(customer.c_mktsegment, 12, '.') as seg, " +
+          "rpad(customer.c_mktsegment, 4, '_') as seg4 " +
+          "from customer where customer.c_custkey <= 100 " +
+          "and contains(customer.c_name, '#') " +
+          "and starts_with(customer.c_name, 'Customer') " +
+          "and not ends_with(customer.c_name, '0')"),
+      Some("""SELECT c_name, instr(c_name, '#') AS pos,
+             |  lpad(c_mktsegment, 12, '.') AS seg,
+             |  rpad(c_mktsegment, 4, '_') AS seg4
+             |FROM customer WHERE c_custkey <= 100
+             |AND contains(c_name, '#')
+             |AND starts_with(c_name, 'Customer')
+             |AND NOT ends_with(c_name, '0')""".stripMargin)),
+
     // anchored rlike + infix NOT RLIKE (three-valued like every
     // comparison).
     "hashql_rlike" -> Q(

@@ -229,7 +229,13 @@ object HashQL {
       // date_add/date_sub(d, n): n whole days; the operand casts to
       // DATE first (Spark semantics — the oracle spells
       // CAST(x AS DATE) ± n)
-      "date_add" -> Set(2), "date_sub" -> Set(2))
+      "date_add" -> Set(2), "date_sub" -> Set(2),
+      // round-11 string tier 3 — semantics identical on both engines:
+      // instr is 1-based (0 when absent), lpad/rpad truncate when the
+      // input exceeds the length, contains/starts_with/ends_with are
+      // boolean (null-propagating)
+      "instr" -> Set(2), "lpad" -> Set(3), "rpad" -> Set(3),
+      "contains" -> Set(2), "starts_with" -> Set(2), "ends_with" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -337,6 +343,13 @@ object HashQL {
     * frame + a filter — the "above the average" idiom. Top-level-conjunct
     * only, like [[InSelect]]. Dialect growth. */
   final case class CmpSelect(ref: ColRef, op: String, sub: Select) extends Pred
+  /** A bare BOOLEAN function call as a predicate (round-11):
+    * `where contains(t.f, '#')`, `where not starts_with(t.f, 'x')` —
+    * the containment tests read naturally without a comparison. Lowered
+    * straight to the boolean Column; three-valued (NULL input → NULL →
+    * row dropped, NOT keeps it dropped) like every comparison. */
+  final case class BoolFuncPred(e: Expr) extends Pred
+
   /** `<expr> <op> <expr>` — comparison over computed scalar expressions
     * (round-10 growth: `where t.a * t.b > 100`). Both sides lower through
     * the same [[Expr]] → Column path as projections, so the WHERE grammar
@@ -793,8 +806,15 @@ object HashQL {
         // a computed head compares with = <> < > <= >= against another
         // expression — `where t.a * t.b > 100`, `where case … end = 1`.
         // A bare t.f head keeps the full ref-grammar below (doc-paths,
-        // IN/LIKE/BETWEEN/IS NULL, subquery arms).
+        // IN/LIKE/BETWEEN/IS NULL, subquery arms). A BOOLEAN function
+        // call with no comparison following is itself the predicate
+        // (round-11: `where contains(t.f, '#')`).
         case e if !e.isInstanceOf[ECol] =>
+          val boolFns = Set("contains", "starts_with", "ends_with")
+          val isBool = PartialFunction.cond(e) {
+            case EFunc(fn, _) if boolFns(fn) => true }
+          if (isBool && !Seq("=", "<>", "<", ">", "<=", ">=").contains(peek))
+            return BoolFuncPred(e)
           val op = next() match {
             case o @ ("=" | "<>" | "<" | ">" | "<=" | ">=") => o
             case o => throw new IllegalArgumentException(
@@ -1249,7 +1269,8 @@ object HashQL {
       "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc",
       "regexp_replace", "regexp_extract", "split", "split_part",
-      "date_add", "date_sub", "quarter", "week", "dayofyear")
+      "date_add", "date_sub", "quarter", "week", "dayofyear",
+      "instr", "lpad", "rpad", "contains", "starts_with", "ends_with")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -1823,6 +1844,8 @@ object HashQL {
     case ExprCmp(l, op, r) =>
       val (lc, rc) = (exprColumn(cat, l), exprColumn(cat, r))
       if (op == "=") lc === rc else graft.core.Compare.cmp(lc, op, rc)
+    // a bare boolean function IS the predicate — straight to its Column
+    case BoolFuncPred(e) => exprColumn(cat, e)
     // a lowered subquery flag. Membership/existence flags (threeValued =
     // false): join miss = FALSE (two-valued), so NOT keeps unmatched
     // rows — the anti-join semantics under OR (the documented NOT-IN
@@ -1963,6 +1986,14 @@ object HashQL {
         case "split" => split(a(0),
           args(1).asInstanceOf[ELit].v.asInstanceOf[String])
         case "split_part" => split_part(a(0), a(1), a(2).cast("int"))
+        // string tier 3 (round-11): 1-based position (0 absent — both
+        // engines), pad/truncate to length, boolean containment tests
+        case "instr" => position(a(1), a(0)).cast("long")
+        case "lpad" => lpad(a(0), a(1).cast("int"), a(2))
+        case "rpad" => rpad(a(0), a(1).cast("int"), a(2))
+        case "contains" => a(0).contains(a(1))
+        case "starts_with" => a(0).startsWith(a(1))
+        case "ends_with" => a(0).endsWith(a(1))
       }
   }
 
@@ -2031,6 +2062,7 @@ object HashQL {
     case FtsMatch(r, _) => Set(r.column)
     case SampleBucket(r, _) => Set(r.column)
     case ExprCmp(l, _, r) => exprRefs(l) ++ exprRefs(r)
+    case BoolFuncPred(e) => exprRefs(e)
     case Not(x) => predRefs(x)
     case And(ps) => ps.flatMap(predRefs).toSet
     case Or(ps) => ps.flatMap(predRefs).toSet

@@ -1660,6 +1660,27 @@ class HashQLSpec extends SparkSpec {
         "from ord where ord.o_orderkey <= 10").get.count()
   }
 
+  test("string tier 3: instr/lpad/rpad values; boolean functions as bare predicates") {
+    val cat = new GraftCatalog(spark)
+    Seq("alpha#1", "beta", "alpha#2x").foreach(v =>
+      HashQL.execute(cat, s"insert into s3 (v) values ('$v')"))
+    val row = HashQL.execute(cat,
+      "select instr(s3.v, '#') as pos, lpad(s3.v, 9, '*') as lp, " +
+        "rpad(s3.v, 3, '_') as rp from s3 where s3.v = 'alpha#1'").get
+      .collect().head
+    assert(row.getLong(0) == 6L && row.getString(1) == "**alpha#1" &&
+      row.getString(2) == "alp")
+    // bare boolean predicates, NOT included
+    val got = HashQL.execute(cat,
+      "select s3.v from s3 where contains(s3.v, '#') " +
+        "and starts_with(s3.v, 'alpha') and not ends_with(s3.v, 'x')").get
+    assert(got.as[String].collect().toSeq == Seq("alpha#1"))
+    // a boolean function still composes with an explicit comparison head
+    val cmp = HashQL.execute(cat,
+      "select s3.v from s3 where instr(s3.v, '#') > 0").get
+    assert(cmp.as[String].collect().sorted.toSeq == Seq("alpha#1", "alpha#2x"))
+  }
+
   test("GROUP BY expressions match projected aliases; date parts quarter/week/dayofyear") {
     val cat = new GraftCatalog(spark)
     Seq("2020-01-15", "2020-02-20", "2020-07-04").zipWithIndex.foreach {
