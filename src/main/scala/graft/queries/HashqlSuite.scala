@@ -1683,6 +1683,74 @@ object HashqlSuite extends Suite {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // TPC-H Q5 (local supplier volume) shape: SIX tables left-deep with
+    // a COMPOSITE ON (supplier joins on l_suppkey AND the
+    // customer=supplier nation equality — Q5's signature condition),
+    // region filter + typed date band, grouped floor-cents revenue per
+    // nation, order by revenue desc.
+    "hashql_q5_supplier" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_name, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as revenue_cents " +
+          "from customer " +
+          "inner join orders on customer.c_custkey = orders.o_custkey " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "inner join supplier on lineitem.l_suppkey = supplier.s_suppkey " +
+          "and customer.c_nationkey = supplier.s_nationkey " +
+          "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+          "inner join region on nation.n_regionkey = region.r_regionkey " +
+          "where region.r_name = 'MIDDLE EAST' " +
+          "and orders.o_orderdate >= date '1996-01-01' " +
+          "and orders.o_orderdate < date '1999-01-01' " +
+          "group by nation.n_name " +
+          "order by revenue_cents desc, nation.n_name"),
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'MIDDLE EAST'
+             |AND o_orderdate >= DATE '1996-01-01'
+             |AND o_orderdate < DATE '1999-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
+    // TPC-H Q10 (returned-item reporting) shape: returnflag filter +
+    // quarter date band, multi-key grouping incl. the nation attribute,
+    // top 20 by lost revenue (tiebreak on the key for a deterministic
+    // row set).
+    "hashql_q10_returns" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name, nation.n_name, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as revenue_cents " +
+          "from customer " +
+          "inner join orders on customer.c_custkey = orders.o_custkey " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "inner join nation on customer.c_nationkey = nation.n_nationkey " +
+          "where lineitem.l_returnflag = 'R' " +
+          "and orders.o_orderdate >= date '2000-01-01' " +
+          "and orders.o_orderdate < date '2000-07-01' " +
+          "group by customer.c_custkey, customer.c_name, nation.n_name " +
+          "order by revenue_cents desc, customer.c_custkey limit 20"),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |AND o_orderdate >= DATE '2000-01-01'
+             |AND o_orderdate < DATE '2000-07-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // ---- round 11: correlated scalar subqueries (r10 verdict #2) ----
 
     // decorrelated to ONE groupBy(o_orderkey).agg + ONE left equi-join
