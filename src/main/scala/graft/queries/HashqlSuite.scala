@@ -1846,6 +1846,17 @@ object HashqlSuite extends Suite {
              |FROM customer WHERE c_custkey <= 50
              |AND regexp_matches(c_name, 'Customer#[0-9]+')""".stripMargin)),
 
+    // computed heads take IN and BETWEEN (round-11): the year-bucket
+    // membership idiom, desugared to comparison trees at parse.
+    "hashql_expr_in" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where year(lineitem.l_shipdate) in (1996, 1998) " +
+          "and month(lineitem.l_shipdate) between 2 and 4"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE year(l_shipdate) IN (1996, 1998)
+             |AND month(l_shipdate) BETWEEN 2 AND 4""".stripMargin)),
+
     // string tier 3 (round-11): instr (1-based, 0 absent), lpad/rpad,
     // boolean containment tests — semantics identical on both engines.
     "hashql_string_tier3" -> Q(

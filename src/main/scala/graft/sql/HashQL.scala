@@ -815,10 +815,26 @@ object HashQL {
             case EFunc(fn, _) if boolFns(fn) => true }
           if (isBool && !Seq("=", "<>", "<", ">", "<=", ">=").contains(peek))
             return BoolFuncPred(e)
+          // computed heads also take IN lists and BETWEEN (round-11:
+          // `where year(t.d) in (1996, 1998)`) — desugared to ExprCmp
+          // disjunctions/conjunctions at parse; negate with `not (…)`
+          if (is("in")) {
+            next(); kw("(")
+            val vs = scala.collection.mutable.ArrayBuffer(literal())
+            while (is(",")) { next(); vs += literal() }
+            kw(")")
+            return Or(vs.toSeq.map(v => ExprCmp(e, "=", ELit(v))))
+          }
+          if (peek.equalsIgnoreCase("between")) {
+            next()
+            val lo = literal(); kw("and"); val hi = literal()
+            return And(Seq(ExprCmp(e, ">=", ELit(lo)), ExprCmp(e, "<=", ELit(hi))))
+          }
           val op = next() match {
             case o @ ("=" | "<>" | "<" | ">" | "<=" | ">=") => o
             case o => throw new IllegalArgumentException(
-              s"a computed expression compares with = <> < > <= >= — got $o")
+              s"a computed expression compares with = <> < > <= >= or " +
+                s"IN/BETWEEN — got $o")
           }
           val rhs = exprTree()
           if (op == "<>") Not(ExprCmp(e, "=", rhs)) else ExprCmp(e, op, rhs)

@@ -1152,8 +1152,13 @@ class HashQLSpec extends SparkSpec {
       "select e.a from e where e.a + e.b = e.c + 5 and " +
         "case when e.c > 3 then 1 else 0 end = 1").get
     assert(both.as[Long].collect().toSeq == Seq(5L)) // 5+5 = 5+5, c=5 > 3
+    // computed IN joined the grammar in round 11 (was a reject)
+    val exprIn = HashQL.execute(cat,
+      "select e.a from e where e.a + 1 in (2, 3)").get
+    assert(exprIn.as[Long].collect().nonEmpty)
+    // a computed head with a genuinely unsupported op still rejects
     val e1 = intercept[IllegalArgumentException](
-      HashQL.execute(cat, "select e.a from e where e.a + 1 in (2, 3)"))
+      HashQL.execute(cat, "select e.a from e where e.a + 1 like 'x'"))
     assert(e1.getMessage.contains("computed expression compares with"), e1.getMessage)
   }
 
@@ -1658,6 +1663,22 @@ class HashQLSpec extends SparkSpec {
     HashQL.execute(cat, // WHERE-bounded passes
       "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) " +
         "from ord where ord.o_orderkey <= 10").get.count()
+  }
+
+  test("computed heads take IN / BETWEEN: desugared comparison trees") {
+    val cat = new GraftCatalog(spark)
+    Seq(10, 25, 37, 44).foreach(v =>
+      HashQL.execute(cat, s"insert into t (v) values ($v)"))
+    val in = HashQL.execute(cat,
+      "select t.v from t where t.v % 10 in (5, 7)").get
+    assert(in.as[Long].collect().sorted.toSeq == Seq(25L, 37L))
+    val between = HashQL.execute(cat,
+      "select t.v from t where t.v % 10 between 4 and 7").get
+    assert(between.as[Long].collect().sorted.toSeq == Seq(25L, 37L, 44L))
+    // `not (…)` negates the desugared tree
+    val notIn = HashQL.execute(cat,
+      "select t.v from t where not ( t.v % 10 in (5, 7) )").get
+    assert(notIn.as[Long].collect().sorted.toSeq == Seq(10L, 44L))
   }
 
   test("string tier 3: instr/lpad/rpad values; boolean functions as bare predicates") {
