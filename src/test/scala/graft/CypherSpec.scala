@@ -688,6 +688,11 @@ class CypherSpec extends SparkSpec {
       "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps return c, ps")
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(collected == Map("Paris" -> Seq("Ann", "Bob"), "Oslo" -> Seq("Cy")))
+    // collect also works in a PLAIN pattern RETURN (auto-alias collect_p)
+    val direct = g.query(
+      "match (p:Person)-[:LIVES]->(c:City) return c, collect(p)")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(direct == collected)
     // UNWIND re-expands the list; the other piped variable stays in scope
     val expanded = g.query(
       "match (p:Person)-[:LIVES]->(c:City) with c, collect(p) as ps " +
