@@ -550,6 +550,58 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("Q5 six-way composite-ON join: dims broadcast, fact streams, no cartesian") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select nation.n_name, count(*) from customer " +
+        "inner join orders on customer.c_custkey = orders.o_custkey " +
+        "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+        "inner join supplier on lineitem.l_suppkey = supplier.s_suppkey " +
+        "and customer.c_nationkey = supplier.s_nationkey " +
+        "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+        "inner join region on nation.n_regionkey = region.r_regionkey " +
+        "where region.r_name = 'MIDDLE EAST' " +
+        "and orders.o_orderdate >= date '1996-01-01' " +
+        "group by nation.n_name").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 planned a cross product:\n${plan.take(1500)}")
+    // at this SF every dim broadcasts; the composite ON stays one
+    // equi-join (never splits into join + post-filter cartesian)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1200)}")
+    // the typed date bound reached a scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "date bound not pushed")
+    df.count()
+  }
+
+  test("QUALIFY plans Filter-over-Window — no extra exchange beyond the window's") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    val df = HashQL.execute(cat,
+      "select orders.o_custkey, orders.o_orderkey, " +
+        "row_number() over (partition by orders.o_custkey " +
+        "order by orders.o_totalprice desc, orders.o_orderkey) as rn " +
+        "from orders where orders.o_orderkey <= 100000 qualify rn <= 2").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window node:\n${plan.take(800)}")
+    // exactly ONE exchange: the window's partitionBy shuffle — QUALIFY
+    // is a post-window filter, not another shuffle
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"QUALIFY added exchanges:\n${plan.take(1500)}")
+    df.count()
+  }
+
   test("a cheap multiply-referenced CTE stays lazy — pushdown survives (r10 advice)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
