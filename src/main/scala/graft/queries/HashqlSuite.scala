@@ -1983,6 +1983,57 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_custkey <= 100
              |ORDER BY length(c_name) DESC, c_custkey % 7, c_custkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- round 12: non-equality correlation --------------------------
+
+    // RANGE correlation in a scalar subquery (r11 verdict #7): the
+    // count's subset depends on the outer row's own acctbal — planned as
+    // distinct outer (custkey, acctbal) tuples → hash join on the
+    // equality key with the range riding the condition → per-tuple
+    // aggregate → one broadcastable back-join; never a per-row
+    // execution, never a nested loop (ScaleSpec asserts). The count
+    // coalesces to 0 on empty subsets (ANSI), so order-less customers
+    // with positive nationkeys survive. (The compare HEAD is an integer
+    // column: the dialect casts the lhs to the scalar's type — long here
+    // — so a double head against a count would truncate.)
+    "hashql_scalar_corr_range" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where customer.c_nationkey > ( select count(*) from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_totalprice < customer.c_acctbal )"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_nationkey > ( SELECT count(*) FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice < c_acctbal )""".stripMargin)),
+
+    // EXISTS with a non-equality cross conjunct (round 12 — the TPC-H
+    // Q21 shape): the range comparison rides the semi-join CONDITION
+    // next to the equality key — one hash join, extras post-filtered.
+    "hashql_exists_noneq" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where exists ( select orders.o_orderkey from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_totalprice > customer.c_acctbal )"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS ( SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal )""".stripMargin)),
+
+    // NOT EXISTS with a cross INEQUALITY (`s_suppkey <> c_custkey` —
+    // Q21's `l2.l_suppkey <> l1.l_suppkey` shape): anti-join on the
+    // equality key, the inequality in the condition; UNKNOWN (null side)
+    // is no match, exactly the per-row semantics.
+    "hashql_not_exists_noneq" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where not exists ( select supplier.s_suppkey from supplier " +
+          "where supplier.s_nationkey = customer.c_nationkey " +
+          "and supplier.s_suppkey <> customer.c_custkey " +
+          "and supplier.s_suppkey <= 3 )"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS ( SELECT 1 FROM supplier
+             |  WHERE s_nationkey = c_nationkey AND s_suppkey <> c_custkey
+             |  AND s_suppkey <= 3 )""".stripMargin))
   )
 }

@@ -2085,6 +2085,40 @@ object HashQL {
     case _ => Set.empty // subquery preds carry their own FROM scope
   }
 
+  /** TABLE qualifiers a scalar expression references (bare output-alias
+    * refs carry no table and don't count) — subquery planning uses these
+    * to classify conjuncts as local vs correlated. */
+  private def exprTables(e: Expr): Set[String] = e match {
+    case ECol(r) => if (r.table.nonEmpty) Set(r.table) else Set.empty
+    case EArith(l, _, r) => exprTables(l) ++ exprTables(r)
+    case ECase(brs, els) =>
+      brs.flatMap { case (p, v) => predTables(p) ++ exprTables(v) }.toSet ++
+        els.toSeq.flatMap(exprTables)
+    case EFunc(_, args) => args.flatMap(exprTables).toSet
+    case ECast(e0, _) => exprTables(e0)
+    case EAgg(_, arg) => exprTables(arg)
+    case _ => Set.empty
+  }
+  /** TABLE qualifiers a predicate references. Nested subquery predicates
+    * contribute nothing (they carry their own FROM scope). */
+  private def predTables(p: Pred): Set[String] = (p match {
+    case Eq(r, _) => Set(r.table)
+    case Cmp(r, _, _) => Set(r.table)
+    case Like(r, _) => Set(r.table)
+    case Rlike(r, _) => Set(r.table)
+    case InList(r, _) => Set(r.table)
+    case IsNullP(r, _) => Set(r.table)
+    case FtsMatch(r, _) => Set(r.table)
+    case SampleBucket(r, _) => Set(r.table)
+    case EqCol(a, b) => Set(a.table, b.table)
+    case ExprCmp(l, _, r) => exprTables(l) ++ exprTables(r)
+    case BoolFuncPred(e) => exprTables(e)
+    case Not(x) => predTables(x)
+    case And(ps) => ps.flatMap(predTables).toSet
+    case Or(ps) => ps.flatMap(predTables).toSet
+    case _ => Set.empty[String]
+  }).filter(_.nonEmpty)
+
   private def coalAlias(c: Coalesce2): String = s"coalesce_${c.ref.column}"
 
   /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
@@ -2819,14 +2853,17 @@ object HashQL {
               // SCALE GUARD (r10 verdict): a ranking window with no
               // PARTITION BY plans a single-partition global sort — one
               // executor orders EVERY row, the 100 TB killer. Allowed
-              // above a WHERE or LIMIT (a documented-selective input), or
-              // over statement-created tables (LocalRelations — bounded
-              // by construction); an unfiltered global rank over
-              // FILE-BACKED data is rejected toward partitioning or an
-              // explicit filter.
+              // above a WHERE (a documented-selective input) or over
+              // statement-created tables (LocalRelations — bounded by
+              // construction); an unfiltered global rank over FILE-BACKED
+              // data is rejected toward partitioning or an explicit
+              // filter. LIMIT does NOT exempt (r11 verdict): it applies
+              // AFTER the window computes — Window is not
+              // TakeOrderedAndProject, so `… limit 10` still sorts every
+              // row on one executor before any limit.
               val ranking = Set("row_number", "rank", "dense_rank", "ntile")
               if (wins.exists(w => w.part.isEmpty && ranking(w.fn)) &&
-                  wheres.isEmpty && limit.isEmpty) {
+                  wheres.isEmpty) {
                 val fileBacked = df.queryExecution.analyzed.collectFirst {
                   case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
                 }.isDefined
@@ -2935,6 +2972,15 @@ object HashQL {
             require(items.exists(_.isInstanceOf[WinCall]),
               "QUALIFY filters window outputs — this select has no " +
                 "window call (use WHERE)")
+            // ORDERING INVARIANT (r11 verdict #3): qualify lowers BEFORE
+            // having. That is only safe because windows and GROUP BY
+            // cannot mix in one select (the grouped branch rejects
+            // WinCall), so the two clauses never co-occur — if a grouped-
+            // window relaxation ever lands, HAVING must filter the
+            // aggregated frame BEFORE the window computes, not after.
+            require(groupBy.isEmpty && having.isEmpty,
+              "QUALIFY cannot co-occur with GROUP BY/HAVING " +
+                "(windows do not mix with aggregation in one select)")
             qualify.foldLeft(out) { (d, q) =>
               d.filter(graft.core.Compare.cmp(col(q.column), q.op, q.value))
             }
@@ -3028,14 +3074,90 @@ object HashQL {
       : (DataFrame, Column, org.apache.spark.sql.types.DataType, Seq[String]) = {
     val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sub.table
-    val (corr, local) = sub.wheres.partition(p => corrPairOf(subTables)(p).isDefined)
-    require(sub.groupBy.isEmpty && sub.items.nonEmpty && sub.items.forall(i =>
-      i == CountStar || i.isInstanceOf[AggCall] || i.isInstanceOf[AggExprItem]),
+    val countFns = Set("count_star", "count", "count_distinct")
+    // classify WHERE conjuncts: equality correlation (u.k = t.k), RANGE
+    // correlation (round-12 growth — `u.d < t.d`: </<=/>/>= between one
+    // inner and one outer column, oriented inner-op-outer here), and
+    // subquery-local. Anything ELSE referencing an outer table is an
+    // unsupported correlation form — REJECTED up front (the r11 advice:
+    // bare names in "local" predicates resolve against the INNER frame,
+    // so a silently misclassified correlation yields wrong aggregates).
+    val (eqCorr, rest) = sub.wheres.partition(p => corrPairOf(subTables)(p).isDefined)
+    def flipOp(op: String): String = op match {
+      case "<" => ">"
+      case ">" => "<"
+      case "<=" => ">="
+      case ">=" => "<="
+      case o => o
+    }
+    def rangePair(p: Pred): Option[(ColRef, String, ColRef)] = p match {
+      case ExprCmp(ECol(a), op @ ("<" | "<=" | ">" | ">="), ECol(b))
+          if a.table.nonEmpty && b.table.nonEmpty &&
+            subTables.contains(a.table) != subTables.contains(b.table) =>
+        if (subTables.contains(a.table)) Some((a, op, b))
+        else Some((b, flipOp(op), a))
+      case _ => None
+    }
+    val (rangeCorr, local) = rest.partition(p => rangePair(p).isDefined)
+    val leak = local.flatMap(p => predTables(p).filterNot(subTables.contains)).distinct
+    require(leak.isEmpty,
+      s"unsupported correlation form in scalar subquery — predicate " +
+        s"references outer table(s) ${leak.mkString(", ")}: correlate " +
+        "through equality (u.k = t.k) or range (u.d < t.d) conjuncts " +
+        "between one inner and one outer column")
+    require(sub.groupBy.isEmpty && sub.items.nonEmpty && sub.items.forall {
+      case CountStar | _: AggCall | _: AggExprItem => true
+      // an expression OVER aggregates (round-12 growth — TPC-H Q17's
+      // `0.2 * avg(l_quantity)`) is itself a one-row scalar
+      case e: ExprItem => aggNodes(e.expr).nonEmpty
+      case _ => false
+    },
       "a scalar subquery must be a global aggregate (select count/sum/avg/" +
-        "min/max … with no GROUP BY — exactly one row), optionally " +
-        "correlated through u.k = t.k conjuncts; use IN (select …) for " +
-        "row-set membership")
-    if (corr.isEmpty) {
+        "min/max … — possibly inside an expression — with no GROUP BY: " +
+        "exactly one row), optionally correlated through u.k = t.k or " +
+        "u.d < t.d conjuncts; use IN (select …) for row-set membership")
+    /** The single value expression of a correlated scalar subquery —
+      * aggregates normalized to EAgg nodes, literals allowed around them;
+      * plain-column refs are rejected (no per-group value on a miss). */
+    def valueExpr: Expr = {
+      require(sub.items.length == 1,
+        "a correlated scalar subquery projects exactly one aggregate")
+      val ve = sub.items.head match {
+        case CountStar => EAgg("count_star", ELit(1L))
+        case AggCall(fn, r) => EAgg(fn, ECol(r))
+        case AggExprItem(fn, e, _) => EAgg(fn, e)
+        case ExprItem(e, _) => e
+        case other => throw new IllegalArgumentException(
+          s"unsupported scalar-subquery item: $other")
+      }
+      require(exprRefs(ve).isEmpty,
+        "a correlated scalar value is an expression over aggregates and " +
+          "literals only (bare column refs have no value on a join miss)")
+      ve
+    }
+    /** ANSI value of the aggregate expression over an EMPTY correlated
+      * set: counts are 0, sum/avg/min/max are NULL — substituted as
+      * literals and constant-folded, so a join MISS serves exactly what a
+      * per-row execution would. */
+    def missExpr(e: Expr): Expr = e match {
+      case EAgg(fn, _) => if (countFns(fn)) ELit(0L) else ELit(null)
+      case EArith(l, op, r) => EArith(missExpr(l), op, missExpr(r))
+      case ECase(brs, els) =>
+        ECase(brs.map { case (p, v) => (p, missExpr(v)) }, els.map(missExpr))
+      case EFunc(fn, args) => EFunc(fn, args.map(missExpr))
+      case ECast(e0, ty) => ECast(missExpr(e0), ty)
+      case other => other
+    }
+    /** Coalesce a join-miss NULL to the empty-set value — but ONLY when
+      * every aggregate node is a count (then a MATCHED group's value is
+      * built from non-null counts, so a NULL scalar always means "miss");
+      * with sum/avg/min/max in play a matched all-NULL group is itself
+      * NULL and must stay NULL. */
+    def missValued(scalar: Column, ve: Expr): Column =
+      if (aggNodes(ve).forall(n => countFns(n.fn)))
+        coalesce(scalar, exprColumn(cat, missExpr(ve)))
+      else scalar
+    if (eqCorr.isEmpty && rangeCorr.isEmpty) {
       val sf = selectFrame(cat, sub, registry)
       require(sf.columns.length == 1,
         s"scalar subquery must project exactly one column, " +
@@ -3043,35 +3165,79 @@ object HashQL {
       val sv = sf.toDF("graft_scalar")
       (outer.crossJoin(broadcast(sv)), col("graft_scalar"),
         sv.schema.head.dataType, Seq("graft_scalar"))
-    } else {
-      require(sub.items.length == 1,
-        "a correlated scalar subquery projects exactly one aggregate")
-      val agg = sub.items.head match {
-        case CountStar => AggExprItem("count_star", ELit(1L), "graft_scalar")
-        case AggCall(fn, r) => AggExprItem(fn, ECol(r), "graft_scalar")
-        case AggExprItem(fn, e, _) => AggExprItem(fn, e, "graft_scalar")
-        case other => throw new IllegalArgumentException(
-          s"unsupported scalar-subquery item: $other")
-      }
-      val pairs = corr.flatMap(p => corrPairOf(subTables)(p))
+    } else if (rangeCorr.isEmpty) {
+      val ve = valueExpr
+      val pairs = eqCorr.flatMap(p => corrPairOf(subTables)(p))
       // grouped aggregate over the subquery side: keys first (groupBy
-      // output order), then the aggregate — renamed to reserved names so
+      // output order), then the value — renamed to reserved names so
       // the join condition can never be ambiguous, even when inner and
       // outer read the same table
       val inner = selectFrame(cat,
-        sub.copy(items = pairs.map(p => Field(p._1)) :+ agg,
+        sub.copy(items = pairs.map(p => Field(p._1)) :+ ExprItem(ve, "graft_scalar"),
           wheres = local, groupBy = pairs.map(_._1)), registry)
       val keyed = inner.toDF(
         pairs.indices.map(i => s"graft_sc_$i") :+ "graft_scalar": _*)
       val cond = pairs.zipWithIndex.map { case ((_, o), i) =>
         outer(o.column) === keyed(s"graft_sc_$i") }.reduce(_ && _)
       val joined = outer.join(keyed, cond, "left")
-      val isCount = Set("count_star", "count", "count_distinct")(agg.fn)
-      val scalarC =
-        if (isCount) coalesce(col("graft_scalar"), lit(0L))
-        else col("graft_scalar")
-      (joined, scalarC, keyed.schema("graft_scalar").dataType,
+      (joined, missValued(col("graft_scalar"), ve),
+        keyed.schema("graft_scalar").dataType,
         pairs.indices.map(i => s"graft_sc_$i") :+ "graft_scalar")
+    } else {
+      // RANGE correlation (round-12): the aggregate's subset depends on
+      // the outer row only through its CORRELATION COLUMN VALUES — so
+      // decorrelate over the DISTINCT outer key tuples: (1) distinct the
+      // outer's correlation columns (a narrow partial-agg shuffle),
+      // (2) hash-join them to the subquery rows on the EQUALITY keys
+      // with the range conjuncts riding the join condition (post-filter
+      // on the hash match — never a nested loop), (3) aggregate per
+      // tuple, (4) left-join the scalars back to the outer on the same
+      // tuple. 100 TB shape: both joins are key-partitioned or
+      // broadcastable; nothing is per-outer-row.
+      val ve = valueExpr
+      val eqPairs = eqCorr.flatMap(p => corrPairOf(subTables)(p))
+      require(eqPairs.nonEmpty,
+        "range correlation in a scalar subquery needs an equality " +
+          "conjunct (u.k = t.k) alongside the range — a pure range " +
+          "correlation would plan a nested-loop join at scale")
+      val ranges = rangeCorr.flatMap(rangePair)
+      val outerCols = (eqPairs.map(_._2) ++ ranges.map(_._3)).map(_.column).distinct
+      val keyIdx = outerCols.zipWithIndex.toMap
+      val keysDf = outer.select(outerCols.map(col): _*).distinct()
+        .toDF(outerCols.indices.map(i => s"graft_sc_k$i"): _*)
+      val nodes = aggNodes(ve)
+      nodes.foreach(n => require(exprTables(n.arg).subsetOf(subTables),
+        s"a scalar subquery's aggregate argument must reference the " +
+          s"subquery's own tables, got ${exprTables(n.arg).mkString(", ")}"))
+      val innerFieldRefs = eqPairs.map(_._1) ++ ranges.map(_._1)
+      val innerItems = innerFieldRefs.map(Field(_)) ++
+        nodes.zipWithIndex.map { case (n, i) =>
+          ExprItem(if (n.fn == "count_star") ELit(1L) else n.arg, s"graft_sc_v$i") }
+      val innerRows = selectFrame(cat,
+        sub.copy(items = innerItems, wheres = local, groupBy = Nil), registry)
+        .toDF(innerFieldRefs.indices.map(i => s"graft_sc_i$i") ++
+          nodes.indices.map(i => s"graft_sc_v$i"): _*)
+      val eqConds = eqPairs.zipWithIndex.map { case ((_, o), i) =>
+        keysDf(s"graft_sc_k${keyIdx(o.column)}") === innerRows(s"graft_sc_i$i") }
+      val rangeConds = ranges.zipWithIndex.map { case ((_, op, o), j) =>
+        graft.core.Compare.cmp(innerRows(s"graft_sc_i${eqPairs.length + j}"),
+          op, keysDf(s"graft_sc_k${keyIdx(o.column)}")) }
+      val matched = keysDf.join(innerRows,
+        (eqConds ++ rangeConds).reduce(_ && _), "inner")
+      val aggMap = nodes.zipWithIndex.map { case (n, i) => n -> s"graft_ag$i" }.toMap
+      val aggCols = nodes.zipWithIndex.map { case (n, i) =>
+        aggColumnOf(cat, EAgg(n.fn, ECol(ColRef("", s"graft_sc_v$i"))), s"graft_ag$i") }
+      val agged = matched
+        .groupBy(outerCols.indices.map(i => col(s"graft_sc_k$i")): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("graft_scalar", exprColumn(cat, substAggs(ve, aggMap)))
+        .drop(aggMap.values.toSeq: _*)
+      val back = outerCols.indices.map(i =>
+        outer(outerCols(i)) === agged(s"graft_sc_k$i")).reduce(_ && _)
+      val joined = outer.join(agged, back, "left")
+      (joined, missValued(col("graft_scalar"), ve),
+        agged.schema("graft_scalar").dataType,
+        outerCols.indices.map(i => s"graft_sc_k$i") :+ "graft_scalar")
     }
   }
 
@@ -3098,8 +3264,60 @@ object HashQL {
     val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sub.table
     def corrPair(p: Pred): Option[(ColRef, ColRef)] = corrPairOf(subTables)(p)
-    val (corr, local) = sub.wheres.partition(p => corrPair(p).isDefined)
-    if (corr.isEmpty) {
+    val (corr, rest) = sub.wheres.partition(p => corrPair(p).isDefined)
+    // NON-EQUALITY cross-frame conjuncts (round-12 growth — TPC-H Q21's
+    // `l2.l_suppkey <> l1.l_suppkey`): a conjunct referencing a table
+    // OUTSIDE the subquery's FROM set that is not an equality pair. The
+    // supported shapes (inequality / range between ONE inner and ONE
+    // outer column) ride in the JOIN CONDITION next to the equality keys
+    // — the hash join matches on the keys and post-filters the extras,
+    // never a nested loop. Anything else is an unsupported correlation
+    // form, REJECTED up front (the r11 advice: bare names in "local"
+    // predicates bind to the INNER frame — a silent misclassification
+    // would answer wrongly instead of erroring).
+    val (cross, local) = rest.partition(p =>
+      predTables(p).exists(!subTables.contains(_)))
+    def flipOp(op: String): String = op match {
+      case "<" => ">"
+      case ">" => "<"
+      case "<=" => ">="
+      case ">=" => "<="
+      case o => o
+    }
+    // each cross conjunct → (inner ref, outer ref, condition builder
+    // taking the reserved inner Column and the outer Column)
+    def crossForm(p: Pred): (ColRef, ColRef, (Column, Column) => Column) = {
+      def oriented(a: ColRef, b: ColRef): Option[(ColRef, ColRef, Boolean)] =
+        if (a.table.isEmpty || b.table.isEmpty) None
+        else if (subTables.contains(a.table) && !subTables.contains(b.table))
+          Some((a, b, false))
+        else if (!subTables.contains(a.table) && subTables.contains(b.table))
+          Some((b, a, true))
+        else None
+      def reject(): Nothing = throw new IllegalArgumentException(
+        s"unsupported correlation form in EXISTS subquery: $p — correlate " +
+          "through equality (u.k = t.k), inequality (u.k <> t.k), or " +
+          "range (u.k < t.k) conjuncts between one inner and one outer column")
+      p match {
+        // inequality: a join-condition UNKNOWN (null side) is no match —
+        // exactly the per-row EXISTS semantics
+        case Not(EqCol(a, b)) => oriented(a, b) match {
+          case Some((i, o, _)) => (i, o, (ic, oc) => !(ic === oc))
+          case None => reject()
+        }
+        case ExprCmp(ECol(a), op @ ("=" | "<" | ">" | "<=" | ">="), ECol(b)) =>
+          oriented(a, b) match {
+            case Some((i, o, flipped)) =>
+              val op2 = if (flipped) flipOp(op) else op
+              (i, o, (ic, oc) =>
+                if (op2 == "=") ic === oc
+                else graft.core.Compare.cmp(ic, op2, oc))
+            case None => reject()
+          }
+        case _ => reject()
+      }
+    }
+    if (corr.isEmpty && cross.isEmpty) {
       val any = selectFrame(cat, sub.copy(wheres = local), registry)
         .limit(1).count() > 0
       flagCol match {
@@ -3108,26 +3326,42 @@ object HashQL {
       }
     } else {
       val pairs = corr.flatMap(corrPair)
-      // project ONLY the inner correlation keys, under reserved names so
-      // the join condition can never be ambiguous (same trick as
-      // subqueryFrame) even when inner and outer read the same table
+      val crossForms = cross.map(crossForm)
+      require(pairs.nonEmpty,
+        "a correlated EXISTS needs at least one EQUALITY conjunct " +
+          "(u.k = t.k) — inequality/range-only correlation would plan a " +
+          "nested-loop join at scale")
+      // project the inner correlation keys AND the cross conjuncts' inner
+      // columns, under reserved names so the join condition can never be
+      // ambiguous (same trick as subqueryFrame) even when inner and
+      // outer read the same table
+      val innerRefs = pairs.map(_._1) ++ crossForms.map(_._1)
       val innerKeys = selectFrame(cat,
-        sub.copy(items = pairs.map(p => Field(p._1)), wheres = local), registry)
-        .toDF(pairs.indices.map(i => s"graft_ex_$i"): _*)
+        sub.copy(items = innerRefs.map(Field(_)), wheres = local), registry)
+        .toDF(innerRefs.indices.map(i => s"graft_ex_$i"): _*)
+      def cond(inner: DataFrame): Column = {
+        val eq = pairs.zipWithIndex.map { case ((_, o), i) =>
+          outer(o.column) === inner(s"graft_ex_$i") }
+        val extra = crossForms.zipWithIndex.map { case ((_, o, mk), j) =>
+          mk(inner(s"graft_ex_${pairs.length + j}"), outer(o.column)) }
+        (eq ++ extra).reduce(_ && _)
+      }
       flagCol match {
         case Some(f) =>
           // flag form ([[flaggedFilter]] — EXISTS under OR): distinct
           // keys keep the left join row-preserving; the flag reads
-          // true/null → coalesced FALSE at the filter
+          // true/null → coalesced FALSE at the filter. Non-equality
+          // extras would break row preservation (many distinct inner
+          // rows can satisfy a range against one outer row) — rejected.
+          require(crossForms.isEmpty,
+            "non-equality EXISTS correlation is supported as a top-level " +
+              "WHERE conjunct only (under OR it would multiply rows)")
           val inner = innerKeys.distinct().withColumn(f, lit(true))
-          val cond = pairs.zipWithIndex.map { case ((_, o), i) =>
-            outer(o.column) === inner(s"graft_ex_$i") }.reduce(_ && _)
-          outer.join(inner, cond, "left")
+          outer.join(inner, cond(inner), "left")
             .drop(pairs.indices.map(i => s"graft_ex_$i"): _*)
         case None =>
-          val cond = pairs.zipWithIndex.map { case ((_, o), i) =>
-            outer(o.column) === innerKeys(s"graft_ex_$i") }.reduce(_ && _)
-          outer.join(innerKeys, cond, if (anti) "left_anti" else "left_semi")
+          outer.join(innerKeys, cond(innerKeys),
+            if (anti) "left_anti" else "left_semi")
       }
     }
   }

@@ -1563,6 +1563,67 @@ class HashQLSpec extends SparkSpec {
     assert(filtered.as[Long].collect().sorted.toSeq == Seq(1L))
   }
 
+  test("non-equality correlation: scalar range decorrelation, EXISTS extras, leak guard") {
+    val cat = new GraftCatalog(spark)
+    Seq((1, 10, 6), (2, 100, 5), (3, 7, 99)).foreach { case (k, t, b) =>
+      HashQL.execute(cat, s"insert into par2 (k, thresh, bound) values ($k, $t, $b)") }
+    Seq((1, 5), (1, 7), (2, 50), (2, 3)).foreach { case (k, v) =>
+      HashQL.execute(cat, s"insert into ch2 (k, v) values ($k, $v)") }
+    // RANGE correlation (round-12): the subquery's subset depends on the
+    // outer row's bound — `v < par2.bound`. Per-row: par1 (bound 6) sees
+    // {5}, par2 (bound 5) sees {3}, par3 has no children at all.
+    val sums = HashQL.execute(cat,
+      "select par2.k, ( select sum(ch2.v) from ch2 " +
+        "where ch2.k = par2.k and ch2.v < par2.bound ) as s from par2").get
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sums == Map(1L -> Some(5L), 2L -> Some(3L), 3L -> None))
+    // correlated count over a range: empty subsets are 0 (ANSI), and the
+    // WHERE-side compare form shares the plan
+    val cnt = HashQL.execute(cat,
+      "select par2.k from par2 where par2.thresh >= " +
+        "( select count(*) from ch2 where ch2.k = par2.k and ch2.v < par2.bound )").get
+    assert(cnt.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // an expression OVER aggregates as the scalar value (TPC-H Q17's
+    // `0.2 * avg(x)` idiom) — equality-correlated
+    val exprAvg = HashQL.execute(cat,
+      "select par2.k from par2 where par2.thresh > " +
+        "( select 2 * avg(ch2.v) as s2 from ch2 where ch2.k = par2.k )").get
+    assert(exprAvg.as[Long].collect().sorted.toSeq == Seq(2L))
+    // EXISTS with a non-equality cross conjunct rides the join condition
+    val exRange = HashQL.execute(cat,
+      "select par2.k from par2 where exists ( select ch2.id from ch2 " +
+        "where ch2.k = par2.k and ch2.v < par2.thresh )").get
+    assert(exRange.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // … and inequality (the Q21 shape `l2.suppkey <> l1.suppkey`)
+    val exNeq = HashQL.execute(cat,
+      "select par2.k from par2 where not exists ( select ch2.id from ch2 " +
+        "where ch2.k = par2.k and ch2.v <> par2.bound )").get
+    assert(exNeq.as[Long].collect().toSeq == Seq(3L))
+    // the plans stay hash joins — no nested loop / cartesian anywhere
+    val rangePlan = HashQL.execute(cat,
+      "select par2.k, ( select sum(ch2.v) from ch2 " +
+        "where ch2.k = par2.k and ch2.v < par2.bound ) as s from par2").get
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("CartesianProduct") &&
+      !rangePlan.contains("BroadcastNestedLoop"), rangePlan)
+    // LEAK GUARD (r11 advice): an outer reference in an unsupported form
+    // REJECTS with the correlation form named — never a silent bind to
+    // the inner frame
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select par2.k from par2 where par2.thresh > " +
+        "( select sum(ch2.v) from ch2 where upper(par2.k) = ch2.k )"))
+    assert(e1.getMessage.contains("unsupported correlation form"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select par2.k from par2 where exists ( select ch2.id from ch2 " +
+        "where ch2.k = par2.k and upper(par2.k) = ch2.k )"))
+    assert(e2.getMessage.contains("unsupported correlation form"), e2.getMessage)
+    // range-only correlation (no equality key) rejects toward adding one
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select par2.k from par2 where par2.thresh > " +
+        "( select sum(ch2.v) from ch2 where ch2.v < par2.bound )"))
+    assert(e3.getMessage.contains("equality conjunct"), e3.getMessage)
+  }
+
   test("projection scalar subqueries: correlated attach, count-0, guards") {
     val cat = new GraftCatalog(spark)
     Seq((1, 10), (2, 100), (3, 0)).foreach { case (k, t) =>
@@ -1660,9 +1721,15 @@ class HashQLSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) from ord"))
     assert(e2.getMessage.contains("ONE executor"), e2.getMessage)
-    HashQL.execute(cat, // WHERE-bounded passes
+    // LIMIT does NOT exempt (r11 verdict #1): the window sorts every row
+    // BEFORE the limit applies — a limit-only query still rejects
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) " +
-        "from ord where ord.o_orderkey <= 10").get.count()
+        "from ord limit 10"))
+    assert(e3.getMessage.contains("ONE executor"), e3.getMessage)
+    HashQL.execute(cat, // WHERE-bounded passes (with or without LIMIT)
+      "select ord.o_orderkey, row_number() over (order by ord.o_orderkey) " +
+        "from ord where ord.o_orderkey <= 10 limit 5").get.count()
   }
 
   test("computed heads take IN / BETWEEN: desugared comparison trees") {
