@@ -2034,6 +2034,44 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_custkey FROM customer
              |WHERE NOT EXISTS ( SELECT 1 FROM supplier
              |  WHERE s_nationkey = c_nationkey AND s_suppkey <> c_custkey
-             |  AND s_suppkey <= 3 )""".stripMargin))
+             |  AND s_suppkey <= 3 )""".stripMargin)),
+
+    // HAVING right-hand side as an EXPRESSION over output columns
+    // (round 12 — r11 missing #2): nations whose custkey sum exceeds
+    // 800 × their row count. Exact long arithmetic on both sides.
+    "hashql_having_expr" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_nationkey, count(*), sum(customer.c_custkey) " +
+          "from customer group by customer.c_nationkey " +
+          "having sum(customer.c_custkey) > cnt * 800"),
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |  CAST(sum(c_custkey) AS BIGINT) AS sum_c_custkey
+             |FROM customer GROUP BY c_nationkey
+             |HAVING sum(c_custkey) > count(*) * 800""".stripMargin)),
+
+    // QUALIFY expression RHS (round 12): keep all but each customer's
+    // LAST-ranked order — `rn <= n - 1` compares two window outputs.
+    "hashql_qualify_expr" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "row_number() over (partition by orders.o_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey) as rn, " +
+          "count(*) over (partition by orders.o_custkey) as n " +
+          "from orders where orders.o_orderkey <= 2000 " +
+          "qualify rn <= n - 1"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+             |  count(*) OVER (PARTITION BY o_custkey) AS n
+             |FROM orders WHERE o_orderkey <= 2000
+             |QUALIFY rn <= n - 1""".stripMargin)),
+
+    // BARE `group by <expr>` (round 12 — r11 missing #4): the key
+    // auto-projects under a reserved alias, computes once scan-side, and
+    // is STRIPPED from the output — orders-per-year counts, no key col.
+    "hashql_group_expr_bare" -> Q(
+      (s, d) => run(s, d,
+        "select count(*) from orders group by year(orders.o_orderdate)"),
+      Some("SELECT count(*) AS cnt FROM orders GROUP BY year(o_orderdate)"))
   )
 }

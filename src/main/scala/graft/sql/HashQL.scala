@@ -392,8 +392,18 @@ object HashQL {
     * aggregated frame — the auto-alias of an agg call (`cnt`, `sum_x`) or
     * a grouping column; the parser maps `count(*)`/`sum(t.f)`/… spellings
     * to those aliases, so `having count(*) > 2` and `having cnt > 2` are
-    * the same predicate. */
-  final case class HavingPred(column: String, op: String, value: Any)
+    * the same predicate.
+    *
+    * `value` (round-12 growth): a literal, or a FULL scalar [[Expr]] over
+    * output columns — `having sum_x > cnt * 2`, `qualify rn <= n / 10`.
+    *
+    * `agg` (round-12 growth — the TPC-H Q18 idiom): when the target was
+    * SPELLED as an aggregate call (`having sum(t.f) > 300`), the parsed
+    * call rides along so a grouped select can compute it even when the
+    * select list does NOT project it — the executor adds it to the same
+    * agg pass under its auto-alias and drops it after the filter. */
+  final case class HavingPred(column: String, op: String, value: Any,
+                              agg: Option[SelectItem] = None)
 
   sealed trait Stmt
   /** Multi-row INSERT (growth): `values (…), (…), …` — each row commits
@@ -1156,10 +1166,16 @@ object HashQL {
             val e = exprTree()
             items.collectFirst {
               case ExprItem(e2, a) if e2 == e => ColRef("", a)
-            }.getOrElse(throw new IllegalArgumentException(
-              "a GROUP BY expression must appear in the projection with " +
-                "an alias (select <expr> as x … group by <same expr>) — " +
-                "the key then computes once, scan-side"))
+            }.getOrElse {
+              // BARE spelling (round-12 — r11 missing #4): `group by
+              // year(t.d)` with no projected alias auto-projects under a
+              // RESERVED alias; the executor computes it scan-side like
+              // any computed key and strips graft_gk columns from the
+              // output after aggregation — both spellings, one plan.
+              val a = s"graft_gk${items.length}"
+              items += ExprItem(e, a)
+              ColRef("", a)
+            }
           }
           else if (peek.contains('.')) colRef() else ColRef("", next())
         val gs = scala.collection.mutable.ArrayBuffer(groupKey())
@@ -1171,12 +1187,12 @@ object HashQL {
         val hs = scala.collection.mutable.ArrayBuffer.empty[HavingPred]
         var m = true
         while (m) {
-          val target = havingTarget()
+          val (target, agg) = havingTarget()
           val op = next() match {
             case o @ ("=" | "<" | ">" | "<=" | ">=") => o
             case o => throw new IllegalArgumentException(s"unsupported having op: $o")
           }
-          hs += HavingPred(target, op, literal())
+          hs += HavingPred(target, op, havingValue(), agg)
           if (is("and")) next() else m = false
         }
         hs.toSeq
@@ -1189,12 +1205,12 @@ object HashQL {
         val qs = scala.collection.mutable.ArrayBuffer.empty[HavingPred]
         var m = true
         while (m) {
-          val target = havingTarget()
+          val (target, _) = havingTarget()
           val op = next() match {
             case o @ ("=" | "<" | ">" | "<=" | ">=") => o
             case o => throw new IllegalArgumentException(s"unsupported qualify op: $o")
           }
-          qs += HavingPred(target, op, literal())
+          qs += HavingPred(target, op, havingValue())
           if (is("and")) next() else m = false
         }
         qs.toSeq
@@ -1384,6 +1400,8 @@ object HashQL {
       next()
       val a = next()
       require(a.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad output alias: $a")
+      require(!a.startsWith("graft_"),
+        s"alias $a collides with reserved internal names")
       a
     }
 
@@ -1484,24 +1502,37 @@ object HashQL {
       * spellings map to the same auto-aliases the projection generates
       * (`count(*)`→cnt, `sum(t.f)`→sum_f, …), a `t.f` grouping column to
       * its bare name, and a bare identifier passes through (addressing an
-      * alias directly). */
-    private def havingTarget(): String =
+      * alias directly). Agg-call spellings ALSO return the parsed call —
+      * [[HavingPred.agg]] — so an unprojected aggregate can still be
+      * computed by the grouped select (round-12). */
+    private def havingTarget(): (String, Option[SelectItem]) =
       if (is("count")) {
         next(); kw("(")
-        val t =
-          if (is("*")) { next(); "cnt" }
-          else if (is("distinct")) { next(); s"cntd_${colRef().column}" }
-          else s"cnt_${colRef().column}"
+        val t: (String, Option[SelectItem]) =
+          if (is("*")) { next(); ("cnt", Some(CountStar)) }
+          else if (is("distinct")) {
+            next(); val r = colRef()
+            (s"cntd_${r.column}", Some(AggCall("count_distinct", r)))
+          }
+          else { val r = colRef(); (s"cnt_${r.column}", Some(AggCall("count", r))) }
         kw(")"); t
       }
-      else if (Seq("sum", "avg", "min", "max").exists(is)) {
+      else if (Seq("sum", "avg", "min", "max").exists(is) && peekAt(1) == "(") {
         val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
-        s"${fn}_${r.column}"
+        (s"${fn}_${r.column}", Some(AggCall(fn, r)))
       } else {
         val t = next()
         val i = t.indexOf('.')
-        if (i > 0) t.substring(i + 1) else t
+        (if (i > 0) t.substring(i + 1) else t, None)
       }
+
+    /** HAVING/QUALIFY right-hand side (round-12 growth): a literal, or a
+      * full scalar expression over output columns (`cnt * 2`, `n / 10`);
+      * a plain literal keeps its raw value (the pre-grammar shape). */
+    private def havingValue(): Any = exprTree() match {
+      case ELit(v) => v
+      case e => e
+    }
 
     private def createJoinRest(): CreateJoin = {
       val clauses = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
@@ -2118,6 +2149,15 @@ object HashQL {
     case Or(ps) => ps.flatMap(predTables).toSet
     case _ => Set.empty[String]
   }).filter(_.nonEmpty)
+
+  /** HAVING/QUALIFY right-hand side: a raw literal compares as ever; an
+    * [[Expr]] (round-12 — `having sum_x > cnt * 2`) lowers over the
+    * aggregated frame's OUTPUT columns (Compare.cmp's lit() passes a
+    * Column through untouched). */
+  private def hrhs(cat: GraftCatalog, h: HavingPred): Any = h.value match {
+    case e: Expr => exprColumn(cat, e)
+    case v => v
+  }
 
   private def coalAlias(c: Coalesce2): String = s"coalesce_${c.ref.column}"
 
@@ -2747,6 +2787,11 @@ object HashQL {
         }
         df = applyWheres(cat, df, wheres, registry)
         def aggColumns: Seq[Column] = aggsOf(cat, items)
+        // aggregates SPELLED in HAVING but not projected (round-12 — the
+        // TPC-H Q18 idiom `having sum(l_quantity) > 300`): the grouped
+        // branch adds them to the same agg pass under their auto-aliases
+        // and records them here to DROP after the filter runs.
+        var havingDrop: Seq[String] = Nil
         val out = groupBy match {
           case gs if gs.nonEmpty =>
             require(!items.exists(_.isInstanceOf[WinCall]),
@@ -2795,10 +2840,26 @@ object HashQL {
             val extraAggs = aggMap.toSeq.sortBy(_._2)
               .map { case (a, n) => aggColumnOf(cat, a, n) }
             val base = aggsRaw(cat, items)
+            // HAVING aggregates the select list does NOT produce: same
+            // agg pass (one shuffle), auto-aliased, dropped post-filter
+            val itemAliases = items.flatMap {
+              case CountStar => Seq("cnt")
+              case AggCall("count", r) => Seq(s"cnt_${r.column}")
+              case AggCall("count_distinct", r) => Seq(s"cntd_${r.column}")
+              case AggCall(fn, r) => Seq(s"${fn}_${r.column}")
+              case AggExprItem(_, _, a) => Seq(a)
+              case _ => Seq.empty
+            }.toSet
+            val havingAdds = having.flatMap(h => h.agg.map(h.column -> _))
+              .distinctBy(_._1)
+              .filterNot { case (n, _) =>
+                itemAliases.contains(n) || gs.exists(_.column == n) }
+            havingDrop = havingAdds.map(_._1)
+            val havingAggs = aggsRaw(cat, havingAdds.map(_._2))
             val aggAll =
-              if (base.isEmpty && extraAggs.isEmpty)
+              if (base.isEmpty && extraAggs.isEmpty && havingAggs.isEmpty)
                 Seq(count(lit(1)).as("cnt"))
-              else base ++ extraAggs
+              else base ++ extraAggs ++ havingAggs
             val aggd = pre.groupBy(gs.map(g => col(g.column)): _*)
               .agg(aggAll.head, aggAll.tail: _*)
             postExprs.foreach(e => require(!aggd.columns.contains(e.alias),
@@ -2806,6 +2867,9 @@ object HashQL {
             postExprs.foldLeft(aggd)((d, e) =>
               d.withColumn(e.alias, exprColumn(cat, substAggs(e.expr, aggMap))))
               .drop(aggMap.values.toSeq: _*)
+              // reserved graft_gk keys carry the BARE `group by <expr>`
+              // spelling (no user-visible name) — stripped from the output
+              .drop(gs.map(_.column).filter(_.startsWith("graft_gk")): _*)
           case _ =>
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
@@ -2982,17 +3046,18 @@ object HashQL {
               "QUALIFY cannot co-occur with GROUP BY/HAVING " +
                 "(windows do not mix with aggregation in one select)")
             qualify.foldLeft(out) { (d, q) =>
-              d.filter(graft.core.Compare.cmp(col(q.column), q.op, q.value))
+              d.filter(graft.core.Compare.cmp(col(q.column), q.op, hrhs(cat, q)))
             }
           }
         // HAVING filters the aggregated frame's OUTPUT columns (Catalyst
         // plans it as Filter-over-Aggregate and pushes grouping-key
         // conjuncts below the aggregation — the same plan q_having
-        // proves); aggregates referenced in HAVING must appear in the
-        // select list (that is what names them).
+        // proves); an aggregate referenced in HAVING is either projected
+        // in the select list, or (round-12) spelled as a call and added
+        // to the agg pass under its auto-alias — dropped again here.
         val havinged = having.foldLeft(qualified) { (d, h) =>
-          d.filter(graft.core.Compare.cmp(col(h.column), h.op, h.value))
-        }
+          d.filter(graft.core.Compare.cmp(col(h.column), h.op, hrhs(cat, h)))
+        }.drop(havingDrop: _*)
         // DISTINCT over the projected (post-HAVING) rows — one
         // partial-agg shuffle on all output columns, exactly the
         // q_distinct plan.

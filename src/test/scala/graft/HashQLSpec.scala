@@ -1786,10 +1786,47 @@ class HashQLSpec extends SparkSpec {
         "where ev.n = 3").get.collect().head
     assert(parts.getAs[Long]("dy") == 186L) // 2020 is a leap year
     assert(parts.getAs[Long]("w") == 27L)   // ISO week of 2020-07-04
-    // an UNPROJECTED group-by expression rejects with the fix spelled out
-    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select count(*) from ev group by quarter(ev.ts)"))
-    assert(e.getMessage.contains("alias"), e.getMessage)
+    // the BARE spelling (round-12 — r11 missing #4): an unprojected
+    // group-by expression auto-projects under a reserved key and the key
+    // is STRIPPED from the output — count per quarter, no key column
+    val bare = HashQL.execute(cat,
+      "select count(*) from ev group by quarter(ev.ts)").get
+    assert(bare.columns.toSeq == Seq("cnt"))
+    assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("HAVING/QUALIFY expression RHS; HAVING over unprojected aggregates (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 30)).foreach {
+      case (g, v) => HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // RHS expression over output columns: sum > cnt * 4 — a: 6 > 12 no,
+    // b: 40 > 8 yes
+    val he = HashQL.execute(cat,
+      "select t.g, count(*), sum(t.v) from t group by t.g " +
+        "having sum(t.v) > cnt * 4").get
+    assert(he.select("g").as[String].collect().toSeq == Seq("b"))
+    // HAVING over an aggregate the select list does NOT project: the
+    // call joins the same agg pass and DROPS after the filter
+    val hu = HashQL.execute(cat,
+      "select t.g, count(*) from t group by t.g having sum(t.v) >= 40").get
+    assert(hu.columns.toSeq == Seq("g", "cnt"))
+    assert(hu.as[(String, Long)].collect().toSeq == Seq(("b", 2L)))
+    // … also when the select list has NO aggregates at all (the TPC-H
+    // Q18 inner shape: `select key … group by key having sum(q) > 300`)
+    val keysOnly = HashQL.execute(cat,
+      "select t.g from t group by t.g having sum(t.v) >= 40").get
+    assert(keysOnly.columns.toSeq == Seq("g"))
+    assert(keysOnly.as[String].collect().toSeq == Seq("b"))
+    // … which makes it a 1-column IN subquery
+    val inSub = HashQL.execute(cat,
+      "select t.g, t.v from t where t.g in " +
+        "( select t.g from t group by t.g having sum(t.v) >= 40 )").get
+    assert(inSub.as[(String, Long)].collect().map(_._2).sorted.toSeq == Seq(10L, 30L))
+    // QUALIFY expression RHS
+    val qe = HashQL.execute(cat,
+      "select t.g, t.v, row_number() over (partition by t.g order by t.v desc) as rn, " +
+        "count(*) over (partition by t.g) as n from t qualify rn <= n - 1").get
+    assert(qe.select("v").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 30L))
   }
 
   test("multi-column UPDATE SET: simultaneous semantics, duplicate targets reject") {
