@@ -2072,6 +2072,64 @@ object HashqlSuite extends Suite {
     "hashql_group_expr_bare" -> Q(
       (s, d) => run(s, d,
         "select count(*) from orders group by year(orders.o_orderdate)"),
-      Some("SELECT count(*) AS cnt FROM orders GROUP BY year(o_orderdate)"))
+      Some("SELECT count(*) AS cnt FROM orders GROUP BY year(o_orderdate)")),
+
+    // ---- round 12: table aliases / self-joins (r11 verdict #1) -------
+
+    // SELF-JOIN via aliases: line pairs within an order. Each alias
+    // binds a reserved-renamed frame, so the same table joins itself
+    // with zero ambiguous columns; the projection restores the
+    // user-visible names. ONE equi-join, two scans of the same parquet —
+    // no cartesian (HashQLSpec + ScaleSpec assert).
+    "hashql_self_join" -> Q(
+      (s, d) => run(s, d,
+        "select l1.l_orderkey, l1.l_linenumber, l2.l_linenumber as ln2, " +
+          "l2.l_suppkey as sup2 from lineitem l1 " +
+          "inner join lineitem l2 on l1.l_orderkey = l2.l_orderkey " +
+          "where l1.l_linenumber < l2.l_linenumber and l1.l_orderkey <= 500"),
+      Some("""SELECT l1.l_orderkey, l1.l_linenumber, l2.l_linenumber AS ln2,
+             |  l2.l_suppkey AS sup2
+             |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+             |WHERE l1.l_linenumber < l2.l_linenumber AND l1.l_orderkey <= 500""".stripMargin)),
+
+    // TPC-H Q21 (suppliers who kept waiting) shape: 4-way join with an
+    // aliased fact, a cross-table date comparison, an EXISTS demanding
+    // ANOTHER supplier on the same order (self-join correlation with a
+    // cross inequality) and a NOT EXISTS excluding orders where any
+    // OTHER supplier shipped late — the full multi-subquery self-join
+    // composition. (The testdata lacks receipt/commit dates; the late
+    // test rides l_shipdate cutoffs instead — same plan shape.)
+    "hashql_q21_waiting" -> Q(
+      (s, d) => run(s, d,
+        "select supplier.s_name, count(*) as numwait from supplier " +
+          "inner join lineitem l1 on supplier.s_suppkey = l1.l_suppkey " +
+          "inner join orders on l1.l_orderkey = orders.o_orderkey " +
+          "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+          "where orders.o_orderstatus = 'F' " +
+          "and nation.n_name in ('NATION_3', 'NATION_7') " +
+          "and l1.l_shipdate > orders.o_orderdate " +
+          "and exists ( select l2.l_orderkey from lineitem l2 " +
+          "where l2.l_orderkey = l1.l_orderkey " +
+          "and l2.l_suppkey <> l1.l_suppkey ) " +
+          "and not exists ( select l3.l_orderkey from lineitem l3 " +
+          "where l3.l_orderkey = l1.l_orderkey " +
+          "and l3.l_suppkey <> l1.l_suppkey " +
+          "and l3.l_shipdate > date '2000-06-30' ) " +
+          "group by supplier.s_name " +
+          "order by numwait desc, supplier.s_name limit 10"),
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON l1.l_orderkey = o_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F'
+             |AND n_name IN ('NATION_3', 'NATION_7')
+             |AND l1.l_shipdate > o_orderdate
+             |AND EXISTS ( SELECT 1 FROM lineitem l2
+             |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey )
+             |AND NOT EXISTS ( SELECT 1 FROM lineitem l3
+             |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |  AND l3.l_shipdate > DATE '2000-06-30' )
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
   )
 }

@@ -45,8 +45,11 @@ import graft.fts.Fts
   *         [rows n preceding | rows between <bound> and <bound>])
   *     | sum(t.x)|count(*)|count(t.x)|lag(t.x)|lead(t.x)
   *       |first_value(t.x)|last_value(t.x) over (…)
-  *     from t [sample n permille by t.id]
-  *     [[inner | left [outer] | full [outer]] join u on t.x = u.y]*
+  *     from t [alias] [sample n permille by t.id]
+  *     [[inner | left [outer] | full [outer]] join u [alias] on t.x = u.y]*
+  *       // `from lineitem l1 inner join lineitem l2 on l1.k = l2.k` —
+  *       // aliases make SELF-JOINS expressible (round 12); refs address
+  *       // the alias, outputs keep the original column names
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f rlike 'regex' | t.f is [not] null
@@ -56,9 +59,11 @@ import graft.fts.Fts
   *            | t.f ~ 'tok1 & tok2 | tok3'
   *            | not <pred> | t.f not in|like|between …
   *            [and|or …, AND over OR, parens group]]
-  *     [group by t.f | <alias> | <projected expr> [, …]]
-  *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v [and …]]
-  *     [qualify <window alias|output>  =|<|>|<=|>=  v [and …]]
+  *     [group by t.f | <alias> | <expr> [, …]]   // a bare <expr> key
+  *       // auto-projects under a reserved name and strips from output
+  *     [having count(*)|sum(t.f)|…|alias  =|<|>|<=|>=  v | <expr> [and …]]
+  *       // an aggregate spelled here needn't be projected (round 12)
+  *     [qualify <window alias|output>  =|<|>|<=|>=  v | <expr> [and …]]
   *     [order by <expr> [asc|desc] [, …]] [limit n] [offset m]
   *   select … union [all] select … [union [all] select …]*
   *   create table t as select …[ union …]
@@ -492,7 +497,14 @@ object HashQL {
                           // compute and before DISTINCT/ORDER BY. The
                           // grouped-top-k idiom: `qualify rn <= 3`.
                           // Requires a window call in the select.
-                          qualify: Seq[HavingPred] = Nil) extends Stmt
+                          qualify: Seq[HavingPred] = Nil,
+                          // `from <table> <alias>` / `join <table> <alias>`
+                          // (round-12 growth — SELF-JOINS): (alias, real
+                          // table) pairs; `table`/JoinClause.table hold
+                          // the ALIAS name, refs address it, and
+                          // [[resolveAliases]] rebinds each alias to a
+                          // reserved-renamed frame before planning.
+                          aliases: Seq[(String, String)] = Nil) extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -1118,7 +1130,25 @@ object HashQL {
         if (is(",")) next() else more = false
       }
       kw("from")
-      val table = next()
+      // `from <table> [<alias>]` / `join <table> [<alias>] on …`
+      // (round-12 growth — self-joins): a bare identifier right after a
+      // table name (not a clause keyword) aliases it for the statement;
+      // the AST carries the alias as the table NAME plus an
+      // (alias → real) entry, resolved by the executor.
+      val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val aliasStop = Set("sample", "inner", "left", "full", "join", "where",
+        "group", "having", "qualify", "order", "limit", "offset", "union",
+        "intersect", "except", "on", ")", ",", "")
+      def maybeAliased(t: String): String =
+        if (!aliasStop.contains(peek.toLowerCase) &&
+            peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+          val a = next()
+          require(!a.startsWith("graft_"),
+            s"table alias $a collides with reserved internal names")
+          aliasList += a -> t
+          a
+        } else t
+      val table = maybeAliased(next())
       // `sample N permille by t.id` rides directly after the base table
       // (TABLESAMPLE position) and desugars to a WHERE conjunct
       val sample = if (is("sample")) {
@@ -1139,7 +1169,7 @@ object HashQL {
             if (k != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
             k
           }
-        kw("join"); val t = next(); kw("on")
+        kw("join"); val t = maybeAliased(next()); kw("on")
         val l = colRef(); kw("="); val r = colRef()
         // `on a = b and c = d` — the AND binds to the ON clause
         // (composite keys); WHERE needs its keyword, so no ambiguity
@@ -1249,7 +1279,7 @@ object HashQL {
         Some(t.toInt)
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
-        limit, distinct, offset, qualify)
+        limit, distinct, offset, qualify, aliasList.toSeq)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -2282,6 +2312,9 @@ object HashQL {
     // so agg views stay inner-only
     require(!sel.joins.exists(_.outer),
       "create agg view supports inner joins only")
+    // routing keys on BASE-table identity; an alias-scoped frame has none
+    require(sel.aliases.isEmpty,
+      "create agg view takes base table names (no aliases)")
     val frame = aggViewFrame(cat, sel)
     val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sel.table).toSeq.sorted
@@ -2555,6 +2588,9 @@ object HashQL {
   private def tableRefCount(st: Stmt, n: String): Int = st match {
     case s: Select =>
       (if (s.table == n) 1 else 0) + s.joins.count(_.table == n) +
+        // aliased references count against the REAL table (the alias is
+        // what appears as table/join name)
+        s.aliases.count(_._2 == n) +
         s.wheres.map(predTableRefCount(_, n)).sum +
         s.items.collect { case ScalarSubItem(sub, _) =>
           tableRefCount(sub, n) }.sum
@@ -2735,11 +2771,226 @@ object HashQL {
     if (u.all) out else out.distinct()
   }
 
+  /** Reserved column name for `<alias>.<column>` under alias resolution. */
+  private def aliasedName(alias: String, column: String): String =
+    s"graft_a_${alias}_$column"
+  private def aliasedRef(aliases: Set[String])(r: ColRef): ColRef =
+    if (aliases.contains(r.table)) ColRef(r.table, aliasedName(r.table, r.column))
+    else r
+
+  /** Resolve FROM/JOIN table aliases (round-12 growth — SELF-JOINS, the
+    * r11 verdict's #1): each alias binds a statement-scoped frame whose
+    * columns are RENAMED under a reserved per-alias prefix, so two
+    * aliases of the SAME table join without a single ambiguous column;
+    * the AST is rewritten to address the renamed columns, and the
+    * projection restores the user-visible names (`l1.l_orderkey` outputs
+    * `l_orderkey`). Plain renames keep the missing-field skip; the plan
+    * is the ordinary left-deep equi-join — two scans of the same parquet,
+    * one hash/merge join, never a cartesian. Aliased statements skip the
+    * materialized-join route by construction (scope shadowing). */
+  private def resolveAliases(cat: GraftCatalog, sel: Select)
+      : (Map[String, DataFrame], Select) = {
+    val names = sel.aliases.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate table alias: ${names.diff(names.distinct).mkString(", ")}")
+    names.foreach(a => require(!cat.exists(a) && !cat.isShadowed(a),
+      s"table alias $a shadows an existing table — pick another name"))
+    val scope = sel.aliases.map { case (a, t) =>
+      val df = cat.table(t)
+      a -> df.toDF(df.columns.map(c => aliasedName(a, c)).toSeq: _*)
+    }.toMap
+    (scope, rewriteAliases(sel, names.toSet))
+  }
+
+  /** Generic ColRef map over an expression; subquery descent is the
+    * predicate mapper's job. */
+  private def mapExprRefs(rf: ColRef => ColRef, pf: Pred => Pred)(e: Expr): Expr =
+    e match {
+      case ECol(r) => ECol(rf(r))
+      case EArith(l, op, r) =>
+        EArith(mapExprRefs(rf, pf)(l), op, mapExprRefs(rf, pf)(r))
+      case ECase(brs, els) =>
+        ECase(brs.map { case (p, v) => (pf(p), mapExprRefs(rf, pf)(v)) },
+          els.map(mapExprRefs(rf, pf)))
+      case EFunc(fn, args) => EFunc(fn, args.map(mapExprRefs(rf, pf)))
+      case ECast(e0, ty) => ECast(mapExprRefs(rf, pf)(e0), ty)
+      case EAgg(fn, a) => EAgg(fn, mapExprRefs(rf, pf)(a))
+      case other => other
+    }
+
+  /** Rewrite every alias reference in a SELECT to its reserved renamed
+    * column. Top-level projection items are RESTRUCTURED so outputs keep
+    * their user-visible names; nested subqueries get a pure ref rewrite
+    * (their own FROM names SHADOW outer aliases — standard scoping). */
+  private def rewriteAliases(sel: Select, aliases: Set[String]): Select = {
+    val ren = aliasedRef(aliases) _
+    def pred(p: Pred): Pred = p match {
+      case Eq(r, v) => Eq(ren(r), v)
+      case Cmp(r, op, v) => Cmp(ren(r), op, v)
+      case Like(r, v) => Like(ren(r), v)
+      case Rlike(r, v) => Rlike(ren(r), v)
+      case InList(r, vs) => InList(ren(r), vs)
+      case IsNullP(r, n) => IsNullP(ren(r), n)
+      case FtsMatch(r, q) => FtsMatch(ren(r), q)
+      case SampleBucket(r, pm) => SampleBucket(ren(r), pm)
+      case EqCol(a, b) => EqCol(ren(a), ren(b))
+      case ExprCmp(l, op, r) => ExprCmp(expr(l), op, expr(r))
+      case BoolFuncPred(e) => BoolFuncPred(expr(e))
+      case Not(x) => Not(pred(x))
+      case And(ps) => And(ps.map(pred))
+      case Or(ps) => Or(ps.map(pred))
+      case InSelect(r, s0) => InSelect(ren(r), subSel(s0))
+      case ExistsSelect(s0) => ExistsSelect(subSel(s0))
+      case CmpSelect(r, op, s0) => CmpSelect(ren(r), op, subSel(s0))
+      case other => other
+    }
+    def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
+    // a nested subquery's own FROM/JOIN names shadow the outer aliases
+    def subSel(s0: Select): Select =
+      deepAliasMap(s0,
+        aliases.diff(s0.joins.map(_.table).toSet + s0.table))
+    def autoAggName(fn: String, column: String): String = fn match {
+      case "count" => s"cnt_$column"
+      case "count_distinct" => s"cntd_$column"
+      case f => s"${f}_$column"
+    }
+    val itemsBuf = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
+    sel.items.foreach {
+      case Star => throw new IllegalArgumentException(
+        "select * does not combine with table aliases — project explicit " +
+          "columns (alias.column) so outputs are unambiguous")
+      // a plain aliased field projects under its ORIGINAL column name (a
+      // pure rename — keeps the missing-field row skip)
+      case Field(r) if aliases.contains(r.table) =>
+        itemsBuf += ExprItem(ECol(ren(r)), r.column)
+      case f: Field => itemsBuf += f
+      // aliased plain aggregates keep their natural auto-alias (sum_x,
+      // not sum_<reserved>)
+      case AggCall(fn, r) if aliases.contains(r.table) =>
+        itemsBuf += AggExprItem(fn, ECol(ren(r)), autoAggName(fn, r.column))
+      case a: AggCall => itemsBuf += a
+      case CountStar => itemsBuf += CountStar
+      case AggExprItem(fn, e, a) => itemsBuf += AggExprItem(fn, expr(e), a)
+      case ExprItem(e, a) => itemsBuf += ExprItem(expr(e), a)
+      case w: WinCall =>
+        // pin the auto-alias BEFORE renaming so wsum_<col> keeps the
+        // user-visible column name
+        val named = w.copy(alias = Some(winAlias(w)))
+        itemsBuf += named.copy(arg = named.arg.map(ren),
+          part = named.part.map(ren),
+          order = named.order.map { case (r, d) => (ren(r), d) })
+      case c: Coalesce2
+          if aliases.contains(c.ref.table) ||
+            PartialFunction.cond(c.default) {
+              case r2: ColRef => aliases.contains(r2.table) } =>
+        val d = c.default match {
+          case r2: ColRef => ECol(ren(r2))
+          case v => ELit(v)
+        }
+        itemsBuf += ExprItem(EFunc("coalesce", Seq(ECol(ren(c.ref)), d)),
+          coalAlias(c))
+      case c: Coalesce2 => itemsBuf += c
+      case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
+    }
+    // an aliased GROUP BY key addresses the OUTPUT name (the projection
+    // restored it); if the key is not projected, auto-project the rename
+    // — matching the unaliased dialect, where grouping keys always land
+    // in the output
+    val groupBy2 = sel.groupBy.map { g =>
+      if (!aliases.contains(g.table)) g
+      else {
+        val produced = itemsBuf.exists {
+          case ExprItem(_, a) => a == g.column
+          case Field(r) => r.column == g.column
+          case _ => false
+        }
+        if (!produced) itemsBuf += ExprItem(ECol(ren(g)), g.column)
+        ColRef("", g.column)
+      }
+    }
+    // ORDER BY and HAVING/QUALIFY values address OUTPUT columns — an
+    // aliased ref maps to its restored output name, not the renamed one
+    val outRef = (r: ColRef) =>
+      if (aliases.contains(r.table)) ColRef("", r.column) else r
+    val outExpr = mapExprRefs(outRef, pred) _
+    def hp(h: HavingPred): HavingPred = h.copy(
+      value = h.value match {
+        case e: Expr => outExpr(e)
+        case v => v
+      },
+      agg = h.agg.map {
+        case AggCall(fn, r) if aliases.contains(r.table) =>
+          AggExprItem(fn, ECol(ren(r)), autoAggName(fn, r.column))
+        case other => other
+      })
+    sel.copy(items = itemsBuf.toSeq,
+      joins = sel.joins.map(j => j.copy(l = ren(j.l), r = ren(j.r),
+        extra = j.extra.map { case (l2, r2) => (ren(l2), ren(r2)) })),
+      wheres = sel.wheres.map(pred),
+      groupBy = groupBy2,
+      having = sel.having.map(hp),
+      qualify = sel.qualify.map(hp),
+      orderBy = sel.orderBy.map { case (e, d) => (outExpr(e), d) },
+      aliases = Nil)
+  }
+
+  /** Pure ref rewrite for a NESTED subquery under outer aliases: every
+    * reference to a still-visible outer alias renames; structure is
+    * untouched (the sub's own aliases resolve later, in its own
+    * selectFrame). */
+  private def deepAliasMap(s0: Select, vis: Set[String]): Select = {
+    if (vis.isEmpty) return s0
+    val ren = aliasedRef(vis) _
+    def pred(p: Pred): Pred = p match {
+      case Eq(r, v) => Eq(ren(r), v)
+      case Cmp(r, op, v) => Cmp(ren(r), op, v)
+      case Like(r, v) => Like(ren(r), v)
+      case Rlike(r, v) => Rlike(ren(r), v)
+      case InList(r, vs) => InList(ren(r), vs)
+      case IsNullP(r, n) => IsNullP(ren(r), n)
+      case FtsMatch(r, q) => FtsMatch(ren(r), q)
+      case SampleBucket(r, pm) => SampleBucket(ren(r), pm)
+      case EqCol(a, b) => EqCol(ren(a), ren(b))
+      case ExprCmp(l, op, r) => ExprCmp(expr(l), op, expr(r))
+      case BoolFuncPred(e) => BoolFuncPred(expr(e))
+      case Not(x) => Not(pred(x))
+      case And(ps) => And(ps.map(pred))
+      case Or(ps) => Or(ps.map(pred))
+      case InSelect(r, s1) => InSelect(ren(r), subSel(s1))
+      case ExistsSelect(s1) => ExistsSelect(subSel(s1))
+      case CmpSelect(r, op, s1) => CmpSelect(ren(r), op, subSel(s1))
+      case other => other
+    }
+    def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
+    def subSel(s1: Select): Select =
+      deepAliasMap(s1, vis.diff(s1.joins.map(_.table).toSet + s1.table))
+    s0.copy(items = s0.items.map {
+        case Field(r) => Field(ren(r))
+        case AggCall(fn, r) => AggCall(fn, ren(r))
+        case AggExprItem(fn, e, a) => AggExprItem(fn, expr(e), a)
+        case ExprItem(e, a) => ExprItem(expr(e), a)
+        case w: WinCall => w.copy(arg = w.arg.map(ren),
+          part = w.part.map(ren),
+          order = w.order.map { case (r, d) => (ren(r), d) })
+        case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
+        case other => other
+      },
+      joins = s0.joins.map(j => j.copy(l = ren(j.l), r = ren(j.r),
+        extra = j.extra.map { case (l2, r2) => (ren(l2), ren(r2)) })),
+      wheres = s0.wheres.map(pred),
+      groupBy = s0.groupBy.map(ren),
+      orderBy = s0.orderBy.map { case (e, d) => (expr(e), d) })
+  }
+
   private def selectFrame(cat: GraftCatalog, sel: Select,
                           registry: Option[JoinRegistry]): DataFrame = {
+    if (sel.aliases.nonEmpty) {
+      val (scope, rewritten) = resolveAliases(cat, sel)
+      return cat.withScope(scope)(selectFrame(cat, rewritten, registry))
+    }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify) =>
+                  distinct, offset, qualify, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the

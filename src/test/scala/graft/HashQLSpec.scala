@@ -1795,6 +1795,55 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("table aliases: self-joins, grouped keys, correlated subqueries (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq((1, 1, 10), (1, 2, 20), (2, 1, 10), (3, 1, 30), (3, 2, 30)).foreach {
+      case (o, l, s) =>
+        HashQL.execute(cat, s"insert into li (ord, ln, sup) values ($o, $l, $s)") }
+    // self-join: line pairs within one order — output names RESTORED
+    // (l1.ord projects as `ord`, not the reserved rename)
+    val pairs = HashQL.execute(cat,
+      "select l1.ord, l1.ln, l2.ln as ln2 from li l1 " +
+        "inner join li l2 on l1.ord = l2.ord where l1.ln < l2.ln").get
+    assert(pairs.columns.toSeq == Seq("ord", "ln", "ln2"))
+    assert(pairs.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 1L, 2L), (3L, 1L, 2L)))
+    // the plan is ONE equi-join — no cartesian/nested loop
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // grouped self-join: aliased grouping key restores its output name
+    val multi = HashQL.execute(cat,
+      "select l1.ord, count(*) from li l1 inner join li l2 on l1.ord = l2.ord " +
+        "where l1.sup <> l2.sup group by l1.ord").get
+    assert(multi.columns.toSeq == Seq("ord", "cnt"))
+    assert(multi.as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    // aliased EXISTS correlation with a cross inequality — the Q21
+    // scaffolding: lines whose order has another line from a DIFFERENT
+    // supplier
+    val q21ish = HashQL.execute(cat,
+      "select l1.ord, l1.ln from li l1 where exists " +
+        "( select l2.ord from li l2 where l2.ord = l1.ord and l2.sup <> l1.sup )").get
+    assert(q21ish.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 1L), (1L, 2L)))
+    // window + ORDER BY address the restored names
+    val win = HashQL.execute(cat,
+      "select l1.ord, l1.ln, row_number() over (partition by l1.ord " +
+        "order by l1.ln desc) as rn from li l1 order by l1.ord, rn").get
+    assert(win.columns.toSeq == Seq("ord", "ln", "rn"))
+    assert(win.select("ln").as[Long].collect().take(2).toSeq == Seq(2L, 1L))
+    // guards: * with aliases, alias shadowing a table, duplicate alias
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * from li l1 inner join li l2 on l1.ord = l2.ord"))
+    assert(e1.getMessage.contains("explicit"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select li.ord from li li"))
+    assert(e2.getMessage.contains("shadows"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select x.ord from li x inner join li x on x.ord = x.ord"))
+    assert(e3.getMessage.contains("duplicate table alias"), e3.getMessage)
+  }
+
   test("HAVING/QUALIFY expression RHS; HAVING over unprojected aggregates (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 30)).foreach {

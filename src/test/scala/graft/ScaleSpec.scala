@@ -602,6 +602,30 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("aliased self-join is one equi-join; filters push into both scans (round-12)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("lineitem", Tables.t(spark, sf, "lineitem"))
+    val df = HashQL.execute(cat,
+      "select l1.l_orderkey, l1.l_linenumber, l2.l_linenumber as ln2 " +
+        "from lineitem l1 inner join lineitem l2 on l1.l_orderkey = l2.l_orderkey " +
+        "where l1.l_linenumber < l2.l_linenumber and l1.l_orderkey <= 500").get
+    val plan = df.queryExecution.executedPlan.toString
+    // one EQUI-join on the key (hash or merge), the inequality riding as
+    // a post-join condition — NEVER a cartesian/nested-loop pair scan
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"self-join degenerated:\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join:\n${plan.take(1200)}")
+    // the orderkey bound pushes into the parquet scans — at 100 TB the
+    // self-join reads the pruned range twice, not the table twice
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_orderkey")),
+      "orderkey bound not pushed")
+    df.count()
+  }
+
   test("a cheap multiply-referenced CTE stays lazy — pushdown survives (r10 advice)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
