@@ -2130,6 +2130,81 @@ object HashqlSuite extends Suite {
              |AND NOT EXISTS ( SELECT 1 FROM lineitem l3
              |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
              |  AND l3.l_shipdate > DATE '2000-06-30' )
-             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
+    // ---- round 12: more TPC-H shapes on the new machinery ------------
+
+    // TPC-H Q14 (promo revenue share): a RATIO of conditional aggregates
+    // — CASE-gated floor-cents sum over total floor-cents sum. The longs
+    // are exact in any summation order; the single long/long division is
+    // one IEEE op, bitwise-deterministic on both engines (no rounding
+    // shim needed).
+    "hashql_q14_promo" -> Q(
+      (s, d) => run(s, d,
+        "select 100 * sum(case when part.p_type like 'PROMO%' " +
+          "then floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100) " +
+          "else 0 end) / " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as promo_pct, count(*) as n " +
+          "from lineitem inner join part on lineitem.l_partkey = part.p_partkey " +
+          "where lineitem.l_shipdate >= date '2000-09-01' " +
+          "and lineitem.l_shipdate < date '2000-10-01'"),
+      Some("""SELECT CAST(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+             |    THEN CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) /
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS promo_pct,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= DATE '2000-09-01'
+             |AND l_shipdate < DATE '2000-10-01'""".stripMargin)),
+
+    // TPC-H Q17 (small-quantity-order revenue): a correlated scalar
+    // whose value is an EXPRESSION over an aggregate (0.2 * avg) —
+    // decorrelated to one groupBy(l_partkey) + one left equi-join; avg
+    // over integer-valued doubles is exact, so the comparison is
+    // deterministic.
+    "hashql_q17_smallqty" -> Q(
+      (s, d) => run(s, d,
+        "select sum(floor(lineitem.l_extendedprice * 100)) as total_cents, " +
+          "count(*) as n " +
+          "from lineitem inner join part on lineitem.l_partkey = part.p_partkey " +
+          "where part.p_brand = 'Brand#12' " +
+          "and lineitem.l_quantity < ( select 0.2 * avg(l2.l_quantity) as t " +
+          "from lineitem l2 where l2.l_partkey = lineitem.l_partkey )"),
+      Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#12'
+             |AND l_quantity < ( SELECT 0.2 * avg(l2.l_quantity)
+             |  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey )""".stripMargin)),
+
+    // TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
+    // subquery whose aggregate is NOT projected (round-12 HAVING
+    // machinery) — one column out, one semi-join in; then the classic
+    // multi-key rollup with a top-100 by price.
+    "hashql_q18_volume" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_name, customer.c_custkey, orders.o_orderkey, " +
+          "orders.o_totalprice, sum(lineitem.l_quantity) as sum_qty " +
+          "from customer " +
+          "inner join orders on customer.c_custkey = orders.o_custkey " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "where orders.o_orderkey in ( select lineitem.l_orderkey " +
+          "from lineitem group by lineitem.l_orderkey " +
+          "having sum(lineitem.l_quantity) > 250 ) " +
+          "group by customer.c_name, customer.c_custkey, orders.o_orderkey, " +
+          "orders.o_totalprice " +
+          "order by orders.o_totalprice desc, orders.o_orderkey limit 100"),
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+             |  sum(l_quantity) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN ( SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250 )
+             |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }
