@@ -2205,6 +2205,24 @@ object HashqlSuite extends Suite {
              |WHERE o_orderkey IN ( SELECT l_orderkey FROM lineitem
              |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250 )
              |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // RANGE interval frames (round 12 — r11 missing #5): each order's
+    // trailing-30-day order count per customer — `range between interval
+    // '30' day preceding and current row` over the temporal key, lowered
+    // to Spark's native numeric rangeBetween on the key's day number
+    // (whole-day windows; the oracle casts to DATE for the same
+    // day-granular frame).
+    "hashql_win_range_days" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "count(*) over (partition by orders.o_custkey " +
+          "order by orders.o_orderdate " +
+          "range between interval '30' day preceding and current row) as n30 " +
+          "from orders where orders.o_orderkey <= 3000"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n30
+             |FROM orders WHERE o_orderkey <= 3000""".stripMargin))
   )
 }

@@ -108,12 +108,19 @@ object HashQL {
     * parses to its offsets; `unbounded` maps to Long.MinValue/MaxValue
     * (Spark's Window.unbounded* sentinels). None = the ANSI default
     * RANGE frame. */
+  /** `rangeUnit` (round-12): when Some("day"), `frame` holds DAY offsets
+    * of a `range between interval '<n>' day|week preceding|following …`
+    * frame over a single ascending temporal ORDER BY key — lowered to a
+    * numeric rangeBetween over the key's day number (days since epoch:
+    * same order, same peers; timestamps truncate to their date — whole-
+    * day window semantics, the sliding-time-window idiom). */
   final case class WinCall(fn: String, arg: Option[ColRef],
                            part: Seq[ColRef],
                            order: Seq[(ColRef, Boolean)],
                            frame: Option[(Long, Long)] = None,
                            buckets: Option[Int] = None,
-                           alias: Option[String] = None) extends SelectItem
+                           alias: Option[String] = None,
+                           rangeUnit: Option[String] = None) extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
     * schema-union gaps. Two-arg forms: column+literal (fill a default)
@@ -1487,21 +1494,58 @@ object HashQL {
               s"expected preceding|following after $n, got $t")
           }
         }
-      val frame = if (is("rows")) {
+      val (frame, rangeUnit) = if (is("rows")) {
         next()
         if (is("between")) {
           next()
           val lo = bound(); kw("and"); val hi = bound()
           require(lo <= hi,
             s"rows frame is empty: lower bound must not exceed upper bound")
-          Some((lo, hi))
+          (Some((lo, hi)), None)
         } else {
           val n = next()
           require(n.matches("[0-9]+"), s"frame bound expects a number, got $n")
           kw("preceding")
-          Some((-n.toLong, 0L))
+          (Some((-n.toLong, 0L)), None)
         }
-      } else None
+      } else if (is("range")) {
+        // `range between <bound> and <bound>` where a bound is `interval
+        // '<n>' day|week preceding|following` | `current row` |
+        // `unbounded preceding|following` (round-12 growth — the sliding
+        // time window: SUM over the trailing 7 days). Week normalizes to
+        // days; offsets are DAYS over the temporal order key.
+        next(); kw("between")
+        def rbound(): Long =
+          if (is("current")) { next(); kw("row"); 0L }
+          else if (is("unbounded")) {
+            next()
+            next().toLowerCase match {
+              case "preceding" => Long.MinValue
+              case "following" => Long.MaxValue
+              case t => throw new IllegalArgumentException(
+                s"expected preceding|following after unbounded, got $t")
+            }
+          } else {
+            kw("interval")
+            val nTok = literal().toString
+            require(nTok.matches("[0-9]+"),
+              s"a range bound expects interval '<n>' day|week, got '$nTok'")
+            val unit = next().toLowerCase.stripSuffix("s")
+            require(unit == "day" || unit == "week",
+              s"range frames take day/week intervals (whole-day windows), got $unit")
+            val days = nTok.toLong * (if (unit == "week") 7 else 1)
+            next().toLowerCase match {
+              case "preceding" => -days
+              case "following" => days
+              case t => throw new IllegalArgumentException(
+                s"expected preceding|following after the interval, got $t")
+            }
+          }
+        val lo = rbound(); kw("and"); val hi = rbound()
+        require(lo <= hi,
+          "range frame is empty: lower bound must not exceed upper bound")
+        (Some((lo, hi)), Some("day"))
+      } else (None, None)
       kw(")")
       // the frame-taking window functions work with or without ORDER BY
       // when unframed: ordered = running, unordered = whole-partition
@@ -1518,14 +1562,20 @@ object HashQL {
       require(!Set("first_value", "last_value").contains(fn) || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
       require(frame.isEmpty || framedAggs.contains(fn),
-        "a rows frame applies to sum/avg/min/max/first_value/last_value " +
-          "windows only")
+        "a rows/range frame applies to sum/avg/min/max/count/first_value/" +
+          "last_value windows only")
       require(frame.isEmpty || order.nonEmpty,
-        "a rows frame requires an ORDER BY in the window")
+        "a rows/range frame requires an ORDER BY in the window")
+      // a day-ranged frame orders by ONE ascending temporal key (the day
+      // number is the range dimension; DESC would flip offset signs —
+      // rejected toward the ascending spelling)
+      require(rangeUnit.isEmpty || (order.size == 1 && !order.head._2),
+        "a RANGE interval frame requires exactly one ASCENDING order key " +
+          "(a date or timestamp column)")
       // `… over (…) as x` re-aliases the window output (else the
       // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
       val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
-      WinCall(fn, arg, part, order, frame, buckets, alias)
+      WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -2221,9 +2271,19 @@ object HashQL {
     // ROWS frames carry their (lo, hi) offsets from the parser (unbounded
     // = Long.MinValue/MaxValue — Spark's Window.unbounded* sentinels);
     // Spark and DuckDB share the frame semantics, and the frame's
-    // evaluation order is the window order — deterministic
-    val spec = w.frame.fold(ordered) { case (lo, hi) =>
-      ordered.rowsBetween(lo, hi) }
+    // evaluation order is the window order — deterministic.
+    // A day-ranged frame (round-12) orders by the key's DAY NUMBER (days
+    // since epoch — same order, same peers for DATE keys; timestamps
+    // truncate to their date: whole-day window semantics) and applies a
+    // numeric rangeBetween — Spark's native range frame, no self-join.
+    val spec = (w.frame, w.rangeUnit) match {
+      case (Some((lo, hi)), Some(_)) =>
+        val dayNo = datediff(col(w.order.head._1.column).cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01")))
+        spec0.orderBy(dayNo.asc).rangeBetween(lo, hi)
+      case (Some((lo, hi)), None) => ordered.rowsBetween(lo, hi)
+      case _ => ordered
+    }
     w.fn match {
       case "row_number" => row_number().over(spec)
       case "rank" => rank().over(spec)

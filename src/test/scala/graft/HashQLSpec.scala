@@ -1795,6 +1795,35 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("RANGE interval window frames: trailing-days sums over a temporal key (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("2021-01-01", 1), ("2021-01-05", 2), ("2021-01-08", 4),
+        ("2021-01-20", 8)).foreach { case (d, v) =>
+      HashQL.execute(cat, s"insert into w (d, v) values (timestamp '$d', $v)") }
+    // trailing 7 days, current day included; 01-08 reaches back exactly
+    // 7 days to 01-01 (inclusive bound, both engines)
+    val sums = HashQL.execute(cat,
+      "select w.v, sum(w.v) over (order by w.d " +
+        "range between interval '7' day preceding and current row) as s7 " +
+        "from w order by w.d").get
+    assert(sums.select("s7").as[Long].collect().toSeq == Seq(1L, 3L, 7L, 8L))
+    // week normalizes to days; unbounded bound composes
+    val wk = HashQL.execute(cat,
+      "select sum(w.v) over (order by w.d " +
+        "range between interval '1' week preceding and current row) as s " +
+        "from w order by w.d").get
+    assert(wk.select("s").as[Long].collect().toSeq == Seq(1L, 3L, 7L, 8L))
+    // guards: DESC key, multi-key order, non-day units reject
+    val e1 = intercept[IllegalArgumentException](HashQL.parse(
+      "select sum(w.v) over (order by w.d desc " +
+        "range between interval '7' day preceding and current row) as s from w"))
+    assert(e1.getMessage.contains("ASCENDING"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.parse(
+      "select sum(w.v) over (order by w.d " +
+        "range between interval '2' hour preceding and current row) as s from w"))
+    assert(e2.getMessage.contains("day/week"), e2.getMessage)
+  }
+
   test("table aliases: self-joins, grouped keys, correlated subqueries (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq((1, 1, 10), (1, 2, 20), (2, 1, 10), (3, 1, 30), (3, 2, 30)).foreach {
