@@ -2223,6 +2223,132 @@ object HashqlSuite extends Suite {
       Some("""SELECT o_custkey, o_orderkey,
              |  count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
              |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n30
-             |FROM orders WHERE o_orderkey <= 3000""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 3000""".stripMargin)),
+
+    // TPC-H Q4 (order priority checking) shape: grouped counts gated by
+    // an EXISTS whose late-shipment test is a CROSS comparison
+    // (l_shipdate > o_orderdate — inner column vs outer column, riding
+    // the semi-join condition; the testdata lacks commit/receipt dates).
+    "hashql_q4_priority" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderpriority, count(*) as order_count from orders " +
+          "where orders.o_orderdate >= date '2000-01-01' " +
+          "and orders.o_orderdate < date '2000-07-01' " +
+          "and exists ( select lineitem.l_orderkey from lineitem " +
+          "where lineitem.l_orderkey = orders.o_orderkey " +
+          "and lineitem.l_shipdate > orders.o_orderdate ) " +
+          "group by orders.o_orderpriority " +
+          "order by orders.o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2000-07-01'
+             |AND EXISTS ( SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate )
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q7 (volume shipping) shape: SIX-way join with TWO ALIASES OF
+    // NATION (supplier's vs customer's — inexpressible before round-12
+    // aliases), the either-direction OR pair filter, year-bucketed
+    // floor-cents revenue grouped by the restored alias names.
+    "hashql_q7_volume" -> Q(
+      (s, d) => run(s, d,
+        "select n1.n_name as supp_nation, n2.n_name as cust_nation, " +
+          "year(lineitem.l_shipdate) as l_year, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as revenue_cents " +
+          "from supplier " +
+          "inner join lineitem on supplier.s_suppkey = lineitem.l_suppkey " +
+          "inner join orders on lineitem.l_orderkey = orders.o_orderkey " +
+          "inner join customer on orders.o_custkey = customer.c_custkey " +
+          "inner join nation n1 on supplier.s_nationkey = n1.n_nationkey " +
+          "inner join nation n2 on customer.c_nationkey = n2.n_nationkey " +
+          "where ( n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2' " +
+          "or n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1' ) " +
+          "and lineitem.l_shipdate between date '1996-01-01' and date '1997-12-31' " +
+          "group by supp_nation, cust_nation, l_year " +
+          "order by supp_nation, cust_nation, l_year"),
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  year(l_shipdate) AS l_year,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ( n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2'
+             |  OR n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1' )
+             |AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q19 (discounted revenue) shape: a disjunction of composite
+    // brand/quantity/size bands over the join — one scan-side OR filter,
+    // no plan blowup.
+    "hashql_q19_bands" -> Q(
+      (s, d) => run(s, d,
+        "select sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as revenue_cents, count(*) as n " +
+          "from lineitem inner join part on lineitem.l_partkey = part.p_partkey " +
+          "where ( part.p_brand = 'Brand#12' and lineitem.l_quantity between 1 and 11 " +
+          "and part.p_size between 1 and 5 ) " +
+          "or ( part.p_brand = 'Brand#23' and lineitem.l_quantity between 10 and 20 " +
+          "and part.p_size between 1 and 10 ) " +
+          "or ( part.p_brand = 'Brand#34' and lineitem.l_quantity between 20 and 30 " +
+          "and part.p_size between 1 and 15 )"),
+      Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE ( p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+             |  AND p_size BETWEEN 1 AND 5 )
+             |OR ( p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+             |  AND p_size BETWEEN 1 AND 10 )
+             |OR ( p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+             |  AND p_size BETWEEN 1 AND 15 )""".stripMargin)),
+
+    // TPC-H Q20 (potential part promotion) shape: NESTED IN subqueries —
+    // the inner membership (promo parts) feeds the middle one (their
+    // recent suppliers) feeds the outer semi-join. Two broadcastable
+    // probes, no correlation needed.
+    "hashql_q20_nested_in" -> Q(
+      (s, d) => run(s, d,
+        "select supplier.s_name from supplier " +
+          "where supplier.s_suppkey in ( select lineitem.l_suppkey from lineitem " +
+          "where lineitem.l_partkey in ( select part.p_partkey from part " +
+          "where part.p_type = 'PROMO' and part.p_size <= 3 ) " +
+          "and lineitem.l_shipdate >= date '2001-01-01' ) " +
+          "order by supplier.s_name"),
+      Some("""SELECT s_name FROM supplier WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem WHERE l_partkey IN (
+             |    SELECT p_partkey FROM part WHERE p_type = 'PROMO' AND p_size <= 3 )
+             |  AND l_shipdate >= DATE '2001-01-01' )
+             |ORDER BY s_name""".stripMargin)),
+
+    // TPC-H Q22 (global sales opportunity) shape: an UNCORRELATED scalar
+    // whose value is an expression over an aggregate (deterministic:
+    // avg over exact floor-cents, one division), plus a NOT EXISTS with
+    // a cross comparison — rich customers with no urgent order priced
+    // above their own balance.
+    "hashql_q22_opportunity" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_nationkey, count(*) as numcust, " +
+          "sum(floor(customer.c_acctbal * 100)) as bal_cents from customer " +
+          "where customer.c_acctbal > ( select avg(floor(c2.c_acctbal * 100)) / 100 " +
+          "as a from customer c2 where c2.c_acctbal > 0 ) " +
+          "and not exists ( select orders.o_orderkey from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_orderpriority = '1-URGENT' " +
+          "and orders.o_totalprice > customer.c_acctbal ) " +
+          "group by customer.c_nationkey " +
+          "order by customer.c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+             |FROM customer
+             |WHERE c_acctbal > ( SELECT avg(CAST(floor(c2.c_acctbal * 100) AS BIGINT)) / 100
+             |  FROM customer c2 WHERE c2.c_acctbal > 0 )
+             |AND NOT EXISTS ( SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+             |  AND o_totalprice > c_acctbal )
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -581,6 +581,36 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("Q7 six-way join with two ALIASES of nation: dims broadcast, no cartesian (round-12)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders", "lineitem", "supplier", "nation")
+      .foreach(n => cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select n1.n_name as supp_nation, n2.n_name as cust_nation, count(*) " +
+        "from supplier " +
+        "inner join lineitem on supplier.s_suppkey = lineitem.l_suppkey " +
+        "inner join orders on lineitem.l_orderkey = orders.o_orderkey " +
+        "inner join customer on orders.o_custkey = customer.c_custkey " +
+        "inner join nation n1 on supplier.s_nationkey = n1.n_nationkey " +
+        "inner join nation n2 on customer.c_nationkey = n2.n_nationkey " +
+        "where n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2' " +
+        "group by supp_nation, cust_nation").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q7 planned a cross product:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1200)}")
+    // the per-alias name filters push into each nation scan — the two
+    // renamed frames stay independent parquet reads with their own
+    // pruning, not one shared ambiguous scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("n_name")),
+      "alias dim filter not pushed")
+    df.count()
+  }
+
   test("QUALIFY plans Filter-over-Window — no extra exchange beyond the window's") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
