@@ -2349,6 +2349,87 @@ object HashqlSuite extends Suite {
              |AND NOT EXISTS ( SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
              |  AND o_totalprice > c_acctbal )
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // TPC-H Q8 (national market share) shape: per-year ratio of a
+    // CASE-gated floor-cents sum (the target nation's slice) to the
+    // total — seven-way join with two nation aliases + region, grouped
+    // by the computed year key. Exact longs, one deterministic division.
+    "hashql_q8_share" -> Q(
+      (s, d) => run(s, d,
+        "select year(orders.o_orderdate) as o_year, " +
+          "100 * sum(case when n2.n_name = 'NATION_5' " +
+          "then floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100) " +
+          "else 0 end) / " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as share_pct " +
+          "from customer " +
+          "inner join orders on customer.c_custkey = orders.o_custkey " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "inner join supplier on lineitem.l_suppkey = supplier.s_suppkey " +
+          "inner join nation n1 on customer.c_nationkey = n1.n_nationkey " +
+          "inner join nation n2 on supplier.s_nationkey = n2.n_nationkey " +
+          "inner join region on n1.n_regionkey = region.r_regionkey " +
+          "where region.r_name = 'MIDDLE EAST' " +
+          "and orders.o_orderdate between date '1996-01-01' and date '1997-12-31' " +
+          "group by o_year order by o_year"),
+      Some("""SELECT year(o_orderdate) AS o_year,
+             |  CAST(100 * sum(CASE WHEN n2.n_name = 'NATION_5'
+             |    THEN CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT)
+             |  / CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS share_pct
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |WHERE r_name = 'MIDDLE EAST'
+             |AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q13 (customer distribution) shape: orders-per-customer via
+    // LEFT JOIN (order-less customers count 0), then the histogram of
+    // those counts — a two-level aggregation staged through a CTE.
+    "hashql_q13_custdist" -> Q(
+      (s, d) => run(s, d,
+        "with po as ( select customer.c_custkey, count(orders.o_orderkey) " +
+          "from customer left join orders on customer.c_custkey = orders.o_custkey " +
+          "group by customer.c_custkey ) " +
+          "select po.cnt_o_orderkey as c_count, count(*) as custdist from po " +
+          "group by c_count order by custdist desc, c_count desc"),
+      Some("""WITH po AS ( SELECT c_custkey, count(o_orderkey) AS cnt_o_orderkey
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey )
+             |SELECT cnt_o_orderkey AS c_count, count(*) AS custdist FROM po
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15 (top supplier) shape: a revenue CTE referenced TWICE —
+    // the join side and the max-scalar subquery (the multiply-referenced
+    // heavy CTE localCheckpoints, so the aggregation computes once).
+    "hashql_q15_top_supplier" -> Q(
+      (s, d) => run(s, d,
+        "with revenue as ( select lineitem.l_suppkey, " +
+          "sum(floor(lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) * 100)) " +
+          "as total_cents from lineitem " +
+          "where lineitem.l_shipdate >= date '2001-01-01' " +
+          "and lineitem.l_shipdate < date '2001-04-01' " +
+          "group by lineitem.l_suppkey ) " +
+          "select supplier.s_suppkey, supplier.s_name, revenue.total_cents " +
+          "from supplier " +
+          "inner join revenue on supplier.s_suppkey = revenue.l_suppkey " +
+          "where revenue.total_cents = ( select max(revenue.total_cents) from revenue ) " +
+          "order by supplier.s_suppkey"),
+      Some("""WITH revenue AS ( SELECT l_suppkey,
+             |  CAST(sum(CAST(floor(l_extendedprice * ( 1 - l_discount ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '2001-01-01' AND l_shipdate < DATE '2001-04-01'
+             |  GROUP BY l_suppkey )
+             |SELECT s_suppkey, s_name, total_cents
+             |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+             |WHERE total_cents = ( SELECT max(total_cents) FROM revenue )
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }
