@@ -2430,6 +2430,27 @@ object HashqlSuite extends Suite {
              |SELECT s_suppkey, s_name, total_cents
              |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
              |WHERE total_cents = ( SELECT max(total_cents) FROM revenue )
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // DERIVED TABLES (round 12): `join ( select … ) name on …` — the
+    // per-nation max joined back to find each nation's richest
+    // customer(s); the FROM-subquery binds exactly like a CTE, and the
+    // same-named join key collapses on the inner join.
+    "hashql_from_subquery" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_acctbal, mx.max_c_acctbal " +
+          "from customer " +
+          "inner join ( select customer.c_nationkey, max(customer.c_acctbal) " +
+          "from customer group by customer.c_nationkey ) mx " +
+          "on customer.c_nationkey = mx.c_nationkey " +
+          "where customer.c_acctbal = mx.max_c_acctbal " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal, max_c_acctbal
+             |FROM customer
+             |JOIN ( SELECT c_nationkey, max(c_acctbal) AS max_c_acctbal
+             |  FROM customer GROUP BY c_nationkey ) mx
+             |ON customer.c_nationkey = mx.c_nationkey
+             |WHERE c_acctbal = max_c_acctbal
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -45,11 +45,14 @@ import graft.fts.Fts
   *         [rows n preceding | rows between <bound> and <bound>])
   *     | sum(t.x)|count(*)|count(t.x)|lag(t.x)|lead(t.x)
   *       |first_value(t.x)|last_value(t.x) over (…)
-  *     from t [alias] [sample n permille by t.id]
-  *     [[inner | left [outer] | full [outer]] join u [alias] on t.x = u.y]*
+  *     from t [alias] | ( select … ) name [sample n permille by t.id]
+  *     [[inner | left [outer] | full [outer]] join u [alias]
+  *       | ( select … ) name  on t.x = u.y]*
   *       // `from lineitem l1 inner join lineitem l2 on l1.k = l2.k` —
   *       // aliases make SELF-JOINS expressible (round 12); refs address
-  *       // the alias, outputs keep the original column names
+  *       // the alias, outputs keep the original column names.
+  *       // `from ( select … ) d` — DERIVED TABLES (round 12): the body
+  *       // binds under the required name, exactly like a CTE
   *     [where t.f = v | t.f <> v | t.f < v | t.f > v | t.f <= v | t.f >= v
   *            | t.f between a and b | t.f in (v1, v2, …) | t.f like 'pat'
   *            | t.f rlike 'regex' | t.f is [not] null
@@ -511,7 +514,14 @@ object HashQL {
                           // the ALIAS name, refs address it, and
                           // [[resolveAliases]] rebinds each alias to a
                           // reserved-renamed frame before planning.
-                          aliases: Seq[(String, String)] = Nil) extends Stmt
+                          aliases: Seq[(String, String)] = Nil,
+                          // `from ( select … ) d` / `join ( select … ) d
+                          // on …` (round-12 growth — DERIVED TABLES):
+                          // (name, body) pairs; the name appears as the
+                          // table/join name and binds the body's frame
+                          // statement-wide, exactly like a CTE. Bodies
+                          // are self-contained (no outer correlation).
+                          derived: Seq[(String, Stmt)] = Nil) extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -1155,7 +1165,22 @@ object HashQL {
           aliasList += a -> t
           a
         } else t
-      val table = maybeAliased(next())
+      // `from ( select … ) d` — a DERIVED TABLE (round-12): the body
+      // binds under the required name, statement-wide like a CTE
+      val derivedList = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
+      def fromSource(): String =
+        if (is("(")) {
+          next(); kw("select")
+          val body = selectOrUnion()
+          kw(")")
+          val nm = next()
+          require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !nm.startsWith("graft_") && !aliasStop.contains(nm.toLowerCase),
+            s"a derived table needs a name — from ( select … ) <name>, got $nm")
+          derivedList += nm -> body
+          nm
+        } else maybeAliased(next())
+      val table = fromSource()
       // `sample N permille by t.id` rides directly after the base table
       // (TABLESAMPLE position) and desugars to a WHERE conjunct
       val sample = if (is("sample")) {
@@ -1176,7 +1201,7 @@ object HashQL {
             if (k != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
             k
           }
-        kw("join"); val t = maybeAliased(next()); kw("on")
+        kw("join"); val t = fromSource(); kw("on")
         val l = colRef(); kw("="); val r = colRef()
         // `on a = b and c = d` — the AND binds to the ON clause
         // (composite keys); WHERE needs its keyword, so no ambiguity
@@ -1286,7 +1311,7 @@ object HashQL {
         Some(t.toInt)
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
-        limit, distinct, offset, qualify, aliasList.toSeq)
+        limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -2373,8 +2398,8 @@ object HashQL {
     require(!sel.joins.exists(_.outer),
       "create agg view supports inner joins only")
     // routing keys on BASE-table identity; an alias-scoped frame has none
-    require(sel.aliases.isEmpty,
-      "create agg view takes base table names (no aliases)")
+    require(sel.aliases.isEmpty && sel.derived.isEmpty,
+      "create agg view takes base table names (no aliases or derived tables)")
     val frame = aggViewFrame(cat, sel)
     val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sel.table).toSeq.sorted
@@ -2649,8 +2674,10 @@ object HashQL {
     case s: Select =>
       (if (s.table == n) 1 else 0) + s.joins.count(_.table == n) +
         // aliased references count against the REAL table (the alias is
-        // what appears as table/join name)
+        // what appears as table/join name); derived bodies count their
+        // own references
         s.aliases.count(_._2 == n) +
+        s.derived.map(d => tableRefCount(d._2, n)).sum +
         s.wheres.map(predTableRefCount(_, n)).sum +
         s.items.collect { case ScalarSubItem(sub, _) =>
           tableRefCount(sub, n) }.sum
@@ -3044,13 +3071,28 @@ object HashQL {
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
                           registry: Option[JoinRegistry]): DataFrame = {
+    // DERIVED TABLES first (their bodies are self-contained — built
+    // OUTSIDE any alias scope), then aliases resolve inside the bound
+    // scope. A derived name behaves exactly like a CTE: ordinary table
+    // scoping, no column renames needed (refs address its projection).
+    if (sel.derived.nonEmpty) {
+      val names = sel.derived.map(_._1)
+      require(names.distinct.size == names.size,
+        s"duplicate derived-table name: ${names.diff(names.distinct).mkString(", ")}")
+      names.foreach(n => require(!cat.exists(n) && !cat.isShadowed(n),
+        s"derived table $n shadows an existing table — pick another name"))
+      val scope = sel.derived.map { case (n, body) =>
+        n -> queryFrame(cat, body, registry) }.toMap
+      return cat.withScope(scope)(
+        selectFrame(cat, sel.copy(derived = Nil), registry))
+    }
     if (sel.aliases.nonEmpty) {
       val (scope, rewritten) = resolveAliases(cat, sel)
       return cat.withScope(scope)(selectFrame(cat, rewritten, registry))
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _) =>
+                  distinct, offset, qualify, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the

@@ -1795,6 +1795,43 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("derived tables: FROM/JOIN subqueries bind like CTEs (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("b", 10), ("b", 30), ("c", 5)).foreach {
+      case (g, v) => HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // FROM subquery: aggregate-then-filter without a CTE
+    val d1 = HashQL.execute(cat,
+      "select d.g, d.sum_v from ( select t.g, sum(t.v) from t group by t.g ) d " +
+        "where d.sum_v >= 10 order by d.g").get
+    assert(d1.as[(String, Long)].collect().toSeq == Seq(("b", 40L)))
+    // JOIN against a derived table
+    val d2 = HashQL.execute(cat,
+      "select t.g, t.v, d.sum_v from t " +
+        "inner join ( select t.g, sum(t.v) from t group by t.g ) d on t.g = d.g " +
+        "where t.v = d.sum_v").get
+    assert(d2.as[(String, Long, Long)].collect().toSeq == Seq(("c", 5L, 5L)))
+    // two derived tables join each other; second-level aggregation
+    val d3 = HashQL.execute(cat,
+      "select count(*) as n from " +
+        "( select t.g, sum(t.v) from t group by t.g ) x " +
+        "inner join ( select t.g, count(*) from t group by t.g ) y on x.g = y.g " +
+        "where x.sum_v > y.cnt").get
+    assert(d3.as[Long].collect().toSeq == Seq(3L))
+    // a derived table may be ALIASED downstream? names are bindings —
+    // duplicates and shadows reject
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select x.g from ( select t.g from t ) x " +
+        "inner join ( select t.g from t ) x on x.g = x.g"))
+    assert(e1.getMessage.contains("duplicate derived-table name"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g from ( select t.g from t ) t"))
+    assert(e2.getMessage.contains("shadows"), e2.getMessage)
+    // the name is REQUIRED
+    val e3 = intercept[IllegalArgumentException](HashQL.parse(
+      "select g from ( select t.g from t )"))
+    assert(e3.getMessage.contains("needs a name"), e3.getMessage)
+  }
+
   test("RANGE interval window frames: trailing-days sums over a temporal key (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("2021-01-01", 1), ("2021-01-05", 2), ("2021-01-08", 4),
