@@ -2451,6 +2451,32 @@ object HashqlSuite extends Suite {
              |  FROM customer GROUP BY c_nationkey ) mx
              |ON customer.c_nationkey = mx.c_nationkey
              |WHERE c_acctbal = max_c_acctbal
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ROLLUP (round 12): per-(returnflag, linestatus) quantity sums plus
+    // per-returnflag subtotals and a grand total — one Expand + one
+    // partial-agg'd shuffle (Spark-native), NULL keys marking subtotal
+    // rows on both engines.
+    "hashql_rollup" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, lineitem.l_linestatus, " +
+          "sum(lineitem.l_quantity) as sum_qty, count(*) as n from lineitem " +
+          "group by rollup ( lineitem.l_returnflag, lineitem.l_linestatus ) " +
+          "order by lineitem.l_returnflag, lineitem.l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP ( l_returnflag, l_linestatus )
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // CUBE (round 12): every subtotal slice of the two keys.
+    "hashql_cube" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderstatus, orders.o_orderpriority, " +
+          "count(*) as n from orders " +
+          "group by cube ( orders.o_orderstatus, orders.o_orderpriority )"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY CUBE ( o_orderstatus, o_orderpriority )""".stripMargin))
   )
 }

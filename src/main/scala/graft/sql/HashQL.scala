@@ -521,7 +521,13 @@ object HashQL {
                           // table/join name and binds the body's frame
                           // statement-wide, exactly like a CTE. Bodies
                           // are self-contained (no outer correlation).
-                          derived: Seq[(String, Stmt)] = Nil) extends Stmt
+                          derived: Seq[(String, Stmt)] = Nil,
+                          // `group by rollup ( … )` / `cube ( … )`
+                          // (round-12 growth): subtotal aggregations —
+                          // Spark's native rollup/cube (one Expand +
+                          // one aggregation shuffle, partial-agg'd);
+                          // subtotal rows carry NULL keys, as in ANSI.
+                          groupMode: String = "") extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -1214,8 +1220,16 @@ object HashQL {
         joins += JoinClause(t, l, r, kind, extras.toSeq)
       }
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
+      var groupMode = ""
       val groupBy = if (is("group")) {
         next(); kw("by")
+        // `group by rollup ( k1, k2, … )` / `cube ( … )` — subtotal
+        // grouping (round-12); the parenthesized key list reuses the
+        // plain grammar below
+        if ((is("rollup") || is("cube")) && peekAt(1) == "(") {
+          groupMode = next().toLowerCase
+          kw("(")
+        }
         // `t.col`, a BARE identifier addressing a computed projection's
         // alias (round-10: `select year(t.d) as y … group by y`), or the
         // EXPRESSION itself repeated (round-11: `group by year(t.d)` —
@@ -1242,6 +1256,7 @@ object HashQL {
           else if (peek.contains('.')) colRef() else ColRef("", next())
         val gs = scala.collection.mutable.ArrayBuffer(groupKey())
         while (is(",")) { next(); gs += groupKey() }
+        if (groupMode.nonEmpty) kw(")")
         gs.toSeq
       } else Nil
       val having = if (is("having")) {
@@ -1311,7 +1326,8 @@ object HashQL {
         Some(t.toInt)
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
-        limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq)
+        limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
+        groupMode)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -2400,6 +2416,9 @@ object HashQL {
     // routing keys on BASE-table identity; an alias-scoped frame has none
     require(sel.aliases.isEmpty && sel.derived.isEmpty,
       "create agg view takes base table names (no aliases or derived tables)")
+    // rollup/cube summaries don't re-aggregate for containment routing
+    require(sel.groupMode.isEmpty,
+      "create agg view takes a plain GROUP BY (no rollup/cube)")
     val frame = aggViewFrame(cat, sel)
     val tables = (sel.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sel.table).toSeq.sorted
@@ -3092,7 +3111,7 @@ object HashQL {
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _) =>
+                  distinct, offset, qualify, _, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -3213,8 +3232,15 @@ object HashQL {
               if (base.isEmpty && extraAggs.isEmpty && havingAggs.isEmpty)
                 Seq(count(lit(1)).as("cnt"))
               else base ++ extraAggs ++ havingAggs
-            val aggd = pre.groupBy(gs.map(g => col(g.column)): _*)
-              .agg(aggAll.head, aggAll.tail: _*)
+            // ROLLUP/CUBE (round-12): Spark's native subtotal grouping —
+            // one Expand node feeding the SAME partial-agg'd aggregation
+            // shuffle; subtotal rows carry NULL keys (ANSI, both engines)
+            val grouped = sel.groupMode match {
+              case "rollup" => pre.rollup(gs.map(g => col(g.column)): _*)
+              case "cube" => pre.cube(gs.map(g => col(g.column)): _*)
+              case _ => pre.groupBy(gs.map(g => col(g.column)): _*)
+            }
+            val aggd = grouped.agg(aggAll.head, aggAll.tail: _*)
             postExprs.foreach(e => require(!aggd.columns.contains(e.alias),
               s"computed alias ${e.alias} collides with an output column"))
             postExprs.foldLeft(aggd)((d, e) =>

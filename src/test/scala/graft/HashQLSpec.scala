@@ -1795,6 +1795,31 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("ROLLUP/CUBE grouping: subtotal rows with NULL keys (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).foreach { case (g, h, v) =>
+      HashQL.execute(cat, s"insert into t (g, h, v) values ('$g', '$h', $v)") }
+    // rollup: (g,h) leaves + per-g subtotals + grand total
+    val ru = HashQL.execute(cat,
+      "select t.g, t.h, sum(t.v) from t group by rollup ( t.g, t.h ) " +
+        "order by t.g, t.h").get
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSeq
+    assert(ru.toSet == Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L),
+      (Some("a"), None, 3L), (Some("b"), Some("x"), 4L),
+      (Some("b"), None, 4L), (None, None, 7L)))
+    // cube adds the per-h slice
+    val cu = HashQL.execute(cat,
+      "select t.g, t.h, sum(t.v) from t group by cube ( t.g, t.h )").get
+    assert(cu.count() == 8) // 3 leaves + 2 g-subtotals + 2 h-subtotals + grand
+    // HAVING composes over the expanded frame
+    val hv = HashQL.execute(cat,
+      "select t.g, t.h, sum(t.v) from t group by rollup ( t.g, t.h ) " +
+        "having sum(t.v) >= 4").get
+    assert(hv.count() == 3) // (b,x,4), (b,null,4), (null,null,7)
+  }
+
   test("derived tables: FROM/JOIN subqueries bind like CTEs (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 2), ("b", 10), ("b", 30), ("c", 5)).foreach {
