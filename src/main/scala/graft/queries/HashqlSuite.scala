@@ -2477,6 +2477,31 @@ object HashqlSuite extends Suite {
           "group by cube ( orders.o_orderstatus, orders.o_orderpriority )"),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
              |FROM orders
-             |GROUP BY CUBE ( o_orderstatus, o_orderpriority )""".stripMargin))
+             |GROUP BY CUBE ( o_orderstatus, o_orderpriority )""".stripMargin)),
+
+    // SIMPLE CASE form (round 12): `case <head> when v then …` desugars
+    // to searched =-comparisons — priority buckets by exact status.
+    "hashql_case_simple" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, case orders.o_orderstatus " +
+          "when 'F' then 1 when 'P' then 2 else 0 end as bucket " +
+          "from orders where orders.o_orderkey <= 500"),
+      Some("""SELECT o_orderkey, CASE o_orderstatus
+             |  WHEN 'F' THEN 1 WHEN 'P' THEN 2 ELSE 0 END AS bucket
+             |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
+
+    // computed-head IN subquery (round 12): membership on an EXPRESSION
+    // key — the year of the ship date probes the distinct order years,
+    // one semi-join on a scan-side computed column.
+    "hashql_expr_in_select" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber from lineitem " +
+          "where lineitem.l_orderkey <= 300 " +
+          "and year(lineitem.l_shipdate) in ( select year(orders.o_orderdate) " +
+          "as y from orders where orders.o_orderkey <= 5 )"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_orderkey <= 300
+             |AND year(l_shipdate) IN ( SELECT year(o_orderdate)
+             |  FROM orders WHERE o_orderkey <= 5 )""".stripMargin))
   )
 }

@@ -335,6 +335,12 @@ object HashQL {
     * message. Dialect growth (the reference has no subqueries,
     * server.py:456-476). */
   final case class InSelect(ref: ColRef, sub: Select) extends Pred
+  /** `<expr> in (select …)` — membership of a COMPUTED head (round-12:
+    * `where year(t.d) in (select …)`): same LEFT SEMI plan as
+    * [[InSelect]] (NOT → LEFT ANTI), keyed on the computed column —
+    * still one broadcastable probe. Top-level-conjunct or flag-join
+    * under OR, exactly like the plain-ref form. */
+  final case class InSelectExpr(e: Expr, sub: Select) extends Pred
   /** `t.a = u.b` — column-to-column equality (dialect growth; the
     * reference compares columns only to literals, server.py:456-476).
     * Inside an EXISTS subquery, a pair whose one side references an
@@ -862,9 +868,17 @@ object HashQL {
             return BoolFuncPred(e)
           // computed heads also take IN lists and BETWEEN (round-11:
           // `where year(t.d) in (1996, 1998)`) — desugared to ExprCmp
-          // disjunctions/conjunctions at parse; negate with `not (…)`
+          // disjunctions/conjunctions at parse — and IN subqueries
+          // (round-12: `where year(t.d) in (select …)`, the semi-join on
+          // a computed key); negate with `not (…)`
           if (is("in")) {
             next(); kw("(")
+            if (is("select")) {
+              next()
+              val sub = selectRest()
+              kw(")")
+              return InSelectExpr(e, sub)
+            }
             val vs = scala.collection.mutable.ArrayBuffer(literal())
             while (is(",")) { next(); vs += literal() }
             kw(")")
@@ -1431,10 +1445,18 @@ object HashQL {
       }
       else if (is("case")) {
         next()
+        // SIMPLE form (round-12): `case <head> when <v> then … end`
+        // desugars to the searched form with `<head> = <v>` conditions —
+        // a NULL head matches no branch and falls to ELSE, per ANSI
+        val headOpt = if (is("when")) None else Some(exprTree())
         val brs = scala.collection.mutable.ArrayBuffer.empty[(Pred, Expr)]
         while (is("when")) {
           next()
-          val p = predExpr(); kw("then")
+          val p = headOpt match {
+            case Some(h) => ExprCmp(h, "=", exprTree())
+            case None => predExpr()
+          }
+          kw("then")
           brs += ((p, exprTree()))
         }
         require(brs.nonEmpty, "CASE needs at least one WHEN branch")
@@ -2030,7 +2052,7 @@ object HashQL {
     // off by existsJoin before this runs; what reaches here compares two
     // columns of the current frame)
     case EqCol(a, b) => col(a.column) === col(b.column)
-    case _: InSelect | _: ExistsSelect | _: CmpSelect =>
+    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect =>
       // unreachable from WHERE (applyWheres plans conjunct forms as
       // semi/anti joins and OR/NOT trees through flaggedFilter) — this
       // guards the remaining Column-only surfaces: CASE conditions
@@ -2230,6 +2252,7 @@ object HashQL {
     case FtsMatch(r, _) => Set(r.column)
     case SampleBucket(r, _) => Set(r.column)
     case ExprCmp(l, _, r) => exprRefs(l) ++ exprRefs(r)
+    case InSelectExpr(e, _) => exprRefs(e) // the sub has its own scope
     case BoolFuncPred(e) => exprRefs(e)
     case Not(x) => predRefs(x)
     case And(ps) => ps.flatMap(predRefs).toSet
@@ -2264,6 +2287,7 @@ object HashQL {
     case SampleBucket(r, _) => Set(r.table)
     case EqCol(a, b) => Set(a.table, b.table)
     case ExprCmp(l, _, r) => exprTables(l) ++ exprTables(r)
+    case InSelectExpr(e, _) => exprTables(e) // the sub has its own scope
     case BoolFuncPred(e) => exprTables(e)
     case Not(x) => predTables(x)
     case And(ps) => ps.flatMap(predTables).toSet
@@ -2724,6 +2748,7 @@ object HashQL {
 
   private def predTableRefCount(p: Pred, n: String): Int = p match {
     case InSelect(_, sub) => tableRefCount(sub, n)
+    case InSelectExpr(_, sub) => tableRefCount(sub, n)
     case ExistsSelect(sub) => tableRefCount(sub, n)
     case CmpSelect(_, _, sub) => tableRefCount(sub, n)
     case Not(x) => predTableRefCount(x, n)
@@ -2759,6 +2784,14 @@ object HashQL {
       case Not(InSelect(ref, sub)) =>
         val sf = subqueryFrame(cat, sub, registry)
         df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
+      // computed-head membership (round-12): the key evaluates scan-side
+      // inside the join condition — same semi/anti probe
+      case InSelectExpr(e, sub) =>
+        val sf = subqueryFrame(cat, sub, registry)
+        df = df.join(sf, exprColumn(cat, e) === sf("graft_in_sub"), "left_semi")
+      case Not(InSelectExpr(e, sub)) =>
+        val sf = subqueryFrame(cat, sub, registry)
+        df = df.join(sf, exprColumn(cat, e) === sf("graft_in_sub"), "left_anti")
       case ExistsSelect(sub) =>
         df = existsJoin(cat, df, sub, registry, anti = false)
       case Not(ExistsSelect(sub)) =>
@@ -2782,7 +2815,7 @@ object HashQL {
   /** Does a conjunct contain a subquery predicate ANYWHERE in its tree
     * (needs join machinery, not a plain Column)? */
   private def subqueryPred(p: Pred): Boolean = p match {
-    case _: InSelect | _: ExistsSelect | _: CmpSelect => true
+    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect => true
     case Not(x) => subqueryPred(x)
     case And(ps) => ps.exists(subqueryPred)
     case Or(ps) => ps.exists(subqueryPred)
@@ -2821,6 +2854,13 @@ object HashQL {
         val sf = subqueryFrame(cat, sub, registry).distinct()
           .withColumn(f, lit(true))
         df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left")
+          .drop("graft_in_sub")
+        FlagPred(f)
+      case InSelectExpr(e, sub) =>
+        val f = newFlag()
+        val sf = subqueryFrame(cat, sub, registry).distinct()
+          .withColumn(f, lit(true))
+        df = df.join(sf, exprColumn(cat, e) === sf("graft_in_sub"), "left")
           .drop("graft_in_sub")
         FlagPred(f)
       case ExistsSelect(sub) =>
@@ -2946,6 +2986,7 @@ object HashQL {
       case And(ps) => And(ps.map(pred))
       case Or(ps) => Or(ps.map(pred))
       case InSelect(r, s0) => InSelect(ren(r), subSel(s0))
+      case InSelectExpr(e, s0) => InSelectExpr(expr(e), subSel(s0))
       case ExistsSelect(s0) => ExistsSelect(subSel(s0))
       case CmpSelect(r, op, s0) => CmpSelect(ren(r), op, subSel(s0))
       case other => other
@@ -3063,6 +3104,7 @@ object HashQL {
       case And(ps) => And(ps.map(pred))
       case Or(ps) => Or(ps.map(pred))
       case InSelect(r, s1) => InSelect(ren(r), subSel(s1))
+      case InSelectExpr(e, s1) => InSelectExpr(expr(e), subSel(s1))
       case ExistsSelect(s1) => ExistsSelect(subSel(s1))
       case CmpSelect(r, op, s1) => CmpSelect(ren(r), op, subSel(s1))
       case other => other

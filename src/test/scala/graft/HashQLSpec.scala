@@ -1795,6 +1795,32 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("simple CASE form and computed-head IN subqueries (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("b", 2), ("c", 3), (null, 9)).foreach { case (g, v) =>
+      val gv = if (g == null) "null" else s"'$g'"
+      HashQL.execute(cat, s"insert into t (g, v) values ($gv, $v)") }
+    // simple CASE desugars to searched =-comparisons; NULL head → ELSE
+    val sc = HashQL.execute(cat,
+      "select t.v, case t.g when 'a' then 10 when 'b' then 20 else 0 end " +
+        "as c from t order by t.v").get
+    assert(sc.select("c").as[Long].collect().toSeq == Seq(10L, 20L, 0L, 0L))
+    // computed-head IN (select …): semi-join on the computed key
+    HashQL.execute(cat, "insert into keys (k) values (2), (6)")
+    val inSub = HashQL.execute(cat,
+      "select t.v from t where t.v * 2 in ( select keys.k from keys )").get
+    assert(inSub.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // NOT and OR compositions keep the flag/anti semantics
+    val notIn = HashQL.execute(cat,
+      "select t.v from t where not ( t.v * 2 in ( select keys.k from keys ) ) " +
+        "and t.v < 9").get
+    assert(notIn.as[Long].collect().toSeq == Seq(2L))
+    val orIn = HashQL.execute(cat,
+      "select t.v from t where t.v * 2 in ( select keys.k from keys ) " +
+        "or t.v = 9").get
+    assert(orIn.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L))
+  }
+
   test("ROLLUP/CUBE grouping: subtotal rows with NULL keys (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).foreach { case (g, h, v) =>
