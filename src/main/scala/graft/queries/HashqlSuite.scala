@@ -2502,6 +2502,40 @@ object HashqlSuite extends Suite {
       Some("""SELECT l_orderkey, l_linenumber FROM lineitem
              |WHERE l_orderkey <= 300
              |AND year(l_shipdate) IN ( SELECT year(o_orderdate)
-             |  FROM orders WHERE o_orderkey <= 5 )""".stripMargin))
+             |  FROM orders WHERE o_orderkey <= 5 )""".stripMargin)),
+
+    // string_agg (round 12): SORTED string aggregation — elements
+    // collect, sort, join, so the output is deterministic under any
+    // partitioning (the oracle spells the same order with ORDER BY).
+    "hashql_string_agg" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_regionkey, string_agg(nation.n_name, ',') as names " +
+          "from nation group by nation.n_regionkey order by nation.n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // min_by/max_by (round 12; DuckDB arg_min/arg_max): each customer's
+    // first and latest order price by the UNIQUE order key
+    // (deterministic — ties impossible on a unique key).
+    "hashql_arg_extreme" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, " +
+          "max_by(orders.o_totalprice, orders.o_orderkey) as last_price, " +
+          "min_by(orders.o_totalprice, orders.o_orderkey) as first_price " +
+          "from orders group by orders.o_custkey"),
+      Some("""SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS last_price,
+             |  arg_min(o_totalprice, o_orderkey) AS first_price
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // grouping() (round 12): the subtotal marker distinguishes a rolled-
+    // away key from a data NULL on the expanded frame.
+    "hashql_grouping" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, count(*) as n, " +
+          "grouping(lineitem.l_returnflag) as is_total from lineitem " +
+          "group by rollup ( lineitem.l_returnflag )"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS is_total
+             |FROM lineitem GROUP BY ROLLUP ( l_returnflag )""".stripMargin))
   )
 }

@@ -309,6 +309,24 @@ object HashQL {
     * plain aggregate). fn ∈ count_star | count | count_distinct | sum |
     * avg | min | max. The alias is addressable in HAVING and ORDER BY. */
   final case class AggExprItem(fn: String, expr: Expr, alias: String) extends SelectItem
+  /** `string_agg(<expr>, '<sep>') as alias` (round-12): SORTED string
+    * aggregation — elements collect, sort, and join with the literal
+    * separator, so the output is deterministic under any partitioning
+    * (DuckDB mirror: `string_agg(x, sep ORDER BY x)`). NULL elements are
+    * skipped (both engines); an all-NULL group yields NULL, not ''. */
+  final case class StringAggItem(e: Expr, sep: String, alias: String) extends SelectItem
+  /** `min_by|max_by(<value>, <key>) as alias` (round-12): the value at
+    * the extremal key (DuckDB: arg_min/arg_max). Ties on the key pick an
+    * arbitrary row on BOTH engines — use a unique key for deterministic
+    * results. */
+  final case class ArgExtremeItem(fn: String, v: Expr, k: Expr,
+                                  alias: String) extends SelectItem {
+    require(fn == "min_by" || fn == "max_by", s"bad arg-extreme fn: $fn")
+  }
+  /** `grouping(t.g) as alias` (round-12): 1 on a ROLLUP/CUBE subtotal
+    * row where `g` is rolled away, 0 on data rows — distinguishes a
+    * subtotal NULL from a data NULL. Valid only with rollup/cube. */
+  final case class GroupingItem(ref: ColRef, alias: String) extends SelectItem
 
   sealed trait Pred
   final case class Eq(ref: ColRef, value: Any) extends Pred
@@ -749,7 +767,8 @@ object HashQL {
               s"projected field ${r.column} is not a grouping key")
             case Star => throw new IllegalArgumentException(
               "create agg view cannot project *")
-            case _: ExprItem | _: AggExprItem | _: ScalarSubItem =>
+            case _: ExprItem | _: AggExprItem | _: ScalarSubItem |
+                 _: StringAggItem | _: ArgExtremeItem | _: GroupingItem =>
               throw new IllegalArgumentException(
                 "create agg view aggregates plain columns " +
                   "(count/sum/avg/min/max(t.f)) — expression aggregates " +
@@ -1106,6 +1125,29 @@ object HashQL {
             case AggCall(fn, r) => AggExprItem(fn, ECol(r), aliasAfterAs(fn))
             case other => other
           } else item0)
+        }
+        else if (is("string_agg") && peekAt(1) == "(") {
+          // `string_agg(<expr>, '<sep>') as alias` — sorted-deterministic
+          next(); kw("(")
+          val e = exprTree(); kw(",")
+          val sep = literal()
+          require(sep.isInstanceOf[String],
+            s"string_agg expects a quoted separator literal, got $sep")
+          kw(")")
+          items += StringAggItem(e, sep.toString, aliasAfterAs("string_agg(…)"))
+        }
+        else if ((is("min_by") || is("max_by")) && peekAt(1) == "(") {
+          // `min_by|max_by(<value>, <key>) as alias` — value at extremal key
+          val fn = next().toLowerCase; kw("(")
+          val v = exprTree(); kw(",")
+          val k = exprTree(); kw(")")
+          items += ArgExtremeItem(fn, v, k, aliasAfterAs(s"$fn(…)"))
+        }
+        else if (is("grouping") && peekAt(1) == "(") {
+          // `grouping(t.g) as alias` — rollup/cube subtotal marker
+          next(); kw("(")
+          val r = colRef(); kw(")")
+          items += GroupingItem(r, aliasAfterAs("grouping(…)"))
         }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("(")
@@ -2412,6 +2454,21 @@ object HashQL {
       case AggExprItem("avg", e, a) => avg(exprColumn(cat, e)).as(a)
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
+      // sorted-deterministic string aggregation (round-12): collect,
+      // sort, join — partitioning-independent; all-NULL/empty groups
+      // yield NULL like DuckDB's string_agg, not ''
+      case StringAggItem(e, sep, a) =>
+        val arr = sort_array(collect_list(exprColumn(cat, e)))
+        when(size(arr) === 0, lit(null))
+          .otherwise(concat_ws(sep, arr)).as(a)
+      // value at the extremal key (round-12; DuckDB arg_min/arg_max)
+      case ArgExtremeItem("min_by", v, k, a) =>
+        min_by(exprColumn(cat, v), exprColumn(cat, k)).as(a)
+      case ArgExtremeItem("max_by", v, k, a) =>
+        max_by(exprColumn(cat, v), exprColumn(cat, k)).as(a)
+      // ROLLUP/CUBE subtotal marker (round-12): 1 where the key rolled
+      // away, 0 on data rows — BIGINT on both engines
+      case GroupingItem(r, a) => grouping(col(r.column)).cast("long").as(a)
     }
 
   /** `create agg view as select …` → one summary parquet at `path` +
@@ -3038,6 +3095,14 @@ object HashQL {
           coalAlias(c))
       case c: Coalesce2 => itemsBuf += c
       case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
+      case StringAggItem(e, sep, a) => itemsBuf += StringAggItem(expr(e), sep, a)
+      case ArgExtremeItem(fn, v, k, a) =>
+        itemsBuf += ArgExtremeItem(fn, expr(v), expr(k), a)
+      // grouping's key addresses the RESTORED output name (the grouped
+      // branch rewrites aliased keys to it)
+      case g0: GroupingItem =>
+        itemsBuf += (if (aliases.contains(g0.ref.table))
+          g0.copy(ref = ColRef("", g0.ref.column)) else g0)
     }
     // an aliased GROUP BY key addresses the OUTPUT name (the projection
     // restored it); if the key is not projected, auto-project the rename
@@ -3121,6 +3186,9 @@ object HashQL {
           part = w.part.map(ren),
           order = w.order.map { case (r, d) => (ren(r), d) })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
+        case StringAggItem(e, sep, a) => StringAggItem(expr(e), sep, a)
+        case ArgExtremeItem(fn, v, k, a) =>
+          ArgExtremeItem(fn, expr(v), expr(k), a)
         case other => other
       },
       joins = s0.joins.map(j => j.copy(l = ren(j.l), r = ren(j.r),
@@ -3215,6 +3283,10 @@ object HashQL {
             require(!items.exists(_.isInstanceOf[ScalarSubItem]),
               "scalar subqueries cannot mix with GROUP BY in one select — " +
                 "stage through a CTE")
+            require(sel.groupMode.nonEmpty ||
+              !items.exists(_.isInstanceOf[GroupingItem]),
+              "grouping() marks ROLLUP/CUBE subtotal rows — a plain " +
+                "GROUP BY has none")
             // scalar expressions in a grouped select come in two kinds
             // (round-10 growth): an ExprItem whose alias appears in the
             // GROUP BY list is a COMPUTED GROUPING KEY — evaluated
@@ -3262,6 +3334,9 @@ object HashQL {
               case AggCall("count_distinct", r) => Seq(s"cntd_${r.column}")
               case AggCall(fn, r) => Seq(s"${fn}_${r.column}")
               case AggExprItem(_, _, a) => Seq(a)
+              case StringAggItem(_, _, a) => Seq(a)
+              case ArgExtremeItem(_, _, _, a) => Seq(a)
+              case GroupingItem(_, a) => Seq(a)
               case _ => Seq.empty
             }.toSet
             val havingAdds = having.flatMap(h => h.agg.map(h.column -> _))
@@ -3292,6 +3367,8 @@ object HashQL {
               // spelling (no user-visible name) — stripped from the output
               .drop(gs.map(_.column).filter(_.startsWith("graft_gk")): _*)
           case _ =>
+            require(!items.exists(_.isInstanceOf[GroupingItem]),
+              "grouping() is valid only under GROUP BY ROLLUP/CUBE")
             val docPaths = items.collect { case Field(r) if r.column.startsWith("~") => r }
             if (docPaths.nonEmpty) {
               require(!items.exists(_.isInstanceOf[WinCall]),
@@ -3381,10 +3458,13 @@ object HashQL {
                 case c: Coalesce2 => Seq(coalAlias(c))
                 case e: ExprItem => Seq(e.alias)
                 case s0: ScalarSubItem => Seq(s0.alias)
-                case CountStar | _: AggCall | _: AggExprItem => Seq.empty
+                case CountStar | _: AggCall | _: AggExprItem |
+                     _: StringAggItem | _: ArgExtremeItem |
+                     _: GroupingItem => Seq.empty
               }
               val isAggItem = (i: SelectItem) => i match {
-                case CountStar | _: AggCall | _: AggExprItem => true
+                case CountStar | _: AggCall | _: AggExprItem |
+                     _: StringAggItem | _: ArgExtremeItem => true
                 // an expression over aggregates is itself an aggregate
                 // output (`sum(a) / sum(b) as r`)
                 case e: ExprItem => aggNodes(e.expr).nonEmpty

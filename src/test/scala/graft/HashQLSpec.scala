@@ -1795,6 +1795,38 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("string_agg / min_by / max_by / grouping() (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", "z", 1), ("a", "m", 5), ("b", "q", 2)).foreach { case (g, s0, v) =>
+      HashQL.execute(cat, s"insert into t (g, s, v) values ('$g', '$s0', $v)") }
+    // string_agg sorts elements — deterministic under any partitioning
+    val sa = HashQL.execute(cat,
+      "select t.g, string_agg(t.s, ',') as names from t group by t.g " +
+        "order by t.g").get
+    assert(sa.as[(String, String)].collect().toSeq ==
+      Seq(("a", "m,z"), ("b", "q")))
+    // min_by/max_by: the value at the extremal key
+    val ae = HashQL.execute(cat,
+      "select t.g, max_by(t.s, t.v) as top, min_by(t.s, t.v) as bottom " +
+        "from t group by t.g order by t.g").get
+    assert(ae.as[(String, String, String)].collect().toSeq ==
+      Seq(("a", "m", "z"), ("b", "q", "q")))
+    // global (no GROUP BY) forms work too
+    val g0 = HashQL.execute(cat,
+      "select string_agg(t.g, '|') as gs, max_by(t.s, t.v) as top from t").get
+      .collect().head
+    assert(g0.getString(0) == "a|a|b" && g0.getString(1) == "m")
+    // grouping() marks rollup subtotal rows; rejected without rollup
+    val gr = HashQL.execute(cat,
+      "select t.g, count(*), grouping(t.g) as is_total from t " +
+        "group by rollup ( t.g ) order by is_total, t.g").get
+    assert(gr.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 0L), ("b", 1L, 0L), (null, 3L, 1L)))
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g, count(*), grouping(t.g) as x from t group by t.g"))
+    assert(e.getMessage.contains("ROLLUP"), e.getMessage)
+  }
+
   test("simple CASE form and computed-head IN subqueries (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("b", 2), ("c", 3), (null, 9)).foreach { case (g, v) =>
