@@ -2536,6 +2536,33 @@ object HashqlSuite extends Suite {
           "group by rollup ( lineitem.l_returnflag )"),
       Some("""SELECT l_returnflag, count(*) AS n,
              |  CAST(GROUPING(l_returnflag) AS BIGINT) AS is_total
-             |FROM lineitem GROUP BY ROLLUP ( l_returnflag )""".stripMargin))
+             |FROM lineitem GROUP BY ROLLUP ( l_returnflag )""".stripMargin)),
+
+    // ANSI FILTER clause (round 12): per-group conditional aggregates
+    // without CASE noise — returned-quantity sums next to totals, one
+    // agg pass.
+    "hashql_filter_clause" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_linestatus, " +
+          "count(*) filter ( where lineitem.l_returnflag = 'R' ) as n_returned, " +
+          "sum(lineitem.l_quantity) filter ( where lineitem.l_returnflag = 'R' ) " +
+          "as qty_returned, count(*) as n from lineitem " +
+          "group by lineitem.l_linestatus order by lineitem.l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  count(*) FILTER ( WHERE l_returnflag = 'R' ) AS n_returned,
+             |  sum(l_quantity) FILTER ( WHERE l_returnflag = 'R' ) AS qty_returned,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // sum(distinct) + extract() sugar (round 12): distinct-value sums
+    // and the ANSI date-part spelling, one statement.
+    "hashql_sum_distinct_extract" -> Q(
+      (s, d) => run(s, d,
+        "select extract ( year from orders.o_orderdate ) as y, " +
+          "sum(distinct orders.o_custkey) as sd, count(*) as n " +
+          "from orders group by y order by y"),
+      Some("""SELECT extract(year FROM o_orderdate) AS y,
+             |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sd, count(*) AS n
+             |FROM orders GROUP BY y ORDER BY y""".stripMargin))
   )
 }

@@ -1109,6 +1109,24 @@ object HashQL {
             }
             items += windowSpec("count", warg)
           }
+          // `count(…) filter ( where <pred> )` (round-12): the ANSI
+          // FILTER clause — desugars to a CASE-gated aggregate (count of
+          // the matching rows only); requires `as <alias>` (computed)
+          else if (is("filter")) {
+            next(); kw("("); kw("where")
+            val p = predExpr(); kw(")")
+            val gated = item0 match {
+              case CountStar => ECase(Seq((p, ELit(1L))), None)
+              case AggCall(_, r) => ECase(Seq((p, ECol(r))), None)
+              case other => throw new IllegalStateException(s"$other")
+            }
+            val fn = item0 match {
+              case CountStar => "count"
+              case AggCall(fn0, _) => fn0
+              case other => throw new IllegalStateException(s"$other")
+            }
+            items += AggExprItem(fn, gated, aliasAfterAs("count(…) filter (…)"))
+          }
           // `count(…) as alias` re-aliases the aggregate (the alias then
           // addresses it in HAVING/ORDER BY in place of the auto-alias);
           // an arithmetic continuation makes it an expression over
@@ -1151,10 +1169,27 @@ object HashQL {
         }
         else if (Seq("sum", "avg", "min", "max").exists(is)) {
           val fn = next().toLowerCase; kw("(")
+          // `sum(distinct <expr>)` (round-12): distinct-value sum — the
+          // other aggregates don't take DISTINCT (min/max are unaffected
+          // by it; avg(distinct) has no codegen'd Spark Column)
+          val dist = is("distinct") && { next(); true }
+          require(!dist || fn == "sum",
+            "DISTINCT applies to sum and count aggregates only")
           val e = exprTree(); kw(")")
+          if (dist) {
+            items += AggExprItem("sum_distinct", e, aliasAfterAs("sum(distinct …)"))
+          }
+          // `<agg>(…) filter ( where <pred> )` (round-12): ANSI FILTER —
+          // a CASE-gated aggregate over the matching rows only
+          else if (is("filter")) {
+            next(); kw("("); kw("where")
+            val p = predExpr(); kw(")")
+            items += AggExprItem(fn, ECase(Seq((p, e)), None),
+              aliasAfterAs(s"$fn(…) filter (…)"))
+          }
           // an arithmetic continuation makes the whole item an expression
           // OVER aggregates — `sum(a) / sum(b) as r`, the ratio idiom
-          items += (if (arithOps.exists(is))
+          else items += (if (arithOps.exists(is))
             ExprItem(exprTreeFrom(EAgg(fn, e)),
               aliasAfterAs(s"$fn(<expression>) <op> …"))
           else e match {
@@ -1505,6 +1540,20 @@ object HashQL {
         val els = if (is("else")) { next(); Some(exprTree()) } else None
         kw("end")
         ECase(brs.toSeq, els)
+      }
+      else if (is("extract") && peekAt(1) == "(") {
+        // `extract ( <part> from <expr> )` (round-12) — ANSI sugar for
+        // the date-part functions; parts limited to the engine-agreeing
+        // set (dayofweek deliberately absent, like the function forms)
+        next(); kw("(")
+        val part = next().toLowerCase
+        require(Set("year", "month", "day", "hour", "minute", "quarter",
+          "week", "dayofyear").contains(part),
+          s"extract takes year|month|day|hour|minute|quarter|week|dayofyear, got $part")
+        kw("from")
+        val e0 = exprTree()
+        kw(")")
+        EFunc(part, Seq(e0))
       }
       else if ((is("date") || is("timestamp")) && peekAt(1).startsWith("'")) {
         // typed temporal literal in expression position — `date
@@ -2451,6 +2500,8 @@ object HashQL {
       case AggExprItem("count_distinct", e, a) =>
         count_distinct(exprColumn(cat, e)).as(a)
       case AggExprItem("sum", e, a) => sum(exprColumn(cat, e)).as(a)
+      case AggExprItem("sum_distinct", e, a) =>
+        sum_distinct(exprColumn(cat, e)).as(a)
       case AggExprItem("avg", e, a) => avg(exprColumn(cat, e)).as(a)
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)

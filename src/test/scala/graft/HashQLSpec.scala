@@ -1795,6 +1795,36 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("FILTER clause, sum(distinct), EXTRACT sugar (round-12)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 1), ("a", 4), ("b", 2)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // FILTER gates the aggregate to matching rows only
+    val f = HashQL.execute(cat,
+      "select t.g, count(*) filter ( where t.v > 1 ) as big, " +
+        "sum(t.v) filter ( where t.v > 1 ) as big_sum, " +
+        "count(*) as n from t group by t.g order by t.g").get
+    assert(f.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 4L, 3L), ("b", 1L, 2L, 1L)))
+    // sum(distinct) collapses duplicate values
+    val sd = HashQL.execute(cat,
+      "select t.g, sum(distinct t.v) as sd from t group by t.g order by t.g").get
+    assert(sd.as[(String, Long)].collect().toSeq == Seq(("a", 5L), ("b", 2L)))
+    // extract(part from x) = the date-part functions
+    HashQL.execute(cat, "insert into ev (d) values (timestamp '2021-07-04')")
+    val ex = HashQL.execute(cat,
+      "select extract ( month from ev.d ) as m, " +
+        "extract ( dayofyear from ev.d ) as dy from ev").get.collect().head
+    assert(ex.getLong(0) == 7L && ex.getLong(1) == 185L)
+    // guards: distinct on non-sum/count; unknown extract part
+    val e1 = intercept[IllegalArgumentException](HashQL.parse(
+      "select avg(distinct t.v) as x from t"))
+    assert(e1.getMessage.contains("DISTINCT"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.parse(
+      "select extract ( dow from ev.d ) as x from ev"))
+    assert(e2.getMessage.contains("extract takes"), e2.getMessage)
+  }
+
   test("string_agg / min_by / max_by / grouping() (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", "z", 1), ("a", "m", 5), ("b", "q", 2)).foreach { case (g, s0, v) =>
