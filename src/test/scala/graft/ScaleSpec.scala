@@ -611,6 +611,35 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("Q21 shape: EXISTS/NOT-EXISTS self-join correlation stays hash semi/anti (round-12)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("supplier", "lineitem", "orders", "nation")
+      .foreach(n => cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select supplier.s_name, count(*) as numwait from supplier " +
+        "inner join lineitem l1 on supplier.s_suppkey = l1.l_suppkey " +
+        "inner join orders on l1.l_orderkey = orders.o_orderkey " +
+        "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+        "where orders.o_orderstatus = 'F' " +
+        "and exists ( select l2.l_orderkey from lineitem l2 " +
+        "where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey ) " +
+        "and not exists ( select l3.l_orderkey from lineitem l3 " +
+        "where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey " +
+        "and l3.l_shipdate > date '2000-06-30' ) " +
+        "group by supplier.s_name").get
+    val plan = df.queryExecution.executedPlan.toString
+    // the cross inequalities ride the semi/anti JOIN CONDITIONS — hash
+    // joins on the equality key, never a nested loop over lineitem²
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"Q21 subqueries degenerated:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi+anti joins:\n${plan.take(1500)}")
+    df.count()
+  }
+
   test("QUALIFY plans Filter-over-Window — no extra exchange beyond the window's") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
