@@ -2563,6 +2563,20 @@ object HashqlSuite extends Suite {
           "from orders group by y order by y"),
       Some("""SELECT extract(year FROM o_orderdate) AS y,
              |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sd, count(*) AS n
-             |FROM orders GROUP BY y ORDER BY y""".stripMargin))
+             |FROM orders GROUP BY y ORDER BY y""".stripMargin)),
+
+    // median + explicit NULLS placement (round 12): exact medians over
+    // integer-valued quantities hash-match (both engines interpolate
+    // even counts the same way); the NULLS FIRST key proves the explicit
+    // placement survives a LIMIT.
+    "hashql_median_nulls" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, median(lineitem.l_quantity) as med, " +
+          "count(*) as n from lineitem " +
+          "group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag desc nulls first"),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag DESC NULLS FIRST""".stripMargin))
   )
 }

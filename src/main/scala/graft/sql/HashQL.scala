@@ -519,8 +519,12 @@ object HashQL {
                           // sort keys are full scalar EXPRESSIONS over
                           // output columns (round-11 growth — `order by
                           // length(t.name) desc`); a bare ECol keeps the
-                          // round-7 output-column addressing
-                          orderBy: Seq[(Expr, Boolean)] = Nil,
+                          // round-7 output-column addressing. The third
+                          // element: explicit NULLS FIRST(true)/LAST
+                          // (false); None keeps the pinned defaults
+                          // (asc→nulls-last, desc→nulls-last — the
+                          // engines' shared LIMIT-stable order)
+                          orderBy: Seq[(Expr, Boolean, Option[Boolean])] = Nil,
                           limit: Option[Int] = None,
                           distinct: Boolean = false,
                           offset: Option[Int] = None,
@@ -1167,7 +1171,7 @@ object HashQL {
           val r = colRef(); kw(")")
           items += GroupingItem(r, aliasAfterAs("grouping(…)"))
         }
-        else if (Seq("sum", "avg", "min", "max").exists(is)) {
+        else if (Seq("sum", "avg", "min", "max", "median").exists(is)) {
           val fn = next().toLowerCase; kw("(")
           // `sum(distinct <expr>)` (round-12): distinct-value sum — the
           // other aggregates don't take DISTINCT (min/max are unaffected
@@ -1385,7 +1389,7 @@ object HashQL {
       } else Nil
       val orderBy = if (is("order")) {
         next(); kw("by")
-        val obs = scala.collection.mutable.ArrayBuffer.empty[(Expr, Boolean)]
+        val obs = scala.collection.mutable.ArrayBuffer.empty[(Expr, Boolean, Option[Boolean])]
         var m = true
         while (m) {
           // a sort key is a full scalar EXPRESSION over OUTPUT columns
@@ -1397,7 +1401,19 @@ object HashQL {
           val desc =
             if (is("desc")) { next(); true }
             else { if (is("asc")) next(); false }
-          obs += ((e, desc))
+          // `nulls first | nulls last` (round-12) — explicit null
+          // placement; omitted keeps the pinned engine-shared defaults
+          val nf: Option[Boolean] =
+            if (is("nulls")) {
+              next()
+              next().toLowerCase match {
+                case "first" => Some(true)
+                case "last" => Some(false)
+                case t => throw new IllegalArgumentException(
+                  s"expected first|last after NULLS, got $t")
+              }
+            } else None
+          obs += ((e, desc, nf))
           if (is(",")) next() else m = false
         }
         obs.toSeq
@@ -2490,6 +2506,10 @@ object HashQL {
         count_distinct(col(r.column)).as(s"cntd_${r.column}")
       case AggCall("sum", r) => sum(col(r.column)).as(s"sum_${r.column}")
       case AggCall("avg", r) => avg(col(r.column)).as(s"avg_${r.column}")
+      // exact median (round-12): both engines linearly interpolate even
+      // counts, so integer-valued inputs hash-match (DuckDB: median);
+      // non-reaggregable — MatView containment skips it by construction
+      case AggCall("median", r) => median(col(r.column)).as(s"median_${r.column}")
       case AggCall("min", r) => min(col(r.column)).as(s"min_${r.column}")
       case AggCall("max", r) => max(col(r.column)).as(s"max_${r.column}")
       // aggregates over computed expressions (round-9 growth): same
@@ -2503,6 +2523,7 @@ object HashQL {
       case AggExprItem("sum_distinct", e, a) =>
         sum_distinct(exprColumn(cat, e)).as(a)
       case AggExprItem("avg", e, a) => avg(exprColumn(cat, e)).as(a)
+      case AggExprItem("median", e, a) => median(exprColumn(cat, e)).as(a)
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
       // sorted-deterministic string aggregation (round-12): collect,
@@ -3193,7 +3214,7 @@ object HashQL {
       groupBy = groupBy2,
       having = sel.having.map(hp),
       qualify = sel.qualify.map(hp),
-      orderBy = sel.orderBy.map { case (e, d) => (outExpr(e), d) },
+      orderBy = sel.orderBy.map { case (e, d, nf) => (outExpr(e), d, nf) },
       aliases = Nil)
   }
 
@@ -3246,7 +3267,7 @@ object HashQL {
         extra = j.extra.map { case (l2, r2) => (ren(l2), ren(r2)) })),
       wheres = s0.wheres.map(pred),
       groupBy = s0.groupBy.map(ren),
-      orderBy = s0.orderBy.map { case (e, d) => (expr(e), d) })
+      orderBy = s0.orderBy.map { case (e, d, nf) => (expr(e), d, nf) })
   }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
@@ -3629,9 +3650,16 @@ object HashQL {
         // a bare ECol lowers to the same output-column reference as ever.
         val ordered =
           if (orderBy.isEmpty) dedup
-          else dedup.orderBy(orderBy.map { case (e, desc) =>
+          else dedup.orderBy(orderBy.map { case (e, desc, nf) =>
             val c = exprColumn(cat, e)
-            if (desc) c.desc else c.asc_nulls_last }: _*)
+            (desc, nf) match {
+              case (false, None) => c.asc_nulls_last
+              case (true, None) => c.desc
+              case (false, Some(first)) =>
+                if (first) c.asc_nulls_first else c.asc_nulls_last
+              case (true, Some(first)) =>
+                if (first) c.desc_nulls_first else c.desc_nulls_last
+            } }: _*)
         val skipped = offset.fold(ordered)(ordered.offset)
         limit.fold(skipped)(skipped.limit)
     }

@@ -1795,6 +1795,27 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("NULLS FIRST/LAST and median (round-12)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 3), ('c', 2)")
+    HashQL.execute(cat, "insert into t (g) values ('d')") // v NULL
+    // explicit null placement overrides the pinned defaults
+    val nf = HashQL.execute(cat,
+      "select t.g from t order by t.v asc nulls first").get
+    assert(nf.as[String].collect().toSeq == Seq("d", "a", "c", "b"))
+    val nl = HashQL.execute(cat,
+      "select t.g from t order by t.v desc nulls last").get
+    assert(nl.as[String].collect().toSeq == Seq("b", "c", "a", "d"))
+    // median: exact, interpolating even counts like DuckDB
+    val med = HashQL.execute(cat,
+      "select median(t.v) as m, count(*) as n from t").get.collect().head
+    assert(med.getDouble(0) == 2.0)
+    val med2 = HashQL.execute(cat,
+      "select t.g, median(t.v) from t group by t.g order by t.g limit 1").get
+      .collect().head
+    assert(med2.getDouble(1) == 1.0)
+  }
+
   test("FILTER clause, sum(distinct), EXTRACT sugar (round-12)") {
     val cat = new GraftCatalog(spark)
     Seq(("a", 1), ("a", 1), ("a", 4), ("b", 2)).foreach { case (g, v) =>
