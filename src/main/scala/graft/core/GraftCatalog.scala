@@ -115,6 +115,33 @@ final class GraftCatalog(val spark: SparkSession) {
     rowDf
   }
 
+  /** M1 growth (round-12): INSERT … SELECT — bulk append of a query's
+    * rows. The delta materializes ONCE (localCheckpoint) so the
+    * synthesized ids are STABLE across re-evaluations (a lazy plan would
+    * re-assign them nondeterministically per read); ids continue the
+    * table's monotonic counter via zipWithIndex — one extra pass over
+    * the DELTA only, never the table. Appends conform by schema union
+    * like every dialect insert. Returns the id-stamped delta — the
+    * O(delta) feed for incremental view maintenance. */
+  def insertSelect(name: String, rows: DataFrame): DataFrame = {
+    require(!rows.columns.contains("id"),
+      "INSERT … SELECT: the dialect synthesizes id — don't project one")
+    val base = counters.getOrElse(name, 0L)
+    val pinned = rows.localCheckpoint()
+    val schema0 = pinned.schema
+    val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((base + 1 + i) +: r.toSeq) }
+    val withId = spark.createDataFrame(rdd,
+      StructType(StructField("id", LongType) +: schema0.fields))
+      .localCheckpoint()
+    counters += name -> (base + withId.count())
+    commit(name, tables.get(name) match {
+      case Some(existing) => existing.unionByName(withId, allowMissingColumns = true)
+      case None => withId
+    })
+    withId
+  }
+
   /** M2 UPDATE … SET … WHERE (copy-on-write `when` projection). */
   def update(name: String, setField: String, setValue: Any,
              where: org.apache.spark.sql.Column): Unit = {

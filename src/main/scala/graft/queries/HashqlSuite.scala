@@ -2577,6 +2577,27 @@ object HashqlSuite extends Suite {
           "order by lineitem.l_returnflag desc nulls first"),
       Some("""SELECT l_returnflag, median(l_quantity) AS med, count(*) AS n
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag DESC NULLS FIRST""".stripMargin))
+             |ORDER BY l_returnflag DESC NULLS FIRST""".stripMargin)),
+
+    // INSERT … SELECT (round 12): two bulk appends land with synthesized
+    // ids continuing the monotonic counter — min_id 1, max_id = total
+    // row count prove the id sequence spans both appends contiguously.
+    "hashql_insert_select" -> Q(
+      (s, d) => {
+        val cat = tpchCat(s, d)
+        HashQL.execute(cat, "insert into rich ( ck, bal ) " +
+          "select customer.c_custkey, customer.c_acctbal from customer " +
+          "where customer.c_acctbal > 9000")
+        HashQL.execute(cat, "insert into rich ( ck, bal ) " +
+          "select customer.c_custkey, customer.c_acctbal from customer " +
+          "where customer.c_acctbal < 100")
+        HashQL.execute(cat,
+          "select count(*) as n, sum(floor(rich.bal * 100)) as cents, " +
+            "min(rich.id) as min_id, max(rich.id) as max_id from rich").get
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |  CAST(1 AS BIGINT) AS min_id, CAST(count(*) AS BIGINT) AS max_id
+             |FROM customer WHERE c_acctbal > 9000 OR c_acctbal < 100""".stripMargin))
   )
 }

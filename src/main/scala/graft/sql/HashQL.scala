@@ -451,6 +451,13 @@ object HashQL {
     * row-at-a-time, server.py:666-669). */
   final case class Insert(table: String, fields: Seq[String],
                           rows: Seq[Seq[Any]]) extends Stmt
+  /** `insert into t [( f, g )] select …` (round-12 — bulk append): the
+    * query's rows append with synthesized ids continuing the table's
+    * counter (materialized once so ids are stable); a column list renames
+    * the select's outputs positionally. The id column itself cannot be
+    * projected (the dialect synthesizes it). */
+  final case class InsertSelect(table: String, fields: Seq[String],
+                                body: Stmt) extends Stmt
   /** `create table t as select …` (growth — CTAS): registers the SELECT's
     * result frame as a new catalog table. Lazy like every catalog entry —
     * the scan/join plan IS the table until something materializes it;
@@ -785,12 +792,19 @@ object HashQL {
       case other => throw new IllegalArgumentException(s"unsupported statement: $other")
     }
 
-    private def insertRest(): Insert = {
+    private def insertRest(): Stmt = {
       val table = next()
+      // `insert into t select …` — bulk append, no column list
+      if (is("select")) { next(); return InsertSelect(table, Nil, selectOrUnion()) }
       kw("(")
       val fields = scala.collection.mutable.ArrayBuffer(next())
       while (is(",")) { next(); fields += next() }
-      kw(")"); kw("values")
+      kw(")")
+      // `insert into t ( a, b ) select …` — the list renames positionally
+      if (is("select")) {
+        next(); return InsertSelect(table, fields.toSeq, selectOrUnion())
+      }
+      kw("values")
       val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
       // explicit NULL in VALUES = the field omitted for that row (the
       // dialect's dynamic schema already means "missing => null", so the
@@ -2641,6 +2655,21 @@ object HashQL {
         // positive partials alone), so it gets the same O(delta) feed.
         registry.foreach(_.onInsert(cat, t,
           insertDeltaFrame(cat.table(t), rowDfs)))
+        None
+      case InsertSelect(t, fs, body) =>
+        // bulk append (round-12): the query's rows land with synthesized
+        // ids continuing the counter; the delta (already materialized by
+        // insertSelect for id stability) feeds the same O(delta) hook
+        var frame = queryFrame(cat, body, registry)
+        if (fs.nonEmpty) {
+          require(frame.columns.length == fs.length,
+            s"insert column list names ${fs.length} fields, the select " +
+              s"projects ${frame.columns.length}")
+          frame = frame.toDF(fs: _*)
+        }
+        val delta = cat.insertSelect(t, frame)
+        registry.foreach(_.onInsert(cat, t,
+          insertDeltaFrame(cat.table(t), Seq(delta))))
         None
       case CreateTableAs(t, sel) =>
         require(!cat.exists(t), s"create table: $t already exists")

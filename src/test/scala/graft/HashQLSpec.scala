@@ -1795,6 +1795,39 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("INSERT ... SELECT: bulk append with stable synthesized ids (round-12)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into src (g, v) values ('a', 1), ('b', 2), ('c', 3)")
+    // seed the target through a VALUES insert, then bulk-append
+    HashQL.execute(cat, "insert into dst (g, v) values ('z', 99)")
+    HashQL.execute(cat,
+      "insert into dst ( g, v ) select src.g, src.v * 10 as v10 from src " +
+        "where src.v >= 2")
+    val rows = cat.table("dst").orderBy("id")
+      .select("id", "g", "v").as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "z", 99L), (2L, "b", 20L), (3L, "c", 30L)))
+    // ids are STABLE across evaluations (the delta materialized once)
+    val again = cat.table("dst").orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    assert(again == Seq(1L, 2L, 3L))
+    // the counter continues after the bulk append
+    HashQL.execute(cat, "insert into dst (g, v) values ('w', 7)")
+    assert(cat.table("dst").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // bare form (no column list) keeps the select's names; schema unions
+    HashQL.execute(cat,
+      "insert into dst2 select src.g, length(src.g) as glen from src")
+    assert(cat.table("dst2").columns.toSeq == Seq("id", "g", "glen"))
+    assert(cat.table("dst2").count() == 3)
+    // guards: projecting id, arity mismatch
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into dst3 select src.id, src.g from src"))
+    assert(e1.getMessage.contains("synthesizes id"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into dst ( g ) select src.g, src.v from src"))
+    assert(e2.getMessage.contains("column list"), e2.getMessage)
+  }
+
   test("NULLS FIRST/LAST and median (round-12)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 3), ('c', 2)")
