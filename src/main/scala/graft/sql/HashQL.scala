@@ -594,6 +594,11 @@ object HashQL {
   /** `describe t` — (column_name, column_type) rows in schema order;
     * types render as Spark SQL type names (BIGINT, STRING, …). */
   final case class Describe(table: String) extends Stmt
+  /** `explain select …` (round-12) — one `plan_line` row per line of the
+    * FORMATTED physical plan (scan pushdowns, join strategies, exchanges:
+    * the things a user tunes). Introspection only — never executes the
+    * query. */
+  final case class Explain(body: Stmt) extends Stmt
   /** `with recursive name as (select base union select step) select …` —
     * the SQL fixpoint (dialect growth; DuckDB-compatible semantics):
     * UNION (distinct — ALL is rejected, bag recursion diverges on
@@ -730,6 +735,9 @@ object HashQL {
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
+      case "explain" =>
+        kw("select")
+        Explain(selectOrUnion())
       case "with" if is("recursive") =>
         // with recursive name as (select base union select step) select …
         next()
@@ -2756,6 +2764,14 @@ object HashQL {
         import s.implicits._
         Some(cat.table(t).schema.fields.toSeq
           .map(f => (f.name, f.dataType.sql)).toDF("column_name", "column_type"))
+      case Explain(body) =>
+        val s = cat.spark
+        import s.implicits._
+        val frame = queryFrame(cat, body, registry)
+        Some(frame.queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+          .linesIterator.toSeq.toDF("plan_line"))
       case sel: Select => Some(selectFrame(cat, sel, registry))
       case u: Union => Some(unionFrame(cat, u, registry))
       case so: SetOpChain => Some(setOpFrame(cat, so, registry))

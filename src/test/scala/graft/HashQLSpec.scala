@@ -1795,6 +1795,19 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("EXPLAIN: formatted physical plan lines, never executes (round-12)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 2)")
+    val plan = HashQL.execute(cat,
+      "explain select t.g, count(*) from t where t.v > 1 group by t.g").get
+    val text = plan.as[String].collect().mkString("\n")
+    assert(plan.columns.toSeq == Seq("plan_line"))
+    assert(text.contains("HashAggregate") || text.contains("Aggregate"), text)
+    // the filter over the LocalRelation constant-folds away — the plan
+    // header and node list still render
+    assert(text.contains("== Physical Plan ==") && plan.count() > 5, text)
+  }
+
   test("INSERT ... SELECT: bulk append with stable synthesized ids (round-12)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into src (g, v) values ('a', 1), ('b', 2), ('c', 3)")
