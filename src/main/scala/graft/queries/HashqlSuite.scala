@@ -37,7 +37,8 @@ object HashqlSuite extends Suite {
     cat
   }
 
-  def defs: Map[String, Q] = Map(
+  def defs: Map[String, Q] = {
+    val entries: Seq[(String, Q)] = Seq(
 
     "hashql_select_filter" -> Q(
       (s, d) => run(s, d,
@@ -2582,7 +2583,7 @@ object HashqlSuite extends Suite {
     // INSERT … SELECT (round 12): two bulk appends land with synthesized
     // ids continuing the monotonic counter — min_id 1, max_id = total
     // row count prove the id sequence spans both appends contiguously.
-    "hashql_insert_select" -> Q(
+    "hashql_insert_from_select" -> Q(
       (s, d) => {
         val cat = tpchCat(s, d)
         HashQL.execute(cat, "insert into rich ( ck, bal ) " +
@@ -2598,6 +2599,138 @@ object HashqlSuite extends Suite {
       Some("""SELECT count(*) AS n,
              |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
              |  CAST(1 AS BIGINT) AS min_id, CAST(count(*) AS BIGINT) AS max_id
-             |FROM customer WHERE c_acctbal > 9000 OR c_acctbal < 100""".stripMargin))
-  )
+             |FROM customer WHERE c_acctbal > 9000 OR c_acctbal < 100""".stripMargin)),
+
+    // ---- round 12: the last TPC-H shapes (all 22 now expressible) -----
+
+    // TPC-H Q2 (minimum-cost supplier) shape: the correlated-MIN
+    // tie-back — suppliers whose balance IS their nation's minimum,
+    // via an ALIASED same-table scalar subquery (the testdata lacks
+    // partsupp; s_acctbal stands in for ps_supplycost).
+    "hashql_q2_mincost" -> Q(
+      (s, d) => run(s, d,
+        "select supplier.s_suppkey, supplier.s_name, nation.n_name " +
+          "from supplier " +
+          "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+          "where supplier.s_acctbal = ( select min(s2.s_acctbal) " +
+          "from supplier s2 where s2.s_nationkey = supplier.s_nationkey ) " +
+          "order by supplier.s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_acctbal = ( SELECT min(s2.s_acctbal)
+             |  FROM supplier s2 WHERE s2.s_nationkey = supplier.s_nationkey )
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q9 (product-type profit) shape: per-nation per-year profit
+    // over a six-way join including part, with a TWO-FACTOR expression
+    // inside the aggregate (revenue minus a cost proxy — the testdata
+    // lacks ps_supplycost; p_retailprice × quantity stands in).
+    "hashql_q9_profit" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_name, year(orders.o_orderdate) as o_year, " +
+          "sum(floor(( lineitem.l_extendedprice * ( 1 - lineitem.l_discount ) " +
+          "- part.p_retailprice * lineitem.l_quantity * 0.1 ) * 100)) " +
+          "as profit_cents " +
+          "from lineitem " +
+          "inner join part on lineitem.l_partkey = part.p_partkey " +
+          "inner join supplier on lineitem.l_suppkey = supplier.s_suppkey " +
+          "inner join orders on lineitem.l_orderkey = orders.o_orderkey " +
+          "inner join nation on supplier.s_nationkey = nation.n_nationkey " +
+          "where part.p_type = 'PROMO' " +
+          "group by nation.n_name, o_year " +
+          "order by nation.n_name, o_year desc"),
+      Some("""SELECT n_name, year(o_orderdate) AS o_year,
+             |  CAST(sum(CAST(floor(( l_extendedprice * ( 1 - l_discount )
+             |    - p_retailprice * l_quantity * 0.1 ) * 100) AS BIGINT)) AS BIGINT)
+             |    AS profit_cents
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_type = 'PROMO'
+             |GROUP BY n_name, o_year
+             |ORDER BY n_name, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 (important stock) shape: grouped value sums kept only
+    // when they exceed a FRACTION OF THE GLOBAL TOTAL — a derived table
+    // filtered by an uncorrelated expression-over-aggregate scalar
+    // (HAVING can't see other tables; the derived-table spelling can).
+    "hashql_q11_stock" -> Q(
+      (s, d) => run(s, d,
+        "select d.l_partkey, d.value_cents from " +
+          "( select lineitem.l_partkey, " +
+          "sum(floor(lineitem.l_extendedprice * 100)) as value_cents " +
+          "from lineitem group by lineitem.l_partkey ) d " +
+          "where d.value_cents > ( select sum(floor(lineitem.l_extendedprice " +
+          "* 100)) * 0.0007 as t from lineitem ) " +
+          "order by d.value_cents desc, d.l_partkey"),
+      Some("""SELECT l_partkey, value_cents FROM
+             |( SELECT l_partkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS value_cents
+             |  FROM lineitem GROUP BY l_partkey ) d
+             |WHERE value_cents > ( SELECT sum(CAST(floor(l_extendedprice * 100)
+             |  AS BIGINT)) * 0.0007 FROM lineitem )
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q12 (shipping-mode priority) shape: per-linestatus counts of
+    // high- vs low-priority orders — CASE-gated sums with a date band
+    // (the testdata lacks l_shipmode; l_linestatus buckets instead).
+    "hashql_q12_priority" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_linestatus, " +
+          "sum(case when orders.o_orderpriority = '1-URGENT' " +
+          "or orders.o_orderpriority = '2-HIGH' then 1 else 0 end) " +
+          "as high_line_count, " +
+          "sum(case when orders.o_orderpriority <> '1-URGENT' " +
+          "and orders.o_orderpriority <> '2-HIGH' then 1 else 0 end) " +
+          "as low_line_count " +
+          "from orders " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "where lineitem.l_shipdate >= date '2000-01-01' " +
+          "and lineitem.l_shipdate < date '2001-01-01' " +
+          "group by lineitem.l_linestatus " +
+          "order by lineitem.l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+             |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= DATE '2000-01-01'
+             |AND l_shipdate < DATE '2001-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // TPC-H Q16 (parts/supplier relationship) shape: DISTINCT supplier
+    // counts per part attribute band, with NOT-equality and NOT LIKE
+    // screens (supplier set via lineitem — the testdata lacks partsupp).
+    "hashql_q16_partsupp" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_brand, part.p_size, " +
+          "count(distinct lineitem.l_suppkey) as supplier_cnt " +
+          "from part " +
+          "inner join lineitem on part.p_partkey = lineitem.l_partkey " +
+          "where part.p_brand <> 'Brand#45' " +
+          "and not part.p_type like 'MEDIUM%' " +
+          "and part.p_size in (1, 4, 9, 14, 19, 23, 36, 45) " +
+          "group by part.p_brand, part.p_size " +
+          "order by supplier_cnt desc, part.p_brand, part.p_size"),
+      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#45'
+             |AND p_type NOT LIKE 'MEDIUM%'
+             |AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+    )
+    // a duplicate key in one suite would silently shadow (Map keeps the
+    // last) — caught round 12 when a new entry collided with an r7 name
+    require(entries.map(_._1).distinct.size == entries.size,
+      s"duplicate query names in HashqlSuite: " +
+        entries.map(_._1).diff(entries.map(_._1).distinct).mkString(", "))
+    entries.toMap
+  }
 }
