@@ -2724,7 +2724,23 @@ object HashqlSuite extends Suite {
              |AND p_type NOT LIKE 'MEDIUM%'
              |AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
              |GROUP BY p_brand, p_size
-             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
+    // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
+    // the PRE-update maximum (one 1x1 evaluation, assigned as a
+    // literal); the example.py people replay keeps the oracle literal.
+    "hashql_update_scalar" -> Q(
+      (s, d) => {
+        val cat = peopleCat(s)
+        HashQL.execute(cat,
+          "update people set people.age = ( select max(people.age) " +
+            "from people ) where people.people_name = 'Ted'")
+        HashQL.execute(cat,
+          "select people.people_name, people.age from people " +
+            "order by people.people_name").get
+      },
+      Some("""SELECT * FROM (VALUES ('Fred', 45), ('Sam', 29), ('Simon', 29),
+             |  ('Ted', 45)) AS t(people_name, age)""".stripMargin))
     )
     // a duplicate key in one suite would silently shadow (Map keeps the
     // last) — caught round 12 when a new entry collided with an r7 name

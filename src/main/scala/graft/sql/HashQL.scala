@@ -479,6 +479,11 @@ object HashQL {
     * dedicated forms (SetArith's try_cast-to-long coercion predates the
     * grammar and is preserved). */
   final case class SetExpr(e: Expr) extends SetVal
+  /** `set t.a = ( select <agg> … )` (round-12): an UNCORRELATED scalar
+    * subquery right-hand side — evaluated ONCE against the pre-update
+    * state (one 1×1 collect, never per-row) and assigned as a literal.
+    * Correlated forms reject (the copy-on-write projection can't join). */
+  final case class SetScalar(sub: Select) extends SetVal
   /** `update t set t.a = …[, t.b = …]*` — multi-assignment (round 11):
     * every right-hand side evaluates against the BEFORE image
     * simultaneously (`set t.a = t.b, t.b = t.a` swaps — SQL semantics,
@@ -843,6 +848,12 @@ object HashQL {
         val ref = colRef(); kw("=")
         val v: SetVal =
           if (is("null")) { next(); SetLit(null) } // explicit null-out
+          // `= ( select <agg> … )` — a scalar-subquery RHS (round-12)
+          else if (peek == "(" && peekAt(1).equalsIgnoreCase("select")) {
+            next(); kw("select")
+            val sub = selectRest(); kw(")")
+            SetScalar(sub)
+          }
           else exprTree() match {
             case ELit(x) => SetLit(x)
             // a bare unquoted word on a SET RHS keeps its pre-grammar
@@ -2716,6 +2727,27 @@ object HashQL {
               case "*" => base * n
             }
           case SetExpr(e) => exprColumn(cat, e)
+          // scalar-subquery RHS (round-12): UNCORRELATED only — one 1×1
+          // evaluation against the PRE-update state, assigned as a
+          // literal (the copy-on-write projection can't join; correlate
+          // through CTAS instead)
+          case SetScalar(sub) =>
+            val subTables = sub.joins.flatMap(j =>
+              Seq(j.table, j.l.table, j.r.table)).toSet + sub.table
+            val leak = sub.wheres.flatMap(p =>
+              predTables(p).filterNot(subTables.contains)).distinct
+            require(leak.isEmpty,
+              s"UPDATE's scalar subquery must be uncorrelated — it " +
+                s"references ${leak.mkString(", ")}; stage correlated " +
+                "updates through CTAS")
+            val sf = selectFrame(cat, sub, registry)
+            require(sf.columns.length == 1,
+              "UPDATE's scalar subquery must project exactly one column")
+            val rows = sf.limit(2).collect()
+            require(rows.length == 1,
+              s"UPDATE's scalar subquery must yield exactly one row, " +
+                s"got ${rows.length} — aggregate it")
+            lit(rows.head.get(0))
         }
         val assigns = sets.map { case (ref, sv) => ref.column -> setCol(sv) }
         cat.updateExprs(t, assigns, cond)

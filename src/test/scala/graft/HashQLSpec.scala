@@ -1795,6 +1795,31 @@ class HashQLSpec extends SparkSpec {
     assert(bare.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("UPDATE SET with a scalar-subquery RHS: pre-state, uncorrelated only (round-12)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 5), ('c', 3)")
+    // the scalar evaluates ONCE against the PRE-update state
+    HashQL.execute(cat,
+      "update t set t.v = ( select max(t.v) from t ) where t.g = 'a'")
+    assert(cat.table("t").orderBy("id").select("v").as[Long].collect().toSeq ==
+      Seq(5L, 5L, 3L))
+    // composes with multi-assignment; other tables work too
+    HashQL.execute(cat, "insert into bounds (lo) values (100)")
+    HashQL.execute(cat,
+      "update t set t.v = ( select min(bounds.lo) from bounds ), t.g = 'x' " +
+        "where t.g = 'c'")
+    assert(cat.table("t").filter(col("g") === "x")
+      .select("v").as[Long].collect().toSeq == Seq(100L))
+    // correlated and multi-row forms reject
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update t set t.v = ( select max(u.v) from u where u.g = t.g )"))
+    assert(e1.getMessage.contains("uncorrelated"), e1.getMessage)
+    HashQL.execute(cat, "insert into bounds (lo) values (200)")
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update t set t.v = ( select bounds.lo from bounds )"))
+    assert(e2.getMessage.contains("exactly one row"), e2.getMessage)
+  }
+
   test("EXPLAIN: formatted physical plan lines, never executes (round-12)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 2)")
