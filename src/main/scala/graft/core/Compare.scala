@@ -16,6 +16,9 @@ object Compare {
     case ">" => c > lit(v)
     case "<=" => c <= lit(v)
     case ">=" => c >= lit(v)
+    // three-valued inequality (round-13): NULL input → NULL → row
+    // dropped, exactly like every comparison above
+    case "<>" => !(c === lit(v))
     case other => throw new IllegalArgumentException(s"unsupported comparison op: $other")
   }
 }

@@ -2726,6 +2726,31 @@ object HashqlSuite extends Suite {
              |GROUP BY p_brand, p_size
              |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
 
+    // avg(distinct) (round 13 — r12 queue #8): no codegen'd Spark Column
+    // exists, so the dialect lowers it as sum_distinct / count_distinct
+    // in ONE distinct-expand aggregation pass; the sum fits a long, so
+    // the double division is bitwise-identical on both engines.
+    "hashql_avg_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, avg(distinct lineitem.l_quantity) " +
+          "as avg_qty from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag, avg(DISTINCT l_quantity) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // HAVING <> (round 13 — r12 queue #8): three-valued inequality over
+    // the aggregated frame, same Filter-over-Aggregate plan as every
+    // HAVING conjunct.
+    "hashql_having_ne" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_nationkey, count(*) from customer " +
+          "group by customer.c_nationkey having count(*) <> 24 " +
+          "order by customer.c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS cnt FROM customer
+             |GROUP BY c_nationkey HAVING count(*) <> 24
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a
     // literal); the example.py people replay keeps the oracle literal.

@@ -202,8 +202,9 @@ object HashQL {
     * through HAVING. fn reuses [[AggExprItem]]'s inventory;
     * `count_star`'s arg is a placeholder. */
   final case class EAgg(fn: String, arg: Expr) extends Expr {
-    require(Set("count_star", "count", "count_distinct", "sum", "avg",
-      "min", "max").contains(fn), s"unsupported aggregate: $fn")
+    require(Set("count_star", "count", "count_distinct", "sum",
+      "sum_distinct", "avg", "min", "max").contains(fn),
+      s"unsupported aggregate: $fn")
   }
   /** Scalar function call (round-10 growth — the string/date/math tier a
     * dialect user reaches for first): fn ∈ upper | lower | length | trim
@@ -1206,14 +1207,24 @@ object HashQL {
         }
         else if (Seq("sum", "avg", "min", "max", "median").exists(is)) {
           val fn = next().toLowerCase; kw("(")
-          // `sum(distinct <expr>)` (round-12): distinct-value sum — the
-          // other aggregates don't take DISTINCT (min/max are unaffected
-          // by it; avg(distinct) has no codegen'd Spark Column)
+          // `sum(distinct <expr>)` (round-12): distinct-value sum.
+          // `avg(distinct <expr>)` (round-13): no codegen'd Spark Column
+          // exists, so it lowers as sum_distinct / count_distinct — both
+          // ride the SAME distinct-expand aggregation pass (one shuffle),
+          // cast to double so the division matches DuckDB's avg(DISTINCT)
+          // exactly. min/max are unaffected by DISTINCT — rejected toward
+          // the plain spelling.
           val dist = is("distinct") && { next(); true }
-          require(!dist || fn == "sum",
-            "DISTINCT applies to sum and count aggregates only")
+          require(!dist || fn == "sum" || fn == "avg",
+            "DISTINCT applies to sum, avg and count aggregates only")
           val e = exprTree(); kw(")")
-          if (dist) {
+          if (dist && fn == "avg") {
+            items += ExprItem(
+              EArith(ECast(EAgg("sum_distinct", e), "double"), "/",
+                EAgg("count_distinct", e)),
+              aliasAfterAs("avg(distinct …)"))
+          }
+          else if (dist) {
             items += AggExprItem("sum_distinct", e, aliasAfterAs("sum(distinct …)"))
           }
           // `<agg>(…) filter ( where <pred> )` (round-12): ANSI FILTER —
@@ -1394,7 +1405,7 @@ object HashQL {
         while (m) {
           val (target, agg) = havingTarget()
           val op = next() match {
-            case o @ ("=" | "<" | ">" | "<=" | ">=") => o
+            case o @ ("=" | "<" | ">" | "<=" | ">=" | "<>") => o
             case o => throw new IllegalArgumentException(s"unsupported having op: $o")
           }
           hs += HavingPred(target, op, havingValue(), agg)
@@ -1412,7 +1423,7 @@ object HashQL {
         while (m) {
           val (target, _) = havingTarget()
           val op = next() match {
-            case o @ ("=" | "<" | ">" | "<=" | ">=") => o
+            case o @ ("=" | "<" | ">" | "<=" | ">=" | "<>") => o
             case o => throw new IllegalArgumentException(s"unsupported qualify op: $o")
           }
           qs += HavingPred(target, op, havingValue())
@@ -1775,6 +1786,16 @@ object HashQL {
       require(rangeUnit.isEmpty || (order.size == 1 && !order.head._2),
         "a RANGE interval frame requires exactly one ASCENDING order key " +
           "(a date or timestamp column)")
+      // first/last_value under a RANGE frame read ONE peer row, but the
+      // frame orders by the key's range dimension only — rows tying on
+      // the same key make the pick nondeterministic across partitionings
+      // and engines (r12 advice). The peer-INSENSITIVE aggregates
+      // (sum/avg/min/max/count include all peers) stay deterministic.
+      require(rangeUnit.isEmpty ||
+        !Set("first_value", "last_value").contains(fn),
+        s"$fn over a RANGE interval frame is nondeterministic when order " +
+          "keys tie — use a ROWS frame over a unique key, or a " +
+          "peer-insensitive aggregate (sum/avg/min/max/count)")
       // `… over (…) as x` re-aliases the window output (else the
       // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
       val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
@@ -2377,6 +2398,7 @@ object HashQL {
       case "count" => count(exprColumn(cat, a.arg)).as(name)
       case "count_distinct" => count_distinct(exprColumn(cat, a.arg)).as(name)
       case "sum" => sum(exprColumn(cat, a.arg)).as(name)
+      case "sum_distinct" => sum_distinct(exprColumn(cat, a.arg)).as(name)
       case "avg" => avg(exprColumn(cat, a.arg)).as(name)
       case "min" => min(exprColumn(cat, a.arg)).as(name)
       case "max" => max(exprColumn(cat, a.arg)).as(name)
@@ -2434,6 +2456,25 @@ object HashQL {
     case Or(ps) => ps.flatMap(predTables).toSet
     case _ => Set.empty[String]
   }).filter(_.nonEmpty)
+
+  /** Outer-table references inside a subquery's PROJECTED items — a
+    * correlation form no branch supports (r12 advice: exprColumn ignores
+    * table qualifiers, so `( select sum(t.b) from u … )` would silently
+    * bind t.b to u's column named b and compute a wrong aggregate).
+    * Checked up front by every scalar-subquery consumer, so the reject
+    * covers the uncorrelated and eq-correlated branches exactly like the
+    * range branch's per-node check. */
+  private def scalarItemLeak(sub: Select, subTables: Set[String]): Seq[String] =
+    sub.items.flatMap {
+      case Field(r) if r.table.nonEmpty && !subTables(r.table) => Seq(r.table)
+      case AggCall(_, r) if r.table.nonEmpty && !subTables(r.table) => Seq(r.table)
+      case AggExprItem(_, e, _) => exprTables(e).filterNot(subTables).toSeq
+      case ExprItem(e, _) => exprTables(e).filterNot(subTables).toSeq
+      case StringAggItem(e, _, _) => exprTables(e).filterNot(subTables).toSeq
+      case ArgExtremeItem(_, v, k, _) =>
+        (exprTables(v) ++ exprTables(k)).filterNot(subTables).toSeq
+      case _ => Nil
+    }.distinct
 
   /** HAVING/QUALIFY right-hand side: a raw literal compares as ever; an
     * [[Expr]] (round-12 — `having sum_x > cnt * 2`) lowers over the
@@ -2740,6 +2781,13 @@ object HashQL {
               s"UPDATE's scalar subquery must be uncorrelated — it " +
                 s"references ${leak.mkString(", ")}; stage correlated " +
                 "updates through CTAS")
+            // the projected value too (r12 advice): `set t.a = ( select
+            // max(t.b) from u )` would silently bind t.b to u's column b
+            val itemLeak = scalarItemLeak(sub, subTables)
+            require(itemLeak.isEmpty,
+              s"UPDATE's scalar subquery projects outer table(s) " +
+                s"${itemLeak.mkString(", ")} — the value must be computed " +
+                "from the subquery's own tables")
             val sf = selectFrame(cat, sub, registry)
             require(sf.columns.length == 1,
               "UPDATE's scalar subquery must project exactly one column")
@@ -2904,7 +2952,10 @@ object HashQL {
       step.orderBy.isEmpty && step.limit.isEmpty && step.offset.isEmpty &&
       !step.distinct && step.qualify.isEmpty,
       "a recursive step is a plain select … from … [join …] [where …] — " +
-        "aggregate/sort/limit through the outer body instead")
+        "aggregate/sort/limit through the outer body instead; for " +
+        "per-round aggregation (shortest paths, components, peeling) use " +
+        "the graph module's bfs/sssp/cc/kcore operators, which own the " +
+        "bounded-fixpoint machinery")
     val items = step.items.map {
       case Field(r) => Field(ref(r))
       case other => throw new IllegalArgumentException(
@@ -3581,8 +3632,9 @@ object HashQL {
                 require(!fileBacked,
                   "an unpartitioned ranking window (row_number/rank/" +
                     "dense_rank/ntile with no PARTITION BY) globally sorts " +
-                    "on ONE executor — add `partition by`, or a WHERE/LIMIT " +
-                    "that bounds the input")
+                    "on ONE executor — add `partition by`, or a WHERE " +
+                    "that bounds the input (LIMIT cannot help: it applies " +
+                    "after the window has already sorted every row)")
               }
               val coals = items.collect { case c: Coalesce2 => c }
               val exprs = items.collect { case e: ExprItem => e }
@@ -3796,6 +3848,15 @@ object HashQL {
       : (DataFrame, Column, org.apache.spark.sql.types.DataType, Seq[String]) = {
     val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
       .toSet + sub.table
+    // the projected value must be built from the subquery's own tables —
+    // an outer qualifier there would silently bind to a same-named inner
+    // column (r12 advice); correlation belongs in WHERE conjuncts
+    val itemLeak = scalarItemLeak(sub, subTables)
+    require(itemLeak.isEmpty,
+      s"a scalar subquery's projected value references outer table(s) " +
+        s"${itemLeak.mkString(", ")} — the value must be computed from " +
+        "the subquery's own tables; correlate through WHERE conjuncts " +
+        "(u.k = t.k) instead")
     val countFns = Set("count_star", "count", "count_distinct")
     // classify WHERE conjuncts: equality correlation (u.k = t.k), RANGE
     // correlation (round-12 growth — `u.d < t.d`: </<=/>/>= between one
@@ -3971,9 +4032,10 @@ object HashQL {
     * predColumn handles). Null outer keys never match — EXISTS drops
     * them, NOT EXISTS keeps them (ANSI). The subquery's projection is
     * ignored per SQL; grouping/ordering decorations are rejected.
-    * Uncorrelated EXISTS degenerates to a constant gate: probe the
-    * subquery for ONE row (an O(1) LIMIT-1 action) and keep or empty the
-    * outer frame. 100 TB: the semi join broadcasts the typically
+    * Uncorrelated EXISTS degenerates to a constant gate: a LAZY ≤1-row
+    * probe rides a broadcast semi/anti join, so building the statement
+    * (EXPLAIN included — the r12 advice) runs nothing; execution pays one
+    * probe row. 100 TB: the correlated semi join broadcasts the typically
     * dimension-sized subquery side, exactly like [[InSelect]]. */
   private def existsJoin(cat: GraftCatalog, outer: DataFrame, sub: Select,
                          registry: Option[JoinRegistry],
@@ -4040,11 +4102,23 @@ object HashQL {
       }
     }
     if (corr.isEmpty && cross.isEmpty) {
-      val any = selectFrame(cat, sub.copy(wheres = local), registry)
-        .limit(1).count() > 0
+      // LAZY constant gate (r12 advice: the old `.limit(1).count()` here
+      // made EXPLAIN execute the subquery): probe the subquery for AT
+      // MOST ONE row and broadcast it — a semi join against a ≤1-row
+      // always-true side keeps everything iff the probe is non-empty
+      // (anti: iff empty), and the flag form left-joins the probe row so
+      // a miss coalesces to FALSE. Plan-only until an action runs; at
+      // execution the probe costs one row.
+      val probe = selectFrame(cat, sub.copy(wheres = local), registry)
+        .limit(1).select(lit(true).as("graft_ex_any"))
       flagCol match {
-        case Some(f) => outer.withColumn(f, lit(any))
-        case None => if (any != anti) outer else outer.limit(0)
+        case Some(f) =>
+          outer.join(broadcast(probe), lit(true), "left")
+            .withColumn(f, coalesce(col("graft_ex_any"), lit(false)))
+            .drop("graft_ex_any")
+        case None =>
+          outer.join(broadcast(probe), lit(true),
+            if (anti) "left_anti" else "left_semi")
       }
     } else {
       val pairs = corr.flatMap(corrPair)

@@ -1908,9 +1908,10 @@ class HashQLSpec extends SparkSpec {
       "select extract ( month from ev.d ) as m, " +
         "extract ( dayofyear from ev.d ) as dy from ev").get.collect().head
     assert(ex.getLong(0) == 7L && ex.getLong(1) == 185L)
-    // guards: distinct on non-sum/count; unknown extract part
+    // guards: distinct on min/max (unaffected by it — round 13 admits
+    // avg(distinct) as sum_distinct/count_distinct); unknown extract part
     val e1 = intercept[IllegalArgumentException](HashQL.parse(
-      "select avg(distinct t.v) as x from t"))
+      "select min(distinct t.v) as x from t"))
     assert(e1.getMessage.contains("DISTINCT"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](HashQL.parse(
       "select extract ( dow from ev.d ) as x from ev"))
@@ -2200,5 +2201,84 @@ class HashQLSpec extends SparkSpec {
     // v%4 → ccc:1, dd:1, aa:2, b:2; ties break on v
     assert(byExpr.select("name").as[String].collect().toSeq ==
       Seq("ccc", "dd", "aa"))
+  }
+
+  test("avg(distinct) lowers as sum_distinct/count_distinct; HAVING/QUALIFY <> (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into t (g, v) values ('a', 2), ('a', 2), ('a', 4), ('b', 6), ('b', 9)")
+    val ad = HashQL.execute(cat,
+      "select t.g, avg(distinct t.v) as adv from t group by t.g order by t.g").get
+    assert(ad.select("adv").as[Double].collect().toSeq == Seq(3.0, 7.5))
+    // HAVING <>: three-valued inequality over the aggregated frame
+    val ne = HashQL.execute(cat,
+      "select t.g, count(*) from t group by t.g having count(*) <> 3").get
+    assert(ne.select("g").as[String].collect().toSeq == Seq("b"))
+    // QUALIFY <> composes the same way over window outputs
+    val q = HashQL.execute(cat,
+      "select t.g, t.v, row_number() over (partition by t.g " +
+        "order by t.v, t.id) as rn from t qualify rn <> 1 order by t.g, rn").get
+    assert(q.count() == 3)
+  }
+
+  test("scalar-subquery projected values must bind to the subquery's tables (r12 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('b', 5)")
+    HashQL.execute(cat, "insert into u (g, b) values ('a', 100)")
+    // an outer qualifier inside the aggregate would silently bind to the
+    // INNER frame's same-named column — reject instead
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g from t where t.v < ( select sum(t.v) from u where u.g = t.g )"))
+    assert(e1.getMessage.contains("projected value references outer"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.g, ( select max(t.v) from u ) as m from t"))
+    assert(e2.getMessage.contains("projected value references outer"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update t set t.v = ( select max(t.v) from u )"))
+    assert(e3.getMessage.contains("projects outer"), e3.getMessage)
+  }
+
+  test("uncorrelated EXISTS is lazy: EXPLAIN never runs the probe (r12 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (v) values (1), (2)")
+    val boomUdf = org.apache.spark.sql.functions.udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); x })
+    cat.register("boom",
+      spark.range(1).toDF("x").select(boomUdf(col("x")).as("x")))
+    // the old limit(1).count() gate would have thrown "boom" here
+    val plan = HashQL.execute(cat,
+      "explain select t.v from t where exists ( select boom.x from boom )").get
+    assert(plan.count() > 0)
+    // execution still gates all-or-nothing, flag form included
+    HashQL.execute(cat, "insert into probe (x) values (7)")
+    assert(HashQL.execute(cat,
+      "select t.v from t where exists ( select probe.x from probe )")
+      .get.count() == 2)
+    assert(HashQL.execute(cat,
+      "select t.v from t where not exists ( select probe.x from probe " +
+        "where probe.x = 8 )").get.count() == 2)
+    assert(HashQL.execute(cat,
+      "select t.v from t where exists ( select probe.x from probe " +
+        "where probe.x = 8 )").get.count() == 0)
+    assert(HashQL.execute(cat,
+      "select t.v from t where t.v = 2 or exists ( select probe.x from " +
+        "probe where probe.x = 8 )").get.count() == 1)
+  }
+
+  test("RANGE interval frames reject first/last_value (r12 advice)") {
+    val e = intercept[IllegalArgumentException](HashQL.parse(
+      "select first_value(t.v) over (order by t.d " +
+        "range between interval '7' day preceding and current row) as fv from t"))
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+  }
+
+  test("ranking-guard fix-it names WHERE only (r12 verdict: LIMIT cannot help)") {
+    val cat = new GraftCatalog(spark)
+    cat.register("ord13", graft.core.Tables.t(spark, sf, "orders"))
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ord13.o_orderkey, row_number() over " +
+        "(order by ord13.o_orderkey) from ord13"))
+    assert(e.getMessage.contains("LIMIT cannot help"), e.getMessage)
+    assert(!e.getMessage.contains("WHERE/LIMIT"), e.getMessage)
   }
 }
