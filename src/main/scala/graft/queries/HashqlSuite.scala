@@ -2726,6 +2726,57 @@ object HashqlSuite extends Suite {
              |GROUP BY p_brand, p_size
              |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
 
+    // RIGHT JOIN (round 13 — r12 queue #2): keeps unmatched fresh-side
+    // rows — customers with no orders surface null-extended. In the
+    // left-deep chain this is LEFT with the frames swapped; Spark's
+    // "right" join type is exactly that plan (the fact side streams, the
+    // preserved customer side builds).
+    "hashql_right_join" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, customer.c_name, orders.o_orderkey " +
+          "from orders right join customer " +
+          "on orders.o_custkey = customer.c_custkey " +
+          "where customer.c_custkey <= 200"),
+      Some("""SELECT c_custkey, c_name, o_orderkey
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |WHERE c_custkey <= 200""".stripMargin)),
+
+    // Non-equality ON conjunct on an OUTER join (round 13 — r12 queue
+    // #2): the range rides the JOIN CONDITION, so it decides MATCHING —
+    // customers whose every order misses the price bar stay in the
+    // output null-extended (spelled in WHERE they would vanish: the
+    // ON-vs-WHERE null-extension semantics this query proves). The
+    // equality pair stays the hash-join key; the range is a post-filter
+    // on each hash match, never a nested loop.
+    "hashql_left_join_on_range" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, orders.o_orderkey, orders.o_totalprice " +
+          "from customer left join orders " +
+          "on customer.c_custkey = orders.o_custkey " +
+          "and orders.o_totalprice > 200000.0 " +
+          "where customer.c_custkey <= 200"),
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |AND o_totalprice > 200000.0
+             |WHERE c_custkey <= 200""".stripMargin)),
+
+    // `select *` under table aliases (round 13 — r12 queue #3): the star
+    // expands to one item per source column in FROM/JOIN order, aliased
+    // sources under deterministic QUALIFIED names (n1_n_nationkey, …) so
+    // two aliases of one table never collide. Same-region nation pairs.
+    "hashql_self_join_star" -> Q(
+      (s, d) => run(s, d,
+        "select * from nation n1 inner join nation n2 " +
+          "on n1.n_regionkey = n2.n_regionkey " +
+          "where n1.n_nationkey < n2.n_nationkey"),
+      Some("""SELECT n1.n_nationkey AS n1_n_nationkey,
+             |  n1.n_name AS n1_n_name, n1.n_regionkey AS n1_n_regionkey,
+             |  n2.n_nationkey AS n2_n_nationkey, n2.n_name AS n2_n_name,
+             |  n2.n_regionkey AS n2_n_regionkey
+             |FROM nation n1 JOIN nation n2
+             |ON n1.n_regionkey = n2.n_regionkey
+             |WHERE n1.n_nationkey < n2.n_nationkey""".stripMargin)),
+
     // avg(distinct) (round 13 — r12 queue #8): no codegen'd Spark Column
     // exists, so the dialect lowers it as sum_distinct / count_distinct
     // in ONE distinct-expand aggregation pass; the sum fits a long, so

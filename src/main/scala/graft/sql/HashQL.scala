@@ -509,19 +509,30 @@ object HashQL {
     * user asks for, and the engine already proves the operators
     * (TakeOrderedAndProject via q_topk, aggregate-then-filter via
     * q_having). */
-  /** One `… join u on l = r` clause. `kind` ∈ inner | left | full:
-    * LEFT [OUTER] keeps unmatched accumulated-left rows (`u`'s columns go
-    * null), FULL [OUTER] keeps unmatched rows from BOTH sides. (RIGHT
-    * JOIN is deliberately absent — in a left-deep chain it is the same
-    * statement with the tables swapped, and the reference's dialect has
-    * no outer joins at all, so this is already growth.) */
+  /** One `… join u on l = r` clause. `kind` ∈ inner | left | right |
+    * full: LEFT [OUTER] keeps unmatched accumulated-left rows (`u`'s
+    * columns go null), RIGHT [OUTER] (round-13) keeps unmatched fresh-side
+    * rows (the accumulated side's columns go null — in a left-deep chain
+    * it is LEFT with the frames swapped, and Spark's "right" join type is
+    * exactly that plan), FULL [OUTER] keeps unmatched rows from BOTH
+    * sides. The reference's dialect has no outer joins at all
+    * (client.py:472-480 inner-merges row dicts), so all three are
+    * growth. */
   final case class JoinClause(table: String, l: ColRef, r: ColRef,
                               kind: String = "inner",
-                              extra: Seq[(ColRef, ColRef)] = Nil) {
+                              extra: Seq[(ColRef, String, Any)] = Nil) {
     def outer: Boolean = kind != "inner"
-    // `extra`: additional `AND l2 = r2` equi-conjuncts on the ON clause
-    // (round-10 growth — composite join keys). A clause with extras never
-    // routes through a materialized join view (views register the
+    // `extra`: additional `AND l2 <op> rhs` conjuncts on the ON clause —
+    // round-10 equality between columns (composite join keys), round-13
+    // the comparison tier (= <> < > <= >=) with a column OR literal
+    // right-hand side (the rhs is a ColRef or a literal, like [[Eq]]'s
+    // value). The FIRST conjunct stays the hash-join equality key;
+    // non-equality extras ride the SAME join condition as post-filters
+    // on the hash match (never a nested loop). For OUTER joins that
+    // placement is semantic: an ON conjunct decides MATCHING (unmatched
+    // rows survive null-extended) where a WHERE conjunct filters rows —
+    // moving one to the other changes the answer. A clause with extras
+    // never routes through a materialized join view (views register the
     // single-pair form; a silently-matching primary pair would drop the
     // extra condition).
   }
@@ -1298,9 +1309,9 @@ object HashQL {
       // the AST carries the alias as the table NAME plus an
       // (alias → real) entry, resolved by the executor.
       val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val aliasStop = Set("sample", "inner", "left", "full", "join", "where",
-        "group", "having", "qualify", "order", "limit", "offset", "union",
-        "intersect", "except", "on", ")", ",", "")
+      val aliasStop = Set("sample", "inner", "left", "right", "full", "join",
+        "where", "group", "having", "qualify", "order", "limit", "offset",
+        "union", "intersect", "except", "on", ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -1337,24 +1348,38 @@ object HashQL {
         Some(SampleBucket(colRef(), n.toInt))
       } else None
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
-      while (is("inner") || is("left") || is("full") || is("join")) {
+      while (is("inner") || is("left") || is("right") || is("full") ||
+             is("join")) {
         // bare `join` = `inner join`, the common SQL spelling
         val kind =
           if (is("join")) "inner"
           else {
             val k = next().toLowerCase(java.util.Locale.ROOT)
-            if (k != "inner" && is("outer")) next() // LEFT|FULL OUTER = LEFT|FULL
+            if (k != "inner" && is("outer")) next() // LEFT|RIGHT|FULL OUTER
             k
           }
         kw("join"); val t = fromSource(); kw("on")
+        // the FIRST conjunct is the hash-join equality key
         val l = colRef(); kw("="); val r = colRef()
-        // `on a = b and c = d` — the AND binds to the ON clause
-        // (composite keys); WHERE needs its keyword, so no ambiguity
-        val extras = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        // `on a = b and c <op> d` — the AND binds to the ON clause;
+        // WHERE needs its keyword, so no ambiguity. Extras take the
+        // comparison tier (round-13): = stays the composite-key form,
+        // <> < > <= >= ride the join condition as post-filters on the
+        // hash match, and the right-hand side may be a LITERAL (`and
+        // o.status = 'F'`) — ON-clause placement, which for OUTER joins
+        // is semantically distinct from WHERE (see [[JoinClause]]).
+        val extras = scala.collection.mutable.ArrayBuffer
+          .empty[(ColRef, String, Any)]
         while (is("and")) {
           next()
-          val l2 = colRef(); kw("="); val r2 = colRef()
-          extras += ((l2, r2))
+          val l2 = colRef()
+          val op = next() match {
+            case o @ ("=" | "<>" | "<" | ">" | "<=" | ">=") => o
+            case o => throw new IllegalArgumentException(
+              s"unsupported ON-clause operator: $o (= <> < > <= >=)")
+          }
+          val rhs: Any = if (peekIsColRef) colRef() else literal()
+          extras += ((l2, op, rhs))
         }
         joins += JoinClause(t, l, r, kind, extras.toSeq)
       }
@@ -2667,10 +2692,16 @@ object HashQL {
     sel.joins.foreach { case JoinClause(t, l, r, _, extra) =>
       val tdf = cat.table(t)
       val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+      // agg views keep the round-10 equality-extras form (containment
+      // routing identifies views by their equi-join structure)
+      extra.foreach { case (_, op2, rhs) =>
+        require(op2 == "=" && rhs.isInstanceOf[ColRef],
+          "create agg view joins take column-equality ON conjuncts only") }
       val cond = extra.foldLeft(df(known.column) === tdf(fresh.column)) {
-        case (c, (l2, r2)) =>
+        case (c, (l2, _, r2: ColRef)) =>
           val (k2, f2) = if (l2.table == t) (r2, l2) else (l2, r2)
           c && df(k2.column) === tdf(f2.column)
+        case (_, (_, _, bad)) => throw new IllegalStateException(s"$bad")
       }
       df = df.join(tdf, cond)
     }
@@ -3202,7 +3233,43 @@ object HashQL {
       val df = cat.table(t)
       a -> df.toDF(df.columns.map(c => aliasedName(a, c)).toSeq: _*)
     }.toMap
-    (scope, rewriteAliases(sel, names.toSet))
+    // `select *` under aliases (round-13 — r12 queue #3): expand the
+    // star HERE, where the catalog still resolves each source, to one
+    // item per source column in FROM/JOIN order. Aliased sources emit
+    // DETERMINISTIC QUALIFIED names (`l1.l_orderkey` → l1_l_orderkey —
+    // two aliases of one table would collide on the bare names), plain
+    // sources keep their bare columns. Expansion is a pure rename
+    // ExprItem, so the plan is a projection over the ordinary join — no
+    // extra pass; the missing-field skip keeps applying through the
+    // ECol-rename exemption rule.
+    val expanded =
+      if (!sel.items.contains(Star)) sel
+      else {
+        val aliasMap = sel.aliases.toMap
+        val sources = sel.table +: sel.joins.map(_.table)
+        val starItems = sources.flatMap { s0 =>
+          aliasMap.get(s0) match {
+            case Some(real) => cat.table(real).columns.toSeq.map(c =>
+              ExprItem(ECol(ColRef(s0, c)), s"${s0}_$c"): SelectItem)
+            case None => cat.table(s0).columns.toSeq.map(c =>
+              Field(ColRef(s0, c)): SelectItem)
+          }
+        }
+        val outNames = starItems.map {
+          case ExprItem(_, a) => a
+          case Field(r) => r.column
+          case other => throw new IllegalStateException(s"$other")
+        }
+        require(outNames.distinct.size == outNames.size,
+          s"select * expansion collides on ${
+            outNames.diff(outNames.distinct).distinct.mkString(", ")} — " +
+            "alias every source (aliased columns expand qualified)")
+        sel.copy(items = sel.items.flatMap {
+          case Star => starItems
+          case other => Seq(other)
+        })
+      }
+    (scope, rewriteAliases(expanded, names.toSet))
   }
 
   /** Generic ColRef map over an expression; subquery descent is the
@@ -3260,9 +3327,10 @@ object HashQL {
     }
     val itemsBuf = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
     sel.items.foreach {
-      case Star => throw new IllegalArgumentException(
-        "select * does not combine with table aliases — project explicit " +
-          "columns (alias.column) so outputs are unambiguous")
+      // resolveAliases expands Star to per-source items BEFORE the
+      // rewrite (round-13) — reaching one here is an internal error
+      case Star => throw new IllegalStateException(
+        "unexpanded * under table aliases")
       // a plain aliased field projects under its ORIGINAL column name (a
       // pure rename — keeps the missing-field row skip)
       case Field(r) if aliases.contains(r.table) =>
@@ -3337,7 +3405,8 @@ object HashQL {
       })
     sel.copy(items = itemsBuf.toSeq,
       joins = sel.joins.map(j => j.copy(l = ren(j.l), r = ren(j.r),
-        extra = j.extra.map { case (l2, r2) => (ren(l2), ren(r2)) })),
+        extra = j.extra.map { case (l2, op2, rhs) =>
+          (ren(l2), op2, rhs match { case r2: ColRef => ren(r2); case v => v }) })),
       wheres = sel.wheres.map(pred),
       groupBy = groupBy2,
       having = sel.having.map(hp),
@@ -3392,7 +3461,8 @@ object HashQL {
         case other => other
       },
       joins = s0.joins.map(j => j.copy(l = ren(j.l), r = ren(j.r),
-        extra = j.extra.map { case (l2, r2) => (ren(l2), ren(r2)) })),
+        extra = j.extra.map { case (l2, op2, rhs) =>
+          (ren(l2), op2, rhs match { case r2: ColRef => ren(r2); case v => v }) })),
       wheres = s0.wheres.map(pred),
       groupBy = s0.groupBy.map(ren),
       orderBy = s0.orderBy.map { case (e, d, nf) => (expr(e), d, nf) })
@@ -3449,10 +3519,38 @@ object HashQL {
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+            // column-column extras orient accumulated-op-fresh (a parse
+            // that led with the fresh side flips the operator); a literal
+            // rhs compares whichever side its column lives on. Either
+            // way the extras ride the SAME hash-join condition —
+            // Catalyst keeps the equality pair as the join key and
+            // evaluates the rest as a post-filter on each hash match
+            // (never a nested loop), which for OUTER joins is exactly
+            // the ANSI ON-clause semantics (unmatched rows null-extend).
             val cond = extra.foldLeft(acc(known.column) === tdf(fresh.column)) {
-              case (c, (l2, r2)) =>
-                val (k2, f2) = if (l2.table == t) (r2, l2) else (l2, r2)
-                c && acc(k2.column) === tdf(f2.column)
+              case (c, (l2, op2, rhs)) =>
+                val term = rhs match {
+                  case r2: ColRef =>
+                    // a column-column conjunct must span the two frames —
+                    // a same-side pair would silently read the wrong frame
+                    require((l2.table == t) != (r2.table == t),
+                      s"an ON conjunct must compare the joined table $t " +
+                        "against the accumulated side — move same-side " +
+                        "column comparisons to WHERE (or use a literal " +
+                        "right-hand side)")
+                    val (k2, f2, op3) =
+                      if (l2.table == t) (r2, l2, flipCmp(op2))
+                      else (l2, r2, op2)
+                    if (op3 == "=") acc(k2.column) === tdf(f2.column)
+                    else if (op3 == "<>") !(acc(k2.column) === tdf(f2.column))
+                    else graft.core.Compare.cmp(acc(k2.column), op3,
+                      tdf(f2.column))
+                  case v =>
+                    val side = if (l2.table == t) tdf(l2.column)
+                               else acc(l2.column)
+                    graft.core.Compare.cmp(side, op2, v)
+                }
+                c && term
             }
             acc = acc.join(tdf, cond, kind)
             // same-NAMED equi-join keys (a CTE joined back to its base
@@ -3792,6 +3890,17 @@ object HashQL {
         val skipped = offset.fold(ordered)(ordered.offset)
         limit.fold(skipped)(skipped.limit)
     }
+  }
+
+  /** Mirror a comparison operator across its operands (`a < b` ≡
+    * `b > a`) — shared by ON-clause extras and the subquery
+    * decorrelators, which all normalize to one orientation. */
+  private def flipCmp(op: String): String = op match {
+    case "<" => ">"
+    case ">" => "<"
+    case "<=" => ">="
+    case ">=" => "<="
+    case o => o
   }
 
   /** (inner, outer) orientation of a correlation EqCol — an equality

@@ -2104,10 +2104,12 @@ class HashQLSpec extends SparkSpec {
         "order by l1.ln desc) as rn from li l1 order by l1.ord, rn").get
     assert(win.columns.toSeq == Seq("ord", "ln", "rn"))
     assert(win.select("ln").as[Long].collect().take(2).toSeq == Seq(2L, 1L))
-    // guards: * with aliases, alias shadowing a table, duplicate alias
-    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select * from li l1 inner join li l2 on l1.ord = l2.ord"))
-    assert(e1.getMessage.contains("explicit"), e1.getMessage)
+    // `*` with aliases expands qualified (round-13 lifted the reject);
+    // guards: alias shadowing a table, duplicate alias
+    val starred = HashQL.execute(cat,
+      "select * from li l1 inner join li l2 on l1.ord = l2.ord").get
+    assert(starred.columns.forall(c =>
+      c.startsWith("l1_") || c.startsWith("l2_")), starred.columns.toSeq)
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select li.ord from li li"))
     assert(e2.getMessage.contains("shadows"), e2.getMessage)
@@ -2270,6 +2272,83 @@ class HashQLSpec extends SparkSpec {
       "select first_value(t.v) over (order by t.d " +
         "range between interval '7' day preceding and current row) as fv from t"))
     assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+  }
+
+  test("RIGHT JOIN and non-equality ON conjuncts (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into dep (dk, dn) values (1, 'eng'), (2, 'ops'), (3, 'hr')")
+    HashQL.execute(cat,
+      "insert into emp (ek, dk2, sal) values (10, 1, 100), (11, 1, 40), (12, 2, 70)")
+    // RIGHT keeps unmatched fresh-side rows (hr has no employees)
+    val rj = HashQL.execute(cat,
+      "select dep.dn, emp.sal from emp right join dep on emp.dk2 = dep.dk " +
+        "order by dep.dn, emp.sal").get.collect()
+    assert(rj.map(r => (r.getString(0), r.get(1))).toSeq ==
+      Seq(("eng", 40L), ("eng", 100L), ("hr", null), ("ops", 70L)))
+    // a non-equality ON conjunct decides MATCHING: eng keeps only its
+    // >50 match, hr stays null-extended — the WHERE spelling drops hr
+    val onForm = HashQL.execute(cat,
+      "select dep.dn, emp.sal from dep left join emp " +
+        "on dep.dk = emp.dk2 and emp.sal > 50 order by dep.dn").get
+    assert(onForm.collect().map(r => (r.getString(0), r.get(1))).toSeq ==
+      Seq(("eng", 100L), ("hr", null), ("ops", 70L)))
+    val whereForm = HashQL.execute(cat,
+      "select dep.dn, emp.sal from dep left join emp on dep.dk = emp.dk2 " +
+        "where emp.sal > 50 order by dep.dn").get.collect()
+    assert(whereForm.map(_.getString(0)).toSeq == Seq("eng", "ops"))
+    // the equality pair stays the hash-join key — never a nested loop
+    assert(!onForm.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoop"))
+    // <> and literal-RHS forms ride the same condition
+    val ne = HashQL.execute(cat,
+      "select dep.dn, emp.ek from dep inner join emp " +
+        "on dep.dk = emp.dk2 and emp.ek <> 11 order by emp.ek").get
+    assert(ne.select("ek").as[Long].collect().toSeq == Seq(10L, 12L))
+    val litRhs = HashQL.execute(cat,
+      "select dep.dn, emp.sal from dep left join emp " +
+        "on dep.dk = emp.dk2 and emp.sal >= 100 order by dep.dn").get.collect()
+    assert(litRhs.map(r => (r.getString(0), r.get(1))).toSeq ==
+      Seq(("eng", 100L), ("hr", null), ("ops", null)))
+    // cross-frame column-column range in ON, both spellings (the flipped
+    // parse normalizes the operator)
+    HashQL.execute(cat, "insert into b1 (k, lo) values (1, 50), (2, 80)")
+    HashQL.execute(cat, "insert into b2 (k2, v) values (1, 60), (1, 40), (2, 75)")
+    Seq("on b1.k = b2.k2 and b2.v > b1.lo",
+        "on b1.k = b2.k2 and b1.lo < b2.v").foreach { on =>
+      val cc = HashQL.execute(cat,
+        s"select b1.k, b2.v from b1 left join b2 $on order by b1.k").get
+        .collect()
+      assert(cc.map(r => (r.getLong(0), r.get(1))).toSeq ==
+        Seq((1L, 60L), (2L, null)), on)
+    }
+    // a same-side column pair in ON rejects toward WHERE
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select b1.k from b1 inner join b2 on b1.k = b2.k2 and b2.v > b2.k2"))
+    assert(e.getMessage.contains("accumulated side"), e.getMessage)
+  }
+
+  test("select * expands under table aliases with qualified names (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (g, v) values ('a', 1), ('a', 2), ('b', 3)")
+    val st = HashQL.execute(cat,
+      "select * from t t1 inner join t t2 on t1.g = t2.g " +
+        "where t1.v < t2.v").get
+    assert(st.columns.toSeq ==
+      Seq("t1_id", "t1_g", "t1_v", "t2_id", "t2_g", "t2_v"))
+    assert(st.count() == 1)
+    // mixed star: a plain source keeps bare names alongside an alias
+    HashQL.execute(cat, "insert into u (g2, w) values ('a', 9)")
+    val mixed = HashQL.execute(cat,
+      "select * from u inner join t t1 on u.g2 = t1.g").get
+    assert(mixed.columns.toSeq == Seq("id", "g2", "w", "t1_id", "t1_g", "t1_v"))
+    assert(mixed.count() == 2)
+    // two PLAIN sources still collide on id — the expansion says so
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * from u inner join t t1 on u.g2 = t1.g " +
+        "inner join u on t1.g = u.g2"))
+    assert(e.getMessage.contains("alias every source") ||
+      e.getMessage.contains("duplicate"), e.getMessage)
   }
 
   test("ranking-guard fix-it names WHERE only (r12 verdict: LIMIT cannot help)") {
