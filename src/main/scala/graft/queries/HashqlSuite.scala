@@ -2760,6 +2760,81 @@ object HashqlSuite extends Suite {
              |AND o_totalprice > 200000.0
              |WHERE c_custkey <= 200""".stripMargin)),
 
+    // Windows over a GROUPED select (round 13 — the r11/r12 verdicts'
+    // #1): `rank() over (order by sum(...))` ranks the GROUPS. The OVER
+    // clause spells the aggregate; it rides the SAME aggregation pass as
+    // the projected aggregates (one shuffle), and the window computes
+    // over the aggregated frame — Window over Aggregate, plan-asserted
+    // in ScaleSpec.
+    "hashql_win_over_agg" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, count(*) as n, " +
+          "sum(orders.o_orderkey) as s, " +
+          "rank() over (order by sum(orders.o_orderkey) desc, " +
+          "orders.o_custkey) as r " +
+          "from orders group by orders.o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS s,
+             |  CAST(rank() OVER (ORDER BY sum(o_orderkey) DESC, o_custkey)
+             |    AS INT) AS r
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // Grouped top-k-of-groups (round 13): aggregate → HAVING → window →
+    // QUALIFY, the pinned ordering invariant — HAVING shrinks the frame
+    // BEFORE ranks compute, so filtered groups never occupy a rank.
+    // l_quantity is integer-valued, so its double sum is exact in any
+    // summation order; rank ties break on the key.
+    "hashql_qualify_grouped" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_suppkey, sum(lineitem.l_quantity) as total_qty, " +
+          "rank() over (order by sum(lineitem.l_quantity) desc, " +
+          "lineitem.l_suppkey) as r " +
+          "from lineitem group by lineitem.l_suppkey " +
+          "having sum(lineitem.l_quantity) > 100 " +
+          "qualify r <= 10 order by r"),
+      Some("""SELECT l_suppkey, sum(l_quantity) AS total_qty,
+             |  CAST(rank() OVER (ORDER BY sum(l_quantity) DESC, l_suppkey)
+             |    AS INT) AS r
+             |FROM lineitem GROUP BY l_suppkey
+             |HAVING sum(l_quantity) > 100
+             |QUALIFY r <= 10 ORDER BY r""".stripMargin)),
+
+    // GROUPING SETS (round 13 — r12 queue #5): the general subtotal
+    // form; rollup/cube are its two special cases. Spark's native
+    // groupingSets — one Expand feeding the SAME partial-agg'd
+    // aggregation shuffle, only the listed sets expand; subtotal rows
+    // carry NULL keys (ANSI, both engines).
+    "hashql_grouping_sets" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderstatus, orders.o_orderpriority, count(*) " +
+          "from orders group by grouping sets " +
+          "( (orders.o_orderstatus, orders.o_orderpriority), " +
+          "(orders.o_orderstatus), () )"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY GROUPING SETS
+             |((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
+
+    // Hour-granular RANGE frames (round 13 — r12 queue #6): sub-day
+    // intervals switch the frame to epoch-SECOND offsets over the raw
+    // timestamp key (exact-timestamp semantics; the day/week form keeps
+    // its whole-day date-truncated semantics) — still Spark's native
+    // numeric rangeBetween, no self-join. Trailing-36h shipped quantity
+    // per supplier; l_quantity is integer-valued, so the double sums are
+    // exact in any per-frame summation order.
+    "hashql_win_range_hours" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber, " +
+          "lineitem.l_suppkey, lineitem.l_shipdate, " +
+          "sum(lineitem.l_quantity) over (partition by lineitem.l_suppkey " +
+          "order by lineitem.l_shipdate range between interval '36' hour " +
+          "preceding and current row) as qty36h " +
+          "from lineitem where lineitem.l_orderkey <= 3000"),
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate RANGE BETWEEN INTERVAL 36 HOUR
+             |    PRECEDING AND CURRENT ROW) AS qty36h
+             |FROM lineitem WHERE l_orderkey <= 3000""".stripMargin)),
+
     // `select *` under table aliases (round 13 — r12 queue #3): the star
     // expands to one item per source column in FROM/JOIN order, aliased
     // sources under deterministic QUALIFIED names (n1_n_nationkey, …) so
@@ -2801,6 +2876,31 @@ object HashqlSuite extends Suite {
       Some("""SELECT c_nationkey, count(*) AS cnt FROM customer
              |GROUP BY c_nationkey HAVING count(*) <> 24
              |ORDER BY c_nationkey""".stripMargin)),
+
+    // CORRELATED UPDATE (round 13 — r12 queue #4): the SET subquery
+    // correlates through the updated table and decorrelates to one
+    // grouped aggregate + one left equi-join per DISTINCT key (the same
+    // scalarJoin plan SELECTs use) — never per-row. count(*) coalesces
+    // the join miss to 0 (ANSI); a max → NULL miss is spec-covered (the
+    // dialect's missing-field row skip would hide that row from this
+    // oracle SELECT).
+    "hashql_update_correlated" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into teams (tname) values ('red'), ('blue'), ('green')")
+        HashQL.execute(cat,
+          "insert into scores (team, pts) values ('red', 3), ('red', 9), " +
+            "('blue', 4)")
+        HashQL.execute(cat,
+          "update teams set teams.games = ( select count(*) " +
+            "from scores where scores.team = teams.tname )")
+        HashQL.execute(cat,
+          "select teams.tname, teams.games from teams " +
+            "order by teams.tname").get
+      },
+      Some("""SELECT * FROM (VALUES ('blue', 1), ('green', 0),
+             |  ('red', 2)) AS t(tname, games)""".stripMargin)),
 
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a

@@ -568,9 +568,13 @@ class HashQLSpec extends SparkSpec {
     assert(keys(1000) == Set(1L, 2L, 3L, 4L) && keys(0).isEmpty)
     assert(keys(250).subsetOf(keys(500)) && keys(500).subsetOf(keys(1000)))
 
-    intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select t.g, count(*), row_number() over (order by t.g) " +
-        "from t group by t.g"))
+    // windows over GROUP BY compute on the aggregated frame (round 13
+    // lifted the round-7 reject): one row per group, numbered by key
+    val gw = HashQL.execute(cat,
+      "select t.g, count(*), row_number() over (order by t.g) as rn " +
+        "from t group by t.g order by rn").get
+    assert(gw.select("g").as[String].collect().toSeq == gw.select("g")
+      .as[String].collect().toSeq.sorted)
     // avg joined the window set in round 7, min/max in round 10,
     // count/first/last_value in round 11 — the DISTINCT count stays out
     // (neither engine windows a distinct count)
@@ -1810,14 +1814,63 @@ class HashQLSpec extends SparkSpec {
         "where t.g = 'c'")
     assert(cat.table("t").filter(col("g") === "x")
       .select("v").as[Long].collect().toSeq == Seq(100L))
-    // correlated and multi-row forms reject
-    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
-      "update t set t.v = ( select max(u.v) from u where u.g = t.g )"))
-    assert(e1.getMessage.contains("uncorrelated"), e1.getMessage)
+    // multi-row uncorrelated forms reject
     HashQL.execute(cat, "insert into bounds (lo) values (200)")
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "update t set t.v = ( select bounds.lo from bounds )"))
     assert(e2.getMessage.contains("exactly one row"), e2.getMessage)
+  }
+
+  test("correlated UPDATE decorrelates through the updated table (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into t (g, v) values ('a', 1), ('b', 5), ('c', 3)")
+    HashQL.execute(cat,
+      "insert into u (g, w) values ('a', 10), ('a', 40), ('b', 7)")
+    // per-key aggregate lands on matching rows; a key with NO subquery
+    // rows gets the ANSI empty-set value (max → NULL)
+    HashQL.execute(cat,
+      "update t set t.v = ( select max(u.w) from u where u.g = t.g )")
+    val got = cat.table("t").orderBy("id").select("v").collect().map(_.get(0))
+    assert(got.toSeq == Seq(40L, 7L, null))
+    // count coalesces the miss to 0; WHERE pins the matched set; other
+    // assignments in the same statement keep simultaneous semantics
+    HashQL.execute(cat,
+      "update t set t.v = ( select count(*) from u where u.g = t.g ), " +
+        "t.g = 'seen' where t.g = 'c'")
+    val c = cat.table("t").filter(col("g") === "seen")
+      .select("v").as[Long].collect().toSeq
+    assert(c == Seq(0L))
+    // correlation through a table that is NOT the update target rejects
+    HashQL.execute(cat, "insert into z (g, y) values ('a', 1)")
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update t set t.v = ( select max(u.w) from u where u.g = z.g )"))
+    assert(e.getMessage.contains("only through the updated table"),
+      e.getMessage)
+    // O(delta) hook: a count/sum agg view stays EXACT through a
+    // registry-routed correlated UPDATE (fold or invalidate — either
+    // way the answer must equal a from-facts recompute)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_corrupd").toString
+    val cat2 = new GraftCatalog(spark)
+    HashQL.execute(cat2,
+      "insert into f (g, v) values ('a', 1), ('a', 2), ('b', 3)")
+    HashQL.execute(cat2, "insert into s (g, w) values ('a', 10), ('b', 20)")
+    val name = HashQL.materializeAggView(cat2,
+      "create agg view as select f.g, count(*), sum(f.v) from f group by f.g",
+      s"$dir/view", Some(reg))
+    try {
+      HashQL.execute(cat2,
+        "update f set f.v = ( select max(s.w) from s where s.g = f.g )",
+        Some(reg))
+      val q = "select f.g, count(*), sum(f.v) from f group by f.g"
+      val got = HashQL.execute(cat2, q, Some(reg)).get
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("a", 2L, 20L), ("b", 1L, 20L)))
+      graft.matview.MatView.drop(spark, name)
+      assert(HashQL.execute(cat2, q, Some(reg)).get
+        .as[(String, Long, Long)].collect().toSet == got)
+    } finally graft.matview.MatView.drop(spark, name)
   }
 
   test("EXPLAIN: formatted physical plan lines, never executes (round-12)") {
@@ -2056,15 +2109,16 @@ class HashQLSpec extends SparkSpec {
         "range between interval '1' week preceding and current row) as s " +
         "from w order by w.d").get
     assert(wk.select("s").as[Long].collect().toSeq == Seq(1L, 3L, 7L, 8L))
-    // guards: DESC key, multi-key order, non-day units reject
+    // guards: DESC key and unknown units reject (hour/minute/second
+    // joined the unit set in round 13 — see the epoch-seconds test)
     val e1 = intercept[IllegalArgumentException](HashQL.parse(
       "select sum(w.v) over (order by w.d desc " +
         "range between interval '7' day preceding and current row) as s from w"))
     assert(e1.getMessage.contains("ASCENDING"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](HashQL.parse(
       "select sum(w.v) over (order by w.d " +
-        "range between interval '2' hour preceding and current row) as s from w"))
-    assert(e2.getMessage.contains("day/week"), e2.getMessage)
+        "range between interval '2' month preceding and current row) as s from w"))
+    assert(e2.getMessage.contains("day|week|hour"), e2.getMessage)
   }
 
   test("table aliases: self-joins, grouped keys, correlated subqueries (round-12)") {
@@ -2349,6 +2403,94 @@ class HashQLSpec extends SparkSpec {
         "inner join u on t1.g = u.g2"))
     assert(e.getMessage.contains("alias every source") ||
       e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("windows over grouped selects: aggregate → HAVING → window → QUALIFY (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("eng", 10), ("eng", 30), ("ops", 25), ("hr", 5), ("hr", 2), ("mkt", 50))
+      .foreach { case (g, v) =>
+        HashQL.execute(cat, s"insert into t (g, v) values ('$g', $v)") }
+    // rank the groups by their sum — the OVER clause spells the agg
+    val ranked = HashQL.execute(cat,
+      "select t.g, sum(t.v), rank() over (order by sum(t.v) desc) as r " +
+        "from t group by t.g order by r").get
+    assert(ranked.select("g", "r").as[(String, Long)].collect().toSeq
+      .map { case (g, r) => (g, r.toInt) } ==
+      Seq(("mkt", 1), ("eng", 2), ("ops", 3), ("hr", 4)))
+    // an UNPROJECTED dep joins the agg pass and drops after the window
+    val bare = HashQL.execute(cat,
+      "select t.g, rank() over (order by sum(t.v) desc) as r " +
+        "from t group by t.g order by r").get
+    assert(bare.columns.toSeq == Seq("g", "r"))
+    assert(bare.select("g").as[String].collect().toSeq ==
+      Seq("mkt", "eng", "ops", "hr"))
+    // HAVING shrinks the frame BEFORE ranks compute: hr never occupies
+    // a rank; QUALIFY then filters the ranked output
+    val hq = HashQL.execute(cat,
+      "select t.g, sum(t.v) as s, rank() over (order by s desc) as r " +
+        "from t group by t.g having s > 10 qualify r <= 2 order by r").get
+    assert(hq.select("g", "r").as[(String, Int)].collect().toSeq ==
+      Seq(("mkt", 1), ("eng", 2)))
+    // an aggregate call inside OVER without GROUP BY rejects
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.v, rank() over (order by sum(t.v) desc) as r from t"))
+    assert(e.getMessage.contains("needs GROUP BY"), e.getMessage)
+  }
+
+  test("GROUPING SETS: the general subtotal form (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("us", "a", 1), ("us", "b", 2), ("eu", "a", 4), ("eu", "a", 8))
+      .foreach { case (r, p, v) =>
+        HashQL.execute(cat, s"insert into t (r, p, v) values ('$r', '$p', $v)") }
+    val gsets = HashQL.execute(cat,
+      "select t.r, t.p, sum(t.v) as s from t " +
+        "group by grouping sets ( (t.r, t.p), (t.r), () ) " +
+        "order by t.r nulls first, t.p nulls first").get
+    val rows = gsets.collect().map(x => (x.get(0), x.get(1), x.getLong(2))).toSeq
+    assert(rows == Seq(
+      (null, null, 15L),            // () grand total
+      ("eu", null, 12L), ("eu", "a", 12L),
+      ("us", null, 3L), ("us", "a", 1L), ("us", "b", 2L)))
+    // grouping() distinguishes subtotal NULLs from data NULLs here too
+    val marked = HashQL.execute(cat,
+      "select t.r, count(*), grouping(t.p) as gp from t " +
+        "group by grouping sets ( (t.r, t.p), (t.r) ) " +
+        "order by t.r, gp").get
+    assert(marked.select("gp").as[Long].collect().toSeq ==
+      Seq(0L, 1L, 0L, 0L, 1L))
+    // duplicate sets reject
+    val e = intercept[IllegalArgumentException](HashQL.parse(
+      "select t.r, count(*) from t group by grouping sets ( (t.r), (t.r) )"))
+    assert(e.getMessage.contains("duplicate grouping sets"), e.getMessage)
+  }
+
+  test("hour/minute RANGE frames ride epoch seconds (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq("2021-01-01 00:00:00", "2021-01-01 05:00:00", "2021-01-01 06:30:00",
+      "2021-01-01 13:00:00").zipWithIndex.foreach { case (ts, i) =>
+      HashQL.execute(cat,
+        s"insert into ev (ts, v) values (timestamp '$ts', ${i + 1})") }
+    // trailing 6 hours, inclusive: 00:00→1; 05:00→1+2; 06:30→2+3
+    // (00:00 is 6.5h back); 13:00→4 alone
+    val w6 = HashQL.execute(cat,
+      "select ev.v, sum(ev.v) over (order by ev.ts range between " +
+        "interval '6' hour preceding and current row) as s6 from ev " +
+        "order by ev.ts").get
+    assert(w6.select("s6").as[Long].collect().toSeq == Seq(1L, 3L, 5L, 4L))
+    // minutes work; mixing a day bound scales it into the seconds frame
+    val mixed = HashQL.execute(cat,
+      "select ev.v, sum(ev.v) over (order by ev.ts range between " +
+        "interval '1' day preceding and interval '30' minute following) " +
+        "as sm from ev order by ev.ts").get
+    assert(mixed.select("sm").as[Long].collect().toSeq ==
+      Seq(1L, 3L, 6L, 10L))
+    // day-only frames keep their whole-day (date-truncated) semantics
+    val day = HashQL.execute(cat,
+      "select ev.v, sum(ev.v) over (order by ev.ts range between " +
+        "interval '1' day preceding and current row) as sd from ev " +
+        "order by ev.ts").get
+    assert(day.select("sd").as[Long].collect().toSeq ==
+      Seq(10L, 10L, 10L, 10L))
   }
 
   test("ranking-guard fix-it names WHERE only (r12 verdict: LIMIT cannot help)") {

@@ -661,6 +661,31 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("grouped windows plan Window over Aggregate — one added exchange at most (round-13)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    val df = HashQL.execute(cat,
+      "select orders.o_custkey, sum(orders.o_totalprice) as s, " +
+        "rank() over (order by s desc) as r from orders " +
+        "group by orders.o_custkey qualify r <= 5").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window node:\n${plan.take(800)}")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
+      s"no aggregate under the window:\n${plan.take(800)}")
+    // the aggregation's key shuffle + the window's own exchange, nothing
+    // more — QUALIFY stays a post-window filter, and the window computes
+    // over the GROUP frame (one row per custkey), never the fact rows
+    val exchanges = plan.linesIterator.count(_.trim
+      .replaceFirst("^[:+]- ", "").startsWith("Exchange"))
+    assert(exchanges <= 2, s"grouped window added exchanges:\n${plan.take(1500)}")
+    // the window sits ABOVE the aggregate in the tree
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"),
+      s"window not over aggregate:\n${plan.take(1500)}")
+    df.count()
+  }
+
   test("aliased self-join is one equi-join; filters push into both scans (round-12)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
