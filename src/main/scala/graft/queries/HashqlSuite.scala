@@ -2852,6 +2852,48 @@ object HashqlSuite extends Suite {
              |ON n1.n_regionkey = n2.n_regionkey
              |WHERE n1.n_nationkey < n2.n_nationkey""".stripMargin)),
 
+    // Window keys as EXPRESSIONS (round 13): `partition by
+    // year(o_orderdate)` computes the key scan-side under a reserved
+    // name (the bare group-by-expression machinery), the window
+    // addresses it, and the final projection sheds it — top-5 orders
+    // per year by price.
+    "hashql_win_expr_key" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_orderdate, " +
+          "row_number() over (partition by year(orders.o_orderdate) " +
+          "order by orders.o_totalprice desc, orders.o_orderkey) as rn " +
+          "from orders where orders.o_orderkey <= 2000 qualify rn <= 5"),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |FROM orders WHERE o_orderkey <= 2000
+             |QUALIFY rn <= 5""".stripMargin)),
+
+    // Scalar tier 4 (round 13): datediff counts day boundaries (Spark's
+    // (end, start) order; the oracle spells date_diff('day', start,
+    // end)), last_day returns the month-end DATE, sqrt is IEEE-exact on
+    // both engines, greatest/least skip NULLs on both. All codegen'd
+    // native Columns — no UDFs.
+    "hashql_scalar_tier4" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "datediff(lineitem.l_shipdate, orders.o_orderdate) as lag_days, " +
+          "last_day(cast(orders.o_orderdate as date)) as month_end, " +
+          "sqrt(cast(orders.o_orderkey as double)) as rootk, " +
+          "greatest(lineitem.l_partkey, lineitem.l_suppkey) as gk, " +
+          "least(lineitem.l_partkey, lineitem.l_suppkey) as lk " +
+          "from orders " +
+          "inner join lineitem on orders.o_orderkey = lineitem.l_orderkey " +
+          "where orders.o_orderkey <= 500"),
+      Some("""SELECT o_orderkey,
+             |  date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  sqrt(CAST(o_orderkey AS DOUBLE)) AS rootk,
+             |  greatest(l_partkey, l_suppkey) AS gk,
+             |  least(l_partkey, l_suppkey) AS lk
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 500""".stripMargin)),
+
     // avg(distinct) (round 13 — r12 queue #8): no codegen'd Spark Column
     // exists, so the dialect lowers it as sum_distinct / count_distinct
     // in ONE distinct-expand aggregation pass; the sum fits a long, so
@@ -2901,6 +2943,27 @@ object HashqlSuite extends Suite {
       },
       Some("""SELECT * FROM (VALUES ('blue', 1), ('green', 0),
              |  ('red', 2)) AS t(tname, games)""".stripMargin)),
+
+    // UPDATE with a subquery WHERE (round 13): the decontamination
+    // idiom `update … where nm in (select …)` — the matched row set
+    // evaluates through the same semi-join machinery SELECT/DELETE use,
+    // pins by the dialect id, and rides a left join on id into the one
+    // copy-on-write rewrite (never a per-row probe).
+    "hashql_update_in_subquery" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into docs (nm, score) values ('d1', 10), ('d2', 20), " +
+            "('d3', 30)")
+        HashQL.execute(cat, "insert into bad (nm) values ('d2')")
+        HashQL.execute(cat,
+          "update docs set docs.score = 0 " +
+            "where docs.nm in (select bad.nm from bad)")
+        HashQL.execute(cat,
+          "select docs.nm, docs.score from docs order by docs.nm").get
+      },
+      Some("""SELECT * FROM (VALUES ('d1', 10), ('d2', 0),
+             |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a

@@ -264,7 +264,15 @@ object HashQL {
       // input exceeds the length, contains/starts_with/ends_with are
       // boolean (null-propagating)
       "instr" -> Set(2), "lpad" -> Set(3), "rpad" -> Set(3),
-      "contains" -> Set(2), "starts_with" -> Set(2), "ends_with" -> Set(2))
+      "contains" -> Set(2), "starts_with" -> Set(2), "ends_with" -> Set(2),
+      // round-13 tier 4 — semantics shared with DuckDB where noted:
+      // datediff(end, start) counts DAY BOUNDARIES (timestamps truncate
+      // to dates; the oracle spells date_diff('day', start, end)),
+      // last_day returns the month's last DATE, sqrt is IEEE correctly
+      // rounded (bitwise-identical doubles on both engines),
+      // greatest/least SKIP NULLs on both engines
+      "datediff" -> Set(2), "last_day" -> Set(1), "sqrt" -> Set(1),
+      "greatest" -> (2 to 6).toSet, "least" -> (2 to 6).toSet)
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -1352,6 +1360,7 @@ object HashQL {
           next(); kw("select")
           val body = selectOrUnion()
           kw(")")
+          if (is("as")) next() // `( select … ) as d` — optional AS
           val nm = next()
           require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
             !nm.startsWith("graft_") && !aliasStop.contains(nm.toLowerCase),
@@ -1609,7 +1618,8 @@ object HashQL {
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc",
       "regexp_replace", "regexp_extract", "split", "split_part",
       "date_add", "date_sub", "quarter", "week", "dayofyear",
-      "instr", "lpad", "rpad", "contains", "starts_with", "ends_with")
+      "instr", "lpad", "rpad", "contains", "starts_with", "ends_with",
+      "datediff", "last_day", "sqrt", "greatest", "least")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -1761,12 +1771,24 @@ object HashQL {
           kw(")")
           deps += n -> item
           ColRef("", n)
+        } else if ((exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(")
+            || (is("cast") && peekAt(1) == "(") || is("case")) {
+          // EXPRESSION keys (round-13 — `partition by year(t.d)`): the
+          // expression computes scan-side under a reserved name (exactly
+          // the bare `group by <expr>` machinery) and the spec addresses
+          // it; the executor adds the column pre-window and the final
+          // projection drops it. Ungrouped selects only — after
+          // aggregation the scan row is gone.
+          val e = exprTree()
+          val n = s"graft_wk${deps.length}"
+          deps += n -> ExprItem(e, n)
+          ColRef("", n)
         } else if (peekIsColRef) colRef()
         else {
           val t = next()
           require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
-            s"expected a window key (t.col, an output alias, or an " +
-              s"aggregate call), got $t")
+            s"expected a window key (t.col, an output alias, an " +
+              s"aggregate call, or an expression), got $t")
           ColRef("", t)
         }
       val part = if (is("partition")) {
@@ -2473,6 +2495,14 @@ object HashQL {
         case "contains" => a(0).contains(a(1))
         case "starts_with" => a(0).startsWith(a(1))
         case "ends_with" => a(0).endsWith(a(1))
+        // round-13 tier 4: day-boundary difference (Spark datediff is
+        // (end, start); INT on Spark, BIGINT on DuckDB — pin long),
+        // month-end date, IEEE sqrt, null-skipping extrema
+        case "datediff" => datediff(a(0), a(1)).cast("long")
+        case "last_day" => last_day(a(0))
+        case "sqrt" => sqrt(a(0))
+        case "greatest" => greatest(a: _*)
+        case "least" => least(a: _*)
       }
   }
 
@@ -2881,15 +2911,30 @@ object HashQL {
         })
         None
       case Update(t, sets, wheres) =>
-        require(!wheres.exists(subqueryPred),
-          "UPDATE does not take subquery predicates — stage the target " +
-            "rows with CTAS, or DELETE + re-INSERT them")
-        val cond = wheres.map(predColumn(cat, _)).reduceOption(_ && _).getOrElse(lit(true))
+        val pre0 = cat.table(t)
+        // subquery WHERE predicates (round-13 — the decontamination
+        // idiom `update … where id in (select …)`, symmetric with the
+        // round-9 DELETE form): the predicate set evaluates to a ROW SET
+        // via the same semi/anti machinery SELECT uses, pinned by the
+        // dialect id; the matched flag then rides a left join on id into
+        // the copy-on-write rewrite. Needs row identity.
+        val subq = wheres.exists(subqueryPred)
+        if (subq) require(pre0.columns.contains("id"),
+          s"UPDATE with a subquery predicate needs table $t's dialect " +
+            "id column (raw-registered tables have no row identity)")
+        lazy val matchedIds = applyWheres(cat, pre0, wheres, registry)
+          .select(col("id").as("graft_upd_id")).distinct()
+        def plainCond = wheres.map(predColumn(cat, _))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val cond = if (subq) lit(true) else plainCond
         // the update IS a retraction pair: retract the matched rows'
         // before-image, append their after-image (matched set pinned by
         // id against the PRE plan — the SET may change the very columns
         // the WHERE tested)
-        val before = cat.table(t).filter(cond)
+        val before =
+          if (subq) pre0.join(matchedIds, pre0("id") === col("graft_upd_id"),
+            "left_semi")
+          else pre0.filter(cond)
         // each SET right-hand side as a Column — applied once through the
         // catalog's copy-on-write rewrite (ALL assignments in ONE
         // projection, every RHS against the BEFORE image — SQL's
@@ -2944,7 +2989,7 @@ object HashQL {
         val correlated = sets.collect {
           case (ref, SetScalar(sub)) if corrTables(sub).nonEmpty => (ref, sub)
         }
-        if (correlated.isEmpty) {
+        if (correlated.isEmpty && !subq) {
           val assigns = sets.map { case (ref, sv) => ref.column -> setCol(sv) }
           cat.updateExprs(t, assigns, cond)
           registry.foreach(_.onUpdate(cat, t, before,
@@ -2966,7 +3011,7 @@ object HashQL {
               s"UPDATE's scalar subquery may correlate only through the " +
                 s"updated table $t — it references ${bad.mkString(", ")}")
           }
-          def applyUpdate(frame: DataFrame): DataFrame = {
+          def applyUpdate(frame: DataFrame, cnd: Column): DataFrame = {
             var acc = frame
             val reserved = scala.collection.mutable.ArrayBuffer.empty[String]
             val values = sets.zipWithIndex.map {
@@ -2975,20 +3020,29 @@ object HashQL {
                 // pin the value into a reserved column and shed the
                 // join's own reserved names immediately, so chained
                 // correlated assignments never collide on them
-                val vc = s"graft_upd_$i"
+                val vc = s"graft_updv_$i"
                 acc = joined.withColumn(vc, v).drop(res: _*)
                 reserved += vc
                 ref.column -> col(vc)
               case ((ref, sv), _) => ref.column -> setCol(sv)
             }
             acc.withColumns(values.map { case (f, v) =>
-              f -> when(cond, v).otherwise(
+              f -> when(cnd, v).otherwise(
                 if (frame.columns.contains(f)) col(f) else lit(null))
             }.toMap).drop(reserved.toSeq: _*)
           }
-          // build BOTH plans against the PRE state, then commit
-          val newTable = applyUpdate(cat.table(t))
-          val after = applyUpdate(before)
+          // build BOTH plans against the PRE state, then commit. The
+          // subquery-WHERE form joins the matched-id flag in (left join
+          // on id — the unmatched rows keep their columns through the
+          // when-otherwise); the after-image starts from the matched
+          // rows, so its guard is constant-true.
+          val (start, startCond, startDrop) =
+            if (subq) (pre0.join(matchedIds,
+              pre0("id") === col("graft_upd_id"), "left"),
+              col("graft_upd_id").isNotNull, Seq("graft_upd_id"))
+            else (pre0, cond, Seq.empty[String])
+          val newTable = applyUpdate(start, startCond).drop(startDrop: _*)
+          val after = applyUpdate(before, lit(true))
           cat.register(t, newTable)
           registry.foreach(_.onUpdate(cat, t, before, after))
         }
@@ -3516,6 +3570,7 @@ object HashQL {
           aggDeps = named.aggDeps.map {
             case (n, AggCall(fn, r)) if aliases.contains(r.table) =>
               (n, AggExprItem(fn, ECol(ren(r)), n))
+            case (n, ExprItem(e, a)) => (n, ExprItem(expr(e), a))
             case d => d
           })
       case c: Coalesce2
@@ -3625,6 +3680,7 @@ object HashQL {
           order = w.order.map { case (r, d) => (ren(r), d) },
           aggDeps = w.aggDeps.map {
             case (n, AggCall(fn, r)) => (n, AggCall(fn, ren(r)))
+            case (n, ExprItem(e, a)) => (n, ExprItem(expr(e), a))
             case d => d
           })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
@@ -3830,6 +3886,17 @@ object HashQL {
               .filterNot { case (n, _) =>
                 itemAliases.contains(n) || gs.exists(_.column == n) ||
                   havingAdds.exists(_._1 == n) }
+            // expression keys have no post-aggregation row to compute
+            // over — a grouped window addresses grouping keys,
+            // aggregates, or projected aliases
+            winAdds.foreach {
+              case (_, CountStar | _: AggCall | _: AggExprItem) => ()
+              case _ => throw new IllegalArgumentException(
+                "a grouped window's keys address grouping keys, " +
+                  "aggregate calls, or projected aliases — computed " +
+                  "expression keys exist only scan-side (project the " +
+                  "expression `as <alias>` and group by it)")
+            }
             winDrop = winAdds.map(_._1)
             val winAggs = aggsRaw(cat, winAdds.map(_._2))
             val aggAll =
@@ -3907,11 +3974,17 @@ object HashQL {
             } else {
               val scalarSubs = items.collect { case s0: ScalarSubItem => s0 }
               val wins = items.collect { case w: WinCall => w }
-              // an aggregate call inside OVER means "over the groups" —
-              // meaningless without GROUP BY in the same select
-              wins.foreach(w => require(w.aggDeps.isEmpty,
-                "an aggregate call inside OVER needs GROUP BY in the " +
-                  "same select (windows over aggregates rank the groups)"))
+              // OVER-clause deps here: EXPRESSION keys compute scan-side
+              // under their reserved names (added below, shed by the
+              // final projection); an AGGREGATE call means "over the
+              // groups" — meaningless without GROUP BY
+              val winKeyExprs = wins.flatMap(_.aggDeps).distinctBy(_._1)
+              winKeyExprs.foreach {
+                case (_, _: ExprItem) => ()
+                case _ => throw new IllegalArgumentException(
+                  "an aggregate call inside OVER needs GROUP BY in the " +
+                    "same select (windows over aggregates rank the groups)")
+              }
               // SCALE GUARD (r10 verdict): a ranking window with no
               // PARTITION BY plans a single-partition global sort — one
               // executor orders EVERY row, the 100 TB killer. Allowed
@@ -3990,7 +4063,15 @@ object HashQL {
                   .drop(aggMap.values.toSeq: _*)
               }
               else {
-                val withWins = wins.foldLeft(df)((d, w) =>
+                // computed window keys first (scan-side, codegen'd); the
+                // final projection's column list never includes the
+                // reserved graft_wk names, so they shed with the select
+                val withWinKeys = winKeyExprs.foldLeft(df) {
+                  case (d, (n, ExprItem(e, _))) =>
+                    d.withColumn(n, exprColumn(cat, e))
+                  case (d, _) => d
+                }
+                val withWins = wins.foldLeft(withWinKeys)((d, w) =>
                   d.withColumn(winAlias(w), winColumn(w)))
                 val withCoals = coals.foldLeft(withWins)((d, c) =>
                   d.withColumn(coalAlias(c), coalesce(col(c.ref.column),

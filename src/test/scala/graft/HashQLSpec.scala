@@ -863,11 +863,23 @@ class HashQLSpec extends SparkSpec {
         "subquery delete dropped the deltable route")
       assert(got.as[(String, Long)].collect().toSet == Set(("d9", 1L)))
     } finally graft.matview.MatView.drop(spark, name)
-    // UPDATE rejects subquery predicates with a targeted message
-    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+    // UPDATE takes subquery predicates too (round 13 lifted the
+    // reject): the matched row set pins by id, like the DELETE form.
+    // State here: corpus = {d9:90}, bad = {d2, d4}.
+    HashQL.execute(cat,
+      "insert into corpus (nm, score) values ('d3', 30), ('d2', 25)")
+    HashQL.execute(cat,
       "update corpus set corpus.score = 1 " +
-        "where corpus.nm in (select bad.nm from bad)"))
-    assert(e.getMessage.contains("UPDATE does not take subquery"), e.getMessage)
+        "where corpus.nm in (select bad.nm from bad)")
+    def score(nm: String): Long = cat.table("corpus")
+      .filter(col("nm") === nm).select("score").as[Long].collect().head
+    assert(score("d2") == 1L && score("d3") == 30L && score("d9") == 90L)
+    // composes with plain conjuncts and NOT IN
+    HashQL.execute(cat,
+      "update corpus set corpus.score = corpus.score + 100 " +
+        "where corpus.nm not in (select bad.nm from bad) " +
+        "and corpus.score <= 50")
+    assert(score("d3") == 130L && score("d9") == 90L && score("d2") == 1L)
   }
 
   test("a CTE shadowing a routed table bypasses the materialized join") {
@@ -2491,6 +2503,38 @@ class HashQLSpec extends SparkSpec {
         "order by ev.ts").get
     assert(day.select("sd").as[Long].collect().toSeq ==
       Seq(10L, 10L, 10L, 10L))
+  }
+
+  test("window keys as expressions: partition by year(t.d) (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("2020-02-01", 1), ("2020-07-01", 2), ("2021-03-01", 3),
+      ("2021-04-01", 4)).foreach { case (d0, v) =>
+      HashQL.execute(cat,
+        s"insert into ev (d, v) values (timestamp '$d0', $v)") }
+    val rn = HashQL.execute(cat,
+      "select ev.v, row_number() over (partition by year(ev.d) " +
+        "order by ev.v desc) as rn from ev order by ev.v").get
+    assert(rn.select("rn").as[Int].collect().toSeq == Seq(2, 1, 2, 1))
+    assert(rn.columns.toSeq == Seq("v", "rn")) // reserved key shed
+    // grouped selects reject expression window keys with a fix-it
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select count(*), rank() over (order by year(ev.d)) as r " +
+        "from ev group by ev.v"))
+    assert(e.getMessage.contains("scan-side"), e.getMessage)
+  }
+
+  test("scalar tier 4: datediff / last_day / sqrt / greatest / least (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into t (a, b, x) values (3, 12, 16)")
+    val row = HashQL.execute(cat,
+      "select datediff(date '2021-03-01', date '2021-02-27') as dd, " +
+        "last_day(date '2021-02-03') as ld, sqrt(t.x) as sq, " +
+        "greatest(t.a, t.b, 7) as g, least(t.a, t.b, 7) as l from t").get
+      .collect().head
+    assert(row.getLong(0) == 2L)
+    assert(row.getDate(1).toString == "2021-02-28")
+    assert(row.getDouble(2) == 4.0)
+    assert(row.getLong(3) == 12L && row.getLong(4) == 3L)
   }
 
   test("ranking-guard fix-it names WHERE only (r12 verdict: LIMIT cannot help)") {
