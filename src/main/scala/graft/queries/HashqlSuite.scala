@@ -2852,6 +2852,26 @@ object HashqlSuite extends Suite {
              |ON n1.n_regionkey = n2.n_regionkey
              |WHERE n1.n_nationkey < n2.n_nationkey""".stripMargin)),
 
+    // ANSI-89 comma joins (round 13): `from customer, orders, lineitem
+    // where …` — the spelling the reference-era TPC-H queries use.
+    // Comma sources build as CROSS sources; the WHERE equalities become
+    // the join conditions in the optimizer (ScaleSpec asserts hash
+    // joins, no cartesian); a missing link predicate REJECTS.
+    "hashql_comma_join" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, count(*), " +
+          "sum(lineitem.l_quantity) as qty " +
+          "from customer, orders, lineitem " +
+          "where customer.c_custkey = orders.o_custkey " +
+          "and orders.o_orderkey = lineitem.l_orderkey " +
+          "and customer.c_mktsegment = 'BUILDING' " +
+          "group by customer.c_custkey"),
+      Some("""SELECT c_custkey, count(*) AS cnt, sum(l_quantity) AS qty
+             |FROM customer, orders, lineitem
+             |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |AND c_mktsegment = 'BUILDING'
+             |GROUP BY c_custkey""".stripMargin)),
+
     // Window keys as EXPRESSIONS (round 13): `partition by
     // year(o_orderdate)` computes the key scan-side under a reserved
     // name (the bare group-by-expression machinery), the window

@@ -45,9 +45,13 @@ import graft.fts.Fts
   *         [rows n preceding | rows between <bound> and <bound>])
   *     | sum(t.x)|count(*)|count(t.x)|lag(t.x)|lead(t.x)
   *       |first_value(t.x)|last_value(t.x) over (…)
-  *     from t [alias] | ( select … ) name [sample n permille by t.id]
-  *     [[inner | left [outer] | full [outer]] join u [alias]
-  *       | ( select … ) name  on t.x = u.y]*
+  *     from t [alias] | ( select … ) [as] name [sample n permille by t.id]
+  *       [, t2 [alias] | ( select … ) [as] name]*   // ANSI-89 comma joins:
+  *       // WHERE equalities become the join conditions (round-13); a
+  *       // plan left cartesian is rejected with the remedy named
+  *     [[inner | left [outer] | right [outer] | full [outer]] join
+  *       u [alias] | ( select … ) [as] name
+  *       on t.x = u.y [and a <op> b | a <op> literal]*]*
   *       // `from lineitem l1 inner join lineitem l2 on l1.k = l2.k` —
   *       // aliases make SELF-JOINS expressible (round 12); refs address
   *       // the alias, outputs keep the original column names.
@@ -610,7 +614,16 @@ object HashQL {
                           // then holds the distinct union of all set
                           // keys, in first-appearance order).
                           groupMode: String = "",
-                          groupSets: Seq[Seq[ColRef]] = Nil) extends Stmt
+                          groupSets: Seq[Seq[ColRef]] = Nil,
+                          // `from a, b, c where a.x = b.y …` (round-13
+                          // growth): ANSI-89 comma joins — additional
+                          // FROM sources (tables, aliases, or derived
+                          // names) built as CROSS sources whose WHERE
+                          // equality conjuncts Catalyst folds into hash
+                          // joins (PushPredicateThroughJoin +
+                          // ReorderJoin); a plan left cartesian is
+                          // REJECTED by the executor's scale guard.
+                          froms: Seq[String] = Nil) extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -1379,6 +1392,10 @@ object HashQL {
         kw("permille"); kw("by")
         Some(SampleBucket(colRef(), n.toInt))
       } else None
+      // ANSI-89 comma joins (round-13): `from customer, orders, lineitem
+      // where …` — each source takes the same alias/derived grammar
+      val fromList = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (is(",")) { next(); fromList += fromSource() }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
       while (is("inner") || is("left") || is("right") || is("full") ||
              is("join")) {
@@ -1565,7 +1582,7 @@ object HashQL {
       } else None
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
-        groupMode, groupSets)
+        groupMode, groupSets, fromList.toSeq)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -2807,6 +2824,11 @@ object HashQL {
     // routing keys on BASE-table identity; an alias-scoped frame has none
     require(sel.aliases.isEmpty && sel.derived.isEmpty,
       "create agg view takes base table names (no aliases or derived tables)")
+    // containment identity needs explicit join structure — comma joins
+    // leave it in WHERE
+    require(sel.froms.isEmpty,
+      "create agg view takes explicit `inner join … on …` clauses " +
+        "(comma-joined FROM lists don't register)")
     // rollup/cube summaries don't re-aggregate for containment routing
     require(sel.groupMode.isEmpty,
       "create agg view takes a plain GROUP BY (no rollup/cube)")
@@ -2958,8 +2980,7 @@ object HashQL {
           // literal (correlated forms take the decorrelated-join path
           // below instead)
           case SetScalar(sub) =>
-            val subTables = sub.joins.flatMap(j =>
-              Seq(j.table, j.l.table, j.r.table)).toSet + sub.table
+            val subTables = fromTables(sub)
             // the projected value too (r12 advice): `set t.a = ( select
             // max(t.b) from u )` would silently bind t.b to u's column b
             val itemLeak = scalarItemLeak(sub, subTables)
@@ -2981,8 +3002,7 @@ object HashQL {
         // UPDATED table only — it is the one frame the assignment row
         // provides.
         def corrTables(sub: Select): Seq[String] = {
-          val subTables = sub.joins.flatMap(j =>
-            Seq(j.table, j.l.table, j.r.table)).toSet + sub.table
+          val subTables = fromTables(sub)
           sub.wheres.flatMap(p =>
             predTables(p).filterNot(subTables.contains)).distinct
         }
@@ -3218,6 +3238,7 @@ object HashQL {
   private def tableRefCount(st: Stmt, n: String): Int = st match {
     case s: Select =>
       (if (s.table == n) 1 else 0) + s.joins.count(_.table == n) +
+        s.froms.count(_ == n) +
         // aliased references count against the REAL table (the alias is
         // what appears as table/join name); derived bodies count their
         // own references
@@ -3237,7 +3258,8 @@ object HashQL {
     * A plain scan-filter-project stays lazy (pushdown-transparent). */
   private def heavyCte(st: Stmt): Boolean = st match {
     case s: Select =>
-      s.joins.nonEmpty || s.groupBy.nonEmpty || s.distinct ||
+      s.joins.nonEmpty || s.froms.nonEmpty || s.groupBy.nonEmpty ||
+        s.distinct ||
         s.items.exists {
           case CountStar | _: AggCall | _: AggExprItem | _: WinCall => true
           case e: ExprItem => aggNodes(e.expr).nonEmpty
@@ -3460,7 +3482,7 @@ object HashQL {
       if (!sel.items.contains(Star)) sel
       else {
         val aliasMap = sel.aliases.toMap
-        val sources = sel.table +: sel.joins.map(_.table)
+        val sources = (sel.table +: sel.froms) ++ sel.joins.map(_.table)
         val starItems = sources.flatMap { s0 =>
           aliasMap.get(s0) match {
             case Some(real) => cat.table(real).columns.toSeq.map(c =>
@@ -3532,8 +3554,7 @@ object HashQL {
     def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
     // a nested subquery's own FROM/JOIN names shadow the outer aliases
     def subSel(s0: Select): Select =
-      deepAliasMap(s0,
-        aliases.diff(s0.joins.map(_.table).toSet + s0.table))
+      deepAliasMap(s0, aliases.diff(fromTables(s0)))
     def autoAggName(fn: String, column: String): String = fn match {
       case "count" => s"cnt_$column"
       case "count_distinct" => s"cntd_$column"
@@ -3669,7 +3690,7 @@ object HashQL {
     }
     def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
     def subSel(s1: Select): Select =
-      deepAliasMap(s1, vis.diff(s1.joins.map(_.table).toSet + s1.table))
+      deepAliasMap(s1, vis.diff(fromTables(s1)))
     s0.copy(items = s0.items.map {
         case Field(r) => Field(ren(r))
         case AggCall(fn, r) => AggCall(fn, ren(r))
@@ -3721,15 +3742,14 @@ object HashQL {
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _, _, _) =>
+                  distinct, offset, qualify, _, _, _, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
         // maintained view, server.py:806-894). create join views are
         // inner by construction, so a SELECT with any LEFT JOIN never
         // routes (the pre-joined rows lack the unmatched-left rows).
-        val tset = joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
-          .toSet + table
+        val tset = fromTables(sel)
         // a CTE shadowing any participating table makes the NAME-keyed
         // route wrong (the pre-joined parquet holds BASE rows, not the
         // shadow's) — fall back to the live build, which resolves shadows
@@ -3738,12 +3758,17 @@ object HashQL {
         // tables' columns, so Star disables that route (exact still fires)
         val routed =
           if (joins.exists(_.outer) || joins.exists(_.extra.nonEmpty) ||
-              tset.exists(cat.isShadowed)) None
+              sel.froms.nonEmpty || tset.exists(cat.isShadowed)) None
           else registry.flatMap(_.routedFrame(tset,
             joins.map(j => (j.table, j.l, j.r)),
             allowSubset = !items.contains(Star)))
         var df = routed.getOrElse {
           var acc = cat.table(table)
+          // comma sources build as CROSS joins; the WHERE equality
+          // conjuncts below become join conditions in the optimizer
+          // (PushPredicateThroughJoin + ReorderJoin), and the guard
+          // after applyWheres rejects any plan left cartesian
+          sel.froms.foreach(f => acc = acc.crossJoin(cat.table(f)))
           joins.foreach { case JoinClause(t, l, r, kind, extra) =>
             // the clause's table is the fresh side; the other ref is already
             // in the accumulated left-deep join (reference client.py:472-480)
@@ -3796,6 +3821,22 @@ object HashQL {
           acc
         }
         df = applyWheres(cat, df, wheres, registry)
+        // SCALE GUARD (round-13, comma joins): a comma-joined select
+        // whose WHERE fails to link every source leaves a cartesian in
+        // the plan — at 100 TB that is |A|×|B| work. Reject with the
+        // remedy instead of executing it. (Plan-only check: the
+        // optimizer runs, nothing executes.)
+        if (sel.froms.nonEmpty) {
+          val cartesian = df.queryExecution.optimizedPlan.collectFirst {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                if j.condition.isEmpty &&
+                  j.joinType == org.apache.spark.sql.catalyst.plans.Cross => j
+          }
+          require(cartesian.isEmpty,
+            "comma-joined FROM sources need WHERE equality conjuncts " +
+              "linking every source (a.k = b.k) — the plan still " +
+              "contains a cartesian join")
+        }
         def aggColumns: Seq[Column] = aggsOf(cat, items)
         // aggregates SPELLED in HAVING but not projected (round-12 — the
         // TPC-H Q18 idiom `having sum(l_quantity) > 300`): the grouped
@@ -4198,6 +4239,14 @@ object HashQL {
     }
   }
 
+  /** Every table/alias/derived NAME a select's FROM surface binds —
+    * base table, comma sources, and join clauses. The subquery
+    * decorrelators classify conjuncts as local-vs-correlated against
+    * this set. */
+  private def fromTables(s: Select): Set[String] =
+    s.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table)).toSet +
+      s.table ++ s.froms
+
   /** Mirror a comparison operator across its operands (`a < b` ≡
     * `b > a`) — shared by ON-clause extras and the subquery
     * decorrelators, which all normalize to one orientation. */
@@ -4261,8 +4310,7 @@ object HashQL {
   private def scalarJoin(cat: GraftCatalog, outer: DataFrame, sub: Select,
                          registry: Option[JoinRegistry])
       : (DataFrame, Column, org.apache.spark.sql.types.DataType, Seq[String]) = {
-    val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
-      .toSet + sub.table
+    val subTables = fromTables(sub)
     // the projected value must be built from the subquery's own tables —
     // an outer qualifier there would silently bind to a same-named inner
     // column (r12 advice); correlation belongs in WHERE conjuncts
@@ -4460,8 +4508,7 @@ object HashQL {
       sub.limit.isEmpty && !sub.distinct && sub.offset.isEmpty &&
       sub.qualify.isEmpty,
       "exists subquery supports plain select … from … [join …] [where …]")
-    val subTables = sub.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table))
-      .toSet + sub.table
+    val subTables = fromTables(sub)
     def corrPair(p: Pred): Option[(ColRef, ColRef)] = corrPairOf(subTables)(p)
     val (corr, rest) = sub.wheres.partition(p => corrPair(p).isDefined)
     // NON-EQUALITY cross-frame conjuncts (round-12 growth — TPC-H Q21's

@@ -2523,6 +2523,32 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("scan-side"), e.getMessage)
   }
 
+  test("comma joins: ANSI-89 FROM lists, cartesian guard (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into c (ck, seg) values (1, 'B'), (2, 'A')")
+    HashQL.execute(cat,
+      "insert into o (ok, ck2, pri) values (10, 1, 'H'), (11, 1, 'L'), (12, 2, 'H')")
+    val j = HashQL.execute(cat,
+      "select c.seg, o.ok from c, o where c.ck = o.ck2 and o.pri = 'H' " +
+        "order by o.ok").get
+    assert(j.as[(String, Long)].collect().toSeq ==
+      Seq(("B", 10L), ("A", 12L)))
+    // the equality folded into the join condition — the physical plan is
+    // a hash join, not a cartesian pair scan
+    val ep = j.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct") &&
+      (ep.contains("HashJoin") || ep.contains("SortMergeJoin")), ep)
+    // aliases compose (comma self-join)
+    val sj = HashQL.execute(cat,
+      "select o1.ok, o2.ok as ok2 from o o1, o o2 " +
+        "where o1.ck2 = o2.ck2 and o1.ok < o2.ok").get
+    assert(sj.as[(Long, Long)].collect().toSeq == Seq((10L, 11L)))
+    // a missing link predicate rejects instead of planning |A|x|B|
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select c.seg, o.ok from c, o where o.pri = 'H'"))
+    assert(e.getMessage.contains("cartesian"), e.getMessage)
+  }
+
   test("scalar tier 4: datediff / last_day / sqrt / greatest / least (round-13)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into t (a, b, x) values (3, 12, 16)")

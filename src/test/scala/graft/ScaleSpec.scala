@@ -686,6 +686,32 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("comma joins plan hash joins with pushdown — never cartesian (round-13)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select customer.c_custkey, count(*) from customer, orders, lineitem " +
+        "where customer.c_custkey = orders.o_custkey " +
+        "and orders.o_orderkey = lineitem.l_orderkey " +
+        "and customer.c_mktsegment = 'BUILDING' " +
+        "group by customer.c_custkey").get
+    val plan = df.queryExecution.executedPlan.toString
+    // the optimizer folded the WHERE equalities into join conditions —
+    // hash/merge joins, the segment filter pushed into the customer scan
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"comma join stayed cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join:\n${plan.take(1200)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_mktsegment")),
+      "segment filter not pushed")
+    df.count()
+  }
+
   test("aliased self-join is one equi-join; filters push into both scans (round-12)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
