@@ -54,6 +54,17 @@ final class GraftCatalog(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = commit(name, df)
 
+  /** DROP TABLE (round-13): remove the registration, its version
+    * history, and its id counter. Metadata-only — plans other frames
+    * captured stay valid (they pinned their lineage at build time), and
+    * backing parquet is untouched. */
+  def drop(name: String): Unit = {
+    require(tables.contains(name), s"no such table: $name")
+    tables -= name
+    history -= name
+    counters -= name
+  }
+
   /** Statement-scoped name bindings (CTEs): while `f` runs, `table`
     * resolves these names FIRST — a CTE shadows a same-named catalog
     * table, standard SQL scoping. Restored on exit (also on throw), and

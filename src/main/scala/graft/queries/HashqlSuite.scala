@@ -2852,6 +2852,26 @@ object HashqlSuite extends Suite {
              |ON n1.n_regionkey = n2.n_regionkey
              |WHERE n1.n_nationkey < n2.n_nationkey""".stripMargin)),
 
+    // ILIKE (round 13): case-insensitive LIKE, the DuckDB/Postgres
+    // spelling — Spark's native ilike Column, codegen'd.
+    "hashql_ilike" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_name from part " +
+          "where part.p_name ilike '%Green%'"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name ILIKE '%Green%'""".stripMargin)),
+
+    // Ordinal GROUP BY / ORDER BY keys (round 13): `group by 1` binds to
+    // the first select item at parse; `order by 2` reads the output
+    // ordinally at lowering (sorting by a constant is a no-op nobody
+    // means) — the interactive-analyst shorthand both engines share.
+    "hashql_ordinals" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderpriority, count(*) from orders " +
+          "group by 1 order by 2 desc, 1"),
+      Some("""SELECT o_orderpriority, count(*) AS cnt FROM orders
+             |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
+
     // ANSI-89 comma joins (round 13): `from customer, orders, lineitem
     // where …` — the spelling the reference-era TPC-H queries use.
     // Comma sources build as CROSS sources; the WHERE equalities become

@@ -432,6 +432,11 @@ object HashQL {
     * `^`/`$` anchors. `t.f not rlike '…'` negates three-valuedly like
     * every comparison (NULL input stays NULL → row dropped). */
   final case class Rlike(ref: ColRef, pattern: String) extends Pred
+  /** `t.f [not] ilike 'pat'` (round-13) — case-insensitive LIKE, the
+    * DuckDB/Postgres spelling; `%`/`_` wildcards, three-valued under NOT
+    * like every comparison. Both engines lowercase-compare identically
+    * for ASCII patterns. */
+  final case class Ilike(ref: ColRef, pattern: String) extends Pred
   /** `t.f is [not] null` — the two-valued null test (never UNKNOWN, unlike
     * every comparison above). The natural partner of LEFT JOIN: `left join
     * o on … where o.key is null` is the SQL spelling of an anti-join. */
@@ -655,6 +660,11 @@ object HashQL {
   /** `describe t` — (column_name, column_type) rows in schema order;
     * types render as Spark SQL type names (BIGINT, STRING, …). */
   final case class Describe(table: String) extends Stmt
+  /** `drop table [if exists] t` (round-13) — removes the catalog
+    * registration, version history, and id counter (metadata-only; plans
+    * other statements captured stay valid, backing files untouched) and
+    * invalidates the table's materialized-join/agg-view routes. */
+  final case class DropTable(table: String, ifExists: Boolean) extends Stmt
   /** `explain select …` (round-12) — one `plan_line` row per line of the
     * FORMATTED physical plan (scan pushdowns, join strategies, exchanges:
     * the things a user tunes). Introspection only — never executes the
@@ -796,6 +806,10 @@ object HashQL {
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
+      case "drop" =>
+        kw("table")
+        val ifExists = if (is("if")) { next(); kw("exists"); true } else false
+        DropTable(next(), ifExists)
       case "explain" =>
         kw("select")
         Explain(selectOrUnion())
@@ -1098,13 +1112,20 @@ object HashQL {
             require(v.isInstanceOf[String],
               s"rlike expects a quoted regex pattern, got $v")
             Rlike(ref, v.toString)
+          case t if t.equalsIgnoreCase("ilike") =>
+            val v = literal()
+            require(v.isInstanceOf[String],
+              s"ilike expects a quoted pattern, got $v")
+            Ilike(ref, v.toString)
           case op => throw new IllegalArgumentException(s"unsupported predicate op: $op")
         }
         if (negated) {
           require(atom.isInstanceOf[InList] || atom.isInstanceOf[InSelect] ||
             atom.isInstanceOf[Like] || atom.isInstanceOf[Rlike] ||
+            atom.isInstanceOf[Ilike] ||
             atom.isInstanceOf[And], // And = desugared BETWEEN
-            "infix NOT applies to IN / LIKE / RLIKE / BETWEEN; use `not (…)` otherwise")
+            "infix NOT applies to IN / LIKE / ILIKE / RLIKE / BETWEEN; " +
+              "use `not (…)` otherwise")
           Not(atom)
         } else atom
       }
@@ -1456,6 +1477,22 @@ object HashQL {
             val a = s"graft_gk${items.length}"
             items += ExprItem(e, a)
             ColRef("", a)
+          }
+        }
+        // `group by 1` (round-13) — ordinal keys resolve against the
+        // select list at parse (items are in hand); only plain fields
+        // and computed projections are groupable
+        else if (peek.matches("[0-9]+")) {
+          val n = next().toInt
+          require(n >= 1 && n <= items.length,
+            s"GROUP BY ordinal $n out of range 1..${items.length}")
+          items(n - 1) match {
+            case Field(r) => r
+            case ExprItem(_, a) => ColRef("", a)
+            case other => throw new IllegalArgumentException(
+              s"GROUP BY ordinal $n addresses a non-groupable select " +
+                s"item ($other) — ordinals bind to plain or computed " +
+                "projections")
           }
         }
         else if (peek.contains('.')) colRef() else ColRef("", next())
@@ -2349,6 +2386,11 @@ object HashQL {
       if (ref.column.startsWith("~"))
         graft.doc.DocStore.pathMatches(col("doc"), ref.column, _.rlike(pat))
       else col(ref.column).rlike(pat)
+    // case-insensitive LIKE (round-13) — Spark's native ilike, codegen'd
+    case Ilike(ref, pat) =>
+      if (ref.column.startsWith("~"))
+        graft.doc.DocStore.pathMatches(col("doc"), ref.column, _.ilike(pat))
+      else col(ref.column).ilike(pat)
     // two-valued — no try_cast coercion to slip a null in; doc-paths keep
     // the any-leaf contract of the other branches
     case IsNullP(ref, not) =>
@@ -2583,6 +2625,7 @@ object HashQL {
     case Cmp(r, _, _) => Set(r.column)
     case Like(r, _) => Set(r.column)
     case Rlike(r, _) => Set(r.column)
+    case Ilike(r, _) => Set(r.column)
     case InList(r, _) => Set(r.column)
     case IsNullP(r, _) => Set(r.column)
     case EqCol(a, b) => Set(a.column, b.column)
@@ -2618,6 +2661,7 @@ object HashQL {
     case Cmp(r, _, _) => Set(r.table)
     case Like(r, _) => Set(r.table)
     case Rlike(r, _) => Set(r.table)
+    case Ilike(r, _) => Set(r.table)
     case InList(r, _) => Set(r.table)
     case IsNullP(r, _) => Set(r.table)
     case FtsMatch(r, _) => Set(r.table)
@@ -3104,6 +3148,14 @@ object HashQL {
         val s = cat.spark
         import s.implicits._
         Some(cat.names.toDF("table_name"))
+      case DropTable(t, ifExists) =>
+        if (cat.exists(t)) {
+          // routes keyed on the table are stale the moment it goes
+          registry.foreach(_.invalidateTable(t))
+          cat.drop(t)
+        } else require(ifExists, s"drop table: no such table $t " +
+          "(use `drop table if exists`)")
+        None
       case Describe(t) =>
         val s = cat.spark
         import s.implicits._
@@ -3202,6 +3254,7 @@ object HashQL {
       case Cmp(r, op, v) => Cmp(ref(r), op, v)
       case Like(r, v) => Like(ref(r), v)
       case Rlike(r, v) => Rlike(ref(r), v)
+      case Ilike(r, v) => Ilike(ref(r), v)
       case InList(r, vs) => InList(ref(r), vs)
       case IsNullP(r, n) => IsNullP(ref(r), n)
       case EqCol(a, b) => EqCol(ref(a), ref(b))
@@ -3535,6 +3588,7 @@ object HashQL {
       case Cmp(r, op, v) => Cmp(ren(r), op, v)
       case Like(r, v) => Like(ren(r), v)
       case Rlike(r, v) => Rlike(ren(r), v)
+      case Ilike(r, v) => Ilike(ren(r), v)
       case InList(r, vs) => InList(ren(r), vs)
       case IsNullP(r, n) => IsNullP(ren(r), n)
       case FtsMatch(r, q) => FtsMatch(ren(r), q)
@@ -3672,6 +3726,7 @@ object HashQL {
       case Cmp(r, op, v) => Cmp(ren(r), op, v)
       case Like(r, v) => Like(ren(r), v)
       case Rlike(r, v) => Rlike(ren(r), v)
+      case Ilike(r, v) => Ilike(ren(r), v)
       case InList(r, vs) => InList(ren(r), vs)
       case IsNullP(r, n) => IsNullP(ren(r), n)
       case FtsMatch(r, q) => FtsMatch(ren(r), q)
@@ -3827,10 +3882,15 @@ object HashQL {
         // remedy instead of executing it. (Plan-only check: the
         // optimizer runs, nothing executes.)
         if (sel.froms.nonEmpty) {
+          // a ≤1-row side is NOT a cartesian risk — the uncorrelated
+          // scalar-subquery/EXISTS probes legitimately broadcast one row
+          // on a condition-less cross join, and maxRows proves it
           val cartesian = df.queryExecution.optimizedPlan.collectFirst {
             case j: org.apache.spark.sql.catalyst.plans.logical.Join
                 if j.condition.isEmpty &&
-                  j.joinType == org.apache.spark.sql.catalyst.plans.Cross => j
+                  j.joinType == org.apache.spark.sql.catalyst.plans.Cross &&
+                  !j.left.maxRows.exists(_ <= 1) &&
+                  !j.right.maxRows.exists(_ <= 1) => j
           }
           require(cartesian.isEmpty,
             "comma-joined FROM sources need WHERE equality conjuncts " +
@@ -4225,7 +4285,17 @@ object HashQL {
         val ordered =
           if (orderBy.isEmpty) dedup
           else dedup.orderBy(orderBy.map { case (e, desc, nf) =>
-            val c = exprColumn(cat, e)
+            // `order by 2` (round-13) — an integer-literal sort key is an
+            // ORDINAL into the output columns (sorting by a constant is
+            // a no-op nobody means; both engines read it ordinally)
+            val c = e match {
+              case ELit(n: Long) =>
+                require(n >= 1 && n <= dedup.columns.length,
+                  s"ORDER BY ordinal $n out of range " +
+                    s"1..${dedup.columns.length}")
+                col(dedup.columns((n - 1).toInt))
+              case _ => exprColumn(cat, e)
+            }
             (desc, nf) match {
               case (false, None) => c.asc_nulls_last
               case (true, None) => c.desc

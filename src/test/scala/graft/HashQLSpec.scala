@@ -2547,6 +2547,12 @@ class HashQLSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select c.seg, o.ok from c, o where o.pri = 'H'"))
     assert(e.getMessage.contains("cartesian"), e.getMessage)
+    // an uncorrelated scalar subquery's own 1-row broadcast cross join
+    // must NOT trip the guard (maxRows proves the side is a scalar)
+    val withScalar = HashQL.execute(cat,
+      "select c.seg, o.ok from c, o where c.ck = o.ck2 " +
+        "and o.ok > ( select min(o.ok) from o )").get
+    assert(withScalar.count() == 2)
   }
 
   test("scalar tier 4: datediff / last_day / sqrt / greatest / least (round-13)") {
@@ -2561,6 +2567,38 @@ class HashQLSpec extends SparkSpec {
     assert(row.getDate(1).toString == "2021-02-28")
     assert(row.getDouble(2) == 4.0)
     assert(row.getLong(3) == 12L && row.getLong(4) == 3L)
+  }
+
+  test("ILIKE, ordinal GROUP/ORDER keys, DROP TABLE (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into t (nm, v) values ('Alpha', 1), ('ALPINE', 2), ('beta', 3)")
+    // case-insensitive LIKE, three-valued under NOT
+    val il = HashQL.execute(cat,
+      "select t.nm from t where t.nm ilike 'al%'").get
+    assert(il.as[String].collect().toSet == Set("Alpha", "ALPINE"))
+    val nil0 = HashQL.execute(cat,
+      "select t.nm from t where t.nm not ilike 'al%'").get
+    assert(nil0.as[String].collect().toSeq == Seq("beta"))
+    // ordinals: group by 1 binds to the first output, order by 2 to the
+    // second
+    val ord = HashQL.execute(cat,
+      "select upper(t.nm) as u, count(*) from t group by 1 order by 2 desc, 1").get
+    assert(ord.columns.toSeq == Seq("u", "cnt"))
+    assert(ord.select("u").as[String].collect().length == 3)
+    val e1 = intercept[IllegalArgumentException](HashQL.parse(
+      "select t.nm from t group by 5"))
+    assert(e1.getMessage.contains("out of range"), e1.getMessage)
+    // drop table: registration + history + counter go; if-exists guards
+    HashQL.execute(cat, "drop table t")
+    assert(!cat.exists("t"))
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "drop table t"))
+    assert(e2.getMessage.contains("no such table"), e2.getMessage)
+    HashQL.execute(cat, "drop table if exists t") // no-op, no throw
+    // a fresh insert restarts ids at 1 (counter dropped with the table)
+    HashQL.execute(cat, "insert into t (nm) values ('x')")
+    assert(cat.table("t").select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("ranking-guard fix-it names WHERE only (r12 verdict: LIMIT cannot help)") {
