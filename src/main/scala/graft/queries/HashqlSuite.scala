@@ -2857,9 +2857,9 @@ object HashqlSuite extends Suite {
     "hashql_ilike" -> Q(
       (s, d) => run(s, d,
         "select part.p_partkey, part.p_name from part " +
-          "where part.p_name ilike '%Green%'"),
+          "where part.p_name ilike '%Red%'"),
       Some("""SELECT p_partkey, p_name FROM part
-             |WHERE p_name ILIKE '%Green%'""".stripMargin)),
+             |WHERE p_name ILIKE '%Red%'""".stripMargin)),
 
     // Ordinal GROUP BY / ORDER BY keys (round 13): `group by 1` binds to
     // the first select item at parse; `order by 2` reads the output
