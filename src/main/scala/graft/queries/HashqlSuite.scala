@@ -2852,6 +2852,18 @@ object HashqlSuite extends Suite {
              |ON n1.n_regionkey = n2.n_regionkey
              |WHERE n1.n_nationkey < n2.n_nationkey""".stripMargin)),
 
+    // Period-over-period over GROUPED sums (round 13): lag() reads the
+    // aggregate ALIAS over the grouped frame — yearly order counts with
+    // the previous year's count alongside, the delta-report idiom.
+    "hashql_win_lag_grouped" -> Q(
+      (s, d) => run(s, d,
+        "select year(orders.o_orderdate) as yr, count(*) as n, " +
+          "lag(n) over (order by yr) as prev_n " +
+          "from orders group by yr order by yr"),
+      Some("""SELECT year(o_orderdate) AS yr, count(*) AS n,
+             |  lag(count(*)) OVER (ORDER BY year(o_orderdate)) AS prev_n
+             |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)),
+
     // ILIKE (round 13): case-insensitive LIKE, the DuckDB/Postgres
     // spelling — Spark's native ilike Column, codegen'd.
     "hashql_ilike" -> Q(

@@ -1197,7 +1197,17 @@ object HashQL {
         }
         else if (is("lag") || is("lead") || is("first_value") ||
                  is("last_value")) {
-          val fn = next().toLowerCase; kw("("); val r = colRef(); kw(")")
+          // the argument is a column OR a bare output alias (round-13 —
+          // `lag(n) over (order by yr)` in a GROUPED select reads the
+          // aggregate alias: the period-over-period idiom)
+          val fn = next().toLowerCase; kw("(")
+          val r = if (peekIsColRef) colRef() else {
+            val t = next()
+            require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"$fn takes a column or an output alias, got $t")
+            ColRef("", t)
+          }
+          kw(")")
           items += windowSpec(fn, Some(r))
         }
         else if (is("count")) {

@@ -2447,6 +2447,13 @@ class HashQLSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select t.v, rank() over (order by sum(t.v) desc) as r from t"))
     assert(e.getMessage.contains("needs GROUP BY"), e.getMessage)
+    // lag over the grouped frame reads the aggregate ALIAS — the
+    // period-over-period idiom (NULL at the frame edge)
+    val pop = HashQL.execute(cat,
+      "select t.g, sum(t.v) as s, lag(s) over (order by t.g) as prev " +
+        "from t group by t.g order by t.g").get.collect()
+    // groups in g order: eng(40), hr(7), mkt(50), ops(25)
+    assert(pop.map(_.get(2)).toSeq == Seq(null, 40L, 7L, 50L))
   }
 
   test("GROUPING SETS: the general subtotal form (round-13)") {
