@@ -3031,7 +3031,149 @@ object HashqlSuite extends Suite {
             "order by people.people_name").get
       },
       Some("""SELECT * FROM (VALUES ('Fred', 45), ('Sam', 29), ('Simon', 29),
-             |  ('Ted', 45)) AS t(people_name, age)""".stripMargin))
+             |  ('Ted', 45)) AS t(people_name, age)""".stripMargin)),
+
+    // scalar tier 5 (round 13): trims / reverse / repeat / left / right /
+    // strpos / translate / ascii / md5 / sign / power — all codegen'd
+    // native Columns, scan-side. DuckDB divergences pinned in the oracle:
+    // sign keeps the argument's width there (CAST to BIGINT), concat
+    // spells as the null-propagating || chain.
+    "hashql_scalar_tier5" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, " +
+          "left(part.p_name, 5) as lft, right(part.p_name, 4) as rgt, " +
+          "reverse(part.p_brand) as rev, repeat(part.p_brand, 2) as rep, " +
+          "strpos(part.p_name, 'ri') as sp, " +
+          "translate(part.p_type, 'AEO', 'aeo') as tr, " +
+          "ascii(part.p_name) as ac, md5(part.p_name) as dg, " +
+          "sign(part.p_size - 25) as sg, " +
+          "power(cast(part.p_size as double), 2) as pw, " +
+          "ltrim(concat('  ', part.p_name)) as lt, " +
+          "rtrim(concat(part.p_name, '  ')) as rt " +
+          "from part where part.p_partkey <= 300 order by part.p_partkey"),
+      Some("""SELECT p_partkey,
+             |  left(p_name, 5) AS lft, right(p_name, 4) AS rgt,
+             |  reverse(p_brand) AS rev, repeat(p_brand, 2) AS rep,
+             |  strpos(p_name, 'ri') AS sp,
+             |  translate(p_type, 'AEO', 'aeo') AS tr,
+             |  ascii(p_name) AS ac, md5(p_name) AS dg,
+             |  CAST(sign(p_size - 25) AS BIGINT) AS sg,
+             |  pow(CAST(p_size AS DOUBLE), 2) AS pw,
+             |  ltrim('  ' || p_name) AS lt, rtrim(p_name || '  ') AS rt
+             |FROM part WHERE p_partkey <= 300
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // relative-rank windows (round 13): percent_rank (rank−1)/(n−1),
+    // cume_dist (peers ≤ current)/n, nth_value over the running frame
+    // (NULL until the 2nd row arrives). The unique order key keeps
+    // nth_value deterministic; the small-integer IEEE divisions are
+    // bit-identical on both engines.
+    "hashql_win_relrank" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "percent_rank() over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) as prnk, " +
+          "cume_dist() over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) as cdist, " +
+          "nth_value(orders.o_totalprice, 2) over (partition by " +
+          "orders.o_custkey order by orders.o_orderkey) as nv " +
+          "from orders where orders.o_custkey <= 120 " +
+          "order by orders.o_custkey, orders.o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  percent_rank() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS prnk,
+             |  cume_dist() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS cdist,
+             |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS nv
+             |FROM orders WHERE o_custkey <= 120
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // IS [NOT] DISTINCT FROM (round 13): the null-safe comparison — the
+    // nullif-planted NULL rows are KEPT by `is distinct from 3` where a
+    // plain `<>` would drop them (UNKNOWN), the operator's whole point.
+    // (Only the never-null key projects: a projected plain NULL field
+    // would trip the dialect's missing-field row skip — nation-5 rows'
+    // presence in the key set IS the semantics under test.)
+    "hashql_is_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select d.k from ( select customer.c_custkey as k, " +
+          "nullif(customer.c_nationkey, 5) as nk from customer ) d " +
+          "where d.nk is distinct from 3 order by d.k"),
+      Some("""SELECT c_custkey AS k FROM customer
+             |WHERE nullif(c_nationkey, 5) IS DISTINCT FROM 3
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // explicit CROSS JOIN (round 13): binds like an ANSI-89 comma source;
+    // the WHERE equality folds it into a hash join (broadcast dim at any
+    // scale), and an unlinked spelling trips the cartesian scale guard.
+    "hashql_cross_join" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_name, region.r_name from nation " +
+          "cross join region " +
+          "where nation.n_regionkey = region.r_regionkey " +
+          "order by nation.n_name"),
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |WHERE n_regionkey = r_regionkey
+             |ORDER BY n_name""".stripMargin)),
+
+    // quantified ALL (round 13): one stats aggregate over the subquery
+    // side broadcast onto the scan — suppliers whose balance tops every
+    // nation-3 customer's. ANSI-exact three-valued arithmetic (see
+    // QuantCmp); no row-to-row join at any scale.
+    "hashql_quant_all" -> Q(
+      (s, d) => run(s, d,
+        "select supplier.s_suppkey, supplier.s_acctbal from supplier " +
+          "where supplier.s_acctbal > all ( select customer.c_acctbal " +
+          "from customer where customer.c_nationkey = 3 ) " +
+          "order by supplier.s_suppkey"),
+      Some("""SELECT s_suppkey, s_acctbal FROM supplier
+             |WHERE s_acctbal > ALL ( SELECT c_acctbal FROM customer
+             |  WHERE c_nationkey = 3 )
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // quantified ANY (round 13): the easiest-value form — parts cheaper
+    // than at least one ECONOMY part's price; same broadcast-stats plan.
+    "hashql_quant_any" -> Q(
+      (s, d) => run(s, d,
+        "select part.p_partkey, part.p_retailprice from part " +
+          "where part.p_retailprice < any ( select part.p_retailprice " +
+          "from part where part.p_type = 'ECONOMY' ) " +
+          "order by part.p_partkey"),
+      Some("""SELECT p_partkey, p_retailprice FROM part
+             |WHERE p_retailprice < ANY ( SELECT p_retailprice FROM part
+             |  WHERE p_type = 'ECONOMY' )
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // inline VALUES table (round 13): a literal lookup table in JOIN
+    // position — plans as a LocalRelation (broadcast-sized by
+    // construction), the enum-decode idiom without a catalog table.
+    "hashql_values_table" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_name, m.zone from nation " +
+          "join ( values (0, 'west'), (1, 'east'), (2, 'north') ) " +
+          "m(rk, zone) on nation.n_regionkey = m.rk " +
+          "order by nation.n_name"),
+      Some("""SELECT n_name, zone FROM nation
+             |JOIN ( VALUES (0, 'west'), (1, 'east'), (2, 'north') )
+             |  m(rk, zone) ON n_regionkey = m.rk
+             |ORDER BY n_name""".stripMargin)),
+
+    // DISTINCT ON (round 13): each customer's priciest order — the
+    // Postgres/DuckDB first-row-per-key form; the o_orderkey tiebreaker
+    // pins the pick deterministically on both engines.
+    "hashql_distinct_on" -> Q(
+      (s, d) => run(s, d,
+        "select distinct on (orders.o_custkey) orders.o_custkey, " +
+          "orders.o_orderkey, orders.o_totalprice from orders " +
+          "where orders.o_custkey <= 200 " +
+          "order by orders.o_custkey, orders.o_totalprice desc, " +
+          "orders.o_orderkey"),
+      Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+             |  o_totalprice
+             |FROM orders WHERE o_custkey <= 200
+             |ORDER BY o_custkey, o_totalprice DESC,
+             |  o_orderkey""".stripMargin))
     )
     // a duplicate key in one suite would silently shadow (Map keeps the
     // last) — caught round 12 when a new entry collided with an r7 name

@@ -276,7 +276,21 @@ object HashQL {
       // rounded (bitwise-identical doubles on both engines),
       // greatest/least SKIP NULLs on both engines
       "datediff" -> Set(2), "last_day" -> Set(1), "sqrt" -> Set(1),
-      "greatest" -> (2 to 6).toSet, "least" -> (2 to 6).toSet)
+      "greatest" -> (2 to 6).toSet, "least" -> (2 to 6).toSet,
+      // round-13 tier 5 — semantics identical on both engines where
+      // noted: ltrim/rtrim strip spaces; reverse flips; repeat takes a
+      // static count; left/right clamp at the string length for n ≥ 0
+      // (lowered via 1-based substr composition — negative n is DuckDB's
+      // drop-from-the-other-end, deliberately out); strpos is instr's
+      // DuckDB spelling (1-based, 0 absent); translate maps chars
+      // positionally with static from/to (unmatched FROM chars delete);
+      // ascii is the first codepoint (INT on both); md5 the lowercase
+      // hex digest; sign pins BIGINT (DuckDB keeps the argument's type —
+      // oracles cast); power is IEEE correctly rounded like sqrt
+      "ltrim" -> Set(1), "rtrim" -> Set(1), "reverse" -> Set(1),
+      "repeat" -> Set(2), "left" -> Set(2), "right" -> Set(2),
+      "strpos" -> Set(2), "translate" -> Set(3), "ascii" -> Set(1),
+      "md5" -> Set(1), "sign" -> Set(1), "power" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -307,6 +321,17 @@ object HashQL {
       require(args(1).isInstanceOf[ELit] &&
         args(1).asInstanceOf[ELit].v.isInstanceOf[String],
         "split's delimiter pattern must be a quoted string literal")
+    // Spark's repeat/translate take static arguments (codegen'd once)
+    if (fn == "repeat")
+      require(args(1) match {
+        case ELit(n: Long) => n >= 0
+        case _ => false
+      }, "repeat's count must be a non-negative integer literal")
+    if (fn == "translate")
+      require(args.tail.forall {
+        case ELit(_: String) => true
+        case _ => false
+      }, "translate's from/to arguments must be quoted string literals")
   }
 
   /** `( select <agg> from u [where …] ) as alias` — a scalar subquery in
@@ -408,6 +433,25 @@ object HashQL {
     * frame + a filter — the "above the average" idiom. Top-level-conjunct
     * only, like [[InSelect]]. Dialect growth. */
   final case class CmpSelect(ref: ColRef, op: String, sub: Select) extends Pred
+  /** `t.a <op> any|all ( select u.v from u [where …] )` (round-13) — the
+    * ANSI QUANTIFIED comparison. The subquery projects ONE plain column
+    * and must be UNCORRELATED (correlated quantifiers reject toward the
+    * EXISTS spelling). The lowering never joins row-to-row: the subquery
+    * collapses to a 1-row stats frame (count(*) / count(v) / min(v) /
+    * max(v) — one partial-agg shuffle), broadcast-cross-joined like every
+    * uncorrelated scalar, and the quantifier becomes ANSI-exact arithmetic
+    * over the stats: `> all` ⇔ empty OR (no nulls AND a > max), `< any` ⇔
+    * a < max, `= all` ⇔ empty OR (no nulls AND min = a = max), `<> any` ⇔
+    * ≥2 distinct non-null values OR the single value differs. The
+    * membership-shaped forms route to their native plans at parse:
+    * `= any` ≡ IN (semi join), `<> all` ≡ NOT IN (anti join, with the
+    * dialect's documented NOT-IN null caveat). `some` = `any` (ANSI). */
+  final case class QuantCmp(ref: ColRef, op: String, quant: String,
+                            sub: Select) extends Pred {
+    require(quant == "any" || quant == "all", s"bad quantifier: $quant")
+    require(Set("<", ">", "<=", ">=", "=", "<>").contains(op),
+      s"bad quantified operator: $op")
+  }
   /** A bare BOOLEAN function call as a predicate (round-11):
     * `where contains(t.f, '#')`, `where not starts_with(t.f, 'x')` —
     * the containment tests read naturally without a comparison. Lowered
@@ -441,6 +485,15 @@ object HashQL {
     * every comparison above). The natural partner of LEFT JOIN: `left join
     * o on … where o.key is null` is the SQL spelling of an anti-join. */
   final case class IsNullP(ref: ColRef, not: Boolean) extends Pred
+  /** `t.f is [not] distinct from <rhs>` (round-13) — the NULL-SAFE
+    * comparison: two NULLs compare EQUAL and a NULL never yields UNKNOWN
+    * (unlike `=`/`<>`), which is the whole point of the operator. `not`
+    * = the IS NOT DISTINCT FROM spelling (null-safe equality — Spark's
+    * `<=>`); without it the predicate is its negation. The RHS is a
+    * column of the same frame, a literal, or bare NULL (`is distinct
+    * from null` ≡ `is not null`). Scan-side, codegen'd, pushdown-safe. */
+  final case class DistinctFrom(ref: ColRef, rhs: Either[ColRef, Any],
+                                not: Boolean) extends Pred
   /** `not <atom>` / `t.f not in (…)` / `t.f not like '…'` /
     * `t.f not between a and b` / `t.f <> v` — SQL three-valued negation
     * (NOT of a null comparison stays null, so filters still drop the
@@ -628,7 +681,16 @@ object HashQL {
                           // joins (PushPredicateThroughJoin +
                           // ReorderJoin); a plan left cartesian is
                           // REJECTED by the executor's scale guard.
-                          froms: Seq[String] = Nil) extends Stmt
+                          froms: Seq[String] = Nil,
+                          // `select distinct on (k…) … order by k…, tie`
+                          // (round-13 — the Postgres/DuckDB form): keep
+                          // the FIRST row of each key group in the
+                          // statement's ORDER BY. The parser requires
+                          // ORDER BY to lead with the ON keys and carry
+                          // ≥1 tiebreaker (a deterministic pick);
+                          // lowered as one row_number window partitioned
+                          // by the keys, filtered to 1.
+                          distinctOn: Seq[ColRef] = Nil) extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -670,6 +732,22 @@ object HashQL {
     * the things a user tunes). Introspection only — never executes the
     * query. */
   final case class Explain(body: Stmt) extends Stmt
+  /** `( values (1, 'a'), (2, 'b') ) [as] t(a, b)` (round-13) — an INLINE
+    * TABLE in FROM/JOIN position: literal rows under REQUIRED column
+    * names, bound statement-wide exactly like a derived table. Types
+    * infer from the literals (BIGINT / DOUBLE / VARCHAR / DATE /
+    * TIMESTAMP, one type per column); explicit NULL is allowed wherever
+    * the column has at least one typed value. Plans as a LocalRelation —
+    * driver-literal and broadcast-sized by construction (the dialect's
+    * lookup-table idiom: `join ( values … ) m on …`). */
+  final case class InlineValues(cols: Seq[String],
+                                rows: Seq[Seq[Any]]) extends Stmt {
+    require(cols.nonEmpty && rows.nonEmpty, "VALUES needs columns and rows")
+    require(cols.distinct.size == cols.size,
+      s"duplicate VALUES column names: ${cols.diff(cols.distinct).mkString(", ")}")
+    require(rows.forall(_.length == cols.length),
+      s"every VALUES row must supply ${cols.length} value(s)")
+  }
   /** `with recursive name as (select base union select step) select …` —
     * the SQL fixpoint (dialect growth; DuckDB-compatible semantics):
     * UNION (distinct — ALL is rejected, bag recursion diverges on
@@ -1026,10 +1104,19 @@ object HashQL {
         case ECol(headRef) =>
         val ref = headRef
         if (is("is")) {
-          // `is [not] null` before the generic op switch: `is` is not an
-          // operator token and `null` is not a literal anywhere else
+          // `is [not] null` / `is [not] distinct from <rhs>` before the
+          // generic op switch: `is` is not an operator token and `null`
+          // is not a literal anywhere else
           next()
           val n = is("not") && { next(); true }
+          if (is("distinct")) {
+            next(); kw("from")
+            val rhs: Either[ColRef, Any] =
+              if (is("null")) { next(); Right(null) }
+              else if (peekIsColRef) Left(colRef())
+              else Right(literal())
+            return DistinctFrom(ref, rhs, n)
+          }
           kw("null")
           return IsNullP(ref, n)
         }
@@ -1045,11 +1132,29 @@ object HashQL {
             (is("cast") && peekAt(1) == "(") || is("case") ||
             ((is("date") || is("timestamp")) && peekAt(1).startsWith("'") &&
               arithOps.contains(peekAt(2)))
+        // `<op> any|some|all ( select … )` — the ANSI quantified forms
+        // ride every comparison arm below; `some` is `any`'s synonym.
+        // The membership-shaped quantifiers route straight to their
+        // native membership plans (semi/anti join); the rest carry the
+        // quantifier to [[QuantCmp]]'s stats lowering.
+        def quantifier(op: String): Option[Pred] =
+          if ((is("any") || is("some") || is("all")) &&
+              peekAt(1) == "(" && peekAt(2).equalsIgnoreCase("select")) {
+            val q = if (next().equalsIgnoreCase("all")) "all" else "any"
+            kw("("); kw("select")
+            val sub = selectRest()
+            kw(")")
+            Some((op, q) match {
+              case ("=", "any") => InSelect(ref, sub)
+              case ("<>", "all") => Not(InSelect(ref, sub))
+              case _ => QuantCmp(ref, op, q, sub)
+            })
+          } else None
         val atom = next() match {
           // `t.a = u.b` (identifier-headed ref) vs `t.a = (select <agg> …)`
           // (the most common scalar-subquery spelling — round-9 growth;
           // the verdict's #5) vs `t.a = <expr>` vs `t.a = <literal>`
-          case "=" =>
+          case "=" => quantifier("=").getOrElse {
             if (peekIsColRef) EqCol(ref, colRef())
             else if (is("(")) {
               next(); kw("select")
@@ -1058,10 +1163,11 @@ object HashQL {
               CmpSelect(ref, "=", sub)
             } else if (rhsStartsExpr) ExprCmp(ECol(ref), "=", exprTree())
             else Eq(ref, literal())
+          }
           // `<>` mirrors `=`'s arms (round-10 growth — the verdict's
           // missing #9): column inequality, scalar-subquery inequality
           // (same broadcast-compare plan, negated), literal inequality
-          case "<>" =>
+          case "<>" => quantifier("<>").getOrElse {
             if (peekIsColRef) Not(EqCol(ref, colRef()))
             else if (is("(")) {
               next(); kw("select")
@@ -1070,8 +1176,9 @@ object HashQL {
               CmpSelect(ref, "<>", sub)
             } else if (rhsStartsExpr) Not(ExprCmp(ECol(ref), "=", exprTree()))
             else Not(Eq(ref, literal()))
+          }
           case "~" => FtsMatch(ref, literal().toString)
-          case op @ ("<" | ">" | "<=" | ">=") =>
+          case op @ ("<" | ">" | "<=" | ">=") => quantifier(op).getOrElse {
             if (is("(")) {
               next(); kw("select")
               val sub = selectRest()
@@ -1084,6 +1191,7 @@ object HashQL {
             else if (peekIsColRef) ExprCmp(ECol(ref), op, ECol(colRef()))
             else if (rhsStartsExpr) ExprCmp(ECol(ref), op, exprTree())
             else Cmp(ref, op, literal())
+          }
           case t if t.equalsIgnoreCase("between") =>
             // BETWEEN's `and` binds to the atom, not the conjunction —
             // consumed here before predConj ever sees it
@@ -1174,15 +1282,51 @@ object HashQL {
     }
 
     private def selectRest(): Select = {
-      // `select distinct …` — set semantics over the projected rows
-      val distinct = is("distinct") && { next(); true }
+      // `select distinct …` — set semantics over the projected rows;
+      // `select distinct on (k…) …` (round-13) — first-row-per-key
+      // instead (Postgres/DuckDB), validated against ORDER BY below
+      val distinct0 = is("distinct") && { next(); true }
+      val distinctOn: Seq[ColRef] =
+        if (distinct0 && is("on")) {
+          next(); kw("(")
+          def donKey(): ColRef =
+            if (peek.contains('.')) colRef() else ColRef("", next())
+          val ks = scala.collection.mutable.ArrayBuffer(donKey())
+          while (is(",")) { next(); ks += donKey() }
+          kw(")")
+          ks.toSeq
+        } else Nil
+      val distinct = distinct0 && distinctOn.isEmpty
       val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
       var more = true
       while (more) {
         if (is("*")) { next(); items += Star }
-        else if (is("row_number") || is("rank") || is("dense_rank")) {
+        else if (is("row_number") || is("rank") || is("dense_rank") ||
+                 is("percent_rank") || is("cume_dist")) {
+          // percent_rank/cume_dist (round-13): relative rank in [0, 1] —
+          // (rank−1)/(n−1) and peers-≤-current/n. Small-integer IEEE
+          // divisions are correctly rounded on both engines, so the
+          // doubles hash-match bit for bit.
           val fn = next().toLowerCase; kw("("); kw(")")
           items += windowSpec(fn, None)
+        }
+        else if (is("nth_value")) {
+          // nth_value(col, n) (round-13): the n-th value of the ordered
+          // frame — NULL until the default running frame has n rows
+          // (both engines); n is a static positive integer like ntile's
+          val fn = next().toLowerCase; kw("(")
+          val r = if (peekIsColRef) colRef() else {
+            val t = next()
+            require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"$fn takes a column or an output alias, got $t")
+            ColRef("", t)
+          }
+          kw(",")
+          val t = next()
+          require(t.matches("[0-9]+") && t.toInt > 0,
+            s"nth_value expects a positive row index, got $t")
+          kw(")")
+          items += windowSpec(fn, Some(r), buckets = Some(t.toInt))
         }
         else if (is("ntile")) {
           // ntile(N) — N equal-ish buckets over the window order
@@ -1384,9 +1528,9 @@ object HashQL {
       // the AST carries the alias as the table NAME plus an
       // (alias → real) entry, resolved by the executor.
       val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val aliasStop = Set("sample", "inner", "left", "right", "full", "join",
-        "where", "group", "having", "qualify", "order", "limit", "offset",
-        "union", "intersect", "except", "on", ")", ",", "")
+      val aliasStop = Set("sample", "inner", "left", "right", "full", "cross",
+        "join", "where", "group", "having", "qualify", "order", "limit",
+        "offset", "union", "intersect", "except", "on", ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -1399,16 +1543,51 @@ object HashQL {
       // `from ( select … ) d` — a DERIVED TABLE (round-12): the body
       // binds under the required name, statement-wide like a CTE
       val derivedList = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
+      def sourceName(what: String): String = {
+        if (is("as")) next() // optional AS
+        val nm = next()
+        require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+          !nm.startsWith("graft_") && !aliasStop.contains(nm.toLowerCase),
+          s"$what needs a name — got $nm")
+        nm
+      }
       def fromSource(): String =
-        if (is("(")) {
+        if (is("(") && peekAt(1).equalsIgnoreCase("values")) {
+          // `( values (…), (…) ) [as] t(a, b)` (round-13) — an inline
+          // table; the column list is REQUIRED (deterministic output
+          // names on both engines)
+          next(); next()
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+          var m = true
+          while (m) {
+            kw("(")
+            def cell(): Any = if (is("null")) { next(); null } else literal()
+            val row = scala.collection.mutable.ArrayBuffer[Any](cell())
+            while (is(",")) { next(); row += cell() }
+            kw(")")
+            rows += row.toSeq
+            if (is(",")) next() else m = false
+          }
+          kw(")")
+          val nm = sourceName("an inline VALUES table")
+          kw("(")
+          def colName(): String = {
+            val c = next()
+            require(c.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              !c.startsWith("graft_"),
+              s"bad VALUES column name: $c")
+            c
+          }
+          val cols = scala.collection.mutable.ArrayBuffer(colName())
+          while (is(",")) { next(); cols += colName() }
+          kw(")")
+          derivedList += nm -> InlineValues(cols.toSeq, rows.toSeq)
+          nm
+        } else if (is("(")) {
           next(); kw("select")
           val body = selectOrUnion()
           kw(")")
-          if (is("as")) next() // `( select … ) as d` — optional AS
-          val nm = next()
-          require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
-            !nm.startsWith("graft_") && !aliasStop.contains(nm.toLowerCase),
-            s"a derived table needs a name — from ( select … ) <name>, got $nm")
+          val nm = sourceName("a derived table (from ( select … ) <name>)")
           derivedList += nm -> body
           nm
         } else maybeAliased(next())
@@ -1424,9 +1603,19 @@ object HashQL {
         Some(SampleBucket(colRef(), n.toInt))
       } else None
       // ANSI-89 comma joins (round-13): `from customer, orders, lineitem
-      // where …` — each source takes the same alias/derived grammar
+      // where …` — each source takes the same alias/derived grammar.
+      // `cross join` (round-13) is the explicit spelling of the same
+      // source list: both build as CROSS sources whose WHERE equality
+      // conjuncts Catalyst folds into hash joins, and both answer to the
+      // executor's cartesian scale guard. CROSS sources bind at the head
+      // of the FROM list (before any ON-join clause — the parser rejects
+      // a cross join SPELLED after one, where ANSI's left-associative
+      // reading could differ from the head-of-list build).
       val fromList = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (is(",")) { next(); fromList += fromSource() }
+      while (is(",") || (is("cross") && peekAt(1).equalsIgnoreCase("join"))) {
+        if (is(",")) next() else { next(); next() }
+        fromList += fromSource()
+      }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
       while (is("inner") || is("left") || is("right") || is("full") ||
              is("join")) {
@@ -1463,6 +1652,19 @@ object HashQL {
         }
         joins += JoinClause(t, l, r, kind, extras.toSeq)
       }
+      // a CROSS JOIN spelled after an ON-join would need ANSI's strict
+      // left-associative build; the head-of-list form is equivalent for
+      // inner/left joins and unambiguous — reject toward it
+      require(!is("cross"),
+        "CROSS JOIN sources bind like ANSI-89 comma sources — list them " +
+          "right after FROM (from a cross join b join t on …)")
+      // a FULL join's unmatched null-extended rows appear ONCE per ANSI
+      // association but |cross side| times under the head-of-list build —
+      // the combination is ambiguous, reject it
+      require(fromList.isEmpty || joins.forall(_.kind != "full"),
+        "comma/CROSS JOIN sources cannot mix with FULL JOIN in one FROM " +
+          "(the unmatched-row multiplicity is association-dependent) — " +
+          "stage the FULL JOIN through a CTE")
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       var groupMode = ""
       var groupSets: Seq[Seq[ColRef]] = Nil
@@ -1627,9 +1829,27 @@ object HashQL {
         require(t.matches("[0-9]+"), s"offset expects a number, got $t")
         Some(t.toInt)
       } else None
+      // DISTINCT ON determinism contract (round-13): ORDER BY leads with
+      // the ON keys (same spelling) and carries ≥1 tiebreaker — without
+      // one, which row each group keeps would differ across runs,
+      // partitionings, and engines
+      if (distinctOn.nonEmpty) {
+        require(orderBy.length > distinctOn.length,
+          "DISTINCT ON requires ORDER BY <the on-keys>, <a tiebreaker> — " +
+            "the tiebreaker pins WHICH row each key group keeps")
+        val lead = orderBy.take(distinctOn.length)
+        require(lead.zip(distinctOn).forall {
+          case ((ECol(r), _, _), k) => r == k
+          case _ => false
+        }, "ORDER BY must lead with the DISTINCT ON keys, spelled the " +
+          "same way (then at least one tiebreaker)")
+        require(groupBy.isEmpty,
+          "DISTINCT ON cannot mix with GROUP BY in one select — stage " +
+            "through a CTE or derived table")
+      }
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
-        groupMode, groupSets, fromList.toSeq)
+        groupMode, groupSets, fromList.toSeq, distinctOn)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -1683,7 +1903,9 @@ object HashQL {
       "regexp_replace", "regexp_extract", "split", "split_part",
       "date_add", "date_sub", "quarter", "week", "dayofyear",
       "instr", "lpad", "rpad", "contains", "starts_with", "ends_with",
-      "datediff", "last_day", "sqrt", "greatest", "least")
+      "datediff", "last_day", "sqrt", "greatest", "least",
+      "ltrim", "rtrim", "reverse", "repeat", "left", "right",
+      "strpos", "translate", "ascii", "md5", "sign", "power")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -1977,20 +2199,22 @@ object HashQL {
       // the frame-taking window functions work with or without ORDER BY
       // when unframed: ordered = running, unordered = whole-partition
       val framedAggs = Set("sum", "avg", "min", "max", "count",
-        "first_value", "last_value")
+        "first_value", "last_value", "nth_value")
       require((framedAggs ++ Set("row_number", "rank", "dense_rank",
-        "ntile", "lag", "lead")).contains(fn),
+        "ntile", "percent_rank", "cume_dist", "lag", "lead")).contains(fn),
         s"window functions supported: row_number, rank, dense_rank, ntile, " +
-          s"sum, avg, min, max, first_value, last_value, lag, lead — got $fn")
+          s"percent_rank, cume_dist, sum, avg, min, max, first_value, " +
+          s"last_value, nth_value, lag, lead — got $fn")
       require(framedAggs.contains(fn) || order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
-      // first/last_value without ORDER BY would pick an arbitrary row —
-      // nondeterministic across runs/partitionings; require the order
-      require(!Set("first_value", "last_value").contains(fn) || order.nonEmpty,
+      // first/last/nth_value without ORDER BY would pick an arbitrary
+      // row — nondeterministic across runs/partitionings; require the order
+      require(!Set("first_value", "last_value", "nth_value").contains(fn) ||
+        order.nonEmpty,
         s"$fn() over (…) requires an ORDER BY in the window")
       require(frame.isEmpty || framedAggs.contains(fn),
         "a rows/range frame applies to sum/avg/min/max/count/first_value/" +
-          "last_value windows only")
+          "last_value/nth_value windows only")
       require(frame.isEmpty || order.nonEmpty,
         "a rows/range frame requires an ORDER BY in the window")
       // a day-ranged frame orders by ONE ascending temporal key (the day
@@ -2005,7 +2229,7 @@ object HashQL {
       // and engines (r12 advice). The peer-INSENSITIVE aggregates
       // (sum/avg/min/max/count include all peers) stay deterministic.
       require(rangeUnit.isEmpty ||
-        !Set("first_value", "last_value").contains(fn),
+        !Set("first_value", "last_value", "nth_value").contains(fn),
         s"$fn over a RANGE interval frame is nondeterministic when order " +
           "keys tie — use a ROWS frame over a unique key, or a " +
           "peer-insensitive aggregate (sum/avg/min/max/count)")
@@ -2408,6 +2632,13 @@ object HashQL {
       if (ref.column.startsWith("~"))
         graft.doc.DocStore.pathMatches(col("doc"), ref.column, test)
       else test(col(ref.column))
+    // null-safe comparison (round-13) — Spark's `<=>` (two NULLs equal,
+    // never UNKNOWN: two-valued like IS NULL, so NOT is a true negation);
+    // codegen'd EqualNullSafe, pushdown-eligible at the scan
+    case DistinctFrom(ref, rhs, not) =>
+      val r = rhs.fold(c => col(c.column), v => lit(v))
+      val same = col(ref.column) <=> r
+      if (not) same else !same
     // computed-expression comparison: both sides through the ONE scalar
     // lowering (exprColumn) — native operators, whole-stage codegen'd,
     // and at 100 TB a pure scan-side filter like every other predicate
@@ -2432,7 +2663,8 @@ object HashQL {
     // off by existsJoin before this runs; what reaches here compares two
     // columns of the current frame)
     case EqCol(a, b) => col(a.column) === col(b.column)
-    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect =>
+    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect |
+         _: QuantCmp =>
       // unreachable from WHERE (applyWheres plans conjunct forms as
       // semi/anti joins and OR/NOT trees through flaggedFilter) — this
       // guards the remaining Column-only surfaces: CASE conditions
@@ -2572,6 +2804,28 @@ object HashQL {
         case "sqrt" => sqrt(a(0))
         case "greatest" => greatest(a: _*)
         case "least" => least(a: _*)
+        // round-13 tier 5: space trims, reversal, static repetition,
+        // length-clamped prefix/suffix (substr composition — see the
+        // arity map's semantics notes), DuckDB-spelled position,
+        // positional char mapping, first codepoint, md5 hex digest,
+        // BIGINT-pinned sign, IEEE power
+        case "ltrim" => ltrim(a(0))
+        case "rtrim" => rtrim(a(0))
+        case "reverse" => reverse(a(0))
+        case "repeat" => repeat(a(0),
+          args(1).asInstanceOf[ELit].v.asInstanceOf[Long].toInt)
+        case "left" => a(0).substr(lit(1), a(1).cast("int"))
+        case "right" =>
+          val n = a(1).cast("int")
+          a(0).substr(greatest(length(a(0)) - n + lit(1), lit(1)), n)
+        case "strpos" => position(a(1), a(0)).cast("long")
+        case "translate" => translate(a(0),
+          args(1).asInstanceOf[ELit].v.asInstanceOf[String],
+          args(2).asInstanceOf[ELit].v.asInstanceOf[String])
+        case "ascii" => ascii(a(0))
+        case "md5" => md5(a(0))
+        case "sign" => signum(a(0)).cast("long")
+        case "power" => pow(a(0), a(1))
       }
   }
 
@@ -2638,6 +2892,8 @@ object HashQL {
     case Ilike(r, _) => Set(r.column)
     case InList(r, _) => Set(r.column)
     case IsNullP(r, _) => Set(r.column)
+    case DistinctFrom(r, rhs, _) =>
+      Set(r.column) ++ rhs.left.toOption.map(_.column)
     case EqCol(a, b) => Set(a.column, b.column)
     case FtsMatch(r, _) => Set(r.column)
     case SampleBucket(r, _) => Set(r.column)
@@ -2674,6 +2930,8 @@ object HashQL {
     case Ilike(r, _) => Set(r.table)
     case InList(r, _) => Set(r.table)
     case IsNullP(r, _) => Set(r.table)
+    case DistinctFrom(r, rhs, _) =>
+      Set(r.table) ++ rhs.left.toOption.map(_.table)
     case FtsMatch(r, _) => Set(r.table)
     case SampleBucket(r, _) => Set(r.table)
     case EqCol(a, b) => Set(a.table, b.table)
@@ -2723,6 +2981,9 @@ object HashQL {
     case "rank" => "rnk"
     case "dense_rank" => "drnk"
     case "ntile" => "ntl"
+    case "percent_rank" => "prnk"
+    case "cume_dist" => "cdist"
+    case "nth_value" => s"nv_${w.arg.get.column}"
     case "sum" => s"wsum_${w.arg.get.column}"
     case "avg" => s"wavg_${w.arg.get.column}"
     case "min" => s"wmin_${w.arg.get.column}"
@@ -2770,6 +3031,16 @@ object HashQL {
       case "rank" => rank().over(spec)
       case "dense_rank" => dense_rank().over(spec)
       case "ntile" => ntile(w.buckets.get).over(spec)
+      // relative ranks (round-13): (rank−1)/(n−1) and the cumulative
+      // peer fraction — small-int IEEE divisions, bit-identical on both
+      // engines; same one-exchange Window plan as rank
+      case "percent_rank" => percent_rank().over(spec)
+      case "cume_dist" => cume_dist().over(spec)
+      // the n-th row of the ordered frame (buckets carries the static
+      // index, like ntile's count); NULL until the running frame has n
+      // rows — both engines
+      case "nth_value" =>
+        nth_value(col(w.arg.get.column), w.buckets.get).over(spec)
       // with ORDER BY and no explicit frame this is the ANSI default
       // RANGE frame (running sum, peers included) — Spark and DuckDB
       // agree; without ORDER BY, the whole partition's sum on every row
@@ -3267,6 +3538,8 @@ object HashQL {
       case Ilike(r, v) => Ilike(ref(r), v)
       case InList(r, vs) => InList(ref(r), vs)
       case IsNullP(r, n) => IsNullP(ref(r), n)
+      case DistinctFrom(r, rhs, n) =>
+        DistinctFrom(ref(r), rhs.left.map(ref), n)
       case EqCol(a, b) => EqCol(ref(a), ref(b))
       case FtsMatch(r, q) => FtsMatch(ref(r), q)
       case SampleBucket(r, pm) => SampleBucket(ref(r), pm)
@@ -3338,6 +3611,7 @@ object HashQL {
     case InSelectExpr(_, sub) => tableRefCount(sub, n)
     case ExistsSelect(sub) => tableRefCount(sub, n)
     case CmpSelect(_, _, sub) => tableRefCount(sub, n)
+    case QuantCmp(_, _, _, sub) => tableRefCount(sub, n)
     case Not(x) => predTableRefCount(x, n)
     case And(ps) => ps.map(predTableRefCount(_, n)).sum
     case Or(ps) => ps.map(predTableRefCount(_, n)).sum
@@ -3350,8 +3624,37 @@ object HashQL {
       case s: Select => selectFrame(cat, s, registry)
       case u: Union => unionFrame(cat, u, registry)
       case so: SetOpChain => setOpFrame(cat, so, registry)
+      case v: InlineValues => inlineFrame(cat, v)
       case other => throw new IllegalStateException(s"not a query: $other")
     }
+
+  /** Build an [[InlineValues]] table: per-column type inference over the
+    * literals, one LocalRelation — driver-literal rows, broadcast-sized
+    * by construction, no scan or shuffle anywhere. */
+  private def inlineFrame(cat: GraftCatalog, v: InlineValues): DataFrame = {
+    import org.apache.spark.sql.types._
+    def typeOf(x: Any): DataType = x match {
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: String => StringType
+      case _: java.sql.Date => DateType
+      case _: java.sql.Timestamp => TimestampType
+      case _: Boolean => BooleanType
+      case other => throw new IllegalArgumentException(
+        s"unsupported VALUES literal: $other")
+    }
+    val fields = v.cols.zipWithIndex.map { case (c, i) =>
+      val types = v.rows.flatMap(r => Option(r(i))).map(typeOf).distinct
+      require(types.nonEmpty,
+        s"VALUES column $c is all NULL — give it at least one typed value")
+      require(types.size == 1,
+        s"VALUES column $c mixes types: ${types.mkString(", ")}")
+      StructField(c, types.head, nullable = true)
+    }
+    val rows = v.rows.map(r => org.apache.spark.sql.Row(r: _*))
+    import scala.jdk.CollectionConverters._
+    cat.spark.createDataFrame(rows.asJava, StructType(fields))
+  }
 
   /** Apply a WHERE conjunct list to a frame — plain predicates as
     * filters, subquery predicates as their join forms. Shared by SELECT
@@ -3389,6 +3692,13 @@ object HashQL {
       case CmpSelect(ref, op, sub) =>
         val (joined, cmpC, reserved) = scalarCompare(cat, df, ref, op, sub, registry)
         df = joined.filter(cmpC).drop(reserved: _*)
+      // quantified compare (round-13) — one stats aggregate broadcast
+      // over the frame, ANSI three-valued arithmetic filters (UNKNOWN
+      // drops the row, exactly like every comparison conjunct)
+      case QuantCmp(ref, op, quant, sub) =>
+        val (joined, qC, reserved) =
+          quantCompare(cat, df, ref, op, quant, sub, registry)
+        df = joined.filter(qC).drop(reserved: _*)
       // subqueries UNDER OR / nested NOT (round-10 growth — the r9
       // verdict's missing #5): each subquery leaf lowers to a boolean
       // FLAG column attached by one join, the boolean tree then filters
@@ -3402,7 +3712,8 @@ object HashQL {
   /** Does a conjunct contain a subquery predicate ANYWHERE in its tree
     * (needs join machinery, not a plain Column)? */
   private def subqueryPred(p: Pred): Boolean = p match {
-    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect => true
+    case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect |
+         _: QuantCmp => true
     case Not(x) => subqueryPred(x)
     case And(ps) => ps.exists(subqueryPred)
     case Or(ps) => ps.exists(subqueryPred)
@@ -3462,6 +3773,15 @@ object HashQL {
         // spelling and ANSI — see FlagPred's scaladoc
         val (joined, cmpC, reserved) = scalarCompare(cat, df, ref, op, sub, registry)
         df = joined.withColumn(f, cmpC).drop(reserved: _*)
+        FlagPred(f, threeValued = true)
+      case QuantCmp(ref, op, quant, sub) =>
+        val f = newFlag()
+        // quantCompare's Column is already ANSI three-valued (UNKNOWN
+        // stays NULL), so NOT over a quantifier keeps dropping the
+        // UNKNOWN rows — same contract as the scalar-compare flag
+        val (joined, qC, reserved) =
+          quantCompare(cat, df, ref, op, quant, sub, registry)
+        df = joined.withColumn(f, qC).drop(reserved: _*)
         FlagPred(f, threeValued = true)
       case Not(x) => Not(lower(x))
       case And(ps) => And(ps.map(lower))
@@ -3613,6 +3933,9 @@ object HashQL {
       case InSelectExpr(e, s0) => InSelectExpr(expr(e), subSel(s0))
       case ExistsSelect(s0) => ExistsSelect(subSel(s0))
       case CmpSelect(r, op, s0) => CmpSelect(ren(r), op, subSel(s0))
+      case QuantCmp(r, op, q, s0) => QuantCmp(ren(r), op, q, subSel(s0))
+      case DistinctFrom(r, rhs, n) =>
+        DistinctFrom(ren(r), rhs.left.map(ren), n)
       case other => other
     }
     def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
@@ -3751,6 +4074,9 @@ object HashQL {
       case InSelectExpr(e, s1) => InSelectExpr(expr(e), subSel(s1))
       case ExistsSelect(s1) => ExistsSelect(subSel(s1))
       case CmpSelect(r, op, s1) => CmpSelect(ren(r), op, subSel(s1))
+      case QuantCmp(r, op, q, s1) => QuantCmp(ren(r), op, q, subSel(s1))
+      case DistinctFrom(r, rhs, n) =>
+        DistinctFrom(ren(r), rhs.left.map(ren), n)
       case other => other
     }
     def expr(e: Expr): Expr = mapExprRefs(ren, pred)(e)
@@ -3785,7 +4111,13 @@ object HashQL {
   }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
-                          registry: Option[JoinRegistry]): DataFrame = {
+                          registry: Option[JoinRegistry],
+                          // inline-VALUES source names (round-13):
+                          // threaded through the derived/alias rebind
+                          // recursions so the missing-field skip can
+                          // exempt their columns (explicit VALUES NULLs
+                          // are data, never a missing field)
+                          inlineNames: Set[String] = Set.empty): DataFrame = {
     // DERIVED TABLES first (their bodies are self-contained — built
     // OUTSIDE any alias scope), then aliases resolve inside the bound
     // scope. A derived name behaves exactly like a CTE: ordinary table
@@ -3799,15 +4131,17 @@ object HashQL {
       val scope = sel.derived.map { case (n, body) =>
         n -> queryFrame(cat, body, registry) }.toMap
       return cat.withScope(scope)(
-        selectFrame(cat, sel.copy(derived = Nil), registry))
+        selectFrame(cat, sel.copy(derived = Nil), registry, inlineNames ++
+          sel.derived.collect { case (n, _: InlineValues) => n }))
     }
     if (sel.aliases.nonEmpty) {
       val (scope, rewritten) = resolveAliases(cat, sel)
-      return cat.withScope(scope)(selectFrame(cat, rewritten, registry))
+      return cat.withScope(scope)(
+        selectFrame(cat, rewritten, registry, inlineNames))
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _, _, _, _) =>
+                  distinct, offset, qualify, _, _, _, _, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -4209,9 +4543,13 @@ object HashQL {
                 // right-side fields would undo the outer join — see the
                 // class doc). A PURE RENAME (`select t.a as b`) is not a
                 // computation — it keeps the skip, so renaming a column
-                // never changes the returned row set
+                // never changes the returned row set. Inline VALUES
+                // columns (round-13) are exempt too: their explicit
+                // NULLs are DATA the user wrote, never a missing field.
                 val skipExempt = (wins.map(winAlias) ++ coals.map(coalAlias) ++
                   scalarSubs.map(_.alias) ++
+                  items.collect {
+                    case Field(r) if inlineNames(r.table) => r.column } ++
                   exprs.collect { case e if !e.expr.isInstanceOf[ECol] => e.alias }).toSet
                 val scalarCols = cols.filterNot(skipExempt)
                 val projected = withComputed.select(cols.map(col): _*)
@@ -4277,8 +4615,37 @@ object HashQL {
           }.drop(havingDrop: _*)
         // DISTINCT over the projected (post-HAVING) rows — one
         // partial-agg shuffle on all output columns, exactly the
-        // q_distinct plan.
-        val dedup = if (distinct) havinged.distinct() else havinged
+        // q_distinct plan. DISTINCT ON (round-13) instead keeps the
+        // FIRST row per key group in the statement's ORDER BY: one
+        // row_number window partitioned by the keys (one exchange on
+        // the keys; the parse-validated tiebreaker makes the pick
+        // deterministic — Postgres/DuckDB semantics), filtered to 1.
+        val dedup =
+          if (sel.distinctOn.nonEmpty) {
+            import org.apache.spark.sql.expressions.Window
+            val missing =
+              sel.distinctOn.filterNot(r => havinged.columns.contains(r.column))
+            require(missing.isEmpty,
+              s"DISTINCT ON keys must be projected output columns — " +
+                s"missing: ${missing.map(_.column).mkString(", ")}")
+            val part = sel.distinctOn.map(r => col(r.column))
+            val tail = orderBy.drop(sel.distinctOn.length).map {
+              case (e, desc, nf) =>
+                val c = exprColumn(cat, e)
+                (desc, nf) match {
+                  case (false, None) => c.asc_nulls_last
+                  case (true, None) => c.desc
+                  case (false, Some(f)) =>
+                    if (f) c.asc_nulls_first else c.asc_nulls_last
+                  case (true, Some(f)) =>
+                    if (f) c.desc_nulls_first else c.desc_nulls_last
+                }
+            }
+            val w = Window.partitionBy(part: _*).orderBy(tail: _*)
+            havinged.withColumn("graft_don", row_number().over(w))
+              .filter(col("graft_don") === 1).drop("graft_don")
+          }
+          else if (distinct) havinged.distinct() else havinged
         // ORDER BY / LIMIT on the projected frame: sort keys address
         // output columns (aliases included — `cnt`, `sum_x`, doc-path leaf
         // names). ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
@@ -4708,6 +5075,83 @@ object HashQL {
     * renamed to a reserved name so the semi/anti join condition can never
     * be ambiguous, even when the subquery reads the same table as the
     * outer query. */
+  /** Lower an uncorrelated quantified comparison (see [[QuantCmp]]): the
+    * subquery collapses to ONE stats row — count(*) / count(v) / min(v) /
+    * max(v), a single partial-agg shuffle over the subquery side — the
+    * stats broadcast onto the outer frame via a 1-row cross join
+    * (constant work per outer row at any scale; no row-to-row join), and
+    * the quantifier evaluates as ANSI-exact THREE-VALUED arithmetic over
+    * the stats, so the same Column serves conjunct filters and NOT/OR
+    * flag positions:
+    *   `x op ALL(S)`  — TRUE on empty; UNKNOWN on NULL x; FALSE when the
+    *                    hardest non-null value fails; TRUE when it passes
+    *                    and S has no NULLs; else UNKNOWN (ANSI).
+    *   `x op ANY(S)`  — FALSE on empty; UNKNOWN on NULL x; TRUE when the
+    *                    easiest non-null value passes; FALSE when none
+    *                    does and S has no NULLs; else UNKNOWN.
+    * `=`/`<>` quantifiers test value-uniformity through min/max equality
+    * (∃ v ≠ x ⇔ min ≠ x ∨ max ≠ x).
+    * @return (joined frame, three-valued predicate, reserved cols) */
+  private def quantCompare(cat: GraftCatalog, df: DataFrame, ref: ColRef,
+                           op: String, quant: String, sub: Select,
+                           registry: Option[JoinRegistry])
+      : (DataFrame, Column, Seq[String]) = {
+    val subT = fromTables(sub)
+    val leaks = scalarItemLeak(sub, subT)
+    require(leaks.isEmpty,
+      s"quantified subquery projects outer table(s) ${leaks.mkString(", ")} " +
+        "— project the subquery's own columns only")
+    val corr = sub.wheres.flatMap(predTables).filterNot(subT)
+    require(corr.isEmpty,
+      s"quantified comparisons take an UNCORRELATED subquery — " +
+        s"predicates reference outer table(s) ${corr.distinct.mkString(", ")}; " +
+        "spell the correlated form through EXISTS instead")
+    val stats = subqueryFrame(cat, sub, registry).agg(
+      count(lit(1)).as("graft_q_cnt"),
+      count(col("graft_in_sub")).as("graft_q_nn"),
+      min(col("graft_in_sub")).as("graft_q_mn"),
+      max(col("graft_in_sub")).as("graft_q_mx"))
+    val joined = df.crossJoin(stats)
+    val a = joined(ref.column)
+    val (cnt, nn) = (col("graft_q_cnt"), col("graft_q_nn"))
+    val (mn, mx) = (col("graft_q_mn"), col("graft_q_mx"))
+    import graft.core.Compare.cmp
+    val predC = quant match {
+      case "all" =>
+        // the hardest value: max for > / >=, min for < / <=; either
+        // extremum works for = (uniformity test)
+        val fail = op match {
+          case "=" => (a =!= mn) || (a =!= mx)
+          case o @ ("<" | "<=") => !cmp(a, o, mn)
+          case o => !cmp(a, o, mx)
+        }
+        val pass = op match {
+          case "=" => (a === mn) && (a === mx)
+          case o @ ("<" | "<=") => cmp(a, o, mn)
+          case o => cmp(a, o, mx)
+        }
+        when(cnt === 0, lit(true))
+          .when(a.isNull, lit(null))
+          .when(fail, lit(false))
+          .when(pass && (nn === cnt), lit(true))
+          .otherwise(lit(null))
+      case _ =>
+        // the easiest value: max for < / <=, min for > / >=
+        val pass = op match {
+          case "<>" => (a =!= mn) || (a =!= mx)
+          case o @ ("<" | "<=") => cmp(a, o, mx)
+          case o => cmp(a, o, mn)
+        }
+        when(cnt === 0, lit(false))
+          .when(a.isNull, lit(null))
+          .when(pass, lit(true))
+          .when(nn === cnt, lit(false))
+          .otherwise(lit(null))
+    }
+    (joined, predC, Seq("graft_q_cnt", "graft_q_nn", "graft_q_mn",
+      "graft_q_mx"))
+  }
+
   private def subqueryFrame(cat: GraftCatalog, sub: Select,
                             registry: Option[JoinRegistry]): DataFrame = {
     val sf = selectFrame(cat, sub, registry)

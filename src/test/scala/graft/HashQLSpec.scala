@@ -1216,7 +1216,7 @@ class HashQLSpec extends SparkSpec {
       HashQL.execute(cat, "select upper(f.s, f.s) as u from f"))
     assert(e1.getMessage.contains("argument"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
-      HashQL.execute(cat, "select reverse(f.s) as r from f"))
+      HashQL.execute(cat, "select soundex(f.s) as r from f"))
     assert(e2.getMessage.contains("as <alias>") || e2.getMessage.contains("expected"),
       e2.getMessage) // unknown fn never parses as a call
   }
@@ -2616,5 +2616,230 @@ class HashQLSpec extends SparkSpec {
         "(order by ord13.o_orderkey) from ord13"))
     assert(e.getMessage.contains("LIMIT cannot help"), e.getMessage)
     assert(!e.getMessage.contains("WHERE/LIMIT"), e.getMessage)
+  }
+
+  test("scalar tier 5: trims/reverse/repeat/left/right/strpos/translate/ascii/md5/sign/power (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into s5 (txt, n) values ('  pad  ', -7)")
+    val got = HashQL.execute(cat,
+      "select ltrim(s5.txt) as lt, rtrim(s5.txt) as rt, " +
+        "reverse(trim(s5.txt)) as rev, repeat(trim(s5.txt), 2) as rep, " +
+        "left(trim(s5.txt), 2) as l2, right(trim(s5.txt), 2) as r2, " +
+        "left(trim(s5.txt), 9) as lall, right(trim(s5.txt), 9) as rall, " +
+        "left(trim(s5.txt), 0) as l0, right(trim(s5.txt), 0) as r0, " +
+        "strpos(s5.txt, 'ad') as sp, strpos(s5.txt, 'zz') as sp0, " +
+        "translate(trim(s5.txt), 'pd', 'Pb') as tr, " +
+        "ascii(trim(s5.txt)) as ac, md5(trim(s5.txt)) as dg, " +
+        "sign(s5.n) as sg, sign(0 * s5.n) as sg0, " +
+        "power(s5.n, 2) as pw from s5").get.collect().head
+    assert(got.getAs[String]("lt") == "pad  ")
+    assert(got.getAs[String]("rt") == "  pad")
+    assert(got.getAs[String]("rev") == "dap")
+    assert(got.getAs[String]("rep") == "padpad")
+    assert(got.getAs[String]("l2") == "pa")
+    assert(got.getAs[String]("r2") == "ad")
+    assert(got.getAs[String]("lall") == "pad") // n beyond length clamps
+    assert(got.getAs[String]("rall") == "pad")
+    assert(got.getAs[String]("l0") == "")
+    assert(got.getAs[String]("r0") == "")
+    assert(got.getAs[Long]("sp") == 4L) // 1-based, 0 when absent
+    assert(got.getAs[Long]("sp0") == 0L)
+    assert(got.getAs[String]("tr") == "Pab")
+    assert(got.getAs[Int]("ac") == 'p'.toInt)
+    assert(got.getAs[String]("dg").matches("[0-9a-f]{32}"))
+    assert(got.getAs[Long]("sg") == -1L)
+    assert(got.getAs[Long]("sg0") == 0L)
+    assert(got.getAs[Double]("pw") == 49.0)
+  }
+
+  test("percent_rank / cume_dist / nth_value windows (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("a", 2), ("a", 4), ("b", 5)).foreach {
+      case (g, v) =>
+        HashQL.execute(cat, s"insert into w13 (g, v) values ('$g', $v)")
+    }
+    val got = HashQL.execute(cat,
+      "select w13.g, w13.v, " +
+        "percent_rank() over (partition by w13.g order by w13.v) as pr, " +
+        "cume_dist() over (partition by w13.g order by w13.v) as cd, " +
+        "nth_value(w13.v, 2) over (partition by w13.g order by w13.v, w13.id) as nv " +
+        "from w13 order by w13.g, w13.id").get.collect()
+    // g=a values 1,2,2,4 → ranks 1,2,2,4 → percent_rank (r−1)/(n−1)
+    assert(got.map(_.getAs[Double]("pr")).toSeq ==
+      Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0, 0.0))
+    // cume_dist: peers ≤ current / n
+    assert(got.map(_.getAs[Double]("cd")).toSeq ==
+      Seq(0.25, 0.75, 0.75, 1.0, 1.0))
+    // nth_value(v, 2) over the RUNNING frame: NULL until 2 rows arrive
+    assert(got.map(r => Option(r.getAs[Any]("nv"))).toSeq ==
+      Seq(None, Some(2L), Some(2L), Some(2L), None))
+    // rank-like: ORDER BY is required
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select percent_rank() over (partition by w13.g) from w13"))
+    assert(e.getMessage.contains("requires an ORDER BY"), e.getMessage)
+  }
+
+  test("is [not] distinct from: the null-safe comparison (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into dn (a, b) values (1, 1), (1, 2), (null, 1), (null, null)")
+    def ids(q: String): Seq[Long] =
+      HashQL.execute(cat, q).get.select("id").as[Long].collect().toSeq.sorted
+    // null-safe equality: (1,1) and (null,null) match
+    assert(ids("select dn.id from dn where dn.a is not distinct from dn.b") ==
+      Seq(1L, 4L))
+    // its negation is TOTAL (every row lands on exactly one side)
+    assert(ids("select dn.id from dn where dn.a is distinct from dn.b") ==
+      Seq(2L, 3L))
+    // literal RHS: NULL a IS distinct from 1 (unlike `<>`, which drops it)
+    assert(ids("select dn.id from dn where dn.a is distinct from 1") ==
+      Seq(3L, 4L))
+    // bare NULL RHS: is [not] distinct from null ≡ is [not] null
+    assert(ids("select dn.id from dn where dn.a is distinct from null") ==
+      Seq(1L, 2L))
+    assert(ids("select dn.id from dn where dn.a is not distinct from null") ==
+      Seq(3L, 4L))
+  }
+
+  test("explicit CROSS JOIN binds like a comma source; guards hold (round-13)") {
+    val cat = new GraftCatalog(spark)
+    cat.register("regx", graft.core.Tables.t(spark, sf, "region"))
+    cat.register("natx", graft.core.Tables.t(spark, sf, "nation"))
+    val crossed = HashQL.execute(cat,
+      "select natx.n_name from natx cross join regx " +
+        "where natx.n_regionkey = regx.r_regionkey and regx.r_name = 'ASIA' " +
+        "order by natx.n_name").get.as[String].collect().toSeq
+    val comma = HashQL.execute(cat,
+      "select natx.n_name from natx, regx " +
+        "where natx.n_regionkey = regx.r_regionkey and regx.r_name = 'ASIA' " +
+        "order by natx.n_name").get.as[String].collect().toSeq
+    assert(crossed == comma && crossed.nonEmpty)
+    // an unlinked cross join is a cartesian — the scale guard rejects
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select natx.n_name from natx cross join regx"))
+    assert(e1.getMessage.contains("cartesian"), e1.getMessage)
+    // a cross join SPELLED after an ON-join rejects toward the head form
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select natx.n_name from natx " +
+        "join regx on natx.n_regionkey = regx.r_regionkey cross join natx"))
+    assert(e2.getMessage.contains("right after FROM"), e2.getMessage)
+    // FULL JOIN multiplicity is association-dependent under a cross — reject
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select natx.n_name from natx cross join regx " +
+        "full join natx on natx.n_regionkey = natx.n_regionkey"))
+    assert(e3.getMessage.contains("FULL JOIN"), e3.getMessage)
+  }
+
+  test("quantified comparisons: ANY / SOME / ALL over uncorrelated subqueries (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(1, 5, 10).foreach(v =>
+      HashQL.execute(cat, s"insert into q13 (v) values ($v)"))
+    Seq(3, 5).foreach(x =>
+      HashQL.execute(cat, s"insert into qs (x) values ($x)"))
+    // a dialect-visible NULL must be COMPUTED (a plain `select qn.x`
+    // SKIPS missing-field rows, the reference's projection semantics) —
+    // nullif plants it without tripping the row skip
+    HashQL.execute(cat, "insert into qn (x) values (3), (0)")
+    HashQL.execute(cat, "insert into qd (x) values (5), (5)")
+    def vs(q: String): Seq[Long] =
+      HashQL.execute(cat, q).get.select("v").as[Long].collect().toSeq.sorted
+    // inequality quantifiers over the stats frame
+    assert(vs("select q13.v from q13 where q13.v > all (select qs.x from qs)") ==
+      Seq(10L))
+    assert(vs("select q13.v from q13 where q13.v > any (select qs.x from qs)") ==
+      Seq(5L, 10L))
+    assert(vs("select q13.v from q13 where q13.v > some (select qs.x from qs)") ==
+      Seq(5L, 10L)) // SOME ≡ ANY
+    assert(vs("select q13.v from q13 where q13.v < all (select qs.x from qs)") ==
+      Seq(1L))
+    // membership shapes route to their native plans
+    assert(vs("select q13.v from q13 where q13.v = any (select qs.x from qs)") ==
+      Seq(5L))
+    assert(vs("select q13.v from q13 where q13.v <> all (select qs.x from qs)") ==
+      Seq(1L, 10L))
+    // uniformity forms: = ALL / <> ANY read min = x = max
+    assert(vs("select q13.v from q13 where q13.v = all (select qd.x from qd)") ==
+      Seq(5L))
+    assert(vs("select q13.v from q13 where q13.v <> any (select qd.x from qd)") ==
+      Seq(1L, 10L))
+    // empty set: ALL is vacuously true, ANY is false
+    assert(vs("select q13.v from q13 where q13.v > all " +
+      "(select qs.x from qs where qs.x > 100)") == Seq(1L, 5L, 10L))
+    assert(vs("select q13.v from q13 where q13.v > any " +
+      "(select qs.x from qs where qs.x > 100)") == Seq.empty)
+    // a NULL in the set blocks ALL (UNKNOWN) even when every non-null passes
+    assert(vs("select q13.v from q13 where q13.v > all " +
+      "(select nullif(qn.x, 0) as nx from qn)") == Seq.empty)
+    // …but ANY still fires off the non-null values
+    assert(vs("select q13.v from q13 where q13.v > any " +
+      "(select nullif(qn.x, 0) as nx from qn)") == Seq(5L, 10L))
+    // three-valued under NOT (flag path): ¬(v > all {3,5}) keeps v ≤ 5
+    assert(vs("select q13.v from q13 where not " +
+      "(q13.v > all (select qs.x from qs))") == Seq(1L, 5L))
+    // OR position rides the same flag machinery
+    assert(vs("select q13.v from q13 where q13.v = 1 or " +
+      "q13.v > all (select qs.x from qs)") == Seq(1L, 10L))
+    // correlated quantifiers reject toward EXISTS
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select q13.v from q13 where q13.v > all " +
+        "(select qs.x from qs where qs.x = q13.v)"))
+    assert(e.getMessage.contains("UNCORRELATED"), e.getMessage)
+  }
+
+  test("inline VALUES tables in FROM and JOIN position (round-13)") {
+    val cat = new GraftCatalog(spark)
+    val got = HashQL.execute(cat,
+      "select t.a, t.b from ( values (1, 'x'), (2, 'y'), (3, null) ) " +
+        "as t(a, b) order by t.a").get.collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("x"), Some("y"), None))
+    // join position — the broadcast lookup-table idiom
+    cat.register("natv", graft.core.Tables.t(spark, sf, "nation"))
+    val j = HashQL.execute(cat,
+      "select natv.n_name, m.zone from natv " +
+        "join ( values (0, 'west'), (1, 'east') ) m(rk, zone) " +
+        "on natv.n_regionkey = m.rk order by natv.n_name").get.collect()
+    assert(j.nonEmpty && j.forall(r => Set("west", "east")(r.getString(1))))
+    // type discipline: all-NULL and mixed-type columns reject
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.a from ( values (null), (null) ) t(a)"))
+    assert(e1.getMessage.contains("all NULL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.a from ( values (1), ('x') ) t(a)"))
+    assert(e2.getMessage.contains("mixes types"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select t.a from ( values (1, 2) ) t(a, a)"))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+  }
+
+  test("DISTINCT ON keeps the first row per key group in ORDER BY (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10), ("a", 20), ("b", 5), ("b", 50)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into dd (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select distinct on (dd.g) dd.g, dd.v from dd " +
+        "order by dd.g, dd.v desc").get.collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 20L), ("b", 50L)))
+    // ascending tiebreak flips the pick
+    val asc = HashQL.execute(cat,
+      "select distinct on (dd.g) dd.g, dd.v from dd " +
+        "order by dd.g, dd.v").get.collect()
+    assert(asc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L), ("b", 5L)))
+    // determinism contract: a tiebreaker is required…
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select distinct on (dd.g) dd.g, dd.v from dd order by dd.g"))
+    assert(e1.getMessage.contains("tiebreaker"), e1.getMessage)
+    // …ORDER BY must lead with the ON keys…
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select distinct on (dd.g) dd.g, dd.v from dd " +
+        "order by dd.v desc, dd.g"))
+    assert(e2.getMessage.contains("lead with the DISTINCT ON"), e2.getMessage)
+    // …and the keys must be projected
+    val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select distinct on (dd.g) dd.v from dd order by dd.g, dd.v desc"))
+    assert(e3.getMessage.contains("projected"), e3.getMessage)
   }
 }
