@@ -3173,7 +3173,102 @@ object HashqlSuite extends Suite {
              |  o_totalprice
              |FROM orders WHERE o_custkey <= 200
              |ORDER BY o_custkey, o_totalprice DESC,
-             |  o_orderkey""".stripMargin))
+             |  o_orderkey""".stripMargin)),
+
+    // GROUP BY ALL / ORDER BY ALL (round 13): the DuckDB ergonomic
+    // forms — every non-aggregate item groups, every output sorts
+    // left-to-right; both expand at parse to the explicit plan (same
+    // one-shuffle aggregation, same TakeOrdered sort).
+    "hashql_group_order_all" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, lineitem.l_linestatus, " +
+          "sum(lineitem.l_quantity) as sq, count(*) " +
+          "from lineitem group by all order by all"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sq, count(*) AS cnt
+             |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // variance/stddev (round 13): BOTH sides spell the exact-sum
+    // formula arithmetic — the engines' native streaming aggregates
+    // round differently in the last ULP and could never hash-match;
+    // integer-valued l_quantity keeps every sum exact in any order, so
+    // the two IEEE divisions (+ sqrt) are bitwise-deterministic.
+    "hashql_var_stddev" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "var_samp(lineitem.l_quantity) as vs, " +
+          "var_pop(lineitem.l_quantity) as vp, " +
+          "stddev(lineitem.l_quantity) as sd " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  (CAST(count(l_quantity) * sum(l_quantity * l_quantity)
+             |      - sum(l_quantity) * sum(l_quantity) AS DOUBLE)
+             |    / count(l_quantity)) / nullif(count(l_quantity) - 1, 0)
+             |    AS vs,
+             |  (CAST(count(l_quantity) * sum(l_quantity * l_quantity)
+             |      - sum(l_quantity) * sum(l_quantity) AS DOUBLE)
+             |    / count(l_quantity)) / nullif(count(l_quantity), 0)
+             |    AS vp,
+             |  sqrt((CAST(count(l_quantity) * sum(l_quantity * l_quantity)
+             |      - sum(l_quantity) * sum(l_quantity) AS DOUBLE)
+             |    / count(l_quantity)) / nullif(count(l_quantity) - 1, 0))
+             |    AS sd
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // LATERAL aggregate subquery (round 13): per-customer order stats —
+    // DECORRELATED to one grouped aggregate over orders + one LEFT hash
+    // join (count 0 / max NULL on the empty group, ANSI cross-lateral
+    // semantics); never a per-outer-row evaluation.
+    "hashql_lateral_agg" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, t.cnt, t.hi from customer, " +
+          "lateral ( select count(*), max(orders.o_totalprice) as hi " +
+          "from orders where orders.o_custkey = customer.c_custkey ) t " +
+          "where customer.c_custkey <= 300 order by customer.c_custkey"),
+      Some("""SELECT c_custkey, t.cnt, t.hi FROM customer,
+             |LATERAL ( SELECT count(*) AS cnt, max(o_totalprice) AS hi
+             |  FROM orders WHERE o_custkey = c_custkey ) t
+             |WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // DELETE … USING (round 13): the join-delete — one semi join
+    // computes the doomed id set (using-side filters prune its scan
+    // first), then the ordinary copy-on-write anti-join. The oracle is
+    // the literal post-state, the DML pattern of this suite.
+    "hashql_delete_using" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into docs2 (nm, score) values ('d1', 10), ('d2', 20), " +
+            "('d3', 30)")
+        HashQL.execute(cat,
+          "insert into bad2 (nm, flag) values ('d2', 1), ('d3', 0)")
+        HashQL.execute(cat,
+          "delete from docs2 using bad2 " +
+            "where docs2.nm = bad2.nm and bad2.flag = 1")
+        HashQL.execute(cat,
+          "select docs2.nm, docs2.score from docs2 order by docs2.nm").get
+      },
+      Some("""SELECT * FROM (VALUES ('d1', 10),
+             |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
+
+    // strftime (round 13): DuckDB %-code rendering, lowered to Spark's
+    // date_format with a translated pattern — zero-padded on both
+    // engines, so the strings hash-match byte for byte.
+    "hashql_strftime" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "strftime(orders.o_orderdate, '%Y/%m/%d') as ymd, " +
+          "strftime(orders.o_orderdate, '%j') as doy " +
+          "from orders where orders.o_orderkey <= 400 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+             |  strftime(o_orderdate, '%j') AS doy
+             |FROM orders WHERE o_orderkey <= 400
+             |ORDER BY o_orderkey""".stripMargin))
     )
     // a duplicate key in one suite would silently shadow (Map keeps the
     // last) — caught round 12 when a new entry collided with an r7 name

@@ -290,7 +290,13 @@ object HashQL {
       "ltrim" -> Set(1), "rtrim" -> Set(1), "reverse" -> Set(1),
       "repeat" -> Set(2), "left" -> Set(2), "right" -> Set(2),
       "strpos" -> Set(2), "translate" -> Set(3), "ascii" -> Set(1),
-      "md5" -> Set(1), "sign" -> Set(1), "power" -> Set(2))
+      "md5" -> Set(1), "sign" -> Set(1), "power" -> Set(2),
+      // strftime(x, '<fmt>') (round-13): temporal rendering under
+      // DuckDB's %-code spelling, lowered to Spark's date_format with a
+      // translated pattern; the format is a static literal restricted
+      // to the codes both engines render identically (%Y %y %m %d %H
+      // %M %S %j) plus plain separators
+      "strftime" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -332,6 +338,13 @@ object HashQL {
         case ELit(_: String) => true
         case _ => false
       }, "translate's from/to arguments must be quoted string literals")
+    if (fn == "strftime")
+      require(args(1) match {
+        case ELit(f: String) =>
+          f.matches("(%[YymdHMSj]|[-/:., ])+")
+        case _ => false
+      }, "strftime's format must be a quoted literal of %Y %y %m %d " +
+        "%H %M %S %j codes and - / : . , space separators")
   }
 
   /** `( select <agg> from u [where …] ) as alias` — a scalar subquery in
@@ -588,7 +601,16 @@ object HashQL {
     * UPDATE/CREATE JOIN); lowers to [[GraftCatalog.delete]] (copy-on-write
     * anti-filter) + registry invalidation, symmetric with Update. An
     * omitted WHERE deletes every row (the table stays registered). */
-  final case class Delete(table: String, wheres: Seq[Pred]) extends Stmt
+  final case class Delete(table: String, wheres: Seq[Pred],
+                          // `delete from t using u where t.k = u.k …`
+                          // (round-13): the join-delete — rows of t with
+                          // a match in u go; lowered as ONE semi join on
+                          // the WHERE's cross-table equality conjuncts
+                          // (each side's local conjuncts filter its own
+                          // scan first), then the ordinary copy-on-write
+                          // id anti-join. Needs row identity (the
+                          // dialect id column).
+                          using: Option[String] = None) extends Stmt
   /** orderBy: (column, descending) pairs; limit: row cap; having:
     * post-aggregation conjuncts. All growth beyond the reference (its SQL
     * surface has no sorts or HAVING — ordering exists only on the KV
@@ -690,7 +712,18 @@ object HashQL {
                           // ≥1 tiebreaker (a deterministic pick);
                           // lowered as one row_number window partitioned
                           // by the keys, filtered to 1.
-                          distinctOn: Seq[ColRef] = Nil) extends Stmt
+                          distinctOn: Seq[ColRef] = Nil,
+                          // `from t, lateral ( select <aggs> from u
+                          // where u.k = t.k ) x` (round-13): per-outer-
+                          // row aggregation — (name, body) pairs whose
+                          // bodies correlate through equality conjuncts.
+                          // DECORRELATED: the body groups by its
+                          // correlation keys once and LEFT-joins the
+                          // outer frame (count coalesces to 0 — the
+                          // empty-group aggregate row ANSI's
+                          // cross-lateral produces); never per-row.
+                          laterals: Seq[(String, Select)] = Nil)
+    extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
     * like SQL). ALL keeps duplicates; plain UNION dedups the whole chain.
@@ -1026,8 +1059,18 @@ object HashQL {
 
     private def deleteRest(): Delete = {
       val table = next()
+      // `delete from t using u where t.k = u.k [and …]` (round-13) —
+      // the join-delete (Postgres/DuckDB USING): rows of t with a match
+      // in u under the WHERE's equality conjuncts go; see the executor
+      // for the semi-join lowering
+      val using = if (is("using")) { next(); Some(next()) } else None
       val wheres = if (is("where")) { next(); preds() } else Nil
-      Delete(table, wheres)
+      require(using.isEmpty || wheres.exists {
+        case EqCol(a, b) => a.table != b.table
+        case _ => false
+      }, "DELETE … USING needs at least one equality conjunct linking " +
+        "the two tables (t.k = u.k)")
+      Delete(table, wheres, using)
     }
 
     /** WHERE clause → top-level AND conjuncts (callers fold with &&).
@@ -1435,6 +1478,42 @@ object HashQL {
           val r = colRef(); kw(")")
           items += GroupingItem(r, aliasAfterAs("grouping(…)"))
         }
+        else if (Seq("var_samp", "var_pop", "stddev_samp", "stddev_pop",
+                     "stddev", "variance").exists(is) && peekAt(1) == "(") {
+          // variance/stddev (round-13) — DESUGARED to the exact-sum
+          // formula (n·Σx² − (Σx)²) / n / (n−1 | n) over ONE aggregation
+          // pass, stddev wrapping it in sqrt. Why not the engines'
+          // native aggregates: their streaming accumulations (Welford /
+          // per-partition merges) round differently in the last ULP, so
+          // results could never hash-match — the exact-integer sums +
+          // two correctly-rounded IEEE divisions (+ sqrt) make BOTH
+          // engines compute bit-identical doubles (integer inputs whose
+          // squares sum within 2⁶³ — the oracle spells the same
+          // formula). The nullif'd denominator serves the ANSI edges:
+          // var_samp of a 1-value group = NULL, var_pop = 0.0, empty
+          // (all-NULL) groups = NULL. `stddev` = stddev_samp,
+          // `variance` = var_samp (both engines' aliases).
+          val fn0 = next().toLowerCase
+          val fn = fn0 match {
+            case "stddev" => "stddev_samp"
+            case "variance" => "var_samp"
+            case f => f
+          }
+          kw("(")
+          val e = exprTree(); kw(")")
+          val n = EAgg("count", e)
+          val sx = EAgg("sum", e)
+          val sxx = EAgg("sum", EArith(e, "*", e))
+          val num = ECast(EArith(EArith(n, "*", sxx), "-",
+            EArith(sx, "*", sx)), "double")
+          val den2 =
+            if (fn.endsWith("_samp")) EArith(n, "-", ELit(1L)) else n
+          val varE = EArith(EArith(num, "/", n), "/",
+            EFunc("nullif", Seq(den2, ELit(0L))))
+          val out = if (fn.startsWith("stddev")) EFunc("sqrt", Seq(varE))
+                    else varE
+          items += ExprItem(out, aliasAfterAs(s"$fn0(…)"))
+        }
         else if (Seq("sum", "avg", "min", "max", "median").exists(is)) {
           val fn = next().toLowerCase; kw("(")
           // `sum(distinct <expr>)` (round-12): distinct-value sum.
@@ -1529,8 +1608,8 @@ object HashQL {
       // (alias → real) entry, resolved by the executor.
       val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val aliasStop = Set("sample", "inner", "left", "right", "full", "cross",
-        "join", "where", "group", "having", "qualify", "order", "limit",
-        "offset", "union", "intersect", "except", "on", ")", ",", "")
+        "lateral", "join", "where", "group", "having", "qualify", "order",
+        "limit", "offset", "union", "intersect", "except", "on", ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -1612,9 +1691,19 @@ object HashQL {
       // a cross join SPELLED after one, where ANSI's left-associative
       // reading could differ from the head-of-list build).
       val fromList = scala.collection.mutable.ArrayBuffer.empty[String]
+      val lateralList =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Select)]
       while (is(",") || (is("cross") && peekAt(1).equalsIgnoreCase("join"))) {
         if (is(",")) next() else { next(); next() }
-        fromList += fromSource()
+        // `, lateral ( select <aggs> … where u.k = t.k ) x` (round-13):
+        // a correlated per-outer-row aggregation source — see
+        // [[Select.laterals]] for the decorrelated lowering
+        if (is("lateral")) {
+          next(); kw("("); kw("select")
+          val body = selectRest()
+          kw(")")
+          lateralList += sourceName("a LATERAL subquery") -> body
+        } else fromList += fromSource()
       }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
       while (is("inner") || is("left") || is("right") || is("full") ||
@@ -1710,12 +1799,30 @@ object HashQL {
         else if (peek.contains('.')) colRef() else ColRef("", next())
       val groupBy = if (is("group")) {
         next(); kw("by")
+        // `group by all` (round-13, the DuckDB form): every
+        // NON-AGGREGATE select item is a key — plain fields by name,
+        // computed projections by alias; expression items containing
+        // aggregates (the ratio idiom) are outputs, not keys. Star
+        // rejects (its columns are unknown until execution).
+        if (is("all") && !peekAt(1).startsWith("(")) {
+          next()
+          require(!items.contains(Star),
+            "GROUP BY ALL needs explicit projections (select * columns " +
+              "are unknown until execution)")
+          val ks = items.toSeq.collect {
+            case Field(r) => r
+            case ExprItem(e, a) if aggNodes(e).isEmpty => ColRef("", a)
+          }
+          require(ks.nonEmpty,
+            "GROUP BY ALL found no non-aggregate select items to group by")
+          ks
+        }
         // `group by grouping sets ( (a, b), (a), () )` (round-13 — the
         // general subtotal form; rollup/cube below are its two special
         // cases). Each parenthesized set lists keys from the plain
         // grammar; `()` is the grand-total set. The statement's groupBy
         // becomes the DISTINCT UNION of all set keys.
-        if (is("grouping") && peekAt(1).equalsIgnoreCase("sets") &&
+        else if (is("grouping") && peekAt(1).equalsIgnoreCase("sets") &&
             peekAt(2) == "(") {
           next(); next(); kw("(")
           groupMode = "sets"
@@ -1787,6 +1894,27 @@ object HashQL {
       val orderBy = if (is("order")) {
         next(); kw("by")
         val obs = scala.collection.mutable.ArrayBuffer.empty[(Expr, Boolean, Option[Boolean])]
+        // `order by all [desc]` (round-13, the DuckDB form): sort by
+        // every output column left-to-right — expands here to the
+        // items' output names (auto-aliases included), one direction
+        // for the lot. Star selects reject (their columns are unknown
+        // until execution — spell the projection out).
+        if (is("all") && { val t = peekAt(1).toLowerCase
+          t == "" || t == "desc" || t == "asc" || t == "limit" ||
+            t == "offset" }) {
+          next()
+          val desc = if (is("desc")) { next(); true }
+                     else { if (is("asc")) next(); false }
+          require(!items.contains(Star),
+            "ORDER BY ALL needs explicit projections (select * columns " +
+              "are unknown until execution)")
+          items.foreach { it =>
+            outputNameOf(it).foreach(n =>
+              obs += ((ECol(ColRef("", n)), desc, None)))
+          }
+          require(obs.nonEmpty, "ORDER BY ALL found no sortable outputs")
+          obs.toSeq
+        } else {
         var m = true
         while (m) {
           // a sort key is a full scalar EXPRESSION over OUTPUT columns
@@ -1814,6 +1942,7 @@ object HashQL {
           if (is(",")) next() else m = false
         }
         obs.toSeq
+        }
       } else Nil
       val limit = if (is("limit")) {
         next()
@@ -1849,7 +1978,7 @@ object HashQL {
       }
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
-        groupMode, groupSets, fromList.toSeq, distinctOn)
+        groupMode, groupSets, fromList.toSeq, distinctOn, lateralList.toSeq)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -1905,7 +2034,7 @@ object HashQL {
       "instr", "lpad", "rpad", "contains", "starts_with", "ends_with",
       "datediff", "last_day", "sqrt", "greatest", "least",
       "ltrim", "rtrim", "reverse", "repeat", "left", "right",
-      "strpos", "translate", "ascii", "md5", "sign", "power")
+      "strpos", "translate", "ascii", "md5", "sign", "power", "strftime")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -2826,6 +2955,17 @@ object HashQL {
         case "md5" => md5(a(0))
         case "sign" => signum(a(0)).cast("long")
         case "power" => pow(a(0), a(1))
+        // DuckDB %-codes → Spark's date_format pattern (the format is a
+        // validated static literal, so the translation is total); both
+        // engines zero-pad, so the rendered strings are identical
+        case "strftime" =>
+          val f = args(1).asInstanceOf[ELit].v.asInstanceOf[String]
+          val pattern = f
+            .replace("%Y", "yyyy").replace("%y", "yy")
+            .replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm")
+            .replace("%S", "ss").replace("%j", "DDD")
+          date_format(a(0), pattern)
       }
   }
 
@@ -2973,6 +3113,27 @@ object HashQL {
   }
 
   private def coalAlias(c: Coalesce2): String = s"coalesce_${c.ref.column}"
+
+  /** The OUTPUT column name a select item produces (the projection's
+    * auto-aliases for aggregate/window calls) — ORDER BY ALL expands
+    * through this; None for items with no single addressable name
+    * (Star, doc paths). */
+  private def outputNameOf(it: SelectItem): Option[String] = it match {
+    case Field(r) if !r.column.startsWith("~") => Some(r.column)
+    case CountStar => Some("cnt")
+    case AggCall("count", r) => Some(s"cnt_${r.column}")
+    case AggCall("count_distinct", r) => Some(s"cntd_${r.column}")
+    case AggCall(fn, r) => Some(s"${fn}_${r.column}")
+    case AggExprItem(_, _, a) => Some(a)
+    case ExprItem(_, a) => Some(a)
+    case StringAggItem(_, _, a) => Some(a)
+    case ArgExtremeItem(_, _, _, a) => Some(a)
+    case GroupingItem(_, a) => Some(a)
+    case c: Coalesce2 => Some(coalAlias(c))
+    case w: WinCall => Some(winAlias(w))
+    case s0: ScalarSubItem => Some(s0.alias)
+    case _ => None
+  }
 
   /** Window output auto-aliases: `rn` / `rnk` / `wsum_<col>` —
     * addressable in ORDER BY like every other output column. */
@@ -3392,7 +3553,42 @@ object HashQL {
           registry.foreach(_.onUpdate(cat, t, before, after))
         }
         None
-      case Delete(t, wheres) =>
+      case Delete(t, wheres, Some(u)) =>
+        // join-delete (round-13): classify the WHERE into cross-table
+        // equality conjuncts (the join condition), t-local and u-local
+        // filters; ONE semi join computes the doomed id set — never a
+        // row-at-a-time probe
+        val pre = cat.table(t)
+        require(pre.columns.contains("id"),
+          s"DELETE … USING needs table $t's dialect id column " +
+            "(raw-registered tables have no row identity)")
+        val uF0 = cat.table(u)
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        wheres.foreach {
+          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
+            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
+          case p =>
+            val tabs = predTables(p)
+            if (tabs == Set(u)) uLocal += p
+            else {
+              require(!tabs.contains(u),
+                s"a DELETE … USING conjunct must live on one table or be " +
+                  s"an equality pair across them, got: $p")
+              tLocal += p
+            }
+        }
+        val tF = tLocal.foldLeft(pre)((d, p) => d.filter(predColumn(cat, p)))
+        val uF = uLocal.foldLeft(uF0)((d, p) => d.filter(predColumn(cat, p)))
+        val cond = pairs.map { case (tr, ur) =>
+          tF(tr.column) === uF(ur.column) }.reduce(_ && _)
+        val doomed = tF.join(uF, cond, "left_semi").select("id")
+        cat.deleteRows(t, doomed)
+        val deleted = pre.join(doomed, Seq("id"), "left_semi")
+        registry.foreach(_.onDelete(cat, t, deleted))
+        None
+      case Delete(t, wheres, None) =>
         // capture the deleted rows' plan BEFORE the copy-on-write rewrite
         // (plans are immutable, so it stays evaluatable after); the hook
         // then folds negated partials into deltable aggregate views and
@@ -3580,6 +3776,7 @@ object HashQL {
         // own references
         s.aliases.count(_._2 == n) +
         s.derived.map(d => tableRefCount(d._2, n)).sum +
+        s.laterals.map(l => tableRefCount(l._2, n)).sum +
         s.wheres.map(predTableRefCount(_, n)).sum +
         s.items.collect { case ScalarSubItem(sub, _) =>
           tableRefCount(sub, n) }.sum
@@ -4044,6 +4241,10 @@ object HashQL {
       having = sel.having.map(hp),
       qualify = sel.qualify.map(hp),
       orderBy = sel.orderBy.map { case (e, d, nf) => (outExpr(e), d, nf) },
+      // lateral bodies correlate with the outer aliases — pure ref
+      // rewrite under the subquery visibility rule (their own FROM
+      // names shadow)
+      laterals = sel.laterals.map { case (n, b) => (n, subSel(b)) },
       aliases = Nil)
   }
 
@@ -4107,7 +4308,11 @@ object HashQL {
       wheres = s0.wheres.map(pred),
       groupBy = s0.groupBy.map(ren),
       groupSets = s0.groupSets.map(_.map(ren)),
-      orderBy = s0.orderBy.map { case (e, d, nf) => (expr(e), d, nf) })
+      orderBy = s0.orderBy.map { case (e, d, nf) => (expr(e), d, nf) },
+      // lateral bodies CORRELATE with the outer scope — rewrite their
+      // outer refs under the same visibility rule as subquery predicates
+      // (the body's own FROM names shadow)
+      laterals = s0.laterals.map { case (n, b) => (n, subSel(b)) })
   }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
@@ -4141,7 +4346,7 @@ object HashQL {
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _, _, _, _, _) =>
+                  distinct, offset, qualify, _, _, _, _, _, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -4218,6 +4423,13 @@ object HashQL {
               acc = acc.drop(tdf(fresh.column))
           }
           acc
+        }
+        // LATERAL aggregate subqueries fold in BEFORE the WHERE clause,
+        // so outer conjuncts may filter on lateral outputs (`where
+        // t.cnt > 5`) — Catalyst still pushes outer-only conjuncts
+        // below the lateral join
+        sel.laterals.foreach { case (nm, body) =>
+          df = lateralJoin(cat, df, nm, body, registry)
         }
         df = applyWheres(cat, df, wheres, registry)
         // SCALE GUARD (round-13, comma joins): a comma-joined select
@@ -4546,10 +4758,15 @@ object HashQL {
                 // never changes the returned row set. Inline VALUES
                 // columns (round-13) are exempt too: their explicit
                 // NULLs are DATA the user wrote, never a missing field.
+                // …and LATERAL outputs (round-13): computed aggregates
+                // whose NULLs are the ANSI empty-group row, never a
+                // missing field
+                val latNames = sel.laterals.map(_._1).toSet
                 val skipExempt = (wins.map(winAlias) ++ coals.map(coalAlias) ++
                   scalarSubs.map(_.alias) ++
                   items.collect {
-                    case Field(r) if inlineNames(r.table) => r.column } ++
+                    case Field(r) if inlineNames(r.table) ||
+                      latNames(r.table) => r.column } ++
                   exprs.collect { case e if !e.expr.isInstanceOf[ECol] => e.alias }).toSet
                 val scalarCols = cols.filterNot(skipExempt)
                 val projected = withComputed.select(cols.map(col): _*)
@@ -4692,7 +4909,7 @@ object HashQL {
     * this set. */
   private def fromTables(s: Select): Set[String] =
     s.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table)).toSet +
-      s.table ++ s.froms
+      s.table ++ s.froms ++ s.laterals.map(_._1)
 
   /** Mirror a comparison operator across its operands (`a < b` ≡
     * `b > a`) — shared by ON-clause extras and the subquery
@@ -5150,6 +5367,88 @@ object HashQL {
     }
     (joined, predC, Seq("graft_q_cnt", "graft_q_nn", "graft_q_mn",
       "graft_q_mx"))
+  }
+
+  /** Decorrelate one LATERAL aggregate subquery (see [[Select.laterals]]):
+    * the body — restricted to the decorrelatable shape `select <aggs>
+    * from … where <equality correlation> and <local preds>` — GROUPS BY
+    * its correlation keys through the ordinary grouped-select machinery
+    * (one aggregation shuffle over the inner side only), then LEFT-joins
+    * the outer frame on those keys (one hash join; the inner side is
+    * group-count-sized, typically broadcastable). Count aggregates
+    * coalesce to 0 on a join miss — exactly the one-row aggregate ANSI's
+    * cross-lateral produces over an empty group. An UNCORRELATED body is
+    * a 1-row aggregate frame cross-joined (broadcast, constant work).
+    * Never a per-outer-row evaluation at any scale. */
+  private def lateralJoin(cat: GraftCatalog, outer: DataFrame, nm: String,
+                          body: Select,
+                          registry: Option[JoinRegistry]): DataFrame = {
+    val bodyTables = fromTables(body)
+    require(body.items.nonEmpty && body.items.forall {
+      case _: AggCall | CountStar | _: AggExprItem | _: StringAggItem |
+           _: ArgExtremeItem => true
+      case _ => false
+    }, s"a LATERAL subquery ($nm) projects AGGREGATES only — plain " +
+      "columns come from joins, grouped top-k from QUALIFY windows")
+    require(body.groupBy.isEmpty && body.qualify.isEmpty &&
+      body.orderBy.isEmpty && body.limit.isEmpty && body.offset.isEmpty &&
+      !body.distinct && body.having.isEmpty && body.laterals.isEmpty,
+      s"a LATERAL subquery ($nm) is `select <aggs> from … [join …] " +
+        "[where …]` — its grouping IS the correlation")
+    val leaks = scalarItemLeak(body, bodyTables)
+    require(leaks.isEmpty,
+      s"LATERAL $nm projects outer table(s) ${leaks.mkString(", ")} — " +
+        "aggregate the subquery's own columns only")
+    // conjuncts: equality pairs spanning outer↔inner correlate; the rest
+    // must be local to the body
+    val corrPairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+    val local = scala.collection.mutable.ArrayBuffer.empty[Pred]
+    body.wheres.foreach {
+      case EqCol(a, b) if bodyTables(a.table) != bodyTables(b.table) =>
+        corrPairs += (if (bodyTables(a.table)) (a, b) else (b, a))
+      case p =>
+        val foreign = predTables(p).filterNot(bodyTables)
+        require(foreign.isEmpty,
+          s"unsupported correlation form in LATERAL $nm: $p — correlate " +
+            "with equality conjuncts (inner.k = outer.k)")
+        local += p
+    }
+    val innerKeys = corrPairs.map(_._1).distinctBy(_.column).toSeq
+    val probe = body.copy(
+      items = innerKeys.map(Field(_)) ++ body.items,
+      wheres = local.toSeq, groupBy = innerKeys)
+    var lat = selectFrame(cat, probe, registry)
+    // reserve-rename the key columns so they can never collide with an
+    // outer column of the same name
+    val keyRename = innerKeys.zipWithIndex
+      .map { case (k, i) => k.column -> s"graft_lat_$i" }.toMap
+    keyRename.foreach { case (from, to) =>
+      lat = lat.withColumnRenamed(from, to) }
+    val clash = lat.columns.filterNot(_.startsWith("graft_lat_")).toSet
+      .intersect(outer.columns.toSet)
+    require(clash.isEmpty,
+      s"LATERAL $nm outputs collide with outer columns: " +
+        s"${clash.mkString(", ")} — alias the aggregates (as <name>)")
+    val joined =
+      if (corrPairs.isEmpty) outer.crossJoin(lat) // 1-row aggregate frame
+      else {
+        val cond = corrPairs.map { case (in, out) =>
+          outer(out.column) === lat(keyRename(in.column))
+        }.reduce(_ && _)
+        outer.join(lat, cond, "left")
+      }
+    val dropped = joined.drop(keyRename.values.toSeq: _*)
+    // ANSI cross-lateral: an aggregate over an empty group still yields
+    // one row — count 0, sum/min/max NULL; the LEFT join's miss gives
+    // the NULLs, counts coalesce here
+    val countCols = body.items.collect {
+      case CountStar => "cnt"
+      case AggCall("count", r) => s"cnt_${r.column}"
+      case AggCall("count_distinct", r) => s"cntd_${r.column}"
+      case AggExprItem(fn, _, a) if fn.startsWith("count") => a
+    }
+    countCols.foldLeft(dropped)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
   }
 
   private def subqueryFrame(cat: GraftCatalog, sub: Select,

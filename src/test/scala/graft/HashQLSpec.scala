@@ -2842,4 +2842,151 @@ class HashQLSpec extends SparkSpec {
       "select distinct on (dd.g) dd.v from dd order by dd.g, dd.v desc"))
     assert(e3.getMessage.contains("projected"), e3.getMessage)
   }
+
+  test("GROUP BY ALL and ORDER BY ALL expand from the select list (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("b", 1), ("a", 2), ("a", 3), ("b", 4)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into ga (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select ga.g, sum(ga.v) as s from ga group by all order by all")
+      .get.collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("b", 5L)))
+    // computed keys group by alias; aggregate-bearing items stay outputs
+    val m = HashQL.execute(cat,
+      "select upper(ga.g) as gu, sum(ga.v) * 1.0 / count(*) as mean " +
+        "from ga group by all order by all desc").get.collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("B", "A"))
+    assert(m.map(_.getDouble(1)).toSeq == Seq(2.5, 2.5))
+    // star selects reject (columns unknown until execution)
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * from ga group by all"))
+    assert(e1.getMessage.contains("explicit projections"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * from ga order by all"))
+    assert(e2.getMessage.contains("explicit projections"), e2.getMessage)
+  }
+
+  test("variance / stddev aggregates: exact-sum lowering, ANSI edges (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(2, 4, 4, 4, 5, 5, 7, 9).foreach(x =>
+      HashQL.execute(cat, s"insert into vx (g, x) values ('a', $x)"))
+    HashQL.execute(cat, "insert into vx (g, x) values ('b', 5)")
+    val g = HashQL.execute(cat,
+      "select vx.g, var_pop(vx.x) as vp, stddev_pop(vx.x) as sp, " +
+        "var_samp(vx.x) as vs, stddev(vx.x) as sd, variance(vx.x) as vr " +
+        "from vx group by vx.g order by vx.g").get.collect()
+    // the classic 2,4,4,4,5,5,7,9: pop variance 4, pop stddev 2
+    assert(g(0).getDouble(1) == 4.0 && g(0).getDouble(2) == 2.0)
+    assert(g(0).getDouble(3) == 32.0 / 7)
+    assert(g(0).getDouble(4) == math.sqrt(32.0 / 7))
+    assert(g(0).getDouble(5) == 32.0 / 7) // variance ≡ var_samp
+    // 1-value group: samp is NULL (nullif'd zero denominator), pop is 0
+    assert(g(1).isNullAt(3) && g(1).getDouble(1) == 0.0)
+    // global (ungrouped) spelling rides the same machinery
+    val tot = HashQL.execute(cat,
+      "select var_pop(vx.x) as vp from vx where vx.g = 'a'").get.collect()
+    assert(tot.head.getDouble(0) == 4.0)
+  }
+
+  test("strftime renders temporals under DuckDB %-codes (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into st (d) values ('2024-03-07 01:02:03')")
+    val got = HashQL.execute(cat,
+      "select strftime(cast(st.d as timestamp), '%Y/%m/%d') as ymd, " +
+        "strftime(cast(st.d as timestamp), '%H:%M:%S') as hms, " +
+        "strftime(cast(st.d as timestamp), '%j') as doy, " +
+        "strftime(cast(st.d as timestamp), '%y-%m') as ym " +
+        "from st").get.collect().head
+    assert(got.getString(0) == "2024/03/07")
+    assert(got.getString(1) == "01:02:03")
+    assert(got.getString(2) == "067") // zero-padded day-of-year, both engines
+    assert(got.getString(3) == "24-03")
+    // the format is a validated static literal
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select strftime(cast(st.d as timestamp), '%Q') as bad from st"))
+    assert(e.getMessage.contains("strftime's format"), e.getMessage)
+  }
+
+  test("LATERAL aggregate subqueries decorrelate to one grouped join (round-13)") {
+    val cat = new GraftCatalog(spark)
+    cat.register("custL", graft.core.Tables.t(spark, sf, "customer"))
+    cat.register("ordL", graft.core.Tables.t(spark, sf, "orders"))
+    val got = HashQL.execute(cat,
+      "select custL.c_custkey, t.cnt, t.hi from custL, " +
+        "lateral ( select count(*), max(ordL.o_totalprice) as hi " +
+        "from ordL where ordL.o_custkey = custL.c_custkey ) t " +
+        "where custL.c_custkey <= 30 order by custL.c_custkey")
+      .get.collect()
+    // DataFrame twin of the decorrelated plan
+    val ord = graft.core.Tables.t(spark, sf, "orders")
+    val cust = graft.core.Tables.t(spark, sf, "customer")
+    val agg = ord.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.max(col("o_totalprice")).as("hi"))
+    val exp = cust.filter(col("c_custkey") <= 30)
+      .join(agg, cust("c_custkey") === agg("o_custkey"), "left")
+      .select(col("c_custkey"),
+        org.apache.spark.sql.functions.coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("hi"))
+      .orderBy("c_custkey").collect()
+    assert(got.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+    // ANSI empty-group row: a local filter that empties every group
+    // still yields one row per outer — count 0, max NULL
+    val emptied = HashQL.execute(cat,
+      "select custL.c_custkey, t.cnt, t.hi from custL, " +
+        "lateral ( select count(*), max(ordL.o_totalprice) as hi " +
+        "from ordL where ordL.o_custkey = custL.c_custkey " +
+        "and ordL.o_totalprice > 999999999.0 ) t " +
+        "where custL.c_custkey <= 5 order by custL.c_custkey").get.collect()
+    assert(emptied.nonEmpty &&
+      emptied.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // aliased outer + aliased body: the rewriters thread the correlation
+    val ali = HashQL.execute(cat,
+      "select c.c_custkey, t.cnt from custL c, " +
+        "lateral ( select count(*) from ordL o " +
+        "where o.o_custkey = c.c_custkey ) t " +
+        "where c.c_custkey <= 30 order by c.c_custkey").get.collect()
+    assert(ali.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      exp.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // uncorrelated lateral: a 1-row aggregate frame cross-joins
+    val un = HashQL.execute(cat,
+      "select custL.c_custkey, t.mx from custL, " +
+        "lateral ( select max(ordL.o_totalprice) as mx from ordL ) t " +
+        "where custL.c_custkey <= 5 order by custL.c_custkey").get.collect()
+    assert(un.map(_.getDouble(1)).distinct.length == 1)
+    // shape guards: plain columns and non-equality correlation reject
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select custL.c_custkey, t.o_orderkey from custL, " +
+        "lateral ( select ordL.o_orderkey from ordL " +
+        "where ordL.o_custkey = custL.c_custkey ) t"))
+    assert(e1.getMessage.contains("AGGREGATES only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select custL.c_custkey, t.cnt from custL, " +
+        "lateral ( select count(*) from ordL " +
+        "where ordL.o_custkey < custL.c_custkey ) t"))
+    assert(e2.getMessage.contains("equality conjuncts"), e2.getMessage)
+  }
+
+  test("DELETE … USING: the join-delete (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into du (nm, score) values ('d1', 10), ('d2', 20), ('d3', 30)")
+    HashQL.execute(cat,
+      "insert into ub (nm, flag) values ('d2', 1), ('d3', 0)")
+    // only rows matching AND passing the using-side filter go
+    HashQL.execute(cat,
+      "delete from du using ub where du.nm = ub.nm and ub.flag = 1")
+    val left = HashQL.execute(cat,
+      "select du.nm from du order by du.nm").get.as[String].collect().toSeq
+    assert(left == Seq("d1", "d3"))
+    // t-local conjuncts bound the doomed set from the t side
+    HashQL.execute(cat,
+      "delete from du using ub where du.nm = ub.nm and du.score > 99")
+    assert(HashQL.execute(cat, "select du.nm from du").get.count() == 2)
+    // the linking equality is required
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "delete from du using ub where du.score = 10"))
+    assert(e.getMessage.contains("equality conjunct linking"), e.getMessage)
+  }
 }

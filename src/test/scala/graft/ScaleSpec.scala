@@ -759,4 +759,75 @@ class ScaleSpec extends SparkSpec {
       s"body predicate did not push into the CTE scan:\n${pushed.mkString("\n")}")
     df.count()
   }
+
+  test("quantified ALL compares against ONE broadcast stats row — no row-to-row join (round-13)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("supplier", "customer").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select supplier.s_suppkey from supplier " +
+        "where supplier.s_acctbal > all ( select customer.c_acctbal " +
+        "from customer where customer.c_nationkey = 3 )").get
+    // the only join is against the ≤1-row stats aggregate — a fat
+    // (both-sides-many-rows) join would be the per-row anti-pattern
+    val fat = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if !j.left.maxRows.exists(_ <= 1) &&
+            !j.right.maxRows.exists(_ <= 1) => j
+    }
+    assert(fat.isEmpty,
+      s"quantifier planned a row-to-row join:\n${df.queryExecution.optimizedPlan.toString.take(1500)}")
+    val plan = df.queryExecution.executedPlan.toString
+    // the subquery side collapsed to one aggregation (partial+final)
+    assert(plan.contains("Aggregate"), plan.take(1000))
+    // …and its nationkey filter still pushed to the parquet scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_nationkey")),
+      "subquery filter not pushed")
+    df.count()
+  }
+
+  test("LATERAL aggregates decorrelate: one grouped aggregate + one equi-join (round-13)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select customer.c_custkey, t.cnt from customer, " +
+        "lateral ( select count(*) from orders " +
+        "where orders.o_custkey = customer.c_custkey ) t " +
+        "where customer.c_custkey <= 100").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral planned per-row:\n${plan.take(1500)}")
+    // the body's aggregation ran grouped (keys), once
+    assert(plan.contains("Aggregate"), plan.take(1000))
+    // the outer-only WHERE pushed below the lateral join into the scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_custkey")),
+      "outer filter not pushed below the lateral join")
+    df.count()
+  }
+
+  test("DISTINCT ON plans a keyed window — partition exchange, never a global sort (round-13)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    val df = HashQL.execute(cat,
+      "select distinct on (orders.o_custkey) orders.o_custkey, " +
+        "orders.o_orderkey, orders.o_totalprice from orders " +
+        "order by orders.o_custkey, orders.o_totalprice desc, " +
+        "orders.o_orderkey").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1000))
+    // partitioned by the ON key — no single-partition exchange anywhere
+    assert(!plan.contains("SinglePartition"),
+      s"DISTINCT ON planned a global single-partition step:\n${plan.take(1500)}")
+    df.count()
+  }
 }
