@@ -3254,6 +3254,58 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('d1', 10),
              |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
+    // named WINDOW clause (round 13): one spec, several functions —
+    // each `over w` substitutes the same parsed spec at select end
+    // (fn-dependent validation per use), so the plan is identical to
+    // the inline spellings: one window exchange shared by both calls.
+    "hashql_named_window" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "row_number() over w as rn, sum(orders.o_orderkey) over w as rs " +
+          "from orders where orders.o_custkey <= 150 " +
+          "window w as (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) " +
+          "order by orders.o_custkey, orders.o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS INTEGER) AS rn,
+             |  CAST(sum(o_orderkey) OVER w AS BIGINT) AS rs
+             |FROM orders WHERE o_custkey <= 150
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // percentile_cont (round 13): exact interpolated quantiles — Spark's
+    // percentile and DuckDB's quantile_cont share the q·(n−1) rank
+    // formula, and integer-valued l_quantity keeps the interpolation
+    // arithmetic bitwise-deterministic (median's generalization).
+    "hashql_percentile_cont" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "percentile_cont(lineitem.l_quantity, 0.25) as q25, " +
+          "percentile_cont(lineitem.l_quantity, 0.5) as q50, " +
+          "percentile_cont(lineitem.l_quantity, 0.9) as q90 " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.5) AS q50,
+             |  quantile_cont(l_quantity, 0.9) AS q90
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // strptime (round 13): the parsing inverse of strftime — render the
+    // timestamp, parse it back, both engines agree on well-formed input.
+    "hashql_strptime" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "strptime(strftime(orders.o_orderdate, '%Y/%m/%d %H:%M:%S'), " +
+          "'%Y/%m/%d %H:%M:%S') as ts from orders " +
+          "where orders.o_orderkey <= 400 order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M:%S'),
+             |    '%Y/%m/%d %H:%M:%S') AS ts
+             |FROM orders WHERE o_orderkey <= 400
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // strftime (round 13): DuckDB %-code rendering, lowered to Spark's
     // date_format with a translated pattern — zero-padded on both
     // engines, so the strings hash-match byte for byte.

@@ -139,7 +139,13 @@ object HashQL {
                            buckets: Option[Int] = None,
                            alias: Option[String] = None,
                            rangeUnit: Option[String] = None,
-                           aggDeps: Seq[(String, SelectItem)] = Nil)
+                           aggDeps: Seq[(String, SelectItem)] = Nil,
+                           // `… over w` (round-13): an unresolved NAMED
+                           // window reference — the parser substitutes
+                           // the WINDOW clause's spec (and runs the
+                           // fn-dependent validations) at select end;
+                           // always None after parsing completes
+                           namedRef: Option[String] = None)
     extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
@@ -295,8 +301,11 @@ object HashQL {
       // DuckDB's %-code spelling, lowered to Spark's date_format with a
       // translated pattern; the format is a static literal restricted
       // to the codes both engines render identically (%Y %y %m %d %H
-      // %M %S %j) plus plain separators
-      "strftime" -> Set(2))
+      // %M %S %j) plus plain separators. strptime is its parsing
+      // inverse (string → TIMESTAMP, Spark to_timestamp) — on
+      // WELL-FORMED input the engines agree; a malformed string is NULL
+      // on Spark but an ERROR on DuckDB (documented divergence)
+      "strftime" -> Set(2), "strptime" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -338,12 +347,12 @@ object HashQL {
         case ELit(_: String) => true
         case _ => false
       }, "translate's from/to arguments must be quoted string literals")
-    if (fn == "strftime")
+    if (fn == "strftime" || fn == "strptime")
       require(args(1) match {
         case ELit(f: String) =>
           f.matches("(%[YymdHMSj]|[-/:., ])+")
         case _ => false
-      }, "strftime's format must be a quoted literal of %Y %y %m %d " +
+      }, s"$fn's format must be a quoted literal of %Y %y %m %d " +
         "%H %M %S %j codes and - / : . , space separators")
   }
 
@@ -1478,6 +1487,23 @@ object HashQL {
           val r = colRef(); kw(")")
           items += GroupingItem(r, aliasAfterAs("grouping(…)"))
         }
+        else if (is("percentile_cont") && peekAt(1) == "(") {
+          // percentile_cont(<expr>, <q>) (round-13) — exact interpolated
+          // quantile at a STATIC fraction; see the aggsRaw lowering note
+          next(); kw("(")
+          val e = exprTree(); kw(",")
+          val qd = literal() match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"percentile_cont's fraction must be a numeric literal, got $other")
+          }
+          require(qd >= 0.0 && qd <= 1.0,
+            s"percentile_cont's fraction must be in [0, 1], got $qd")
+          kw(")")
+          items += AggExprItem(s"percentile_cont:$qd", e,
+            aliasAfterAs("percentile_cont(…)"))
+        }
         else if (Seq("var_samp", "var_pop", "stddev_samp", "stddev_pop",
                      "stddev", "variance").exists(is) && peekAt(1) == "(") {
           // variance/stddev (round-13) — DESUGARED to the exact-sum
@@ -1608,8 +1634,9 @@ object HashQL {
       // (alias → real) entry, resolved by the executor.
       val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val aliasStop = Set("sample", "inner", "left", "right", "full", "cross",
-        "lateral", "join", "where", "group", "having", "qualify", "order",
-        "limit", "offset", "union", "intersect", "except", "on", ")", ",", "")
+        "lateral", "join", "where", "group", "having", "qualify", "window",
+        "order", "limit", "offset", "union", "intersect", "except", "on",
+        ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -1873,6 +1900,42 @@ object HashQL {
         }
         hs.toSeq
       } else Nil
+      // WINDOW clause (round-13): `window w as ( partition by … order
+      // by … [frame] ) [, w2 as ( … )]` — named reusable window specs;
+      // every `over w` reference substitutes here (validations run per
+      // use, because they are fn-dependent). A named spec nobody
+      // references is legal (and harmless), like SQL.
+      if (is("window")) {
+        next()
+        val specs = scala.collection.mutable.LinkedHashMap.empty[String, WSpec]
+        var moreW = true
+        while (moreW) {
+          val nm = next()
+          require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !nm.startsWith("graft_"), s"bad window name: $nm")
+          require(!specs.contains(nm), s"duplicate window name: $nm")
+          kw("as"); kw("(")
+          specs += nm -> windowSpecBody()
+          kw(")")
+          if (is(",")) next() else moreW = false
+        }
+        items.mapInPlace {
+          case w: WinCall if w.namedRef.isDefined =>
+            val spec = specs.getOrElse(w.namedRef.get,
+              throw new IllegalArgumentException(
+                s"unknown window name ${w.namedRef.get} — declare it in " +
+                  "the WINDOW clause"))
+            mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias)
+          case it => it
+        }
+      }
+      items.foreach {
+        case w: WinCall if w.namedRef.isDefined =>
+          throw new IllegalArgumentException(
+            s"window name ${w.namedRef.get} is not declared — add " +
+              s"`window ${w.namedRef.get} as ( … )` after HAVING")
+        case _ => ()
+      }
       // QUALIFY (round-11): window-output conjuncts, HAVING's grammar
       // over the post-window frame; windows-required is checked at
       // lowering (where the item list is interpreted)
@@ -2034,7 +2097,8 @@ object HashQL {
       "instr", "lpad", "rpad", "contains", "starts_with", "ends_with",
       "datediff", "last_day", "sqrt", "greatest", "least",
       "ltrim", "rtrim", "reverse", "repeat", "left", "right",
-      "strpos", "translate", "ascii", "md5", "sign", "power", "strftime")
+      "strpos", "translate", "ascii", "md5", "sign", "power", "strftime",
+      "strptime")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -2162,9 +2226,45 @@ object HashQL {
     /** `over (partition by …[, …] order by …[ desc][, …])` — both clauses
       * optional, any combination; window fns limited to row_number / rank
       * (need ORDER BY to mean anything — required) and sum. */
+    /** A parsed parenthesized window specification — shared by the
+      * inline `over ( … )` form and the named `window w as ( … )`
+      * clause (round-13). Validation is fn-dependent, so it happens in
+      * [[mkWinCall]] at each USE of the spec. */
+    final case class WSpec(part: Seq[ColRef],
+                           order: Seq[(ColRef, Boolean)],
+                           frame: Option[(Long, Long)],
+                           rangeUnit: Option[String],
+                           deps: Seq[(String, SelectItem)])
+
     private def windowSpec(fn: String, arg: Option[ColRef],
                            buckets: Option[Int] = None): WinCall = {
-      kw("over"); kw("(")
+      kw("over")
+      // `over w` — a NAMED window (round-13): the spec lives in the
+      // statement's WINDOW clause, parsed later; leave an unresolved
+      // reference for selectRest to substitute (and validate)
+      if (peek != "(") {
+        val nm = next()
+        require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+          !nm.startsWith("graft_") &&
+          !Set("from", "where", "group", "having", "qualify", "window",
+            "order", "limit", "offset", "union", "intersect", "except",
+            "as").contains(nm.toLowerCase),
+          s"expected ( or a window name after OVER, got $nm")
+        val alias =
+          if (is("as")) Some(aliasAfterAs(s"$fn() over $nm")) else None
+        return WinCall(fn, arg, Nil, Nil, None, buckets, alias, None, Nil,
+          namedRef = Some(nm))
+      }
+      kw("(")
+      val w = windowSpecBody()
+      kw(")")
+      // `… over (…) as x` re-aliases the window output (else the
+      // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
+      val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
+      mkWinCall(fn, arg, buckets, w, alias)
+    }
+
+    private def windowSpecBody(): WSpec = {
       // window keys (round-13 growth, the grouped-window surface):
       // `t.col` as ever, a BARE identifier addressing an output alias
       // (`order by sum_qty desc` over the aggregated frame), or an
@@ -2324,7 +2424,16 @@ object HashQL {
           "range frame is empty: lower bound must not exceed upper bound")
         (Some((lo, hi)), Some(unit))
       } else (None, None)
-      kw(")")
+      WSpec(part, order, frame, rangeUnit, deps.distinctBy(_._1).toSeq)
+    }
+
+    /** Pair a window FUNCTION with a SPEC — the validations are
+      * fn-dependent, so a named window validates at each use. */
+    private def mkWinCall(fn: String, arg: Option[ColRef],
+                          buckets: Option[Int], w: WSpec,
+                          alias: Option[String]): WinCall = {
+      val (part, order, frame, rangeUnit) =
+        (w.part, w.order, w.frame, w.rangeUnit)
       // the frame-taking window functions work with or without ORDER BY
       // when unframed: ordered = running, unordered = whole-partition
       val framedAggs = Set("sum", "avg", "min", "max", "count",
@@ -2362,11 +2471,7 @@ object HashQL {
         s"$fn over a RANGE interval frame is nondeterministic when order " +
           "keys tie — use a ROWS frame over a unique key, or a " +
           "peer-insensitive aggregate (sum/avg/min/max/count)")
-      // `… over (…) as x` re-aliases the window output (else the
-      // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
-      val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
-      WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit,
-        deps.distinctBy(_._1).toSeq)
+      WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit, w.deps)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -2958,14 +3063,15 @@ object HashQL {
         // DuckDB %-codes → Spark's date_format pattern (the format is a
         // validated static literal, so the translation is total); both
         // engines zero-pad, so the rendered strings are identical
-        case "strftime" =>
+        case "strftime" | "strptime" =>
           val f = args(1).asInstanceOf[ELit].v.asInstanceOf[String]
           val pattern = f
             .replace("%Y", "yyyy").replace("%y", "yy")
             .replace("%m", "MM").replace("%d", "dd")
             .replace("%H", "HH").replace("%M", "mm")
             .replace("%S", "ss").replace("%j", "DDD")
-          date_format(a(0), pattern)
+          if (fn == "strftime") date_format(a(0), pattern)
+          else to_timestamp(a(0), pattern)
       }
   }
 
@@ -3267,6 +3373,16 @@ object HashQL {
       case AggExprItem("median", e, a) => median(exprColumn(cat, e)).as(a)
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
+      // exact interpolated quantile (round-13): percentile_cont(x, q) —
+      // Spark's exact percentile and DuckDB's quantile_cont share the
+      // rank formula (index q·(n−1), linear interpolation), so
+      // integer-valued inputs hash-match exactly like median (the q=0.5
+      // special case). The static fraction rides the fn name
+      // ("percentile_cont:<q>"), so the item flows through every
+      // rewriter untouched; non-reaggregable like median.
+      case AggExprItem(fn, e, a) if fn.startsWith("percentile_cont:") =>
+        percentile(exprColumn(cat, e),
+          lit(fn.stripPrefix("percentile_cont:").toDouble)).as(a)
       // sorted-deterministic string aggregation (round-12): collect,
       // sort, join — partitioning-independent; all-NULL/empty groups
       // yield NULL like DuckDB's string_agg, not ''

@@ -2989,4 +2989,56 @@ class HashQLSpec extends SparkSpec {
       "delete from du using ub where du.score = 10"))
     assert(e.getMessage.contains("equality conjunct linking"), e.getMessage)
   }
+
+  test("percentile_cont and strptime (round-13)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into px (x) values " +
+      (1 to 10).map(i => s"($i)").mkString(", "))
+    val q = HashQL.execute(cat,
+      "select percentile_cont(px.x, 0.25) as q1, " +
+        "percentile_cont(px.x, 0.5) as q2, " +
+        "percentile_cont(px.x, 0.9) as q9 from px").get.collect().head
+    // index q·(n−1) with linear interpolation over 1..10
+    assert(q.getDouble(0) == 3.25 && q.getDouble(1) == 5.5)
+    assert(math.abs(q.getDouble(2) - 9.1) < 1e-12)
+    val eQ = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select percentile_cont(px.x, 1.5) as bad from px"))
+    assert(eQ.getMessage.contains("[0, 1]"), eQ.getMessage)
+    // strptime: string → TIMESTAMP, strftime's parsing inverse
+    HashQL.execute(cat, "insert into sp (s) values ('2024/03/07 01:02:03')")
+    val ts = HashQL.execute(cat,
+      "select strptime(sp.s, '%Y/%m/%d %H:%M:%S') as ts, " +
+        "strftime(strptime(sp.s, '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S') " +
+        "as back from sp").get.collect().head
+    assert(ts.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-03-07 01:02:03"))
+    assert(ts.getString(1) == "2024/03/07 01:02:03") // round trip
+  }
+
+  test("named WINDOW clause: one spec, many functions (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into nw (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select nw.g, nw.v, row_number() over w as rn, " +
+        "rank() over w as rk, sum(nw.v) over w as rs " +
+        "from nw window w as (partition by nw.g order by nw.v) " +
+        "order by nw.g, nw.v").get.collect()
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 1)) // rn
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 3L, 6L, 5L)) // running sum
+    // two specs; later items may use either
+    val two = HashQL.execute(cat,
+      "select nw.g, row_number() over w1 as rn, sum(nw.v) over w2 as tot " +
+        "from nw window w1 as (partition by nw.g order by nw.v), " +
+        "w2 as (partition by nw.g) order by nw.g, rn").get.collect()
+    assert(two.map(_.getLong(2)).toSeq == Seq(6L, 6L, 6L, 5L))
+    // fn-dependent validation still runs per use: rank needs ORDER BY
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select rank() over w from nw window w as (partition by nw.g)"))
+    assert(e1.getMessage.contains("requires an ORDER BY"), e1.getMessage)
+    // an undeclared name names the fix
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select row_number() over w from nw order by nw.v"))
+    assert(e2.getMessage.contains("not declared"), e2.getMessage)
+  }
 }
