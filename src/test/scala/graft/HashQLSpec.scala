@@ -3041,4 +3041,23 @@ class HashQLSpec extends SparkSpec {
       "select row_number() over w from nw order by nw.v"))
     assert(e2.getMessage.contains("not declared"), e2.getMessage)
   }
+
+  test("quantifiers compose with UPDATE/DELETE WHERE (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(1, 5, 10).foreach(v =>
+      HashQL.execute(cat, s"insert into qd13 (v) values ($v)"))
+    Seq(3, 5).foreach(x =>
+      HashQL.execute(cat, s"insert into qr13 (x) values ($x)"))
+    // UPDATE rows above every reference value
+    HashQL.execute(cat,
+      "update qd13 set qd13.v = 0 where qd13.v > all " +
+        "(select qr13.x from qr13)")
+    assert(HashQL.execute(cat, "select qd13.v from qd13 order by qd13.v")
+      .get.as[Long].collect().toSeq == Seq(0L, 1L, 5L))
+    // DELETE rows below any reference value
+    HashQL.execute(cat,
+      "delete from qd13 where qd13.v < any (select qr13.x from qr13)")
+    assert(HashQL.execute(cat, "select qd13.v from qd13")
+      .get.as[Long].collect().toSeq == Seq(5L))
+  }
 }
