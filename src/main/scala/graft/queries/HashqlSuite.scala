@@ -3254,6 +3254,60 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('d1', 10),
              |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
+    // lag/lead with offsets and miss defaults (round 13) — the
+    // period-over-period family's full form; same single window
+    // exchange as the 1-arg spelling.
+    "hashql_lag_offset" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "lag(orders.o_orderkey, 2) over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) as l2, " +
+          "lead(orders.o_orderkey, 1, -1) over (partition by " +
+          "orders.o_custkey order by orders.o_orderkey) as ld " +
+          "from orders where orders.o_custkey <= 150 " +
+          "order by orders.o_custkey, orders.o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS l2,
+             |  lead(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS ld
+             |FROM orders WHERE o_custkey <= 150
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // inline QUALIFY windows (round 13): grouped top-k WITHOUT
+    // projecting the rank — the call computes under a reserved alias
+    // dropped right after the filter; Spark 4's WindowGroupLimit
+    // pushdown applies (partial top-k before the window exchange).
+    "hashql_qualify_inline" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey from orders " +
+          "where orders.o_custkey <= 150 " +
+          "qualify row_number() over (partition by orders.o_custkey " +
+          "order by orders.o_orderkey) <= 2 " +
+          "order by orders.o_custkey, orders.o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey FROM orders
+             |WHERE o_custkey <= 150
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderkey) <= 2
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // CORRELATED quantified ALL (round 13): per-key stats + LEFT join
+    // (a key miss is that row's empty set — vacuously true); customers
+    // whose balance tops a tenth of every one of their own orders,
+    // orderless customers included.
+    "hashql_quant_corr" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer " +
+          "where customer.c_acctbal > all ( select " +
+          "orders.o_totalprice / 10.0 as t10 from orders " +
+          "where orders.o_custkey = customer.c_custkey ) " +
+          "and customer.c_custkey <= 300 order by customer.c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_acctbal > ALL ( SELECT o_totalprice / 10.0
+             |  FROM orders WHERE o_custkey = c_custkey )
+             |  AND c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
     // named WINDOW clause (round 13): one spec, several functions —
     // each `over w` substitutes the same parsed spec at select end
     // (fn-dependent validation per use), so the plan is identical to

@@ -145,7 +145,11 @@ object HashQL {
                            // the WINDOW clause's spec (and runs the
                            // fn-dependent validations) at select end;
                            // always None after parsing completes
-                           namedRef: Option[String] = None)
+                           namedRef: Option[String] = None,
+                           // lag/lead miss default (round-13):
+                           // `lag(x, n, d)` — d fills where the offset
+                           // row does not exist (both engines)
+                           default: Option[Any] = None)
     extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
@@ -456,18 +460,19 @@ object HashQL {
     * only, like [[InSelect]]. Dialect growth. */
   final case class CmpSelect(ref: ColRef, op: String, sub: Select) extends Pred
   /** `t.a <op> any|all ( select u.v from u [where …] )` (round-13) — the
-    * ANSI QUANTIFIED comparison. The subquery projects ONE plain column
-    * and must be UNCORRELATED (correlated quantifiers reject toward the
-    * EXISTS spelling). The lowering never joins row-to-row: the subquery
-    * collapses to a 1-row stats frame (count(*) / count(v) / min(v) /
-    * max(v) — one partial-agg shuffle), broadcast-cross-joined like every
-    * uncorrelated scalar, and the quantifier becomes ANSI-exact arithmetic
-    * over the stats: `> all` ⇔ empty OR (no nulls AND a > max), `< any` ⇔
-    * a < max, `= all` ⇔ empty OR (no nulls AND min = a = max), `<> any` ⇔
-    * ≥2 distinct non-null values OR the single value differs. The
-    * membership-shaped forms route to their native plans at parse:
-    * `= any` ≡ IN (semi join), `<> all` ≡ NOT IN (anti join, with the
-    * dialect's documented NOT-IN null caveat). `some` = `any` (ANSI). */
+    * ANSI QUANTIFIED comparison. The subquery projects ONE column
+    * (plain or computed). The lowering never joins row-to-row: the
+    * subquery collapses to a stats frame (count(*) / count(v) / min(v) /
+    * max(v) — one partial-agg shuffle) — ONE broadcast row when
+    * uncorrelated, one row PER CORRELATION KEY (equality conjuncts
+    * `u.k = t.k`, LEFT-joined, miss = empty set) when correlated — and
+    * the quantifier becomes ANSI-exact arithmetic over the stats:
+    * `> all` ⇔ empty OR (no nulls AND a > max), `< any` ⇔ a < max,
+    * `= all` ⇔ empty OR (no nulls AND min = a = max), `<> any` ⇔
+    * ∃ non-null value ≠ a (min ≠ a ∨ max ≠ a). The membership-shaped
+    * forms route to their native plans at parse: `= any` ≡ IN (semi
+    * join), `<> all` ≡ NOT IN (anti join, with the dialect's documented
+    * NOT-IN null caveat). `some` = `any` (ANSI). */
   final case class QuantCmp(ref: ColRef, op: String, quant: String,
                             sub: Select) extends Pred {
     require(quant == "any" || quant == "all", s"bad quantifier: $quant")
@@ -1403,8 +1408,23 @@ object HashQL {
               s"$fn takes a column or an output alias, got $t")
             ColRef("", t)
           }
+          // `lag(x, n [, default])` (round-13): an explicit offset and a
+          // miss default — lag(x) ≡ lag(x, 1, NULL), like both engines.
+          // first/last_value stay single-argument.
+          var off: Option[Int] = None
+          var dflt: Option[Any] = None
+          if (is(",")) {
+            require(fn == "lag" || fn == "lead",
+              s"$fn takes one argument — offsets apply to lag/lead")
+            next()
+            val n = next()
+            require(n.matches("[0-9]+"),
+              s"$fn's offset must be a non-negative integer literal, got $n")
+            off = Some(n.toInt)
+            if (is(",")) { next(); dflt = Some(literal()) }
+          }
           kw(")")
-          items += windowSpec(fn, Some(r))
+          items += windowSpec(fn, Some(r), buckets = off, default = dflt)
         }
         else if (is("count")) {
           // count(*) counts rows; count(t.f) counts NON-NULL f — the SQL
@@ -1905,36 +1925,20 @@ object HashQL {
       // every `over w` reference substitutes here (validations run per
       // use, because they are fn-dependent). A named spec nobody
       // references is legal (and harmless), like SQL.
+      val windowSpecs = scala.collection.mutable.LinkedHashMap.empty[String, WSpec]
       if (is("window")) {
         next()
-        val specs = scala.collection.mutable.LinkedHashMap.empty[String, WSpec]
         var moreW = true
         while (moreW) {
           val nm = next()
           require(nm.matches("[A-Za-z_][A-Za-z0-9_]*") &&
             !nm.startsWith("graft_"), s"bad window name: $nm")
-          require(!specs.contains(nm), s"duplicate window name: $nm")
+          require(!windowSpecs.contains(nm), s"duplicate window name: $nm")
           kw("as"); kw("(")
-          specs += nm -> windowSpecBody()
+          windowSpecs += nm -> windowSpecBody()
           kw(")")
           if (is(",")) next() else moreW = false
         }
-        items.mapInPlace {
-          case w: WinCall if w.namedRef.isDefined =>
-            val spec = specs.getOrElse(w.namedRef.get,
-              throw new IllegalArgumentException(
-                s"unknown window name ${w.namedRef.get} — declare it in " +
-                  "the WINDOW clause"))
-            mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias)
-          case it => it
-        }
-      }
-      items.foreach {
-        case w: WinCall if w.namedRef.isDefined =>
-          throw new IllegalArgumentException(
-            s"window name ${w.namedRef.get} is not declared — add " +
-              s"`window ${w.namedRef.get} as ( … )` after HAVING")
-        case _ => ()
       }
       // QUALIFY (round-11): window-output conjuncts, HAVING's grammar
       // over the post-window frame; windows-required is checked at
@@ -1943,8 +1947,32 @@ object HashQL {
         next()
         val qs = scala.collection.mutable.ArrayBuffer.empty[HavingPred]
         var m = true
+        var qwi = 0
         while (m) {
-          val (target, _) = havingTarget()
+          // INLINE window calls (round-13): `qualify row_number() over
+          // (…) <= 3` without projecting the rank — the call joins the
+          // item list under a RESERVED alias the executor drops right
+          // after the QUALIFY filter runs; `over w` names compose (the
+          // clause resolves below, after QUALIFY parses)
+          val target: String =
+            if (Seq("row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist").exists(is) && peekAt(1) == "(") {
+              val fn = next().toLowerCase; kw("("); kw(")")
+              val w = windowSpec(fn, None)
+              val nm = s"graft_qw$qwi"; qwi += 1
+              items += w.copy(alias = Some(nm))
+              nm
+            } else if (is("ntile") && peekAt(1) == "(") {
+              next(); kw("(")
+              val t = next()
+              require(t.matches("[0-9]+") && t.toInt > 0,
+                s"ntile expects a positive bucket count, got $t")
+              kw(")")
+              val w = windowSpec("ntile", None, buckets = Some(t.toInt))
+              val nm = s"graft_qw$qwi"; qwi += 1
+              items += w.copy(alias = Some(nm))
+              nm
+            } else havingTarget()._1
           val op = next() match {
             case o @ ("=" | "<" | ">" | "<=" | ">=" | "<>") => o
             case o => throw new IllegalArgumentException(s"unsupported qualify op: $o")
@@ -1954,6 +1982,24 @@ object HashQL {
         }
         qs.toSeq
       } else Nil
+      // named-window resolution (round-13) — AFTER QUALIFY, so inline
+      // qualify calls may reference WINDOW-clause names too
+      if (windowSpecs.nonEmpty) items.mapInPlace {
+        case w: WinCall if w.namedRef.isDefined =>
+          val spec = windowSpecs.getOrElse(w.namedRef.get,
+            throw new IllegalArgumentException(
+              s"unknown window name ${w.namedRef.get} — declare it in " +
+                "the WINDOW clause"))
+          mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias, w.default)
+        case it => it
+      }
+      items.foreach {
+        case w: WinCall if w.namedRef.isDefined =>
+          throw new IllegalArgumentException(
+            s"window name ${w.namedRef.get} is not declared — add " +
+              s"`window ${w.namedRef.get} as ( … )` after HAVING")
+        case _ => ()
+      }
       val orderBy = if (is("order")) {
         next(); kw("by")
         val obs = scala.collection.mutable.ArrayBuffer.empty[(Expr, Boolean, Option[Boolean])]
@@ -2237,7 +2283,8 @@ object HashQL {
                            deps: Seq[(String, SelectItem)])
 
     private def windowSpec(fn: String, arg: Option[ColRef],
-                           buckets: Option[Int] = None): WinCall = {
+                           buckets: Option[Int] = None,
+                           default: Option[Any] = None): WinCall = {
       kw("over")
       // `over w` — a NAMED window (round-13): the spec lives in the
       // statement's WINDOW clause, parsed later; leave an unresolved
@@ -2253,7 +2300,7 @@ object HashQL {
         val alias =
           if (is("as")) Some(aliasAfterAs(s"$fn() over $nm")) else None
         return WinCall(fn, arg, Nil, Nil, None, buckets, alias, None, Nil,
-          namedRef = Some(nm))
+          namedRef = Some(nm), default = default)
       }
       kw("(")
       val w = windowSpecBody()
@@ -2261,7 +2308,7 @@ object HashQL {
       // `… over (…) as x` re-aliases the window output (else the
       // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
       val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
-      mkWinCall(fn, arg, buckets, w, alias)
+      mkWinCall(fn, arg, buckets, w, alias, default)
     }
 
     private def windowSpecBody(): WSpec = {
@@ -2431,7 +2478,8 @@ object HashQL {
       * fn-dependent, so a named window validates at each use. */
     private def mkWinCall(fn: String, arg: Option[ColRef],
                           buckets: Option[Int], w: WSpec,
-                          alias: Option[String]): WinCall = {
+                          alias: Option[String],
+                          default: Option[Any] = None): WinCall = {
       val (part, order, frame, rangeUnit) =
         (w.part, w.order, w.frame, w.rangeUnit)
       // the frame-taking window functions work with or without ORDER BY
@@ -2471,7 +2519,8 @@ object HashQL {
         s"$fn over a RANGE interval frame is nondeterministic when order " +
           "keys tie — use a ROWS frame over a unique key, or a " +
           "peer-insensitive aggregate (sum/avg/min/max/count)")
-      WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit, w.deps)
+      WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit, w.deps,
+        default = default)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -3320,8 +3369,15 @@ object HashQL {
       // running min/max under ORDER BY; whole-partition extremum without
       case "min" => min(col(w.arg.get.column)).over(spec)
       case "max" => max(col(w.arg.get.column)).over(spec)
-      case "lag" => lag(col(w.arg.get.column), 1).over(spec)
-      case "lead" => lead(col(w.arg.get.column), 1).over(spec)
+      // explicit offsets and miss defaults (round-13): lag(x) ≡
+      // lag(x, 1, NULL) — the offset rides the buckets slot like
+      // ntile's count / nth_value's index
+      case "lag" =>
+        lag(col(w.arg.get.column), w.buckets.getOrElse(1),
+          w.default.orNull).over(spec)
+      case "lead" =>
+        lead(col(w.arg.get.column), w.buckets.getOrElse(1),
+          w.default.orNull).over(spec)
       // first/last value within the frame; with ORDER BY and no explicit
       // frame, the ANSI default frame ends at the current row — so
       // last_value is the CURRENT row's value unless the frame says
@@ -4929,9 +4985,15 @@ object HashQL {
             require(items.exists(_.isInstanceOf[WinCall]),
               "QUALIFY filters window outputs — this select has no " +
                 "window call (use WHERE, or HAVING over aggregates)")
+            // inline qualify windows (round-13) computed under reserved
+            // graft_qw aliases drop right after their filter runs
+            val qwDrop = items.collect {
+              case w: WinCall if w.alias.exists(_.startsWith("graft_qw")) =>
+                w.alias.get
+            }
             qualify.foldLeft(afterWin) { (d, q) =>
               d.filter(graft.core.Compare.cmp(col(q.column), q.op, hrhs(cat, q)))
-            }
+            }.drop(qwDrop: _*)
           }
         // HAVING filters the aggregated frame's OUTPUT columns (Catalyst
         // plans it as Filter-over-Aggregate and pushes grouping-key
@@ -5434,20 +5496,68 @@ object HashQL {
     require(leaks.isEmpty,
       s"quantified subquery projects outer table(s) ${leaks.mkString(", ")} " +
         "— project the subquery's own columns only")
-    val corr = sub.wheres.flatMap(predTables).filterNot(subT)
-    require(corr.isEmpty,
-      s"quantified comparisons take an UNCORRELATED subquery — " +
-        s"predicates reference outer table(s) ${corr.distinct.mkString(", ")}; " +
-        "spell the correlated form through EXISTS instead")
-    val stats = subqueryFrame(cat, sub, registry).agg(
-      count(lit(1)).as("graft_q_cnt"),
-      count(col("graft_in_sub")).as("graft_q_nn"),
-      min(col("graft_in_sub")).as("graft_q_mn"),
-      max(col("graft_in_sub")).as("graft_q_mx"))
-    val joined = df.crossJoin(stats)
+    // CORRELATED quantifiers (round-13): equality conjuncts spanning
+    // outer↔inner decorrelate — the stats aggregate groups by the
+    // correlation keys (one aggregation shuffle over the subquery side)
+    // and LEFT-joins the outer frame; a join miss is that outer row's
+    // EMPTY set (counts coalesce to 0, ALL vacuously true / ANY false —
+    // ANSI). Non-equality correlation still rejects toward EXISTS.
+    val corrPairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+    val local = scala.collection.mutable.ArrayBuffer.empty[Pred]
+    sub.wheres.foreach {
+      case EqCol(x, y) if subT(x.table) != subT(y.table) =>
+        corrPairs += (if (subT(x.table)) (x, y) else (y, x))
+      case p =>
+        val foreign = predTables(p).filterNot(subT)
+        require(foreign.isEmpty,
+          s"unsupported correlation form in quantified subquery: $p — " +
+            "correlate with equality conjuncts (inner.k = outer.k), or " +
+            "spell the shape through EXISTS")
+        local += p
+    }
+    val (joined, cnt0, nn0, mn, mx, reserved) =
+      if (corrPairs.isEmpty) {
+        val stats = subqueryFrame(cat, sub.copy(wheres = local.toSeq),
+          registry).agg(
+          count(lit(1)).as("graft_q_cnt"),
+          count(col("graft_in_sub")).as("graft_q_nn"),
+          min(col("graft_in_sub")).as("graft_q_mn"),
+          max(col("graft_in_sub")).as("graft_q_mx"))
+        (df.crossJoin(stats), col("graft_q_cnt"), col("graft_q_nn"),
+          col("graft_q_mn"), col("graft_q_mx"),
+          Seq("graft_q_cnt", "graft_q_nn", "graft_q_mn", "graft_q_mx"))
+      } else {
+        val ve: Expr = sub.items match {
+          case Seq(Field(r)) => ECol(r)
+          case Seq(ExprItem(e, _)) => e
+          case other => throw new IllegalArgumentException(
+            s"a quantified subquery projects exactly one plain or " +
+              s"computed column, got: $other")
+        }
+        val innerKeys = corrPairs.map(_._1).distinctBy(_.column).toSeq
+        val probe = sub.copy(
+          items = innerKeys.map(Field(_)) ++ Seq(
+            AggExprItem("count_star", ELit(1L), "graft_q_cnt"),
+            AggExprItem("count", ve, "graft_q_nn"),
+            AggExprItem("min", ve, "graft_q_mn"),
+            AggExprItem("max", ve, "graft_q_mx")),
+          wheres = local.toSeq, groupBy = innerKeys)
+        var stats = selectFrame(cat, probe, registry)
+        val keyRename = innerKeys.zipWithIndex
+          .map { case (k, i) => k.column -> s"graft_q_k$i" }.toMap
+        keyRename.foreach { case (from, to) =>
+          stats = stats.withColumnRenamed(from, to) }
+        val cond = corrPairs.map { case (in, out) =>
+          df(out.column) === stats(keyRename(in.column)) }.reduce(_ && _)
+        (df.join(stats, cond, "left"), col("graft_q_cnt"),
+          col("graft_q_nn"), col("graft_q_mn"), col("graft_q_mx"),
+          keyRename.values.toSeq ++
+            Seq("graft_q_cnt", "graft_q_nn", "graft_q_mn", "graft_q_mx"))
+      }
     val a = joined(ref.column)
-    val (cnt, nn) = (col("graft_q_cnt"), col("graft_q_nn"))
-    val (mn, mx) = (col("graft_q_mn"), col("graft_q_mx"))
+    // a LEFT-join miss reads as the empty set
+    val cnt = coalesce(cnt0, lit(0L))
+    val nn = coalesce(nn0, lit(0L))
     import graft.core.Compare.cmp
     val predC = quant match {
       case "all" =>
@@ -5481,8 +5591,7 @@ object HashQL {
           .when(nn === cnt, lit(false))
           .otherwise(lit(null))
     }
-    (joined, predC, Seq("graft_q_cnt", "graft_q_nn", "graft_q_mn",
-      "graft_q_mx"))
+    (joined, predC, reserved)
   }
 
   /** Decorrelate one LATERAL aggregate subquery (see [[Select.laterals]]):

@@ -2779,11 +2779,20 @@ class HashQLSpec extends SparkSpec {
     // OR position rides the same flag machinery
     assert(vs("select q13.v from q13 where q13.v = 1 or " +
       "q13.v > all (select qs.x from qs)") == Seq(1L, 10L))
-    // correlated quantifiers reject toward EXISTS
+    // CORRELATED quantifiers (equality conjuncts) decorrelate: per-key
+    // stats + LEFT join; a key miss is that row's EMPTY set → ALL true.
+    // Here the key is the value itself: v=5 sees {5} (5 > all {5} is
+    // false), v=1/v=10 see the empty set (vacuously true).
+    assert(vs("select q13.v from q13 where q13.v > all " +
+      "(select qs.x from qs where qs.x = q13.v)") == Seq(1L, 10L))
+    // …and ANY over the empty per-key set is FALSE
+    assert(vs("select q13.v from q13 where q13.v >= any " +
+      "(select qs.x from qs where qs.x = q13.v)") == Seq(5L))
+    // non-equality correlation still rejects toward EXISTS
     val e = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select q13.v from q13 where q13.v > all " +
-        "(select qs.x from qs where qs.x = q13.v)"))
-    assert(e.getMessage.contains("UNCORRELATED"), e.getMessage)
+        "(select qs.x from qs where qs.x < q13.v)"))
+    assert(e.getMessage.contains("unsupported correlation form"), e.getMessage)
   }
 
   test("inline VALUES tables in FROM and JOIN position (round-13)") {
@@ -3040,6 +3049,37 @@ class HashQLSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select row_number() over w from nw order by nw.v"))
     assert(e2.getMessage.contains("not declared"), e2.getMessage)
+  }
+
+  test("lag/lead offsets and defaults; inline QUALIFY windows (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into lw (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select lw.g, lw.v, lag(lw.v, 2) over (partition by lw.g " +
+        "order by lw.v) as l2, " +
+        "lag(lw.v, 1, 0) over (partition by lw.g order by lw.v) as l1d, " +
+        "lead(lw.v, 1, 99) over (partition by lw.g order by lw.v) as ld " +
+        "from lw order by lw.g, lw.v").get.collect()
+    assert(got.map(r => Option(r.getAs[Any]("l2"))).toSeq ==
+      Seq(None, None, Some(1L), None)) // offset 2, NULL misses
+    assert(got.map(_.getLong(3)).toSeq == Seq(0L, 1L, 2L, 0L)) // default 0
+    assert(got.map(_.getLong(4)).toSeq == Seq(2L, 3L, 99L, 99L)) // lead dflt
+    // inline QUALIFY: top-1 per group WITHOUT projecting the rank
+    val top = HashQL.execute(cat,
+      "select lw.g, lw.v from lw qualify row_number() over " +
+        "(partition by lw.g order by lw.v desc) = 1 order by lw.g")
+      .get.collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 5L)))
+    assert(top.head.schema.fieldNames.toSeq == Seq("g", "v")) // rank dropped
+    // …and through a NAMED window
+    val topW = HashQL.execute(cat,
+      "select lw.g, lw.v from lw window w as (partition by lw.g " +
+        "order by lw.v) qualify row_number() over w = 1 order by lw.g")
+      .get.collect()
+    assert(topW.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 5L)))
   }
 
   test("quantifiers compose with UPDATE/DELETE WHERE (round-13)") {
