@@ -3254,6 +3254,42 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('d1', 10),
              |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
+    // round-13 surface COMPOSITION golden: DISTINCT ON picks each
+    // nation's richest customer while a LATERAL attaches their order
+    // count — one statement, two of the round's operators interacting
+    // (lateral folds before the window, its outputs ride the pick).
+    "hashql_richest_per_nation" -> Q(
+      (s, d) => run(s, d,
+        "select distinct on (customer.c_nationkey) customer.c_nationkey, " +
+          "customer.c_custkey, customer.c_acctbal, t.cnt from customer, " +
+          "lateral ( select count(*) from orders " +
+          "where orders.o_custkey = customer.c_custkey ) t " +
+          "order by customer.c_nationkey, customer.c_acctbal desc, " +
+          "customer.c_custkey"),
+      Some("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+             |  c_acctbal, t.cnt
+             |FROM customer, LATERAL ( SELECT count(*) AS cnt FROM orders
+             |  WHERE o_custkey = c_custkey ) t
+             |ORDER BY c_nationkey, c_acctbal DESC,
+             |  c_custkey""".stripMargin)),
+
+    // HAVING with a scalar-subquery RHS (round 13): the TPC-H Q11 idiom
+    // spelled DIRECTLY — suppliers holding more than 1.1% of the global
+    // quantity; the threshold broadcasts as a 1-row cross join against
+    // the aggregated frame (fraction-based, so it scales with SF).
+    "hashql_having_subquery" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_suppkey, sum(lineitem.l_quantity) as sq " +
+          "from lineitem group by lineitem.l_suppkey " +
+          "having sum(lineitem.l_quantity) > " +
+          "( select sum(lineitem.l_quantity) * 0.011 as thr from lineitem ) " +
+          "order by lineitem.l_suppkey"),
+      Some("""SELECT l_suppkey, sum(l_quantity) AS sq FROM lineitem
+             |GROUP BY l_suppkey
+             |HAVING sum(l_quantity) > ( SELECT sum(l_quantity) * 0.011
+             |  FROM lineitem )
+             |ORDER BY l_suppkey""".stripMargin)),
+
     // lag/lead with offsets and miss defaults (round 13) — the
     // period-over-period family's full form; same single window
     // exchange as the 1-arg spelling.

@@ -554,6 +554,16 @@ object HashQL {
     * agg pass under its auto-alias and drops it after the filter. */
   final case class HavingPred(column: String, op: String, value: Any,
                               agg: Option[SelectItem] = None)
+  /** A scalar-subquery RHS inside [[HavingPred.value]] (round-13) —
+    * `having sum(x) > ( select sum(x) * 0.0001 from … )`, the TPC-H Q11
+    * idiom spelled DIRECTLY. Lowered through the same [[scalarCompare]]
+    * broadcast plan as WHERE-side scalars (plan-only — EXPLAIN never
+    * executes it); the subquery is a global aggregate (1 row
+    * structurally), uncorrelated — the aggregated frame has no table
+    * names left to correlate against. CREATE AGG VIEW rejects HAVING
+    * wholesale (its bare-grouped-aggregation contract), subquery values
+    * included. */
+  final case class SubVal(sub: Select)
 
   sealed trait Stmt
   /** Multi-row INSERT (growth): `values (…), (…), …` — each row commits
@@ -2554,10 +2564,17 @@ object HashQL {
     /** HAVING/QUALIFY right-hand side (round-12 growth): a literal, or a
       * full scalar expression over output columns (`cnt * 2`, `n / 10`);
       * a plain literal keeps its raw value (the pre-grammar shape). */
-    private def havingValue(): Any = exprTree() match {
-      case ELit(v) => v
-      case e => e
-    }
+    private def havingValue(): Any =
+      // `having <agg> > ( select … )` (round-13) — a scalar-subquery RHS
+      if (is("(") && peekAt(1).equalsIgnoreCase("select")) {
+        next(); kw("select")
+        val sub = selectRest()
+        kw(")")
+        SubVal(sub)
+      } else exprTree() match {
+        case ELit(v) => v
+        case e => e
+      }
 
     private def createJoinRest(): CreateJoin = {
       val clauses = scala.collection.mutable.ArrayBuffer.empty[(String, ColRef, ColRef)]
@@ -3262,7 +3279,28 @@ object HashQL {
     * [[Expr]] (round-12 — `having sum_x > cnt * 2`) lowers over the
     * aggregated frame's OUTPUT columns (Compare.cmp's lit() passes a
     * Column through untouched). */
+  /** Fold HAVING/QUALIFY conjuncts over a frame: literal and Expr RHSs
+    * are plain Filters; a [[SubVal]] RHS attaches its broadcast scalar
+    * through [[scalarCompare]] (1-row cross join, plan-only) before
+    * filtering and sheds the reserved columns — the round-13 direct
+    * TPC-H-Q11 spelling. */
+  private def applyHavingPreds(cat: GraftCatalog, df0: DataFrame,
+                               hs: Seq[HavingPred],
+                               registry: Option[JoinRegistry]): DataFrame =
+    hs.foldLeft(df0) { (d, h) =>
+      h.value match {
+        case SubVal(sub) =>
+          val (joined, cmpC, reserved) =
+            scalarCompare(cat, d, ColRef("", h.column), h.op, sub, registry)
+          joined.filter(cmpC).drop(reserved: _*)
+        case _ =>
+          d.filter(graft.core.Compare.cmp(col(h.column), h.op, hrhs(cat, h)))
+      }
+    }
+
   private def hrhs(cat: GraftCatalog, h: HavingPred): Any = h.value match {
+    case _: SubVal => throw new IllegalStateException(
+      "subquery HAVING values lower through applyHavingPreds") // unreachable
     case e: Expr => exprColumn(cat, e)
     case v => v
   }
@@ -4966,10 +5004,7 @@ object HashQL {
         val (afterWin, havingDone) =
           if (groupedWins.isEmpty) (out, false)
           else {
-            val h = having.foldLeft(out) { (d, hp) =>
-              d.filter(graft.core.Compare.cmp(col(hp.column), hp.op,
-                hrhs(cat, hp)))
-            }
+            val h = applyHavingPreds(cat, out, having, registry)
             val w = groupedWins.foldLeft(h)((d, wc) =>
               d.withColumn(winAlias(wc), winColumn(wc)))
             (w.drop((havingDrop ++ winDrop).distinct: _*), true)
@@ -4991,9 +5026,7 @@ object HashQL {
               case w: WinCall if w.alias.exists(_.startsWith("graft_qw")) =>
                 w.alias.get
             }
-            qualify.foldLeft(afterWin) { (d, q) =>
-              d.filter(graft.core.Compare.cmp(col(q.column), q.op, hrhs(cat, q)))
-            }.drop(qwDrop: _*)
+            applyHavingPreds(cat, afterWin, qualify, registry).drop(qwDrop: _*)
           }
         // HAVING filters the aggregated frame's OUTPUT columns (Catalyst
         // plans it as Filter-over-Aggregate and pushes grouping-key
@@ -5005,9 +5038,8 @@ object HashQL {
         // windows — the ordering invariant above.)
         val havinged =
           if (havingDone) qualified
-          else having.foldLeft(qualified) { (d, h) =>
-            d.filter(graft.core.Compare.cmp(col(h.column), h.op, hrhs(cat, h)))
-          }.drop(havingDrop: _*)
+          else applyHavingPreds(cat, qualified, having, registry)
+            .drop(havingDrop: _*)
         // DISTINCT over the projected (post-HAVING) rows — one
         // partial-agg shuffle on all output columns, exactly the
         // q_distinct plan. DISTINCT ON (round-13) instead keeps the

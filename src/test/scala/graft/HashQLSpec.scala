@@ -3082,6 +3082,33 @@ class HashQLSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 5L)))
   }
 
+  test("HAVING with a scalar-subquery RHS: the direct Q11 spelling (round-13)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 1), ("a", 2), ("b", 10), ("b", 20), ("c", 100)).foreach {
+      case (g, v) =>
+        HashQL.execute(cat, s"insert into hv (g, v) values ('$g', $v)") }
+    // groups whose sum tops a third of the global sum (133/3 ≈ 44.3)
+    val got = HashQL.execute(cat,
+      "select hv.g, sum(hv.v) as s from hv group by hv.g " +
+        "having sum(hv.v) > ( select sum(hv.v) / 3.0 as thr from hv ) " +
+        "order by hv.g").get.collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("c", 100L)))
+    // QUALIFY takes the same RHS (shared value grammar + lowering)
+    val q = HashQL.execute(cat,
+      "select hv.g, hv.v, row_number() over (partition by hv.g " +
+        "order by hv.v) as rn from hv " +
+        "qualify rn <= ( select min(hv.v) from hv ) " +
+        "order by hv.g, hv.v").get.collect()
+    assert(q.map(_.getString(0)).toSeq == Seq("a", "b", "c")) // rn ≤ 1
+    // CREATE AGG VIEW definitions reject HAVING wholesale (subquery
+    // values included) — the bare-grouped-aggregation contract
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "create agg view as select hv.g, sum(hv.v) from hv group by hv.g " +
+        "having sum(hv.v) > ( select sum(hv.v) / 3.0 as thr from hv )"))
+    assert(e.getMessage.contains("bare grouped aggregation"), e.getMessage)
+  }
+
   test("quantifiers compose with UPDATE/DELETE WHERE (round-13)") {
     val cat = new GraftCatalog(spark)
     Seq(1, 5, 10).foreach(v =>
