@@ -3254,6 +3254,22 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('d1', 10),
              |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
+    // EXISTS as a projected boolean (round 13): the labeling idiom —
+    // flag customers holding any 300k+ order; one row-preserving left
+    // join against the DISTINCT correlation keys, miss coalesced FALSE.
+    "hashql_exists_flag" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, exists ( select orders.o_orderkey " +
+          "from orders where orders.o_custkey = customer.c_custkey " +
+          "and orders.o_totalprice > 300000.0 ) as big_spender " +
+          "from customer where customer.c_custkey <= 300 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey, EXISTS ( SELECT o_orderkey FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0 )
+             |  AS big_spender
+             |FROM customer WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
     // round-13 surface COMPOSITION golden: DISTINCT ON picks each
     // nation's richest customer while a LATERAL attaches their order
     // count — one statement, two of the round's operators interacting

@@ -374,6 +374,18 @@ object HashQL {
     require(!alias.startsWith("graft_"),
       s"alias $alias collides with reserved internal names")
   }
+  /** `exists ( select … [where …] ) as flag` (round-13) — EXISTENCE as a
+    * projected BOOLEAN: TRUE where the (correlated) subquery matches,
+    * FALSE otherwise (two-valued — a missing match is a fact, not
+    * UNKNOWN; the labeling-pipeline idiom). Shares [[existsJoin]]'s flag
+    * machinery: one row-preserving left join against the DISTINCT
+    * correlation keys (a ≤1-row constant gate when uncorrelated),
+    * coalesced to FALSE. Computed — skip-exempt; ungrouped selects
+    * only. */
+  final case class ExistsItem(sub: Select, alias: String) extends SelectItem {
+    require(!alias.startsWith("graft_"),
+      s"alias $alias collides with reserved internal names")
+  }
 
   /** `<expr> as alias` — a computed projection. The alias is REQUIRED for
     * anything beyond a bare column (it is what names the output), and is
@@ -997,7 +1009,8 @@ object HashQL {
             case Star => throw new IllegalArgumentException(
               "create agg view cannot project *")
             case _: ExprItem | _: AggExprItem | _: ScalarSubItem |
-                 _: StringAggItem | _: ArgExtremeItem | _: GroupingItem =>
+                 _: ExistsItem | _: StringAggItem | _: ArgExtremeItem |
+                 _: GroupingItem =>
               throw new IllegalArgumentException(
                 "create agg view aggregates plain columns " +
                   "(count/sum/avg/min/max(t.f)) — expression aggregates " +
@@ -1640,6 +1653,13 @@ object HashQL {
           val sub = selectRest()
           kw(")")
           items += ScalarSubItem(sub, aliasAfterAs("( select … )"))
+        }
+        else if (is("exists") && peekAt(1) == "(") {
+          // EXISTS as a projected boolean flag (round-13)
+          next(); kw("("); kw("select")
+          val sub = selectRest()
+          kw(")")
+          items += ExistsItem(sub, aliasAfterAs("exists ( … )"))
         }
         else {
           // plain field, or a scalar expression (arithmetic / CASE /
@@ -3325,6 +3345,7 @@ object HashQL {
     case c: Coalesce2 => Some(coalAlias(c))
     case w: WinCall => Some(winAlias(w))
     case s0: ScalarSubItem => Some(s0.alias)
+    case x: ExistsItem => Some(x.alias)
     case _ => None
   }
 
@@ -3988,8 +4009,10 @@ object HashQL {
         s.derived.map(d => tableRefCount(d._2, n)).sum +
         s.laterals.map(l => tableRefCount(l._2, n)).sum +
         s.wheres.map(predTableRefCount(_, n)).sum +
-        s.items.collect { case ScalarSubItem(sub, _) =>
-          tableRefCount(sub, n) }.sum
+        s.items.collect {
+          case ScalarSubItem(sub, _) => tableRefCount(sub, n)
+          case ExistsItem(sub, _) => tableRefCount(sub, n)
+        }.sum
     case Union(ss, _) => ss.map(tableRefCount(_, n)).sum
     case SetOpChain(_, ss, _) => ss.map(tableRefCount(_, n)).sum
     case _ => 0
@@ -4004,7 +4027,8 @@ object HashQL {
       s.joins.nonEmpty || s.froms.nonEmpty || s.groupBy.nonEmpty ||
         s.distinct ||
         s.items.exists {
-          case CountStar | _: AggCall | _: AggExprItem | _: WinCall => true
+          case CountStar | _: AggCall | _: AggExprItem | _: WinCall |
+               _: ScalarSubItem | _: ExistsItem => true
           case e: ExprItem => aggNodes(e.expr).nonEmpty
           case _ => false
         } || s.wheres.exists(subqueryPred)
@@ -4400,6 +4424,7 @@ object HashQL {
           coalAlias(c))
       case c: Coalesce2 => itemsBuf += c
       case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
+      case ExistsItem(s0, a) => itemsBuf += ExistsItem(subSel(s0), a)
       case StringAggItem(e, sep, a) => itemsBuf += StringAggItem(expr(e), sep, a)
       case ArgExtremeItem(fn, v, k, a) =>
         itemsBuf += ArgExtremeItem(fn, expr(v), expr(k), a)
@@ -4507,6 +4532,7 @@ object HashQL {
             case d => d
           })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
+        case ExistsItem(s1, a) => ExistsItem(subSel(s1), a)
         case StringAggItem(e, sep, a) => StringAggItem(expr(e), sep, a)
         case ArgExtremeItem(fn, v, k, a) =>
           ArgExtremeItem(fn, expr(v), expr(k), a)
@@ -4680,6 +4706,9 @@ object HashQL {
             require(!items.exists(_.isInstanceOf[ScalarSubItem]),
               "scalar subqueries cannot mix with GROUP BY in one select — " +
                 "stage through a CTE")
+            require(!items.exists(_.isInstanceOf[ExistsItem]),
+              "projected EXISTS flags cannot mix with GROUP BY in one " +
+                "select — stage through a CTE")
             require(sel.groupMode.nonEmpty ||
               !items.exists(_.isInstanceOf[GroupingItem]),
               "grouping() marks ROLLUP/CUBE subtotal rows — a plain " +
@@ -4809,6 +4838,8 @@ object HashQL {
                 "expressions cannot mix with doc-path projection")
               require(!items.exists(_.isInstanceOf[ScalarSubItem]),
                 "scalar subqueries cannot mix with doc-path projection")
+              require(!items.exists(_.isInstanceOf[ExistsItem]),
+                "projected EXISTS flags cannot mix with doc-path projection")
               // doc-path projection, one output row per addressed leaf
               // combination: paths through the SAME array share one explode
               // (positionally-aligned leaves — the reference's flattened
@@ -4840,6 +4871,7 @@ object HashQL {
               else projected.na.drop("any", scalarCols)
             } else {
               val scalarSubs = items.collect { case s0: ScalarSubItem => s0 }
+              val existsItems = items.collect { case x: ExistsItem => x }
               val wins = items.collect { case w: WinCall => w }
               // OVER-clause deps here: EXPRESSION keys compute scan-side
               // under their reserved names (added below, shed by the
@@ -4879,7 +4911,8 @@ object HashQL {
               val coals = items.collect { case c: Coalesce2 => c }
               val exprs = items.collect { case e: ExprItem => e }
               val computedAliases = wins.map(winAlias) ++ coals.map(coalAlias) ++
-                exprs.map(_.alias) ++ scalarSubs.map(_.alias)
+                exprs.map(_.alias) ++ scalarSubs.map(_.alias) ++
+                existsItems.map(_.alias)
               require(computedAliases.distinct.size == computedAliases.size,
                 s"duplicate computed output aliases: $computedAliases")
               // a computed alias shadowing a projected plain field would
@@ -4899,6 +4932,7 @@ object HashQL {
                 case c: Coalesce2 => Seq(coalAlias(c))
                 case e: ExprItem => Seq(e.alias)
                 case s0: ScalarSubItem => Seq(s0.alias)
+                case x: ExistsItem => Seq(x.alias)
                 case CountStar | _: AggCall | _: AggExprItem |
                      _: StringAggItem | _: ArgExtremeItem |
                      _: GroupingItem => Seq.empty
@@ -4953,10 +4987,19 @@ object HashQL {
                 // projection-list scalar subqueries attach their value by
                 // the shared scalarJoin plan (broadcast row or
                 // decorrelated left join)
-                val withComputed = scalarSubs.foldLeft(withExprs) { (d, s0) =>
+                val withComputed0 = scalarSubs.foldLeft(withExprs) { (d, s0) =>
                   val (joined, v, _, reserved) =
                     scalarJoin(cat, d, s0.sub, registry)
                   joined.withColumn(s0.alias, v).drop(reserved: _*)
+                }
+                // projected EXISTS flags (round-13): one row-preserving
+                // left join each, miss coalesced to FALSE (two-valued)
+                val withComputed = existsItems.foldLeft(withComputed0) {
+                  (d, x) =>
+                    existsJoin(cat, d, x.sub, registry, anti = false,
+                      flagCol = Some(x.alias))
+                      .withColumn(x.alias,
+                        coalesce(col(x.alias), lit(false)))
                 }
                 // missing-field skip semantics (server.py:1054-1060)
                 // apply to the projected SCALAR fields; window outputs
@@ -4973,7 +5016,7 @@ object HashQL {
                 // missing field
                 val latNames = sel.laterals.map(_._1).toSet
                 val skipExempt = (wins.map(winAlias) ++ coals.map(coalAlias) ++
-                  scalarSubs.map(_.alias) ++
+                  scalarSubs.map(_.alias) ++ existsItems.map(_.alias) ++
                   items.collect {
                     case Field(r) if inlineNames(r.table) ||
                       latNames(r.table) => r.column } ++

@@ -3109,6 +3109,34 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("bare grouped aggregation"), e.getMessage)
   }
 
+  test("EXISTS as a projected boolean flag (round-13)") {
+    val cat = new GraftCatalog(spark)
+    cat.register("custE", graft.core.Tables.t(spark, sf, "customer"))
+    cat.register("ordE", graft.core.Tables.t(spark, sf, "orders"))
+    val got = HashQL.execute(cat,
+      "select custE.c_custkey, exists ( select ordE.o_orderkey from ordE " +
+        "where ordE.o_custkey = custE.c_custkey ) as has_orders " +
+        "from custE where custE.c_custkey <= 30 " +
+        "order by custE.c_custkey").get.collect()
+    // twin: the semi-join membership set
+    val withOrders = graft.core.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    assert(got.forall(r => r.getBoolean(1) == withOrders(r.getLong(0))))
+    // an impossible filter flags FALSE (two-valued), never NULL
+    val none = HashQL.execute(cat,
+      "select custE.c_custkey, exists ( select ordE.o_orderkey from ordE " +
+        "where ordE.o_custkey = custE.c_custkey " +
+        "and ordE.o_totalprice > 999999999.0 ) as big " +
+        "from custE where custE.c_custkey <= 5").get.collect()
+    assert(none.nonEmpty && none.forall(r => !r.isNullAt(1) && !r.getBoolean(1)))
+    // grouped selects reject toward a CTE
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select custE.c_nationkey, count(*), exists ( select ordE.o_orderkey " +
+        "from ordE where ordE.o_custkey = custE.c_nationkey ) as x " +
+        "from custE group by custE.c_nationkey"))
+    assert(e.getMessage.contains("cannot mix with GROUP BY"), e.getMessage)
+  }
+
   test("quantifiers compose with UPDATE/DELETE WHERE (round-13)") {
     val cat = new GraftCatalog(spark)
     Seq(1, 5, 10).foreach(v =>
