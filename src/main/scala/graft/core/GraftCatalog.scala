@@ -153,6 +153,36 @@ final class GraftCatalog(val spark: SparkSession) {
     withId
   }
 
+  /** MERGE's single copy-on-write commit (round-14): the updated target
+    * plan plus the not-matched insert rows, appended with synthesized
+    * monotonic ids when the table carries the dialect id column (the
+    * [[insertSelect]] zipWithIndex pattern — one pass over the DELTA
+    * only, pinned so ids stay stable across re-reads). ONE commit for
+    * the whole statement. Returns the id-stamped insert delta — the
+    * O(delta) feed for incremental view maintenance. */
+  def mergeCommit(name: String, updated: DataFrame,
+                  inserts: Option[DataFrame]): Option[DataFrame] =
+    inserts match {
+      case None => commit(name, updated); None
+      case Some(rows) =>
+        val delta =
+          if (table(name).columns.contains("id")) {
+            require(!rows.columns.contains("id"),
+              "MERGE inserts synthesize id — don't project one")
+            val base = counters.getOrElse(name, 0L)
+            val pinned = rows.localCheckpoint()
+            val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
+              Row.fromSeq((base + 1 + i) +: r.toSeq) }
+            val withId = spark.createDataFrame(rdd,
+              StructType(StructField("id", LongType) +: pinned.schema.fields))
+              .localCheckpoint()
+            counters += name -> (base + withId.count())
+            withId
+          } else rows
+        commit(name, updated.unionByName(delta, allowMissingColumns = true))
+        Some(delta)
+    }
+
   /** M2 UPDATE … SET … WHERE (copy-on-write `when` projection). */
   def update(name: String, setField: String, setValue: Any,
              where: org.apache.spark.sql.Column): Unit = {

@@ -3017,6 +3017,31 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('d1', 10), ('d2', 0),
              |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
 
+    // MERGE INTO (round 14 — the r13 queue's #1): matched rows update
+    // (the RHS reads SOURCE columns — `inv.qty + shipment.amount`),
+    // not-matched source rows insert, ONE statement, ONE left join +
+    // ONE anti-join, ONE copy-on-write commit. The refresh/upsert loop
+    // (re-crawl replaces by key) is the natural user; reference analog:
+    // document save's overwrite-by-id (server.py:289-331).
+    "hashql_merge_upsert" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into inv (sku, qty) values ('a', 5), ('b', 3), ('c', 7)")
+        HashQL.execute(cat,
+          "insert into shipment (sku, amount) values ('b', 10), ('d', 4)")
+        HashQL.execute(cat,
+          "merge into inv using shipment on inv.sku = shipment.sku " +
+            "when matched then update set inv.qty = " +
+            "inv.qty + shipment.amount " +
+            "when not matched then insert (sku, qty) " +
+            "values (shipment.sku, shipment.amount)")
+        HashQL.execute(cat,
+          "select inv.sku, inv.qty from inv order by inv.sku").get
+      },
+      Some("""SELECT * FROM (VALUES ('a', 5), ('b', 13), ('c', 7),
+             |  ('d', 4)) AS t(sku, qty)""".stripMargin)),
+
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a
     // literal); the example.py people replay keeps the oracle literal.

@@ -346,6 +346,15 @@ object HashQL {
         case ELit(n: Long) => n >= 0
         case _ => false
       }, "repeat's count must be a non-negative integer literal")
+    // negative n is DuckDB's drop-from-the-other-end, declared out of
+    // scope above — the substr composition would silently return ''
+    // instead, so enforce the contract statically (r13 advice)
+    if (fn == "left" || fn == "right")
+      require(args(1) match {
+        case ELit(n: Long) => n >= 0
+        case _ => false
+      }, s"$fn's count must be a non-negative integer literal " +
+        "(negative counts — drop-from-the-other-end — are out of scope)")
     if (fn == "translate")
       require(args.tail.forall {
         case ELit(_: String) => true
@@ -647,6 +656,31 @@ object HashQL {
                           // id anti-join. Needs row identity (the
                           // dialect id column).
                           using: Option[String] = None) extends Stmt
+  /** `merge into t using u on t.k = u.k [and …] when matched then
+    * update set t.c = <expr> [, …] when not matched then insert (c, …)
+    * values (<expr>, …)` — the upsert verb (round-14, the r13 queue's
+    * #1; reference analog: document save's overwrite-by-id,
+    * server.py:289-331, and Cypher MERGE, client.py:876-889). Lowered
+    * as ONE left-outer join of the target against the before-image
+    * source (matched updates — simultaneous SET semantics, every RHS
+    * may read source columns) plus ONE anti-join (not-matched source
+    * rows through the INSERT list), committed in ONE copy-on-write
+    * register; the O(delta) registry hooks get the matched before/after
+    * pair and the id-stamped insert delta — never a table rescan.
+    * ANSI cardinality (a source row set must hit each target row at
+    * most once) is enforced by one bounded aggregate over the source.
+    * `on`: (target-ref, source-ref) equality pairs. */
+  final case class Merge(target: String, source: String,
+                         on: Seq[(ColRef, ColRef)],
+                         matched: Seq[(ColRef, Expr)],
+                         notMatched: Option[(Seq[String], Seq[Expr])])
+      extends Stmt {
+    require(on.nonEmpty, "MERGE needs at least one ON equality pair")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
+    require(matched.map(_._1.column).distinct.size == matched.size,
+      "duplicate WHEN MATCHED target column")
+  }
   /** orderBy: (column, descending) pairs; limit: row cap; having:
     * post-aggregation conjuncts. All growth beyond the reference (its SQL
     * surface has no sorts or HAVING — ordering exists only on the KV
@@ -950,6 +984,7 @@ object HashQL {
       case "insert" => kw("into"); insertRest()
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
+      case "merge" => kw("into"); mergeRest()
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
@@ -1094,6 +1129,79 @@ object HashQL {
       Update(table, sets.toSeq, wheres)
     }
 
+    /** `merge into t using u on … when matched then update set … when
+      * not matched then insert (…) values (…)` — see [[Merge]]. SET and
+      * VALUES right-hand sides take the full scalar expression grammar
+      * and may reference source columns (`u.c`); a bare unquoted word
+      * keeps its pre-grammar meaning as a string literal, the same
+      * convention as UPDATE's SET. */
+    private def mergeRest(): Merge = {
+      val t = next()
+      kw("using"); val u = next()
+      require(!t.equalsIgnoreCase(u),
+        "MERGE target and source must be distinct tables")
+      kw("on")
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+      var more = true
+      while (more) {
+        val a = colRef(); kw("="); val b = colRef()
+        pairs += (
+          if (a.table == t && b.table == u) (a, b)
+          else if (a.table == u && b.table == t) (b, a)
+          else throw new IllegalArgumentException(
+            s"a MERGE ON conjunct is a target↔source equality " +
+              s"($t.k = $u.k), got: ${a.table}.${a.column} = " +
+              s"${b.table}.${b.column}"))
+        more = is("and") && { next(); true }
+      }
+      // the full expression grammar on every RHS; explicit NULL and the
+      // bare-word-is-a-string convention ride along
+      def rhs(): Expr =
+        if (is("null")) { next(); ELit(null) }
+        else exprTree() match {
+          case ECol(ColRef("", bare)) => ELit(bare)
+          case e => e
+        }
+      var matched = Seq.empty[(ColRef, Expr)]
+      var notMatched: Option[(Seq[String], Seq[Expr])] = None
+      require(is("when"), "MERGE needs at least one WHEN clause")
+      while (is("when")) {
+        next()
+        if (is("matched")) {
+          next(); kw("then"); kw("update"); kw("set")
+          require(matched.isEmpty, "duplicate WHEN MATCHED clause")
+          val sets = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
+          var m2 = true
+          while (m2) {
+            val ref = colRef(); kw("=")
+            require(ref.table.isEmpty || ref.table == t,
+              s"WHEN MATCHED assigns the TARGET's columns — got " +
+                s"${ref.table}.${ref.column}")
+            sets += ((ref, rhs()))
+            m2 = is(",") && { next(); true }
+          }
+          matched = sets.toSeq
+        } else {
+          kw("not"); kw("matched"); kw("then"); kw("insert")
+          require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
+          kw("(")
+          val cols = scala.collection.mutable.ArrayBuffer(next())
+          while (is(",")) { next(); cols += next() }
+          kw(")"); kw("values"); kw("(")
+          val vals = scala.collection.mutable.ArrayBuffer(rhs())
+          while (is(",")) { next(); vals += rhs() }
+          kw(")")
+          require(cols.length == vals.length,
+            s"MERGE insert names ${cols.length} column(s) for " +
+              s"${vals.length} value(s)")
+          require(!cols.contains("id"),
+            "MERGE inserts synthesize id — don't insert one")
+          notMatched = Some((cols.toSeq, vals.toSeq))
+        }
+      }
+      Merge(t, u, pairs.toSeq, matched, notMatched)
+    }
+
     private def deleteRest(): Delete = {
       val table = next()
       // `delete from t using u where t.k = u.k [and …]` (round-13) —
@@ -1225,8 +1333,24 @@ object HashQL {
             val sub = selectRest()
             kw(")")
             Some((op, q) match {
-              case ("=", "any") => InSelect(ref, sub)
-              case ("<>", "all") => Not(InSelect(ref, sub))
+              // the membership shapes route to the native semi/anti
+              // plans, which carry no correlation machinery — a
+              // correlated conjunct would resolve against the inner
+              // frame only (silently wrong when names coincide), so
+              // classify here; the min/max stats lowering cannot
+              // express membership, so QuantCmp is no fallback (r13
+              // advice)
+              case ("=", "any") | ("<>", "all") =>
+                val subT = fromTables(sub)
+                val foreign = sub.wheres
+                  .flatMap(p => predTables(p).filterNot(subT)).distinct
+                require(foreign.isEmpty,
+                  s"correlated $op $q subquery references outer " +
+                    s"table(s) ${foreign.mkString(", ")} — spell the " +
+                    "shape through EXISTS (exists (select 1 from … " +
+                    "where inner.k = outer.k and inner.v = outer.v))")
+                if (op == "=") InSelect(ref, sub)
+                else Not(InSelect(ref, sub))
               case _ => QuantCmp(ref, op, q, sub)
             })
           } else None
@@ -1827,10 +1951,15 @@ object HashQL {
       // a FULL join's unmatched null-extended rows appear ONCE per ANSI
       // association but |cross side| times under the head-of-list build —
       // the combination is ambiguous, reject it
-      require(fromList.isEmpty || joins.forall(_.kind != "full"),
-        "comma/CROSS JOIN sources cannot mix with FULL JOIN in one FROM " +
-          "(the unmatched-row multiplicity is association-dependent) — " +
-          "stage the FULL JOIN through a CTE")
+      // … and a RIGHT join's unmatched right rows are the same trap:
+      // ANSI associates a, (b RIGHT JOIN c) but the head-of-list build
+      // would plan (a × b) RIGHT JOIN c — unmatched c rows appear once
+      // with NULL a-columns instead of |a| copies (r13 advice)
+      require(fromList.isEmpty ||
+        joins.forall(j => j.kind != "full" && j.kind != "right"),
+        "comma/CROSS JOIN sources cannot mix with FULL or RIGHT JOIN " +
+          "in one FROM (the unmatched-row multiplicity is " +
+          "association-dependent) — stage the outer join through a CTE")
       val wheres = sample.toSeq ++ (if (is("where")) { next(); preds() } else Nil)
       var groupMode = ""
       var groupSets: Seq[Seq[ColRef]] = Nil
@@ -2047,8 +2176,12 @@ object HashQL {
           require(!items.contains(Star),
             "ORDER BY ALL needs explicit projections (select * columns " +
               "are unknown until execution)")
+          // reserved internal items (inline-QUALIFY graft_qw* windows,
+          // bare-expression graft_gk* keys) are dropped from the final
+          // output — sorting by them would fail at execution (r13
+          // advice), and they are not user-visible outputs anyway
           items.foreach { it =>
-            outputNameOf(it).foreach(n =>
+            outputNameOf(it).filterNot(_.startsWith("graft_")).foreach(n =>
               obs += ((ECol(ColRef("", n)), desc, None)))
           }
           require(obs.nonEmpty, "ORDER BY ALL found no sortable outputs")
@@ -3783,6 +3916,88 @@ object HashQL {
           cat.register(t, newTable)
           registry.foreach(_.onUpdate(cat, t, before, after))
         }
+        None
+      case Merge(t, u, on, matchedSets, notMatched) =>
+        val pre = cat.table(t)
+        val src = cat.table(u)
+        // every computed ref must live on the target or the source
+        val inScope = Set(t, u)
+        val badRefs = (matchedSets.map(_._2) ++
+          notMatched.toSeq.flatMap(_._2))
+          .flatMap(exprTables).filterNot(inScope).distinct
+        require(badRefs.isEmpty,
+          s"MERGE expressions reference table(s) ${badRefs.mkString(", ")}" +
+            s" — only the target ($t) and source ($u) are in scope")
+        // ANSI cardinality: at most ONE source row may hit a target row.
+        // One bounded aggregate over the SOURCE (output ≤ 1 row) — the
+        // source is the delta side, typically small; never a target scan.
+        val dup = src.groupBy(on.map(p => col(p._2.column)): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE source $u has duplicate ON keys " +
+            s"(${dup.mkString(", ")}) — ANSI forbids updating one target " +
+            "row twice; de-duplicate the source first")
+        // reserve-rename EVERY source column so the join frame never
+        // collides with target names; rewrite source refs in the
+        // computed values to match. The hit flag reads the join miss.
+        def mcol(c: String) = s"graft_mrg_$c"
+        val srcR = src.columns.foldLeft(src)((d, c) =>
+          d.withColumnRenamed(c, mcol(c)))
+          .withColumn("graft_mrg_hit", lit(true))
+        val cond = on.map { case (tr, ur) =>
+          pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
+        def rren(r: ColRef): ColRef =
+          if (r.table == u) ColRef("", mcol(r.column)) else r
+        def rpred(p: Pred): Pred = p match {
+          case Eq(r, v) => Eq(rren(r), v)
+          case Cmp(r, op, v) => Cmp(rren(r), op, v)
+          case EqCol(a, b) => EqCol(rren(a), rren(b))
+          case IsNullP(r, n) => IsNullP(rren(r), n)
+          case InList(r, vs) => InList(rren(r), vs)
+          case Like(r, v) => Like(rren(r), v)
+          case Ilike(r, v) => Ilike(rren(r), v)
+          case Rlike(r, v) => Rlike(rren(r), v)
+          case ExprCmp(l, op, r) => ExprCmp(rexpr(l), op, rexpr(r))
+          case BoolFuncPred(e) => BoolFuncPred(rexpr(e))
+          case Not(x) => Not(rpred(x))
+          case And(ps) => And(ps.map(rpred))
+          case Or(ps) => Or(ps.map(rpred))
+          case other => throw new IllegalArgumentException(
+            s"unsupported predicate inside a MERGE expression: $other")
+        }
+        def rexpr(e: Expr): Expr = mapExprRefs(rren, rpred)(e)
+        val hit = coalesce(col("graft_mrg_hit"), lit(false))
+        val reserved = srcR.columns.toSeq
+        lazy val joined = pre.join(srcR, cond, "left")
+        // matched updates: ONE withColumns projection, every RHS against
+        // the BEFORE image (simultaneous SET semantics), hit-guarded
+        val assigns = matchedSets.map { case (ref, e) =>
+          ref.column -> exprColumn(cat, rexpr(e)) }
+        def applySets(frame: DataFrame, guard: Column): DataFrame =
+          if (assigns.isEmpty) frame
+          else frame.withColumns(assigns.map { case (f, v) =>
+            f -> when(guard, v).otherwise(
+              if (pre.columns.contains(f)) col(f) else lit(null))
+          }.toMap)
+        val updated =
+          if (matchedSets.isEmpty) pre
+          else applySets(joined, hit).drop(reserved: _*)
+        // not-matched inserts: source rows with no target hit (one
+        // anti-join), projected through the INSERT column list
+        val insRows = notMatched.map { case (cols, vals) =>
+          srcR.join(pre, cond, "left_anti")
+            .select(cols.zip(vals).map { case (c, e) =>
+              exprColumn(cat, rexpr(e)).as(c) }: _*)
+        }
+        val delta = cat.mergeCommit(t, updated, insRows)
+        if (matchedSets.nonEmpty) {
+          val beforeF = joined.filter(hit).drop(reserved: _*)
+          val afterF = applySets(joined.filter(hit), lit(true))
+            .drop(reserved: _*)
+          registry.foreach(_.onUpdate(cat, t, beforeF, afterF))
+        }
+        for (d <- delta; reg <- registry)
+          reg.onInsert(cat, t, insertDeltaFrame(cat.table(t), Seq(d)))
         None
       case Delete(t, wheres, Some(u)) =>
         // join-delete (round-13): classify the WHERE into cross-table

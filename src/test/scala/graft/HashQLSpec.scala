@@ -3155,4 +3155,106 @@ class HashQLSpec extends SparkSpec {
     assert(HashQL.execute(cat, "select qd13.v from qd13")
       .get.as[Long].collect().toSeq == Seq(5L))
   }
+
+  test("MERGE INTO: upsert semantics, one commit, id synthesis (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into inv (sku, qty) values ('a', 5), ('b', 3), ('c', 7)")
+    HashQL.execute(cat,
+      "insert into ship (sku, amount) values ('b', 10), ('d', 4)")
+    val v0 = cat.versionOf("inv")
+    HashQL.execute(cat,
+      "merge into inv using ship on inv.sku = ship.sku " +
+        "when matched then update set inv.qty = inv.qty + ship.amount " +
+        "when not matched then insert (sku, qty) " +
+        "values (ship.sku, ship.amount)")
+    // the whole statement is ONE copy-on-write commit
+    assert(cat.versionOf("inv") == v0 + 1)
+    val rows = HashQL.execute(cat,
+      "select inv.sku, inv.qty from inv order by inv.sku").get
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 5L), ("b", 13L), ("c", 7L), ("d", 4L)))
+    // inserted rows continue the monotonic id counter (3 originals → 4)
+    val ids = cat.table("inv").orderBy("id").select("id", "sku")
+      .as[(Long, String)].collect().toSeq
+    assert(ids == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // matched-only merge: no inserts, updates only
+    HashQL.execute(cat,
+      "merge into inv using ship on inv.sku = ship.sku " +
+        "when matched then update set inv.qty = ship.amount")
+    assert(HashQL.execute(cat,
+      "select inv.sku, inv.qty from inv order by inv.sku").get
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 5L), ("b", 10L), ("c", 7L), ("d", 4L)))
+    // not-matched-only merge: everything matches now → no-op append
+    HashQL.execute(cat,
+      "merge into inv using ship on inv.sku = ship.sku " +
+        "when not matched then insert (sku, qty) values (ship.sku, 0)")
+    assert(cat.table("inv").count() == 4)
+  }
+
+  test("MERGE INTO: dynamic-schema SET, cardinality + scope guards") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into tgt (k, v) values ('a', 1), ('b', 2)")
+    HashQL.execute(cat, "insert into srcx (k, w) values ('a', 9)")
+    // SET on a column the target never had: dynamic schema adds it
+    // (unmatched rows hold null), the dialect's schema-union semantics
+    HashQL.execute(cat,
+      "merge into tgt using srcx on tgt.k = srcx.k " +
+        "when matched then update set tgt.extra = srcx.w")
+    val got = HashQL.execute(cat,
+      "select tgt.k, coalesce(tgt.extra, -1) as e from tgt " +
+        "order by tgt.k").get.as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 9L), ("b", -1L)))
+    // duplicate source ON keys reject (ANSI cardinality violation)
+    HashQL.execute(cat, "insert into srcx (k, w) values ('a', 8)")
+    val dup = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into tgt using srcx on tgt.k = srcx.k " +
+        "when matched then update set tgt.v = srcx.w"))
+    assert(dup.getMessage.contains("duplicate ON keys"))
+    // a third table in scope rejects
+    val scope = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into tgt using srcx on tgt.k = srcx.k " +
+        "when matched then update set tgt.v = other.w"))
+    assert(scope.getMessage.contains("in scope"))
+    // ON must link target to source
+    intercept[IllegalArgumentException](HashQL.parse(
+      "merge into tgt using srcx on tgt.k = tgt.k " +
+        "when matched then update set tgt.v = 1"))
+    // at least one WHEN clause
+    intercept[IllegalArgumentException](HashQL.parse(
+      "merge into tgt using srcx on tgt.k = srcx.k"))
+  }
+
+  test("MERGE INTO delta-folds count/sum agg views (round-14)") {
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_mrg").toString
+    Seq(("a", 1), ("a", 2), ("b", 3)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into mt (g, v) values ('$g', $v)") }
+    HashQL.execute(cat, "insert into md (g, w) values ('a', 10), ('c', 5)")
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select mt.g, count(*), count(mt.v), sum(mt.v) " +
+        "from mt group by mt.g", s"$dir/cs", Some(reg))
+    val q = "select mt.g, count(*), count(mt.v), sum(mt.v) from mt group by mt.g"
+    try {
+      // matched rows g='a' get v += 10 (retract+append fold), g='c'
+      // inserts (positive fold) — the view must still route and agree
+      HashQL.execute(cat,
+        "merge into mt using md on mt.g = md.g " +
+          "when matched then update set mt.v = mt.v + md.w " +
+          "when not matched then insert (g, v) values (md.g, md.w)",
+        Some(reg))
+      val got = HashQL.execute(cat, q, Some(reg)).get
+      assert(got.queryExecution.executedPlan.toString.contains(s"$dir/cs"),
+        s"MERGE dropped the count/sum route:\n${got.queryExecution.executedPlan}")
+      val rows = got.as[(String, Long, Long, Option[Long])].collect().toSet
+      assert(rows == Set(("a", 2L, 2L, Some(23L)), ("b", 1L, 1L, Some(3L)),
+        ("c", 1L, 1L, Some(5L))), rows)
+      // folded summary ≡ from-facts recompute
+      graft.matview.MatView.drop(spark, name)
+      assert(HashQL.execute(cat, q, Some(reg)).get
+        .as[(String, Long, Long, Option[Long])].collect().toSet == rows)
+    } finally graft.matview.MatView.drop(spark, name)
+  }
 }
