@@ -2226,6 +2226,36 @@ object HashqlSuite extends Suite {
              |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n30
              |FROM orders WHERE o_orderkey <= 3000""".stripMargin)),
 
+    // first/last_value WITH TIEBREAK under a RANGE frame (round 14 —
+    // the r13 queue's #4, un-rejecting the r12-advice reject): the pick
+    // is the struct-extremum over (order key, tiebreak, value) — a
+    // peer-INSENSITIVE min/max, deterministic for ANY data; both
+    // engines compare structs field-order lexicographically.
+    "hashql_first_last_range" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, orders.o_orderkey, " +
+          "first_value(orders.o_totalprice, orders.o_orderkey) over " +
+          "(partition by orders.o_custkey order by orders.o_orderdate " +
+          "range between interval '90' day preceding and current row) " +
+          "as fv, " +
+          "last_value(orders.o_totalprice, orders.o_orderkey) over " +
+          "(partition by orders.o_custkey order by orders.o_orderdate " +
+          "range between interval '90' day preceding and current row) " +
+          "as lv " +
+          "from orders where orders.o_orderkey <= 3000"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  (min({'k': CAST(o_orderdate AS DATE), 't': o_orderkey,
+             |        'v': o_totalprice}) OVER
+             |    (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             |     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)).v
+             |    AS fv,
+             |  (max({'k': CAST(o_orderdate AS DATE), 't': o_orderkey,
+             |        'v': o_totalprice}) OVER
+             |    (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             |     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)).v
+             |    AS lv
+             |FROM orders WHERE o_orderkey <= 3000""".stripMargin)),
+
     // TPC-H Q4 (order priority checking) shape: grouped counts gated by
     // an EXISTS whose late-shipment test is a CROSS comparison
     // (l_shipdate > o_orderdate — inner column vs outer column, riding
@@ -3258,6 +3288,47 @@ object HashqlSuite extends Suite {
              |WHERE c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // EXPRESSION window keys in a GROUPED select (round 14 — the r13
+    // queue's #3): `partition by year(o_orderdate)` matches the
+    // projected computed grouping key structurally and addresses its
+    // column on the aggregated frame — top-3 most-ordering customers
+    // per order-year, one aggregation shuffle + one window exchange.
+    "hashql_win_over_agg_exprkey" -> Q(
+      (s, d) => run(s, d,
+        "select year(orders.o_orderdate) as y, orders.o_custkey, " +
+          "count(*) as cnt, rank() over " +
+          "(partition by year(orders.o_orderdate) " +
+          "order by cnt desc, orders.o_custkey) as r " +
+          "from orders group by y, orders.o_custkey " +
+          "qualify r <= 3 order by y, r"),
+      Some("""SELECT year(o_orderdate) AS y, o_custkey, count(*) AS cnt,
+             |  rank() OVER (PARTITION BY year(o_orderdate)
+             |    ORDER BY count(*) DESC, o_custkey) AS r
+             |FROM orders GROUP BY year(o_orderdate), o_custkey
+             |QUALIFY r <= 3 ORDER BY y, r""".stripMargin)),
+
+    // ROW-RETURNING LATERAL (round 14 — the r13 queue's #2): each
+    // customer's single most expensive order — decorrelated to ONE
+    // keyed window over orders (row_number ≤ 1, WindowGroupLimit) +
+    // ONE inner equi-join; ANSI comma-lateral drops orderless
+    // customers. The ORDER BY carries a unique tiebreaker (o_orderkey)
+    // per the DISTINCT ON determinism contract.
+    "hashql_lateral_top1" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, x.ok, x.tp from customer, " +
+          "lateral ( select orders.o_orderkey as ok, " +
+          "orders.o_totalprice as tp from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey " +
+          "limit 1 ) x " +
+          "where customer.c_custkey <= 300 order by customer.c_custkey"),
+      Some("""SELECT c_custkey, x.ok, x.tp FROM customer,
+             |LATERAL ( SELECT o_orderkey AS ok, o_totalprice AS tp
+             |  FROM orders WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 ) x
+             |WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
     // DELETE … USING (round 13): the join-delete — one semi join
     // computes the doomed id set (using-side filters prune its scan
     // first), then the ordinary copy-on-write anti-join. The oracle is
@@ -3385,6 +3456,26 @@ object HashqlSuite extends Suite {
              |  AND c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // RANGE-correlated quantified ALL (round 14 — the r13 queue's #5):
+    // orders that were their customer's most expensive SO FAR — the
+    // eq + range correlation cannot group-decorrelate, so it rewrites
+    // to ONE NOT-EXISTS anti join whose condition carries the range
+    // conjunct and the three-valued violation test ((x op s) IS NOT
+    // TRUE) as hash-match post-filters; never a nested loop.
+    "hashql_quant_corr_range" -> Q(
+      (s, d) => run(s, d,
+        "select o1.o_orderkey from orders o1 " +
+          "where o1.o_totalprice >= all ( select o2.o_totalprice " +
+          "from orders o2 where o2.o_custkey = o1.o_custkey " +
+          "and o2.o_orderdate <= o1.o_orderdate ) " +
+          "and o1.o_orderkey <= 3000 order by o1.o_orderkey"),
+      Some("""SELECT o1.o_orderkey FROM orders o1
+             |WHERE o1.o_totalprice >= ALL ( SELECT o2.o_totalprice
+             |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+             |  AND o2.o_orderdate <= o1.o_orderdate )
+             |  AND o1.o_orderkey <= 3000
+             |ORDER BY o1.o_orderkey""".stripMargin)),
+
     // named WINDOW clause (round 13): one spec, several functions —
     // each `over w` substitutes the same parsed spec at select end
     // (fn-dependent validation per use), so the plan is identical to
@@ -3434,6 +3525,26 @@ object HashqlSuite extends Suite {
       Some("""SELECT o_orderkey,
              |  strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M:%S'),
              |    '%Y/%m/%d %H:%M:%S') AS ts
+             |FROM orders WHERE o_orderkey <= 400
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // try_strptime (round 14 — closes the r13 documented divergence):
+    // plain strptime now RAISES on malformed input on BOTH engines
+    // (Spark 4's ANSI default = DuckDB's contract); try_strptime is
+    // the forgiving pair, and this golden feeds it DELIBERATELY
+    // malformed rows (every 7th key gets a trailing 'x') so the NULL
+    // misses hash-compare too.
+    "hashql_try_strptime" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "try_strptime(concat(strftime(orders.o_orderdate, '%Y-%m-%d'), " +
+          "case when mod(orders.o_orderkey, 7) = 0 then 'x' else '' end), " +
+          "'%Y-%m-%d') as ts from orders " +
+          "where orders.o_orderkey <= 400 order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  try_strptime(strftime(o_orderdate, '%Y-%m-%d') ||
+             |    (CASE WHEN mod(o_orderkey, 7) = 0 THEN 'x' ELSE '' END),
+             |    '%Y-%m-%d') AS ts
              |FROM orders WHERE o_orderkey <= 400
              |ORDER BY o_orderkey""".stripMargin)),
 

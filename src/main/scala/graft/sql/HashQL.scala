@@ -149,7 +149,12 @@ object HashQL {
                            // lag/lead miss default (round-13):
                            // `lag(x, n, d)` — d fills where the offset
                            // row does not exist (both engines)
-                           default: Option[Any] = None)
+                           default: Option[Any] = None,
+                           // first/last_value tiebreak (round-14):
+                           // `first_value(x, tb)` under a RANGE frame —
+                           // the deterministic-pick contract (see
+                           // winColumn's struct-extremum lowering)
+                           tiebreak: Option[ColRef] = None)
     extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
@@ -307,9 +312,18 @@ object HashQL {
       // to the codes both engines render identically (%Y %y %m %d %H
       // %M %S %j) plus plain separators. strptime is its parsing
       // inverse (string → TIMESTAMP, Spark to_timestamp) — on
-      // WELL-FORMED input the engines agree; a malformed string is NULL
-      // on Spark but an ERROR on DuckDB (documented divergence)
-      "strftime" -> Set(2), "strptime" -> Set(2))
+      // WELL-FORMED input the engines agree, and under Spark 4's ANSI
+      // default a malformed string RAISES on both engines (round-14:
+      // the r13 divergence note predates ANSI; try_strptime below is
+      // the forgiving NULL pair, also engine-shared)
+      "strftime" -> Set(2), "strptime" -> Set(2),
+      // try_strptime (round-14 — closes the r13 documented divergence):
+      // under Spark 4's ANSI default, to_timestamp RAISES on malformed
+      // input exactly like DuckDB's strptime — so plain strptime is
+      // already strict on both engines (the r13 note predates ANSI).
+      // try_strptime is the forgiving pair (NULL on malformed), DuckDB's
+      // try_strptime to Spark's try_to_timestamp — NULLs hash-compare.
+      "try_strptime" -> Set(2))
     require(arity.contains(fn), s"unsupported scalar function: $fn")
     require(arity(fn).contains(args.length),
       s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
@@ -360,7 +374,7 @@ object HashQL {
         case ELit(_: String) => true
         case _ => false
       }, "translate's from/to arguments must be quoted string literals")
-    if (fn == "strftime" || fn == "strptime")
+    if (fn == "strftime" || fn == "strptime" || fn == "try_strptime")
       require(args(1) match {
         case ELit(f: String) =>
           f.matches("(%[YymdHMSj]|[-/:., ])+")
@@ -500,6 +514,15 @@ object HashQL {
     require(Set("<", ">", "<=", ">=", "=", "<>").contains(op),
       s"bad quantified operator: $op")
   }
+  /** INTERNAL (round-14, never parsed): `(outer op inner) IS NOT TRUE`
+    * — the violation conjunct of the non-equality-correlated ALL
+    * rewrite (see [[quantExistsRewrite]]). `x op ALL (S)` holds iff no
+    * S row makes `x op s` anything but TRUE — one NOT-EXISTS anti join
+    * whose condition is this three-valued test, which is ANSI-exact in
+    * WHERE context (empty S vacuously true; a NULL x or NULL s row
+    * "violates", dropping the row exactly as UNKNOWN would). */
+  final case class CmpNotTrue(inner: ColRef, op: String,
+                              outer: ColRef) extends Pred
   /** A bare BOOLEAN function call as a predicate (round-11):
     * `where contains(t.f, '#')`, `where not starts_with(t.f, 'x')` —
     * the containment tests read naturally without a comparison. Lowered
@@ -1557,21 +1580,27 @@ object HashQL {
           }
           // `lag(x, n [, default])` (round-13): an explicit offset and a
           // miss default — lag(x) ≡ lag(x, 1, NULL), like both engines.
-          // first/last_value stay single-argument.
+          // `first_value(x, tb)` / `last_value(x, tb)` (round-14): an
+          // explicit TIEBREAK column for the RANGE-frame deterministic
+          // pick (mkWinCall validates the pairing).
           var off: Option[Int] = None
           var dflt: Option[Any] = None
+          var tb: Option[ColRef] = None
           if (is(",")) {
-            require(fn == "lag" || fn == "lead",
-              s"$fn takes one argument — offsets apply to lag/lead")
             next()
-            val n = next()
-            require(n.matches("[0-9]+"),
-              s"$fn's offset must be a non-negative integer literal, got $n")
-            off = Some(n.toInt)
-            if (is(",")) { next(); dflt = Some(literal()) }
+            if (fn == "lag" || fn == "lead") {
+              val n = next()
+              require(n.matches("[0-9]+"),
+                s"$fn's offset must be a non-negative integer literal, got $n")
+              off = Some(n.toInt)
+              if (is(",")) { next(); dflt = Some(literal()) }
+            } else {
+              tb = Some(if (peekIsColRef) colRef() else ColRef("", next()))
+            }
           }
           kw(")")
-          items += windowSpec(fn, Some(r), buckets = off, default = dflt)
+          items += windowSpec(fn, Some(r), buckets = off, default = dflt,
+            tiebreak = tb)
         }
         else if (is("count")) {
           // count(*) counts rows; count(t.f) counts NON-NULL f — the SQL
@@ -2149,7 +2178,8 @@ object HashQL {
             throw new IllegalArgumentException(
               s"unknown window name ${w.namedRef.get} — declare it in " +
                 "the WINDOW clause"))
-          mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias, w.default)
+          mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias, w.default,
+            w.tiebreak)
         case it => it
       }
       items.foreach {
@@ -2307,7 +2337,7 @@ object HashQL {
       "datediff", "last_day", "sqrt", "greatest", "least",
       "ltrim", "rtrim", "reverse", "repeat", "left", "right",
       "strpos", "translate", "ascii", "md5", "sign", "power", "strftime",
-      "strptime")
+      "strptime", "try_strptime")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -2447,7 +2477,8 @@ object HashQL {
 
     private def windowSpec(fn: String, arg: Option[ColRef],
                            buckets: Option[Int] = None,
-                           default: Option[Any] = None): WinCall = {
+                           default: Option[Any] = None,
+                           tiebreak: Option[ColRef] = None): WinCall = {
       kw("over")
       // `over w` — a NAMED window (round-13): the spec lives in the
       // statement's WINDOW clause, parsed later; leave an unresolved
@@ -2463,7 +2494,7 @@ object HashQL {
         val alias =
           if (is("as")) Some(aliasAfterAs(s"$fn() over $nm")) else None
         return WinCall(fn, arg, Nil, Nil, None, buckets, alias, None, Nil,
-          namedRef = Some(nm), default = default)
+          namedRef = Some(nm), default = default, tiebreak = tiebreak)
       }
       kw("(")
       val w = windowSpecBody()
@@ -2471,7 +2502,7 @@ object HashQL {
       // `… over (…) as x` re-aliases the window output (else the
       // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
       val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
-      mkWinCall(fn, arg, buckets, w, alias, default)
+      mkWinCall(fn, arg, buckets, w, alias, default, tiebreak)
     }
 
     private def windowSpecBody(): WSpec = {
@@ -2642,7 +2673,8 @@ object HashQL {
     private def mkWinCall(fn: String, arg: Option[ColRef],
                           buckets: Option[Int], w: WSpec,
                           alias: Option[String],
-                          default: Option[Any] = None): WinCall = {
+                          default: Option[Any] = None,
+                          tiebreak: Option[ColRef] = None): WinCall = {
       val (part, order, frame, rangeUnit) =
         (w.part, w.order, w.frame, w.rangeUnit)
       // the frame-taking window functions work with or without ORDER BY
@@ -2677,13 +2709,23 @@ object HashQL {
       // the same key make the pick nondeterministic across partitionings
       // and engines (r12 advice). The peer-INSENSITIVE aggregates
       // (sum/avg/min/max/count include all peers) stay deterministic.
-      require(rangeUnit.isEmpty ||
+      // Round-14 (the r13 queue's #4): an explicit TIEBREAK column —
+      // `first_value(x, tb)` — un-rejects the shape: the pick becomes
+      // the struct-extremum over (order key, tb, x), deterministic for
+      // ANY data (lexicographic minimum, no peer sensitivity left).
+      require(rangeUnit.isEmpty || tiebreak.nonEmpty ||
         !Set("first_value", "last_value", "nth_value").contains(fn),
         s"$fn over a RANGE interval frame is nondeterministic when order " +
-          "keys tie — use a ROWS frame over a unique key, or a " +
-          "peer-insensitive aggregate (sum/avg/min/max/count)")
+          "keys tie — carry an explicit tiebreak column ($fn(x, tb)), " +
+          "use a ROWS frame over a unique key, or a peer-insensitive " +
+          "aggregate (sum/avg/min/max/count)")
+      // the tiebreak form exists FOR the range frame — anywhere else the
+      // plain spelling is already deterministic (frame order = row order)
+      require(tiebreak.isEmpty || rangeUnit.nonEmpty,
+        s"$fn's tiebreak argument applies under a RANGE interval frame " +
+          "only — the plain spelling is deterministic elsewhere")
       WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit, w.deps,
-        default = default)
+        default = default, tiebreak = tiebreak)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -3282,15 +3324,19 @@ object HashQL {
         // DuckDB %-codes → Spark's date_format pattern (the format is a
         // validated static literal, so the translation is total); both
         // engines zero-pad, so the rendered strings are identical
-        case "strftime" | "strptime" =>
+        case "strftime" | "strptime" | "try_strptime" =>
           val f = args(1).asInstanceOf[ELit].v.asInstanceOf[String]
           val pattern = f
             .replace("%Y", "yyyy").replace("%y", "yy")
             .replace("%m", "MM").replace("%d", "dd")
             .replace("%H", "HH").replace("%M", "mm")
             .replace("%S", "ss").replace("%j", "DDD")
+          // strptime RAISES on malformed input under Spark's ANSI
+          // default — DuckDB strptime parity; try_strptime is the
+          // forgiving NULL pair (DuckDB try_strptime parity)
           if (fn == "strftime") date_format(a(0), pattern)
-          else to_timestamp(a(0), pattern)
+          else if (fn == "strptime") to_timestamp(a(0), pattern)
+          else try_to_timestamp(a(0), lit(pattern))
       }
   }
 
@@ -3400,6 +3446,7 @@ object HashQL {
     case FtsMatch(r, _) => Set(r.table)
     case SampleBucket(r, _) => Set(r.table)
     case EqCol(a, b) => Set(a.table, b.table)
+    case CmpNotTrue(a, _, b) => Set(a.table, b.table)
     case ExprCmp(l, _, r) => exprTables(l) ++ exprTables(r)
     case InSelectExpr(e, _) => exprTables(e) // the sub has its own scope
     case BoolFuncPred(e) => exprTables(e)
@@ -3574,6 +3621,21 @@ object HashQL {
       // frame, the ANSI default frame ends at the current row — so
       // last_value is the CURRENT row's value unless the frame says
       // `rows between … and unbounded following` (both engines agree)
+      // TIEBREAK form under a RANGE frame (round-14): the pick is the
+      // lexicographic extremum of (raw order key, tiebreak, value) —
+      // min/max over a struct, a peer-INSENSITIVE aggregate, so the
+      // result is deterministic for ANY data on both engines (struct
+      // comparison is field-order lexicographic on Spark and DuckDB
+      // alike). The raw key leads the struct: within the frame its
+      // order agrees with the frame's day/second dimension.
+      case "first_value" if w.tiebreak.isDefined =>
+        min(struct(col(w.order.head._1.column).as("k"),
+          col(w.tiebreak.get.column).as("t"),
+          col(w.arg.get.column).as("v"))).over(spec).getField("v")
+      case "last_value" if w.tiebreak.isDefined =>
+        max(struct(col(w.order.head._1.column).as("k"),
+          col(w.tiebreak.get.column).as("t"),
+          col(w.arg.get.column).as("v"))).over(spec).getField("v")
       case "first_value" => first_value(col(w.arg.get.column)).over(spec)
       case "last_value" => last_value(col(w.arg.get.column)).over(spec)
     }
@@ -4338,6 +4400,16 @@ object HashQL {
       case CmpSelect(ref, op, sub) =>
         val (joined, cmpC, reserved) = scalarCompare(cat, df, ref, op, sub, registry)
         df = joined.filter(cmpC).drop(reserved: _*)
+      // NON-EQUALITY-correlated quantifiers (round-14 — the r13 queue's
+      // #5): the grouped-stats decorrelation cannot produce per-outer-
+      // row stats for a range correlation, so the shape rewrites through
+      // the EXISTS machinery — the range conjuncts ride the semi/anti
+      // join condition exactly like EXISTS extras. WHERE-conjunct
+      // context only (UNKNOWN ≡ FALSE here, which the rewrite preserves
+      // ANSI-exactly — see quantExistsRewrite).
+      case QuantCmp(ref, op, quant, sub) if quantNonEqCorr(sub) =>
+        df = applyWheres(cat, df,
+          Seq(quantExistsRewrite(ref, op, quant, sub)), registry)
       // quantified compare (round-13) — one stats aggregate broadcast
       // over the frame, ANSI three-valued arithmetic filters (UNKNOWN
       // drops the row, exactly like every comparison conjunct)
@@ -4914,6 +4986,11 @@ object HashQL {
         // does not produce (round-13 grouped windows) — same add-then-
         // drop treatment as havingDrop
         var winDrop: Seq[String] = Nil
+        // expression window keys in a GROUPED select (round-14): each
+        // reserved graft_wk name with the Column that reproduces it on
+        // the AGGREGATED frame — added just before the windows compute,
+        // dropped with winDrop after
+        var winPost: Seq[(String, Column)] = Nil
         val out = groupBy match {
           case gs if gs.nonEmpty =>
             require(!items.exists(_.isInstanceOf[Coalesce2]),
@@ -4997,19 +5074,48 @@ object HashQL {
               .filterNot { case (n, _) =>
                 itemAliases.contains(n) || gs.exists(_.column == n) ||
                   havingAdds.exists(_._1 == n) }
-            // expression keys have no post-aggregation row to compute
-            // over — a grouped window addresses grouping keys,
-            // aggregates, or projected aliases
-            winAdds.foreach {
-              case (_, CountStar | _: AggCall | _: AggExprItem) => ()
-              case _ => throw new IllegalArgumentException(
-                "a grouped window's keys address grouping keys, " +
-                  "aggregate calls, or projected aliases — computed " +
-                  "expression keys exist only scan-side (project the " +
-                  "expression `as <alias>` and group by it)")
+            // EXPRESSION window keys in a grouped select (round-14 —
+            // the r13 queue's #3): legal when the expression is a
+            // function of the GROUPING KEYS (constant per group), in
+            // either spelling: (a) it structurally matches a projected
+            // or computed-key expression — including the bare `group by
+            // <expr>`'s reserved graft_gk item — and addresses that
+            // column; (b) its refs are all grouping keys, so it
+            // recomputes POST-aggregation under the reserved graft_wk
+            // name. Anything else has no per-group value and rejects.
+            val (exprWins, aggWins) = winAdds.partition {
+              case (_, _: ExprItem) => true
+              case _ => false
             }
-            winDrop = winAdds.map(_._1)
-            val winAggs = aggsRaw(cat, winAdds.map(_._2))
+            val gkSet = gs.map(_.column).toSet
+            // reserved graft_gk key columns a window key addresses must
+            // survive until the windows compute (then drop with winDrop)
+            val keepGk = scala.collection.mutable.Set.empty[String]
+            winPost = exprWins.map { case (n, it) =>
+              val e = it.asInstanceOf[ExprItem].expr
+              items.collectFirst {
+                case ExprItem(e2, a) if e2 == e && a != n => a
+              } match {
+                case Some(a) =>
+                  if (a.startsWith("graft_gk")) keepGk += a
+                  n -> col(a)
+                case None =>
+                  val bad = exprRefs(e).diff(gkSet)
+                  require(bad.isEmpty,
+                    "a grouped window's computed key must be a function " +
+                      s"of the grouping keys — ${bad.mkString(", ")} is " +
+                      "not a grouping key (project the expression `as " +
+                      "<alias>` and group by it)")
+                  n -> exprColumn(cat, e)
+              }
+            }
+            aggWins.foreach {
+              case (_, CountStar | _: AggCall | _: AggExprItem) => ()
+              case (_, other) => throw new IllegalArgumentException(
+                s"unsupported grouped-window dependency: $other")
+            }
+            winDrop = winAdds.map(_._1) ++ keepGk
+            val winAggs = aggsRaw(cat, aggWins.map(_._2))
             val aggAll =
               if (base.isEmpty && extraAggs.isEmpty && havingAggs.isEmpty &&
                   winAggs.isEmpty)
@@ -5037,8 +5143,11 @@ object HashQL {
               d.withColumn(e.alias, exprColumn(cat, substAggs(e.expr, aggMap))))
               .drop(aggMap.values.toSeq: _*)
               // reserved graft_gk keys carry the BARE `group by <expr>`
-              // spelling (no user-visible name) — stripped from the output
-              .drop(gs.map(_.column).filter(_.startsWith("graft_gk")): _*)
+              // spelling (no user-visible name) — stripped from the
+              // output, except those a grouped window key addresses
+              // (they ride until the windows compute, then drop)
+              .drop(gs.map(_.column).filter(c =>
+                c.startsWith("graft_gk") && !keepGk(c)): _*)
           case _ =>
             require(!items.exists(_.isInstanceOf[GroupingItem]),
               "grouping() is valid only under GROUP BY ROLLUP/CUBE")
@@ -5263,7 +5372,12 @@ object HashQL {
           if (groupedWins.isEmpty) (out, false)
           else {
             val h = applyHavingPreds(cat, out, having, registry)
-            val w = groupedWins.foldLeft(h)((d, wc) =>
+            // expression window keys reproduce on the aggregated frame
+            // under their reserved names just before the windows read
+            // them (round-14) — dropped with winDrop below
+            val hp = winPost.foldLeft(h)((d, p) =>
+              d.withColumn(p._1, p._2))
+            val w = groupedWins.foldLeft(hp)((d, wc) =>
               d.withColumn(winAlias(wc), winColumn(wc)))
             (w.drop((havingDrop ++ winDrop).distinct: _*), true)
           }
@@ -5692,6 +5806,11 @@ object HashQL {
                 else graft.core.Compare.cmp(ic, op2, oc))
             case None => reject()
           }
+        // the ALL rewrite's violation test (round-14): three-valued
+        // `(outer op inner) IS NOT TRUE` — null-safe against TRUE
+        case CmpNotTrue(i, op, o) =>
+          (i, o, (ic, oc) =>
+            !(graft.core.Compare.cmp(oc, op, ic) <=> lit(true)))
         case _ => reject()
       }
     }
@@ -5754,6 +5873,57 @@ object HashQL {
             if (anti) "left_anti" else "left_semi")
       }
     }
+  }
+
+  /** Does a quantified subquery carry NON-EQUALITY correlation — a
+    * conjunct referencing an outer table that is not an outer↔inner
+    * equality pair? Those shapes cannot group-by decorrelate (the stats
+    * would depend on each outer row's range), so they take the EXISTS
+    * rewrite instead (round-14). */
+  private def quantNonEqCorr(sub: Select): Boolean = {
+    val subT = fromTables(sub)
+    sub.wheres.exists {
+      case EqCol(a, b) if subT(a.table) != subT(b.table) => false
+      case p => predTables(p).exists(!subT.contains(_))
+    }
+  }
+
+  /** Rewrite a non-equality-correlated quantifier through EXISTS
+    * (round-14 — the r13 queue's #5). WHERE-conjunct context only
+    * (UNKNOWN ≡ FALSE there), and the rewrites preserve that exactly:
+    *
+    *   `x op ANY (S)` ⇔ EXISTS (S where x op s) — TRUE iff some row
+    *     compares TRUE; NULL x / NULL s rows simply never match, which
+    *     is FALSE where ANSI says UNKNOWN — identical under WHERE.
+    *   `x op ALL (S)` ⇔ NOT EXISTS (S where (x op s) IS NOT TRUE) —
+    *     empty S is vacuously TRUE; a NULL x (nonempty S) or NULL s
+    *     row "violates" and drops the row exactly as UNKNOWN would.
+    *
+    * Each is ONE hash semi/anti join on the equality correlation keys
+    * with the range conjuncts riding the join condition as post-filters
+    * ([[existsJoin]]'s crossForm) — never a nested loop, and existsJoin
+    * still requires ≥1 equality key so a pure-range correlation rejects
+    * toward staging. The subquery must project one PLAIN column (the
+    * comparison rides the join condition against it). */
+  private def quantExistsRewrite(ref: ColRef, op: String, quant: String,
+                                 sub: Select): Pred = {
+    val vRef = sub.items match {
+      case Seq(Field(r)) => r
+      case other => throw new IllegalArgumentException(
+        "a range-correlated quantified subquery projects one PLAIN " +
+          s"column — the comparison rides the join condition; got: $other")
+    }
+    if (quant == "any") {
+      // x op s must be TRUE for some s: spell inner-vs-outer
+      val conj: Pred = op match {
+        case "=" => EqCol(vRef, ref) // an extra equality JOIN key
+        case "<>" => Not(EqCol(vRef, ref))
+        case o => ExprCmp(ECol(vRef), flipCmp(o), ECol(ref))
+      }
+      ExistsSelect(sub.copy(wheres = sub.wheres :+ conj))
+    } else
+      Not(ExistsSelect(sub.copy(
+        wheres = sub.wheres :+ CmpNotTrue(vRef, op, ref))))
   }
 
   /** Plan an IN-subquery's inner SELECT: must project exactly one column;
@@ -5899,12 +6069,19 @@ object HashQL {
                           body: Select,
                           registry: Option[JoinRegistry]): DataFrame = {
     val bodyTables = fromTables(body)
+    val rowReturning = body.items.nonEmpty && body.items.forall {
+      case _: Field | _: ExprItem => true
+      case _ => false
+    }
+    if (rowReturning)
+      return lateralTopK(cat, outer, nm, body, registry, bodyTables)
     require(body.items.nonEmpty && body.items.forall {
       case _: AggCall | CountStar | _: AggExprItem | _: StringAggItem |
            _: ArgExtremeItem => true
       case _ => false
-    }, s"a LATERAL subquery ($nm) projects AGGREGATES only — plain " +
-      "columns come from joins, grouped top-k from QUALIFY windows")
+    }, s"a LATERAL subquery ($nm) projects AGGREGATES only, or plain " +
+      "columns under ORDER BY … LIMIT k (the row-returning top-k form) " +
+      "— mixing the two shapes in one body is not supported")
     require(body.groupBy.isEmpty && body.qualify.isEmpty &&
       body.orderBy.isEmpty && body.limit.isEmpty && body.offset.isEmpty &&
       !body.distinct && body.having.isEmpty && body.laterals.isEmpty,
@@ -5964,6 +6141,104 @@ object HashQL {
     }
     countCols.foldLeft(dropped)((d, c) =>
       d.withColumn(c, coalesce(col(c), lit(0L))))
+  }
+
+  /** ROW-RETURNING lateral (round-14 — the r13 queue's #2): `lateral
+    * (select <cols> from u where u.k = t.k order by s [desc] limit k)
+    * x` — the per-row top-k (nearest-event / best-match) idiom.
+    * Decorrelated to ONE keyed window over the INNER side only
+    * (row_number ≤ k — the DISTINCT ON lowering; Spark's
+    * WindowGroupLimit pushes the limit into the per-group sort, so no
+    * global sort and no full materialization) + ONE inner equi-join on
+    * the correlation keys. ANSI comma/cross-lateral semantics: an outer
+    * row whose subquery comes back empty DROPS (unlike the aggregate
+    * form, which always yields its one row). Never a per-outer-row
+    * plan at any scale. The body's ORDER BY doubles as the determinism
+    * contract — it must totally order each correlation group (carry a
+    * unique tiebreaker, as DISTINCT ON requires) or which rows survive
+    * is engine-dependent. */
+  private def lateralTopK(cat: GraftCatalog, outer: DataFrame, nm: String,
+                          body: Select, registry: Option[JoinRegistry],
+                          bodyTables: Set[String]): DataFrame = {
+    require(body.orderBy.nonEmpty && body.limit.isDefined,
+      s"a row-returning LATERAL ($nm) pins its rows with ORDER BY … " +
+        "LIMIT k — without them every inner row would join (spell that " +
+        "as a plain join)")
+    val lim = body.limit.get
+    require(lim >= 1, s"LATERAL $nm: LIMIT must be ≥ 1")
+    require(body.groupBy.isEmpty && body.qualify.isEmpty &&
+      body.having.isEmpty && body.offset.isEmpty && !body.distinct &&
+      body.laterals.isEmpty,
+      s"a row-returning LATERAL ($nm) is `select <cols> from … [join …] " +
+        "[where …] order by … limit k` — stage anything richer through " +
+        "a CTE")
+    val leaks = scalarItemLeak(body, bodyTables)
+    require(leaks.isEmpty,
+      s"LATERAL $nm projects outer table(s) ${leaks.mkString(", ")} — " +
+        "project the subquery's own columns only")
+    val corrPairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+    val local = scala.collection.mutable.ArrayBuffer.empty[Pred]
+    body.wheres.foreach {
+      case EqCol(a, b) if bodyTables(a.table) != bodyTables(b.table) =>
+        corrPairs += (if (bodyTables(a.table)) (a, b) else (b, a))
+      case p =>
+        val foreign = predTables(p).filterNot(bodyTables)
+        require(foreign.isEmpty,
+          s"unsupported correlation form in LATERAL $nm: $p — correlate " +
+            "with equality conjuncts (inner.k = outer.k)")
+        local += p
+    }
+    val innerKeys = corrPairs.map(_._1).distinctBy(_.column).toSeq
+    // project the sort keys under reserved aliases so the window can
+    // address computed order expressions; dropped after the filter
+    val sortItems = body.orderBy.zipWithIndex.map { case ((e, _, _), i) =>
+      ExprItem(e, s"graft_latsort_$i") }
+    if (corrPairs.isEmpty) {
+      // uncorrelated: the inner top-k evaluates ONCE (selectFrame's
+      // ordinary ORDER BY + LIMIT → TakeOrderedAndProject), then
+      // cross-joins as a ≤k-row broadcast frame
+      val lat = selectFrame(cat,
+        body.copy(wheres = local.toSeq), registry)
+      val clash = lat.columns.toSet.intersect(outer.columns.toSet)
+      require(clash.isEmpty,
+        s"LATERAL $nm outputs collide with outer columns: " +
+          s"${clash.mkString(", ")} — alias the projections (as <name>)")
+      return outer.crossJoin(lat)
+    }
+    val probe = body.copy(
+      items = innerKeys.map(Field(_)) ++ body.items ++ sortItems,
+      wheres = local.toSeq, orderBy = Nil, limit = None)
+    var lat = selectFrame(cat, probe, registry)
+    import org.apache.spark.sql.expressions.Window
+    val sortCols = body.orderBy.zipWithIndex.map { case ((_, desc, nf), i) =>
+      val c = col(s"graft_latsort_$i")
+      (desc, nf) match {
+        case (false, None) => c.asc_nulls_last
+        case (true, None) => c.desc
+        case (false, Some(first)) =>
+          if (first) c.asc_nulls_first else c.asc_nulls_last
+        case (true, Some(first)) =>
+          if (first) c.desc_nulls_first else c.desc_nulls_last
+      }
+    }
+    val w = Window.partitionBy(innerKeys.map(k => col(k.column)): _*)
+      .orderBy(sortCols: _*)
+    lat = lat.withColumn("graft_lat_rn", row_number().over(w))
+      .filter(col("graft_lat_rn") <= lim)
+      .drop("graft_lat_rn")
+      .drop(sortItems.map(_.alias): _*)
+    val keyRename = innerKeys.zipWithIndex
+      .map { case (k, i) => k.column -> s"graft_lat_$i" }.toMap
+    keyRename.foreach { case (from, to) =>
+      lat = lat.withColumnRenamed(from, to) }
+    val clash = lat.columns.filterNot(_.startsWith("graft_lat_")).toSet
+      .intersect(outer.columns.toSet)
+    require(clash.isEmpty,
+      s"LATERAL $nm outputs collide with outer columns: " +
+        s"${clash.mkString(", ")} — alias the projections (as <name>)")
+    val cond = corrPairs.map { case (in, out) =>
+      outer(out.column) === lat(keyRename(in.column)) }.reduce(_ && _)
+    outer.join(lat, cond, "inner").drop(keyRename.values.toSeq: _*)
   }
 
   private def subqueryFrame(cat: GraftCatalog, sub: Select,

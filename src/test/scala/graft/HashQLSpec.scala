@@ -2340,6 +2340,27 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("nondeterministic"), e.getMessage)
   }
 
+  test("first/last_value(x, tb) under RANGE frames: deterministic pick (round-14)") {
+    val cat = new GraftCatalog(spark)
+    // two rows TIE on the date key — the tiebreak pins which is first
+    HashQL.execute(cat,
+      "insert into fl (d, k, v) values ('2020-01-01', 1, 10), " +
+        "('2020-01-01', 2, 20), ('2020-01-03', 3, 30), ('2020-01-08', 4, 40)")
+    val got = HashQL.execute(cat,
+      "select fl.k, first_value(fl.v, fl.k) over (order by fl.d " +
+        "range between interval '2' day preceding and current row) as fv, " +
+        "last_value(fl.v, fl.k) over (order by fl.d " +
+        "range between interval '2' day preceding and current row) as lv " +
+        "from fl order by fl.k").get
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 20L), (2L, 10L, 20L), (3L, 10L, 30L),
+      (4L, 40L, 40L)))
+    // the tiebreak form is RANGE-frame-only
+    val e = intercept[IllegalArgumentException](HashQL.parse(
+      "select first_value(t.v, t.k) over (order by t.d) as fv from t"))
+    assert(e.getMessage.contains("RANGE"), e.getMessage)
+  }
+
   test("RIGHT JOIN and non-equality ON conjuncts (round-13)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
@@ -2523,11 +2544,13 @@ class HashQLSpec extends SparkSpec {
         "order by ev.v desc) as rn from ev order by ev.v").get
     assert(rn.select("rn").as[Int].collect().toSeq == Seq(2, 1, 2, 1))
     assert(rn.columns.toSeq == Seq("v", "rn")) // reserved key shed
-    // grouped selects reject expression window keys with a fix-it
+    // grouped selects accept expression window keys only as functions
+    // of the grouping keys (round-14) — over a non-key column the
+    // reject still fires with the fix-it
     val e = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select count(*), rank() over (order by year(ev.d)) as r " +
         "from ev group by ev.v"))
-    assert(e.getMessage.contains("scan-side"), e.getMessage)
+    assert(e.getMessage.contains("not a grouping key"), e.getMessage)
   }
 
   test("comma joins: ANSI-89 FROM lists, cartesian guard (round-13)") {
@@ -2723,11 +2746,16 @@ class HashQLSpec extends SparkSpec {
       "select natx.n_name from natx " +
         "join regx on natx.n_regionkey = regx.r_regionkey cross join natx"))
     assert(e2.getMessage.contains("right after FROM"), e2.getMessage)
-    // FULL JOIN multiplicity is association-dependent under a cross — reject
+    // FULL (and, round-14, RIGHT) JOIN multiplicity is association-
+    // dependent under a cross — reject
     val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select natx.n_name from natx cross join regx " +
         "full join natx on natx.n_regionkey = natx.n_regionkey"))
-    assert(e3.getMessage.contains("FULL JOIN"), e3.getMessage)
+    assert(e3.getMessage.contains("FULL or RIGHT JOIN"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select natx.n_name from natx cross join regx " +
+        "right join natx on natx.n_regionkey = natx.n_regionkey"))
+    assert(e4.getMessage.contains("FULL or RIGHT JOIN"), e4.getMessage)
   }
 
   test("quantified comparisons: ANY / SOME / ALL over uncorrelated subqueries (round-13)") {
@@ -2788,11 +2816,12 @@ class HashQLSpec extends SparkSpec {
     // …and ANY over the empty per-key set is FALSE
     assert(vs("select q13.v from q13 where q13.v >= any " +
       "(select qs.x from qs where qs.x = q13.v)") == Seq(5L))
-    // non-equality correlation still rejects toward EXISTS
+    // PURE range correlation (round-14: non-eq correlation now rewrites
+    // through EXISTS, which still demands an equality key alongside)
     val e = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select q13.v from q13 where q13.v > all " +
         "(select qs.x from qs where qs.x < q13.v)"))
-    assert(e.getMessage.contains("unsupported correlation form"), e.getMessage)
+    assert(e.getMessage.contains("EQUALITY conjunct"), e.getMessage)
   }
 
   test("inline VALUES tables in FROM and JOIN position (round-13)") {
@@ -2964,12 +2993,13 @@ class HashQLSpec extends SparkSpec {
         "lateral ( select max(ordL.o_totalprice) as mx from ordL ) t " +
         "where custL.c_custkey <= 5 order by custL.c_custkey").get.collect()
     assert(un.map(_.getDouble(1)).distinct.length == 1)
-    // shape guards: plain columns and non-equality correlation reject
+    // shape guards: plain columns need the round-14 row-returning form
+    // (ORDER BY … LIMIT k); non-equality correlation rejects
     val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select custL.c_custkey, t.o_orderkey from custL, " +
         "lateral ( select ordL.o_orderkey from ordL " +
         "where ordL.o_custkey = custL.c_custkey ) t"))
-    assert(e1.getMessage.contains("AGGREGATES only"), e1.getMessage)
+    assert(e1.getMessage.contains("ORDER BY"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select custL.c_custkey, t.cnt from custL, " +
         "lateral ( select count(*) from ordL " +
@@ -3154,6 +3184,136 @@ class HashQLSpec extends SparkSpec {
       "delete from qd13 where qd13.v < any (select qr13.x from qr13)")
     assert(HashQL.execute(cat, "select qd13.v from qd13")
       .get.as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("strptime raises on malformed input (ANSI); try_strptime yields NULL (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into sp (s) values ('2020-01-15'), ('not-a-date')")
+    // well-formed rows parse on both spellings
+    val ok = HashQL.execute(cat,
+      "select try_strptime(sp.s, '%Y-%m-%d') as ts from sp " +
+        "where sp.s = '2020-01-15'").get.collect()
+    assert(ok.head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2020-01-15 00:00:00"))
+    // plain strptime RAISES at execution on a malformed row — Spark's
+    // ANSI default, which is exactly DuckDB's strptime contract
+    intercept[Exception](HashQL.execute(cat,
+      "select strptime(sp.s, '%Y-%m-%d') as ts from sp").get.collect())
+    // try_strptime is the forgiving NULL pair (DuckDB try_strptime)
+    val soft = HashQL.execute(cat,
+      "select try_strptime(sp.s, '%Y-%m-%d') as ts from sp " +
+        "where sp.s = 'not-a-date'").get.collect()
+    assert(soft.head.isNullAt(0))
+  }
+
+  test("range-correlated quantifiers rewrite through EXISTS (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into qo (ck, ok, d, amt) values " +
+        "(1, 1, '2020-01-01', 50), (1, 2, '2020-02-01', 30), " +
+        "(1, 3, '2020-03-01', 70), (2, 4, '2020-01-15', 20)")
+    // ALL with eq + range correlation: the running-max test (an empty
+    // set — no earlier orders — is vacuously true, ANSI)
+    val lead = HashQL.execute(cat,
+      "select qo.ok from qo where qo.amt >= all ( select q2.amt from " +
+        "qo q2 where q2.ck = qo.ck and q2.d <= qo.d ) " +
+        "order by qo.ok").get.as[Long].collect().toSeq
+    assert(lead == Seq(1L, 3L, 4L))
+    // ANY with eq + range correlation: beats SOME strictly-earlier order
+    val up = HashQL.execute(cat,
+      "select qo.ok from qo where qo.amt > any ( select q2.amt from " +
+        "qo q2 where q2.ck = qo.ck and q2.d < qo.d ) " +
+        "order by qo.ok").get.as[Long].collect().toSeq
+    assert(up == Seq(3L))
+    // the plan is hash semi/anti — never a nested loop
+    val df = HashQL.execute(cat,
+      "select qo.ok from qo where qo.amt >= all ( select q2.amt from " +
+        "qo q2 where q2.ck = qo.ck and q2.d <= qo.d )").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range-correlated quantifier planned per-row:\n${plan.take(1500)}")
+    // pure range correlation (no equality key) still rejects
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select qo.ok from qo where qo.amt >= all ( select q2.amt from " +
+        "qo q2 where q2.d <= qo.d )"))
+    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
+  }
+
+  test("grouped windows over EXPRESSION keys (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into ge (k, v) values (1, 10), (1, 20), (2, 30), " +
+        "(2, 40), (3, 50)")
+    // (b) the key is a function of a grouping key — recomputed on the
+    // aggregated frame under the reserved name
+    val b = HashQL.execute(cat,
+      "select ge.k, count(*) as c, rank() over " +
+        "(partition by mod(ge.k, 2) order by ge.k) as r " +
+        "from ge group by ge.k order by ge.k").get
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(b == Seq((1L, 2L, 1), (2L, 2L, 1), (3L, 1L, 2)))
+    // (a) bare `group by <expr>` spelling: the reserved graft_gk key
+    // column survives until the window reads it, then drops
+    val a = HashQL.execute(cat,
+      "select count(*) as c, rank() over (partition by mod(ge.k, 2) " +
+        "order by c desc) as r from ge group by mod(ge.k, 2) " +
+        "order by c desc").get.as[(Long, Int)].collect().toSeq
+    assert(a == Seq((3L, 1), (2L, 1)))
+    // an expression over a NON-key column still rejects
+    val bad = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ge.k, count(*) as c, rank() over " +
+        "(partition by mod(ge.v, 2) order by c) as r " +
+        "from ge group by ge.k"))
+    assert(bad.getMessage.contains("not a grouping key"))
+  }
+
+  test("row-returning LATERAL: top-k per row, empty-group drop, fan-out (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into cust14 (ck) values (1), (2), (3)")
+    HashQL.execute(cat,
+      "insert into ord14 (ck, ok, amt) values (1, 10, 100), (1, 11, 300), " +
+        "(1, 12, 200), (2, 20, 50)")
+    // top-1: the single best order per customer; customer 3 (orderless)
+    // DROPS — ANSI comma-lateral semantics
+    val top1 = HashQL.execute(cat,
+      "select cust14.ck, x.ok from cust14, " +
+        "lateral ( select ord14.ok from ord14 " +
+        "where ord14.ck = cust14.ck order by ord14.amt desc, ord14.ok " +
+        "limit 1 ) x order by cust14.ck").get
+      .as[(Long, Long)].collect().toSeq
+    assert(top1 == Seq((1L, 11L), (2L, 20L)))
+    // limit 2 fans out: up to two rows per outer row
+    val top2 = HashQL.execute(cat,
+      "select cust14.ck, x.ok from cust14, " +
+        "lateral ( select ord14.ok from ord14 " +
+        "where ord14.ck = cust14.ck order by ord14.amt desc, ord14.ok " +
+        "limit 2 ) x order by cust14.ck, x.ok").get
+      .as[(Long, Long)].collect().toSeq
+    assert(top2 == Seq((1L, 11L), (1L, 12L), (2L, 20L)))
+    // computed sort keys work (expression order key)
+    val comp = HashQL.execute(cat,
+      "select cust14.ck, x.ok from cust14, " +
+        "lateral ( select ord14.ok from ord14 " +
+        "where ord14.ck = cust14.ck " +
+        "order by ord14.amt % 7, ord14.ok limit 1 ) x " +
+        "order by cust14.ck").get.as[(Long, Long)].collect().toSeq
+    assert(comp == Seq((1L, 10L), (2L, 20L))) // 100%7=2 < 200%7=4 < 300%7=6
+    // UNCORRELATED body: global top-1 broadcast to every outer row
+    val uncorr = HashQL.execute(cat,
+      "select cust14.ck, g.ok from cust14, " +
+        "lateral ( select ord14.ok from ord14 " +
+        "order by ord14.amt desc, ord14.ok limit 1 ) g " +
+        "order by cust14.ck").get.as[(Long, Long)].collect().toSeq
+    assert(uncorr == Seq((1L, 11L), (2L, 11L), (3L, 11L)))
+    // a row-returning body NEEDS order by + limit
+    val bare = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select cust14.ck, x.ok from cust14, " +
+        "lateral ( select ord14.ok from ord14 " +
+        "where ord14.ck = cust14.ck ) x"))
+    assert(bare.getMessage.contains("ORDER BY"))
   }
 
   test("MERGE INTO: upsert semantics, one commit, id synthesis (round-14)") {

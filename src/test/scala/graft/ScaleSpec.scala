@@ -813,6 +813,33 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("row-returning LATERAL plans one keyed window + one equi-join — never per-row (round-14)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    val df = HashQL.execute(cat,
+      "select customer.c_custkey, x.ok from customer, " +
+        "lateral ( select orders.o_orderkey as ok from orders " +
+        "where orders.o_custkey = customer.c_custkey " +
+        "order by orders.o_totalprice desc, orders.o_orderkey limit 1 ) x " +
+        "where customer.c_custkey <= 100").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral planned per-row:\n${plan.take(1500)}")
+    // the top-1 pick is a keyed window over the INNER side only…
+    assert(plan.contains("Window"), plan.take(1000))
+    // …with the rank limit pushed into the per-group sort, and no
+    // global single-partition stage anywhere
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number≤k did not push into the sort:\n${plan.take(1500)}")
+    assert(!plan.contains("SinglePartition"),
+      s"lateral top-1 planned a global stage:\n${plan.take(1500)}")
+    df.count()
+  }
+
   test("DISTINCT ON plans a keyed window — partition exchange, never a global sort (round-13)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
