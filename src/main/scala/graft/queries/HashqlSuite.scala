@@ -3072,6 +3072,75 @@ object HashqlSuite extends Suite {
       Some("""SELECT * FROM (VALUES ('a', 5), ('b', 13), ('c', 7),
              |  ('d', 4)) AS t(sku, qty)""".stripMargin)),
 
+    // RECURSIVE CTE with PER-ROUND AGGREGATION (round 14 — un-rejecting
+    // the r9-carried reject, the r13 queue's #8): the textbook recursive
+    // shortest path — each round the GROUPED step takes min(dist + w)
+    // over the FRONTIER join, the fixpoint dedups (node, dist) pairs,
+    // and the body extracts the final minimum. DuckDB's exact recursive
+    // semantics (working table = last round's new rows); expected
+    // distances verified against DuckDB's own recursive evaluation.
+    "hashql_recursive_sssp" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into redg (src, dst, w) values (1, 2, 4), (1, 3, 1), " +
+            "(3, 2, 1), (2, 4, 1), (3, 4, 7)")
+        HashQL.execute(cat,
+          "with recursive sp as (select redg.dst, redg.w from redg " +
+            "where redg.src = 1 union select redg.dst, " +
+            "min(sp.w + redg.w) as md from sp inner join redg " +
+            "on redg.src = sp.dst group by redg.dst) " +
+            "select sp.dst, min(sp.w) as d from sp group by sp.dst " +
+            "order by sp.dst").get
+      },
+      Some("""SELECT * FROM (VALUES (2, 2), (3, 1),
+             |  (4, 3)) AS t(dst, d)""".stripMargin)),
+
+    // UPDATE … FROM (round 14): the join-update — SET reads SOURCE
+    // columns, u-local conjuncts prune the source scan, t-local
+    // conjuncts gate the matched rows; one left join + one hit-guarded
+    // copy-on-write projection. Symmetric with DELETE … USING.
+    "hashql_update_from" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into stock (sku, qty) values ('a', 5), ('b', 3), " +
+            "('c', 7), ('d', 1)")
+        HashQL.execute(cat,
+          "insert into recv (sku, amount, ok) values ('a', 10, 1), " +
+            "('b', 20, 0), ('d', 4, 1)")
+        HashQL.execute(cat,
+          "update stock set stock.qty = stock.qty + recv.amount " +
+            "from recv where stock.sku = recv.sku and recv.ok = 1 " +
+            "and stock.qty > 2")
+        HashQL.execute(cat,
+          "select stock.sku, stock.qty from stock " +
+            "order by stock.sku").get
+      },
+      Some("""SELECT * FROM (VALUES ('a', 15), ('b', 3), ('c', 7),
+             |  ('d', 1)) AS t(sku, qty)""".stripMargin)),
+
+    // MERGE … WHEN MATCHED THEN DELETE (round 14): the blocklist
+    // purge — matched target rows drop (one anti join), unmatched
+    // source rows may still insert in the same statement.
+    "hashql_merge_delete" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into corpus14 (nm, score) values ('d1', 10), " +
+            "('d2', 20), ('d3', 30)")
+        HashQL.execute(cat, "insert into block14 (nm) values ('d2')")
+        HashQL.execute(cat,
+          "merge into corpus14 using block14 " +
+            "on corpus14.nm = block14.nm " +
+            "when matched then delete")
+        HashQL.execute(cat,
+          "select corpus14.nm, corpus14.score from corpus14 " +
+            "order by corpus14.nm").get
+      },
+      Some("""SELECT * FROM (VALUES ('d1', 10),
+             |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
+
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a
     // literal); the example.py people replay keeps the oracle literal.
@@ -3306,6 +3375,27 @@ object HashqlSuite extends Suite {
              |    ORDER BY count(*) DESC, o_custkey) AS r
              |FROM orders GROUP BY year(o_orderdate), o_custkey
              |QUALIFY r <= 3 ORDER BY y, r""".stripMargin)),
+
+    // RANGE-correlated LATERAL aggregates (round 14 — completing the
+    // r13 missing #6): per-order stats over its LATE lineitems
+    // (shipped after the order date) — eq + range correlation
+    // decorrelated over the DISTINCT outer tuples: one tuple-distinct
+    // shuffle, one hash join with the range as a post-filter, one
+    // grouped aggregation, one left join back; count misses 0 (ANSI).
+    "hashql_lateral_range" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, t.cnt, t.sum_l_quantity from orders, " +
+          "lateral ( select count(*), sum(lineitem.l_quantity) " +
+          "from lineitem where lineitem.l_orderkey = orders.o_orderkey " +
+          "and lineitem.l_shipdate > orders.o_orderdate ) t " +
+          "where orders.o_orderkey <= 2000 order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey, t.cnt, t.sum_l_quantity FROM orders,
+             |LATERAL ( SELECT count(*) AS cnt,
+             |    sum(l_quantity) AS sum_l_quantity
+             |  FROM lineitem WHERE l_orderkey = o_orderkey
+             |  AND l_shipdate > o_orderdate ) t
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey""".stripMargin)),
 
     // ROW-RETURNING LATERAL (round 14 — the r13 queue's #2): each
     // customer's single most expensive order — decorrelated to ONE

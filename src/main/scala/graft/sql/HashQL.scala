@@ -658,7 +658,18 @@ object HashQL {
     * simultaneously (`set t.a = t.b, t.b = t.a` swaps — SQL semantics,
     * one copy-on-write projection). Target columns must be distinct. */
   final case class Update(table: String, sets: Seq[(ColRef, SetVal)],
-                          wheres: Seq[Pred]) extends Stmt {
+                          wheres: Seq[Pred],
+                          // `update t set … from u where t.k = u.k …`
+                          // (round-14): the join-update — Postgres/
+                          // DuckDB's UPDATE … FROM, symmetric with
+                          // DELETE … USING. SET right-hand sides may
+                          // read source columns; lowered as ONE left
+                          // join against the (locally filtered) source
+                          // + one hit-guarded copy-on-write projection.
+                          // ANSI-deterministic: a source that matches
+                          // one target row twice rejects (the MERGE
+                          // cardinality contract).
+                          from: Option[String] = None) extends Stmt {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     require(sets.map(_._1.column).distinct.size == sets.size,
       s"duplicate UPDATE target column: " +
@@ -696,11 +707,19 @@ object HashQL {
   final case class Merge(target: String, source: String,
                          on: Seq[(ColRef, ColRef)],
                          matched: Seq[(ColRef, Expr)],
-                         notMatched: Option[(Seq[String], Seq[Expr])])
+                         notMatched: Option[(Seq[String], Seq[Expr])],
+                         // `when matched then delete` (round-14): the
+                         // matched action drops the row instead of
+                         // updating it — one anti join; duplicate
+                         // source keys are fine here (deletion is
+                         // idempotent), unlike the update action
+                         matchedDelete: Boolean = false)
       extends Stmt {
     require(on.nonEmpty, "MERGE needs at least one ON equality pair")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || matchedDelete,
       "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
+    require(!(matchedDelete && matched.nonEmpty),
+      "WHEN MATCHED is either UPDATE SET or DELETE, not both")
     require(matched.map(_._1.column).distinct.size == matched.size,
       "duplicate WHEN MATCHED target column")
   }
@@ -1148,8 +1167,17 @@ object HashQL {
       // parens, so there is no ambiguity
       val sets = scala.collection.mutable.ArrayBuffer(assignment())
       while (is(",")) { next(); sets += assignment() }
+      // `from u` (round-14) — the join-update source; the WHERE must
+      // link the two tables with an equality conjunct (like DELETE …
+      // USING), and SET right-hand sides may read u's columns
+      val from = if (is("from")) { next(); Some(next()) } else None
       val wheres = if (is("where")) { next(); preds() } else Nil
-      Update(table, sets.toSeq, wheres)
+      require(from.isEmpty || wheres.exists {
+        case EqCol(a, b) => a.table != b.table
+        case _ => false
+      }, "UPDATE … FROM needs at least one equality conjunct linking " +
+        "the two tables (t.k = u.k)")
+      Update(table, sets.toSeq, wheres, from)
     }
 
     /** `merge into t using u on … when matched then update set … when
@@ -1186,24 +1214,33 @@ object HashQL {
           case e => e
         }
       var matched = Seq.empty[(ColRef, Expr)]
+      var matchedDelete = false
       var notMatched: Option[(Seq[String], Seq[Expr])] = None
       require(is("when"), "MERGE needs at least one WHEN clause")
       while (is("when")) {
         next()
         if (is("matched")) {
-          next(); kw("then"); kw("update"); kw("set")
-          require(matched.isEmpty, "duplicate WHEN MATCHED clause")
-          val sets = scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
-          var m2 = true
-          while (m2) {
-            val ref = colRef(); kw("=")
-            require(ref.table.isEmpty || ref.table == t,
-              s"WHEN MATCHED assigns the TARGET's columns — got " +
-                s"${ref.table}.${ref.column}")
-            sets += ((ref, rhs()))
-            m2 = is(",") && { next(); true }
+          next(); kw("then")
+          require(matched.isEmpty && !matchedDelete,
+            "duplicate WHEN MATCHED clause")
+          // `when matched then delete` (round-14) — the matched action
+          // drops the row; otherwise `update set …`
+          if (is("delete")) { next(); matchedDelete = true }
+          else {
+            kw("update"); kw("set")
+            val sets =
+              scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
+            var m2 = true
+            while (m2) {
+              val ref = colRef(); kw("=")
+              require(ref.table.isEmpty || ref.table == t,
+                s"WHEN MATCHED assigns the TARGET's columns — got " +
+                  s"${ref.table}.${ref.column}")
+              sets += ((ref, rhs()))
+              m2 = is(",") && { next(); true }
+            }
+            matched = sets.toSeq
           }
-          matched = sets.toSeq
         } else {
           kw("not"); kw("matched"); kw("then"); kw("insert")
           require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
@@ -1222,7 +1259,7 @@ object HashQL {
           notMatched = Some((cols.toSeq, vals.toSeq))
         }
       }
-      Merge(t, u, pairs.toSeq, matched, notMatched)
+      Merge(t, u, pairs.toSeq, matched, notMatched, matchedDelete)
     }
 
     private def deleteRest(): Delete = {
@@ -3844,7 +3881,98 @@ object HashQL {
           case other => throw new IllegalStateException(s"CTAS over $other")
         })
         None
-      case Update(t, sets, wheres) =>
+      case Update(t, sets, wheres, Some(u)) =>
+        // join-update (round-14, symmetric with DELETE … USING):
+        // classify the WHERE — cross-table equality conjuncts are the
+        // join keys, u-local conjuncts filter the source scan, t-local
+        // conjuncts gate which matched rows update. ONE left join +
+        // ONE hit-guarded copy-on-write projection + ONE commit; SET
+        // right-hand sides read source columns through the same
+        // reserve-rename MERGE uses. Deterministic by the MERGE
+        // cardinality contract (a source matching one target row twice
+        // rejects).
+        val pre = cat.table(t)
+        val src0 = cat.table(u)
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        wheres.foreach {
+          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
+            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
+          case p =>
+            require(!subqueryPred(p),
+              "subquery predicates cannot mix with UPDATE … FROM — " +
+                "stage the row set through a CTE or use MERGE")
+            val tabs = predTables(p)
+            if (tabs == Set(u)) uLocal += p
+            else {
+              require(!tabs.contains(u),
+                s"an UPDATE … FROM conjunct must live on one table or " +
+                  s"be an equality pair across them, got: $p")
+              tLocal += p
+            }
+        }
+        val badT = sets.flatMap { case (_, sv) => sv match {
+          case SetCol(r2) => Seq(r2.table)
+          case SetArith(r2, _, _) => Seq(r2.table)
+          case SetExpr(e) => exprTables(e).toSeq
+          case SetScalar(_) => throw new IllegalArgumentException(
+            "a scalar-subquery SET cannot mix with UPDATE … FROM — " +
+              "the source table IS the join; compute over u's columns")
+          case _ => Nil
+        }}.filter(tb => tb.nonEmpty && tb != t && tb != u).distinct
+        require(badT.isEmpty,
+          s"UPDATE … FROM expressions reference table(s) " +
+            s"${badT.mkString(", ")} — only $t and $u are in scope")
+        val src = uLocal.foldLeft(src0)((d, p) =>
+          d.filter(predColumn(cat, p)))
+        val dup = src.groupBy(pairs.toSeq.map(p => col(p._2.column)): _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"UPDATE … FROM source $u matches a target row more than " +
+            s"once (${dup.mkString(", ")}) — de-duplicate the source " +
+            "(the MERGE cardinality contract)")
+        def mcol(c: String) = s"graft_upf_$c"
+        val srcR = src.columns.foldLeft(src)((d, c) =>
+          d.withColumnRenamed(c, mcol(c)))
+          .withColumn("graft_upf_hit", lit(true))
+        val cond = pairs.map { case (tr, ur) =>
+          pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
+        val joined = pre.join(srcR, cond, "left")
+        // a NULL t-local predicate keeps the old value (when() treats
+        // UNKNOWN as no-update, SQL semantics)
+        val guard = coalesce(col("graft_upf_hit"), lit(false)) &&
+          tLocal.map(predColumn(cat, _)).reduceOption(_ && _)
+            .getOrElse(lit(true))
+        def setColF(sv: SetVal): Column = sv match {
+          case SetLit(v) =>
+            v match { case i: Int => lit(i.toLong); case x => lit(x) }
+          case SetCol(r2) =>
+            if (r2.table == u) col(mcol(r2.column)) else col(r2.column)
+          case SetArith(r2, op, n) =>
+            val base = (if (r2.table == u) col(mcol(r2.column))
+              else col(r2.column)).try_cast("long")
+            op match {
+              case "+" => base + n
+              case "-" => base - n
+              case "*" => base * n
+            }
+          case SetExpr(e) => exprColumn(cat, renameSourceRefs(u, mcol)(e))
+          case sv0 => throw new IllegalStateException(s"unreachable: $sv0")
+        }
+        val assigns = sets.map { case (ref, sv) => ref.column -> setColF(sv) }
+        val newTable = joined.withColumns(assigns.map { case (f, v) =>
+          f -> when(guard, v).otherwise(
+            if (pre.columns.contains(f)) col(f) else lit(null))
+        }.toMap).drop(srcR.columns.toSeq: _*)
+        cat.register(t, newTable)
+        // O(delta) hook: the matched-and-gated rows only, before/after
+        val before = joined.filter(guard).drop(srcR.columns.toSeq: _*)
+        val after = joined.filter(guard).withColumns(assigns.toMap)
+          .drop(srcR.columns.toSeq: _*)
+        registry.foreach(_.onUpdate(cat, t, before, after))
+        None
+      case Update(t, sets, wheres, None) =>
         val pre0 = cat.table(t)
         // subquery WHERE predicates (round-13 — the decontamination
         // idiom `update … where id in (select …)`, symmetric with the
@@ -3979,7 +4107,7 @@ object HashQL {
           registry.foreach(_.onUpdate(cat, t, before, after))
         }
         None
-      case Merge(t, u, on, matchedSets, notMatched) =>
+      case Merge(t, u, on, matchedSets, notMatched, matchedDelete) =>
         val pre = cat.table(t)
         val src = cat.table(u)
         // every computed ref must live on the target or the source
@@ -3990,15 +4118,20 @@ object HashQL {
         require(badRefs.isEmpty,
           s"MERGE expressions reference table(s) ${badRefs.mkString(", ")}" +
             s" — only the target ($t) and source ($u) are in scope")
-        // ANSI cardinality: at most ONE source row may hit a target row.
-        // One bounded aggregate over the SOURCE (output ≤ 1 row) — the
-        // source is the delta side, typically small; never a target scan.
-        val dup = src.groupBy(on.map(p => col(p._2.column)): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"MERGE source $u has duplicate ON keys " +
-            s"(${dup.mkString(", ")}) — ANSI forbids updating one target " +
-            "row twice; de-duplicate the source first")
+        // ANSI cardinality: at most ONE source row may UPDATE a target
+        // row. One bounded aggregate over the SOURCE (output ≤ 1 row) —
+        // the source is the delta side, typically small; never a target
+        // scan. Delete-matched and insert-only merges are exempt:
+        // deletion is idempotent, and ANSI inserts EVERY not-matched
+        // source row (duplicates included).
+        if (matchedSets.nonEmpty) {
+          val dup = src.groupBy(on.map(p => col(p._2.column)): _*).count()
+            .filter(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"MERGE source $u has duplicate ON keys " +
+              s"(${dup.mkString(", ")}) — ANSI forbids updating one " +
+              "target row twice; de-duplicate the source first")
+        }
         // reserve-rename EVERY source column so the join frame never
         // collides with target names; rewrite source refs in the
         // computed values to match. The hit flag reads the join miss.
@@ -4008,26 +4141,7 @@ object HashQL {
           .withColumn("graft_mrg_hit", lit(true))
         val cond = on.map { case (tr, ur) =>
           pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
-        def rren(r: ColRef): ColRef =
-          if (r.table == u) ColRef("", mcol(r.column)) else r
-        def rpred(p: Pred): Pred = p match {
-          case Eq(r, v) => Eq(rren(r), v)
-          case Cmp(r, op, v) => Cmp(rren(r), op, v)
-          case EqCol(a, b) => EqCol(rren(a), rren(b))
-          case IsNullP(r, n) => IsNullP(rren(r), n)
-          case InList(r, vs) => InList(rren(r), vs)
-          case Like(r, v) => Like(rren(r), v)
-          case Ilike(r, v) => Ilike(rren(r), v)
-          case Rlike(r, v) => Rlike(rren(r), v)
-          case ExprCmp(l, op, r) => ExprCmp(rexpr(l), op, rexpr(r))
-          case BoolFuncPred(e) => BoolFuncPred(rexpr(e))
-          case Not(x) => Not(rpred(x))
-          case And(ps) => And(ps.map(rpred))
-          case Or(ps) => Or(ps.map(rpred))
-          case other => throw new IllegalArgumentException(
-            s"unsupported predicate inside a MERGE expression: $other")
-        }
-        def rexpr(e: Expr): Expr = mapExprRefs(rren, rpred)(e)
+        def rexpr(e: Expr): Expr = renameSourceRefs(u, mcol)(e)
         val hit = coalesce(col("graft_mrg_hit"), lit(false))
         val reserved = srcR.columns.toSeq
         lazy val joined = pre.join(srcR, cond, "left")
@@ -4042,7 +4156,8 @@ object HashQL {
               if (pre.columns.contains(f)) col(f) else lit(null))
           }.toMap)
         val updated =
-          if (matchedSets.isEmpty) pre
+          if (matchedDelete) pre.join(srcR, cond, "left_anti")
+          else if (matchedSets.isEmpty) pre
           else applySets(joined, hit).drop(reserved: _*)
         // not-matched inserts: source rows with no target hit (one
         // anti-join), projected through the INSERT column list
@@ -4052,7 +4167,10 @@ object HashQL {
               exprColumn(cat, rexpr(e)).as(c) }: _*)
         }
         val delta = cat.mergeCommit(t, updated, insRows)
-        if (matchedSets.nonEmpty) {
+        if (matchedDelete)
+          registry.foreach(_.onDelete(cat, t,
+            pre.join(srcR, cond, "left_semi")))
+        else if (matchedSets.nonEmpty) {
           val beforeF = joined.filter(hit).drop(reserved: _*)
           val afterF = applySets(joined.filter(hit), lit(true))
             .drop(reserved: _*)
@@ -4253,22 +4371,53 @@ object HashQL {
       case other => throw new IllegalArgumentException(
         s"a recursive step supports simple predicates only, got: $other")
     }
-    require(step.groupBy.isEmpty && step.having.isEmpty &&
+    require(step.having.isEmpty &&
       step.orderBy.isEmpty && step.limit.isEmpty && step.offset.isEmpty &&
       !step.distinct && step.qualify.isEmpty,
-      "a recursive step is a plain select … from … [join …] [where …] — " +
-        "aggregate/sort/limit through the outer body instead; for " +
-        "per-round aggregation (shortest paths, components, peeling) use " +
-        "the graph module's bfs/sssp/cc/kcore operators, which own the " +
-        "bounded-fixpoint machinery")
+      "a recursive step is a plain or GROUPED select … from … [join …] " +
+        "[where …] — sort/limit/having through the outer body instead")
+    // PER-ROUND AGGREGATION (round-14 — the r13 queue's #8, un-rejecting
+    // the carried reject): a GROUPED step aggregates over each round's
+    // FRONTIER join (the recursive shortest-path / min-label shape —
+    // `select e.dst, min(r.d + e.w) … group by e.dst`); the fixpoint
+    // dedups the (key, value) pairs against the accumulated set and the
+    // OUTER body takes the final group-wise extremum, exactly DuckDB's
+    // semantics (working table = last round's new rows). The grouped
+    // plan outputs keys first, so the items must lead with the GROUP BY
+    // keys in order for positional base-alignment to hold. The graph
+    // module's bfs/sssp/cc/kcore remain the scale path (bounded
+    // frontiers, no (key, value)-pair accumulation).
+    if (step.groupBy.nonEmpty) {
+      // key-only grouping is just per-round distinct — the fixpoint's
+      // EXCEPT already dedups, so the plain spelling is the same plan
+      // minus a shuffle (and the grouped branch would append its
+      // fallback count column, breaking positional alignment)
+      require(step.items.length > step.groupBy.length,
+        "a grouped recursive step carries at least one aggregate — " +
+          "for per-round distinct use the plain spelling (the fixpoint " +
+          "dedups every round)")
+      val lead = step.items.take(step.groupBy.length)
+      require(lead.length == step.groupBy.length &&
+        lead.zip(step.groupBy).forall {
+          case (Field(r), k) => r.column == k.column
+          case _ => false
+        },
+        "a grouped recursive step projects its GROUP BY keys first, in " +
+          "order, then the aggregates (the grouped plan's output order)")
+    }
     val items = step.items.map {
       case Field(r) => Field(ref(r))
+      case CountStar => CountStar
+      case AggCall(fn, r) => AggCall(fn, ref(r))
+      case AggExprItem(fn, e, a) =>
+        AggExprItem(fn, mapExprRefs(ref, pred)(e), a)
       case other => throw new IllegalArgumentException(
-        s"a recursive step projects plain columns only, got: $other")
+        s"a recursive step projects plain columns or aggregates, got: $other")
     }
     step.copy(items = items,
       joins = step.joins.map(j => j.copy(l = ref(j.l), r = ref(j.r))),
-      wheres = step.wheres.map(pred))
+      wheres = step.wheres.map(pred),
+      groupBy = step.groupBy.map(ref))
   }
 
   /** Evaluate a query-shaped Stmt (Select or Union) to a frame. */
@@ -5515,6 +5664,21 @@ object HashQL {
       case _ => None
     }
 
+  /** (inner, op, outer) orientation of a RANGE correlation conjunct —
+    * a comparison between one inner and one outer column, normalized so
+    * the inner side leads (the operator flips with the operands).
+    * Shared by the scalar-subquery and LATERAL range decorrelators. */
+  private def rangePairOf(subTables: Set[String])
+                         (p: Pred): Option[(ColRef, String, ColRef)] =
+    p match {
+      case ExprCmp(ECol(a), op @ ("<" | "<=" | ">" | ">="), ECol(b))
+          if a.table.nonEmpty && b.table.nonEmpty &&
+            subTables.contains(a.table) != subTables.contains(b.table) =>
+        if (subTables.contains(a.table)) Some((a, op, b))
+        else Some((b, flipCmp(op), a))
+      case _ => None
+    }
+
   /** Plan `t.f <op> (select <agg> from u [where …])` against `outer`.
     *
     * UNCORRELATED: the subquery must be a global aggregate (exactly one
@@ -5582,14 +5746,8 @@ object HashQL {
       case ">=" => "<="
       case o => o
     }
-    def rangePair(p: Pred): Option[(ColRef, String, ColRef)] = p match {
-      case ExprCmp(ECol(a), op @ ("<" | "<=" | ">" | ">="), ECol(b))
-          if a.table.nonEmpty && b.table.nonEmpty &&
-            subTables.contains(a.table) != subTables.contains(b.table) =>
-        if (subTables.contains(a.table)) Some((a, op, b))
-        else Some((b, flipOp(op), a))
-      case _ => None
-    }
+    def rangePair(p: Pred): Option[(ColRef, String, ColRef)] =
+      rangePairOf(subTables)(p)
     val (rangeCorr, local) = rest.partition(p => rangePair(p).isDefined)
     val leak = local.flatMap(p => predTables(p).filterNot(subTables.contains)).distinct
     require(leak.isEmpty,
@@ -5875,6 +6033,36 @@ object HashQL {
     }
   }
 
+  /** Rewrite every reference to `srcTable` inside an expression to its
+    * reserved renamed column (`mcol`) — shared by MERGE and UPDATE …
+    * FROM, whose joined frames rename the whole source side so it can
+    * never collide with target columns. */
+  private def renameSourceRefs(srcTable: String, mcol: String => String)
+                              (e0: Expr): Expr = {
+    def rren(r: ColRef): ColRef =
+      if (r.table == srcTable) ColRef("", mcol(r.column)) else r
+    def rpred(p: Pred): Pred = p match {
+      case Eq(r, v) => Eq(rren(r), v)
+      case Cmp(r, op, v) => Cmp(rren(r), op, v)
+      case EqCol(a, b) => EqCol(rren(a), rren(b))
+      case IsNullP(r, n) => IsNullP(rren(r), n)
+      case InList(r, vs) => InList(rren(r), vs)
+      case Like(r, v) => Like(rren(r), v)
+      case Ilike(r, v) => Ilike(rren(r), v)
+      case Rlike(r, v) => Rlike(rren(r), v)
+      case ExprCmp(l, op, r) => ExprCmp(rexpr(l), op, rexpr(r))
+      case BoolFuncPred(e) => BoolFuncPred(rexpr(e))
+      case Not(x) => Not(rpred(x))
+      case And(ps) => And(ps.map(rpred))
+      case Or(ps) => Or(ps.map(rpred))
+      case other => throw new IllegalArgumentException(
+        s"unsupported predicate inside a MERGE/UPDATE-FROM " +
+          s"expression: $other")
+    }
+    def rexpr(e: Expr): Expr = mapExprRefs(rren, rpred)(e)
+    rexpr(e0)
+  }
+
   /** Does a quantified subquery carry NON-EQUALITY correlation — a
     * conjunct referencing an outer table that is not an outer↔inner
     * equality pair? Those shapes cannot group-by decorrelate (the stats
@@ -6091,20 +6279,29 @@ object HashQL {
     require(leaks.isEmpty,
       s"LATERAL $nm projects outer table(s) ${leaks.mkString(", ")} — " +
         "aggregate the subquery's own columns only")
-    // conjuncts: equality pairs spanning outer↔inner correlate; the rest
-    // must be local to the body
+    // conjuncts: equality pairs spanning outer↔inner correlate, RANGE
+    // comparisons (round-14 — completing the r13 missing #6) ride the
+    // decorrelated join condition; the rest must be local to the body
     val corrPairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+    val ranges =
+      scala.collection.mutable.ArrayBuffer.empty[(ColRef, String, ColRef)]
     val local = scala.collection.mutable.ArrayBuffer.empty[Pred]
     body.wheres.foreach {
       case EqCol(a, b) if bodyTables(a.table) != bodyTables(b.table) =>
         corrPairs += (if (bodyTables(a.table)) (a, b) else (b, a))
+      case p if rangePairOf(bodyTables)(p).isDefined =>
+        ranges += rangePairOf(bodyTables)(p).get
       case p =>
         val foreign = predTables(p).filterNot(bodyTables)
         require(foreign.isEmpty,
           s"unsupported correlation form in LATERAL $nm: $p — correlate " +
-            "with equality conjuncts (inner.k = outer.k)")
+            "with equality (inner.k = outer.k) or range (inner.d < " +
+            "outer.d) conjuncts")
         local += p
     }
+    if (ranges.nonEmpty)
+      return lateralRangeAgg(cat, outer, nm, body, registry,
+        corrPairs.toSeq, ranges.toSeq, local.toSeq)
     val innerKeys = corrPairs.map(_._1).distinctBy(_.column).toSeq
     val probe = body.copy(
       items = innerKeys.map(Field(_)) ++ body.items,
@@ -6140,6 +6337,106 @@ object HashQL {
       case AggExprItem(fn, _, a) if fn.startsWith("count") => a
     }
     countCols.foldLeft(dropped)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
+  }
+
+  /** RANGE-correlated LATERAL aggregates (round-14 — completing the r13
+    * missing #6): `lateral (select <aggs> from u where u.k = t.k and
+    * u.d < t.d) x` — the trailing-window / as-of aggregation idiom.
+    * The grouped decorrelation cannot pre-aggregate (each outer row's
+    * range admits a different inner subset), so this generalizes the
+    * scalar-subquery range machinery to N aggregate items: (1) DISTINCT
+    * the outer's referenced key/range columns (one narrow partial-agg
+    * shuffle over tuples, not rows), (2) hash-join the body rows on the
+    * EQUALITY keys with the ranges as join-condition post-filters —
+    * never a nested loop, (3) aggregate per tuple, (4) LEFT-join the
+    * aggregates back on the same tuple (count misses coalesce to 0,
+    * ANSI). 100 TB: both joins key-partitioned or broadcastable;
+    * nothing per-outer-row. */
+  private def lateralRangeAgg(cat: GraftCatalog, outer: DataFrame,
+                              nm: String, body: Select,
+                              registry: Option[JoinRegistry],
+                              corrPairs: Seq[(ColRef, ColRef)],
+                              ranges: Seq[(ColRef, String, ColRef)],
+                              local: Seq[Pred]): DataFrame = {
+    require(corrPairs.nonEmpty,
+      s"range correlation in LATERAL $nm needs an equality conjunct " +
+        "(u.k = t.k) alongside the range — a pure range correlation " +
+        "would plan a nested-loop join at scale")
+    body.items.foreach {
+      case CountStar | _: AggCall | _: AggExprItem => ()
+      case other => throw new IllegalArgumentException(
+        s"a range-correlated LATERAL ($nm) projects count/sum/avg/min/" +
+          s"max aggregates only, got: $other")
+    }
+    // (1) distinct outer tuples over every referenced outer column
+    val outerCols =
+      (corrPairs.map(_._2) ++ ranges.map(_._3)).map(_.column).distinct
+    val keyIdx = outerCols.zipWithIndex.toMap
+    val keysDf = outer.select(outerCols.map(col): _*).distinct()
+      .toDF(outerCols.indices.map(i => s"graft_lat_k$i"): _*)
+    // (2) the body rows: correlation/range inner columns under reserved
+    // names plus every column the aggregates read under their own names
+    val innerFieldRefs = corrPairs.map(_._1) ++ ranges.map(_._1)
+    val aggRefs = body.items.flatMap {
+      case AggCall(_, r) => Seq(r.column)
+      case AggExprItem(_, e, _) => exprRefs(e).toSeq
+      case _ => Nil
+    }.distinct.filterNot(c => innerFieldRefs.exists(_.column == c))
+    val innerRows = selectFrame(cat, body.copy(
+      items = innerFieldRefs.map(Field(_)) ++
+        aggRefs.map(c => Field(ColRef("", c))),
+      wheres = local), registry)
+      .toDF(innerFieldRefs.indices.map(i => s"graft_lat_i$i") ++
+        aggRefs: _*)
+    val eqConds = corrPairs.zipWithIndex.map { case ((_, o), i) =>
+      keysDf(s"graft_lat_k${keyIdx(o.column)}") ===
+        innerRows(s"graft_lat_i$i") }
+    val rangeConds = ranges.zipWithIndex.map { case ((in, op, o), j) =>
+      graft.core.Compare.cmp(
+        innerRows(s"graft_lat_i${corrPairs.length + j}"), op,
+        keysDf(s"graft_lat_k${keyIdx(o.column)}")) }
+    val matched = keysDf.join(innerRows,
+      (eqConds ++ rangeConds).reduce(_ && _), "inner")
+    // (3) every aggregate in ONE pass, under the SAME auto-aliases the
+    // ordinary lateral path produces (aggsRaw) — except that AggCall
+    // arguments renamed into reserved inner slots read from there
+    val items2 = body.items.map {
+      case AggCall(fn, r) if innerFieldRefs.exists(_.column == r.column) =>
+        // the arg column rode in as a reserved correlation slot — read
+        // it from there but KEEP the user-visible auto-alias
+        val i = innerFieldRefs.indexWhere(_.column == r.column)
+        val auto = fn match {
+          case "count" => s"cnt_${r.column}"
+          case "count_distinct" => s"cntd_${r.column}"
+          case f => s"${f}_${r.column}"
+        }
+        AggExprItem(fn, ECol(ColRef("", s"graft_lat_i$i")), auto)
+      case it => it
+    }
+    val aggCols = aggsRaw(cat, items2)
+    val agged = matched
+      .groupBy(outerCols.indices.map(i => col(s"graft_lat_k$i")): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .drop(innerFieldRefs.indices.map(i => s"graft_lat_i$i"): _*)
+    val clash = agged.columns.filterNot(_.startsWith("graft_lat_")).toSet
+      .intersect(outer.columns.toSet)
+    require(clash.isEmpty,
+      s"LATERAL $nm outputs collide with outer columns: " +
+        s"${clash.mkString(", ")} — alias the aggregates (as <name>)")
+    // (4) left-join back on the full outer tuple; ANSI empty-group
+    // counts coalesce to 0
+    val back = outerCols.indices.map(i =>
+      outer(outerCols(i)) === agged(s"graft_lat_k$i")).reduce(_ && _)
+    val joined = outer.join(agged, back, "left")
+      .drop(outerCols.indices.map(i => s"graft_lat_k$i"): _*)
+    val countCols = body.items.collect {
+      case CountStar => "cnt"
+      case AggCall("count", r) => s"cnt_${r.column}"
+      case AggCall("count_distinct", r) => s"cntd_${r.column}"
+      case AggExprItem(fn, _, a) if fn.startsWith("count") => a
+    }
+    countCols.foldLeft(joined)((d, c) =>
       d.withColumn(c, coalesce(col(c), lit(0L))))
   }
 

@@ -939,16 +939,14 @@ class HashQLSpec extends SparkSpec {
         "union select e.s, e.d from r inner join e on e.s = r.d) " +
         "select r.d from r"))
     assert(e2.getMessage.contains("columns"), e2.getMessage)
-    // an AGGREGATING step is a DOCUMENTED clean reject (r9-carried,
-    // r10 verdict #9): per-round aggregation breaks the semi-naive
-    // frontier's monotonicity (an aggregate over a PARTIAL frontier is
-    // not the aggregate over the fixpoint — silently wrong answers);
-    // aggregate through the OUTER body instead — shown green below
+    // GROUPED steps now work PER-ROUND with aggregates (round-14 — see
+    // the shortest-paths test); a KEY-ONLY grouping still rejects
+    // toward the plain spelling (the fixpoint dedups every round)
     val e3 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "with recursive r as (select e.d from e where e.s = 'a' " +
         "union select e.d from r inner join e on e.s = r.d group by e.d) " +
         "select r.d from r"))
-    assert(e3.getMessage.contains("aggregate"), e3.getMessage)
+    assert(e3.getMessage.contains("plain spelling"), e3.getMessage)
     val aggOver = HashQL.execute(cat,
       "with recursive r as (select e.d from e where e.s = 'a' " +
         "union select e.d from r inner join e on e.s = r.d) " +
@@ -3384,6 +3382,116 @@ class HashQLSpec extends SparkSpec {
     // at least one WHEN clause
     intercept[IllegalArgumentException](HashQL.parse(
       "merge into tgt using srcx on tgt.k = srcx.k"))
+  }
+
+  test("range-correlated LATERAL aggregates decorrelate over tuples (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into lc (ck, cutoff) values (1, 10), (2, 20), (3, 5)")
+    HashQL.execute(cat,
+      "insert into lo (ck, amt) values (1, 5), (1, 15), (2, 25), (2, 8)")
+    // per row: stats over the row's own under-cutoff orders; ck=3 has
+    // none — count coalesces to 0, sum stays NULL (ANSI empty group)
+    val got = HashQL.execute(cat,
+      "select lc.ck, t.cnt, coalesce(t.sum_amt, -1) as sa from lc, " +
+        "lateral ( select count(*), sum(lo.amt) from lo " +
+        "where lo.ck = lc.ck and lo.amt < lc.cutoff ) t " +
+        "order by lc.ck").get
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 5L), (2L, 1L, 8L), (3L, 0L, -1L)))
+    // the plan: hash joins only — never a nested loop
+    val df = HashQL.execute(cat,
+      "select lc.ck, t.cnt from lc, " +
+        "lateral ( select count(*) from lo " +
+        "where lo.ck = lc.ck and lo.amt < lc.cutoff ) t").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range lateral planned per-row:\n${plan.take(1500)}")
+    // pure range correlation (no equality) still rejects
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select lc.ck, t.cnt from lc, " +
+        "lateral ( select count(*) from lo where lo.amt < lc.cutoff ) t"))
+    assert(e.getMessage.contains("equality conjunct"), e.getMessage)
+  }
+
+  test("recursive CTE per-round aggregation: shortest paths (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into redg (src, dst, w) values (1, 2, 4), (1, 3, 1), " +
+        "(3, 2, 1), (2, 4, 1), (3, 4, 7)")
+    val sp = HashQL.execute(cat,
+      "with recursive sp as (select redg.dst, redg.w from redg " +
+        "where redg.src = 1 union select redg.dst, " +
+        "min(sp.w + redg.w) as md " +
+        "from sp inner join redg on redg.src = sp.dst group by redg.dst) " +
+        "select sp.dst, min(sp.w) as d from sp group by sp.dst " +
+        "order by sp.dst").get.as[(Long, Long)].collect().toSeq
+    assert(sp == Seq((2L, 2L), (3L, 1L), (4L, 3L)))
+    // the GROUP BY keys must LEAD the projection (the grouped plan
+    // outputs keys first — positional base-alignment)
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with recursive sp as (select redg.w, redg.dst from redg " +
+        "where redg.src = 1 union select min(sp.w + redg.w) as md, " +
+        "redg.dst from sp inner join redg on redg.src = sp.dst " +
+        "group by redg.dst) select sp.w from sp"))
+    assert(e.getMessage.contains("keys first"), e.getMessage)
+  }
+
+  test("UPDATE … FROM: join-update with guards (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into st (sku, qty) values ('a', 5), ('b', 3), ('c', 7)")
+    HashQL.execute(cat,
+      "insert into rc (sku, amount, ok) values ('a', 10, 1), " +
+        "('b', 20, 0), ('x', 9, 1)")
+    val v0 = cat.versionOf("st")
+    // u-local filter prunes the source; t-rows without a match keep
+    HashQL.execute(cat,
+      "update st set st.qty = st.qty + rc.amount from rc " +
+        "where st.sku = rc.sku and rc.ok = 1")
+    assert(cat.versionOf("st") == v0 + 1) // one commit
+    assert(HashQL.execute(cat,
+      "select st.sku, st.qty from st order by st.sku").get
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 15L), ("b", 3L), ("c", 7L)))
+    // duplicate source match rejects (the MERGE cardinality contract)
+    HashQL.execute(cat, "insert into rc (sku, amount, ok) values ('a', 1, 1)")
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update st set st.qty = rc.amount from rc " +
+        "where st.sku = rc.sku and rc.ok = 1"))
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+    // a linking equality conjunct is required
+    intercept[IllegalArgumentException](HashQL.parse(
+      "update st set st.qty = 0 from rc where rc.ok = 1"))
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into cp (nm, v) values ('d1', 1), ('d2', 2), ('d3', 3)")
+    // duplicate source keys are FINE for delete (idempotent)
+    HashQL.execute(cat,
+      "insert into bl (nm) values ('d2'), ('d2'), ('zz')")
+    HashQL.execute(cat,
+      "merge into cp using bl on cp.nm = bl.nm " +
+        "when matched then delete")
+    assert(HashQL.execute(cat, "select cp.nm from cp order by cp.nm").get
+      .as[String].collect().toSeq == Seq("d1", "d3"))
+    // delete + insert in one statement: purge and backfill
+    HashQL.execute(cat,
+      "merge into cp using bl on cp.nm = bl.nm " +
+        "when matched then delete " +
+        "when not matched then insert (nm, v) values (bl.nm, 0)")
+    // d1/d3 unmatched by bl stay; no cp row matches bl, so bl's rows
+    // insert (zz once, d2 twice — ANSI inserts every source row)
+    assert(HashQL.execute(cat, "select cp.nm from cp order by cp.nm").get
+      .as[String].collect().toSeq == Seq("d1", "d2", "d2", "d3", "zz"))
+    // update+delete in one MATCHED clause rejects
+    intercept[IllegalArgumentException](HashQL.parse(
+      "merge into cp using bl on cp.nm = bl.nm " +
+        "when matched then update set cp.v = 1 " +
+        "when matched then delete"))
   }
 
   test("MERGE INTO delta-folds count/sum agg views (round-14)") {
