@@ -2256,6 +2256,61 @@ object HashqlSuite extends Suite {
              |    AS lv
              |FROM orders WHERE o_orderkey <= 3000""".stripMargin)),
 
+    // scalar tier 6 (round 14): ANSI EXTRACT (parse-time sugar for the
+    // date parts), null-skipping concat_ws (both engines skip NULL
+    // args), and ln/exp/log2/log10. The logarithms/exponential are NOT
+    // correctly-rounded across libms (unlike sqrt/power — probed: last-
+    // ulp diffs on ~15% of values), so the oracle compares them at a
+    // floor-scaled micro precision where the engines agree exactly; the
+    // documented contract is "double within 1 ulp".
+    "hashql_scalar_tier6" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "extract(year from orders.o_orderdate) as y, " +
+          "extract(month from orders.o_orderdate) as m, " +
+          "concat_ws('-', orders.o_orderstatus, " +
+          "orders.o_orderpriority) as cw, " +
+          "floor(ln(cast(orders.o_orderkey + 1 as double)) " +
+          "* 1000000.0) as l, " +
+          "floor(exp(cast(mod(orders.o_orderkey, 5) as double)) " +
+          "* 1000000.0) as ex, " +
+          "floor(log2(cast(orders.o_orderkey + 1 as double)) " +
+          "* 1000000.0) as l2, " +
+          "floor(log10(cast(orders.o_orderkey + 1 as double)) " +
+          "* 1000000.0) as l10 " +
+          "from orders where orders.o_orderkey <= 300 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  extract(year FROM o_orderdate) AS y,
+             |  extract(month FROM o_orderdate) AS m,
+             |  concat_ws('-', o_orderstatus, o_orderpriority) AS cw,
+             |  CAST(floor(ln(CAST(o_orderkey + 1 AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS l,
+             |  CAST(floor(exp(CAST(mod(o_orderkey, 5) AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS ex,
+             |  CAST(floor(log2(CAST(o_orderkey + 1 AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS l2,
+             |  CAST(floor(log10(CAST(o_orderkey + 1 AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS l10
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ARITHMETIC window keys (round 14): `partition by t.k % 10` — the
+    // expression-key machinery headed by a column; computes scan-side
+    // under a reserved name, sheds after the window.
+    "hashql_win_arith_key" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_custkey, " +
+          "rank() over (partition by orders.o_custkey % 10 " +
+          "order by orders.o_orderkey) as r " +
+          "from orders where orders.o_orderkey <= 2000 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  rank() OVER (PARTITION BY o_custkey % 10
+             |    ORDER BY o_orderkey) AS r
+             |FROM orders WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // TPC-H Q4 (order priority checking) shape: grouped counts gated by
     // an EXISTS whose late-shipment test is a CROSS comparison
     // (l_shipdate > o_orderdate — inner column vs outer column, riding
@@ -3416,6 +3471,25 @@ object HashqlSuite extends Suite {
              |LATERAL ( SELECT o_orderkey AS ok, o_totalprice AS tp
              |  FROM orders WHERE o_custkey = c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 ) x
+             |WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // LEFT JOIN LATERAL (round 14): the keep-miss variant of the
+    // row-returning lateral — orderless customers survive with NULL
+    // lateral outputs; same keyed-window + equi-join plan, LEFT type.
+    "hashql_left_join_lateral" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, x.ok from customer " +
+          "left join lateral ( select orders.o_orderkey as ok " +
+          "from orders where orders.o_custkey = customer.c_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey " +
+          "limit 1 ) x on true " +
+          "where customer.c_custkey <= 300 order by customer.c_custkey"),
+      Some("""SELECT c_custkey, x.ok FROM customer
+             |LEFT JOIN LATERAL ( SELECT o_orderkey AS ok
+             |  FROM orders WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 ) x
+             |  ON true
              |WHERE c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 

@@ -317,6 +317,15 @@ object HashQL {
       // the r13 divergence note predates ANSI; try_strptime below is
       // the forgiving NULL pair, also engine-shared)
       "strftime" -> Set(2), "strptime" -> Set(2),
+      // round-14 tier 6: concat_ws skips NULL arguments on BOTH engines
+      // (unlike the null-propagating concat/|| chain) — the separator
+      // is a static literal (Spark's concat_ws signature); ln/exp/
+      // log2/log10 agree with DuckDB within 1 ulp but are NOT
+      // correctly-rounded across libms (probed — unlike sqrt/power),
+      // so exact cross-engine checks compare a scaled-integer rendering
+      "concat_ws" -> (3 to 8).toSet,
+      "ln" -> Set(1), "exp" -> Set(1), "log2" -> Set(1),
+      "log10" -> Set(1),
       // try_strptime (round-14 — closes the r13 documented divergence):
       // under Spark 4's ANSI default, to_timestamp RAISES on malformed
       // input exactly like DuckDB's strptime — so plain strptime is
@@ -374,6 +383,11 @@ object HashQL {
         case ELit(_: String) => true
         case _ => false
       }, "translate's from/to arguments must be quoted string literals")
+    if (fn == "concat_ws")
+      require(args.head match {
+        case ELit(_: String) => true
+        case _ => false
+      }, "concat_ws's separator must be a quoted string literal")
     if (fn == "strftime" || fn == "strptime" || fn == "try_strptime")
       require(args(1) match {
         case ELit(f: String) =>
@@ -834,7 +848,13 @@ object HashQL {
                           // outer frame (count coalesces to 0 — the
                           // empty-group aggregate row ANSI's
                           // cross-lateral produces); never per-row.
-                          laterals: Seq[(String, Select)] = Nil)
+                          // The Boolean marks `left join lateral … on
+                          // true` (round-14): a row-returning body
+                          // KEEPS unmatched outer rows (NULL-extended)
+                          // instead of dropping them (aggregate bodies
+                          // always yield one row, so the flag is
+                          // irrelevant there).
+                          laterals: Seq[(String, Select, Boolean)] = Nil)
     extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
@@ -1959,7 +1979,7 @@ object HashQL {
       // reading could differ from the head-of-list build).
       val fromList = scala.collection.mutable.ArrayBuffer.empty[String]
       val lateralList =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Select)]
+        scala.collection.mutable.ArrayBuffer.empty[(String, Select, Boolean)]
       while (is(",") || (is("cross") && peekAt(1).equalsIgnoreCase("join"))) {
         if (is(",")) next() else { next(); next() }
         // `, lateral ( select <aggs> … where u.k = t.k ) x` (round-13):
@@ -1969,7 +1989,7 @@ object HashQL {
           next(); kw("("); kw("select")
           val body = selectRest()
           kw(")")
-          lateralList += sourceName("a LATERAL subquery") -> body
+          lateralList += ((sourceName("a LATERAL subquery"), body, false))
         } else fromList += fromSource()
       }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
@@ -1983,7 +2003,24 @@ object HashQL {
             if (k != "inner" && is("outer")) next() // LEFT|RIGHT|FULL OUTER
             k
           }
-        kw("join"); val t = fromSource(); kw("on")
+        kw("join")
+        // `[left|inner] join lateral ( select … ) x on true` (round-14):
+        // the EXPLICIT-join lateral — LEFT keeps unmatched outer rows
+        // NULL-extended (the row-returning keep-miss variant);
+        // correlation lives inside the body, so the ON clause is the
+        // ANSI-mandated constant TRUE
+        if (is("lateral")) {
+          require(kind == "inner" || kind == "left",
+            s"$kind JOIN LATERAL is not supported — LATERAL joins are " +
+              "INNER (drop on empty) or LEFT (NULL-extend on empty)")
+          next(); kw("("); kw("select")
+          val body = selectRest()
+          kw(")")
+          val nm = sourceName("a LATERAL subquery")
+          kw("on"); kw("true")
+          lateralList += ((nm, body, kind == "left"))
+        } else {
+        val t = fromSource(); kw("on")
         // the FIRST conjunct is the hash-join equality key
         val l = colRef(); kw("="); val r = colRef()
         // `on a = b and c <op> d` — the AND binds to the ON clause;
@@ -2007,6 +2044,7 @@ object HashQL {
           extras += ((l2, op, rhs))
         }
         joins += JoinClause(t, l, r, kind, extras.toSeq)
+        }
       }
       // a CROSS JOIN spelled after an ON-join would need ANSI's strict
       // left-associative build; the head-of-list form is equivalent for
@@ -2374,7 +2412,8 @@ object HashQL {
       "datediff", "last_day", "sqrt", "greatest", "least",
       "ltrim", "rtrim", "reverse", "repeat", "left", "right",
       "strpos", "translate", "ascii", "md5", "sign", "power", "strftime",
-      "strptime", "try_strptime")
+      "strptime", "try_strptime", "extract", "concat_ws",
+      "ln", "exp", "log2", "log10")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -2397,6 +2436,24 @@ object HashQL {
         }
         kw(")")
         ECast(e, ty)
+      }
+      else if (is("extract") && peekAt(1) == "(") {
+        // `extract ( <part> from <expr> )` (round-12; round-14 moved it
+        // AHEAD of the generic function branch and added `extract` to
+        // exprFuncs, so the sugar also heads WHERE predicates, GROUP BY
+        // keys, and window keys) — ANSI sugar for the date-part
+        // functions; parts limited to the engine-agreeing set
+        // (dayofweek deliberately absent, like the function forms)
+        next(); kw("(")
+        val part = next().toLowerCase
+        require(Set("year", "month", "day", "hour", "minute", "quarter",
+          "week", "dayofyear").contains(part),
+          s"extract takes year|month|day|hour|minute|quarter|week|" +
+            s"dayofyear, got $part")
+        kw("from")
+        val e = exprTree()
+        kw(")")
+        EFunc(part, Seq(e))
       }
       else if (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") {
         // scalar function call — name must be immediately followed by '('
@@ -2443,20 +2500,6 @@ object HashQL {
         val els = if (is("else")) { next(); Some(exprTree()) } else None
         kw("end")
         ECase(brs.toSeq, els)
-      }
-      else if (is("extract") && peekAt(1) == "(") {
-        // `extract ( <part> from <expr> )` (round-12) — ANSI sugar for
-        // the date-part functions; parts limited to the engine-agreeing
-        // set (dayofweek deliberately absent, like the function forms)
-        next(); kw("(")
-        val part = next().toLowerCase
-        require(Set("year", "month", "day", "hour", "minute", "quarter",
-          "week", "dayofyear").contains(part),
-          s"extract takes year|month|day|hour|minute|quarter|week|dayofyear, got $part")
-        kw("from")
-        val e0 = exprTree()
-        kw(")")
-        EFunc(part, Seq(e0))
       }
       else if ((is("date") || is("timestamp")) && peekAt(1).startsWith("'")) {
         // typed temporal literal in expression position — `date
@@ -2576,13 +2619,30 @@ object HashQL {
           val n = s"graft_wk${deps.length}"
           deps += n -> ExprItem(e, n)
           ColRef("", n)
-        } else if (peekIsColRef) colRef()
+        } else if (peekIsColRef) {
+          val r = colRef()
+          // ARITHMETIC continuation (round-14): `partition by t.k % 2`
+          // — the expression-key machinery, headed by a column instead
+          // of a function
+          if (arithOps.contains(peek)) {
+            val e = exprTreeFrom(ECol(r))
+            val n = s"graft_wk${deps.length}"
+            deps += n -> ExprItem(e, n)
+            ColRef("", n)
+          } else r
+        }
         else {
           val t = next()
           require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
             s"expected a window key (t.col, an output alias, an " +
               s"aggregate call, or an expression), got $t")
-          ColRef("", t)
+          val r = ColRef("", t)
+          if (arithOps.contains(peek)) {
+            val e = exprTreeFrom(ECol(r))
+            val n = s"graft_wk${deps.length}"
+            deps += n -> ExprItem(e, n)
+            ColRef("", n)
+          } else r
         }
       val part = if (is("partition")) {
         next(); kw("by")
@@ -3356,6 +3416,14 @@ object HashQL {
           args(2).asInstanceOf[ELit].v.asInstanceOf[String])
         case "ascii" => ascii(a(0))
         case "md5" => md5(a(0))
+        // round-14 tier 6: null-skipping separator join (both engines
+        // skip NULL args); IEEE-exact logarithms/exponential like sqrt
+        case "concat_ws" => concat_ws(
+          args.head.asInstanceOf[ELit].v.asInstanceOf[String], a.tail: _*)
+        case "ln" => log(a(0))
+        case "exp" => exp(a(0))
+        case "log2" => log2(a(0))
+        case "log10" => log10(a(0))
         case "sign" => signum(a(0)).cast("long")
         case "power" => pow(a(0), a(1))
         // DuckDB %-codes → Spark's date_format pattern (the format is a
@@ -4915,7 +4983,7 @@ object HashQL {
       // lateral bodies correlate with the outer aliases — pure ref
       // rewrite under the subquery visibility rule (their own FROM
       // names shadow)
-      laterals = sel.laterals.map { case (n, b) => (n, subSel(b)) },
+      laterals = sel.laterals.map { case (n, b, o) => (n, subSel(b), o) },
       aliases = Nil)
   }
 
@@ -4984,7 +5052,7 @@ object HashQL {
       // lateral bodies CORRELATE with the outer scope — rewrite their
       // outer refs under the same visibility rule as subquery predicates
       // (the body's own FROM names shadow)
-      laterals = s0.laterals.map { case (n, b) => (n, subSel(b)) })
+      laterals = s0.laterals.map { case (n, b, o) => (n, subSel(b), o) })
   }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
@@ -5100,8 +5168,8 @@ object HashQL {
         // so outer conjuncts may filter on lateral outputs (`where
         // t.cnt > 5`) — Catalyst still pushes outer-only conjuncts
         // below the lateral join
-        sel.laterals.foreach { case (nm, body) =>
-          df = lateralJoin(cat, df, nm, body, registry)
+        sel.laterals.foreach { case (nm, body, outerJoin) =>
+          df = lateralJoin(cat, df, nm, body, registry, outerJoin)
         }
         df = applyWheres(cat, df, wheres, registry)
         // SCALE GUARD (round-13, comma joins): a comma-joined select
@@ -5249,12 +5317,18 @@ object HashQL {
                   if (a.startsWith("graft_gk")) keepGk += a
                   n -> col(a)
                 case None =>
-                  val bad = exprRefs(e).diff(gkSet)
+                  // legal refs: grouping keys, aggregate auto-aliases,
+                  // and computed projections — everything present on
+                  // the aggregated frame when the key recomputes
+                  val allowed = gkSet ++ itemAliases ++
+                    groupExprs.map(_.alias)
+                  val bad = exprRefs(e).diff(allowed)
                   require(bad.isEmpty,
                     "a grouped window's computed key must be a function " +
-                      s"of the grouping keys — ${bad.mkString(", ")} is " +
-                      "not a grouping key (project the expression `as " +
-                      "<alias>` and group by it)")
+                      "of the grouping keys or projected outputs — " +
+                      s"${bad.mkString(", ")} is not a grouping key " +
+                      "(project the expression `as <alias>` and group " +
+                      "by it)")
                   n -> exprColumn(cat, e)
               }
             }
@@ -6255,14 +6329,16 @@ object HashQL {
     * Never a per-outer-row evaluation at any scale. */
   private def lateralJoin(cat: GraftCatalog, outer: DataFrame, nm: String,
                           body: Select,
-                          registry: Option[JoinRegistry]): DataFrame = {
+                          registry: Option[JoinRegistry],
+                          outerJoin: Boolean = false): DataFrame = {
     val bodyTables = fromTables(body)
     val rowReturning = body.items.nonEmpty && body.items.forall {
       case _: Field | _: ExprItem => true
       case _ => false
     }
     if (rowReturning)
-      return lateralTopK(cat, outer, nm, body, registry, bodyTables)
+      return lateralTopK(cat, outer, nm, body, registry, bodyTables,
+        outerJoin)
     require(body.items.nonEmpty && body.items.forall {
       case _: AggCall | CountStar | _: AggExprItem | _: StringAggItem |
            _: ArgExtremeItem => true
@@ -6456,7 +6532,8 @@ object HashQL {
     * is engine-dependent. */
   private def lateralTopK(cat: GraftCatalog, outer: DataFrame, nm: String,
                           body: Select, registry: Option[JoinRegistry],
-                          bodyTables: Set[String]): DataFrame = {
+                          bodyTables: Set[String],
+                          outerJoin: Boolean = false): DataFrame = {
     require(body.orderBy.nonEmpty && body.limit.isDefined,
       s"a row-returning LATERAL ($nm) pins its rows with ORDER BY … " +
         "LIMIT k — without them every inner row would join (spell that " +
@@ -6500,7 +6577,11 @@ object HashQL {
       require(clash.isEmpty,
         s"LATERAL $nm outputs collide with outer columns: " +
           s"${clash.mkString(", ")} — alias the projections (as <name>)")
-      return outer.crossJoin(lat)
+      // LEFT JOIN LATERAL keeps outer rows even when the (≤k-row)
+      // global top-k is EMPTY — a condition-less left join against the
+      // broadcast-sized frame; the cross join would drop everything
+      return if (outerJoin) outer.join(lat, lit(true), "left")
+             else outer.crossJoin(lat)
     }
     val probe = body.copy(
       items = innerKeys.map(Field(_)) ++ body.items ++ sortItems,
@@ -6535,7 +6616,10 @@ object HashQL {
         s"${clash.mkString(", ")} — alias the projections (as <name>)")
     val cond = corrPairs.map { case (in, out) =>
       outer(out.column) === lat(keyRename(in.column)) }.reduce(_ && _)
-    outer.join(lat, cond, "inner").drop(keyRename.values.toSeq: _*)
+    // comma/INNER lateral drops empty-subquery outer rows (ANSI CROSS
+    // APPLY); LEFT JOIN LATERAL keeps them NULL-extended (round-14)
+    outer.join(lat, cond, if (outerJoin) "left" else "inner")
+      .drop(keyRename.values.toSeq: _*)
   }
 
   private def subqueryFrame(cat: GraftCatalog, sub: Select,

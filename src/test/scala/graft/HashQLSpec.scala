@@ -2998,11 +2998,13 @@ class HashQLSpec extends SparkSpec {
         "lateral ( select ordL.o_orderkey from ordL " +
         "where ordL.o_custkey = custL.c_custkey ) t"))
     assert(e1.getMessage.contains("ORDER BY"), e1.getMessage)
+    // round-14: a range conjunct now decorrelates WITH an equality key
+    // alongside; pure-range still rejects (no hash key)
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "select custL.c_custkey, t.cnt from custL, " +
         "lateral ( select count(*) from ordL " +
         "where ordL.o_custkey < custL.c_custkey ) t"))
-    assert(e2.getMessage.contains("equality conjuncts"), e2.getMessage)
+    assert(e2.getMessage.contains("equality conjunct"), e2.getMessage)
   }
 
   test("DELETE … USING: the join-delete (round-13)") {
@@ -3312,6 +3314,20 @@ class HashQLSpec extends SparkSpec {
         "lateral ( select ord14.ok from ord14 " +
         "where ord14.ck = cust14.ck ) x"))
     assert(bare.getMessage.contains("ORDER BY"))
+    // LEFT JOIN LATERAL keeps the orderless outer row NULL-extended
+    val kept = HashQL.execute(cat,
+      "select cust14.ck, coalesce(x.ok, -1) as ok from cust14 " +
+        "left join lateral ( select ord14.ok from ord14 " +
+        "where ord14.ck = cust14.ck order by ord14.amt desc, ord14.ok " +
+        "limit 1 ) x on true order by cust14.ck").get
+      .as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, 11L), (2L, 20L), (3L, -1L)))
+    // RIGHT/FULL JOIN LATERAL reject
+    val rj = intercept[IllegalArgumentException](HashQL.parse(
+      "select cust14.ck from cust14 right join lateral " +
+        "( select ord14.ok from ord14 where ord14.ck = cust14.ck " +
+        "order by ord14.ok limit 1 ) x on true"))
+    assert(rj.getMessage.contains("JOIN LATERAL"), rj.getMessage)
   }
 
   test("MERGE INTO: upsert semantics, one commit, id synthesis (round-14)") {
@@ -3382,6 +3398,35 @@ class HashQLSpec extends SparkSpec {
     // at least one WHEN clause
     intercept[IllegalArgumentException](HashQL.parse(
       "merge into tgt using srcx on tgt.k = srcx.k"))
+  }
+
+  test("scalar tier 6: EXTRACT sugar, concat_ws null-skip, logs (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into t6 (d, a, b) values ('2021-03-15', 'x', 'y')")
+    HashQL.execute(cat, "insert into t6 (d, a) values ('2022-07-01', 'z')")
+    val got = HashQL.execute(cat,
+      "select extract(year from cast(t6.d as date)) as y, " +
+        "concat_ws('-', t6.a, t6.b) as cw, log2(4.0) as l2 from t6 " +
+        "order by y").get.collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2021L, 2022L))
+    assert(got.map(_.getString(1)).toSeq == Seq("x-y", "z")) // null SKIPPED
+    assert(got.map(_.getDouble(2)).toSeq == Seq(2.0, 2.0))
+    // extract in a WHERE predicate (the expression head-check wiring)
+    assert(HashQL.execute(cat,
+      "select t6.a from t6 " +
+        "where extract(year from cast(t6.d as date)) = 2022").get
+      .as[String].collect().toSeq == Seq("z"))
+    // a bad unit is a parse-time reject
+    intercept[IllegalArgumentException](HashQL.parse(
+      "select extract(century from cast(t6.d as date)) as c from t6"))
+    // arithmetic window keys: partition by k % 2 (scan-side, shed)
+    HashQL.execute(cat,
+      "insert into wk (k, v) values (1, 10), (2, 20), (3, 30), (4, 40)")
+    val w = HashQL.execute(cat,
+      "select wk.k, sum(wk.v) over (partition by wk.k % 2) as s from wk " +
+        "order by wk.k").get.as[(Long, Long)].collect().toSeq
+    assert(w == Seq((1L, 40L), (2L, 60L), (3L, 40L), (4L, 60L)))
   }
 
   test("range-correlated LATERAL aggregates decorrelate over tuples (round-14)") {
