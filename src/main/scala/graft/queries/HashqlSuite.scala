@@ -2295,6 +2295,55 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // PIVOT (round 14 — DuckDB's simplified PIVOT with an explicit IN
+    // list): per-linestatus quantity sums spread over the return
+    // flags — ONE partial-agg'd aggregation (explicit values = no
+    // distinct-values pre-job), empty sum cells NULL on both engines.
+    "hashql_pivot" -> Q(
+      (s, d) => run(s, d,
+        "pivot lineitem on lineitem.l_returnflag in ('A', 'N', 'R') " +
+          "using sum(lineitem.l_quantity) group by lineitem.l_linestatus"),
+      Some("""PIVOT lineitem ON l_returnflag IN ('A', 'N', 'R')
+             |USING sum(l_quantity) GROUP BY l_linestatus""".stripMargin)),
+
+    // PIVOT with count (round 14): DuckDB renders empty count cells 0
+    // where Spark's pivot leaves NULL — the lowering coalesces for
+    // engine parity.
+    "hashql_pivot_count" -> Q(
+      (s, d) => run(s, d,
+        "pivot orders on orders.o_orderstatus in ('O', 'F', 'P') " +
+          "using count(*) group by orders.o_orderpriority"),
+      Some("""PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+             |USING count(*) GROUP BY o_orderpriority""".stripMargin)),
+
+    // UNPIVOT (round 14): melt three same-typed measures into
+    // (name, value) rows — a per-row Expand, zero shuffles; NULL cells
+    // drop (DuckDB semantics, filtered on the Spark side).
+    "hashql_unpivot" -> Q(
+      (s, d) => run(s, d,
+        "unpivot part on (part.p_size, part.p_partkey) " +
+          "into name m value v"),
+      Some("""UNPIVOT part ON p_size, p_partkey
+             |INTO NAME m VALUE v""".stripMargin)),
+
+    // NULLABLE window order keys (round 14): a nullif-computed key
+    // plants NULLs — the window's ASC pins NULLS LAST like the
+    // statement-level ORDER BY (Spark's asc default is nulls-first,
+    // DuckDB's nulls-last; unpinned, every O-status row would rank
+    // FIRST on one engine and LAST on the other).
+    "hashql_win_null_keys" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, rank() over " +
+          "(partition by orders.o_custkey " +
+          "order by nullif(orders.o_orderstatus, 'O'), " +
+          "orders.o_orderkey) as r " +
+          "from orders where orders.o_orderkey <= 2000 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey, rank() OVER (PARTITION BY o_custkey
+             |  ORDER BY nullif(o_orderstatus, 'O'), o_orderkey) AS r
+             |FROM orders WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ARITHMETIC window keys (round 14): `partition by t.k % 10` — the
     // expression-key machinery headed by a column; computes scan-side
     // under a reserved name, sheds after the window.

@@ -737,6 +737,35 @@ object HashQL {
     require(matched.map(_._1.column).distinct.size == matched.size,
       "duplicate WHEN MATCHED target column")
   }
+  /** `pivot <table> on <t.k> in (<lit>, …) using <agg>(t.v | *) group
+    * by <t.g> [, …]` (round-14 — DuckDB's simplified PIVOT with an
+    * explicit IN list): one row per group, one column per IN value
+    * (named by the value), each cell the aggregate over that (group,
+    * value) slice. Lowered to Spark's native
+    * `groupBy(g).pivot(k, values).agg(…)` — with EXPLICIT values the
+    * plan is ONE partial-agg'd aggregation (no extra distinct-values
+    * job), each value a codegen'd conditional aggregate; count cells
+    * coalesce to 0 (DuckDB renders empty count cells 0 where Spark
+    * leaves NULL; sum/avg/min/max stay NULL on both engines). */
+  final case class Pivot(table: String, on: ColRef, values: Seq[Any],
+                         fn: String, arg: Option[ColRef],
+                         groupBy: Seq[ColRef]) extends Stmt {
+    require(Set("count", "sum", "avg", "min", "max").contains(fn),
+      s"pivot aggregates count/sum/avg/min/max, got $fn")
+    require(fn == "count" || arg.nonEmpty,
+      s"pivot $fn needs a column argument")
+    require(values.nonEmpty, "pivot needs at least one IN value")
+  }
+  /** `unpivot <table> on (<t.c1>, <t.c2>, …) into name <n> value <v>`
+    * (round-14 — DuckDB's UNPIVOT): melt the listed same-typed columns
+    * into (name, value) rows, every other column carried along; NULL
+    * cells DROP (DuckDB semantics — Spark's native unpivot keeps them,
+    * so one scan-side filter follows). Zero shuffles: unpivot is a
+    * per-row Expand. */
+  final case class Unpivot(table: String, cols: Seq[ColRef],
+                           nameCol: String, valueCol: String) extends Stmt {
+    require(cols.nonEmpty, "unpivot needs at least one ON column")
+  }
   /** orderBy: (column, descending) pairs; limit: row cap; having:
     * post-aggregation conjuncts. All growth beyond the reference (its SQL
     * surface has no sorts or HAVING — ordering exists only on the KV
@@ -1047,6 +1076,8 @@ object HashQL {
       case "update" => updateRest()
       case "delete" => kw("from"); deleteRest()
       case "merge" => kw("into"); mergeRest()
+      case "pivot" => pivotRest()
+      case "unpivot" => unpivotRest()
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
@@ -1280,6 +1311,44 @@ object HashQL {
         }
       }
       Merge(t, u, pairs.toSeq, matched, notMatched, matchedDelete)
+    }
+
+    /** `pivot t on t.k in ('a', 'b') using sum(t.v) group by t.g` —
+      * see [[Pivot]]. */
+    private def pivotRest(): Pivot = {
+      val t = next()
+      kw("on"); val on = colRef()
+      kw("in"); kw("(")
+      val vs = scala.collection.mutable.ArrayBuffer(literal())
+      while (is(",")) { next(); vs += literal() }
+      kw(")")
+      kw("using")
+      val fn = next().toLowerCase
+      kw("(")
+      val arg = if (is("*")) { next(); None } else Some(colRef())
+      kw(")")
+      kw("group"); kw("by")
+      val gs = scala.collection.mutable.ArrayBuffer(colRef())
+      while (is(",")) { next(); gs += colRef() }
+      Pivot(t, on, vs.toSeq, fn, arg, gs.toSeq)
+    }
+
+    /** `unpivot t on (t.c1, t.c2) into name k value v` — see
+      * [[Unpivot]]. */
+    private def unpivotRest(): Unpivot = {
+      val t = next()
+      kw("on"); kw("(")
+      val cs = scala.collection.mutable.ArrayBuffer(colRef())
+      while (is(",")) { next(); cs += colRef() }
+      kw(")")
+      kw("into"); kw("name")
+      val n = next()
+      kw("value")
+      val v = next()
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        v.matches("[A-Za-z_][A-Za-z0-9_]*") && n != v,
+        s"unpivot needs two distinct plain output names, got $n / $v")
+      Unpivot(t, cs.toSeq, n, v)
     }
 
     private def deleteRest(): Delete = {
@@ -3660,10 +3729,15 @@ object HashQL {
     val spec0 =
       if (w.part.isEmpty) Window.partitionBy()
       else Window.partitionBy(w.part.map(p => col(p.column)): _*)
+    // ASC pins NULLS LAST (round-14): Spark's asc default is
+    // nulls-FIRST while DuckDB's is nulls-last — a nullable window
+    // order key would rank rows differently per engine (the same
+    // pinning the statement-level ORDER BY has carried since round 12;
+    // desc defaults already agree on nulls-last)
     val ordered =
       if (w.order.isEmpty) spec0
       else spec0.orderBy(w.order.map { case (r, d) =>
-        if (d) col(r.column).desc else col(r.column).asc }: _*)
+        if (d) col(r.column).desc else col(r.column).asc_nulls_last }: _*)
     // ROWS frames carry their (lo, hi) offsets from the parser (unbounded
     // = Long.MinValue/MaxValue — Spark's Window.unbounded* sentinels);
     // Spark and DuckDB share the frame semantics, and the frame's
@@ -4308,6 +4382,39 @@ object HashQL {
           }
         registry.foreach(_.onDelete(cat, t, deleted))
         None
+      case Pivot(t, on, values, fn, arg, gs) =>
+        val df = cat.table(t)
+        val aggc = fn match {
+          case "count" => arg.fold(count(lit(1)))(r => count(col(r.column)))
+          case "sum" => sum(col(arg.get.column))
+          case "avg" => avg(col(arg.get.column))
+          case "min" => min(col(arg.get.column))
+          case "max" => max(col(arg.get.column))
+        }
+        // EXPLICIT values → ONE partial-agg'd aggregation, no
+        // distinct-values pre-job; each IN value becomes a codegen'd
+        // conditional aggregate column named by the value
+        var out = df.groupBy(gs.map(g => col(g.column)): _*)
+          .pivot(on.column, values).agg(aggc)
+        // DuckDB renders an empty COUNT cell 0 (sum/avg/min/max stay
+        // NULL on both engines)
+        if (fn == "count")
+          out = values.foldLeft(out)((d, v) =>
+            d.withColumn(v.toString, coalesce(col(s"`${v.toString}`"),
+              lit(0L))))
+        Some(out)
+      case Unpivot(t, cols, nameC, valueC) =>
+        val df = cat.table(t)
+        val onSet = cols.map(_.column).toSet
+        val missing = onSet.diff(df.columns.toSet)
+        require(missing.isEmpty,
+          s"unpivot: no such column(s): ${missing.mkString(", ")}")
+        require(!df.columns.contains(nameC) && !df.columns.contains(valueC),
+          s"unpivot output names $nameC/$valueC collide with $t's columns")
+        val ids = df.columns.filterNot(onSet).map(col)
+        // NULL cells DROP (DuckDB's UNPIVOT; Spark's keeps them)
+        Some(df.unpivot(ids, cols.map(c => col(c.column)).toArray,
+          nameC, valueC).filter(col(valueC).isNotNull))
       case cj: CreateJoin =>
         registry.getOrElse(throw new IllegalStateException(
           "create join needs a JoinRegistry")).put(cj); None

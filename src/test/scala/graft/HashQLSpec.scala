@@ -3400,6 +3400,51 @@ class HashQLSpec extends SparkSpec {
       "merge into tgt using srcx on tgt.k = srcx.k"))
   }
 
+  test("PIVOT / UNPIVOT statements (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into pv (g, k, v) values ('a', 'x', 1), ('a', 'x', 2), " +
+        "('a', 'y', 3), ('b', 'y', 4)")
+    // sum pivot: empty cells NULL
+    val p = HashQL.execute(cat,
+      "pivot pv on pv.k in ('x', 'y', 'z') using sum(pv.v) " +
+        "group by pv.g").get.orderBy("g")
+      .as[(String, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(p == Seq(("a", Some(3L), Some(3L), None),
+      ("b", None, Some(4L), None)))
+    // count pivot: empty cells 0 (DuckDB parity)
+    val c = HashQL.execute(cat,
+      "pivot pv on pv.k in ('x', 'y') using count(*) group by pv.g")
+      .get.orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(c == Seq(("a", 2L, 1L), ("b", 0L, 1L)))
+    // unpivot: NULL cells drop, other columns carry
+    HashQL.execute(cat,
+      "insert into up (g, x, y) values ('a', 1, null), ('b', 2, 3)")
+    val u = HashQL.execute(cat,
+      "unpivot up on (up.x, up.y) into name m value v").get
+      .select("g", "m", "v").orderBy("g", "m")
+      .as[(String, String, Long)].collect().toSeq
+    assert(u == Seq(("a", "x", 1L), ("b", "x", 2L), ("b", "y", 3L)))
+    // guards
+    intercept[IllegalArgumentException](HashQL.parse(
+      "pivot pv on pv.k in ('x') using median(pv.v) group by pv.g"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "unpivot up on (up.zz) into name m value v"))
+    intercept[IllegalArgumentException](HashQL.execute(cat,
+      "unpivot up on (up.x) into name g value v")) // name collides
+  }
+
+  test("window order keys pin NULLS LAST on ASC (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into wn (g, k, v) values ('a', 1, 10)")
+    HashQL.execute(cat, "insert into wn (g, v) values ('a', 20)") // k → null
+    val got = HashQL.execute(cat,
+      "select wn.v, rank() over (partition by wn.g order by wn.k) as r " +
+        "from wn order by wn.v").get.as[(Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 1), (20L, 2))) // the null key ranks LAST
+  }
+
   test("scalar tier 6: EXTRACT sugar, concat_ws null-skip, logs (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
