@@ -2295,6 +2295,24 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // list tier (round 14): len / list_contains / array_to_string over
+    // split's regex-delimited arrays — the word-count / membership /
+    // re-join idioms on the documents table, all scan-side codegen.
+    "hashql_list_funcs" -> Q(
+      (s, d) => run(s, d,
+        "select documents.doc_id, " +
+          "len(split(documents.text, ' ')) as nw, " +
+          "list_contains(split(documents.text, ' '), 'the') as hast, " +
+          "array_to_string(split(documents.text, ','), '|') as ats " +
+          "from documents where documents.doc_id <= 200 " +
+          "order by documents.doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(text, ' ')) AS nw,
+             |  list_contains(string_split_regex(text, ' '), 'the') AS hast,
+             |  array_to_string(string_split_regex(text, ','), '|') AS ats
+             |FROM documents WHERE doc_id <= 200
+             |ORDER BY doc_id""".stripMargin)),
+
     // PIVOT (round 14 — DuckDB's simplified PIVOT with an explicit IN
     // list): per-linestatus quantity sums spread over the return
     // flags — ONE partial-agg'd aggregation (explicit values = no

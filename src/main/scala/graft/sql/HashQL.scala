@@ -326,6 +326,14 @@ object HashQL {
       "concat_ws" -> (3 to 8).toSet,
       "ln" -> Set(1), "exp" -> Set(1), "log2" -> Set(1),
       "log10" -> Set(1),
+      // round-14 list tier (composes with split's regex-delimited
+      // arrays): len = element count (BIGINT on both engines — Spark
+      // size pins long), list_contains = membership (null-propagating
+      // both), array_to_string joins with a STATIC separator (DuckDB
+      // array_to_string ≡ Spark array_join; both skip nothing — NULL
+      // elements become empty on neither engine's split output)
+      "len" -> Set(1), "list_contains" -> Set(2),
+      "array_to_string" -> Set(2),
       // try_strptime (round-14 — closes the r13 documented divergence):
       // under Spark 4's ANSI default, to_timestamp RAISES on malformed
       // input exactly like DuckDB's strptime — so plain strptime is
@@ -388,6 +396,11 @@ object HashQL {
         case ELit(_: String) => true
         case _ => false
       }, "concat_ws's separator must be a quoted string literal")
+    if (fn == "array_to_string")
+      require(args(1) match {
+        case ELit(_: String) => true
+        case _ => false
+      }, "array_to_string's separator must be a quoted string literal")
     if (fn == "strftime" || fn == "strptime" || fn == "try_strptime")
       require(args(1) match {
         case ELit(f: String) =>
@@ -2482,7 +2495,8 @@ object HashQL {
       "ltrim", "rtrim", "reverse", "repeat", "left", "right",
       "strpos", "translate", "ascii", "md5", "sign", "power", "strftime",
       "strptime", "try_strptime", "extract", "concat_ws",
-      "ln", "exp", "log2", "log10")
+      "ln", "exp", "log2", "log10",
+      "len", "list_contains", "array_to_string")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -3493,6 +3507,11 @@ object HashQL {
         case "exp" => exp(a(0))
         case "log2" => log2(a(0))
         case "log10" => log10(a(0))
+        // round-14 list tier — all codegen'd array ops, scan-side
+        case "len" => size(a(0)).cast("long")
+        case "list_contains" => array_contains(a(0), a(1))
+        case "array_to_string" => array_join(a(0),
+          args(1).asInstanceOf[ELit].v.asInstanceOf[String])
         case "sign" => signum(a(0)).cast("long")
         case "power" => pow(a(0), a(1))
         // DuckDB %-codes → Spark's date_format pattern (the format is a

@@ -840,6 +840,53 @@ class ScaleSpec extends SparkSpec {
     df.count()
   }
 
+  test("MERGE / UPDATE FROM / PIVOT plan shapes: hash joins, one aggregation (round-14)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("customer", Tables.t(spark, sf, "customer"))
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    // PIVOT with EXPLICIT values: one aggregation pair (partial+final),
+    // no distinct-values pre-job, never a cartesian
+    val p = HashQL.execute(cat,
+      "pivot orders on orders.o_orderstatus in ('O', 'F', 'P') " +
+        "using count(*) group by orders.o_custkey").get
+    val pp = p.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp.take(1200))
+    // Spark's pivot-with-values plan: per-(group, value) cell aggregate
+    // then a PivotFirst aggregate — TWO partial+final pairs, both
+    // key-partitioned (4 physical nodes); anything more would mean a
+    // distinct-values job leaked in
+    val nAgg = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(pp).length
+    assert(nAgg <= 4, s"pivot planned $nAgg aggregate nodes:\n${pp.take(1200)}")
+    p.count()
+    // MERGE: the committed plan is one left join + one anti join over
+    // the reserve-renamed source — hash joins only
+    HashQL.execute(cat,
+      "insert into d14 (ck, nb) values (1, 111), (999999999, 5)")
+    HashQL.execute(cat,
+      "merge into customer using d14 on customer.c_custkey = d14.ck " +
+        "when matched then update set customer.c_acctbal = d14.nb " +
+        "when not matched then insert (c_custkey, c_acctbal) " +
+        "values (d14.ck, d14.nb)")
+    val mp = cat.table("customer").queryExecution.executedPlan.toString
+    assert(!mp.contains("CartesianProduct") &&
+      !mp.contains("BroadcastNestedLoopJoin"),
+      s"MERGE planned per-row:\n${mp.take(1500)}")
+    cat.table("customer").count()
+    // UPDATE … FROM: one hit-guarded join projection — hash joins only
+    HashQL.execute(cat,
+      "update customer set customer.c_acctbal = d14.nb from d14 " +
+        "where customer.c_custkey = d14.ck")
+    val up = cat.table("customer").queryExecution.executedPlan.toString
+    assert(!up.contains("CartesianProduct") &&
+      !up.contains("BroadcastNestedLoopJoin"),
+      s"UPDATE FROM planned per-row:\n${up.take(1500)}")
+    cat.table("customer").count()
+  }
+
   test("DISTINCT ON plans a keyed window — partition exchange, never a global sort (round-13)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
