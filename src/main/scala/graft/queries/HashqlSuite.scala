@@ -2295,6 +2295,49 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // IGNORE NULLS (round 14, DuckDB's in-paren spelling): lag skips
+    // NULL values when picking the offset row, first_value the frame's
+    // leading NULLs — the gap-fill / last-observation idioms. The
+    // oracle builds the same rows inline and runs DuckDB's own IGNORE
+    // NULLS, so the semantics (not just values) are cross-checked.
+    "hashql_ignore_nulls" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into sig (o, v) values (1, 10), (2, null), " +
+            "(3, null), (4, 40)")
+        HashQL.execute(cat,
+          "select sig.o, lag(sig.v ignore nulls) over " +
+            "(order by sig.o) as pv, " +
+            "first_value(sig.v ignore nulls) over " +
+            "(order by sig.o desc) as lastnn " +
+            "from sig order by sig.o").get
+      },
+      Some("""WITH sig(o, v) AS (VALUES (1, 10), (2, NULL), (3, NULL),
+             |  (4, 40))
+             |SELECT o, lag(v IGNORE NULLS) OVER (ORDER BY o) AS pv,
+             |  first_value(v IGNORE NULLS) OVER (ORDER BY o DESC)
+             |    AS lastnn
+             |FROM sig ORDER BY o""".stripMargin)),
+
+    // BETWEEN with EXPRESSION bounds (round 14): the banding idiom —
+    // totalprice within ±10% of a computed center; literal bounds keep
+    // their pushdown-friendly shape, expression bounds ride the
+    // comparison tier.
+    "hashql_between_expr" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey from orders " +
+          "where orders.o_totalprice between " +
+          "cast(orders.o_orderkey as double) * 10.0 - 5000.0 and " +
+          "cast(orders.o_orderkey as double) * 10.0 + 50000.0 " +
+          "and orders.o_orderkey <= 2000 order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_totalprice BETWEEN
+             |  CAST(o_orderkey AS DOUBLE) * 10.0 - 5000.0 AND
+             |  CAST(o_orderkey AS DOUBLE) * 10.0 + 50000.0
+             |  AND o_orderkey <= 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // list tier (round 14): len / list_contains / array_to_string over
     // split's regex-delimited arrays — the word-count / membership /
     // re-join idioms on the documents table, all scan-side codegen.

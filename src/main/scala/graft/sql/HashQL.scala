@@ -154,7 +154,12 @@ object HashQL {
                            // `first_value(x, tb)` under a RANGE frame —
                            // the deterministic-pick contract (see
                            // winColumn's struct-extremum lowering)
-                           tiebreak: Option[ColRef] = None)
+                           tiebreak: Option[ColRef] = None,
+                           // `lag(x [, n] ignore nulls)` /
+                           // `first_value(x ignore nulls)` (round-14,
+                           // DuckDB's in-paren spelling): skip NULL
+                           // values when picking the offset/frame row
+                           ignoreNulls: Boolean = false)
     extends SelectItem
   /** `coalesce(t.f, <literal> | u.g)` — null replacement in the
     * projection, the natural companion of LEFT/FULL JOIN extensions and
@@ -1560,9 +1565,21 @@ object HashQL {
           }
           case t if t.equalsIgnoreCase("between") =>
             // BETWEEN's `and` binds to the atom, not the conjunction —
-            // consumed here before predConj ever sees it
-            val lo = literal(); kw("and"); val hi = literal()
-            And(Seq(Cmp(ref, ">=", lo), Cmp(ref, "<=", hi)))
+            // consumed here before predConj ever sees it. Bounds may be
+            // EXPRESSIONS (round-14 — `between u.lo and u.hi`, the
+            // banding idiom); literal bounds keep the pushdown-friendly
+            // Cmp shape, and a bare unquoted word keeps its pre-grammar
+            // meaning as a string literal.
+            def bound(): Either[Any, Expr] =
+              if (peekIsColRef || rhsStartsExpr || peek == "(")
+                Right(exprTree())
+              else Left(literal())
+            def cmpOf(op: String, b: Either[Any, Expr]): Pred = b match {
+              case Left(v) => Cmp(ref, op, v)
+              case Right(e) => ExprCmp(ECol(ref), op, e)
+            }
+            val lo = bound(); kw("and"); val hi = bound()
+            And(Seq(cmpOf(">=", lo), cmpOf("<=", hi)))
           case t if t.equalsIgnoreCase("in") =>
             kw("(")
             if (is("select")) {
@@ -1737,9 +1754,12 @@ object HashQL {
               tb = Some(if (peekIsColRef) colRef() else ColRef("", next()))
             }
           }
+          // `… ignore nulls )` (round-14, DuckDB's in-paren spelling):
+          // skip NULL values when picking the offset/frame row
+          val ign = is("ignore") && { next(); kw("nulls"); true }
           kw(")")
           items += windowSpec(fn, Some(r), buckets = off, default = dflt,
-            tiebreak = tb)
+            tiebreak = tb, ignoreNulls = ign)
         }
         else if (is("count")) {
           // count(*) counts rows; count(t.f) counts NON-NULL f — the SQL
@@ -2336,7 +2356,7 @@ object HashQL {
               s"unknown window name ${w.namedRef.get} — declare it in " +
                 "the WINDOW clause"))
           mkWinCall(w.fn, w.arg, w.buckets, spec, w.alias, w.default,
-            w.tiebreak)
+            w.tiebreak, w.ignoreNulls)
         case it => it
       }
       items.foreach {
@@ -2641,7 +2661,8 @@ object HashQL {
     private def windowSpec(fn: String, arg: Option[ColRef],
                            buckets: Option[Int] = None,
                            default: Option[Any] = None,
-                           tiebreak: Option[ColRef] = None): WinCall = {
+                           tiebreak: Option[ColRef] = None,
+                           ignoreNulls: Boolean = false): WinCall = {
       kw("over")
       // `over w` — a NAMED window (round-13): the spec lives in the
       // statement's WINDOW clause, parsed later; leave an unresolved
@@ -2657,7 +2678,8 @@ object HashQL {
         val alias =
           if (is("as")) Some(aliasAfterAs(s"$fn() over $nm")) else None
         return WinCall(fn, arg, Nil, Nil, None, buckets, alias, None, Nil,
-          namedRef = Some(nm), default = default, tiebreak = tiebreak)
+          namedRef = Some(nm), default = default, tiebreak = tiebreak,
+          ignoreNulls = ignoreNulls)
       }
       kw("(")
       val w = windowSpecBody()
@@ -2665,7 +2687,7 @@ object HashQL {
       // `… over (…) as x` re-aliases the window output (else the
       // auto-alias: rn, wsum_col, …), like the aggregate re-alias form
       val alias = if (is("as")) Some(aliasAfterAs(s"$fn() over (…)")) else None
-      mkWinCall(fn, arg, buckets, w, alias, default, tiebreak)
+      mkWinCall(fn, arg, buckets, w, alias, default, tiebreak, ignoreNulls)
     }
 
     private def windowSpecBody(): WSpec = {
@@ -2854,7 +2876,8 @@ object HashQL {
                           buckets: Option[Int], w: WSpec,
                           alias: Option[String],
                           default: Option[Any] = None,
-                          tiebreak: Option[ColRef] = None): WinCall = {
+                          tiebreak: Option[ColRef] = None,
+                          ignoreNulls: Boolean = false): WinCall = {
       val (part, order, frame, rangeUnit) =
         (w.part, w.order, w.frame, w.rangeUnit)
       // the frame-taking window functions work with or without ORDER BY
@@ -2905,7 +2928,7 @@ object HashQL {
         s"$fn's tiebreak argument applies under a RANGE interval frame " +
           "only — the plain spelling is deterministic elsewhere")
       WinCall(fn, arg, part, order, frame, buckets, alias, rangeUnit, w.deps,
-        default = default, tiebreak = tiebreak)
+        default = default, tiebreak = tiebreak, ignoreNulls = ignoreNulls)
     }
 
     /** A HAVING target resolves to an OUTPUT column name: agg-call
@@ -3811,10 +3834,10 @@ object HashQL {
       // ntile's count / nth_value's index
       case "lag" =>
         lag(col(w.arg.get.column), w.buckets.getOrElse(1),
-          w.default.orNull).over(spec)
+          w.default.orNull, w.ignoreNulls).over(spec)
       case "lead" =>
         lead(col(w.arg.get.column), w.buckets.getOrElse(1),
-          w.default.orNull).over(spec)
+          w.default.orNull, w.ignoreNulls).over(spec)
       // first/last value within the frame; with ORDER BY and no explicit
       // frame, the ANSI default frame ends at the current row — so
       // last_value is the CURRENT row's value unless the frame says
@@ -3826,16 +3849,19 @@ object HashQL {
       // comparison is field-order lexicographic on Spark and DuckDB
       // alike). The raw key leads the struct: within the frame its
       // order agrees with the frame's day/second dimension.
-      case "first_value" if w.tiebreak.isDefined =>
-        min(struct(col(w.order.head._1.column).as("k"),
-          col(w.tiebreak.get.column).as("t"),
-          col(w.arg.get.column).as("v"))).over(spec).getField("v")
-      case "last_value" if w.tiebreak.isDefined =>
-        max(struct(col(w.order.head._1.column).as("k"),
-          col(w.tiebreak.get.column).as("t"),
-          col(w.arg.get.column).as("v"))).over(spec).getField("v")
-      case "first_value" => first_value(col(w.arg.get.column)).over(spec)
-      case "last_value" => last_value(col(w.arg.get.column)).over(spec)
+      case "first_value" | "last_value" if w.tiebreak.isDefined =>
+        // IGNORE NULLS composes: a NULL value makes the whole struct
+        // NULL via when(), and min/max skip NULL inputs
+        val v = col(w.arg.get.column)
+        val st = struct(col(w.order.head._1.column).as("k"),
+          col(w.tiebreak.get.column).as("t"), v.as("v"))
+        val in = if (w.ignoreNulls) when(v.isNotNull, st) else st
+        (if (w.fn == "first_value") min(in) else max(in))
+          .over(spec).getField("v")
+      case "first_value" =>
+        first_value(col(w.arg.get.column), lit(w.ignoreNulls)).over(spec)
+      case "last_value" =>
+        last_value(col(w.arg.get.column), lit(w.ignoreNulls)).over(spec)
     }
   }
 

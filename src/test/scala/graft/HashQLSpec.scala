@@ -3400,6 +3400,38 @@ class HashQLSpec extends SparkSpec {
       "merge into tgt using srcx on tgt.k = srcx.k"))
   }
 
+  test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into ig (o, v) values (1, 10), (2, null), (3, null), (4, 40)")
+    // lag/lead/first/last with IGNORE NULLS
+    val got = HashQL.execute(cat,
+      "select ig.o, lag(ig.v ignore nulls) over (order by ig.o) as pv, " +
+        "lead(ig.v ignore nulls) over (order by ig.o) as nv " +
+        "from ig order by ig.o").get.collect()
+    assert(got.map(r => Option(r.get(1))).toSeq ==
+      Seq(None, Some(10L), Some(10L), Some(10L)))
+    assert(got.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(40L), Some(40L), Some(40L), None))
+    // tiebreak + ignore nulls under a RANGE frame: NULL values never
+    // win the struct extremum
+    HashQL.execute(cat,
+      "insert into igd (d, k, v) values ('2020-01-01', 1, null), " +
+        "('2020-01-01', 2, 7), ('2020-01-03', 3, 9)")
+    val fr = HashQL.execute(cat,
+      "select igd.k, first_value(igd.v, igd.k ignore nulls) over " +
+        "(order by igd.d range between interval '2' day preceding " +
+        "and current row) as fv from igd order by igd.k").get.collect()
+    assert(fr.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(7L), Some(7L), Some(7L)))
+    // BETWEEN with expression bounds
+    HashQL.execute(cat,
+      "insert into bx (a, lo, hi) values (5, 1, 10), (5, 6, 10), (5, 1, 4)")
+    assert(HashQL.execute(cat,
+      "select bx.lo from bx where bx.a between bx.lo and bx.hi " +
+        "order by bx.lo").get.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("PIVOT / UNPIVOT statements (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
