@@ -2295,6 +2295,22 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // date_part + make_date (round 14): DuckDB's function spelling of
+    // EXTRACT (parse-time desugar) and DATE construction from integer
+    // parts — both engine-shared.
+    "hashql_date_part_make" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "date_part('quarter', orders.o_orderdate) as q, " +
+          "make_date(1995, mod(orders.o_orderkey, 12) + 1, 15) as md " +
+          "from orders where orders.o_orderkey <= 300 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  date_part('quarter', o_orderdate) AS q,
+             |  make_date(1995, mod(o_orderkey, 12) + 1, 15) AS md
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // IGNORE NULLS (round 14, DuckDB's in-paren spelling): lag skips
     // NULL values when picking the offset row, first_value the frame's
     // leading NULLs — the gap-fill / last-observation idioms. The

@@ -339,6 +339,10 @@ object HashQL {
       // elements become empty on neither engine's split output)
       "len" -> Set(1), "list_contains" -> Set(2),
       "array_to_string" -> Set(2),
+      // make_date(y, m, d) — a DATE from integer parts, identical on
+      // both engines (round-14); date_part desugars at parse like
+      // extract, so it never reaches lowering
+      "make_date" -> Set(3),
       // try_strptime (round-14 — closes the r13 documented divergence):
       // under Spark 4's ANSI default, to_timestamp RAISES on malformed
       // input exactly like DuckDB's strptime — so plain strptime is
@@ -2516,7 +2520,8 @@ object HashQL {
       "strpos", "translate", "ascii", "md5", "sign", "power", "strftime",
       "strptime", "try_strptime", "extract", "concat_ws",
       "ln", "exp", "log2", "log10",
-      "len", "list_contains", "array_to_string")
+      "len", "list_contains", "array_to_string",
+      "make_date", "date_part")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -2539,6 +2544,21 @@ object HashQL {
         }
         kw(")")
         ECast(e, ty)
+      }
+      else if (is("date_part") && peekAt(1) == "(") {
+        // `date_part('<part>', <expr>)` (round-14) — DuckDB's function
+        // spelling of EXTRACT; desugars to the same date-part functions
+        next(); kw("(")
+        val part0 = literal()
+        require(part0.isInstanceOf[String] &&
+          Set("year", "month", "day", "hour", "minute", "quarter",
+            "week", "dayofyear").contains(part0.toString),
+          s"date_part takes 'year'|'month'|'day'|'hour'|'minute'|" +
+            s"'quarter'|'week'|'dayofyear', got $part0")
+        kw(",")
+        val e = exprTree()
+        kw(")")
+        EFunc(part0.toString, Seq(e))
       }
       else if (is("extract") && peekAt(1) == "(") {
         // `extract ( <part> from <expr> )` (round-12; round-14 moved it
@@ -3535,6 +3555,7 @@ object HashQL {
         case "list_contains" => array_contains(a(0), a(1))
         case "array_to_string" => array_join(a(0),
           args(1).asInstanceOf[ELit].v.asInstanceOf[String])
+        case "make_date" => make_date(a(0), a(1), a(2))
         case "sign" => signum(a(0)).cast("long")
         case "power" => pow(a(0), a(1))
         // DuckDB %-codes → Spark's date_format pattern (the format is a
