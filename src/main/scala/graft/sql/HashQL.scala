@@ -4134,7 +4134,10 @@ object HashQL {
             s"${badT.mkString(", ")} — only $t and $u are in scope")
         val src = uLocal.foldLeft(src0)((d, p) =>
           d.filter(predColumn(cat, p)))
-        val dup = src.groupBy(pairs.toSeq.map(p => col(p._2.column)): _*)
+        // NULL source keys never match — excluded from the check
+        val upfKc = pairs.toSeq.map(p => col(p._2.column))
+        val dup = src.filter(upfKc.map(_.isNotNull).reduce(_ && _))
+          .groupBy(upfKc: _*)
           .count().filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
           s"UPDATE … FROM source $u matches a target row more than " +
@@ -4333,7 +4336,11 @@ object HashQL {
         // deletion is idempotent, and ANSI inserts EVERY not-matched
         // source row (duplicates included).
         if (matchedSets.nonEmpty) {
-          val dup = src.groupBy(on.map(p => col(p._2.column)): _*).count()
+          // NULL source keys never match a target row — duplicates
+          // among them are harmless and excluded from the check
+          val kc = on.map(p => col(p._2.column))
+          val dup = src.filter(kc.map(_.isNotNull).reduce(_ && _))
+            .groupBy(kc: _*).count()
             .filter(col("count") > 1).limit(1).collect()
           require(dup.isEmpty,
             s"MERGE source $u has duplicate ON keys " +
@@ -6632,9 +6639,16 @@ object HashQL {
       case AggExprItem(_, e, _) => exprRefs(e).toSeq
       case _ => Nil
     }.distinct.filterNot(c => innerFieldRefs.exists(_.column == c))
+    // the aggregate ARGUMENT columns project as COMPUTED identities
+    // (coalesce(v, v) — skip-exempt), NOT plain fields: the dialect's
+    // missing-field row skip must not shrink the aggregated set (the
+    // eq-only lateral path aggregates through the grouped branch,
+    // which never skips — count(*) over null-valued rows must agree).
+    // Null correlation/range keys may skip freely (they never match).
     val innerRows = selectFrame(cat, body.copy(
       items = innerFieldRefs.map(Field(_)) ++
-        aggRefs.map(c => Field(ColRef("", c))),
+        aggRefs.map(c => ExprItem(EFunc("coalesce",
+          Seq(ECol(ColRef("", c)), ECol(ColRef("", c)))), c)),
       wheres = local), registry)
       .toDF(innerFieldRefs.indices.map(i => s"graft_lat_i$i") ++
         aggRefs: _*)

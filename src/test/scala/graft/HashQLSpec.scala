@@ -3511,16 +3511,22 @@ class HashQLSpec extends SparkSpec {
     HashQL.execute(cat,
       "insert into lc (ck, cutoff) values (1, 10), (2, 20), (3, 5)")
     HashQL.execute(cat,
-      "insert into lo (ck, amt) values (1, 5), (1, 15), (2, 25), (2, 8)")
+      "insert into lo (ck, amt, pay) values (1, 5, 100), (1, 15, 200), " +
+        "(2, 25, 300), (2, 8, null)")
     // per row: stats over the row's own under-cutoff orders; ck=3 has
-    // none — count coalesces to 0, sum stays NULL (ANSI empty group)
+    // none — count coalesces to 0, sum stays NULL (ANSI empty group);
+    // ck=2's matched row has a NULL pay — count(*) still counts it
+    // (the row skip must not shrink the aggregated set), count(pay)
+    // and sum(pay) skip the null value (SQL)
     val got = HashQL.execute(cat,
-      "select lc.ck, t.cnt, coalesce(t.sum_amt, -1) as sa from lc, " +
-        "lateral ( select count(*), sum(lo.amt) from lo " +
+      "select lc.ck, t.cnt, t.cnt_pay, coalesce(t.sum_pay, -1) as sa " +
+        "from lc, " +
+        "lateral ( select count(*), count(lo.pay), sum(lo.pay) from lo " +
         "where lo.ck = lc.ck and lo.amt < lc.cutoff ) t " +
         "order by lc.ck").get
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 1L, 5L), (2L, 1L, 8L), (3L, 0L, -1L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 100L), (2L, 1L, 0L, -1L),
+      (3L, 0L, 0L, -1L)))
     // the plan: hash joins only — never a nested loop
     val df = HashQL.execute(cat,
       "select lc.ck, t.cnt from lc, " +
