@@ -3619,6 +3619,32 @@ object HashqlSuite extends Suite {
              |WHERE c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // round-14 surface COMPOSITION golden: DISTINCT ON (r13) picks each
+    // nation's richest customer while a LEFT JOIN LATERAL (r14)
+    // attaches that customer's single best order — or NULL for the
+    // orderless; the lateral folds before the window, so the pick rides
+    // its output. Two keyed windows + two hash joins, nothing per-row.
+    "hashql_best_order_per_nation" -> Q(
+      (s, d) => run(s, d,
+        "select distinct on (customer.c_nationkey) " +
+          "customer.c_nationkey, customer.c_custkey, " +
+          "customer.c_acctbal, x.ok " +
+          "from customer left join lateral ( select " +
+          "orders.o_orderkey as ok from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey " +
+          "limit 1 ) x on true " +
+          "order by customer.c_nationkey, customer.c_acctbal desc, " +
+          "customer.c_custkey"),
+      Some("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+             |  c_acctbal, x.ok
+             |FROM customer LEFT JOIN LATERAL ( SELECT o_orderkey AS ok
+             |  FROM orders WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 ) x
+             |  ON true
+             |ORDER BY c_nationkey, c_acctbal DESC,
+             |  c_custkey""".stripMargin)),
+
     // DELETE … USING (round 13): the join-delete — one semi join
     // computes the doomed id set (using-side filters prune its scan
     // first), then the ordinary copy-on-write anti-join. The oracle is
