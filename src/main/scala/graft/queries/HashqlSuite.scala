@@ -2393,6 +2393,101 @@ object HashqlSuite extends Suite {
       Some("""PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
              |USING count(*) GROUP BY o_orderpriority""".stripMargin)),
 
+    // DYNAMIC PIVOT (round 15 — the r14 queue's #3): no IN list — ONE
+    // bounded distinct-values probe (limit cap+1, sorted, NULLs
+    // excluded; beyond the cap it rejects toward the explicit list),
+    // then the SAME explicit-values plan (≤4 aggregate nodes, no
+    // distinct-values job leaking into the aggregation itself).
+    "hashql_pivot_dynamic" -> Q(
+      (s, d) => run(s, d,
+        "pivot lineitem on lineitem.l_returnflag " +
+          "using sum(lineitem.l_quantity) group by lineitem.l_linestatus"),
+      Some("""PIVOT lineitem ON l_returnflag
+             |USING sum(l_quantity) GROUP BY l_linestatus""".stripMargin)),
+
+    // UNNEST in FROM position (round 15 — the r14 queue's #2): explode
+    // a list-valued expression over the preceding row — ONE per-row
+    // Generate, zero shuffles, the filter still pushed to the scan.
+    // The tokenize-and-count idiom every text pipeline starts with.
+    "hashql_unnest" -> Q(
+      (s, d) => run(s, d,
+        "select documents.doc_id, u.w from documents, " +
+          "unnest(split(documents.text, ' ')) as u(w) " +
+          "where documents.doc_id <= 20 order by documents.doc_id, u.w"),
+      Some("""SELECT d.doc_id, u.w
+             |FROM documents d, unnest(string_split_regex(d.text, ' ')) AS u(w)
+             |WHERE d.doc_id <= 20 ORDER BY d.doc_id, u.w""".stripMargin)),
+
+    // generate_series in FROM position (round 15): the calendar /
+    // gap-fill source — inclusive bounds (DuckDB parity), one
+    // explode(sequence(…)) over a 1-row range, zero shuffles.
+    "hashql_series" -> Q(
+      (s, d) => run(s, d,
+        "select g.i, g.i * 3 as t from generate_series(1, 50) g(i) " +
+          "order by g.i"),
+      Some("""SELECT g.i, g.i * 3 AS t FROM generate_series(1, 50) g(i)
+             |ORDER BY g.i""".stripMargin)),
+
+    // generate_series DATE series (round 15): interval-stepped calendar.
+    "hashql_series_date" -> Q(
+      (s, d) => run(s, d,
+        "select g.d from generate_series(cast('1996-01-01' as date), " +
+          "cast('1996-03-01' as date), interval '1' week) g(d) " +
+          "order by g.d"),
+      Some("""SELECT CAST(g.d AS DATE) AS d FROM generate_series(
+             |  DATE '1996-01-01', DATE '1996-03-01', INTERVAL 7 DAY) g(d)
+             |ORDER BY d""".stripMargin)),
+
+    // LATERAL body OFFSET (round 15 — the r14 queue's #6): the
+    // second-best-per-key idiom — rank window `off < rn <= off+k`, the
+    // upper bound still riding WindowGroupLimit.
+    "hashql_lateral_offset" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, x.ok from customer, " +
+          "lateral ( select orders.o_orderkey as ok from orders " +
+          "where orders.o_custkey = customer.c_custkey " +
+          "order by orders.o_totalprice desc, orders.o_orderkey " +
+          "limit 1 offset 1 ) x where customer.c_custkey <= 60 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c.c_custkey, x.ok FROM customer c,
+             |LATERAL (SELECT o.o_orderkey AS ok FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+             |  LIMIT 1 OFFSET 1) x
+             |WHERE c.c_custkey <= 60 ORDER BY c.c_custkey""".stripMargin)),
+
+    // LATERAL body DISTINCT (round 15): dedup BEFORE the rank — the
+    // distinct-statuses-per-customer shape; ORDER BY is restricted to
+    // projected columns (ANSI), so the surviving rows are deterministic.
+    "hashql_lateral_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, x.st from customer, " +
+          "lateral ( select distinct orders.o_orderstatus as st " +
+          "from orders where orders.o_custkey = customer.c_custkey " +
+          "order by st limit 2 ) x where customer.c_custkey <= 60 " +
+          "order by customer.c_custkey, x.st"),
+      Some("""SELECT c.c_custkey, x.st FROM customer c,
+             |LATERAL (SELECT DISTINCT o.o_orderstatus AS st FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey ORDER BY st LIMIT 2) x
+             |WHERE c.c_custkey <= 60
+             |ORDER BY c.c_custkey, x.st""".stripMargin)),
+
+    // PURE-RANGE-correlated EXISTS (round 15 — the r14 queue's #5): no
+    // equality key, ONE range conjunct — reduces to GLOBAL min/max
+    // stats (`∃ o.totalprice > c.acctbal` ⇔ `max(totalprice) >
+    // acctbal`): one 1-row aggregate broadcast, constant work per outer
+    // row, NO join at any scale (better than any banded range join).
+    "hashql_exists_range" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey from customer where exists " +
+          "(select orders.o_totalprice from orders " +
+          "where orders.o_totalprice < customer.c_acctbal) " +
+          "and customer.c_custkey <= 200 order by customer.c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE EXISTS
+             |  (SELECT o_totalprice FROM orders
+             |   WHERE o_totalprice < customer.c_acctbal)
+             |AND c_custkey <= 200 ORDER BY c_custkey""".stripMargin)),
+
     // UNPIVOT (round 14): melt three same-typed measures into
     // (name, value) rows — a per-row Expand, zero shuffles; NULL cells
     // drop (DuckDB semantics, filtered on the Spark side).
@@ -3250,8 +3345,18 @@ object HashqlSuite extends Suite {
         HashQL.execute(cat,
           "select inv.sku, inv.qty from inv order by inv.sku").get
       },
-      Some("""SELECT * FROM (VALUES ('a', 5), ('b', 13), ('c', 7),
-             |  ('d', 4)) AS t(sku, qty)""".stripMargin)),
+      // round-15 (r14 missing #7): the oracle EXECUTES the equivalent
+      // DML in DuckDB (UPDATE…FROM + anti-joined INSERT…SELECT — this
+      // DuckDB predates MERGE INTO) instead of a hand-computed literal
+      Some("""CREATE TEMP TABLE g15up_inv(sku VARCHAR, qty BIGINT);
+             |INSERT INTO g15up_inv VALUES ('a', 5), ('b', 3), ('c', 7);
+             |CREATE TEMP TABLE g15up_sh(sku VARCHAR, amount BIGINT);
+             |INSERT INTO g15up_sh VALUES ('b', 10), ('d', 4);
+             |UPDATE g15up_inv SET qty = g15up_inv.qty + s.amount
+             |  FROM g15up_sh s WHERE g15up_inv.sku = s.sku;
+             |INSERT INTO g15up_inv SELECT s.sku, s.amount FROM g15up_sh s
+             |  WHERE s.sku NOT IN (SELECT sku FROM g15up_inv);
+             |SELECT sku, qty FROM g15up_inv ORDER BY sku""".stripMargin)),
 
     // RECURSIVE CTE with PER-ROUND AGGREGATION (round 14 — un-rejecting
     // the r9-carried reject, the r13 queue's #8): the textbook recursive
@@ -3298,8 +3403,18 @@ object HashqlSuite extends Suite {
           "select stock.sku, stock.qty from stock " +
             "order by stock.sku").get
       },
-      Some("""SELECT * FROM (VALUES ('a', 15), ('b', 3), ('c', 7),
-             |  ('d', 1)) AS t(sku, qty)""".stripMargin)),
+      // round-15: real-DML oracle — DuckDB runs the SAME join-update
+      Some("""CREATE TEMP TABLE g15uf_st(sku VARCHAR, qty BIGINT);
+             |INSERT INTO g15uf_st VALUES ('a', 5), ('b', 3), ('c', 7),
+             |  ('d', 1);
+             |CREATE TEMP TABLE g15uf_rv(sku VARCHAR, amount BIGINT,
+             |  ok BIGINT);
+             |INSERT INTO g15uf_rv VALUES ('a', 10, 1), ('b', 20, 0),
+             |  ('d', 4, 1);
+             |UPDATE g15uf_st SET qty = g15uf_st.qty + r.amount
+             |  FROM g15uf_rv r WHERE g15uf_st.sku = r.sku AND r.ok = 1
+             |  AND g15uf_st.qty > 2;
+             |SELECT sku, qty FROM g15uf_st ORDER BY sku""".stripMargin)),
 
     // MERGE … WHEN MATCHED THEN DELETE (round 14): the blocklist
     // purge — matched target rows drop (one anti join), unmatched
@@ -3319,8 +3434,121 @@ object HashqlSuite extends Suite {
           "select corpus14.nm, corpus14.score from corpus14 " +
             "order by corpus14.nm").get
       },
-      Some("""SELECT * FROM (VALUES ('d1', 10),
-             |  ('d3', 30)) AS t(nm, score)""".stripMargin)),
+      // round-15: real-DML oracle (DuckDB executes the purge)
+      Some("""CREATE TEMP TABLE g15md_c(nm VARCHAR, score BIGINT);
+             |INSERT INTO g15md_c VALUES ('d1', 10), ('d2', 20), ('d3', 30);
+             |CREATE TEMP TABLE g15md_b(nm VARCHAR);
+             |INSERT INTO g15md_b VALUES ('d2');
+             |DELETE FROM g15md_c WHERE nm IN (SELECT nm FROM g15md_b);
+             |SELECT nm, score FROM g15md_c ORDER BY nm""".stripMargin)),
+
+    // MERGE with CONDITIONAL clauses (round 15 — the r14 queue's #1):
+    // multiple WHEN MATCHED guards evaluated in order (first-match-wins,
+    // ONE chained when()/otherwise() projection), a guarded insert, and
+    // WHEN NOT MATCHED BY SOURCE pruning stale target rows — the full
+    // one-statement table-sync the re-crawl/decontaminate loop needs.
+    // The oracle EXECUTES the decomposed DML in DuckDB (insert set
+    // snapshotted first — MERGE classifies rows against the ORIGINAL
+    // target image).
+    "hashql_merge_conditional" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into mc15 (k, v, keep) values ('a', 1, 1), ('b', 2, 1), " +
+            "('c', 3, 0), ('e', 9, 1)")
+        HashQL.execute(cat,
+          "insert into sc15 (k, w) values ('a', 100), ('b', -1), " +
+            "('c', 5), ('d', 7)")
+        HashQL.execute(cat,
+          "merge into mc15 using sc15 on mc15.k = sc15.k " +
+            "when matched and sc15.w < 0 then delete " +
+            "when matched and mc15.keep = 1 then update set " +
+            "mc15.v = mc15.v + sc15.w " +
+            "when not matched then insert (k, v, keep) " +
+            "values (sc15.k, sc15.w, 1) " +
+            "when not matched by source and mc15.keep = 1 then delete")
+        HashQL.execute(cat,
+          "select mc15.k, mc15.v from mc15 order by mc15.k").get
+      },
+      Some("""CREATE TEMP TABLE g15mc_t(k VARCHAR, v BIGINT, keep BIGINT);
+             |INSERT INTO g15mc_t VALUES ('a', 1, 1), ('b', 2, 1),
+             |  ('c', 3, 0), ('e', 9, 1);
+             |CREATE TEMP TABLE g15mc_s(k VARCHAR, w BIGINT);
+             |INSERT INTO g15mc_s VALUES ('a', 100), ('b', -1), ('c', 5),
+             |  ('d', 7);
+             |CREATE TEMP TABLE g15mc_ins AS SELECT s.k, s.w FROM g15mc_s s
+             |  WHERE s.k NOT IN (SELECT k FROM g15mc_t);
+             |DELETE FROM g15mc_t WHERE keep = 1
+             |  AND k NOT IN (SELECT k FROM g15mc_s);
+             |DELETE FROM g15mc_t WHERE k IN
+             |  (SELECT k FROM g15mc_s WHERE w < 0);
+             |UPDATE g15mc_t SET v = g15mc_t.v + s.w FROM g15mc_s s
+             |  WHERE g15mc_t.k = s.k AND NOT (s.w < 0)
+             |  AND g15mc_t.keep = 1;
+             |INSERT INTO g15mc_t SELECT k, w, 1 FROM g15mc_ins;
+             |SELECT k, v FROM g15mc_t ORDER BY k""".stripMargin)),
+
+    // MERGE … WHEN NOT MATCHED BY SOURCE (round 15): the pure table-sync
+    // — after the statement the target IS the source (update hits,
+    // insert the new, drop the stale), in ONE left join + ONE anti join
+    // + ONE commit.
+    "hashql_merge_by_source" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into cat15 (k, v) values ('a', 1), ('b', 2), ('z', 9)")
+        HashQL.execute(cat,
+          "insert into feed15 (k, v2) values ('b', 20), ('c', 30)")
+        HashQL.execute(cat,
+          "merge into cat15 using feed15 on cat15.k = feed15.k " +
+            "when matched then update set cat15.v = feed15.v2 " +
+            "when not matched then insert (k, v) values (feed15.k, feed15.v2) " +
+            "when not matched by source then delete")
+        HashQL.execute(cat,
+          "select cat15.k, cat15.v from cat15 order by cat15.k").get
+      },
+      Some("""CREATE TEMP TABLE g15bs_t(k VARCHAR, v BIGINT);
+             |INSERT INTO g15bs_t VALUES ('a', 1), ('b', 2), ('z', 9);
+             |CREATE TEMP TABLE g15bs_s(k VARCHAR, v2 BIGINT);
+             |INSERT INTO g15bs_s VALUES ('b', 20), ('c', 30);
+             |DELETE FROM g15bs_t WHERE k NOT IN (SELECT k FROM g15bs_s);
+             |UPDATE g15bs_t SET v = s.v2 FROM g15bs_s s
+             |  WHERE g15bs_t.k = s.k;
+             |INSERT INTO g15bs_t SELECT k, v2 FROM g15bs_s
+             |  WHERE k NOT IN (SELECT k FROM g15bs_t);
+             |SELECT k, v FROM g15bs_t ORDER BY k""".stripMargin)),
+
+    // Range-correlated ALL over NULLABLE inner values (round 15 — the
+    // r14 MEDIUM advice): `x >= all (S)` where S carries a NULL makes
+    // the quantifier UNKNOWN and DROPS the row (ANSI). The EXISTS
+    // rewrite's violation column now projects SKIP-EXEMPT (coalesce
+    // identity), so the dialect's missing-field row skip cannot hide
+    // the NULL from the anti join. The oracle runs DuckDB's own
+    // correlated quantifier over the same nullable data.
+    "hashql_all_null_range" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into pa15 (pcat, price, day) values ('g', 50, 10), " +
+            "('h', 50, 10)")
+        HashQL.execute(cat,
+          "insert into oa15 (ocat, oprice, oday) values ('g', 40, 5), " +
+            "('h', 40, 5), ('h', 30, 6)")
+        HashQL.execute(cat,
+          "update oa15 set oa15.oprice = null where oa15.oday = 6")
+        HashQL.execute(cat,
+          "select pa15.pcat from pa15 where pa15.price >= all " +
+            "(select oa15.oprice from oa15 where oa15.ocat = pa15.pcat " +
+            "and oa15.oday < pa15.day) order by pa15.pcat").get
+      },
+      Some("""WITH pa(pcat, price, day) AS
+             |  (VALUES ('g', 50, 10), ('h', 50, 10)),
+             |oa(ocat, oprice, oday) AS
+             |  (VALUES ('g', 40, 5), ('h', 40, 5), ('h', NULL, 6))
+             |SELECT pa.pcat FROM pa WHERE pa.price >= ALL
+             |  (SELECT oa.oprice FROM oa WHERE oa.ocat = pa.pcat
+             |   AND oa.oday < pa.day)
+             |ORDER BY pa.pcat""".stripMargin)),
 
     // UPDATE with a scalar-subquery RHS (round 12): Ted's age becomes
     // the PRE-update maximum (one 1x1 evaluation, assigned as a

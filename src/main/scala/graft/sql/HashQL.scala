@@ -740,24 +740,48 @@ object HashQL {
     * ANSI cardinality (a source row set must hit each target row at
     * most once) is enforced by one bounded aggregate over the source.
     * `on`: (target-ref, source-ref) equality pairs. */
+  /** One `when matched [and <cond>] then update set … | delete` clause
+    * (round-15 — the r14 queue's #1). Clauses evaluate IN ORDER and the
+    * FIRST whose condition holds fires (ANSI first-match-wins), encoded
+    * as ONE chained when()/otherwise() clause-index projection — never a
+    * second pass. An UNKNOWN condition (NULL operand) does not fire the
+    * clause — evaluation falls through to the next, exactly ANSI's
+    * "search condition is true". Conditions may read target AND source
+    * columns (the matched join row carries both). */
+  final case class MergeMatched(cond: Option[Pred],
+                                sets: Seq[(ColRef, Expr)],
+                                delete: Boolean) {
+    require(delete != sets.nonEmpty,
+      "a WHEN MATCHED clause is either UPDATE SET or DELETE")
+    require(sets.map(_._1.column).distinct.size == sets.size,
+      "duplicate WHEN MATCHED target column")
+  }
   final case class Merge(target: String, source: String,
                          on: Seq[(ColRef, ColRef)],
-                         matched: Seq[(ColRef, Expr)],
-                         notMatched: Option[(Seq[String], Seq[Expr])],
-                         // `when matched then delete` (round-14): the
-                         // matched action drops the row instead of
-                         // updating it — one anti join; duplicate
-                         // source keys are fine here (deletion is
-                         // idempotent), unlike the update action
-                         matchedDelete: Boolean = false)
+                         // ordered WHEN MATCHED clauses (round-15:
+                         // multiple, each optionally guarded; delete
+                         // clauses mix freely with update clauses)
+                         matched: Seq[MergeMatched],
+                         // `when not matched [and <cond>] then insert
+                         // (…) values (…)` — the condition (round-15)
+                         // reads SOURCE columns only (the row has no
+                         // target image); non-firing rows simply don't
+                         // insert
+                         notMatched: Option[(Seq[String], Seq[Expr],
+                           Option[Pred])],
+                         // `when not matched by source [and <cond>]
+                         // then delete` (round-15): target rows with NO
+                         // source match drop — the full one-statement
+                         // table-sync verb. The condition reads TARGET
+                         // columns only (there is no source image).
+                         bySourceDelete: Option[Option[Pred]] = None)
       extends Stmt {
     require(on.nonEmpty, "MERGE needs at least one ON equality pair")
-    require(matched.nonEmpty || notMatched.nonEmpty || matchedDelete,
-      "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
-    require(!(matchedDelete && matched.nonEmpty),
-      "WHEN MATCHED is either UPDATE SET or DELETE, not both")
-    require(matched.map(_._1.column).distinct.size == matched.size,
-      "duplicate WHEN MATCHED target column")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySourceDelete.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(matched.dropRight(1).forall(_.cond.nonEmpty),
+      "only the LAST WHEN MATCHED clause may be unconditional — an " +
+        "earlier unconditional clause makes the rest unreachable")
   }
   /** `pivot <table> on <t.k> in (<lit>, …) using <agg>(t.v | *) group
     * by <t.g> [, …]` (round-14 — DuckDB's simplified PIVOT with an
@@ -776,8 +800,14 @@ object HashQL {
       s"pivot aggregates count/sum/avg/min/max, got $fn")
     require(fn == "count" || arg.nonEmpty,
       s"pivot $fn needs a column argument")
-    require(values.nonEmpty, "pivot needs at least one IN value")
+    // values may be EMPTY (round-15): the dynamic form — the executor
+    // discovers them with one bounded distinct-values job
   }
+  /** Dynamic-PIVOT column cap: one `limit N+1` distinct-values probe;
+    * beyond it the statement rejects toward an explicit IN list (an
+    * unbounded pivot would mint one output column per distinct value —
+    * a 100 TB high-cardinality key could mint millions). */
+  val PivotDynamicCap = 100
   /** `unpivot <table> on (<t.c1>, <t.c2>, …) into name <n> value <v>`
     * (round-14 — DuckDB's UNPIVOT): melt the listed same-typed columns
     * into (name, value) rows, every other column carried along; NULL
@@ -905,7 +935,16 @@ object HashQL {
                           // instead of dropping them (aggregate bodies
                           // always yield one row, so the flag is
                           // irrelevant there).
-                          laterals: Seq[(String, Select, Boolean)] = Nil)
+                          laterals: Seq[(String, Select, Boolean)] = Nil,
+                          // `from t, unnest(<list expr>) as u(x)`
+                          // (round-15 — the r14 queue's #2): explode a
+                          // list-valued expression over the preceding
+                          // FROM row — (name, output column, expr)
+                          // triples. ANSI cross-lateral semantics: an
+                          // empty/NULL list DROPS its outer row. Lowered
+                          // to ONE per-row Generate (explode) — zero
+                          // shuffles, an Expand in the scan stage.
+                          unnests: Seq[(String, String, Expr)] = Nil)
     extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
@@ -964,6 +1003,15 @@ object HashQL {
     require(rows.forall(_.length == cols.length),
       s"every VALUES row must supply ${cols.length} value(s)")
   }
+  /** `from generate_series(<start>, <stop> [, <step>]) g(i)` (round-15
+    * — the r14 queue's #2): an integer-or-date series as a FROM source,
+    * INCLUSIVE both ends (DuckDB semantics; Spark's `sequence` agrees).
+    * Arguments are literal/interval expressions (no column refs — the
+    * source precedes any row). Plans as one explode(sequence(…)) over a
+    * 1-row range: a per-row Generate, zero shuffles, broadcast-sized by
+    * construction (the calendar/gap-fill idiom). */
+  final case class GenSeries(col: String, start: Expr, stop: Expr,
+                             step: Option[Expr]) extends Stmt
   /** `with recursive name as (select base union select step) select …` —
     * the SQL fixpoint (dialect growth; DuckDB-compatible semantics):
     * UNION (distinct — ALL is rejected, bag recursion diverges on
@@ -1245,11 +1293,23 @@ object HashQL {
       // USING), and SET right-hand sides may read u's columns
       val from = if (is("from")) { next(); Some(next()) } else None
       val wheres = if (is("where")) { next(); preds() } else Nil
-      require(from.isEmpty || wheres.exists {
-        case EqCol(a, b) => a.table != b.table
-        case _ => false
-      }, "UPDATE … FROM needs at least one equality conjunct linking " +
-        "the two tables (t.k = u.k)")
+      from.foreach { u =>
+        // the linking equality must join EXACTLY the target and the
+        // named source (r14 advice: `where t.k = x.k` with a third
+        // table passed the old some-cross-equality guard, then the
+        // executor silently bound x.k by bare name against the target)
+        require(wheres.exists {
+          case EqCol(a, b) => Set(a.table, b.table) == Set(table, u)
+          case _ => false
+        }, "UPDATE … FROM needs at least one equality conjunct linking " +
+          s"the target and the source ($table.k = $u.k)")
+        val foreign = wheres.flatMap(predTables)
+          .filterNot(tb => tb == table || tb == u).distinct
+        require(foreign.isEmpty,
+          s"UPDATE … FROM predicates reference table(s) " +
+            s"${foreign.mkString(", ")} — only $table and $u are in " +
+            "scope (stage a third table through MERGE or a CTE)")
+      }
       Update(table, sets.toSeq, wheres, from)
     }
 
@@ -1286,19 +1346,26 @@ object HashQL {
           case ECol(ColRef("", bare)) => ELit(bare)
           case e => e
         }
-      var matched = Seq.empty[(ColRef, Expr)]
-      var matchedDelete = false
-      var notMatched: Option[(Seq[String], Seq[Expr])] = None
+      // `when matched AND <cond> then` (round-15): the guard is the
+      // conjunction grammar up to THEN; OR-chains need parens inside a
+      // conjunct (predConj stops at a bare top-level OR, and the THEN
+      // keyword check gives the clear error)
+      def guard(): Option[Pred] =
+        if (is("and")) { next(); Some(predConj()) } else None
+      val matched =
+        scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
+      var notMatched: Option[(Seq[String], Seq[Expr], Option[Pred])] = None
+      var bySource: Option[Option[Pred]] = None
       require(is("when"), "MERGE needs at least one WHEN clause")
       while (is("when")) {
         next()
         if (is("matched")) {
-          next(); kw("then")
-          require(matched.isEmpty && !matchedDelete,
-            "duplicate WHEN MATCHED clause")
-          // `when matched then delete` (round-14) — the matched action
-          // drops the row; otherwise `update set …`
-          if (is("delete")) { next(); matchedDelete = true }
+          next()
+          val cond = guard()
+          kw("then")
+          // `then delete` (round-14) — the matched action drops the
+          // row; otherwise `update set …`
+          if (is("delete")) { next(); matched += MergeMatched(cond, Nil, true) }
           else {
             kw("update"); kw("set")
             val sets =
@@ -1312,27 +1379,41 @@ object HashQL {
               sets += ((ref, rhs()))
               m2 = is(",") && { next(); true }
             }
-            matched = sets.toSeq
+            matched += MergeMatched(cond, sets.toSeq, false)
           }
         } else {
-          kw("not"); kw("matched"); kw("then"); kw("insert")
-          require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
-          kw("(")
-          val cols = scala.collection.mutable.ArrayBuffer(next())
-          while (is(",")) { next(); cols += next() }
-          kw(")"); kw("values"); kw("(")
-          val vals = scala.collection.mutable.ArrayBuffer(rhs())
-          while (is(",")) { next(); vals += rhs() }
-          kw(")")
-          require(cols.length == vals.length,
-            s"MERGE insert names ${cols.length} column(s) for " +
-              s"${vals.length} value(s)")
-          require(!cols.contains("id"),
-            "MERGE inserts synthesize id — don't insert one")
-          notMatched = Some((cols.toSeq, vals.toSeq))
+          kw("not"); kw("matched")
+          // `when not matched BY SOURCE [and <cond>] then delete`
+          // (round-15): target rows with no source match drop — the
+          // one-statement table-sync verb
+          if (is("by")) {
+            next(); kw("source")
+            require(bySource.isEmpty,
+              "duplicate WHEN NOT MATCHED BY SOURCE clause")
+            val cond = guard()
+            kw("then"); kw("delete")
+            bySource = Some(cond)
+          } else {
+            require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
+            val cond = guard()
+            kw("then"); kw("insert")
+            kw("(")
+            val cols = scala.collection.mutable.ArrayBuffer(next())
+            while (is(",")) { next(); cols += next() }
+            kw(")"); kw("values"); kw("(")
+            val vals = scala.collection.mutable.ArrayBuffer(rhs())
+            while (is(",")) { next(); vals += rhs() }
+            kw(")")
+            require(cols.length == vals.length,
+              s"MERGE insert names ${cols.length} column(s) for " +
+                s"${vals.length} value(s)")
+            require(!cols.contains("id"),
+              "MERGE inserts synthesize id — don't insert one")
+            notMatched = Some((cols.toSeq, vals.toSeq, cond))
+          }
         }
       }
-      Merge(t, u, pairs.toSeq, matched, notMatched, matchedDelete)
+      Merge(t, u, pairs.toSeq, matched.toSeq, notMatched, bySource)
     }
 
     /** `pivot t on t.k in ('a', 'b') using sum(t.v) group by t.g` —
@@ -1340,10 +1421,16 @@ object HashQL {
     private def pivotRest(): Pivot = {
       val t = next()
       kw("on"); val on = colRef()
-      kw("in"); kw("(")
-      val vs = scala.collection.mutable.ArrayBuffer(literal())
-      while (is(",")) { next(); vs += literal() }
-      kw(")")
+      // the IN list is OPTIONAL (round-15 — DuckDB's dynamic PIVOT):
+      // without it, the executor runs ONE bounded distinct-values job
+      // (capped — beyond the cap it rejects toward the explicit list)
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      if (is("in")) {
+        next(); kw("(")
+        vs += literal()
+        while (is(",")) { next(); vs += literal() }
+        kw(")")
+      }
       kw("using")
       val fn = next().toLowerCase
       kw("(")
@@ -2062,6 +2149,28 @@ object HashQL {
           val nm = sourceName("a derived table (from ( select … ) <name>)")
           derivedList += nm -> body
           nm
+        } else if (is("generate_series") && peekAt(1) == "(") {
+          // `from generate_series(start, stop [, step]) g(i)` (round-15)
+          // — rides the derived-table machinery: the name binds a 1-row
+          // explode(sequence(…)) frame statement-wide
+          next(); next()
+          val start = exprTree()
+          kw(","); val stop = exprTree()
+          val step = if (is(",")) { next(); Some(exprTree()) } else None
+          kw(")")
+          val nm = sourceName("a generate_series source")
+          kw("(")
+          val c = next()
+          require(c.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !c.startsWith("graft_"),
+            s"bad generate_series column name: $c")
+          kw(")")
+          (start +: stop +: step.toSeq).foreach(e =>
+            require(exprRefs(e).isEmpty,
+              "generate_series bounds are literal expressions — no " +
+                "column references (the source precedes any row)"))
+          derivedList += nm -> GenSeries(c, start, stop, step)
+          nm
         } else maybeAliased(next())
       val table = fromSource()
       // `sample N permille by t.id` rides directly after the base table
@@ -2086,6 +2195,8 @@ object HashQL {
       val fromList = scala.collection.mutable.ArrayBuffer.empty[String]
       val lateralList =
         scala.collection.mutable.ArrayBuffer.empty[(String, Select, Boolean)]
+      val unnestList =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Expr)]
       while (is(",") || (is("cross") && peekAt(1).equalsIgnoreCase("join"))) {
         if (is(",")) next() else { next(); next() }
         // `, lateral ( select <aggs> … where u.k = t.k ) x` (round-13):
@@ -2096,6 +2207,21 @@ object HashQL {
           val body = selectRest()
           kw(")")
           lateralList += ((sourceName("a LATERAL subquery"), body, false))
+        } else if (is("unnest") && peekAt(1) == "(") {
+          // `, unnest(<list expr>) as u(x)` (round-15): a correlated
+          // list explosion — an UNNEST over the preceding row IS a
+          // lateral; see [[Select.unnests]]
+          next(); next()
+          val e = exprTree()
+          kw(")")
+          val nm = sourceName("an UNNEST source")
+          kw("(")
+          val c = next()
+          require(c.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !c.startsWith("graft_"),
+            s"bad UNNEST column name: $c")
+          kw(")")
+          unnestList += ((nm, c, e))
         } else fromList += fromSource()
       }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
@@ -2461,7 +2587,8 @@ object HashQL {
       }
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
-        groupMode, groupSets, fromList.toSeq, distinctOn, lateralList.toSeq)
+        groupMode, groupSets, fromList.toSeq, distinctOn, lateralList.toSeq,
+        unnestList.toSeq)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -4318,38 +4445,77 @@ object HashQL {
           registry.foreach(_.onUpdate(cat, t, before, after))
         }
         None
-      case Merge(t, u, on, matchedSets, notMatched, matchedDelete) =>
+      case Merge(t, u, on, matched, notMatched, bySource) =>
         val pre = cat.table(t)
         val src = cat.table(u)
         // every computed ref must live on the target or the source
         val inScope = Set(t, u)
-        val badRefs = (matchedSets.map(_._2) ++
+        val badRefs = (matched.flatMap(_.sets.map(_._2)) ++
           notMatched.toSeq.flatMap(_._2))
           .flatMap(exprTables).filterNot(inScope).distinct
         require(badRefs.isEmpty,
           s"MERGE expressions reference table(s) ${badRefs.mkString(", ")}" +
             s" — only the target ($t) and source ($u) are in scope")
+        // clause-condition scope (round-15): WHEN MATCHED guards see
+        // target+source (the matched join row carries both); a
+        // NOT MATCHED insert guard sees the SOURCE only (the row has no
+        // target image); a BY SOURCE guard sees the TARGET only. No
+        // subqueries anywhere — stage those through a CTE.
+        matched.flatMap(_.cond).foreach { p =>
+          require(!subqueryPred(p),
+            "a MERGE clause condition cannot carry subqueries — stage " +
+              "the row set through a CTE")
+          val bad = predTables(p).filterNot(inScope)
+          require(bad.isEmpty,
+            s"a WHEN MATCHED condition references table(s) " +
+              s"${bad.mkString(", ")} — only $t and $u are in scope")
+        }
+        notMatched.flatMap(_._3).foreach { p =>
+          require(!subqueryPred(p),
+            "a MERGE clause condition cannot carry subqueries — stage " +
+              "the row set through a CTE")
+          val bad = predTables(p).filterNot(_ == u)
+          require(bad.isEmpty,
+            s"a WHEN NOT MATCHED condition reads SOURCE ($u) columns " +
+              s"only — it references ${bad.mkString(", ")}")
+        }
+        bySource.flatten.foreach { p =>
+          require(!subqueryPred(p),
+            "a MERGE clause condition cannot carry subqueries — stage " +
+              "the row set through a CTE")
+          val bad = predTables(p).filterNot(_ == t)
+          require(bad.isEmpty,
+            s"a WHEN NOT MATCHED BY SOURCE condition reads TARGET ($t) " +
+              s"columns only — it references ${bad.mkString(", ")}")
+        }
         // ANSI cardinality: at most ONE source row may UPDATE a target
-        // row. One bounded aggregate over the SOURCE (output ≤ 1 row) —
-        // the source is the delta side, typically small; never a target
-        // scan. Delete-matched and insert-only merges are exempt:
-        // deletion is idempotent, and ANSI inserts EVERY not-matched
-        // source row (duplicates included).
-        if (matchedSets.nonEmpty) {
-          // NULL source keys never match a target row — duplicates
-          // among them are harmless and excluded from the check
+        // row. Only source rows that actually HIT a target row are
+        // subject to the rule (r14 advice) — duplicate keys among pure
+        // inserts are legal (ANSI inserts EVERY not-matched source row),
+        // so one semi join against the target precedes the bounded
+        // aggregate. The source is the delta side, typically small;
+        // never a target rescan. Delete-only merges stay exempt
+        // (deletion is idempotent). With CONDITIONAL clauses this is
+        // deliberately conservative: two hits whose guards are disjoint
+        // would be ANSI-legal, but which fires is data-dependent — the
+        // explicit reject keeps the statement deterministic.
+        if (matched.exists(_.sets.nonEmpty)) {
           val kc = on.map(p => col(p._2.column))
-          val dup = src.filter(kc.map(_.isNotNull).reduce(_ && _))
+          val hitCond = on.map { case (tr, ur) =>
+            src(ur.column) === pre(tr.column) }.reduce(_ && _)
+          val dup = src.join(pre, hitCond, "left_semi")
             .groupBy(kc: _*).count()
             .filter(col("count") > 1).limit(1).collect()
           require(dup.isEmpty,
             s"MERGE source $u has duplicate ON keys " +
-              s"(${dup.mkString(", ")}) — ANSI forbids updating one " +
-              "target row twice; de-duplicate the source first")
+              s"(${dup.mkString(", ")}) matching a target row — ANSI " +
+              "forbids updating one target row twice; de-duplicate " +
+              "the source first")
         }
         // reserve-rename EVERY source column so the join frame never
         // collides with target names; rewrite source refs in the
-        // computed values to match. The hit flag reads the join miss.
+        // computed values and clause conditions to match. The hit flag
+        // reads the join miss.
         def mcol(c: String) = s"graft_mrg_$c"
         val srcR = src.columns.foldLeft(src)((d, c) =>
           d.withColumnRenamed(c, mcol(c)))
@@ -4357,38 +4523,78 @@ object HashQL {
         val cond = on.map { case (tr, ur) =>
           pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
         def rexpr(e: Expr): Expr = renameSourceRefs(u, mcol)(e)
+        def rpredCol(p: Pred): Column = predColumn(cat, renameSourcePred(u, mcol)(p))
         val hit = coalesce(col("graft_mrg_hit"), lit(false))
         val reserved = srcR.columns.toSeq
+        val needJoin = matched.nonEmpty || bySource.nonEmpty
         lazy val joined = pre.join(srcR, cond, "left")
-        // matched updates: ONE withColumns projection, every RHS against
-        // the BEFORE image (simultaneous SET semantics), hit-guarded
-        val assigns = matchedSets.map { case (ref, e) =>
-          ref.column -> exprColumn(cat, rexpr(e)) }
-        def applySets(frame: DataFrame, guard: Column): DataFrame =
-          if (assigns.isEmpty) frame
-          else frame.withColumns(assigns.map { case (f, v) =>
-            f -> when(guard, v).otherwise(
-              if (pre.columns.contains(f)) col(f) else lit(null))
-          }.toMap)
+        // FIRST-MATCH-WINS clause index (ANSI evaluation order): one
+        // chained when()/otherwise() — never a second pass. An UNKNOWN
+        // guard falls through to the next clause; a row firing no
+        // clause keeps its index NULL (and its columns unchanged).
+        val clauseIdx = matched.zipWithIndex
+          .foldRight(lit(null).cast("int")) { case ((mc, i), acc) =>
+            val fire = mc.cond.map(p => hit && rpredCol(p)).getOrElse(hit)
+            when(fire, lit(i)).otherwise(acc)
+          }
+        lazy val withIdx = joined.withColumn("graft_mrg_clause", clauseIdx)
+        val delIdx = matched.zipWithIndex.collect {
+          case (mc, i) if mc.delete => i }
+        val bySrcFire: Column = bySource match {
+          case None => lit(false)
+          case Some(c) => !hit && c.map(p =>
+            coalesce(rpredCol(p), lit(false))).getOrElse(lit(true))
+        }
+        val dropFire = (if (delIdx.isEmpty) lit(false)
+          else coalesce(col("graft_mrg_clause")
+            .isin(delIdx.map(Int.box): _*), lit(false))) || bySrcFire
+        // matched updates: ONE withColumns projection over ALL update
+        // clauses — for each assigned column, the clause index picks the
+        // firing clause's value; every RHS reads the BEFORE image
+        // (simultaneous SET semantics)
+        val updClauses = matched.zipWithIndex.filter(_._1.sets.nonEmpty)
+        val setCols = updClauses.flatMap(_._1.sets.map(_._1.column)).distinct
+        def newVal(f: String): Column =
+          updClauses.foldRight(
+            if (pre.columns.contains(f)) col(f) else lit(null): Column) {
+            case ((mc, i), acc) =>
+              mc.sets.find(_._1.column == f) match {
+                case Some((_, e)) =>
+                  when(col("graft_mrg_clause") === i,
+                    exprColumn(cat, rexpr(e))).otherwise(acc)
+                case None => acc
+              }
+          }
+        def applySets(frame: DataFrame): DataFrame =
+          if (setCols.isEmpty) frame
+          else frame.withColumns(setCols.map(f => f -> newVal(f)).toMap)
         val updated =
-          if (matchedDelete) pre.join(srcR, cond, "left_anti")
-          else if (matchedSets.isEmpty) pre
-          else applySets(joined, hit).drop(reserved: _*)
+          if (!needJoin) pre
+          else applySets(withIdx.filter(!dropFire))
+            .drop("graft_mrg_clause").drop(reserved: _*)
         // not-matched inserts: source rows with no target hit (one
-        // anti-join), projected through the INSERT column list
-        val insRows = notMatched.map { case (cols, vals) =>
-          srcR.join(pre, cond, "left_anti")
-            .select(cols.zip(vals).map { case (c, e) =>
-              exprColumn(cat, rexpr(e)).as(c) }: _*)
+        // anti-join), guard-filtered, projected through the INSERT list
+        val insRows = notMatched.map { case (cols, vals, icond) =>
+          val miss = srcR.join(pre, cond, "left_anti")
+          val gated = icond.fold(miss)(p => miss.filter(rpredCol(p)))
+          gated.select(cols.zip(vals).map { case (c, e) =>
+            exprColumn(cat, rexpr(e)).as(c) }: _*)
         }
         val delta = cat.mergeCommit(t, updated, insRows)
-        if (matchedDelete)
+        // O(delta) hooks: deleted rows (matched-delete + by-source) as
+        // one before-image; updated rows as a before/after pair — never
+        // a post-commit rescan
+        if (needJoin && (delIdx.nonEmpty || bySource.nonEmpty))
           registry.foreach(_.onDelete(cat, t,
-            pre.join(srcR, cond, "left_semi")))
-        else if (matchedSets.nonEmpty) {
-          val beforeF = joined.filter(hit).drop(reserved: _*)
-          val afterF = applySets(joined.filter(hit), lit(true))
-            .drop(reserved: _*)
+            withIdx.filter(dropFire)
+              .drop("graft_mrg_clause").drop(reserved: _*)))
+        if (updClauses.nonEmpty) {
+          val updFire = coalesce(col("graft_mrg_clause")
+            .isin(updClauses.map(_._2).map(Int.box): _*), lit(false))
+          val beforeF = withIdx.filter(updFire)
+            .drop("graft_mrg_clause").drop(reserved: _*)
+          val afterF = applySets(withIdx.filter(updFire))
+            .drop("graft_mrg_clause").drop(reserved: _*)
           registry.foreach(_.onUpdate(cat, t, beforeF, afterF))
         }
         for (d <- delta; reg <- registry)
@@ -4455,8 +4661,25 @@ object HashQL {
           }
         registry.foreach(_.onDelete(cat, t, deleted))
         None
-      case Pivot(t, on, values, fn, arg, gs) =>
+      case Pivot(t, on, values0, fn, arg, gs) =>
         val df = cat.table(t)
+        // DYNAMIC form (round-15 — empty IN list): ONE bounded
+        // distinct-values job (limit cap+1 — never a full collect),
+        // sorted for deterministic column order, NULL keys excluded
+        // (DuckDB's dynamic PIVOT mints no NULL column); then the
+        // explicit-values plan below, unchanged
+        val values = if (values0.nonEmpty) values0 else {
+          val probe = df.select(col(on.column))
+            .filter(col(on.column).isNotNull)
+            .distinct().orderBy(col(on.column))
+            .limit(PivotDynamicCap + 1).collect().map(_.get(0)).toSeq
+          require(probe.size <= PivotDynamicCap,
+            s"dynamic PIVOT found more than $PivotDynamicCap distinct " +
+              s"values of ${on.column} — spell an explicit IN list")
+          require(probe.nonEmpty,
+            s"dynamic PIVOT found no non-NULL values of ${on.column}")
+          probe
+        }
         val aggc = fn match {
           case "count" => arg.fold(count(lit(1)))(r => count(col(r.column)))
           case "sum" => sum(col(arg.get.column))
@@ -4730,8 +4953,31 @@ object HashQL {
       case u: Union => unionFrame(cat, u, registry)
       case so: SetOpChain => setOpFrame(cat, so, registry)
       case v: InlineValues => inlineFrame(cat, v)
+      case g: GenSeries => genSeriesFrame(cat, g)
       case other => throw new IllegalStateException(s"not a query: $other")
     }
+
+  /** Build a [[GenSeries]] source: one explode(sequence(start, stop
+    * [, step])) over a 1-row range — a per-row Generate, zero shuffles.
+    * Inclusive both ends (DuckDB parity). Integer series default to
+    * step 1; date/timestamp series REQUIRE an interval step. */
+  private def genSeriesFrame(cat: GraftCatalog, g: GenSeries): DataFrame = {
+    // an INTERVAL step (date/timestamp series) lowers to the native
+    // interval literal directly — exprColumn only accepts intervals as
+    // ± operands
+    def arg(e: Expr): Column = e match {
+      case EInterval(n, unit) => expr(
+        s"INTERVAL '$n' ${unit.toUpperCase(java.util.Locale.ROOT)}")
+      case other => exprColumn(cat, other)
+    }
+    val seq = g.step match {
+      case Some(st) => org.apache.spark.sql.functions.sequence(
+        arg(g.start), arg(g.stop), arg(st))
+      case None => org.apache.spark.sql.functions.sequence(
+        arg(g.start), arg(g.stop))
+    }
+    cat.spark.range(1).select(explode(seq).as(g.col))
+  }
 
   /** Build an [[InlineValues]] table: per-column type inference over the
     * literals, one LocalRelation — driver-literal rows, broadcast-sized
@@ -5164,6 +5410,7 @@ object HashQL {
       // rewrite under the subquery visibility rule (their own FROM
       // names shadow)
       laterals = sel.laterals.map { case (n, b, o) => (n, subSel(b), o) },
+      unnests = sel.unnests.map { case (n, c, e) => (n, c, expr(e)) },
       aliases = Nil)
   }
 
@@ -5232,7 +5479,8 @@ object HashQL {
       // lateral bodies CORRELATE with the outer scope — rewrite their
       // outer refs under the same visibility rule as subquery predicates
       // (the body's own FROM names shadow)
-      laterals = s0.laterals.map { case (n, b, o) => (n, subSel(b), o) })
+      laterals = s0.laterals.map { case (n, b, o) => (n, subSel(b), o) },
+      unnests = s0.unnests.map { case (n, c, e) => (n, c, expr(e)) })
   }
 
   private def selectFrame(cat: GraftCatalog, sel: Select,
@@ -5257,7 +5505,9 @@ object HashQL {
         n -> queryFrame(cat, body, registry) }.toMap
       return cat.withScope(scope)(
         selectFrame(cat, sel.copy(derived = Nil), registry, inlineNames ++
-          sel.derived.collect { case (n, _: InlineValues) => n }))
+          sel.derived.collect {
+            case (n, _: InlineValues) => n
+            case (n, _: GenSeries) => n }))
     }
     if (sel.aliases.nonEmpty) {
       val (scope, rewritten) = resolveAliases(cat, sel)
@@ -5266,7 +5516,7 @@ object HashQL {
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _, _, _, _, _, _) =>
+                  distinct, offset, qualify, _, _, _, _, _, _, _, _) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -5344,14 +5594,33 @@ object HashQL {
           }
           acc
         }
+        // UNNEST sources (round-15): one per-row Generate each — the
+        // output column joins the frame before WHERE/laterals, so
+        // conjuncts and lateral bodies may reference it
+        sel.unnests.foreach { case (nm, c, e) =>
+          require(!df.columns.contains(c),
+            s"UNNEST $nm output column $c collides with an existing " +
+              "column — pick another name")
+          df = df.withColumn(c, explode(exprColumn(cat, e)))
+        }
         // LATERAL aggregate subqueries fold in BEFORE the WHERE clause,
         // so outer conjuncts may filter on lateral outputs (`where
         // t.cnt > 5`) — Catalyst still pushes outer-only conjuncts
-        // below the lateral join
+        // below the lateral join. Round-15 (the r14 perf observation):
+        // SIMPLE conjuncts that read only PRE-lateral columns apply
+        // first — they commute with the lateral join (outer-only
+        // filters), and a visibly-filtered outer lets lateralTopK
+        // semi-prune the ranked inner side.
+        val (preLat, postLat) =
+          if (sel.laterals.isEmpty) (Seq.empty[Pred], wheres)
+          else wheres.partition(p => !subqueryPred(p) &&
+            predRefs(p).nonEmpty &&
+            predRefs(p).forall(df.columns.contains))
+        df = applyWheres(cat, df, preLat, registry)
         sel.laterals.foreach { case (nm, body, outerJoin) =>
           df = lateralJoin(cat, df, nm, body, registry, outerJoin)
         }
-        df = applyWheres(cat, df, wheres, registry)
+        df = applyWheres(cat, df, postLat, registry)
         // SCALE GUARD (round-13, comma joins): a comma-joined select
         // whose WHERE fails to link every source leaves a cartesian in
         // the plan — at 100 TB that is |A|×|B| work. Reject with the
@@ -5894,7 +6163,7 @@ object HashQL {
     * this set. */
   private def fromTables(s: Select): Set[String] =
     s.joins.flatMap(j => Seq(j.table, j.l.table, j.r.table)).toSet +
-      s.table ++ s.froms ++ s.laterals.map(_._1)
+      s.table ++ s.froms ++ s.laterals.map(_._1) ++ s.unnests.map(_._1)
 
   /** Mirror a comparison operator across its operands (`a < b` ≡
     * `b > a`) — shared by ON-clause extras and the subquery
@@ -6248,17 +6517,84 @@ object HashQL {
     } else {
       val pairs = corr.flatMap(corrPair)
       val crossForms = cross.map(crossForm)
-      require(pairs.nonEmpty,
-        "a correlated EXISTS needs at least one EQUALITY conjunct " +
-          "(u.k = t.k) — inequality/range-only correlation would plan a " +
-          "nested-loop join at scale")
+      // PURE-RANGE/INEQUALITY correlation (round-15 — the r14 queue's
+      // #5): with NO equality key, a SINGLE range/inequality conjunct
+      // reduces to GLOBAL STATS — `∃ s: s < x` ⇔ `min(s) < x`, `∃ s ≠ x`
+      // ⇔ `min ≠ x ∨ max ≠ x` — one 1-row aggregate broadcast onto the
+      // outer frame, constant work per row at any scale (no join at
+      // all, better than any banded range join). Two or more conjuncts
+      // would need a JOINT witness (independent min/max is wrong) and
+      // still reject toward an equality key.
+      if (pairs.isEmpty) {
+        require(crossForms.length == 1,
+          "a correlated EXISTS needs an EQUALITY conjunct (u.k = t.k) — " +
+            "pure range/inequality correlation is supported for exactly " +
+            "ONE conjunct (it reduces to min/max stats); more would " +
+            "need a per-row witness, a nested loop at scale")
+        import graft.core.Compare.cmp
+        val innerRef = crossForms.head._1
+        val outerRef = crossForms.head._2
+        // inner column SKIP-EXEMPT (coalesce identity): count(*) vs
+        // count(v) must see NULL-valued rows
+        val stats = selectFrame(cat, sub.copy(
+          items = Seq(ExprItem(EFunc("coalesce",
+            Seq(ECol(innerRef), ECol(innerRef))), "graft_exs_v")),
+          wheres = local), registry)
+          .agg(min(col("graft_exs_v")).as("graft_exs_mn"),
+            max(col("graft_exs_v")).as("graft_exs_mx"))
+        val joined = outer.crossJoin(broadcast(stats))
+        val o = col(outerRef.column)
+        val mn = col("graft_exs_mn")
+        val mx = col("graft_exs_mx")
+        val existsC: Column = cross.head match {
+          // ∃ s ≠ x (NULL s never satisfies <>; NULL x matches nothing)
+          case Not(EqCol(_, _)) =>
+            mn.isNotNull && ((mn =!= o) || (mx =!= o))
+          case ExprCmp(ECol(a), op0, ECol(_)) =>
+            // normalize to inner-vs-outer orientation (as crossForm)
+            val op2 = if (subTables.contains(a.table)) op0 else flipOp(op0)
+            op2 match {
+              // the easiest witness: min for < / <=, max for > / >=;
+              // NULL stats (empty/all-NULL S) and NULL x collapse to
+              // no-match below
+              case o2 @ ("<" | "<=") => cmp(mn, o2, o)
+              case o2 @ (">" | ">=") => cmp(mx, o2, o)
+              case o2 => throw new IllegalArgumentException(
+                s"unsupported pure-range EXISTS operator: $o2 — " +
+                  "existence under = needs an equality join key")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported pure-range EXISTS correlation: $other — " +
+              "add an equality conjunct (u.k = t.k)")
+        }
+        val drops = Seq("graft_exs_mn", "graft_exs_mx")
+        // EXISTS is two-valued: UNKNOWN collapses to FALSE
+        val truth = existsC <=> lit(true)
+        return (flagCol match {
+          case Some(f) => joined.withColumn(f, truth)
+          case None => joined.filter(if (anti) !truth else truth)
+        }).drop(drops: _*)
+      }
       // project the inner correlation keys AND the cross conjuncts' inner
       // columns, under reserved names so the join condition can never be
       // ambiguous (same trick as subqueryFrame) even when inner and
-      // outer read the same table
+      // outer read the same table. Equality keys project as plain Fields
+      // (a NULL key never matches — the dialect's missing-field row skip
+      // is harmless there), but the CROSS conjuncts' inner columns are
+      // SKIP-EXEMPT computed identities (coalesce(c, c), the
+      // lateralRangeAgg trick — r14 advice): CmpNotTrue's violation test
+      // must SEE NULL inner values (`x op NULL` is UNKNOWN ≡ not-TRUE,
+      // which violates the ALL rewrite and must drop the outer row), and
+      // a plain Field would na.drop those rows before the anti join.
+      // Inequality/range conjuncts never match NULLs either way, so the
+      // exemption is semantics-neutral for them.
       val innerRefs = pairs.map(_._1) ++ crossForms.map(_._1)
+      val innerItems = pairs.map(p => Field(p._1): SelectItem) ++
+        crossForms.zipWithIndex.map { case ((i0, _, _), j) =>
+          ExprItem(EFunc("coalesce", Seq(ECol(i0), ECol(i0))),
+            s"graft_exc_$j"): SelectItem }
       val innerKeys = selectFrame(cat,
-        sub.copy(items = innerRefs.map(Field(_)), wheres = local), registry)
+        sub.copy(items = innerItems, wheres = local), registry)
         .toDF(innerRefs.indices.map(i => s"graft_ex_$i"): _*)
       def cond(inner: DataFrame): Column = {
         val eq = pairs.zipWithIndex.map { case ((_, o), i) =>
@@ -6295,26 +6631,45 @@ object HashQL {
                               (e0: Expr): Expr = {
     def rren(r: ColRef): ColRef =
       if (r.table == srcTable) ColRef("", mcol(r.column)) else r
+    mapExprRefs(rren,
+      mapPredRefsSimple(rren, "a MERGE/UPDATE-FROM expression"))(e0)
+  }
+
+  /** [[renameSourceRefs]]'s predicate twin — MERGE clause conditions
+    * (`when matched and <cond> then …`, round-15). */
+  private def renameSourcePred(srcTable: String, mcol: String => String)
+                              (p0: Pred): Pred = {
+    def rren(r: ColRef): ColRef =
+      if (r.table == srcTable) ColRef("", mcol(r.column)) else r
+    mapPredRefsSimple(rren, "a MERGE clause condition")(p0)
+  }
+
+  /** Rewrite every column ref of a SIMPLE predicate (no subquery arms)
+    * through `rf` — shared by MERGE/UPDATE-FROM source renaming and the
+    * range-lateral slot substitution. Subquery-carrying shapes reject
+    * with the caller's context in the message. */
+  private def mapPredRefsSimple(rf: ColRef => ColRef, ctx: String)
+                               (p0: Pred): Pred = {
     def rpred(p: Pred): Pred = p match {
-      case Eq(r, v) => Eq(rren(r), v)
-      case Cmp(r, op, v) => Cmp(rren(r), op, v)
-      case EqCol(a, b) => EqCol(rren(a), rren(b))
-      case IsNullP(r, n) => IsNullP(rren(r), n)
-      case InList(r, vs) => InList(rren(r), vs)
-      case Like(r, v) => Like(rren(r), v)
-      case Ilike(r, v) => Ilike(rren(r), v)
-      case Rlike(r, v) => Rlike(rren(r), v)
+      case Eq(r, v) => Eq(rf(r), v)
+      case Cmp(r, op, v) => Cmp(rf(r), op, v)
+      case EqCol(a, b) => EqCol(rf(a), rf(b))
+      case IsNullP(r, n) => IsNullP(rf(r), n)
+      case InList(r, vs) => InList(rf(r), vs)
+      case Like(r, v) => Like(rf(r), v)
+      case Ilike(r, v) => Ilike(rf(r), v)
+      case Rlike(r, v) => Rlike(rf(r), v)
+      case DistinctFrom(r, rhs, n) => DistinctFrom(rf(r), rhs.left.map(rf), n)
       case ExprCmp(l, op, r) => ExprCmp(rexpr(l), op, rexpr(r))
       case BoolFuncPred(e) => BoolFuncPred(rexpr(e))
       case Not(x) => Not(rpred(x))
       case And(ps) => And(ps.map(rpred))
       case Or(ps) => Or(ps.map(rpred))
       case other => throw new IllegalArgumentException(
-        s"unsupported predicate inside a MERGE/UPDATE-FROM " +
-          s"expression: $other")
+        s"unsupported predicate inside $ctx: $other")
     }
-    def rexpr(e: Expr): Expr = mapExprRefs(rren, rpred)(e)
-    rexpr(e0)
+    def rexpr(e: Expr): Expr = mapExprRefs(rf, rpred)(e)
+    rpred(p0)
   }
 
   /** Does a quantified subquery carry NON-EQUALITY correlation — a
@@ -6662,8 +7017,17 @@ object HashQL {
     val matched = keysDf.join(innerRows,
       (eqConds ++ rangeConds).reduce(_ && _), "inner")
     // (3) every aggregate in ONE pass, under the SAME auto-aliases the
-    // ordinary lateral path produces (aggsRaw) — except that AggCall
-    // arguments renamed into reserved inner slots read from there
+    // ordinary lateral path produces (aggsRaw) — except that references
+    // to correlation/range columns were renamed into reserved inner
+    // slots and must read from there. AggExprItem EXPRESSIONS get the
+    // same slot substitution as AggCall arguments (r14 advice: a
+    // `sum(u.d * 2)` whose u.d also serves the range conjunct would
+    // otherwise reference a name that no longer exists on innerRows).
+    def slotRef(r: ColRef): ColRef =
+      innerFieldRefs.indexWhere(_.column == r.column) match {
+        case -1 => r
+        case i => ColRef("", s"graft_lat_i$i")
+      }
     val items2 = body.items.map {
       case AggCall(fn, r) if innerFieldRefs.exists(_.column == r.column) =>
         // the arg column rode in as a reserved correlation slot — read
@@ -6675,6 +7039,9 @@ object HashQL {
           case f => s"${f}_${r.column}"
         }
         AggExprItem(fn, ECol(ColRef("", s"graft_lat_i$i")), auto)
+      case AggExprItem(fn, e, a) =>
+        AggExprItem(fn, mapExprRefs(slotRef,
+          mapPredRefsSimple(slotRef, "a range-lateral aggregate"))(e), a)
       case it => it
     }
     val aggCols = aggsRaw(cat, items2)
@@ -6727,12 +7094,13 @@ object HashQL {
         "as a plain join)")
     val lim = body.limit.get
     require(lim >= 1, s"LATERAL $nm: LIMIT must be ≥ 1")
+    val off = body.offset.getOrElse(0)
+    require(off >= 0, s"LATERAL $nm: OFFSET must be ≥ 0")
     require(body.groupBy.isEmpty && body.qualify.isEmpty &&
-      body.having.isEmpty && body.offset.isEmpty && !body.distinct &&
-      body.laterals.isEmpty,
-      s"a row-returning LATERAL ($nm) is `select <cols> from … [join …] " +
-        "[where …] order by … limit k` — stage anything richer through " +
-        "a CTE")
+      body.having.isEmpty && body.laterals.isEmpty,
+      s"a row-returning LATERAL ($nm) is `select [distinct] <cols> " +
+        "from … [join …] [where …] order by … limit k [offset n]` — " +
+        "stage anything richer through a CTE")
     val leaks = scalarItemLeak(body, bodyTables)
     require(leaks.isEmpty,
       s"LATERAL $nm projects outer table(s) ${leaks.mkString(", ")} — " +
@@ -6750,6 +7118,24 @@ object HashQL {
         local += p
     }
     val innerKeys = corrPairs.map(_._1).distinctBy(_.column).toSeq
+    // DISTINCT inside the body (round-15 — the r14 queue's #6): the
+    // probe dedups BEFORE the ranking window. ANSI requires the sort
+    // keys to be functions of the projected columns (otherwise which
+    // duplicate survives decides the order) — enforced here, so the
+    // dedup over (keys ++ items ++ sort exprs) equals the dedup over
+    // the user-visible projection.
+    if (body.distinct) {
+      val visible = (body.items.collect {
+        case Field(r) => r.column
+        case ExprItem(_, a) => a
+      } ++ innerKeys.map(_.column)).toSet
+      body.orderBy.foreach { case (e, _, _) =>
+        val bad = exprRefs(e).filterNot(visible)
+        require(bad.isEmpty,
+          s"DISTINCT in LATERAL $nm: ORDER BY may reference only " +
+            s"projected columns — got ${bad.mkString(", ")}")
+      }
+    }
     // project the sort keys under reserved aliases so the window can
     // address computed order expressions; dropped after the filter
     val sortItems = body.orderBy.zipWithIndex.map { case ((e, _, _), i) =>
@@ -6770,10 +7156,37 @@ object HashQL {
       return if (outerJoin) outer.join(lat, lit(true), "left")
              else outer.crossJoin(lat)
     }
+    // a body that already projects a correlation key as a plain Field
+    // (`lateral (select u.k, u.v … where u.k = t.k …)`) reuses that
+    // projected column for the join key — prepending a second copy would
+    // make the rename below ambiguous (r14 advice)
+    val projectedKeys = body.items.collect { case Field(r) => r.column }.toSet
+    val probeKeys = innerKeys.filterNot(k => projectedKeys(k.column))
     val probe = body.copy(
-      items = innerKeys.map(Field(_)) ++ body.items ++ sortItems,
+      items = probeKeys.map(Field(_)) ++ body.items ++ sortItems,
       wheres = local.toSeq, orderBy = Nil, limit = None)
     var lat = selectFrame(cat, probe, registry)
+    // INNER-SIDE SEMI PRUNE (round-15 — the r14 queue's #4): when the
+    // outer frame is visibly FILTERED, left-semi join the inner body on
+    // the correlation keys against the outer's distinct keys BEFORE the
+    // ranking window — at 100 TB a selective outer cuts the ranked set
+    // by orders of magnitude, and the semi join shuffles the inner on
+    // the SAME keys the window partitions by (exchange reuse). An
+    // unfiltered outer skips the prune — the full-table lateral is
+    // optimal there, and the probe would only add work.
+    val outerFiltered = outer.queryExecution.logical.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isDefined
+    if (outerFiltered) {
+      val outCols = corrPairs.map(_._2.column).distinct.toSeq
+      val keyIdx = outCols.zipWithIndex.toMap
+      val keys = outer.select(outCols.map(col): _*).distinct()
+        .toDF(outCols.indices.map(i => s"graft_latp_$i"): _*)
+      val pruneCond = corrPairs.toSeq.map { case (in, out) =>
+        lat(in.column) === keys(s"graft_latp_${keyIdx(out.column)}")
+      }.reduce(_ && _)
+      lat = lat.join(keys, pruneCond, "left_semi")
+    }
     import org.apache.spark.sql.expressions.Window
     val sortCols = body.orderBy.zipWithIndex.map { case ((_, desc, nf), i) =>
       val c = col(s"graft_latsort_$i")
@@ -6786,13 +7199,21 @@ object HashQL {
           if (first) c.desc_nulls_first else c.desc_nulls_last
       }
     }
+    if (body.distinct) lat = lat.distinct()
     val w = Window.partitionBy(innerKeys.map(k => col(k.column)): _*)
       .orderBy(sortCols: _*)
+    // OFFSET (round-15): rank window `off < rn <= off + lim` — the
+    // upper bound still rides WindowGroupLimit (per-group top-(off+lim)
+    // sort, no full materialization); the lower bound post-filters
     lat = lat.withColumn("graft_lat_rn", row_number().over(w))
-      .filter(col("graft_lat_rn") <= lim)
+      .filter(col("graft_lat_rn") <= off + lim &&
+        col("graft_lat_rn") > off)
       .drop("graft_lat_rn")
       .drop(sortItems.map(_.alias): _*)
-    val keyRename = innerKeys.zipWithIndex
+    // only the PREPENDED keys rename into reserved slots and drop after
+    // the join; a body-projected key stays under its own name (it is a
+    // user-visible output) and serves the join condition directly
+    val keyRename = probeKeys.zipWithIndex
       .map { case (k, i) => k.column -> s"graft_lat_$i" }.toMap
     keyRename.foreach { case (from, to) =>
       lat = lat.withColumnRenamed(from, to) }
@@ -6802,7 +7223,8 @@ object HashQL {
       s"LATERAL $nm outputs collide with outer columns: " +
         s"${clash.mkString(", ")} — alias the projections (as <name>)")
     val cond = corrPairs.map { case (in, out) =>
-      outer(out.column) === lat(keyRename(in.column)) }.reduce(_ && _)
+      outer(out.column) ===
+        lat(keyRename.getOrElse(in.column, in.column)) }.reduce(_ && _)
     // comma/INNER lateral drops empty-subquery outer rows (ANSI CROSS
     // APPLY); LEFT JOIN LATERAL keeps them NULL-extended (round-14)
     outer.join(lat, cond, if (outerJoin) "left" else "inner")

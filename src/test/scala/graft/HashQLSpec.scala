@@ -3400,6 +3400,294 @@ class HashQLSpec extends SparkSpec {
       "merge into tgt using srcx on tgt.k = srcx.k"))
   }
 
+  test("MERGE INTO: conditional clauses + BY SOURCE (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into m15 (k, v, keep) values ('a', 1, 1), ('b', 2, 1), " +
+        "('c', 3, 0), ('e', 9, 1)")
+    HashQL.execute(cat,
+      "insert into s15 (k, w) values ('a', 100), ('b', -1), ('c', 5), " +
+        "('d', 7)")
+    // guards read target AND source; clauses fire in order; unmatched
+    // guard rows fall through UNCHANGED; by-source prunes stale rows
+    HashQL.execute(cat,
+      "merge into m15 using s15 on m15.k = s15.k " +
+        "when matched and s15.w < 0 then delete " +
+        "when matched and m15.keep = 1 then update set " +
+        "m15.v = m15.v + s15.w " +
+        "when not matched then insert (k, v, keep) values (s15.k, s15.w, 1) " +
+        "when not matched by source and m15.keep = 1 then delete")
+    val got = HashQL.execute(cat,
+      "select m15.k, m15.v from m15 order by m15.k").get
+      .as[(String, Long)].collect().toSeq
+    // a: matched, keep=1 → 1+100; b: w<0 → deleted; c: matched but
+    // keep=0 → no clause fires, unchanged; d: inserted; e: not matched
+    // by source, keep=1 → deleted
+    assert(got == Seq(("a", 101L), ("c", 3L), ("d", 7L)))
+  }
+
+  test("MERGE INTO: first-match-wins order, insert guard, scope (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into mo (k, v) values ('a', 10)")
+    HashQL.execute(cat, "insert into so (k, w) values ('a', 1), ('z', 0)")
+    // both guards hold — the FIRST clause fires (ANSI order)
+    HashQL.execute(cat,
+      "merge into mo using so on mo.k = so.k " +
+        "when matched and mo.v > 5 then update set mo.v = 1 " +
+        "when matched and mo.v > 0 then update set mo.v = 2 " +
+        "when not matched and so.w > 0 then insert (k, v) values (so.k, so.w)")
+    val got = HashQL.execute(cat,
+      "select mo.k, mo.v from mo order by mo.k").get
+      .as[(String, Long)].collect().toSeq
+    // 'z' fails the insert guard (w = 0) → not inserted
+    assert(got == Seq(("a", 1L)))
+    // an EARLIER unconditional matched clause makes the rest
+    // unreachable — parse-time reject
+    val un = intercept[IllegalArgumentException](HashQL.parse(
+      "merge into mo using so on mo.k = so.k " +
+        "when matched then delete " +
+        "when matched and mo.v > 0 then update set mo.v = 1"))
+    assert(un.getMessage.contains("unconditional"), un.getMessage)
+    // a BY SOURCE guard reads the TARGET only (there is no source image)
+    val bs = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into mo using so on mo.k = so.k " +
+        "when not matched by source and so.w > 0 then delete"))
+    assert(bs.getMessage.contains("TARGET"), bs.getMessage)
+    // a NOT MATCHED insert guard reads the SOURCE only
+    val nm = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into mo using so on mo.k = so.k " +
+        "when not matched and mo.v > 0 then insert (k, v) values (so.k, 1)"))
+    assert(nm.getMessage.contains("SOURCE"), nm.getMessage)
+  }
+
+  test("MERGE cardinality: duplicate keys among pure inserts are legal " +
+    "(round-15, r14 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into tc (k, v) values ('a', 1)")
+    HashQL.execute(cat,
+      "insert into sc (k, w) values ('x', 1), ('x', 2), ('a', 5)")
+    // duplicate 'x' keys hit NO target row — ANSI inserts both
+    HashQL.execute(cat,
+      "merge into tc using sc on tc.k = sc.k " +
+        "when matched then update set tc.v = sc.w " +
+        "when not matched then insert (k, v) values (sc.k, sc.w)")
+    val got = HashQL.execute(cat,
+      "select tc.k, tc.v from tc order by tc.k, tc.v").get
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L), ("x", 1L), ("x", 2L)))
+    // duplicates that DO hit a target row still reject
+    HashQL.execute(cat, "insert into sc (k, w) values ('a', 6)")
+    val dup = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into tc using sc on tc.k = sc.k " +
+        "when matched then update set tc.v = sc.w"))
+    assert(dup.getMessage.contains("duplicate ON keys"), dup.getMessage)
+  }
+
+  test("range-correlated ALL sees NULL inner values (round-15, r14 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into pa (pcat, price, day) values ('g', 50, 10), ('h', 50, 10)")
+    HashQL.execute(cat,
+      "insert into oa (ocat, oprice, oday) values ('g', 40, 5), " +
+        "('h', 40, 5), ('h', 30, 6)")
+    // plant a NULL inner value inside h's range window
+    HashQL.execute(cat, "update oa set oa.oprice = null where oa.oday = 6")
+    val got = HashQL.execute(cat,
+      "select pa.pcat from pa where pa.price >= all " +
+        "(select oa.oprice from oa where oa.ocat = pa.pcat " +
+        "and oa.oday < pa.day) order by pa.pcat").get
+      .as[String].collect().toSeq
+    // ANSI: h's NULL offer makes `50 >= NULL` UNKNOWN — the ALL
+    // quantifier is not TRUE, the row drops (the r14 skip would have
+    // silently kept it)
+    assert(got == Seq("g"))
+  }
+
+  test("row-returning LATERAL may project its correlation key " +
+    "(round-15, r14 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into lc (ck, nm) values (1, 'a'), (2, 'b')")
+    HashQL.execute(cat,
+      "insert into lo (k, v) values (1, 10), (1, 30), (2, 20), (2, 40)")
+    // the body projects lo.k, which is ALSO the correlation key — the
+    // projected column serves the join key (no duplicate projection)
+    val got = HashQL.execute(cat,
+      "select lc.nm, x.k, x.v from lc, lateral (select lo.k, lo.v from lo " +
+        "where lo.k = lc.ck order by lo.v desc limit 1) x " +
+        "order by lc.nm").get
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 30L), ("b", 2L, 40L)))
+  }
+
+  test("range-lateral aggregate EXPRESSIONS over correlation columns " +
+    "(round-15, r14 advice)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into rl (k, d) values (1, 10), (2, 10)")
+    HashQL.execute(cat,
+      "insert into ru (k, d, v) values (1, 3, 5), (1, 20, 7), (2, 4, 11)")
+    // sum(ru.d * 2): ru.d ALSO serves the range conjunct, so it rides
+    // in as a reserved slot — the expression must read the slot
+    val got = HashQL.execute(cat,
+      "select rl.k, x.sd from rl, lateral (select sum(ru.d * 2) as sd " +
+        "from ru where ru.k = rl.k and ru.d < rl.d) x order by rl.k").get
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L), (2L, 8L)))
+  }
+
+  test("UPDATE … FROM guards: linking equality + third-table reject " +
+    "(round-15, r14 advice)") {
+    // the linking equality must join the TARGET and the NAMED source
+    val lk = intercept[IllegalArgumentException](HashQL.parse(
+      "update t set t.v = 1 from u where t.k = x.k"))
+    assert(lk.getMessage.contains("linking"), lk.getMessage)
+    // no third table anywhere in the WHERE
+    val th = intercept[IllegalArgumentException](HashQL.parse(
+      "update t set t.v = 1 from u where t.k = u.k and x.j = 3"))
+    assert(th.getMessage.contains("scope"), th.getMessage)
+  }
+
+  test("UNNEST in FROM position (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into ut (k, s) values (1, 'a b'), (2, 'c'), (3, '')")
+    // split + unnest: one row per element; refs address the alias
+    val got = HashQL.execute(cat,
+      "select ut.k, u.w from ut, unnest(split(ut.s, ' ')) as u(w) " +
+        "order by ut.k, u.w").get.as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "")))
+    // the unnest column participates in WHERE and GROUP BY
+    val agg = HashQL.execute(cat,
+      "select u.w, count(*) as cnt from ut, unnest(split(ut.s, ' ')) " +
+        "as u(w) where u.w <> '' group by u.w order by u.w").get
+      .as[(String, Long)].collect().toSeq
+    assert(agg == Seq(("a", 1L), ("b", 1L), ("c", 1L)))
+    // output-name collision rejects
+    val cl = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ut.k from ut, unnest(split(ut.s, ' ')) as u(k)"))
+    assert(cl.getMessage.contains("collides"), cl.getMessage)
+  }
+
+  test("generate_series in FROM position (round-15)") {
+    val cat = new GraftCatalog(spark)
+    // integer series, inclusive both ends, default step 1
+    val g1 = HashQL.execute(cat,
+      "select g.i from generate_series(1, 5) g(i) order by g.i").get
+      .as[Long].collect().toSeq
+    assert(g1 == Seq(1L, 2L, 3L, 4L, 5L))
+    // explicit step
+    val g2 = HashQL.execute(cat,
+      "select g.i from generate_series(1, 9, 3) g(i) order by g.i").get
+      .as[Long].collect().toSeq
+    assert(g2 == Seq(1L, 4L, 7L))
+    // date series with an interval step (the calendar source)
+    val g3 = HashQL.execute(cat,
+      "select g.d from generate_series(cast('2024-01-01' as date), " +
+        "cast('2024-01-04' as date), interval '1' day) g(d) " +
+        "order by g.d").get.collect().map(_.get(0).toString).toSeq
+    assert(g3 == Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-04"))
+    // a series JOINS like any source (gap-fill idiom)
+    HashQL.execute(cat, "insert into gs (n, v) values (2, 20), (4, 40)")
+    val g4 = HashQL.execute(cat,
+      "select g.i, coalesce(gs.v, 0) as v from generate_series(1, 4) g(i) " +
+        "left join gs on gs.n = g.i order by g.i").get
+      .as[(Long, Long)].collect().toSeq
+    assert(g4 == Seq((1L, 0L), (2L, 20L), (3L, 0L), (4L, 40L)))
+    // column refs in bounds reject
+    val cr = intercept[IllegalArgumentException](HashQL.parse(
+      "select g.i from generate_series(1, gs.n) g(i)"))
+    assert(cr.getMessage.contains("literal"), cr.getMessage)
+  }
+
+  test("dynamic PIVOT discovers values; cap rejects (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into pd (g, k, v) values ('a', 'x', 1), ('a', 'y', 3), " +
+        "('b', 'y', 4)")
+    // no IN list: values discovered (sorted), same plan as explicit
+    val dyn = HashQL.execute(cat,
+      "pivot pd on pd.k using sum(pd.v) group by pd.g").get
+      .orderBy("g").as[(String, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(dyn == Seq(("a", Some(1L), Some(3L)), ("b", None, Some(4L))))
+    // NULL pivot keys mint no column
+    HashQL.execute(cat, "insert into pd (g, v) values ('a', 9)")
+    val dyn2 = HashQL.execute(cat,
+      "pivot pd on pd.k using sum(pd.v) group by pd.g").get
+    assert(dyn2.columns.toSeq == Seq("g", "x", "y"), dyn2.columns.toSeq)
+  }
+
+  test("LATERAL body DISTINCT and OFFSET (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into lod (k) values (1), (2)")
+    HashQL.execute(cat,
+      "insert into lou (k, v) values (1, 10), (1, 20), (1, 20), " +
+        "(1, 30), (2, 5)")
+    // OFFSET: rank 2..3 per key (rn between off+1 and off+lim)
+    val got = HashQL.execute(cat,
+      "select lod.k, x.v from lod, lateral (select lou.v from lou " +
+        "where lou.k = lod.k order by lou.v desc, lou.v limit 2 offset 1) x " +
+        "order by lod.k, x.v").get.as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L), (1L, 20L)))
+    // DISTINCT dedups before the rank — the duplicate 20 collapses
+    val dis = HashQL.execute(cat,
+      "select lod.k, x.v from lod, lateral (select distinct lou.v " +
+        "from lou where lou.k = lod.k order by lou.v desc limit 2) x " +
+        "order by lod.k, x.v").get.as[(Long, Long)].collect().toSeq
+    assert(dis == Seq((1L, 20L), (1L, 30L), (2L, 5L)))
+    // DISTINCT + an ORDER BY over a non-projected, non-key column
+    // rejects (which duplicate survives would decide the order)
+    HashQL.execute(cat,
+      "insert into lox (k, v, w) values (1, 10, 3), (1, 10, 9)")
+    val bad = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select lod.k, x.v from lod, lateral (select distinct lox.v " +
+        "from lox where lox.k = lod.k order by lox.w limit 1) x"))
+    assert(bad.getMessage.contains("projected"), bad.getMessage)
+  }
+
+  test("pure-range EXISTS reduces to min/max stats (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into ev15 (d) values (5), (8)")
+    HashQL.execute(cat, "insert into q15 (x) values (6), (9), (3)")
+    // ∃ d < x ⇔ min(d) < x — one 1-row broadcast, no join
+    val ex = HashQL.execute(cat,
+      "select q15.x from q15 where exists (select ev15.d from ev15 " +
+        "where ev15.d < q15.x) order by q15.x").get
+      .as[Long].collect().toSeq
+    assert(ex == Seq(6L, 9L))
+    val nex = HashQL.execute(cat,
+      "select q15.x from q15 where not exists (select ev15.d from ev15 " +
+        "where ev15.d < q15.x) order by q15.x").get
+      .as[Long].collect().toSeq
+    assert(nex == Seq(3L))
+    // inequality form: ∃ d ≠ x
+    HashQL.execute(cat, "insert into one15 (d) values (6)")
+    val ne = HashQL.execute(cat,
+      "select q15.x from q15 where not exists (select one15.d from one15 " +
+        "where one15.d <> q15.x) order by q15.x").get
+      .as[Long].collect().toSeq
+    assert(ne == Seq(6L))
+    // under OR (flag position) — the 1-row broadcast is row-preserving
+    val fl = HashQL.execute(cat,
+      "select q15.x from q15 where q15.x = 3 or exists " +
+        "(select ev15.d from ev15 where ev15.d > q15.x) " +
+        "order by q15.x").get.as[Long].collect().toSeq
+    assert(fl == Seq(3L, 6L))
+    // TWO pure-range conjuncts still reject (no joint witness)
+    val two = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select q15.x from q15 where exists (select ev15.d from ev15 " +
+        "where ev15.d < q15.x and ev15.d <> q15.x)"))
+    assert(two.getMessage.contains("ONE conjunct"), two.getMessage)
+    // the plan carries a 1-ROW broadcast (the stats frame), never a
+    // row-to-row join: the only join input above the aggregate is the
+    // broadcast side
+    val df = HashQL.execute(cat,
+      "select q15.x from q15 where exists (select ev15.d from ev15 " +
+        "where ev15.d < q15.x)").get
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan.take(800))
+  }
+
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,

@@ -887,6 +887,92 @@ class ScaleSpec extends SparkSpec {
     cat.table("customer").count()
   }
 
+  test("lateralTopK prunes the ranked inner side under a FILTERED outer (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    Seq("customer", "orders").foreach(n =>
+      cat.register(n, Tables.t(spark, sf, n)))
+    // FILTERED outer: the outer-only WHERE now applies BEFORE the
+    // lateral, and a left-semi join prunes the inner body on the
+    // correlation keys BEFORE the ranking window
+    val df = HashQL.execute(cat,
+      "select customer.c_custkey, x.ok from customer, " +
+        "lateral ( select orders.o_orderkey as ok from orders " +
+        "where orders.o_custkey = customer.c_custkey " +
+        "order by orders.o_totalprice desc, orders.o_orderkey limit 1 ) x " +
+        "where customer.c_custkey <= 100").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"no inner-side semi prune under a filtered outer:\n${plan.take(1500)}")
+    // the semi join sits BELOW the window (prunes before ranking)
+    val semiIdx = plan.indexOf("LeftSemi")
+    val winIdx = plan.indexOf("WindowGroupLimit")
+    assert(winIdx >= 0 && semiIdx > winIdx,
+      s"semi prune did not precede the ranking window:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    df.count()
+    // UNFILTERED outer: no prune — the full-table lateral is optimal
+    val df2 = HashQL.execute(cat,
+      "select customer.c_custkey, x.ok from customer, " +
+        "lateral ( select orders.o_orderkey as ok from orders " +
+        "where orders.o_custkey = customer.c_custkey " +
+        "order by orders.o_totalprice desc, orders.o_orderkey limit 1 ) x").get
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("LeftSemi"),
+      s"unfiltered outer planned a useless semi probe:\n${plan2.take(1500)}")
+  }
+
+  test("UNNEST and generate_series plan as per-row Generate — zero shuffles (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("documents", Tables.t(spark, sf, "documents"))
+    val df = HashQL.execute(cat,
+      "select documents.doc_id, u.w from documents, " +
+        "unnest(split(documents.text, ' ')) as u(w) " +
+        "where documents.doc_id <= 50").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"),
+      s"UNNEST did not plan a Generate:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange"),
+      s"UNNEST planned a shuffle:\n${plan.take(1500)}")
+    // the doc_id filter still reaches the parquet scan below the Generate
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("doc_id")),
+      "filter not pushed below UNNEST")
+    df.count()
+    val gs = HashQL.execute(cat,
+      "select g.i from generate_series(1, 100) g(i)").get
+    val gp = gs.queryExecution.executedPlan.toString
+    assert(gp.contains("Generate") && !gp.contains("Exchange"),
+      s"generate_series planned a shuffle:\n${gp.take(1200)}")
+    assert(gs.count() == 100L)
+  }
+
+  test("dynamic PIVOT: one bounded distinct probe; cap rejects high cardinality (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    // o_orderstatus has 3 values — the probe is one limit-capped
+    // distinct job, then the SAME explicit-values plan (≤4 agg nodes)
+    val p = HashQL.execute(cat,
+      "pivot orders on orders.o_orderstatus using count(*) " +
+        "group by orders.o_custkey").get
+    val pp = p.queryExecution.executedPlan.toString
+    val nAgg = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(pp).length
+    assert(nAgg <= 4, s"dynamic pivot leaked extra aggregates:\n${pp.take(1200)}")
+    p.count()
+    // a high-cardinality pivot key rejects toward the explicit list
+    val cap = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "pivot orders on orders.o_orderkey using count(*) " +
+        "group by orders.o_orderstatus"))
+    assert(cap.getMessage.contains("explicit IN list"), cap.getMessage)
+  }
+
   test("DISTINCT ON plans a keyed window — partition exchange, never a global sort (round-13)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
