@@ -2488,6 +2488,99 @@ object HashqlSuite extends Suite {
              |   WHERE o_totalprice < customer.c_acctbal)
              |AND c_custkey <= 200 ORDER BY c_custkey""".stripMargin)),
 
+    // ASOF JOIN (round 15 — DuckDB's ASOF JOIN, dialect-level over
+    // operators.AsOfJoin): latest fresh row at-or-before each probe
+    // row per key — union + ONE key shuffle + one window pass, never
+    // the per-key cross join a range-condition join would plan. Bare
+    // form drops unmatched probes (DuckDB); LEFT NULL-extends.
+    "hashql_asof_join" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into tr15 (sym, tts, px) values ('a', 3, 10), " +
+            "('a', 7, 20), ('b', 1, 5), ('a', 12, 30)")
+        HashQL.execute(cat,
+          "insert into qt15 (qsym, qts, bid) values ('a', 1, 1), " +
+            "('a', 5, 5), ('a', 9, 9), ('b', 4, 2)")
+        HashQL.execute(cat,
+          "select tr15.sym, tr15.tts, tr15.px, qt15.bid from tr15 " +
+            "asof join qt15 on tr15.sym = qt15.qsym " +
+            "and qt15.qts <= tr15.tts " +
+            "order by tr15.sym, tr15.tts").get
+      },
+      Some("""WITH tr(sym, tts, px) AS (VALUES ('a', 3, 10), ('a', 7, 20),
+             |  ('b', 1, 5), ('a', 12, 30)),
+             |qt(qsym, qts, bid) AS (VALUES ('a', 1, 1), ('a', 5, 5),
+             |  ('a', 9, 9), ('b', 4, 2))
+             |SELECT tr.sym, tr.tts, tr.px, qt.bid FROM tr
+             |ASOF JOIN qt ON tr.sym = qt.qsym AND qt.qts <= tr.tts
+             |ORDER BY tr.sym, tr.tts""".stripMargin)),
+
+    // ASOF LEFT JOIN, FORWARD direction (round 15): earliest fresh row
+    // at-or-after the probe (next-event-after lookup); unmatched probes
+    // NULL-extend.
+    "hashql_asof_left_forward" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into al15 (sym, tts) values ('a', 3), ('a', 7), " +
+            "('b', 1)")
+        HashQL.execute(cat,
+          "insert into ql15 (qsym, qts, bid) values ('a', 1, 1), " +
+            "('a', 5, 5), ('a', 9, 9)")
+        HashQL.execute(cat,
+          "select al15.sym, al15.tts, ql15.bid from al15 " +
+            "asof left join ql15 on al15.sym = ql15.qsym " +
+            "and ql15.qts >= al15.tts " +
+            "order by al15.sym, al15.tts").get
+      },
+      Some("""WITH t(sym, tts) AS (VALUES ('a', 3), ('a', 7), ('b', 1)),
+             |q(qsym, qts, bid) AS (VALUES ('a', 1, 1), ('a', 5, 5),
+             |  ('a', 9, 9))
+             |SELECT t.sym, t.tts, q.bid FROM t
+             |ASOF LEFT JOIN q ON t.sym = q.qsym AND q.qts >= t.tts
+             |ORDER BY t.sym, t.tts""".stripMargin)),
+
+    // `* EXCLUDE / REPLACE` star modifiers (round 15 — DuckDB's): the
+    // wide-table idiom — project everything except the heavy column,
+    // rewrite one column in place keeping its position and name.
+    // Desugars to the explicit item list; column pruning still reaches
+    // the scan (ReadSchema drops the excluded columns).
+    "hashql_star_modifiers" -> Q(
+      (s, d) => run(s, d,
+        "select * exclude (p_retailprice, p_type) " +
+          "replace (lower(part.p_brand) as p_brand) from part " +
+          "where part.p_partkey <= 200 order by part.p_partkey"),
+      Some("""SELECT * EXCLUDE (p_retailprice, p_type)
+             |REPLACE (lower(p_brand) AS p_brand) FROM part
+             |WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
+
+    // INSERT … ON CONFLICT (round 15 — DuckDB's upsert verb): DO UPDATE
+    // reads the incoming row through excluded.*; desugars onto MERGE
+    // (one join + one anti join + one commit). The oracle EXECUTES the
+    // real ON CONFLICT in DuckDB over a PRIMARY KEY temp table.
+    "hashql_upsert" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into oc15 (k, v) values ('a', 1), ('b', 2)")
+        HashQL.execute(cat,
+          "insert into oc15 (k, v) values ('a', 10), ('c', 30) " +
+            "on conflict (k) do update set oc15.v = excluded.v + oc15.v")
+        HashQL.execute(cat,
+          "insert into oc15 (k, v) values ('b', 99), ('d', 4) " +
+            "on conflict (k) do nothing")
+        HashQL.execute(cat,
+          "select oc15.k, oc15.v from oc15 order by oc15.k").get
+      },
+      Some("""CREATE TEMP TABLE g15oc(k VARCHAR PRIMARY KEY, v BIGINT);
+             |INSERT INTO g15oc VALUES ('a', 1), ('b', 2);
+             |INSERT INTO g15oc VALUES ('a', 10), ('c', 30)
+             |  ON CONFLICT (k) DO UPDATE SET v = excluded.v + g15oc.v;
+             |INSERT INTO g15oc VALUES ('b', 99), ('d', 4)
+             |  ON CONFLICT (k) DO NOTHING;
+             |SELECT k, v FROM g15oc ORDER BY k""".stripMargin)),
+
     // UNPIVOT (round 14): melt three same-typed measures into
     // (name, value) rows — a per-row Expand, zero shuffles; NULL cells
     // drop (DuckDB semantics, filtered on the Spark side).

@@ -96,6 +96,22 @@ object HashQL {
   final case class ColRef(table: String, column: String)
   sealed trait SelectItem
   case object Star extends SelectItem
+  /** `* exclude (a, b) [replace (<expr> as c, …)]` (round-15 — DuckDB's
+    * star modifiers): the wide-table idiom (project everything except
+    * the blob column; rewrite one column in place). Desugars to the
+    * explicit item list as soon as the source's columns are known —
+    * excluded columns drop, replaced columns become computed items
+    * under their own name, everything else keeps plain-Field semantics
+    * (the missing-field row skip included). Single-table star only. */
+  final case class StarMod(exclude: Seq[String],
+                           replace: Seq[(Expr, String)]) extends SelectItem {
+    require(exclude.nonEmpty || replace.nonEmpty,
+      "* EXCLUDE/REPLACE needs at least one modifier")
+    require(exclude.distinct.size == exclude.size,
+      "duplicate column in * EXCLUDE")
+    require(replace.map(_._2).distinct.size == replace.size,
+      "duplicate column in * REPLACE")
+  }
   final case class Field(ref: ColRef) extends SelectItem
   case object CountStar extends SelectItem
   /** sum/avg/min/max(t.f) — dialect growth beyond the reference's count
@@ -652,6 +668,19 @@ object HashQL {
     * row-at-a-time, server.py:666-669). */
   final case class Insert(table: String, fields: Seq[String],
                           rows: Seq[Seq[Any]]) extends Stmt
+  /** `insert into t (f, …) values (…) on conflict (k, …) do nothing |
+    * do update set c = <expr> [, …]` (round-15 — DuckDB's upsert verb):
+    * rows whose conflict-key tuple matches an existing row either skip
+    * (NOTHING) or update it (SET right-hand sides may read the incoming
+    * row through `excluded.c`); the rest insert. Desugars onto the
+    * MERGE machinery — same one-join/one-anti/one-commit plan. */
+  final case class UpsertValues(table: String, fields: Seq[String],
+                                rows: Seq[Seq[Any]], keys: Seq[String],
+                                action: Option[Seq[(ColRef, Expr)]])
+      extends Stmt {
+    require(keys.nonEmpty, "ON CONFLICT needs at least one key column")
+    require(rows.nonEmpty, "upsert needs at least one VALUES row")
+  }
   /** `insert into t [( f, g )] select …` (round-12 — bulk append): the
     * query's rows append with synthesized ids continuing the table's
     * counter (materialized once so ids are stable); a column list renames
@@ -1250,6 +1279,40 @@ object HashQL {
         rows += values.toSeq
         if (is(",")) next() else more = false
       }
+      // `on conflict (k, …) do nothing | do update set c = <expr> …`
+      // (round-15 — see [[UpsertValues]]); `excluded.c` reads the
+      // incoming row, the same RHS grammar as MERGE (bare word = string)
+      if (is("on")) {
+        next(); kw("conflict"); kw("(")
+        val keys = scala.collection.mutable.ArrayBuffer(next())
+        while (is(",")) { next(); keys += next() }
+        kw(")"); kw("do")
+        val action: Option[Seq[(ColRef, Expr)]] =
+          if (is("nothing")) { next(); None }
+          else {
+            kw("update"); kw("set")
+            def rhs(): Expr =
+              if (is("null")) { next(); ELit(null) }
+              else exprTree() match {
+                case ECol(ColRef("", bare)) => ELit(bare)
+                case e => e
+              }
+            val sets =
+              scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
+            var m2 = true
+            while (m2) {
+              val ref = colRef(); kw("=")
+              require(ref.table.isEmpty || ref.table == table,
+                s"ON CONFLICT DO UPDATE assigns the TARGET's columns — " +
+                  s"got ${ref.table}.${ref.column}")
+              sets += ((ref, rhs()))
+              m2 = is(",") && { next(); true }
+            }
+            Some(sets.toSeq)
+          }
+        return UpsertValues(table, fields.toSeq, rows.toSeq, keys.toSeq,
+          action)
+      }
       Insert(table, fields.toSeq, rows.toSeq)
     }
 
@@ -1774,7 +1837,34 @@ object HashQL {
       val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
       var more = true
       while (more) {
-        if (is("*")) { next(); items += Star }
+        if (is("*")) {
+          next()
+          // `* exclude (a, b) [replace (<expr> as a, …)]` (round-15 —
+          // DuckDB's star modifiers): desugared to the explicit item
+          // list once the source columns are known (selectFrame)
+          if (is("exclude") || is("replace")) {
+            val excl = scala.collection.mutable.ArrayBuffer.empty[String]
+            val repl =
+              scala.collection.mutable.ArrayBuffer.empty[(Expr, String)]
+            if (is("exclude")) {
+              next(); kw("(")
+              excl += next()
+              while (is(",")) { next(); excl += next() }
+              kw(")")
+            }
+            if (is("replace")) {
+              next(); kw("(")
+              def one(): Unit = {
+                val e = exprTree(); kw("as")
+                repl += ((e, next()))
+              }
+              one()
+              while (is(",")) { next(); one() }
+              kw(")")
+            }
+            items += StarMod(excl.toSeq, repl.toSeq)
+          } else items += Star
+        }
         else if (is("row_number") || is("rank") || is("dense_rank") ||
                  is("percent_rank") || is("cume_dist")) {
           // percent_rank/cume_dist (round-13): relative rank in [0, 1] —
@@ -2087,9 +2177,9 @@ object HashQL {
       // (alias → real) entry, resolved by the executor.
       val aliasList = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val aliasStop = Set("sample", "inner", "left", "right", "full", "cross",
-        "lateral", "join", "where", "group", "having", "qualify", "window",
-        "order", "limit", "offset", "union", "intersect", "except", "on",
-        ")", ",", "")
+        "lateral", "join", "asof", "where", "group", "having", "qualify",
+        "window", "order", "limit", "offset", "union", "intersect", "except",
+        "on", ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -2226,7 +2316,40 @@ object HashQL {
       }
       val joins = scala.collection.mutable.ArrayBuffer.empty[JoinClause]
       while (is("inner") || is("left") || is("right") || is("full") ||
-             is("join")) {
+             is("join") ||
+             (is("asof") && (peekAt(1).equalsIgnoreCase("join") ||
+               peekAt(1).equalsIgnoreCase("left")))) {
+        // `asof [left] join u on t.k = u.k and u.ts <= t.ts` (round-15
+        // — DuckDB's ASOF JOIN): attach the latest (<=) / earliest (>=)
+        // fresh-side row per key; LEFT keeps unmatched rows
+        // NULL-extended, the bare form drops them (DuckDB semantics).
+        // The ON clause is EXACTLY one equality + one inclusive time
+        // inequality — the inequality's direction picks backward vs
+        // forward.
+        if (is("asof")) {
+          next()
+          val kind = if (is("left")) { next(); "asof_left" } else "asof"
+          kw("join")
+          val t = fromSource(); kw("on")
+          val l = colRef(); kw("="); val r = colRef()
+          kw("and")
+          val lt = colRef()
+          val op = next() match {
+            case o @ ("<=" | ">=") => o
+            case o @ ("<" | ">") => throw new IllegalArgumentException(
+              s"ASOF JOIN takes an INCLUSIVE time bound (<= or >=), " +
+                s"got $o")
+            case o => throw new IllegalArgumentException(
+              s"ASOF JOIN's second ON conjunct is the time inequality " +
+                s"(u.ts <= t.ts), got operator $o")
+          }
+          val rt = colRef()
+          require(lt.table.nonEmpty && rt.table.nonEmpty &&
+            (lt.table == t) != (rt.table == t),
+            "the ASOF time inequality compares the joined table's time " +
+              "against the accumulated side's")
+          joins += JoinClause(t, l, r, kind, Seq((lt, op, rt)))
+        } else {
         // bare `join` = `inner join`, the common SQL spelling
         val kind =
           if (is("join")) "inner"
@@ -2276,6 +2399,7 @@ object HashQL {
           extras += ((l2, op, rhs))
         }
         joins += JoinClause(t, l, r, kind, extras.toSeq)
+        }
         }
       }
       // a CROSS JOIN spelled after an ON-join would need ANSI's strict
@@ -4176,7 +4300,51 @@ object HashQL {
     * None; SELECT returns the result frame. */
   def execute(cat: GraftCatalog, sql: String,
               registry: Option[JoinRegistry] = None): Option[DataFrame] =
-    parse(sql) match {
+    executeStmt(cat, parse(sql), registry)
+
+  private def executeStmt(cat: GraftCatalog, stmt: Stmt,
+                          registry: Option[JoinRegistry]): Option[DataFrame] =
+    stmt match {
+      // INSERT … ON CONFLICT (round-15 — DuckDB's upsert verb):
+      // desugars onto the MERGE machinery — the VALUES batch becomes a
+      // scoped inline source, `excluded.c` references rewrite to it,
+      // DO NOTHING is the insert-only merge (one anti join), DO UPDATE
+      // adds the matched clause. Duplicate conflict keys WITHIN the
+      // batch reject up front (DuckDB errors there too) — checked on
+      // the literal rows, zero cost.
+      case UpsertValues(t, fields, rows, keys, action) =>
+        require(cat.exists(t),
+          s"INSERT … ON CONFLICT needs an existing table $t " +
+            "(a plain INSERT creates it)")
+        val keyIdx = keys.map(fields.indexOf)
+        require(keyIdx.forall(_ >= 0),
+          s"ON CONFLICT keys must be inserted columns — " +
+            s"${keys.zip(keyIdx).collect { case (k, -1) => k }.mkString(", ")}")
+        val tuples = rows.map(r => keyIdx.map(r(_)))
+        require(tuples.distinct.size == tuples.size,
+          "the VALUES batch has duplicate conflict keys — de-duplicate " +
+            "the batch (DuckDB rejects it too)")
+        val srcName = "graft_upsert_src"
+        require(!cat.exists(srcName) && !cat.isShadowed(srcName),
+          s"reserved name $srcName is taken")
+        val srcDf = inlineFrame(cat, InlineValues(fields, rows))
+        def rex(e: Expr): Expr = mapExprRefs(
+          r => if (r.table == "excluded") ColRef(srcName, r.column) else r,
+          mapPredRefsSimple(
+            r => if (r.table == "excluded") ColRef(srcName, r.column) else r,
+            "an ON CONFLICT DO UPDATE expression"))(e)
+        val matched = action match {
+          case None => Nil
+          case Some(sets) =>
+            Seq(MergeMatched(None, sets.map { case (ref, e) =>
+              (ref, rex(e)) }, delete = false))
+        }
+        val nm = Some((fields,
+          fields.map(f => ECol(ColRef(srcName, f)): Expr), None))
+        val on = keys.map(k => (ColRef(t, k), ColRef(srcName, k)))
+        cat.withScope(Map(srcName -> srcDf))(
+          executeStmt(cat, Merge(t, srcName, on, matched, nm, None),
+            registry))
       case Insert(t, fs, rows) =>
         // a null value is the field omitted for that row — schema union
         // supplies the null (and no type is invented for it)
@@ -5314,6 +5482,8 @@ object HashQL {
       // rewrite (round-13) — reaching one here is an internal error
       case Star => throw new IllegalStateException(
         "unexpanded * under table aliases")
+      case _: StarMod => throw new IllegalStateException(
+        "unexpanded * EXCLUDE/REPLACE under table aliases")
       // a plain aliased field projects under its ORIGINAL column name (a
       // pure rename — keeps the missing-field row skip)
       case Field(r) if aliases.contains(r.table) =>
@@ -5509,6 +5679,35 @@ object HashQL {
             case (n, _: InlineValues) => n
             case (n, _: GenSeries) => n }))
     }
+    // `* exclude/replace` (round-15): desugar to the explicit item list
+    // now that the (single) source's columns are known — plain columns
+    // keep Field semantics, replaced columns become computed items
+    if (sel.items.exists(_.isInstanceOf[StarMod])) {
+      require(sel.joins.isEmpty && sel.froms.isEmpty &&
+        sel.aliases.isEmpty,
+        "* EXCLUDE/REPLACE expands a SINGLE-table star — project " +
+          "joined/aliased sources explicitly (or stage through a CTE)")
+      val base = cat.table(sel.table).columns.toSeq
+      val items2 = sel.items.flatMap {
+        case StarMod(excl, repl) =>
+          val missing = (excl ++ repl.map(_._2)).filterNot(base.contains)
+          require(missing.isEmpty,
+            s"* EXCLUDE/REPLACE names unknown column(s): " +
+              s"${missing.mkString(", ")}")
+          require(excl.intersect(repl.map(_._2)).isEmpty,
+            "a column cannot be both EXCLUDEd and REPLACEd")
+          val rm = repl.map { case (e, c) => c -> e }.toMap
+          base.filterNot(excl.contains).map { c =>
+            rm.get(c) match {
+              case Some(e) => ExprItem(e, c): SelectItem
+              case None => Field(ColRef("", c)): SelectItem
+            }
+          }
+        case other => Seq(other)
+      }
+      return selectFrame(cat, sel.copy(items = items2), registry,
+        inlineNames)
+    }
     if (sel.aliases.nonEmpty) {
       val (scope, rewritten) = resolveAliases(cat, sel)
       return cat.withScope(scope)(
@@ -5548,6 +5747,47 @@ object HashQL {
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+            if (kind == "asof" || kind == "asof_left") {
+              // ASOF JOIN (round-15): union + ONE key shuffle + one
+              // window pass (operators.AsOfJoin) — never the per-key
+              // cross join a range-condition join would plan. The fresh
+              // side carries ALL its columns except the join key (it
+              // equals the accumulated key); the carried fresh TIME
+              // column doubles as the match indicator for the
+              // drop-unmatched (non-LEFT) form.
+              val Seq((c1, op0, rhs0)) = extra
+              val c2 = rhs0 match {
+                case r2: ColRef => r2
+                case other => throw new IllegalArgumentException(
+                  s"ASOF time bound must compare two columns, got $other")
+              }
+              val (ft, at, opN) =
+                if (c1.table == t) (c1, c2, op0)
+                else (c2, c1, flipCmp(op0))
+              // the fresh side's dialect id is internal row identity —
+              // never user-addressed through a join; drop it from the
+              // carry when the accumulated side already has one
+              val payload = tdf.columns.filterNot(_ == fresh.column)
+                .filterNot(c => c == "id" && acc.columns.contains("id"))
+                .toSeq
+              val clash = payload.toSet.intersect(acc.columns.toSet)
+              require(clash.isEmpty,
+                s"ASOF JOIN $t columns collide with the accumulated " +
+                  s"side: ${clash.mkString(", ")} — stage a renaming " +
+                  "derived table")
+              val pm = payload.map(c => c -> c).toMap
+              val joined = opN match {
+                case "<=" => graft.operators.AsOfJoin.asOf(acc, tdf,
+                  known.column, fresh.column, at.column, ft.column, pm)
+                case ">=" => graft.operators.AsOfJoin.asOfForward(acc, tdf,
+                  known.column, fresh.column, at.column, ft.column, pm)
+                case o => throw new IllegalStateException(
+                  s"unreachable ASOF operator $o")
+              }
+              acc =
+                if (kind == "asof_left") joined
+                else joined.filter(col(ft.column).isNotNull)
+            } else {
             // column-column extras orient accumulated-op-fresh (a parse
             // that led with the fresh side flips the operator); a literal
             // rhs compares whichever side its column lives on. Either
@@ -5591,6 +5831,7 @@ object HashQL {
             // the coalesce key-merge serves those).
             if (kind == "inner" && known.column == fresh.column)
               acc = acc.drop(tdf(fresh.column))
+            }
           }
           acc
         }
@@ -5923,6 +6164,8 @@ object HashQL {
                   "collides with a projected field — pick a distinct alias")
               val cols = items.flatMap {
                 case Star => df.columns.toSeq
+                case _: StarMod => throw new IllegalStateException(
+                  "unexpanded * EXCLUDE/REPLACE") // desugared at entry
                 case Field(ref) => Seq(ref.column)
                 case w: WinCall => Seq(winAlias(w))
                 case c: Coalesce2 => Seq(coalAlias(c))

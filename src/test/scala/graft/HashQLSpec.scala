@@ -3688,6 +3688,109 @@ class HashQLSpec extends SparkSpec {
     assert(plan.contains("Aggregate"), plan.take(800))
   }
 
+  test("ASOF JOIN: backward/forward, inner/left, guards (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into tr (sym, tts, px) values ('a', 3, 10), ('a', 7, 20), " +
+        "('b', 1, 5)")
+    HashQL.execute(cat,
+      "insert into qt (qsym, qts, bid) values ('a', 1, 1), ('a', 5, 5), " +
+        "('a', 9, 9)")
+    // backward inner: latest quote at-or-before each trade; 'b' has no
+    // quote → dropped (DuckDB's bare ASOF JOIN)
+    val bi = HashQL.execute(cat,
+      "select tr.sym, tr.tts, qt.bid from tr asof join qt " +
+        "on tr.sym = qt.qsym and qt.qts <= tr.tts " +
+        "order by tr.sym, tr.tts").get
+      .as[(String, Long, Long)].collect().toSeq
+    assert(bi == Seq(("a", 3L, 1L), ("a", 7L, 5L)))
+    // forward left: earliest quote at-or-after; 'b' kept NULL-extended
+    val fl = HashQL.execute(cat,
+      "select tr.sym, tr.tts, qt.bid from tr asof left join qt " +
+        "on tr.sym = qt.qsym and qt.qts >= tr.tts " +
+        "order by tr.sym, tr.tts").get
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)))).toSeq
+    assert(fl == Seq(("a", 3L, Some(5L)), ("a", 7L, Some(9L)),
+      ("b", 1L, None)))
+    // strict bounds reject toward the inclusive forms
+    val st = intercept[IllegalArgumentException](HashQL.parse(
+      "select tr.sym from tr asof join qt on tr.sym = qt.qsym " +
+        "and qt.qts < tr.tts"))
+    assert(st.getMessage.contains("INCLUSIVE"), st.getMessage)
+    // the plan is union + one keyed window — never a per-key cross join
+    val df = HashQL.execute(cat,
+      "select tr.sym, qt.bid from tr asof join qt " +
+        "on tr.sym = qt.qsym and qt.qts <= tr.tts").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ASOF planned per-row:\n${plan.take(1200)}")
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
+  test("* EXCLUDE / REPLACE star modifiers (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into sm (a, b, c) values (1, 2, 'x'), (3, 4, 'y')")
+    val ex = HashQL.execute(cat,
+      "select * exclude (id, b) from sm order by sm.a").get
+    assert(ex.columns.toSeq == Seq("a", "c"), ex.columns.toSeq)
+    assert(ex.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (3L, "y")))
+    // REPLACE rewrites a column in place, keeping position + name
+    val rp = HashQL.execute(cat,
+      "select * exclude (id) replace (sm.a * 10 as a) from sm " +
+        "order by sm.b").get
+    assert(rp.columns.toSeq == Seq("a", "b", "c"), rp.columns.toSeq)
+    assert(rp.as[(Long, Long, String)].collect().toSeq ==
+      Seq((10L, 2L, "x"), (30L, 4L, "y")))
+    // unknown / double-booked columns reject
+    val uk = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * exclude (zz) from sm"))
+    assert(uk.getMessage.contains("unknown"), uk.getMessage)
+    val db = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * exclude (a) replace (sm.a + 1 as a) from sm"))
+    assert(db.getMessage.contains("both"), db.getMessage)
+    // joins reject toward explicit projection
+    HashQL.execute(cat, "insert into sm2 (a, d) values (1, 9)")
+    val jn = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select * exclude (id) from sm join sm2 on sm.a = sm2.a"))
+    assert(jn.getMessage.contains("SINGLE-table"), jn.getMessage)
+  }
+
+  test("INSERT … ON CONFLICT upsert (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into oc (k, v) values ('a', 1), ('b', 2)")
+    // DO UPDATE: conflicting rows update through excluded.*, others insert
+    HashQL.execute(cat,
+      "insert into oc (k, v) values ('a', 10), ('c', 30) " +
+        "on conflict (k) do update set oc.v = excluded.v + oc.v")
+    val got = HashQL.execute(cat,
+      "select oc.k, oc.v from oc order by oc.k").get
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 11L), ("b", 2L), ("c", 30L)))
+    // DO NOTHING: conflicting rows skip silently
+    HashQL.execute(cat,
+      "insert into oc (k, v) values ('a', 99), ('d', 4) " +
+        "on conflict (k) do nothing")
+    val got2 = HashQL.execute(cat,
+      "select oc.k, oc.v from oc order by oc.k").get
+      .as[(String, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 11L), ("b", 2L), ("c", 30L), ("d", 4L)))
+    // duplicate conflict keys WITHIN the batch reject (DuckDB too)
+    val dup = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into oc (k, v) values ('x', 1), ('x', 2) " +
+        "on conflict (k) do update set oc.v = excluded.v"))
+    assert(dup.getMessage.contains("duplicate conflict keys"),
+      dup.getMessage)
+    // a key not in the inserted columns rejects
+    val bk = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into oc (v) values (1) on conflict (k) do nothing"))
+    assert(bk.getMessage.contains("inserted columns"), bk.getMessage)
+  }
+
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
