@@ -2581,6 +2581,59 @@ object HashqlSuite extends Suite {
              |  ON CONFLICT (k) DO NOTHING;
              |SELECT k, v FROM g15oc ORDER BY k""".stripMargin)),
 
+    // string_agg with WITHIN-GROUP ORDER BY (round 15 — DuckDB's
+    // `string_agg(x, sep ORDER BY k)`): collect (key, value) structs,
+    // sort (value is the deterministic tiebreaker), join — still
+    // partitioning-independent, one aggregation pass.
+    "hashql_string_agg_order" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, string_agg(orders.o_orderstatus, ',' " +
+          "order by orders.o_orderkey) as st from orders " +
+          "where orders.o_custkey <= 100 group by orders.o_custkey " +
+          "order by orders.o_custkey"),
+      Some("""SELECT o_custkey, string_agg(o_orderstatus, ','
+             |  ORDER BY o_orderkey) AS st
+             |FROM orders WHERE o_custkey <= 100
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // INSERT/DELETE … RETURNING (round 15 — DuckDB/Postgres): the
+    // statement's result IS its delta frame (already in hand for the
+    // O(delta) hooks — zero extra passes). The oracle EXECUTES the same
+    // DML in DuckDB and returns the real RETURNING rows.
+    "hashql_returning" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into ret15 (k, v) values ('a', 1), ('b', 2), ('c', 3)")
+        HashQL.execute(cat,
+          "delete from ret15 where ret15.v <= 2 returning k, v").get
+          .orderBy("k")
+      },
+      Some("""CREATE TEMP TABLE g15rt(k VARCHAR, v BIGINT);
+             |INSERT INTO g15rt VALUES ('a', 1), ('b', 2), ('c', 3);
+             |DELETE FROM g15rt WHERE v <= 2 RETURNING k, v""".stripMargin)),
+
+    // COPY TO / FROM (round 15 — DuckDB's COPY as the dialect source/
+    // sink verb): parquet out, re-register, query the round-trip — the
+    // oracle computes the same aggregate from the original table
+    // (COPY is lossless by construction).
+    "hashql_copy_roundtrip" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        cat.register("part", graft.core.Tables.t(s, d, "part"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_copy_q").toString
+        HashQL.execute(cat, s"copy part to '$dir/p' (format parquet)")
+        HashQL.execute(cat, s"copy partc from '$dir/p' (format parquet)")
+        HashQL.execute(cat,
+          "select partc.p_brand, count(*) as cnt, " +
+            "sum(partc.p_size) as sz from partc " +
+            "group by partc.p_brand order by partc.p_brand").get
+      },
+      Some("""SELECT p_brand, count(*) AS cnt,
+             |  CAST(sum(p_size) AS BIGINT) AS sz
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // UNPIVOT (round 14): melt three same-typed measures into
     // (name, value) rows — a per-row Expand, zero shuffles; NULL cells
     // drop (DuckDB semantics, filtered on the Spark side).

@@ -478,7 +478,15 @@ object HashQL {
     * separator, so the output is deterministic under any partitioning
     * (DuckDB mirror: `string_agg(x, sep ORDER BY x)`). NULL elements are
     * skipped (both engines); an all-NULL group yields NULL, not ''. */
-  final case class StringAggItem(e: Expr, sep: String, alias: String) extends SelectItem
+  final case class StringAggItem(e: Expr, sep: String, alias: String,
+                                 // `order by <expr> [desc]` inside the
+                                 // call (round-15 — DuckDB's within-group
+                                 // ordering); None keeps the round-12
+                                 // value-sorted default. Ties sort by the
+                                 // VALUE (the struct tiebreak), so the
+                                 // output stays deterministic.
+                                 order: Option[(Expr, Boolean)] = None)
+      extends SelectItem
   /** `min_by|max_by(<value>, <key>) as alias` (round-12): the value at
     * the extremal key (DuckDB: arg_min/arg_max). Ties on the key pick an
     * arbitrary row on BOTH engines — use a unique key for deterministic
@@ -668,6 +676,26 @@ object HashQL {
     * row-at-a-time, server.py:666-669). */
   final case class Insert(table: String, fields: Seq[String],
                           rows: Seq[Seq[Any]]) extends Stmt
+  /** `insert into t (…) values (…) returning *|c1, c2` / `delete from t
+    * [using u] where … returning …` (round-15 — DuckDB/Postgres
+    * RETURNING): the statement's result IS its delta — the inserted
+    * rows (synthesized ids included under `*`) or the deleted rows'
+    * before-image. Zero extra passes: both frames already exist for the
+    * O(delta) registry hooks. `cols` empty means `*`. */
+  final case class Returning(inner: Stmt, cols: Seq[String]) extends Stmt
+  /** `copy <table> to '<path>' (format parquet|csv|jsonl)` (round-15 —
+    * DuckDB's COPY as the dialect-level SINK verb): distributed write
+    * through [[graft.sources.Sources]] (parquet = system-of-record;
+    * csv/jsonl = loss-pinned interchange). */
+  final case class CopyTo(table: String, path: String,
+                          format: String) extends Stmt
+  /** `copy <table> from '<path>' (format …)` — the SOURCE verb: read and
+    * REGISTER under the name (raw frame, no synthesized ids — the bulk
+    * ingest path; the table must not already exist: appending to a
+    * dialect table goes through INSERT … SELECT, which synthesizes
+    * ids). CSV/JSONL re-reads use the schema the write pinned. */
+  final case class CopyFrom(table: String, path: String,
+                            format: String) extends Stmt
   /** `insert into t (f, …) values (…) on conflict (k, …) do nothing |
     * do update set c = <expr> [, …]` (round-15 — DuckDB's upsert verb):
     * rows whose conflict-key tuple matches an existing row either skip
@@ -1177,6 +1205,25 @@ object HashQL {
       case "merge" => kw("into"); mergeRest()
       case "pivot" => pivotRest()
       case "unpivot" => unpivotRest()
+      case "copy" =>
+        // `copy t to '<path>' (format parquet|csv|jsonl)` /
+        // `copy t from '<path>' (format …)` (round-15 — DuckDB's COPY,
+        // the dialect-level source/sink verb over graft.sources.Sources)
+        val t = next()
+        val dir = next().toLowerCase
+        require(dir == "to" || dir == "from",
+          s"COPY <table> TO|FROM '<path>', got $dir")
+        val path = literal() match {
+          case s1: String => s1
+          case other => throw new IllegalArgumentException(
+            s"COPY path must be a quoted string, got $other")
+        }
+        kw("("); kw("format")
+        val fmt = next().toLowerCase
+        require(Set("parquet", "csv", "jsonl").contains(fmt),
+          s"COPY format is parquet|csv|jsonl, got $fmt")
+        kw(")")
+        if (dir == "to") CopyTo(t, path, fmt) else CopyFrom(t, path, fmt)
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
@@ -1313,7 +1360,19 @@ object HashQL {
         return UpsertValues(table, fields.toSeq, rows.toSeq, keys.toSeq,
           action)
       }
-      Insert(table, fields.toSeq, rows.toSeq)
+      val ins = Insert(table, fields.toSeq, rows.toSeq)
+      if (is("returning")) Returning(ins, returningCols()) else ins
+    }
+
+    /** `returning *` (empty list) or `returning c1 [, c2 …]`. */
+    private def returningCols(): Seq[String] = {
+      kw("returning")
+      if (is("*")) { next(); Nil }
+      else {
+        val cs = scala.collection.mutable.ArrayBuffer(next())
+        while (is(",")) { next(); cs += next() }
+        cs.toSeq
+      }
     }
 
     private def updateRest(): Update = {
@@ -1523,7 +1582,7 @@ object HashQL {
       Unpivot(t, cs.toSeq, n, v)
     }
 
-    private def deleteRest(): Delete = {
+    private def deleteRest(): Stmt = {
       val table = next()
       // `delete from t using u where t.k = u.k [and …]` (round-13) —
       // the join-delete (Postgres/DuckDB USING): rows of t with a match
@@ -1536,7 +1595,8 @@ object HashQL {
         case _ => false
       }, "DELETE … USING needs at least one equality conjunct linking " +
         "the two tables (t.k = u.k)")
-      Delete(table, wheres, using)
+      val del = Delete(table, wheres, using)
+      if (is("returning")) Returning(del, returningCols()) else del
     }
 
     /** WHERE clause → top-level AND conjuncts (callers fold with &&).
@@ -2007,8 +2067,19 @@ object HashQL {
           val sep = literal()
           require(sep.isInstanceOf[String],
             s"string_agg expects a quoted separator literal, got $sep")
+          // `string_agg(x, ',' order by y [desc])` (round-15): explicit
+          // within-group ordering
+          val ord = if (is("order")) {
+            next(); kw("by")
+            val oe = exprTree()
+            val desc =
+              if (is("desc")) { next(); true }
+              else { if (is("asc")) next(); false }
+            Some((oe, desc))
+          } else None
           kw(")")
-          items += StringAggItem(e, sep.toString, aliasAfterAs("string_agg(…)"))
+          items += StringAggItem(e, sep.toString,
+            aliasAfterAs("string_agg(…)"), ord)
         }
         else if ((is("min_by") || is("max_by")) && peekAt(1) == "(") {
           // `min_by|max_by(<value>, <key>) as alias` — value at extremal key
@@ -3957,7 +4028,9 @@ object HashQL {
       case AggCall(_, r) if r.table.nonEmpty && !subTables(r.table) => Seq(r.table)
       case AggExprItem(_, e, _) => exprTables(e).filterNot(subTables).toSeq
       case ExprItem(e, _) => exprTables(e).filterNot(subTables).toSeq
-      case StringAggItem(e, _, _) => exprTables(e).filterNot(subTables).toSeq
+      case StringAggItem(e, _, _, ord) =>
+        (exprTables(e) ++ ord.toSeq.flatMap(o => exprTables(o._1)))
+          .filterNot(subTables).toSeq
       case ArgExtremeItem(_, v, k, _) =>
         (exprTables(v) ++ exprTables(k)).filterNot(subTables).toSeq
       case _ => Nil
@@ -4007,7 +4080,7 @@ object HashQL {
     case AggCall(fn, r) => Some(s"${fn}_${r.column}")
     case AggExprItem(_, _, a) => Some(a)
     case ExprItem(_, a) => Some(a)
-    case StringAggItem(_, _, a) => Some(a)
+    case StringAggItem(_, _, a, _) => Some(a)
     case ArgExtremeItem(_, _, _, a) => Some(a)
     case GroupingItem(_, a) => Some(a)
     case c: Coalesce2 => Some(coalAlias(c))
@@ -4192,10 +4265,22 @@ object HashQL {
       // sorted-deterministic string aggregation (round-12): collect,
       // sort, join — partitioning-independent; all-NULL/empty groups
       // yield NULL like DuckDB's string_agg, not ''
-      case StringAggItem(e, sep, a) =>
+      case StringAggItem(e, sep, a, None) =>
         val arr = sort_array(collect_list(exprColumn(cat, e)))
         when(size(arr) === 0, lit(null))
           .otherwise(concat_ws(sep, arr)).as(a)
+      // explicit within-group ordering (round-15): collect (key, value)
+      // structs, sort (value is the deterministic tiebreaker), project
+      // the values back out. concat_ws skips NULL elements — DuckDB's
+      // string_agg NULL-skip, same as the default form.
+      case StringAggItem(e, sep, a, Some((k, desc))) =>
+        val st = collect_list(struct(exprColumn(cat, k).as("k"),
+          exprColumn(cat, e).as("v")))
+        val sorted0 = sort_array(st)
+        val sorted = if (desc) reverse(sorted0) else sorted0
+        val vals = transform(sorted, s0 => s0.getField("v"))
+        when(size(vals) === 0, lit(null))
+          .otherwise(concat_ws(sep, vals)).as(a)
       // value at the extremal key (round-12; DuckDB arg_min/arg_max)
       case ArgExtremeItem("min_by", v, k, a) =>
         min_by(exprColumn(cat, v), exprColumn(cat, k)).as(a)
@@ -4279,6 +4364,95 @@ object HashQL {
     df.groupBy(sel.groupBy.map(g => col(g.column)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** CSV/JSONL are not self-describing — COPY TO pins the exact schema
+    * in a `_graft_schema.json` sidecar (Spark read ignores `_`-prefixed
+    * files) so COPY FROM round-trips loss-free without inferSchema's
+    * extra pass and type drift. */
+  private def writeSchemaSidecar(df: DataFrame, path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_schema.json"), df.schema.json)
+  private def readSchemaSidecar(path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val p = java.nio.file.Paths.get(path, "_graft_schema.json")
+    require(java.nio.file.Files.exists(p),
+      s"COPY … FROM (format csv|jsonl) needs the _graft_schema.json " +
+        s"sidecar a COPY TO writes — none at $path (use parquet for " +
+        "foreign data)")
+    org.apache.spark.sql.types.DataType.fromJson(
+      java.nio.file.Files.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Execute a DELETE and return the deleted rows' BEFORE-image plan
+    * (captured ahead of the copy-on-write commit — plans are immutable,
+    * so it stays evaluatable after). Shared by the plain statement and
+    * its RETURNING form (round-15). */
+  private def runDelete(cat: GraftCatalog, del: Delete,
+                        registry: Option[JoinRegistry]): DataFrame =
+    del match {
+      case Delete(t, wheres, Some(u)) =>
+        // join-delete (round-13): classify the WHERE into cross-table
+        // equality conjuncts (the join condition), t-local and u-local
+        // filters; ONE semi join computes the doomed id set — never a
+        // row-at-a-time probe
+        val pre = cat.table(t)
+        require(pre.columns.contains("id"),
+          s"DELETE … USING needs table $t's dialect id column " +
+            "(raw-registered tables have no row identity)")
+        val uF0 = cat.table(u)
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        wheres.foreach {
+          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
+            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
+          case p =>
+            val tabs = predTables(p)
+            if (tabs == Set(u)) uLocal += p
+            else {
+              require(!tabs.contains(u),
+                s"a DELETE … USING conjunct must live on one table or be " +
+                  s"an equality pair across them, got: $p")
+              tLocal += p
+            }
+        }
+        val tF = tLocal.foldLeft(pre)((d, p) => d.filter(predColumn(cat, p)))
+        val uF = uLocal.foldLeft(uF0)((d, p) => d.filter(predColumn(cat, p)))
+        val cond = pairs.map { case (tr, ur) =>
+          tF(tr.column) === uF(ur.column) }.reduce(_ && _)
+        val doomed = tF.join(uF, cond, "left_semi").select("id")
+        cat.deleteRows(t, doomed)
+        val deleted = pre.join(doomed, Seq("id"), "left_semi")
+        registry.foreach(_.onDelete(cat, t, deleted))
+        deleted
+      case Delete(t, wheres, None) =>
+        // capture the deleted rows' plan BEFORE the copy-on-write rewrite
+        // (plans are immutable, so it stays evaluatable after); the hook
+        // then folds negated partials into deltable aggregate views and
+        // invalidates everything else
+        val pre = cat.table(t)
+        val deleted =
+          if (wheres.exists(subqueryPred)) {
+            // subquery predicates (the decontamination idiom — `delete …
+            // where id in (select …)`) evaluate to a ROW SET via the same
+            // semi/anti machinery SELECT uses; the doomed ids then drop
+            // by one anti-join. Needs the dialect id column for identity.
+            require(pre.columns.contains("id"),
+              s"DELETE with a subquery predicate needs table $t's dialect " +
+                "id column (raw-registered tables have no row identity)")
+            val doomed = applyWheres(cat, pre, wheres, registry).select("id")
+            cat.deleteRows(t, doomed)
+            pre.join(doomed, Seq("id"), "left_semi")
+          } else {
+            val cond = wheres.map(predColumn(cat, _))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            cat.delete(t, cond)
+            pre.filter(cond)
+          }
+        registry.foreach(_.onDelete(cat, t, deleted))
+        deleted
+    }
 
   /** Conform the literal row frames an INSERT just appended to the
     * post-insert table schema: union them, add typed nulls for table
@@ -4768,66 +4942,52 @@ object HashQL {
         for (d <- delta; reg <- registry)
           reg.onInsert(cat, t, insertDeltaFrame(cat.table(t), Seq(d)))
         None
-      case Delete(t, wheres, Some(u)) =>
-        // join-delete (round-13): classify the WHERE into cross-table
-        // equality conjuncts (the join condition), t-local and u-local
-        // filters; ONE semi join computes the doomed id set — never a
-        // row-at-a-time probe
-        val pre = cat.table(t)
-        require(pre.columns.contains("id"),
-          s"DELETE … USING needs table $t's dialect id column " +
-            "(raw-registered tables have no row identity)")
-        val uF0 = cat.table(u)
-        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
-        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
-        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
-        wheres.foreach {
-          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
-            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
-          case p =>
-            val tabs = predTables(p)
-            if (tabs == Set(u)) uLocal += p
-            else {
-              require(!tabs.contains(u),
-                s"a DELETE … USING conjunct must live on one table or be " +
-                  s"an equality pair across them, got: $p")
-              tLocal += p
-            }
+      case d: Delete => runDelete(cat, d, registry); None
+      // `… returning *|c1, c2` (round-15 — DuckDB/Postgres RETURNING):
+      // the DML's own delta frame comes back as the statement's result —
+      // inserted rows (ids included under *) or the deleted rows'
+      // before-image; zero extra passes (the frames already feed the
+      // O(delta) hooks).
+      case Returning(ins: Insert, cols) =>
+        val rowDfs = ins.rows.map(r =>
+          cat.insert(ins.table, ins.fields.zip(r).filter(_._2 != null)))
+        val delta = insertDeltaFrame(cat.table(ins.table), rowDfs)
+        registry.foreach(_.onInsert(cat, ins.table, delta))
+        Some(if (cols.isEmpty) delta else delta.select(cols.map(col): _*))
+      case Returning(d: Delete, cols) =>
+        val deleted = runDelete(cat, d, registry)
+        Some(if (cols.isEmpty) deleted
+             else deleted.select(cols.map(col): _*))
+      case Returning(other, _) => throw new IllegalArgumentException(
+        s"RETURNING rides INSERT … VALUES and DELETE, got: $other")
+      case CopyTo(t, path, fmt) =>
+        val df = cat.table(t)
+        fmt match {
+          case "parquet" => graft.sources.Sources.writeParquet(df, path)
+          case "csv" =>
+            graft.sources.Sources.writeCsv(df, path)
+            writeSchemaSidecar(df, path)
+          case "jsonl" =>
+            graft.sources.Sources.writeJsonl(df, path)
+            writeSchemaSidecar(df, path)
+          case other => throw new IllegalStateException(s"format $other")
         }
-        val tF = tLocal.foldLeft(pre)((d, p) => d.filter(predColumn(cat, p)))
-        val uF = uLocal.foldLeft(uF0)((d, p) => d.filter(predColumn(cat, p)))
-        val cond = pairs.map { case (tr, ur) =>
-          tF(tr.column) === uF(ur.column) }.reduce(_ && _)
-        val doomed = tF.join(uF, cond, "left_semi").select("id")
-        cat.deleteRows(t, doomed)
-        val deleted = pre.join(doomed, Seq("id"), "left_semi")
-        registry.foreach(_.onDelete(cat, t, deleted))
         None
-      case Delete(t, wheres, None) =>
-        // capture the deleted rows' plan BEFORE the copy-on-write rewrite
-        // (plans are immutable, so it stays evaluatable after); the hook
-        // then folds negated partials into deltable aggregate views and
-        // invalidates everything else
-        val pre = cat.table(t)
-        val deleted =
-          if (wheres.exists(subqueryPred)) {
-            // subquery predicates (the decontamination idiom — `delete …
-            // where id in (select …)`) evaluate to a ROW SET via the same
-            // semi/anti machinery SELECT uses; the doomed ids then drop
-            // by one anti-join. Needs the dialect id column for identity.
-            require(pre.columns.contains("id"),
-              s"DELETE with a subquery predicate needs table $t's dialect " +
-                "id column (raw-registered tables have no row identity)")
-            val doomed = applyWheres(cat, pre, wheres, registry).select("id")
-            cat.deleteRows(t, doomed)
-            pre.join(doomed, Seq("id"), "left_semi")
-          } else {
-            val cond = wheres.map(predColumn(cat, _))
-              .reduceOption(_ && _).getOrElse(lit(true))
-            cat.delete(t, cond)
-            pre.filter(cond)
-          }
-        registry.foreach(_.onDelete(cat, t, deleted))
+      case CopyFrom(t, path, fmt) =>
+        require(!cat.exists(t) && !cat.isShadowed(t),
+          s"COPY … FROM registers a NEW table — $t exists (append " +
+            "through insert into … select)")
+        val df = fmt match {
+          case "parquet" => graft.sources.Sources.readParquet(cat.spark, path)
+          case "csv" =>
+            graft.sources.Sources.readCsv(cat.spark, path,
+              readSchemaSidecar(path))
+          case "jsonl" =>
+            graft.sources.Sources.readJsonl(cat.spark, path,
+              readSchemaSidecar(path))
+          case other => throw new IllegalStateException(s"format $other")
+        }
+        cat.register(t, df)
         None
       case Pivot(t, on, values0, fn, arg, gs) =>
         val df = cat.table(t)
@@ -5525,7 +5685,8 @@ object HashQL {
       case c: Coalesce2 => itemsBuf += c
       case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
       case ExistsItem(s0, a) => itemsBuf += ExistsItem(subSel(s0), a)
-      case StringAggItem(e, sep, a) => itemsBuf += StringAggItem(expr(e), sep, a)
+      case StringAggItem(e, sep, a, ord) => itemsBuf +=
+        StringAggItem(expr(e), sep, a, ord.map { case (o, d) => (expr(o), d) })
       case ArgExtremeItem(fn, v, k, a) =>
         itemsBuf += ArgExtremeItem(fn, expr(v), expr(k), a)
       // grouping's key addresses the RESTORED output name (the grouped
@@ -5634,7 +5795,8 @@ object HashQL {
           })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
         case ExistsItem(s1, a) => ExistsItem(subSel(s1), a)
-        case StringAggItem(e, sep, a) => StringAggItem(expr(e), sep, a)
+        case StringAggItem(e, sep, a, ord) => StringAggItem(expr(e), sep, a,
+          ord.map { case (o, d) => (expr(o), d) })
         case ArgExtremeItem(fn, v, k, a) =>
           ArgExtremeItem(fn, expr(v), expr(k), a)
         case other => other
@@ -5959,7 +6121,7 @@ object HashQL {
               case AggCall("count_distinct", r) => Seq(s"cntd_${r.column}")
               case AggCall(fn, r) => Seq(s"${fn}_${r.column}")
               case AggExprItem(_, _, a) => Seq(a)
-              case StringAggItem(_, _, a) => Seq(a)
+              case StringAggItem(_, _, a, _) => Seq(a)
               case ArgExtremeItem(_, _, _, a) => Seq(a)
               case GroupingItem(_, a) => Seq(a)
               case _ => Seq.empty

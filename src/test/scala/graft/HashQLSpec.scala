@@ -3791,6 +3791,56 @@ class HashQLSpec extends SparkSpec {
     assert(bk.getMessage.contains("inserted columns"), bk.getMessage)
   }
 
+  test("string_agg ORDER BY key, RETURNING, COPY round-trip (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into sa (g, nm, rk) values ('x', 'b', 3), ('x', 'a', 1), " +
+        "('x', 'c', 2), ('y', 'z', 1)")
+    // within-group ordering by ANOTHER column, asc + desc
+    val got = HashQL.execute(cat,
+      "select sa.g, string_agg(sa.nm, ',' order by sa.rk) as s " +
+        "from sa group by sa.g order by sa.g").get
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("x", "a,c,b"), ("y", "z")))
+    val desc = HashQL.execute(cat,
+      "select sa.g, string_agg(sa.nm, '-' order by sa.rk desc) as s " +
+        "from sa group by sa.g order by sa.g").get
+      .as[(String, String)].collect().toSeq
+    assert(desc == Seq(("x", "b-c-a"), ("y", "z")))
+    // INSERT … RETURNING: the inserted rows (ids included under *)
+    val ins = HashQL.execute(cat,
+      "insert into rr (k, v) values ('a', 1), ('b', 2) returning k, v").get
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(ins == Seq(("a", 1L), ("b", 2L)))
+    val insStar = HashQL.execute(cat,
+      "insert into rr (k, v) values ('c', 3) returning *").get
+    assert(insStar.columns.contains("id"), insStar.columns.toSeq)
+    // DELETE … RETURNING: the deleted rows' before-image
+    val del = HashQL.execute(cat,
+      "delete from rr where rr.v <= 2 returning k").get
+      .as[String].collect().toSeq.sorted
+    assert(del == Seq("a", "b"))
+    assert(HashQL.execute(cat, "select rr.k from rr").get.count() == 1)
+    // COPY TO / FROM round-trips, parquet and csv (schema sidecar)
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    HashQL.execute(cat, s"copy rr to '$dir/rr_pq' (format parquet)")
+    HashQL.execute(cat, s"copy rr2 from '$dir/rr_pq' (format parquet)")
+    assert(HashQL.execute(cat,
+      "select rr2.k, rr2.v from rr2").get
+      .as[(String, Long)].collect().toSeq == Seq(("c", 3L)))
+    HashQL.execute(cat, s"copy sa to '$dir/sa_csv' (format csv)")
+    HashQL.execute(cat, s"copy sa2 from '$dir/sa_csv' (format csv)")
+    assert(HashQL.execute(cat,
+      "select sa2.g, sa2.nm, sa2.rk from sa2 order by sa2.g, sa2.rk").get
+      .collect().length == 4)
+    // the csv round-trip kept exact types (sidecar, not inferSchema)
+    assert(cat.table("sa2").schema == cat.table("sa").schema)
+    // COPY FROM refuses to clobber an existing table
+    val cl = intercept[IllegalArgumentException](HashQL.execute(cat,
+      s"copy rr from '$dir/rr_pq' (format parquet)"))
+    assert(cl.getMessage.contains("exists"), cl.getMessage)
+  }
+
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
