@@ -2634,6 +2634,28 @@ object HashqlSuite extends Suite {
              |  CAST(sum(p_size) AS BIGINT) AS sz
              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Tuple (a, b) IN subquery (round 15): the composite-key membership
+    // test — ONE semi join over all key pairs (the multi-key
+    // decontamination idiom); NOT form rejects toward NOT EXISTS.
+    "hashql_tuple_in" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_orderkey, lineitem.l_linenumber, " +
+          "lineitem.l_quantity from lineitem " +
+          "where (lineitem.l_orderkey, lineitem.l_linenumber) in " +
+          "(select lineitem.l_orderkey, lineitem.l_linenumber " +
+          "from lineitem where lineitem.l_quantity >= 49) " +
+          "and lineitem.l_orderkey <= 2000 " +
+          "order by lineitem.l_orderkey, lineitem.l_linenumber"),
+      // this DuckDB predates tuple-IN subqueries — the oracle spells the
+      // equivalent EXISTS (identical under WHERE with non-NULL keys)
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+             |FROM lineitem l
+             |WHERE EXISTS (SELECT 1 FROM lineitem b
+             |  WHERE b.l_quantity >= 49 AND b.l_orderkey = l.l_orderkey
+             |  AND b.l_linenumber = l.l_linenumber)
+             |AND l.l_orderkey <= 2000
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
     // UNPIVOT (round 14): melt three same-typed measures into
     // (name, value) rows — a per-row Expand, zero shuffles; NULL cells
     // drop (DuckDB semantics, filtered on the Spark side).

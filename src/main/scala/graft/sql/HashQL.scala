@@ -525,6 +525,17 @@ object HashQL {
     * message. Dialect growth (the reference has no subqueries,
     * server.py:456-476). */
   final case class InSelect(ref: ColRef, sub: Select) extends Pred
+  /** `(a, b) in (select x, y from …)` (round-15 — the multi-key
+    * membership test, the composite-key dedup/decontamination idiom):
+    * ONE semi join on ALL the key pairs. WHERE-conjunct context;
+    * NULL keys never match (FALSE ≡ UNKNOWN under WHERE). The NOT form
+    * rejects toward NOT EXISTS — multi-column NOT IN under ANSI turns
+    * UNKNOWN for every row once the subquery holds one NULL, a trap
+    * better spelled explicitly. */
+  final case class InSelectTuple(refs: Seq[ColRef], sub: Select)
+      extends Pred {
+    require(refs.length >= 2, "a tuple IN needs two or more columns")
+  }
   /** `<expr> in (select …)` — membership of a COMPUTED head (round-12:
     * `where year(t.d) in (select …)`): same LEFT SEMI plan as
     * [[InSelect]] (NOT → LEFT ANTI), keyed on the computed column —
@@ -1616,8 +1627,42 @@ object HashQL {
       while (is("and")) { next(); terms += predAtom() }
       if (terms.size == 1) terms.head else And(terms.toSeq)
     }
+    /** Bounded lookahead: `( t.a, t.b [, …] ) [not] in ( select`? */
+    private def isTupleInSelect: Boolean = {
+      if (peek != "(") return false
+      var k = 1
+      var refs = 0
+      var commas = 0
+      while (peekAt(k) != ")" && peekAt(k).nonEmpty && k < 24) {
+        if (peekAt(k) == ",") commas += 1
+        else if (peekAt(k).contains(".")) refs += 1
+        else return false
+        k += 1
+      }
+      val afterNot =
+        if (peekAt(k + 1).equalsIgnoreCase("not")) 1 else 0
+      peekAt(k) == ")" && refs >= 2 && commas == refs - 1 &&
+        peekAt(k + 1 + afterNot).equalsIgnoreCase("in") &&
+        peekAt(k + 2 + afterNot) == "(" &&
+        peekAt(k + 3 + afterNot).equalsIgnoreCase("select")
+    }
     private def predAtom(): Pred =
-      if (is("(")) { next(); val e = predExpr(); kw(")"); e }
+      if (isTupleInSelect) {
+        // `(a, b) in (select x, y …)` (round-15) — see [[InSelectTuple]]
+        next()
+        val refs = scala.collection.mutable.ArrayBuffer(colRef())
+        while (is(",")) { next(); refs += colRef() }
+        kw(")")
+        val negated = is("not") && { next(); true }
+        kw("in"); kw("("); kw("select")
+        val sub = selectRest(); kw(")")
+        require(!negated,
+          "(a, b) NOT IN (select …) is an ANSI NULL trap (one NULL " +
+            "subquery value makes every row UNKNOWN) — spell NOT " +
+            "EXISTS (select … where x = t.a and y = t.b)")
+        InSelectTuple(refs.toSeq, sub)
+      }
+      else if (is("(")) { next(); val e = predExpr(); kw(")"); e }
       else if (is("not")) { next(); Not(predAtom()) }
       else if (is("exists")) {
         // `exists (select …)`; `not exists (…)` arrives via the branch
@@ -3969,6 +4014,7 @@ object HashQL {
     case SampleBucket(r, _) => Set(r.column)
     case ExprCmp(l, _, r) => exprRefs(l) ++ exprRefs(r)
     case InSelectExpr(e, _) => exprRefs(e) // the sub has its own scope
+    case InSelectTuple(rs, _) => rs.map(_.column).toSet
     case BoolFuncPred(e) => exprRefs(e)
     case Not(x) => predRefs(x)
     case And(ps) => ps.flatMap(predRefs).toSet
@@ -5350,6 +5396,23 @@ object HashQL {
       case InSelect(ref, sub) =>
         val sf = subqueryFrame(cat, sub, registry)
         df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_semi")
+      // multi-key membership (round-15): ONE semi join over ALL the key
+      // pairs — the composite-key decontamination idiom. NULL keys
+      // never match (FALSE ≡ UNKNOWN under WHERE).
+      case InSelectTuple(refs, sub) =>
+        val subT = fromTables(sub)
+        val foreign = sub.wheres.flatMap(predTables).filterNot(subT).distinct
+        require(foreign.isEmpty,
+          s"a tuple IN subquery is uncorrelated — it references " +
+            s"${foreign.mkString(", ")}; correlate through EXISTS")
+        val sf = selectFrame(cat, sub, registry)
+        require(sf.columns.length == refs.length,
+          s"tuple IN: the subquery projects ${sf.columns.length} " +
+            s"column(s) for ${refs.length} key(s)")
+        val renamed = sf.toDF(refs.indices.map(i => s"graft_in_$i"): _*)
+        df = df.join(renamed, refs.zipWithIndex.map { case (r, i) =>
+          df(r.column) === renamed(s"graft_in_$i") }.reduce(_ && _),
+          "left_semi")
       case Not(InSelect(ref, sub)) =>
         val sf = subqueryFrame(cat, sub, registry)
         df = df.join(sf, df(ref.column) === sf("graft_in_sub"), "left_anti")
@@ -5402,7 +5465,7 @@ object HashQL {
     * (needs join machinery, not a plain Column)? */
   private def subqueryPred(p: Pred): Boolean = p match {
     case _: InSelect | _: InSelectExpr | _: ExistsSelect | _: CmpSelect |
-         _: QuantCmp => true
+         _: QuantCmp | _: InSelectTuple => true
     case Not(x) => subqueryPred(x)
     case And(ps) => ps.exists(subqueryPred)
     case Or(ps) => ps.exists(subqueryPred)
@@ -5619,6 +5682,7 @@ object HashQL {
       case And(ps) => And(ps.map(pred))
       case Or(ps) => Or(ps.map(pred))
       case InSelect(r, s0) => InSelect(ren(r), subSel(s0))
+      case InSelectTuple(rs, s0) => InSelectTuple(rs.map(ren), subSel(s0))
       case InSelectExpr(e, s0) => InSelectExpr(expr(e), subSel(s0))
       case ExistsSelect(s0) => ExistsSelect(subSel(s0))
       case CmpSelect(r, op, s0) => CmpSelect(ren(r), op, subSel(s0))
@@ -5769,6 +5833,7 @@ object HashQL {
       case And(ps) => And(ps.map(pred))
       case Or(ps) => Or(ps.map(pred))
       case InSelect(r, s1) => InSelect(ren(r), subSel(s1))
+      case InSelectTuple(rs, s1) => InSelectTuple(rs.map(ren), subSel(s1))
       case InSelectExpr(e, s1) => InSelectExpr(expr(e), subSel(s1))
       case ExistsSelect(s1) => ExistsSelect(subSel(s1))
       case CmpSelect(r, op, s1) => CmpSelect(ren(r), op, subSel(s1))

@@ -3841,6 +3841,37 @@ class HashQLSpec extends SparkSpec {
     assert(cl.getMessage.contains("exists"), cl.getMessage)
   }
 
+  test("tuple (a, b) IN subquery (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into docs15 (src, pg, score) values ('s1', 1, 10), " +
+        "('s1', 2, 20), ('s2', 1, 30)")
+    HashQL.execute(cat,
+      "insert into bad15 (bsrc, bpg) values ('s1', 2), ('s2', 1), " +
+        "('s3', 9)")
+    val got = HashQL.execute(cat,
+      "select docs15.score from docs15 where (docs15.src, docs15.pg) in " +
+        "(select bad15.bsrc, bad15.bpg from bad15) " +
+        "order by docs15.score").get.as[Long].collect().toSeq
+    assert(got == Seq(20L, 30L))
+    // composes with other conjuncts
+    val got2 = HashQL.execute(cat,
+      "select docs15.score from docs15 where (docs15.src, docs15.pg) in " +
+        "(select bad15.bsrc, bad15.bpg from bad15) and docs15.score > 25").get
+      .as[Long].collect().toSeq
+    assert(got2 == Seq(30L))
+    // the NOT form rejects toward NOT EXISTS (the ANSI NULL trap)
+    val ni = intercept[IllegalArgumentException](HashQL.parse(
+      "select docs15.score from docs15 where (docs15.src, docs15.pg) " +
+        "not in (select bad15.bsrc, bad15.bpg from bad15)"))
+    assert(ni.getMessage.contains("NOT EXISTS"), ni.getMessage)
+    // arity mismatch rejects
+    val ar = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select docs15.score from docs15 where (docs15.src, docs15.pg) in " +
+        "(select bad15.bsrc from bad15)"))
+    assert(ar.getMessage.contains("key(s)"), ar.getMessage)
+  }
+
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat,
