@@ -6003,10 +6003,14 @@ object HashQL {
                   s"side: ${clash.mkString(", ")} — stage a renaming " +
                   "derived table")
               val pm = payload.map(c => c -> c).toMap
+              // a NULL fresh-side time can never be "at or before/after"
+              // anything — excluded scan-side, or it would sort to an
+              // edge of the window and be carried as a phantom match
+              val tdfT = tdf.filter(tdf(ft.column).isNotNull)
               val joined = opN match {
-                case "<=" => graft.operators.AsOfJoin.asOf(acc, tdf,
+                case "<=" => graft.operators.AsOfJoin.asOf(acc, tdfT,
                   known.column, fresh.column, at.column, ft.column, pm)
-                case ">=" => graft.operators.AsOfJoin.asOfForward(acc, tdf,
+                case ">=" => graft.operators.AsOfJoin.asOfForward(acc, tdfT,
                   known.column, fresh.column, at.column, ft.column, pm)
                 case o => throw new IllegalStateException(
                   s"unreachable ASOF operator $o")
