@@ -4961,10 +4961,17 @@ object HashQL {
           else applySets(withIdx.filter(!dropFire))
             .drop("graft_mrg_clause").drop(reserved: _*)
         // not-matched inserts: source rows with no target hit (one
-        // anti-join), guard-filtered, projected through the INSERT list
+        // anti-join), guard-filtered, projected through the INSERT list.
+        // The guard's scope is SOURCE-only, so BARE refs bind to the
+        // source too (on the matched side bare refs bind to the target,
+        // the only unrenamed frame there).
         val insRows = notMatched.map { case (cols, vals, icond) =>
           val miss = srcR.join(pre, cond, "left_anti")
-          val gated = icond.fold(miss)(p => miss.filter(rpredCol(p)))
+          def srcRef(r: ColRef): ColRef =
+            if (r.table == u || r.table.isEmpty) ColRef("", mcol(r.column))
+            else r
+          val gated = icond.fold(miss)(p => miss.filter(predColumn(cat,
+            mapPredRefsSimple(srcRef, "a MERGE clause condition")(p))))
           gated.select(cols.zip(vals).map { case (c, e) =>
             exprColumn(cat, rexpr(e)).as(c) }: _*)
         }

@@ -4125,4 +4125,116 @@ class HashQLSpec extends SparkSpec {
         .as[(String, Long, Long, Option[Long])].collect().toSet == rows)
     } finally graft.matview.MatView.drop(spark, name)
   }
+
+  test("conditional MERGE ≡ reference model over random data (round-15)") {
+    // adversarial first-match-wins check: random target/source rows and
+    // random clause stacks, compared against a row-at-a-time Scala model
+    val rnd = new scala.util.Random(42)
+    (1 to 15).foreach { it =>
+      val cat = new GraftCatalog(spark)
+      val tKeys = rnd.shuffle(('a' to 'f').toList).take(2 + rnd.nextInt(4))
+      val target = tKeys.map(k =>
+        (k.toString, (rnd.nextInt(21) - 5).toLong, rnd.nextInt(2).toLong))
+      val sKeys = rnd.shuffle(('a' to 'h').toList).take(2 + rnd.nextInt(5))
+      val source = sKeys.map(k =>
+        (k.toString, (rnd.nextInt(21) - 5).toLong))
+      HashQL.execute(cat, "insert into mpt (k, v, keep) values " +
+        target.map { case (k, v, p) => s"('$k', $v, $p)" }.mkString(", "))
+      HashQL.execute(cat, "insert into mps (sk, w) values " +
+        source.map { case (k, w) => s"('$k', $w)" }.mkString(", "))
+      val t1 = rnd.nextInt(11) - 5
+      val t2 = rnd.nextInt(11) - 5
+      val t3 = rnd.nextInt(11) - 5
+      val withDelete = rnd.nextBoolean()
+      val withUncond = rnd.nextBoolean()
+      val insGuard = rnd.nextBoolean()
+      val withBySource = rnd.nextBoolean()
+      // clause stack: [delete if w < t1]? , update if keep = 1, [update
+      // unconditional]? — guards may overlap, FIRST match must win
+      val matchedClauses =
+        (if (withDelete) Seq(s"when matched and mps.w < $t1 then delete")
+         else Nil) ++
+        Seq("when matched and mpt.keep = 1 then update set " +
+          "mpt.v = mpt.v + mps.w") ++
+        (if (withUncond) Seq("when matched then update set mpt.v = mps.w")
+         else Nil)
+      val insClause =
+        if (insGuard) s"when not matched and mps.w > $t2 then insert " +
+          "(k, v, keep) values (mps.sk, mps.w, 1)"
+        else "when not matched then insert (k, v, keep) " +
+          "values (mps.sk, mps.w, 1)"
+      val bsClause =
+        if (withBySource) Seq(s"when not matched by source and " +
+          s"mpt.v > $t3 then delete")
+        else Nil
+      val stmt = (Seq(s"merge into mpt using mps on mpt.k = mps.sk") ++
+        matchedClauses ++ Seq(insClause) ++ bsClause).mkString(" ")
+      HashQL.execute(cat, stmt)
+      // reference model: row-at-a-time, first-match-wins
+      val srcByK = source.toMap
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      target.foreach { case (k, v, keep) =>
+        srcByK.get(k) match {
+          case Some(w) =>
+            val fired =
+              (if (withDelete && w < t1) Some("del")
+               else if (keep == 1) Some("upd+")
+               else if (withUncond) Some("upd=")
+               else None)
+            fired match {
+              case Some("del") => ()
+              case Some("upd+") => kept += ((k, v + w))
+              case Some("upd=") => kept += ((k, w))
+              case _ => kept += ((k, v))
+            }
+          case None =>
+            if (!(withBySource && v > t3)) kept += ((k, v))
+        }
+      }
+      source.foreach { case (k, w) =>
+        if (!target.exists(_._1 == k) && (!insGuard || w > t2))
+          kept += ((k, w))
+      }
+      val got = HashQL.execute(cat,
+        "select mpt.k, mpt.v from mpt order by mpt.k").get
+        .as[(String, Long)].collect().toSeq
+      assert(got == kept.sortBy(_._1).toSeq,
+        s"iteration $it\nstmt: $stmt\ntarget: $target\nsource: $source\n" +
+          s"got $got\nexpected ${kept.sortBy(_._1)}")
+    }
+  }
+
+  test("conditional/BY SOURCE MERGE delta-folds agg views (round-15)") {
+    val cat = new GraftCatalog(spark)
+    val reg = new HashQL.JoinRegistry
+    val dir = java.nio.file.Files.createTempDirectory("hashql_mrg15").toString
+    Seq(("a", 1L), ("b", 2L), ("c", 3L), ("e", 9L)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into mq (g, v) values ('$g', $v)") }
+    HashQL.execute(cat,
+      "insert into mqd (g, w) values ('a', 10), ('b', -1), ('d', 7)")
+    val name = HashQL.materializeAggView(cat,
+      "create agg view as select mq.g, count(*), sum(mq.v) " +
+        "from mq group by mq.g", s"$dir/cs15", Some(reg))
+    val q = "select mq.g, count(*), sum(mq.v) from mq group by mq.g"
+    try {
+      // a: guarded update (+10); b: matched delete (w < 0); d: insert;
+      // e: by-source delete — the view's count/sum folds must track
+      // updates (retract+append), deletes (negative), inserts (positive)
+      HashQL.execute(cat,
+        "merge into mq using mqd on mq.g = mqd.g " +
+          "when matched and mqd.w < 0 then delete " +
+          "when matched then update set mq.v = mq.v + mqd.w " +
+          "when not matched then insert (g, v) values (mqd.g, mqd.w) " +
+          "when not matched by source and mq.v > 5 then delete",
+        Some(reg))
+      val got = HashQL.execute(cat, q, Some(reg)).get
+      val rows = got.as[(String, Long, Option[Long])].collect().toSet
+      assert(rows == Set(("a", 1L, Some(11L)), ("c", 1L, Some(3L)),
+        ("d", 1L, Some(7L))), rows)
+      // folded summary ≡ from-facts recompute
+      graft.matview.MatView.drop(spark, name)
+      assert(HashQL.execute(cat, q, Some(reg)).get
+        .as[(String, Long, Option[Long])].collect().toSet == rows)
+    } finally graft.matview.MatView.drop(spark, name)
+  }
 }
