@@ -2613,6 +2613,22 @@ object HashqlSuite extends Suite {
              |INSERT INTO g15rt VALUES ('a', 1), ('b', 2), ('c', 3);
              |DELETE FROM g15rt WHERE v <= 2 RETURNING k, v""".stripMargin)),
 
+    // UPDATE … RETURNING (round 15): the after-image of the matched
+    // rows — DuckDB executes the same statement oracle-side.
+    "hashql_update_returning" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into ur15 (k, v) values ('a', 1), ('b', 2), ('c', 3)")
+        HashQL.execute(cat,
+          "update ur15 set ur15.v = ur15.v * 10 where ur15.v >= 2 " +
+            "returning k, v").get
+      },
+      Some("""CREATE TEMP TABLE g15ur(k VARCHAR, v BIGINT);
+             |INSERT INTO g15ur VALUES ('a', 1), ('b', 2), ('c', 3);
+             |UPDATE g15ur SET v = v * 10 WHERE v >= 2
+             |RETURNING k, v""".stripMargin)),
+
     // COPY TO / FROM (round 15 — DuckDB's COPY as the dialect source/
     // sink verb): parquet out, re-register, query the round-trip — the
     // oracle computes the same aggregate from the original table
@@ -2655,6 +2671,37 @@ object HashqlSuite extends Suite {
              |  AND b.l_linenumber = l.l_linenumber)
              |AND l.l_orderkey <= 2000
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // CTE-headed DML (round 15 — `with staged as (…) insert|delete|
+    // update|merge …`): the CTE scope binds around the statement; the
+    // oracle EXECUTES the same CTE-headed DML in DuckDB.
+    "hashql_with_dml" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into cd15 (k, v) values ('a', 1), ('b', 2), ('c', 30)")
+        HashQL.execute(cat,
+          "with big as (select cd15.k, cd15.v from cd15 " +
+            "where cd15.v >= 2) " +
+            "insert into ar15 (k, v) select big.k, big.v from big")
+        HashQL.execute(cat,
+          "with doomed as (select cd15.k from cd15 where cd15.v > 10) " +
+            "delete from cd15 where cd15.k in " +
+            "(select doomed.k from doomed)")
+        // row order is irrelevant (the checker canonicalizes)
+        HashQL.execute(cat,
+          "select cd15.k, cd15.v from cd15 " +
+            "union all select ar15.k, ar15.v from ar15").get
+      },
+      Some("""CREATE TEMP TABLE g15cd(k VARCHAR, v BIGINT);
+             |INSERT INTO g15cd VALUES ('a', 1), ('b', 2), ('c', 30);
+             |CREATE TEMP TABLE g15ar(k VARCHAR, v BIGINT);
+             |WITH big AS (SELECT k, v FROM g15cd WHERE v >= 2)
+             |INSERT INTO g15ar SELECT k, v FROM big;
+             |WITH doomed AS (SELECT k FROM g15cd WHERE v > 10)
+             |DELETE FROM g15cd WHERE k IN (SELECT k FROM doomed);
+             |SELECT k, v FROM g15cd
+             |UNION ALL SELECT k, v FROM g15ar ORDER BY 1, 2""".stripMargin)),
 
     // UNPIVOT (round 14): melt three same-typed measures into
     // (name, value) rows — a per-row Expand, zero shuffles; NULL cells

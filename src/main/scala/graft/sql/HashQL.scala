@@ -1269,8 +1269,21 @@ object HashQL {
           kw(")")
           more = is(",") && { next(); true }
         }
-        kw("select")
-        WithCtes(ctes.toSeq, selectOrUnion())
+        // CTE-headed DML (round-15 — `with staged as (select …) insert
+        // into t select * from staged` / delete/update/merge): the CTE
+        // scope binds around the statement, same shadowing rule as
+        // queries. RETURNING composes (the tail rides the DML's parse).
+        if (is("insert")) { next(); kw("into")
+          WithCtes(ctes.toSeq, insertRest()) }
+        else if (is("delete")) { next(); kw("from")
+          WithCtes(ctes.toSeq, deleteRest()) }
+        else if (is("update")) { next(); WithCtes(ctes.toSeq, updateRest()) }
+        else if (is("merge")) { next(); kw("into")
+          WithCtes(ctes.toSeq, mergeRest()) }
+        else {
+          kw("select")
+          WithCtes(ctes.toSeq, selectOrUnion())
+        }
       case "create" =>
         if (is("table")) {
           next()
@@ -1386,7 +1399,7 @@ object HashQL {
       }
     }
 
-    private def updateRest(): Update = {
+    private def updateRest(): Stmt = {
       val table = next()
       kw("set")
       // each RHS: `null`, or the FULL scalar expression grammar (round-10
@@ -1443,7 +1456,8 @@ object HashQL {
             s"${foreign.mkString(", ")} — only $table and $u are in " +
             "scope (stage a third table through MERGE or a CTE)")
       }
-      Update(table, sets.toSeq, wheres, from)
+      val upd = Update(table, sets.toSeq, wheres, from)
+      if (is("returning")) Returning(upd, returningCols()) else upd
     }
 
     /** `merge into t using u on … when matched then update set … when
@@ -4430,6 +4444,246 @@ object HashQL {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
 
+
+  /** Execute an UPDATE and return the updated rows' AFTER-image plan
+    * (the same O(delta) frame the registry hook gets — captured against
+    * the PRE state, so it stays evaluatable after the commit). Shared by
+    * the plain statement and its RETURNING form (round-15). */
+  private def runUpdate(cat: GraftCatalog, upd: Update,
+                        registry: Option[JoinRegistry]): DataFrame =
+    upd match {
+    case Update(t, sets, wheres, Some(u)) =>
+        // join-update (round-14, symmetric with DELETE … USING):
+        // classify the WHERE — cross-table equality conjuncts are the
+        // join keys, u-local conjuncts filter the source scan, t-local
+        // conjuncts gate which matched rows update. ONE left join +
+        // ONE hit-guarded copy-on-write projection + ONE commit; SET
+        // right-hand sides read source columns through the same
+        // reserve-rename MERGE uses. Deterministic by the MERGE
+        // cardinality contract (a source matching one target row twice
+        // rejects).
+        val pre = cat.table(t)
+        val src0 = cat.table(u)
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
+        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
+        wheres.foreach {
+          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
+            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
+          case p =>
+            require(!subqueryPred(p),
+              "subquery predicates cannot mix with UPDATE … FROM — " +
+                "stage the row set through a CTE or use MERGE")
+            val tabs = predTables(p)
+            if (tabs == Set(u)) uLocal += p
+            else {
+              require(!tabs.contains(u),
+                s"an UPDATE … FROM conjunct must live on one table or " +
+                  s"be an equality pair across them, got: $p")
+              tLocal += p
+            }
+        }
+        val badT = sets.flatMap { case (_, sv) => sv match {
+          case SetCol(r2) => Seq(r2.table)
+          case SetArith(r2, _, _) => Seq(r2.table)
+          case SetExpr(e) => exprTables(e).toSeq
+          case SetScalar(_) => throw new IllegalArgumentException(
+            "a scalar-subquery SET cannot mix with UPDATE … FROM — " +
+              "the source table IS the join; compute over u's columns")
+          case _ => Nil
+        }}.filter(tb => tb.nonEmpty && tb != t && tb != u).distinct
+        require(badT.isEmpty,
+          s"UPDATE … FROM expressions reference table(s) " +
+            s"${badT.mkString(", ")} — only $t and $u are in scope")
+        val src = uLocal.foldLeft(src0)((d, p) =>
+          d.filter(predColumn(cat, p)))
+        // NULL source keys never match — excluded from the check
+        val upfKc = pairs.toSeq.map(p => col(p._2.column))
+        val dup = src.filter(upfKc.map(_.isNotNull).reduce(_ && _))
+          .groupBy(upfKc: _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"UPDATE … FROM source $u matches a target row more than " +
+            s"once (${dup.mkString(", ")}) — de-duplicate the source " +
+            "(the MERGE cardinality contract)")
+        def mcol(c: String) = s"graft_upf_$c"
+        val srcR = src.columns.foldLeft(src)((d, c) =>
+          d.withColumnRenamed(c, mcol(c)))
+          .withColumn("graft_upf_hit", lit(true))
+        val cond = pairs.map { case (tr, ur) =>
+          pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
+        val joined = pre.join(srcR, cond, "left")
+        // a NULL t-local predicate keeps the old value (when() treats
+        // UNKNOWN as no-update, SQL semantics)
+        val guard = coalesce(col("graft_upf_hit"), lit(false)) &&
+          tLocal.map(predColumn(cat, _)).reduceOption(_ && _)
+            .getOrElse(lit(true))
+        def setColF(sv: SetVal): Column = sv match {
+          case SetLit(v) =>
+            v match { case i: Int => lit(i.toLong); case x => lit(x) }
+          case SetCol(r2) =>
+            if (r2.table == u) col(mcol(r2.column)) else col(r2.column)
+          case SetArith(r2, op, n) =>
+            val base = (if (r2.table == u) col(mcol(r2.column))
+              else col(r2.column)).try_cast("long")
+            op match {
+              case "+" => base + n
+              case "-" => base - n
+              case "*" => base * n
+            }
+          case SetExpr(e) => exprColumn(cat, renameSourceRefs(u, mcol)(e))
+          case sv0 => throw new IllegalStateException(s"unreachable: $sv0")
+        }
+        val assigns = sets.map { case (ref, sv) => ref.column -> setColF(sv) }
+        val newTable = joined.withColumns(assigns.map { case (f, v) =>
+          f -> when(guard, v).otherwise(
+            if (pre.columns.contains(f)) col(f) else lit(null))
+        }.toMap).drop(srcR.columns.toSeq: _*)
+        cat.register(t, newTable)
+        // O(delta) hook: the matched-and-gated rows only, before/after
+        val before = joined.filter(guard).drop(srcR.columns.toSeq: _*)
+        val after = joined.filter(guard).withColumns(assigns.toMap)
+          .drop(srcR.columns.toSeq: _*)
+        registry.foreach(_.onUpdate(cat, t, before, after))
+        after
+    case Update(t, sets, wheres, None) =>
+        val pre0 = cat.table(t)
+        // subquery WHERE predicates (round-13 — the decontamination
+        // idiom `update … where id in (select …)`, symmetric with the
+        // round-9 DELETE form): the predicate set evaluates to a ROW SET
+        // via the same semi/anti machinery SELECT uses, pinned by the
+        // dialect id; the matched flag then rides a left join on id into
+        // the copy-on-write rewrite. Needs row identity.
+        val subq = wheres.exists(subqueryPred)
+        if (subq) require(pre0.columns.contains("id"),
+          s"UPDATE with a subquery predicate needs table $t's dialect " +
+            "id column (raw-registered tables have no row identity)")
+        lazy val matchedIds = applyWheres(cat, pre0, wheres, registry)
+          .select(col("id").as("graft_upd_id")).distinct()
+        def plainCond = wheres.map(predColumn(cat, _))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val cond = if (subq) lit(true) else plainCond
+        // the update IS a retraction pair: retract the matched rows'
+        // before-image, append their after-image (matched set pinned by
+        // id against the PRE plan — the SET may change the very columns
+        // the WHERE tested)
+        val before =
+          if (subq) pre0.join(matchedIds, pre0("id") === col("graft_upd_id"),
+            "left_semi")
+          else pre0.filter(cond)
+        // each SET right-hand side as a Column — applied once through the
+        // catalog's copy-on-write rewrite (ALL assignments in ONE
+        // projection, every RHS against the BEFORE image — SQL's
+        // simultaneous semantics), and once to the captured before-frame
+        // to derive the after-image O(delta): the updated rows are
+        // exactly the before rows with the SETs applied, so the hook
+        // never rescans the post-update table
+        def setCol(sv: SetVal): Column = sv match {
+          case SetLit(v) => v match { case i: Int => lit(i.toLong); case x => lit(x) }
+          case SetCol(r2) => col(r2.column)
+          case SetArith(r2, op, n) =>
+            val base = col(r2.column).try_cast("long")
+            op match {
+              case "+" => base + n
+              case "-" => base - n
+              case "*" => base * n
+            }
+          case SetExpr(e) => exprColumn(cat, e)
+          // UNCORRELATED scalar-subquery RHS (round-12): one 1×1
+          // evaluation against the PRE-update state, assigned as a
+          // literal (correlated forms take the decorrelated-join path
+          // below instead)
+          case SetScalar(sub) =>
+            val subTables = fromTables(sub)
+            // the projected value too (r12 advice): `set t.a = ( select
+            // max(t.b) from u )` would silently bind t.b to u's column b
+            val itemLeak = scalarItemLeak(sub, subTables)
+            require(itemLeak.isEmpty,
+              s"UPDATE's scalar subquery projects outer table(s) " +
+                s"${itemLeak.mkString(", ")} — the value must be computed " +
+                "from the subquery's own tables")
+            val sf = selectFrame(cat, sub, registry)
+            require(sf.columns.length == 1,
+              "UPDATE's scalar subquery must project exactly one column")
+            val rows = sf.limit(2).collect()
+            require(rows.length == 1,
+              s"UPDATE's scalar subquery must yield exactly one row, " +
+                s"got ${rows.length} — aggregate it")
+            lit(rows.head.get(0))
+        }
+        // is a SET scalar subquery CORRELATED (its WHERE references a
+        // table outside its own FROM set)? Correlation may target the
+        // UPDATED table only — it is the one frame the assignment row
+        // provides.
+        def corrTables(sub: Select): Seq[String] = {
+          val subTables = fromTables(sub)
+          sub.wheres.flatMap(p =>
+            predTables(p).filterNot(subTables.contains)).distinct
+        }
+        val correlated = sets.collect {
+          case (ref, SetScalar(sub)) if corrTables(sub).nonEmpty => (ref, sub)
+        }
+        if (correlated.isEmpty && !subq) {
+          val assigns = sets.map { case (ref, sv) => ref.column -> setCol(sv) }
+          cat.updateExprs(t, assigns, cond)
+          val after = before.withColumns(assigns.toMap)
+          registry.foreach(_.onUpdate(cat, t, before, after))
+          after
+        } else {
+          // CORRELATED UPDATE (round-13 — r12 queue #4): `set t.a =
+          // ( select max(u.b) from u where u.k = t.k )` decorrelates
+          // through the SAME scalarJoin plan SELECT uses — grouped
+          // aggregate over the subquery side, one left equi-join back to
+          // the table on the correlation keys (per-DISTINCT-key, never
+          // per-row), ANSI miss semantics (counts 0, others NULL). All
+          // right-hand sides still evaluate against the BEFORE image
+          // simultaneously; the whole rewrite is one copy-on-write
+          // commit. The O(delta) hook gets the same plan applied to the
+          // matched-rows-only before frame.
+          correlated.foreach { case (_, sub) =>
+            val bad = corrTables(sub).filterNot(_ == t)
+            require(bad.isEmpty,
+              s"UPDATE's scalar subquery may correlate only through the " +
+                s"updated table $t — it references ${bad.mkString(", ")}")
+          }
+          def applyUpdate(frame: DataFrame, cnd: Column): DataFrame = {
+            var acc = frame
+            val reserved = scala.collection.mutable.ArrayBuffer.empty[String]
+            val values = sets.zipWithIndex.map {
+              case ((ref, SetScalar(sub)), i) if corrTables(sub).nonEmpty =>
+                val (joined, v, _, res) = scalarJoin(cat, acc, sub, registry)
+                // pin the value into a reserved column and shed the
+                // join's own reserved names immediately, so chained
+                // correlated assignments never collide on them
+                val vc = s"graft_updv_$i"
+                acc = joined.withColumn(vc, v).drop(res: _*)
+                reserved += vc
+                ref.column -> col(vc)
+              case ((ref, sv), _) => ref.column -> setCol(sv)
+            }
+            acc.withColumns(values.map { case (f, v) =>
+              f -> when(cnd, v).otherwise(
+                if (frame.columns.contains(f)) col(f) else lit(null))
+            }.toMap).drop(reserved.toSeq: _*)
+          }
+          // build BOTH plans against the PRE state, then commit. The
+          // subquery-WHERE form joins the matched-id flag in (left join
+          // on id — the unmatched rows keep their columns through the
+          // when-otherwise); the after-image starts from the matched
+          // rows, so its guard is constant-true.
+          val (start, startCond, startDrop) =
+            if (subq) (pre0.join(matchedIds,
+              pre0("id") === col("graft_upd_id"), "left"),
+              col("graft_upd_id").isNotNull, Seq("graft_upd_id"))
+            else (pre0, cond, Seq.empty[String])
+          val newTable = applyUpdate(start, startCond).drop(startDrop: _*)
+          val after = applyUpdate(before, lit(true))
+          cat.register(t, newTable)
+          registry.foreach(_.onUpdate(cat, t, before, after))
+          after
+        }
+    }
+
   /** Execute a DELETE and return the deleted rows' BEFORE-image plan
     * (captured ahead of the copy-on-write commit — plans are immutable,
     * so it stays evaluatable after). Shared by the plain statement and
@@ -4604,235 +4858,10 @@ object HashQL {
           case other => throw new IllegalStateException(s"CTAS over $other")
         })
         None
-      case Update(t, sets, wheres, Some(u)) =>
-        // join-update (round-14, symmetric with DELETE … USING):
-        // classify the WHERE — cross-table equality conjuncts are the
-        // join keys, u-local conjuncts filter the source scan, t-local
-        // conjuncts gate which matched rows update. ONE left join +
-        // ONE hit-guarded copy-on-write projection + ONE commit; SET
-        // right-hand sides read source columns through the same
-        // reserve-rename MERGE uses. Deterministic by the MERGE
-        // cardinality contract (a source matching one target row twice
-        // rejects).
-        val pre = cat.table(t)
-        val src0 = cat.table(u)
-        val pairs = scala.collection.mutable.ArrayBuffer.empty[(ColRef, ColRef)]
-        val tLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
-        val uLocal = scala.collection.mutable.ArrayBuffer.empty[Pred]
-        wheres.foreach {
-          case EqCol(a, b) if (a.table == u) != (b.table == u) =>
-            pairs += (if (a.table == u) (b, a) else (a, b)) // (t-ref, u-ref)
-          case p =>
-            require(!subqueryPred(p),
-              "subquery predicates cannot mix with UPDATE … FROM — " +
-                "stage the row set through a CTE or use MERGE")
-            val tabs = predTables(p)
-            if (tabs == Set(u)) uLocal += p
-            else {
-              require(!tabs.contains(u),
-                s"an UPDATE … FROM conjunct must live on one table or " +
-                  s"be an equality pair across them, got: $p")
-              tLocal += p
-            }
-        }
-        val badT = sets.flatMap { case (_, sv) => sv match {
-          case SetCol(r2) => Seq(r2.table)
-          case SetArith(r2, _, _) => Seq(r2.table)
-          case SetExpr(e) => exprTables(e).toSeq
-          case SetScalar(_) => throw new IllegalArgumentException(
-            "a scalar-subquery SET cannot mix with UPDATE … FROM — " +
-              "the source table IS the join; compute over u's columns")
-          case _ => Nil
-        }}.filter(tb => tb.nonEmpty && tb != t && tb != u).distinct
-        require(badT.isEmpty,
-          s"UPDATE … FROM expressions reference table(s) " +
-            s"${badT.mkString(", ")} — only $t and $u are in scope")
-        val src = uLocal.foldLeft(src0)((d, p) =>
-          d.filter(predColumn(cat, p)))
-        // NULL source keys never match — excluded from the check
-        val upfKc = pairs.toSeq.map(p => col(p._2.column))
-        val dup = src.filter(upfKc.map(_.isNotNull).reduce(_ && _))
-          .groupBy(upfKc: _*)
-          .count().filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"UPDATE … FROM source $u matches a target row more than " +
-            s"once (${dup.mkString(", ")}) — de-duplicate the source " +
-            "(the MERGE cardinality contract)")
-        def mcol(c: String) = s"graft_upf_$c"
-        val srcR = src.columns.foldLeft(src)((d, c) =>
-          d.withColumnRenamed(c, mcol(c)))
-          .withColumn("graft_upf_hit", lit(true))
-        val cond = pairs.map { case (tr, ur) =>
-          pre(tr.column) === srcR(mcol(ur.column)) }.reduce(_ && _)
-        val joined = pre.join(srcR, cond, "left")
-        // a NULL t-local predicate keeps the old value (when() treats
-        // UNKNOWN as no-update, SQL semantics)
-        val guard = coalesce(col("graft_upf_hit"), lit(false)) &&
-          tLocal.map(predColumn(cat, _)).reduceOption(_ && _)
-            .getOrElse(lit(true))
-        def setColF(sv: SetVal): Column = sv match {
-          case SetLit(v) =>
-            v match { case i: Int => lit(i.toLong); case x => lit(x) }
-          case SetCol(r2) =>
-            if (r2.table == u) col(mcol(r2.column)) else col(r2.column)
-          case SetArith(r2, op, n) =>
-            val base = (if (r2.table == u) col(mcol(r2.column))
-              else col(r2.column)).try_cast("long")
-            op match {
-              case "+" => base + n
-              case "-" => base - n
-              case "*" => base * n
-            }
-          case SetExpr(e) => exprColumn(cat, renameSourceRefs(u, mcol)(e))
-          case sv0 => throw new IllegalStateException(s"unreachable: $sv0")
-        }
-        val assigns = sets.map { case (ref, sv) => ref.column -> setColF(sv) }
-        val newTable = joined.withColumns(assigns.map { case (f, v) =>
-          f -> when(guard, v).otherwise(
-            if (pre.columns.contains(f)) col(f) else lit(null))
-        }.toMap).drop(srcR.columns.toSeq: _*)
-        cat.register(t, newTable)
-        // O(delta) hook: the matched-and-gated rows only, before/after
-        val before = joined.filter(guard).drop(srcR.columns.toSeq: _*)
-        val after = joined.filter(guard).withColumns(assigns.toMap)
-          .drop(srcR.columns.toSeq: _*)
-        registry.foreach(_.onUpdate(cat, t, before, after))
-        None
-      case Update(t, sets, wheres, None) =>
-        val pre0 = cat.table(t)
-        // subquery WHERE predicates (round-13 — the decontamination
-        // idiom `update … where id in (select …)`, symmetric with the
-        // round-9 DELETE form): the predicate set evaluates to a ROW SET
-        // via the same semi/anti machinery SELECT uses, pinned by the
-        // dialect id; the matched flag then rides a left join on id into
-        // the copy-on-write rewrite. Needs row identity.
-        val subq = wheres.exists(subqueryPred)
-        if (subq) require(pre0.columns.contains("id"),
-          s"UPDATE with a subquery predicate needs table $t's dialect " +
-            "id column (raw-registered tables have no row identity)")
-        lazy val matchedIds = applyWheres(cat, pre0, wheres, registry)
-          .select(col("id").as("graft_upd_id")).distinct()
-        def plainCond = wheres.map(predColumn(cat, _))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        val cond = if (subq) lit(true) else plainCond
-        // the update IS a retraction pair: retract the matched rows'
-        // before-image, append their after-image (matched set pinned by
-        // id against the PRE plan — the SET may change the very columns
-        // the WHERE tested)
-        val before =
-          if (subq) pre0.join(matchedIds, pre0("id") === col("graft_upd_id"),
-            "left_semi")
-          else pre0.filter(cond)
-        // each SET right-hand side as a Column — applied once through the
-        // catalog's copy-on-write rewrite (ALL assignments in ONE
-        // projection, every RHS against the BEFORE image — SQL's
-        // simultaneous semantics), and once to the captured before-frame
-        // to derive the after-image O(delta): the updated rows are
-        // exactly the before rows with the SETs applied, so the hook
-        // never rescans the post-update table
-        def setCol(sv: SetVal): Column = sv match {
-          case SetLit(v) => v match { case i: Int => lit(i.toLong); case x => lit(x) }
-          case SetCol(r2) => col(r2.column)
-          case SetArith(r2, op, n) =>
-            val base = col(r2.column).try_cast("long")
-            op match {
-              case "+" => base + n
-              case "-" => base - n
-              case "*" => base * n
-            }
-          case SetExpr(e) => exprColumn(cat, e)
-          // UNCORRELATED scalar-subquery RHS (round-12): one 1×1
-          // evaluation against the PRE-update state, assigned as a
-          // literal (correlated forms take the decorrelated-join path
-          // below instead)
-          case SetScalar(sub) =>
-            val subTables = fromTables(sub)
-            // the projected value too (r12 advice): `set t.a = ( select
-            // max(t.b) from u )` would silently bind t.b to u's column b
-            val itemLeak = scalarItemLeak(sub, subTables)
-            require(itemLeak.isEmpty,
-              s"UPDATE's scalar subquery projects outer table(s) " +
-                s"${itemLeak.mkString(", ")} — the value must be computed " +
-                "from the subquery's own tables")
-            val sf = selectFrame(cat, sub, registry)
-            require(sf.columns.length == 1,
-              "UPDATE's scalar subquery must project exactly one column")
-            val rows = sf.limit(2).collect()
-            require(rows.length == 1,
-              s"UPDATE's scalar subquery must yield exactly one row, " +
-                s"got ${rows.length} — aggregate it")
-            lit(rows.head.get(0))
-        }
-        // is a SET scalar subquery CORRELATED (its WHERE references a
-        // table outside its own FROM set)? Correlation may target the
-        // UPDATED table only — it is the one frame the assignment row
-        // provides.
-        def corrTables(sub: Select): Seq[String] = {
-          val subTables = fromTables(sub)
-          sub.wheres.flatMap(p =>
-            predTables(p).filterNot(subTables.contains)).distinct
-        }
-        val correlated = sets.collect {
-          case (ref, SetScalar(sub)) if corrTables(sub).nonEmpty => (ref, sub)
-        }
-        if (correlated.isEmpty && !subq) {
-          val assigns = sets.map { case (ref, sv) => ref.column -> setCol(sv) }
-          cat.updateExprs(t, assigns, cond)
-          registry.foreach(_.onUpdate(cat, t, before,
-            before.withColumns(assigns.toMap)))
-        } else {
-          // CORRELATED UPDATE (round-13 — r12 queue #4): `set t.a =
-          // ( select max(u.b) from u where u.k = t.k )` decorrelates
-          // through the SAME scalarJoin plan SELECT uses — grouped
-          // aggregate over the subquery side, one left equi-join back to
-          // the table on the correlation keys (per-DISTINCT-key, never
-          // per-row), ANSI miss semantics (counts 0, others NULL). All
-          // right-hand sides still evaluate against the BEFORE image
-          // simultaneously; the whole rewrite is one copy-on-write
-          // commit. The O(delta) hook gets the same plan applied to the
-          // matched-rows-only before frame.
-          correlated.foreach { case (_, sub) =>
-            val bad = corrTables(sub).filterNot(_ == t)
-            require(bad.isEmpty,
-              s"UPDATE's scalar subquery may correlate only through the " +
-                s"updated table $t — it references ${bad.mkString(", ")}")
-          }
-          def applyUpdate(frame: DataFrame, cnd: Column): DataFrame = {
-            var acc = frame
-            val reserved = scala.collection.mutable.ArrayBuffer.empty[String]
-            val values = sets.zipWithIndex.map {
-              case ((ref, SetScalar(sub)), i) if corrTables(sub).nonEmpty =>
-                val (joined, v, _, res) = scalarJoin(cat, acc, sub, registry)
-                // pin the value into a reserved column and shed the
-                // join's own reserved names immediately, so chained
-                // correlated assignments never collide on them
-                val vc = s"graft_updv_$i"
-                acc = joined.withColumn(vc, v).drop(res: _*)
-                reserved += vc
-                ref.column -> col(vc)
-              case ((ref, sv), _) => ref.column -> setCol(sv)
-            }
-            acc.withColumns(values.map { case (f, v) =>
-              f -> when(cnd, v).otherwise(
-                if (frame.columns.contains(f)) col(f) else lit(null))
-            }.toMap).drop(reserved.toSeq: _*)
-          }
-          // build BOTH plans against the PRE state, then commit. The
-          // subquery-WHERE form joins the matched-id flag in (left join
-          // on id — the unmatched rows keep their columns through the
-          // when-otherwise); the after-image starts from the matched
-          // rows, so its guard is constant-true.
-          val (start, startCond, startDrop) =
-            if (subq) (pre0.join(matchedIds,
-              pre0("id") === col("graft_upd_id"), "left"),
-              col("graft_upd_id").isNotNull, Seq("graft_upd_id"))
-            else (pre0, cond, Seq.empty[String])
-          val newTable = applyUpdate(start, startCond).drop(startDrop: _*)
-          val after = applyUpdate(before, lit(true))
-          cat.register(t, newTable)
-          registry.foreach(_.onUpdate(cat, t, before, after))
-        }
-        None
+      case u0: Update => runUpdate(cat, u0, registry); None
+      case Returning(u0: Update, cols) =>
+        val after = runUpdate(cat, u0, registry)
+        Some(if (cols.isEmpty) after else after.select(cols.map(col): _*))
       case Merge(t, u, on, matched, notMatched, bySource) =>
         val pre = cat.table(t)
         val src = cat.table(u)
@@ -5012,7 +5041,7 @@ object HashQL {
         Some(if (cols.isEmpty) deleted
              else deleted.select(cols.map(col): _*))
       case Returning(other, _) => throw new IllegalArgumentException(
-        s"RETURNING rides INSERT … VALUES and DELETE, got: $other")
+        s"RETURNING rides INSERT … VALUES, UPDATE and DELETE, got: $other")
       case CopyTo(t, path, fmt) =>
         val df = cat.table(t)
         fmt match {
@@ -5150,7 +5179,34 @@ object HashQL {
             sc + (name ->
               (if (uses > 1 && heavyCte(defn)) built.localCheckpoint() else built))
         }
-        Some(cat.withScope(scope)(queryFrame(cat, body, registry)))
+        body match {
+          case _: Select | _: Union | _: SetOpChain =>
+            Some(cat.withScope(scope)(queryFrame(cat, body, registry)))
+          case dml =>
+            // CTE-headed DML (round-15): the scope binds around the
+            // statement — CTEs stage the row set, the DML reads them
+            // like tables. The TARGET must not be a CTE name (writing
+            // "through" a shadow would silently clobber the base).
+            def targetOf(s0: Stmt): String = s0 match {
+              case i: Insert => i.table
+              case i: InsertSelect => i.table
+              case u0: UpsertValues => u0.table
+              case u0: Update => u0.table
+              case d0: Delete => d0.table
+              case m0: Merge => m0.target
+              case Returning(inner, _) => targetOf(inner)
+              case other => throw new IllegalArgumentException(
+                s"a CTE headers SELECT or DML, got: $other")
+            }
+            val tgt = targetOf(dml)
+            require(!scope.contains(tgt),
+              s"the DML target $tgt is a CTE name — CTEs stage row " +
+                "SETS; write to a real table")
+            // RETURNING's frame must survive the scope pop — its plan
+            // captured the CTE inputs at build time, so forcing nothing
+            // here is safe (same rule as query CTEs)
+            cat.withScope(scope)(executeStmt(cat, dml, registry))
+        }
       case WithRecursive(name, base, step, body) =>
         // semi-naive fixpoint: each round binds `name` to the LAST
         // round's NEW rows only, so the step join probes the frontier,

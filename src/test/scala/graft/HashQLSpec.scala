@@ -3815,6 +3815,13 @@ class HashQLSpec extends SparkSpec {
     val insStar = HashQL.execute(cat,
       "insert into rr (k, v) values ('c', 3) returning *").get
     assert(insStar.columns.contains("id"), insStar.columns.toSeq)
+    // UPDATE … RETURNING: the updated rows' after-image
+    val upd = HashQL.execute(cat,
+      "update rr set rr.v = rr.v + 100 where rr.v <= 2 returning k, v").get
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(upd == Seq(("a", 101L), ("b", 102L)))
+    HashQL.execute(cat,
+      "update rr set rr.v = rr.v - 100 where rr.v > 100")
     // DELETE … RETURNING: the deleted rows' before-image
     val del = HashQL.execute(cat,
       "delete from rr where rr.v <= 2 returning k").get
@@ -3870,6 +3877,40 @@ class HashQLSpec extends SparkSpec {
       "select docs15.score from docs15 where (docs15.src, docs15.pg) in " +
         "(select bad15.bsrc from bad15)"))
     assert(ar.getMessage.contains("key(s)"), ar.getMessage)
+  }
+
+  test("CTE-headed DML (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into cd (k, v) values ('a', 1), ('b', 2), ('c', 30)")
+    // WITH … INSERT INTO … SELECT: the CTE stages the row set
+    HashQL.execute(cat,
+      "with big as (select cd.k, cd.v from cd where cd.v >= 2) " +
+        "insert into arch (k, v) select big.k, big.v from big")
+    assert(HashQL.execute(cat,
+      "select arch.k from arch order by arch.k").get
+      .as[String].collect().toSeq == Seq("b", "c"))
+    // WITH … DELETE with a staged subquery predicate (+ RETURNING)
+    val del = HashQL.execute(cat,
+      "with doomed as (select cd.k from cd where cd.v > 10) " +
+        "delete from cd where cd.k in (select doomed.k from doomed) " +
+        "returning k").get.as[String].collect().toSeq
+    assert(del == Seq("c"))
+    assert(HashQL.execute(cat, "select cd.k from cd").get.count() == 2)
+    // WITH … MERGE: the CTE is the merge SOURCE
+    HashQL.execute(cat,
+      "with src as (select arch.k, arch.v * 10 as w from arch) " +
+        "merge into cd using src on cd.k = src.k " +
+        "when matched then update set cd.v = src.w " +
+        "when not matched then insert (k, v) values (src.k, src.w)")
+    assert(HashQL.execute(cat,
+      "select cd.k, cd.v from cd order by cd.k").get
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 300L)))
+    // a CTE name as the DML TARGET rejects
+    val bad = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "with x as (select cd.k from cd) delete from x"))
+    assert(bad.getMessage.contains("CTE name"), bad.getMessage)
   }
 
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
