@@ -4497,9 +4497,14 @@ object HashQL {
             s"${badT.mkString(", ")} — only $t and $u are in scope")
         val src = uLocal.foldLeft(src0)((d, p) =>
           d.filter(predColumn(cat, p)))
-        // NULL source keys never match — excluded from the check
+        // only source rows that actually HIT a target row are subject to
+        // the one-update-per-target rule (round-15, mirroring the MERGE
+        // fix) — duplicate keys among no-hit rows update nothing and are
+        // harmless; NULL keys never match either way
         val upfKc = pairs.toSeq.map(p => col(p._2.column))
-        val dup = src.filter(upfKc.map(_.isNotNull).reduce(_ && _))
+        val upfHit = pairs.toSeq.map { case (tr, ur) =>
+          src(ur.column) === pre(tr.column) }.reduce(_ && _)
+        val dup = src.join(pre, upfHit, "left_semi")
           .groupBy(upfKc: _*)
           .count().filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
@@ -5349,6 +5354,18 @@ object HashQL {
         }.sum
     case Union(ss, _) => ss.map(tableRefCount(_, n)).sum
     case SetOpChain(_, ss, _) => ss.map(tableRefCount(_, n)).sum
+    // DML bodies (round-15 — CTE-headed DML): count the plan-level reads
+    // so a heavy multiply-read CTE still checkpoints. MERGE reads its
+    // source three times (cardinality probe, matched join, insert anti
+    // join); DELETE USING / UPDATE FROM read the source twice (filtered
+    // scan + the delta capture).
+    case i: InsertSelect => tableRefCount(i.body, n)
+    case d: Delete => (if (d.using.contains(n)) 2 else 0) +
+      d.wheres.map(predTableRefCount(_, n)).sum
+    case u0: Update => (if (u0.from.contains(n)) 2 else 0) +
+      u0.wheres.map(predTableRefCount(_, n)).sum
+    case m: Merge => if (m.source == n) 3 else 0
+    case Returning(inner, _) => tableRefCount(inner, n)
     case _ => 0
   }
   /** Is a CTE definition worth materializing when multiply-referenced?
@@ -6547,7 +6564,12 @@ object HashQL {
                 // …and LATERAL outputs (round-13): computed aggregates
                 // whose NULLs are the ANSI empty-group row, never a
                 // missing field
-                val latNames = sel.laterals.map(_._1).toSet
+                // UNNEST outputs are DATA (round-15): a NULL list
+                // element IS a present value — the missing-field skip
+                // must not drop its row (DuckDB keeps it); same
+                // exemption as lateral outputs and inline VALUES
+                val latNames = (sel.laterals.map(_._1) ++
+                  sel.unnests.map(_._1)).toSet
                 val skipExempt = (wins.map(winAlias) ++ coals.map(coalAlias) ++
                   scalarSubs.map(_.alias) ++ existsItems.map(_.alias) ++
                   items.collect {
@@ -7235,10 +7257,12 @@ object HashQL {
     *
     * Each is ONE hash semi/anti join on the equality correlation keys
     * with the range conjuncts riding the join condition as post-filters
-    * ([[existsJoin]]'s crossForm) — never a nested loop, and existsJoin
-    * still requires ≥1 equality key so a pure-range correlation rejects
-    * toward staging. The subquery must project one PLAIN column (the
-    * comparison rides the join condition against it). */
+    * ([[existsJoin]]'s crossForm) — never a nested loop. A PURE-range
+    * quantifier still rejects: the rewrite adds the comparison as a
+    * second cross conjunct, and existsJoin's stats reduction (round-15)
+    * accepts exactly ONE (two conjuncts would need a joint witness).
+    * The subquery must project one PLAIN column (the comparison rides
+    * the join condition against it). */
   private def quantExistsRewrite(ref: ColRef, op: String, quant: String,
                                  sub: Select): Pred = {
     val vRef = sub.items match {

@@ -3534,6 +3534,24 @@ class HashQLSpec extends SparkSpec {
     assert(got == Seq((1L, 6L), (2L, 8L)))
   }
 
+  test("UPDATE … FROM cardinality narrowed to actual hits (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into uh (k, v) values ('a', 1)")
+    HashQL.execute(cat,
+      "insert into us (k, w) values ('x', 1), ('x', 2), ('a', 5)")
+    // duplicate 'x' keys hit NO target row — they update nothing and
+    // must not reject (mirrors the MERGE r14-advice fix)
+    HashQL.execute(cat,
+      "update uh set uh.v = us.w from us where uh.k = us.k")
+    assert(HashQL.execute(cat, "select uh.v from uh").get
+      .as[Long].collect().toSeq == Seq(5L))
+    // duplicates that DO hit still reject
+    HashQL.execute(cat, "insert into us (k, w) values ('a', 6)")
+    val dup = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "update uh set uh.v = us.w from us where uh.k = us.k"))
+    assert(dup.getMessage.contains("more than"), dup.getMessage)
+  }
+
   test("UPDATE … FROM guards: linking equality + third-table reject " +
     "(round-15, r14 advice)") {
     // the linking equality must join the TARGET and the NAMED source
