@@ -3929,6 +3929,16 @@ class HashQLSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](HashQL.execute(cat,
       "with x as (select cd.k from cd) delete from x"))
     assert(bad.getMessage.contains("CTE name"), bad.getMessage)
+    // the source CTE may derive from the TARGET itself (the re-crawl
+    // self-refresh shape) — self-lineage joins must still plan
+    HashQL.execute(cat,
+      "with topv as (select cd.k, cd.v from cd where cd.v >= 20) " +
+        "merge into cd using topv on cd.k = topv.k " +
+        "when matched then update set cd.v = topv.v + 1")
+    assert(HashQL.execute(cat,
+      "select cd.k, cd.v from cd order by cd.k").get
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 21L), ("c", 301L)))
   }
 
   test("IGNORE NULLS and BETWEEN expression bounds (round-14)") {
