@@ -3965,6 +3965,134 @@ object HashqlSuite extends Suite {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // bivariate statistics tier (round 15): corr/covar_pop/covar_samp —
+    // like var/stddev, BOTH sides spell the exact-sum expansion (native
+    // streaming accumulators can never hash-match); the `a + (b - b)`
+    // pair gate scopes every sum to rows where BOTH inputs are non-null
+    // (ANSI) in pure arithmetic. l_quantity and l_linenumber are
+    // integer-valued and small, so every sum is exact in any order.
+    "hashql_corr_covar" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "corr(lineitem.l_quantity, lineitem.l_linenumber) as r, " +
+          "covar_pop(lineitem.l_quantity, lineitem.l_linenumber) as cp, " +
+          "covar_samp(lineitem.l_quantity, lineitem.l_linenumber) as cs " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    count(l_linenumber + (l_quantity - l_quantity)) AS n,
+             |    sum(l_linenumber + (l_quantity - l_quantity)) AS sx,
+             |    sum(l_quantity + (l_linenumber - l_linenumber)) AS sy,
+             |    sum(l_quantity * l_linenumber) AS sxy,
+             |    sum((l_linenumber + (l_quantity - l_quantity))
+             |      * (l_linenumber + (l_quantity - l_quantity))) AS sxx,
+             |    sum((l_quantity + (l_linenumber - l_linenumber))
+             |      * (l_quantity + (l_linenumber - l_linenumber))) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |      * CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS r,
+             |  (CAST(n * sxy - sx * sy AS DOUBLE) / n) / nullif(n, 0) AS cp,
+             |  (CAST(n * sxy - sx * sy AS DOUBLE) / n) / nullif(n - 1, 0)
+             |    AS cs
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
+
+    // linear-regression aggregates (round 15): the full ANSI regr_*
+    // family over the same exact-sum machinery; regr_r2's var(y)=0 → 1
+    // edge rides the round-15 aggregate-threshold CASE condition.
+    "hashql_regr" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "regr_slope(lineitem.l_quantity, lineitem.l_linenumber) as slope, " +
+          "regr_intercept(lineitem.l_quantity, lineitem.l_linenumber) as icept, " +
+          "regr_r2(lineitem.l_quantity, lineitem.l_linenumber) as r2, " +
+          "regr_count(lineitem.l_quantity, lineitem.l_linenumber) as n_pairs, " +
+          "regr_avgx(lineitem.l_quantity, lineitem.l_linenumber) as ax, " +
+          "regr_avgy(lineitem.l_quantity, lineitem.l_linenumber) as ay " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    count(l_linenumber + (l_quantity - l_quantity)) AS n,
+             |    sum(l_linenumber + (l_quantity - l_quantity)) AS sx,
+             |    sum(l_quantity + (l_linenumber - l_linenumber)) AS sy,
+             |    sum(l_quantity * l_linenumber) AS sxy,
+             |    sum((l_linenumber + (l_quantity - l_quantity))
+             |      * (l_linenumber + (l_quantity - l_quantity))) AS sxx,
+             |    sum((l_quantity + (l_linenumber - l_linenumber))
+             |      * (l_quantity + (l_linenumber - l_linenumber))) AS syy
+             |  FROM lineitem GROUP BY l_returnflag),
+             |v AS (
+             |  SELECT l_returnflag, n, sx, sy,
+             |    CAST(n * sxy - sx * sy AS DOUBLE) AS cnum,
+             |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+             |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+             |  FROM g)
+             |SELECT l_returnflag,
+             |  cnum / nullif(vx, 0.0) AS slope,
+             |  (CAST(sy AS DOUBLE) - (cnum / nullif(vx, 0.0))
+             |    * CAST(sx AS DOUBLE)) / nullif(n, 0) AS icept,
+             |  CASE WHEN NOT (vx = 0.0) AND vy = 0.0 THEN CAST(1.0 AS DOUBLE)
+             |    ELSE cnum * cnum / nullif(vx * vy, 0.0) END AS r2,
+             |  n AS n_pairs,
+             |  CAST(sx AS DOUBLE) / nullif(n, 0) AS ax,
+             |  CAST(sy AS DOUBLE) / nullif(n, 0) AS ay
+             |FROM v ORDER BY l_returnflag""".stripMargin)),
+
+    // UNION ALL BY NAME (round 15): branches align by column name, the
+    // schema-evolution idiom — absent columns null-fill; Spark's
+    // unionByName ≡ DuckDB's BY NAME, including output column order
+    // (first branch, then new columns in appearance order).
+    "hashql_union_by_name" -> Q(
+      (s, d) => run(s, d,
+        "select nation.n_nationkey as k, nation.n_name as nm " +
+          "from nation where nation.n_nationkey < 5 " +
+          "union all by name " +
+          "select region.r_name as nm, region.r_regionkey as k, " +
+          "region.r_regionkey * 10 as extra from region"),
+      Some("""SELECT n_nationkey AS k, n_name AS nm
+             |FROM nation WHERE n_nationkey < 5
+             |UNION ALL BY NAME
+             |SELECT r_name AS nm, r_regionkey AS k,
+             |  r_regionkey * 10 AS extra FROM region""".stripMargin)),
+
+    // bool_and / bool_or (round 15): ANSI EVERY/ANY over a predicate,
+    // desugared onto min/max of a three-way CASE gate (unknown rows
+    // ignored, ANSI); the oracle runs the native aggregates — booleans
+    // are exact, so they hash directly.
+    "hashql_bool_agg" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "bool_and(lineitem.l_quantity > 1) as all_gt1, " +
+          "bool_or(lineitem.l_quantity > 49) as any_gt49 " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity > 1) AS all_gt1,
+             |  bool_or(l_quantity > 49) AS any_gt49
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // aggregate-threshold CASE conditions (round 15): `case when sum(…)
+    // > k then … end` in a grouped projection — the condition's
+    // aggregates join the SAME one-shuffle aggregation pass under
+    // reserved names (no second scan, no HAVING detour).
+    "hashql_case_agg_cond" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "case when sum(lineitem.l_quantity) > 500000 then 'heavy' " +
+          "when count(*) > 10000 then 'mid' else 'light' end as band, " +
+          "count(*) from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CASE WHEN sum(l_quantity) > 500000 THEN 'heavy'
+             |    WHEN count(*) > 10000 THEN 'mid' ELSE 'light' END AS band,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // LATERAL aggregate subquery (round 13): per-customer order stats —
     // DECORRELATED to one grouped aggregate over orders + one LEFT hash
     // join (count 0 / max NULL on the empty group, ANSI cross-lateral
@@ -4306,6 +4434,95 @@ object HashqlSuite extends Suite {
              |    '%Y-%m-%d') AS ts
              |FROM orders WHERE o_orderkey <= 400
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // try_cast (round 15): NULL on a failed conversion where plain CAST
+    // raises under both engines' ANSI defaults. Every 5th key feeds a
+    // non-numeric string so the NULL misses hash-compare too; the
+    // round-trip column proves success paths are unchanged.
+    "hashql_try_cast" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "try_cast(case when mod(orders.o_orderkey, 5) = 0 " +
+          "then orders.o_orderstatus " +
+          "else cast(orders.o_orderkey as varchar) end as bigint) as n " +
+          "from orders where orders.o_orderkey <= 400 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  TRY_CAST(CASE WHEN mod(o_orderkey, 5) = 0 THEN o_orderstatus
+             |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS n
+             |FROM orders WHERE o_orderkey <= 400
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // LIMIT … WITH TIES (round 15): rows tying with the n-th row's FULL
+    // sort-key tuple stay in — the result is ORDER-INSENSITIVE (every
+    // tie group all in or all out), so it hash-compares where a bare
+    // LIMIT over tied keys never could. Lowered as a bounded threshold
+    // probe + one literal lexicographic filter (never a global rank
+    // window); the oracle spells the rank() formulation.
+    "hashql_limit_ties" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, orders.o_orderpriority, " +
+          "orders.o_orderdate from orders " +
+          "order by orders.o_orderpriority, orders.o_orderdate desc " +
+          "limit 25 with ties"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderdate FROM (
+             |  SELECT o_orderkey, o_orderpriority, o_orderdate,
+             |    rank() OVER (ORDER BY o_orderpriority ASC,
+             |      o_orderdate DESC) AS rk
+             |  FROM orders) WHERE rk <= 25""".stripMargin)),
+
+    // ANSI string sugars (round 15): substring(s FROM i FOR n) and
+    // position(needle IN haystack) — parse-time desugarings over the
+    // substr/strpos tiers both engines already share.
+    "hashql_ansi_sugar" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "substring(customer.c_name from 3 for 8) as mid, " +
+          "substring(customer.c_name, 12) as tail_s, " +
+          "position('1' in customer.c_name) as p1 " +
+          "from customer where customer.c_custkey <= 300 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey,
+             |  substring(c_name FROM 3 FOR 8) AS mid,
+             |  substring(c_name, 12) AS tail_s,
+             |  position('1' IN c_name) AS p1
+             |FROM customer WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // array_agg (round 15): LIST aggregation — value-sorted in bare
+    // calls so the result is deterministic under any partitioning; the
+    // golden stringifies (list columns don't hash across engines) and
+    // the oracle mirrors with an explicit ORDER BY inside the call.
+    "hashql_array_agg" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, " +
+          "array_to_string(array_agg(orders.o_orderkey), ',') as keys_csv, " +
+          "count(*) from orders where orders.o_custkey <= 200 " +
+          "group by orders.o_custkey order by orders.o_custkey"),
+      Some("""SELECT o_custkey,
+             |  array_to_string(array_agg(o_orderkey ORDER BY o_orderkey),
+             |    ',') AS keys_csv,
+             |  count(*) AS cnt
+             |FROM orders WHERE o_custkey <= 200
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // TRUNCATE (round 15): DELETE with no predicate — same commit, same
+    // O(delta) hooks; the oracle executes the equivalent DML script.
+    "hashql_truncate" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into trc (k, v) values ('a', 1), ('b', 2), ('c', 3)")
+        HashQL.execute(cat, "truncate table trc")
+        HashQL.execute(cat, "insert into trc (k, v) values ('d', 9)")
+        HashQL.execute(cat,
+          "select trc.k, trc.v from trc order by trc.k").get
+      },
+      Some("""CREATE TEMP TABLE g15trc(k VARCHAR, v BIGINT);
+             |INSERT INTO g15trc VALUES ('a', 1), ('b', 2), ('c', 3);
+             |TRUNCATE g15trc;
+             |INSERT INTO g15trc VALUES ('d', 9);
+             |SELECT k, v FROM g15trc ORDER BY k""".stripMargin)),
 
     // strftime (round 13): DuckDB %-code rendering, lowered to Spark's
     // date_format with a translated pattern — zero-padded on both

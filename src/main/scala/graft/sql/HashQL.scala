@@ -214,10 +214,15 @@ object HashQL {
     * timestamp to DATE (truncates the time part, both engines) or a
     * string/date to TIMESTAMP (midnight-extends, both engines). */
   final case class ECast(expr: Expr, ty: String) extends Expr {
-    require(Set("long", "double", "string", "date", "timestamp").contains(ty)
-        || ty.matches("decimal\\([0-9]+,[0-9]+\\)"),
+    // a "try " prefix marks TRY_CAST (round-15): NULL on conversion
+    // failure instead of ANSI's raise — carried inside ty so every
+    // structural rewrite (alias rebind, agg substitution, renames)
+    // passes it through untouched
+    private val ty0 = ty.stripPrefix("try ")
+    require(Set("long", "double", "string", "date", "timestamp").contains(ty0)
+        || ty0.matches("decimal\\([0-9]+,[0-9]+\\)"),
       "cast target must be long | bigint | double | string | varchar | " +
-        s"date | timestamp | decimal(p,s), got $ty")
+        s"date | timestamp | decimal(p,s), got $ty0")
     // decimal(p,s) (round-11): the MONEY type — fixed-point sums are
     // exact and order-independent, so decimal aggregates hash-match
     // across engines and partitionings where double sums flip on
@@ -225,8 +230,8 @@ object HashQL {
     // (both engines recover the nearest s-digit decimal); scaling DOWN
     // rounds HALF_UP on Spark vs half-even on DuckDB at exact ties —
     // documented, keep s at or above the data's scale.
-    if (ty.startsWith("decimal(")) {
-      val Array(p, s) = ty.stripPrefix("decimal(").stripSuffix(")").split(",")
+    if (ty0.startsWith("decimal(")) {
+      val Array(p, s) = ty0.stripPrefix("decimal(").stripSuffix(")").split(",")
       require(p.toInt >= 1 && p.toInt <= 38 && s.toInt >= 0 && s.toInt <= p.toInt,
         s"decimal precision must be 1..38 and scale 0..precision, got $ty")
     }
@@ -256,7 +261,7 @@ object HashQL {
     * `count_star`'s arg is a placeholder. */
   final case class EAgg(fn: String, arg: Expr) extends Expr {
     require(Set("count_star", "count", "count_distinct", "sum",
-      "sum_distinct", "avg", "min", "max").contains(fn),
+      "sum_distinct", "avg", "min", "max", "array_agg").contains(fn),
       s"unsupported aggregate: $fn")
   }
   /** Scalar function call (round-10 growth — the string/date/math tier a
@@ -485,7 +490,12 @@ object HashQL {
                                  // value-sorted default. Ties sort by the
                                  // VALUE (the struct tiebreak), so the
                                  // output stays deterministic.
-                                 order: Option[(Expr, Boolean)] = None)
+                                 order: Option[(Expr, Boolean)] = None,
+                                 // array_agg/list (round-15): emit the
+                                 // sorted LIST itself instead of the
+                                 // joined string (sep is then unused);
+                                 // same NULL-skip and empty→NULL rules
+                                 asList: Boolean = false)
       extends SelectItem
   /** `min_by|max_by(<value>, <key>) as alias` (round-12): the value at
     * the extremal key (DuckDB: arg_min/arg_max). Ties on the key pick an
@@ -1012,7 +1022,16 @@ object HashQL {
                           // empty/NULL list DROPS its outer row. Lowered
                           // to ONE per-row Generate (explode) — zero
                           // shuffles, an Expand in the scan stage.
-                          unnests: Seq[(String, String, Expr)] = Nil)
+                          unnests: Seq[(String, String, Expr)] = Nil,
+                          // `limit n with ties` (round-15 — the ANSI
+                          // FETCH FIRST … WITH TIES semantics): keep
+                          // every row whose FULL sort-key tuple equals
+                          // the n-th row's. Lowered as a bounded
+                          // threshold probe (TakeOrderedAndProject to n
+                          // rows, then 1) + a literal lexicographic
+                          // filter — never a global single-partition
+                          // rank window.
+                          limitTies: Boolean = false)
     extends Stmt
   /** `select … union [all] select … [union [all] select …]*` — positional
     * set union of SELECT branches (output names follow the first branch,
@@ -1021,7 +1040,12 @@ object HashQL {
     * semantics depend on association order — an explicit error beats a
     * silent choice). Each branch is a full Select (its own WHERE / GROUP
     * BY / ORDER BY / LIMIT, applied per-branch). Dialect growth. */
-  final case class Union(selects: Seq[Select], all: Boolean) extends Stmt
+  final case class Union(selects: Seq[Select], all: Boolean,
+                         // `union [all] by name` (round-15 — DuckDB):
+                         // branches align by COLUMN NAME, the output
+                         // schema is the ordered union of branch
+                         // schemas, absent columns null-fill
+                         byName: Boolean = false) extends Stmt
   /** `select … intersect [all] select …` / `select … except [all] select …`
     * (round-10 growth — the dialect's set-op surface beyond UNION):
     * positional set operations, names follow the first branch. Plain
@@ -1235,6 +1259,12 @@ object HashQL {
           s"COPY format is parquet|csv|jsonl, got $fmt")
         kw(")")
         if (dir == "to") CopyTo(t, path, fmt) else CopyFrom(t, path, fmt)
+      case "truncate" =>
+        // TRUNCATE [TABLE] t (round-15) — DELETE with no predicate: the
+        // same copy-on-write commit and O(delta) hooks (the delete image
+        // is the whole table), so routed/aggregate views fold correctly
+        if (is("table")) next()
+        Delete(next(), Seq.empty, None)
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
@@ -1757,7 +1787,7 @@ object HashQL {
         // path so its predicate keeps the pushdown-friendly Eq/Cmp shape
         def rhsStartsExpr: Boolean =
           (exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") ||
-            (is("cast") && peekAt(1) == "(") || is("case") ||
+            ((is("cast") || is("try_cast")) && peekAt(1) == "(") || is("case") ||
             ((is("date") || is("timestamp")) && peekAt(1).startsWith("'") &&
               arithOps.contains(peekAt(2)))
         // `<op> any|some|all ( select … )` — the ANSI quantified forms
@@ -1922,18 +1952,24 @@ object HashQL {
       else {
         val branches = scala.collection.mutable.ArrayBuffer(first)
         val allFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+        val nameFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
         while (is("union")) {
           next()
           allFlags += (is("all") && { next(); true })
+          // `union [all] by name` (round-15 — DuckDB): align branches
+          // by column name instead of position
+          nameFlags += (is("by") && { next(); kw("name"); true })
           kw("select")
           branches += selectRest()
         }
         require(allFlags.distinct.size == 1,
           "mixed UNION / UNION ALL in one chain is not supported")
+        require(nameFlags.distinct.size == 1,
+          "mixed UNION / UNION BY NAME in one chain is not supported")
         require(!is("intersect") && !is("except"),
           "mixed set operators in one chain are not supported — " +
             "parenthesize through CTEs")
-        Union(branches.toSeq, allFlags.head)
+        Union(branches.toSeq, allFlags.head, nameFlags.head)
       }
     }
 
@@ -2140,6 +2176,30 @@ object HashQL {
           items += StringAggItem(e, sep.toString,
             aliasAfterAs("string_agg(…)"), ord)
         }
+        else if ((is("array_agg") || is("list")) && peekAt(1) == "(" &&
+                 // `array_agg(x)` with an arithmetic/alias continuation or
+                 // wrapped in a function parses through the expression
+                 // grammar; the ITEM form owns the ORDER BY variant
+                 true) {
+          // `array_agg(<expr> [order by <expr> [desc]]) as alias` /
+          // DuckDB's `list(…)` (round-15): the LIST-valued twin of
+          // string_agg — same collect/sort machinery, same NULL-element
+          // skip, same empty→NULL; bare calls stay value-sorted so the
+          // output is deterministic under any partitioning.
+          next(); kw("(")
+          val e = exprTree()
+          val ord = if (is("order")) {
+            next(); kw("by")
+            val oe = exprTree()
+            val desc =
+              if (is("desc")) { next(); true }
+              else { if (is("asc")) next(); false }
+            Some((oe, desc))
+          } else None
+          kw(")")
+          items += StringAggItem(e, ",", aliasAfterAs("array_agg(…)"), ord,
+            asList = true)
+        }
         else if ((is("min_by") || is("max_by")) && peekAt(1) == "(") {
           // `min_by|max_by(<value>, <key>) as alias` — value at extremal key
           val fn = next().toLowerCase; kw("(")
@@ -2205,6 +2265,90 @@ object HashQL {
           val out = if (fn.startsWith("stddev")) EFunc("sqrt", Seq(varE))
                     else varE
           items += ExprItem(out, aliasAfterAs(s"$fn0(…)"))
+        }
+        else if (Seq("corr", "covar_pop", "covar_samp", "regr_slope",
+                     "regr_intercept", "regr_r2", "regr_count",
+                     "regr_avgx", "regr_avgy").exists(is) &&
+                 peekAt(1) == "(") {
+          // bivariate statistics tier (round 15) — the ANSI two-argument
+          // aggregates, DESUGARED like var/stddev to exact-sum arithmetic
+          // over ONE aggregation pass (the engines' native streaming
+          // accumulators round differently in the last ULP and can never
+          // hash-match). ANSI considers only rows where BOTH inputs are
+          // non-null; the pair gate `a + (b − b)` nulls a wherever b is
+          // NULL with no CASE predicate, so every Σ below is pair-scoped.
+          // regr_* take (y, x) — dependent first — per the standard.
+          val fn = next().toLowerCase
+          kw("(")
+          val e1 = exprTree(); kw(",")
+          val e2 = exprTree(); kw(")")
+          val py = EArith(e1, "+", EArith(e2, "-", e2))
+          val px = EArith(e2, "+", EArith(e1, "-", e1))
+          val n = EAgg("count", px)
+          val sx = EAgg("sum", px); val sy = EAgg("sum", py)
+          val sxy = EAgg("sum", EArith(e1, "*", e2))
+          // n·Σxy − Σx·Σy (the covariance numerator, ×n²) and the two
+          // variance numerators — exact when inputs are integer-valued
+          // and squares sum within the exact double range, like var/stddev
+          val cnum = ECast(EArith(EArith(n, "*", sxy), "-",
+            EArith(sx, "*", sy)), "double")
+          def varNum(s: EAgg, p: Expr) = ECast(EArith(
+            EArith(n, "*", EAgg("sum", EArith(p, "*", p))), "-",
+            EArith(s, "*", s)), "double")
+          val vx = varNum(sx, px); val vy = varNum(sy, py)
+          val out = fn match {
+            case "covar_pop" =>
+              EArith(EArith(cnum, "/", n), "/",
+                EFunc("nullif", Seq(n, ELit(0L))))
+            case "covar_samp" =>
+              EArith(EArith(cnum, "/", n), "/",
+                EFunc("nullif", Seq(EArith(n, "-", ELit(1L)), ELit(0L))))
+            case "corr" =>
+              EArith(cnum, "/", EFunc("nullif",
+                Seq(EFunc("sqrt", Seq(EArith(vx, "*", vy))), ELit(0.0))))
+            case "regr_count" => n
+            case "regr_avgx" =>
+              EArith(ECast(sx, "double"), "/",
+                EFunc("nullif", Seq(n, ELit(0L))))
+            case "regr_avgy" =>
+              EArith(ECast(sy, "double"), "/",
+                EFunc("nullif", Seq(n, ELit(0L))))
+            case "regr_slope" =>
+              EArith(cnum, "/", EFunc("nullif", Seq(vx, ELit(0.0))))
+            case "regr_intercept" =>
+              // (Σy − slope·Σx) / n, evaluated in doubles in this shape
+              EArith(EArith(ECast(sy, "double"), "-",
+                EArith(EArith(cnum, "/",
+                  EFunc("nullif", Seq(vx, ELit(0.0)))), "*",
+                  ECast(sx, "double"))), "/",
+                EFunc("nullif", Seq(n, ELit(0L))))
+            case "regr_r2" =>
+              // ANSI edges: var(x)=0 → NULL (nullif'd denominator);
+              // var(x)≠0 ∧ var(y)=0 → 1; else corr² — the CASE condition
+              // reads aggregates, the round-15 aggNodes extension
+              ECase(Seq((And(Seq(Not(ExprCmp(vx, "=", ELit(0.0))),
+                ExprCmp(vy, "=", ELit(0.0)))), ELit(1.0))),
+                Some(EArith(EArith(cnum, "*", cnum), "/",
+                  EFunc("nullif", Seq(EArith(vx, "*", vy), ELit(0.0))))))
+          }
+          items += ExprItem(out, aliasAfterAs(s"$fn(…)"))
+        }
+        else if ((is("bool_and") || is("bool_or")) && peekAt(1) == "(") {
+          // bool_and / bool_or (round-15): ANSI EVERY/ANY over a
+          // predicate. UNKNOWN rows are IGNORED (ANSI — not coerced to
+          // false): the inner CASE maps true→1 / false→0 / unknown→NULL,
+          // min/max skips the NULLs, and the outer aggregate-threshold
+          // CASE maps back to BOOLEAN (empty or all-unknown group →
+          // NULL, both engines). Pure parse-level desugar — one
+          // aggregation pass, no new lowering.
+          val fn = next().toLowerCase; kw("(")
+          val p = predExpr(); kw(")")
+          val g = ECase(Seq((p, ELit(1L)), (Not(p), ELit(0L))), None)
+          val m = EAgg(if (fn == "bool_and") "min" else "max", g)
+          val out = ECase(Seq(
+            (ExprCmp(m, "=", ELit(1L)), ELit(true)),
+            (ExprCmp(m, "=", ELit(0L)), ELit(false))), None)
+          items += ExprItem(out, aliasAfterAs(s"$fn(…)"))
         }
         else if (Seq("sum", "avg", "min", "max", "median").exists(is)) {
           val fn = next().toLowerCase; kw("(")
@@ -2561,7 +2705,7 @@ object HashQL {
       // so both spellings lower to the same scan-side computed key.
       def groupKey(): ColRef =
         if ((exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(") ||
-            (is("cast") && peekAt(1) == "(") || is("case")) {
+            ((is("cast") || is("try_cast")) && peekAt(1) == "(") || is("case")) {
           val e = exprTree()
           items.collectFirst {
             case ExprItem(e2, a) if e2 == e => ColRef("", a)
@@ -2813,6 +2957,18 @@ object HashQL {
         require(t.matches("[0-9]+"), s"limit expects a number, got $t")
         Some(t.toInt)
       } else None
+      // `limit n with ties` (round-15): ANSI FETCH FIRST … WITH TIES —
+      // rows tying with the n-th row's FULL sort-key tuple stay in. The
+      // result is order-insensitive (ties all in or all out), so it
+      // hash-compares deterministically where a bare LIMIT over tied
+      // keys could not.
+      val limitTies = limit.isDefined && is("with") && {
+        next(); kw("ties")
+        require(orderBy.nonEmpty,
+          "LIMIT … WITH TIES needs ORDER BY — ties are defined by the " +
+            "sort keys")
+        true
+      }
       // `[limit n] offset m` — skip m rows (meaningful under ORDER BY,
       // like any SQL OFFSET)
       val offset = if (is("offset")) {
@@ -2839,10 +2995,13 @@ object HashQL {
           "DISTINCT ON cannot mix with GROUP BY in one select — stage " +
             "through a CTE or derived table")
       }
+      if (limitTies) require(offset.isEmpty,
+        "LIMIT … WITH TIES does not compose with OFFSET — stage through " +
+          "a derived table")
       Select(items.toSeq, table, joins.toSeq, wheres, groupBy, having, orderBy,
         limit, distinct, offset, qualify, aliasList.toSeq, derivedList.toSeq,
         groupMode, groupSets, fromList.toSeq, distinctOn, lateralList.toSeq,
-        unnestList.toSeq)
+        unnestList.toSeq, limitTies)
     }
 
     /** Scalar expression grammar (standard precedence, two levels):
@@ -2906,7 +3065,11 @@ object HashQL {
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
-      else if (is("cast") && peekAt(1) == "(") {
+      else if ((is("cast") || is("try_cast")) && peekAt(1) == "(") {
+        // try_cast (round-15): DuckDB/Spark TRY_CAST — NULL on a failed
+        // conversion where plain CAST raises under both engines' ANSI
+        // defaults; same target-type grammar
+        val tryMode = is("try_cast")
         next(); kw("(")
         val e = exprTree()
         kw("as")
@@ -2924,7 +3087,31 @@ object HashQL {
           case t => t
         }
         kw(")")
-        ECast(e, ty)
+        ECast(e, if (tryMode) s"try $ty" else ty)
+      }
+      else if (is("substring") && peekAt(1) == "(") {
+        // ANSI `substring(s from i [for n])` (round-15) — sugar over the
+        // 1-based substr the dialect already lowers; the comma spelling
+        // rides too (both engines accept both)
+        next(); kw("(")
+        val s0 = exprTree()
+        val (i0, n0) =
+          if (is("from")) { next(); val i = exprTree()
+            val n = if (is("for")) { next(); Some(exprTree()) } else None
+            (i, n) }
+          else { kw(","); val i = exprTree()
+            val n = if (is(",")) { next(); Some(exprTree()) } else None
+            (i, n) }
+        kw(")")
+        EFunc("substr", Seq(s0, i0) ++ n0)
+      }
+      else if (is("position") && peekAt(1) == "(") {
+        // ANSI `position(needle in haystack)` (round-15) → strpos(
+        // haystack, needle): 1-based, 0 when absent, both engines
+        next(); kw("(")
+        val needle = exprTree(); kw("in")
+        val hay = exprTree(); kw(")")
+        EFunc("strpos", Seq(hay, needle))
       }
       else if (is("date_part") && peekAt(1) == "(") {
         // `date_part('<part>', <expr>)` (round-14) — DuckDB's function
@@ -2969,12 +3156,20 @@ object HashQL {
         kw(")")
         EFunc(fn, args.toSeq)
       }
-      else if (Seq("sum", "avg", "min", "max", "count").exists(is) &&
-               peekAt(1) == "(") {
+      else if (Seq("sum", "avg", "min", "max", "count", "array_agg", "list")
+                 .exists(is) && peekAt(1) == "(") {
         // an aggregate call in factor position — `sum(a) / sum(b)`'s
         // right-hand side, `round(sum(x) / count(*), 2)`'s inner calls.
         // Valid only in aggregate projections (lowering enforces).
-        val fn = next().toLowerCase
+        // array_agg / list (round-15): VALUE-SORTED list aggregation
+        // (deterministic under any partitioning; the DuckDB mirror is
+        // `array_agg(x ORDER BY x) FILTER (WHERE x IS NOT NULL)` — NULL
+        // elements skip, empty groups yield NULL); expression position
+        // feeds list functions, `array_to_string(array_agg(x), ',')`.
+        val fn = next().toLowerCase match {
+          case "list" => "array_agg"
+          case f => f
+        }
         kw("(")
         val ag =
           if (fn != "count") EAgg(fn, exprTree())
@@ -3114,7 +3309,7 @@ object HashQL {
           deps += n -> item
           ColRef("", n)
         } else if ((exprFuncs.contains(peek.toLowerCase) && peekAt(1) == "(")
-            || (is("cast") && peekAt(1) == "(") || is("case")) {
+            || ((is("cast") || is("try_cast")) && peekAt(1) == "(") || is("case")) {
           // EXPRESSION keys (round-13 — `partition by year(t.d)`): the
           // expression computes scan-side under a reserved name (exactly
           // the bare `group by <expr>` machinery) and the spec addresses
@@ -3811,7 +4006,9 @@ object HashQL {
         case "%" => lc % rc
         case other => throw new IllegalArgumentException(s"unsupported arithmetic op: $other")
       }
-    case ECast(e0, ty) => exprColumn(cat, e0).cast(ty)
+    case ECast(e0, ty) =>
+      if (ty.startsWith("try ")) exprColumn(cat, e0).try_cast(ty.stripPrefix("try "))
+      else exprColumn(cat, e0).cast(ty)
     case _: EAgg => throw new IllegalArgumentException(
       "aggregate calls are valid only in an aggregate select's " +
         "projection — filter on aggregates through HAVING")
@@ -3977,17 +4174,32 @@ object HashQL {
   }
 
   /** The distinct aggregate calls inside an expression tree, in first-
-    * occurrence order (CASE conditions excluded — aggregates there fail
-    * at lowering with exprColumn's clear message). */
+    * occurrence order. CASE conditions are walked through their
+    * comparison predicates (round 15 — `case when sum(x) > 0 then …`,
+    * the aggregate-threshold branch the regr_r2 expansion needs);
+    * column-shaped predicate forms inside CASE keep failing at lowering
+    * with exprColumn's clear message when they hide an aggregate. */
   private def aggNodes(e: Expr): Seq[EAgg] = (e match {
     case a: EAgg => Seq(a)
     case EArith(l, _, r) => aggNodes(l) ++ aggNodes(r)
     case ECase(brs, els) =>
-      brs.flatMap { case (_, v) => aggNodes(v) } ++ els.toSeq.flatMap(aggNodes)
+      brs.flatMap { case (p, v) => predAggNodes(p) ++ aggNodes(v) } ++
+        els.toSeq.flatMap(aggNodes)
     case EFunc(_, args) => args.flatMap(aggNodes)
     case ECast(e0, _) => aggNodes(e0)
     case _ => Seq.empty
   }).distinct
+
+  /** Aggregate calls reachable inside a CASE condition — only the
+    * expression-comparison forms can carry them. */
+  private def predAggNodes(p: Pred): Seq[EAgg] = p match {
+    case ExprCmp(l, _, r) => aggNodes(l) ++ aggNodes(r)
+    case BoolFuncPred(e) => aggNodes(e)
+    case Not(x) => predAggNodes(x)
+    case And(ps) => ps.flatMap(predAggNodes)
+    case Or(ps) => ps.flatMap(predAggNodes)
+    case _ => Seq.empty
+  }
 
   /** Replace each EAgg with a bare reference to its reserved aggregate
     * output column — the post-aggregation rewrite. */
@@ -3995,10 +4207,21 @@ object HashQL {
     case a: EAgg => ECol(ColRef("", m(a)))
     case EArith(l, op, r) => EArith(substAggs(l, m), op, substAggs(r, m))
     case ECase(brs, els) =>
-      ECase(brs.map { case (p, v) => (p, substAggs(v, m)) },
+      ECase(brs.map { case (p, v) => (substAggsPred(p, m), substAggs(v, m)) },
         els.map(substAggs(_, m)))
     case EFunc(fn, args) => EFunc(fn, args.map(substAggs(_, m)))
     case ECast(e0, ty) => ECast(substAggs(e0, m), ty)
+    case other => other
+  }
+
+  /** The CASE-condition twin of substAggs — rewrites aggregates inside
+    * the expression-comparison predicate forms. */
+  private def substAggsPred(p: Pred, m: Map[EAgg, String]): Pred = p match {
+    case ExprCmp(l, op, r) => ExprCmp(substAggs(l, m), op, substAggs(r, m))
+    case BoolFuncPred(e) => BoolFuncPred(substAggs(e, m))
+    case Not(x) => Not(substAggsPred(x, m))
+    case And(ps) => And(ps.map(substAggsPred(_, m)))
+    case Or(ps) => Or(ps.map(substAggsPred(_, m)))
     case other => other
   }
 
@@ -4012,6 +4235,12 @@ object HashQL {
       case "avg" => avg(exprColumn(cat, a.arg)).as(name)
       case "min" => min(exprColumn(cat, a.arg)).as(name)
       case "max" => max(exprColumn(cat, a.arg)).as(name)
+      // value-sorted deterministic list aggregation (round-15) —
+      // collect_list skips NULLs; empty → NULL like DuckDB's
+      // NULL-filtered array_agg, not []
+      case "array_agg" =>
+        val arr = sort_array(collect_list(exprColumn(cat, a.arg)))
+        when(size(arr) === 0, lit(null)).otherwise(arr).as(name)
     }
   private def predRefs(p: Pred): Set[String] = p match {
     case Eq(r, _) => Set(r.column)
@@ -4088,7 +4317,7 @@ object HashQL {
       case AggCall(_, r) if r.table.nonEmpty && !subTables(r.table) => Seq(r.table)
       case AggExprItem(_, e, _) => exprTables(e).filterNot(subTables).toSeq
       case ExprItem(e, _) => exprTables(e).filterNot(subTables).toSeq
-      case StringAggItem(e, _, _, ord) =>
+      case StringAggItem(e, _, _, ord, _) =>
         (exprTables(e) ++ ord.toSeq.flatMap(o => exprTables(o._1)))
           .filterNot(subTables).toSeq
       case ArgExtremeItem(_, v, k, _) =>
@@ -4140,7 +4369,7 @@ object HashQL {
     case AggCall(fn, r) => Some(s"${fn}_${r.column}")
     case AggExprItem(_, _, a) => Some(a)
     case ExprItem(_, a) => Some(a)
-    case StringAggItem(_, _, a, _) => Some(a)
+    case StringAggItem(_, _, a, _, _) => Some(a)
     case ArgExtremeItem(_, _, _, a) => Some(a)
     case GroupingItem(_, a) => Some(a)
     case c: Coalesce2 => Some(coalAlias(c))
@@ -4325,22 +4554,25 @@ object HashQL {
       // sorted-deterministic string aggregation (round-12): collect,
       // sort, join — partitioning-independent; all-NULL/empty groups
       // yield NULL like DuckDB's string_agg, not ''
-      case StringAggItem(e, sep, a, None) =>
+      case StringAggItem(e, sep, a, None, asList) =>
         val arr = sort_array(collect_list(exprColumn(cat, e)))
         when(size(arr) === 0, lit(null))
-          .otherwise(concat_ws(sep, arr)).as(a)
+          .otherwise(if (asList) arr else concat_ws(sep, arr)).as(a)
       // explicit within-group ordering (round-15): collect (key, value)
       // structs, sort (value is the deterministic tiebreaker), project
       // the values back out. concat_ws skips NULL elements — DuckDB's
-      // string_agg NULL-skip, same as the default form.
-      case StringAggItem(e, sep, a, Some((k, desc))) =>
-        val st = collect_list(struct(exprColumn(cat, k).as("k"),
-          exprColumn(cat, e).as("v")))
+      // string_agg NULL-skip, same as the default form. collect_list
+      // skips NULL VALUES scan-side for the list form too, so
+      // array_agg's elements match its expression-position twin.
+      case StringAggItem(e, sep, a, Some((k, desc)), asList) =>
+        val ec = exprColumn(cat, e)
+        val st = collect_list(when(ec.isNotNull,
+          struct(exprColumn(cat, k).as("k"), ec.as("v"))))
         val sorted0 = sort_array(st)
         val sorted = if (desc) reverse(sorted0) else sorted0
         val vals = transform(sorted, s0 => s0.getField("v"))
         when(size(vals) === 0, lit(null))
-          .otherwise(concat_ws(sep, vals)).as(a)
+          .otherwise(if (asList) vals else concat_ws(sep, vals)).as(a)
       // value at the extremal key (round-12; DuckDB arg_min/arg_max)
       case ArgExtremeItem("min_by", v, k, a) =>
         min_by(exprColumn(cat, v), exprColumn(cat, k)).as(a)
@@ -5352,7 +5584,7 @@ object HashQL {
           case ScalarSubItem(sub, _) => tableRefCount(sub, n)
           case ExistsItem(sub, _) => tableRefCount(sub, n)
         }.sum
-    case Union(ss, _) => ss.map(tableRefCount(_, n)).sum
+    case Union(ss, _, _) => ss.map(tableRefCount(_, n)).sum
     case SetOpChain(_, ss, _) => ss.map(tableRefCount(_, n)).sum
     // DML bodies (round-15 — CTE-headed DML): count the plan-level reads
     // so a heavy multiply-read CTE still checkpoints. MERGE reads its
@@ -5383,7 +5615,7 @@ object HashQL {
           case e: ExprItem => aggNodes(e.expr).nonEmpty
           case _ => false
         } || s.wheres.exists(subqueryPred)
-    case Union(ss, all) => !all || ss.exists(heavyCte) // plain UNION dedups
+    case Union(ss, all, _) => !all || ss.exists(heavyCte) // plain UNION dedups
     case SetOpChain(_, _, _) => true
     case _ => true
   }
@@ -5647,12 +5879,23 @@ object HashQL {
   private def unionFrame(cat: GraftCatalog, u: Union,
                          registry: Option[JoinRegistry]): DataFrame = {
     val frames = u.selects.map(selectFrame(cat, _, registry))
-    require(frames.map(_.columns.length).distinct.size == 1,
-      s"union branches must project the same number of columns, " +
-        s"got ${frames.map(_.columns.length).mkString("/")}")
-    // positional union (SQL): names follow the first branch; plain
-    // UNION dedups the whole chain (one partial-agg shuffle)
-    val out = frames.reduce(_ union _)
+    val out =
+      if (u.byName) {
+        // BY NAME (round-15): branches align by column name — the
+        // output schema is the first branch's columns plus each later
+        // branch's NEW columns in appearance order, absent columns
+        // null-filled (Spark's unionByName ≡ DuckDB's UNION BY NAME).
+        // Branch arity may differ by construction. NULL-filled gaps are
+        // DATA (the schema-evolution idiom), not missing fields.
+        frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      } else {
+        require(frames.map(_.columns.length).distinct.size == 1,
+          s"union branches must project the same number of columns, " +
+            s"got ${frames.map(_.columns.length).mkString("/")}")
+        // positional union (SQL): names follow the first branch; plain
+        // UNION dedups the whole chain (one partial-agg shuffle)
+        frames.reduce(_ union _)
+      }
     if (u.all) out else out.distinct()
   }
 
@@ -5829,8 +6072,9 @@ object HashQL {
       case c: Coalesce2 => itemsBuf += c
       case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
       case ExistsItem(s0, a) => itemsBuf += ExistsItem(subSel(s0), a)
-      case StringAggItem(e, sep, a, ord) => itemsBuf +=
-        StringAggItem(expr(e), sep, a, ord.map { case (o, d) => (expr(o), d) })
+      case StringAggItem(e, sep, a, ord, l) => itemsBuf +=
+        StringAggItem(expr(e), sep, a,
+          ord.map { case (o, d) => (expr(o), d) }, l)
       case ArgExtremeItem(fn, v, k, a) =>
         itemsBuf += ArgExtremeItem(fn, expr(v), expr(k), a)
       // grouping's key addresses the RESTORED output name (the grouped
@@ -5940,8 +6184,8 @@ object HashQL {
           })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
         case ExistsItem(s1, a) => ExistsItem(subSel(s1), a)
-        case StringAggItem(e, sep, a, ord) => StringAggItem(expr(e), sep, a,
-          ord.map { case (o, d) => (expr(o), d) })
+        case StringAggItem(e, sep, a, ord, l) => StringAggItem(expr(e), sep,
+          a, ord.map { case (o, d) => (expr(o), d) }, l)
         case ArgExtremeItem(fn, v, k, a) =>
           ArgExtremeItem(fn, expr(v), expr(k), a)
         case other => other
@@ -6022,7 +6266,8 @@ object HashQL {
     }
     sel match {
       case Select(items, table, joins, wheres, groupBy, having, orderBy, limit,
-                  distinct, offset, qualify, _, _, _, _, _, _, _, _) =>
+                  distinct, offset, qualify, _, _, _, _, _, _, _, _,
+                  limitTies) =>
         // read path first: if the statement's joins match a registered +
         // materialized `create join`, answer from the pre-joined rows
         // (the reference's whole point for create join — SELECTs read the
@@ -6270,7 +6515,7 @@ object HashQL {
               case AggCall("count_distinct", r) => Seq(s"cntd_${r.column}")
               case AggCall(fn, r) => Seq(s"${fn}_${r.column}")
               case AggExprItem(_, _, a) => Seq(a)
-              case StringAggItem(_, _, a, _) => Seq(a)
+              case StringAggItem(_, _, a, _, _) => Seq(a)
               case ArgExtremeItem(_, _, _, a) => Seq(a)
               case GroupingItem(_, a) => Seq(a)
               case _ => Seq.empty
@@ -6689,9 +6934,10 @@ object HashQL {
         // rows per engine (desc defaults already agree on nulls-last).
         // Sort keys are full expressions over output columns (round-11);
         // a bare ECol lowers to the same output-column reference as ever.
-        val ordered =
-          if (orderBy.isEmpty) dedup
-          else dedup.orderBy(orderBy.map { case (e, desc, nf) =>
+        // (key column, descending, nulls-first) triples — shared by the
+        // plain sort and the WITH TIES threshold machinery
+        val keySpecs: Seq[(Column, Boolean, Boolean)] =
+          orderBy.map { case (e, desc, nf) =>
             // `order by 2` (round-13) — an integer-literal sort key is an
             // ORDINAL into the output columns (sorting by a constant is
             // a no-op nobody means; both engines read it ordinally)
@@ -6703,16 +6949,62 @@ object HashQL {
                 col(dedup.columns((n - 1).toInt))
               case _ => exprColumn(cat, e)
             }
-            (desc, nf) match {
-              case (false, None) => c.asc_nulls_last
-              case (true, None) => c.desc
-              case (false, Some(first)) =>
-                if (first) c.asc_nulls_first else c.asc_nulls_last
-              case (true, Some(first)) =>
-                if (first) c.desc_nulls_first else c.desc_nulls_last
-            } }: _*)
-        val skipped = offset.fold(ordered)(ordered.offset)
-        limit.fold(skipped)(skipped.limit)
+            // pinned defaults: asc → nulls-last (DuckDB parity), desc →
+            // nulls-last (both engines' default)
+            (c, desc, nf.getOrElse(false))
+          }
+        def dirOf(c: Column, desc: Boolean, nFirst: Boolean): Column =
+          (desc, nFirst) match {
+            case (false, false) => c.asc_nulls_last
+            case (false, true) => c.asc_nulls_first
+            case (true, false) => c.desc_nulls_last
+            case (true, true) => c.desc_nulls_first
+          }
+        val ordered =
+          if (orderBy.isEmpty) dedup
+          else dedup.orderBy(keySpecs.map((dirOf _).tupled): _*)
+        if (limitTies) {
+          // WITH TIES (round-15): qualify = key-tuple ≤lex the n-th
+          // row's tuple. The threshold is a BOUNDED probe — one
+          // TakeOrderedAndProject to n rows, re-sorted inverted to 1 row
+          // (the dynamic-PIVOT probe pattern) — then ONE literal
+          // lexicographic filter over the scan: no global rank window,
+          // no single-partition stage at any scale.
+          val n = limit.get
+          val m = keySpecs.length
+          val withKeys = keySpecs.zipWithIndex.foldLeft(dedup) {
+            case (df, ((c, _, _), i)) => df.withColumn(s"graft_lt_$i", c) }
+          def dirs(invert: Boolean) = keySpecs.zipWithIndex.map {
+            case ((_, d, f), i) =>
+              dirOf(col(s"graft_lt_$i"), d ^ invert, f ^ invert) }
+          val th = withKeys.orderBy(dirs(invert = false): _*).limit(n)
+            .orderBy(dirs(invert = true): _*).limit(1)
+            .select((0 until m).map(i => col(s"graft_lt_$i")): _*).collect()
+          if (th.isEmpty) ordered // empty input — nothing to bound
+          else {
+            val t = th.head
+            // strictly-before under key i's direction and nulls
+            // placement, against the LITERAL threshold value
+            def before(i: Int): Column = {
+              val (_, desc, nFirst) = keySpecs(i)
+              val c = col(s"graft_lt_$i")
+              if (t.isNullAt(i)) { if (nFirst) lit(false) else c.isNotNull }
+              else {
+                val cmp = if (desc) c > lit(t.get(i)) else c < lit(t.get(i))
+                if (nFirst) c.isNull || cmp else cmp
+              }
+            }
+            def tie(i: Int): Column = col(s"graft_lt_$i") <=> lit(t.get(i))
+            val pred = (0 until m).reverse.foldLeft(lit(true)) {
+              (acc, i) => before(i) || (tie(i) && acc) }
+            withKeys.filter(pred)
+              .orderBy(dirs(invert = false): _*)
+              .drop((0 until m).map(i => s"graft_lt_$i"): _*)
+          }
+        } else {
+          val skipped = offset.fold(ordered)(ordered.offset)
+          limit.fold(skipped)(skipped.limit)
+        }
     }
   }
 

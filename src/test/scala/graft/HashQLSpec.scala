@@ -2925,6 +2925,221 @@ class HashQLSpec extends SparkSpec {
     assert(tot.head.getDouble(0) == 4.0)
   }
 
+  test("LIMIT … WITH TIES keeps whole tie groups (round-15)") {
+    val cat = new GraftCatalog(spark)
+    // scores 9,9,7,7,7,3 — tie groups straddle every interesting cut
+    Seq(("a", 9), ("b", 9), ("c", 7), ("d", 7), ("e", 7), ("f", 3))
+      .foreach { case (k, v) =>
+        HashQL.execute(cat, s"insert into lt (k, v) values ('$k', $v)") }
+    val one = HashQL.execute(cat,
+      "select lt.k, lt.v from lt order by lt.v desc limit 1 with ties")
+      .get.collect()
+    assert(one.map(_.getAs[Long]("v")).toSeq == Seq(9L, 9L))
+    val three = HashQL.execute(cat,
+      "select lt.k, lt.v from lt order by lt.v desc limit 3 with ties")
+      .get.collect()
+    assert(three.length == 5 && three.forall(_.getAs[Long]("v") >= 7))
+    // exact boundary: no spill past a closed tie group
+    val two = HashQL.execute(cat,
+      "select lt.k, lt.v from lt order by lt.v desc limit 2 with ties")
+      .get.collect()
+    assert(two.length == 2)
+    // multi-key: ties are the FULL tuple — k breaks the 7s apart
+    val mk = HashQL.execute(cat,
+      "select lt.k, lt.v from lt order by lt.v desc, lt.k limit 3 with ties")
+      .get.collect()
+    assert(mk.map(_.getAs[String]("k")).toSeq == Seq("a", "b", "c"))
+    // guards
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select lt.k from lt limit 2 with ties"))
+    assert(e1.getMessage.contains("needs ORDER BY"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select lt.k from lt order by lt.k limit 2 with ties offset 1"))
+    assert(e2.getMessage.contains("OFFSET"), e2.getMessage)
+    // NULL sort keys under the pinned nulls-last: a threshold inside
+    // the non-nulls excludes them; a NULL threshold admits everything
+    HashQL.execute(cat, "insert into lt (k) values ('z')")
+    val nn = HashQL.execute(cat,
+      "select lt.k, coalesce(lt.v, lt.v) as v2 from lt " +
+        "order by v2 desc limit 2 with ties").get.collect()
+    assert(nn.length == 2 && nn.forall(_.getAs[Long]("v2") == 9L))
+    val all7 = HashQL.execute(cat,
+      "select lt.k, coalesce(lt.v, lt.v) as v2 from lt " +
+        "order by v2 desc limit 7 with ties").get.collect()
+    assert(all7.length == 7)
+  }
+
+  test("array_agg / list: sorted lists, ORDER BY, NULL skip (round-15)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 3, 1), ("a", 1, 2), ("a", 2, 3), ("b", 9, 1))
+      .foreach { case (g, v, o) =>
+        HashQL.execute(cat, s"insert into ar (g, v, o) values ('$g', $v, $o)") }
+    HashQL.execute(cat, "insert into ar (g, o) values ('a', 4)") // v NULL
+    // bare call: value-sorted; NULL elements skipped
+    val got = HashQL.execute(cat,
+      "select ar.g, array_agg(ar.v) as vs from ar group by ar.g " +
+        "order by ar.g").get.collect()
+    assert(got(0).getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(got(1).getSeq[Long](1) == Seq(9L))
+    // within-group ORDER BY (insertion order via o), and desc
+    val ord = HashQL.execute(cat,
+      "select ar.g, array_agg(ar.v order by ar.o) as vs, " +
+        "list(ar.v order by ar.o desc) as vd " +
+        "from ar where ar.g = 'a' group by ar.g").get.collect().head
+    assert(ord.getSeq[Long](ord.fieldIndex("vs")) == Seq(3L, 1L, 2L))
+    assert(ord.getSeq[Long](ord.fieldIndex("vd")) == Seq(2L, 1L, 3L))
+    // expression position: feeds list functions in the same agg pass
+    val csv = HashQL.execute(cat,
+      "select ar.g, array_to_string(array_agg(ar.v), '-') as s, " +
+        "len(array_agg(ar.v)) as n from ar group by ar.g order by ar.g")
+      .get.collect()
+    assert(csv(0).getAs[String]("s") == "1-2-3")
+    assert(csv(0).getAs[Long]("n") == 3L) // the NULL never collected
+  }
+
+  test("TRUNCATE empties the table through the DELETE commit (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into trq (k, v) values ('a', 1), ('b', 2)")
+    HashQL.execute(cat, "truncate table trq")
+    assert(HashQL.execute(cat, "select trq.k from trq").get.count() == 0L)
+    // bare spelling, and the table stays writable after
+    HashQL.execute(cat, "insert into trq (k, v) values ('c', 3)")
+    HashQL.execute(cat, "truncate trq")
+    HashQL.execute(cat, "insert into trq (k, v) values ('d', 4)")
+    val got = HashQL.execute(cat,
+      "select trq.k, trq.v from trq").get.collect()
+    assert(got.map(r => (r.getAs[String]("k"), r.getAs[Long]("v"))).toSeq
+      == Seq(("d", 4L)))
+  }
+
+  test("ANSI substring FROM/FOR and position IN desugar (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into ss (s) values ('abcdef')")
+    val got = HashQL.execute(cat,
+      "select substring(ss.s from 2 for 3) as m, " +
+        "substring(ss.s from 4) as t4, " +
+        "substring(ss.s, 2, 3) as mc, " +
+        "position('cd' in ss.s) as p, " +
+        "position('zz' in ss.s) as p0 from ss").get.collect().head
+    assert(got.getAs[String]("m") == "bcd")
+    assert(got.getAs[String]("t4") == "def")
+    assert(got.getAs[String]("mc") == "bcd")
+    assert(got.getAs[Long]("p") == 3L)
+    assert(got.getAs[Long]("p0") == 0L)
+  }
+
+  test("try_cast: NULL on failure, success paths unchanged (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into tc (s, d) values ('12', '2024-01-02')")
+    HashQL.execute(cat, "insert into tc (s, d) values ('abc', 'nope')")
+    val got = HashQL.execute(cat,
+      "select tc.s, try_cast(tc.s as bigint) as n, " +
+        "try_cast(tc.d as date) as dd from tc order by tc.s").get.collect()
+    assert(got(0).getAs[Long]("n") == 12L)
+    assert(got(0).getAs[java.sql.Date]("dd").toString == "2024-01-02")
+    assert(got(1).isNullAt(got(1).fieldIndex("n")))
+    assert(got(1).isNullAt(got(1).fieldIndex("dd")))
+    // target-type grammar is the CAST grammar — same clear rejection
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select try_cast(tc.s as blob) as b from tc"))
+    assert(e.getMessage.contains("cast target must be"), e.getMessage)
+  }
+
+  test("bivariate statistics tier: corr/covar/regr_*, pair gating, edges (round-15)") {
+    val cat = new GraftCatalog(spark)
+    // group a: two full pairs (1,2) (3,4) plus two HALF rows — one
+    // missing y, one missing x; ANSI scopes every sum to full pairs
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('a', 1, 2)")
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('a', 3, 4)")
+    HashQL.execute(cat, "insert into cv (g, x) values ('a', 100)")
+    HashQL.execute(cat, "insert into cv (g, y) values ('a', 77)")
+    // group c: x constant (var(x)=0) — slope/r2 NULL
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('c', 1, 5)")
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('c', 1, 7)")
+    // group d: y constant, x varying — r2 = 1 (the ANSI edge), slope 0
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('d', 1, 3)")
+    HashQL.execute(cat, "insert into cv (g, x, y) values ('d', 2, 3)")
+    val g = HashQL.execute(cat,
+      "select cv.g, covar_pop(cv.x, cv.y) as cp, covar_samp(cv.x, cv.y) as cs, " +
+        "corr(cv.x, cv.y) as r, regr_count(cv.y, cv.x) as n, " +
+        "regr_slope(cv.y, cv.x) as sl, regr_intercept(cv.y, cv.x) as ic, " +
+        "regr_r2(cv.y, cv.x) as r2, regr_avgx(cv.y, cv.x) as ax " +
+        "from cv group by cv.g order by cv.g").get.collect()
+    // a: pairs (1,2),(3,4) only — the half rows never enter any sum
+    assert(g(0).getDouble(1) == 1.0 && g(0).getDouble(2) == 2.0)
+    assert(g(0).getDouble(3) == 1.0) // perfectly linear
+    assert(g(0).getLong(4) == 2L)    // regr_count = full pairs only
+    assert(g(0).getDouble(5) == 1.0 && g(0).getDouble(6) == 1.0) // y = x+1
+    assert(g(0).getDouble(7) == 1.0)
+    assert(g(0).getDouble(8) == 2.0) // avg x over pairs, not the 100 row
+    // c: var(x)=0 → slope/r2/corr NULL (nullif'd denominators)
+    assert(g(1).isNullAt(3) && g(1).isNullAt(5) && g(1).isNullAt(7))
+    // d: var(y)=0, var(x)≠0 → r2 = 1 (ANSI), slope 0, corr NULL
+    assert(g(2).getDouble(5) == 0.0 && g(2).getDouble(7) == 1.0)
+    assert(g(2).isNullAt(3))
+    // global (ungrouped) spelling rides the same machinery
+    val tot = HashQL.execute(cat,
+      "select corr(cv.x, cv.y) as r from cv where cv.g = 'a'").get.collect()
+    assert(tot.head.getDouble(0) == 1.0)
+  }
+
+  test("UNION ALL BY NAME aligns by column, null-fills gaps (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into ua (k, nm) values (1, 'x')")
+    HashQL.execute(cat, "insert into ub (nm, k, extra) values ('y', 2, 9)")
+    val got = HashQL.execute(cat,
+      "select ua.k, ua.nm from ua union all by name " +
+        "select ub.nm, ub.k, ub.extra from ub").get
+    assert(got.columns.toSeq == Seq("k", "nm", "extra"))
+    val rows = got.collect().sortBy(_.getAs[Long]("k"))
+    assert(rows(0).isNullAt(2) && rows(1).getAs[Long]("extra") == 9L)
+    // plain positional unions keep the arity guard
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ua.k, ua.nm from ua union all " +
+        "select ub.nm, ub.k, ub.extra from ub"))
+    assert(e.getMessage.contains("same number of columns"), e.getMessage)
+    // mixing BY NAME and positional in one chain rejects
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ua.k from ua union all by name select ub.k from ub " +
+        "union all select ub.k from ub"))
+    assert(e2.getMessage.contains("BY NAME"), e2.getMessage)
+  }
+
+  test("bool_and / bool_or ignore UNKNOWN rows, ANSI edges (round-15)") {
+    val cat = new GraftCatalog(spark)
+    // a: (10, 20, NULL) — unknown ignored; b: all NULL → NULL result
+    HashQL.execute(cat, "insert into ba (g, v) values ('a', 10), ('a', 20)")
+    HashQL.execute(cat, "insert into ba (g) values ('a'), ('b')")
+    val got = HashQL.execute(cat,
+      "select ba.g, bool_and(ba.v > 5) as all5, bool_and(ba.v > 15) as all15, " +
+        "bool_or(ba.v > 15) as any15, bool_or(ba.v > 99) as any99 " +
+        "from ba group by ba.g order by ba.g").get.collect()
+    val a = got(0)
+    assert(a.getAs[Boolean]("all5") && !a.getAs[Boolean]("all15"))
+    assert(a.getAs[Boolean]("any15") && !a.getAs[Boolean]("any99"))
+    val b = got(1)
+    Seq("all5", "all15", "any15", "any99").foreach(c =>
+      assert(b.isNullAt(b.fieldIndex(c)), s"$c should be NULL on all-unknown"))
+  }
+
+  test("aggregate-threshold CASE conditions join the aggregation pass (round-15)") {
+    val cat = new GraftCatalog(spark)
+    Seq(("a", 10), ("a", 20), ("b", 1)).foreach { case (g, v) =>
+      HashQL.execute(cat, s"insert into ct (g, v) values ('$g', $v)") }
+    val got = HashQL.execute(cat,
+      "select ct.g, case when sum(ct.v) > 25 then 'big' " +
+        "when count(*) > 1 then 'mid' else 'small' end as band, " +
+        "sum(ct.v) as s from ct group by ct.g order by ct.g").get.collect()
+    assert(got.map(r => (r.getAs[String]("g"), r.getAs[String]("band"),
+      r.getAs[Long]("s"))).toSeq
+      == Seq(("a", "big", 30L), ("b", "small", 1L)))
+    // the condition's aggregate need not appear in the select list
+    val solo = HashQL.execute(cat,
+      "select ct.g, case when min(ct.v) < 5 then 'lo' else 'hi' end as b " +
+        "from ct group by ct.g order by ct.g").get.collect()
+    assert(solo.map(_.getAs[String]("b")).toSeq == Seq("hi", "lo"))
+  }
+
   test("strftime renders temporals under DuckDB %-codes (round-13)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into st (d) values ('2024-03-07 01:02:03')")
