@@ -4041,6 +4041,43 @@ object HashqlSuite extends Suite {
              |  CAST(sy AS DOUBLE) / nullif(n, 0) AS ay
              |FROM v ORDER BY l_returnflag""".stripMargin)),
 
+    // epoch / epoch_ms (round 15): DuckDB's epoch is fractional seconds
+    // as DOUBLE (micros/1e6 — one exact IEEE division both engines
+    // share), epoch_ms exact BIGINT milliseconds; UTC-pinned sessions
+    // keep the instants identical.
+    "hashql_epoch" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, epoch(orders.o_orderdate) as ep, " +
+          "epoch_ms(orders.o_orderdate) as ems " +
+          "from orders where orders.o_orderkey <= 300 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey, epoch(o_orderdate) AS ep,
+             |  epoch_ms(o_orderdate) AS ems
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // list lambdas (round 15): list_transform/list_filter with
+    // `x -> body` — Spark transform/filter HOFs, scan-side inside
+    // whole-stage codegen (per-element work never explodes rows); the
+    // shared scalar dispatch means the function tier inside lambdas is
+    // the tier outside. Output stringified (list columns don't hash).
+    "hashql_list_lambda" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "array_to_string(list_transform(split(customer.c_name, '#'), " +
+          "x -> upper(x)), '|') as up, " +
+          "len(list_filter(split(customer.c_name, '0'), " +
+          "x -> length(x) > 0)) as nz " +
+          "from customer where customer.c_custkey <= 200 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey,
+             |  array_to_string(list_transform(
+             |    string_split_regex(c_name, '#'), x -> upper(x)), '|') AS up,
+             |  len(list_filter(string_split_regex(c_name, '0'),
+             |    x -> length(x) > 0)) AS nz
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // UNION ALL BY NAME (round 15): branches align by column name, the
     // schema-evolution idiom — absent columns null-fill; Spark's
     // unionByName ≡ DuckDB's BY NAME, including output column order

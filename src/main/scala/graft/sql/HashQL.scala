@@ -360,6 +360,10 @@ object HashQL {
       // elements become empty on neither engine's split output)
       "len" -> Set(1), "list_contains" -> Set(2),
       "array_to_string" -> Set(2),
+      // epoch/epoch_ms (round-15): DuckDB epoch = fractional SECONDS as
+      // DOUBLE (micros/1e6 — one exact division both engines share);
+      // epoch_ms = exact BIGINT milliseconds (Spark unix_millis)
+      "epoch" -> Set(1), "epoch_ms" -> Set(1),
       // make_date(y, m, d) — a DATE from integer parts, identical on
       // both engines (round-14); date_part desugars at parse like
       // extract, so it never reaches lowering
@@ -371,10 +375,16 @@ object HashQL {
       // try_strptime is the forgiving pair (NULL on malformed), DuckDB's
       // try_strptime to Spark's try_to_timestamp — NULLs hash-compare.
       "try_strptime" -> Set(2))
-    require(arity.contains(fn), s"unsupported scalar function: $fn")
-    require(arity(fn).contains(args.length),
-      s"$fn takes ${arity(fn).toSeq.sorted.mkString(" or ")} argument(s), " +
-        s"got ${args.length}")
+    // list lambdas (round-15): `list_transform:<var>` / `list_filter:
+    // <var>` carry the variable name after ':' (the percentile_cont:q
+    // pattern); args are (list expr, body expr), parser-constructed only
+    private val isLambda =
+      fn.startsWith("list_transform:") || fn.startsWith("list_filter:")
+    require(isLambda || arity.contains(fn),
+      s"unsupported scalar function: $fn")
+    require(if (isLambda) args.length == 2 else arity(fn).contains(args.length),
+      s"$fn takes ${arity.getOrElse(fn, Set(2)).toSeq.sorted.mkString(" or ")} " +
+        s"argument(s), got ${args.length}")
     if (fn == "round" && args.length == 2)
       require(args(1) match {
         case ELit(_: Long) => true
@@ -3061,7 +3071,7 @@ object HashQL {
       "strptime", "try_strptime", "extract", "concat_ws",
       "ln", "exp", "log2", "log10",
       "len", "list_contains", "array_to_string",
-      "make_date", "date_part")
+      "make_date", "date_part", "epoch", "epoch_ms")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -3088,6 +3098,44 @@ object HashQL {
         }
         kw(")")
         ECast(e, if (tryMode) s"try $ty" else ty)
+      }
+      else if ((is("list_transform") || is("list_filter")) &&
+               peekAt(1) == "(") {
+        // list lambdas (round-15 — DuckDB's list_transform/list_filter,
+        // Spark's transform/filter HOFs): `(l, x -> <body>)`. Bodies run
+        // scan-side inside whole-stage codegen — per-element work never
+        // explodes rows. transform bodies are scalar expressions;
+        // filter bodies are comparison chains (and/or), encoded as a
+        // boolean CASE so the AST stays expression-shaped.
+        val fn = next().toLowerCase
+        kw("(")
+        val l = exprTree(); kw(",")
+        val v = next()
+        require(v.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"lambda variable must be an identifier, got $v")
+        require(!v.startsWith("graft_"),
+          s"lambda variable $v collides with reserved internal names")
+        if (is("->")) next() else { kw("-"); kw(">") }
+        val body: Expr =
+          if (fn == "list_transform") exprTree()
+          else {
+            def one(): Pred = {
+              val le = exprTree()
+              val op0 = next()
+              require(Set("=", "<", ">", "<=", ">=", "<>", "!=")
+                .contains(op0), s"list_filter body expects a comparison " +
+                  s"operator, got $op0")
+              ExprCmp(le, if (op0 == "!=") "<>" else op0, exprTree())
+            }
+            var p: Pred = one()
+            while (is("and") || is("or")) {
+              val c = next().toLowerCase
+              p = if (c == "and") And(Seq(p, one())) else Or(Seq(p, one()))
+            }
+            ECase(Seq((p, ELit(true))), Some(ELit(false)))
+          }
+        kw(")")
+        EFunc(s"$fn:$v", Seq(l, body))
       }
       else if (is("substring") && peekAt(1) == "(") {
         // ANSI `substring(s from i [for n])` (round-15) — sugar over the
@@ -4017,8 +4065,84 @@ object HashQL {
       val chained = brs.tail.foldLeft(first) { case (acc, (p, v)) =>
         acc.when(predColumn(cat, p), exprColumn(cat, v)) }
       els.fold(chained)(d => chained.otherwise(exprColumn(cat, d)))
+    // list lambdas (round-15): fn carries the variable name after ':'
+    // (the percentile_cont:q pattern) — dispatch BEFORE lowering the
+    // body, which only resolves under the lambda substitution
+    case EFunc(fn, args) if fn.startsWith("list_transform:") ||
+                            fn.startsWith("list_filter:") =>
+      val v = fn.substring(fn.indexOf(':') + 1)
+      val base = exprColumn(cat, args(0))
+      if (fn.startsWith("list_transform:"))
+        transform(base, x => lamColumn(cat, args(1), v, x))
+      else filter(base, x => lamColumn(cat, args(1), v, x))
     case EFunc(fn, args) =>
-      val a = args.map(exprColumn(cat, _))
+      scalarFunc(cat, fn, args, args.map(exprColumn(cat, _)))
+  }
+
+  /** Lambda-body lowering (round-15 — `list_transform(l, x -> x * 2)`):
+    * the lambda variable substitutes for bare references to its name;
+    * everything else is the ordinary scalar grammar over the SHARED
+    * [[scalarFunc]] dispatch, so the function tier inside lambdas is
+    * exactly the tier outside them. Bodies may reference ONLY the
+    * variable and literals — outer-column capture is rejected (DuckDB
+    * allows it; a clear error beats silently reading the wrong scope
+    * under the dialect's rename machinery). */
+  private def lamColumn(cat: GraftCatalog, e: Expr, v: String,
+                        x: Column): Column = e match {
+    case ECol(ColRef("", c)) if c == v => x
+    case ECol(r) => throw new IllegalArgumentException(
+      s"lambda bodies may reference only the lambda variable `$v` and " +
+        s"literals — got ${if (r.table.nonEmpty) s"${r.table}." else ""}${r.column}")
+    case ELit(lv) => lit(lv)
+    case EArith(l, op, r) =>
+      val (lc, rc) = (lamColumn(cat, l, v, x), lamColumn(cat, r, v, x))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case other => throw new IllegalArgumentException(
+          s"unsupported arithmetic op in lambda: $other")
+      }
+    case ECast(e0, ty) =>
+      val c = lamColumn(cat, e0, v, x)
+      if (ty.startsWith("try ")) c.try_cast(ty.stripPrefix("try "))
+      else c.cast(ty)
+    case ECase(brs, els) =>
+      val first = when(lamPred(cat, brs.head._1, v, x),
+        lamColumn(cat, brs.head._2, v, x))
+      val chained = brs.tail.foldLeft(first) { case (acc, (p, b)) =>
+        acc.when(lamPred(cat, p, v, x), lamColumn(cat, b, v, x)) }
+      els.fold(chained)(d => chained.otherwise(lamColumn(cat, d, v, x)))
+    case EFunc(fn, args2) =>
+      scalarFunc(cat, fn, args2, args2.map(lamColumn(cat, _, v, x)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported expression form in a lambda body: $other")
+  }
+
+  /** The predicate twin — comparison chains inside lambda bodies
+    * (list_filter conditions, CASE branches). */
+  private def lamPred(cat: GraftCatalog, p: Pred, v: String,
+                      x: Column): Column = p match {
+    case ExprCmp(l, op, r) =>
+      val (lc, rc) = (lamColumn(cat, l, v, x), lamColumn(cat, r, v, x))
+      if (op == "=") lc === rc else graft.core.Compare.cmp(lc, op, rc)
+    case IsNullP(ColRef("", c), not) if c == v =>
+      if (not) x.isNotNull else x.isNull
+    case And(ps) => ps.map(lamPred(cat, _, v, x)).reduce(_ && _)
+    case Or(ps) => ps.map(lamPred(cat, _, v, x)).reduce(_ || _)
+    case Not(p0) => !lamPred(cat, p0, v, x)
+    case other => throw new IllegalArgumentException(
+      s"unsupported predicate form in a lambda body: $other")
+  }
+
+  /** The scalar-function dispatch over PRE-LOWERED argument columns —
+    * shared by [[exprColumn]] and the lambda-body lowering (which
+    * substitutes the lambda variable before dispatching). `args` stays
+    * available for the literal-extraction cases (formats, pads). */
+  private def scalarFunc(cat: GraftCatalog, fn: String, args: Seq[Expr],
+                         a: Seq[Column]): Column =
       fn match {
         case "upper" => upper(a(0))
         case "lower" => lower(a(0))
@@ -4129,6 +4253,9 @@ object HashQL {
         case "log2" => log2(a(0))
         case "log10" => log10(a(0))
         // round-14 list tier — all codegen'd array ops, scan-side
+        case "epoch" => unix_micros(a(0).cast("timestamp")).cast("double") /
+          lit(1000000.0)
+        case "epoch_ms" => unix_millis(a(0).cast("timestamp"))
         case "len" => size(a(0)).cast("long")
         case "list_contains" => array_contains(a(0), a(1))
         case "array_to_string" => array_join(a(0),
@@ -4153,7 +4280,6 @@ object HashQL {
           else if (fn == "strptime") to_timestamp(a(0), pattern)
           else try_to_timestamp(a(0), lit(pattern))
       }
-  }
 
   /** Column names a scalar expression references (CASE conditions
     * included) — the grouped-select guard checks these against the
@@ -4165,6 +4291,11 @@ object HashQL {
     case ECase(brs, els) =>
       brs.flatMap { case (p, v) => predRefs(p) ++ exprRefs(v) }.toSet ++
         els.toSeq.flatMap(exprRefs)
+    // the lambda VARIABLE is a binder, not a column reference (round-15)
+    case EFunc(fn, args) if fn.startsWith("list_transform:") ||
+                            fn.startsWith("list_filter:") =>
+      exprRefs(args(0)) ++
+        (exprRefs(args(1)) - fn.substring(fn.indexOf(':') + 1))
     case EFunc(_, args) => args.flatMap(exprRefs).toSet
     case ECast(e0, _) => exprRefs(e0)
     // an aggregate's INNER refs are pre-aggregation scan columns, not

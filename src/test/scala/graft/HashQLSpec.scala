@@ -3083,6 +3083,45 @@ class HashQLSpec extends SparkSpec {
     assert(tot.head.getDouble(0) == 1.0)
   }
 
+  test("epoch / epoch_ms render UTC instants exactly (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into ep (d) values ('2024-01-02 03:04:05')")
+    val got = HashQL.execute(cat,
+      "select epoch(cast(ep.d as timestamp)) as e, " +
+        "epoch_ms(cast(ep.d as timestamp)) as ms from ep").get.collect().head
+    assert(got.getAs[Double]("e") == 1704164645.0)
+    assert(got.getAs[Long]("ms") == 1704164645000L)
+  }
+
+  test("list lambdas: transform and filter run scan-side (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into lm (s) values ('a-bb-ccc')")
+    val got = HashQL.execute(cat,
+      "select list_transform(split(lm.s, '-'), x -> upper(x)) as up, " +
+        "list_filter(split(lm.s, '-'), x -> length(x) >= 2) as f2, " +
+        "list_transform(split(lm.s, '-'), x -> length(x) * 10) as lens " +
+        "from lm").get.collect().head
+    assert(got.getSeq[String](got.fieldIndex("up")) == Seq("A", "BB", "CCC"))
+    assert(got.getSeq[String](got.fieldIndex("f2")) == Seq("bb", "ccc"))
+    assert(got.getSeq[Long](got.fieldIndex("lens")) == Seq(10L, 20L, 30L))
+    // and/or chains in filter bodies
+    val f = HashQL.execute(cat,
+      "select list_filter(split(lm.s, '-'), " +
+        "x -> length(x) > 1 and length(x) < 3) as m from lm")
+      .get.collect().head
+    assert(f.getSeq[String](0) == Seq("bb"))
+    // lambdas over aggregated lists ride the same agg pass
+    val ag = HashQL.execute(cat,
+      "select list_transform(array_agg(lm.s), x -> length(x)) as ls " +
+        "from lm").get.collect().head
+    assert(ag.getSeq[Long](0) == Seq(8L))
+    // outer-column capture rejects with a clear message
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select list_transform(split(lm.s, '-'), x -> concat(x, lm.s)) " +
+        "as b from lm"))
+    assert(e.getMessage.contains("lambda variable"), e.getMessage)
+  }
+
   test("UNION ALL BY NAME aligns by column, null-fills gaps (round-15)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into ua (k, nm) values (1, 'x')")
