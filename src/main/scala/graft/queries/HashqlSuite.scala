@@ -4056,6 +4056,41 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // list tier 2 (round 15): sort/distinct/extract/slice/position/
+    // unique/sum over split-derived lists — all scan-side codegen'd
+    // array ops; dialect list_distinct is SORTED (DuckDB's is
+    // hash-ordered, so the mirror sorts both sides); the oracle casts
+    // list_sum's HUGEINT down to BIGINT.
+    "hashql_list_tier2" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "array_to_string(list_sort(split(customer.c_name, '0')), '|') as srt, " +
+          "array_to_string(list_distinct(split(customer.c_name, '0')), '|') as dst, " +
+          "list_sum(list_transform(split(customer.c_name, '#'), " +
+          "x -> length(x))) as lsum, " +
+          "list_extract(split(customer.c_name, '#'), 2) as second_part, " +
+          "list_position(split(customer.c_name, '#'), 'Customer') as pc, " +
+          "list_unique(split(customer.c_name, '0')) as uq, " +
+          "array_to_string(array_slice(split(customer.c_name, '0'), 2, 3), '|') as mid " +
+          "from customer where customer.c_custkey <= 200 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey,
+             |  array_to_string(list_sort(string_split_regex(c_name, '0')),
+             |    '|') AS srt,
+             |  array_to_string(list_sort(list_distinct(
+             |    string_split_regex(c_name, '0'))), '|') AS dst,
+             |  CAST(list_sum(list_transform(string_split_regex(c_name, '#'),
+             |    x -> length(x))) AS BIGINT) AS lsum,
+             |  list_extract(string_split_regex(c_name, '#'), 2)
+             |    AS second_part,
+             |  list_position(string_split_regex(c_name, '#'), 'Customer')
+             |    AS pc,
+             |  list_unique(string_split_regex(c_name, '0')) AS uq,
+             |  array_to_string(array_slice(string_split_regex(c_name, '0'),
+             |    2, 3), '|') AS mid
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // list lambdas (round 15): list_transform/list_filter with
     // `x -> body` — Spark transform/filter HOFs, scan-side inside
     // whole-stage codegen (per-element work never explodes rows); the

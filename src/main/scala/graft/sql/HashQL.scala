@@ -364,6 +364,20 @@ object HashQL {
       // DOUBLE (micros/1e6 — one exact division both engines share);
       // epoch_ms = exact BIGINT milliseconds (Spark unix_millis)
       "epoch" -> Set(1), "epoch_ms" -> Set(1),
+      // list tier 2 (round-15, pairs with the lambda tier; all also
+      // legal INSIDE lambda bodies through the shared dispatch):
+      // list_distinct is SORTED here — DuckDB's is hash-ordered, so the
+      // deterministic mirror is list_sort(list_distinct(l));
+      // list_extract is 1-based, NULL out of bounds (try_element_at);
+      // array_slice is INCLUSIVE [b, e] like DuckDB; list_sum is for
+      // integer lists (exact fold, order-free); list_unique counts
+      // distinct elements
+      "list_sort" -> Set(1), "list_reverse" -> Set(1),
+      "list_distinct" -> Set(1), "list_concat" -> Set(2),
+      "list_extract" -> Set(2), "array_slice" -> Set(3),
+      "flatten" -> Set(1), "list_position" -> Set(2),
+      "list_min" -> Set(1), "list_max" -> Set(1),
+      "list_sum" -> Set(1), "list_unique" -> Set(1),
       // make_date(y, m, d) — a DATE from integer parts, identical on
       // both engines (round-14); date_part desugars at parse like
       // extract, so it never reaches lowering
@@ -3071,7 +3085,10 @@ object HashQL {
       "strptime", "try_strptime", "extract", "concat_ws",
       "ln", "exp", "log2", "log10",
       "len", "list_contains", "array_to_string",
-      "make_date", "date_part", "epoch", "epoch_ms")
+      "make_date", "date_part", "epoch", "epoch_ms",
+      "list_sort", "list_reverse", "list_distinct", "list_concat",
+      "list_extract", "array_slice", "flatten", "list_position",
+      "list_min", "list_max", "list_sum", "list_unique")
     private val arithOps = Seq("+", "-", "*", "/", "%", "||")
     private def exprFactor(): Expr =
       if (is("(")) { next(); val e = exprTree(); kw(")"); e }
@@ -4258,6 +4275,34 @@ object HashQL {
         case "epoch_ms" => unix_millis(a(0).cast("timestamp"))
         case "len" => size(a(0)).cast("long")
         case "list_contains" => array_contains(a(0), a(1))
+        // list tier 2 (round-15) — scan-side codegen'd array ops.
+        // array_sort (not sort_array): DuckDB's list_sort puts NULL
+        // elements LAST, which is array_sort's contract
+        case "list_sort" => array_sort(a(0))
+        case "list_reverse" => reverse(a(0))
+        // SORTED distinct: DuckDB's list_distinct is hash-ordered, so
+        // the deterministic cross-engine mirror sorts both sides
+        case "list_distinct" => array_sort(array_distinct(a(0)))
+        case "list_concat" => concat(a(0), a(1))
+        // 1-based, NULL out of bounds (both engines)
+        case "list_extract" => try_element_at(a(0), a(1).cast("int"))
+        // DuckDB's INCLUSIVE [begin, end]; an inverted range yields []
+        case "array_slice" =>
+          slice(a(0), a(1).cast("int"),
+            greatest(a(2) - a(1) + lit(1), lit(0)).cast("int"))
+        case "flatten" => flatten(a(0))
+        // 1-based first match, 0 when absent (both engines)
+        case "list_position" => array_position(a(0), a(1))
+        case "list_min" => array_min(a(0))
+        case "list_max" => array_max(a(0))
+        // exact integer fold — order-free, so deterministic anywhere;
+        // NULL elements skip and a NULL/empty effective list yields
+        // NULL, like DuckDB's list_sum
+        case "list_sum" =>
+          val nn = filter(a(0), _.isNotNull)
+          when(size(nn) <= 0, lit(null)).otherwise(
+            aggregate(nn, lit(0L), (acc, x) => acc + x.cast("long")))
+        case "list_unique" => size(array_distinct(a(0))).cast("long")
         case "array_to_string" => array_join(a(0),
           args(1).asInstanceOf[ELit].v.asInstanceOf[String])
         case "make_date" => make_date(a(0), a(1), a(2))

@@ -3122,6 +3122,31 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("lambda variable"), e.getMessage)
   }
 
+  test("list tier 2: concat/flatten/min/max/sum edges, slice, extract (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into l2 (s) values ('3-1-2')")
+    val got = HashQL.execute(cat,
+      "select list_concat(split(l2.s, '-'), split(l2.s, '-')) as cc, " +
+        "flatten(list_transform(split(l2.s, '-'), x -> split(x, 'z'))) as fl, " +
+        "list_min(split(l2.s, '-')) as mn, list_max(split(l2.s, '-')) as mx, " +
+        "list_sum(list_transform(split(l2.s, '-'), " +
+        "x -> cast(x as bigint))) as sm, " +
+        "list_extract(split(l2.s, '-'), 9) as oob, " +
+        "array_to_string(array_slice(split(l2.s, '-'), 3, 2), '|') as inv " +
+        "from l2").get.collect().head
+    assert(got.getSeq[String](got.fieldIndex("cc")).length == 6)
+    assert(got.getSeq[String](got.fieldIndex("fl")) == Seq("3", "1", "2"))
+    assert(got.getAs[String]("mn") == "1" && got.getAs[String]("mx") == "3")
+    assert(got.getAs[Long]("sm") == 6L)
+    assert(got.isNullAt(got.fieldIndex("oob"))) // 1-based, NULL OOB
+    assert(got.getAs[String]("inv") == "")      // inverted range → []
+    // empty effective list: list_sum yields NULL like DuckDB
+    val e = HashQL.execute(cat,
+      "select list_sum(list_filter(split(l2.s, '-'), x -> length(x) > 9)) " +
+        "as z from l2").get.collect().head
+    assert(e.isNullAt(0))
+  }
+
   test("UNION ALL BY NAME aligns by column, null-fills gaps (round-15)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into ua (k, nm) values (1, 'x')")

@@ -973,6 +973,49 @@ class ScaleSpec extends SparkSpec {
     assert(cap.getMessage.contains("explicit IN list"), cap.getMessage)
   }
 
+  test("LIMIT WITH TIES: bounded probe + literal filter — no rank window (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    val df = HashQL.execute(cat,
+      "select orders.o_orderkey, orders.o_orderpriority from orders " +
+        "order by orders.o_orderpriority limit 10 with ties").get
+    val plan = df.queryExecution.executedPlan.toString
+    // ties resolve through a driver-collected threshold + a literal
+    // lexicographic filter: the result plan must carry NO window and
+    // no single-partition stage — a global rank() would put every row
+    // through one task at any scale
+    assert(!plan.contains("Window"),
+      s"WITH TIES planned a window:\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition"),
+      s"WITH TIES planned a single-partition step:\n${plan.take(1500)}")
+    assert(df.count() >= 10L)
+  }
+
+  test("list lambdas run scan-side — no Generate, no Exchange (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("customer", Tables.t(spark, sf, "customer"))
+    val df = HashQL.execute(cat,
+      "select customer.c_custkey, " +
+        "list_sum(list_transform(split(customer.c_name, '#'), " +
+        "x -> length(x))) as lsum " +
+        "from customer where customer.c_custkey <= 100").get
+    val plan = df.queryExecution.executedPlan.toString
+    // per-element work stays INSIDE the row (HOF codegen) — exploding
+    // would multiply the scan by average list length
+    assert(!plan.contains("Generate"),
+      s"lambda exploded rows:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange"),
+      s"lambda planned a shuffle:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("c_custkey")),
+      "filter not pushed below the lambda projection")
+    df.count()
+  }
+
   test("DISTINCT ON plans a keyed window — partition exchange, never a global sort (round-13)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
