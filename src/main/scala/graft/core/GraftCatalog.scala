@@ -29,6 +29,10 @@ final class GraftCatalog(val spark: SparkSession) {
   private var history = Map.empty[String, Vector[DataFrame]]
 
   private def commit(name: String, df: DataFrame): Unit = {
+    // every write path lands here — a view name can never silently
+    // become (or shadow) a table
+    require(!views.contains(name),
+      s"$name is a view — views are read-only (DROP VIEW first)")
     history += name -> (history.getOrElse(name, Vector.empty) :+ df)
     tables += name -> df
   }
@@ -84,11 +88,46 @@ final class GraftCatalog(val spark: SparkSession) {
     * answer for a query over its CTE shadow. */
   def isShadowed(name: String): Boolean = scope.contains(name)
 
+  // views currently being resolved — CREATE rejects direct
+  // self-reference, but OR REPLACE can close an indirect cycle
+  // (a reads b, then b is replaced to read a); catch it here
+  private var resolvingViews = Set.empty[String]
+
   def table(name: String): DataFrame =
+    // resolution order: CTE scope shadows everything (standard SQL),
+    // then real tables, then logical views (re-planned per read)
     scope.getOrElse(name, tables.getOrElse(name,
-      throw new IllegalArgumentException(s"no such table: $name")))
+      views.get(name).map { thunk =>
+        require(!resolvingViews.contains(name),
+          s"view cycle detected through $name — re-create one of the " +
+            "views without the back-reference")
+        resolvingViews += name
+        try thunk() finally resolvingViews -= name
+      }.getOrElse(
+        throw new IllegalArgumentException(s"no such table: $name"))))
 
   def exists(name: String): Boolean = tables.contains(name)
+
+  // ── logical views (round-15: CREATE [OR REPLACE] VIEW) ──
+  // name → a THUNK that re-plans the body on every read, so view reads
+  // always reflect the CURRENT table versions (a captured DataFrame
+  // would pin the commit it was built against — CTAS semantics, not a
+  // view's). Cycles are rejected at CREATE (self-reference check in the
+  // dialect), so thunk evaluation terminates.
+  private var views = Map.empty[String, () => DataFrame]
+  def registerView(name: String, plan: () => DataFrame,
+                   orReplace: Boolean): Unit = {
+    require(!tables.contains(name),
+      s"$name is a table — drop it first or pick another name")
+    require(orReplace || !views.contains(name),
+      s"view $name exists — use CREATE OR REPLACE VIEW")
+    views += name -> plan
+  }
+  def isView(name: String): Boolean = views.contains(name)
+  def dropView(name: String, ifExists: Boolean): Unit = {
+    require(ifExists || views.contains(name), s"no such view: $name")
+    views -= name
+  }
   def names: Seq[String] = tables.keys.toSeq.sorted
 
   /** M1 INSERT: dynamic-schema append with synthesized id. Returns the

@@ -4056,6 +4056,31 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CREATE VIEW (round 15): a LOGICAL view — the body re-plans on
+    // every read, so the post-CREATE insert is visible through it (the
+    // golden's whole point; CTAS would have pinned the earlier commit).
+    "hashql_create_view" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into sales (rk, amt) values (1, 10), (2, 20), (1, 5)")
+        HashQL.execute(cat,
+          "create view big_sales as select sales.rk, sales.amt " +
+            "from sales where sales.amt >= 10")
+        HashQL.execute(cat,
+          "insert into sales (rk, amt) values (2, 50), (3, 7)")
+        HashQL.execute(cat,
+          "select big_sales.rk, sum(big_sales.amt) as s from big_sales " +
+            "group by big_sales.rk order by big_sales.rk").get
+      },
+      Some("""CREATE TEMP TABLE g15v_sales(rk BIGINT, amt BIGINT);
+             |INSERT INTO g15v_sales VALUES (1, 10), (2, 20), (1, 5);
+             |CREATE TEMP VIEW g15v_big AS
+             |  SELECT rk, amt FROM g15v_sales WHERE amt >= 10;
+             |INSERT INTO g15v_sales VALUES (2, 50), (3, 7);
+             |SELECT rk, CAST(sum(amt) AS BIGINT) AS s FROM g15v_big
+             |GROUP BY rk ORDER BY rk""".stripMargin)),
+
     // list tier 2 (round 15): sort/distinct/extract/slice/position/
     // unique/sum over split-derived lists — all scan-side codegen'd
     // array ops; dialect list_distinct is SORTED (DuckDB's is

@@ -1098,6 +1098,13 @@ object HashQL {
     * other statements captured stay valid, backing files untouched) and
     * invalidates the table's materialized-join/agg-view routes. */
   final case class DropTable(table: String, ifExists: Boolean) extends Stmt
+  /** `create [or replace] view <name> as select …` (round-15) — a
+    * LOGICAL view: the body re-plans on every read against the current
+    * table versions (CTAS materializes a commit; a view never does).
+    * Self-reference is rejected at CREATE so reads terminate. */
+  final case class CreateView(name: String, body: Stmt,
+                              orReplace: Boolean) extends Stmt
+  final case class DropView(name: String, ifExists: Boolean) extends Stmt
   /** `explain select …` (round-12) — one `plan_line` row per line of the
     * FORMATTED physical plan (scan pushdowns, join strategies, exchanges:
     * the things a user tunes). Introspection only — never executes the
@@ -1293,9 +1300,17 @@ object HashQL {
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
       case "drop" =>
-        kw("table")
-        val ifExists = if (is("if")) { next(); kw("exists"); true } else false
-        DropTable(next(), ifExists)
+        // `drop view [if exists] v` (round-15) rides alongside the
+        // round-13 `drop table` — separate namespaces, separate verbs
+        if (is("view")) {
+          next()
+          val ifExists = if (is("if")) { next(); kw("exists"); true } else false
+          DropView(next(), ifExists)
+        } else {
+          kw("table")
+          val ifExists = if (is("if")) { next(); kw("exists"); true } else false
+          DropTable(next(), ifExists)
+        }
       case "explain" =>
         kw("select")
         Explain(selectOrUnion())
@@ -1344,6 +1359,23 @@ object HashQL {
           val t = next()
           kw("as"); kw("select")
           CreateTableAs(t, selectOrUnion()) // union chains compose under CTAS
+        }
+        // `create [or replace] view <name> as select …` (round-15) — a
+        // LOGICAL view: the body re-plans on every read against the
+        // current table versions (CTAS materializes; this never does).
+        // `agg view` keeps its own routed-materialization verb above.
+        else if (is("view") ||
+                 (is("or") && peekAt(1).equalsIgnoreCase("replace") &&
+                  peekAt(2).equalsIgnoreCase("view"))) {
+          val orReplace = is("or") && { next(); kw("replace"); true }
+          kw("view")
+          val name = next()
+          require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"bad view name: $name")
+          require(!name.startsWith("graft_"),
+            s"view name $name collides with reserved internal names")
+          kw("as"); kw("select")
+          CreateView(name, selectOrUnion(), orReplace)
         }
         else if (is("agg")) {
           next(); kw("view"); kw("as"); kw("select")
@@ -5552,6 +5584,24 @@ object HashQL {
           cat.drop(t)
         } else require(ifExists, s"drop table: no such table $t " +
           "(use `drop table if exists`)")
+        None
+      case CreateView(name, body, orReplace) =>
+        body match {
+          case _: Select | _: Union | _: SetOpChain | _: WithCtes |
+               _: WithRecursive => ()
+          case other => throw new IllegalArgumentException(
+            s"CREATE VIEW takes a read statement, got: $other")
+        }
+        require(tableRefCount(body, name) == 0,
+          s"view $name cannot reference itself — stage through another " +
+            "view or a CTE")
+        val thunk = () => executeStmt(cat, body, registry).getOrElse(
+          throw new IllegalStateException("view body produced no frame"))
+        thunk() // eager validation: schema/scope errors surface at CREATE
+        cat.registerView(name, thunk, orReplace)
+        None
+      case DropView(name, ifExists) =>
+        cat.dropView(name, ifExists)
         None
       case Describe(t) =>
         val s = cat.spark

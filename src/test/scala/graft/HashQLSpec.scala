@@ -3122,6 +3122,47 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("lambda variable"), e.getMessage)
   }
 
+  test("CREATE VIEW: logical re-planning reads, guards, DROP VIEW (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into vb (k, v) values (1, 10), (2, 3)")
+    HashQL.execute(cat,
+      "create view vv as select vb.k, vb.v from vb where vb.v >= 10")
+    assert(HashQL.execute(cat, "select vv.k from vv").get.count() == 1L)
+    // a later write to the BASE table is visible through the view
+    HashQL.execute(cat, "insert into vb (k, v) values (3, 99)")
+    assert(HashQL.execute(cat, "select vv.k from vv").get.count() == 2L)
+    // views are read-only: any write path rejects
+    val w = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "insert into vv (k, v) values (9, 9)"))
+    assert(w.getMessage.contains("read-only"), w.getMessage)
+    // plain CREATE VIEW over an existing view rejects; OR REPLACE works
+    val dup = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "create view vv as select vb.k from vb"))
+    assert(dup.getMessage.contains("OR REPLACE"), dup.getMessage)
+    HashQL.execute(cat,
+      "create or replace view vv as select vb.k from vb")
+    assert(HashQL.execute(cat, "select vv.k from vv").get.columns.toSeq
+      == Seq("k"))
+    // self-reference rejects at CREATE; indirect cycles at READ
+    val self = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "create or replace view vv as select vv.k from vv"))
+    assert(self.getMessage.contains("reference itself"), self.getMessage)
+    // indirect cycle: legal to CREATE (validation still sees the old
+    // vv), caught at the first READ through the back-reference
+    HashQL.execute(cat, "create view v2 as select vv.k from vv")
+    HashQL.execute(cat, "create or replace view vv as select v2.k from v2")
+    val cyc = intercept[Exception](HashQL.execute(cat,
+      "select vv.k from vv"))
+    assert(cyc.getMessage.contains("cycle"), cyc.getMessage)
+    // recover: point vv back at the base table, then drop v2
+    HashQL.execute(cat, "create or replace view vv as select vb.k from vb")
+    HashQL.execute(cat, "drop view v2")
+    val gone = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select v2.k from v2"))
+    assert(gone.getMessage.contains("no such table"), gone.getMessage)
+    HashQL.execute(cat, "drop view if exists v2") // idempotent spelling
+  }
+
   test("list tier 2: concat/flatten/min/max/sum edges, slice, extract (round-15)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into l2 (s) values ('3-1-2')")
