@@ -58,6 +58,20 @@ final class GraftCatalog(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = commit(name, df)
 
+  /** ALTER TABLE … RENAME TO (round-15): move the registration, its
+    * version history and id counter under the new name. Metadata-only;
+    * plans already built against the old frame stay valid (they pinned
+    * their lineage), like drop(). */
+  def rename(from: String, to: String): Unit = {
+    require(tables.contains(from), s"no such table: $from")
+    require(!tables.contains(to) && !views.contains(to),
+      s"$to already exists — drop it first or pick another name")
+    tables += to -> tables(from); tables -= from
+    history += to -> history.getOrElse(from, Vector.empty); history -= from
+    counters.get(from).foreach { c => counters += to -> c }
+    counters -= from
+  }
+
   /** DROP TABLE (round-13): remove the registration, its version
     * history, and its id counter. Metadata-only — plans other frames
     * captured stay valid (they pinned their lineage at build time), and

@@ -4056,6 +4056,96 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ALTER TABLE (round 15): the full schema-evolution verb set over
+    // the copy-on-write catalog — add (with backfilling DEFAULT),
+    // rename column, rename table, drop column; the oracle executes
+    // the same DDL script. Inserts after ADD COLUMN always supply the
+    // new column (the dialect's dynamic schema fills ABSENT fields
+    // with NULL, not the column default — documented divergence).
+    "hashql_alter_table" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into prod (pname, price) values ('a', 10), ('b', 20)")
+        HashQL.execute(cat,
+          "alter table prod add column category varchar default 'gen'")
+        HashQL.execute(cat, "alter table prod rename column pname to title")
+        HashQL.execute(cat, "alter table prod rename to products")
+        HashQL.execute(cat,
+          "insert into products (title, price, category) " +
+            "values ('c', 30, 'new')")
+        HashQL.execute(cat, "alter table products drop column price")
+        HashQL.execute(cat,
+          "select products.title, products.category from products " +
+            "order by products.title").get
+      },
+      Some("""CREATE TEMP TABLE g15at_prod(pname VARCHAR, price BIGINT);
+             |INSERT INTO g15at_prod VALUES ('a', 10), ('b', 20);
+             |ALTER TABLE g15at_prod ADD COLUMN category VARCHAR
+             |  DEFAULT 'gen';
+             |ALTER TABLE g15at_prod RENAME COLUMN pname TO title;
+             |ALTER TABLE g15at_prod RENAME TO g15at_products;
+             |INSERT INTO g15at_products VALUES ('c', 30, 'new');
+             |ALTER TABLE g15at_products DROP COLUMN price;
+             |SELECT title, category FROM g15at_products
+             |ORDER BY title""".stripMargin)),
+
+    // date_diff (round 15): DuckDB's boundary-crossing counts,
+    // desugared to exact arithmetic (datediff / date-part algebra /
+    // floor'd epoch buckets); the oracle runs the native function.
+    "hashql_date_diff" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "date_diff('day', orders.o_orderdate, timestamp '1998-12-01') as dd, " +
+          "date_diff('month', orders.o_orderdate, timestamp '1998-12-01') as dm, " +
+          "date_diff('year', orders.o_orderdate, timestamp '1998-12-01') as dy, " +
+          "date_diff('hour', orders.o_orderdate, " +
+          "timestamp '1998-12-01 07:30:00') as dh " +
+          "from orders where orders.o_orderkey <= 300 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  date_diff('day', o_orderdate, TIMESTAMP '1998-12-01') AS dd,
+             |  date_diff('month', o_orderdate, TIMESTAMP '1998-12-01') AS dm,
+             |  date_diff('year', o_orderdate, TIMESTAMP '1998-12-01') AS dy,
+             |  date_diff('hour', o_orderdate,
+             |    TIMESTAMP '1998-12-01 07:30:00') AS dh
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // USING joins (round 15): ANSI `join u using (k, …)` — each key
+    // equates the same-named column on both sides, composite keys ride
+    // the extras tier; LEFT USING keeps the null-extension semantics.
+    "hashql_using_join" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into emp (ename, dept_id, band) values " +
+            "('ann', 1, 3), ('bob', 2, 1), ('cal', 1, 2), ('dee', 9, 5)")
+        HashQL.execute(cat,
+          "insert into dept (dept_id, dname, band) values " +
+            "(1, 'eng', 3), (2, 'ops', 1), (3, 'hr', 9)")
+        HashQL.execute(cat,
+          "select emp.ename, dept.dname from emp " +
+            "join dept using (dept_id) order by emp.ename").get
+          .union(HashQL.execute(cat,
+            "select emp.ename, dept.dname from emp " +
+              "left join dept using (dept_id, band) " +
+              "order by emp.ename").get)
+      },
+      Some("""CREATE TEMP TABLE g15u_emp(ename VARCHAR, dept_id BIGINT,
+             |  band BIGINT);
+             |INSERT INTO g15u_emp VALUES ('ann', 1, 3), ('bob', 2, 1),
+             |  ('cal', 1, 2), ('dee', 9, 5);
+             |CREATE TEMP TABLE g15u_dept(dept_id BIGINT, dname VARCHAR,
+             |  band BIGINT);
+             |INSERT INTO g15u_dept VALUES (1, 'eng', 3), (2, 'ops', 1),
+             |  (3, 'hr', 9);
+             |SELECT ename, dname FROM g15u_emp JOIN g15u_dept
+             |  USING (dept_id)
+             |UNION ALL
+             |SELECT ename, dname FROM g15u_emp LEFT JOIN g15u_dept
+             |  USING (dept_id, band)""".stripMargin)),
+
     // CREATE VIEW (round 15): a LOGICAL view — the body re-plans on
     // every read, so the post-CREATE insert is visible through it (the
     // golden's whole point; CTAS would have pinned the earlier commit).

@@ -1105,6 +1105,19 @@ object HashQL {
   final case class CreateView(name: String, body: Stmt,
                               orReplace: Boolean) extends Stmt
   final case class DropView(name: String, ifExists: Boolean) extends Stmt
+  /** `alter table …` (round-15): schema evolution over the
+    * copy-on-write catalog — RENAME TO is metadata-only; column ops
+    * commit one rewritten PLAN (projection-level, no data rewrite
+    * until the next materialization). ADD COLUMN DEFAULT backfills
+    * existing rows like DuckDB. The dialect `id` column is row
+    * identity — renaming or dropping it rejects. */
+  sealed trait AlterOp
+  final case class RenameTo(to: String) extends AlterOp
+  final case class RenameCol(from: String, to: String) extends AlterOp
+  final case class AddCol(name: String, ty: String,
+                          default: Option[Any]) extends AlterOp
+  final case class DropCol(name: String) extends AlterOp
+  final case class AlterTable(table: String, op: AlterOp) extends Stmt
   /** `explain select …` (round-12) — one `plan_line` row per line of the
     * FORMATTED physical plan (scan pushdowns, join strategies, exchanges:
     * the things a user tunes). Introspection only — never executes the
@@ -1290,6 +1303,36 @@ object HashQL {
           s"COPY format is parquet|csv|jsonl, got $fmt")
         kw(")")
         if (dir == "to") CopyTo(t, path, fmt) else CopyFrom(t, path, fmt)
+      case "alter" =>
+        kw("table")
+        val t = next()
+        if (is("rename")) {
+          next()
+          if (is("to")) { next(); AlterTable(t, RenameTo(next())) }
+          else {
+            kw("column")
+            val from = next(); kw("to")
+            AlterTable(t, RenameCol(from, next()))
+          }
+        } else if (is("add")) {
+          next(); kw("column")
+          val c = next()
+          require(c.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !c.startsWith("graft_"), s"bad column name: $c")
+          val ty = next().toLowerCase match {
+            case "bigint" => "long"
+            case "varchar" => "string"
+            case ty0 => ty0
+          }
+          require(Set("long", "double", "string", "date", "timestamp")
+            .contains(ty), s"ADD COLUMN type must be bigint | double | " +
+              s"varchar | date | timestamp, got $ty")
+          val dflt = if (is("default")) { next(); Some(literal()) } else None
+          AlterTable(t, AddCol(c, ty, dflt))
+        } else {
+          kw("drop"); kw("column")
+          AlterTable(t, DropCol(next()))
+        }
       case "truncate" =>
         // TRUNCATE [TABLE] t (round-15) — DELETE with no predicate: the
         // same copy-on-write commit and O(delta) hooks (the delete image
@@ -2509,7 +2552,7 @@ object HashQL {
       val aliasStop = Set("sample", "inner", "left", "right", "full", "cross",
         "lateral", "join", "asof", "where", "group", "having", "qualify",
         "window", "order", "limit", "offset", "union", "intersect", "except",
-        "on", ")", ",", "")
+        "on", "using", ")", ",", "")
       def maybeAliased(t: String): String =
         if (!aliasStop.contains(peek.toLowerCase) &&
             peek.matches("[A-Za-z_][A-Za-z0-9_]*")) {
@@ -2705,7 +2748,27 @@ object HashQL {
           kw("on"); kw("true")
           lateralList += ((nm, body, kind == "left"))
         } else {
-        val t = fromSource(); kw("on")
+        val t = fromSource()
+        if (is("using")) {
+          // `join u using (k [, k2 …])` (round-15 — ANSI USING): each
+          // key equates the SAME-NAMED column on both sides. The left
+          // side binds to the select's BASE table — a chain where the
+          // key lives on a MIDDLE table spells ON explicitly (the
+          // parser holds no schemas to search, and a silent wrong bind
+          // would be worse than the ask). Output keeps both qualified
+          // columns like the ON form; inner joins make them equal.
+          next(); kw("(")
+          val ks = scala.collection.mutable.ArrayBuffer(next())
+          while (is(",")) { next(); ks += next() }
+          kw(")")
+          ks.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"USING takes bare column names, got $k"))
+          joins += JoinClause(t, ColRef(table, ks.head),
+            ColRef(t, ks.head), kind,
+            ks.tail.toSeq.map(k =>
+              (ColRef(table, k), "=", ColRef(t, k): Any)))
+        } else {
+        kw("on")
         // the FIRST conjunct is the hash-join equality key
         val l = colRef(); kw("="); val r = colRef()
         // `on a = b and c <op> d` — the AND binds to the ON clause;
@@ -2729,6 +2792,7 @@ object HashQL {
           extras += ((l2, op, rhs))
         }
         joins += JoinClause(t, l, r, kind, extras.toSeq)
+        }
         }
         }
       }
@@ -3209,6 +3273,39 @@ object HashQL {
         val needle = exprTree(); kw("in")
         val hay = exprTree(); kw(")")
         EFunc("strpos", Seq(hay, needle))
+      }
+      else if (is("date_diff") && peekAt(1) == "(") {
+        // `date_diff('<part>', start, end)` (round-15 — DuckDB):
+        // BOUNDARY-CROSSING counts, desugared to exact arithmetic the
+        // engines share — day → datediff, year/month → date-part
+        // algebra, hour/minute/second → floor'd epoch-bucket diffs
+        // (exact 64-bit integers end to end). No 'week' (its Monday
+        // boundary rule has no shared one-expression spelling).
+        next(); kw("(")
+        val part0 = literal()
+        require(part0.isInstanceOf[String] &&
+          Set("day", "month", "year", "hour", "minute", "second")
+            .contains(part0.toString),
+          s"date_diff takes 'day'|'month'|'year'|'hour'|'minute'|" +
+            s"'second', got $part0")
+        kw(",")
+        val a0 = exprTree(); kw(",")
+        val b0 = exprTree(); kw(")")
+        def months(e: Expr) = EArith(
+          EArith(EFunc("year", Seq(e)), "*", ELit(12L)), "+",
+          EFunc("month", Seq(e)))
+        part0.toString match {
+          case "day" => EFunc("datediff", Seq(b0, a0))
+          case "year" =>
+            EArith(EFunc("year", Seq(b0)), "-", EFunc("year", Seq(a0)))
+          case "month" => EArith(months(b0), "-", months(a0))
+          case p =>
+            val ms = Map("hour" -> 3600000L, "minute" -> 60000L,
+              "second" -> 1000L)(p)
+            def bucket(e: Expr) = ECast(EFunc("floor", Seq(EArith(
+              EFunc("epoch_ms", Seq(e)), "/", ELit(ms)))), "long")
+            EArith(bucket(b0), "-", bucket(a0))
+        }
       }
       else if (is("date_part") && peekAt(1) == "(") {
         // `date_part('<part>', <expr>)` (round-14) — DuckDB's function
@@ -5602,6 +5699,40 @@ object HashQL {
         None
       case DropView(name, ifExists) =>
         cat.dropView(name, ifExists)
+        None
+      case AlterTable(t, op) =>
+        require(cat.exists(t), s"alter table: no such table $t")
+        // any route/materialization keyed on the table is stale the
+        // moment its shape changes
+        registry.foreach(_.invalidateTable(t))
+        op match {
+          case RenameTo(to) => cat.rename(t, to)
+          case RenameCol(from, to) =>
+            val df = cat.table(t)
+            require(from != "id", "the dialect id column is row " +
+              "identity — it cannot be renamed")
+            require(df.columns.contains(from),
+              s"alter table $t: no such column $from")
+            require(!df.columns.contains(to),
+              s"alter table $t: column $to already exists")
+            cat.register(t, df.withColumnRenamed(from, to))
+          case AddCol(c, ty, dflt) =>
+            val df = cat.table(t)
+            require(!df.columns.contains(c),
+              s"alter table $t: column $c already exists")
+            // DEFAULT backfills existing rows (DuckDB semantics); no
+            // default → typed NULLs. Plan-level projection — no data
+            // rewrite until the next materialization.
+            cat.register(t, df.withColumn(c,
+              dflt.map(lit(_)).getOrElse(lit(null)).cast(ty)))
+          case DropCol(c) =>
+            val df = cat.table(t)
+            require(c != "id", "the dialect id column is row identity " +
+              "— it cannot be dropped")
+            require(df.columns.contains(c),
+              s"alter table $t: no such column $c")
+            cat.register(t, df.drop(c))
+        }
         None
       case Describe(t) =>
         val s = cat.spark

@@ -3122,6 +3122,83 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("lambda variable"), e.getMessage)
   }
 
+  test("ALTER TABLE: add/rename/drop column, rename table, guards (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into at1 (a, b) values (1, 'x'), (2, 'y')")
+    HashQL.execute(cat, "alter table at1 add column c bigint default 7")
+    val afterAdd = HashQL.execute(cat,
+      "select at1.a, at1.c from at1 order by at1.a").get.collect()
+    assert(afterAdd.map(_.getAs[Long]("c")).toSeq == Seq(7L, 7L))
+    HashQL.execute(cat, "alter table at1 add column d varchar")
+    assert(HashQL.execute(cat, "select at1.d from at1").get
+      .collect().forall(_.isNullAt(0)))
+    HashQL.execute(cat, "alter table at1 rename column b to label")
+    HashQL.execute(cat, "alter table at1 drop column d")
+    HashQL.execute(cat, "alter table at1 rename to at2")
+    val out = HashQL.execute(cat,
+      "select at2.a, at2.label, at2.c from at2 order by at2.a").get
+    assert(out.columns.toSeq == Seq("a", "label", "c"))
+    // id counter travels with the rename — new ids continue, not restart
+    HashQL.execute(cat, "insert into at2 (a, label, c) values (3, 'z', 1)")
+    val ids = HashQL.execute(cat, "select at2.id from at2").get
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // guards: id is row identity; old name gone
+    val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "alter table at2 drop column id"))
+    assert(e1.getMessage.contains("row identity"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select at1.a from at1"))
+    assert(e2.getMessage.contains("no such table"), e2.getMessage)
+  }
+
+  test("date_diff counts boundary crossings, not full intervals (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into ddf (a, b) values " +
+      "('2023-12-31 23:59:59', '2024-01-01 00:00:01')")
+    val got = HashQL.execute(cat,
+      "select date_diff('day', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as dd, " +
+        "date_diff('month', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as dm, " +
+        "date_diff('year', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as dy, " +
+        "date_diff('hour', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as dh, " +
+        "date_diff('second', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as ds from ddf").get.collect().head
+    // 2 seconds of wall time, but EVERY boundary is crossed once
+    assert(got.getAs[Long]("dd") == 1L && got.getAs[Long]("dm") == 1L)
+    assert(got.getAs[Long]("dy") == 1L && got.getAs[Long]("dh") == 1L)
+    assert(got.getAs[Long]("ds") == 2L)
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select date_diff('week', cast(ddf.a as timestamp), " +
+        "cast(ddf.b as timestamp)) as w from ddf"))
+    assert(e.getMessage.contains("date_diff takes"), e.getMessage)
+  }
+
+  test("USING joins equate same-named columns; composite keys (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into ue (n, k, b) values ('a', 1, 7), ('b', 2, 8), ('c', 3, 9)")
+    HashQL.execute(cat,
+      "insert into ud (k, d, b) values (1, 'x', 7), (2, 'y', 0)")
+    val inner = HashQL.execute(cat,
+      "select ue.n, ud.d from ue join ud using (k) order by ue.n")
+      .get.collect()
+    assert(inner.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("a", "x"), ("b", "y")))
+    // composite USING: (k, b) matches only the ('a',1,7) row
+    val comp = HashQL.execute(cat,
+      "select ue.n, ud.d from ue join ud using (k, b)").get.collect()
+    assert(comp.map(_.getString(0)).toSeq == Seq("a"))
+    // LEFT USING null-extends misses
+    val lft = HashQL.execute(cat,
+      "select ue.n, ud.d from ue left join ud using (k) order by ue.n")
+      .get.collect()
+    assert(lft.length == 3 && lft(2).isNullAt(1))
+  }
+
   test("CREATE VIEW: logical re-planning reads, guards, DROP VIEW (round-15)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into vb (k, v) values (1, 10), (2, 3)")
