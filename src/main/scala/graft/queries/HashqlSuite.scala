@@ -3999,6 +3999,51 @@ object HashqlSuite extends Suite {
              |    AS cs
              |FROM g ORDER BY l_returnflag""".stripMargin)),
 
+    // higher moments (round 15): skewness (sample G1) / kurtosis
+    // (sample excess G2) in power sums — exact-long sums cast to
+    // double BEFORE combining, every combining op correctly rounded
+    // (sqrt spelling, never pow), the oracle parenthesized to the
+    // identical op tree.
+    "hashql_skew_kurt" -> Q(
+      (s, d) => run(s, d,
+        "select lineitem.l_returnflag, " +
+          "skewness(lineitem.l_quantity) as sk, " +
+          "kurtosis(lineitem.l_quantity) as ku, " +
+          "kurtosis_pop(lineitem.l_quantity) as kp " +
+          "from lineitem group by lineitem.l_returnflag " +
+          "order by lineitem.l_returnflag"),
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(l_quantity) AS DOUBLE) AS nd,
+             |    CAST(sum(l_quantity) AS DOUBLE) AS s1,
+             |    CAST(sum(l_quantity * l_quantity) AS DOUBLE) AS s2,
+             |    CAST(sum((l_quantity * l_quantity) * l_quantity)
+             |      AS DOUBLE) AS s3,
+             |    CAST(sum((l_quantity * l_quantity) *
+             |      (l_quantity * l_quantity)) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY l_returnflag),
+             |v AS (
+             |  SELECT l_returnflag, nd, s1, s2, s3, s4,
+             |    ((nd * s2) - (s1 * s1)) AS m2n,
+             |    (((nd * nd) * s3) - (3.0 * (nd * (s1 * s2))))
+             |      + (2.0 * (s1 * (s1 * s1))) AS num3,
+             |    ((((nd * (nd * nd)) * s4)
+             |      - (4.0 * ((nd * nd) * (s1 * s3))))
+             |      + (6.0 * (nd * ((s1 * s1) * s2))))
+             |      - (3.0 * ((s1 * s1) * (s1 * s1))) AS num4
+             |  FROM g),
+             |w AS (
+             |  SELECT l_returnflag, nd, m2n, num3,
+             |    ((num4 / nullif(m2n * m2n, 0.0)) - 3.0) AS g2
+             |  FROM v)
+             |SELECT l_returnflag,
+             |  ((num3 / nullif(m2n * sqrt(m2n), 0.0))
+             |    * sqrt(nd * (nd - 1.0))) / nullif(nd - 2.0, 0.0) AS sk,
+             |  ((((nd + 1.0) * g2) + 6.0) * (nd - 1.0))
+             |    / nullif((nd - 2.0) * (nd - 3.0), 0.0) AS ku,
+             |  g2 AS kp
+             |FROM w ORDER BY l_returnflag""".stripMargin)),
+
     // linear-regression aggregates (round 15): the full ANSI regr_*
     // family over the same exact-sum machinery; regr_r2's var(y)=0 → 1
     // edge rides the round-15 aggregate-threshold CASE condition.

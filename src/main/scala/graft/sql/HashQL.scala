@@ -1454,6 +1454,14 @@ object HashQL {
       val table = next()
       // `insert into t select …` — bulk append, no column list
       if (is("select")) { next(); return InsertSelect(table, Nil, selectOrUnion()) }
+      // `insert into t by name select …` (round-15 — DuckDB's
+      // spelling): accepted as documentation — the dialect's bulk
+      // append ALREADY aligns by column name (schema-union semantics),
+      // absent columns NULL
+      if (is("by")) {
+        next(); kw("name"); kw("select")
+        return InsertSelect(table, Nil, selectOrUnion())
+      }
       kw("(")
       val fields = scala.collection.mutable.ArrayBuffer(next())
       while (is(",")) { next(); fields += next() }
@@ -2429,6 +2437,58 @@ object HashQL {
                 ExprCmp(vy, "=", ELit(0.0)))), ELit(1.0))),
                 Some(EArith(EArith(cnum, "*", cnum), "/",
                   EFunc("nullif", Seq(EArith(vx, "*", vy), ELit(0.0))))))
+          }
+          items += ExprItem(out, aliasAfterAs(s"$fn(…)"))
+        }
+        else if (Seq("skewness", "kurtosis", "kurtosis_pop").exists(is) &&
+                 peekAt(1) == "(") {
+          // higher-moment tier (round-15): skewness = DuckDB's
+          // sample-adjusted G1, kurtosis = sample-adjusted EXCESS G2,
+          // kurtosis_pop = population excess g2 (all verified against
+          // the native aggregates to 1e-14). Power sums are exact
+          // 64-bit longs, CAST TO DOUBLE BEFORE combining (cubes of
+          // sums overflow 64 bits at scale), and every combining op is
+          // IEEE correctly rounded — ×, /, sqrt; pow is AVOIDED
+          // (m^1.5 spells m·sqrt(m)) because pow is not correctly
+          // rounded — so identical sums give identical bits on both
+          // engines. Degenerate denominators (zero variance, n too
+          // small) nullif to NULL.
+          val fn = next().toLowerCase
+          kw("(")
+          val e = exprTree(); kw(")")
+          def d(x: Expr) = ECast(x, "double")
+          def mul(x: Expr, y: Expr) = EArith(x, "*", y)
+          def sub(x: Expr, y: Expr) = EArith(x, "-", y)
+          def div(x: Expr, y: Expr) =
+            EArith(x, "/", EFunc("nullif", Seq(y, ELit(0.0))))
+          val nd = d(EAgg("count", e))
+          val s1 = d(EAgg("sum", e))
+          val s2 = d(EAgg("sum", mul(e, e)))
+          val m2n = sub(mul(nd, s2), mul(s1, s1))
+          val out = fn match {
+            case "skewness" =>
+              val s3 = d(EAgg("sum", mul(mul(e, e), e)))
+              val num3 = EArith(sub(mul(mul(nd, nd), s3),
+                mul(ELit(3.0), mul(nd, mul(s1, s2)))), "+",
+                mul(ELit(2.0), mul(s1, mul(s1, s1))))
+              // G1 = num3/(m2n·√m2n) · √(n(n−1)) / (n−2)
+              div(mul(div(num3, mul(m2n, EFunc("sqrt", Seq(m2n)))),
+                EFunc("sqrt", Seq(mul(nd, sub(nd, ELit(1.0)))))),
+                sub(nd, ELit(2.0)))
+            case _ =>
+              val s3 = d(EAgg("sum", mul(mul(e, e), e)))
+              val s4 = d(EAgg("sum", mul(mul(e, e), mul(e, e))))
+              val num4 = EArith(EArith(sub(
+                mul(mul(nd, mul(nd, nd)), s4),
+                mul(ELit(4.0), mul(mul(nd, nd), mul(s1, s3)))), "+",
+                mul(ELit(6.0), mul(nd, mul(mul(s1, s1), s2)))), "-",
+                mul(ELit(3.0), mul(mul(s1, s1), mul(s1, s1))))
+              val g2 = sub(div(num4, mul(m2n, m2n)), ELit(3.0))
+              if (fn == "kurtosis_pop") g2
+              // G2 = ((n+1)·g2 + 6)·(n−1) / ((n−2)(n−3))
+              else div(mul(EArith(mul(EArith(nd, "+", ELit(1.0)), g2),
+                "+", ELit(6.0)), sub(nd, ELit(1.0))),
+                mul(sub(nd, ELit(2.0)), sub(nd, ELit(3.0))))
           }
           items += ExprItem(out, aliasAfterAs(s"$fn(…)"))
         }

@@ -3287,6 +3287,25 @@ class HashQLSpec extends SparkSpec {
     assert(e2.getMessage.contains("BY NAME"), e2.getMessage)
   }
 
+  test("skewness / kurtosis match the native-aggregate conventions (round-15)") {
+    val cat = new GraftCatalog(spark)
+    Seq(2, 4, 4, 4, 5, 5, 7, 9, 13).foreach(x =>
+      HashQL.execute(cat, s"insert into mk (g, x) values ('a', $x)"))
+    HashQL.execute(cat, "insert into mk (g, x) values ('b', 5), ('b', 5)")
+    val got = HashQL.execute(cat,
+      "select mk.g, skewness(mk.x) as sk, kurtosis(mk.x) as ku, " +
+        "kurtosis_pop(mk.x) as kp from mk group by mk.g order by mk.g")
+      .get.collect()
+    // DuckDB natives on this data: 1.3479642857142833 / 1.7649642857142769
+    // / 0.3266062499999949 (streaming); our exact-sum path agrees ~1e-12
+    assert(math.abs(got(0).getAs[Double]("sk") - 1.34796428571428) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("ku") - 1.76496428571427) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("kp") - 0.32660625) < 1e-9)
+    // zero variance → every moment ratio NULLs (never NaN/Inf)
+    Seq("sk", "ku", "kp").foreach(c =>
+      assert(got(1).isNullAt(got(1).fieldIndex(c)), s"$c on constant group"))
+  }
+
   test("bool_and / bool_or ignore UNKNOWN rows, ANSI edges (round-15)") {
     val cat = new GraftCatalog(spark)
     // a: (10, 20, NULL) — unknown ignored; b: all NULL → NULL result
