@@ -4101,6 +4101,26 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // time_bucket (round 15): fixed-width buckets aligned at the Unix
+    // epoch in exact 64-bit millisecond arithmetic — the down-sampling
+    // twin of date_trunc for widths the calendar doesn't name; native
+    // time_bucket origins differ per engine, so BOTH sides spell the
+    // pinned formula.
+    "hashql_time_bucket" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey, " +
+          "time_bucket(interval '30' day, orders.o_orderdate) as b30d, " +
+          "time_bucket(interval '45' minute, orders.o_orderdate) as b45m " +
+          "from orders where orders.o_orderkey <= 300 " +
+          "order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  make_timestamp((epoch_ms(o_orderdate)
+             |    - (epoch_ms(o_orderdate) % 2592000000)) * 1000) AS b30d,
+             |  make_timestamp((epoch_ms(o_orderdate)
+             |    - (epoch_ms(o_orderdate) % 2700000)) * 1000) AS b45m
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ALTER TABLE (round 15): the full schema-evolution verb set over
     // the copy-on-write catalog — add (with backfilling DEFAULT),
     // rename column, rename table, drop column; the oracle executes

@@ -364,6 +364,8 @@ object HashQL {
       // DOUBLE (micros/1e6 — one exact division both engines share);
       // epoch_ms = exact BIGINT milliseconds (Spark unix_millis)
       "epoch" -> Set(1), "epoch_ms" -> Set(1),
+      // millis → TIMESTAMP (time_bucket's rebuild leg; also user-facing)
+      "timestamp_millis" -> Set(1),
       // list tier 2 (round-15, pairs with the lambda tier; all also
       // legal INSIDE lambda bodies through the shared dispatch):
       // list_distinct is SORTED here — DuckDB's is hash-ordered, so the
@@ -3241,7 +3243,7 @@ object HashQL {
       "strptime", "try_strptime", "extract", "concat_ws",
       "ln", "exp", "log2", "log10",
       "len", "list_contains", "array_to_string",
-      "make_date", "date_part", "epoch", "epoch_ms",
+      "make_date", "date_part", "epoch", "epoch_ms", "timestamp_millis",
       "list_sort", "list_reverse", "list_distinct", "list_concat",
       "list_extract", "array_slice", "flatten", "list_position",
       "list_min", "list_max", "list_sum", "list_unique")
@@ -3333,6 +3335,40 @@ object HashQL {
         val needle = exprTree(); kw("in")
         val hay = exprTree(); kw(")")
         EFunc("strpos", Seq(hay, needle))
+      }
+      else if (is("time_bucket") && peekAt(1) == "(") {
+        // `time_bucket(interval '<n>' <unit>, ts)` (round-15): fixed-
+        // width buckets ALIGNED AT THE UNIX EPOCH in exact 64-bit
+        // millisecond arithmetic (epoch_ms − epoch_ms % width) — native
+        // time_bucket origins differ per engine, so the alignment is
+        // pinned and the oracle spells the same formula. The
+        // down-sampling twin of date_trunc for widths the calendar
+        // doesn't name (45 minutes, 30 days).
+        next(); kw("(")
+        kw("interval")
+        val nTok = literal()
+        val n = nTok match {
+          case l: Long => l
+          case s0: String if s0.matches("[0-9]+") => s0.toLong
+          case other => throw new IllegalArgumentException(
+            s"time_bucket's interval count must be an integer, got $other")
+        }
+        require(n >= 1, s"time_bucket width must be positive, got $n")
+        val unitMs = next().toLowerCase.stripSuffix("s") match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case "week" => 604800000L
+          case u => throw new IllegalArgumentException(
+            s"time_bucket unit is second|minute|hour|day|week, got $u")
+        }
+        val w = ELit(n * unitMs)
+        kw(",")
+        val ts = exprTree(); kw(")")
+        val ems = EFunc("epoch_ms", Seq(ts))
+        EFunc("timestamp_millis",
+          Seq(EArith(ems, "-", EArith(ems, "%", w))))
       }
       else if (is("date_diff") && peekAt(1) == "(") {
         // `date_diff('<part>', start, end)` (round-15 — DuckDB):
@@ -4462,6 +4498,7 @@ object HashQL {
         case "epoch" => unix_micros(a(0).cast("timestamp")).cast("double") /
           lit(1000000.0)
         case "epoch_ms" => unix_millis(a(0).cast("timestamp"))
+        case "timestamp_millis" => timestamp_millis(a(0))
         case "len" => size(a(0)).cast("long")
         case "list_contains" => array_contains(a(0), a(1))
         // list tier 2 (round-15) — scan-side codegen'd array ops.

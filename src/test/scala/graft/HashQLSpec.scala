@@ -3122,6 +3122,26 @@ class HashQLSpec extends SparkSpec {
     assert(e.getMessage.contains("lambda variable"), e.getMessage)
   }
 
+  test("time_bucket aligns fixed widths at the Unix epoch (round-15)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into tbk (t) values ('2024-01-02 10:37:55')")
+    val got = HashQL.execute(cat,
+      "select time_bucket(interval '15' minute, cast(tbk.t as timestamp)) as q, " +
+        "time_bucket(interval '1' hour, cast(tbk.t as timestamp)) as h, " +
+        "time_bucket(interval '1' day, cast(tbk.t as timestamp)) as d " +
+        "from tbk").get.collect().head
+    assert(got.getAs[java.sql.Timestamp]("q").toString
+      .startsWith("2024-01-02 10:30:00"))
+    assert(got.getAs[java.sql.Timestamp]("h").toString
+      .startsWith("2024-01-02 10:00:00"))
+    assert(got.getAs[java.sql.Timestamp]("d").toString
+      .startsWith("2024-01-02 00:00:00"))
+    val e = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select time_bucket(interval '1' month, cast(tbk.t as timestamp)) " +
+        "as m from tbk"))
+    assert(e.getMessage.contains("time_bucket unit"), e.getMessage)
+  }
+
   test("ALTER TABLE: add/rename/drop column, rename table, guards (round-15)") {
     val cat = new GraftCatalog(spark)
     HashQL.execute(cat, "insert into at1 (a, b) values (1, 'x'), (2, 'y')")

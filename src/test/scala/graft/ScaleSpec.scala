@@ -973,6 +973,29 @@ class ScaleSpec extends SparkSpec {
     assert(cap.getMessage.contains("explicit IN list"), cap.getMessage)
   }
 
+  test("bivariate/moment tiers ride ONE aggregation pass (round-15)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("lineitem", Tables.t(spark, sf, "lineitem"))
+    val df = HashQL.execute(cat,
+      "select lineitem.l_returnflag, " +
+        "corr(lineitem.l_quantity, lineitem.l_linenumber) as r, " +
+        "regr_slope(lineitem.l_quantity, lineitem.l_linenumber) as sl, " +
+        "skewness(lineitem.l_quantity) as sk, " +
+        "kurtosis(lineitem.l_quantity) as ku " +
+        "from lineitem group by lineitem.l_returnflag").get
+    val plan = df.queryExecution.executedPlan.toString
+    // every desugared moment shares the SAME groupBy.agg pass: one
+    // shuffle (partial+final pair), never an aggregation per aggregate
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx == 1, s"stats tier shuffled $nEx times:\n${plan.take(1500)}")
+    val nAgg = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(plan).length
+    assert(nAgg <= 2, s"stats tier leaked extra aggregations:\n${plan.take(1500)}")
+    df.count()
+  }
+
   test("LIMIT WITH TIES: bounded probe + literal filter — no rank window (round-15)") {
     import graft.core.GraftCatalog
     import graft.sql.HashQL
