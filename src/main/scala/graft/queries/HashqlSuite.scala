@@ -4101,6 +4101,27 @@ object HashqlSuite extends Suite {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // composition (round 15): CTE → array_agg list column → lambda →
+    // list_sum — proves LIST-VALUED columns flow through the CTE
+    // machinery and the lambda tier composes over them downstream of
+    // an aggregation (exact integer digits, hash-stable).
+    "hashql_list_compose" -> Q(
+      (s, d) => run(s, d,
+        "with keys as ( select orders.o_custkey as ck, " +
+          "array_agg(orders.o_orderkey) as ks from orders " +
+          "group by orders.o_custkey ) " +
+          "select keys.ck, len(keys.ks) as n, " +
+          "list_sum(list_transform(keys.ks, x -> x % 10)) as digsum " +
+          "from keys where keys.ck <= 200 order by keys.ck"),
+      Some("""WITH keys AS (
+             |  SELECT o_custkey AS ck,
+             |    array_agg(o_orderkey ORDER BY o_orderkey) AS ks
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT ck, len(ks) AS n,
+             |  CAST(list_sum(list_transform(ks, x -> x % 10)) AS BIGINT)
+             |    AS digsum
+             |FROM keys WHERE ck <= 200 ORDER BY ck""".stripMargin)),
+
     // time_bucket (round 15): fixed-width buckets aligned at the Unix
     // epoch in exact 64-bit millisecond arithmetic — the down-sampling
     // twin of date_trunc for widths the calendar doesn't name; native
