@@ -4364,12 +4364,22 @@ object HashQL {
   }
 
   /** The predicate twin — comparison chains inside lambda bodies
-    * (list_filter conditions, CASE branches). */
+    * (list_filter conditions, CASE branches). The column-shaped forms
+    * (Cmp/Eq/InList over a bare ref) appear when a CASE inside a
+    * transform body goes through the general predicate grammar — they
+    * bind to the lambda variable like everything else. */
   private def lamPred(cat: GraftCatalog, p: Pred, v: String,
                       x: Column): Column = p match {
     case ExprCmp(l, op, r) =>
       val (lc, rc) = (lamColumn(cat, l, v, x), lamColumn(cat, r, v, x))
       if (op == "=") lc === rc else graft.core.Compare.cmp(lc, op, rc)
+    case Cmp(ColRef("", c), op, value) if c == v =>
+      val cc = value match { case _: Long => x.cast("long"); case _ => x }
+      graft.core.Compare.cmp(cc, op, value)
+    case Eq(ColRef("", c), value) if c == v =>
+      val cc = value match { case _: Long => x.cast("long"); case _ => x }
+      cc === lit(value)
+    case InList(ColRef("", c), vs) if c == v => x.isin(vs: _*)
     case IsNullP(ColRef("", c), not) if c == v =>
       if (not) x.isNotNull else x.isNull
     case And(ps) => ps.map(lamPred(cat, _, v, x)).reduce(_ && _)

@@ -3120,6 +3120,14 @@ class HashQLSpec extends SparkSpec {
       "select list_transform(split(lm.s, '-'), x -> concat(x, lm.s)) " +
         "as b from lm"))
     assert(e.getMessage.contains("lambda variable"), e.getMessage)
+    // CASE inside a transform body — the general predicate grammar's
+    // bare-comparison forms bind to the lambda variable
+    val cs = HashQL.execute(cat,
+      "select list_transform(split(lm.s, '-'), " +
+        "x -> case when length(x) > 2 then upper(x) " +
+        "when x = 'bb' then 'two' else x end) as m from lm")
+      .get.collect().head
+    assert(cs.getSeq[String](0) == Seq("a", "two", "CCC"))
   }
 
   test("time_bucket aligns fixed widths at the Unix epoch (round-15)") {
