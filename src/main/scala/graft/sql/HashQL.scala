@@ -2296,6 +2296,9 @@ object HashQL {
           // skip, same empty→NULL; bare calls stay value-sorted so the
           // output is deterministic under any partitioning.
           next(); kw("(")
+          require(!is("distinct"),
+            "array_agg(DISTINCT …) is not supported — spell it " +
+              "list_distinct(array_agg(x)) (sorted, deterministic)")
           val e = exprTree()
           val ord = if (is("order")) {
             next(); kw("by")

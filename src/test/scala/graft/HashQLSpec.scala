@@ -2995,6 +2995,14 @@ class HashQLSpec extends SparkSpec {
       .get.collect()
     assert(csv(0).getAs[String]("s") == "1-2-3")
     assert(csv(0).getAs[Long]("n") == 3L) // the NULL never collected
+    // DISTINCT rejects toward the deterministic composed spelling
+    val ed = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select array_agg(distinct ar.v) as d from ar"))
+    assert(ed.getMessage.contains("list_distinct"), ed.getMessage)
+    val composed = HashQL.execute(cat,
+      "select list_distinct(array_agg(ar.v)) as d from ar where ar.g = 'a'")
+      .get.collect().head
+    assert(composed.getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
 
   test("TRUNCATE empties the table through the DELETE commit (round-15)") {
