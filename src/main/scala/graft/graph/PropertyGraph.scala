@@ -428,18 +428,27 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         .select(col("u"), col("v"), col("support"))
     }
     var cur = fullSupport(e0).persist(storage)
-    var curN = cur.count()
+    // ONE driver action per round (round-16; was two): materializing the
+    // persisted frame and reading BOTH loop counters — total edges and
+    // the below-threshold count that drives next round's peel — from the
+    // same aggregation pass. On iterative jobs the per-job overhead is
+    // the dominant small-scale cost (each action is a full job), so
+    // halving the action count halves the fixed overhead; at 100× data
+    // the same fusion just saves one redundant scan of the persisted
+    // frame per round.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(when(col("support") < k - 2, 1L).otherwise(0L))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (curN, nR) = stats(cur)
     var rounds = 0
-    var done = false
-    while (!done && rounds < maxRounds) {
+    while (nR > 0 && rounds < maxRounds) {
       rounds += 1
       val removed = cur.filter(col("support") < k - 2)
         .select(col("u"), col("v")).persist(storage)
-      val nR = removed.count()
-      if (nR == 0) { done = true; removed.unpersist() }
-      else {
-        val survivors = cur.filter(col("support") >= k - 2)
-        val next = (if (nR * 8L > curN) {
+      val survivors = cur.filter(col("support") >= k - 2)
+      val next = (if (nR * 8L > curN) {
           // mass peel: the survivor graph just shrank by >1/8 — a full
           // recount over it beats removal-incident joins whose probe
           // side would be most of the old graph
@@ -479,13 +488,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
             .select(col("u"), col("v"),
               (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
         }).persist(storage)
-        // materialize before releasing the prior round; re-count rather
-        // than subtract — a mass-peel recount also drops the survivors
-        // whose support fell to zero
-        curN = next.count()
-        cur.unpersist(); removed.unpersist()
-        cur = next
-      }
+      // materialize before releasing the prior round; the fused stats
+      // pass re-counts rather than subtracts — a mass-peel recount
+      // also drops the survivors whose support fell to zero — and
+      // reads next round's peel size in the same job
+      val s2 = stats(next)
+      cur.unpersist(); removed.unpersist()
+      cur = next
+      curN = s2._1; nR = s2._2
     }
     cur
   }
@@ -526,14 +536,27 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     var dist = vertices.filter(col("name") === source)
       .select(col("name").as("node"), lit(0L).as("dist")).persist(storage)
     var hop = 0
-    while (hop < maxHops) {
+    // round-16: converge-detect INSIDE the per-round materialization
+    // action (no extra job) — the reached-node count only grows and each
+    // node's dist only shrinks, so an unchanged (count, sum(dist)) pair
+    // proves the Bellman-Ford fixpoint; graphs whose weighted diameter
+    // is far below maxHops exit as soon as a round changes nothing. The
+    // sum is exact decimal(38,0) — no overflow, no float fuzz.
+    var lastN = -1L
+    var lastSum: java.math.BigDecimal = null
+    var changed = true
+    while (hop < maxHops && changed) {
       hop += 1
       val cand = dist.join(es, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(cand)
         .groupBy("node").agg(min(col("dist")).as("dist")).persist(storage)
       // materialize BEFORE releasing the parent: next's lineage reads dist
-      next.count()
+      val r = next.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,0)"))).head
+      val (n, s) = (r.getLong(0), r.getDecimal(1))
+      changed = n != lastN || lastSum == null || s.compareTo(lastSum) != 0
+      lastN = n; lastSum = s
       dist.unpersist(blocking = false)
       dist = next
     }

@@ -4131,14 +4131,23 @@ object HashqlSuite extends Suite {
       (s, d) => run(s, d,
         "select orders.o_orderkey, " +
           "time_bucket(interval '30' day, orders.o_orderdate) as b30d, " +
-          "time_bucket(interval '45' minute, orders.o_orderdate) as b45m " +
+          "time_bucket(interval '45' minute, orders.o_orderdate) as b45m, " +
+          // pre-epoch probe (round-16): floor-mod buckets DOWN to
+          // 22:00, where a truncating % would have rounded up to 23:00
+          "time_bucket(interval '1' hour, " +
+          "timestamp '1969-12-31 22:47:13') as pre " +
           "from orders where orders.o_orderkey <= 300 " +
           "order by orders.o_orderkey"),
       Some("""SELECT o_orderkey,
              |  make_timestamp((epoch_ms(o_orderdate)
-             |    - (epoch_ms(o_orderdate) % 2592000000)) * 1000) AS b30d,
+             |    - ((epoch_ms(o_orderdate) % 2592000000 + 2592000000)
+             |       % 2592000000)) * 1000) AS b30d,
              |  make_timestamp((epoch_ms(o_orderdate)
-             |    - (epoch_ms(o_orderdate) % 2700000)) * 1000) AS b45m
+             |    - ((epoch_ms(o_orderdate) % 2700000 + 2700000)
+             |       % 2700000)) * 1000) AS b45m,
+             |  make_timestamp((epoch_ms(TIMESTAMP '1969-12-31 22:47:13')
+             |    - ((epoch_ms(TIMESTAMP '1969-12-31 22:47:13') % 3600000
+             |        + 3600000) % 3600000)) * 1000) AS pre
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
@@ -4271,6 +4280,9 @@ object HashqlSuite extends Suite {
           "x -> length(x))) as lsum, " +
           "list_extract(split(customer.c_name, '#'), 2) as second_part, " +
           "list_position(split(customer.c_name, '#'), 'Customer') as pc, " +
+          // ABSENT element → 0 on both engines (DuckDB 1.0; ≥1.1 moved
+          // to NULL — divergence documented at the lowering)
+          "list_position(split(customer.c_name, '#'), 'zzz') as pz, " +
           "list_unique(split(customer.c_name, '0')) as uq, " +
           "array_to_string(array_slice(split(customer.c_name, '0'), 2, 3), '|') as mid " +
           "from customer where customer.c_custkey <= 200 " +
@@ -4286,6 +4298,8 @@ object HashqlSuite extends Suite {
              |    AS second_part,
              |  list_position(string_split_regex(c_name, '#'), 'Customer')
              |    AS pc,
+             |  list_position(string_split_regex(c_name, '#'), 'zzz')
+             |    AS pz,
              |  list_unique(string_split_regex(c_name, '0')) AS uq,
              |  array_to_string(array_slice(string_split_regex(c_name, '0'),
              |    2, 3), '|') AS mid
@@ -4811,7 +4825,119 @@ object HashqlSuite extends Suite {
              |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
              |  strftime(o_orderdate, '%j') AS doy
              |FROM orders WHERE o_orderkey <= 400
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // array_agg/string_agg DISTINCT (round 16): the sorted value SET —
+    // collect_set + sort, one aggregation pass, deterministic under any
+    // partitioning; expression position composes with the list tier
+    // (array_to_string here). The oracle spells the deterministic
+    // mirror: list_sort(list_distinct(array_agg FILTER non-null)).
+    "hashql_array_agg_distinct" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, " +
+          "array_to_string(array_agg(distinct orders.o_orderstatus), ',') as sts, " +
+          "string_agg(distinct orders.o_orderpriority, '|') as pri, " +
+          "count(*) as cnt from orders where orders.o_custkey <= 200 " +
+          "group by orders.o_custkey order by orders.o_custkey"),
+      Some("""SELECT o_custkey,
+             |  array_to_string(list_sort(list_distinct(
+             |    array_agg(o_orderstatus)
+             |      FILTER (WHERE o_orderstatus IS NOT NULL))), ',') AS sts,
+             |  array_to_string(list_sort(list_distinct(
+             |    array_agg(o_orderpriority)
+             |      FILTER (WHERE o_orderpriority IS NOT NULL))), '|')
+             |    AS pri,
+             |  count(*) AS cnt
+             |FROM orders WHERE o_custkey <= 200
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // array_agg with WITHIN-GROUP ORDER BY (round 16): string_agg's
+    // struct-collect single pass, list-valued — ordered by a UNIQUE key
+    // so the order is total; stringified through a CTE (list columns
+    // don't hash in the compare).
+    "hashql_array_agg_order" -> Q(
+      (s, d) => run(s, d,
+        "with k as ( select orders.o_custkey as ck, " +
+          "array_agg(orders.o_orderstatus " +
+          "order by orders.o_orderkey desc) as ks " +
+          "from orders group by orders.o_custkey ) " +
+          "select k.ck, array_to_string(k.ks, ',') as st from k " +
+          "where k.ck <= 150 order by k.ck"),
+      Some("""WITH k AS (
+             |  SELECT o_custkey AS ck,
+             |    array_agg(o_orderstatus ORDER BY o_orderkey DESC) AS ks
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT ck, array_to_string(ks, ',') AS st FROM k
+             |WHERE ck <= 150 ORDER BY ck""".stripMargin)),
+
+    // nested lambdas (round 16): a lambda inside a lambda body over a
+    // list of lists — the binding stack resolves inner-first, so `x`
+    // (the outer element, itself a list) feeds list_filter under `y`.
+    "hashql_lambda_nested" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "list_sum(list_transform(" +
+          "list_transform(split(customer.c_name, '#'), " +
+          "x -> split(x, '0')), " +
+          "x -> len(list_filter(x, y -> length(y) > 1)))) as deep " +
+          "from customer where customer.c_custkey <= 200 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey,
+             |  CAST(list_sum(list_transform(
+             |    list_transform(string_split_regex(c_name, '#'),
+             |      x -> string_split_regex(x, '0')),
+             |    x -> len(list_filter(x, y -> length(y) > 1))))
+             |    AS BIGINT) AS deep
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // USING in a 3+ table chain (round 16): the key resolves against
+    // the CUMULATIVE left side (ANSI/DuckDB) — here the second USING
+    // key `grp` arrives via the FIRST join (only `mid` has it), so the
+    // r15 base-table bind pointed at a table without the column;
+    // ambiguity (two same-named accumulated columns) rejects toward ON
+    // (spec-covered).
+    "hashql_using_chain" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into base (bid, bval) values (1, 10), (2, 20), (3, 30)")
+        HashQL.execute(cat,
+          "insert into mid (bid, grp) values (1, 'x'), (2, 'y'), (3, 'x')")
+        HashQL.execute(cat,
+          "insert into grps (grp, label) values ('x', 'ex'), ('y', 'wy')")
+        HashQL.execute(cat,
+          "select grps.label, sum(base.bval) as tot from base " +
+            "join mid using (bid) join grps using (grp) " +
+            "group by grps.label order by grps.label").get
+      },
+      Some("""CREATE TEMP TABLE g16u_base(bid BIGINT, bval BIGINT);
+             |INSERT INTO g16u_base VALUES (1, 10), (2, 20), (3, 30);
+             |CREATE TEMP TABLE g16u_mid(bid BIGINT, grp VARCHAR);
+             |INSERT INTO g16u_mid VALUES (1, 'x'), (2, 'y'), (3, 'x');
+             |CREATE TEMP TABLE g16u_grps(grp VARCHAR, label VARCHAR);
+             |INSERT INTO g16u_grps VALUES ('x', 'ex'), ('y', 'wy');
+             |SELECT label, CAST(sum(bval) AS BIGINT) AS tot
+             |FROM g16u_base JOIN g16u_mid USING (bid)
+             |  JOIN g16u_grps USING (grp)
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // array_agg continuation forms (round 16): the item-head lookahead
+    // sends non-`as` continuations through the expression grammar —
+    // arithmetic over an aggregate and a wrapped aggregate call.
+    "hashql_array_agg_expr" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, " +
+          "len(array_agg(orders.o_orderkey)) * 2 as n2, " +
+          "length(array_to_string(array_agg(orders.o_orderstatus), '')) " +
+          "as sl from orders where orders.o_custkey <= 200 " +
+          "group by orders.o_custkey order by orders.o_custkey"),
+      Some("""SELECT o_custkey,
+             |  len(array_agg(o_orderkey)) * 2 AS n2,
+             |  length(array_to_string(array_agg(o_orderstatus), ''))
+             |    AS sl
+             |FROM orders WHERE o_custkey <= 200
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
     )
     // a duplicate key in one suite would silently shadow (Map keeps the
     // last) — caught round 12 when a new entry collided with an r7 name

@@ -261,7 +261,8 @@ object HashQL {
     * `count_star`'s arg is a placeholder. */
   final case class EAgg(fn: String, arg: Expr) extends Expr {
     require(Set("count_star", "count", "count_distinct", "sum",
-      "sum_distinct", "avg", "min", "max", "array_agg").contains(fn),
+      "sum_distinct", "avg", "min", "max", "array_agg",
+      "array_agg_distinct").contains(fn),
       s"unsupported aggregate: $fn")
   }
   /** Scalar function call (round-10 growth — the string/date/math tier a
@@ -521,8 +522,20 @@ object HashQL {
                                  // sorted LIST itself instead of the
                                  // joined string (sep is then unused);
                                  // same NULL-skip and empty→NULL rules
-                                 asList: Boolean = false)
-      extends SelectItem
+                                 asList: Boolean = false,
+                                 // DISTINCT (round-16): collect the value
+                                 // SET — value-sorted by construction
+                                 // (collect_set + sort), so it composes
+                                 // with neither an explicit ORDER BY
+                                 // (parser rejects) nor a tiebreak need;
+                                 // DuckDB mirror: list_sort(list_distinct(
+                                 // array_agg(x) FILTER (WHERE x IS NOT
+                                 // NULL)))
+                                 distinct: Boolean = false)
+      extends SelectItem {
+    require(!(distinct && order.nonEmpty),
+      "DISTINCT aggregation is value-sorted; ORDER BY does not compose")
+  }
   /** `min_by|max_by(<value>, <key>) as alias` (round-12): the value at
     * the extremal key (DuckDB: arg_min/arg_max). Ties on the key pick an
     * arbitrary row on BOTH engines — use a unique key for deterministic
@@ -940,7 +953,17 @@ object HashQL {
     * growth. */
   final case class JoinClause(table: String, l: ColRef, r: ColRef,
                               kind: String = "inner",
-                              extra: Seq[(ColRef, String, Any)] = Nil) {
+                              extra: Seq[(ColRef, String, Any)] = Nil,
+                              // ANSI `USING (k, …)` (round-16 flag): the
+                              // left key resolves against the CUMULATIVE
+                              // left side at lowering (the parser holds
+                              // no schemas), so `l`'s recorded table is
+                              // only the base-table guess — consumers
+                              // that key on the (table, l, r) identity
+                              // (materialized-view routing) must skip
+                              // non-first USING clauses, where the guess
+                              // may not be where the key lives
+                              using: Boolean = false) {
     def outer: Boolean = kind != "inner"
     // `extra`: additional `AND l2 <op> rhs` conjuncts on the ON clause —
     // round-10 equality between columns (composite join keys), round-13
@@ -2265,8 +2288,11 @@ object HashQL {
           } else item0)
         }
         else if (is("string_agg") && peekAt(1) == "(") {
-          // `string_agg(<expr>, '<sep>') as alias` — sorted-deterministic
+          // `string_agg([distinct] <expr>, '<sep>') as alias` —
+          // sorted-deterministic; DISTINCT (round-16) joins the sorted
+          // value SET (same rule as array_agg: no ORDER BY under it)
           next(); kw("(")
+          val dist = if (is("distinct")) { next(); true } else false
           val e = exprTree(); kw(",")
           val sep = literal()
           require(sep.isInstanceOf[String],
@@ -2274,6 +2300,9 @@ object HashQL {
           // `string_agg(x, ',' order by y [desc])` (round-15): explicit
           // within-group ordering
           val ord = if (is("order")) {
+            require(!dist,
+              "string_agg(DISTINCT x, sep ORDER BY …) — the distinct " +
+                "set is already value-sorted; drop the ORDER BY")
             next(); kw("by")
             val oe = exprTree()
             val desc =
@@ -2283,24 +2312,34 @@ object HashQL {
           } else None
           kw(")")
           items += StringAggItem(e, sep.toString,
-            aliasAfterAs("string_agg(…)"), ord)
+            aliasAfterAs("string_agg(…)"), ord, distinct = dist)
         }
         else if ((is("array_agg") || is("list")) && peekAt(1) == "(" &&
-                 // `array_agg(x)` with an arithmetic/alias continuation or
-                 // wrapped in a function parses through the expression
-                 // grammar; the ITEM form owns the ORDER BY variant
-                 true) {
-          // `array_agg(<expr> [order by <expr> [desc]]) as alias` /
-          // DuckDB's `list(…)` (round-15): the LIST-valued twin of
-          // string_agg — same collect/sort machinery, same NULL-element
-          // skip, same empty→NULL; bare calls stay value-sorted so the
-          // output is deterministic under any partitioning.
+                 // the ITEM form owns ORDER BY / DISTINCT and fires only
+                 // on the bare `array_agg(…) as alias` shape — a
+                 // LOOKAHEAD (round-16; the r15 guard claimed this but
+                 // fired unconditionally) checks the token after the
+                 // matching ')' is `as`, so arithmetic continuations
+                 // (`array_agg(x) / count(*)`) and wrapped calls
+                 // (`len(array_agg(x))`) fall through to the expression
+                 // grammar below
+                 afterCallToken().equalsIgnoreCase("as")) {
+          // `array_agg([distinct] <expr> [order by <expr> [desc]]) as
+          // alias` / DuckDB's `list(…)` (round-15): the LIST-valued twin
+          // of string_agg — same collect/sort machinery, same
+          // NULL-element skip, same empty→NULL; bare calls stay
+          // value-sorted so the output is deterministic under any
+          // partitioning. DISTINCT (round-16) collects the value SET —
+          // value-sorted by construction, so an explicit ORDER BY under
+          // DISTINCT is rejected (ANSI only allows ordering by the
+          // distinct expression itself, and that IS the default order).
           next(); kw("(")
-          require(!is("distinct"),
-            "array_agg(DISTINCT …) is not supported — spell it " +
-              "list_distinct(array_agg(x)) (sorted, deterministic)")
+          val dist = if (is("distinct")) { next(); true } else false
           val e = exprTree()
           val ord = if (is("order")) {
+            require(!dist,
+              "array_agg(DISTINCT x ORDER BY …) — the distinct set is " +
+                "already value-sorted; drop the ORDER BY")
             next(); kw("by")
             val oe = exprTree()
             val desc =
@@ -2310,7 +2349,7 @@ object HashQL {
           } else None
           kw(")")
           items += StringAggItem(e, ",", aliasAfterAs("array_agg(…)"), ord,
-            asList = true)
+            asList = true, distinct = dist)
         }
         else if ((is("min_by") || is("max_by")) && peekAt(1) == "(") {
           // `min_by|max_by(<value>, <key>) as alias` — value at extremal key
@@ -2817,11 +2856,13 @@ object HashQL {
         if (is("using")) {
           // `join u using (k [, k2 …])` (round-15 — ANSI USING): each
           // key equates the SAME-NAMED column on both sides. The left
-          // side binds to the select's BASE table — a chain where the
-          // key lives on a MIDDLE table spells ON explicitly (the
-          // parser holds no schemas to search, and a silent wrong bind
-          // would be worse than the ask). Output keeps both qualified
-          // columns like the ON form; inner joins make them equal.
+          // side resolves against the CUMULATIVE left frame at LOWERING
+          // (round-16 — ANSI/DuckDB semantics; the parser holds no
+          // schemas, so the ColRef's table field is only the base-table
+          // guess and the `using` flag tells lowering to verify the name
+          // is unambiguous there, rejecting toward ON when it is not).
+          // Output keeps both qualified columns like the ON form; inner
+          // joins make them equal.
           next(); kw("(")
           val ks = scala.collection.mutable.ArrayBuffer(next())
           while (is(",")) { next(); ks += next() }
@@ -2831,7 +2872,8 @@ object HashQL {
           joins += JoinClause(t, ColRef(table, ks.head),
             ColRef(t, ks.head), kind,
             ks.tail.toSeq.map(k =>
-              (ColRef(table, k), "=", ColRef(t, k): Any)))
+              (ColRef(table, k), "=", ColRef(t, k): Any)),
+            using = true)
         } else {
         kw("on")
         // the FIRST conjunct is the hash-join equality key
@@ -3234,6 +3276,25 @@ object HashQL {
     private def coalesce2Shape(): Boolean =
       peekAt(1) == "(" && peekAt(3) == "," && peekAt(5) == ")" &&
         !Set("as", "+", "-", "*", "/", "%", "||").contains(peekAt(6).toLowerCase)
+    /** Lookahead only (consumes nothing): the token right AFTER the
+      * matching ')' of a call whose '(' sits at offset 1 — "" at end of
+      * input. Decides item-form vs expression-grammar dispatch for
+      * aggregate heads (round-16): `array_agg(x) as a` is the item form,
+      * `array_agg(x) / count(*) as a` and `len(array_agg(x)) as a`
+      * continue through the expression grammar. */
+    private def afterCallToken(): String = {
+      var i = p + 2
+      var depth = 1
+      while (i < toks.length && depth > 0) {
+        toks(i) match {
+          case "(" => depth += 1
+          case ")" => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (i < toks.length) toks(i) else ""
+    }
     private val exprFuncs = Set("upper", "lower", "length", "trim", "abs",
       "floor", "ceil", "substr", "year", "month", "day", "coalesce", "nullif",
       "concat", "round", "replace", "mod", "hour", "minute", "date_trunc",
@@ -3370,8 +3431,14 @@ object HashQL {
         kw(",")
         val ts = exprTree(); kw(")")
         val ems = EFunc("epoch_ms", Seq(ts))
-        EFunc("timestamp_millis",
-          Seq(EArith(ems, "-", EArith(ems, "%", w))))
+        // FLOOR-mod (round-16): `%` truncates toward zero in both
+        // engines, so the bare `ems - ems % w` would round pre-epoch
+        // (negative epoch_ms) instants UP to the boundary above — the
+        // ((m % w + w) % w) form floors everywhere, keeping buckets
+        // epoch-aligned on both sides of 1970 (the oracle spells the
+        // same floor-mod)
+        val m = EArith(EArith(EArith(ems, "%", w), "+", w), "%", w)
+        EFunc("timestamp_millis", Seq(EArith(ems, "-", m)))
       }
       else if (is("date_diff") && peekAt(1) == "(") {
         // `date_diff('<part>', start, end)` (round-15 — DuckDB):
@@ -3465,7 +3532,14 @@ object HashQL {
         }
         kw("(")
         val ag =
-          if (fn != "count") EAgg(fn, exprTree())
+          if (fn == "array_agg") {
+            // array_agg(DISTINCT x) in expression position (round-16):
+            // the sorted value SET — `array_to_string(array_agg(
+            // distinct s), ',')` is the common stringified spelling
+            if (is("distinct")) { next(); EAgg("array_agg_distinct", exprTree()) }
+            else EAgg(fn, exprTree())
+          }
+          else if (fn != "count") EAgg(fn, exprTree())
           else if (is("*")) { next(); EAgg("count_star", ELit(1L)) }
           else if (is("distinct")) { next(); EAgg("count_distinct", exprTree()) }
           else EAgg("count", exprTree())
@@ -4318,29 +4392,36 @@ object HashQL {
       val v = fn.substring(fn.indexOf(':') + 1)
       val base = exprColumn(cat, args(0))
       if (fn.startsWith("list_transform:"))
-        transform(base, x => lamColumn(cat, args(1), v, x))
-      else filter(base, x => lamColumn(cat, args(1), v, x))
+        transform(base, x => lamColumn(cat, args(1), Seq(v -> x)))
+      else filter(base, x => lamColumn(cat, args(1), Seq(v -> x)))
     case EFunc(fn, args) =>
       scalarFunc(cat, fn, args, args.map(exprColumn(cat, _)))
   }
 
   /** Lambda-body lowering (round-15 — `list_transform(l, x -> x * 2)`):
-    * the lambda variable substitutes for bare references to its name;
+    * lambda variables substitute for bare references to their names;
     * everything else is the ordinary scalar grammar over the SHARED
     * [[scalarFunc]] dispatch, so the function tier inside lambdas is
-    * exactly the tier outside them. Bodies may reference ONLY the
-    * variable and literals — outer-column capture is rejected (DuckDB
-    * allows it; a clear error beats silently reading the wrong scope
-    * under the dialect's rename machinery). */
-  private def lamColumn(cat: GraftCatalog, e: Expr, v: String,
-                        x: Column): Column = e match {
-    case ECol(ColRef("", c)) if c == v => x
+    * exactly the tier outside them. `env` is the binding stack (round-16
+    * — NESTED lambdas, `list_transform(ll, x -> list_filter(x, y ->
+    * y > 0))` over a list of lists): inner bindings append, and lookup
+    * scans LAST-first so an inner variable shadows an outer one of the
+    * same name, lexical-scope style. Bodies may reference ONLY bound
+    * lambda variables and literals — outer-column capture is rejected
+    * (DuckDB allows it; a clear error beats silently reading the wrong
+    * scope under the dialect's rename machinery). */
+  private def lamColumn(cat: GraftCatalog, e: Expr,
+                        env: Seq[(String, Column)]): Column = e match {
+    case ECol(ColRef("", c)) if env.exists(_._1 == c) =>
+      env.reverse.find(_._1 == c).get._2
     case ECol(r) => throw new IllegalArgumentException(
-      s"lambda bodies may reference only the lambda variable `$v` and " +
-        s"literals — got ${if (r.table.nonEmpty) s"${r.table}." else ""}${r.column}")
+      "lambda bodies may reference only the lambda variable" +
+        s"${if (env.size > 1) "s" else ""} " +
+        s"${env.map(b => s"`${b._1}`").mkString(", ")} and literals — " +
+        s"got ${if (r.table.nonEmpty) s"${r.table}." else ""}${r.column}")
     case ELit(lv) => lit(lv)
     case EArith(l, op, r) =>
-      val (lc, rc) = (lamColumn(cat, l, v, x), lamColumn(cat, r, v, x))
+      val (lc, rc) = (lamColumn(cat, l, env), lamColumn(cat, r, env))
       op match {
         case "+" => lc + rc
         case "-" => lc - rc
@@ -4351,17 +4432,28 @@ object HashQL {
           s"unsupported arithmetic op in lambda: $other")
       }
     case ECast(e0, ty) =>
-      val c = lamColumn(cat, e0, v, x)
+      val c = lamColumn(cat, e0, env)
       if (ty.startsWith("try ")) c.try_cast(ty.stripPrefix("try "))
       else c.cast(ty)
     case ECase(brs, els) =>
-      val first = when(lamPred(cat, brs.head._1, v, x),
-        lamColumn(cat, brs.head._2, v, x))
+      val first = when(lamPred(cat, brs.head._1, env),
+        lamColumn(cat, brs.head._2, env))
       val chained = brs.tail.foldLeft(first) { case (acc, (p, b)) =>
-        acc.when(lamPred(cat, p, v, x), lamColumn(cat, b, v, x)) }
-      els.fold(chained)(d => chained.otherwise(lamColumn(cat, d, v, x)))
+        acc.when(lamPred(cat, p, env), lamColumn(cat, b, env)) }
+      els.fold(chained)(d => chained.otherwise(lamColumn(cat, d, env)))
+    // a lambda nested inside a lambda body (round-16; r15 forwarded the
+    // marked name to scalarFunc and died with a raw MatchError) — the
+    // base list lowers under the OUTER bindings, the body under the
+    // stack extended with the inner variable
+    case EFunc(fn, args2) if fn.startsWith("list_transform:") ||
+                             fn.startsWith("list_filter:") =>
+      val v2 = fn.substring(fn.indexOf(':') + 1)
+      val base = lamColumn(cat, args2(0), env)
+      if (fn.startsWith("list_transform:"))
+        transform(base, x2 => lamColumn(cat, args2(1), env :+ (v2 -> x2)))
+      else filter(base, x2 => lamColumn(cat, args2(1), env :+ (v2 -> x2)))
     case EFunc(fn, args2) =>
-      scalarFunc(cat, fn, args2, args2.map(lamColumn(cat, _, v, x)))
+      scalarFunc(cat, fn, args2, args2.map(lamColumn(cat, _, env)))
     case other => throw new IllegalArgumentException(
       s"unsupported expression form in a lambda body: $other")
   }
@@ -4370,26 +4462,34 @@ object HashQL {
     * (list_filter conditions, CASE branches). The column-shaped forms
     * (Cmp/Eq/InList over a bare ref) appear when a CASE inside a
     * transform body goes through the general predicate grammar — they
-    * bind to the lambda variable like everything else. */
-  private def lamPred(cat: GraftCatalog, p: Pred, v: String,
-                      x: Column): Column = p match {
-    case ExprCmp(l, op, r) =>
-      val (lc, rc) = (lamColumn(cat, l, v, x), lamColumn(cat, r, v, x))
-      if (op == "=") lc === rc else graft.core.Compare.cmp(lc, op, rc)
-    case Cmp(ColRef("", c), op, value) if c == v =>
-      val cc = value match { case _: Long => x.cast("long"); case _ => x }
-      graft.core.Compare.cmp(cc, op, value)
-    case Eq(ColRef("", c), value) if c == v =>
-      val cc = value match { case _: Long => x.cast("long"); case _ => x }
-      cc === lit(value)
-    case InList(ColRef("", c), vs) if c == v => x.isin(vs: _*)
-    case IsNullP(ColRef("", c), not) if c == v =>
-      if (not) x.isNotNull else x.isNull
-    case And(ps) => ps.map(lamPred(cat, _, v, x)).reduce(_ && _)
-    case Or(ps) => ps.map(lamPred(cat, _, v, x)).reduce(_ || _)
-    case Not(p0) => !lamPred(cat, p0, v, x)
-    case other => throw new IllegalArgumentException(
-      s"unsupported predicate form in a lambda body: $other")
+    * bind to the nearest enclosing lambda variable like everything
+    * else. */
+  private def lamPred(cat: GraftCatalog, p: Pred,
+                      env: Seq[(String, Column)]): Column = {
+    def bound(c: String): Option[Column] =
+      env.reverse.find(_._1 == c).map(_._2)
+    p match {
+      case ExprCmp(l, op, r) =>
+        val (lc, rc) = (lamColumn(cat, l, env), lamColumn(cat, r, env))
+        if (op == "=") lc === rc else graft.core.Compare.cmp(lc, op, rc)
+      case Cmp(ColRef("", c), op, value) if bound(c).nonEmpty =>
+        val x = bound(c).get
+        val cc = value match { case _: Long => x.cast("long"); case _ => x }
+        graft.core.Compare.cmp(cc, op, value)
+      case Eq(ColRef("", c), value) if bound(c).nonEmpty =>
+        val x = bound(c).get
+        val cc = value match { case _: Long => x.cast("long"); case _ => x }
+        cc === lit(value)
+      case InList(ColRef("", c), vs) if bound(c).nonEmpty =>
+        bound(c).get.isin(vs: _*)
+      case IsNullP(ColRef("", c), not) if bound(c).nonEmpty =>
+        if (not) bound(c).get.isNotNull else bound(c).get.isNull
+      case And(ps) => ps.map(lamPred(cat, _, env)).reduce(_ && _)
+      case Or(ps) => ps.map(lamPred(cat, _, env)).reduce(_ || _)
+      case Not(p0) => !lamPred(cat, p0, env)
+      case other => throw new IllegalArgumentException(
+        s"unsupported predicate form in a lambda body: $other")
+    }
   }
 
   /** The scalar-function dispatch over PRE-LOWERED argument columns —
@@ -4530,7 +4630,13 @@ object HashQL {
           slice(a(0), a(1).cast("int"),
             greatest(a(2) - a(1) + lit(1), lit(0)).cast("int"))
         case "flatten" => flatten(a(0))
-        // 1-based first match, 0 when absent (both engines)
+        // 1-based first match, 0 when absent — matching Spark's
+        // array_position AND the oracle engine (DuckDB 1.0, verified: no
+        // match → 0). KNOWN DIVERGENCE from DuckDB ≥1.1, which changed
+        // list_position to return NULL when absent; callers wanting that
+        // spelling compose nullif(list_position(l, x), 0). The golden
+        // (hashql_list_tier2's pz column) probes an ABSENT element so
+        // the 0-convention is oracle-proven, not masked.
         case "list_position" => array_position(a(0), a(1))
         case "list_min" => array_min(a(0))
         case "list_max" => array_max(a(0))
@@ -4656,6 +4762,13 @@ object HashQL {
       case "array_agg" =>
         val arr = sort_array(collect_list(exprColumn(cat, a.arg)))
         when(size(arr) === 0, lit(null)).otherwise(arr).as(name)
+      // the sorted value SET (round-16) — collect_set skips NULLs like
+      // collect_list; same empty → NULL rule. DuckDB mirror:
+      // list_sort(list_distinct(array_agg(x) FILTER (WHERE x IS NOT
+      // NULL)))
+      case "array_agg_distinct" =>
+        val arr = sort_array(collect_set(exprColumn(cat, a.arg)))
+        when(size(arr) === 0, lit(null)).otherwise(arr).as(name)
     }
   private def predRefs(p: Pred): Set[String] = p match {
     case Eq(r, _) => Set(r.column)
@@ -4732,7 +4845,7 @@ object HashQL {
       case AggCall(_, r) if r.table.nonEmpty && !subTables(r.table) => Seq(r.table)
       case AggExprItem(_, e, _) => exprTables(e).filterNot(subTables).toSeq
       case ExprItem(e, _) => exprTables(e).filterNot(subTables).toSeq
-      case StringAggItem(e, _, _, ord, _) =>
+      case StringAggItem(e, _, _, ord, _, _) =>
         (exprTables(e) ++ ord.toSeq.flatMap(o => exprTables(o._1)))
           .filterNot(subTables).toSeq
       case ArgExtremeItem(_, v, k, _) =>
@@ -4784,7 +4897,7 @@ object HashQL {
     case AggCall(fn, r) => Some(s"${fn}_${r.column}")
     case AggExprItem(_, _, a) => Some(a)
     case ExprItem(_, a) => Some(a)
-    case StringAggItem(_, _, a, _, _) => Some(a)
+    case StringAggItem(_, _, a, _, _, _) => Some(a)
     case ArgExtremeItem(_, _, _, a) => Some(a)
     case GroupingItem(_, a) => Some(a)
     case c: Coalesce2 => Some(coalAlias(c))
@@ -4969,8 +5082,12 @@ object HashQL {
       // sorted-deterministic string aggregation (round-12): collect,
       // sort, join — partitioning-independent; all-NULL/empty groups
       // yield NULL like DuckDB's string_agg, not ''
-      case StringAggItem(e, sep, a, None, asList) =>
-        val arr = sort_array(collect_list(exprColumn(cat, e)))
+      case StringAggItem(e, sep, a, None, asList, dist) =>
+        // DISTINCT collects the SET (collect_set skips NULLs like
+        // collect_list does) — one aggregation either way
+        val coll = if (dist) collect_set(exprColumn(cat, e))
+                   else collect_list(exprColumn(cat, e))
+        val arr = sort_array(coll)
         when(size(arr) === 0, lit(null))
           .otherwise(if (asList) arr else concat_ws(sep, arr)).as(a)
       // explicit within-group ordering (round-15): collect (key, value)
@@ -4979,7 +5096,7 @@ object HashQL {
       // string_agg NULL-skip, same as the default form. collect_list
       // skips NULL VALUES scan-side for the list form too, so
       // array_agg's elements match its expression-position twin.
-      case StringAggItem(e, sep, a, Some((k, desc)), asList) =>
+      case StringAggItem(e, sep, a, Some((k, desc)), asList, _) =>
         val ec = exprColumn(cat, e)
         val st = collect_list(when(ec.isNotNull,
           struct(exprColumn(cat, k).as("k"), ec.as("v"))))
@@ -5050,7 +5167,7 @@ object HashQL {
     * the new plan). */
   private def aggViewFrame(cat: GraftCatalog, sel: Select): DataFrame = {
     var df = cat.table(sel.table)
-    sel.joins.foreach { case JoinClause(t, l, r, _, extra) =>
+    sel.joins.foreach { case JoinClause(t, l, r, _, extra, _) =>
       val tdf = cat.table(t)
       val (known, fresh) = if (l.table == t) (r, l) else (l, r)
       // agg views keep the round-10 equality-extras form (containment
@@ -6539,9 +6656,9 @@ object HashQL {
       case c: Coalesce2 => itemsBuf += c
       case ScalarSubItem(s0, a) => itemsBuf += ScalarSubItem(subSel(s0), a)
       case ExistsItem(s0, a) => itemsBuf += ExistsItem(subSel(s0), a)
-      case StringAggItem(e, sep, a, ord, l) => itemsBuf +=
+      case StringAggItem(e, sep, a, ord, l, dist) => itemsBuf +=
         StringAggItem(expr(e), sep, a,
-          ord.map { case (o, d) => (expr(o), d) }, l)
+          ord.map { case (o, d) => (expr(o), d) }, l, dist)
       case ArgExtremeItem(fn, v, k, a) =>
         itemsBuf += ArgExtremeItem(fn, expr(v), expr(k), a)
       // grouping's key addresses the RESTORED output name (the grouped
@@ -6651,8 +6768,8 @@ object HashQL {
           })
         case ScalarSubItem(s1, a) => ScalarSubItem(subSel(s1), a)
         case ExistsItem(s1, a) => ExistsItem(subSel(s1), a)
-        case StringAggItem(e, sep, a, ord, l) => StringAggItem(expr(e), sep,
-          a, ord.map { case (o, d) => (expr(o), d) }, l)
+        case StringAggItem(e, sep, a, ord, l, dist) => StringAggItem(expr(e),
+          sep, a, ord.map { case (o, d) => (expr(o), d) }, l, dist)
         case ArgExtremeItem(fn, v, k, a) =>
           ArgExtremeItem(fn, expr(v), expr(k), a)
         case other => other
@@ -6750,7 +6867,14 @@ object HashQL {
         // tables' columns, so Star disables that route (exact still fires)
         val routed =
           if (joins.exists(_.outer) || joins.exists(_.extra.nonEmpty) ||
-              sel.froms.nonEmpty || tset.exists(cat.isShadowed)) None
+              sel.froms.nonEmpty || tset.exists(cat.isShadowed) ||
+              // a non-FIRST USING clause resolves its left key against
+              // the cumulative frame at lowering (round-16) — its
+              // recorded (table, l, r) identity is only a guess, so the
+              // NAME-keyed view route must not match on it (a first
+              // USING join's cumulative side IS the base table, which
+              // the recorded pair names exactly)
+              joins.drop(1).exists(_.using)) None
           else registry.flatMap(_.routedFrame(tset,
             joins.map(j => (j.table, j.l, j.r)),
             allowSubset = !items.contains(Star)))
@@ -6761,11 +6885,29 @@ object HashQL {
           // (PushPredicateThroughJoin + ReorderJoin), and the guard
           // after applyWheres rejects any plan left cartesian
           sel.froms.foreach(f => acc = acc.crossJoin(cat.table(f)))
-          joins.foreach { case JoinClause(t, l, r, kind, extra) =>
+          joins.foreach { case JoinClause(t, l, r, kind, extra, usng) =>
             // the clause's table is the fresh side; the other ref is already
             // in the accumulated left-deep join (reference client.py:472-480)
             val tdf = cat.table(t)
             val (known, fresh) = if (l.table == t) (r, l) else (l, r)
+            // ANSI USING resolution (round-16): every key must name
+            // exactly ONE column on the cumulative left side — zero
+            // means the name lives nowhere to the left, two or more
+            // (an outer-join chain that kept both copies, or unrelated
+            // same-named columns) is the ambiguity ANSI/DuckDB reject;
+            // both reject toward the explicit-ON spelling rather than
+            // silently binding one of the candidates
+            if (usng) {
+              val keys = known.column +:
+                extra.collect { case (l2, _, _: ColRef) => l2.column }
+              keys.foreach { k =>
+                val n = acc.columns.count(_ == k)
+                require(n == 1,
+                  s"USING ($k): the accumulated left side has $n columns " +
+                    s"named $k — spell the join with an explicit ON " +
+                    "qualifying the intended table")
+              }
+            }
             if (kind == "asof" || kind == "asof_left") {
               // ASOF JOIN (round-15): union + ONE key shuffle + one
               // window pass (operators.AsOfJoin) — never the per-key
@@ -6982,7 +7124,7 @@ object HashQL {
               case AggCall("count_distinct", r) => Seq(s"cntd_${r.column}")
               case AggCall(fn, r) => Seq(s"${fn}_${r.column}")
               case AggExprItem(_, _, a) => Seq(a)
-              case StringAggItem(_, _, a, _, _) => Seq(a)
+              case StringAggItem(_, _, a, _, _, _) => Seq(a)
               case ArgExtremeItem(_, _, _, a) => Seq(a)
               case GroupingItem(_, a) => Seq(a)
               case _ => Seq.empty

@@ -2995,14 +2995,34 @@ class HashQLSpec extends SparkSpec {
       .get.collect()
     assert(csv(0).getAs[String]("s") == "1-2-3")
     assert(csv(0).getAs[Long]("n") == 3L) // the NULL never collected
-    // DISTINCT rejects toward the deterministic composed spelling
-    val ed = intercept[IllegalArgumentException](HashQL.execute(cat,
-      "select array_agg(distinct ar.v) as d from ar"))
-    assert(ed.getMessage.contains("list_distinct"), ed.getMessage)
+    // DISTINCT (round-16): the sorted value SET — item form,
+    // expression position, and string_agg all share it
+    HashQL.execute(cat, "insert into ar (g, v, o) values ('a', 2, 9)")
+    val dst = HashQL.execute(cat,
+      "select array_agg(distinct ar.v) as d, " +
+        "string_agg(distinct ar.v, '-') as sd, " +
+        "len(array_agg(distinct ar.v)) as n " +
+        "from ar where ar.g = 'a'").get.collect().head
+    assert(dst.getSeq[Long](dst.fieldIndex("d")) == Seq(1L, 2L, 3L))
+    assert(dst.getAs[String]("sd") == "1-2-3")
+    assert(dst.getAs[Long]("n") == 3L)
+    // DISTINCT is value-sorted by construction — an explicit ORDER BY
+    // under it does not compose
+    val edo = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select array_agg(distinct ar.v order by ar.o) as d from ar"))
+    assert(edo.getMessage.contains("value-sorted"), edo.getMessage)
+    // the composed spelling keeps working
     val composed = HashQL.execute(cat,
       "select list_distinct(array_agg(ar.v)) as d from ar where ar.g = 'a'")
       .get.collect().head
     assert(composed.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    // item-head lookahead (round-16): a non-`as` continuation after
+    // array_agg(…) parses through the expression grammar instead of
+    // dying at the item form's alias requirement
+    val cont = HashQL.execute(cat,
+      "select len(array_agg(ar.v)) * 2 as n2 from ar where ar.g = 'a'")
+      .get.collect().head
+    assert(cont.getAs[Long]("n2") == 8L) // 4 values in 'a' now (2 dup)
   }
 
   test("TRUNCATE empties the table through the DELETE commit (round-15)") {
@@ -3136,6 +3156,30 @@ class HashQLSpec extends SparkSpec {
         "when x = 'bb' then 'two' else x end) as m from lm")
       .get.collect().head
     assert(cs.getSeq[String](0) == Seq("a", "two", "CCC"))
+    // nested lambdas (round-16; r15 died with a raw MatchError): the
+    // outer variable is a list the inner lambda iterates — per outer
+    // part, count the '.'-split pieces longer than 1 char
+    val nested = HashQL.execute(cat,
+      "select list_transform(" +
+        "list_transform(split(lm.s, '-'), x -> split(x, 'b')), " +
+        "x -> len(list_filter(x, y -> length(y) >= 1))) as deep from lm")
+      .get.collect().head
+    // 'a'→['a'], 'bb'→['','',''] (empties filtered), 'ccc'→['ccc']
+    assert(nested.getSeq[Long](0) == Seq(1L, 0L, 1L))
+    // inner shadows outer on a same-named variable — the inner binding
+    // wins (lexical scope), so length applies to the inner element
+    val shadow = HashQL.execute(cat,
+      "select list_transform(" +
+        "list_transform(split(lm.s, '-'), x -> split(x, 'zz')), " +
+        "x -> list_transform(x, x -> length(x))) as sh from lm")
+      .get.collect().head
+    assert(shadow.getSeq[Seq[Long]](0) == Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // outer-capture inside a NESTED body still rejects, naming both vars
+    val en = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select list_transform(list_transform(split(lm.s, '-'), " +
+        "x -> split(x, 'b')), x -> len(list_transform(x, " +
+        "y -> length(z)))) as b from lm"))
+    assert(en.getMessage.contains("lambda variable"), en.getMessage)
   }
 
   test("time_bucket aligns fixed widths at the Unix epoch (round-15)") {
@@ -3156,6 +3200,14 @@ class HashQLSpec extends SparkSpec {
       "select time_bucket(interval '1' month, cast(tbk.t as timestamp)) " +
         "as m from tbk"))
     assert(e.getMessage.contains("time_bucket unit"), e.getMessage)
+    // pre-epoch (round-16): floor-mod buckets DOWN across the 1970
+    // boundary — truncating % would have labeled this 23:00
+    val pre = HashQL.execute(cat,
+      "select time_bucket(interval '1' hour, " +
+        "timestamp '1969-12-31 22:47:13') as p from tbk")
+      .get.collect().head
+    assert(pre.getAs[java.sql.Timestamp]("p").toString
+      .startsWith("1969-12-31 22:00:00"), pre.toString)
   }
 
   test("ALTER TABLE: add/rename/drop column, rename table, guards (round-15)") {
@@ -3233,6 +3285,26 @@ class HashQLSpec extends SparkSpec {
       "select ue.n, ud.d from ue left join ud using (k) order by ue.n")
       .get.collect()
     assert(lft.length == 3 && lft(2).isNullAt(1))
+    // chained USING (round-16): the second key lives only on the FIRST
+    // joined table (ud.d), never the base — cumulative-left resolution
+    HashQL.execute(cat,
+      "insert into ug (d, lab) values ('x', 'ex'), ('y', 'wy')")
+    val chain = HashQL.execute(cat,
+      "select ue.n, ug.lab from ue join ud using (k) " +
+        "join ug using (d) order by ue.n").get.collect()
+    assert(chain.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("a", "ex"), ("b", "wy")))
+    // ambiguity (round-16): after a LEFT join both k copies survive on
+    // the accumulated side, so a later USING (k) must reject toward ON
+    HashQL.execute(cat, "insert into uk (k, z) values (1, 5)")
+    val amb = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ue.n from ue left join ud using (k) join uk using (k)"))
+    assert(amb.getMessage.contains("explicit ON"), amb.getMessage)
+    // absent key (round-16): a USING name nowhere on the cumulative
+    // left side rejects with the same remedy, not an analysis error
+    val abs = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select ue.n from ue join uk using (zz)"))
+    assert(abs.getMessage.contains("0 columns"), abs.getMessage)
   }
 
   test("CREATE VIEW: logical re-planning reads, guards, DROP VIEW (round-15)") {
