@@ -2405,6 +2405,20 @@ object HashqlSuite extends Suite {
       Some("""PIVOT lineitem ON l_returnflag
              |USING sum(l_quantity) GROUP BY l_linestatus""".stripMargin)),
 
+    // multi-aggregate PIVOT (round 16): several USING aggregates ride
+    // ONE aggregation pass — columns <value>_<alias> on both engines;
+    // empty COUNT cells render 0 on both.
+    "hashql_pivot_multi_agg" -> Q(
+      (s, d) => run(s, d,
+        "pivot lineitem on lineitem.l_returnflag " +
+          "using sum(lineitem.l_quantity) as q, count(*) as n, " +
+          "max(lineitem.l_discount) as mx " +
+          "group by lineitem.l_linestatus"),
+      Some("""PIVOT lineitem ON l_returnflag
+             |USING sum(l_quantity) AS q, count(*) AS n,
+             |  max(l_discount) AS mx
+             |GROUP BY l_linestatus""".stripMargin)),
+
     // UNNEST in FROM position (round 15 — the r14 queue's #2): explode
     // a list-valued expression over the preceding row — ONE per-row
     // Generate, zero shuffles, the filter still pushed to the scan.
@@ -2645,6 +2659,30 @@ object HashqlSuite extends Suite {
           "select partc.p_brand, count(*) as cnt, " +
             "sum(partc.p_size) as sz from partc " +
             "group by partc.p_brand order by partc.p_brand").get
+      },
+      Some("""SELECT p_brand, count(*) AS cnt,
+             |  CAST(sum(p_size) AS BIGINT) AS sz
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // COPY TO … PARTITION_BY (round 16): hive-partitioned parquet
+    // export (the lang/date pretraining-shard shape) — COPY FROM reads
+    // it back through partition discovery, keys intact; the aggregate
+    // proves the round trip losslessly. Partition-value inference would
+    // re-type numeric-looking keys, so the group key also COUNTs per
+    // partition directory.
+    "hashql_copy_partitioned" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        cat.register("part", graft.core.Tables.t(s, d, "part"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_copy_p").toString
+        HashQL.execute(cat,
+          s"copy part to '$dir/p' (format parquet, partition_by (p_brand))")
+        HashQL.execute(cat, s"copy partp from '$dir/p' (format parquet)")
+        HashQL.execute(cat,
+          "select partp.p_brand, count(*) as cnt, " +
+            "sum(partp.p_size) as sz from partp " +
+            "group by partp.p_brand order by partp.p_brand").get
       },
       Some("""SELECT p_brand, count(*) AS cnt,
              |  CAST(sum(p_size) AS BIGINT) AS sz
@@ -4921,6 +4959,133 @@ object HashqlSuite extends Suite {
              |FROM g16u_base JOIN g16u_mid USING (bid)
              |  JOIN g16u_grps USING (grp)
              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // MERGE … WHEN NOT MATCHED BY SOURCE THEN UPDATE (round 16): the
+    // gentler half of table-sync — stale target rows are FLAGGED, not
+    // dropped; ordered first-match-wins with the BY SOURCE delete. The
+    // oracle executes the equivalent multi-statement DuckDB program
+    // (matched rows are in the source, so the update-before-delete
+    // order cannot misfire; the sandbox DuckDB has no MERGE INTO).
+    "hashql_merge_by_source_update" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into mby (k, v, active) values " +
+            "('a', 1, 1), ('b', 2, 1), ('c', 3, 1), ('d', 9, 1)")
+        HashQL.execute(cat,
+          "insert into msr (k, v) values ('a', 10), ('e', 50)")
+        HashQL.execute(cat,
+          "merge into mby using msr on mby.k = msr.k " +
+            "when matched then update set mby.v = msr.v " +
+            "when not matched by source and mby.v < 3 then delete " +
+            "when not matched by source then update set mby.active = 0 " +
+            "when not matched then insert (k, v, active) " +
+            "values (msr.k, msr.v, 1)")
+        HashQL.execute(cat,
+          "select mby.k, mby.v, mby.active from mby order by mby.k").get
+      },
+      Some("""CREATE TEMP TABLE g16m_t(k VARCHAR, v BIGINT,
+             |  active BIGINT);
+             |INSERT INTO g16m_t VALUES ('a', 1, 1), ('b', 2, 1),
+             |  ('c', 3, 1), ('d', 9, 1);
+             |CREATE TEMP TABLE g16m_s(k VARCHAR, v BIGINT);
+             |INSERT INTO g16m_s VALUES ('a', 10), ('e', 50);
+             |UPDATE g16m_t SET v = s.v FROM g16m_s s
+             |  WHERE g16m_t.k = s.k;
+             |DELETE FROM g16m_t
+             |  WHERE k NOT IN (SELECT k FROM g16m_s) AND v < 3;
+             |UPDATE g16m_t SET active = 0
+             |  WHERE k NOT IN (SELECT k FROM g16m_s) AND NOT (v < 3);
+             |INSERT INTO g16m_t SELECT k, v, 1 FROM g16m_s
+             |  WHERE k NOT IN (SELECT k FROM g16m_t);
+             |SELECT k, v, active FROM g16m_t ORDER BY k""".stripMargin)),
+
+    // multiple WHEN NOT MATCHED clauses (round 16): ordered
+    // first-match-wins inserts with DIFFERENT column lists — the
+    // projections conform over the union of inserted columns (absent
+    // ones null); one anti-join feeds every clause.
+    "hashql_merge_multi_insert" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into mmi (k, v) values ('a', 1)")
+        HashQL.execute(cat,
+          "insert into mms (k, v) values ('a', 5), ('b', 20), ('c', 2)")
+        HashQL.execute(cat,
+          "merge into mmi using mms on mmi.k = mms.k " +
+            "when matched then update set mmi.v = mms.v " +
+            "when not matched and mms.v >= 10 then " +
+            "insert (k, v, tag) values (mms.k, mms.v, 'big') " +
+            "when not matched then insert (k, v) values (mms.k, mms.v)")
+        // coalesce = the skip-exempt projection: bare `mmi.tag` would
+        // SKIP the rows the second clause inserted without a tag (P1
+        // missing-field semantics)
+        HashQL.execute(cat,
+          "select mmi.k, mmi.v, coalesce(mmi.tag, '-') as tag " +
+            "from mmi order by mmi.k").get
+      },
+      Some("""CREATE TEMP TABLE g16mi_t(k VARCHAR, v BIGINT,
+             |  tag VARCHAR);
+             |INSERT INTO g16mi_t VALUES ('a', 1, NULL);
+             |CREATE TEMP TABLE g16mi_s(k VARCHAR, v BIGINT);
+             |INSERT INTO g16mi_s VALUES ('a', 5), ('b', 20), ('c', 2);
+             |UPDATE g16mi_t SET v = s.v FROM g16mi_s s
+             |  WHERE g16mi_t.k = s.k;
+             |INSERT INTO g16mi_t SELECT k, v,
+             |  CASE WHEN v >= 10 THEN 'big' ELSE NULL END
+             |  FROM g16mi_s WHERE k NOT IN (SELECT k FROM g16mi_t);
+             |SELECT k, v, COALESCE(tag, '-') AS tag FROM g16mi_t
+             |ORDER BY k""".stripMargin)),
+
+    // UNION ALL recursion (round 16): BAG semantics — multiplicities
+    // ARE the answer (path counting over a DAG: d and e are reachable
+    // from a along TWO paths each); termination is an empty round, and
+    // the 64-round cap rejects cyclic divergence (spec-covered).
+    "hashql_recursive_bag" -> Q(
+      (s, d) => {
+        val cat = new GraftCatalog(s)
+        HashQL.execute(cat,
+          "insert into edg (s, t) values ('a', 'b'), ('a', 'c'), " +
+            "('b', 'd'), ('c', 'd'), ('d', 'e')")
+        HashQL.execute(cat,
+          "with recursive reach as ( " +
+            "select edg.s as s, edg.t as t from edg where edg.s = 'a' " +
+            "union all " +
+            "select reach.s, edg.t from reach " +
+            "join edg on reach.t = edg.s ) " +
+            "select reach.t, count(*) as paths from reach " +
+            "group by reach.t order by reach.t").get
+      },
+      Some("""CREATE TEMP TABLE g16r_e(s VARCHAR, t VARCHAR);
+             |INSERT INTO g16r_e VALUES ('a','b'), ('a','c'),
+             |  ('b','d'), ('c','d'), ('d','e');
+             |WITH RECURSIVE reach AS (
+             |  SELECT s, t FROM g16r_e WHERE s = 'a'
+             |  UNION ALL
+             |  SELECT reach.s, e.t FROM reach
+             |    JOIN g16r_e e ON reach.t = e.s)
+             |SELECT t, count(*) AS paths FROM reach
+             |GROUP BY t ORDER BY t""".stripMargin)),
+
+    // two-range EXISTS (round 16): a JOINT witness with NO equality key
+    // (`∃ l: l_orderkey < x AND l_suppkey > y`) — banded bucket
+    // equi-join (1024 exact-long buckets + prefix-folded witness
+    // aggregates), never the nested loop Spark would otherwise plan;
+    // ScaleSpec asserts the plan. The inner carries a LOCAL filter too.
+    "hashql_exists_range2" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_orderkey from orders " +
+          "where exists ( select lineitem.l_orderkey from lineitem " +
+          "where lineitem.l_orderkey < orders.o_orderkey " +
+          "and lineitem.l_suppkey > orders.o_custkey " +
+          "and lineitem.l_quantity >= 30 ) " +
+          "and orders.o_orderkey <= 400 order by orders.o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey < o.o_orderkey
+             |    AND l_suppkey > o.o_custkey
+             |    AND l_quantity >= 30)
+             |AND o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin)),
 
     // array_agg continuation forms (round 16): the item-head lookahead
     // sends non-`as` continuations through the expression grammar —

@@ -743,12 +743,17 @@ object HashQL {
     * before-image. Zero extra passes: both frames already exist for the
     * O(delta) registry hooks. `cols` empty means `*`. */
   final case class Returning(inner: Stmt, cols: Seq[String]) extends Stmt
-  /** `copy <table> to '<path>' (format parquet|csv|jsonl)` (round-15 —
-    * DuckDB's COPY as the dialect-level SINK verb): distributed write
-    * through [[graft.sources.Sources]] (parquet = system-of-record;
-    * csv/jsonl = loss-pinned interchange). */
+  /** `copy <table> to '<path>' (format parquet|csv|jsonl [,
+    * partition_by (c, …)])` (round-15; partition_by round-16 — DuckDB's
+    * COPY as the dialect-level SINK verb): distributed write through
+    * [[graft.sources.Sources]] (parquet = system-of-record; csv/jsonl =
+    * loss-pinned interchange). PARTITION_BY hive-partitions the export
+    * (lang/date sharding for pretraining dumps) — parquet only, where
+    * the directory keys round-trip losslessly through COPY FROM's
+    * partition discovery. */
   final case class CopyTo(table: String, path: String,
-                          format: String) extends Stmt
+                          format: String,
+                          partitionBy: Seq[String] = Nil) extends Stmt
   /** `copy <table> from '<path>' (format …)` — the SOURCE verb: read and
     * REGISTER under the name (raw frame, no synthesized ids — the bulk
     * ingest path; the table must not already exist: appending to a
@@ -879,26 +884,37 @@ object HashQL {
                          // multiple, each optionally guarded; delete
                          // clauses mix freely with update clauses)
                          matched: Seq[MergeMatched],
-                         // `when not matched [and <cond>] then insert
-                         // (…) values (…)` — the condition (round-15)
-                         // reads SOURCE columns only (the row has no
-                         // target image); non-firing rows simply don't
-                         // insert
-                         notMatched: Option[(Seq[String], Seq[Expr],
+                         // ordered `when not matched [and <cond>] then
+                         // insert (…) values (…)` clauses (round-16:
+                         // MULTIPLE, first-match-wins like the matched
+                         // tier) — each condition reads SOURCE columns
+                         // only (the row has no target image); a source
+                         // row firing no clause simply doesn't insert
+                         notMatched: Seq[(Seq[String], Seq[Expr],
                            Option[Pred])],
-                         // `when not matched by source [and <cond>]
-                         // then delete` (round-15): target rows with NO
-                         // source match drop — the full one-statement
-                         // table-sync verb. The condition reads TARGET
-                         // columns only (there is no source image).
-                         bySourceDelete: Option[Option[Pred]] = None)
+                         // ordered `when not matched by source [and
+                         // <cond>] then delete | update set …` clauses
+                         // (round-15 delete-only; round-16 adds UPDATE —
+                         // flag-don't-drop stale rows, the gentler half
+                         // of table-sync). Conditions AND set
+                         // right-hand sides read TARGET columns only
+                         // (there is no source image); first-match-wins
+                         // like the matched tier.
+                         bySource: Seq[MergeMatched] = Nil)
       extends Stmt {
     require(on.nonEmpty, "MERGE needs at least one ON equality pair")
-    require(matched.nonEmpty || notMatched.nonEmpty || bySourceDelete.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     require(matched.dropRight(1).forall(_.cond.nonEmpty),
       "only the LAST WHEN MATCHED clause may be unconditional — an " +
         "earlier unconditional clause makes the rest unreachable")
+    require(notMatched.dropRight(1).forall(_._3.nonEmpty),
+      "only the LAST WHEN NOT MATCHED clause may be unconditional — an " +
+        "earlier unconditional clause makes the rest unreachable")
+    require(bySource.dropRight(1).forall(_.cond.nonEmpty),
+      "only the LAST WHEN NOT MATCHED BY SOURCE clause may be " +
+        "unconditional — an earlier unconditional clause makes the " +
+        "rest unreachable")
   }
   /** `pivot <table> on <t.k> in (<lit>, …) using <agg>(t.v | *) group
     * by <t.g> [, …]` (round-14 — DuckDB's simplified PIVOT with an
@@ -910,20 +926,40 @@ object HashQL {
     * job), each value a codegen'd conditional aggregate; count cells
     * coalesce to 0 (DuckDB renders empty count cells 0 where Spark
     * leaves NULL; sum/avg/min/max stay NULL on both engines). */
+  /** `aggs`: the USING aggregates — (fn, arg, alias). ONE aggregate may
+    * go bare (columns named by the IN value, the round-14 shape);
+    * MULTIPLE aggregates (round-16 — DuckDB's `USING sum(v) AS s,
+    * count(*) AS c`) each need an alias, and columns come out
+    * `<value>_<alias>` (Spark's multi-aggregate pivot naming — the same
+    * convention DuckDB uses). */
   final case class Pivot(table: String, on: ColRef, values: Seq[Any],
-                         fn: String, arg: Option[ColRef],
+                         aggs: Seq[(String, Option[ColRef], Option[String])],
                          groupBy: Seq[ColRef]) extends Stmt {
-    require(Set("count", "sum", "avg", "min", "max").contains(fn),
-      s"pivot aggregates count/sum/avg/min/max, got $fn")
-    require(fn == "count" || arg.nonEmpty,
-      s"pivot $fn needs a column argument")
+    require(aggs.nonEmpty, "pivot needs at least one USING aggregate")
+    aggs.foreach { case (fn, arg, _) =>
+      require(Set("count", "sum", "avg", "min", "max").contains(fn),
+        s"pivot aggregates count/sum/avg/min/max, got $fn")
+      require(fn == "count" || arg.nonEmpty,
+        s"pivot $fn needs a column argument")
+    }
+    require(aggs.size == 1 || aggs.forall(_._3.nonEmpty),
+      "a multi-aggregate PIVOT names each aggregate — `using sum(t.v) " +
+        "as s, count(*) as c` (columns come out <value>_<alias>)")
+    require(aggs.size == 1 ||
+      aggs.flatMap(_._3).distinct.size == aggs.size,
+      "duplicate PIVOT aggregate aliases")
+    require(aggs.size > 1 || aggs.head._3.isEmpty,
+      "a single-aggregate PIVOT names columns by the IN value — the " +
+        "alias belongs to the multi-aggregate form")
     // values may be EMPTY (round-15): the dynamic form — the executor
     // discovers them with one bounded distinct-values job
   }
-  /** Dynamic-PIVOT column cap: one `limit N+1` distinct-values probe;
-    * beyond it the statement rejects toward an explicit IN list (an
-    * unbounded pivot would mint one output column per distinct value —
-    * a 100 TB high-cardinality key could mint millions). */
+  /** Dynamic-PIVOT column cap DEFAULT: one `limit N+1` distinct-values
+    * probe; beyond it the statement rejects toward an explicit IN list
+    * (an unbounded pivot would mint one output column per distinct
+    * value — a 100 TB high-cardinality key could mint millions).
+    * Round-16: per-session override through the Spark conf
+    * `graft.pivot.dynamicCap` — a session SETTING, not a code edit. */
   val PivotDynamicCap = 100
   /** `unpivot <table> on (<t.c1>, <t.c2>, …) into name <n> value <v>`
     * (round-14 — DuckDB's UNPIVOT): melt the listed same-typed columns
@@ -1184,7 +1220,15 @@ object HashQL {
     * same statement scope as plain CTEs; step output columns align to
     * the base's POSITIONALLY (standard recursive-CTE rule). */
   final case class WithRecursive(name: String, base: Select, step: Select,
-                                 body: Stmt) extends Stmt
+                                 body: Stmt,
+                                 // UNION ALL (round-16): BAG recursion —
+                                 // no dedup/EXCEPT between rounds (the
+                                 // standard transitive-closure-with-
+                                 // multiplicity spelling); termination is
+                                 // an EMPTY round, and the 64-round cap
+                                 // rejects divergence on cyclic data with
+                                 // a clear error
+                                 bag: Boolean = false) extends Stmt
   final case class WithCtes(ctes: Seq[(String, Stmt)], body: Stmt) extends Stmt {
     require(ctes.nonEmpty, "WITH needs at least one CTE")
     require(ctes.map(_._1).distinct.size == ctes.size,
@@ -1326,8 +1370,21 @@ object HashQL {
         val fmt = next().toLowerCase
         require(Set("parquet", "csv", "jsonl").contains(fmt),
           s"COPY format is parquet|csv|jsonl, got $fmt")
+        // `, partition_by (c [, c2 …])` (round-16): hive-partitioned
+        // export — the TO verb only (FROM discovers partitions itself)
+        val parts = if (is(",")) {
+          next(); kw("partition_by"); kw("(")
+          val ps = scala.collection.mutable.ArrayBuffer(next())
+          while (is(",")) { next(); ps += next() }
+          kw(")")
+          require(dir == "to",
+            "PARTITION_BY applies to COPY … TO (COPY FROM discovers " +
+              "partition directories itself)")
+          ps.toSeq
+        } else Nil
         kw(")")
-        if (dir == "to") CopyTo(t, path, fmt) else CopyFrom(t, path, fmt)
+        if (dir == "to") CopyTo(t, path, fmt, parts)
+        else CopyFrom(t, path, fmt)
       case "alter" =>
         kw("table")
         val t = next()
@@ -1383,18 +1440,21 @@ object HashQL {
         kw("select")
         Explain(selectOrUnion())
       case "with" if is("recursive") =>
-        // with recursive name as (select base union select step) select …
+        // with recursive name as (select base union [all] select step)
+        // select … — UNION ALL (round-16) takes BAG semantics: rounds
+        // append wholesale and stop only when a round yields ZERO rows,
+        // so cyclic data diverges; the bounded-iteration cap turns that
+        // divergence into a clear error instead of a hung cluster
         next()
         val name = next()
         kw("as"); kw("("); kw("select")
         val base = selectRest()
         kw("union")
-        require(!is("all"),
-          "recursive CTE requires UNION (distinct) — UNION ALL diverges on cycles")
+        val bag = if (is("all")) { next(); true } else false
         kw("select")
         val step = selectRest()
         kw(")"); kw("select")
-        WithRecursive(name, base, step, selectOrUnion())
+        WithRecursive(name, base, step, selectOrUnion(), bag)
       case "with" =>
         // CTEs: with name as (select …) (, name as (…))* select …
         val ctes = scala.collection.mutable.ArrayBuffer.empty[(String, Stmt)]
@@ -1663,8 +1723,28 @@ object HashQL {
         if (is("and")) { next(); Some(predConj()) } else None
       val matched =
         scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
-      var notMatched: Option[(Seq[String], Seq[Expr], Option[Pred])] = None
-      var bySource: Option[Option[Pred]] = None
+      val notMatched = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Seq[Expr], Option[Pred])]
+      val bySource =
+        scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
+      // shared by WHEN MATCHED and (round-16) WHEN NOT MATCHED BY
+      // SOURCE — the latter's assignments read the target only, which
+      // the lowering's scope check enforces
+      def updateSets(clause: String): Seq[(ColRef, Expr)] = {
+        kw("update"); kw("set")
+        val sets =
+          scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
+        var m2 = true
+        while (m2) {
+          val ref = colRef(); kw("=")
+          require(ref.table.isEmpty || ref.table == t,
+            s"$clause assigns the TARGET's columns — got " +
+              s"${ref.table}.${ref.column}")
+          sets += ((ref, rhs()))
+          m2 = is(",") && { next(); true }
+        }
+        sets.toSeq
+      }
       require(is("when"), "MERGE needs at least one WHEN clause")
       while (is("when")) {
         next()
@@ -1675,35 +1755,22 @@ object HashQL {
           // `then delete` (round-14) — the matched action drops the
           // row; otherwise `update set …`
           if (is("delete")) { next(); matched += MergeMatched(cond, Nil, true) }
-          else {
-            kw("update"); kw("set")
-            val sets =
-              scala.collection.mutable.ArrayBuffer.empty[(ColRef, Expr)]
-            var m2 = true
-            while (m2) {
-              val ref = colRef(); kw("=")
-              require(ref.table.isEmpty || ref.table == t,
-                s"WHEN MATCHED assigns the TARGET's columns — got " +
-                  s"${ref.table}.${ref.column}")
-              sets += ((ref, rhs()))
-              m2 = is(",") && { next(); true }
-            }
-            matched += MergeMatched(cond, sets.toSeq, false)
-          }
+          else matched += MergeMatched(cond,
+            updateSets("WHEN MATCHED"), false)
         } else {
           kw("not"); kw("matched")
-          // `when not matched BY SOURCE [and <cond>] then delete`
-          // (round-15): target rows with no source match drop — the
-          // one-statement table-sync verb
+          // `when not matched BY SOURCE [and <cond>] then delete |
+          // update set …` (round-15 delete; round-16 update): target
+          // rows with no source match drop or restate — table-sync's
+          // two halves, ordered first-match-wins like the matched tier
           if (is("by")) {
             next(); kw("source")
-            require(bySource.isEmpty,
-              "duplicate WHEN NOT MATCHED BY SOURCE clause")
             val cond = guard()
-            kw("then"); kw("delete")
-            bySource = Some(cond)
+            kw("then")
+            if (is("delete")) { next(); bySource += MergeMatched(cond, Nil, true) }
+            else bySource += MergeMatched(cond,
+              updateSets("WHEN NOT MATCHED BY SOURCE"), false)
           } else {
-            require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
             val cond = guard()
             kw("then"); kw("insert")
             kw("(")
@@ -1718,11 +1785,12 @@ object HashQL {
                 s"${vals.length} value(s)")
             require(!cols.contains("id"),
               "MERGE inserts synthesize id — don't insert one")
-            notMatched = Some((cols.toSeq, vals.toSeq, cond))
+            notMatched += ((cols.toSeq, vals.toSeq, cond))
           }
         }
       }
-      Merge(t, u, pairs.toSeq, matched.toSeq, notMatched, bySource)
+      Merge(t, u, pairs.toSeq, matched.toSeq, notMatched.toSeq,
+        bySource.toSeq)
     }
 
     /** `pivot t on t.k in ('a', 'b') using sum(t.v) group by t.g` —
@@ -1741,14 +1809,24 @@ object HashQL {
         kw(")")
       }
       kw("using")
-      val fn = next().toLowerCase
-      kw("(")
-      val arg = if (is("*")) { next(); None } else Some(colRef())
-      kw(")")
+      // one or more aggregates (round-16: `using sum(t.v) as s,
+      // count(*) as c`) — multiples need aliases (AST enforces)
+      val aggs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[ColRef], Option[String])]
+      var moreAgg = true
+      while (moreAgg) {
+        val fn = next().toLowerCase
+        kw("(")
+        val arg = if (is("*")) { next(); None } else Some(colRef())
+        kw(")")
+        val al = if (is("as")) { next(); Some(next()) } else None
+        aggs += ((fn, arg, al))
+        moreAgg = is(",") && { next(); true }
+      }
       kw("group"); kw("by")
       val gs = scala.collection.mutable.ArrayBuffer(colRef())
       while (is(",")) { next(); gs += colRef() }
-      Pivot(t, on, vs.toSeq, fn, arg, gs.toSeq)
+      Pivot(t, on, vs.toSeq, aggs.toSeq, gs.toSeq)
     }
 
     /** `unpivot t on (t.c1, t.c2) into name k value v` — see
@@ -5582,11 +5660,12 @@ object HashQL {
             Seq(MergeMatched(None, sets.map { case (ref, e) =>
               (ref, rex(e)) }, delete = false))
         }
-        val nm = Some((fields,
-          fields.map(f => ECol(ColRef(srcName, f)): Expr), None))
+        val nm = Seq((fields,
+          fields.map(f => ECol(ColRef(srcName, f)): Expr),
+          None: Option[Pred]))
         val on = keys.map(k => (ColRef(t, k), ColRef(srcName, k)))
         cat.withScope(Map(srcName -> srcDf))(
-          executeStmt(cat, Merge(t, srcName, on, matched, nm, None),
+          executeStmt(cat, Merge(t, srcName, on, matched, nm, Nil),
             registry))
       case Insert(t, fs, rows) =>
         // a null value is the field omitted for that row — schema union
@@ -5637,7 +5716,7 @@ object HashQL {
         // every computed ref must live on the target or the source
         val inScope = Set(t, u)
         val badRefs = (matched.flatMap(_.sets.map(_._2)) ++
-          notMatched.toSeq.flatMap(_._2))
+          notMatched.flatMap(_._2))
           .flatMap(exprTables).filterNot(inScope).distinct
         require(badRefs.isEmpty,
           s"MERGE expressions reference table(s) ${badRefs.mkString(", ")}" +
@@ -5645,7 +5724,8 @@ object HashQL {
         // clause-condition scope (round-15): WHEN MATCHED guards see
         // target+source (the matched join row carries both); a
         // NOT MATCHED insert guard sees the SOURCE only (the row has no
-        // target image); a BY SOURCE guard sees the TARGET only. No
+        // target image); a BY SOURCE guard — and (round-16) a BY SOURCE
+        // update's right-hand sides — see the TARGET only. No
         // subqueries anywhere — stage those through a CTE.
         matched.flatMap(_.cond).foreach { p =>
           require(!subqueryPred(p),
@@ -5665,7 +5745,7 @@ object HashQL {
             s"a WHEN NOT MATCHED condition reads SOURCE ($u) columns " +
               s"only — it references ${bad.mkString(", ")}")
         }
-        bySource.flatten.foreach { p =>
+        bySource.flatMap(_.cond).foreach { p =>
           require(!subqueryPred(p),
             "a MERGE clause condition cannot carry subqueries — stage " +
               "the row set through a CTE")
@@ -5673,6 +5753,13 @@ object HashQL {
           require(bad.isEmpty,
             s"a WHEN NOT MATCHED BY SOURCE condition reads TARGET ($t) " +
               s"columns only — it references ${bad.mkString(", ")}")
+        }
+        bySource.flatMap(_.sets.map(_._2)).foreach { e =>
+          val bad = exprTables(e).filterNot(_ == t)
+          require(bad.isEmpty,
+            s"a WHEN NOT MATCHED BY SOURCE update reads TARGET ($t) " +
+              s"columns only (there is no source image) — it " +
+              s"references ${bad.mkString(", ")}")
         }
         // ANSI cardinality: at most ONE source row may UPDATE a target
         // row. Only source rows that actually HIT a target row are
@@ -5714,80 +5801,121 @@ object HashQL {
         val reserved = srcR.columns.toSeq
         val needJoin = matched.nonEmpty || bySource.nonEmpty
         lazy val joined = pre.join(srcR, cond, "left")
-        // FIRST-MATCH-WINS clause index (ANSI evaluation order): one
-        // chained when()/otherwise() — never a second pass. An UNKNOWN
-        // guard falls through to the next clause; a row firing no
-        // clause keeps its index NULL (and its columns unchanged).
+        // FIRST-MATCH-WINS clause indices (ANSI evaluation order): one
+        // chained when()/otherwise() per tier — never a second pass.
+        // An UNKNOWN guard falls through to the next clause; a row
+        // firing no clause keeps its index NULL (columns unchanged).
+        // Matched clauses fire on HIT rows, BY SOURCE clauses
+        // (round-16) on MISS rows — disjoint domains, so the two index
+        // columns never both fire on one row.
         val clauseIdx = matched.zipWithIndex
           .foldRight(lit(null).cast("int")) { case ((mc, i), acc) =>
             val fire = mc.cond.map(p => hit && rpredCol(p)).getOrElse(hit)
             when(fire, lit(i)).otherwise(acc)
           }
-        lazy val withIdx = joined.withColumn("graft_mrg_clause", clauseIdx)
+        val bsrcIdx = bySource.zipWithIndex
+          .foldRight(lit(null).cast("int")) { case ((mc, i), acc) =>
+            val fire = mc.cond.map(p => !hit && rpredCol(p)).getOrElse(!hit)
+            when(fire, lit(i)).otherwise(acc)
+          }
+        lazy val withIdx = joined
+          .withColumn("graft_mrg_clause", clauseIdx)
+          .withColumn("graft_mrg_bsrc", bsrcIdx)
+        val idxCols = Seq("graft_mrg_clause", "graft_mrg_bsrc")
         val delIdx = matched.zipWithIndex.collect {
           case (mc, i) if mc.delete => i }
-        val bySrcFire: Column = bySource match {
-          case None => lit(false)
-          case Some(c) => !hit && c.map(p =>
-            coalesce(rpredCol(p), lit(false))).getOrElse(lit(true))
-        }
-        val dropFire = (if (delIdx.isEmpty) lit(false)
-          else coalesce(col("graft_mrg_clause")
-            .isin(delIdx.map(Int.box): _*), lit(false))) || bySrcFire
-        // matched updates: ONE withColumns projection over ALL update
-        // clauses — for each assigned column, the clause index picks the
-        // firing clause's value; every RHS reads the BEFORE image
-        // (simultaneous SET semantics)
+        val bsrcDelIdx = bySource.zipWithIndex.collect {
+          case (mc, i) if mc.delete => i }
+        def fires(cn: String, idxs: Seq[Int]): Column =
+          if (idxs.isEmpty) lit(false)
+          else coalesce(col(cn).isin(idxs.map(Int.box): _*), lit(false))
+        val dropFire = fires("graft_mrg_clause", delIdx) ||
+          fires("graft_mrg_bsrc", bsrcDelIdx)
+        // matched + by-source updates: ONE withColumns projection over
+        // ALL update clauses — for each assigned column, the firing
+        // clause's value (matched tier first — the domains are
+        // disjoint, so the nesting is arbitrary); every RHS reads the
+        // BEFORE image (simultaneous SET semantics)
         val updClauses = matched.zipWithIndex.filter(_._1.sets.nonEmpty)
-        val setCols = updClauses.flatMap(_._1.sets.map(_._1.column)).distinct
-        def newVal(f: String): Column =
-          updClauses.foldRight(
-            if (pre.columns.contains(f)) col(f) else lit(null): Column) {
-            case ((mc, i), acc) =>
-              mc.sets.find(_._1.column == f) match {
-                case Some((_, e)) =>
-                  when(col("graft_mrg_clause") === i,
-                    exprColumn(cat, rexpr(e))).otherwise(acc)
-                case None => acc
-              }
+        val bsrcUpdClauses =
+          bySource.zipWithIndex.filter(_._1.sets.nonEmpty)
+        val setCols = (updClauses ++ bsrcUpdClauses)
+          .flatMap(_._1.sets.map(_._1.column)).distinct
+        def chainSets(clauses: Seq[(MergeMatched, Int)], cn: String,
+                      f: String, base: Column): Column =
+          clauses.foldRight(base) { case ((mc, i), acc) =>
+            mc.sets.find(_._1.column == f) match {
+              case Some((_, e)) =>
+                when(col(cn) === i,
+                  exprColumn(cat, rexpr(e))).otherwise(acc)
+              case None => acc
+            }
           }
+        def newVal(f: String): Column =
+          chainSets(updClauses, "graft_mrg_clause", f,
+            chainSets(bsrcUpdClauses, "graft_mrg_bsrc", f,
+              if (pre.columns.contains(f)) col(f) else lit(null)))
         def applySets(frame: DataFrame): DataFrame =
           if (setCols.isEmpty) frame
           else frame.withColumns(setCols.map(f => f -> newVal(f)).toMap)
         val updated =
           if (!needJoin) pre
           else applySets(withIdx.filter(!dropFire))
-            .drop("graft_mrg_clause").drop(reserved: _*)
+            .drop(idxCols: _*).drop(reserved: _*)
         // not-matched inserts: source rows with no target hit (one
-        // anti-join), guard-filtered, projected through the INSERT list.
-        // The guard's scope is SOURCE-only, so BARE refs bind to the
-        // source too (on the matched side bare refs bind to the target,
-        // the only unrenamed frame there).
-        val insRows = notMatched.map { case (cols, vals, icond) =>
-          val miss = srcR.join(pre, cond, "left_anti")
-          def srcRef(r: ColRef): ColRef =
-            if (r.table == u || r.table.isEmpty) ColRef("", mcol(r.column))
-            else r
-          val gated = icond.fold(miss)(p => miss.filter(predColumn(cat,
-            mapPredRefsSimple(srcRef, "a MERGE clause condition")(p))))
-          gated.select(cols.zip(vals).map { case (c, e) =>
-            exprColumn(cat, rexpr(e)).as(c) }: _*)
-        }
+        // anti-join), clause-indexed first-match-wins (round-16 —
+        // MULTIPLE insert clauses), each projected through its own
+        // INSERT list and conformed over the union of inserted columns
+        // (absent ones null). The guards' scope is SOURCE-only, so BARE
+        // refs bind to the source too (on the matched side bare refs
+        // bind to the target, the only unrenamed frame there).
+        val insRows =
+          if (notMatched.isEmpty) None
+          else {
+            val miss = srcR.join(pre, cond, "left_anti")
+            def srcRef(r: ColRef): ColRef =
+              if (r.table == u || r.table.isEmpty)
+                ColRef("", mcol(r.column))
+              else r
+            val insIdx = notMatched.zipWithIndex
+              .foldRight(lit(null).cast("int")) {
+                case (((_, _, icond), i), acc) =>
+                  val fire = icond.map(p => predColumn(cat,
+                    mapPredRefsSimple(srcRef,
+                      "a MERGE clause condition")(p)))
+                    .getOrElse(lit(true))
+                  when(fire, lit(i)).otherwise(acc)
+              }
+            val indexed = miss.withColumn("graft_mrg_ins", insIdx)
+            val allCols = notMatched.flatMap(_._1).distinct
+            val frames = notMatched.zipWithIndex.map {
+              case ((cols, vals, _), i) =>
+                indexed.filter(col("graft_mrg_ins") === i)
+                  .select(allCols.map { c =>
+                    cols.indexOf(c) match {
+                      case -1 => lit(null).as(c)
+                      case j => exprColumn(cat, rexpr(vals(j))).as(c)
+                    }
+                  }: _*)
+            }
+            Some(frames.reduce(_ unionByName _))
+          }
         val delta = cat.mergeCommit(t, updated, insRows)
-        // O(delta) hooks: deleted rows (matched-delete + by-source) as
-        // one before-image; updated rows as a before/after pair — never
-        // a post-commit rescan
-        if (needJoin && (delIdx.nonEmpty || bySource.nonEmpty))
+        // O(delta) hooks: deleted rows (matched-delete + by-source
+        // delete) as one before-image; updated rows (matched +
+        // by-source updates) as a before/after pair — never a
+        // post-commit rescan
+        if (needJoin && (delIdx.nonEmpty || bsrcDelIdx.nonEmpty))
           registry.foreach(_.onDelete(cat, t,
             withIdx.filter(dropFire)
-              .drop("graft_mrg_clause").drop(reserved: _*)))
-        if (updClauses.nonEmpty) {
-          val updFire = coalesce(col("graft_mrg_clause")
-            .isin(updClauses.map(_._2).map(Int.box): _*), lit(false))
+              .drop(idxCols: _*).drop(reserved: _*)))
+        if (updClauses.nonEmpty || bsrcUpdClauses.nonEmpty) {
+          val updFire = fires("graft_mrg_clause", updClauses.map(_._2)) ||
+            fires("graft_mrg_bsrc", bsrcUpdClauses.map(_._2))
           val beforeF = withIdx.filter(updFire)
-            .drop("graft_mrg_clause").drop(reserved: _*)
+            .drop(idxCols: _*).drop(reserved: _*)
           val afterF = applySets(withIdx.filter(updFire))
-            .drop("graft_mrg_clause").drop(reserved: _*)
+            .drop(idxCols: _*).drop(reserved: _*)
           registry.foreach(_.onUpdate(cat, t, beforeF, afterF))
         }
         for (d <- delta; reg <- registry)
@@ -5811,10 +5939,22 @@ object HashQL {
              else deleted.select(cols.map(col): _*))
       case Returning(other, _) => throw new IllegalArgumentException(
         s"RETURNING rides INSERT … VALUES, UPDATE and DELETE, got: $other")
-      case CopyTo(t, path, fmt) =>
+      case CopyTo(t, path, fmt, parts) =>
         val df = cat.table(t)
+        if (parts.nonEmpty) {
+          val missing = parts.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"PARTITION_BY columns not on $t: ${missing.mkString(", ")}")
+          // parquet-only: csv/jsonl re-reads pin the sidecar schema,
+          // which would fight partition-column discovery (the keys live
+          // in directory names, not the files)
+          require(fmt == "parquet",
+            "PARTITION_BY export is parquet-only — csv/jsonl interchange " +
+              "stays flat (the sidecar schema pins file columns)")
+        }
         fmt match {
-          case "parquet" => graft.sources.Sources.writeParquet(df, path)
+          case "parquet" =>
+            graft.sources.Sources.writeParquet(df, path, parts)
           case "csv" =>
             graft.sources.Sources.writeCsv(df, path)
             writeSchemaSidecar(df, path)
@@ -5840,43 +5980,58 @@ object HashQL {
         }
         cat.register(t, df)
         None
-      case Pivot(t, on, values0, fn, arg, gs) =>
+      case Pivot(t, on, values0, pivotAggs, gs) =>
         val df = cat.table(t)
         // DYNAMIC form (round-15 — empty IN list): ONE bounded
         // distinct-values job (limit cap+1 — never a full collect),
         // sorted for deterministic column order, NULL keys excluded
         // (DuckDB's dynamic PIVOT mints no NULL column); then the
-        // explicit-values plan below, unchanged
+        // explicit-values plan below, unchanged. The cap threads
+        // through the SESSION conf (round-16) with the compiled
+        // default — a per-session knob, not a code edit.
         val values = if (values0.nonEmpty) values0 else {
+          val cap = df.sparkSession.conf
+            .get("graft.pivot.dynamicCap", PivotDynamicCap.toString).toInt
+          require(cap >= 1,
+            s"graft.pivot.dynamicCap must be >= 1, got $cap")
           val probe = df.select(col(on.column))
             .filter(col(on.column).isNotNull)
             .distinct().orderBy(col(on.column))
-            .limit(PivotDynamicCap + 1).collect().map(_.get(0)).toSeq
-          require(probe.size <= PivotDynamicCap,
-            s"dynamic PIVOT found more than $PivotDynamicCap distinct " +
-              s"values of ${on.column} — spell an explicit IN list")
+            .limit(cap + 1).collect().map(_.get(0)).toSeq
+          require(probe.size <= cap,
+            s"dynamic PIVOT found more than $cap distinct " +
+              s"values of ${on.column} — spell an explicit IN list " +
+              "(or raise the graft.pivot.dynamicCap session setting)")
           require(probe.nonEmpty,
             s"dynamic PIVOT found no non-NULL values of ${on.column}")
           probe
         }
-        val aggc = fn match {
+        def aggOf(fn: String, arg: Option[ColRef]): Column = fn match {
           case "count" => arg.fold(count(lit(1)))(r => count(col(r.column)))
           case "sum" => sum(col(arg.get.column))
           case "avg" => avg(col(arg.get.column))
           case "min" => min(col(arg.get.column))
           case "max" => max(col(arg.get.column))
         }
+        val aggCols = pivotAggs.map { case (fn, arg, al) =>
+          al.fold(aggOf(fn, arg))(a => aggOf(fn, arg).as(a)) }
         // EXPLICIT values → ONE partial-agg'd aggregation, no
-        // distinct-values pre-job; each IN value becomes a codegen'd
-        // conditional aggregate column named by the value
+        // distinct-values pre-job; each IN value becomes one codegen'd
+        // conditional aggregate column PER USING aggregate (round-16:
+        // several ride the same single aggregation pass — Spark names
+        // them <value>_<alias>, DuckDB's convention too)
         var out = df.groupBy(gs.map(g => col(g.column)): _*)
-          .pivot(on.column, values).agg(aggc)
+          .pivot(on.column, values).agg(aggCols.head, aggCols.tail: _*)
         // DuckDB renders an empty COUNT cell 0 (sum/avg/min/max stay
         // NULL on both engines)
-        if (fn == "count")
-          out = values.foldLeft(out)((d, v) =>
-            d.withColumn(v.toString, coalesce(col(s"`${v.toString}`"),
-              lit(0L))))
+        val countCols = values.flatMap { v =>
+          if (pivotAggs.size == 1)
+            (if (pivotAggs.head._1 == "count") Seq(v.toString) else Nil)
+          else pivotAggs.collect { case ("count", _, Some(a)) =>
+            s"${v.toString}_$a" }
+        }
+        out = countCols.foldLeft(out)((d, c) =>
+          d.withColumn(c, coalesce(col(s"`$c`"), lit(0L))))
         Some(out)
       case Unpivot(t, cols, nameC, valueC) =>
         val df = cat.table(t)
@@ -6028,7 +6183,7 @@ object HashQL {
             // here is safe (same rule as query CTEs)
             cat.withScope(scope)(executeStmt(cat, dml, registry))
         }
-      case WithRecursive(name, base, step, body) =>
+      case WithRecursive(name, base, step, body, bag) =>
         // semi-naive fixpoint: each round binds `name` to the LAST
         // round's NEW rows only, so the step join probes the frontier,
         // not the whole accumulated set — the 100 TB recursion shape
@@ -6040,10 +6195,19 @@ object HashQL {
         // to them), so the recursive table's columns can never collide
         // with the step tables' — a recursion's working table and its
         // edge table share names by construction.
+        // BAG mode (round-16, UNION ALL): the frontier is the step's
+        // whole output — no distinct, no EXCEPT (multiplicities are the
+        // answer); termination is an EMPTY round, and the same 64-round
+        // cap turns cyclic-data divergence into a clear error (with the
+        // frontier-sized per-round I/O, 64 rounds of a diverging bag
+        // stay bounded by 64 step evaluations — nothing hangs).
         val recStep = retargetRecursive(step, name)
         def rec(df: DataFrame): DataFrame =
           df.toDF(df.columns.map(c => s"__rec_$c").toSeq: _*)
-        var acc = selectFrame(cat, base, registry).distinct().localCheckpoint()
+        var acc = {
+          val b = selectFrame(cat, base, registry)
+          (if (bag) b else b.distinct()).localCheckpoint()
+        }
         var frontier = acc
         var rounds = 0
         var done = false
@@ -6054,8 +6218,10 @@ object HashQL {
           require(stepped.columns.length == acc.columns.length,
             s"recursive step projects ${stepped.columns.length} columns, " +
               s"base has ${acc.columns.length}")
-          val fresh = stepped.toDF(acc.columns.toSeq: _*)
-            .distinct().except(acc).localCheckpoint()
+          val aligned = stepped.toDF(acc.columns.toSeq: _*)
+          val fresh =
+            (if (bag) aligned else aligned.distinct().except(acc))
+              .localCheckpoint()
           if (fresh.isEmpty) done = true
           else {
             // frontiers alone are checkpointed: acc stays a lazy union of
@@ -6068,7 +6234,10 @@ object HashQL {
           }
         }
         require(done,
-          s"recursive CTE '$name' did not reach a fixpoint within 64 rounds")
+          s"recursive CTE '$name' did not reach a fixpoint within 64 " +
+            "rounds" + (if (bag) " — UNION ALL recursion diverges on " +
+            "cyclic data; use UNION (distinct) or bound the step with " +
+            "a depth column" else ""))
         Some(cat.withScope(Map(name -> acc))(queryFrame(cat, body, registry)))
     }
 
@@ -7986,11 +8155,31 @@ object HashQL {
       // would need a JOINT witness (independent min/max is wrong) and
       // still reject toward an equality key.
       if (pairs.isEmpty) {
+        // TWO range conjuncts (round-16 — the r15 queue's #5): a JOINT
+        // witness (`∃ s: s.a < x AND s.b > y`) that independent min/max
+        // stats cannot answer — banded through [[bandedRangeExists]]'s
+        // bucket equi-join, never a nested loop.
+        def rangeForm(p: Pred): Option[(ColRef, String, ColRef)] =
+          p match {
+            case ExprCmp(ECol(a), op0 @ ("<" | ">" | "<=" | ">="),
+                         ECol(b)) =>
+              if (subTables.contains(a.table)) Some((a, op0, b))
+              else Some((b, flipOp(op0), a))
+            case _ => None
+          }
+        val ranges = cross.flatMap(rangeForm)
+        if (crossForms.length == 2 && ranges.length == 2) {
+          require(flagCol.isEmpty,
+            "a two-range EXISTS is supported as a top-level WHERE " +
+              "conjunct only (under OR it would multiply rows)")
+          return bandedRangeExists(cat, outer, sub, local, ranges(0),
+            ranges(1), anti, registry)
+        }
         require(crossForms.length == 1,
           "a correlated EXISTS needs an EQUALITY conjunct (u.k = t.k) — " +
-            "pure range/inequality correlation is supported for exactly " +
-            "ONE conjunct (it reduces to min/max stats); more would " +
-            "need a per-row witness, a nested loop at scale")
+            "pure range/inequality correlation is supported for ONE " +
+            "conjunct (min/max stats) or TWO range conjuncts (a banded " +
+            "joint witness); anything more needs an equality key")
         import graft.core.Compare.cmp
         val innerRef = crossForms.head._1
         val outerRef = crossForms.head._2
@@ -8081,6 +8270,115 @@ object HashQL {
             if (anti) "left_anti" else "left_semi")
       }
     }
+  }
+
+  /** Two-range EXISTS without an equality key (round-16):
+    * `∃ s: s.a opA x AND s.b opB y` — a JOINT witness, which neither
+    * independent min/max stats (wrong: the min-a row may fail the b
+    * test) nor a naive plan (BroadcastNestedLoopJoin, O(|outer|·|S|))
+    * can serve at scale. The RangeJoin-style banding:
+    *
+    *  1. ONE stats pass over S gives min/max of the BAND column `a`
+    *     (must be integral — exact long bucket arithmetic, no
+    *     float-boundary misbuckets); width = span/1024 rounded up, so
+    *     ≤1024 buckets regardless of data size.
+    *  2. Per-bucket aggregate of the WITNESS column `b` (max for >/>=,
+    *     min for </<=), densified over the full bucket range
+    *     (spark.range, ≤1026 rows) and prefix-folded by a window —
+    *     prefix(k) answers "best b among rows whose bucket is STRICTLY
+    *     below k", which qualify on `a` wholesale (exact: bucket
+    *     boundaries are longs). opA pointing the other way flips the
+    *     fold to a suffix. The window runs on ≤1026 post-aggregation
+    *     rows — single-partition by construction and trivially cheap.
+    *  3. The unified inner frame = S's rows (bucket, a, b) ∪ prefix
+    *     rows (bucket, NULL, best-b). ONE hash semi/anti equi-join on
+    *     the outer row's CLAMPED bucket with the residual predicate
+    *     `(a IS NULL OR a opA x) AND b opB y` — prefix rows resolve
+    *     every fully-qualified bucket, S's own rows resolve only the
+    *     outer row's boundary bucket. Never a cross product; hot
+    *     buckets are plain equi-join skew (AQE splits them).
+    *
+    * NULL rows of S can't witness (filtered scan-side); a NULL outer
+    * x/y nulls the bucket/compare and matches nothing — EXISTS's
+    * UNKNOWN→FALSE. */
+  private def bandedRangeExists(cat: GraftCatalog, outer: DataFrame,
+                                sub: Select, local: Seq[Pred],
+                                bandC: (ColRef, String, ColRef),
+                                witC: (ColRef, String, ColRef),
+                                anti: Boolean,
+                                registry: Option[JoinRegistry]): DataFrame = {
+    import graft.core.Compare.cmp
+    import org.apache.spark.sql.types._
+    val spark = outer.sparkSession
+    // inner witness rows — both columns SKIP-EXEMPT coalesce identities
+    // (the stats-path discipline), NULLs dropped scan-side (a NULL can
+    // never witness a range)
+    val innerW0 = selectFrame(cat, sub.copy(
+      items = Seq(
+        ExprItem(EFunc("coalesce", Seq(ECol(bandC._1), ECol(bandC._1))),
+          "graft_ebr_a"),
+        ExprItem(EFunc("coalesce", Seq(ECol(witC._1), ECol(witC._1))),
+          "graft_ebr_b")),
+      wheres = local), registry)
+    val innerW = innerW0.filter(col("graft_ebr_a").isNotNull &&
+      col("graft_ebr_b").isNotNull)
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(innerW.schema("graft_ebr_a").dataType),
+      s"a two-range EXISTS bands on ${bandC._1.column}, which must be " +
+        "an integer column (exact bucket boundaries) — cast it, or " +
+        "correlate through an equality key")
+    val st = innerW.agg(min(col("graft_ebr_a").cast("long")),
+      max(col("graft_ebr_a").cast("long"))).head
+    if (st.isNullAt(0))
+      // empty/no-witness inner: EXISTS is FALSE everywhere
+      return if (anti) outer else outer.filter(lit(false))
+    val (mnA, mxA) = (st.getLong(0), st.getLong(1))
+    val nBuckets = 1024L
+    val w = Math.max(1L, Math.addExact(
+      Math.subtractExact(mxA, mnA) / nBuckets, 1L))
+    val lowDir = bandC._2 == "<" || bandC._2 == "<="
+    val maxto = if (lowDir) nBuckets else nBuckets - 1
+    val minto = if (lowDir) 0L else -1L
+    def ibucket(c: Column): Column =
+      ((c.cast("long") - lit(mnA)) / lit(w)).cast("long")
+    val perBucket = innerW.withColumn("graft_ebr_k",
+      least(ibucket(col("graft_ebr_a")), lit(nBuckets - 1)))
+    // witness fold direction: the EXISTS test `b opB y` is answered by
+    // the best b — max for >/-(>=), min for </<=
+    val wantMax = witC._2 == ">" || witC._2 == ">="
+    def best(c: Column): Column = if (wantMax) max(c) else min(c)
+    val bAgg = perBucket.groupBy(col("graft_ebr_k"))
+      .agg(best(col("graft_ebr_b")).as("graft_ebr_bb"))
+    val allK = spark.range(minto, maxto + 1).toDF("graft_ebr_k")
+    val wspec =
+      if (lowDir) org.apache.spark.sql.expressions.Window
+        .orderBy(col("graft_ebr_k").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      else org.apache.spark.sql.expressions.Window
+        .orderBy(col("graft_ebr_k").asc)
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+    val prefixRows = allK.join(bAgg, Seq("graft_ebr_k"), "left")
+      .withColumn("graft_ebr_pv",
+        (if (wantMax) max(col("graft_ebr_bb"))
+         else min(col("graft_ebr_bb"))).over(wspec))
+      .filter(col("graft_ebr_pv").isNotNull)
+      .select(col("graft_ebr_k"),
+        lit(null).cast(innerW.schema("graft_ebr_a").dataType)
+          .as("graft_ebr_a"),
+        col("graft_ebr_pv").as("graft_ebr_b"))
+    val unified = perBucket
+      .select(col("graft_ebr_k"), col("graft_ebr_a"), col("graft_ebr_b"))
+      .unionByName(prefixRows)
+    val ox = outer(bandC._3.column)
+    val oy = outer(witC._3.column)
+    val okey = least(greatest(ibucket(ox), lit(minto)), lit(maxto))
+    val jcond = okey === unified("graft_ebr_k") &&
+      (unified("graft_ebr_a").isNull ||
+        cmp(unified("graft_ebr_a"), bandC._2, ox)) &&
+      cmp(unified("graft_ebr_b"), witC._2, oy)
+    outer.join(unified, jcond, if (anti) "left_anti" else "left_semi")
   }
 
   /** Rewrite every reference to `srcTable` inside an expression to its

@@ -928,11 +928,27 @@ class HashQLSpec extends SparkSpec {
         "select r.d from r").get
     // the cycle terminates through EXCEPT; d rides the spur; e/f excluded
     assert(reach.as[String].collect().toSet == Set("a", "b", "c", "d"))
-    // UNION ALL recursion is rejected up front
+    // UNION ALL recursion (round-16): BAG semantics — acyclic data
+    // terminates on an empty round and multiplicities survive (two
+    // derivations of d: a→b→c→d has one path here, but the spur c→d
+    // plus cycle paths produce repeats; use a clean DAG below)
+    HashQL.execute(cat,
+      "insert into dag (s, d) values ('p', 'q'), ('p', 'r'), " +
+        "('q', 'z'), ('r', 'z')")
+    val bag = HashQL.execute(cat,
+      "with recursive rb as (select dag.d from dag where dag.s = 'p' " +
+        "union all select dag.d from rb inner join dag on dag.s = rb.d) " +
+        "select rb.d, count(*) as n from rb group by rb.d order by rb.d")
+      .get.as[(String, Long)].collect().toSeq
+    assert(bag == Seq(("q", 1L), ("r", 1L), ("z", 2L)))
+    // …but CYCLIC data diverges — the 64-round cap rejects with the
+    // remedy instead of hanging
     val e1 = intercept[IllegalArgumentException](HashQL.execute(cat,
-      "with recursive r as (select e.d from e union all " +
-        "select e.d from r inner join e on e.s = r.d) select r.d from r"))
-    assert(e1.getMessage.contains("UNION ALL"), e1.getMessage)
+      "with recursive r as (select e.d from e where e.s = 'a' " +
+        "union all select e.d from r inner join e on e.s = r.d) " +
+        "select r.d from r"))
+    assert(e1.getMessage.contains("UNION ALL recursion diverges"),
+      e1.getMessage)
     // arity mismatch between base and step is a clear error
     val e2 = intercept[IllegalArgumentException](HashQL.execute(cat,
       "with recursive r as (select e.d from e where e.s = 'a' " +
@@ -3984,6 +4000,57 @@ class HashQLSpec extends SparkSpec {
     assert(nm.getMessage.contains("SOURCE"), nm.getMessage)
   }
 
+  test("MERGE: BY SOURCE UPDATE + multiple NOT MATCHED clauses (round-16)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat,
+      "insert into m16 (k, v, active) values " +
+        "('a', 1, 1), ('b', 2, 1), ('c', 8, 1)")
+    HashQL.execute(cat,
+      "insert into s16 (k, w) values ('a', 10), ('x', 50), ('y', 3)")
+    // by-source tier is ordered first-match-wins: stale rows with v < 5
+    // drop, the rest are FLAGGED (update, round-16); not-matched tier
+    // is ordered too, with different column lists per clause
+    HashQL.execute(cat,
+      "merge into m16 using s16 on m16.k = s16.k " +
+        "when matched then update set m16.v = s16.w " +
+        "when not matched by source and m16.v < 5 then delete " +
+        "when not matched by source then update set m16.active = 0 " +
+        "when not matched and s16.w >= 10 then " +
+        "insert (k, v, tag) values (s16.k, s16.w, 'big') " +
+        "when not matched then insert (k, v) values (s16.k, s16.w)")
+    // coalesce is the skip-exempt projection — bare `m16.tag` would
+    // SKIP the rows where the merge left the field null (P1 semantics)
+    val got = HashQL.execute(cat,
+      "select m16.k, m16.v, coalesce(m16.active, -1) as act, " +
+        "coalesce(m16.tag, '') as tag from m16 order by m16.k")
+      .get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // a: matched → v=10, active kept; b: stale v=2<5 → deleted;
+    // c: stale v=8 → active flagged 0; x: big insert (active null);
+    // y: small insert via the second clause (tag null)
+    assert(got == Seq(("a", 10L, 1L, ""), ("c", 8L, 0L, ""),
+      ("x", 50L, -1L, "big"), ("y", 3L, -1L, "")))
+    // reachability: an EARLIER unconditional clause in each new tier
+    // rejects at parse
+    val ub = intercept[IllegalArgumentException](HashQL.parse(
+      "merge into m16 using s16 on m16.k = s16.k " +
+        "when not matched by source then delete " +
+        "when not matched by source and m16.v > 0 then update set " +
+        "m16.active = 0"))
+    assert(ub.getMessage.contains("unconditional"), ub.getMessage)
+    val ui = intercept[IllegalArgumentException](HashQL.parse(
+      "merge into m16 using s16 on m16.k = s16.k " +
+        "when not matched then insert (k) values (s16.k) " +
+        "when not matched and s16.w > 0 then insert (k) values (s16.k)"))
+    assert(ui.getMessage.contains("unconditional"), ui.getMessage)
+    // a BY SOURCE update's right-hand side reads the TARGET only
+    val sc = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "merge into m16 using s16 on m16.k = s16.k " +
+        "when not matched by source then update set m16.v = s16.w"))
+    assert(sc.getMessage.contains("TARGET"), sc.getMessage)
+  }
+
   test("MERGE cardinality: duplicate keys among pure inserts are legal " +
     "(round-15, r14 advice)") {
     val cat = new GraftCatalog(spark)
@@ -4157,6 +4224,29 @@ class HashQLSpec extends SparkSpec {
     val dyn2 = HashQL.execute(cat,
       "pivot pd on pd.k using sum(pd.v) group by pd.g").get
     assert(dyn2.columns.toSeq == Seq("g", "x", "y"), dyn2.columns.toSeq)
+    // multi-aggregate USING (round-16): columns <value>_<alias>, one
+    // aggregation pass; empty COUNT cells render 0
+    val multi = HashQL.execute(cat,
+      "pivot pd on pd.k using sum(pd.v) as s, count(*) as c " +
+        "group by pd.g").get.orderBy("g")
+    assert(multi.columns.toSeq == Seq("g", "x_s", "x_c", "y_s", "y_c"),
+      multi.columns.toSeq)
+    val mrows = multi
+      .as[(String, Option[Long], Long, Option[Long], Long)]
+      .collect().toSeq
+    assert(mrows == Seq(("a", Some(1L), 1L, Some(3L), 1L),
+      ("b", None, 0L, Some(4L), 1L)))
+    // multiple aggregates need aliases; a single one rejects an alias
+    val noal = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "pivot pd on pd.k using sum(pd.v), count(*) group by pd.g"))
+    assert(noal.getMessage.contains("alias"), noal.getMessage)
+    // the dynamic cap is a SESSION setting (round-16)
+    spark.conf.set("graft.pivot.dynamicCap", "1")
+    try {
+      val low = intercept[IllegalArgumentException](HashQL.execute(cat,
+        "pivot pd on pd.k using sum(pd.v) group by pd.g"))
+      assert(low.getMessage.contains("dynamicCap"), low.getMessage)
+    } finally spark.conf.unset("graft.pivot.dynamicCap")
   }
 
   test("LATERAL body DISTINCT and OFFSET (round-15)") {
@@ -4228,6 +4318,59 @@ class HashQLSpec extends SparkSpec {
         "where ev15.d < q15.x)").get
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("Aggregate"), plan.take(800))
+  }
+
+  test("two-range EXISTS: banded joint witness (round-16)") {
+    val cat = new GraftCatalog(spark)
+    // witness table: (a, b) — joint test (a < x AND b > y) must find a
+    // SINGLE row satisfying both; (1, 1) and (9, 9) mean independent
+    // min(a)/max(b) stats would claim witnesses that don't exist
+    HashQL.execute(cat,
+      "insert into wt (a, b) values (1, 1), (9, 9), (5, 4)")
+    HashQL.execute(cat,
+      "insert into qr (x, y) values (2, 0), (2, 3), (6, 3), (10, 8), (1, 0)")
+    val ex = HashQL.execute(cat,
+      "select qr.x, qr.y from qr where exists (select wt.a from wt " +
+        "where wt.a < qr.x and wt.b > qr.y) order by qr.x, qr.y").get
+      .as[(Long, Long)].collect().toSeq
+    // (2,0): row (1,1) ✓; (2,3): only a<2 is (1,1), b=1 ≤ 3 ✗;
+    // (6,3): (5,4) ✓; (10,8): (9,9) ✓; (1,0): no a < 1 ✗
+    assert(ex == Seq((2L, 0L), (6L, 3L), (10L, 8L)))
+    // NOT EXISTS — the anti form over the same banded join
+    val nex = HashQL.execute(cat,
+      "select qr.x, qr.y from qr where not exists (select wt.a from wt " +
+        "where wt.a < qr.x and wt.b > qr.y) order by qr.x, qr.y").get
+      .as[(Long, Long)].collect().toSeq
+    assert(nex == Seq((1L, 0L), (2L, 3L)))
+    // flipped directions: band on >, witness on < (suffix fold, min)
+    val fl = HashQL.execute(cat,
+      "select qr.x, qr.y from qr where exists (select wt.a from wt " +
+        "where wt.a > qr.x and wt.b < qr.y) order by qr.x, qr.y").get
+      .as[(Long, Long)].collect().toSeq
+    // (2,3): (5,4)? b=4 ≥ 3 ✗; (9,9)? b=9 ✗ → none... wait (5,4): a>2 ✓
+    // b<3 ✗; none ✗. (10,8): a>10 none ✗. (2,0)/(1,0): b<0 none ✗.
+    // (6,3): a>6 → (9,9), b<3 ✗ → none.
+    assert(fl == Seq())
+    // …and a satisfiable flipped probe
+    HashQL.execute(cat, "insert into qr (x, y) values (4, 10)")
+    val fl2 = HashQL.execute(cat,
+      "select qr.x from qr where exists (select wt.a from wt " +
+        "where wt.a > qr.x and wt.b < qr.y)").get
+      .as[Long].collect().toSeq
+    assert(fl2 == Seq(4L)) // (5,4) and (9,9) both witness
+    // the plan is an equi-join on the bucket key — never a nested loop
+    val pf = HashQL.execute(cat,
+      "select qr.x from qr where exists (select wt.a from wt " +
+        "where wt.a < qr.x and wt.b > qr.y)").get
+    val plan = pf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    // a non-integer band column rejects toward the equality spelling
+    HashQL.execute(cat, "insert into ws (a, b) values ('s', 1)")
+    val ni = intercept[IllegalArgumentException](HashQL.execute(cat,
+      "select qr.x from qr where exists (select ws.a from ws " +
+        "where ws.a < qr.x and ws.b > qr.y)"))
+    assert(ni.getMessage.contains("integer column"), ni.getMessage)
   }
 
   test("ASOF JOIN: backward/forward, inner/left, guards (round-15)") {

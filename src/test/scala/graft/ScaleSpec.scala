@@ -971,6 +971,39 @@ class ScaleSpec extends SparkSpec {
       "pivot orders on orders.o_orderkey using count(*) " +
         "group by orders.o_orderstatus"))
     assert(cap.getMessage.contains("explicit IN list"), cap.getMessage)
+    // multi-aggregate USING (round-16): ALL aggregates ride the same
+    // single aggregation pass — no per-aggregate re-aggregation
+    val m = HashQL.execute(cat,
+      "pivot orders on orders.o_orderstatus " +
+        "using sum(orders.o_totalprice) as s, count(*) as c " +
+        "group by orders.o_custkey").get
+    val mp = m.queryExecution.executedPlan.toString
+    val mAgg = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(mp).length
+    assert(mAgg <= 4, s"multi-agg pivot leaked aggregations:\n${mp.take(1200)}")
+    m.count()
+  }
+
+  test("two-range EXISTS: banded bucket equi-join, no nested loop (round-16)") {
+    import graft.core.GraftCatalog
+    import graft.sql.HashQL
+    val cat = new GraftCatalog(spark)
+    cat.register("orders", Tables.t(spark, sf, "orders"))
+    cat.register("lineitem", Tables.t(spark, sf, "lineitem"))
+    // a JOINT two-range witness with NO equality key — naively a
+    // BroadcastNestedLoopJoin (O(|orders|·|lineitem|)); the banded plan
+    // is a hash semi join on the 1024-bucket key
+    val df = HashQL.execute(cat,
+      "select orders.o_orderkey from orders " +
+        "where exists ( select lineitem.l_orderkey from lineitem " +
+        "where lineitem.l_orderkey < orders.o_orderkey " +
+        "and lineitem.l_suppkey > orders.o_custkey )").get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"two-range EXISTS planned a nested loop:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    df.count()
   }
 
   test("bivariate/moment tiers ride ONE aggregation pass (round-15)") {
