@@ -5087,6 +5087,99 @@ object HashqlSuite extends Suite {
              |    AND l_quantity >= 30)
              |AND o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin)),
 
+    // levenshtein + list membership tier (round 16): native edit
+    // distance on both engines; list_has_any/list_has_all (DuckDB
+    // argument order — the SECOND list is the candidate subset);
+    // list_intersect SORTED (the deterministic mirror — both engines
+    // dedup the intersection).
+    "hashql_levenshtein" -> Q(
+      (s, d) => run(s, d,
+        "select customer.c_custkey, " +
+          "levenshtein(customer.c_name, 'Customer') as lv, " +
+          "list_has_any(split(customer.c_name, '0'), " +
+          "split(customer.c_name, '1')) as ha, " +
+          "list_has_all(split(customer.c_name, '#'), " +
+          "split(customer.c_name, '#')) as hb, " +
+          "array_to_string(list_intersect(split(customer.c_name, '0'), " +
+          "split(customer.c_name, '1')), '|') as li " +
+          "from customer where customer.c_custkey <= 200 " +
+          "order by customer.c_custkey"),
+      Some("""SELECT c_custkey,
+             |  levenshtein(c_name, 'Customer') AS lv,
+             |  list_has_any(string_split_regex(c_name, '0'),
+             |    string_split_regex(c_name, '1')) AS ha,
+             |  list_has_all(string_split_regex(c_name, '#'),
+             |    string_split_regex(c_name, '#')) AS hb,
+             |  coalesce(array_to_string(list_sort(list_intersect(
+             |    string_split_regex(c_name, '0'),
+             |    string_split_regex(c_name, '1'))), '|'), '') AS li
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+             // ^ DuckDB's array_to_string([] …) is NULL where Spark's
+             // array_join is '' — the coalesce pins the empty
+             // intersection to '' on both sides (input lists are never
+             // NULL here, so no real NULL is masked)
+
+    // bitwise aggregates (round 16): native partial-agg'd bit_and/
+    // bit_or/bit_xor — order-free, exact on any partitioning.
+    "hashql_bit_agg" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, bit_and(orders.o_orderkey) as ba, " +
+          "bit_or(orders.o_orderkey) as bo, " +
+          "bit_xor(orders.o_orderkey) as bx, count(*) as cnt " +
+          "from orders where orders.o_custkey <= 200 " +
+          "group by orders.o_custkey order by orders.o_custkey"),
+      Some("""SELECT o_custkey, bit_and(o_orderkey) AS ba,
+             |  bit_or(o_orderkey) AS bo, bit_xor(o_orderkey) AS bx,
+             |  count(*) AS cnt
+             |FROM orders WHERE o_custkey <= 200
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // deterministic mode (round 16): most frequent value, ties broken
+    // toward the SMALLEST — native mode is tie-arbitrary on both
+    // engines, so the dialect pins the tiebreak and the oracle spells
+    // the count-desc/value-asc rank explicitly.
+    "hashql_mode" -> Q(
+      (s, d) => run(s, d,
+        "select orders.o_custkey, mode(orders.o_orderpriority) as md, " +
+          "count(*) as cnt from orders where orders.o_custkey <= 200 " +
+          "group by orders.o_custkey order by orders.o_custkey"),
+      Some("""WITH c AS (
+             |  SELECT o_custkey, o_orderpriority v, count(*) n
+             |  FROM orders WHERE o_custkey <= 200 GROUP BY 1, 2),
+             |r AS (
+             |  SELECT o_custkey, v, sum(n) OVER (PARTITION BY o_custkey)
+             |    AS tot, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY n DESC, v ASC) AS rn
+             |  FROM c)
+             |SELECT o_custkey, v AS md, CAST(tot AS BIGINT) AS cnt
+             |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // SUMMARIZE (round 16): the data-card verb — per-column min/max
+    // (string-rendered), non-null count, null count, EXACT distinct
+    // count, all from ONE aggregation statement; the oracle composes
+    // the same card per column.
+    "hashql_summarize" -> Q(
+      (s, d) => run(s, d, "summarize nation").orderBy("column_name"),
+      Some("""SELECT * FROM (
+             |  SELECT 'n_nationkey' AS column_name,
+             |    CAST(min(n_nationkey) AS VARCHAR) AS min,
+             |    CAST(max(n_nationkey) AS VARCHAR) AS max,
+             |    count(n_nationkey) AS n,
+             |    count(*) - count(n_nationkey) AS nnull,
+             |    count(DISTINCT n_nationkey) AS ndv FROM nation
+             |  UNION ALL SELECT 'n_name',
+             |    CAST(min(n_name) AS VARCHAR),
+             |    CAST(max(n_name) AS VARCHAR), count(n_name),
+             |    count(*) - count(n_name), count(DISTINCT n_name)
+             |  FROM nation
+             |  UNION ALL SELECT 'n_regionkey',
+             |    CAST(min(n_regionkey) AS VARCHAR),
+             |    CAST(max(n_regionkey) AS VARCHAR), count(n_regionkey),
+             |    count(*) - count(n_regionkey),
+             |    count(DISTINCT n_regionkey) FROM nation)
+             |ORDER BY column_name""".stripMargin)),
+
     // array_agg continuation forms (round 16): the item-head lookahead
     // sends non-`as` continuations through the expression grammar —
     // arithmetic over an aggregate and a wrapped aggregate call.

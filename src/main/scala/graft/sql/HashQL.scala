@@ -385,6 +385,14 @@ object HashQL {
       // both engines (round-14); date_part desugars at parse like
       // extract, so it never reaches lowering
       "make_date" -> Set(3),
+      // round-16 membership/edit tier: levenshtein (both engines
+      // native, exact integer); list_has_any/list_has_all (DuckDB
+      // parity over Spark arrays_overlap / array_except);
+      // list_intersect is SORTED here (DuckDB's order is
+      // input-dependent — the deterministic mirror is
+      // list_sort(list_intersect(a, b)))
+      "levenshtein" -> Set(2), "list_has_any" -> Set(2),
+      "list_has_all" -> Set(2), "list_intersect" -> Set(2),
       // try_strptime (round-14 — closes the r13 documented divergence):
       // under Spark 4's ANSI default, to_timestamp RAISES on malformed
       // input exactly like DuckDB's strptime — so plain strptime is
@@ -1154,6 +1162,16 @@ object HashQL {
   /** `describe t` — (column_name, column_type) rows in schema order;
     * types render as Spark SQL type names (BIGINT, STRING, …). */
   final case class Describe(table: String) extends Stmt
+  /** `summarize t` (round-16 — DuckDB's SUMMARIZE, the data-card
+    * verb): one row per column with (column_name, min, max, n, nnull,
+    * ndv) — min/max rendered as strings so the frame is uniform,
+    * counts and EXACT distinct counts as BIGINT. ONE aggregation
+    * statement over the table (Spark plans the multi-column distinct
+    * set through a single Expand — one logical pass, expansion factor
+    * = column count); the 4·|columns| aggregate values collect to the
+    * driver (bounded by the schema, never the data) and reshape into
+    * the per-column rows. */
+  final case class Summarize(table: String) extends Stmt
   /** `drop table [if exists] t` (round-13) — removes the catalog
     * registration, version history, and id counter (metadata-only; plans
     * other statements captured stay valid, backing files untouched) and
@@ -1424,6 +1442,7 @@ object HashQL {
       case "select" => selectOrUnion()
       case "show" => kw("tables"); ShowTables
       case "describe" => Describe(next())
+      case "summarize" => Summarize(next())
       case "drop" =>
         // `drop view [if exists] v` (round-15) rides alongside the
         // round-13 `drop table` — separate namespaces, separate verbs
@@ -2631,6 +2650,27 @@ object HashQL {
             (ExprCmp(m, "=", ELit(0L)), ELit(false))), None)
           items += ExprItem(out, aliasAfterAs(s"$fn(…)"))
         }
+        else if ((is("bit_and") || is("bit_or") || is("bit_xor")) &&
+                 peekAt(1) == "(") {
+          // bit_and / bit_or / bit_xor (round-16): bitwise aggregates
+          // over integer columns — native partial-agg'd aggregates on
+          // both engines, exact by construction (bit ops are
+          // order-free); NULL rows skip, empty group → NULL
+          val fn = next().toLowerCase; kw("(")
+          val e = exprTree(); kw(")")
+          items += AggExprItem(fn, e, aliasAfterAs(s"$fn(…)"))
+        }
+        else if (is("mode") && peekAt(1) == "(") {
+          // mode (round-16): the most frequent value, DETERMINISTIC —
+          // ties break toward the SMALLEST value (native mode is
+          // arbitrary on ties in both engines, so the dialect pins the
+          // tiebreak and the oracle spells the count-desc/value-asc
+          // rank). Lowered as a sorted-collect run-length fold (the
+          // string_agg memory profile); NULLs skip, empty → NULL.
+          next(); kw("(")
+          val e = exprTree(); kw(")")
+          items += AggExprItem("mode", e, aliasAfterAs("mode(…)"))
+        }
         else if (Seq("sum", "avg", "min", "max", "median").exists(is)) {
           val fn = next().toLowerCase; kw("(")
           // `sum(distinct <expr>)` (round-12): distinct-value sum.
@@ -3385,6 +3425,7 @@ object HashQL {
       "strptime", "try_strptime", "extract", "concat_ws",
       "ln", "exp", "log2", "log10",
       "len", "list_contains", "array_to_string",
+      "levenshtein", "list_has_any", "list_has_all", "list_intersect",
       "make_date", "date_part", "epoch", "epoch_ms", "timestamp_millis",
       "list_sort", "list_reverse", "list_distinct", "list_concat",
       "list_extract", "array_slice", "flatten", "list_position",
@@ -4718,6 +4759,13 @@ object HashQL {
         case "list_position" => array_position(a(0), a(1))
         case "list_min" => array_min(a(0))
         case "list_max" => array_max(a(0))
+        // round-16 membership/edit tier — see the arity registry notes
+        case "levenshtein" => levenshtein(a(0), a(1)).cast("long")
+        case "list_has_any" => arrays_overlap(a(0), a(1))
+        // ⊆: every element of the SECOND list appears in the first
+        // (DuckDB's argument order); empty sub-list → true both engines
+        case "list_has_all" => size(array_except(a(1), a(0))) === 0
+        case "list_intersect" => array_sort(array_intersect(a(0), a(1)))
         // exact integer fold — order-free, so deterministic anywhere;
         // NULL elements skip and a NULL/empty effective list yields
         // NULL, like DuckDB's list_sum
@@ -5147,6 +5195,31 @@ object HashQL {
       case AggExprItem("median", e, a) => median(exprColumn(cat, e)).as(a)
       case AggExprItem("min", e, a) => min(exprColumn(cat, e)).as(a)
       case AggExprItem("max", e, a) => max(exprColumn(cat, e)).as(a)
+      // bitwise aggregates (round-16): native partial-agg'd on both
+      // engines; order-free, so exact anywhere
+      case AggExprItem("bit_and", e, a) => bit_and(exprColumn(cat, e)).as(a)
+      case AggExprItem("bit_or", e, a) => bit_or(exprColumn(cat, e)).as(a)
+      case AggExprItem("bit_xor", e, a) => bit_xor(exprColumn(cat, e)).as(a)
+      // deterministic mode (round-16): sort-collect, then ONE
+      // run-length fold over the sorted array — the longest run wins
+      // and STRICT improvement keeps the earliest (smallest) value on
+      // ties. try_element_at(arr, MaxValue) seeds element-typed NULLs
+      // without knowing the type statically. Same memory profile as
+      // string_agg (per-group collected array).
+      case AggExprItem("mode", e, a) =>
+        val arr = sort_array(collect_list(exprColumn(cat, e)))
+        val nul = try_element_at(arr, lit(Int.MaxValue))
+        val st0 = struct(nul.as("prev"), lit(0L).as("run"),
+          nul.as("best"), lit(0L).as("bestRun"))
+        aggregate(arr, st0, (acc, x) => {
+          val run = when(x <=> acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1L))
+          val better = run > acc.getField("bestRun")
+          struct(x.as("prev"), run.as("run"),
+            when(better, x).otherwise(acc.getField("best")).as("best"),
+            when(better, run).otherwise(acc.getField("bestRun"))
+              .as("bestRun"))
+        }, acc => acc.getField("best")).as(a)
       // exact interpolated quantile (round-13): percentile_cont(x, q) —
       // Spark's exact percentile and DuckDB's quantile_cont share the
       // rank formula (index q·(n−1), linear interpolation), so
@@ -6056,6 +6129,28 @@ object HashQL {
         val s = cat.spark
         import s.implicits._
         Some(cat.names.toDF("table_name"))
+      case Summarize(t) =>
+        val df = cat.table(t)
+        val cols = df.columns.toSeq
+        // one aggregation statement: per column min/max (rendered),
+        // non-null count, exact distinct count, plus the row total —
+        // the collected row is 4·|columns|+1 values, schema-bounded
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"graft_sz_mn_$c"),
+          max(col(c)).cast("string").as(s"graft_sz_mx_$c"),
+          count(col(c)).as(s"graft_sz_n_$c"),
+          count_distinct(col(c)).as(s"graft_sz_d_$c"))) :+
+          count(lit(1)).as("graft_sz_total")
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val total = row.getAs[Long]("graft_sz_total")
+        val s = cat.spark
+        import s.implicits._
+        Some(cols.map { c =>
+          val n = row.getAs[Long](s"graft_sz_n_$c")
+          (c, row.getAs[String](s"graft_sz_mn_$c"),
+            row.getAs[String](s"graft_sz_mx_$c"), n, total - n,
+            row.getAs[Long](s"graft_sz_d_$c"))
+        }.toDF("column_name", "min", "max", "n", "nnull", "ndv"))
       case DropTable(t, ifExists) =>
         if (cat.exists(t)) {
           // routes keyed on the table are stale the moment it goes

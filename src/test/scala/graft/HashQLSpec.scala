@@ -4320,6 +4320,50 @@ class HashQLSpec extends SparkSpec {
     assert(plan.contains("Aggregate"), plan.take(800))
   }
 
+  test("levenshtein/list-membership, bit aggregates, mode, SUMMARIZE (round-16)") {
+    val cat = new GraftCatalog(spark)
+    HashQL.execute(cat, "insert into fx (s) values ('kitten')")
+    val f = HashQL.execute(cat,
+      "select levenshtein(fx.s, 'sitting') as lv, " +
+        "list_has_any(split(fx.s, 't'), split(fx.s, 'k')) as ha, " +
+        "list_has_all(split(fx.s, 't'), split(fx.s, 'q')) as hb, " +
+        "array_to_string(list_intersect(split(fx.s, 't'), " +
+        "split(fx.s, 'k')), '|') as li from fx").get.collect().head
+    assert(f.getAs[Long]("lv") == 3L)
+    // split('kitten','t')=[ki,,en]; split('kitten','k')=[,itten] —
+    // shared element '' → ha true; hb: is [,itten] ⊆ [ki,,en]? no
+    assert(f.getAs[Boolean]("ha") && !f.getAs[Boolean]("hb"))
+    assert(f.getAs[String]("li") == "")
+    // bit aggregates: 12&10&6=0, |=14, ^=0; NULL rows skip
+    HashQL.execute(cat,
+      "insert into bt (g, v) values ('a', 12), ('a', 10), ('a', 6)")
+    HashQL.execute(cat, "insert into bt (g) values ('a')")
+    val b = HashQL.execute(cat,
+      "select bt.g, bit_and(bt.v) as ba, bit_or(bt.v) as bo, " +
+        "bit_xor(bt.v) as bx from bt group by bt.g").get.collect().head
+    assert((b.getAs[Long]("ba"), b.getAs[Long]("bo"),
+      b.getAs[Long]("bx")) == ((0L, 14L, 0L)))
+    // mode: deterministic — counts tie (2,2) → smallest value wins;
+    // NULL elements skip
+    HashQL.execute(cat,
+      "insert into md (g, v) values ('a', 5), ('a', 3), ('a', 5), " +
+        "('a', 3), ('a', 1), ('b', 7)")
+    HashQL.execute(cat, "insert into md (g) values ('b')")
+    val m = HashQL.execute(cat,
+      "select md.g, mode(md.v) as mo from md group by md.g " +
+        "order by md.g").get.collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 3L), ("b", 7L)))
+    // SUMMARIZE: per-column card off one aggregation; nulls counted
+    val sz = HashQL.execute(cat, "summarize md").get
+      .orderBy("column_name").collect()
+    val vRow = sz.find(_.getString(0) == "v").get
+    assert(vRow.getAs[String]("min") == "1" &&
+      vRow.getAs[String]("max") == "7")
+    assert(vRow.getAs[Long]("n") == 6L && vRow.getAs[Long]("nnull") == 1L
+      && vRow.getAs[Long]("ndv") == 4L)
+  }
+
   test("two-range EXISTS: banded joint witness (round-16)") {
     val cat = new GraftCatalog(spark)
     // witness table: (a, b) — joint test (a < x AND b > y) must find a
