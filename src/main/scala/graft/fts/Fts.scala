@@ -258,20 +258,25 @@ object Fts {
   // shape for `contains`, cf. PostgreSQL's pg_trgm) ----
 
   /** Build the trigram posting index of `textCol`: one `(gram, id)` row
-    * per DISTINCT 3-char window per document — computed scan-side by
-    * codegen HOFs (sequence → transform → array_distinct → explode), no
-    * shuffle in the build. Materialize this partitioned/bucketed BY GRAM:
-    * a search then reads only its pattern's posting lists, never the
-    * corpus text. Documents shorter than 3 chars index nothing — they
-    * cannot contain any pattern the index serves (the <3-char fallback
-    * scan in [[substringSearch]] still finds them). */
+    * per DISTINCT 3-char window per document, with the gram identified by
+    * its 8-byte xxhash64 ([[graft.functions.TextKernels.trigramHashes]] —
+    * round 16: the string-gram HOF build ran an interpreted lambda and
+    * allocated one 3-char string per position; the kernel runs the whole
+    * window loop inside whole-stage codegen and the index stores longs,
+    * the pg_trgm-style compressed-posting shape). No shuffle in the
+    * build. Materialize this partitioned/bucketed BY GRAM: a search then
+    * reads only its pattern's posting lists, never the corpus text.
+    * Documents shorter than 3 chars index nothing — they cannot contain
+    * any pattern the index serves (the <3-char fallback scan in
+    * [[substringSearch]] still finds them). Hash collisions can only add
+    * candidates, and candidates are verified with a real `contains` —
+    * search results are exactly the string formulation's on any input. */
   def trigramIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame =
     df.filter(length(col(textCol)) >= 3)
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col(textCol)) - 2),
-          i => col(textCol).substr(i, lit(3))))).as("gram"))
+        explode(graft.functions.TextKernels.trigram_hashes(col(textCol)))
+          .as("gram"))
 
   /** Substring search ("grep at scale") over the posting index: a
     * candidate must contain ALL of the pattern's distinct trigrams —
@@ -290,7 +295,11 @@ object Fts {
     if (pattern.length < 3)
       docs.filter(col(textCol).contains(pattern)).select(col(idCol))
     else {
-      val grams = pattern.sliding(3).toSeq.distinct
+      // hash the pattern's windows through the SAME kernel as the index
+      // build (distinct hashes — a present substring's grams always match;
+      // collisions only widen the candidate set the verify pass prunes)
+      val grams: Seq[Long] = graft.functions.TextKernels.trigramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(pattern)).toSeq
       val cand = index
         .filter(col("gram").isin(grams: _*))
         .groupBy("id")

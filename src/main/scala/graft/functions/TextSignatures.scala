@@ -97,6 +97,80 @@ object TextKernels {
     out
   }
 
+  /** Distinct xxhash64-chain hashes of EXACT n-token windows (round-16
+    * optimization of the contamination family): the hashed twin of
+    * `array_distinct(transform(...windows...,concat_ws(' ', slice(toks,i,n))))`
+    * — documents shorter than n tokens yield the EMPTY array (unlike
+    * [[shingleHashes]], which falls back to the whole-text shingle).
+    *
+    * Tokens hash once each (`XXH64.hashUTF8String`, seed 42) and windows
+    * chain the n token hashes (`XXH64.hashLong`), so the pass allocates
+    * no gram strings and costs O(len) string hashing + O(len·n) long
+    * mixing. Two windows chain to the same hash iff their token
+    * sequences are equal (modulo 2⁻⁶⁴ collisions — the same accepted
+    * equivalence as the [[shingleHashes]]-based jaccard family, whose
+    * oracles compare string shingles): tokens cannot contain the space
+    * separator, so token-sequence equality coincides with the string
+    * n-gram equality the DuckDB oracles spell. */
+  def ngramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenize(text.toString)
+    if (toks.length < n) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      i += 1
+    }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      var h = 42L
+      var j = i
+      while (j < i + n) { h = XXH64.hashLong(th(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Sorted distinct xxhash64 of every 3-char window of `text` (round-16
+    * optimization of the trigram posting index): the hashed twin of
+    * `array_distinct(transform(sequence(1, len-2), i -> substr(text,i,3)))`.
+    * Texts shorter than 3 chars index nothing, mirroring
+    * [[graft.fts.Fts.trigramIndex]]'s length gate. Hashing is over the
+    * UTF-16 code units of the 3-char substring (seed 42) — both the index
+    * side and the query side ([[graft.fts.Fts.substringSearch]]'s pattern
+    * grams) hash through THIS method, so present-substring grams always
+    * match; hash collisions can only ADD candidates, which the verifying
+    * `contains` pass removes — the search result is exactly the string
+    * formulation's on any input. */
+  def trigramHashes(text: UTF8String): Array[Long] = {
+    val s = text.toString
+    if (s.length < 3) return Array.emptyLongArray
+    val out = new Array[Long](s.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = XXH64.hashUTF8String(
+        UTF8String.fromString(s.substring(i, i + 3)), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
   /** 64-bit SimHash: per-token xxhash64, strict per-bit majority vote over
     * all tokens (duplicates counted, matching the round-1 explode+groupBy
     * formulation — and without its 8-bit-counter cap). */
@@ -120,6 +194,10 @@ object TextKernels {
   // ---- Column wrappers ----
   def shingle_hashes(c: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), n))
+  def ngram_hashes(c: Column, n: Int): Column =
+    GraftBridge.column(NgramHashes(GraftBridge.expression(c), n))
+  def trigram_hashes(c: Column): Column =
+    GraftBridge.column(TrigramHashes(GraftBridge.expression(c)))
   def minhash_band_hashes(c: Column, bands: Int, rowsPerBand: Int): Column =
     GraftBridge.column(MinHashBandHashes(GraftBridge.expression(c), bands, rowsPerBand))
   def simhash_64(c: Column): Column =
@@ -142,6 +220,44 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** string → sorted distinct Array[Long] of exact-n-word-gram hashes. */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextKernels.ngramHashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels.ngramHashes($c, $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** string → sorted distinct Array[Long] of 3-char-window hashes. */
+case class TrigramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextKernels.trigramHashes(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels.trigramHashes($c));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
     copy(child = newChild)
 }
 

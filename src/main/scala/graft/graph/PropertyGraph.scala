@@ -348,11 +348,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     var changed = true
     while (changed && rounds < maxRounds) {
       rounds += 1
+      // (round 16) one probe pass over the EDGE frame, not two: deg(a)
+      // only counts neighbors b ∈ cur, so the a-side membership test can
+      // move AFTER aggregation — a semi join on the group-sized degree
+      // frame instead of the edge-sized one. Groups with a ∉ cur
+      // aggregate wastefully and are then dropped, but their edge rows
+      // were exactly the ones the old a-side semi join had to probe
+      // anyway — strictly fewer edge-frame passes per round at any scale.
       val deg = d
-        .join(cur.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(cur.select(col("node").as("b")), Seq("b"), "left_semi")
         .groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
+        .join(cur.select(col("node").as("a")), Seq("a"), "left_semi")
         .persist(storage)
       val next = deg.select(col("a").as("node"))
       val nextN = next.count()

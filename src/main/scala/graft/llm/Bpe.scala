@@ -76,25 +76,28 @@ object Bpe {
         col("freq"))
       .persist(storage)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var step = 0
-    var dry = false
-    while (step < nMerges && !dry) {
-      step += 1
-      val top = pairCounts(words)
-        .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) dry = true
-      else {
-        val (a, b, c) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        merges += Merge(step, a, b, a + b, c)
+    // (round 16) ONE action per merge round, was two: the next round's
+    // argmax collect is itself a full pass over the freshly-persisted
+    // symbol table, so it doubles as the materialize-before-release
+    // action the separate count() used to provide. The final round also
+    // skips building the merged table nobody reads (the old loop paid a
+    // whole applyMerge pass + count after the last rule was learned).
+    def argmax(w: DataFrame): Array[Row] = pairCounts(w)
+      .orderBy(col("c").desc, col("a").asc, col("b").asc)
+      .limit(1).collect()
+    var top = argmax(words)
+    while (merges.length < nMerges && top.nonEmpty) {
+      val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2))
+      merges += Merge(merges.length + 1, a, b, a + b, c)
+      if (merges.length < nMerges) {
         val next = words
           .select(applyMerge(col("sym"), a, b).as("sym"), col("freq"))
           .persist(storage)
-        next.count() // materialize before releasing the parent
+        top = argmax(next) // materializes `next` before the release below
         words.unpersist()
         words = next
-      }
+      } else top = Array.empty
     }
     words.unpersist()
     import spark.implicits._

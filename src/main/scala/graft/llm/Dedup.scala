@@ -500,13 +500,15 @@ object Dedup {
     materializeThenRelease(out, shA, shB)
   }
 
-  /** Distinct word n-grams of a token array, 1-based windows of exactly
-    * `n` tokens (documents shorter than n contribute none). */
-  private def fullNgrams(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  // (round-16) the string-gram HOF formulation
+  // (array_distinct(transform(sequence…, concat_ws(' ', slice(toks,i,n)))))
+  // was replaced by the codegen'd TextKernels.ngramHashes kernel below:
+  // HOF lambdas are interpreted and the concat_ws built one gram string
+  // per window, so the corpus pass allocated O(len·n) characters per doc.
+  // The kernel hashes each token once and chain-hashes windows — same
+  // distinct-gram identities (token sequences can't straddle the space
+  // separator), same accepted 2⁻⁶⁴-collision equivalence as the
+  // shingle-hash jaccard family.
 
   /** Exact n-gram collision decontamination — the eval-overlap check of
     * GPT-3 appendix C / Llama 2 (13-gram collisions against the benchmark
@@ -521,16 +523,21 @@ object Dedup {
     *
     * 100 TB story: the eval side is benchmark-sized (thousands of docs →
     * at most a few million distinct n-grams), deduplicated and BROADCAST;
-    * the corpus side computes its n-gram array scan-side (codegen HOFs
-    * over the [[graft.fts.Fts.tokens]] split) and probes the broadcast
-    * relation inside the scan stage — corpus text is never shuffled; the
-    * only exchange carries per-doc (id, partial count) rows for the
-    * already-filtered hits. */
+    * the corpus side computes its distinct n-gram HASHES scan-side in one
+    * whole-stage-codegen kernel pass ([[graft.functions.TextKernels
+    * .ngramHashes]] — 8-byte gram identities, no gram strings built or
+    * compared; round 16) and probes the broadcast relation inside the
+    * scan stage — corpus text is never shuffled; the only exchange
+    * carries per-doc (id, partial count) rows for the already-filtered
+    * hits. Both sides hash through the same kernel, so collision identity
+    * matches the string formulation up to the 2⁻⁶⁴ xxhash64 collision
+    * equivalence the shingle-hash jaccard family already accepts. */
   def ngramCollisions(corpus: DataFrame, evalSet: DataFrame,
                       textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    import graft.functions.TextKernels.ngram_hashes
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(fullNgrams(graft.fts.Fts.tokens(col(textCol)), n)).as("gram"))
+        explode(ngram_hashes(col(textCol), n)).as("gram"))
     val evalGrams = broadcast(grams(evalSet).select("gram").distinct())
     grams(corpus).join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))

@@ -1033,11 +1033,22 @@ object Similarity {
     // deterministic hash-mod sample for training: ceil division keeps the
     // EXPECTED sample size at or below maxTrainRows (corpora at or below
     // the cap train on every row, so small-corpus results are unchanged).
-    val total = ds.count()
-    val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
-    val train = if (mod == 1L) ds
-      else ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
-    val all = train.collect().sortBy(_._1)
+    // (round 16) probe with ONE bounded limit+collect first: a corpus at
+    // or below the cap trains on every row anyway, so the counting scan
+    // it used to pay decided nothing — collect up to cap+1 rows (driver
+    // memory bounded by the same cap the full collect was about to use)
+    // and only a genuine overflow falls back to the count + hash-mod
+    // sample path, whose incremental executeTake probe cost is bounded.
+    val capProbe = ds.limit(
+      math.min(maxTrainRows + 1, Int.MaxValue.toLong).toInt).collect()
+    val all =
+      if (capProbe.length <= maxTrainRows) capProbe.sortBy(_._1)
+      else {
+        val total = ds.count()
+        val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
+        ds.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+          .collect().sortBy(_._1)
+      }
     val vecs = all.map(_._2.map(_.toDouble))
 
     // Lloyd's algorithm, deterministic. An empty training set has nothing

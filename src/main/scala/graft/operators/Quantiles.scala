@@ -10,18 +10,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * Spark's exact `percentile` aggregate collects every distinct value
   * into one aggregation buffer, and a sort-based selection shuffles the
   * full column: both are memory- or network-bound at 100 TB. Selection by
-  * section search on the VALUE DOMAIN is neither: each round counts
-  * `v <= split` at up to 15 split points per still-open quantile — ONE
-  * partial-agg scan producing a single row, no Sort, no Exchange of data
-  * rows — and narrows the range 16-fold. ⌈log₁₆(max-min)⌉ rounds total
-  * (≤ 16 for longs, ~6 for cent-scaled prices), executor memory O(1).
+  * range refinement on the VALUE DOMAIN is neither: each round computes a
+  * ≤4096-bucket HISTOGRAM of each still-open quantile's bracket — one
+  * partial-agg scan whose exchange carries at most B+1 count rows per
+  * probe, no Sort, no Exchange of data rows — and narrows the bracket
+  * 4096-fold. ⌈log₄₀₉₆(max-min)⌉ rounds total (≤ 6 for the full long
+  * domain, 2 for cent-scaled prices), executor memory O(B).
   * The classic trade
   * vs one full sort-shuffle: k cheap scans instead of one expensive
   * shuffle — at cluster scale the scans win whenever the scan is cheaper
   * than shuffling the column (it virtually always is for wide tables
   * where the scan reads ONE pruned column). All probes advance in the
-  * SAME pass (one conditional-sum column each), so the pass count is the
-  * max over probes, not the sum.
+  * SAME pass (a per-probe bucket-struct explode feeding one aggregation),
+  * so the pass count is the max over probes, not the sum.
   *
   * Semantics: discrete lower-interpolation quantiles — the value at
   * 0-indexed rank ⌊q·(n-1)⌋ of the sorted column, i.e. an actual element
@@ -58,42 +59,60 @@ object Quantiles {
       val ranks = probs.map(p => math.floor(p * (n - 1)).toLong + 1L)
       val lo = probs.map(_ => head.getLong(1)).toArray
       val hi = probs.map(_ => head.getLong(2)).toArray
-      // invariant: the rank-th smallest value lies in [lo(i), hi(i)].
-      // S-way section search, not bisection: each round counts at up to S
-      // split points per open probe IN ONE SCAN (extra conditional sums
-      // are nearly free next to the scan itself), cutting rounds from
-      // log₂(range) to log_{S+1}(range) — ~6 scans for cent-scaled
-      // prices. Splits are floor-spaced (floorDiv is exact toward -∞;
-      // a truncating division would push splits below lo on negative
-      // domains — the non-termination QuantilesSpec pins).
-      val S = 15
+      val base = probs.map(_ => 0L).toArray // rows with v < lo(i)
+      // invariant: the rank-th smallest value lies in [lo(i), hi(i)] and
+      // base(i) = count(v < lo(i)) globally.
+      // (round 16) HISTOGRAM rounds replace the 15-split conditional-sum
+      // search: each round computes ONE narrow groupBy histogram over
+      // bucket = (v − lo) div w, w sized so at most B buckets exist. The
+      // shuffle moves ≤ B+1 post-aggregation rows per probe (map-side
+      // combined — at any corpus scale each task emits ≤ B+1 partials),
+      // the driver re-brackets on the cumulative counts, and the span
+      // shrinks B-fold per SCAN instead of 16-fold: a cent-scaled 1e7
+      // domain closes in 2 scans instead of 6. The per-round generated
+      // code is one integer division instead of probes×15 conditional
+      // sums — widening the sum fan-out instead (S=63) was measured at
+      // 3.3 s → 13 s on the bench: every round recompiled a huge
+      // aggregate class, so codegen width is NOT free; a narrow groupBy
+      // with thousands of buckets is. All open probes ride one job: a
+      // per-probe (p, bucket) struct explode feeds the same aggregation.
+      val B = 4096L
       while (probs.indices.exists(i => lo(i) < hi(i))) {
         val open = probs.indices.filter(i => lo(i) < hi(i))
-        val splits: Seq[(Int, Seq[Long])] = open.map { i =>
+        val w = open.map { i =>
           val span = hi(i) - lo(i) // hi > lo ⇒ positive, no overflow at ±2^62 domains
-          val pts =
-            if (span <= S) (lo(i) until hi(i)).toSeq
-            else (1 to S).map(j => lo(i) + Math.floorDiv(span, S + 1) * j).distinct
-          (i, pts)
+          i -> (Math.floorDiv(span, B) + 1L) // buckets = span div w ≤ B
+        }.toMap
+        val pbCols = open.map { i =>
+          struct(lit(i).as("p"),
+            when(col("v") >= lo(i) && col("v") <= hi(i),
+              expr(s"(v - (${lo(i)}L)) div ${w(i)}L")).as("b"))
         }
-        val cols = splits.flatMap { case (i, pts) =>
-          pts.zipWithIndex.map { case (m, j) =>
-            sum(when(col("v") <= m, 1L).otherwise(0L)).as(s"c${i}_$j") } }
-        val row = vals.agg(cols.head, cols.tail: _*).head()
-        var off = 0
-        splits.foreach { case (i, pts) =>
-          val counts = pts.indices.map(j => row.getLong(off + j))
-          off += pts.length
-          // counts are monotone in the split points: the answer sits in
-          // the first bracket whose cumulative count reaches the rank
-          val hit = pts.indices.find(j => counts(j) >= ranks(i))
-          hit match {
-            case Some(j) =>
-              hi(i) = pts(j)
-              if (j > 0) lo(i) = pts(j - 1) + 1L
-            case None =>
-              lo(i) = pts.last + 1L
+        val hist = vals.select(explode(array(pbCols: _*)).as("e"))
+          .filter(col("e.b").isNotNull)
+          .groupBy(col("e.p").as("p"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+        val byProbe = hist.groupBy(_.getInt(0))
+        open.foreach { i =>
+          val buckets = byProbe.getOrElse(i, Array.empty[Row])
+            .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          var cum = base(i)
+          var j = 0
+          var done = false
+          while (!done && j < buckets.length) {
+            val (b, c) = buckets(j)
+            if (cum + c >= ranks(i)) {
+              // the rank-th value sits inside bucket b: narrow to it and
+              // remember how many rows sit strictly below its low edge
+              base(i) = cum
+              lo(i) = lo(i) + b * w(i)
+              hi(i) = math.min(hi(i), lo(i) + w(i) - 1L)
+              done = true
+            } else { cum += c; j += 1 }
           }
+          // count(v <= hi) ≥ rank by the invariant, so a bucket always hits
+          require(done, s"quantile bracket lost rank ${ranks(i)} in probe $i")
         }
       }
       import scala.jdk.CollectionConverters._
@@ -107,21 +126,23 @@ object Quantiles {
     * value) for every group × prob.
     *
     * Per round, ONE scan serves every group and probe at once: a
-    * broadcast 1:1 join attaches each group's current split arrays (no
-    * row amplification), a codegen HOF computes each row's bucket index
-    * per probe, and a single groupBy(group) emits conditional bucket
-    * counts — |groups| × (probes·(S+1)) longs to the driver, which
-    * re-brackets. Driver state is O(groups·probes) longs, guarded by
-    * `maxGroups` (beyond it, group-local windowed selection is the right
-    * tool — this operator is for the many-rows-per-group regime).
-    * Rounds = ⌈log₁₆(widest group range)⌉; groups whose every probe has
+    * broadcast 1:1 join attaches each group's current bracket (lo, hi,
+    * bucket width) per probe, each row computes its in-bracket bucket by
+    * one integer division, and a single partial-agg'd
+    * groupBy(group, probe, bucket) histogram returns at most
+    * |groups| × probes × (B+1) count rows to the driver, which
+    * re-brackets on the cumulative counts. Driver state is
+    * O(groups·probes) longs, guarded by `maxGroups` (beyond it,
+    * group-local windowed selection is the right tool — this operator is
+    * for the many-rows-per-group regime).
+    * Rounds = ⌈log_B(widest group range)⌉ with B adapted to keep the
+    * collected histogram driver-bounded; groups whose every probe has
     * closed drop out of later rounds' join frame. */
   def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
                        probs: Seq[Double], maxGroups: Int = 100000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probs must be in [0,1]: $probs")
     val spark = df.sparkSession
-    val S = 15
     val vals = df.select(col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
@@ -144,54 +165,73 @@ object Quantiles {
         math.floor(p * (r.getLong(1) - 1)).toLong + 1L).toArray)
       val lo = stats.map(r => probs.map(_ => r.getLong(2)).toArray)
       val hi = stats.map(r => probs.map(_ => r.getLong(3)).toArray)
+      val base = stats.map(_ => probs.map(_ => 0L).toArray) // in-group v < lo
       def openGroups: Seq[Int] = groups.indices.filter(gi =>
         probs.indices.exists(pi => lo(gi)(pi) < hi(gi)(pi)))
-      def splitsFor(gi: Int, pi: Int): Seq[Long] = {
-        val (l, h) = (lo(gi)(pi), hi(gi)(pi))
-        if (l >= h) Seq.empty
-        else if (h - l <= S) (l until h).toSeq
-        else (1 to S).map(j => l + Math.floorDiv(h - l, S + 1) * j).distinct
-      }
+      // (round 16) histogram rounds, same rewrite as [[exactQuantiles]]:
+      // per round ONE scan computes a ≤B-bucket in-bracket histogram per
+      // (group, probe) — bucket = (v − lo) div w evaluated against the
+      // broadcast per-group bracket frame, a per-probe struct explode
+      // feeding one partial-agg'd groupBy(g, p, bucket). The driver
+      // re-brackets on cumulative counts; brackets shrink B-fold per
+      // scan (the split-array formulation shrank them 16-fold and paid a
+      // probes×16-column aggregate). B adapts so the collected histogram
+      // stays driver-bounded regardless of the group count.
+      val B = math.max(64L, (1L << 19) / (stats.length.toLong * probs.length))
+      def widthOf(gi: Int, pi: Int): Long =
+        Math.floorDiv(hi(gi)(pi) - lo(gi)(pi), B) + 1L
       while (openGroups.nonEmpty) {
         val open = openGroups
         val splitRows = open.map { gi =>
-          Row.fromSeq(groups(gi) +: probs.indices.map(pi => splitsFor(gi, pi)))
+          Row.fromSeq(groups(gi) +: probs.indices.flatMap[Any] { pi =>
+            if (lo(gi)(pi) < hi(gi)(pi))
+              Seq(lo(gi)(pi), hi(gi)(pi), widthOf(gi, pi))
+            else Seq(null, null, null)
+          })
         }
         val splitSchema = StructType(df.schema(groupCol).copy(name = "g") +:
-          probs.indices.map(pi => StructField(s"sp$pi",
-            org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
-            nullable = false)))
+          probs.indices.flatMap(pi => Seq(
+            StructField(s"lo$pi", LongType, nullable = true),
+            StructField(s"hi$pi", LongType, nullable = true),
+            StructField(s"w$pi", LongType, nullable = true))))
         import scala.jdk.CollectionConverters._
         val splitsDf = spark.createDataFrame(splitRows.asJava, splitSchema)
         val joined = vals.join(broadcast(splitsDf), Seq("g"))
-        // bucket index per probe = #splits STRICTLY BELOW v (0..|splits|):
-        // buckets 0..j then sum to exactly count(v <= pts(j)) — a `≤ v`
-        // bucket would lose the rows equal to the split. One conditional
-        // count column per (probe, bucket), a single scan for everything.
-        val aggCols = probs.indices.flatMap { pi =>
-          val bucket = size(filter(col(s"sp$pi"), x => x < col("v")))
-          (0 to S).map(b =>
-            sum(when(bucket === b, 1L).otherwise(0L)).as(s"c${pi}_$b"))
+        val pbCols = probs.indices.map { pi =>
+          struct(lit(pi).as("p"),
+            when(col(s"lo$pi").isNotNull &&
+                col("v") >= col(s"lo$pi") && col("v") <= col(s"hi$pi"),
+              expr(s"(v - lo$pi) div w$pi")).as("b"))
         }
-        val counts = joined.groupBy(col("g"))
-          .agg(aggCols.head, aggCols.tail: _*).collect()
-          .map(r => r.get(0) -> r).toMap
+        val hist = joined
+          .select(col("g"), explode(array(pbCols: _*)).as("e"))
+          .filter(col("e.b").isNotNull)
+          .groupBy(col("g"), col("e.p").as("p"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+        val byGroup = hist.groupBy(_.get(0))
         open.foreach { gi =>
-          val row = counts(groups(gi))
+          val byProbe = byGroup.getOrElse(groups(gi), Array.empty[Row])
+            .groupBy(_.getInt(1))
           probs.indices.foreach { pi =>
-            val pts = splitsFor(gi, pi)
-            if (pts.nonEmpty) {
-              // cumulative count at split j = Σ buckets 0..j
-              var cum = 0L
-              val cums = pts.indices.map { j =>
-                cum += row.getLong(1 + pi * (S + 1) + j); cum }
-              val hit = pts.indices.find(j => cums(j) >= ranks(gi)(pi))
-              hit match {
-                case Some(j) =>
-                  hi(gi)(pi) = pts(j)
-                  if (j > 0) lo(gi)(pi) = pts(j - 1) + 1L
-                case None => lo(gi)(pi) = pts.last + 1L
+            if (lo(gi)(pi) < hi(gi)(pi)) {
+              val wv = widthOf(gi, pi)
+              val buckets = byProbe.getOrElse(pi, Array.empty[Row])
+                .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+              var cum = base(gi)(pi)
+              var j = 0
+              var done = false
+              while (!done && j < buckets.length) {
+                val (b, c) = buckets(j)
+                if (cum + c >= ranks(gi)(pi)) {
+                  base(gi)(pi) = cum
+                  lo(gi)(pi) = lo(gi)(pi) + b * wv
+                  hi(gi)(pi) = math.min(hi(gi)(pi), lo(gi)(pi) + wv - 1L)
+                  done = true
+                } else { cum += c; j += 1 }
               }
+              require(done,
+                s"quantile bracket lost rank ${ranks(gi)(pi)} in group ${groups(gi)}")
             }
           }
         }

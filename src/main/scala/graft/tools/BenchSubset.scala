@@ -10,14 +10,20 @@ object BenchSubset {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench-subset")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only conf A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val all = SparkEntry.queries.keys.toSeq.sorted
@@ -30,17 +36,22 @@ object BenchSubset {
       catch { case e: Throwable =>
         System.err.println(s"[subset] warmup $n failed: ${e.getMessage}") }
     }
-    var total = 0.0
+    // median + min of 3 inside ONE warmed JVM — mirrors Bench exactly, so
+    // A/B deltas on this tool transfer to the tracked bench
+    var totalMed = 0.0
+    var totalMin = 0.0
     names.foreach { name =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[subset] $name FAILED: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      total += dt
-      println(f"[subset] $name%-28s $dt%7.2f s")
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[subset] $name FAILED: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      totalMed += runs(1); totalMin += runs(0)
+      println(f"[subset] $name%-28s med ${runs(1)}%7.2f s  min ${runs(0)}%7.2f s")
     }
-    println(f"[subset] TOTAL ${total}%.2f s over ${names.length} queries")
+    println(f"[subset] TOTAL med ${totalMed}%.2f s  min ${totalMin}%.2f s over ${names.length} queries")
     spark.stop()
   }
 }

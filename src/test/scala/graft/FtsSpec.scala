@@ -143,8 +143,8 @@ class FtsSpec extends SparkSpec {
     assert(search("xy") == Set(1L, 5L) || search("xy") == scan("xy"))
     assert(search("xy") == scan("xy"))
     // index rows are (distinct gram, id): repeats inside one doc don't
-    // inflate the intersection count
-    val grams4 = idx.filter(col("id") === 4L).as[(Long, String)].collect()
+    // inflate the intersection count (grams are 8-byte hashes, round 16)
+    val grams4 = idx.filter(col("id") === 4L).as[(Long, Long)].collect()
     assert(grams4.length == grams4.distinct.length)
   }
 }
