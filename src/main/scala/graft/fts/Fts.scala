@@ -205,8 +205,14 @@ object Fts {
     var scored = base.crossJoin(broadcast(stats))
       .withColumn("a", expr("sdl div n"))
     terms.indices.foreach { i =>
+      // (round 16) tf = |toks| − |toks without t|: array_remove is a
+      // native codegen'd expression, where the previous
+      // `size(filter(toks, x -> x = t))` HOF lambda interpreted per row.
+      // Counts are identical (tokens are never NULL, and array_remove
+      // drops exactly the elements equal to t).
       scored = scored.withColumn(s"tf_$i",
-        size(expr(s"filter(toks, x -> x = '${terms(i)}')")).cast("long"))
+        (size(col("toks")) - size(array_remove(col("toks"), terms(i))))
+          .cast("long"))
     }
     val contrib = terms.indices.map(i =>
       s"(CASE WHEN tf_$i > 0 THEN (length(bin(n)) - length(bin(df_$i))) * " +

@@ -191,6 +191,67 @@ object TextKernels {
     sig
   }
 
+  /** [[bpeApplyMerge]] over Catalyst ArrayData — the codegen entry point. */
+  def bpeApplyMergeData(in: ArrayData, a: String, b: String): ArrayData = {
+    val syms = in.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bpeApplyMerge(syms, a, b).map(UTF8String.fromString))
+  }
+
+  /** [[bpeEncodeWord]] over Catalyst types — the codegen entry point. */
+  def bpeEncodeWordData(word: UTF8String, as: Array[String],
+                        bs: Array[String], eow: String): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bpeEncodeWord(word, as, bs, eow).map(UTF8String.fromString))
+
+  /** One greedy left-to-right BPE merge (a, b) → a+b over a symbol array
+    * (round 16): the native twin of [[graft.llm.Bpe.applyMerge]]'s
+    * Sep-joined `aggregate` fold (HOF folds interpret per row). The
+    * fold's merge test `acc.endsWith(Sep + a)` is exactly "the previous
+    * COMPLETE symbol equals a": a freshly merged a+b can never equal a
+    * (b is non-empty), so within-round cascades are impossible in both
+    * formulations. Equivalence assumes symbols do not contain U+001F —
+    * the fold's own documented precondition (its separator). */
+  def bpeApplyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new java.util.ArrayList[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      val s = syms(j)
+      if (!out.isEmpty && out.get(out.size - 1) == a && s == b)
+        out.set(out.size - 1, a + b)
+      else out.add(s)
+      j += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** BPE-encode one WORD through an ordered merge chain (round 16): the
+    * native twin of `chars(word) :+ eow` followed by the chained
+    * [[bpeApplyMerge]] folds — one kernel call instead of merges+1
+    * interpreted HOF passes per word. Splitting is by code point,
+    * matching Spark's character-positioned `substr`. */
+  def bpeEncodeWord(word: UTF8String, as: Array[String], bs: Array[String],
+                    eow: String): Array[String] = {
+    val w = word.toString
+    var syms = new Array[String](0)
+    val buf = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      buf.add(w.substring(i, i + cc))
+      i += cc
+    }
+    buf.add(eow)
+    syms = buf.toArray(new Array[String](buf.size))
+    var m = 0
+    while (m < as.length) {
+      syms = bpeApplyMerge(syms, as(m), bs(m))
+      m += 1
+    }
+    syms
+  }
+
   // ---- Column wrappers ----
   def shingle_hashes(c: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), n))
@@ -198,6 +259,12 @@ object TextKernels {
     GraftBridge.column(NgramHashes(GraftBridge.expression(c), n))
   def trigram_hashes(c: Column): Column =
     GraftBridge.column(TrigramHashes(GraftBridge.expression(c)))
+  def bpe_apply_merge(c: Column, a: String, b: String): Column =
+    GraftBridge.column(BpeApplyMergeExpr(GraftBridge.expression(c), a, b))
+  def bpe_encode_word(c: Column, merges: Seq[(String, String)],
+                      eow: String): Column =
+    GraftBridge.column(BpeEncodeWordExpr(GraftBridge.expression(c),
+      merges.map(_._1).toArray, merges.map(_._2).toArray, eow))
   def minhash_band_hashes(c: Column, bands: Int, rowsPerBand: Int): Column =
     GraftBridge.column(MinHashBandHashes(GraftBridge.expression(c), bands, rowsPerBand))
   def simhash_64(c: Column): Column =
@@ -258,6 +325,50 @@ case class TrigramHashes(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+/** array<string> symbols → array<string> after one greedy BPE merge. */
+case class BpeApplyMergeExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply_merge"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeApplyMergeData(input.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", a, "java.lang.String")
+    val bRef = ctx.addReferenceObj("bpeB", b, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpeApplyMergeData($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMergeExpr =
+    copy(child = newChild)
+}
+
+/** string word → array<string> BPE tokens through an ordered merge chain. */
+case class BpeEncodeWordExpr(child: Expression, as: Array[String],
+                             bs: Array[String], eow: String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_word"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeWordData(input.asInstanceOf[UTF8String], as, bs, eow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("bpeAs", as, "java.lang.String[]")
+    val bsRef = ctx.addReferenceObj("bpeBs", bs, "java.lang.String[]")
+    val eowRef = ctx.addReferenceObj("bpeEow", eow, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpeEncodeWordData($c, $asRef, $bsRef, $eowRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWordExpr =
     copy(child = newChild)
 }
 

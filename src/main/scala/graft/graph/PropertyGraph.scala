@@ -338,8 +338,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+    // (round 16) persist the directional frame for the loop's lifetime:
+    // it is read once per round, and un-persisted its lineage re-runs the
+    // edge-list distinct (a full shuffle of the raw edge frame) EVERY
+    // round — the dominant per-round cost measured at sf0.1. Lineage is
+    // kept (MEMORY_AND_DISK), released before returning.
     val d = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = d.select(col("a").as("node")).distinct().persist(storage)
     var curN = cur.count()
@@ -372,6 +378,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       cur = next
       curN = nextN
     }
+    d.unpersist(blocking = false)
     lastDeg.select(col("a").as("node"), col("deg"))
   }
 
@@ -404,7 +411,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * fixpoint as full recounting. Same driver-loop (counters only) /
     * persist-with-lineage / cap discipline as [[kCore]], with the cap
     * exit returning the still-converging superset. */
-  def kTruss(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32): DataFrame = {
+  def kTruss(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32,
+             broadcastMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds must be in 1..64, got $maxRounds")
@@ -414,27 +422,46 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      // read three times by the initial support count — pay the distinct
+      // shuffle once (released as soon as `cur` is materialized)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n0 = e0.count()
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // full oriented-wedge support count. The join back to `e` is INNER:
     // a zero-support edge belongs to no triangle, so dropping it right
     // here destroys nothing and owes no decrements — materializing it
     // only to peel it next round (as a left-join-with-0 would) wastes a
-    // whole round; no k≥3 truss can contain it
-    def fullSupport(e: DataFrame): DataFrame = {
+    // whole round; no k≥3 truss can contain it.
+    // (round 16) two-path join strategy, decided by the edge count the
+    // driver already holds (the same documented ceiling discipline as
+    // Dedup.broadcastVerifyMaxDocs): at or below `broadcastMaxEdges` the
+    // wedge-build, wedge-close and support-attach joins all BROADCAST the
+    // edge/support side, so wedges are generated AND closed scan-side —
+    // the only exchange left is the tiny per-edge support aggregation.
+    // Catalyst cannot pick this itself: `e` is a join+distinct subtree
+    // with no reliable size estimate, so it planned sort-merge joins that
+    // shuffled every enumerated wedge (~C(deg,2) per vertex — measured
+    // 12M wedge rows / ~4 s on the sf0.1 BUYS graph for 23.6k triangles).
+    // Above the ceiling: the shuffle plan, unchanged, at any scale.
+    def fullSupport(e: DataFrame, nEdges: Long): DataFrame = {
+      def b(df: DataFrame): DataFrame =
+        if (nEdges <= broadcastMaxEdges) broadcast(df) else df
       val sup = e.select(col("u"), col("v").as("x"))
-        .join(e.select(col("u"), col("v").as("y")), Seq("u"))
+        .join(b(e.select(col("u"), col("v").as("y"))), Seq("u"))
         .filter(col("x") < col("y"))
-        .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .join(b(e.select(col("u").as("x"), col("v").as("y"))), Seq("x", "y"))
         .select(explode(array(
             struct(col("u").as("a"), col("x").as("b")),
             struct(col("u").as("a"), col("y").as("b")),
             struct(col("x").as("a"), col("y").as("b")))).as("e"))
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("support"))
-      e.join(sup, col("u") === col("a") && col("v") === col("b"))
+      // sup has at most one row per edge, so the edge-count ceiling
+      // bounds it too
+      e.join(b(sup), col("u") === col("a") && col("v") === col("b"))
         .select(col("u"), col("v"), col("support"))
     }
-    var cur = fullSupport(e0).persist(storage)
+    var cur = fullSupport(e0, n0).persist(storage)
     // ONE driver action per round (round-16; was two): materializing the
     // persisted frame and reading BOTH loop counters — total edges and
     // the below-threshold count that drives next round's peel — from the
@@ -449,6 +476,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var (curN, nR) = stats(cur)
+    e0.unpersist(blocking = false) // cur is materialized; e0's job is done
     var rounds = 0
     while (nR > 0 && rounds < maxRounds) {
       rounds += 1
@@ -459,7 +487,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           // mass peel: the survivor graph just shrank by >1/8 — a full
           // recount over it beats removal-incident joins whose probe
           // side would be most of the old graph
-          fullSupport(survivors.select(col("u"), col("v")))
+          fullSupport(survivors.select(col("u"), col("v")), curN - nR)
         } else {
           // trickle peel: touch only triangles incident to the dropped
           // set; nR is known-small here, so the three position joins
@@ -519,13 +547,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * negative-cycle divergence, the answer is simply min over ≤ maxHops
     * hop paths.
     *
-    * Superstep shape, one relaxation round per hop: candidates =
-    * dist ⋈ edges (ONE equi-join shuffle on the current distance table,
-    * never vertices×edges), new dist = min per node of (old ∪
-    * candidates). The distance table is persisted with lineage
+    * Superstep shape, one SEMI-NAIVE relaxation round per hop (round 16):
+    * candidates = frontier ⋈ edges — the frontier is the nodes whose
+    * distance improved last round, never vertices×edges and never the
+    * full reached set — unioned with the tagged old table into ONE
+    * groupBy(node) exchange per round whose aggregation yields both the
+    * new minimum and the old distance, so the next frontier's improved
+    * flag costs no second join. The distance table is persisted with lineage
     * (MEMORY_AND_DISK, recomputable after executor loss) and the prior
     * round released, so plan depth stays at one round; the driver holds
-    * loop counters only. `maxHops ≤ 16` caps plan depth like
+    * loop counters only (the improvement count rides the round's
+    * materializing action, and an empty frontier is the exact
+    * Bellman-Ford fixpoint). `maxHops ≤ 16` caps plan depth like
     * [[bfsDistances]]. */
   def ssspDistances(source: String, maxHops: Int, weight: Column,
                     rels: Seq[String] = Nil,
@@ -540,34 +573,53 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       else base.unionByName(base.select(col("v").as("u"), col("u").as("v"),
         col("w")))
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (round 16) SEMI-NAIVE relaxation — the discipline the recursive
+    // CTEs already follow: each round relaxes only edges out of the
+    // FRONTIER (nodes whose distance improved last round), not out of
+    // every reached node. Standard Bellman-Ford induction: a node whose
+    // distance did not change in round r−1 contributed its relaxations
+    // in round r−1 already, so dropping it from round r's probe changes
+    // nothing — dist after r rounds is still exactly the min over
+    // ≤r-hop paths, and the fixpoint is unchanged. The frontier-incident
+    // join shrinks with convergence instead of growing with reach (the
+    // old full-reach join re-relaxed the whole edge list every round).
+    // Convergence = an empty frontier (nothing improved — exact, no
+    // witness arithmetic needed); the improvement count rides the same
+    // action that materializes the round's table (one job per round).
     var dist = vertices.filter(col("name") === source)
-      .select(col("name").as("node"), lit(0L).as("dist")).persist(storage)
+      .select(col("name").as("node"), lit(0L).as("dist"),
+        lit(true).as("imp")).persist(storage)
+    var frontier = dist.select(col("node"), col("dist"))
+    var nImp = 1L
     var hop = 0
-    // round-16: converge-detect INSIDE the per-round materialization
-    // action (no extra job) — the reached-node count only grows and each
-    // node's dist only shrinks, so an unchanged (count, sum(dist)) pair
-    // proves the Bellman-Ford fixpoint; graphs whose weighted diameter
-    // is far below maxHops exit as soon as a round changes nothing. The
-    // sum is exact decimal(38,0) — no overflow, no float fuzz.
-    var lastN = -1L
-    var lastSum: java.math.BigDecimal = null
-    var changed = true
-    while (hop < maxHops && changed) {
+    while (hop < maxHops && nImp > 0) {
       hop += 1
-      val cand = dist.join(es, col("node") === col("u"))
-        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(cand)
-        .groupBy("node").agg(min(col("dist")).as("dist")).persist(storage)
-      // materialize BEFORE releasing the parent: next's lineage reads dist
-      val r = next.agg(count(lit(1)),
-        sum(col("dist").cast("decimal(38,0)"))).head
-      val (n, s) = (r.getLong(0), r.getDecimal(1))
-      changed = n != lastN || lastSum == null || s.compareTo(lastSum) != 0
-      lastN = n; lastSum = s
+      // one union + ONE groupBy exchange per round (the original round
+      // shape): old rows carry a tag so the same aggregation yields both
+      // the new minimum and the old distance — the improved flag falls
+      // out without a second join or exchange.
+      val cand = frontier.join(es, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(false).as("graft_old"))
+      val next = dist
+        .select(col("node"), col("dist"), lit(true).as("graft_old"))
+        .unionByName(cand)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("graft_old"), col("dist"))).as("graft_odist"))
+        .select(col("node"), col("dist"),
+          (col("graft_odist").isNull || col("dist") < col("graft_odist"))
+            .as("imp"))
+        .persist(storage)
+      // materialize BEFORE releasing the parent (next's lineage reads
+      // dist) and read the loop counter from the same job
+      val r = next.agg(sum(when(col("imp"), 1L).otherwise(0L))).head
+      nImp = if (r.isNullAt(0)) 0L else r.getLong(0)
       dist.unpersist(blocking = false)
       dist = next
+      frontier = next.filter(col("imp")).select(col("node"), col("dist"))
     }
-    dist
+    dist.select(col("node"), col("dist"))
   }
 
   /** Checkpoint the accumulated MERGE plan (each merge stacks a

@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * `arrays_zip` of shifted slices, the [[TextAnalysis.bigramSurprisal]]
   * construction), one partial-agg shuffle to sum pair counts, and a
   * 1-row argmax collect (count desc, then lexicographic pair — fully
-  * deterministic, no float anywhere). The merge applies as a codegen'd
-  * string fold over each word's symbols (greedy left-to-right, re-merge
-  * impossible by the separator argument in the fold's CASE), mirrored
-  * exactly by a DuckDB `list_reduce` in the oracle.
+  * deterministic, no float anywhere). The merge applies greedily
+  * left-to-right over each word's symbols via the native
+  * [[graft.functions.TextKernels.bpeApplyMerge]] kernel (round 16 — one
+  * codegen call per row instead of an interpreted string-fold HOF);
+  * [[applyMerge]] remains the executable fold spec the kernel mirrors
+  * (KernelParitySpec pins equality) and the DuckDB oracle's
+  * `list_reduce` reproduces it exactly.
   *
   * 100 TB story: the corpus is touched ONCE (word counts); nMerges
   * iterations each shuffle pair-count rows bounded by the live symbol
@@ -92,7 +95,8 @@ object Bpe {
       merges += Merge(merges.length + 1, a, b, a + b, c)
       if (merges.length < nMerges) {
         val next = words
-          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq"))
+          .select(graft.functions.TextKernels
+            .bpe_apply_merge(col("sym"), a, b).as("sym"), col("freq"))
           .persist(storage)
         top = argmax(next) // materializes `next` before the release below
         words.unpersist()
@@ -125,7 +129,7 @@ object Bpe {
     * the accumulator ends in Sep+a (an exact complete-symbol test — a
     * freshly merged a+b can never end in Sep+a, so cascading re-merges
     * within the round are impossible), then split back. */
-  private[llm] def applyMerge(sym: Column, a: String, b: String): Column = {
+  private[graft] def applyMerge(sym: Column, a: String, b: String): Column = {
     val folded = aggregate(sym, lit(""), (acc, x) =>
       when(acc.endsWith(lit(Sep + a)) && x === b, concat(acc, x))
         .otherwise(concat(acc, lit(Sep), x)))
@@ -143,9 +147,12 @@ object Bpe {
     val words = df.select(col(idCol),
       posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
-    val init = concat(chars(col("word")), array(lit(EndOfWord)))
-    val sym = merges.foldLeft(init) { case (acc, (a, b)) =>
-      applyMerge(acc, a, b) }
+    // (round 16) the whole merge chain runs in ONE codegen kernel call per
+    // word ([[graft.functions.TextKernels.bpeEncodeWord]]) instead of
+    // merges+1 interpreted HOF folds — applyMerge below stays as the
+    // executable spec the kernel mirrors (KernelParitySpec pins equality).
+    val sym = graft.functions.TextKernels
+      .bpe_encode_word(col("word"), merges, EndOfWord)
     // word order is restored by sorting the collected (pos, sym) structs —
     // collect_list alone has no ordering contract
     words.select(col(idCol), col("pos"), sym.as("sym"))

@@ -55,6 +55,10 @@ object Packing {
       .as[(Long, Long)]
       .transform(Sampling.pinPartitioning(_)) // pin the sampled range bounds across both passes
       .rdd
+      // (round 16) both passes read this RDD — persist so the second
+      // does not re-run the scan + range shuffle + sort (ContextCleaner
+      // reclaims the blocks once the result goes out of scope)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)

@@ -190,7 +190,15 @@ object Sampling {
       .transform(pinPartitioning(_)) // pin the sampled range bounds across both passes
     val sIdx = ranged.schema.fieldIndex(stratumCol)
     val vIdx = ranged.schema.fieldIndex("graft_val")
+    // (round 16) persist the converted rows: BOTH passes read this RDD —
+    // the edge-run collect and the emitting pass — and un-persisted each
+    // re-ran the whole scan + range shuffle + sort + row conversion. No
+    // explicit unpersist: the blocks are reclaimed by Spark's
+    // ContextCleaner once the returned frame (whose lineage holds the
+    // only reference) is dropped, and MEMORY_AND_DISK evicts safely
+    // under pressure meanwhile.
     val rdd = ranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sameKey(a: Any, b: Any): Boolean = java.util.Objects.equals(a, b)
     // pass 1: (pid, first-run (stratum, sum), last-run (stratum, sum)) —
     // a one-run partition emits a single entry; collect is ≤ 2·nPart rows

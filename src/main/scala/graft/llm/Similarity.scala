@@ -565,8 +565,15 @@ object Similarity {
     import spark.implicits._
     val ds = corpus.select(col(idCol).cast("long"),
       col(vecCol).cast("array<float>")).as[(Long, Array[Float])].cache()
-    val out = if (ds.count() <= broadcastMaxRows) {
-      val all = ds.collect().sortBy(_._1)
+    // (round 16) ONE bounded limit-probe decides the path AND supplies the
+    // broadcast copy — the old separate count() job decided nothing the
+    // collect wasn't about to discover, and driver memory is bounded by
+    // the same ceiling either way (an over-ceiling corpus collects at most
+    // cap+1 rows here before taking the blocked path).
+    val probe = ds.limit(
+      math.min(broadcastMaxRows + 1, Int.MaxValue.toLong).toInt).collect()
+    val out = if (probe.length <= broadcastMaxRows) {
+      val all = probe.sortBy(_._1)
       val ids = all.map(_._1)
       val vecs = all.map(_._2.map(_.toDouble))
       val norms = vecs.map(normOf)

@@ -190,4 +190,71 @@ class KernelParitySpec extends SparkSpec {
       TextKernels.minhash_band_hashes(col("sh"), bands, rpb).as("bh"))
     assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
   }
+
+  test("ngram_hashes: distinct count and cross-side collisions == string grams") {
+    // the kernel chain-hashes token hashes instead of hashing gram STRINGS,
+    // so per-gram hash VALUES differ from xxhash64(gram) by design — what
+    // must match is gram IDENTITY: the distinct-gram count per doc and the
+    // doc⋈eval collision sets the contam family computes.
+    val n = 8
+    def strGrams(df: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.fts.Fts.tokens(col("text"))
+      df.select(col("doc_id"),
+        when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("g"))
+    }
+    val hof = strGrams(docs).select(col("doc_id"), size(col("g")).as("k"))
+    val ker = docs.select(col("doc_id"),
+      size(TextKernels.ngram_hashes(col("text"), n)).as("k"))
+    assert(ker.exceptAll(hof).isEmpty && hof.exceptAll(ker).isEmpty)
+    // collision identity across two frames (source docs vs planted copies)
+    val a = docs.filter(col("doc_id") < 10000)
+    val b = docs.filter(col("doc_id") >= 10000)
+    val hofHits = strGrams(a).select(col("doc_id"), explode(col("g")).as("g"))
+      .join(strGrams(b).select(explode(col("g")).as("g")).distinct(), Seq("g"), "left_semi")
+      .groupBy("doc_id").count()
+    val kerHits = a.select(col("doc_id"),
+        explode(TextKernels.ngram_hashes(col("text"), n)).as("g"))
+      .join(b.select(explode(TextKernels.ngram_hashes(col("text"), n)).as("g")).distinct(),
+        Seq("g"), "left_semi")
+      .groupBy("doc_id").count()
+    assert(kerHits.exceptAll(hofHits).isEmpty && hofHits.exceptAll(kerHits).isEmpty)
+  }
+
+  test("trigram_hashes == xxhash64 over the HOF 3-char windows") {
+    // trigram identities hash THROUGH xxhash64 of the substring on both
+    // sides, so here values (not just counts) must match exactly
+    val hof = docs.filter(length(col("text")) >= 3).select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => xxhash64(col("text").substr(i, lit(3)))))).as("g"))
+    val ker = docs.filter(length(col("text")) >= 3).select(col("doc_id"),
+      TextKernels.trigram_hashes(col("text")).as("g"))
+    assert(ker.exceptAll(hof).isEmpty && hof.exceptAll(ker).isEmpty)
+  }
+
+  test("bpe_apply_merge and bpe_encode_word == the aggregate-fold spec") {
+    val words = docs.limit(80)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val merges = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"))
+    // single-merge kernel vs the fold, over real symbol arrays
+    val init = concat(transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1))), array(lit(graft.llm.Bpe.EndOfWord)))
+    val foldOne = words.select(col("doc_id"), col("word"),
+      graft.llm.Bpe.applyMerge(init, "e", "</w>").as("sym"))
+    val kerOne = words.select(col("doc_id"), col("word"),
+      TextKernels.bpe_apply_merge(init, "e", "</w>").as("sym"))
+    assert(kerOne.exceptAll(foldOne).isEmpty && foldOne.exceptAll(kerOne).isEmpty)
+    // full-chain kernel vs the chained folds
+    val foldChain = words.select(col("doc_id"), col("word"),
+      merges.foldLeft(init) { case (acc, (x, y)) =>
+        graft.llm.Bpe.applyMerge(acc, x, y) }.as("sym"))
+    val kerChain = words.select(col("doc_id"), col("word"),
+      TextKernels.bpe_encode_word(col("word"), merges,
+        graft.llm.Bpe.EndOfWord).as("sym"))
+    assert(kerChain.exceptAll(foldChain).isEmpty && foldChain.exceptAll(kerChain).isEmpty)
+  }
 }
