@@ -15,6 +15,8 @@ object BenchSubset {
       .appName("graft-bench-subset")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // dev-only conf A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
