@@ -33,5 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[$cpus] runs driver + every executor task slot in
+  // THIS one JVM, so the heap is the whole cluster's unified memory. At
+  // 32 concurrent tasks, 8g left ~2.3g of protected storage + ~2.3g of
+  // execution for 32 shuffling tasks — a full bench session was measured
+  // GC-thrashing its tail queries 2-4x slower (see OPTIMIZATION_r16.md,
+  // "suite-state regression"); 16g on a 128 GiB box removes it. Still
+  // env-overridable for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

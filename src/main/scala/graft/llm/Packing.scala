@@ -47,18 +47,17 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     val nPart = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = df
+    // (round 16) both passes read this RDD — persist so the second does
+    // not re-run the scan + range shuffle + sort. Rolling release
+    // (Sampling.persistRolling) bounds the session's standing pins.
+    val ranged = Sampling.persistRolling(df
       .select(col(idCol).cast("long"),
         TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .repartitionByRange(nPart, col(idCol))
       .sortWithinPartitions(idCol)
       .as[(Long, Long)]
-      .transform(Sampling.pinPartitioning(_)) // pin the sampled range bounds across both passes
-      .rdd
-      // (round 16) both passes read this RDD — persist so the second
-      // does not re-run the scan + range shuffle + sort (ContextCleaner
-      // reclaims the blocks once the result goes out of scope)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Sampling.pinPartitioning(_)) // reliable checkpoint when configured
+      .rdd)
     val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)

@@ -32,14 +32,38 @@ object Sampling {
     * When the session has a RELIABLE checkpoint dir configured
     * (`spark.sparkContext.setCheckpointDir` — the production posture on a
     * multi-tenant cluster), the pin is `checkpoint()`: it survives
-    * executor loss, at the cost of one distributed write. Otherwise
-    * `localCheckpoint()`: fast, but executor-memory/disk-pinned and NOT
-    * fault-tolerant — an executor loss after the pin fails the job. */
+    * executor loss, at the cost of one distributed write. Otherwise the
+    * pin is the [[persistRolling]]'d converted-row RDD the operators
+    * build right after this call: the RDD DAG (including the range
+    * exchange and its driver-side partitioner, bounds already sampled) is
+    * instantiated exactly once, so an evicted block recomputes through
+    * the SAME shuffle output with the same bounds — no localCheckpoint
+    * needed. (Round 16: the previous `localCheckpoint()` here pinned a
+    * SECOND corpus-sized copy per call that only a GC could release; a
+    * full bench session accumulated ~50 such pins and measurably pushed
+    * the 8 GiB driver into GC thrash — guide §5.) */
   private[llm] def pinPartitioning[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] =
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
       ds.checkpoint()
-    else ds.localCheckpoint()
+    else ds
+
+  /** Persist a two-pass prefix-sum RDD with a ROLLING release: the ring
+    * keeps the two most recent pins (compositions like epochShuffle and
+    * curriculum packing chain at most two live prefix sums) and releases
+    * older ones, so a session's standing footprint is bounded at two
+    * pinned corpora no matter how many sampler/packer calls it makes.
+    * Lineage is kept (MEMORY_AND_DISK persist, never a checkpoint), so a
+    * caller that still holds an older returned frame recomputes through
+    * the retained shuffle files instead of failing — same rows, same
+    * partitioning. */
+  private val pinRing = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+  private[llm] def persistRolling[T](rdd: org.apache.spark.rdd.RDD[T])
+      : org.apache.spark.rdd.RDD[T] = pinRing.synchronized {
+    pinRing.addLast(rdd.asInstanceOf[org.apache.spark.rdd.RDD[_]])
+    while (pinRing.size > 2) pinRing.removeFirst().unpersist(blocking = false)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Per-mille bucket in [0, 1000) from xxhash64(id) — production mixer. */
   def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(1000L))
@@ -192,13 +216,10 @@ object Sampling {
     val vIdx = ranged.schema.fieldIndex("graft_val")
     // (round 16) persist the converted rows: BOTH passes read this RDD —
     // the edge-run collect and the emitting pass — and un-persisted each
-    // re-ran the whole scan + range shuffle + sort + row conversion. No
-    // explicit unpersist: the blocks are reclaimed by Spark's
-    // ContextCleaner once the returned frame (whose lineage holds the
-    // only reference) is dropped, and MEMORY_AND_DISK evicts safely
-    // under pressure meanwhile.
-    val rdd = ranged.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-ran the whole scan + range shuffle + sort + row conversion.
+    // Rolling release (see persistRolling): ContextCleaner alone was
+    // measured letting a full bench session pile up dozens of these.
+    val rdd = persistRolling(ranged.rdd)
     def sameKey(a: Any, b: Any): Boolean = java.util.Objects.equals(a, b)
     // pass 1: (pid, first-run (stratum, sum), last-run (stratum, sum)) —
     // a one-run partition emits a single entry; collect is ≤ 2·nPart rows

@@ -754,8 +754,40 @@ object Similarity {
     assignToLists(ds, centroids)
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/lists")
-    Seq(meanAssignCos(ds, centroids)).toDF("mean_assign_cos")
+    // (round 16, guide §1.2) the stats baseline scan reads the JUST-WRITTEN
+    // lists, whose `list` column IS the assignment — one cosine per row
+    // against the known centroid instead of re-running the nlist-wide
+    // nearest-centroid search over the source a second time. Empty corpus:
+    // the partitioned write leaves no readable parquet — fall back to the
+    // source-scan path, which is a no-op scan returning the neutral 1.0.
+    val baseline =
+      try meanCosFromAssigned(spark.read.parquet(s"$dir/lists"), centroids)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        meanAssignCos(ds, centroids) }
+    Seq(baseline).toDF("mean_assign_cos")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** [[meanAssignCos]] over rows whose list assignment is already known
+    * (the lists layout: nvec + hive `list` partition column): one cosine
+    * per row, no nearest-centroid search. Same avg contract. */
+  private def meanCosFromAssigned(assigned: DataFrame,
+                                  centroids: Array[Array[Double]]): Double = {
+    if (centroids.isEmpty) return 1.0
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val r = assigned.select(col("nvec").cast("array<float>"),
+        col("list").cast("int"))
+      .as[(Array[Float], Int)].mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vf, list) =>
+          val v = vf.map(_.toDouble)
+          val c = cs(list)
+          dotOf(v, c) / (math.max(normOf(v), 1e-12) * math.max(normOf(c), 1e-12))
+        }
+      }.toDF("cos").agg(avg(col("cos"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
   }
 
   /** Mean cosine of each vector to its nearest centroid — the assignment

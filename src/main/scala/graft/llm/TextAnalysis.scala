@@ -361,17 +361,26 @@ object TextAnalysis {
     require(xCols.nonEmpty && epochs >= 1 && epochs <= 16,
       s"need features and 1..16 epochs, got $xCols/$epochs")
     val spark = df.sparkSession
+    // (round 16, guide §5) every epoch reads exactly these columns — persist
+    // the PROJECTED feature frame (a few longs per row, tiny next to the
+    // text it was derived from) so epochs 2..n skip the upstream scan +
+    // feature derivation instead of re-tokenizing the corpus per epoch.
+    // Recomputed per call, dropped before returning — nothing outlives the
+    // operator. Integer sums commute, so the weights are bit-identical.
+    val feats = df.select((xCols :+ yCol).map(c => col(c).cast("long").as(c)): _*)
+    if (epochs > 1)
+      feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w = Array.fill(xCols.length + 1)(0L) // features ++ bias
-    (1 to epochs).foreach { _ =>
+    try (1 to epochs).foreach { _ =>
       val margin = xCols.zipWithIndex.foldLeft(lit(w.last)) {
-        case (acc, (c, i)) => acc + col(c).cast("long") * w(i)
-      } * col(yCol).cast("long")
-      val mis = when(margin <= 0, col(yCol).cast("long")).otherwise(lit(0L))
-      val sums = (xCols.map(c => sum(mis * col(c).cast("long"))) :+ sum(mis))
+        case (acc, (c, i)) => acc + col(c) * w(i)
+      } * col(yCol)
+      val mis = when(margin <= 0, col(yCol)).otherwise(lit(0L))
+      val sums = (xCols.map(c => sum(mis * col(c))) :+ sum(mis))
         .zipWithIndex.map { case (e, i) => coalesce(e, lit(0L)).as(s"d$i") }
-      val delta = df.agg(sums.head, sums.tail: _*).collect().head
+      val delta = feats.agg(sums.head, sums.tail: _*).collect().head
       w = w.indices.map(i => w(i) + delta.getLong(i)).toArray
-    }
+    } finally if (epochs > 1) feats.unpersist(false)
     import spark.implicits._
     Seq(1).toDF("one").select(
       xCols.zipWithIndex.map { case (c, i) => lit(w(i)).as(s"w_$c") } :+
