@@ -343,12 +343,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // edge-list distinct (a full shuffle of the raw edge frame) EVERY
     // round — the dominant per-round cost measured at sf0.1. Lineage is
     // kept (MEMORY_AND_DISK), released before returning.
-    val d = e.select(col("u").as("a"), col("v").as("b"))
+    var d = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = d.select(col("a").as("node")).distinct().persist(storage)
     var curN = cur.count()
+    // (round 16 batch 5) node count at the last edge-frame rebuild — the
+    // adaptive-shrink trigger below (same measured-removal discipline as
+    // kTruss's peel).
+    var shrinkN = curN
     var lastDeg: DataFrame = null
     var rounds = 0
     var changed = true
@@ -377,6 +381,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       lastDeg = deg
       cur = next
       curN = nextN
+      // (round 16 batch 5) adaptive edge-frame shrink: every round scans
+      // the FULL persisted edge frame even after the typical first-round
+      // mass peel has dropped most nodes. When the candidate set has
+      // fallen below 7/8 of its size at the last rebuild, rewrite the
+      // frame to edges with BOTH endpoints surviving — exact (a dropped
+      // endpoint can never re-enter: the set only shrinks, and rows with
+      // a ∉ cur fed only discarded groups) — so every later round probes
+      // the peeled graph, not the original. One extra pass over the
+      // current frame per shrink, amortized by every remaining round;
+      // skipped entirely when the loop is about to exit.
+      if (changed && nextN * 8 <= shrinkN * 7) {
+        val nd = d
+          .join(cur.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(cur.select(col("node").as("b")), Seq("b"), "left_semi")
+          .persist(storage)
+        nd.count() // materialize before releasing the frame it reads
+        d.unpersist(blocking = false)
+        d = nd
+        shrinkN = nextN
+      }
     }
     d.unpersist(blocking = false)
     lastDeg.select(col("a").as("node"), col("deg"))
