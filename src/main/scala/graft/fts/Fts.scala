@@ -205,14 +205,15 @@ object Fts {
     var scored = base.crossJoin(broadcast(stats))
       .withColumn("a", expr("sdl div n"))
     terms.indices.foreach { i =>
-      // (round 16) tf = |toks| − |toks without t|: array_remove is a
-      // native codegen'd expression, where the previous
-      // `size(filter(toks, x -> x = t))` HOF lambda interpreted per row.
-      // Counts are identical (tokens are never NULL, and array_remove
-      // drops exactly the elements equal to t).
+      // (round 16, revised) tf = size(filter(toks, x = t)). An
+      // intermediate round spelled this |toks| − |toks without t| via
+      // array_remove ("codegen beats an interpreted HOF") — and the
+      // SAME-BOX re-baseline showed it 2.4× SLOWER: array_remove COPIES
+      // the token array once per term per row (O(terms·len) allocation),
+      // which dwarfs the lambda-interpretation cost of a count that
+      // allocates nothing. Reverted to the filter-count form.
       scored = scored.withColumn(s"tf_$i",
-        (size(col("toks")) - size(array_remove(col("toks"), terms(i))))
-          .cast("long"))
+        size(filter(col("toks"), x => x === terms(i))).cast("long"))
     }
     val contrib = terms.indices.map(i =>
       s"(CASE WHEN tf_$i > 0 THEN (length(bin(n)) - length(bin(df_$i))) * " +
