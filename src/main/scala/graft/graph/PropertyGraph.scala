@@ -328,7 +328,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * in a handful; `maxRounds` caps pathological chains (a cap exit
     * returns the still-converging superset — size the cap above the
     * expected peel depth). */
-  def kCore(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32): DataFrame = {
+  def kCore(k: Int, rels: Seq[String] = Nil, maxRounds: Int = 32,
+            shrinkMinNodes: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds must be in 1..64, got $maxRounds")
@@ -343,8 +344,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // edge-list distinct (a full shuffle of the raw edge frame) EVERY
     // round — the dominant per-round cost measured at sf0.1. Lineage is
     // kept (MEMORY_AND_DISK), released before returning.
+    // (round 17, guide §2.4) the frame persists PARTITIONED BY `a` — the
+    // degree count's grouping key — so every round's groupBy(a) reuses the
+    // cached layout instead of exchanging the (post-semi-join) edge rows
+    // again: one build-time shuffle replaces one per round whenever the
+    // survivor probe broadcasts (it preserves partitioning); when the
+    // survivor set is too big to broadcast the round plans exactly as
+    // before (join exchange dominates either way, no regression).
     var d = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = d.select(col("a").as("node")).distinct().persist(storage)
@@ -391,7 +400,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // the peeled graph, not the original. One extra pass over the
       // current frame per shrink, amortized by every remaining round;
       // skipped entirely when the loop is about to exit.
-      if (changed && nextN * 8 <= shrinkN * 7) {
+      // (round 17) gated by `shrinkMinNodes` — the same driver-held-size
+      // ceiling discipline as kTruss's broadcastMaxEdges, in the other
+      // direction: below it the full-frame rescans the shrink would save
+      // are cheaper than the extra materializing pass it costs (measured
+      // at sf0.1, where the shrink was the one attributable round-16
+      // regression), while at data sizes where rescans dominate the
+      // rewrite pays for itself within a round or two.
+      if (changed && nextN * 8 <= shrinkN * 7 && shrinkN >= shrinkMinNodes) {
         val nd = d
           .join(cur.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(cur.select(col("node").as("b")), Seq("b"), "left_semi")
@@ -616,21 +632,46 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     var frontier = dist.select(col("node"), col("dist"))
     var nImp = 1L
     var hop = 0
-    while (hop < maxHops && nImp > 0) {
-      hop += 1
-      // one union + ONE groupBy exchange per round (the original round
-      // shape): old rows carry a tag so the same aggregation yields both
-      // the new minimum and the old distance — the improved flag falls
-      // out without a second join or exchange.
-      val cand = frontier.join(es, col("node") === col("u"))
+    // one relaxation: candidates out of `front` unioned with the tagged
+    // old table into ONE groupBy(node) aggregation that yields the new
+    // minimum AND the pre-round distance (`graft_odist`, carried forward
+    // by min() — at most one tagged row per node holds it, candidate rows
+    // contribute NULL), so the improved flag costs no second join.
+    def relax(cur: DataFrame, front: DataFrame): DataFrame = {
+      val cand = front.join(es, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"),
-          lit(false).as("graft_old"))
-      val next = dist
-        .select(col("node"), col("dist"), lit(true).as("graft_old"))
-        .unionByName(cand)
+          lit(null).cast("long").as("graft_odist"))
+      cur.unionByName(cand)
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"),
-          min(when(col("graft_old"), col("dist"))).as("graft_odist"))
+          min(col("graft_odist")).as("graft_odist"))
+    }
+    // (round 17, guide §1.2) TWO relaxations per materialized round: the
+    // driver pays one job + one persisted table per PAIR of hops instead
+    // of per hop (halved loop actions; exchange count per relaxation is
+    // unchanged at one). Exact by the relaxation-schedule argument: after
+    // any schedule of r rounds that relaxes at least the improved-node
+    // frontier each round, dist(v) is exactly min over ≤ r-hop paths —
+    // chaining the second relaxation inside the same plan is the same
+    // schedule, and the inner frontier (improved-in-relaxation-1) is the
+    // exact semi-naive set. The pair's improved flag compares against the
+    // PRE-PAIR distance, so the next pair's frontier is a superset of the
+    // exact frontier (nodes improved only by the inner hop re-relax once —
+    // redundant but monotone-idempotent, never wrong). An odd maxHops runs
+    // its final hop as a single relaxation.
+    while (hop < maxHops && nImp > 0) {
+      val pair = (maxHops - hop) >= 2
+      hop += (if (pair) 2 else 1)
+      val tagged = dist.select(col("node"), col("dist"),
+        col("dist").as("graft_odist"))
+      val step1 = relax(tagged, frontier)
+      val stepped =
+        if (!pair) step1
+        else relax(step1,
+          step1.filter(col("graft_odist").isNull ||
+              col("dist") < col("graft_odist"))
+            .select(col("node"), col("dist")))
+      val next = stepped
         .select(col("node"), col("dist"),
           (col("graft_odist").isNull || col("dist") < col("graft_odist"))
             .as("imp"))

@@ -681,6 +681,42 @@ object Similarity {
     }.toDF("nid", "nvec", "list")
   }
 
+  /** [[assignToLists]] plus each row's assignment-quality cosine (the
+    * statistic [[ivfAssignDrift]] monitors): the same frozen-centroid
+    * scan — `nearest` already computed every centroid dot product, so the
+    * cosine to the chosen centroid is one extra division. Lets the index
+    * write jobs OBSERVE the mean assignment cosine inside the write itself
+    * (round 17, guide §1.2/§1.4) instead of paying the round-16 read-back
+    * scan of the just-written lists. Formula identical to
+    * [[meanAssignCos]]'s per-row term. */
+  private def assignWithCos(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val c = nearest(cs, v)
+        val cv = cs(c)
+        (id, vf, c, dotOf(v, cv) /
+          (math.max(normOf(v), 1e-12) * math.max(normOf(cv), 1e-12)))
+      }
+    }.toDF("nid", "nvec", "list", "graft_cos")
+  }
+
+  /** The observed `avg(graft_cos)` of a finished write job → the stored
+    * baseline scalar: a NULL average (empty input wrote no rows) is the
+    * neutral 1.0, everything else (NaN included — NaN embeddings
+    * propagate, exactly like [[meanAssignCos]]) passes through. */
+  private def observedMeanCos(obs: org.apache.spark.sql.Observation): Double =
+    obs.get.get("mean_cos") match {
+      case Some(d: java.lang.Double) => d.doubleValue()
+      case _ => 1.0
+    }
+
   /** The ONE probed-candidate ranking (every IVF serving path): exact
     * rounded cosine within the probed lists, self-matches dropped, ties to
     * the lower neighbor id. `lists` exposes (nid, nvec, list); `probes`
@@ -740,8 +776,9 @@ object Similarity {
     * path) and [[retrainIvfIndex]] (into a swap tmp): train, write
     * centroids + hive-partitioned lists, and record the training-time
     * assignment quality (mean cosine of each vector to its assigned
-    * centroid, one extra scan) under `dir/stats` — the baseline
-    * [[ivfAssignDrift]] compares ingest batches against. */
+    * centroid, observed inside the list-write job — no extra scan) under
+    * `dir/stats` — the baseline [[ivfAssignDrift]] compares ingest batches
+    * against. */
   private def writeIndexInto(
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
       dir: String, nlist: Int, iters: Int, maxTrainRows: Long): Unit = {
@@ -751,43 +788,23 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    assignToLists(ds, centroids)
+    // (round 17, guide §1.2/§1.4) the stats baseline is OBSERVED inside the
+    // list-write job itself: the assignment scan already computed every
+    // centroid dot product, so avg(cos-to-assigned-centroid) rides the
+    // write as one aggregated double — replacing the round-16 read-back of
+    // the just-written lists (a full extra job + file listing per index
+    // write; retrain paid it twice). The cosine column is projected away
+    // before the write, so the on-disk lists layout is unchanged. An empty
+    // corpus observes a NULL average → the neutral 1.0 baseline, same as
+    // the old empty-corpus fallback.
+    val obs = org.apache.spark.sql.Observation()
+    assignWithCos(ds, centroids)
+      .observe(obs, avg(col("graft_cos")).as("mean_cos"))
+      .select(col("nid"), col("nvec"), col("list"))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/lists")
-    // (round 16, guide §1.2) the stats baseline scan reads the JUST-WRITTEN
-    // lists, whose `list` column IS the assignment — one cosine per row
-    // against the known centroid instead of re-running the nlist-wide
-    // nearest-centroid search over the source a second time. Empty corpus:
-    // the partitioned write leaves no readable parquet — fall back to the
-    // source-scan path, which is a no-op scan returning the neutral 1.0.
-    val baseline =
-      try meanCosFromAssigned(spark.read.parquet(s"$dir/lists"), centroids)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        meanAssignCos(ds, centroids) }
-    Seq(baseline).toDF("mean_assign_cos")
+    Seq(observedMeanCos(obs)).toDF("mean_assign_cos")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-  }
-
-  /** [[meanAssignCos]] over rows whose list assignment is already known
-    * (the lists layout: nvec + hive `list` partition column): one cosine
-    * per row, no nearest-centroid search. Same avg contract. */
-  private def meanCosFromAssigned(assigned: DataFrame,
-                                  centroids: Array[Array[Double]]): Double = {
-    if (centroids.isEmpty) return 1.0
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
-    val r = assigned.select(col("nvec").cast("array<float>"),
-        col("list").cast("int"))
-      .as[(Array[Float], Int)].mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (vf, list) =>
-          val v = vf.map(_.toDouble)
-          val c = cs(list)
-          dotOf(v, c) / (math.max(normOf(v), 1e-12) * math.max(normOf(c), 1e-12))
-        }
-      }.toDF("cos").agg(avg(col("cos"))).head()
-    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
   }
 
   /** Mean cosine of each vector to its nearest centroid — the assignment
@@ -869,8 +886,35 @@ object Similarity {
       nlist: Int = 16, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxTrainRows: Long = 1L << 18): Double = {
-    val drift = ivfAssignDrift(spark, path, vectors, idCol, vecCol)
-    appendToIvfIndex(spark, path, vectors, idCol, vecCol)
+    import spark.implicits._
+    // (round 17, guide §1.2) ONE batch pass serves both the drift
+    // measurement and the append: the frozen centroids load once (round 16
+    // read them twice — ivfAssignDrift and appendToIvfIndex each paid a
+    // collect), the assignment scan computes each row's cosine as it
+    // assigns, and the append write OBSERVES the batch mean — fusing what
+    // were two full batch scans (drift's meanAssignCos + append's
+    // assignToLists) into the one the write needs anyway. Drift semantics
+    // unchanged: cosine against the FROZEN pre-append centroids, neutral
+    // 1.0 when the index predates the stats file or the baseline is
+    // non-positive, empty batch measures the neutral 1.0.
+    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseline =
+      if (!fs.exists(sp)) None
+      else Some(spark.read.parquet(s"$path/stats").head().getDouble(0))
+        .filter(_ > 0)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"no centroids at $path/centroids")
+    val ds = vectors.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
+    val obs = org.apache.spark.sql.Observation()
+    assignWithCos(ds, centroids)
+      .observe(obs, avg(col("graft_cos")).as("mean_cos"))
+      .select(col("nid"), col("nvec"), col("list"))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+    val drift = baseline.fold(1.0)(b => observedMeanCos(obs) / b)
     if (drift < retrainBelow)
       retrainIvfIndex(spark, path, nlist, iters, maxTrainRows)
     drift

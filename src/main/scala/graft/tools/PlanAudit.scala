@@ -12,8 +12,15 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_project", "q1_agg", "q_join3_revenue",
         "q_join5_nation_revenue", "kv_d1_begins", "fts_and", "asof_join")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // (round 17) mirror Bench's session config so captured plans describe
+    // the environment the bench actually runs (cpus/AQE posture identical)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
